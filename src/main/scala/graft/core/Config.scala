@@ -1,0 +1,42 @@
+package graft.core
+
+/** Engine configuration.
+  *
+  * Defaults mirror the reference's `CompactionConfig`
+  * (reference: core/src/config/mod.rs:21-55): batch_parallelism=4,
+  * target_partitions=4, data_file_prefix, target_file_size=1GiB,
+  * enable_validate_compaction=false, max_record_batch_rows=1024,
+  * SNAPPY parquet compression (core/src/config/mod.rs:28-34).
+  *
+  * Spark mapping: `targetPartitions` governs the output repartition
+  * (reference X2, datafusion_processor.rs:144-155) = `df.repartition(n)`;
+  * `maxRecordBatchRows` maps to `spark.sql.parquet.columnarReaderBatchSize`
+  * and is otherwise internal to Spark's vectorized reader.
+  */
+final case class CompactionConfig(
+    batchParallelism: Int = 4,
+    targetPartitions: Int = 4,
+    dataFilePrefix: String = "graft-compaction",
+    targetFileSizeBytes: Long = 1024L * 1024 * 1024,
+    enableValidateCompaction: Boolean = false,
+    maxRecordBatchRows: Int = 1024,
+    parquetCompression: String = "snappy",
+    /** Keep output data files at the *starting* snapshot's sequence number
+      * so deletes committed concurrently still apply
+      * (reference: core/src/compaction/mod.rs:268-281,546-566). */
+    useStartingSequenceNumber: Boolean = true
+) {
+  require(batchParallelism > 0, "batchParallelism must be > 0")
+  require(targetPartitions > 0, "targetPartitions must be > 0")
+  require(targetFileSizeBytes > 0, "targetFileSizeBytes must be > 0")
+  require(maxRecordBatchRows > 0, "maxRecordBatchRows must be > 0")
+}
+
+/** Commit retry policy. Reference: 3 retries, 1s -> 10s exponential backoff,
+  * retrying only retryable error kinds
+  * (core/src/compaction/mod.rs:446-462,595-613). */
+final case class RetryConfig(
+    maxRetries: Int = 3,
+    minDelayMs: Long = 1000L,
+    maxDelayMs: Long = 10000L
+)

@@ -1,0 +1,83 @@
+package graft.core
+
+import org.apache.spark.sql.types.StructType
+
+/** File content classification, matching Iceberg manifest-entry content
+  * (reference: core/src/compaction/mod.rs:363-392 partitions entries into
+  * data / position-delete / equality-delete). */
+sealed trait FileContent
+object FileContent {
+  case object Data extends FileContent
+  case object PositionDeletes extends FileContent
+  case object EqualityDeletes extends FileContent
+}
+
+/** Unit of scan work — one physical file (or byte-range of one).
+  *
+  * Mirrors the reference's FileScanTask struct
+  * (core/src/executor/datafusion/iceberg_file_task_scan.rs:446-462):
+  * {length, start, record_count, data_file_path, content, format, schema,
+  * project_field_ids, predicate, deletes, sequence_number, equality_ids,
+  * file_size_in_bytes}. In the Spark build a task drives a per-file
+  * `spark.read.parquet(path)`; `lengthBytes` feeds the byte-balanced
+  * bin-packing (X1).
+  */
+final case class FileScanTask(
+    filePath: String,
+    content: FileContent,
+    lengthBytes: Long,
+    recordCount: Long = -1L,
+    /** Iceberg data sequence number of the file (drives eq-delete
+      * applicability: data.seq < delete.seq). */
+    sequenceNumber: Long = 0L,
+    /** For equality-delete files: the user columns forming the delete key.
+      * Empty for data / position-delete files. An eq-delete file with an
+      * EMPTY key list degenerates to seq-only semantics ("delete everything
+      * older") — reference datafusion_processor.rs:371-375. */
+    equalityIds: Seq[String] = Nil
+)
+
+/** The planned inputs of one compaction, split by content
+  * (reference: core/src/executor/mod.rs:47-61 InputFileScanTasks). */
+final case class InputFileScanTasks(
+    dataFiles: Seq[FileScanTask],
+    positionDeleteFiles: Seq[FileScanTask],
+    equalityDeleteFiles: Seq[FileScanTask]
+) {
+  def inputTotalBytes: Long =
+    (dataFiles ++ positionDeleteFiles ++ equalityDeleteFiles)
+      .map(_.lengthBytes).sum
+}
+
+/** What the executor is asked to do
+  * (reference: core/src/executor/mod.rs:38-45 RewriteFilesRequest — bare
+  * tasks + IO + config + schema, deliberately decoupled from the catalog). */
+final case class RewriteFilesRequest(
+    tasks: InputFileScanTasks,
+    schema: StructType,
+    config: CompactionConfig,
+    outputDir: String
+)
+
+/** Metadata of one written data file. */
+final case class DataFileMeta(
+    filePath: String,
+    fileSizeBytes: Long,
+    recordCount: Long,
+    sequenceNumber: Long
+)
+
+/** Executor result (reference: core/src/executor/mod.rs:63-75). */
+final case class RewriteFilesResponse(
+    dataFiles: Seq[DataFileMeta],
+    stat: RewriteFilesStat
+)
+
+/** Rewrite statistics (reference: core/src/compaction/mod.rs RewriteFilesStat,
+  * recorded into metrics at :296-324). */
+final case class RewriteFilesStat(
+    rewrittenFilesCount: Long = 0L,
+    addedFilesCount: Long = 0L,
+    rewrittenBytes: Long = 0L,
+    failedDataFilesCount: Long = 0L
+)

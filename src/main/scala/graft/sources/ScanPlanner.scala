@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.core._
+import graft.operators.BinPack
+import graft.plans.MergeOnRead._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.File
+
+/** Scan planning: the Spark analog of the reference's S1-S5 layer.
+  *
+  *  - Manifest scan (S1, core/src/compaction/mod.rs:363-392): enumerate the
+  *    physical files of a table directory, classified by content. Without
+  *    an Iceberg runtime jar the "manifest" is the directory listing plus a
+  *    caller-provided content/sequence assignment — the engine core is
+  *    format-agnostic over [[FileScanTask]]s, exactly like the reference's
+  *    `RewriteFilesRequest` decoupling (core/src/executor/mod.rs:38-45).
+  *  - MoR scan planning (S2, core/src/compaction/mod.rs:394-444): split
+  *    tasks by content into [[InputFileScanTasks]].
+  *  - File-group scan + hidden columns (S3/S5,
+  *    iceberg_file_task_scan.rs:100-406): one `spark.read.parquet` over the
+  *    group's files — Spark's vectorized Parquet reader replaces the
+  *    hand-rolled Arrow reader; hidden columns come from Parquet metadata
+  *    columns (`_metadata.file_path`, `_metadata.row_index` — exact
+  *    per-physical-file ordinals, matching Iceberg pos-delete semantics)
+  *    and a literal file→sequence-number map (constant-folded, stays in
+  *    whole-stage codegen).
+  *
+  * Scale note: Spark plans one task per parquet row-group split
+  * (`spark.sql.files.maxPartitionBytes`), so a 100 TB scan parallelizes
+  * across executors without the explicit bin-packing the reference needs;
+  * [[BinPack.splitNGroups]] is still used on the WRITE side for
+  * deterministic output-file grouping.
+  */
+object ScanPlanner {
+
+  /** List parquet files under `dir` as data-file scan tasks. */
+  def planDataFiles(dir: String, sequenceNumber: Long = 0L): Seq[FileScanTask] = {
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files.toSeq.map { f =>
+      FileScanTask(f.getAbsolutePath, FileContent.Data, f.length(),
+        sequenceNumber = sequenceNumber)
+    }
+  }
+
+  /** Split planned tasks by content (reference S2). */
+  def toInputTasks(tasks: Seq[FileScanTask]): InputFileScanTasks =
+    InputFileScanTasks(
+      dataFiles = tasks.filter(_.content == FileContent.Data),
+      positionDeleteFiles = tasks.filter(_.content == FileContent.PositionDeletes),
+      equalityDeleteFiles = tasks.filter(_.content == FileContent.EqualityDeletes)
+    )
+
+  /** Read a set of data-file tasks as ONE DataFrame with hidden columns
+    * attached as needed (reference S3+S5).
+    *
+    * @param needSeqNum         attach `sys_hidden_seq_num` from each task's
+    *                           sequence number (constant per file)
+    * @param needFilePathAndPos attach `sys_hidden_file_path` and
+    *                           `sys_hidden_pos` from Parquet metadata
+    */
+  def readDataFiles(
+      spark: SparkSession,
+      tasks: Seq[FileScanTask],
+      needSeqNum: Boolean,
+      needFilePathAndPos: Boolean
+  ): DataFrame = {
+    require(tasks.nonEmpty, "no data files to read")
+    val paths = tasks.map(_.filePath)
+    var df = spark.read.parquet(paths: _*)
+    if (needFilePathAndPos) {
+      df = df
+        .withColumn(SysHiddenFilePath, col("_metadata.file_path"))
+        .withColumn(SysHiddenPos, col("_metadata.row_index"))
+    }
+    if (needSeqNum) {
+      // literal path->seq map; element_at on a literal map is
+      // constant-folded per row and codegen-friendly. File paths from
+      // _metadata are file: URIs — normalize both sides.
+      val seqByPath = tasks.map(t => normalizePath(t.filePath) -> t.sequenceNumber).toMap
+      val mapExpr = typedLit(seqByPath)
+      df = df.withColumn(
+        SysHiddenSeqNum,
+        element_at(mapExpr, regexp_replace(col("_metadata.file_path"), "^file:/*", "/")))
+    }
+    df
+  }
+
+  def normalizePath(p: String): String =
+    p.replaceFirst("^file:/*", "/") match {
+      case s if s.startsWith("/") => s
+      case s                      => "/" + s
+    }
+
+  /** Read position-delete parquet files: physical schema (file_path, pos)
+    * per the Iceberg spec, surfaced under the hidden names (reference
+    * datafusion_processor.rs:455-473). */
+  def readPositionDeletes(spark: SparkSession, tasks: Seq[FileScanTask]): Option[DataFrame] =
+    if (tasks.isEmpty) None
+    else Some(
+      spark.read.parquet(tasks.map(_.filePath): _*)
+        .toDF(SysHiddenFilePath, SysHiddenPos))
+
+  /** Read equality-delete files, grouped by CONSECUTIVE runs of identical
+    * `equalityIds` — the reference groups consecutive runs, not global
+    * distinct (datafusion_processor.rs:481-504), and the anti-join chain
+    * preserves file order; we replicate exactly. */
+  def readEqualityDeletes(
+      spark: SparkSession,
+      tasks: Seq[FileScanTask]
+  ): Seq[(DataFrame, Seq[String])] = {
+    val runs = consecutiveRuns(tasks)(_.equalityIds)
+    runs.map { run =>
+      val df = spark.read.parquet(run.map(_.filePath): _*)
+      (df, run.head.equalityIds)
+    }
+  }
+
+  /** Group consecutive elements sharing a key, preserving order. */
+  def consecutiveRuns[T, K](items: Seq[T])(key: T => K): Seq[Seq[T]] =
+    items.foldLeft(Vector.empty[Vector[T]]) { (acc, it) =>
+      acc.lastOption match {
+        case Some(run) if key(run.head) == key(it) => acc.init :+ (run :+ it)
+        case _                                     => acc :+ Vector(it)
+      }
+    }
+}
