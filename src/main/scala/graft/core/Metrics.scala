@@ -15,8 +15,12 @@ import scala.jdk.CollectionConverters._
   * but — matching the reference — all recording sites here are
   * orchestration-level (core/src/compaction/mod.rs:220-224,258-266,283-324).
   */
+final case class MetricLabels(catalogName: String, tableIdent: String)
+
 final class CompactionMetrics {
-  final case class Labels(catalogName: String, tableIdent: String)
+  type Labels = MetricLabels
+  def Labels(catalogName: String, tableIdent: String): MetricLabels =
+    MetricLabels(catalogName, tableIdent)
 
   private val counters =
     new ConcurrentHashMap[(String, Labels), LongAdder]()

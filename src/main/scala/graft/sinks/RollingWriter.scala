@@ -1,0 +1,70 @@
+package graft.sinks
+
+import graft.core._
+import org.apache.spark.sql.DataFrame
+
+import java.io.File
+
+/** Size-targeted parquet writing — the Spark analog of the reference's
+  * rolling data-file writer (S7/S9,
+  * core/src/executor/iceberg_writer/rolling_iceberg_writer.rs:26-132).
+  *
+  * The reference rolls files imperatively mid-stream; Spark's declarative
+  * writer exposes the same control as plan-level knobs, which is the
+  * scalable shape (one write task per partition, no driver involvement):
+  *
+  *  - `targetPartitions` parallel writer tasks (reference X2/X4);
+  *  - `maxRecordsPerFile` = targetFileSizeBytes / estimated bytes-per-row,
+  *    estimated from the INPUT files' size/row ratio (compaction knows
+  *    both) so output files land near the 1 GiB target regardless of row
+  *    width;
+  *  - snappy compression (reference S9 default).
+  *
+  * The exact reference rolling predicate is preserved as the pure
+  * [[graft.operators.RollingPolicy]] (tested against the ported truth
+  * table); at cluster scale the declarative form is strictly better — it
+  * needs no per-writer byte feedback loop and AQE balances the writer
+  * partitions.
+  */
+object RollingWriter {
+
+  /** Estimate bytes/row from input stats; conservative fallback 256 B. */
+  def estimateBytesPerRow(totalBytes: Long, totalRows: Long): Double =
+    if (totalRows > 0 && totalBytes > 0) totalBytes.toDouble / totalRows
+    else 256.0
+
+  def maxRecordsPerFile(targetFileSizeBytes: Long, bytesPerRow: Double): Long =
+    math.max(1L, (targetFileSizeBytes / math.max(1.0, bytesPerRow)).toLong)
+
+  /** Write `df` as size-targeted parquet data files under `outDir`,
+    * returning the written files' metadata (reference
+    * core/src/executor/datafusion/mod.rs:73-171 returns Vec<DataFile>). */
+  def write(
+      df: DataFrame,
+      request: RewriteFilesRequest,
+      sequenceNumber: Long
+  ): Seq[DataFileMeta] = {
+    val cfg = request.config
+    val inBytes = request.tasks.dataFiles.map(_.lengthBytes).sum
+    val inRows = request.tasks.dataFiles.map(_.recordCount).filter(_ >= 0).sum
+    val bpr = estimateBytesPerRow(inBytes, inRows)
+    val maxRecords = maxRecordsPerFile(cfg.targetFileSizeBytes, bpr)
+
+    df.repartition(cfg.targetPartitions)
+      .write
+      .mode("overwrite")
+      .option("compression", cfg.parquetCompression)
+      .option("maxRecordsPerFile", maxRecords)
+      .parquet(request.outputDir)
+
+    listDataFiles(request.outputDir, sequenceNumber)
+  }
+
+  def listDataFiles(dir: String, sequenceNumber: Long): Seq[DataFileMeta] = {
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files.toSeq.map(f =>
+      DataFileMeta(f.getAbsolutePath, f.length(), -1L, sequenceNumber))
+  }
+}

@@ -71,20 +71,20 @@ object ScanPlanner {
     require(tasks.nonEmpty, "no data files to read")
     val paths = tasks.map(_.filePath)
     var df = spark.read.parquet(paths: _*)
+    // _metadata.file_path is a file: URI; normalize to a plain absolute
+    // path so it compares equal to task paths and position-delete entries.
+    val normPath = regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
     if (needFilePathAndPos) {
       df = df
-        .withColumn(SysHiddenFilePath, col("_metadata.file_path"))
+        .withColumn(SysHiddenFilePath, normPath)
         .withColumn(SysHiddenPos, col("_metadata.row_index"))
     }
     if (needSeqNum) {
       // literal path->seq map; element_at on a literal map is
-      // constant-folded per row and codegen-friendly. File paths from
-      // _metadata are file: URIs — normalize both sides.
+      // constant-folded per row and codegen-friendly
       val seqByPath = tasks.map(t => normalizePath(t.filePath) -> t.sequenceNumber).toMap
       val mapExpr = typedLit(seqByPath)
-      df = df.withColumn(
-        SysHiddenSeqNum,
-        element_at(mapExpr, regexp_replace(col("_metadata.file_path"), "^file:/*", "/")))
+      df = df.withColumn(SysHiddenSeqNum, element_at(mapExpr, normPath))
     }
     df
   }

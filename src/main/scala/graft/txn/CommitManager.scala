@@ -1,0 +1,114 @@
+package graft.txn
+
+import graft.core._
+
+import java.io.File
+
+/** Atomic rewrite-files commit with retry — reference T1/T2
+  * (`RewriteDataFilesCommitManager`, core/src/compaction/mod.rs:446-614).
+  *
+  * Semantics preserved from the reference:
+  *  - per-attempt table RELOAD, then schema-drift guard: abort (not retry)
+  *    if the schema id changed since planning (mod.rs:530-541);
+  *  - `useStartingSequenceNumber`: new data files keep the STARTING
+  *    snapshot's sequence number rather than a fresh one, so equality
+  *    deletes committed concurrently (with higher seq) still apply to the
+  *    rewritten rows (mod.rs:268-281,546-566);
+  *  - retry only retryable kinds (commit conflicts / transient), with
+  *    exponential backoff (default 3 retries, 1s -> 10s, mod.rs:454-462).
+  */
+final class CommitManager(
+    tableDir: String,
+    retry: RetryConfig = RetryConfig(),
+    metrics: CompactionMetrics = CompactionMetrics.global,
+    labels: MetricLabels = null,
+    sleeper: Long => Unit = Thread.sleep
+) {
+
+  /** Commit: remove `removedPaths`, add `addedFiles`, against the schema
+    * observed at plan time. Returns the committed snapshot. */
+  def rewriteFiles(
+      addedFiles: Seq[DataFileMeta],
+      removedPaths: Set[String],
+      expectedSchemaId: Long,
+      startingSequenceNumber: Long,
+      useStartingSequenceNumber: Boolean = true
+  ): TableSnapshot = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= retry.maxRetries) {
+      val t0 = System.nanoTime()
+      try {
+        // reload current state each attempt (reference reloads the table)
+        val cur = TableMetadata.loadOrThrow(tableDir)
+        if (cur.schemaId != expectedSchemaId)
+          throw CompactionError.SchemaDrift(
+            s"schema id changed ${expectedSchemaId} -> ${cur.schemaId} between plan and commit")
+
+        val newSeq =
+          if (useStartingSequenceNumber) startingSequenceNumber
+          else cur.lastSequenceNumber + 1
+        val kept = cur.files.filterNot(f => removedPaths.contains(f.path))
+        val added = addedFiles.map(f => FileEntry(
+          path = f.filePath, content = "data", sizeBytes = f.fileSizeBytes,
+          recordCount = f.recordCount, sequenceNumber = newSeq))
+        val next = TableSnapshot(
+          version = cur.version + 1,
+          schemaId = cur.schemaId,
+          lastSequenceNumber = math.max(cur.lastSequenceNumber, newSeq),
+          files = kept ++ added)
+        TableMetadata.commit(tableDir, next)
+        if (labels != null) {
+          metrics.incCommit(labels)
+          metrics.observeCommitDuration(labels, (System.nanoTime() - t0) / 1e9)
+        }
+        return next
+      } catch {
+        case e: CompactionError if e.retryable =>
+          lastErr = e
+          if (attempt < retry.maxRetries) {
+            val delay = math.min(retry.maxDelayMs, retry.minDelayMs << attempt)
+            sleeper(delay)
+            attempt += 1
+          } else {
+            if (labels != null) metrics.incCommitFailed(labels)
+            throw CompactionError.Unexpected(
+              s"commit failed after ${retry.maxRetries} retries", lastErr)
+          }
+        case e: Throwable =>
+          if (labels != null) metrics.incCommitFailed(labels)
+          throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Snapshot expiration — reference T3 (core/src/compaction/mod.rs:354-361):
+    * drop all snapshot versions older than the latest `keepLast`, and
+    * delete files no surviving snapshot references. */
+  def expireSnapshots(keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val all = TableMetadata.versions(tableDir)
+    val (expired, kept) = all.splitAt(math.max(0, all.size - keepLast))
+    if (expired.isEmpty) return Nil
+    val keptFiles: Set[String] = kept.flatMap(loadVersionFiles).toSet
+    val expiredFiles = expired.flatMap(loadVersionFiles).toSet
+    (expiredFiles -- keptFiles).foreach(p => new File(p).delete())
+    expired.foreach { v =>
+      new File(s"${TableMetadata.metadataDir(tableDir)}/v$v.json").delete()
+    }
+    expired
+  }
+
+  private def loadVersionFiles(v: Long): Seq[String] = {
+    val p = java.nio.file.Paths.get(TableMetadata.metadataDir(tableDir), s"v$v.json")
+    if (!java.nio.file.Files.exists(p)) Nil
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.registerModule(new com.fasterxml.jackson.module.scala.DefaultScalaModule)
+      mapper.configure(
+        com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+      mapper.readValue(java.nio.file.Files.readString(p), classOf[TableSnapshot]).files.map(_.path)
+    }
+  }
+}

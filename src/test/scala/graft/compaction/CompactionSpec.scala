@@ -1,0 +1,146 @@
+package graft.compaction
+
+import graft.SparkTestSession
+import graft.core._
+import graft.txn.{FileEntry, TableMetadata, TableSnapshot}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** End-to-end compaction round-trip, mirroring the reference e2e test
+  * (core/src/compaction/mod.rs:807-886): inserts + deletes -> compact with
+  * validation on -> assert rewritten file counts and surviving rows. */
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Write df as exactly one parquet file at `target`; returns (size, rows). */
+  private def writeFile(df: DataFrame, target: String): (Long, Long) = {
+    val tmp = Files.createTempDirectory("graft-wf").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.createDirectories(Paths.get(target).getParent)
+    Files.move(part.toPath, Paths.get(target), StandardCopyOption.REPLACE_EXISTING)
+    val rows = spark.read.parquet(target).count()
+    (new File(target).length(), rows)
+  }
+
+  private def mkTable(): String = {
+    val dir = Files.createTempDirectory("graft-table").toString
+
+    // data file 1 (seq 1): ids 1..5
+    val f1 = s"$dir/data/f1.parquet"
+    val (s1, r1) = writeFile(
+      Seq((1, "Alice"), (2, "Bob"), (3, "Charlie"), (4, "Dave"), (5, "Eve"))
+        .toDF("id", "name"), f1)
+
+    // data file 2 (seq 3): ids 6..8 plus a RE-INSERT of id 2 (newer than
+    // the eq-delete at seq 2, so it must survive)
+    val f2 = s"$dir/data/f2.parquet"
+    val (s2, r2) = writeFile(
+      Seq((6, "Frank"), (7, "Grace"), (8, "Heidi"), (2, "Bob2"))
+        .toDF("id", "name"), f2)
+
+    // position-delete file: row 0 of f1 (Alice)
+    val pd = s"$dir/data/pos-del.parquet"
+    val (s3, r3) = writeFile(
+      Seq((f1, 0L)).toDF("file_path", "pos"), pd)
+
+    // equality-delete file (seq 2) on id: deletes ids 2 and 5 from data
+    // with seq < 2 (only f1's copies)
+    val ed = s"$dir/data/eq-del.parquet"
+    val (s4, r4) = writeFile(Seq(Tuple1(2), Tuple1(5)).toDF("id"), ed)
+
+    TableMetadata.commit(dir, TableSnapshot(
+      version = 1, schemaId = 7, lastSequenceNumber = 3,
+      files = Seq(
+        FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
+        FileEntry(f2, "data", s2, r2, sequenceNumber = 3),
+        FileEntry(pd, "position-deletes", s3, r3, sequenceNumber = 3),
+        FileEntry(ed, "equality-deletes", s4, r4, sequenceNumber = 2,
+          equalityIds = Seq("id")))))
+    dir
+  }
+
+  test("full compaction round-trip: MoR, rewrite, commit, validate") {
+    val dir = mkTable()
+    val stat = Compaction.builder()
+      .withSpark(spark).withTableDir(dir)
+      .withConfig(CompactionConfig(
+        targetPartitions = 2, enableValidateCompaction = true))
+      .build()
+      .compact()
+
+    // all 4 input files rewritten
+    assert(stat.rewrittenFilesCount == 4)
+    assert(stat.addedFilesCount > 0)
+
+    val snap = TableMetadata.loadOrThrow(dir)
+    assert(snap.version == 2)
+    assert(snap.files.forall(_.content == "data"))
+    // starting sequence number preserved (max data seq = 3)
+    assert(snap.files.forall(_.sequenceNumber == 3))
+
+    val result = spark.read
+      .parquet(snap.files.map(_.path): _*)
+      .as[(Int, String)].collect().toSet
+    // survivors: f1 minus Alice (pos-del) minus 2/5 (eq-del, seq 1 < 2);
+    // all of f2 (seq 3 >= 2, eq-del does not apply)
+    assert(result == Set(
+      (3, "Charlie"), (4, "Dave"),
+      (6, "Frank"), (7, "Grace"), (8, "Heidi"), (2, "Bob2")))
+  }
+
+  test("empty table compacts to empty stats (reference early-exit)") {
+    val dir = Files.createTempDirectory("graft-empty").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 0, 0, Nil))
+    val stat = Compaction.builder().withSpark(spark).withTableDir(dir)
+      .build().compact()
+    assert(stat == RewriteFilesStat())
+  }
+
+  test("builder validates required fields") {
+    assertThrows[CompactionError.Config] {
+      Compaction.builder().withTableDir("/tmp").build()
+    }
+    assertThrows[CompactionError.Config] {
+      Compaction.builder().withSpark(spark).build()
+    }
+    assertThrows[CompactionError.Config] {
+      Compaction.builder().withSpark(spark)
+        .withTableDir("/no/such/dir").build()
+    }
+  }
+
+  test("second compaction is idempotent on row content") {
+    val dir = mkTable()
+    val c = Compaction.builder().withSpark(spark).withTableDir(dir).build()
+    c.compact()
+    val rows1 = spark.read
+      .parquet(TableMetadata.loadOrThrow(dir).files.map(_.path): _*)
+      .as[(Int, String)].collect().toSet
+    c.compact()
+    val snap = TableMetadata.loadOrThrow(dir)
+    assert(snap.version == 3)
+    val rows2 = spark.read.parquet(snap.files.map(_.path): _*)
+      .as[(Int, String)].collect().toSet
+    assert(rows1 == rows2)
+  }
+
+  test("expire snapshots removes old versions and unreferenced files") {
+    val dir = mkTable()
+    val c = Compaction.builder().withSpark(spark).withTableDir(dir).build()
+    c.compact() // v2
+    val oldDataFile = s"$dir/data/f1.parquet"
+    assert(new File(oldDataFile).exists()) // still on disk, unreferenced
+    val expired = c.expireSnapshots(keepLast = 1)
+    assert(expired == Seq(1L))
+    assert(!new File(oldDataFile).exists())
+    assert(TableMetadata.versions(dir) == Seq(2L))
+    // current snapshot's files untouched
+    val snap = TableMetadata.loadOrThrow(dir)
+    assert(snap.files.forall(f => new File(f.path).exists()))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.txn
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Commit semantics: CAS conflict retry, schema-drift abort, sequence
+  * pinning (reference T1/T2, core/src/compaction/mod.rs:446-614). */
+class CommitManagerSpec extends AnyFunSuite {
+
+  private def mkTable(schemaId: Long = 1): String = {
+    val dir = Files.createTempDirectory("graft-cm").toString
+    TableMetadata.commit(dir, TableSnapshot(
+      version = 1, schemaId = schemaId, lastSequenceNumber = 5,
+      files = Seq(FileEntry("/t/old.parquet", "data", 100, 10, 5))))
+    dir
+  }
+  private val added = Seq(DataFileMeta("/t/new.parquet", 90, 10, -1))
+
+  test("rewrite commits next version, removing old and adding new") {
+    val dir = mkTable()
+    val snap = new CommitManager(dir).rewriteFiles(
+      added, Set("/t/old.parquet"), expectedSchemaId = 1,
+      startingSequenceNumber = 5)
+    assert(snap.version == 2)
+    assert(snap.files.map(_.path) == Seq("/t/new.parquet"))
+    assert(snap.files.head.sequenceNumber == 5) // starting seq preserved
+  }
+
+  test("useStartingSequenceNumber=false assigns a fresh sequence") {
+    val dir = mkTable()
+    val snap = new CommitManager(dir).rewriteFiles(
+      added, Set("/t/old.parquet"), 1, startingSequenceNumber = 5,
+      useStartingSequenceNumber = false)
+    assert(snap.files.head.sequenceNumber == 6)
+    assert(snap.lastSequenceNumber == 6)
+  }
+
+  test("schema drift aborts without retry") {
+    val dir = mkTable(schemaId = 2)
+    var sleeps = 0
+    val cm = new CommitManager(dir, sleeper = _ => sleeps += 1)
+    assertThrows[CompactionError.SchemaDrift] {
+      cm.rewriteFiles(added, Set.empty, expectedSchemaId = 1,
+        startingSequenceNumber = 5)
+    }
+    assert(sleeps == 0)
+  }
+
+  /** Block CAS on version v by squatting a directory at its file name
+    * (metadata listing only counts regular files, so the squatter is
+    * invisible to reload but makes the atomic move fail — a deterministic
+    * stand-in for losing the race). */
+  private def blockVersion(dir: String, v: Long): java.io.File = {
+    val f = new java.io.File(s"${TableMetadata.metadataDir(dir)}/v$v.json")
+    Files.createDirectories(f.toPath)
+    f
+  }
+
+  test("CAS conflict retries with backoff then succeeds once unblocked") {
+    val dir = mkTable()
+    val block = blockVersion(dir, 2)
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cm = new CommitManager(dir, RetryConfig(maxRetries = 3, minDelayMs = 100),
+      sleeper = d => { delays += d; block.delete() })
+    val snap = cm.rewriteFiles(added, Set("/t/old.parquet"), 1, 5)
+    assert(snap.version == 2)
+    assert(snap.files.map(_.path) == Seq("/t/new.parquet"))
+    assert(delays.toSeq == Seq(100L)) // one conflict, one backoff
+  }
+
+  test("exhausted retries surface as Unexpected") {
+    val dir = mkTable()
+    blockVersion(dir, 2) // never unblocked: every attempt loses the CAS
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cm = new CommitManager(dir, RetryConfig(maxRetries = 2, minDelayMs = 1),
+      sleeper = delays += _)
+    assertThrows[CompactionError.Unexpected] {
+      cm.rewriteFiles(added, Set.empty, 1, 5)
+    }
+    assert(delays.size == 2)
+  }
+
+  test("backoff delays are exponential and capped") {
+    val dir = mkTable()
+    blockVersion(dir, 2)
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cm = new CommitManager(dir,
+      RetryConfig(maxRetries = 3, minDelayMs = 1000, maxDelayMs = 3000),
+      sleeper = delays += _)
+    intercept[CompactionError.Unexpected] {
+      cm.rewriteFiles(added, Set.empty, 1, 5)
+    }
+    assert(delays.toSeq == Seq(1000L, 2000L, 3000L)) // 1s, 2s, capped at 3s
+  }
+}
