@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.MorQueries
+import graft.queries.{MorQueries, PipelineQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -11,12 +11,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     MorQueries.morFull(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * LLM-data-pipeline operators (dedup, similarity, text analysis,
+    * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MorQueries.queries
+    MorQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    MorQueries.oracles
+    MorQueries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Each operator is a declarative DataFrame transform designed for the
+  * 100 TB shape first, with the small-scale oracle-checked query derived
+  * from the same code path:
+  *
+  *  - exact: hash-groupBy on content — one shuffle on the dedup key.
+  *  - MinHash+LSH: per-row signature (narrow), explode to bands (xN),
+  *    shuffle on band key, verify candidates — the classic
+  *    shingle->minhash->band->bucket-join pipeline; cost scales with
+  *    candidate count, not n^2.
+  *  - SimHash: per-row 32-bit sketch (narrow), then block-local pairing.
+  *  - n-gram Jaccard: blocked pairwise — the exact (quadratic-per-block)
+  *    baseline the sketch methods approximate.
+  *  - embedding cosine: blocked pairwise over vectors.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per identical value of `key`.
+    * Scale: single shuffle on key; map-side partial aggregation. */
+  def exact(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(id).as("survivor_id"), count(lit(1)).as("copies"))
+
+  /** Skew-proof blocked self-join: all unordered pairs (a, b) with
+    * `a.blk == b.blk` and `a.doc_id < b.doc_id`, each pair exactly once.
+    *
+    * A plain self-join on the block key puts every pair of a block in ONE
+    * task (a language block at 100 TB is millions of docs — quadratic on
+    * a single core). Instead each row gets a salt bucket
+    * `bu = doc_id % buckets` and is replicated to the `buckets`
+    * bucket-PAIR keys it participates in; the join key becomes
+    * (blk, lo, hi), giving blocks x buckets(buckets+1)/2 parallel tasks.
+    * The filter `least/greatest(bu) == (lo, hi)` keeps each pair exactly
+    * once (same-bucket pairs only in (u,u); cross-bucket pairs only in
+    * (min,max)).
+    *
+    * Input must have columns `doc_id` and `blk`; payload columns are
+    * carried through with `a_`/`b_` prefixes.
+    */
+  def blockedPairs(t: DataFrame, buckets: Int): DataFrame = {
+    val payload = t.columns.filterNot(Set("doc_id", "blk"))
+    val bu = pmod(col("doc_id"), lit(buckets)).cast("int")
+    // Role assignment by salt bucket: the A side serves the LOW bucket of
+    // each bucket-pair key, the B side the HIGH bucket, so a cross-bucket
+    // pair meets in EXACTLY one key with no probe amplification; the
+    // same-bucket key (u,u) uses id order. Pair ids are emitted as
+    // (least, greatest) — payload a_/b_ roles are bucket-determined, so
+    // downstream measures must be symmetric.
+    val a = t
+      .withColumn("bu", bu)
+      .withColumn("pk", explode(transform(
+        sequence(col("bu"), lit(buckets - 1)),
+        v => struct(col("bu").as("lo"), v.as("hi")))))
+    val b = t
+      .withColumn("bu", bu)
+      .withColumn("pk", explode(transform(
+        sequence(lit(0), col("bu")),
+        v => struct(v.as("lo"), col("bu").as("hi")))))
+    val aSel = a.select(
+      (Seq(col("doc_id").as("a_raw_id"), col("blk"), col("pk")) ++
+        payload.map(c => col(c).as(s"a_$c"))): _*)
+    val bSel = b.select(
+      (Seq(col("doc_id").as("b_raw_id"), col("blk").as("b_blk"),
+        col("pk").as("b_pk")) ++
+        payload.map(c => col(c).as(s"b_$c"))): _*)
+    aSel.join(bSel,
+        col("blk") === col("b_blk") && col("pk") === col("b_pk") &&
+          (col("pk.lo") =!= col("pk.hi") || col("a_raw_id") < col("b_raw_id")) &&
+          col("a_raw_id") =!= col("b_raw_id"))
+      .withColumn("a_id", least(col("a_raw_id"), col("b_raw_id")))
+      .withColumn("b_id", greatest(col("a_raw_id"), col("b_raw_id")))
+      .drop("b_blk", "b_pk", "pk", "a_raw_id", "b_raw_id")
+  }
+
+  /** MinHash-LSH near-dup pairs over a text column.
+    *
+    * @return (a_id, b_id, jac_x1000) for candidate pairs whose TRUE
+    *         shingle-set jaccard >= threshold, a_id < b_id.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bandSize: Int = 4,
+      thresholdX1000: Int = 500
+  ): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val numBands = numHashes / bandSize
+    val withSig = docs
+      .select(col(idCol).as("doc_id"), shingles3(col(textCol)).as("sh"))
+      .withColumn("mh", minhashSignature(col("sh"), numHashes))
+      .withColumn("shh", graft.functions.HashColumns.hashedSet(col("sh"), "j"))
+
+    // explode to (band, band_key): band key joins equal iff all rows in the
+    // band match — the LSH bucket
+    val bands = withSig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => concat_ws(",", slice(col("mh"), b * bandSize + 1, lit(bandSize)))))
+        .as(Seq("band", "band_key")))
+
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+
+    val sigs = withSig.select(col("doc_id"), col("shh"))
+    cand
+      .join(sigs.as("x"), col("a_id") === col("x.doc_id"))
+      .join(sigs.as("y"), col("b_id") === col("y.doc_id"))
+      .withColumn("jac_x1000", jaccardX1000Sorted(col("x.shh"), col("y.shh")))
+      .filter(col("jac_x1000") >= thresholdX1000)
+      .select("a_id", "b_id", "jac_x1000")
+  }
+
+  /** SimHash near-dup pairs: 32-bit sketch over distinct 3-shingles,
+    * pairs within a blocking key at hamming distance <= maxDistance. */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      maxDistance: Int = 6
+  ): DataFrame = {
+    val sk = docs
+      .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        shingles3(col(textCol)).as("sh"))
+      .withColumn("simhash", TextFunctions.simhash32(col("sh")))
+      .select("doc_id", "blk", "simhash")
+    blockedPairs(sk, buckets = 8)
+      .withColumn("dist",
+        bit_count(col("a_simhash").bitwiseXOR(col("b_simhash"))).cast("long"))
+      .filter(col("dist") <= maxDistance)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard pairs within a blocking key — the
+    * quadratic-per-block exact baseline. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      thresholdX1000: Int = 500
+  ): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      graft.functions.HashColumns.hashedSet(shingles3(col(textCol)), "j").as("sh"))
+    blockedPairs(t, buckets = 8)
+      .withColumn("jac_x1000", jaccardX1000Sorted(col("a_sh"), col("b_sh")))
+      .filter(col("jac_x1000") >= thresholdX1000)
+      .select(col("a_id"), col("b_id"), col("jac_x1000"))
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold within a block. */
+  def embeddingPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      minCosine: Double
+  ): DataFrame = {
+    val t = vectors.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      col(vecCol).as("v"))
+    blockedPairs(t, buckets = 8)
+      .withColumn("cos", round(cosine(col("a_v"), col("b_v")), 6))
+      .filter(col("cos") >= minCosine)
+      .select(col("a_id"), col("b_id"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed batch-wise per partition.
+  *
+  * The Spark-side shape is real and tested — schema, partitioning, batch
+  * iteration via `mapPartitions` over a typed Dataset (the Scala analog of
+  * `mapInPandas` batch processing) — while the actual media decode is a
+  * clearly-marked deterministic STUB ([[stubDecode]]): the container has
+  * no image/audio codecs. Swapping in a real decoder changes ONE function,
+  * not the pipeline.
+  *
+  * Scale design: payloads stay columnar parquet binary; decode is a
+  * narrow per-partition pass (no shuffle); `spark.sql.files.
+  * maxPartitionBytes` bounds executor memory per batch; feature outputs
+  * are small fixed-width columns so downstream shuffles never carry the
+  * raw bytes.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      source: String)
+
+  /** Extracted features (decode output). */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      byte_len: Long,
+      digest: String,
+      /** stub "decoded" feature vector — deterministic from the payload */
+      feature: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("source", StringType, nullable = true)))
+
+  /** STUB decoder — deterministic fake standing in for a codec call
+    * (??? in a real deployment: e.g. JPEG decode + resize + embed).
+    * Derives an 8-dim feature from payload bytes so tests are exact. */
+  def stubDecode(payload: Array[Byte]): Array[Float] = {
+    if (payload == null || payload.isEmpty) return Array.fill(8)(0.0f)
+    val acc = new Array[Long](8)
+    var i = 0
+    while (i < payload.length) {
+      acc(i % 8) += (payload(i) & 0xff)
+      i += 1
+    }
+    acc.map(a => (a % 1000).toFloat / 1000.0f)
+  }
+
+  /** Batch feature extraction: one pass per partition, preserving Spark's
+    * batch shape (iterator-in, iterator-out — no per-row task overhead). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        md.reset()
+        val digest = if (r.payload == null) ""
+          else md.digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(
+          media_id = r.media_id,
+          kind = r.kind,
+          byte_len = if (r.payload == null) 0L else r.payload.length.toLong,
+          digest = digest,
+          feature = stubDecode(r.payload))
+      }
+    }
+  }
+
+  /** Treat documents' text as a binary payload column — the SQL-visible
+    * slice of the multimodal path (byte length + md5 digest computed on
+    * the BINARY payload; equals md5 of the utf8 string cross-engine). */
+  def payloadMeta(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        md5(col("payload")).as("digest"))
+}

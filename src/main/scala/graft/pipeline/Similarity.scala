@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k per query — the correctness
+  *    baseline. Cost O(|Q| * |corpus|); at scale, broadcast the (small)
+  *    query set so the corpus is scanned once with no shuffle, and top-k
+  *    is a per-partition window (rank <= k prunes before the final sort).
+  *  - [[lshTopK]]: random-hyperplane LSH — deterministic sign sketches
+  *    from [[TextFunctions.hash64]]; candidates = same bucket, then exact
+  *    re-rank within bucket. The 100 TB path: bucket join replaces the
+  *    full cross product.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine. Returns (query_id, rank, vec_id, cos_x1e6).
+    * Scores are emitted as rounded integers (x1e6) to keep oracle
+    * comparisons float-free; ranking ties break by vec_id. */
+  def bruteForceTopK(
+      queries: DataFrame, // (query_id, qv)
+      corpus: DataFrame,  // (vec_id, v)
+      k: Int
+  ): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_x1e6",
+        round(cosine(col("qv"), col("v")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos_x1e6")
+  }
+
+  /** Deterministic random-hyperplane bucket key for a vector column:
+    * `numBits` sign bits, hyperplane component (b, d) derived from
+    * hash64("hp", b*dims+d), centered to +-0.5. */
+  def hyperplaneBucket(vec: Column, dims: Int, numBits: Int): Column = {
+    // weight(b,d) in [-0.5, 0.5): (hash % 1000)/1000 - 0.5
+    def weight(b: Column, d: Column): Column =
+      (pmod(hash64(lit("hp"), concat(b, lit(","), d)), lit(1000L))
+        .cast("double") / 1000.0) - 0.5
+    aggregate(
+      transform(sequence(lit(0), lit(numBits - 1)), b => {
+        val dotProd = aggregate(
+          transform(sequence(lit(0), lit(dims - 1)),
+            d => vec.getItem(d).cast("double") * weight(b, d)),
+          lit(0.0), (acc, v) => acc + v)
+        when(dotProd > 0, pow(lit(2.0), b).cast("long")).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** LSH ANN: same-bucket candidates re-ranked exactly. Recall < 1 by
+    * construction; deterministic. Returns (query_id, rank, vec_id,
+    * cos_x1e6) with rank over bucket candidates only. */
+  def lshTopK(
+      queries: DataFrame, // (query_id, qv)
+      corpus: DataFrame,  // (vec_id, v)
+      dims: Int,
+      k: Int,
+      numBits: Int = 8
+  ): DataFrame = {
+    val qb = queries.withColumn("bucket", hyperplaneBucket(col("qv"), dims, numBits))
+    val cb = corpus.withColumn("bucket", hyperplaneBucket(col("v"), dims, numBits))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_x1e6",
+        round(cosine(col("qv"), col("v")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos_x1e6")
+  }
+}

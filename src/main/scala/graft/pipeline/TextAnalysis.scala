@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+/** Text-analysis operators: token counting, quality scoring, language ID,
+  * document fingerprinting. All narrow (per-row) transforms — no shuffle,
+  * fully parallel at any scale; outputs are integers/strings/booleans so
+  * oracle hash-compares are float-free.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram/stopword-hit language
+    * heuristic. Tie-break = declaration order. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "les", "de", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5") // romanized markers
+  )
+
+  private def hitCount(w: Column, markers: Seq[String]): Column =
+    size(filter(w, x => x.isin(markers.map(lit(_)): _*))).cast("long")
+
+  /** Token counts: whitespace tokens, alphanumeric regex tokens, distinct
+    * tokens. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(w).cast("long").as("n_ws_tokens"),
+      size(expr(s"regexp_extract_all($textCol, '[a-z0-9]+', 0)")).cast("long")
+        .as("n_alpha_tokens"),
+      size(array_distinct(w)).cast("long").as("n_distinct_tokens"))
+  }
+
+  /** Quality metrics: actual char length, word count, distinct ratio
+    * (x1000), stopword hits, and a simple accept flag. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val nWords = size(w).cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    val stopHits = hitCount(w, langMarkers.flatMap(_._2))
+    val distinctRatio = floor(lit(1000.0) * nDistinct / nWords).cast("long")
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      nWords.as("n_words"),
+      nDistinct.as("n_distinct"),
+      distinctRatio.as("distinct_ratio_x1000"),
+      stopHits.as("stopword_hits"),
+      (length(col(textCol)) >= 100 && distinctRatio >= 300).as("quality_ok"))
+  }
+
+  /** Language ID by stopword scoring; deterministic tie-break by
+    * [[langMarkers]] order. */
+  def languageId(docs: DataFrame, idCol: String, textCol: String,
+      claimedCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val scores = langMarkers.map { case (l, ms) => l -> hitCount(w, ms) }
+    // argmax with declaration-order tie-break: first language whose score
+    // is >= all others wins
+    val pred = scores.foldLeft(Option.empty[Column]) {
+      case (acc, (l, s)) =>
+        val isMax = scores.map(_._2).map(o => s >= o).reduce(_ && _)
+        acc match {
+          case None    => Some(when(isMax, lit(l)))
+          case Some(c) => Some(c.when(isMax, lit(l)))
+        }
+    }.get.otherwise(lit("und"))
+    docs.select(
+      col(idCol).as("doc_id"),
+      col(claimedCol).as("claimed_lang"),
+      pred.as("predicted_lang"))
+      .withColumn("agree", col("claimed_lang") === col("predicted_lang"))
+  }
+
+  /** Document fingerprint: distinct 3-shingle count + min shingle hash
+    * (rolling-hash winnowing floor). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = shingles3(col(textCol))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(sh).cast("long").as("n_shingles"),
+      graft.functions.HashColumns.hashMin(sh, "fp").as("fp_min"))
+  }
+}

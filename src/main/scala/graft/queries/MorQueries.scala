@@ -191,7 +191,8 @@ object MorQueries {
     "manifest_scan" ->
       s"""WITH $baseCte
          |SELECT sys_hidden_file_path AS file_path, count(*) AS record_count,
-         |       max(sys_hidden_pos) AS max_pos, min(sys_hidden_seq_num) AS seq_num
+         |       max(sys_hidden_pos) AS max_pos,
+         |       CAST(min(sys_hidden_seq_num) AS BIGINT) AS seq_num
          |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
     "validator_counts" ->
       s"""WITH $baseCte, $posCte, $eq1Cte, $eq2Cte, $afterPos, ${afterEq1("after_pos")}, $afterEq2

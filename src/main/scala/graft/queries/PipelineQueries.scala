@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline queries over the driver testdata (documents +
+  * embeddings), each with a DuckDB-oracle SQL twin. All outputs are
+  * integer/string/boolean (float-hash-safe) and deterministically ordered.
+  */
+object PipelineQueries {
+
+  private def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---- text analysis ----
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(documents(spark, dir), "doc_id", "text", "lang")
+      .orderBy("doc_id")
+
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // ---- dedup ----
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(documents(spark, dir), col("text"), col("doc_id"))
+      .select(col("survivor_id"), col("copies"))
+      .orderBy("survivor_id")
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(documents(spark, dir), "doc_id", "text",
+        numHashes = 32, bandSize = 4, thresholdX1000 = 500)
+      .orderBy("a_id", "b_id")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(documents(spark, dir), "doc_id", "text", "lang",
+        maxDistance = 6)
+      .orderBy("a_id", "b_id")
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(spark, dir), "doc_id", "text", "lang",
+        thresholdX1000 = 500)
+      .orderBy("a_id", "b_id")
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(embeddings(spark, dir), "vec_id", "embedding",
+        "label", minCosine = 0.4)
+      .orderBy("a_id", "b_id")
+
+  // ---- similarity search ----
+
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = embeddings(spark, dir)
+    val q = t.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = t.select(col("vec_id"), col("embedding").as("v"))
+    Similarity.bruteForceTopK(q, c, k = 10)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  // ---- multimodal ----
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.payloadMeta(documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // ---- oracle SQL (DuckDB dialect, ANSI where possible) ----
+
+  private val shinglesCte =
+    """sh_t AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
+      |      i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+      |  FROM documents
+      |)""".stripMargin
+
+  private def h64(arg: String): String =
+    s"CAST(('0x' || substr(md5($arg), 1, 15)) AS BIGINT)"
+
+  private val stopList = TextAnalysis.langMarkers.flatMap(_._2)
+    .map(s => s"'$s'").mkString(", ")
+
+  private val langCase: String = {
+    val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
+      l -> s"len(list_filter(w, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+    }
+    val whens = scores.map { case (l, s) =>
+      val isMax = scores.map(_._2).map(o => s"$s >= $o").mkString(" AND ")
+      s"WHEN $isMax THEN '$l'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_alpha_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         |  CAST(floor(1000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS distinct_ratio_x1000,
+         |  CAST(len(list_filter(w, x -> x IN ($stopList))) AS BIGINT) AS stopword_hits,
+         |  (length(text) >= 100 AND floor(1000.0 * len(list_distinct(w)) / len(w)) >= 300) AS quality_ok
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents)
+         |SELECT doc_id, lang AS claimed_lang, $langCase AS predicted_lang,
+         |  (lang = $langCase) AS agree
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""WITH $shinglesCte
+         |SELECT doc_id,
+         |  CAST(len(sh) AS BIGINT) AS n_shingles,
+         |  list_min(list_transform(sh, s -> ${h64("'fp:' || s")})) AS fp_min
+         |FROM sh_t ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS survivor_id, CAST(count(*) AS BIGINT) AS copies
+        |FROM documents GROUP BY text ORDER BY survivor_id""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $shinglesCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, 31),
+         |      s -> list_min(list_transform(sh, x -> ${h64("s::VARCHAR || ':' || x")}))) AS mh,
+         |    list_distinct(list_transform(sh, x -> ${h64("'j:' || x")})) AS shh
+         |  FROM sh_t),
+         |bands AS (
+         |  SELECT doc_id, b, array_to_string(mh[b*4+1:b*4+4], ',') AS band_key
+         |  FROM sig, generate_series(0, 7) g(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |  CAST(floor(1000.0 * len(list_intersect(x.shh, y.shh)) / len(list_distinct(x.shh || y.shh))) AS BIGINT) AS jac_x1000
+         |FROM cand JOIN sig x ON cand.a_id = x.doc_id JOIN sig y ON cand.b_id = y.doc_id
+         |WHERE floor(1000.0 * len(list_intersect(x.shh, y.shh)) / len(list_distinct(x.shh || y.shh))) >= 500
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $shinglesCte,
+         |sk AS (
+         |  SELECT doc_id, lang,
+         |    list_sum(list_transform(generate_series(0, 31), j ->
+         |      CASE WHEN list_sum(list_transform(sh, x ->
+         |        ((${h64("'s:' || x")} >> j) & 1) * 2 - 1)) > 0
+         |      THEN 1 << j ELSE 0 END)) AS simhash
+         |  FROM sh_t)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+         |FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH $shinglesCte,
+         |hs AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(list_transform(sh, x -> ${h64("'j:' || x")})) AS shh
+         |  FROM sh_t)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(floor(1000.0 * len(list_intersect(a.shh, b.shh)) / len(list_distinct(a.shh || b.shh))) AS BIGINT) AS jac_x1000
+         |FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE floor(1000.0 * len(list_intersect(a.shh, b.shh)) / len(list_distinct(a.shh || b.shh))) >= 500
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+    "ann_topk" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    CAST(round(1e6 * list_dot_product(qv, v) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))) AS BIGINT) AS cos_x1e6
+        |  FROM t CROSS JOIN q WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_x1e6 DESC, vec_id) AS BIGINT) AS rnk,
+        |    vec_id, cos_x1e6
+        |  FROM scored)
+        |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_count" -> (tokenCount _),
+    "text_quality" -> (textQuality _),
+    "lang_id" -> (langId _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_topk" -> (annTopK _),
+    "multimodal_meta" -> (multimodalMeta _)
+  )
+}

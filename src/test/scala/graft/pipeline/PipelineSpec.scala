@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en"), // near-dup of 1
+    (3L, "completely different words appear here today friends", "en"),
+    (4L, "the quick brown fox jumps over the lazy dog", "en")  // exact dup of 1
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps min id and counts copies") {
+    val r = Dedup.exact(docs, col("text"), col("doc_id"))
+      .orderBy("survivor_id")
+      .select("survivor_id", "copies").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds near and exact dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 32, 4, 500)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always survives
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: exact dup = 1000, near-dup above 500") {
+    val all = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(all((1L, 4L)) == 1000L)
+    assert(all((1L, 2L)) >= 500L && all((1L, 2L)) < 1000L)
+  }
+
+  test("simhash distance: exact dup -> 0") {
+    val r = Dedup.simhashPairs(docs, "doc_id", "text", "lang", 32)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(r((1L, 4L)) == 0L)
+    assert(r((1L, 2L)) < r((1L, 3L))) // near-dup closer than unrelated
+  }
+
+  test("language id: stopword scoring with deterministic tie-break") {
+    val d = Seq(
+      (1L, "the cat and the dog", "en"),
+      (2L, "der hund und die katze ist da", "de"),
+      (3L, "xyz qrs tuv", "zz")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.languageId(d, "doc_id", "text", "lang")
+      .select("doc_id", "predicted_lang", "agree")
+      .as[(Long, String, Boolean)].collect()
+      .map { case (id, p, a) => id -> ((p, a)) }.toMap
+    assert(r(1L) == (("en", true)))
+    assert(r(2L) == (("de", true)))
+    assert(r(3L)._1 == "en") // zero scores everywhere -> first lang wins
+  }
+
+  test("brute-force topk ranks by cosine with id tie-break") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),   // identical to query
+      (2L, Array(0.0f, 1.0f)),   // orthogonal
+      (3L, Array(0.7f, 0.7f))    // diagonal
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = vecs.select($"vec_id", $"embedding".as("v"))
+    val r = Similarity.bruteForceTopK(q, c, 3)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(r == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("lsh topk candidates are a subset of brute-force ranking") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 13.7 + d * 2.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = vecs.select($"vec_id", $"embedding".as("v"))
+    val lsh = Similarity.lshTopK(q, c, dims = 8, k = 5, numBits = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(q, c, 50)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(bf))
+  }
+
+  test("multimodal feature extraction: deterministic stub decode over binary") {
+    import Multimodal._
+    val media = Seq(
+      MediaRow(1L, "image", "fake-jpeg-bytes".getBytes("UTF-8"), "s1"),
+      MediaRow(2L, "audio", Array.emptyByteArray, "s2"),
+      MediaRow(3L, "video", null, "s3")
+    ).toDS()
+    val feats = extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.length == 3)
+    assert(feats(0).byte_len == 15L)
+    assert(feats(0).digest.length == 32)
+    assert(feats(0).feature.length == 8)
+    assert(feats(1).feature.toSeq == Seq.fill(8)(0.0f))
+    assert(feats(2).byte_len == 0L && feats(2).digest == "")
+    // determinism
+    val again = extractFeatures(media).collect().sortBy(_.media_id)
+    assert(again.map(_.feature.toSeq).toSeq == feats.map(_.feature.toSeq).toSeq)
+  }
+
+  test("payload meta equals md5 of utf8 text") {
+    val d = Seq((1L, "hello")).toDF("doc_id", "text")
+    val r = Multimodal.payloadMeta(d, "doc_id", "text")
+      .as[(Long, Long, String)].collect().head
+    assert(r == ((1L, 5L, "5d41402abc4b2a76b9719d911017c592")))
+  }
+}
