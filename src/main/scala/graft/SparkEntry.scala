@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{MorQueries, PipelineQueries}
+import graft.queries.{AnalyticsQueries, CompactionE2EQuery, MorQueries, PipelineQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,10 +15,14 @@ object SparkEntry {
     * LLM-data-pipeline operators (dedup, similarity, text analysis,
     * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MorQueries.queries ++ PipelineQueries.queries
+    MorQueries.queries ++ PipelineQueries.queries ++
+      AnalyticsQueries.queries +
+      ("compaction_e2e" -> (CompactionE2EQuery.run _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    MorQueries.oracles ++ PipelineQueries.oracles
+    MorQueries.oracles ++ PipelineQueries.oracles ++
+      AnalyticsQueries.oracles +
+      ("compaction_e2e" -> CompactionE2EQuery.oracle)
 }

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classic analytics over the testdata — aggregation, broadcast-join
+  * rollup, windowed top-k, event-time bucketing. The reference itself
+  * exposes no SQL surface (SURVEY §2.4); these exercise the Spark surface
+  * a user of the engine gets for free and anchor the bench on shapes whose
+  * 100 TB plans matter (partial aggregation, broadcast vs shuffle join,
+  * per-group top-k without a global sort).
+  *
+  * All money/quantity outputs are integer cents (per-ROW rounding then
+  * integer sums) — float-summation order can differ across engines, so
+  * only integer math crosses the oracle boundary.
+  */
+object AnalyticsQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** TPC-H Q1-shaped pricing summary. Map-side partial agg, one shuffle
+    * on the 6-value group key. */
+  def aggPricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price_cents"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue by market segment: lineitem |><| orders (shuffle on the fact
+    * key) |><| customer (broadcast — dim fits in memory at any SF where
+    * customers ~ SF * 150k; at 100 TB switch to shuffle via AQE's
+    * size-based demotion, which the explicit hint still allows). */
+  def joinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Top-3 orders by value per priority: per-group top-k via window
+    * rank — shuffles once on the partition key; no global sort. */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .withColumn("price_cents", cents(col("o_totalprice")))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+    o.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("o_orderpriority", "rnk", "o_orderkey", "price_cents")
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  /** Event-time hourly rollup — the batch twin of the streaming windowed
+    * aggregation (graft.streaming.EventStream.windowedStats). The events
+    * parquet stores TIMESTAMP(NANOS), which Spark only reads as a long
+    * (`nanosAsLong`); the hour bucket is integer arithmetic on nanos. */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .groupBy(
+        expr("((ts div 1000000000) div 3600) * 3600").cast("long")
+          .as("hour_epoch"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(cents(col("value"))).as("sum_value_cents"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "join_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "window_topk" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY price_cents DESC, o_orderkey) AS BIGINT) AS rnk,
+        |    o_orderkey, price_cents
+        |  FROM o)
+        |SELECT o_orderpriority, rnk, o_orderkey, price_cents FROM r
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+    "events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pricing" -> (aggPricing _),
+    "join_revenue" -> (joinRevenue _),
+    "window_topk" -> (windowTopK _),
+    "events_window" -> (eventsWindow _)
+  )
+}

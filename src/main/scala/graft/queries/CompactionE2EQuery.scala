@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.compaction.Compaction
+import graft.core.CompactionConfig
+import graft.txn.{FileEntry, TableMetadata, TableSnapshot}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** End-to-end compaction as an oracle-checked query: build a real table
+  * (2 data files + position-delete file + equality-delete file) from
+  * lineitem, run the FULL engine — scan with `_metadata` hidden columns,
+  * anti-join chain, rolling write, CAS commit, validation — and return
+  * the committed table's rows. The DuckDB oracle recomputes the expected
+  * survivors from lineitem alone, so a hash-match certifies the whole
+  * pipeline, not just the join algebra.
+  *
+  * Layout written (deterministic):
+  *  - f1.parquet: even l_orderkey rows, sorted by the unique 6-column row
+  *    key, sequence number 1 — physical row i == row_number()-1 of the
+  *    sorted even rows;
+  *  - f2.parquet: odd rows, same sort, sequence number 3;
+  *  - pos-delete: (f1, pos) for pos < 100;
+  *  - eq-delete on l_orderkey % 13 == 0 at sequence 2 (hits only f1,
+  *    strict seq rule).
+  */
+object CompactionE2EQuery {
+
+  private val rowKey = Seq("l_orderkey", "l_linenumber", "l_partkey",
+    "l_suppkey", "l_quantity", "l_extendedprice")
+  private val outCols = Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag")
+
+  private def writeOne(df: DataFrame, target: String): (Long, Long) = {
+    val spark = df.sparkSession
+    val tmp = Files.createTempDirectory("graft-e2e-w").toString
+    df.write.mode("overwrite").parquet(tmp)
+    val parts = new File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+    require(parts.length == 1,
+      s"writeOne expects a single-partition df, got ${parts.length} part files")
+    Files.createDirectories(Paths.get(target).getParent)
+    Files.move(parts.head.toPath, Paths.get(target), StandardCopyOption.REPLACE_EXISTING)
+    (new File(target).length(), spark.read.parquet(target).count())
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = Files.createTempDirectory("graft-e2e-table").toString
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // single sorted partition => physical row order == sort order
+    def sorted(df: DataFrame) =
+      df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
+
+    val f1 = s"$tableDir/data/f1.parquet"
+    val f2 = s"$tableDir/data/f2.parquet"
+    val (s1, r1) = writeOne(sorted(li.filter(col("l_orderkey") % 2 === 0)), f1)
+    val (s2, r2) = writeOne(sorted(li.filter(col("l_orderkey") % 2 === 1)), f2)
+
+    val pd = s"$tableDir/data/pos-del.parquet"
+    val (s3, r3) = writeOne(
+      spark.range(100).coalesce(1)
+        .select(lit(f1).as("file_path"), col("id").as("pos")), pd)
+
+    val ed = s"$tableDir/data/eq-del.parquet"
+    val (s4, r4) = writeOne(
+      li.filter(col("l_orderkey") % 13 === 0)
+        .select("l_orderkey").distinct().repartition(1), ed)
+
+    TableMetadata.commit(tableDir, TableSnapshot(
+      version = 1, schemaId = 1, lastSequenceNumber = 3,
+      files = Seq(
+        FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
+        FileEntry(f2, "data", s2, r2, sequenceNumber = 3),
+        FileEntry(pd, "position-deletes", s3, r3, sequenceNumber = 3),
+        FileEntry(ed, "equality-deletes", s4, r4, sequenceNumber = 2,
+          equalityIds = Seq("l_orderkey")))))
+
+    Compaction.builder()
+      .withSpark(spark).withTableDir(tableDir)
+      .withConfig(CompactionConfig(enableValidateCompaction = true))
+      .build()
+      .compact()
+
+    val snap = TableMetadata.loadOrThrow(tableDir)
+    spark.read.parquet(snap.files.map(_.path): _*)
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+  }
+
+  val oracle: String = {
+    val key6 = rowKey.mkString(", ")
+    s"""WITH f1 AS (
+       |  SELECT *, row_number() OVER (ORDER BY $key6) - 1 AS pos
+       |  FROM lineitem WHERE l_orderkey % 2 = 0),
+       |f2 AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1),
+       |f1_live AS (
+       |  SELECT * FROM f1 WHERE pos >= 100 AND l_orderkey % 13 <> 0),
+       |unioned AS (
+       |  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag FROM f1_live
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag FROM f2)
+       |SELECT * FROM unioned
+       |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
+  }
+}

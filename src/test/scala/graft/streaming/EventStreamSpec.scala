@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import EventStream._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("windowed stats over a memory stream finalize per hour window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = windowedStats(input.toDF(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(10), 100, "click", 1.0),
+        Event(2, ts(20), 101, "click", 2.0),
+        Event(3, ts(70), 100, "view", 3.0)) // hour 1 -> advances watermark
+      q.processAllAvailable()
+      input.addData(Event(4, ts(130), 102, "click", 4.0)) // hour 2
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("hour_epoch", "event_type", "n_events", "sum_value_cents")
+        .as[(Long, String, Long, Long)].collect().toSet
+      // hour-0 window finalized by the watermark reaching minute 70
+      assert(rows.contains((Timestamp.valueOf("2026-01-01 00:00:00").getTime / 1000,
+        "click", 2L, 300L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: 30-minute gap splits sessions, state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS()).writeStream.format("memory")
+      .queryName("sess_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 0), Event(2, ts(10), 7, "click", 0))
+      q.processAllAvailable()
+      // 50 min later -> previous session closes on next event
+      input.addData(Event(3, ts(60), 7, "click", 0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").as[Session].collect().toSeq
+      assert(sessions.exists(s =>
+        s.user_id == 7 && s.n_events == 2 && s.closed &&
+          s.start_epoch == ts(0).getTime / 1000 &&
+          s.end_epoch == ts(10).getTime / 1000))
+    } finally q.stop()
+  }
+}
