@@ -262,6 +262,52 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Distinct word n-gram shingles of a text column: split on single
+  * spaces (same token semantics as `split(text, " ")` / DuckDB
+  * `string_split(text, ' ')`, including empty tokens between consecutive
+  * spaces), join each n-run with a single space, keep first-occurrence
+  * distinct order. One compiled pass; the HOF twin
+  * (TextFunctions.shingles3) builds the same set via
+  * transform/slice/concat_ws. */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    // split on single space, preserving empty tokens (split-regex parity)
+    val words = text.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val last = words.length - n
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= last) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashColumns {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -277,4 +323,6 @@ object HashColumns {
     column(CosineSimExpr(expression(a), expression(b)))
   def hashedSet(features: Column, seed: String): Column =
     column(HashedSetExpr(expression(features), seed))
+  def shingles(text: Column, n: Int): Column =
+    column(ShinglesExpr(expression(text), n))
 }

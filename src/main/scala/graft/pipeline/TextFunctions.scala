@@ -21,9 +21,14 @@ object TextFunctions {
   /** Whitespace tokens. */
   def words(text: Column): Column = split(text, " ")
 
-  /** Distinct 3-word shingles. Guarded for <3 words (empty result, the
+  /** Distinct 3-word shingles (native expression — one compiled pass;
+    * [[shingles3Hof]] is the HOF twin for cross-validation). */
+  def shingles3(text: Column): Column =
+    graft.functions.HashColumns.shingles(text, 3)
+
+  /** HOF form of [[shingles3]]. Guarded for <3 words (empty result, the
     * same as a generate_series-based SQL formulation). */
-  def shingles3(text: Column): Column = {
+  def shingles3Hof(text: Column): Column = {
     val w = words(text)
     when(size(w) >= 3,
       array_distinct(transform(sequence(lit(1), size(w) - 2),

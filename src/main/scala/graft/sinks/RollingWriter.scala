@@ -38,11 +38,19 @@ object RollingWriter {
 
   /** Write `df` as size-targeted parquet data files under `outDir`,
     * returning the written files' metadata (reference
-    * core/src/executor/datafusion/mod.rs:73-171 returns Vec<DataFile>). */
+    * core/src/executor/datafusion/mod.rs:73-171 returns Vec<DataFile>).
+    *
+    * @param partitionBy fanout partitioning columns (reference S8,
+    *        FanoutPartitionWriterBuilder, executor/datafusion/mod.rs:157-169):
+    *        rows are routed to per-partition-value directories; each
+    *        writer task fans out to the partitions it sees, so no extra
+    *        shuffle is imposed (Iceberg's `fanout.enabled` shape).
+    */
   def write(
       df: DataFrame,
       request: RewriteFilesRequest,
-      sequenceNumber: Long
+      sequenceNumber: Long,
+      partitionBy: Seq[String] = Nil
   ): Seq[DataFileMeta] = {
     val cfg = request.config
     val inBytes = request.tasks.dataFiles.map(_.lengthBytes).sum
@@ -50,21 +58,25 @@ object RollingWriter {
     val bpr = estimateBytesPerRow(inBytes, inRows)
     val maxRecords = maxRecordsPerFile(cfg.targetFileSizeBytes, bpr)
 
-    df.repartition(cfg.targetPartitions)
+    val writer = df.repartition(cfg.targetPartitions)
       .write
       .mode("overwrite")
       .option("compression", cfg.parquetCompression)
       .option("maxRecordsPerFile", maxRecords)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(request.outputDir)
 
     listDataFiles(request.outputDir, sequenceNumber)
   }
 
+  /** Recursively list written parquet files (fanout writes nest files
+    * under partition-value directories). */
   def listDataFiles(dir: String, sequenceNumber: Long): Seq[DataFileMeta] = {
-    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    files.toSeq.map(f =>
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    walk(new File(dir)).sortBy(_.getAbsolutePath).map(f =>
       DataFileMeta(f.getAbsolutePath, f.length(), -1L, sequenceNumber))
   }
 }

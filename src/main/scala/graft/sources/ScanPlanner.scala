@@ -127,4 +127,45 @@ object ScanPlanner {
         case _                                     => acc :+ Vector(it)
       }
     }
+
+  /** Register the scan-side tables as temp views under the reference's
+    * naming scheme (S4, file_scan_task_table_provider.rs +
+    * datafusion_processor.rs:694-712): `{prefix}_data_file_table`,
+    * `{prefix}_position_delete_table`,
+    * `{prefix}_equality_delete_table_{i}` — one eq view per consecutive
+    * equality-ids run. Returns the data table name, the optional
+    * position-delete table name, and (name, equalityIds) per eq table,
+    * ready for [[graft.plans.SqlBuilder]] text or `spark.sql`. */
+  def registerTables(
+      spark: SparkSession,
+      prefix: String,
+      tasks: InputFileScanTasks
+  ): (String, Option[String], Seq[(String, Seq[String])]) = {
+    import graft.plans.MergeOnRead._
+    val needSeq = tasks.equalityDeleteFiles.nonEmpty
+    val needPos = tasks.positionDeleteFiles.nonEmpty
+    val dataName = dataFileTableName(prefix)
+    readDataFiles(spark, tasks.dataFiles, needSeq, needPos)
+      .createOrReplaceTempView(dataName)
+    val posName = readPositionDeletes(spark, tasks.positionDeleteFiles).map { df =>
+      val n = positionDeleteTableName(prefix)
+      df.createOrReplaceTempView(n)
+      n
+    }
+    val eqNames = consecutiveRuns(tasks.equalityDeleteFiles)(_.equalityIds)
+      .zipWithIndex.map { case (run, i) =>
+        import org.apache.spark.sql.functions._
+        val ids = run.head.equalityIds
+        val n = equalityDeleteTableName(prefix, i)
+        // attach per-file sequence numbers, matching the executor path
+        val withSeq = run.map { t =>
+          spark.read.parquet(t.filePath)
+            .select(ids.map(col): _*)
+            .withColumn(SysHiddenSeqNum, lit(t.sequenceNumber))
+        }.reduce(_ unionByName _)
+        withSeq.createOrReplaceTempView(n)
+        (n, ids)
+      }
+    (dataName, posName, eqNames)
+  }
 }

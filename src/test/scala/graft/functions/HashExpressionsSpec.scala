@@ -49,6 +49,19 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(v == java.lang.Long.parseLong(hex, 16))
   }
 
+  test("native shingles == HOF shingles (as sets, with order preserved)") {
+    val t = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val native = t.select($"doc_id", TextFunctions.shingles3($"text").as("sh"))
+    val hof = t.select($"doc_id", TextFunctions.shingles3Hof($"text").as("sh"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    // edge cases: <3 words, consecutive spaces (empty-token parity)
+    val edge = Seq("one two", "a b c", "a  b c d").toDF("text")
+    val n2 = edge.select(TextFunctions.shingles3($"text").as("sh"))
+    val h2 = edge.select(TextFunctions.shingles3Hof($"text").as("sh"))
+    assert(n2.collect().map(_.getSeq[String](0)).toSeq ==
+      h2.collect().map(_.getSeq[String](0)).toSeq)
+  }
+
   test("sorted intersect count == size(array_intersect)") {
     val pairs = docs.as("a").crossJoin(docs.as("b")).limit(200)
       .select(array_sort($"a.sh").as("x"), array_sort($"b.sh").as("y"))
