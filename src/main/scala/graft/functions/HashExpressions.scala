@@ -234,6 +234,49 @@ case class HashedSetExpr(child: Expression, seed: String)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Jaccard similarity x1000 (floored) of two SORTED DISTINCT arrays in
+  * ONE pass: intersection by two-pointer merge, union by
+  * inclusion-exclusion. Matches
+  * `floor(1000.0 * |a ∩ b| / |a ∪ b|)` exactly. A single fused node also
+  * means a pushed-down join predicate evaluates the merge once per pair
+  * (the floor/div formula written from a separate intersect-count node
+  * references the count twice and gets no CSE inside join conditions). */
+case class JaccardX1000Expr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "jaccard_x1000"
+
+  @transient private lazy val longElements: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var cnt = 0
+    if (longElements) {
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { cnt += 1; i += 1; j += 1 }
+        else if (x < y) i += 1 else j += 1
+      }
+    } else {
+      while (i < na && j < nb) {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { cnt += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1 else j += 1
+      }
+    }
+    val union = na + nb - cnt
+    if (union == 0) null
+    else java.lang.Long.valueOf(math.floor(1000.0 * cnt / union).toLong)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Cosine similarity of two float-array columns, accumulated in double
   * with a single sequential pass — numerically identical to the
   * zip_with/aggregate HOF fold (same order of operations), ~20x faster. */
@@ -325,4 +368,6 @@ object HashColumns {
     column(HashedSetExpr(expression(features), seed))
   def shingles(text: Column, n: Int): Column =
     column(ShinglesExpr(expression(text), n))
+  def jaccardX1000(a: Column, b: Column): Column =
+    column(JaccardX1000Expr(expression(a), expression(b)))
 }

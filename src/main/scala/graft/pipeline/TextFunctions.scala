@@ -78,14 +78,11 @@ object TextFunctions {
     floor(lit(1000.0) * size(array_intersect(a, b)) / size(array_union(a, b)))
       .cast("long")
 
-  /** [[jaccardX1000]] over SORTED distinct arrays: native two-pointer
-    * intersection, union size by inclusion-exclusion — identical values,
-    * no intermediate arrays. Use on the hot pairwise paths. */
-  def jaccardX1000Sorted(aSorted: Column, bSorted: Column): Column = {
-    val inter = graft.functions.HashColumns.sortedIntersectCount(aSorted, bSorted)
-    floor(lit(1000.0) * inter / (size(aSorted) + size(bSorted) - inter))
-      .cast("long")
-  }
+  /** [[jaccardX1000]] over SORTED distinct arrays: one fused native
+    * two-pointer pass — identical values, no intermediate arrays, single
+    * evaluation even inside pushed join predicates. */
+  def jaccardX1000Sorted(aSorted: Column, bSorted: Column): Column =
+    graft.functions.HashColumns.jaccardX1000(aSorted, bSorted)
 
   /** Cosine similarity of two float-array columns, computed in double with
     * a sequential pass (deterministic order). Native expression;

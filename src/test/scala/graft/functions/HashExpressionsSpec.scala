@@ -70,6 +70,16 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(native.exceptAll(builtin).isEmpty && builtin.exceptAll(native).isEmpty)
   }
 
+  test("fused jaccard == floor(1000*|intersect|/|union|)") {
+    val pairs = docs.as("a").crossJoin(docs.as("b")).limit(300)
+      .select(array_sort($"a.sh").as("x"), array_sort($"b.sh").as("y"))
+    val native = pairs.select(HashColumns.jaccardX1000($"x", $"y").as("j"))
+    val builtin = pairs.select(
+      floor(lit(1000.0) * size(array_intersect($"x", $"y")) /
+        size(array_union($"x", $"y"))).cast("long").as("j"))
+    assert(native.exceptAll(builtin).isEmpty && builtin.exceptAll(native).isEmpty)
+  }
+
   test("native cosine == HOF cosine bitwise") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val pairs = e.as("a").crossJoin(e.as("b")).limit(500)
