@@ -18,6 +18,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up the JVM/codegen/parquet-footer paths so the first timed
+    // query isn't charged for session startup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+      .groupBy("l_returnflag").count().collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.err.println(s"[bench] starting $name")
       val t0 = System.nanoTime()

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+/** SparkSessionExtensions entry point exposing the engine's native
+  * expressions to pure SQL:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  *   SELECT doc_id, minhash_signature(shingles(text, 3), 32) FROM docs
+  *   SELECT simhash32(shingles(text, 3)), hashed_set(shingles(text, 3), 'j')
+  *   SELECT jaccard_x1000(a, b), sorted_intersect_count(a, b), cosine_sim(u, v)
+  * }}}
+  *
+  * This is the extension mechanism the build plan reserves for semantics
+  * Spark's built-ins cannot express (SURVEY §7.1): everything else in the
+  * engine is plain DataFrame algebra, and these functions are scalar
+  * expressions — no custom LogicalPlan/Strategy is needed.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def lit2Int(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def lit2Str(e: Expression, what: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("shingles"),
+      info("shingles", "shingles(text, n) - distinct n-word shingles"),
+      (args: Seq[Expression]) =>
+        ShinglesExpr(args.head, lit2Int(args(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(features, numHashes)"),
+      (args: Seq[Expression]) =>
+        MinHashSignatureExpr(args.head, lit2Int(args(1), "numHashes"))))
+    ext.injectFunction((FunctionIdentifier("simhash32"),
+      info("simhash32", "simhash32(features) - 32-bit simhash"),
+      (args: Seq[Expression]) => SimHash32Expr(args.head)))
+    ext.injectFunction((FunctionIdentifier("hashed_set"),
+      info("hashed_set", "hashed_set(features, seed) - sorted distinct hash64 set"),
+      (args: Seq[Expression]) =>
+        HashedSetExpr(args.head, lit2Str(args(1), "seed"))))
+    ext.injectFunction((FunctionIdentifier("hash_min"),
+      info("hash_min", "hash_min(features, seed) - min hash64 (fingerprint)"),
+      (args: Seq[Expression]) =>
+        HashMinExpr(args.head, lit2Str(args(1), "seed"))))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count", "sorted_intersect_count(a, b)"),
+      (args: Seq[Expression]) =>
+        SortedIntersectCountExpr(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("jaccard_x1000"),
+      info("jaccard_x1000", "jaccard_x1000(aSorted, bSorted)"),
+      (args: Seq[Expression]) => JaccardX1000Expr(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine of float arrays"),
+      (args: Seq[Expression]) => CosineSimExpr(args.head, args(1))))
+  }
+}

@@ -7,6 +7,15 @@ import TextFunctions._
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
+  * Algorithms follow the published formulations: MinHash resemblance
+  * sketches (Broder, "On the resemblance and containment of documents",
+  * SEQUENCES 1997) with LSH banding (Leskovec/Rajaraman/Ullman, Mining of
+  * Massive Datasets ch.3), and SimHash random-hyperplane sketches
+  * (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002), as used for near-dedup of web-scale training
+  * corpora (Lee et al., "Deduplicating Training Data Makes Language
+  * Models Better", ACL 2022).
+  *
   * Each operator is a declarative DataFrame transform designed for the
   * 100 TB shape first, with the small-scale oracle-checked query derived
   * from the same code path:

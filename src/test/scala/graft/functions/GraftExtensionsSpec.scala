@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions must make the native expressions callable from pure
+  * SQL in a session constructed with `withExtensions` (the shared test
+  * session is built that way — getOrCreate would ignore extensions on an
+  * already-running context, so a per-suite session cannot be used). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = graft.SparkTestSession.spark
+
+  test("all graft functions are SQL-callable and consistent") {
+    spark.sql("SELECT 'the quick brown fox jumps over the lazy dog' AS text")
+      .createOrReplaceTempView("ext_docs")
+    val row = spark.sql(
+      """SELECT
+        |  size(shingles(text, 3)) AS n_sh,
+        |  size(minhash_signature(shingles(text, 3), 8)) AS n_mh,
+        |  simhash32(shingles(text, 3)) AS sim,
+        |  size(hashed_set(shingles(text, 3), 'j')) AS n_hs,
+        |  hash_min(shingles(text, 3), 'fp') AS hmin,
+        |  sorted_intersect_count(hashed_set(shingles(text, 3), 'j'),
+        |                         hashed_set(shingles(text, 3), 'j')) AS self_inter,
+        |  jaccard_x1000(hashed_set(shingles(text, 3), 'j'),
+        |                hashed_set(shingles(text, 3), 'j')) AS self_jac,
+        |  round(cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)), 6) AS self_cos
+        |FROM ext_docs""".stripMargin).collect().head
+    assert(row.getAs[Int]("n_sh") == 7)
+    assert(row.getAs[Int]("n_mh") == 8)
+    assert(row.getAs[Int]("n_hs") == 7)
+    assert(row.getAs[Int]("self_inter") == 7)
+    assert(row.getAs[Long]("self_jac") == 1000L)
+    assert(row.getAs[Double]("self_cos") == 1.0)
+  }
+
+  test("non-literal arity arguments are rejected clearly") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('a'), id + 1) FROM range(1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
