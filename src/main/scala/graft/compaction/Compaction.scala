@@ -56,7 +56,13 @@ final class Compaction(
       val outDir = s"$tableDir/data/compacted-v${snap.version + 1}"
       val request = RewriteFilesRequest(tasks, null, config, outDir)
       val startingSeq = tasks.dataFiles.map(_.sequenceNumber).max
-      val written = RollingWriter.write(live, request, startingSeq)
+      val written =
+        if (config.useExactRolling)
+          graft.sinks.ExactRollingWriter.write(
+            live.repartition(config.targetPartitions), outDir,
+            config.targetFileSizeBytes, config.parquetCompression,
+            config.maxRecordBatchRows, startingSeq)
+        else RollingWriter.write(live, request, startingSeq)
 
       // commit (T1/T2)
       val removed = snap.files.map(_.path).toSet

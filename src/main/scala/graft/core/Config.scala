@@ -24,7 +24,11 @@ final case class CompactionConfig(
     /** Keep output data files at the *starting* snapshot's sequence number
       * so deletes committed concurrently still apply
       * (reference: core/src/compaction/mod.rs:268-281,546-566). */
-    useStartingSequenceNumber: Boolean = true
+    useStartingSequenceNumber: Boolean = true,
+    /** Use the byte-exact W2 rolling writer (per-batch size feedback,
+      * graft.sinks.ExactRollingWriter) instead of the declarative
+      * maxRecordsPerFile approximation. Flat schemas only. */
+    useExactRolling: Boolean = false
 ) {
   require(batchParallelism > 0, "batchParallelism must be > 0")
   require(targetPartitions > 0, "targetPartitions must be > 0")

@@ -1,0 +1,161 @@
+package graft.sinks
+
+import graft.core.DataFileMeta
+import graft.operators.RollingPolicy
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Byte-exact rolling parquet writer — the runtime realization of the
+  * reference's W2 policy (rolling_iceberg_writer.rs:26-132), which the
+  * declarative [[RollingWriter]] can only approximate via
+  * `maxRecordsPerFile`:
+  *
+  * each Spark write task streams its partition through a parquet writer,
+  * and before every `batchRows`-row batch applies
+  * [[RollingPolicy.needBuildNewFile]] to (current writer bytes, estimated
+  * incoming bytes, target) — closing the file and opening the next when
+  * the ported predicate fires. The incoming-size estimate is a running
+  * bytes-per-row average of what this writer has already absorbed
+  * (seeded at 256 B/row), mirroring the reference's use of the incoming
+  * batch's byte size.
+  *
+  * Parallelism is one writer chain per partition (reference X4: one
+  * writer per output stream). Scope: flat schemas (the engine's table
+  * model); a real deployment wraps the output in the commit protocol
+  * ([[graft.txn.CommitManager]]), which this writer leaves untouched.
+  */
+object ExactRollingWriter {
+
+  def write(
+      df: DataFrame,
+      outDir: String,
+      targetFileSizeBytes: Long,
+      compression: String = "snappy",
+      batchRows: Int = 1024,
+      sequenceNumber: Long = 0L
+  ): Seq[DataFileMeta] = {
+    val schema = df.schema
+    schema.fields.foreach { f =>
+      require(supported(f.dataType),
+        s"ExactRollingWriter supports flat primitive schemas; ${f.name}: ${f.dataType} is not")
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val codec = CompressionCodecName.valueOf(compression.toUpperCase)
+
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val pid = TaskContext.getPartitionId()
+      val message = toMessageType(schema)
+      val factory = new SimpleGroupFactory(message)
+      var fileIdx = 0
+      var writer: ParquetWriter[Group] = null
+      var rowsInWriter = 0L
+
+      def newWriter(): Unit = {
+        val path = new HPath(s"$outDir/part-$pid-$fileIdx.parquet")
+        val conf = new Configuration()
+        conf.set("parquet.example.schema", message.toString)
+        writer = ExampleParquetWriter.builder(path)
+          .withConf(conf)
+          .withCompressionCodec(codec)
+          .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+          .build()
+        rowsInWriter = 0L
+        fileIdx += 1
+      }
+      def close(): Unit = if (writer != null) { writer.close(); writer = null }
+
+      val batch = new Array[Row](batchRows)
+      var bytesPerRow = 256.0
+      while (rows.hasNext) {
+        var n = 0
+        while (n < batchRows && rows.hasNext) { batch(n) = rows.next(); n += 1 }
+        val estIncoming = (bytesPerRow * n).toLong
+        if (writer == null) newWriter()
+        else if (RollingPolicy.needBuildNewFile(
+            writer.getDataSize, estIncoming, targetFileSizeBytes)) {
+          close(); newWriter()
+        }
+        val before = writer.getDataSize
+        var i = 0
+        while (i < n) { writer.write(toGroup(factory, schema, batch(i))); i += 1 }
+        rowsInWriter += n
+        // refine the running bytes-per-row estimate from observed growth
+        val grew = writer.getDataSize - before
+        if (grew > 0 && n > 0)
+          bytesPerRow = 0.5 * bytesPerRow + 0.5 * (grew.toDouble / n)
+      }
+      close()
+    }
+
+    RollingWriter.listDataFiles(outDir, sequenceNumber)
+  }
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | StringType |
+         BooleanType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  private[sinks] def toMessageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
+      val t: PrimitiveType = f.dataType match {
+        case LongType => Types.primitive(PrimitiveTypeName.INT64, rep).named(f.name)
+        case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep).named(f.name)
+        case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep).named(f.name)
+        case FloatType => Types.primitive(PrimitiveTypeName.FLOAT, rep).named(f.name)
+        case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep).named(f.name)
+        case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case TimestampType => Types.primitive(PrimitiveTypeName.INT64, rep)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case TimestampNTZType => Types.primitive(PrimitiveTypeName.INT64, rep)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case other => throw new IllegalArgumentException(s"unsupported: $other")
+      }
+      b.addField(t)
+    }
+    b.named("graft_row")
+  }
+
+  private def toGroup(factory: SimpleGroupFactory, schema: StructType, row: Row): Group = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val name = schema(i).name
+        schema(i).dataType match {
+          case LongType => g.add(name, row.getLong(i))
+          case IntegerType => g.add(name, row.getInt(i))
+          case DoubleType => g.add(name, row.getDouble(i))
+          case FloatType => g.add(name, row.getFloat(i))
+          case BooleanType => g.add(name, row.getBoolean(i))
+          case StringType => g.add(name, row.getString(i))
+          case TimestampType =>
+            val ts = row.getTimestamp(i)
+            g.add(name, ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
+          case TimestampNTZType =>
+            val ldt = row.getAs[java.time.LocalDateTime](i)
+            g.add(name, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              ldt.getNano / 1000L)
+          case other => throw new IllegalArgumentException(s"unsupported: $other")
+        }
+      }
+      i += 1
+    }
+    g
+  }
+}

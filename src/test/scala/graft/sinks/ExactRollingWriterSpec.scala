@@ -1,0 +1,47 @@
+package graft.sinks
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class ExactRollingWriterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("rolls files near the byte target and preserves all rows") {
+    val out = Files.createTempDirectory("exact-roll").toString + "/out"
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .repartition(2)
+    val target = 64L * 1024
+    val written = ExactRollingWriter.write(li, out, target)
+    assert(written.size >= 2) // 2 partitions, each should roll at least once
+
+    // every non-final file per partition should be in a sane band around
+    // the target: the policy forbids rolling under 10% and forces it past
+    // 1.5x (on-disk size differs from the in-flight estimate, so allow 2x)
+    val byPartition = written.groupBy(_.filePath.split("part-")(1).split("-")(0))
+    byPartition.values.foreach { files =>
+      files.dropRight(1).foreach { f =>
+        assert(f.fileSizeBytes >= target / 10, s"${f.filePath} too small")
+        assert(f.fileSizeBytes <= target * 2, s"${f.filePath} too large")
+      }
+    }
+
+    // content round-trip: same multiset of rows, same schema
+    val back = spark.read.parquet(out)
+    assert(back.count() == li.count())
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      li.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
+  test("rejects nested schemas clearly") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a"))).toDF("id", "arr")
+    val e = intercept[IllegalArgumentException] {
+      ExactRollingWriter.write(df, "/tmp/never", 1024)
+    }
+    assert(e.getMessage.contains("flat primitive"))
+  }
+}
