@@ -242,9 +242,9 @@ case class HashedSetExpr(child: Expression, seed: String)
   * (the floor/div formula written from a separate intersect-count node
   * references the count twice and gets no CSE inside join conditions). */
 case class JaccardX1000Expr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "jaccard_x1000"
 
   @transient private lazy val longElements: Boolean =
@@ -271,6 +271,40 @@ case class JaccardX1000Expr(left: Expression, right: Expression)
     val union = na + nb - cnt
     if (union == 0) null
     else java.lang.Long.valueOf(math.floor(1000.0 * cnt / union).toLong)
+  }
+
+  // Generated two-pointer merge: keeps a pushed-down pair predicate
+  // inside janino-compiled code (a CodegenFallback here would force the
+  // ENTIRE join condition into interpreted mode).
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val un = ctx.freshName("un")
+      val cmp = ctx.freshName("cmp")
+      val loop = if (longElements)
+        s"""long x = $a.getLong($i); long y = $b.getLong($j);
+           |if (x == y) { $cnt++; $i++; $j++; }
+           |else if (x < y) { $i++; } else { $j++; }""".stripMargin
+      else
+        s"""int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |if ($cmp == 0) { $cnt++; $i++; $j++; }
+           |else if ($cmp < 0) { $i++; } else { $j++; }""".stripMargin
+      s"""int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $cnt = 0;
+         |while ($i < $na && $j < $nb) {
+         |  $loop
+         |}
+         |int $un = $na + $nb - $cnt;
+         |if ($un == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (long) java.lang.Math.floor(1000.0 * $cnt / $un);
+         |}""".stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
