@@ -41,7 +41,9 @@ object Similarity {
 
   /** Deterministic random-hyperplane bucket key for a vector column:
     * `numBits` sign bits, hyperplane component (b, d) derived from
-    * hash64("hp", b*dims+d), centered to +-0.5. */
+    * hash64("hp", "b,d"), centered to +-0.5. The dot product is rounded
+    * to 9 decimals before the sign test so the bucket is reproducible
+    * across engines regardless of their float-summation order. */
   def hyperplaneBucket(vec: Column, dims: Int, numBits: Int): Column = {
     // weight(b,d) in [-0.5, 0.5): (hash % 1000)/1000 - 0.5
     def weight(b: Column, d: Column): Column =
@@ -53,7 +55,8 @@ object Similarity {
           transform(sequence(lit(0), lit(dims - 1)),
             d => vec.getItem(d).cast("double") * weight(b, d)),
           lit(0.0), (acc, v) => acc + v)
-        when(dotProd > 0, pow(lit(2.0), b).cast("long")).otherwise(lit(0L))
+        when(round(dotProd, 9) > 0, pow(lit(2.0), b).cast("long"))
+          .otherwise(lit(0L))
       }),
       lit(0L), (acc, v) => acc + v)
   }

@@ -72,6 +72,19 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** LSH-bucketed ANN — the scale path: candidates share an 8-bit
+    * hyperplane bucket, exact re-rank within. Recall < 1 vs brute force
+    * by construction; fully deterministic. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val t = embeddings(spark, dir)
+    val q = t.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = t.select(col("vec_id"), col("embedding").as("v"))
+    Similarity.lshTopK(q, c, dims = 64, k = 10, numBits = 8)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- multimodal ----
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -203,6 +216,28 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bk AS (
+         |  SELECT vec_id, v,
+         |    CAST(list_sum(list_transform(generate_series(0, 7), b ->
+         |      CASE WHEN round(list_sum(list_transform(generate_series(0, 63), d ->
+         |        v[d+1] * ((CAST(${h64("'hp:' || b || ',' || d")} % 1000 AS DOUBLE)) / 1000 - 0.5)
+         |      )), 9) > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM t),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bk WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, bk.vec_id,
+         |    CAST(round(1e6 * list_dot_product(q.qv, bk.v) /
+         |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(bk.v, bk.v)))) AS BIGINT) AS cos_x1e6
+         |  FROM bk JOIN q ON bk.bucket = q.bucket AND bk.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_x1e6 DESC, vec_id) AS BIGINT) AS rnk,
+         |    vec_id, cos_x1e6
+         |  FROM scored)
+         |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -221,6 +256,7 @@ object PipelineQueries {
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_topk" -> (annTopK _),
+    "ann_lsh" -> (annLsh _),
     "multimodal_meta" -> (multimodalMeta _)
   )
 }
