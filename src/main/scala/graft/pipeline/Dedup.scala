@@ -166,7 +166,13 @@ object Dedup {
   ): DataFrame = {
     val t = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       graft.functions.HashColumns.hashedSet(shingles3(col(textCol)), "j").as("sh"))
+    // size-ratio prefilter: jaccard >= t/1000 implies
+    // min(|A|,|B|) / max(|A|,|B|) >= t/1000 (|A∩B| <= min, |A∪B| >= max),
+    // so the cheap integer test prunes pairs before the merge loop runs
+    // and cannot change the output set
     blockedPairs(t, buckets = 8)
+      .filter(least(size(col("a_sh")), size(col("b_sh"))) * 1000 >=
+        greatest(size(col("a_sh")), size(col("b_sh"))) * thresholdX1000)
       .withColumn("jac_x1000", jaccardX1000Sorted(col("a_sh"), col("b_sh")))
       .filter(col("jac_x1000") >= thresholdX1000)
       .select(col("a_id"), col("b_id"), col("jac_x1000"))

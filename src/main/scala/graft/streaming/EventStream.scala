@@ -40,6 +40,33 @@ object EventStream {
       start_epoch: Long, end_epoch: Long, closed: Boolean)
   final case class SessionState(n: Long, startMs: Long, lastMs: Long)
 
+  final case class DedupedEvent(event_id: Long, user_id: Long,
+      event_type: String, first_seen: Boolean)
+
+  /** Streaming exact dedup: emit each (user_id, event_type) content key
+    * once; later arrivals are marked duplicates. State = one boolean per
+    * key via mapGroupsWithState — the streaming counterpart of
+    * [[graft.pipeline.Dedup.exact]] for continuous ingest (at scale,
+    * state is partitioned by key and bounded by a TTL timeout). */
+  def streamingDedup(events: Dataset[Event]): Dataset[DedupedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Boolean, DedupedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), rows: Iterator[Event], state: GroupState[Boolean]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var seen = state.getOption.getOrElse(false)
+          val out = sorted.map { e =>
+            val first = !seen
+            seen = true
+            DedupedEvent(e.event_id, e.user_id, e.event_type, first)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Session assembly with a 30-minute inactivity gap via
     * flatMapGroupsWithState: one state entry per user, pruned by
     * processing-time timeout — the custom-state streaming primitive. */

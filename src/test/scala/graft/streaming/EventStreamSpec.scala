@@ -38,6 +38,24 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup marks only the first arrival per key, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = streamingDedup(input.toDS()).writeStream.format("memory")
+      .queryName("dedup_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 5, "click", 0), Event(2, ts(1), 5, "click", 0),
+        Event(3, ts(2), 5, "view", 0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(3), 5, "click", 0)) // dup in a later batch
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").as[DedupedEvent]
+        .collect().map(e => e.event_id -> e.first_seen).toMap
+      assert(rows == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    } finally q.stop()
+  }
+
   test("sessionize: 30-minute gap splits sessions, state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
