@@ -62,7 +62,8 @@ final class Compaction(
             live.repartition(config.targetPartitions), outDir,
             config.targetFileSizeBytes, config.parquetCompression,
             config.maxRecordBatchRows, startingSeq)
-        else RollingWriter.write(live, request, startingSeq)
+        else RollingWriter.write(live, request, startingSeq,
+          partitionBy = config.partitionBy)
 
       // commit (T1/T2)
       val removed = snap.files.map(_.path).toSet
@@ -76,9 +77,14 @@ final class Compaction(
 
       // validate (V1)
       if (config.enableValidateCompaction) {
-        val outputDf = spark.read.parquet(
+        // basePath recovers fanout partition columns from directory names
+        val outputDf = spark.read.option("basePath", outDir).parquet(
           committed.files.filter(_.content == "data").map(_.path): _*)
-        Validator.validate(liveRowsFor(tasks), outputDf)
+        // fanout writes move partition cols into directory names; select
+        // the input column order so strict (exceptAll) compare aligns
+        val input = liveRowsFor(tasks)
+        val aligned = outputDf.select(input.columns.map(org.apache.spark.sql.functions.col): _*)
+        Validator.validate(input, aligned, strict = config.strictValidation)
       }
 
       val stat = RewriteFilesStat(

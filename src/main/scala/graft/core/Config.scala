@@ -28,7 +28,13 @@ final case class CompactionConfig(
     /** Use the byte-exact W2 rolling writer (per-batch size feedback,
       * graft.sinks.ExactRollingWriter) instead of the declarative
       * maxRecordsPerFile approximation. Flat schemas only. */
-    useExactRolling: Boolean = false
+    useExactRolling: Boolean = false,
+    /** Partition spec for fanout writes (reference S8): output data files
+      * are routed to per-partition-value directories. */
+    partitionBy: Seq[String] = Nil,
+    /** Upgrade validation from row counts to full multiset equality
+      * (exceptAll both ways) — a stronger oracle at 2x+ cost. */
+    strictValidation: Boolean = false
 ) {
   require(batchParallelism > 0, "batchParallelism must be > 0")
   require(targetPartitions > 0, "targetPartitions must be > 0")

@@ -133,6 +133,25 @@ class CompactionSpec extends AnyFunSuite {
       (6, "Frank"), (7, "Grace"), (8, "Heidi"), (2, "Bob2")))
   }
 
+  test("partitioned compaction fans out by partition value, strict-validated") {
+    val dir = mkTable()
+    val stat = Compaction.builder()
+      .withSpark(spark).withTableDir(dir)
+      .withConfig(CompactionConfig(
+        targetPartitions = 2, enableValidateCompaction = true,
+        strictValidation = true, partitionBy = Seq("name")))
+      .build()
+      .compact()
+    assert(stat.rewrittenFilesCount == 4)
+    val snap = TableMetadata.loadOrThrow(dir)
+    assert(snap.files.forall(_.path.contains("name=")))
+    val result = spark.read.parquet(s"$dir/data/compacted-v2")
+      .select("id", "name").as[(Int, String)].collect().toSet
+    assert(result == Set(
+      (3, "Charlie"), (4, "Dave"),
+      (6, "Frank"), (7, "Grace"), (8, "Heidi"), (2, "Bob2")))
+  }
+
   test("second compaction is idempotent on row content") {
     val dir = mkTable()
     val c = Compaction.builder().withSpark(spark).withTableDir(dir).build()
