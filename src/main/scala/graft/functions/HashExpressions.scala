@@ -385,6 +385,49 @@ case class ShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Random-hyperplane LSH bucket of a float-vector column: `numBits` sign
+  * bits, weight(b,d) = (hash64("hp","b,d") % 1000)/1000 - 0.5. Weights
+  * are constants — materialized once per executor instance — so the
+  * per-row cost is numBits*dims multiply-adds. The per-bit dot product is
+  * rounded to 9 decimals (BigDecimal HALF_UP, identical to Spark's
+  * `round` and DuckDB's `round` for these magnitudes) before the sign
+  * test, keeping buckets engine-reproducible. */
+case class HyperplaneBucketExpr(child: Expression, dims: Int, numBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dims > 0 && numBits > 0 && numBits < 63)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  @transient private lazy val weights: Array[Array[Double]] = {
+    val md = Hash64.newMd5()
+    Array.tabulate(numBits, dims) { (b, d) =>
+      val h = Hash64.hash64(md, Hash64.seedPrefix("hp"),
+        s"$b,$d".getBytes(StandardCharsets.UTF_8))
+      (h % 1000L).toDouble / 1000.0 - 0.5
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dims)
+    var bucket = 0L
+    var b = 0
+    while (b < numBits) {
+      val w = weights(b)
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += v.getFloat(d).toDouble * w(d); d += 1 }
+      val rounded = java.math.BigDecimal.valueOf(dot)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (rounded > 0) bucket |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashColumns {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -404,4 +447,6 @@ object HashColumns {
     column(ShinglesExpr(expression(text), n))
   def jaccardX1000(a: Column, b: Column): Column =
     column(JaccardX1000Expr(expression(a), expression(b)))
+  def hyperplaneBucket(vec: Column, dims: Int, numBits: Int): Column =
+    column(HyperplaneBucketExpr(expression(vec), dims, numBits))
 }

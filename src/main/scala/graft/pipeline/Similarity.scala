@@ -43,8 +43,13 @@ object Similarity {
     * `numBits` sign bits, hyperplane component (b, d) derived from
     * hash64("hp", "b,d"), centered to +-0.5. The dot product is rounded
     * to 9 decimals before the sign test so the bucket is reproducible
-    * across engines regardless of their float-summation order. */
-  def hyperplaneBucket(vec: Column, dims: Int, numBits: Int): Column = {
+    * across engines regardless of their float-summation order.
+    * Native expression; [[hyperplaneBucketHof]] is the interpreted twin. */
+  def hyperplaneBucket(vec: Column, dims: Int, numBits: Int): Column =
+    graft.functions.HashColumns.hyperplaneBucket(vec, dims, numBits)
+
+  /** HOF form of [[hyperplaneBucket]] (cross-validation twin). */
+  def hyperplaneBucketHof(vec: Column, dims: Int, numBits: Int): Column = {
     // weight(b,d) in [-0.5, 0.5): (hash % 1000)/1000 - 0.5
     def weight(b: Column, d: Column): Column =
       (pmod(hash64(lit("hp"), concat(b, lit(","), d)), lit(1000L))

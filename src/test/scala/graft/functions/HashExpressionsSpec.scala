@@ -80,6 +80,15 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(native.exceptAll(builtin).isEmpty && builtin.exceptAll(native).isEmpty)
   }
 
+  test("native hyperplane bucket == HOF bucket") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val native = e.select($"vec_id",
+      HashColumns.hyperplaneBucket($"embedding", 64, 8).as("b"))
+    val hof = e.select($"vec_id",
+      graft.pipeline.Similarity.hyperplaneBucketHof($"embedding", 64, 8).as("b"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
   test("native cosine == HOF cosine bitwise") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val pairs = e.as("a").crossJoin(e.as("b")).limit(500)
