@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CompactionE2EQuery, JoinQueries, MorQueries, PipelineQueries}
+import graft.queries.{AnalyticsQueries, CompactionE2EQuery, CorpusPipelineQuery, JoinQueries, MorQueries, PipelineQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MorQueries.queries ++ PipelineQueries.queries ++
       AnalyticsQueries.queries ++ JoinQueries.queries +
-      ("compaction_e2e" -> (CompactionE2EQuery.run _))
+      ("compaction_e2e" -> (CompactionE2EQuery.run _)) +
+      ("corpus_clean" -> (CorpusPipelineQuery.run _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     MorQueries.oracles ++ PipelineQueries.oracles ++
       AnalyticsQueries.oracles ++ JoinQueries.oracles +
-      ("compaction_e2e" -> CompactionE2EQuery.oracle)
+      ("compaction_e2e" -> CompactionE2EQuery.oracle) +
+      ("corpus_clean" -> CorpusPipelineQuery.oracle)
 }
