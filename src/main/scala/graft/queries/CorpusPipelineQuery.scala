@@ -30,11 +30,13 @@ object CorpusPipelineQuery {
       .filter(col("quality_ok")).select("doc_id")
     val qualityDocs = docs.join(q, "doc_id")
 
-    // 2. exact dedup
+    // 2. exact dedup. The survivor frame feeds the LSH self-join (both
+    // sides), the verification lookups, and the final anti-join — persist
+    // it so the upstream joins and shingling run once, not per reference.
     val exactSurvivors = Dedup
       .exact(qualityDocs, col("text"), col("doc_id"))
       .select(col("survivor_id").as("doc_id"))
-    val uniqueDocs = qualityDocs.join(exactSurvivors, "doc_id")
+    val uniqueDocs = qualityDocs.join(exactSurvivors, "doc_id").persist()
 
     // 3. near-dup pair removal (drop the b side)
     val nearDupLosers = Dedup
@@ -48,46 +50,25 @@ object CorpusPipelineQuery {
   }
 
   val oracle: String =
-    """WITH quality_docs AS (
-      |  SELECT * FROM documents
-      |  WHERE length(text) >= 100
-      |    AND floor(1000.0 * len(list_distinct(string_split(text,' ')))
-      |          / len(string_split(text,' '))) >= 300
-      |),
-      |exact_survivors AS (
-      |  SELECT min(doc_id) AS doc_id FROM quality_docs GROUP BY text
-      |),
-      |unique_docs AS (
-      |  SELECT q.* FROM quality_docs q JOIN exact_survivors s USING (doc_id)
-      |),
-      |sh_t AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
-      |      i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
-      |  FROM unique_docs
-      |),
-      |sig AS (
-      |  SELECT doc_id,
-      |    list_transform(generate_series(0, 31),
-      |      s -> list_min(list_transform(sh,
-      |        x -> CAST(('0x' || substr(md5(s::VARCHAR || ':' || x), 1, 15)) AS BIGINT)))) AS mh,
-      |    list_distinct(list_transform(sh,
-      |      x -> CAST(('0x' || substr(md5('j:' || x), 1, 15)) AS BIGINT))) AS shh
-      |  FROM sh_t),
-      |bands AS (
-      |  SELECT doc_id, b, array_to_string(mh[b*4+1:b*4+4], ',') AS band_key
-      |  FROM sig, generate_series(0, 7) g(b)),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      |  FROM bands a JOIN bands b
-      |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-      |losers AS (
-      |  SELECT DISTINCT b_id AS doc_id
-      |  FROM cand JOIN sig x ON cand.a_id = x.doc_id JOIN sig y ON cand.b_id = y.doc_id
-      |  WHERE floor(1000.0 * len(list_intersect(x.shh, y.shh))
-      |          / len(list_distinct(x.shh || y.shh))) >= 500)
-      |SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
-      |FROM unique_docs
-      |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH quality_docs AS (
+       |  SELECT * FROM documents
+       |  WHERE ${QuerySql.qualityPredicate}
+       |),
+       |exact_survivors AS (
+       |  SELECT min(doc_id) AS doc_id FROM quality_docs GROUP BY text
+       |),
+       |unique_docs AS (
+       |  SELECT q.* FROM quality_docs q JOIN exact_survivors s USING (doc_id)
+       |),
+       |${QuerySql.shinglesCteFrom("unique_docs")},
+       |${QuerySql.minhashSigCte},
+       |${QuerySql.minhashCandCte},
+       |losers AS (
+       |  SELECT DISTINCT b_id AS doc_id
+       |  FROM cand JOIN sig x ON cand.a_id = x.doc_id JOIN sig y ON cand.b_id = y.doc_id
+       |  WHERE ${QuerySql.jaccardXY} >= 500)
+       |SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+       |FROM unique_docs
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -93,16 +93,8 @@ object PipelineQueries {
 
   // ---- oracle SQL (DuckDB dialect, ANSI where possible) ----
 
-  private val shinglesCte =
-    """sh_t AS (
-      |  SELECT doc_id, lang,
-      |    list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
-      |      i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
-      |  FROM documents
-      |)""".stripMargin
-
-  private def h64(arg: String): String =
-    s"CAST(('0x' || substr(md5($arg), 1, 15)) AS BIGINT)"
+  import QuerySql.{h64, shinglesCteFrom}
+  private val shinglesCte = shinglesCteFrom("documents")
 
   private val stopList = TextAnalysis.langMarkers.flatMap(_._2)
     .map(s => s"'$s'").mkString(", ")
@@ -151,23 +143,12 @@ object PipelineQueries {
         |FROM documents GROUP BY text ORDER BY survivor_id""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $shinglesCte,
-         |sig AS (
-         |  SELECT doc_id,
-         |    list_transform(generate_series(0, 31),
-         |      s -> list_min(list_transform(sh, x -> ${h64("s::VARCHAR || ':' || x")}))) AS mh,
-         |    list_distinct(list_transform(sh, x -> ${h64("'j:' || x")})) AS shh
-         |  FROM sh_t),
-         |bands AS (
-         |  SELECT doc_id, b, array_to_string(mh[b*4+1:b*4+4], ',') AS band_key
-         |  FROM sig, generate_series(0, 7) g(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |${QuerySql.minhashSigCte},
+         |${QuerySql.minhashCandCte}
          |SELECT a_id, b_id,
-         |  CAST(floor(1000.0 * len(list_intersect(x.shh, y.shh)) / len(list_distinct(x.shh || y.shh))) AS BIGINT) AS jac_x1000
+         |  CAST(${QuerySql.jaccardXY} AS BIGINT) AS jac_x1000
          |FROM cand JOIN sig x ON cand.a_id = x.doc_id JOIN sig y ON cand.b_id = y.doc_id
-         |WHERE floor(1000.0 * len(list_intersect(x.shh, y.shh)) / len(list_distinct(x.shh || y.shh))) >= 500
+         |WHERE ${QuerySql.jaccardXY} >= 500
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $shinglesCte,
