@@ -66,6 +66,66 @@ object Similarity {
       lit(0L), (acc, v) => acc + v)
   }
 
+  /** IVF-flat ANN: deterministic coarse quantizer + bucket probe.
+    *
+    *  - centroids = the `numCentroids` corpus vectors with the smallest
+    *    hash64("c", vec_id) — a deterministic uniform sample standing in
+    *    for k-means (IVF-flat with random centroids; swap in trained
+    *    centroids without changing the plan shape);
+    *  - every corpus vector is assigned to its nearest centroid
+    *    (distance rounded to 9 decimals, centroid-id tie-break — engine
+    *    reproducible);
+    *  - a query probes its `nProbe` nearest centroid buckets and
+    *    re-ranks candidates exactly.
+    *
+    * Scale shape: the centroid table is tiny and broadcast; assignment is
+    * a narrow pass over the corpus; the probe join shuffles only
+    * candidates (corpus/numCentroids * nProbe per query on average), not
+    * the full corpus per query.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (query_id, qv)
+      corpus: DataFrame,  // (vec_id, v)
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val centroids = corpus
+      .withColumn("h", hash64(lit("c"), col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(numCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+
+    def nearest(df: DataFrame, vec: String, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("cdist").asc, col("cid").asc)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("cdist", round(dist2(col(vec), col("cv")), 9))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cv", "cdist", "crank")
+    }
+
+    val bucketed = nearest(corpus, "v", "vec_id", keep = 1)
+    val probes = nearest(queries, "qv", "query_id", keep = nProbe)
+
+    val scored = bucketed.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_x1e6",
+        round(cosine(col("qv"), col("v")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos_x1e6")
+  }
+
   /** LSH ANN: same-bucket candidates re-ranked exactly. Recall < 1 by
     * construction; deterministic. Returns (query_id, rank, vec_id,
     * cos_x1e6) with rank over bucket candidates only. */

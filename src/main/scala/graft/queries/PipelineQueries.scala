@@ -85,6 +85,18 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF-bucketed ANN — deterministic coarse quantizer (16 hash-sampled
+    * centroids), 4-probe search, exact re-rank. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val t = embeddings(spark, dir)
+    val q = t.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = t.select(col("vec_id"), col("embedding").as("v"))
+    Similarity.ivfTopK(q, c, k = 10, numCentroids = 16, nProbe = 4)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- multimodal ----
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -219,6 +231,41 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cid, v AS cv FROM t
+         |  ORDER BY ${h64("'c:' || vec_id")}, vec_id LIMIT 16),
+         |assign AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT t.vec_id, t.v, cent.cid,
+         |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |        round(list_sum(list_transform(generate_series(1, 64),
+         |          i -> (t.v[i] - cent.cv[i]) * (t.v[i] - cent.cv[i]))), 9) ASC,
+         |        cent.cid ASC) AS crank
+         |    FROM t CROSS JOIN cent)
+         |  WHERE crank = 1),
+         |probes AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT t.vec_id AS query_id, t.v AS qv, cent.cid,
+         |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |        round(list_sum(list_transform(generate_series(1, 64),
+         |          i -> (t.v[i] - cent.cv[i]) * (t.v[i] - cent.cv[i]))), 9) ASC,
+         |        cent.cid ASC) AS crank
+         |    FROM t CROSS JOIN cent WHERE t.vec_id < 5)
+         |  WHERE crank <= 4),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id,
+         |    CAST(round(1e6 * list_dot_product(p.qv, a.v) /
+         |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v)))) AS BIGINT) AS cos_x1e6
+         |  FROM assign a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_x1e6 DESC, vec_id) AS BIGINT) AS rnk,
+         |    vec_id, cos_x1e6
+         |  FROM scored)
+         |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -238,6 +285,7 @@ object PipelineQueries {
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "multimodal_meta" -> (multimodalMeta _)
   )
 }

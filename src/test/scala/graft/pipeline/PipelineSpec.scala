@@ -89,6 +89,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.subsetOf(bf))
   }
 
+  test("ivf topk: subset of brute force, deterministic, nonzero recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = e.select($"vec_id", $"embedding".as("v"))
+    val ivf = Similarity.ivfTopK(q, c, k = 10, numCentroids = 16, nProbe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf2 = Similarity.ivfTopK(q, c, k = 10, numCentroids = 16, nProbe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf == ivf2) // deterministic
+    val bf = Similarity.bruteForceTopK(q, c, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    // probing 4/16 buckets must recover a nonzero share of the true top-10
+    assert((ivf intersect bf).nonEmpty)
+  }
+
   test("multimodal feature extraction: deterministic stub decode over binary") {
     import Multimodal._
     val media = Seq(
