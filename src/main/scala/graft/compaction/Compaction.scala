@@ -34,7 +34,8 @@ final class Compaction(
     config: CompactionConfig = CompactionConfig(),
     retry: RetryConfig = RetryConfig(),
     catalogName: String = "local",
-    metrics: CompactionMetrics = CompactionMetrics.global
+    metrics: CompactionMetrics = CompactionMetrics.global,
+    executor: CompactionExecutor = SparkCompactionExecutor
 ) {
   private val labels = metrics.Labels(catalogName, tableDir)
 
@@ -50,20 +51,13 @@ final class Compaction(
       val tasks = ScanPlanner.toInputTasks(snap.files.map(_.toTask))
       if (tasks.dataFiles.isEmpty) return RewriteFilesStat()
 
-      val live = liveRowsFor(tasks)
-
-      // write (S7-S9)
+      // execute (S3-S9) via the pluggable executor (reference
+      // CompactionExecutor trait)
       val outDir = s"$tableDir/data/compacted-v${snap.version + 1}"
       val request = RewriteFilesRequest(tasks, null, config, outDir)
       val startingSeq = tasks.dataFiles.map(_.sequenceNumber).max
-      val written =
-        if (config.useExactRolling)
-          graft.sinks.ExactRollingWriter.write(
-            live.repartition(config.targetPartitions), outDir,
-            config.targetFileSizeBytes, config.parquetCompression,
-            config.maxRecordBatchRows, startingSeq)
-        else RollingWriter.write(live, request, startingSeq,
-          partitionBy = config.partitionBy)
+      val response = executor.rewriteFiles(spark, request, startingSeq)
+      val written = response.dataFiles
 
       // commit (T1/T2)
       val removed = snap.files.map(_.path).toSet
@@ -104,41 +98,11 @@ final class Compaction(
       metrics.observeDuration(labels, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Merge-on-read live rows for the given tasks (steps 3-4). */
-  def liveRowsFor(tasks: InputFileScanTasks): DataFrame = {
-    val needSeq = tasks.equalityDeleteFiles.nonEmpty
-    val needPos = tasks.positionDeleteFiles.nonEmpty
-    val data = ScanPlanner.readDataFiles(spark, tasks.dataFiles, needSeq, needPos)
-    val userCols = data.columns.filterNot(MergeOnRead.HiddenCols.contains).toSeq
-
-    val posDel = ScanPlanner.readPositionDeletes(spark, tasks.positionDeleteFiles)
-
-    // eq-delete tables: attach each file's sequence number, group
-    // consecutive same-key runs (datafusion_processor.rs:481-504)
-    val eqTables = ScanPlanner
-      .consecutiveRuns(tasks.equalityDeleteFiles)(_.equalityIds)
-      .map { run =>
-        import org.apache.spark.sql.functions._
-        val perFile = run.map { t =>
-          spark.read.parquet(t.filePath)
-            .select(run.head.equalityIds.map(col): _*)
-            .withColumn(MergeOnRead.SysHiddenSeqNum, lit(t.sequenceNumber))
-        }
-        val df = perFile.reduce(_ unionByName _)
-        // broadcast when the run's total bytes are under Spark's threshold
-        val bytes = run.map(_.lengthBytes).sum
-        val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-          .replace("b", "").replace("B", "") match {
-          case s if s.endsWith("k") || s.endsWith("K") => s.init.toLong * 1024
-          case s if s.endsWith("m") || s.endsWith("M") => s.init.toLong * 1024 * 1024
-          case s if s.endsWith("g") || s.endsWith("G") => s.init.toLong * 1024 * 1024 * 1024
-          case s => s.toLong
-        }
-        EqDeleteTable(df, run.head.equalityIds, broadcastHint = bytes > 0 && bytes < thresh)
-      }
-
-    MergeOnRead.liveRows(data, userCols, posDel, eqTables)
-  }
+  /** Merge-on-read live rows for the given tasks (steps 3-4) — shared
+    * with the validator re-scan, delegating to the Spark executor's
+    * assembly. */
+  def liveRowsFor(tasks: InputFileScanTasks): DataFrame =
+    SparkCompactionExecutor.liveRows(spark, tasks)
 
   /** Reference T3. */
   def expireSnapshots(keepLast: Int = 1): Seq[Long] =
@@ -154,19 +118,22 @@ object Compaction {
       tableDir: String = null,
       config: CompactionConfig = CompactionConfig(),
       retry: RetryConfig = RetryConfig(),
-      catalogName: String = "local"
+      catalogName: String = "local",
+      executor: CompactionExecutor = SparkCompactionExecutor
   ) {
     def withSpark(s: SparkSession): Builder = copy(spark = s)
     def withTableDir(d: String): Builder = copy(tableDir = d)
     def withConfig(c: CompactionConfig): Builder = copy(config = c)
     def withRetryConfig(r: RetryConfig): Builder = copy(retry = r)
     def withCatalogName(n: String): Builder = copy(catalogName = n)
+    def withExecutor(e: CompactionExecutor): Builder = copy(executor = e)
     def build(): Compaction = {
       if (spark == null) throw CompactionError.Config("SparkSession is required")
       if (tableDir == null) throw CompactionError.Config("tableDir is required")
       if (!new File(tableDir).isDirectory)
         throw CompactionError.Config(s"table dir does not exist: $tableDir")
-      new Compaction(spark, tableDir, config, retry, catalogName)
+      new Compaction(spark, tableDir, config, retry, catalogName,
+        CompactionMetrics.global, executor)
     }
   }
   def builder(): Builder = Builder()

@@ -1,0 +1,93 @@
+package graft.compaction
+
+import graft.core._
+import graft.plans.MergeOnRead
+import graft.plans.MergeOnRead.EqDeleteTable
+import graft.sinks.RollingWriter
+import graft.sources.ScanPlanner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pluggable rewrite executor — reference `trait CompactionExecutor`
+  * (core/src/executor/mod.rs:33-36,77-87): given a bare
+  * [[RewriteFilesRequest]] (tasks + config + output location, decoupled
+  * from any catalog), produce the rewritten data files.
+  */
+trait CompactionExecutor {
+  def rewriteFiles(spark: SparkSession, request: RewriteFilesRequest,
+      sequenceNumber: Long): RewriteFilesResponse
+}
+
+/** The Spark executor: merge-on-read anti-join assembly + size-targeted
+  * write (the analog of the reference's DataFusion executor,
+  * core/src/executor/datafusion/). */
+object SparkCompactionExecutor extends CompactionExecutor {
+
+  override def rewriteFiles(spark: SparkSession, request: RewriteFilesRequest,
+      sequenceNumber: Long): RewriteFilesResponse = {
+    val live = liveRows(spark, request.tasks)
+    val config = request.config
+    val written =
+      if (config.useExactRolling)
+        graft.sinks.ExactRollingWriter.write(
+          live.repartition(config.targetPartitions), request.outputDir,
+          config.targetFileSizeBytes, config.parquetCompression,
+          config.maxRecordBatchRows, sequenceNumber)
+      else RollingWriter.write(live, request, sequenceNumber,
+        partitionBy = config.partitionBy)
+    RewriteFilesResponse(
+      dataFiles = written,
+      stat = RewriteFilesStat(
+        rewrittenFilesCount =
+          (request.tasks.dataFiles ++ request.tasks.positionDeleteFiles ++
+            request.tasks.equalityDeleteFiles).size.toLong,
+        addedFilesCount = written.size.toLong,
+        rewrittenBytes = request.tasks.inputTotalBytes))
+  }
+
+  /** Merge-on-read live rows for the given tasks (reference §3.1 steps
+    * 3-6): hidden columns only as needed, delete tables broadcast when
+    * their file bytes are under the session broadcast threshold. */
+  def liveRows(spark: SparkSession, tasks: InputFileScanTasks): DataFrame = {
+    val needSeq = tasks.equalityDeleteFiles.nonEmpty
+    val needPos = tasks.positionDeleteFiles.nonEmpty
+    val data = ScanPlanner.readDataFiles(spark, tasks.dataFiles, needSeq, needPos)
+    val userCols = data.columns.filterNot(MergeOnRead.HiddenCols.contains).toSeq
+    val posDel = ScanPlanner.readPositionDeletes(spark, tasks.positionDeleteFiles)
+
+    val eqTables = ScanPlanner
+      .consecutiveRuns(tasks.equalityDeleteFiles)(_.equalityIds)
+      .map { run =>
+        import org.apache.spark.sql.functions._
+        val perFile = run.map { t =>
+          spark.read.parquet(t.filePath)
+            .select(run.head.equalityIds.map(col): _*)
+            .withColumn(MergeOnRead.SysHiddenSeqNum, lit(t.sequenceNumber))
+        }
+        val df = perFile.reduce(_ unionByName _)
+        val bytes = run.map(_.lengthBytes).sum
+        EqDeleteTable(df, run.head.equalityIds,
+          broadcastHint = bytes > 0 && bytes < broadcastThreshold(spark))
+      }
+    MergeOnRead.liveRows(data, userCols, posDel, eqTables)
+  }
+
+  private def broadcastThreshold(spark: SparkSession): Long = {
+    val raw = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .stripSuffix("b").stripSuffix("B")
+    raw.toUpperCase match {
+      case s if s.endsWith("K") => s.init.toLong * 1024
+      case s if s.endsWith("M") => s.init.toLong * 1024 * 1024
+      case s if s.endsWith("G") => s.init.toLong * 1024 * 1024 * 1024
+      case s => s.toLong
+    }
+  }
+}
+
+/** Mock executor — reference core/src/executor/mock.rs:22-29: performs no
+  * IO and returns an empty rewrite (interface/wiring tests). */
+object MockCompactionExecutor extends CompactionExecutor {
+  override def rewriteFiles(spark: SparkSession, request: RewriteFilesRequest,
+      sequenceNumber: Long): RewriteFilesResponse =
+    RewriteFilesResponse(Nil, RewriteFilesStat())
+}

@@ -93,6 +93,18 @@ class CompactionSpec extends AnyFunSuite {
       (6, "Frank"), (7, "Grace"), (8, "Heidi"), (2, "Bob2")))
   }
 
+  test("mock executor plugs in and commits an empty rewrite (reference mock.rs)") {
+    val dir = mkTable()
+    val stat = Compaction.builder()
+      .withSpark(spark).withTableDir(dir)
+      .withExecutor(MockCompactionExecutor)
+      .build().compact()
+    assert(stat.addedFilesCount == 0 && stat.rewrittenFilesCount == 4)
+    // the commit removed everything and added nothing
+    val snap = TableMetadata.loadOrThrow(dir)
+    assert(snap.version == 2 && snap.files.isEmpty)
+  }
+
   test("empty table compacts to empty stats (reference early-exit)") {
     val dir = Files.createTempDirectory("graft-empty").toString
     TableMetadata.commit(dir, TableSnapshot(1, 0, 0, Nil))
