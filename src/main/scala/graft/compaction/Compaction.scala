@@ -1,9 +1,6 @@
 package graft.compaction
 
 import graft.core._
-import graft.plans.MergeOnRead
-import graft.plans.MergeOnRead.EqDeleteTable
-import graft.sinks.RollingWriter
 import graft.sources.ScanPlanner
 import graft.txn.{CommitManager, TableMetadata}
 import graft.validate.Validator
@@ -119,7 +116,8 @@ object Compaction {
       config: CompactionConfig = CompactionConfig(),
       retry: RetryConfig = RetryConfig(),
       catalogName: String = "local",
-      executor: CompactionExecutor = SparkCompactionExecutor
+      executor: CompactionExecutor = SparkCompactionExecutor,
+      metrics: CompactionMetrics = CompactionMetrics.global
   ) {
     def withSpark(s: SparkSession): Builder = copy(spark = s)
     def withTableDir(d: String): Builder = copy(tableDir = d)
@@ -127,13 +125,15 @@ object Compaction {
     def withRetryConfig(r: RetryConfig): Builder = copy(retry = r)
     def withCatalogName(n: String): Builder = copy(catalogName = n)
     def withExecutor(e: CompactionExecutor): Builder = copy(executor = e)
+    /** Reference `with_registry`: inject a metrics registry. */
+    def withMetrics(m: CompactionMetrics): Builder = copy(metrics = m)
     def build(): Compaction = {
       if (spark == null) throw CompactionError.Config("SparkSession is required")
       if (tableDir == null) throw CompactionError.Config("tableDir is required")
       if (!new File(tableDir).isDirectory)
         throw CompactionError.Config(s"table dir does not exist: $tableDir")
       new Compaction(spark, tableDir, config, retry, catalogName,
-        CompactionMetrics.global, executor)
+        metrics, executor)
     }
   }
   def builder(): Builder = Builder()
