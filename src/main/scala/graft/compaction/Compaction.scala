@@ -66,23 +66,26 @@ final class Compaction(
           startingSequenceNumber = startingSeq,
           useStartingSequenceNumber = config.useStartingSequenceNumber)
 
-      // validate (V1)
+      // validate (V1). Fanout data files carry every original column
+      // (the writer partitions by mirrored __p_ columns), so committed
+      // leaf files read plainly; an empty rewrite validates as 0 rows
+      // instead of crashing the schema-less parquet read.
       if (config.enableValidateCompaction) {
-        // basePath recovers fanout partition columns from directory names
-        val outputDf = spark.read.option("basePath", outDir).parquet(
-          committed.files.filter(_.content == "data").map(_.path): _*)
-        // fanout writes move partition cols into directory names; select
-        // the input column order so strict (exceptAll) compare aligns
         val input = liveRowsFor(tasks)
+        val dataPaths = committed.files.filter(_.content == "data").map(_.path)
+        val outputDf =
+          if (dataPaths.isEmpty) input.limit(0)
+          else spark.read.parquet(dataPaths: _*)
         val aligned = outputDf.select(input.columns.map(org.apache.spark.sql.functions.col): _*)
         Validator.validate(input, aligned, strict = config.strictValidation)
       }
 
-      val stat = RewriteFilesStat(
+      // stats: the executor's own accounting plus the commit-side removal
+      // count (paths collapse in the removed Set, so the commit view is
+      // authoritative for rewrittenFilesCount)
+      val stat = response.stat.copy(
         rewrittenFilesCount = removed.size.toLong,
-        addedFilesCount = written.size.toLong,
-        rewrittenBytes = tasks.inputTotalBytes,
-        failedDataFilesCount = 0L)
+        addedFilesCount = written.size.toLong)
       metrics.addRewrittenFiles(labels, stat.rewrittenFilesCount)
       metrics.addAddedFiles(labels, stat.addedFilesCount)
       metrics.addRewrittenBytes(labels, stat.rewrittenBytes)

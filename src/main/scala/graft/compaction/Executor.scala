@@ -24,8 +24,10 @@ object SparkCompactionExecutor extends CompactionExecutor {
 
   override def rewriteFiles(spark: SparkSession, request: RewriteFilesRequest,
       sequenceNumber: Long): RewriteFilesResponse = {
-    val live = liveRows(spark, request.tasks)
     val config = request.config
+    require(!(config.useExactRolling && config.partitionBy.nonEmpty),
+      "useExactRolling does not support partitionBy fanout; use the declarative writer")
+    val live = liveRows(spark, request.tasks)
     val written =
       if (config.useExactRolling)
         graft.sinks.ExactRollingWriter.write(

@@ -285,10 +285,11 @@ case class JaccardX1000Expr(left: Expression, right: Expression)
       val cnt = ctx.freshName("cnt"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val un = ctx.freshName("un")
       val cmp = ctx.freshName("cmp")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val loop = if (longElements)
-        s"""long x = $a.getLong($i); long y = $b.getLong($j);
-           |if (x == y) { $cnt++; $i++; $j++; }
-           |else if (x < y) { $i++; } else { $j++; }""".stripMargin
+        s"""long $x = $a.getLong($i); long $y = $b.getLong($j);
+           |if ($x == $y) { $cnt++; $i++; $j++; }
+           |else if ($x < $y) { $i++; } else { $j++; }""".stripMargin
       else
         s"""int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
            |if ($cmp == 0) { $cnt++; $i++; $j++; }
@@ -409,7 +410,13 @@ case class HyperplaneBucketExpr(child: Expression, dims: Int, numBits: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dims)
+    // contract parity with the HOF twin: under ANSI mode, getItem beyond
+    // the vector length errors — a shorter-than-dims vector is invalid
+    // input in both forms, not a silent partial dot
+    if (v.numElements() < dims)
+      throw new IllegalArgumentException(
+        s"hyperplane_bucket: vector has ${v.numElements()} elements, expected >= $dims")
+    val n = dims
     var bucket = 0L
     var b = 0
     while (b < numBits) {

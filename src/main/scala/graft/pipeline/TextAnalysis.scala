@@ -36,6 +36,15 @@ object TextAnalysis {
       size(array_distinct(w)).cast("long").as("n_distinct_tokens"))
   }
 
+  /** The quality-gate predicate as a single narrow Column — usable as a
+    * row filter with no join/shuffle (the SQL twin is
+    * graft.queries.QuerySql.qualityPredicate). */
+  def qualityOk(text: Column): Column = {
+    val w = words(text)
+    length(text) >= 100 &&
+      floor(lit(1000.0) * size(array_distinct(w)) / size(w)) >= 300
+  }
+
   /** Quality metrics: actual char length, word count, distinct ratio
     * (x1000), stopword hits, and a simple accept flag. */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

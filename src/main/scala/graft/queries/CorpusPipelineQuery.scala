@@ -25,14 +25,14 @@ object CorpusPipelineQuery {
   def run(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
-    // 1. quality gate
-    val q = TextAnalysis.quality(docs, "doc_id", "text")
-      .filter(col("quality_ok")).select("doc_id")
-    val qualityDocs = docs.join(q, "doc_id")
+    // 1. quality gate — a narrow row filter, no join
+    val qualityDocs = docs.filter(TextAnalysis.qualityOk(col("text")))
 
     // 2. exact dedup. The survivor frame feeds the LSH self-join (both
     // sides), the verification lookups, and the final anti-join — persist
-    // it so the upstream joins and shingling run once, not per reference.
+    // it so the upstream join and shingling run once, not per reference.
+    // The cached frame is small (the deduped corpus keys); it lives until
+    // the session ends, which matches the one-shot Verify/Bench drivers.
     val exactSurvivors = Dedup
       .exact(qualityDocs, col("text"), col("doc_id"))
       .select(col("survivor_id").as("doc_id"))

@@ -137,7 +137,7 @@ object PipelineQueries {
          |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
          |  CAST(floor(1000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS distinct_ratio_x1000,
          |  CAST(len(list_filter(w, x -> x IN ($stopList))) AS BIGINT) AS stopword_hits,
-         |  (length(text) >= 100 AND floor(1000.0 * len(list_distinct(w)) / len(w)) >= 300) AS quality_ok
+         |  (${QuerySql.qualityPredicate}) AS quality_ok
          |FROM t ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents)

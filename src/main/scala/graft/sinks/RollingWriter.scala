@@ -45,6 +45,12 @@ object RollingWriter {
     *        rows are routed to per-partition-value directories; each
     *        writer task fans out to the partitions it sees, so no extra
     *        shuffle is imposed (Iceberg's `fanout.enabled` shape).
+    *        Spark's `partitionBy` drops partition columns from the file
+    *        DATA (directory names only), which would silently lose the
+    *        column for any consumer reading committed leaf files — so the
+    *        fanout is driven by MIRRORED `__p_<col>` columns: directories
+    *        are `__p_<col>=<v>/`, while every data file keeps the original
+    *        column with full type fidelity.
     */
   def write(
       df: DataFrame,
@@ -58,12 +64,19 @@ object RollingWriter {
     val bpr = estimateBytesPerRow(inBytes, inRows)
     val maxRecords = maxRecordsPerFile(cfg.targetFileSizeBytes, bpr)
 
-    val writer = df.repartition(cfg.targetPartitions)
+    val (outDf, partCols) =
+      if (partitionBy.isEmpty) (df, Nil)
+      else (
+        partitionBy.foldLeft(df)((d, c) =>
+          d.withColumn(s"__p_$c", org.apache.spark.sql.functions.col(c))),
+        partitionBy.map(c => s"__p_$c"))
+
+    val writer = outDf.repartition(cfg.targetPartitions)
       .write
       .mode("overwrite")
       .option("compression", cfg.parquetCompression)
       .option("maxRecordsPerFile", maxRecords)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(request.outputDir)
 
     listDataFiles(request.outputDir, sequenceNumber)

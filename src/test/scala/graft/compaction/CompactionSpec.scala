@@ -156,8 +156,13 @@ class CompactionSpec extends AnyFunSuite {
       .compact()
     assert(stat.rewrittenFilesCount == 4)
     val snap = TableMetadata.loadOrThrow(dir)
-    assert(snap.files.forall(_.path.contains("name=")))
-    val result = spark.read.parquet(s"$dir/data/compacted-v2")
+    // fanout dirs use mirrored __p_ columns; the DATA keeps `name`
+    assert(snap.files.forall(_.path.contains("__p_name=")))
+    // committed leaf files must be self-contained (regression: partition
+    // columns must not live only in directory names)
+    val leafRead = spark.read.parquet(snap.files.map(_.path): _*)
+    assert(leafRead.columns.toSet == Set("id", "name"))
+    val result = leafRead
       .select("id", "name").as[(Int, String)].collect().toSet
     assert(result == Set(
       (3, "Charlie"), (4, "Dave"),

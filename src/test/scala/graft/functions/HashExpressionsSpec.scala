@@ -87,6 +87,16 @@ class HashExpressionsSpec extends AnyFunSuite {
     val hof = e.select($"vec_id",
       graft.pipeline.Similarity.hyperplaneBucketHof($"embedding", 64, 8).as("b"))
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    // short-vector parity: BOTH forms reject vectors shorter than dims
+    // (HOF via ANSI out-of-bounds getItem, native via its own guard)
+    val short = Seq(Array(0.5f, -0.5f)).toDF("embedding")
+    assertThrows[Exception] {
+      short.select(HashColumns.hyperplaneBucket($"embedding", 64, 8)).collect()
+    }
+    assertThrows[Exception] {
+      short.select(
+        graft.pipeline.Similarity.hyperplaneBucketHof($"embedding", 64, 8)).collect()
+    }
   }
 
   test("native cosine == HOF cosine bitwise") {

@@ -77,11 +77,17 @@ class ScanPlannerSpec extends AnyFunSuite {
       partitionBy = Seq("part"))
     assert(written.nonEmpty)
     assert(written.forall(_.sequenceNumber == 5))
-    assert(written.exists(_.filePath.contains("part=p1")))
-    assert(written.exists(_.filePath.contains("part=p2")))
+    // fanout directories use the MIRRORED partition columns...
+    assert(written.exists(_.filePath.contains("__p_part=p1")))
+    assert(written.exists(_.filePath.contains("__p_part=p2")))
+    // ...so committed leaf files stay self-contained (the original column
+    // is IN the data, not only in the directory name)
+    val leaf = spark.read.parquet(written.map(_.filePath): _*)
+    assert(leaf.columns.toSet == Set("id", "v", "part"))
+    assert(leaf.count() == 3)
     val back = spark.read.parquet(outDir)
     assert(back.count() == 3)
-    assert(back.columns.toSet == Set("id", "v", "part"))
+    assert(back.columns.toSet == Set("id", "v", "part", "__p_part"))
   }
 
   test("metrics record compaction counters") {
