@@ -85,7 +85,44 @@ object AnalyticsQueries {
       .orderBy("hour_epoch", "event_type")
   }
 
+  /** Corpus vocabulary top-k: explode tokens, global term counts, top 20
+    * by frequency (term tiebreak). Scale shape: map-side partial counts
+    * over the exploded terms, ONE shuffle on term, top-k without a global
+    * sort of the vocabulary. */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(20)
+
+  /** Multi-level rollup of the pricing aggregate: (flag, status), (flag),
+    * and grand total in one pass — Spark's partial-aggregate rollup. */
+  def rollupPricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_price_cents"), col("n"))
+      .orderBy("flag", "status")
+
   val oracles: Map[String, String] = Map(
+    "vocab_topk" ->
+      """SELECT term, count(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20""".stripMargin,
+    "rollup_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
     "agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
@@ -123,6 +160,8 @@ object AnalyticsQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_topk" -> (vocabTopK _),
+    "rollup_pricing" -> (rollupPricing _),
     "agg_pricing" -> (aggPricing _),
     "join_revenue" -> (joinRevenue _),
     "window_topk" -> (windowTopK _),

@@ -169,6 +169,23 @@ class CompactionSpec extends AnyFunSuite {
       (6, "Frank"), (7, "Grace"), (8, "Heidi"), (2, "Bob2")))
   }
 
+  test("partitioned table survives a SECOND compaction intact (data-loss regression)") {
+    val dir = mkTable()
+    val cfg = CompactionConfig(targetPartitions = 2, partitionBy = Seq("name"),
+      enableValidateCompaction = true)
+    val c = Compaction.builder().withSpark(spark).withTableDir(dir)
+      .withConfig(cfg).build()
+    c.compact() // v2, partitioned output
+    c.compact() // v3: re-reads committed leaf files — `name` must survive
+    val snap = TableMetadata.loadOrThrow(dir)
+    assert(snap.version == 3)
+    val rows = spark.read.parquet(snap.files.map(_.path): _*)
+    assert(rows.columns.toSet == Set("id", "name"))
+    assert(rows.select("id", "name").as[(Int, String)].collect().toSet == Set(
+      (3, "Charlie"), (4, "Dave"),
+      (6, "Frank"), (7, "Grace"), (8, "Heidi"), (2, "Bob2")))
+  }
+
   test("second compaction is idempotent on row content") {
     val dir = mkTable()
     val c = Compaction.builder().withSpark(spark).withTableDir(dir).build()
