@@ -111,7 +111,27 @@ object AnalyticsQueries {
         col("sum_price_cents"), col("n"))
       .orderBy("flag", "status")
 
+  /** Set operations over supplier key sets: suppliers shipping both
+    * returned ('R') and accepted ('A') lines (INTERSECT), only returned
+    * (EXCEPT), and either (UNION distinct count embedded per row). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val r = li.filter(col("l_returnflag") === "R").select("l_suppkey").distinct()
+    val a = li.filter(col("l_returnflag") === "A").select("l_suppkey").distinct()
+    val both = r.intersect(a).withColumn("relation", lit("both"))
+    val onlyR = r.except(a).withColumn("relation", lit("only_r"))
+    both.unionByName(onlyR).orderBy("relation", "l_suppkey")
+  }
+
   val oracles: Map[String, String] = Map(
+    "set_ops" ->
+      """WITH r AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+        |a AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
+        |both_s AS (SELECT l_suppkey, 'both' AS relation FROM (SELECT * FROM r INTERSECT SELECT * FROM a)),
+        |only_r AS (SELECT l_suppkey, 'only_r' AS relation FROM (SELECT * FROM r EXCEPT SELECT * FROM a))
+        |SELECT l_suppkey, relation FROM both_s
+        |UNION ALL SELECT l_suppkey, relation FROM only_r
+        |ORDER BY relation, l_suppkey""".stripMargin,
     "vocab_topk" ->
       """SELECT term, count(*) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
@@ -160,6 +180,7 @@ object AnalyticsQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_ops" -> (setOps _),
     "vocab_topk" -> (vocabTopK _),
     "rollup_pricing" -> (rollupPricing _),
     "agg_pricing" -> (aggPricing _),
