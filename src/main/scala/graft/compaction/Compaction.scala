@@ -49,8 +49,12 @@ final class Compaction(
       if (tasks.dataFiles.isEmpty) return RewriteFilesStat()
 
       // execute (S3-S9) via the pluggable executor (reference
-      // CompactionExecutor trait)
-      val outDir = s"$tableDir/data/compacted-v${snap.version + 1}"
+      // CompactionExecutor trait). The output dir is UNIQUE per run
+      // (reference dataFilePrefix + run id): a concurrent compaction of
+      // the same snapshot must never mode("overwrite") the winner's
+      // already-committed data files.
+      val outDir = s"$tableDir/data/${config.dataFilePrefix}-" +
+        java.util.UUID.randomUUID().toString.take(8)
       val request = RewriteFilesRequest(tasks, null, config, outDir)
       val startingSeq = tasks.dataFiles.map(_.sequenceNumber).max
       val response = executor.rewriteFiles(spark, request, startingSeq)

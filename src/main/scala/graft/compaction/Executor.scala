@@ -56,33 +56,23 @@ object SparkCompactionExecutor extends CompactionExecutor {
     val userCols = data.columns.filterNot(MergeOnRead.HiddenCols.contains).toSeq
     val posDel = ScanPlanner.readPositionDeletes(spark, tasks.positionDeleteFiles)
 
-    val eqTables = ScanPlanner
-      .consecutiveRuns(tasks.equalityDeleteFiles)(_.equalityIds)
-      .map { run =>
-        import org.apache.spark.sql.functions._
-        val perFile = run.map { t =>
-          spark.read.parquet(t.filePath)
-            .select(run.head.equalityIds.map(col): _*)
-            .withColumn(MergeOnRead.SysHiddenSeqNum, lit(t.sequenceNumber))
-        }
-        val df = perFile.reduce(_ unionByName _)
+    val runs = ScanPlanner.consecutiveRuns(tasks.equalityDeleteFiles)(_.equalityIds)
+    val eqTables = ScanPlanner.readEqualityDeletes(spark, tasks.equalityDeleteFiles)
+      .zip(runs)
+      .map { case ((df, ids), run) =>
         val bytes = run.map(_.lengthBytes).sum
-        EqDeleteTable(df, run.head.equalityIds,
+        EqDeleteTable(df, ids,
           broadcastHint = bytes > 0 && bytes < broadcastThreshold(spark))
       }
     MergeOnRead.liveRows(data, userCols, posDel, eqTables)
   }
 
   private def broadcastThreshold(spark: SparkSession): Long = {
-    val raw = spark.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      .stripSuffix("b").stripSuffix("B")
-    raw.toUpperCase match {
-      case s if s.endsWith("K") => s.init.toLong * 1024
-      case s if s.endsWith("M") => s.init.toLong * 1024 * 1024
-      case s if s.endsWith("G") => s.init.toLong * 1024 * 1024 * 1024
-      case s => s.toLong
-    }
+    // Spark's own byte-string parser handles every valid suffix
+    // (k/m/g/t/p, with or without trailing b) — don't re-implement it
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    raw.toLongOption.getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
   }
 }
 

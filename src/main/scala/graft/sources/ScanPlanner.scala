@@ -104,18 +104,26 @@ object ScanPlanner {
       spark.read.parquet(tasks.map(_.filePath): _*)
         .toDF(SysHiddenFilePath, SysHiddenPos))
 
-  /** Read equality-delete files, grouped by CONSECUTIVE runs of identical
-    * `equalityIds` — the reference groups consecutive runs, not global
-    * distinct (datafusion_processor.rs:481-504), and the anti-join chain
-    * preserves file order; we replicate exactly. */
+  /** Read equality-delete files as joinable delete tables: grouped by
+    * CONSECUTIVE runs of identical `equalityIds` (the reference groups
+    * consecutive runs, not global distinct —
+    * datafusion_processor.rs:481-504) with each FILE's sequence number
+    * attached as `sys_hidden_seq_num` (without it the seq-aware
+    * anti-join cannot enforce `data.seq < delete.seq`). */
   def readEqualityDeletes(
       spark: SparkSession,
       tasks: Seq[FileScanTask]
   ): Seq[(DataFrame, Seq[String])] = {
-    val runs = consecutiveRuns(tasks)(_.equalityIds)
-    runs.map { run =>
-      val df = spark.read.parquet(run.map(_.filePath): _*)
-      (df, run.head.equalityIds)
+    import org.apache.spark.sql.functions._
+    import graft.plans.MergeOnRead.SysHiddenSeqNum
+    consecutiveRuns(tasks)(_.equalityIds).map { run =>
+      val ids = run.head.equalityIds
+      val df = run.map { t =>
+        spark.read.parquet(t.filePath)
+          .select(ids.map(col): _*)
+          .withColumn(SysHiddenSeqNum, lit(t.sequenceNumber))
+      }.reduce(_ unionByName _)
+      (df, ids)
     }
   }
 
@@ -152,18 +160,10 @@ object ScanPlanner {
       df.createOrReplaceTempView(n)
       n
     }
-    val eqNames = consecutiveRuns(tasks.equalityDeleteFiles)(_.equalityIds)
-      .zipWithIndex.map { case (run, i) =>
-        import org.apache.spark.sql.functions._
-        val ids = run.head.equalityIds
+    val eqNames = readEqualityDeletes(spark, tasks.equalityDeleteFiles)
+      .zipWithIndex.map { case ((df, ids), i) =>
         val n = equalityDeleteTableName(prefix, i)
-        // attach per-file sequence numbers, matching the executor path
-        val withSeq = run.map { t =>
-          spark.read.parquet(t.filePath)
-            .select(ids.map(col): _*)
-            .withColumn(SysHiddenSeqNum, lit(t.sequenceNumber))
-        }.reduce(_ unionByName _)
-        withSeq.createOrReplaceTempView(n)
+        df.createOrReplaceTempView(n)
         (n, ids)
       }
     (dataName, posName, eqNames)

@@ -44,6 +44,16 @@ final class CommitManager(
         if (cur.schemaId != expectedSchemaId)
           throw CompactionError.SchemaDrift(
             s"schema id changed ${expectedSchemaId} -> ${cur.schemaId} between plan and commit")
+        // stale-rewrite guard: every file this rewrite removes must still
+        // be current — if another commit already removed them, committing
+        // our rewrite would DUPLICATE their rows (Iceberg's RewriteFiles
+        // fails the same way via ValidationException)
+        val current = cur.files.map(_.path).toSet
+        val gone = removedPaths -- current
+        if (gone.nonEmpty)
+          throw CompactionError.CommitConflict(
+            s"rewrite is stale: ${gone.size} removed file(s) no longer in the " +
+              s"current snapshot (e.g. ${gone.head})")
 
         val newSeq =
           if (useStartingSequenceNumber) startingSequenceNumber
@@ -100,15 +110,6 @@ final class CommitManager(
     expired
   }
 
-  private def loadVersionFiles(v: Long): Seq[String] = {
-    val p = java.nio.file.Paths.get(TableMetadata.metadataDir(tableDir), s"v$v.json")
-    if (!java.nio.file.Files.exists(p)) Nil
-    else {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      mapper.registerModule(new com.fasterxml.jackson.module.scala.DefaultScalaModule)
-      mapper.configure(
-        com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
-      mapper.readValue(java.nio.file.Files.readString(p), classOf[TableSnapshot]).files.map(_.path)
-    }
-  }
+  private def loadVersionFiles(v: Long): Seq[String] =
+    TableMetadata.loadVersion(tableDir, v).toSeq.flatMap(_.files.map(_.path))
 }

@@ -87,7 +87,13 @@ object TableMetadata {
       throw CompactionError.Config(s"no table metadata under $tableDir"))
 
   /** CAS-commit `snapshot` as the next version. Throws
-    * [[CompactionError.CommitConflict]] if that version already exists. */
+    * [[CompactionError.CommitConflict]] if that version already exists.
+    *
+    * The publish step is an atomic HARD LINK of the fully-written temp
+    * file: POSIX `link()` fails with EEXIST when the target exists, which
+    * a rename does NOT (on Linux, `Files.move(..., ATOMIC_MOVE)` silently
+    * REPLACES an existing regular file — a rename-based CAS would let a
+    * losing concurrent committer overwrite the winner's snapshot). */
   def commit(tableDir: String, snapshot: TableSnapshot): Unit = {
     val dir = Paths.get(metadataDir(tableDir))
     Files.createDirectories(dir)
@@ -95,17 +101,23 @@ object TableMetadata {
     val tmp = dir.resolve(s"v${snapshot.version}.json.${java.util.UUID.randomUUID()}.tmp")
     Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snapshot))
     try
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      Files.createLink(target, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
         throw CompactionError.CommitConflict(
           s"snapshot v${snapshot.version} already exists (concurrent commit)")
       case e: java.nio.file.FileSystemException if Files.exists(target) =>
-        Files.deleteIfExists(tmp)
         throw CompactionError.CommitConflict(
           s"snapshot v${snapshot.version} already exists: ${e.getMessage}")
-    }
+    } finally
+      Files.deleteIfExists(tmp)
+  }
+
+  /** Load a SPECIFIC snapshot version (shared mapper). */
+  def loadVersion(tableDir: String, version: Long): Option[TableSnapshot] = {
+    val p = Paths.get(metadataDir(tableDir), s"v$version.json")
+    if (!Files.exists(p) || !Files.isRegularFile(p)) None
+    else Some(mapper.readValue(Files.readString(p), classOf[TableSnapshot]))
   }
 
   /** List snapshot versions, oldest first. */

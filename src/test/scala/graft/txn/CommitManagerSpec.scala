@@ -37,6 +37,42 @@ class CommitManagerSpec extends AnyFunSuite {
     assert(snap.lastSequenceNumber == 6)
   }
 
+  test("REAL CAS: committing the same version twice raises CommitConflict") {
+    // regression: rename-based publish silently REPLACES on Linux; the
+    // hard-link publish must fail on an existing regular file
+    val dir = mkTable() // v1 exists
+    val winner = TableSnapshot(2, 1, 5,
+      Seq(FileEntry("/t/winner.parquet", "data", 1, 1, 5)))
+    TableMetadata.commit(dir, winner)
+    assertThrows[CompactionError.CommitConflict] {
+      TableMetadata.commit(dir, TableSnapshot(2, 1, 5,
+        Seq(FileEntry("/t/loser.parquet", "data", 1, 1, 5))))
+    }
+    // the winner's snapshot content is untouched
+    assert(TableMetadata.loadOrThrow(dir).files.map(_.path) ==
+      Seq("/t/winner.parquet"))
+  }
+
+  test("stale rewrite (files already removed by a rival) cannot commit") {
+    val dir = mkTable()
+    // rival compaction removes /t/old.parquet first
+    new CommitManager(dir).rewriteFiles(
+      Seq(DataFileMeta("/t/rival.parquet", 1, 1, -1)),
+      Set("/t/old.parquet"), 1, 5)
+    // our rewrite still thinks old.parquet is current -> must not
+    // duplicate rows by committing on top
+    val cm = new CommitManager(dir, RetryConfig(maxRetries = 1, minDelayMs = 1),
+      sleeper = _ => ())
+    val e = intercept[CompactionError.Unexpected] {
+      cm.rewriteFiles(added, Set("/t/old.parquet"), 1, 5)
+    }
+    assert(e.getCause.isInstanceOf[CompactionError.CommitConflict])
+    assert(e.getCause.getMessage.contains("stale"))
+    // table still only has the rival's file
+    assert(TableMetadata.loadOrThrow(dir).files.map(_.path) ==
+      Seq("/t/rival.parquet"))
+  }
+
   test("schema drift aborts without retry") {
     val dir = mkTable(schemaId = 2)
     var sleeps = 0
