@@ -73,6 +73,34 @@ class CommitManagerSpec extends AnyFunSuite {
       Seq("/t/rival.parquet"))
   }
 
+  test("8-way concurrent append-style commits: no lost updates") {
+    val dir = mkTable() // v1, one file
+    val threads = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val results = (0 until threads).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean =
+          try {
+            // append-only rewrite: removes nothing, adds one file — every
+            // thread must eventually succeed on a fresh version
+            new CommitManager(dir,
+              RetryConfig(maxRetries = 20, minDelayMs = 1, maxDelayMs = 5))
+              .rewriteFiles(Seq(DataFileMeta(s"/t/c$i.parquet", 1, 1, -1)),
+                Set.empty, 1, 5)
+            true
+          } catch { case _: Throwable => false }
+      })
+    }
+    pool.shutdown()
+    val ok = results.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(ok.forall(identity), "every committer should win a version")
+    val snap = TableMetadata.loadOrThrow(dir)
+    // all 8 added files present plus the original — nothing lost
+    assert(snap.version == 1L + threads)
+    assert(snap.files.map(_.path).toSet ==
+      (0 until threads).map(i => s"/t/c$i.parquet").toSet + "/t/old.parquet")
+  }
+
   test("schema drift aborts without retry") {
     val dir = mkTable(schemaId = 2)
     var sleeps = 0
