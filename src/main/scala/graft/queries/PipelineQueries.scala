@@ -97,6 +97,28 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch over l_orderkey — a
+    * DETERMINISTIC alternative to HLL (approx_count_distinct's HLL++
+    * cannot be replayed by another engine): estimate = (k-1) * 2^60 /
+    * kth-smallest hash. One narrow hash pass + a tiny top-k; at scale
+    * the k smallest hashes per partition merge associatively, so the
+    * sketch shuffles k values per partition, not the key set. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    import org.apache.spark.sql.functions._
+    val hashes = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(graft.pipeline.TextFunctions
+        .hash64(lit("kmv"), col("l_orderkey").cast("string")).as("h"))
+      .distinct()
+    val kth = hashes.orderBy("h").limit(k)
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("n"))
+    kth.select(
+      col("n").as("sketch_size"),
+      when(col("n") < k, col("n")) // fewer distinct than k -> exact
+        .otherwise(floor(lit((k - 1).toDouble) * math.pow(2.0, 60) / col("kth")).cast("long"))
+        .as("distinct_estimate"))
+  }
+
   // ---- multimodal ----
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -266,6 +288,16 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "kmv_distinct" ->
+      s"""WITH hashes AS (
+         |  SELECT DISTINCT ${h64("'kmv:' || l_orderkey")} AS h FROM lineitem),
+         |topk AS (SELECT h FROM hashes ORDER BY h LIMIT 256),
+         |agg AS (SELECT max(h) AS kth, count(*) AS n FROM topk)
+         |SELECT n AS sketch_size,
+         |  CASE WHEN n < 256 THEN n
+         |       ELSE CAST(floor(255.0 * pow(2, 60) / kth) AS BIGINT) END
+         |    AS distinct_estimate
+         |FROM agg""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -286,6 +318,7 @@ object PipelineQueries {
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "kmv_distinct" -> (kmvDistinct _),
     "multimodal_meta" -> (multimodalMeta _)
   )
 }

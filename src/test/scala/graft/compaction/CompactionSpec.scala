@@ -113,6 +113,21 @@ class CompactionSpec extends AnyFunSuite {
     assert(stat == RewriteFilesStat())
   }
 
+  test("executor failure increments the error counter, duration still recorded") {
+    val dir = mkTable()
+    // corrupt the snapshot to point at a missing data file
+    val snap = TableMetadata.loadOrThrow(dir)
+    TableMetadata.commit(dir, snap.copy(version = snap.version + 1,
+      files = snap.files.map(f =>
+        if (f.content == "data") f.copy(path = f.path + ".missing") else f)))
+    val m = new CompactionMetrics
+    val c = new Compaction(spark, dir, CompactionConfig(), RetryConfig(),
+      "cat", m)
+    intercept[Throwable] { c.compact() }
+    val l = m.Labels("cat", dir)
+    assert(m.counterValue("compaction_executor_error_counter", l) == 1)
+  }
+
   test("builder validates required fields") {
     assertThrows[CompactionError.Config] {
       Compaction.builder().withTableDir("/tmp").build()
