@@ -119,6 +119,24 @@ object PipelineQueries {
         .as("distinct_estimate"))
   }
 
+  /** Deterministic (hash-gated) stratified sampling — reproducible corpus
+    * subsets without RNG state: doc is sampled iff
+    * hash64("smp", doc_id) % 1000 < 200 (a 20% gate). Per-language
+    * sampled/total counts verify the stratification. Narrow row filter;
+    * the same gate re-selects the identical subset on any engine or
+    * cluster size. */
+  def deterministicSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gated = documents(spark, dir).withColumn("in_sample",
+      pmod(graft.pipeline.TextFunctions
+        .hash64(lit("smp"), col("doc_id").cast("string")), lit(1000L)) < 200)
+    gated.groupBy("lang")
+      .agg(
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("sampled"),
+        count(lit(1)).as("total"))
+      .orderBy("lang")
+  }
+
   // ---- multimodal ----
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -288,6 +306,11 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "deterministic_sample" ->
+      s"""SELECT lang,
+         |  CAST(sum(CASE WHEN ${h64("'smp:' || doc_id")} % 1000 < 200 THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+         |  count(*) AS total
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "kmv_distinct" ->
       s"""WITH hashes AS (
          |  SELECT DISTINCT ${h64("'kmv:' || l_orderkey")} AS h FROM lineitem),
@@ -319,6 +342,7 @@ object PipelineQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "kmv_distinct" -> (kmvDistinct _),
+    "deterministic_sample" -> (deterministicSample _),
     "multimodal_meta" -> (multimodalMeta _)
   )
 }
