@@ -112,8 +112,8 @@ object AnalyticsQueries {
       .orderBy("flag", "status")
 
   /** Set operations over supplier key sets: suppliers shipping both
-    * returned ('R') and accepted ('A') lines (INTERSECT), only returned
-    * (EXCEPT), and either (UNION distinct count embedded per row). */
+    * returned ('R') and accepted ('A') lines (INTERSECT) and only
+    * returned (EXCEPT), emitted as one UNION ALL relation. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val r = li.filter(col("l_returnflag") === "R").select("l_suppkey").distinct()

@@ -28,8 +28,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object CompactionE2EQuery {
 
-  private val rowKey = Seq("l_orderkey", "l_linenumber", "l_partkey",
-    "l_suppkey", "l_quantity", "l_extendedprice")
+  private val rowKey = MorQueries.rowKey // one verified-unique definition
   private val outCols = Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag")
 
   private def writeOne(df: DataFrame, target: String): (Long, Long) = {
@@ -41,6 +40,10 @@ object CompactionE2EQuery {
       s"writeOne expects a single-partition df, got ${parts.length} part files")
     Files.createDirectories(Paths.get(target).getParent)
     Files.move(parts.head.toPath, Paths.get(target), StandardCopyOption.REPLACE_EXISTING)
+    // clean the scratch dir (only _SUCCESS/crc markers remain); the table
+    // dir itself must outlive this call — the returned DataFrame reads it
+    Option(new File(tmp).listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    new File(tmp).delete()
     (new File(target).length(), spark.read.parquet(target).count())
   }
 

@@ -17,12 +17,15 @@ object JoinQueries {
   }
 
   /** For every event: the id of the user's most recent purchase event at
-    * or before it (-1 when none). */
+    * or before it (-1 when none). The right side is deduped to one row
+    * per (user_id, ts) — AsOfJoin's uniqueness precondition; without it
+    * tied timestamps would resolve engine-dependently. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
     val left = ev.select("event_id", "user_id", "ts")
     val right = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      .groupBy("user_id", "ts")
+      .agg(max(col("event_id")).as("purchase_id"))
     AsOfJoin.asofJoin(left, right,
         keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
         rightPayload = Seq("purchase_id"))
@@ -45,8 +48,8 @@ object JoinQueries {
   val oracles: Map[String, String] = Map(
     "asof_join" ->
       """WITH p AS (
-        |  SELECT user_id, ts, event_id AS purchase_id FROM events
-        |  WHERE event_type = 'purchase')
+        |  SELECT user_id, ts, max(event_id) AS purchase_id FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
         |SELECT e.event_id, e.user_id,
         |  coalesce(p.purchase_id, -1) AS asof_purchase_id
         |FROM events e ASOF LEFT JOIN p

@@ -31,8 +31,10 @@ object MorQueries {
 
   /** Deterministic total order of lineitem rows (verified unique at
     * sf0.001/0.01/0.1) — (l_orderkey, l_linenumber) alone has duplicates in
-    * the synthetic data, which would make pos assignment engine-dependent. */
-  private val rowKey = Seq("l_orderkey", "l_linenumber", "l_partkey",
+    * the synthetic data, which would make pos assignment engine-dependent.
+    * Shared with CompactionE2EQuery: BOTH engines' position assignment
+    * depends on this exact list. */
+  val rowKey: Seq[String] = Seq("l_orderkey", "l_linenumber", "l_partkey",
     "l_suppkey", "l_quantity", "l_extendedprice")
 
   private def lineitem(spark: SparkSession, dir: String): DataFrame =

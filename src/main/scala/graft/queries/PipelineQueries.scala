@@ -100,12 +100,11 @@ object PipelineQueries {
   /** KMV (k-minimum-values) distinct-count sketch over l_orderkey — a
     * DETERMINISTIC alternative to HLL (approx_count_distinct's HLL++
     * cannot be replayed by another engine): estimate = (k-1) * 2^60 /
-    * kth-smallest hash. One narrow hash pass + a tiny top-k; at scale
-    * the k smallest hashes per partition merge associatively, so the
-    * sketch shuffles k values per partition, not the key set. */
+    * kth-smallest hash. This demo form shuffles the distinct hash set;
+    * the 100 TB path keeps the k smallest DISTINCT hashes per partition
+    * (associative merge) so only k values per partition shuffle. */
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     val k = 256
-    import org.apache.spark.sql.functions._
     val hashes = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(graft.pipeline.TextFunctions
         .hash64(lit("kmv"), col("l_orderkey").cast("string")).as("h"))
@@ -126,7 +125,6 @@ object PipelineQueries {
     * the same gate re-selects the identical subset on any engine or
     * cluster size. */
   def deterministicSample(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     val gated = documents(spark, dir).withColumn("in_sample",
       pmod(graft.pipeline.TextFunctions
         .hash64(lit("smp"), col("doc_id").cast("string")), lit(1000L)) < 200)
