@@ -55,6 +55,15 @@ object SparkCompactionExecutor extends CompactionExecutor {
     val data = ScanPlanner.readDataFiles(spark, tasks.dataFiles, needSeq, needPos)
     val userCols = data.columns.filterNot(MergeOnRead.HiddenCols.contains).toSeq
     val posDel = ScanPlanner.readPositionDeletes(spark, tasks.positionDeleteFiles)
+    // Broadcast gate for position deletes mirrors the equality-delete gate
+    // below: a heavily-deleted table can carry tens of GB of position
+    // deletes, and a forced broadcast would OOM the executors — over the
+    // threshold, fall back to a shuffled anti-join (AQE may still convert
+    // it back at runtime if the actual size turns out small). Reference J1
+    // (datafusion_processor.rs:315-345) delegates the same choice to its
+    // engine at any delete volume.
+    val posDelBytes = tasks.positionDeleteFiles.map(_.lengthBytes).sum
+    val broadcastPos = posDelBytes > 0 && posDelBytes < broadcastThreshold(spark)
 
     val runs = ScanPlanner.consecutiveRuns(tasks.equalityDeleteFiles)(_.equalityIds)
     val eqTables = ScanPlanner.readEqualityDeletes(spark, tasks.equalityDeleteFiles)
@@ -64,7 +73,8 @@ object SparkCompactionExecutor extends CompactionExecutor {
         EqDeleteTable(df, ids,
           broadcastHint = bytes > 0 && bytes < broadcastThreshold(spark))
       }
-    MergeOnRead.liveRows(data, userCols, posDel, eqTables)
+    MergeOnRead.liveRows(data, userCols, posDel, eqTables,
+      broadcastPosDeletes = broadcastPos)
   }
 
   private def broadcastThreshold(spark: SparkSession): Long = {

@@ -50,4 +50,48 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"customer dimension should broadcast:\n$p")
   }
+
+  test("position-delete broadcast is gated on delete-file bytes") {
+    import spark.implicits._
+    import graft.core._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def writeOne(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
+      val tmp = Files.createTempDirectory("pq").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.createDirectories(Paths.get(target).getParent)
+      Files.move(part.toPath, Paths.get(target), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val fixDir = Files.createTempDirectory("pq-gate").toString
+    val dataPath = s"$fixDir/data.parquet"
+    val posPath = s"$fixDir/pos.parquet"
+    writeOne((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), dataPath)
+    writeOne(Seq((dataPath, 0L), (dataPath, 5L)).toDF("file_path", "pos"), posPath)
+    def tasksWith(posBytes: Long) = InputFileScanTasks(
+      dataFiles = Seq(FileScanTask(dataPath, FileContent.Data,
+        new java.io.File(dataPath).length())),
+      positionDeleteFiles = Seq(FileScanTask(posPath,
+        FileContent.PositionDeletes, posBytes)),
+      equalityDeleteFiles = Nil)
+
+    // under the threshold: the anti-join must broadcast the delete side
+    val under = plan(graft.compaction.SparkCompactionExecutor
+      .liveRows(spark, tasksWith(posBytes = 1024)))
+    assert(under.contains("BroadcastHashJoin") && under.contains("LeftAnti"),
+      s"small position deletes should broadcast:\n$under")
+
+    // over the threshold: no broadcast — the join must fall back to a
+    // shuffled strategy (a forced broadcast of tens of GB of position
+    // deletes would OOM the executors at 100 TB scale)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val over = plan(graft.compaction.SparkCompactionExecutor
+        .liveRows(spark, tasksWith(posBytes = 1L << 34)))
+      assert(!over.contains("BroadcastHashJoin"),
+        s"oversized position deletes must NOT broadcast:\n$over")
+      assert(over.contains("LeftAnti"), s"anti-join missing:\n$over")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
