@@ -1,12 +1,11 @@
 package graft.compaction
 
 import graft.core._
+import graft.io.FileIO
 import graft.sources.ScanPlanner
 import graft.txn.{CommitManager, TableMetadata}
 import graft.validate.Validator
 import org.apache.spark.sql.{DataFrame, SparkSession}
-
-import java.io.File
 
 /** Full-compaction driver — the reference's `Compaction::compact()`
   * lifecycle (core/src/compaction/mod.rs:197-352) on Spark:
@@ -137,7 +136,7 @@ object Compaction {
     def build(): Compaction = {
       if (spark == null) throw CompactionError.Config("SparkSession is required")
       if (tableDir == null) throw CompactionError.Config("tableDir is required")
-      if (!new File(tableDir).isDirectory)
+      if (!FileIO.exists(tableDir))
         throw CompactionError.Config(s"table dir does not exist: $tableDir")
       new Compaction(spark, tableDir, config, retry, catalogName,
         metrics, executor)

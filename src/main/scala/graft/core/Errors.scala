@@ -26,6 +26,12 @@ object CompactionError {
   /** Schema changed between plan and commit — NOT retryable; the plan is
     * stale (reference: core/src/compaction/mod.rs:530-541 aborts). */
   final case class SchemaDrift(msg: String) extends CompactionError(msg)
+  /** Files this rewrite removes are no longer in the current snapshot —
+    * NOT retryable: staleness is permanent (a reload can never bring the
+    * files back), so the commit aborts immediately with the real cause
+    * instead of sleeping through the backoff. Iceberg's RewriteFiles
+    * fails the same way via ValidationException. */
+  final case class StaleRewrite(msg: String) extends CompactionError(msg)
   final case class Validation(msg: String) extends CompactionError(msg)
   final case class Unexpected(msg: String, cause: Throwable = null)
       extends CompactionError(msg, cause) {

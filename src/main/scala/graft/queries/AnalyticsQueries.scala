@@ -72,8 +72,7 @@ object AnalyticsQueries {
     * parquet stores TIMESTAMP(NANOS), which Spark only reads as a long
     * (`nanosAsLong`); the hour bucket is integer arithmetic on nanos. */
   def eventsWindow(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    graft.sources.NanosParquet.readEvents(spark, dir)
       .groupBy(
         expr("((ts div 1000000000) div 3600) * 3600").cast("long")
           .as("hour_epoch"),

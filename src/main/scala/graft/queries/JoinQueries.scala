@@ -11,10 +11,8 @@ import org.apache.spark.sql.functions._
   */
 object JoinQueries {
 
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.NanosParquet.readEvents(spark, dir)
 
   /** For every event: the id of the user's most recent purchase event at
     * or before it (-1 when none). The right side is deduped to one row

@@ -33,6 +33,15 @@ import org.apache.spark.sql.types._
   * writer per output stream). Scope: flat schemas (the engine's table
   * model); a real deployment wraps the output in the commit protocol
   * ([[graft.txn.CommitManager]]), which this writer leaves untouched.
+  *
+  * Commit safety (the part Spark's own committer would otherwise do):
+  * each task ATTEMPT writes into its own `_attempt-<taskAttemptId>/`
+  * subdirectory and returns the metadata of the files it wrote; the
+  * driver receives exactly ONE surviving attempt per partition from
+  * Spark, renames only those files into `outDir`, and deletes every
+  * attempt directory. A failed-then-retried or speculative attempt can
+  * therefore never leak orphan files into the committed set — the result
+  * is the returned file list, never a directory listing.
   */
 object ExactRollingWriter {
 
@@ -49,55 +58,78 @@ object ExactRollingWriter {
       require(supported(f.dataType),
         s"ExactRollingWriter supports flat primitive schemas; ${f.name}: ${f.dataType} is not")
     }
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    graft.io.FileIO.mkdirs(outDir)
     val codec = CompressionCodecName.valueOf(compression.toUpperCase)
 
-    df.foreachPartition { (rows: Iterator[Row]) =>
-      val pid = TaskContext.getPartitionId()
-      val message = toMessageType(schema)
-      val factory = new SimpleGroupFactory(message)
-      var fileIdx = 0
-      var writer: ParquetWriter[Group] = null
-      var rowsInWriter = 0L
+    // one element per partition: the winning attempt's (path, rowCount)s
+    val perTask: Array[Seq[(String, Long)]] =
+      df.rdd.mapPartitions { rows =>
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        val attemptDir = s"$outDir/_attempt-${tc.taskAttemptId()}"
+        val message = toMessageType(schema)
+        val factory = new SimpleGroupFactory(message)
+        val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var fileIdx = 0
+        var curPath: String = null
+        var writer: ParquetWriter[Group] = null
+        var rowsInWriter = 0L
 
-      def newWriter(): Unit = {
-        val path = new HPath(s"$outDir/part-$pid-$fileIdx.parquet")
-        val conf = new Configuration()
-        conf.set("parquet.example.schema", message.toString)
-        writer = ExampleParquetWriter.builder(path)
-          .withConf(conf)
-          .withCompressionCodec(codec)
-          .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
-          .build()
-        rowsInWriter = 0L
-        fileIdx += 1
-      }
-      def close(): Unit = if (writer != null) { writer.close(); writer = null }
-
-      val batch = new Array[Row](batchRows)
-      var bytesPerRow = 256.0
-      while (rows.hasNext) {
-        var n = 0
-        while (n < batchRows && rows.hasNext) { batch(n) = rows.next(); n += 1 }
-        val estIncoming = (bytesPerRow * n).toLong
-        if (writer == null) newWriter()
-        else if (RollingPolicy.needBuildNewFile(
-            writer.getDataSize, estIncoming, targetFileSizeBytes)) {
-          close(); newWriter()
+        def newWriter(): Unit = {
+          curPath = s"$attemptDir/part-$pid-$fileIdx.parquet"
+          val conf = new Configuration()
+          conf.set("parquet.example.schema", message.toString)
+          writer = ExampleParquetWriter.builder(new HPath(curPath))
+            .withConf(conf)
+            .withCompressionCodec(codec)
+            .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+            .build()
+          rowsInWriter = 0L
+          fileIdx += 1
         }
-        val before = writer.getDataSize
-        var i = 0
-        while (i < n) { writer.write(toGroup(factory, schema, batch(i))); i += 1 }
-        rowsInWriter += n
-        // refine the running bytes-per-row estimate from observed growth
-        val grew = writer.getDataSize - before
-        if (grew > 0 && n > 0)
-          bytesPerRow = 0.5 * bytesPerRow + 0.5 * (grew.toDouble / n)
-      }
-      close()
-    }
+        def close(): Unit = if (writer != null) {
+          writer.close()
+          files += ((curPath, rowsInWriter))
+          writer = null
+        }
 
-    RollingWriter.listDataFiles(outDir, sequenceNumber)
+        val batch = new Array[Row](batchRows)
+        var bytesPerRow = 256.0
+        while (rows.hasNext) {
+          var n = 0
+          while (n < batchRows && rows.hasNext) { batch(n) = rows.next(); n += 1 }
+          val estIncoming = (bytesPerRow * n).toLong
+          if (writer == null) newWriter()
+          else if (RollingPolicy.needBuildNewFile(
+              writer.getDataSize, estIncoming, targetFileSizeBytes)) {
+            close(); newWriter()
+          }
+          val before = writer.getDataSize
+          var i = 0
+          while (i < n) { writer.write(toGroup(factory, schema, batch(i))); i += 1 }
+          rowsInWriter += n
+          // refine the running bytes-per-row estimate from observed growth
+          val grew = writer.getDataSize - before
+          if (grew > 0 && n > 0)
+            bytesPerRow = 0.5 * bytesPerRow + 0.5 * (grew.toDouble / n)
+        }
+        close()
+        Iterator.single(files.toSeq)
+      }.collect()
+
+    // publish the winners under stable names; drop every attempt dir
+    // (losing/speculative attempts' files die here, unreferenced)
+    import graft.io.FileIO
+    val metas = perTask.flatten.map { case (attemptPath, rowCount) =>
+      val name = attemptPath.substring(attemptPath.lastIndexOf('/') + 1)
+      val target = s"$outDir/$name"
+      FileIO.rename(attemptPath, target)
+      DataFileMeta(target, FileIO.fileLength(target), rowCount, sequenceNumber)
+    }
+    FileIO.listDirectories(outDir)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("_attempt-"))
+      .foreach(FileIO.deleteRecursive)
+    metas.sortBy(_.filePath).toSeq
   }
 
   private def supported(dt: DataType): Boolean = dt match {

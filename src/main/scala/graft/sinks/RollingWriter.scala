@@ -1,9 +1,8 @@
 package graft.sinks
 
 import graft.core._
+import graft.io.FileIO
 import org.apache.spark.sql.DataFrame
-
-import java.io.File
 
 /** Size-targeted parquet writing — the Spark analog of the reference's
   * rolling data-file writer (S7/S9,
@@ -83,13 +82,10 @@ object RollingWriter {
   }
 
   /** Recursively list written parquet files (fanout writes nest files
-    * under partition-value directories). */
-  def listDataFiles(dir: String, sequenceNumber: Long): Seq[DataFileMeta] = {
-    def walk(f: File): Seq[File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f)
-      else Nil
-    walk(new File(dir)).sortBy(_.getAbsolutePath).map(f =>
-      DataFileMeta(f.getAbsolutePath, f.length(), -1L, sequenceNumber))
-  }
+    * under partition-value directories); resolved through Hadoop
+    * [[FileIO]] so object-store output dirs list the same way. */
+  def listDataFiles(dir: String, sequenceNumber: Long): Seq[DataFileMeta] =
+    FileIO.listFilesRecursive(dir)
+      .filter(_._1.endsWith(".parquet"))
+      .map { case (path, len) => DataFileMeta(path, len, -1L, sequenceNumber) }
 }

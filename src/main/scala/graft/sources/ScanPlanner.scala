@@ -1,12 +1,11 @@
 package graft.sources
 
 import graft.core._
+import graft.io.FileIO
 import graft.operators.BinPack
 import graft.plans.MergeOnRead._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-
-import java.io.File
 
 /** Scan planning: the Spark analog of the reference's S1-S5 layer.
   *
@@ -35,16 +34,15 @@ import java.io.File
   */
 object ScanPlanner {
 
-  /** List parquet files under `dir` as data-file scan tasks. */
-  def planDataFiles(dir: String, sequenceNumber: Long = 0L): Seq[FileScanTask] = {
-    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    files.toSeq.map { f =>
-      FileScanTask(f.getAbsolutePath, FileContent.Data, f.length(),
-        sequenceNumber = sequenceNumber)
-    }
-  }
+  /** List parquet files under `dir` as data-file scan tasks (resolved
+    * through Hadoop [[FileIO]], so object-store dirs plan the same way). */
+  def planDataFiles(dir: String, sequenceNumber: Long = 0L): Seq[FileScanTask] =
+    FileIO.listFiles(dir)
+      .filter(_._1.endsWith(".parquet"))
+      .sortBy(_._1)
+      .map { case (path, len) =>
+        FileScanTask(path, FileContent.Data, len, sequenceNumber = sequenceNumber)
+      }
 
   /** Split planned tasks by content (reference S2). */
   def toInputTasks(tasks: Seq[FileScanTask]): InputFileScanTasks =

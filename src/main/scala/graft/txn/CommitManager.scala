@@ -1,8 +1,7 @@
 package graft.txn
 
 import graft.core._
-
-import java.io.File
+import graft.io.FileIO
 
 /** Atomic rewrite-files commit with retry — reference T1/T2
   * (`RewriteDataFilesCommitManager`, core/src/compaction/mod.rs:446-614).
@@ -46,12 +45,12 @@ final class CommitManager(
             s"schema id changed ${expectedSchemaId} -> ${cur.schemaId} between plan and commit")
         // stale-rewrite guard: every file this rewrite removes must still
         // be current — if another commit already removed them, committing
-        // our rewrite would DUPLICATE their rows (Iceberg's RewriteFiles
-        // fails the same way via ValidationException)
+        // our rewrite would DUPLICATE their rows. Staleness is permanent
+        // (non-retryable): abort now rather than sleep through the backoff.
         val current = cur.files.map(_.path).toSet
         val gone = removedPaths -- current
         if (gone.nonEmpty)
-          throw CompactionError.CommitConflict(
+          throw CompactionError.StaleRewrite(
             s"rewrite is stale: ${gone.size} removed file(s) no longer in the " +
               s"current snapshot (e.g. ${gone.head})")
 
@@ -103,10 +102,8 @@ final class CommitManager(
     if (expired.isEmpty) return Nil
     val keptFiles: Set[String] = kept.flatMap(loadVersionFiles).toSet
     val expiredFiles = expired.flatMap(loadVersionFiles).toSet
-    (expiredFiles -- keptFiles).foreach(p => new File(p).delete())
-    expired.foreach { v =>
-      new File(s"${TableMetadata.metadataDir(tableDir)}/v$v.json").delete()
-    }
+    (expiredFiles -- keptFiles).foreach(FileIO.delete)
+    expired.foreach(v => FileIO.delete(TableMetadata.versionPath(tableDir, v)))
     expired
   }
 

@@ -3,9 +3,7 @@ package graft.txn
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import graft.core._
-
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.io.FileIO
 
 /** Snapshot-versioned table metadata over a filesystem — the stand-in for
   * an Iceberg catalog where no Iceberg runtime jar exists (SURVEY §7.1:
@@ -15,15 +13,21 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * data sequence number, under a schema id
   * (reference core/src/compaction/mod.rs:363-392,464-614).
   *
+  * All IO goes through [[graft.io.FileIO]] (Hadoop FileSystem), so the
+  * table directory can live on any scheme the classpath supports
+  * (`file:`, `hdfs://`, `s3a://`, ...), mirroring the reference's
+  * `FileIO` abstraction (core/src/executor/mod.rs:38-45).
+  *
   * Layout:
   * {{{
   *   tableDir/metadata/v<N>.json    // snapshot N (monotonically increasing)
   *   tableDir/data/...              // parquet files (any layout)
   * }}}
   *
-  * Commit protocol: write `v<N+1>.json.tmp`, then atomically move to
-  * `v<N+1>.json` WITHOUT replace — a concurrent committer that created
-  * v<N+1> first wins and the move throws, surfacing as a retryable
+  * Commit protocol: publish `v<N+1>.json` via [[FileIO.casCreate]] — an
+  * atomic create-if-absent (hard link on local FS, create(overwrite=false)
+  * elsewhere). A concurrent committer that created v<N+1> first wins and
+  * the create throws, surfacing as a retryable
   * [[CompactionError.CommitConflict]] (compare-and-swap on the version
   * number, the same optimistic concurrency Iceberg catalogs provide).
   */
@@ -66,20 +70,22 @@ object TableMetadata {
     m
   }
 
+  private val VersionFile = "^v(\\d+)\\.json$".r
+
   def metadataDir(tableDir: String) = s"$tableDir/metadata"
 
+  def versionPath(tableDir: String, version: Long): String =
+    s"${metadataDir(tableDir)}/v$version.json"
+
   def currentVersion(tableDir: String): Option[Long] = {
-    val dir = new File(metadataDir(tableDir))
-    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile)
-      .flatMap(f => "^v(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
-    if (versions.isEmpty) None else Some(versions.max)
+    val vs = versions(tableDir)
+    if (vs.isEmpty) None else Some(vs.max)
   }
 
   def load(tableDir: String): Option[TableSnapshot] =
     currentVersion(tableDir).map { v =>
-      val p = Paths.get(metadataDir(tableDir), s"v$v.json")
-      mapper.readValue(Files.readString(p), classOf[TableSnapshot])
+      mapper.readValue(FileIO.readString(versionPath(tableDir, v)),
+        classOf[TableSnapshot])
     }
 
   def loadOrThrow(tableDir: String): TableSnapshot =
@@ -87,45 +93,32 @@ object TableMetadata {
       throw CompactionError.Config(s"no table metadata under $tableDir"))
 
   /** CAS-commit `snapshot` as the next version. Throws
-    * [[CompactionError.CommitConflict]] if that version already exists.
-    *
-    * The publish step is an atomic HARD LINK of the fully-written temp
-    * file: POSIX `link()` fails with EEXIST when the target exists, which
-    * a rename does NOT (on Linux, `Files.move(..., ATOMIC_MOVE)` silently
-    * REPLACES an existing regular file — a rename-based CAS would let a
-    * losing concurrent committer overwrite the winner's snapshot). */
+    * [[CompactionError.CommitConflict]] if that version already exists
+    * (see [[FileIO.casCreate]] for the per-scheme atomic primitive). */
   def commit(tableDir: String, snapshot: TableSnapshot): Unit = {
-    val dir = Paths.get(metadataDir(tableDir))
-    Files.createDirectories(dir)
-    val target = dir.resolve(s"v${snapshot.version}.json")
-    val tmp = dir.resolve(s"v${snapshot.version}.json.${java.util.UUID.randomUUID()}.tmp")
-    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snapshot))
-    try
-      Files.createLink(target, tmp)
+    val target = versionPath(tableDir, snapshot.version)
+    val body = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snapshot)
+    try FileIO.casCreate(target, body)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+      case e: FileIO.AlreadyExists =>
         throw CompactionError.CommitConflict(
-          s"snapshot v${snapshot.version} already exists (concurrent commit)")
-      case e: java.nio.file.FileSystemException if Files.exists(target) =>
-        throw CompactionError.CommitConflict(
-          s"snapshot v${snapshot.version} already exists: ${e.getMessage}")
-    } finally
-      Files.deleteIfExists(tmp)
+          s"snapshot v${snapshot.version} already exists (concurrent commit): ${e.getMessage}")
+    }
   }
 
   /** Load a SPECIFIC snapshot version (shared mapper). */
   def loadVersion(tableDir: String, version: Long): Option[TableSnapshot] = {
-    val p = Paths.get(metadataDir(tableDir), s"v$version.json")
-    if (!Files.exists(p) || !Files.isRegularFile(p)) None
-    else Some(mapper.readValue(Files.readString(p), classOf[TableSnapshot]))
+    val p = versionPath(tableDir, version)
+    if (!FileIO.exists(p)) None
+    else Some(mapper.readValue(FileIO.readString(p), classOf[TableSnapshot]))
   }
 
   /** List snapshot versions, oldest first. */
-  def versions(tableDir: String): Seq[Long] = {
-    val dir = new File(metadataDir(tableDir))
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile)
-      .flatMap(f => "^v(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
-      .sorted.toSeq
-  }
+  def versions(tableDir: String): Seq[Long] =
+    FileIO.listFiles(metadataDir(tableDir))
+      .flatMap { case (path, _) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        VersionFile.findFirstMatchIn(name).map(_.group(1).toLong)
+      }
+      .sorted
 }

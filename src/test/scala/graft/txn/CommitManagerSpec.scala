@@ -60,14 +60,16 @@ class CommitManagerSpec extends AnyFunSuite {
       Seq(DataFileMeta("/t/rival.parquet", 1, 1, -1)),
       Set("/t/old.parquet"), 1, 5)
     // our rewrite still thinks old.parquet is current -> must not
-    // duplicate rows by committing on top
-    val cm = new CommitManager(dir, RetryConfig(maxRetries = 1, minDelayMs = 1),
-      sleeper = _ => ())
-    val e = intercept[CompactionError.Unexpected] {
+    // duplicate rows by committing on top; staleness is permanent, so the
+    // abort is IMMEDIATE (no retry sleeps, no misleading retry wrapper)
+    var sleeps = 0
+    val cm = new CommitManager(dir, RetryConfig(maxRetries = 3, minDelayMs = 1),
+      sleeper = _ => sleeps += 1)
+    val e = intercept[CompactionError.StaleRewrite] {
       cm.rewriteFiles(added, Set("/t/old.parquet"), 1, 5)
     }
-    assert(e.getCause.isInstanceOf[CompactionError.CommitConflict])
-    assert(e.getCause.getMessage.contains("stale"))
+    assert(e.getMessage.contains("stale"))
+    assert(sleeps == 0)
     // table still only has the rival's file
     assert(TableMetadata.loadOrThrow(dir).files.map(_.path) ==
       Seq("/t/rival.parquet"))
