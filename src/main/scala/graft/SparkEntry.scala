@@ -18,6 +18,7 @@ object SparkEntry {
     MorQueries.queries ++ PipelineQueries.queries ++
       AnalyticsQueries.queries ++ JoinQueries.queries +
       ("compaction_e2e" -> (CompactionE2EQuery.run _)) +
+      ("compaction_bucket" -> (CompactionE2EQuery.runBucket _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,5 +27,6 @@ object SparkEntry {
     MorQueries.oracles ++ PipelineQueries.oracles ++
       AnalyticsQueries.oracles ++ JoinQueries.oracles +
       ("compaction_e2e" -> CompactionE2EQuery.oracle) +
+      ("compaction_bucket" -> CompactionE2EQuery.bucketOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle)
 }

@@ -43,9 +43,12 @@ final class Compaction(
         return RewriteFilesStat()
       val snap = snapOpt.get
 
-      // plan (S1/S2)
-      val tasks = ScanPlanner.toInputTasks(snap.files.map(_.toTask))
-      if (tasks.dataFiles.isEmpty) return RewriteFilesStat()
+      // plan (S1/S2): classify by content, then split oversized data
+      // files into byte-range tasks (reference {start, length} task model)
+      val tasks0 = ScanPlanner.toInputTasks(snap.files.map(_.toTask))
+      if (tasks0.dataFiles.isEmpty) return RewriteFilesStat()
+      val tasks = tasks0.copy(dataFiles =
+        ScanPlanner.splitTasks(tasks0.dataFiles, config.splitTargetBytes))
 
       // execute (S3-S9) via the pluggable executor (reference
       // CompactionExecutor trait). The output dir is UNIQUE per run

@@ -25,8 +25,8 @@ object SparkCompactionExecutor extends CompactionExecutor {
   override def rewriteFiles(spark: SparkSession, request: RewriteFilesRequest,
       sequenceNumber: Long): RewriteFilesResponse = {
     val config = request.config
-    require(!(config.useExactRolling && config.partitionBy.nonEmpty),
-      "useExactRolling does not support partitionBy fanout; use the declarative writer")
+    require(!(config.useExactRolling && config.partitionSpec.nonEmpty),
+      "useExactRolling does not support partition fanout; use the declarative writer")
     val live = liveRows(spark, request.tasks)
     val written =
       if (config.useExactRolling)
@@ -35,7 +35,7 @@ object SparkCompactionExecutor extends CompactionExecutor {
           config.targetFileSizeBytes, config.parquetCompression,
           config.maxRecordBatchRows, sequenceNumber)
       else RollingWriter.write(live, request, sequenceNumber,
-        partitionBy = config.partitionBy)
+        partitionSpec = config.partitionSpec)
     RewriteFilesResponse(
       dataFiles = written,
       stat = RewriteFilesStat(

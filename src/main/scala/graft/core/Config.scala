@@ -30,16 +30,23 @@ final case class CompactionConfig(
       * maxRecordsPerFile approximation. Flat schemas only. */
     useExactRolling: Boolean = false,
     /** Partition spec for fanout writes (reference S8): output data files
-      * are routed to per-partition-value directories. */
-    partitionBy: Seq[String] = Nil,
+      * are routed to per-partition-value directories, with values computed
+      * by [[PartitionTransform]]s (identity / bucket / truncate / day). */
+    partitionSpec: Seq[PartitionTransform] = Nil,
     /** Upgrade validation from row counts to full multiset equality
       * (exceptAll both ways) — a stronger oracle at 2x+ cost. */
-    strictValidation: Boolean = false
+    strictValidation: Boolean = false,
+    /** Target byte size of one scan task: a data file larger than this
+      * splits into multiple byte-range tasks (reference FileScanTask
+      * {start, length}, iceberg_file_task_scan.rs:446-462; Iceberg's
+      * read.split.target-size default 128 MiB). */
+    splitTargetBytes: Long = 128L * 1024 * 1024
 ) {
   require(batchParallelism > 0, "batchParallelism must be > 0")
   require(targetPartitions > 0, "targetPartitions must be > 0")
   require(targetFileSizeBytes > 0, "targetFileSizeBytes must be > 0")
   require(maxRecordBatchRows > 0, "maxRecordBatchRows must be > 0")
+  require(splitTargetBytes > 0, "splitTargetBytes must be > 0")
 }
 
 /** Commit retry policy. Reference: 3 retries, 1s -> 10s exponential backoff,

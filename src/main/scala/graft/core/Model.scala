@@ -25,7 +25,13 @@ object FileContent {
 final case class FileScanTask(
     filePath: String,
     content: FileContent,
+    /** Byte length of THIS task's range — the whole file when `start` is 0
+      * and the file was not split. */
     lengthBytes: Long,
+    /** Byte offset where this task's range begins (reference task model
+      * carries {start, length} so one oversized data file can split into
+      * multiple tasks, iceberg_file_task_scan.rs:446-462). */
+    start: Long = 0L,
     recordCount: Long = -1L,
     /** Iceberg data sequence number of the file (drives eq-delete
       * applicability: data.seq < delete.seq). */

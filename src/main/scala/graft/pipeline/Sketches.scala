@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+import java.util.Arrays
+
+/** Distributed sketch aggregators for the data-pipeline surface. */
+object Sketches {
+
+  /** Final state of a KMV sketch: how many distinct hashes it holds
+    * (< k means the input had fewer than k distinct values — the count is
+    * exact) and the k-th smallest hash (the estimator's pivot). */
+  final case class KmvResult(sketch_size: Long, kth: Long)
+
+  /** KMV (k-minimum-values) distinct-count sketch as a typed
+    * [[Aggregator]] — the 100 TB shape: every task folds its partition
+    * into a BOUNDED sorted array of the k smallest DISTINCT hashes, and
+    * only those k values per partition cross the wire in the merge
+    * (associative, order-independent). Nothing ever shuffles the full
+    * distinct hash set, unlike a `.distinct().orderBy().limit(k)`
+    * formulation whose first exchange is as wide as the distinct count.
+    *
+    * The buffer is a sorted primitive `Array[Long]` (its length IS the
+    * current sketch size): kryo round-trips primitive arrays exactly, and
+    * once the buffer saturates, the common case (`h >= max`) is a single
+    * comparison — inserts happen at most k times per partition plus once
+    * per new global minimum.
+    *
+    * Estimate (computed by the caller from [[KmvResult]]):
+    * `(k-1) * 2^60 / kth` — deterministic, engine-replayable (the reason
+    * this exists next to approx_count_distinct's HLL++, which cannot be
+    * reproduced by another engine).
+    */
+  final class KmvDistinctSketch(k: Int)
+      extends Aggregator[Long, Array[Long], KmvResult] {
+    require(k > 0, "k must be positive")
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    /** Insert `h` into the sorted bounded buffer, skipping duplicates. */
+    private def add(b: Array[Long], h: Long): Array[Long] = {
+      if (b.length == k && h >= b(k - 1)) return b // saturated, too large
+      val pos = Arrays.binarySearch(b, h)
+      if (pos >= 0) return b // already present
+      val ip = -(pos + 1)
+      val n = math.min(b.length + 1, k)
+      val out = new Array[Long](n)
+      System.arraycopy(b, 0, out, 0, ip)
+      out(ip) = h
+      System.arraycopy(b, ip, out, ip + 1, n - ip - 1)
+      out
+    }
+
+    override def reduce(b: Array[Long], h: Long): Array[Long] = add(b, h)
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      b.foldLeft(a)(add)
+
+    override def finish(b: Array[Long]): KmvResult =
+      KmvResult(b.length.toLong, if (b.isEmpty) 0L else b(b.length - 1))
+
+    override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    override def outputEncoder: Encoder[KmvResult] = Encoders.product[KmvResult]
+  }
+}

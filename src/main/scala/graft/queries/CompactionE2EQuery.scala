@@ -90,6 +90,56 @@ object CompactionE2EQuery {
       .orderBy(outCols.map(col): _*)
   }
 
+  /** Partitioned (bucket-transform) compaction as an oracle-checked query:
+    * build a one-file table from lineitem, compact with a
+    * `bucket(4, l_orderkey)` partition spec (reference S8: partition
+    * values computed from the spec, not raw columns), and return per-file
+    * stats where the bucket id is parsed FROM THE COMMITTED FILE PATHS —
+    * certifying the physical routing, not just the bucket expression. The
+    * oracle recomputes each row's bucket with the same md5-derived hash
+    * and aggregates; a hash-match proves every row landed in (exactly)
+    * the directory its partition value demands. Leaf files stay
+    * self-contained: the original l_orderkey is read from the files
+    * themselves (`__p_` mirroring). */
+  def runBucket(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = Files.createTempDirectory("graft-bkt-table").toString
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val f1 = s"$tableDir/data/f1.parquet"
+    val (s1, r1) = writeOne(li.repartition(1), f1)
+    TableMetadata.commit(tableDir, TableSnapshot(
+      version = 1, schemaId = 1, lastSequenceNumber = 1,
+      files = Seq(FileEntry(f1, "data", s1, r1, sequenceNumber = 1))))
+
+    Compaction.builder()
+      .withSpark(spark).withTableDir(tableDir)
+      .withConfig(CompactionConfig(
+        enableValidateCompaction = true,
+        partitionSpec = Seq(graft.core.BucketTransform(4, "l_orderkey"))))
+      .build()
+      .compact()
+
+    val snap = TableMetadata.loadOrThrow(tableDir)
+    spark.read.parquet(snap.files.map(_.path): _*)
+      .withColumn("bucket",
+        regexp_extract(col("_metadata.file_path"),
+          "__p_l_orderkey_bucket=(\\d+)", 1).cast("long"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("bucket")
+  }
+
+  val bucketOracle: String =
+    s"""WITH b AS (
+       |  SELECT l_orderkey,
+       |    ${QuerySql.h64("'bkt:' || l_orderkey")} % 4 AS bucket
+       |  FROM lineitem)
+       |SELECT bucket, count(*) AS n_rows, sum(l_orderkey) AS sum_okey,
+       |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val oracle: String = {
     val key6 = rowKey.mkString(", ")
     s"""WITH f1 AS (

@@ -100,22 +100,23 @@ object PipelineQueries {
   /** KMV (k-minimum-values) distinct-count sketch over l_orderkey — a
     * DETERMINISTIC alternative to HLL (approx_count_distinct's HLL++
     * cannot be replayed by another engine): estimate = (k-1) * 2^60 /
-    * kth-smallest hash. This demo form shuffles the distinct hash set;
-    * the 100 TB path keeps the k smallest DISTINCT hashes per partition
-    * (associative merge) so only k values per partition shuffle. */
+    * kth-smallest hash. Scale shape ([[Sketches.KmvDistinctSketch]]):
+    * each partition folds into a bounded set of its k smallest distinct
+    * hashes, so only k values per partition cross the wire — no exchange
+    * of the full distinct hash set (asserted in PlanQualitySpec). */
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     val k = 256
-    val hashes = spark.read.parquet(s"$dir/lineitem.parquet")
+    val sketch = new Sketches.KmvDistinctSketch(k).toColumn
+    spark.read.parquet(s"$dir/lineitem.parquet")
       .select(graft.pipeline.TextFunctions
         .hash64(lit("kmv"), col("l_orderkey").cast("string")).as("h"))
-      .distinct()
-    val kth = hashes.orderBy("h").limit(k)
-      .agg(max(col("h")).as("kth"), count(lit(1)).as("n"))
-    kth.select(
-      col("n").as("sketch_size"),
-      when(col("n") < k, col("n")) // fewer distinct than k -> exact
-        .otherwise(floor(lit((k - 1).toDouble) * math.pow(2.0, 60) / col("kth")).cast("long"))
-        .as("distinct_estimate"))
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+      .select(sketch.name("r"))
+      .select(
+        col("sketch_size"),
+        when(col("sketch_size") < k, col("sketch_size")) // fewer distinct than k -> exact
+          .otherwise(floor(lit((k - 1).toDouble) * math.pow(2.0, 60) / col("kth")).cast("long"))
+          .as("distinct_estimate"))
   }
 
   /** Deterministic (hash-gated) stratified sampling — reproducible corpus

@@ -39,23 +39,25 @@ object RollingWriter {
     * returning the written files' metadata (reference
     * core/src/executor/datafusion/mod.rs:73-171 returns Vec<DataFile>).
     *
-    * @param partitionBy fanout partitioning columns (reference S8,
+    * @param partitionSpec fanout partition transforms (reference S8,
     *        FanoutPartitionWriterBuilder, executor/datafusion/mod.rs:157-169):
-    *        rows are routed to per-partition-value directories; each
-    *        writer task fans out to the partitions it sees, so no extra
-    *        shuffle is imposed (Iceberg's `fanout.enabled` shape).
-    *        Spark's `partitionBy` drops partition columns from the file
-    *        DATA (directory names only), which would silently lose the
-    *        column for any consumer reading committed leaf files — so the
-    *        fanout is driven by MIRRORED `__p_<col>` columns: directories
-    *        are `__p_<col>=<v>/`, while every data file keeps the original
-    *        column with full type fidelity.
+    *        rows are routed to per-partition-VALUE directories, values
+    *        computed by identity/bucket/truncate/day transforms
+    *        ([[graft.core.PartitionTransform]]); each writer task fans out
+    *        to the partitions it sees, so no extra shuffle is imposed
+    *        (Iceberg's `fanout.enabled` shape). Spark's `partitionBy`
+    *        drops partition columns from the file DATA (directory names
+    *        only), which would silently lose data for any consumer reading
+    *        committed leaf files — so the fanout is driven by computed
+    *        `__p_<field>` columns: directories are `__p_<field>=<v>/`,
+    *        while every data file keeps all original columns with full
+    *        type fidelity.
     */
   def write(
       df: DataFrame,
       request: RewriteFilesRequest,
       sequenceNumber: Long,
-      partitionBy: Seq[String] = Nil
+      partitionSpec: Seq[PartitionTransform] = Nil
   ): Seq[DataFileMeta] = {
     val cfg = request.config
     val inBytes = request.tasks.dataFiles.map(_.lengthBytes).sum
@@ -64,11 +66,11 @@ object RollingWriter {
     val maxRecords = maxRecordsPerFile(cfg.targetFileSizeBytes, bpr)
 
     val (outDf, partCols) =
-      if (partitionBy.isEmpty) (df, Nil)
+      if (partitionSpec.isEmpty) (df, Nil)
       else (
-        partitionBy.foldLeft(df)((d, c) =>
-          d.withColumn(s"__p_$c", org.apache.spark.sql.functions.col(c))),
-        partitionBy.map(c => s"__p_$c"))
+        partitionSpec.foldLeft(df)((d, t) =>
+          d.withColumn(s"__p_${t.fieldName}", t.expr(d.schema(t.source).dataType))),
+        partitionSpec.map(t => s"__p_${t.fieldName}"))
 
     val writer = outDf.repartition(cfg.targetPartitions)
       .write

@@ -44,6 +44,35 @@ object ScanPlanner {
         FileScanTask(path, FileContent.Data, len, sequenceNumber = sequenceNumber)
       }
 
+  /** Split an oversized data task into contiguous byte-range tasks of at
+    * most `targetSplitBytes` each (reference FileScanTask carries
+    * {start, length}, iceberg_file_task_scan.rs:446-462). Ranges tile the
+    * file exactly; the parent's record count is apportioned by range size
+    * (it only feeds the write-side bytes-per-row estimate). Delete files
+    * are never split — they are read whole as join sides. */
+  def splitTask(task: FileScanTask, targetSplitBytes: Long): Seq[FileScanTask] = {
+    require(targetSplitBytes > 0, "targetSplitBytes must be > 0")
+    if (task.content != FileContent.Data || task.lengthBytes <= targetSplitBytes)
+      Seq(task)
+    else {
+      val n = ((task.lengthBytes + targetSplitBytes - 1) / targetSplitBytes).toInt
+      (0 until n).map { i =>
+        val start = task.start + i.toLong * targetSplitBytes
+        val len = math.min(targetSplitBytes, task.start + task.lengthBytes - start)
+        val rc =
+          if (task.recordCount < 0) -1L
+          else if (i == n - 1)
+            task.recordCount - (task.recordCount / n) * (n - 1)
+          else task.recordCount / n
+        task.copy(start = start, lengthBytes = len, recordCount = rc)
+      }
+    }
+  }
+
+  /** Apply [[splitTask]] across a task list. */
+  def splitTasks(tasks: Seq[FileScanTask], targetSplitBytes: Long): Seq[FileScanTask] =
+    tasks.flatMap(splitTask(_, targetSplitBytes))
+
   /** Split planned tasks by content (reference S2). */
   def toInputTasks(tasks: Seq[FileScanTask]): InputFileScanTasks =
     InputFileScanTasks(
@@ -67,7 +96,10 @@ object ScanPlanner {
       needFilePathAndPos: Boolean
   ): DataFrame = {
     require(tasks.nonEmpty, "no data files to read")
-    val paths = tasks.map(_.filePath)
+    // Several byte-range tasks may reference the same physical file —
+    // read each file once (Spark re-splits by maxPartitionBytes itself;
+    // the range tasks drive MODEL-level planning, e.g. bin-packing).
+    val paths = tasks.map(_.filePath).distinct
     var df = spark.read.parquet(paths: _*)
     // _metadata.file_path is a file: URI; normalize to a plain absolute
     // path so it compares equal to task paths and position-delete entries.

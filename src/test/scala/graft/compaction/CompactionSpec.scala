@@ -166,7 +166,7 @@ class CompactionSpec extends AnyFunSuite {
       .withSpark(spark).withTableDir(dir)
       .withConfig(CompactionConfig(
         targetPartitions = 2, enableValidateCompaction = true,
-        strictValidation = true, partitionBy = Seq("name")))
+        strictValidation = true, partitionSpec = PartitionTransform.identity(Seq("name"))))
       .build()
       .compact()
     assert(stat.rewrittenFilesCount == 4)
@@ -186,7 +186,7 @@ class CompactionSpec extends AnyFunSuite {
 
   test("partitioned table survives a SECOND compaction intact (data-loss regression)") {
     val dir = mkTable()
-    val cfg = CompactionConfig(targetPartitions = 2, partitionBy = Seq("name"),
+    val cfg = CompactionConfig(targetPartitions = 2, partitionSpec = PartitionTransform.identity(Seq("name")),
       enableValidateCompaction = true)
     val c = Compaction.builder().withSpark(spark).withTableDir(dir)
       .withConfig(cfg).build()

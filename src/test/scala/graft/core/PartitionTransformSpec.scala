@@ -1,0 +1,60 @@
+package graft.core
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Date
+
+/** Partition-transform value semantics (reference S8: partition values
+  * computed from the spec — identity/bucket/truncate/day). */
+class PartitionTransformSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def eval(t: PartitionTransform, df: org.apache.spark.sql.DataFrame): Seq[Any] =
+    df.select(t.expr(df.schema(t.source).dataType)).collect().map(_.get(0)).toSeq
+
+  test("identity passes the raw value; field name is the source") {
+    val t = IdentityTransform("x")
+    assert(t.fieldName == "x")
+    assert(eval(t, Seq(1, 5).toDF("x")) == Seq(1, 5))
+  }
+
+  test("bucket is stable, in-range, and md5-derived") {
+    val t = BucketTransform(4, "x")
+    assert(t.fieldName == "x_bucket")
+    val vals = eval(t, (1L to 50L).toDF("x")).map(_.asInstanceOf[Int])
+    assert(vals.forall(b => b >= 0 && b < 4))
+    assert(vals.distinct.size > 1, "50 keys should spread over buckets")
+    // stable across evaluations (hash of the value, not of anything ambient)
+    assert(eval(t, Seq(7L).toDF("x")) == eval(t, Seq(7L).toDF("x")))
+  }
+
+  test("truncate floors integers (negatives too) and prefixes strings") {
+    val ti = TruncateTransform(10, "x")
+    assert(ti.fieldName == "x_trunc")
+    assert(eval(ti, Seq(0L, 7L, 10L, 19L, -1L, -10L, -11L).toDF("x")) ==
+      Seq(0L, 0L, 10L, 10L, -10L, -10L, -20L)) // Iceberg floor semantics
+    val ts = TruncateTransform(3, "s")
+    assert(eval(ts, Seq("abcdef", "ab", "").toDF("s")) == Seq("abc", "ab", ""))
+  }
+
+  test("day truncates timestamps and dates to the calendar day") {
+    val td = DayTransform("d")
+    assert(td.fieldName == "d_day")
+    val df = Seq(Date.valueOf("2024-03-05")).toDF("d")
+    assert(eval(td, df) == Seq(Date.valueOf("2024-03-05")))
+    val tdf = Seq(java.sql.Timestamp.valueOf("2024-03-05 13:45:00")).toDF("d")
+    assert(eval(td, tdf) == Seq(Date.valueOf("2024-03-05")))
+  }
+
+  test("unsupported types are rejected with a config error") {
+    assertThrows[CompactionError.Config] {
+      TruncateTransform(3, "x").expr(org.apache.spark.sql.types.DoubleType)
+    }
+    assertThrows[CompactionError.Config] {
+      DayTransform("x").expr(org.apache.spark.sql.types.LongType)
+    }
+  }
+}

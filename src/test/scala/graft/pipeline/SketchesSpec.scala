@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure semantics of the KMV bounded-buffer aggregator (order
+  * independence is what makes the distributed merge correct). */
+class SketchesSpec extends AnyFunSuite {
+  private def sketch(k: Int) = new Sketches.KmvDistinctSketch(k)
+
+  test("keeps the k smallest distinct hashes, sorted") {
+    val s = sketch(4)
+    val b = Seq(50L, 10L, 30L, 10L, 40L, 20L, 60L).foldLeft(s.zero)(s.reduce)
+    assert(b.toSeq == Seq(10L, 20L, 30L, 40L))
+    assert(s.finish(b) == Sketches.KmvResult(4, 40L))
+  }
+
+  test("under k distinct values the sketch is exact") {
+    val s = sketch(100)
+    val b = Seq(3L, 1L, 2L, 3L, 1L).foldLeft(s.zero)(s.reduce)
+    assert(s.finish(b) == Sketches.KmvResult(3, 3L))
+  }
+
+  test("merge is associative and order-independent") {
+    val s = sketch(8)
+    val xs = (1L to 100L).map(i => (i * 37) % 101)
+    val (l, r) = xs.splitAt(40)
+    val whole = xs.foldLeft(s.zero)(s.reduce)
+    val merged = s.merge(
+      l.foldLeft(s.zero)(s.reduce), r.foldLeft(s.zero)(s.reduce))
+    val mergedRev = s.merge(
+      r.foldLeft(s.zero)(s.reduce), l.foldLeft(s.zero)(s.reduce))
+    assert(merged.toSeq == whole.toSeq)
+    assert(mergedRev.toSeq == whole.toSeq)
+  }
+
+  test("saturated buffer rejects larger values cheaply") {
+    val s = sketch(3)
+    val b = Seq(1L, 2L, 3L).foldLeft(s.zero)(s.reduce)
+    assert(s.reduce(b, 99L) eq b) // no allocation on the fast path
+    assert(s.reduce(b, 2L) eq b)  // duplicate
+  }
+}

@@ -51,6 +51,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"customer dimension should broadcast:\n$p")
   }
 
+  test("KMV sketch never exchanges the full distinct hash set") {
+    val q = graft.queries.PipelineQueries.queries("kmv_distinct")(spark, dir)
+    val p = plan(q)
+    // must also EXECUTE: the buffer round-trips through kryo at runtime
+    assert(q.collect().length == 1)
+    // scale shape: partial bounded-set aggregation per partition, then a
+    // single-partition merge of k-value buffers — a hash-partitioned
+    // exchange would mean the whole distinct hash set crossed the wire
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"kmv must not shuffle the distinct hash set:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"expected a single-partition buffer merge:\n$p")
+  }
+
   test("position-delete broadcast is gated on delete-file bytes") {
     import spark.implicits._
     import graft.core._

@@ -33,6 +33,35 @@ class ScanPlannerSpec extends AnyFunSuite {
     assert(runs.map(_.map(_.filePath)) == Seq(Seq("a", "b"), Seq("c"), Seq("d")))
   }
 
+  test("oversized data file splits into tiling byte-range tasks") {
+    val t = FileScanTask("/t/big.parquet", FileContent.Data, 300L,
+      recordCount = 10, sequenceNumber = 7)
+    val parts = ScanPlanner.splitTask(t, targetSplitBytes = 128L)
+    assert(parts.size == 3)
+    // ranges tile the file exactly, in order
+    assert(parts.map(p => (p.start, p.lengthBytes)) ==
+      Seq((0L, 128L), (128L, 128L), (256L, 44L)))
+    assert(parts.map(_.lengthBytes).sum == t.lengthBytes)
+    // metadata carried through; record count apportioned without loss
+    assert(parts.forall(p => p.sequenceNumber == 7 && p.filePath == t.filePath))
+    assert(parts.map(_.recordCount).sum == t.recordCount)
+    // small files and delete files never split
+    assert(ScanPlanner.splitTask(t.copy(lengthBytes = 100), 128L).size == 1)
+    assert(ScanPlanner.splitTask(
+      t.copy(content = FileContent.PositionDeletes), 128L) ==
+      Seq(t.copy(content = FileContent.PositionDeletes)))
+    // a split read still scans each physical file exactly once
+    val dir = Files.createTempDirectory("sp-split").toString
+    val f1 = s"$dir/d1.parquet"
+    writeOne(spark.range(0, 1000).toDF("id"), f1)
+    val ranges = ScanPlanner.splitTask(
+      FileScanTask(f1, FileContent.Data, new File(f1).length()), 1024L)
+    assert(ranges.size >= 2, "fixture file should split")
+    val df = ScanPlanner.readDataFiles(spark, ranges,
+      needSeqNum = false, needFilePathAndPos = false)
+    assert(df.count() == 1000, "each row read exactly once despite range tasks")
+  }
+
   test("registerTables creates reference-named temp views usable by SqlBuilder text") {
     val dir = Files.createTempDirectory("sp-reg").toString
     val f1 = s"$dir/d1.parquet"
@@ -74,7 +103,7 @@ class ScanPlannerSpec extends AnyFunSuite {
       InputFileScanTasks(Nil, Nil, Nil), null,
       CompactionConfig(targetPartitions = 2), outDir)
     val written = RollingWriter.write(df, req, sequenceNumber = 5,
-      partitionBy = Seq("part"))
+      partitionSpec = graft.core.PartitionTransform.identity(Seq("part")))
     assert(written.nonEmpty)
     assert(written.forall(_.sequenceNumber == 5))
     // fanout directories use the MIRRORED partition columns...
