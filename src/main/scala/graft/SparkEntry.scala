@@ -19,7 +19,8 @@ object SparkEntry {
       AnalyticsQueries.queries ++ JoinQueries.queries +
       ("compaction_e2e" -> (CompactionE2EQuery.run _)) +
       ("compaction_bucket" -> (CompactionE2EQuery.runBucket _)) +
-      ("corpus_clean" -> (CorpusPipelineQuery.run _))
+      ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
+      ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       AnalyticsQueries.oracles ++ JoinQueries.oracles +
       ("compaction_e2e" -> CompactionE2EQuery.oracle) +
       ("compaction_bucket" -> CompactionE2EQuery.bucketOracle) +
-      ("corpus_clean" -> CorpusPipelineQuery.oracle)
+      ("corpus_clean" -> CorpusPipelineQuery.oracle) +
+      ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

@@ -43,24 +43,44 @@ object Hash64 {
     (seed + ":").getBytes(StandardCharsets.UTF_8)
 
   def newMd5(): MessageDigest = MessageDigest.getInstance("MD5")
+
+  /** Production hash path: xxHash64 (Spark's own XXH64, the algorithm
+    * behind the codegen'd `xxhash64` builtin) of a UTF8String under a
+    * long seed — ~10x cheaper than md5 per call, hashing the string's
+    * bytes in place with zero copies. NOT oracle-replayable (DuckDB has
+    * no seeded-xxh64 twin), so oracle-checked queries stay on md5; flip
+    * the sketch operators' `hashKind` to "xx" for production corpora. */
+  def xx64(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  val KindMd5 = "md5"
+  val KindXx = "xx"
+  def requireKind(hashKind: String): Unit =
+    require(hashKind == KindMd5 || hashKind == KindXx,
+      s"hashKind must be '$KindMd5' or '$KindXx', got '$hashKind'")
 }
 
 /** MinHash signature over an array<string> feature column: for each seed
-  * 0..numHashes-1, min over features of hash64(seed, feature). Empty or
+  * 0..numHashes-1, min over features of hash(seed, feature). Empty or
   * null-element-only input yields null elements (matching
-  * `list_min(list_transform([], ...)) -> NULL`). */
-case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+  * `list_min(list_transform([], ...)) -> NULL`). `hashKind` selects the
+  * oracle-replayable md5 form or the xxHash64 production form. */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int,
+    hashKind: String = Hash64.KindMd5)
     extends UnaryExpression with CodegenFallback {
+  Hash64.requireKind(hashKind)
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_signature"
 
   @transient private lazy val prefixes: Array[Array[Byte]] =
     Array.tabulate(numHashes)(i => Hash64.seedPrefix(i.toString))
+  private val useXx = hashKind == Hash64.KindXx
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = Hash64.newMd5()
+    val md = if (useXx) null else Hash64.newMd5()
     val out = new Array[Long](numHashes)
     java.util.Arrays.fill(out, Long.MaxValue)
     var any = false
@@ -68,12 +88,22 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     while (i < n) {
       if (!arr.isNullAt(i)) {
         any = true
-        val s = arr.getUTF8String(i).getBytes
-        var h = 0
-        while (h < numHashes) {
-          val v = Hash64.hash64(md, prefixes(h), s)
-          if (v < out(h)) out(h) = v
-          h += 1
+        val u = arr.getUTF8String(i)
+        if (useXx) {
+          var h = 0
+          while (h < numHashes) {
+            val v = Hash64.xx64(u, h.toLong)
+            if (v < out(h)) out(h) = v
+            h += 1
+          }
+        } else {
+          val s = u.getBytes
+          var h = 0
+          while (h < numHashes) {
+            val v = Hash64.hash64(md, prefixes(h), s)
+            if (v < out(h)) out(h) = v
+            h += 1
+          }
         }
       }
       i += 1
@@ -86,23 +116,29 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
 }
 
 /** 32-bit SimHash over an array<string> feature column: bit j set iff
-  * sum over features of (bit j of hash64("s", feature) -> +-1) > 0. */
-case class SimHash32Expr(child: Expression)
+  * sum over features of (bit j of hash("s", feature) -> +-1) > 0.
+  * `hashKind` selects md5 (oracle form) or xxHash64 (production form). */
+case class SimHash32Expr(child: Expression, hashKind: String = Hash64.KindMd5)
     extends UnaryExpression with CodegenFallback {
+  Hash64.requireKind(hashKind)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
 
   @transient private lazy val prefix = Hash64.seedPrefix("s")
+  private val useXx = hashKind == Hash64.KindXx
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = Hash64.newMd5()
+    val md = if (useXx) null else Hash64.newMd5()
     val counts = new Array[Int](32)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = Hash64.hash64(md, prefix, arr.getUTF8String(i).getBytes)
+        val u = arr.getUTF8String(i)
+        val h =
+          if (useXx) Hash64.xx64(u, 0L)
+          else Hash64.hash64(md, prefix, u.getBytes)
         var j = 0
         while (j < 32) {
           if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -198,23 +234,32 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   * pairwise-comparison form of a shingle set (primitive longs: the
   * pair-join hot loop does zero allocation). Cross-engine:
   * `list_sort(list_distinct(list_transform(sh, x -> hash64(seed, x))))`. */
-case class HashedSetExpr(child: Expression, seed: String)
+case class HashedSetExpr(child: Expression, seed: String,
+    hashKind: String = Hash64.KindMd5)
     extends UnaryExpression with CodegenFallback {
+  Hash64.requireKind(hashKind)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hashed_set"
 
   @transient private lazy val prefix = Hash64.seedPrefix(seed)
+  private val useXx = hashKind == Hash64.KindXx
+  // xx path: derive a stable long seed from the seed string (String
+  // hashCode is specified by the JLS — identical on every JVM)
+  private val xxSeed: Long = seed.hashCode.toLong
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = Hash64.newMd5()
+    val md = if (useXx) null else Hash64.newMd5()
     val vals = new Array[Long](n)
     var m = 0
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        vals(m) = Hash64.hash64(md, prefix, arr.getUTF8String(i).getBytes)
+        val u = arr.getUTF8String(i)
+        vals(m) =
+          if (useXx) Hash64.xx64(u, xxSeed)
+          else Hash64.hash64(md, prefix, u.getBytes)
         m += 1
       }
       i += 1
@@ -438,18 +483,20 @@ case class HyperplaneBucketExpr(child: Expression, dims: Int, numBits: Int)
 object HashColumns {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
-  def minhashSignature(features: Column, numHashes: Int): Column =
-    column(MinHashSignatureExpr(expression(features), numHashes))
-  def simhash32(features: Column): Column =
-    column(SimHash32Expr(expression(features)))
+  def minhashSignature(features: Column, numHashes: Int,
+      hashKind: String = Hash64.KindMd5): Column =
+    column(MinHashSignatureExpr(expression(features), numHashes, hashKind))
+  def simhash32(features: Column, hashKind: String = Hash64.KindMd5): Column =
+    column(SimHash32Expr(expression(features), hashKind))
   def hashMin(features: Column, seed: String): Column =
     column(HashMinExpr(expression(features), seed))
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedIntersectCountExpr(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
-  def hashedSet(features: Column, seed: String): Column =
-    column(HashedSetExpr(expression(features), seed))
+  def hashedSet(features: Column, seed: String,
+      hashKind: String = Hash64.KindMd5): Column =
+    column(HashedSetExpr(expression(features), seed, hashKind))
   def shingles(text: Column, n: Int): Column =
     column(ShinglesExpr(expression(text), n))
   def jaccardX1000(a: Column, b: Column): Column =

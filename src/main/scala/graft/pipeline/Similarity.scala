@@ -126,6 +126,86 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos_x1e6")
   }
 
+  /** IVF-flat with TRAINED centroids: `lloydIters` k-means (Lloyd)
+    * refinement rounds over the hash-sampled initialization, then the
+    * same broadcast-probe search as [[ivfTopK]] — plan shape unchanged
+    * (the centroid table stays 16 rows and broadcast; training adds
+    * narrow passes over the corpus).
+    *
+    * Every training step is EXACT integer arithmetic so the result is
+    * order-independent and engine-replayable (a float k-means differs in
+    * the last ulp across engines and summation orders, which would flip
+    * assignments):
+    *  - vectors are quantized once: `px[i] = round(v[i] * 1e6)` as long;
+    *  - assignment distance = integer squared L2 over `px` (exact);
+    *  - new centroid component = floor(sum / count) — an integer sum is
+    *    associative, so partition order cannot change the mean. (Sums stay
+    *    double-exact below 2^53: fine up to ~10^9 rows per centroid at
+    *    this scale factor; shard the mean or widen to decimal beyond.)
+    * Clusters that lose all members simply drop out (both engines
+    * group-by the surviving assignments). Final re-rank still uses exact
+    * float cosine on the original vectors.
+    */
+  def ivfTopKTrained(
+      queries: DataFrame, // (query_id, qv)
+      corpus: DataFrame,  // (vec_id, v)
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    def quant(vec: Column): Column =
+      transform(vec, x => round(x.cast("double") * 1e6).cast("long"))
+    def idist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    def assign(df: DataFrame, vecCol: String, idCol: String,
+        cents: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("cdist").asc, col("cid").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("cdist", idist(col(vecCol), col("cq")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cq", "cdist", "crank")
+    }
+
+    val corpusQ = corpus.withColumn("px", quant(col("v"))).persist()
+    var centroids = corpusQ
+      .withColumn("h", hash64(lit("c"), col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(numCentroids)
+      .select(col("vec_id").as("cid"), col("px").as("cq"))
+
+    for (_ <- 1 to lloydIters) {
+      val assigned = assign(corpusQ.select("vec_id", "px"), "px", "vec_id",
+        centroids, keep = 1)
+      // element-wise integer mean: explode dims, sum exactly, floor-divide
+      centroids = assigned
+        .select(col("cid"), posexplode(col("px")).as(Seq("pos", "value")))
+        .groupBy("cid", "pos")
+        .agg(floor(sum(col("value")).cast("double") / count(lit(1)))
+          .cast("long").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cq"))
+    }
+
+    val bucketed = assign(corpusQ, "px", "vec_id", centroids, keep = 1).drop("px")
+    val probes = assign(queries.withColumn("px", quant(col("qv"))),
+      "px", "query_id", centroids, keep = nProbe).drop("px")
+
+    val scored = bucketed.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_x1e6",
+        round(cosine(col("qv"), col("v")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos_x1e6")
+  }
+
   /** LSH ANN: same-bucket candidates re-ranked exactly. Recall < 1 by
     * construction; deterministic. Returns (query_id, rank, vec_id,
     * cos_x1e6) with rank over bucket candidates only. */

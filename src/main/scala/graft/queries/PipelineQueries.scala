@@ -55,6 +55,21 @@ object PipelineQueries {
         thresholdX1000 = 500)
       .orderBy("a_id", "b_id")
 
+  /** Production-hash twins of the sketch dedups: same pipeline shape, the
+    * per-shingle hash is Spark's xxHash64 instead of md5 (~10x cheaper —
+    * the form a 100 TB run uses). No SQL oracle: DuckDB cannot replay
+    * seeded xxh64, so the driver records a rows-only check; the md5 twins
+    * above carry the full hash-checked semantics. */
+  def dedupMinhashXx(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(documents(spark, dir), "doc_id", "text",
+        numHashes = 32, bandSize = 4, thresholdX1000 = 500, hashKind = "xx")
+      .orderBy("a_id", "b_id")
+
+  def dedupSimhashXx(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(documents(spark, dir), "doc_id", "text", "lang",
+        maxDistance = 6, hashKind = "xx")
+      .orderBy("a_id", "b_id")
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(embeddings(spark, dir), "vec_id", "embedding",
         "label", minCosine = 0.4)
@@ -93,6 +108,22 @@ object PipelineQueries {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = t.select(col("vec_id"), col("embedding").as("v"))
     Similarity.ivfTopK(q, c, k = 10, numCentroids = 16, nProbe = 4)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** IVF with TRAINED centroids: 2 integer-exact Lloyd iterations refine
+    * the hash-sampled initialization (Similarity.ivfTopKTrained); the
+    * whole training replays bit-for-bit in the DuckDB oracle because all
+    * k-means math is integer (quantized vectors, exact sums, floor
+    * means). */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val t = embeddings(spark, dir)
+    val q = t.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = t.select(col("vec_id"), col("embedding").as("v"))
+    Similarity.ivfTopKTrained(q, c, k = 10, numCentroids = 16, nProbe = 4,
+        lloydIters = 2)
       .withColumnRenamed("rank", "rnk")
       .orderBy("query_id", "rnk")
   }
@@ -161,7 +192,61 @@ object PipelineQueries {
     s"CASE $whens ELSE 'und' END"
   }
 
+  /** Generated oracle for the trained-IVF query: the Lloyd rounds are
+    * unrolled as CTE pairs (assign_i, cent_i); the per-dimension integer
+    * mean is emitted as 64 explicit floor(sum/count) terms (SQL lambdas
+    * cannot aggregate per element). */
+  private val ivfTrainedOracle: String = {
+    val meanVec = (1 to 64)
+      .map(i => s"CAST(floor(sum(px[$i]) / count(*)) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    def idist(p: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> ($p[i]-$c[i])*($p[i]-$c[i])))"
+    def assignCte(name: String, cent: String) =
+      s"""$name AS (
+         |  SELECT vec_id, px, cid FROM (
+         |    SELECT tq.vec_id, tq.px, c.cid,
+         |      row_number() OVER (PARTITION BY tq.vec_id ORDER BY
+         |        ${idist("tq.px", "c.cq")} ASC, c.cid ASC) AS rnk
+         |    FROM tq CROSS JOIN $cent c)
+         |  WHERE rnk = 1)""".stripMargin
+    s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |tq AS (SELECT vec_id, v,
+       |  list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS px FROM t),
+       |cent0 AS (
+       |  SELECT vec_id AS cid, px AS cq FROM tq
+       |  ORDER BY ${h64("'c:' || vec_id")}, vec_id LIMIT 16),
+       |${assignCte("assign1", "cent0")},
+       |cent1 AS (SELECT cid, $meanVec AS cq FROM assign1 GROUP BY cid),
+       |${assignCte("assign2", "cent1")},
+       |cent2 AS (SELECT cid, $meanVec AS cq FROM assign2 GROUP BY cid),
+       |${assignCte("final_assign", "cent2")},
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT tq.vec_id AS query_id, c.cid,
+       |      row_number() OVER (PARTITION BY tq.vec_id ORDER BY
+       |        ${idist("tq.px", "c.cq")} ASC, c.cid ASC) AS rnk
+       |    FROM tq CROSS JOIN cent2 c WHERE tq.vec_id < 5)
+       |  WHERE rnk <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    CAST(round(1e6 * list_dot_product(q.v, s.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(s.v, s.v)))) AS BIGINT) AS cos_x1e6
+       |  FROM final_assign a JOIN probes p ON a.cid = p.cid
+       |  JOIN t q ON q.vec_id = p.query_id
+       |  JOIN t s ON s.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_x1e6 DESC, vec_id) AS BIGINT) AS rnk,
+       |    vec_id, cos_x1e6
+       |  FROM scored)
+       |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_ivf_trained" -> ivfTrainedOracle,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens,
@@ -335,11 +420,14 @@ object PipelineQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_minhash_xx" -> (dedupMinhashXx _),
+    "dedup_simhash_xx" -> (dedupSimhashXx _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_trained" -> (annIvfTrained _),
     "kmv_distinct" -> (kmvDistinct _),
     "deterministic_sample" -> (deterministicSample _),
     "multimodal_meta" -> (multimodalMeta _)

@@ -29,6 +29,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("xx production hash path finds exact dups like the md5 path") {
+    val pairsXx = Dedup.minhashLsh(docs, "doc_id", "text", 32, 4, 500,
+        hashKind = "xx")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // identical texts have identical signatures under ANY hash
+    assert(pairsXx.contains((1L, 4L)))
+    assert(!pairsXx.exists(p => p._1 == 3L || p._2 == 3L))
+    val shXx = Dedup.simhashPairs(docs, "doc_id", "text", "lang",
+        maxDistance = 0, hashKind = "xx")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(shXx.contains((1L, 4L))) // distance 0 for the exact dup
+    assertThrows[IllegalArgumentException] {
+      Dedup.minhashLsh(docs, "doc_id", "text", 32, 4, 500, hashKind = "nope")
+        .collect()
+    }
+  }
+
+  test("connected components: transitive chains collapse to the min id") {
+    // components: {1,2,3,10} via chain + triangle edge, {20,21}, isolated
+    // node 30 paired with 31
+    val pairs = Seq(
+      (2L, 3L), (1L, 2L), (3L, 10L), (1L, 10L),
+      (20L, 21L),
+      (30L, 31L)
+    ).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+    // the over-keep case the greedy pair-drop gets wrong: pairs (A,C) and
+    // (B,C) must keep only A — B joins the component through C
+    val chain = Seq((1L, 3L), (2L, 3L)).toDF("a_id", "b_id")
+    val c2 = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(c2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("ngram jaccard: exact dup = 1000, near-dup above 500") {
     val all = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0)
       .as[(Long, Long, Long)].collect()
