@@ -4,12 +4,19 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":"..."}.
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},
+  *  "spread":{...},"runs":R,"sf":"..."}.
+  *
+  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3);
+  * `queries` reports the per-query MEDIAN (host-load variance on the
+  * shared runner is ~1.5x, so a single sample is noise) and `spread` the
+  * max-min delta across runs. `value` is the sum of medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,8 +30,8 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .groupBy("l_returnflag").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      System.err.println(s"[bench] starting $name")
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch {
@@ -33,13 +40,25 @@ object Bench {
             try { fn(spark, sfDir).count(); true }
             catch { case _: Throwable => false }
         }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.err.println(s"[bench] starting $name ($runs runs)")
+      val samples = (1 to runs).map(_ => timeOnce(fn))
+      if (samples.exists(_ < 0)) name -> (-1.0, -1.0)
+      else {
+        val sorted = samples.sorted
+        val median = sorted(sorted.size / 2)
+        name -> (median, sorted.last - sorted.head)
+      }
+    }
+    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + f"$m%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sp = results.map { case (k, (_, s)) => "\"" + k + "\":" + f"$s%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
