@@ -122,7 +122,61 @@ object AnalyticsQueries {
     both.unionByName(onlyR).orderBy("relation", "l_suppkey")
   }
 
+  /** Exact per-group discrete quantiles (p25/p50/p75/p95) of line price:
+    * rank rows per group, pick the value at ceil(q*n) — deterministic and
+    * engine-replayable where percentile sketches (approx_percentile /
+    * DuckDB quantile) are not. The ceil is computed in INTEGER space
+    * (q_pct*n + 99)/100: a double 0.95*n can land on either side of an
+    * integer boundary depending on the engine's literal type.
+    * Scale shape: one shuffle on the group key; the rank window sorts
+    * within groups only (no global sort). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_cents"))
+    val wRank = Window.partitionBy("l_returnflag").orderBy("price_cents")
+    val wAll = Window.partitionBy("l_returnflag")
+    base
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("q_pct", explode(array(lit(25L), lit(50L), lit(75L), lit(95L))))
+      .filter(col("rn") ===
+        greatest(lit(1L), floor((col("q_pct") * col("n") + 99L) / lit(100.0))))
+      .select(col("l_returnflag"), col("q_pct"),
+        col("price_cents").as("value_cents"))
+      .orderBy("l_returnflag", "q_pct")
+  }
+
+  /** Fixed-width histogram of event values: bin = floor(value_cents /
+    * 2000), per-bin count and integer sum. Narrow row transform + one
+    * shuffle on the bin key. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.NanosParquet.readEvents(spark, dir)
+      .select(cents(col("value")).as("value_cents"))
+      .withColumn("bin", floor(col("value_cents") / 2000L).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+      .orderBy("bin")
+
   val oracles: Map[String, String] = Map(
+    "quantiles" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, price_cents,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY price_cents) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM b)
+        |SELECT l_returnflag, q_pct, price_cents AS value_cents
+        |FROM r CROSS JOIN (VALUES (CAST(25 AS BIGINT)), (50), (75), (95)) qs(q_pct)
+        |WHERE rn = greatest(1, CAST(floor((q_pct * n + 99) / 100.0) AS BIGINT))
+        |ORDER BY l_returnflag, q_pct""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 2000.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "set_ops" ->
       """WITH r AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
         |a AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
@@ -185,6 +239,8 @@ object AnalyticsQueries {
     "agg_pricing" -> (aggPricing _),
     "join_revenue" -> (joinRevenue _),
     "window_topk" -> (windowTopK _),
-    "events_window" -> (eventsWindow _)
+    "events_window" -> (eventsWindow _),
+    "quantiles" -> (quantiles _),
+    "value_histogram" -> (valueHistogram _)
   )
 }
