@@ -43,7 +43,36 @@ object JoinQueries {
       .orderBy("a_event_id", "b_event_id")
   }
 
+  /** Batch twin of the streaming purchase-attribution join
+    * (graft.streaming.EventStream.purchaseAttribution): every purchase
+    * joined to the same user's clicks within the hour BEFORE it. Scale
+    * shape: one shuffle on user_id with a residual time predicate — the
+    * same state partitioning the watermarked stream-stream join uses. */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("p_user_id"))
+    purchases.join(clicks,
+        col("user_id") === col("p_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - lit(3600L * 1000 * 1000 * 1000))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "purchase_attribution" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND epoch_ns(c.ts) <= epoch_ns(p.ts)
+        | AND epoch_ns(c.ts) >= epoch_ns(p.ts) - 3600000000000
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "asof_join" ->
       """WITH p AS (
         |  SELECT user_id, ts, max(event_id) AS purchase_id FROM events
@@ -63,6 +92,7 @@ object JoinQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (asofJoin _),
-    "interval_join" -> (intervalJoin _)
+    "interval_join" -> (intervalJoin _),
+    "purchase_attribution" -> (purchaseAttribution _)
   )
 }

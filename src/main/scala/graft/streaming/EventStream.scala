@@ -67,6 +67,36 @@ object EventStream {
       }
   }
 
+  /** Watermarked stream-stream interval join: every purchase joined to
+    * the same user's click events within `windowMs` BEFORE it. Both
+    * sides carry watermarks and the join condition bounds the time
+    * range, so Spark can prune both state stores — the unbounded-state
+    * trap of stream-stream joins is avoided by construction. State is
+    * partitioned by the equi-key (user_id); at 1000 executors each task
+    * holds only its key range's recent window. */
+  def purchaseAttribution(
+      clicks: DataFrame,    // (event_id, ts, user_id, ...)
+      purchases: DataFrame, // (event_id, ts, user_id, ...)
+      windowMs: Long = 60L * 60 * 1000,
+      watermarkDelay: String = "1 hour"
+  ): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("p_user_id"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    p.join(c,
+      col("user_id") === col("p_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+      .select(col("purchase_id"), col("click_id"), col("p_user_id").as("user_id"),
+        unix_timestamp(col("purchase_ts")).cast("long").as("purchase_epoch"),
+        unix_timestamp(col("click_ts")).cast("long").as("click_epoch"))
+  }
+
   /** Session assembly with a 30-minute inactivity gap via
     * flatMapGroupsWithState: one state entry per user, pruned by
     * processing-time timeout — the custom-state streaming primitive. */

@@ -56,6 +56,31 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases to in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStream.purchaseAttribution(
+        clicks.toDF(), purchases.toDF(), windowMs = 60L * 60 * 1000)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Event(1, ts(10), 7, "click", 0),   // in window for purchase at min 50
+        Event(2, ts(45), 7, "click", 0),   // in window
+        Event(3, ts(40), 8, "click", 0))   // other user
+      purchases.addData(Event(100, ts(50), 7, "purchase", 9.99))
+      q.processAllAvailable()
+      // a click AFTER the purchase never attributes
+      clicks.addData(Event(4, ts(55), 7, "click", 0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .select("purchase_id", "click_id")
+        .as[(Long, Long)].collect().toSet
+      assert(rows == Set((100L, 1L), (100L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionize: 30-minute gap splits sessions, state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
