@@ -95,4 +95,22 @@ object TextAnalysis {
       size(sh).cast("long").as("n_shingles"),
       graft.functions.HashColumns.hashMin(sh, "fp").as("fp_min"))
   }
+
+  /** 2-gram repetition signal (the Gopher-rule family of repetition
+    * filters — Rae et al., "Scaling Language Models: ... Gopher", 2021,
+    * §A1.1 uses duplicate n-gram fractions to drop degenerate text):
+    * duplicated-2-gram ratio x1000 = (total - distinct) * 1000 / total.
+    * Narrow per-row transform, zero shuffle; the distinct set comes from
+    * the compiled shingle expression. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val total = (size(split(col(textCol), " ")) - 1).cast("long")
+    val distinct2 = size(graft.functions.HashColumns.shingles(col(textCol), 2))
+      .cast("long")
+    docs.select(
+      col(idCol).as("doc_id"),
+      total.as("n_2grams"),
+      distinct2.as("n_distinct_2grams"),
+      floor(lit(1000L) * (total - distinct2) / total).cast("long")
+        .as("dup_2gram_x1000"))
+  }
 }

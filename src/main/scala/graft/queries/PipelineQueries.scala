@@ -33,6 +33,10 @@ object PipelineQueries {
     TextAnalysis.fingerprint(documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   // ---- dedup ----
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -268,6 +272,15 @@ object PipelineQueries {
          |SELECT doc_id, lang AS claimed_lang, $langCase AS predicted_lang,
          |  (lang = $langCase) AS agree
          |FROM t ORDER BY doc_id""".stripMargin,
+    "repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) - 1 AS BIGINT) AS n_2grams,
+        |  CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1]))) AS BIGINT) AS n_distinct_2grams,
+        |  CAST(floor(1000.0 * ((len(w) - 1) - len(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))) / (len(w) - 1)) AS BIGINT) AS dup_2gram_x1000
+        |FROM t ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH $shinglesCte
          |SELECT doc_id,
@@ -417,6 +430,7 @@ object PipelineQueries {
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
+    "repetition" -> (repetition _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
