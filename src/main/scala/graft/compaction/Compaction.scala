@@ -3,7 +3,7 @@ package graft.compaction
 import graft.core._
 import graft.io.FileIO
 import graft.sources.ScanPlanner
-import graft.txn.{CommitManager, TableMetadata}
+import graft.txn.{CommitManager, FileTableCatalog, TableCatalog}
 import graft.validate.Validator
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -31,14 +31,17 @@ final class Compaction(
     retry: RetryConfig = RetryConfig(),
     catalogName: String = "local",
     metrics: CompactionMetrics = CompactionMetrics.global,
-    executor: CompactionExecutor = SparkCompactionExecutor
+    executor: CompactionExecutor = SparkCompactionExecutor,
+    /** Snapshot store (reference `Arc<dyn Catalog>`); file-backed by
+      * default, in-memory or Iceberg-backed implementations slot in. */
+    catalog: TableCatalog = FileTableCatalog
 ) {
   private val labels = metrics.Labels(catalogName, tableDir)
 
   def compact(): RewriteFilesStat = {
     val t0 = System.nanoTime()
     try {
-      val snapOpt = TableMetadata.load(tableDir)
+      val snapOpt = catalog.load(tableDir)
       if (snapOpt.isEmpty || snapOpt.get.files.isEmpty)
         return RewriteFilesStat()
       val snap = snapOpt.get
@@ -64,7 +67,8 @@ final class Compaction(
 
       // commit (T1/T2)
       val removed = snap.files.map(_.path).toSet
-      val committed = new CommitManager(tableDir, retry, metrics, labels)
+      val committed = new CommitManager(tableDir, retry, metrics, labels,
+          catalog = catalog)
         .rewriteFiles(
           addedFiles = written,
           removedPaths = removed,
@@ -112,7 +116,8 @@ final class Compaction(
 
   /** Reference T3. */
   def expireSnapshots(keepLast: Int = 1): Seq[Long] =
-    new CommitManager(tableDir, retry, metrics, labels).expireSnapshots(keepLast)
+    new CommitManager(tableDir, retry, metrics, labels, catalog = catalog)
+      .expireSnapshots(keepLast)
 }
 
 object Compaction {
@@ -126,7 +131,8 @@ object Compaction {
       retry: RetryConfig = RetryConfig(),
       catalogName: String = "local",
       executor: CompactionExecutor = SparkCompactionExecutor,
-      metrics: CompactionMetrics = CompactionMetrics.global
+      metrics: CompactionMetrics = CompactionMetrics.global,
+      catalog: TableCatalog = FileTableCatalog
   ) {
     def withSpark(s: SparkSession): Builder = copy(spark = s)
     def withTableDir(d: String): Builder = copy(tableDir = d)
@@ -136,13 +142,15 @@ object Compaction {
     def withExecutor(e: CompactionExecutor): Builder = copy(executor = e)
     /** Reference `with_registry`: inject a metrics registry. */
     def withMetrics(m: CompactionMetrics): Builder = copy(metrics = m)
+    /** Reference `with_catalog`: where snapshots resolve and commit. */
+    def withCatalog(c: TableCatalog): Builder = copy(catalog = c)
     def build(): Compaction = {
       if (spark == null) throw CompactionError.Config("SparkSession is required")
       if (tableDir == null) throw CompactionError.Config("tableDir is required")
       if (!FileIO.exists(tableDir))
         throw CompactionError.Config(s"table dir does not exist: $tableDir")
       new Compaction(spark, tableDir, config, retry, catalogName,
-        metrics, executor)
+        metrics, executor, catalog)
     }
   }
   def builder(): Builder = Builder()

@@ -21,7 +21,9 @@ final class CommitManager(
     retry: RetryConfig = RetryConfig(),
     metrics: CompactionMetrics = CompactionMetrics.global,
     labels: MetricLabels = null,
-    sleeper: Long => Unit = Thread.sleep
+    sleeper: Long => Unit = Thread.sleep,
+    /** Where snapshots live (reference `Arc<dyn Catalog>` seam). */
+    catalog: TableCatalog = FileTableCatalog
 ) {
 
   /** Commit: remove `removedPaths`, add `addedFiles`, against the schema
@@ -39,7 +41,7 @@ final class CommitManager(
       val t0 = System.nanoTime()
       try {
         // reload current state each attempt (reference reloads the table)
-        val cur = TableMetadata.loadOrThrow(tableDir)
+        val cur = catalog.loadOrThrow(tableDir)
         if (cur.schemaId != expectedSchemaId)
           throw CompactionError.SchemaDrift(
             s"schema id changed ${expectedSchemaId} -> ${cur.schemaId} between plan and commit")
@@ -66,7 +68,7 @@ final class CommitManager(
           schemaId = cur.schemaId,
           lastSequenceNumber = math.max(cur.lastSequenceNumber, newSeq),
           files = kept ++ added)
-        TableMetadata.commit(tableDir, next)
+        catalog.commitCas(tableDir, next)
         if (labels != null) {
           metrics.incCommit(labels)
           metrics.observeCommitDuration(labels, (System.nanoTime() - t0) / 1e9)
@@ -97,16 +99,18 @@ final class CommitManager(
     * delete files no surviving snapshot references. */
   def expireSnapshots(keepLast: Int = 1): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val all = TableMetadata.versions(tableDir)
+    val all = catalog.versions(tableDir)
     val (expired, kept) = all.splitAt(math.max(0, all.size - keepLast))
     if (expired.isEmpty) return Nil
     val keptFiles: Set[String] = kept.flatMap(loadVersionFiles).toSet
     val expiredFiles = expired.flatMap(loadVersionFiles).toSet
+    // physical data files are deleted through FileIO regardless of the
+    // catalog implementation (they are path-addressed objects)
     (expiredFiles -- keptFiles).foreach(FileIO.delete)
-    expired.foreach(v => FileIO.delete(TableMetadata.versionPath(tableDir, v)))
+    expired.foreach(v => catalog.deleteVersion(tableDir, v))
     expired
   }
 
   private def loadVersionFiles(v: Long): Seq[String] =
-    TableMetadata.loadVersion(tableDir, v).toSeq.flatMap(_.files.map(_.path))
+    catalog.loadVersion(tableDir, v).toSeq.flatMap(_.files.map(_.path))
 }

@@ -105,6 +105,41 @@ class CompactionSpec extends AnyFunSuite {
     assert(snap.version == 2 && snap.files.isEmpty)
   }
 
+  test("compaction against an in-memory catalog (reference memory-catalog example)") {
+    val dir = Files.createTempDirectory("graft-memcat").toString
+    val f1 = s"$dir/data/f1.parquet"
+    val (s1, r1) = writeFile(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name"), f1)
+    val ed = s"$dir/data/eq.parquet"
+    val (s2, r2) = writeFile(Seq(Tuple1(2)).toDF("id"), ed)
+    val cat = new graft.txn.MemoryCatalog
+    cat.commitCas(dir, TableSnapshot(1, 1, 2, Seq(
+      FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
+      FileEntry(ed, "equality-deletes", s2, r2, sequenceNumber = 2,
+        equalityIds = Seq("id")))))
+
+    val stat = Compaction.builder().withSpark(spark).withTableDir(dir)
+      .withCatalog(cat)
+      .withConfig(CompactionConfig(enableValidateCompaction = true))
+      .build().compact()
+    assert(stat.rewrittenFilesCount == 2)
+    // the snapshot lives ONLY in the memory catalog — nothing on disk
+    assert(!new File(s"$dir/metadata").exists())
+    val snap = cat.loadOrThrow(dir)
+    assert(snap.version == 2)
+    val rows = spark.read.parquet(snap.files.map(_.path): _*)
+      .as[(Int, String)].collect().toSet
+    assert(rows == Set((1, "a"), (3, "c")))
+    // CAS semantics hold in memory too
+    assertThrows[CompactionError.CommitConflict] {
+      cat.commitCas(dir, snap)
+    }
+    // expiry drops v1 from the catalog and its unreferenced files from disk
+    val expired = Compaction.builder().withSpark(spark).withTableDir(dir)
+      .withCatalog(cat).build().expireSnapshots()
+    assert(expired == Seq(1L) && cat.versions(dir) == Seq(2L))
+    assert(!new File(f1).exists() && !new File(ed).exists())
+  }
+
   test("empty table compacts to empty stats (reference early-exit)") {
     val dir = Files.createTempDirectory("graft-empty").toString
     TableMetadata.commit(dir, TableSnapshot(1, 0, 0, Nil))

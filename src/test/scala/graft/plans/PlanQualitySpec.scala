@@ -51,6 +51,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"customer dimension should broadcast:\n$p")
   }
 
+  test("quantiles: both windows share ONE exchange on the group key") {
+    val p = plan(graft.queries.AnalyticsQueries.quantiles(spark, dir))
+    val exchanges = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"rank and count windows must reuse the same partitioning:\n$p")
+  }
+
   test("KMV sketch never exchanges the full distinct hash set") {
     val q = graft.queries.PipelineQueries.queries("kmv_distinct")(spark, dir)
     val p = plan(q)
