@@ -21,20 +21,33 @@ import scala.collection.mutable.ArrayBuffer
   *    fails with EEXIST when the target exists (a rename would silently
   *    REPLACE it, letting a losing concurrent committer overwrite the
   *    winner's snapshot);
-  *  - any other scheme: `FileSystem.create(path, overwrite = false)` — an
-  *    atomic create-if-absent claim on HDFS; on object stores this is the
-  *    closest primitive the Hadoop API exposes (a true conditional-put —
-  *    S3 `If-None-Match` — needs a store-specific client; slot it in here
-  *    when deploying against a store that races committers).
+  *  - any other scheme: fully-written temp sibling + no-replace rename —
+  *    atomic claim on HDFS (rename refuses an existing destination), and
+  *    readers can never observe a torn/empty snapshot. On object stores
+  *    rename is copy-based; a true conditional-put (S3 `If-None-Match`)
+  *    needs a store-specific client — slot it in here when deploying
+  *    against a store that races committers.
   */
 object FileIO {
 
   /** Hadoop conf: the active Spark session's (so `spark.hadoop.*` settings
-    * apply) or a fresh default outside any session. */
-  def hadoopConf: Configuration =
-    SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+    * apply) or a fresh default outside any session. Cached per session
+    * instance — building it copies every session conf entry, and callers
+    * like the exact writer's publish loop hit this once per file.
+    * (Session conf changes made AFTER the first IO call are not picked
+    * up; commit-path IO settings belong in the session builder.) */
+  @volatile private var cachedConf: (AnyRef, Configuration) = null
+  def hadoopConf: Configuration = {
+    val s = SparkSession.getActiveSession.orNull
+    val c = cachedConf
+    if (c != null && (c._1 eq s)) c._2
+    else {
+      val conf =
+        if (s != null) s.sessionState.newHadoopConf() else new Configuration()
+      cachedConf = (s, conf)
+      conf
+    }
+  }
 
   def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
   def fs(p: String): FileSystem = fs(new Path(p))
@@ -51,6 +64,14 @@ object FileIO {
       case s    => s
     })
 
+  /** Listing-result path as a string usable for BOTH metadata round-trips
+    * and re-reads: local paths come back bare (`/a/b` — comparable to
+    * task paths and `_metadata.file_path` after normalization), while
+    * remote paths KEEP their scheme and authority (`s3a://bucket/a/b` —
+    * stripping them would resolve later reads against the default FS). */
+  private def pathString(p: Path): String =
+    if (isLocal(p)) p.toUri.getPath else p.toString
+
   def exists(p: String): Boolean = {
     val hp = new Path(p)
     fs(hp).exists(hp)
@@ -64,7 +85,7 @@ object FileIO {
     if (!f.exists(hp)) Nil
     else f.listStatus(hp).toSeq
       .filter(_.isFile)
-      .map(s => (s.getPath.toUri.getPath, s.getLen))
+      .map(s => (pathString(s.getPath), s.getLen))
   }
 
   /** Recursive listing of plain files under `dir`, sorted by path. */
@@ -77,7 +98,7 @@ object FileIO {
       val it = f.listFiles(hp, true)
       while (it.hasNext) {
         val s = it.next()
-        if (s.isFile) out += ((s.getPath.toUri.getPath, s.getLen))
+        if (s.isFile) out += ((pathString(s.getPath), s.getLen))
       }
       out.sortBy(_._1).toSeq
     }
@@ -131,7 +152,7 @@ object FileIO {
     val f = fs(hp)
     if (!f.exists(hp)) Nil
     else f.listStatus(hp).toSeq.filter(_.isDirectory)
-      .map(_.getPath.toUri.getPath)
+      .map(p => pathString(p.getPath))
   }
 
   def mkdirs(dir: String): Unit = {
@@ -164,18 +185,25 @@ object FileIO {
           throw new AlreadyExists(target, e)
       } finally Files.deleteIfExists(tmp)
     } else {
-      // remote: create-if-absent (atomic on HDFS; best-available on object
-      // stores until a conditional-put client is wired in)
-      val out =
-        try f.create(hp, false)
-        catch {
-          case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            throw new AlreadyExists(target, e)
-          case e: java.io.IOException if f.exists(hp) =>
-            throw new AlreadyExists(target, e)
-        }
+      // remote: write a FULLY-CLOSED temp sibling first, then claim the
+      // target with a no-replace rename. Creating the target directly
+      // would make a zero-length file visible to concurrent readers
+      // before the content lands (a torn snapshot read). HDFS rename
+      // refuses an existing destination (returns false) — the CAS; on
+      // object stores rename is copy-based and a true conditional-put
+      // client should replace this when committers genuinely race.
+      val tmp = new Path(hp.getParent,
+        s"${hp.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, true)
       try out.write(content.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      try {
+        if (!f.rename(tmp, hp)) {
+          if (f.exists(hp)) throw new AlreadyExists(target)
+          else throw new java.io.IOException(
+            s"rename $tmp -> $target failed with no existing target")
+        }
+      } finally f.delete(tmp, false)
     }
   }
 }

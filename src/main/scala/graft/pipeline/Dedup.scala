@@ -208,7 +208,7 @@ object Dedup {
     * @param pairs DataFrame with `a_id`, `b_id` columns (undirected edges)
     * @return (id, comp) — one row per node appearing in any pair
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -217,6 +217,7 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist()
+    if (labels.head(1).isEmpty) { edges.unpersist(); return labels }
     var lastSum = labels.agg(sum("comp")).first().getLong(0)
     var done = false
     var iter = 0
@@ -235,6 +236,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // silent non-convergence would return WRONG components (a chain
+    // longer than maxIter keeps non-minimum labels) — fail loudly instead
+    require(done,
+      s"connectedComponents did not converge within $maxIter iterations " +
+        "(component diameter exceeds the bound); raise maxIter or switch " +
+        "to large-star/small-star rounds")
     labels
   }
 

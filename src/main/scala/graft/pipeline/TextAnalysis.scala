@@ -110,7 +110,12 @@ object TextAnalysis {
       col(idCol).as("doc_id"),
       total.as("n_2grams"),
       distinct2.as("n_distinct_2grams"),
-      floor(lit(1000L) * (total - distinct2) / total).cast("long")
+      // single-token/empty docs have zero 2-grams: ratio defined as 0
+      // (the SQL twin guards the same way — an unguarded 0/0 is NULL in
+      // Spark but a NaN-cast error in DuckDB)
+      when(total > 0,
+        floor(lit(1000L) * (total - distinct2) / total).cast("long"))
+        .otherwise(0L)
         .as("dup_2gram_x1000"))
   }
 }

@@ -136,7 +136,8 @@ object CompactionE2EQuery {
        |  SELECT l_orderkey,
        |    ${QuerySql.h64("'bkt:' || l_orderkey")} % 4 AS bucket
        |  FROM lineitem)
-       |SELECT bucket, count(*) AS n_rows, sum(l_orderkey) AS sum_okey,
+       |SELECT bucket, count(*) AS n_rows,
+       |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 

@@ -278,8 +278,10 @@ object PipelineQueries {
         |  CAST(len(w) - 1 AS BIGINT) AS n_2grams,
         |  CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 1),
         |    i -> w[i] || ' ' || w[i+1]))) AS BIGINT) AS n_distinct_2grams,
-        |  CAST(floor(1000.0 * ((len(w) - 1) - len(list_distinct(list_transform(
-        |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))) / (len(w) - 1)) AS BIGINT) AS dup_2gram_x1000
+        |  CASE WHEN len(w) - 1 > 0 THEN
+        |    CAST(floor(1000.0 * ((len(w) - 1) - len(list_distinct(list_transform(
+        |      generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))) / (len(w) - 1)) AS BIGINT)
+        |  ELSE 0 END AS dup_2gram_x1000
         |FROM t ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH $shinglesCte

@@ -123,7 +123,9 @@ object ExactRollingWriter {
     val metas = perTask.flatten.map { case (attemptPath, rowCount) =>
       val name = attemptPath.substring(attemptPath.lastIndexOf('/') + 1)
       val target = s"$outDir/$name"
-      FileIO.rename(attemptPath, target)
+      if (!FileIO.rename(attemptPath, target))
+        throw graft.core.CompactionError.Io(
+          s"failed to publish $attemptPath -> $target")
       DataFileMeta(target, FileIO.fileLength(target), rowCount, sequenceNumber)
     }
     FileIO.listDirectories(outDir)

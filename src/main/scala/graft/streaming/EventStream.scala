@@ -91,7 +91,7 @@ object EventStream {
     p.join(c,
       col("user_id") === col("p_user_id") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMs MILLISECONDS"))
       .select(col("purchase_id"), col("click_id"), col("p_user_id").as("user_id"),
         unix_timestamp(col("purchase_ts")).cast("long").as("purchase_epoch"),
         unix_timestamp(col("click_ts")).cast("long").as("click_epoch"))
