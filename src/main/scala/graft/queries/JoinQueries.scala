@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.operators.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of and range-join queries over the events stream. Events timestamps
@@ -64,7 +65,55 @@ object JoinQueries {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Batch twin of the streaming sessionizer
+    * (graft.streaming.EventStream.sessionize): classic gaps-and-islands —
+    * a session breaks where the gap to the previous same-user event
+    * exceeds 30 minutes; session id = running count of breaks. One
+    * shuffle on user_id; both windows share its partitioning. The
+    * streaming form maintains the same state incrementally per key. */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    // all time math in MICROSECONDS: DuckDB reads the nanos parquet
+    // timestamp at microsecond precision, so nanosecond gaps/bounds would
+    // differ in the last three digits (and could flip an exact-boundary
+    // gap decision); (tus, event_id) orders identically on both engines
+    val gapUs = 30L * 60 * 1000 * 1000
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        // integer div: epoch-ns exceeds 2^53, double division loses ulps
+        expr("ts div 1000").as("tus"))
+      .withColumn("brk",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(tus) AS start_us, max(tus) AS end_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "purchase_attribution" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
         |FROM events p JOIN events c
@@ -93,6 +142,7 @@ object JoinQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (asofJoin _),
     "interval_join" -> (intervalJoin _),
-    "purchase_attribution" -> (purchaseAttribution _)
+    "purchase_attribution" -> (purchaseAttribution _),
+    "sessionize_batch" -> (sessionizeBatch _)
   )
 }

@@ -171,6 +171,24 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** Deterministic uniform k-sample: the k documents with the smallest
+    * hash64("usmp", doc_id) — an exact-size sample (vs the rate-gated
+    * [[deterministicSample]]) that any engine reproduces. Scale shape:
+    * orderBy+limit plans as per-partition top-k (TakeOrderedAndProject)
+    * — only k rows per partition reach the driver merge, never a global
+    * sort. */
+  def uniformSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 25
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.pipeline.TextFunctions
+          .hash64(lit("usmp"), col("doc_id").cast("string")).as("h"))
+      .orderBy("h", "doc_id")
+      .limit(k)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   // ---- multimodal ----
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -405,6 +423,11 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "uniform_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang FROM documents
+         |  ORDER BY ${h64("'usmp:' || doc_id")}, doc_id LIMIT 25)
+         |ORDER BY doc_id""".stripMargin,
     "deterministic_sample" ->
       s"""SELECT lang,
          |  CAST(sum(CASE WHEN ${h64("'smp:' || doc_id")} % 1000 < 200 THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
@@ -446,6 +469,7 @@ object PipelineQueries {
     "ann_ivf_trained" -> (annIvfTrained _),
     "kmv_distinct" -> (kmvDistinct _),
     "deterministic_sample" -> (deterministicSample _),
+    "uniform_sample" -> (uniformSample _),
     "multimodal_meta" -> (multimodalMeta _)
   )
 }
