@@ -44,16 +44,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         ShinglesExpr(args.head, lit2Int(args(1), "n"))))
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
-      info("minhash_signature", "minhash_signature(features, numHashes)"),
+      info("minhash_signature",
+        "minhash_signature(features, numHashes[, hashKind]) - 'md5' (oracle) or 'xx' (production)"),
       (args: Seq[Expression]) =>
-        MinHashSignatureExpr(args.head, lit2Int(args(1), "numHashes"))))
+        MinHashSignatureExpr(args.head, lit2Int(args(1), "numHashes"),
+          if (args.size > 2) lit2Str(args(2), "hashKind") else Hash64.KindMd5)))
     ext.injectFunction((FunctionIdentifier("simhash32"),
-      info("simhash32", "simhash32(features) - 32-bit simhash"),
-      (args: Seq[Expression]) => SimHash32Expr(args.head)))
+      info("simhash32", "simhash32(features[, hashKind]) - 32-bit simhash"),
+      (args: Seq[Expression]) => SimHash32Expr(args.head,
+        if (args.size > 1) lit2Str(args(1), "hashKind") else Hash64.KindMd5)))
     ext.injectFunction((FunctionIdentifier("hashed_set"),
-      info("hashed_set", "hashed_set(features, seed) - sorted distinct hash64 set"),
+      info("hashed_set",
+        "hashed_set(features, seed[, hashKind]) - sorted distinct hash64 set"),
       (args: Seq[Expression]) =>
-        HashedSetExpr(args.head, lit2Str(args(1), "seed"))))
+        HashedSetExpr(args.head, lit2Str(args(1), "seed"),
+          if (args.size > 2) lit2Str(args(2), "hashKind") else Hash64.KindMd5)))
+    ext.injectFunction((FunctionIdentifier("hyperplane_bucket"),
+      info("hyperplane_bucket",
+        "hyperplane_bucket(vec, dims, numBits) - random-hyperplane LSH bucket"),
+      (args: Seq[Expression]) =>
+        HyperplaneBucketExpr(args.head, lit2Int(args(1), "dims"),
+          lit2Int(args(2), "numBits"))))
     ext.injectFunction((FunctionIdentifier("hash_min"),
       info("hash_min", "hash_min(features, seed) - min hash64 (fingerprint)"),
       (args: Seq[Expression]) =>

@@ -35,6 +35,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("self_cos") == 1.0)
   }
 
+  test("hashKind and hyperplane_bucket are SQL-reachable") {
+    val row = spark.sql(
+      """SELECT
+        |  minhash_signature(array('a','b'), 4, 'xx') AS mh_xx,
+        |  minhash_signature(array('a','b'), 4) AS mh_md5,
+        |  simhash32(array('a','b'), 'xx') AS sim_xx,
+        |  size(hashed_set(array('a','b'), 'j', 'xx')) AS n_hs_xx,
+        |  hyperplane_bucket(array_repeat(0.5F, 64), 64, 8) AS hb
+        |""".stripMargin).collect().head
+    // different hash families must produce different signatures
+    assert(row.getSeq[Long](0).toList != row.getSeq[Long](1).toList)
+    assert(row.getAs[Int]("n_hs_xx") == 2)
+    val hb = row.getAs[Long]("hb")
+    assert(hb >= 0 && hb < 256)
+  }
+
   test("non-literal arity arguments are rejected clearly") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_signature(array('a'), id + 1) FROM range(1)")
