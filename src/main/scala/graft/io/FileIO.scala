@@ -37,6 +37,8 @@ object FileIO {
     * (Session conf changes made AFTER the first IO call are not picked
     * up; commit-path IO settings belong in the session builder.) */
   @volatile private var cachedConf: (AnyRef, Configuration) = null
+  /** Drop the cached conf (tests that mutate hadoop settings mid-session). */
+  private[graft] def invalidateConfCache(): Unit = cachedConf = null
   def hadoopConf: Configuration = {
     val s = SparkSession.getActiveSession.orNull
     val c = cachedConf
@@ -198,6 +200,11 @@ object FileIO {
       try out.write(content.getBytes(StandardCharsets.UTF_8))
       finally out.close()
       try {
+        // fast-path conflict check first: some FileSystems (POSIX-backed)
+        // implement rename as a silent REPLACE, which would let a loser
+        // overwrite the winner — on those, this check is the (best-effort)
+        // CAS; on HDFS the no-replace rename below is the atomic one
+        if (f.exists(hp)) throw new AlreadyExists(target)
         if (!f.rename(tmp, hp)) {
           if (f.exists(hp)) throw new AlreadyExists(target)
           else throw new java.io.IOException(

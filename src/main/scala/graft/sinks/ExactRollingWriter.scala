@@ -60,6 +60,16 @@ object ExactRollingWriter {
     }
     graft.io.FileIO.mkdirs(outDir)
     val codec = CompressionCodecName.valueOf(compression.toUpperCase)
+    // ship the driver's hadoop conf entries to the write tasks — a bare
+    // `new Configuration()` in the executor would lack the session's
+    // `spark.hadoop.*` settings (object-store credentials, endpoints),
+    // silently breaking non-local output dirs. Configuration itself is
+    // not serializable; its entries are.
+    val confEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      graft.io.FileIO.hadoopConf.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    }
 
     // one element per partition: the winning attempt's (path, rowCount)s
     val perTask: Array[Seq[(String, Long)]] =
@@ -67,6 +77,8 @@ object ExactRollingWriter {
         val tc = TaskContext.get()
         val pid = tc.partitionId()
         val attemptDir = s"$outDir/_attempt-${tc.taskAttemptId()}"
+        val taskConf = new Configuration(false)
+        confEntries.foreach { case (k, v) => taskConf.set(k, v) }
         val message = toMessageType(schema)
         val factory = new SimpleGroupFactory(message)
         val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
@@ -77,7 +89,7 @@ object ExactRollingWriter {
 
         def newWriter(): Unit = {
           curPath = s"$attemptDir/part-$pid-$fileIdx.parquet"
-          val conf = new Configuration()
+          val conf = new Configuration(taskConf)
           conf.set("parquet.example.schema", message.toString)
           writer = ExampleParquetWriter.builder(new HPath(curPath))
             .withConf(conf)
