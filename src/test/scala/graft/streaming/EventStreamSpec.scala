@@ -81,6 +81,49 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest commits batches to the snapshot table; compaction folds them") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = Files.createTempDirectory("graft-ingest").toString
+    val input = MemoryStream[Event]
+    val writer = graft.streaming.StreamingIngest.batchWriter(
+      tableDir, schemaId = 1,
+      graft.core.CompactionConfig(targetPartitions = 2))
+    val q = input.toDF().writeStream.foreachBatch(writer).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(2), 1, "purchase", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val cat = graft.txn.FileTableCatalog
+    val afterIngest = cat.loadOrThrow(tableDir)
+    // v1 bootstrap + one commit per non-empty batch
+    assert(afterIngest.version == 3)
+    // batch sequence numbers strictly increase (later deletes would apply)
+    val seqs = afterIngest.files.map(_.sequenceNumber).distinct.sorted
+    assert(seqs == Seq(1L, 2L))
+    assert(spark.read.parquet(afterIngest.files.map(_.path): _*).count() == 3)
+
+    // a REPLAYED batch is skipped, not duplicated
+    writer(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq[org.apache.spark.sql.Row]()),
+      spark.read.parquet(afterIngest.files.head.path).schema), 0L)
+    assert(cat.loadOrThrow(tableDir).version == 3)
+
+    // compaction folds the small ingest files into one rewritten set
+    val stat = graft.compaction.Compaction.builder()
+      .withSpark(spark).withTableDir(tableDir)
+      .withConfig(graft.core.CompactionConfig(
+        targetPartitions = 1, enableValidateCompaction = true))
+      .build().compact()
+    assert(stat.rewrittenFilesCount == afterIngest.files.size)
+    val compacted = cat.loadOrThrow(tableDir)
+    assert(compacted.version == 4)
+    assert(spark.read.parquet(compacted.files.map(_.path): _*).count() == 3)
+  }
+
   test("sessionize: 30-minute gap splits sessions, state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
