@@ -34,7 +34,56 @@ final class CommitManager(
       expectedSchemaId: Long,
       startingSequenceNumber: Long,
       useStartingSequenceNumber: Boolean = true
-  ): TableSnapshot = {
+  ): TableSnapshot =
+    commitLoop(expectedSchemaId) { cur =>
+      // stale-rewrite guard: every file this rewrite removes must still
+      // be current — if another commit already removed them, committing
+      // our rewrite would DUPLICATE their rows. Staleness is permanent
+      // (non-retryable): abort now rather than sleep through the backoff.
+      val current = cur.files.map(_.path).toSet
+      val gone = removedPaths -- current
+      if (gone.nonEmpty)
+        throw CompactionError.StaleRewrite(
+          s"rewrite is stale: ${gone.size} removed file(s) no longer in the " +
+            s"current snapshot (e.g. ${gone.head})")
+
+      val newSeq =
+        if (useStartingSequenceNumber) startingSequenceNumber
+        else cur.lastSequenceNumber + 1
+      val kept = cur.files.filterNot(f => removedPaths.contains(f.path))
+      val added = addedFiles.map(f => FileEntry(
+        path = f.filePath, content = "data", sizeBytes = f.fileSizeBytes,
+        recordCount = f.recordCount, sequenceNumber = newSeq))
+      TableSnapshot(
+        version = cur.version + 1,
+        schemaId = cur.schemaId,
+        lastSequenceNumber = math.max(cur.lastSequenceNumber, newSeq),
+        files = kept ++ added)
+    }
+
+  /** Append pre-built file entries (data OR delete files) at the next
+    * sequence number — the write-side twin of the MoR read path: a
+    * delete file appended here applies to all rows with a strictly
+    * smaller sequence number. Entries' `sequenceNumber` is assigned by
+    * the commit (per-attempt reload), not the caller. */
+  def appendFiles(
+      entries: Seq[FileEntry],
+      expectedSchemaId: Long
+  ): TableSnapshot =
+    commitLoop(expectedSchemaId) { cur =>
+      val newSeq = cur.lastSequenceNumber + 1
+      TableSnapshot(
+        version = cur.version + 1,
+        schemaId = cur.schemaId,
+        lastSequenceNumber = newSeq,
+        files = cur.files ++ entries.map(_.copy(sequenceNumber = newSeq)))
+    }
+
+  /** CAS retry loop shared by every commit shape: per-attempt reload,
+    * schema-drift abort, retry only retryable kinds with exponential
+    * backoff (reference T1/T2 semantics). */
+  private def commitLoop(expectedSchemaId: Long)(
+      next: TableSnapshot => TableSnapshot): TableSnapshot = {
     var attempt = 0
     var lastErr: Throwable = null
     while (attempt <= retry.maxRetries) {
@@ -45,35 +94,13 @@ final class CommitManager(
         if (cur.schemaId != expectedSchemaId)
           throw CompactionError.SchemaDrift(
             s"schema id changed ${expectedSchemaId} -> ${cur.schemaId} between plan and commit")
-        // stale-rewrite guard: every file this rewrite removes must still
-        // be current — if another commit already removed them, committing
-        // our rewrite would DUPLICATE their rows. Staleness is permanent
-        // (non-retryable): abort now rather than sleep through the backoff.
-        val current = cur.files.map(_.path).toSet
-        val gone = removedPaths -- current
-        if (gone.nonEmpty)
-          throw CompactionError.StaleRewrite(
-            s"rewrite is stale: ${gone.size} removed file(s) no longer in the " +
-              s"current snapshot (e.g. ${gone.head})")
-
-        val newSeq =
-          if (useStartingSequenceNumber) startingSequenceNumber
-          else cur.lastSequenceNumber + 1
-        val kept = cur.files.filterNot(f => removedPaths.contains(f.path))
-        val added = addedFiles.map(f => FileEntry(
-          path = f.filePath, content = "data", sizeBytes = f.fileSizeBytes,
-          recordCount = f.recordCount, sequenceNumber = newSeq))
-        val next = TableSnapshot(
-          version = cur.version + 1,
-          schemaId = cur.schemaId,
-          lastSequenceNumber = math.max(cur.lastSequenceNumber, newSeq),
-          files = kept ++ added)
-        catalog.commitCas(tableDir, next)
+        val snap = next(cur)
+        catalog.commitCas(tableDir, snap)
         if (labels != null) {
           metrics.incCommit(labels)
           metrics.observeCommitDuration(labels, (System.nanoTime() - t0) / 1e9)
         }
-        return next
+        return snap
       } catch {
         case e: CompactionError if e.retryable =>
           lastErr = e

@@ -1,0 +1,97 @@
+package graft.txn
+
+import graft.core._
+import graft.io.FileIO
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Write-side table operations: append data, position-delete, and
+  * equality-delete files through the catalog — the producer half of the
+  * merge-on-read contract the compactor consumes (the reference only
+  * CONSUMES delete files written by other engines; a complete engine
+  * needs both sides). Every append commits at a fresh sequence number
+  * via [[CommitManager.appendFiles]], so:
+  *
+  *  - an equality delete appended AFTER a row's data file removes that
+  *    row (`data.seq < delete.seq`), and
+  *  - rows (re-)inserted after the delete survive it — exactly the
+  *    semantics `MergeOnRead.liveRows` implements on the read side.
+  */
+object TableWrites {
+
+  private def writeParquet(df: DataFrame, outDir: String,
+      compression: String): Seq[(String, Long)] = {
+    df.write.mode("overwrite").option("compression", compression)
+      .parquet(outDir)
+    FileIO.listFilesRecursive(outDir).filter(_._1.endsWith(".parquet"))
+  }
+
+  /** Append `rows` as data files. */
+  def appendData(
+      tableDir: String,
+      rows: DataFrame,
+      config: CompactionConfig = CompactionConfig(),
+      retry: RetryConfig = RetryConfig(),
+      catalog: TableCatalog = FileTableCatalog
+  ): TableSnapshot = {
+    val cur = catalog.loadOrThrow(tableDir)
+    val outDir = s"$tableDir/data/append-${java.util.UUID.randomUUID().toString.take(8)}"
+    val n = rows.count()
+    val files = writeParquet(rows, outDir, config.parquetCompression)
+    new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
+      files.map { case (p, len) =>
+        FileEntry(p, "data", len, if (files.size == 1) n else -1L, -1L)
+      },
+      expectedSchemaId = cur.schemaId)
+  }
+
+  /** Append an EQUALITY delete: every live row whose `equalityIds`
+    * columns match a row of `keys` (and whose data file is older than
+    * this commit) is deleted on the next merge-on-read scan/compaction. */
+  def appendEqualityDeletes(
+      tableDir: String,
+      keys: DataFrame,
+      equalityIds: Seq[String],
+      config: CompactionConfig = CompactionConfig(),
+      retry: RetryConfig = RetryConfig(),
+      catalog: TableCatalog = FileTableCatalog
+  ): TableSnapshot = {
+    require(equalityIds.nonEmpty, "equalityIds must name at least one column")
+    val cur = catalog.loadOrThrow(tableDir)
+    val outDir = s"$tableDir/data/eqdel-${java.util.UUID.randomUUID().toString.take(8)}"
+    val n = keys.count()
+    val files = writeParquet(
+      keys.select(equalityIds.map(col): _*).distinct(),
+      outDir, config.parquetCompression)
+    new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
+      files.map { case (p, len) =>
+        FileEntry(p, "equality-deletes", len,
+          if (files.size == 1) n else -1L, -1L, equalityIds = equalityIds)
+      },
+      expectedSchemaId = cur.schemaId)
+  }
+
+  /** Append a POSITION delete: `positions` must carry
+    * (file_path STRING, pos BIGINT) naming physical rows of CURRENT data
+    * files (the Iceberg position-delete file schema). */
+  def appendPositionDeletes(
+      tableDir: String,
+      positions: DataFrame,
+      config: CompactionConfig = CompactionConfig(),
+      retry: RetryConfig = RetryConfig(),
+      catalog: TableCatalog = FileTableCatalog
+  ): TableSnapshot = {
+    val cur = catalog.loadOrThrow(tableDir)
+    val outDir = s"$tableDir/data/posdel-${java.util.UUID.randomUUID().toString.take(8)}"
+    val n = positions.count()
+    val files = writeParquet(
+      positions.select(col("file_path"), col("pos")),
+      outDir, config.parquetCompression)
+    new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
+      files.map { case (p, len) =>
+        FileEntry(p, "position-deletes", len,
+          if (files.size == 1) n else -1L, -1L)
+      },
+      expectedSchemaId = cur.schemaId)
+  }
+}

@@ -140,6 +140,40 @@ class CompactionSpec extends AnyFunSuite {
     assert(!new File(f1).exists() && !new File(ed).exists())
   }
 
+  test("write-side API: appends and deletes round-trip through compaction") {
+    import graft.txn.TableWrites
+    val dir = Files.createTempDirectory("graft-writes").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    // seq 1: three rows
+    TableWrites.appendData(dir,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name").coalesce(1))
+    // seq 2: equality-delete id=2 (hits only older data)
+    TableWrites.appendEqualityDeletes(dir, Seq(Tuple1(2)).toDF("id"), Seq("id"))
+    // seq 3: re-insert id=2 (newer than the delete -> must survive) + id=4
+    TableWrites.appendData(dir,
+      Seq((2, "b2"), (4, "d")).toDF("id", "name").coalesce(1))
+    // seq 4: position-delete row 0 of the FIRST data file (id=1)
+    val snap = TableMetadata.loadOrThrow(dir)
+    val firstData = snap.files.filter(_.content == "data")
+      .minBy(_.sequenceNumber).path
+    TableWrites.appendPositionDeletes(dir,
+      Seq((firstData, 0L)).toDF("file_path", "pos"))
+    // sequence numbers were assigned by the commits, in order
+    assert(TableMetadata.loadOrThrow(dir).lastSequenceNumber == 4)
+
+    val stat = Compaction.builder().withSpark(spark).withTableDir(dir)
+      .withConfig(CompactionConfig(
+        enableValidateCompaction = true, strictValidation = true))
+      .build().compact()
+    assert(stat.rewrittenFilesCount == 4)
+    val rows = spark.read
+      .parquet(TableMetadata.loadOrThrow(dir).files.map(_.path): _*)
+      .as[(Int, String)].collect().toSet
+    // id1 position-deleted; id2@seq1 equality-deleted; the seq-3
+    // re-insert of id2 survives the seq-2 delete; 3 and 4 untouched
+    assert(rows == Set((2, "b2"), (3, "c"), (4, "d")))
+  }
+
   test("empty table compacts to empty stats (reference early-exit)") {
     val dir = Files.createTempDirectory("graft-empty").toString
     TableMetadata.commit(dir, TableSnapshot(1, 0, 0, Nil))
