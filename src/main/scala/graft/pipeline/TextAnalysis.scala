@@ -96,6 +96,28 @@ object TextAnalysis {
       graft.functions.HashColumns.hashMin(sh, "fp").as("fp_min"))
   }
 
+  /** Corpus-frequency quality signal: per document, the sum of GLOBAL
+    * occurrence counts of its tokens and the number of rare tokens
+    * (global count below `rareBelow`) — the rare-token-density filter
+    * used to drop gibberish/OCR noise from training corpora. Two stages:
+    * one shuffle builds the (small) vocabulary count table, which then
+    * BROADCASTS into a narrow per-token lookup join; integer outputs
+    * only. At 100 TB the vocabulary of distinct tokens is still orders
+    * of magnitude smaller than the corpus, so the broadcast holds (fall
+    * back to a shuffle join via AQE when it doesn't). */
+  def frequencyScore(docs: DataFrame, idCol: String, textCol: String,
+      rareBelow: Long = 3L): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("gfreq"))
+    toks.join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("gfreq")).as("freq_sum"),
+        sum(when(col("gfreq") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+  }
+
   /** 2-gram repetition signal (the Gopher-rule family of repetition
     * filters — Rae et al., "Scaling Language Models: ... Gopher", 2021,
     * §A1.1 uses duplicate n-gram fractions to drop degenerate text):

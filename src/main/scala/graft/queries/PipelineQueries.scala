@@ -37,6 +37,10 @@ object PipelineQueries {
     TextAnalysis.repetition(documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  def freqScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.frequencyScore(documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   // ---- dedup ----
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -290,6 +294,15 @@ object PipelineQueries {
          |SELECT doc_id, lang AS claimed_lang, $langCase AS predicted_lang,
          |  (lang = $langCase) AS agree
          |FROM t ORDER BY doc_id""".stripMargin,
+    "freq_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (SELECT tok, count(*) AS gfreq FROM toks GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(gfreq) AS BIGINT) AS freq_sum,
+        |  CAST(sum(CASE WHEN gfreq < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |FROM toks JOIN vocab USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id,
@@ -456,6 +469,7 @@ object PipelineQueries {
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
     "repetition" -> (repetition _),
+    "freq_score" -> (freqScore _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
