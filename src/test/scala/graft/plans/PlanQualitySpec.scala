@@ -72,6 +72,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected a single-partition buffer merge:\n$p")
   }
 
+  test("trained IVF broadcasts centroids — never a cartesian product") {
+    val p = plan(graft.queries.PipelineQueries.queries("ann_ivf_trained")(spark, dir))
+    assert(p.contains("Broadcast"),
+      s"centroid side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus x centroids must not plan as a cartesian product:\n$p")
+  }
+
+  test("freq_score broadcasts the vocabulary into the token join") {
+    val p = plan(graft.queries.PipelineQueries.queries("freq_score")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab lookup should be a broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token join must not sort-merge the exploded corpus:\n$p")
+  }
+
   test("position-delete broadcast is gated on delete-file bytes") {
     import spark.implicits._
     import graft.core._
