@@ -100,17 +100,18 @@ object TextAnalysis {
     * occurrence counts of its tokens and the number of rare tokens
     * (global count below `rareBelow`) — the rare-token-density filter
     * used to drop gibberish/OCR noise from training corpora. Two stages:
-    * one shuffle builds the (small) vocabulary count table, which then
-    * BROADCASTS into a narrow per-token lookup join; integer outputs
-    * only. At 100 TB the vocabulary of distinct tokens is still orders
-    * of magnitude smaller than the corpus, so the broadcast holds (fall
-    * back to a shuffle join via AQE when it doesn't). */
+    * one shuffle builds the (small) vocabulary count table; the lookup
+    * join is left UNHINTED so the planner broadcasts it while it fits
+    * the threshold and falls back to a shuffle join when a noisy corpus
+    * inflates the vocabulary (an explicit broadcast hint would force the
+    * broadcast regardless and OOM instead of degrading). Integer
+    * outputs only. */
   def frequencyScore(docs: DataFrame, idCol: String, textCol: String,
       rareBelow: Long = 3L): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("gfreq"))
-    toks.join(broadcast(vocab), "tok")
+    toks.join(vocab, "tok")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.core._
 import graft.sinks.RollingWriter
-import graft.txn.{CommitManager, FileTableCatalog, TableCatalog, TableSnapshot}
+import graft.txn.{CommitManager, FileEntry, FileTableCatalog, TableCatalog, TableSnapshot}
 import org.apache.spark.sql.DataFrame
 
 /** Streaming ingest into a snapshot table: each micro-batch lands as
@@ -26,14 +26,22 @@ import org.apache.spark.sql.DataFrame
   *    (a compaction of OLD files and an append commute; the stale-rewrite
   *    guard protects the compactor, not the appender);
   *  - REPLAYED batches (foreachBatch retries after failure) are detected
-  *    by their batch-scoped output directory already being referenced by
-  *    the current snapshot, and skipped — the exactly-once idempotence
-  *    foreachBatch requires of its sink.
+  *    by the `graft.ingest.last-batch-id` SNAPSHOT PROPERTY, written
+  *    atomically with each batch's commit and PRESERVED by every other
+  *    commit shape — so the marker survives compactions rewriting the
+  *    batch's files (a path-presence check would not). Structured
+  *    Streaming guarantees batchIds are monotonic per checkpoint; a
+  *    batch whose id is <= the marker is a replay and is skipped. (A
+  *    RESET checkpoint restarts batch ids — pair a fresh checkpoint
+  *    with a fresh table, as with any idempotent-by-batchId sink.)
   *
   * Scale: the write is a plain partition-parallel Spark job per batch;
   * only the tiny metadata commit is serialized through the catalog CAS.
   */
 object StreamingIngest {
+
+  /** Snapshot property carrying the highest committed batch id. */
+  val LastBatchIdProp = "graft.ingest.last-batch-id"
 
   /** The foreachBatch sink function. Bootstrap: if the table has no
     * snapshot yet, an empty v1 with `schemaId` is committed first. */
@@ -52,24 +60,28 @@ object StreamingIngest {
       catalog.loadOrThrow(tableDir)
     }
 
-    val outDir = s"$tableDir/data/ingest-$batchId"
-    if (cur.files.exists(_.path.startsWith(outDir))) {
-      // replayed batch: its files are already committed — idempotent skip
+    val committed = cur.properties.get(LastBatchIdProp).map(_.toLong)
+    if (committed.exists(batchId <= _)) {
+      // replayed batch: already committed — idempotent skip
     } else {
+      val outDir = s"$tableDir/data/ingest-$batchId"
       val request = RewriteFilesRequest(
         tasks = InputFileScanTasks(Nil, Nil, Nil),
         schema = batch.schema, config = config, outputDir = outDir)
       val written = RollingWriter.write(batch, request, sequenceNumber = 0L)
-      // useStartingSequenceNumber = false: an APPEND takes a fresh
-      // sequence number computed from the per-attempt reload (the commit
-      // manager assigns it to the added files), so every batch's rows are
-      // strictly newer than all previously-committed data
-      new CommitManager(tableDir, retry, catalog = catalog).rewriteFiles(
-        addedFiles = written,
-        removedPaths = Set.empty,
+      // appendFiles assigns the fresh sequence number from the
+      // per-attempt reload, so every batch's rows are strictly newer
+      // than all previously-committed data; the replay marker commits
+      // atomically with the files
+      new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
+        entries = written.map { f =>
+          val rc =
+            if (f.recordCount >= 0) f.recordCount
+            else graft.txn.TableWrites.parquetRowCount(f.filePath)
+          FileEntry(f.filePath, "data", f.fileSizeBytes, rc, -1L)
+        },
         expectedSchemaId = cur.schemaId,
-        startingSequenceNumber = 0L,
-        useStartingSequenceNumber = false)
+        setProperties = Map(LastBatchIdProp -> batchId.toString))
     }
   }
 }

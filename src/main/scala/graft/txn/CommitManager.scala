@@ -58,17 +58,21 @@ final class CommitManager(
         version = cur.version + 1,
         schemaId = cur.schemaId,
         lastSequenceNumber = math.max(cur.lastSequenceNumber, newSeq),
-        files = kept ++ added)
+        files = kept ++ added,
+        properties = cur.properties)
     }
 
   /** Append pre-built file entries (data OR delete files) at the next
     * sequence number — the write-side twin of the MoR read path: a
     * delete file appended here applies to all rows with a strictly
     * smaller sequence number. Entries' `sequenceNumber` is assigned by
-    * the commit (per-attempt reload), not the caller. */
+    * the commit (per-attempt reload), not the caller. `setProperties`
+    * entries are merged into the snapshot properties atomically with the
+    * append (e.g. the streaming-ingest replay marker). */
   def appendFiles(
       entries: Seq[FileEntry],
-      expectedSchemaId: Long
+      expectedSchemaId: Long,
+      setProperties: Map[String, String] = Map.empty
   ): TableSnapshot =
     commitLoop(expectedSchemaId) { cur =>
       val newSeq = cur.lastSequenceNumber + 1
@@ -76,7 +80,8 @@ final class CommitManager(
         version = cur.version + 1,
         schemaId = cur.schemaId,
         lastSequenceNumber = newSeq,
-        files = cur.files ++ entries.map(_.copy(sequenceNumber = newSeq)))
+        files = cur.files ++ entries.map(_.copy(sequenceNumber = newSeq)),
+        properties = cur.properties ++ setProperties)
     }
 
   /** CAS retry loop shared by every commit shape: per-attempt reload,

@@ -59,7 +59,11 @@ final case class TableSnapshot(
     schemaId: Long,
     /** Highest data sequence number assigned so far. */
     lastSequenceNumber: Long,
-    files: Seq[FileEntry]
+    files: Seq[FileEntry],
+    /** Snapshot-carried table properties (e.g. the streaming-ingest
+      * replay marker). Commits PRESERVE these unless told otherwise —
+      * a compaction must not erase an ingest sink's idempotence state. */
+    properties: Map[String, String] = Map.empty
 )
 
 object TableMetadata {
@@ -82,10 +86,15 @@ object TableMetadata {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** Snapshots written before the `properties` field existed
+    * deserialize with a null map — normalize to empty. */
+  private def norm(s: TableSnapshot): TableSnapshot =
+    if (s.properties == null) s.copy(properties = Map.empty) else s
+
   def load(tableDir: String): Option[TableSnapshot] =
     currentVersion(tableDir).map { v =>
-      mapper.readValue(FileIO.readString(versionPath(tableDir, v)),
-        classOf[TableSnapshot])
+      norm(mapper.readValue(FileIO.readString(versionPath(tableDir, v)),
+        classOf[TableSnapshot]))
     }
 
   def loadOrThrow(tableDir: String): TableSnapshot =
@@ -110,7 +119,7 @@ object TableMetadata {
   def loadVersion(tableDir: String, version: Long): Option[TableSnapshot] = {
     val p = versionPath(tableDir, version)
     if (!FileIO.exists(p)) None
-    else Some(mapper.readValue(FileIO.readString(p), classOf[TableSnapshot]))
+    else Some(norm(mapper.readValue(FileIO.readString(p), classOf[TableSnapshot])))
   }
 
   /** List snapshot versions, oldest first. */

@@ -19,11 +19,24 @@ import org.apache.spark.sql.functions.col
   */
 object TableWrites {
 
+  /** Exact row count from a parquet file's footer — no Spark job. */
+  def parquetRowCount(path: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), FileIO.hadoopConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Write + list + footer-count in one pass (counts come from the
+    * written files' metadata, so they are exact even for
+    * non-deterministic inputs — a pre-write `df.count()` would run the
+    * whole plan twice AND could disagree with what actually landed). */
   private def writeParquet(df: DataFrame, outDir: String,
-      compression: String): Seq[(String, Long)] = {
+      compression: String): Seq[(String, Long, Long)] = {
     df.write.mode("overwrite").option("compression", compression)
       .parquet(outDir)
     FileIO.listFilesRecursive(outDir).filter(_._1.endsWith(".parquet"))
+      .map { case (p, len) => (p, len, parquetRowCount(p)) }
   }
 
   /** Append `rows` as data files. */
@@ -36,12 +49,9 @@ object TableWrites {
   ): TableSnapshot = {
     val cur = catalog.loadOrThrow(tableDir)
     val outDir = s"$tableDir/data/append-${java.util.UUID.randomUUID().toString.take(8)}"
-    val n = rows.count()
     val files = writeParquet(rows, outDir, config.parquetCompression)
     new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
-      files.map { case (p, len) =>
-        FileEntry(p, "data", len, if (files.size == 1) n else -1L, -1L)
-      },
+      files.map { case (p, len, rc) => FileEntry(p, "data", len, rc, -1L) },
       expectedSchemaId = cur.schemaId)
   }
 
@@ -59,14 +69,13 @@ object TableWrites {
     require(equalityIds.nonEmpty, "equalityIds must name at least one column")
     val cur = catalog.loadOrThrow(tableDir)
     val outDir = s"$tableDir/data/eqdel-${java.util.UUID.randomUUID().toString.take(8)}"
-    val n = keys.count()
     val files = writeParquet(
       keys.select(equalityIds.map(col): _*).distinct(),
       outDir, config.parquetCompression)
     new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
-      files.map { case (p, len) =>
-        FileEntry(p, "equality-deletes", len,
-          if (files.size == 1) n else -1L, -1L, equalityIds = equalityIds)
+      files.map { case (p, len, rc) =>
+        FileEntry(p, "equality-deletes", len, rc, -1L,
+          equalityIds = equalityIds)
       },
       expectedSchemaId = cur.schemaId)
   }
@@ -83,14 +92,12 @@ object TableWrites {
   ): TableSnapshot = {
     val cur = catalog.loadOrThrow(tableDir)
     val outDir = s"$tableDir/data/posdel-${java.util.UUID.randomUUID().toString.take(8)}"
-    val n = positions.count()
     val files = writeParquet(
       positions.select(col("file_path"), col("pos")),
       outDir, config.parquetCompression)
     new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
-      files.map { case (p, len) =>
-        FileEntry(p, "position-deletes", len,
-          if (files.size == 1) n else -1L, -1L)
+      files.map { case (p, len, rc) =>
+        FileEntry(p, "position-deletes", len, rc, -1L)
       },
       expectedSchemaId = cur.schemaId)
   }

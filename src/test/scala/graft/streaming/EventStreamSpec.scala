@@ -107,9 +107,10 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(afterIngest.files.map(_.path): _*).count() == 3)
 
     // a REPLAYED batch is skipped, not duplicated
-    writer(spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq[org.apache.spark.sql.Row]()),
-      spark.read.parquet(afterIngest.files.head.path).schema), 0L)
+    val schema = spark.read.parquet(afterIngest.files.head.path).schema
+    def emptyBatch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq[org.apache.spark.sql.Row]()), schema)
+    writer(emptyBatch, 0L)
     assert(cat.loadOrThrow(tableDir).version == 3)
 
     // compaction folds the small ingest files into one rewritten set
@@ -122,6 +123,12 @@ class EventStreamSpec extends AnyFunSuite {
     val compacted = cat.loadOrThrow(tableDir)
     assert(compacted.version == 4)
     assert(spark.read.parquet(compacted.files.map(_.path): _*).count() == 3)
+
+    // replay detection SURVIVES the compaction (the marker is a snapshot
+    // property, not a path-presence check on the rewritten files)
+    writer(emptyBatch, 1L)
+    assert(cat.loadOrThrow(tableDir).version == 4,
+      "replayed batch after compaction must not re-commit")
   }
 
   test("sessionize: 30-minute gap splits sessions, state carries across batches") {
