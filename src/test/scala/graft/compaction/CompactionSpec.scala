@@ -174,6 +174,39 @@ class CompactionSpec extends AnyFunSuite {
     assert(rows == Set((2, "b2"), (3, "c"), (4, "d")))
   }
 
+  test("TableReader: MoR reads, time travel, and version diff") {
+    import graft.txn.TableWrites
+    import graft.sources.TableReader
+    val dir = Files.createTempDirectory("graft-reader").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name").coalesce(1)) // v2
+    TableWrites.appendEqualityDeletes(dir,
+      Seq(Tuple1(2)).toDF("id"), Seq("id"))                             // v3
+
+    // current read applies the delete chain WITHOUT compaction
+    val now = TableReader.read(spark, dir).as[(Int, String)].collect().toSet
+    assert(now == Set((1, "a"), (3, "c")))
+    // time travel to before the delete
+    val v2 = TableReader.read(spark, dir, asOfVersion = Some(2))
+      .as[(Int, String)].collect().toSet
+    assert(v2 == Set((1, "a"), (2, "b"), (3, "c")))
+    // version diff: the delete shows as one removed row
+    val diff = TableReader.changes(spark, dir, fromVersion = 2, toVersion = 3)
+      .as[(Int, String, String)].collect().toSet
+    assert(diff == Set((2, "b", "-")))
+
+    // reads are invariant under compaction
+    Compaction.builder().withSpark(spark).withTableDir(dir)
+      .withConfig(CompactionConfig(enableValidateCompaction = true))
+      .build().compact()
+    assert(TableReader.read(spark, dir).as[(Int, String)].collect().toSet == now)
+    // expired/unknown versions fail with a clear error
+    assertThrows[CompactionError.Config] {
+      TableReader.read(spark, dir, asOfVersion = Some(99))
+    }
+  }
+
   test("empty table compacts to empty stats (reference early-exit)") {
     val dir = Files.createTempDirectory("graft-empty").toString
     TableMetadata.commit(dir, TableSnapshot(1, 0, 0, Nil))
