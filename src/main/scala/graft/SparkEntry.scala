@@ -19,6 +19,7 @@ object SparkEntry {
       AnalyticsQueries.queries ++ JoinQueries.queries +
       ("compaction_e2e" -> (CompactionE2EQuery.run _)) +
       ("compaction_bucket" -> (CompactionE2EQuery.runBucket _)) +
+      ("table_lifecycle" -> (graft.queries.TableLifecycleQuery.run _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -29,6 +30,7 @@ object SparkEntry {
       AnalyticsQueries.oracles ++ JoinQueries.oracles +
       ("compaction_e2e" -> CompactionE2EQuery.oracle) +
       ("compaction_bucket" -> CompactionE2EQuery.bucketOracle) +
+      ("table_lifecycle" -> graft.queries.TableLifecycleQuery.oracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }
