@@ -40,6 +40,14 @@ object TableLifecycleQuery {
     TableMetadata.commit(tableDir, TableSnapshot(1, 1, 0, Nil))
     // seq 1: even rows, physically sorted so row i == row_number()-1
     TableWrites.appendData(tableDir, sorted(li.filter(col("l_orderkey") % 2 === 0)))
+    // the position/oracle mapping assumes the sorted single-partition
+    // append landed as ONE physical file (a maxRecordsPerFile-style
+    // session setting would split it and positions would diverge from
+    // the oracle's global ordinal — fail clearly instead)
+    val dataFilesAfterFirst = TableMetadata.loadOrThrow(tableDir)
+      .files.count(_.content == "data")
+    require(dataFilesAfterFirst == 1,
+      s"expected 1 data file from the sorted append, got $dataFilesAfterFirst")
     // seq 2: equality-delete every 13th orderkey (hits only seq-1 data)
     TableWrites.appendEqualityDeletes(tableDir,
       li.filter(col("l_orderkey") % 13 === 0).select("l_orderkey"),
@@ -57,19 +65,8 @@ object TableLifecycleQuery {
       .orderBy(outCols.map(col): _*)
   }
 
-  val oracle: String = {
-    val key6 = rowKey.mkString(", ")
-    s"""WITH even AS (
-       |  SELECT *, row_number() OVER (ORDER BY $key6) - 1 AS pos
-       |  FROM lineitem WHERE l_orderkey % 2 = 0),
-       |odd AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1),
-       |even_live AS (
-       |  SELECT * FROM even WHERE pos >= 100 AND l_orderkey % 13 <> 0),
-       |unioned AS (
-       |  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag FROM even_live
-       |  UNION ALL
-       |  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag FROM odd)
-       |SELECT * FROM unioned
-       |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
-  }
+  /** Same expected-survivor computation as the compaction e2e (this
+    * query certifies the identical algebra through the public API) —
+    * ONE shared definition so the scenarios cannot drift apart. */
+  val oracle: String = CompactionE2EQuery.oracle
 }

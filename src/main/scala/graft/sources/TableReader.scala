@@ -31,19 +31,32 @@ object TableReader {
           s"snapshot v$v does not exist (expired or never committed) under $tableDir"))
     }
 
+  /** Live rows at a snapshot, or None when it holds no data files (a
+    * bootstrap snapshot, or a fully-deleted table after compaction) —
+    * the schema is unknowable without data files, so "empty" cannot be
+    * represented as a DataFrame here. */
+  def readOption(
+      spark: SparkSession,
+      tableDir: String,
+      asOfVersion: Option[Long] = None,
+      catalog: TableCatalog = FileTableCatalog
+  ): Option[DataFrame] = {
+    val snap = snapshot(tableDir, asOfVersion, catalog)
+    val tasks = ScanPlanner.toInputTasks(snap.files.map(_.toTask))
+    if (tasks.dataFiles.isEmpty) None
+    else Some(SparkCompactionExecutor.liveRows(spark, tasks))
+  }
+
   /** Live rows of the table at the current (or `asOfVersion`) snapshot. */
   def read(
       spark: SparkSession,
       tableDir: String,
       asOfVersion: Option[Long] = None,
       catalog: TableCatalog = FileTableCatalog
-  ): DataFrame = {
-    val snap = snapshot(tableDir, asOfVersion, catalog)
-    val tasks = ScanPlanner.toInputTasks(snap.files.map(_.toTask))
-    require(tasks.dataFiles.nonEmpty,
-      s"table has no data files at version ${snap.version}")
-    SparkCompactionExecutor.liveRows(spark, tasks)
-  }
+  ): DataFrame =
+    readOption(spark, tableDir, asOfVersion, catalog).getOrElse(
+      throw CompactionError.Config(
+        s"table has no data files at the requested version under $tableDir"))
 
   /** Change set between two retained snapshots: rows present at
     * `toVersion` but not `fromVersion` (`+`) and vice versa (`-`) —
@@ -59,8 +72,20 @@ object TableReader {
       catalog: TableCatalog = FileTableCatalog
   ): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val before = read(spark, tableDir, Some(fromVersion), catalog)
-    val after = read(spark, tableDir, Some(toVersion), catalog)
+    val beforeOpt = readOption(spark, tableDir, Some(fromVersion), catalog)
+    val afterOpt = readOption(spark, tableDir, Some(toVersion), catalog)
+    // a side with no data files is an EMPTY relation with the other
+    // side's schema (diffing against the bootstrap snapshot is the
+    // natural "what did the first commit add")
+    val (before, after) = (beforeOpt, afterOpt) match {
+      case (Some(b), Some(a)) => (b, a)
+      case (Some(b), None)    => (b, b.limit(0))
+      case (None, Some(a))    => (a.limit(0), a)
+      case (None, None) => throw CompactionError.Config(
+        s"neither version $fromVersion nor $toVersion has data files under $tableDir")
+    }
+    require(!after.columns.contains("_change"),
+      "column name _change is reserved by changes()")
     after.exceptAll(before).withColumn("_change", lit("+"))
       .unionByName(before.exceptAll(after).withColumn("_change", lit("-")))
   }

@@ -195,6 +195,10 @@ class CompactionSpec extends AnyFunSuite {
     val diff = TableReader.changes(spark, dir, fromVersion = 2, toVersion = 3)
       .as[(Int, String, String)].collect().toSet
     assert(diff == Set((2, "b", "-")))
+    // diff against the bootstrap (no data files) = everything added
+    val first = TableReader.changes(spark, dir, fromVersion = 1, toVersion = 2)
+      .as[(Int, String, String)].collect().toSet
+    assert(first == Set((1, "a", "+"), (2, "b", "+"), (3, "c", "+")))
 
     // reads are invariant under compaction
     Compaction.builder().withSpark(spark).withTableDir(dir)
