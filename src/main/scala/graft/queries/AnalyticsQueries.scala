@@ -157,7 +157,38 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
       .orderBy("bin")
 
+  /** Z-order layout audit: bucket lineitem by the top bits of the Morton
+    * code over (orderkey, suppkey) — per bucket, BOTH keys' ranges stay
+    * tight (the property that makes min/max file stats prune scans on
+    * either column at 100 TB). Narrow per-row z-value + one shuffle on
+    * the bucket id; no global sort. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val bits = 16
+    val li = t(spark, dir, "lineitem").select(
+      (col("l_orderkey") % 65536).as("okey"),
+      (col("l_suppkey") % 65536).as("skey"))
+    val z = graft.operators.ZOrder.zValue2(col("okey"), col("skey"), bits)
+    li.withColumn("bucket", shiftright(z, 2 * bits - 4)) // top 4 bits -> 16 buckets
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("okey")).as("min_okey"), max(col("okey")).as("max_okey"),
+        min(col("skey")).as("min_skey"), max(col("skey")).as("max_skey"))
+      .orderBy("bucket")
+  }
+
   val oracles: Map[String, String] = Map(
+    "zorder_layout" -> {
+      val z = graft.operators.ZOrder.zValue2Sql("okey", "skey", 16)
+      s"""WITH t AS (
+         |  SELECT l_orderkey % 65536 AS okey, l_suppkey % 65536 AS skey
+         |  FROM lineitem),
+         |b AS (SELECT okey, skey, ($z) >> 28 AS bucket FROM t)
+         |SELECT bucket, count(*) AS n,
+         |  min(okey) AS min_okey, max(okey) AS max_okey,
+         |  min(skey) AS min_skey, max(skey) AS max_skey
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
     "quantiles" ->
       """WITH b AS (
         |  SELECT l_returnflag,
@@ -241,6 +272,7 @@ object AnalyticsQueries {
     "window_topk" -> (windowTopK _),
     "events_window" -> (eventsWindow _),
     "quantiles" -> (quantiles _),
-    "value_histogram" -> (valueHistogram _)
+    "value_histogram" -> (valueHistogram _),
+    "zorder_layout" -> (zorderLayout _)
   )
 }

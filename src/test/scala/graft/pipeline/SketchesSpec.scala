@@ -33,6 +33,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(mergedRev.toSeq == whole.toSeq)
   }
 
+  test("property: any split of any input merges to the whole-input sketch") {
+    val rnd = new scala.util.Random(42)
+    val s = sketch(16)
+    for (_ <- 1 to 200) {
+      val xs = Seq.fill(rnd.nextInt(200))(rnd.nextLong())
+      val whole = xs.foldLeft(s.zero)(s.reduce)
+      val cut = if (xs.isEmpty) 0 else rnd.nextInt(xs.size + 1)
+      val (l, r) = xs.splitAt(cut)
+      val merged = s.merge(
+        l.foldLeft(s.zero)(s.reduce), r.foldLeft(s.zero)(s.reduce))
+      assert(merged.toSeq == whole.toSeq)
+      // bounded, sorted, distinct
+      assert(whole.length <= 16)
+      assert(whole.toSeq == whole.toSeq.sorted.distinct)
+      // exactly the k smallest distinct inputs
+      assert(whole.toSeq == xs.distinct.sorted.take(16))
+    }
+  }
+
   test("saturated buffer rejects larger values cheaply") {
     val s = sketch(3)
     val b = Seq(1L, 2L, 3L).foldLeft(s.zero)(s.reduce)
