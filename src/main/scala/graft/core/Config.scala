@@ -40,13 +40,21 @@ final case class CompactionConfig(
       * splits into multiple byte-range tasks (reference FileScanTask
       * {start, length}, iceberg_file_task_scan.rs:446-462; Iceberg's
       * read.split.target-size default 128 MiB). */
-    splitTargetBytes: Long = 128L * 1024 * 1024
+    splitTargetBytes: Long = 128L * 1024 * 1024,
+    /** OPTIMIZE-ZORDER-style rewrite: exactly TWO non-negative integral
+      * columns whose Morton-interleaved value range-partitions and sorts
+      * the output, so every written file carries tight min/max ranges on
+      * BOTH columns (scan pruning on either predicate). Empty = keep the
+      * reference's plain round-robin layout. */
+    zOrderBy: Seq[String] = Nil
 ) {
   require(batchParallelism > 0, "batchParallelism must be > 0")
   require(targetPartitions > 0, "targetPartitions must be > 0")
   require(targetFileSizeBytes > 0, "targetFileSizeBytes must be > 0")
   require(maxRecordBatchRows > 0, "maxRecordBatchRows must be > 0")
   require(splitTargetBytes > 0, "splitTargetBytes must be > 0")
+  require(zOrderBy.isEmpty || zOrderBy.size == 2,
+    "zOrderBy takes exactly two columns (Morton interleave is 2-D here)")
 }
 
 /** Commit retry policy. Reference: 3 retries, 1s -> 10s exponential backoff,

@@ -72,7 +72,22 @@ object RollingWriter {
           d.withColumn(s"__p_${t.fieldName}", t.expr(d.schema(t.source).dataType))),
         partitionSpec.map(t => s"__p_${t.fieldName}"))
 
-    val writer = outDf.repartition(cfg.targetPartitions)
+    // layout: z-order clustering (range-partition + sort on the Morton
+    // code, so each output file bounds BOTH z columns) or the reference's
+    // plain round-robin repartition (X2)
+    val distributed = cfg.zOrderBy match {
+      case Seq(a, b) =>
+        val zc = org.apache.spark.sql.functions.col("__zval")
+        outDf
+          .withColumn("__zval", graft.operators.ZOrder.zValue2(
+            org.apache.spark.sql.functions.col(a),
+            org.apache.spark.sql.functions.col(b)))
+          .repartitionByRange(cfg.targetPartitions, zc)
+          .sortWithinPartitions(zc)
+          .drop("__zval")
+      case _ => outDf.repartition(cfg.targetPartitions)
+    }
+    val writer = distributed
       .write
       .mode("overwrite")
       .option("compression", cfg.parquetCompression)

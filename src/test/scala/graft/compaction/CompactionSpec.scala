@@ -211,6 +211,43 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered compaction bounds both key columns per output file") {
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    // 128x128 grid in row-major order: a plain write would give every
+    // file the full x domain
+    val grid = (0 until (1 << 14)).map(i => (i % 128L, i / 128L))
+      .toDF("x", "y")
+    val f1 = s"$dir/data/f1.parquet"
+    val (s1, r1) = writeFile(grid, f1)
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 1,
+      Seq(FileEntry(f1, "data", s1, r1, sequenceNumber = 1))))
+
+    Compaction.builder().withSpark(spark).withTableDir(dir)
+      .withConfig(CompactionConfig(targetPartitions = 8,
+        zOrderBy = Seq("x", "y"), enableValidateCompaction = true))
+      .build().compact()
+
+    val files = TableMetadata.loadOrThrow(dir).files.map(_.path)
+    assert(files.size > 1, "expected multiple z-range files")
+    val full = 128L * 128L
+    val boxes: Seq[Long] = files.map { p =>
+      val r = spark.read.parquet(p)
+        .agg(org.apache.spark.sql.functions.min($"x"),
+          org.apache.spark.sql.functions.max($"x"),
+          org.apache.spark.sql.functions.min($"y"),
+          org.apache.spark.sql.functions.max($"y"))
+        .as[(Long, Long, Long, Long)].head()
+      (r._2 - r._1 + 1) * (r._4 - r._3 + 1)
+    }
+    // every row kept...
+    assert(spark.read.parquet(files: _*).count() == (1 << 14))
+    // ...and the per-file bounding boxes cover far less than the full
+    // domain each (the property that makes min/max stats prune scans on
+    // EITHER column; an unclustered layout gives ~full-domain boxes)
+    assert(boxes.sum <= files.size * full / 2,
+      s"z-order boxes too loose: $boxes vs full=$full")
+  }
+
   test("empty table compacts to empty stats (reference early-exit)") {
     val dir = Files.createTempDirectory("graft-empty").toString
     TableMetadata.commit(dir, TableSnapshot(1, 0, 0, Nil))
