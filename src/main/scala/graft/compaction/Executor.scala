@@ -27,6 +27,8 @@ object SparkCompactionExecutor extends CompactionExecutor {
     val config = request.config
     require(!(config.useExactRolling && config.partitionSpec.nonEmpty),
       "useExactRolling does not support partition fanout; use the declarative writer")
+    require(!(config.useExactRolling && config.zOrderBy.nonEmpty),
+      "useExactRolling does not support z-order layout; use the declarative writer")
     val live = liveRows(spark, request.tasks)
     val written =
       if (config.useExactRolling)
