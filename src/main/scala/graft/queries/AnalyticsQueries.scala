@@ -162,13 +162,16 @@ object AnalyticsQueries {
     * tight (the property that makes min/max file stats prune scans on
     * either column at 100 TB). Narrow per-row z-value + one shuffle on
     * the bucket id; no global sort. */
+  /** One definition of the z-layout constants for query AND oracle. */
+  private val ZBits = 16
+  private val ZBucketShift = 2 * ZBits - 4 // top 4 bits -> 16 buckets
+
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    val bits = 16
     val li = t(spark, dir, "lineitem").select(
       (col("l_orderkey") % 65536).as("okey"),
       (col("l_suppkey") % 65536).as("skey"))
-    val z = graft.operators.ZOrder.zValue2(col("okey"), col("skey"), bits)
-    li.withColumn("bucket", shiftright(z, 2 * bits - 4)) // top 4 bits -> 16 buckets
+    val z = graft.operators.ZOrder.zValue2(col("okey"), col("skey"), ZBits)
+    li.withColumn("bucket", shiftright(z, ZBucketShift))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n"),
@@ -179,11 +182,11 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "zorder_layout" -> {
-      val z = graft.operators.ZOrder.zValue2Sql("okey", "skey", 16)
+      val z = graft.operators.ZOrder.zValue2Sql("okey", "skey", ZBits)
       s"""WITH t AS (
          |  SELECT l_orderkey % 65536 AS okey, l_suppkey % 65536 AS skey
          |  FROM lineitem),
-         |b AS (SELECT okey, skey, ($z) >> 28 AS bucket FROM t)
+         |b AS (SELECT okey, skey, ($z) >> $ZBucketShift AS bucket FROM t)
          |SELECT bucket, count(*) AS n,
          |  min(okey) AS min_okey, max(okey) AS max_okey,
          |  min(skey) AS min_skey, max(skey) AS max_skey

@@ -77,14 +77,30 @@ object RollingWriter {
     // plain round-robin repartition (X2)
     val distributed = cfg.zOrderBy match {
       case Seq(a, b) =>
-        val zc = org.apache.spark.sql.functions.col("__zval")
-        outDf
-          .withColumn("__zval", graft.operators.ZOrder.zValue2(
-            org.apache.spark.sql.functions.col(a),
-            org.apache.spark.sql.functions.col(b)))
-          .repartitionByRange(cfg.targetPartitions, zc)
-          .sortWithinPartitions(zc)
-          .drop("__zval")
+        import org.apache.spark.sql.functions.{col => c, min => fmin, max => fmax}
+        cfg.zOrderBy.find(!outDf.columns.contains(_)).foreach { missing =>
+          throw graft.core.CompactionError.Config(
+            s"zOrderBy column '$missing' is not in the written schema " +
+              s"(${outDf.columns.mkString(", ")})")
+        }
+        require(!outDf.columns.contains("__zval"),
+          "column name __zval is reserved by the z-order writer")
+        // normalize both key domains onto 16 bits with exact integer math
+        // (raw keys wider than 16 bits would alias on their low bits and
+        // cluster nothing); one cheap min/max job over the live rows
+        val r = outDf.agg(fmin(c(a)), fmax(c(a)), fmin(c(b)), fmax(c(b))).first()
+        if (r.isNullAt(0)) outDf.repartition(cfg.targetPartitions) // empty input
+        else {
+          def lv(i: Int) = r.getAs[Number](i).longValue
+          val zc = c("__zval")
+          outDf
+            .withColumn("__zval", graft.operators.ZOrder.zValue2(
+              graft.operators.ZOrder.normalize16(c(a).cast("long"), lv(0), lv(1)),
+              graft.operators.ZOrder.normalize16(c(b).cast("long"), lv(2), lv(3))))
+            .repartitionByRange(cfg.targetPartitions, zc)
+            .sortWithinPartitions(zc)
+            .drop("__zval")
+        }
       case _ => outDf.repartition(cfg.targetPartitions)
     }
     val writer = distributed

@@ -213,9 +213,12 @@ class CompactionSpec extends AnyFunSuite {
 
   test("z-ordered compaction bounds both key columns per output file") {
     val dir = Files.createTempDirectory("graft-zorder").toString
-    // 128x128 grid in row-major order: a plain write would give every
-    // file the full x domain
-    val grid = (0 until (1 << 14)).map(i => (i % 128L, i / 128L))
+    // 128x128 grid in row-major order, but on a WIDE key domain (stride
+    // 1e6, offset -8e6 so negatives appear): the writer must normalize
+    // onto 16 bits — raw low-bit interleaving would alias and cluster
+    // nothing. A plain write would give every file the full x domain.
+    val grid = (0 until (1 << 14))
+      .map(i => ((i % 128L) * 1000000L - 8000000L, (i / 128L) * 1000000L - 8000000L))
       .toDF("x", "y")
     val f1 = s"$dir/data/f1.parquet"
     val (s1, r1) = writeFile(grid, f1)
@@ -229,6 +232,7 @@ class CompactionSpec extends AnyFunSuite {
 
     val files = TableMetadata.loadOrThrow(dir).files.map(_.path)
     assert(files.size > 1, "expected multiple z-range files")
+    val step = 1000000L
     val full = 128L * 128L
     val boxes: Seq[Long] = files.map { p =>
       val r = spark.read.parquet(p)
@@ -237,7 +241,7 @@ class CompactionSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.min($"y"),
           org.apache.spark.sql.functions.max($"y"))
         .as[(Long, Long, Long, Long)].head()
-      (r._2 - r._1 + 1) * (r._4 - r._3 + 1)
+      ((r._2 - r._1) / step + 1) * ((r._4 - r._3) / step + 1)
     }
     // every row kept...
     assert(spark.read.parquet(files: _*).count() == (1 << 14))
