@@ -224,10 +224,19 @@ object Dedup {
     while (!done && iter < maxIter) {
       val viaNeighbors = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("comp").as("ncomp"))
-      val next = labels.join(viaNeighbors, col("id") === col("src"), "left")
+      val joined = labels.join(viaNeighbors, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .persist()
+      // persist keeps the DATA hot, but the logical plan still deepens
+      // by one join per round — analyzer/optimizer time grows
+      // superlinearly and an occasional round re-plans pathologically
+      // (BENCH_r02 recorded one 8x excursion on this loop). Every 3rd
+      // round localCheckpoint TRUNCATES the lineage to the materialized
+      // partitions, capping plan depth at 3 regardless of iteration
+      // count; intermediate RDDs are reclaimed by the ContextCleaner.
+      val next =
+        if ((iter + 1) % 3 == 0) joined.localCheckpoint(true)
+        else joined.persist()
       val s = next.agg(sum("comp")).first().getLong(0)
       labels.unpersist()
       labels = next

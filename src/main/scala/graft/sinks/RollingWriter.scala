@@ -75,6 +75,7 @@ object RollingWriter {
     // layout: z-order clustering (range-partition + sort on the Morton
     // code, so each output file bounds BOTH z columns) or the reference's
     // plain round-robin repartition (X2)
+    var persisted: DataFrame = null
     val distributed = cfg.zOrderBy match {
       case Seq(a, b) =>
         import org.apache.spark.sql.functions.{col => c, min => fmin, max => fmax}
@@ -87,29 +88,52 @@ object RollingWriter {
           "column name __zval is reserved by the z-order writer")
         // normalize both key domains onto 16 bits with exact integer math
         // (raw keys wider than 16 bits would alias on their low bits and
-        // cluster nothing); one cheap min/max job over the live rows
-        val r = outDf.agg(fmin(c(a)), fmax(c(a)), fmin(c(b)), fmax(c(b))).first()
-        if (r.isNullAt(0)) outDf.repartition(cfg.targetPartitions) // empty input
-        else {
-          def lv(i: Int) = r.getAs[Number](i).longValue
-          val zc = c("__zval")
-          outDf
-            .withColumn("__zval", graft.operators.ZOrder.zValue2(
-              graft.operators.ZOrder.normalize16(c(a).cast("long"), lv(0), lv(1)),
-              graft.operators.ZOrder.normalize16(c(b).cast("long"), lv(2), lv(3))))
-            .repartitionByRange(cfg.targetPartitions, zc)
-            .sortWithinPartitions(zc)
-            .drop("__zval")
+        // cluster nothing). The domain comes from the INPUT files' parquet
+        // footer stats — zero Spark jobs; re-aggregating over the live-row
+        // plan would run the whole scan + anti-join chain twice, the most
+        // expensive part of a 100 TB compaction. Footer stats are a
+        // superset of the live domain (deleted rows still count), which
+        // normalization tolerates. Fallback when stats are absent or
+        // non-integral: persist() the live rows so the min/max pass and
+        // the write share one computation.
+        val domain: Option[(Long, Long, Long, Long)] =
+          graft.sources.ParquetStats
+            .minMaxLong(request.tasks.dataFiles.map(_.filePath), Seq(a, b))
+            .map(m => (m(a)._1, m(a)._2, m(b)._1, m(b)._2))
+        val (mins: Option[(Long, Long, Long, Long)], src: DataFrame) = domain match {
+          case some @ Some(_) => (some, outDf)
+          case None =>
+            persisted = outDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val r = persisted.agg(fmin(c(a)), fmax(c(a)), fmin(c(b)), fmax(c(b))).first()
+            if (r.isNullAt(0)) (None, persisted) // empty input
+            else {
+              def lv(i: Int) = r.getAs[Number](i).longValue
+              (Some((lv(0), lv(1), lv(2), lv(3))), persisted)
+            }
+        }
+        mins match {
+          case None => src.repartition(cfg.targetPartitions) // empty input
+          case Some((amin, amax, bmin, bmax)) =>
+            val zc = c("__zval")
+            src
+              .withColumn("__zval", graft.operators.ZOrder.zValue2(
+                graft.operators.ZOrder.normalize16(c(a).cast("long"), amin, amax),
+                graft.operators.ZOrder.normalize16(c(b).cast("long"), bmin, bmax)))
+              .repartitionByRange(cfg.targetPartitions, zc)
+              .sortWithinPartitions(zc)
+              .drop("__zval")
         }
       case _ => outDf.repartition(cfg.targetPartitions)
     }
-    val writer = distributed
-      .write
-      .mode("overwrite")
-      .option("compression", cfg.parquetCompression)
-      .option("maxRecordsPerFile", maxRecords)
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(request.outputDir)
+    try {
+      val writer = distributed
+        .write
+        .mode("overwrite")
+        .option("compression", cfg.parquetCompression)
+        .option("maxRecordsPerFile", maxRecords)
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(request.outputDir)
+    } finally if (persisted != null) persisted.unpersist()
 
     listDataFiles(request.outputDir, sequenceNumber)
   }

@@ -1,0 +1,98 @@
+package graft.sources
+
+import graft.io.FileIO
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+import scala.jdk.CollectionConverters._
+
+/** Column min/max from parquet FOOTER statistics — no Spark job.
+  *
+  * A compaction already holds every input file it will rewrite, and
+  * parquet footers carry per-row-group min/max for each column, so a
+  * write-layout decision that needs a column's domain (z-order key
+  * normalization, [[graft.sinks.RollingWriter]]) can read a few KB of
+  * footer per file instead of re-running the live-row plan — at 100 TB
+  * that second scan of the full MoR anti-join chain would double the
+  * cost of the compaction. The reference plans from file metadata the
+  * same way (FileScanTask carries record_count / file_size_in_bytes,
+  * iceberg_file_task_scan.rs:446-462).
+  *
+  * The domain from data-file footers is a SUPERSET of the live rows'
+  * (it still counts rows the delete chain removes) — safe for
+  * normalization: every live value stays inside [min, max], the range
+  * is just potentially wider than strictly needed.
+  *
+  * Returns None (caller falls back to computing stats from the rows)
+  * unless every file has trustworthy stats: only integral physical
+  * types (INT32/INT64 with no annotation or an int annotation)
+  * participate — other types fall back rather than risk a wrong domain.
+  */
+object ParquetStats {
+
+  /** (min, max) per requested column across `paths`, from footers only.
+    * Footers are read on a small driver-side thread pool — thousands of
+    * sequential object-store round-trips would stall the driver. Files
+    * that are empty (or all-null for a column) contribute no domain;
+    * if NO file contributes a column's domain the result is None. */
+  def minMaxLong(paths: Seq[String], cols: Seq[String]): Option[Map[String, (Long, Long)]] = {
+    if (paths.isEmpty || cols.isEmpty) return None
+    val distinct = paths.distinct
+    val pool = Executors.newFixedThreadPool(math.min(16, distinct.size))
+    try {
+      val futures = distinct.map { p =>
+        pool.submit(new Callable[Option[Map[String, (Long, Long)]]] {
+          override def call(): Option[Map[String, (Long, Long)]] = fileMinMax(p, cols)
+        })
+      }
+      val perFile = futures.map(_.get(120, TimeUnit.SECONDS))
+      if (perFile.exists(_.isEmpty)) return None // some file is untrustworthy
+      val merged = perFile.flatten.foldLeft(Map.empty[String, (Long, Long)]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (c, (mn, mx))) =>
+          a.get(c) match {
+            case Some((amn, amx)) => a + (c -> (math.min(amn, mn), math.max(amx, mx)))
+            case None             => a + (c -> (mn, mx))
+          }
+        }
+      }
+      if (cols.forall(merged.contains)) Some(merged) else None
+    } finally pool.shutdownNow()
+  }
+
+  /** One file's footer min/max for `cols`: None if a non-empty row group
+    * lacks trustworthy integral stats for a requested column; a map
+    * missing some columns when the file holds no values for them. */
+  private def fileMinMax(path: String, cols: Seq[String]): Option[Map[String, (Long, Long)]] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), FileIO.hadoopConf))
+    try {
+      val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+      for (block <- reader.getFooter.getBlocks.asScala if block.getRowCount > 0;
+           cc <- block.getColumns.asScala) {
+        val name = cc.getPath.toDotString
+        if (cols.contains(name)) {
+          val pt = cc.getPrimitiveType
+          val integral = (pt.getPrimitiveTypeName == PrimitiveTypeName.INT64 ||
+            pt.getPrimitiveTypeName == PrimitiveTypeName.INT32) &&
+            (pt.getLogicalTypeAnnotation == null ||
+              pt.getLogicalTypeAnnotation.isInstanceOf[IntLogicalTypeAnnotation])
+          val st = cc.getStatistics
+          if (!integral || st == null || st.isEmpty) return None
+          if (st.hasNonNullValue) {
+            val mn = st.genericGetMin.asInstanceOf[Number].longValue
+            val mx = st.genericGetMax.asInstanceOf[Number].longValue
+            acc(name) = acc.get(name) match {
+              case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
+              case None         => (mn, mx)
+            }
+          }
+        }
+      }
+      Some(acc.toMap)
+    } finally reader.close()
+  }
+}
