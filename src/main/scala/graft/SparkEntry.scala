@@ -20,6 +20,7 @@ object SparkEntry {
       ("compaction_e2e" -> (CompactionE2EQuery.run _)) +
       ("compaction_bucket" -> (CompactionE2EQuery.runBucket _)) +
       ("table_lifecycle" -> (graft.queries.TableLifecycleQuery.run _)) +
+      ("table_lifecycle_iceberg" -> (graft.queries.TableLifecycleQuery.runIceberg _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -31,6 +32,7 @@ object SparkEntry {
       ("compaction_e2e" -> CompactionE2EQuery.oracle) +
       ("compaction_bucket" -> CompactionE2EQuery.bucketOracle) +
       ("table_lifecycle" -> graft.queries.TableLifecycleQuery.oracle) +
+      ("table_lifecycle_iceberg" -> graft.queries.TableLifecycleQuery.oracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

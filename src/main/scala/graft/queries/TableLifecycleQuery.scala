@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.sources.TableReader
-import graft.txn.{TableMetadata, TableSnapshot, TableWrites}
+import graft.txn.{FileTableCatalog, IcebergTableCatalog, TableCatalog, TableSnapshot, TableWrites}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,36 +31,50 @@ object TableLifecycleQuery {
   private val rowKey = MorQueries.rowKey
   private val outCols = Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag")
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
-    val tableDir = Files.createTempDirectory("graft-lifecycle").toString
+  def run(spark: SparkSession, dir: String): DataFrame =
+    runWith(spark, dir, FileTableCatalog, "graft-lifecycle")
+
+  /** The SAME lifecycle against the Iceberg v2 format catalog — every
+    * commit lands as metadata.json + Avro manifests, every load walks
+    * snapshot -> manifest list -> manifest entries, and the final MoR
+    * read must hash-match the identical DuckDB oracle. */
+  def runIceberg(spark: SparkSession, dir: String): DataFrame =
+    runWith(spark, dir, IcebergTableCatalog, "graft-lifecycle-iceberg")
+
+  private def runWith(spark: SparkSession, dir: String,
+      catalog: TableCatalog, prefix: String): DataFrame = {
+    val tableDir = Files.createTempDirectory(prefix).toString
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     def sorted(df: DataFrame) =
       df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
 
-    TableMetadata.commit(tableDir, TableSnapshot(1, 1, 0, Nil))
+    catalog.commitCas(tableDir, TableSnapshot(1, 1, 0, Nil))
     // seq 1: even rows, physically sorted so row i == row_number()-1
-    TableWrites.appendData(tableDir, sorted(li.filter(col("l_orderkey") % 2 === 0)))
+    TableWrites.appendData(tableDir,
+      sorted(li.filter(col("l_orderkey") % 2 === 0)), catalog = catalog)
     // the position/oracle mapping assumes the sorted single-partition
     // append landed as ONE physical file (a maxRecordsPerFile-style
     // session setting would split it and positions would diverge from
     // the oracle's global ordinal — fail clearly instead)
-    val dataFilesAfterFirst = TableMetadata.loadOrThrow(tableDir)
+    val dataFilesAfterFirst = catalog.loadOrThrow(tableDir)
       .files.count(_.content == "data")
     require(dataFilesAfterFirst == 1,
       s"expected 1 data file from the sorted append, got $dataFilesAfterFirst")
     // seq 2: equality-delete every 13th orderkey (hits only seq-1 data)
     TableWrites.appendEqualityDeletes(tableDir,
       li.filter(col("l_orderkey") % 13 === 0).select("l_orderkey"),
-      Seq("l_orderkey"))
+      Seq("l_orderkey"), catalog = catalog)
     // seq 3: odd rows — newer than the delete, all survive
-    TableWrites.appendData(tableDir, sorted(li.filter(col("l_orderkey") % 2 === 1)))
+    TableWrites.appendData(tableDir,
+      sorted(li.filter(col("l_orderkey") % 2 === 1)), catalog = catalog)
     // seq 4: position-delete the first 100 physical rows of the seq-1 file
-    val firstFile = TableMetadata.loadOrThrow(tableDir)
+    val firstFile = catalog.loadOrThrow(tableDir)
       .files.filter(_.content == "data").minBy(_.sequenceNumber).path
     TableWrites.appendPositionDeletes(tableDir,
-      spark.range(100).select(lit(firstFile).as("file_path"), col("id").as("pos")))
+      spark.range(100).select(lit(firstFile).as("file_path"), col("id").as("pos")),
+      catalog = catalog)
 
-    TableReader.read(spark, tableDir)
+    TableReader.read(spark, tableDir, catalog = catalog)
       .select(outCols.map(col): _*)
       .orderBy(outCols.map(col): _*)
   }

@@ -1,0 +1,222 @@
+package graft.txn
+
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.core.CompactionError
+import graft.io.FileIO
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation._
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.parquet.schema.{PrimitiveType, Type => PType}
+
+import scala.jdk.CollectionConverters._
+
+/** Apache Iceberg **format-version 2** serialization, per the public
+  * table spec (https://iceberg.apache.org/spec/): `metadata.json`,
+  * manifest-list Avro, and manifest Avro with the spec's field-ids in
+  * the Avro schema properties — so a real Iceberg client can read what
+  * [[IcebergTableCatalog]] commits. The reference operates on exactly
+  * this format through iceberg-rust (manifest-list walk
+  * core/src/compaction/mod.rs:363-392; Cargo.toml:17-22); no Iceberg
+  * runtime jar exists in this environment, so the format layer is
+  * implemented directly against the spec with the avro + parquet libs
+  * already on the Spark classpath.
+  *
+  * Scope (documented simplifications, all spec-legal for readers of the
+  * CURRENT snapshot):
+  *  - flat schemas only (struct/list/map columns fail loudly — the
+  *    compaction tables this engine manages are flat);
+  *  - unpartitioned partition spec (file layout is the engine's own
+  *    fanout; Iceberg hidden partitioning metadata is not emitted);
+  *  - every commit writes fresh manifests for the full live file set
+  *    with correct ADDED/EXISTING status vs the parent snapshot, and
+  *    explicit per-entry `sequence_number` (the spec's mechanism for
+  *    rewrites that preserve data sequence numbers).
+  */
+object IcebergFormat {
+
+  private val mapper = new ObjectMapper()
+
+  // ---------------------------------------------------------------- schema
+
+  /** One Iceberg schema field: id, name, required, type (JSON type string
+    * for primitives, e.g. "long", "decimal(10, 2)"). */
+  final case class Field(id: Int, name: String, required: Boolean, typ: String)
+
+  /** Map a parquet primitive column to the Iceberg primitive type string
+    * (spec "Primitive Types" table). Nanosecond timestamps are labeled
+    * at microsecond resolution (`timestamp` is v2's finest unit); values
+    * are carried unchanged. */
+  private def icebergType(pt: PrimitiveType): String = {
+    val ann = pt.getLogicalTypeAnnotation
+    def decimal = ann.asInstanceOf[DecimalLogicalTypeAnnotation] match {
+      case d => s"decimal(${d.getPrecision}, ${d.getScale})"
+    }
+    pt.getPrimitiveTypeName match {
+      case BOOLEAN => "boolean"
+      case FLOAT   => "float"
+      case DOUBLE  => "double"
+      case INT32 => ann match {
+        case null                                 => "int"
+        case _: DateLogicalTypeAnnotation         => "date"
+        case _: DecimalLogicalTypeAnnotation      => decimal
+        case i: IntLogicalTypeAnnotation          => if (i.getBitWidth <= 32) "int" else "long"
+        case _                                    => "int"
+      }
+      case INT64 => ann match {
+        case null                            => "long"
+        case t: TimestampLogicalTypeAnnotation =>
+          if (t.isAdjustedToUTC) "timestamptz" else "timestamp"
+        case _: TimeLogicalTypeAnnotation    => "time"
+        case _: DecimalLogicalTypeAnnotation => decimal
+        case _                               => "long"
+      }
+      case INT96 => "timestamptz"
+      case BINARY => ann match {
+        case _: StringLogicalTypeAnnotation  => "string"
+        case _: DecimalLogicalTypeAnnotation => decimal
+        case _                               => "binary"
+      }
+      case FIXED_LEN_BYTE_ARRAY => ann match {
+        case _: DecimalLogicalTypeAnnotation => decimal
+        case _: UUIDLogicalTypeAnnotation    => "uuid"
+        case _                               => s"fixed[${pt.getTypeLength}]"
+      }
+      case other => throw CompactionError.Config(
+        s"unsupported parquet primitive for Iceberg schema: $other")
+    }
+  }
+
+  /** Infer the Iceberg schema (field list) from a parquet data file's
+    * footer. Field ids are assigned 1..n in footer order — stable as
+    * long as the writing engine keeps column order stable (it does:
+    * the compactor preserves the user schema). */
+  def inferSchema(dataFilePath: String): Seq[Field] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(dataFilePath), FileIO.hadoopConf))
+    val msg = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    msg.getFields.asScala.toSeq.zipWithIndex.map { case (f, i) =>
+      if (!f.isPrimitive)
+        throw CompactionError.Config(
+          s"IcebergTableCatalog supports flat schemas only; column " +
+            s"'${f.getName}' is nested (${f.asGroupType()})")
+      Field(i + 1, f.getName, f.getRepetition == PType.Repetition.REQUIRED,
+        icebergType(f.asPrimitiveType()))
+    }
+  }
+
+  def schemaJson(schemaId: Long, fields: Seq[Field]): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("type", "struct")
+    o.put("schema-id", schemaId)
+    val fs = o.putArray("fields")
+    fields.foreach { f =>
+      val fo = fs.addObject()
+      fo.put("id", f.id); fo.put("name", f.name)
+      fo.put("required", f.required); fo.put("type", f.typ)
+    }
+    o
+  }
+
+  def parseSchemaFields(schema: JsonNode): Seq[Field] =
+    schema.get("fields").elements().asScala.toSeq.map { f =>
+      Field(f.get("id").asInt, f.get("name").asText,
+        f.get("required").asBoolean, f.get("type").asText)
+    }
+
+  // ------------------------------------------------------------- avro decl
+
+  /** Spec manifest_entry schema (v2) with Iceberg field-ids as Avro field
+    * properties — the subset of optional columns a reader needs; column
+    * stats maps are omitted (optional per spec). */
+  val ManifestEntrySchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"equality_ids","default":null,"field-id":135,
+      |   "type":["null",{"type":"array","items":"int","element-id":136}]},
+      |  {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
+      |]}}
+      |]}""".stripMargin)
+
+  /** Spec manifest_file schema (v2) for the manifest list. */
+  val ManifestFileSchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514},
+      |{"name":"partitions","default":null,"field-id":507,
+      | "type":["null",{"type":"array","element-id":508,"items":
+      |   {"type":"record","name":"r508","fields":[
+      |     {"name":"contains_null","type":"boolean","field-id":509},
+      |     {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+      |     {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+      |     {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+      |   ]}}]}
+      |]}""".stripMargin)
+
+  // ------------------------------------------------------------- avro r/w
+
+  def writeAvro(path: String, schema: AvroSchema,
+      meta: Map[String, String], records: Seq[GenericRecord]): Long = {
+    val hp = new Path(path)
+    val fs = FileIO.fs(hp)
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => writer.setMeta(k, v) }
+    val out = fs.create(hp, true)
+    try {
+      writer.create(schema, out)
+      records.foreach(writer.append)
+    } finally writer.close() // closes the stream
+    fs.getFileStatus(hp).getLen
+  }
+
+  def readAvro(path: String): (Map[String, String], Seq[GenericRecord]) = {
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(new Path(path), FileIO.hadoopConf),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val meta = reader.getMetaKeys.asScala.map(k => k -> reader.getMetaString(k)).toMap
+      (meta, reader.iterator().asScala.toVector)
+    } finally reader.close()
+  }
+
+  def record(schema: AvroSchema)(fields: (String, Any)*): GenericRecord = {
+    val r = new GenericData.Record(schema)
+    fields.foreach { case (k, v) => r.put(k, v) }
+    r
+  }
+
+  // --------------------------------------------------------- metadata.json
+
+  def newObject(): ObjectNode = mapper.createObjectNode()
+  def newArray(): ArrayNode = mapper.createArrayNode()
+  def parse(json: String): JsonNode = mapper.readTree(json)
+  def pretty(n: JsonNode): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+}

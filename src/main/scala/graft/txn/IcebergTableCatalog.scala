@@ -1,0 +1,325 @@
+package graft.txn
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.core.CompactionError
+import graft.io.FileIO
+import graft.txn.IcebergFormat._
+import org.apache.avro.generic.GenericRecord
+
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** [[TableCatalog]] speaking the **Apache Iceberg v2 table format** —
+  * snapshots commit as `v<N>.metadata.json` + manifest-list Avro +
+  * manifest Avro under `<tableDir>/metadata/`, the same on-disk layout
+  * a HadoopCatalog Iceberg table has, so a real Iceberg client pointed
+  * at the table directory reads what this engine commits. The reference
+  * works against exactly this metadata through iceberg-rust
+  * (core/src/compaction/mod.rs:363-392 walks snapshot -> manifest list
+  * -> manifest entries; commit via catalog at mod.rs:530-614).
+  *
+  * Mapping onto the graft snapshot model:
+  *  - graft snapshot VERSION == Iceberg snapshot-id == metadata file
+  *    number `N` (monotonic, assigned by the committer);
+  *  - `lastSequenceNumber` == Iceberg `last-sequence-number`; every
+  *    manifest entry carries its file's data sequence number explicitly
+  *    (the spec's mechanism for rewrites preserving sequence numbers);
+  *  - CAS: create-if-absent on `v<N>.metadata.json` via
+  *    [[FileIO.casCreate]] — exactly the HadoopTableOperations commit
+  *    primitive; `version-hint.text` is refreshed after the win.
+  *
+  * The table schema is INFERRED from a data file's parquet footer at
+  * first data commit (field ids 1..n in column order) and kept stable
+  * across commits; `equality_ids` translate between graft column names
+  * and Iceberg field ids through it.
+  *
+  * Expiry note: [[deleteVersion]] removes one version's metadata file,
+  * manifest list, and manifests. Newer metadata files keep the expired
+  * snapshot in their `snapshots` history (Iceberg's own expire operation
+  * rewrites metadata to drop them); readers of the CURRENT snapshot are
+  * unaffected.
+  */
+object IcebergTableCatalog extends TableCatalog {
+
+  private val MetadataFile = "^v(\\d+)\\.metadata\\.json$".r
+
+  private def metadataDir(t: String) = s"$t/metadata"
+  def metadataPath(t: String, v: Long) = s"${metadataDir(t)}/v$v.metadata.json"
+
+  // ------------------------------------------------------------------ load
+
+  override def versions(table: String): Seq[Long] =
+    FileIO.listFiles(metadataDir(table))
+      .flatMap { case (path, _) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        MetadataFile.findFirstMatchIn(name).map(_.group(1).toLong)
+      }.sorted
+
+  override def load(table: String): Option[TableSnapshot] =
+    versions(table).lastOption.flatMap(loadVersion(table, _))
+
+  override def loadVersion(table: String, version: Long): Option[TableSnapshot] = {
+    val p = metadataPath(table, version)
+    if (!FileIO.exists(p)) return None
+    val doc = parse(FileIO.readString(p))
+    val snapId = doc.get("current-snapshot-id").asLong
+    val schemaId = doc.get("current-schema-id").asLong
+    val fields = currentSchemaFields(doc)
+    val idToName = fields.map(f => f.id -> f.name).toMap
+    val files =
+      if (snapId < 0) Nil
+      else {
+        val snap = doc.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong == snapId)
+          .getOrElse(throw CompactionError.Config(
+            s"current-snapshot-id $snapId not in snapshots list of $p"))
+        readManifestList(snap.get("manifest-list").asText, idToName)
+      }
+    val props = Option(doc.get("properties")).map { p =>
+      p.fieldNames().asScala.map(k => k -> p.get(k).asText).toMap
+    }.getOrElse(Map.empty[String, String])
+    Some(TableSnapshot(
+      version = version,
+      schemaId = schemaId,
+      lastSequenceNumber = doc.get("last-sequence-number").asLong,
+      files = files,
+      properties = props))
+  }
+
+  private def currentSchemaFields(doc: JsonNode): Seq[Field] = {
+    val sid = doc.get("current-schema-id").asLong
+    doc.get("schemas").elements().asScala
+      .find(_.get("schema-id").asLong == sid)
+      .map(parseSchemaFields)
+      .getOrElse(Nil)
+  }
+
+  private def readManifestList(path: String, idToName: Map[Int, String]): Seq[FileEntry] = {
+    val (_, manifests) = readAvro(path)
+    manifests.flatMap { m =>
+      val (_, entries) = readAvro(m.get("manifest_path").toString)
+      entries.collect {
+        // status 0=EXISTING, 1=ADDED are live; 2=DELETED entries are not
+        case e if e.get("status").asInstanceOf[Int] != 2 => toFileEntry(e, idToName)
+      }
+    }
+  }
+
+  private def toFileEntry(e: GenericRecord, idToName: Map[Int, String]): FileEntry = {
+    val df = e.get("data_file").asInstanceOf[GenericRecord]
+    val content = df.get("content").asInstanceOf[Int] match {
+      case 0 => "data"
+      case 1 => "position-deletes"
+      case 2 => "equality-deletes"
+      case other => throw CompactionError.Config(s"unknown data_file.content $other")
+    }
+    val eqIds = Option(df.get("equality_ids"))
+      .map(_.asInstanceOf[java.util.List[Integer]].asScala.toSeq.map { id =>
+        idToName.getOrElse(id.toInt, throw CompactionError.Config(
+          s"equality field id $id not in table schema"))
+      }).getOrElse(Seq.empty[String])
+    FileEntry(
+      path = df.get("file_path").toString,
+      content = content,
+      sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
+      recordCount = df.get("record_count").asInstanceOf[Long],
+      sequenceNumber = e.get("sequence_number").asInstanceOf[Long],
+      equalityIds = eqIds)
+  }
+
+  // ---------------------------------------------------------------- commit
+
+  override def commitCas(table: String, snapshot: TableSnapshot): Unit = {
+    val prevDoc: Option[JsonNode] =
+      versions(table).lastOption.filter(_ < snapshot.version)
+        .map(v => parse(FileIO.readString(metadataPath(table, v))))
+
+    // schema: keep the previous non-empty schema (stable field ids);
+    // infer from a data file footer when this commit first brings data
+    val prevFields = prevDoc.map(currentSchemaFields).getOrElse(Nil)
+    val fields =
+      if (prevFields.nonEmpty) prevFields
+      else snapshot.files.find(_.content == "data") match {
+        case Some(f) => inferSchema(f.path)
+        case None    => Nil
+      }
+    val nameToId = fields.map(f => f.name -> f.id).toMap
+
+    // manifests need exact record counts; entries the engine listed
+    // without counting (rolling-writer output) are footer-counted here
+    val counted = snapshot.files.map { f =>
+      if (f.recordCount >= 0) f
+      else f.copy(recordCount = TableWrites.parquetRowCount(f.path))
+    }
+
+    val prevPaths: Set[String] = prevDoc.flatMap { d =>
+      val sid = d.get("current-snapshot-id").asLong
+      if (sid < 0) None
+      else d.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == sid)
+        .map(s => readManifestList(s.get("manifest-list").asText,
+          prevFields.map(f => f.id -> f.name).toMap).map(_.path).toSet)
+    }.getOrElse(Set.empty)
+
+    val now = System.currentTimeMillis()
+    val snapshotId = snapshot.version
+    val commitUuid = UUID.randomUUID().toString
+    val schemaDoc = schemaJson(snapshot.schemaId, fields)
+    val mdir = metadataDir(table)
+    val written = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def writeManifest(content: String, contentCode: Int,
+        entries: Seq[FileEntry], idx: Int): Option[GenericRecord] = {
+      if (entries.isEmpty) return None
+      val path = s"$mdir/$commitUuid-m$idx.avro"
+      val recs = entries.map { f =>
+        val eqIds: AnyRef =
+          if (f.equalityIds.isEmpty) null
+          else f.equalityIds.map { n =>
+            Int.box(nameToId.getOrElse(n, throw CompactionError.Config(
+              s"equality column '$n' is not in the table schema " +
+                s"(${fields.map(_.name).mkString(", ")})")))
+          }.asJava
+        val dfSchema = ManifestEntrySchema.getField("data_file").schema()
+        val dataFile = record(dfSchema)(
+          "content" -> Int.box(f.content match {
+            case "data" => 0; case "position-deletes" => 1
+            case "equality-deletes" => 2
+            case other => throw CompactionError.Config(s"unknown content $other")
+          }),
+          "file_path" -> f.path,
+          "file_format" -> "PARQUET",
+          "partition" -> record(dfSchema.getField("partition").schema())(),
+          "record_count" -> Long.box(f.recordCount),
+          "file_size_in_bytes" -> Long.box(f.sizeBytes),
+          "equality_ids" -> eqIds,
+          "sort_order_id" -> null)
+        record(ManifestEntrySchema)(
+          "status" -> Int.box(if (prevPaths.contains(f.path)) 0 else 1),
+          "snapshot_id" -> Long.box(snapshotId),
+          // explicit data sequence number: rewritten files legitimately
+          // keep a sequence older than this snapshot's (spec: "explicit
+          // sequence numbers" for rewrite commits)
+          "sequence_number" -> Long.box(f.sequenceNumber),
+          "file_sequence_number" -> Long.box(f.sequenceNumber),
+          "data_file" -> dataFile)
+      }
+      val len = writeAvro(path, ManifestEntrySchema, Map(
+        "schema" -> schemaDoc.toString,
+        "schema-id" -> snapshot.schemaId.toString,
+        "partition-spec" -> "[]",
+        "partition-spec-id" -> "0",
+        "format-version" -> "2",
+        "content" -> content), recs)
+      written += path
+      val added = entries.filterNot(f => prevPaths.contains(f.path))
+      val existing = entries.filter(f => prevPaths.contains(f.path))
+      Some(record(ManifestFileSchema)(
+        "manifest_path" -> path,
+        "manifest_length" -> Long.box(len),
+        "partition_spec_id" -> Int.box(0),
+        "content" -> Int.box(contentCode),
+        "sequence_number" -> Long.box(snapshot.lastSequenceNumber),
+        "min_sequence_number" -> Long.box(
+          entries.map(_.sequenceNumber).min),
+        "added_snapshot_id" -> Long.box(snapshotId),
+        "added_files_count" -> Int.box(added.size),
+        "existing_files_count" -> Int.box(existing.size),
+        "deleted_files_count" -> Int.box(0),
+        "added_rows_count" -> Long.box(added.map(_.recordCount).sum),
+        "existing_rows_count" -> Long.box(existing.map(_.recordCount).sum),
+        "deleted_rows_count" -> Long.box(0L),
+        "partitions" -> null))
+    }
+
+    try {
+      val dataManifest = writeManifest("data", 0,
+        counted.filter(_.content == "data"), 0)
+      val deletesManifest = writeManifest("deletes", 1,
+        counted.filter(_.content != "data"), 1)
+      val listPath = s"$mdir/snap-$snapshotId-$commitUuid.avro"
+      writeAvro(listPath, ManifestFileSchema, Map(
+        "format-version" -> "2",
+        "snapshot-id" -> snapshotId.toString,
+        "sequence-number" -> snapshot.lastSequenceNumber.toString,
+        "parent-snapshot-id" -> prevDoc.map(_.get("current-snapshot-id").asText)
+          .getOrElse("null")),
+        dataManifest.toSeq ++ deletesManifest.toSeq)
+      written += listPath
+
+      // ---- metadata.json
+      val doc = newObject()
+      doc.put("format-version", 2)
+      doc.put("table-uuid",
+        UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString)
+      doc.put("location", table)
+      doc.put("last-sequence-number", snapshot.lastSequenceNumber)
+      doc.put("last-updated-ms", now)
+      doc.put("last-column-id",
+        if (fields.isEmpty) 0 else fields.map(_.id).max)
+      doc.put("current-schema-id", snapshot.schemaId)
+      doc.putArray("schemas").add(schemaDoc)
+      doc.put("default-spec-id", 0)
+      val spec = doc.putArray("partition-specs").addObject()
+      spec.put("spec-id", 0); spec.putArray("fields")
+      doc.put("last-partition-id", 999)
+      doc.put("default-sort-order-id", 0)
+      val order = doc.putArray("sort-orders").addObject()
+      order.put("order-id", 0); order.putArray("fields")
+      val props = doc.putObject("properties")
+      snapshot.properties.foreach { case (k, v) => props.put(k, v) }
+      doc.put("current-snapshot-id", snapshotId)
+      val snaps = doc.putArray("snapshots")
+      prevDoc.foreach(_.get("snapshots").elements().asScala.foreach(snaps.add))
+      val s = snaps.addObject()
+      s.put("snapshot-id", snapshotId)
+      prevDoc.foreach(p => s.put("parent-snapshot-id",
+        p.get("current-snapshot-id").asLong))
+      s.put("sequence-number", snapshot.lastSequenceNumber)
+      s.put("timestamp-ms", now)
+      s.put("manifest-list", listPath)
+      s.putObject("summary").put("operation", "overwrite")
+      s.put("schema-id", snapshot.schemaId)
+      val slog = doc.putArray("snapshot-log")
+      prevDoc.flatMap(p => Option(p.get("snapshot-log")))
+        .foreach(_.elements().asScala.foreach(slog.add))
+      val sl = slog.addObject()
+      sl.put("timestamp-ms", now); sl.put("snapshot-id", snapshotId)
+      doc.putArray("metadata-log")
+
+      try FileIO.casCreate(metadataPath(table, snapshot.version), pretty(doc))
+      catch {
+        case e: FileIO.AlreadyExists =>
+          throw CompactionError.CommitConflict(
+            s"metadata v${snapshot.version} already exists (concurrent commit): ${e.getMessage}")
+      }
+      // HadoopCatalog-style pointer for readers that resolve via hint;
+      // best-effort (the authoritative current version is max(v*))
+      FileIO.writeString(s"$mdir/version-hint.text", snapshot.version.toString)
+    } catch {
+      case e: Throwable =>
+        // a losing committer's manifests are unreferenced — remove them
+        written.foreach(p => try FileIO.delete(p) catch { case _: Throwable => () })
+        throw e
+    }
+  }
+
+  override def deleteVersion(table: String, version: Long): Unit = {
+    val p = metadataPath(table, version)
+    if (!FileIO.exists(p)) return
+    val doc = parse(FileIO.readString(p))
+    val snapId = doc.get("current-snapshot-id").asLong
+    if (snapId >= 0)
+      doc.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == snapId)
+        .foreach { s =>
+          val listPath = s.get("manifest-list").asText
+          if (FileIO.exists(listPath)) {
+            val (_, manifests) = readAvro(listPath)
+            manifests.foreach(m => FileIO.delete(m.get("manifest_path").toString))
+            FileIO.delete(listPath)
+          }
+        }
+    FileIO.delete(p)
+  }
+}

@@ -1,0 +1,176 @@
+package graft.txn
+
+import graft.SparkTestSession
+import graft.compaction.Compaction
+import graft.core._
+import graft.io.FileIO
+import graft.sources.TableReader
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg v2 format catalog: spec-shape invariants, snapshot
+  * round-trips, CAS conflicts, and a full compaction driven with the
+  * catalog injected (reference commits through `Arc<dyn Catalog>` the
+  * same way, core/src/compaction/mod.rs:530-614). */
+class IcebergCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cat = IcebergTableCatalog
+
+  private def writeFile(df: DataFrame, target: String): (Long, Long) = {
+    val tmp = Files.createTempDirectory("graft-iwf").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.createDirectories(Paths.get(target).getParent)
+    Files.move(part.toPath, Paths.get(target), StandardCopyOption.REPLACE_EXISTING)
+    val rows = spark.read.parquet(target).count()
+    (new File(target).length(), rows)
+  }
+
+  /** Same MoR fixture as CompactionSpec, committed through the Iceberg
+    * catalog: f1 (seq 1), f2 (seq 3, re-insert of id 2), pos-delete of
+    * f1 row 0, eq-delete of ids {2,5} at seq 2. Live = 2,3,4 + 6,7,8,2'. */
+  private def mkTable(): String = {
+    val dir = Files.createTempDirectory("graft-iceberg-table").toString
+    val f1 = s"$dir/data/f1.parquet"
+    val (s1, r1) = writeFile(
+      Seq((1, "Alice"), (2, "Bob"), (3, "Charlie"), (4, "Dave"), (5, "Eve"))
+        .toDF("id", "name"), f1)
+    val f2 = s"$dir/data/f2.parquet"
+    val (s2, r2) = writeFile(
+      Seq((6, "Frank"), (7, "Grace"), (8, "Heidi"), (2, "Bob2"))
+        .toDF("id", "name"), f2)
+    val pd = s"$dir/data/pos-del.parquet"
+    val (s3, r3) = writeFile(Seq((f1, 0L)).toDF("file_path", "pos"), pd)
+    val ed = s"$dir/data/eq-del.parquet"
+    val (s4, r4) = writeFile(Seq(Tuple1(2), Tuple1(5)).toDF("id"), ed)
+    cat.commitCas(dir, TableSnapshot(
+      version = 1, schemaId = 7, lastSequenceNumber = 3,
+      files = Seq(
+        FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
+        FileEntry(f2, "data", s2, r2, sequenceNumber = 3),
+        FileEntry(pd, "position-deletes", s3, r3, sequenceNumber = 3),
+        FileEntry(ed, "equality-deletes", s4, r4, sequenceNumber = 2,
+          equalityIds = Seq("id")))))
+    dir
+  }
+
+  test("commit round-trips through metadata.json + Avro manifests") {
+    val dir = mkTable()
+    val loaded = cat.loadOrThrow(dir)
+    assert(loaded.version == 1 && loaded.schemaId == 7 &&
+      loaded.lastSequenceNumber == 3)
+    assert(loaded.files.size == 4)
+    val byPath = loaded.files.map(f => f.path -> f).toMap
+    val f1 = byPath.keys.find(_.endsWith("f1.parquet")).get
+    assert(byPath(f1).content == "data" && byPath(f1).sequenceNumber == 1 &&
+      byPath(f1).recordCount == 5)
+    val ed = loaded.files.find(_.content == "equality-deletes").get
+    assert(ed.equalityIds == Seq("id") && ed.sequenceNumber == 2)
+    assert(loaded.files.count(_.content == "position-deletes") == 1)
+  }
+
+  test("on-disk shape is Iceberg v2: metadata fields, avro field-ids, hint") {
+    val dir = mkTable()
+    val doc = IcebergFormat.parse(
+      FileIO.readString(IcebergTableCatalog.metadataPath(dir, 1)))
+    assert(doc.get("format-version").asInt == 2)
+    assert(doc.get("current-snapshot-id").asLong == 1)
+    assert(doc.get("last-sequence-number").asLong == 3)
+    // schema inferred from the data file footer with sequential field ids
+    val schema = doc.get("schemas").elements().asScala
+      .find(_.get("schema-id").asLong == 7).get
+    val fields = IcebergFormat.parseSchemaFields(schema)
+    assert(fields.map(f => (f.id, f.name, f.typ)) ==
+      Seq((1, "id", "int"), (2, "name", "string")))
+    assert(doc.get("last-column-id").asInt == 2)
+    // manifest list + manifests are readable Avro with spec field-ids
+    val snap = doc.get("snapshots").elements().asScala.next()
+    val listPath = snap.get("manifest-list").asText
+    val (listMeta, manifests) = IcebergFormat.readAvro(listPath)
+    assert(listMeta("format-version") == "2")
+    assert(manifests.size == 2) // one data manifest, one deletes manifest
+    val contents = manifests.map(_.get("content").asInstanceOf[Int]).sorted
+    assert(contents == Seq(0, 1))
+    // spec field-ids present in the avro schema properties
+    assert(IcebergFormat.ManifestFileSchema.getField("manifest_path")
+      .getObjectProp("field-id") == 500)
+    val dataManifest = manifests.find(_.get("content").asInstanceOf[Int] == 0).get
+    val (mMeta, entries) = IcebergFormat.readAvro(
+      dataManifest.get("manifest_path").toString)
+    assert(mMeta("format-version") == "2" && mMeta("content") == "data")
+    assert(mMeta.contains("schema") && mMeta("partition-spec-id") == "0")
+    assert(entries.size == 2)
+    // equality ids in the deletes manifest are FIELD IDS (id -> 1)
+    val delManifest = manifests.find(_.get("content").asInstanceOf[Int] == 1).get
+    val (_, delEntries) = IcebergFormat.readAvro(
+      delManifest.get("manifest_path").toString)
+    val eq = delEntries.map(_.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord])
+      .find(_.get("content").asInstanceOf[Int] == 2).get
+    assert(eq.get("equality_ids").asInstanceOf[java.util.List[Integer]].asScala == Seq(1))
+    assert(FileIO.readString(s"$dir/metadata/version-hint.text") == "1")
+  }
+
+  test("CAS: committing an existing version raises CommitConflict") {
+    val dir = mkTable()
+    val snap = cat.loadOrThrow(dir)
+    intercept[CompactionError.CommitConflict] {
+      cat.commitCas(dir, snap) // version 1 again
+    }
+    // the loser's manifests were cleaned up: only v1's survive
+    val avros = FileIO.listFiles(s"$dir/metadata").map(_._1)
+      .filter(_.endsWith(".avro"))
+    assert(avros.size == 3) // data manifest + deletes manifest + list
+  }
+
+  test("full compaction with the Iceberg catalog injected") {
+    val dir = mkTable()
+    val stat = Compaction.builder()
+      .withSpark(spark).withTableDir(dir)
+      .withConfig(CompactionConfig(
+        targetPartitions = 2, enableValidateCompaction = true))
+      .withCatalog(cat)
+      .build()
+      .compact()
+    assert(stat.rewrittenFilesCount == 4)
+
+    val snap = cat.loadOrThrow(dir)
+    assert(snap.version == 2)
+    assert(snap.files.forall(_.content == "data"))
+    // rewritten files keep the starting sequence number (explicit
+    // sequence_number in the manifest entries)
+    assert(snap.files.forall(_.sequenceNumber == 3))
+    // record counts in the manifests are footer-exact, never -1
+    assert(snap.files.forall(_.recordCount >= 0))
+    assert(snap.files.map(_.recordCount).sum == 6)
+
+    val rows = TableReader.read(spark, dir, catalog = cat)
+      .as[(Int, String)].collect().toSet
+    assert(rows == Set((3, "Charlie"), (4, "Dave"),
+      (6, "Frank"), (7, "Grace"), (8, "Heidi"), (2, "Bob2")))
+
+    // time travel to v1 still reads through the OLD manifest list
+    val v1 = TableReader.read(spark, dir, asOfVersion = Some(1), catalog = cat)
+      .as[(Int, String)].collect().toSet
+    assert(v1 == rows)
+  }
+
+  test("deleteVersion drops the version's metadata, list, and manifests") {
+    val dir = mkTable()
+    Compaction.builder().withSpark(spark).withTableDir(dir)
+      .withCatalog(cat).build().compact()
+    assert(cat.versions(dir) == Seq(1L, 2L))
+    cat.deleteVersion(dir, 1L)
+    assert(cat.versions(dir) == Seq(2L))
+    // v1's manifest list (snap-1-*) and manifests are gone; v2's remain
+    val avros = FileIO.listFiles(s"$dir/metadata").map(_._1)
+      .filter(_.endsWith(".avro"))
+    assert(avros.exists(_.contains("snap-2-")) && !avros.exists(_.contains("snap-1-")))
+    assert(cat.loadOrThrow(dir).version == 2)
+  }
+}
