@@ -19,8 +19,10 @@ object SparkEntry {
       AnalyticsQueries.queries ++ JoinQueries.queries +
       ("compaction_e2e" -> (CompactionE2EQuery.run _)) +
       ("compaction_bucket" -> (CompactionE2EQuery.runBucket _)) +
+      ("compaction_incremental" -> (CompactionE2EQuery.runIncremental _)) +
       ("table_lifecycle" -> (graft.queries.TableLifecycleQuery.run _)) +
       ("table_lifecycle_iceberg" -> (graft.queries.TableLifecycleQuery.runIceberg _)) +
+      ("mor_filtered" -> (graft.queries.TableLifecycleQuery.runFiltered _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -31,8 +33,10 @@ object SparkEntry {
       AnalyticsQueries.oracles ++ JoinQueries.oracles +
       ("compaction_e2e" -> CompactionE2EQuery.oracle) +
       ("compaction_bucket" -> CompactionE2EQuery.bucketOracle) +
+      ("compaction_incremental" -> CompactionE2EQuery.incrementalOracle) +
       ("table_lifecycle" -> graft.queries.TableLifecycleQuery.oracle) +
       ("table_lifecycle_iceberg" -> graft.queries.TableLifecycleQuery.oracle) +
+      ("mor_filtered" -> graft.queries.TableLifecycleQuery.filteredOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

@@ -46,10 +46,20 @@ final class Compaction(
         return RewriteFilesStat()
       val snap = snapOpt.get
 
-      // plan (S1/S2): classify by content, then split oversized data
-      // files into byte-range tasks (reference {start, length} task model)
-      val tasks0 = ScanPlanner.toInputTasks(snap.files.map(_.toTask))
-      if (tasks0.dataFiles.isEmpty) return RewriteFilesStat()
+      // plan (S1/S2): classify by content, select the rewrite set
+      // (Full = everything; Incremental = the small-file backlog), then
+      // split oversized data files into byte-range tasks (reference
+      // {start, length} task model)
+      val allTasks = ScanPlanner.toInputTasks(snap.files.map(_.toTask))
+      if (allTasks.dataFiles.isEmpty) return RewriteFilesStat()
+      val (selected, kept) = config.compactionType match {
+        case CompactionType.Full => (allTasks.dataFiles, Nil)
+        case CompactionType.Incremental(factor) =>
+          val threshold = (config.targetFileSizeBytes * factor).toLong
+          allTasks.dataFiles.partition(_.lengthBytes < threshold)
+      }
+      if (selected.isEmpty) return RewriteFilesStat()
+      val tasks0 = allTasks.copy(dataFiles = selected)
       val tasks = tasks0.copy(dataFiles =
         ScanPlanner.splitTasks(tasks0.dataFiles, config.splitTargetBytes))
 
@@ -65,8 +75,16 @@ final class Compaction(
       val response = executor.rewriteFiles(spark, request, startingSeq)
       val written = response.dataFiles
 
-      // commit (T1/T2)
-      val removed = snap.files.map(_.path).toSet
+      // commit (T1/T2). Incremental removes ONLY the rewritten data
+      // files: untouched data files stay, and delete files stay with
+      // them (they still apply at read time; re-application to the
+      // rewritten output is idempotent since it keeps the selected max
+      // sequence number). When every data file was selected, the delete
+      // files have nothing left to apply to and are removed too —
+      // degenerating to the reference's full rewrite.
+      val removed: Set[String] =
+        if (kept.isEmpty) snap.files.map(_.path).toSet
+        else selected.map(_.filePath).toSet
       val committed = new CommitManager(tableDir, retry, metrics, labels,
           catalog = catalog)
         .rewriteFiles(
@@ -82,7 +100,11 @@ final class Compaction(
       // instead of crashing the schema-less parquet read.
       if (config.enableValidateCompaction) {
         val input = liveRowsFor(tasks)
-        val dataPaths = committed.files.filter(_.content == "data").map(_.path)
+        // validate the ADDED files against the rewritten inputs' live
+        // rows (for Incremental, untouched data files are out of scope
+        // on both sides)
+        val committedPaths = committed.files.map(_.path).toSet
+        val dataPaths = written.map(_.filePath).filter(committedPaths.contains)
         val outputDf =
           if (dataPaths.isEmpty) input.limit(0)
           else spark.read.parquet(dataPaths: _*)

@@ -1,5 +1,25 @@
 package graft.core
 
+/** What a compaction rewrites — the reference ships Full only
+  * (`CompactionType::Full`, core/src/compaction/mod.rs:45-47);
+  * Incremental is this engine's deliberate extension: the shape real
+  * `rewrite_data_files` maintenance jobs run daily, rewriting only the
+  * small-file backlog while leaving already-right-sized files (and the
+  * delete files that still apply to them) untouched. */
+sealed trait CompactionType
+object CompactionType {
+  case object Full extends CompactionType
+  /** Rewrite only data files smaller than
+    * `targetFileSizeBytes * smallFileFactor`. Delete files are RETAINED
+    * (they still apply to untouched data files) unless every data file
+    * was selected; re-application to the rewritten output is idempotent
+    * because the output keeps the selected files' max sequence number. */
+  final case class Incremental(smallFileFactor: Double = 0.75) extends CompactionType {
+    require(smallFileFactor > 0 && smallFileFactor <= 1.0,
+      "smallFileFactor must be in (0, 1]")
+  }
+}
+
 /** Engine configuration.
   *
   * Defaults mirror the reference's `CompactionConfig`
@@ -46,7 +66,10 @@ final case class CompactionConfig(
       * the output, so every written file carries tight min/max ranges on
       * BOTH columns (scan pruning on either predicate). Empty = keep the
       * reference's plain round-robin layout. */
-    zOrderBy: Seq[String] = Nil
+    zOrderBy: Seq[String] = Nil,
+    /** Full rewrites everything (reference behavior); Incremental
+      * selects only the small-file backlog (see [[CompactionType]]). */
+    compactionType: CompactionType = CompactionType.Full
 ) {
   require(batchParallelism > 0, "batchParallelism must be > 0")
   require(targetPartitions > 0, "targetPartitions must be > 0")

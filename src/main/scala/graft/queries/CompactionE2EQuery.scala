@@ -90,6 +90,101 @@ object CompactionE2EQuery {
       .orderBy(outCols.map(col): _*)
   }
 
+  /** INCREMENTAL compaction as an oracle-checked query (the reference
+    * ships Full only; this is the daily `rewrite_data_files` shape):
+    *
+    *  - f1 (seq 1, small): l_orderkey % 8 == 0, sorted — SELECTED;
+    *  - f2 (seq 3, small): % 8 == 1 — SELECTED;
+    *  - f3 (seq 1, LARGE): % 8 >= 2 — KEPT (above the small-file
+    *    threshold);
+    *  - pos-delete (seq 3): first 50 physical rows of f1 — applied
+    *    during the rewrite;
+    *  - eq-delete (seq 2) on % 13 == 0 — applies to f1 (applied during
+    *    rewrite) AND to the untouched f3 (must be RETAINED by the
+    *    commit and applied at read time).
+    *
+    * The commit must remove exactly {f1, f2}, keep f3 and both delete
+    * files, and the final merge-on-read must show: f1 survivors
+    * (pos >= 50, not %13), all of f2 (newer than the eq-delete), f3
+    * minus %13 — certifying both the selective rewrite and that
+    * retained deletes keep working against untouched files. */
+  def runIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = Files.createTempDirectory("graft-incr-table").toString
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    def sorted(df: DataFrame) =
+      df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
+
+    val f1 = s"$tableDir/data/f1.parquet"
+    val f2 = s"$tableDir/data/f2.parquet"
+    val f3 = s"$tableDir/data/f3.parquet"
+    val (s1, r1) = writeOne(sorted(li.filter(col("l_orderkey") % 8 === 0)), f1)
+    val (s2, r2) = writeOne(sorted(li.filter(col("l_orderkey") % 8 === 1)), f2)
+    val (s3, r3) = writeOne(sorted(li.filter(col("l_orderkey") % 8 >= 2)), f3)
+
+    val pd = s"$tableDir/data/pos-del.parquet"
+    val (s4, r4) = writeOne(
+      spark.range(50).coalesce(1)
+        .select(lit(f1).as("file_path"), col("id").as("pos")), pd)
+    val ed = s"$tableDir/data/eq-del.parquet"
+    val (s5, r5) = writeOne(
+      li.filter(col("l_orderkey") % 13 === 0)
+        .select("l_orderkey").distinct().repartition(1), ed)
+
+    TableMetadata.commit(tableDir, TableSnapshot(
+      version = 1, schemaId = 1, lastSequenceNumber = 3,
+      files = Seq(
+        FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
+        FileEntry(f2, "data", s2, r2, sequenceNumber = 3),
+        FileEntry(f3, "data", s3, r3, sequenceNumber = 1),
+        FileEntry(pd, "position-deletes", s4, r4, sequenceNumber = 3),
+        FileEntry(ed, "equality-deletes", s5, r5, sequenceNumber = 2,
+          equalityIds = Seq("l_orderkey")))))
+
+    // threshold = 0.75 * s3 sits between the small files (~s3/6) and f3
+    Compaction.builder()
+      .withSpark(spark).withTableDir(tableDir)
+      .withConfig(CompactionConfig(
+        enableValidateCompaction = true,
+        targetFileSizeBytes = s3,
+        compactionType = graft.core.CompactionType.Incremental(0.75)))
+      .build()
+      .compact()
+
+    // file-level invariants of the selective rewrite (the row-level
+    // outcome is what the DuckDB oracle hash-checks below)
+    val snap = TableMetadata.loadOrThrow(tableDir)
+    val paths = snap.files.map(_.path).toSet
+    require(paths.contains(f3), "untouched large file must survive the commit")
+    require(paths.contains(pd) && paths.contains(ed),
+      "delete files must be retained while untouched data files remain")
+    require(!paths.contains(f1) && !paths.contains(f2),
+      "selected small files must be removed by the commit")
+
+    graft.sources.TableReader.read(spark, tableDir)
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+  }
+
+  val incrementalOracle: String = {
+    val key6 = rowKey.mkString(", ")
+    s"""WITH f1 AS (
+       |  SELECT *, row_number() OVER (ORDER BY $key6) - 1 AS pos
+       |  FROM lineitem WHERE l_orderkey % 8 = 0),
+       |f1_live AS (
+       |  SELECT * FROM f1 WHERE pos >= 50 AND l_orderkey % 13 <> 0),
+       |f2 AS (SELECT * FROM lineitem WHERE l_orderkey % 8 = 1),
+       |f3_live AS (
+       |  SELECT * FROM lineitem WHERE l_orderkey % 8 >= 2 AND l_orderkey % 13 <> 0),
+       |unioned AS (
+       |  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag FROM f1_live
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag FROM f2
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag FROM f3_live)
+       |SELECT * FROM unioned
+       |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
+  }
+
   /** Partitioned (bucket-transform) compaction as an oracle-checked query:
     * build a one-file table from lineitem, compact with a
     * `bucket(4, l_orderkey)` partition spec (reference S8: partition

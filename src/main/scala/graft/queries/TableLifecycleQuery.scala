@@ -41,8 +41,30 @@ object TableLifecycleQuery {
   def runIceberg(spark: SparkSession, dir: String): DataFrame =
     runWith(spark, dir, IcebergTableCatalog, "graft-lifecycle-iceberg")
 
+  /** Filtered MoR read: the same table, read with a predicate declared
+    * through [[TableReader.read]]'s `filter` — Catalyst pushes it through
+    * the anti-join chain to the parquet scan (PlanQualitySpec pins the
+    * `PushedFilters`), and the oracle applies the same predicate over the
+    * recomputed survivors. */
+  def runFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = buildTable(spark, dir, FileTableCatalog, "graft-lifecycle-filt")
+    TableReader.read(spark, tableDir,
+        filter = Some(col("l_suppkey") % 10 === 3))
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+  }
+
   private def runWith(spark: SparkSession, dir: String,
       catalog: TableCatalog, prefix: String): DataFrame = {
+    val tableDir = buildTable(spark, dir, catalog, prefix)
+    TableReader.read(spark, tableDir, catalog = catalog)
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+  }
+
+  /** Drive the table through the public write API; returns the table dir. */
+  private def buildTable(spark: SparkSession, dir: String,
+      catalog: TableCatalog, prefix: String): String = {
     val tableDir = Files.createTempDirectory(prefix).toString
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     def sorted(df: DataFrame) =
@@ -73,14 +95,20 @@ object TableLifecycleQuery {
     TableWrites.appendPositionDeletes(tableDir,
       spark.range(100).select(lit(firstFile).as("file_path"), col("id").as("pos")),
       catalog = catalog)
-
-    TableReader.read(spark, tableDir, catalog = catalog)
-      .select(outCols.map(col): _*)
-      .orderBy(outCols.map(col): _*)
+    tableDir
   }
 
   /** Same expected-survivor computation as the compaction e2e (this
     * query certifies the identical algebra through the public API) —
     * ONE shared definition so the scenarios cannot drift apart. */
   val oracle: String = CompactionE2EQuery.oracle
+
+  /** The shared survivor computation with the pushed predicate applied
+    * on top (filter and anti-join commute, so this is the law the
+    * filtered read must satisfy). */
+  val filteredOracle: String =
+    s"""SELECT * FROM (
+       |${CompactionE2EQuery.oracle}
+       |) WHERE l_suppkey % 10 = 3
+       |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
 }

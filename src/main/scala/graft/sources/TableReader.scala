@@ -3,7 +3,7 @@ package graft.sources
 import graft.compaction.SparkCompactionExecutor
 import graft.core.CompactionError
 import graft.txn.{FileTableCatalog, TableCatalog, TableSnapshot}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** User-facing merge-on-read table reads: resolve a snapshot through the
   * catalog, apply the full position/equality delete chain, and return
@@ -39,12 +39,24 @@ object TableReader {
       spark: SparkSession,
       tableDir: String,
       asOfVersion: Option[Long] = None,
-      catalog: TableCatalog = FileTableCatalog
+      catalog: TableCatalog = FileTableCatalog,
+      /** Optional predicate over user columns. Declared on the LIVE-ROW
+        * plan; Catalyst pushes it through the final projection and the
+        * left-anti delete joins down to the parquet scan (`PushedFilters`
+        * reach the row-group reader — PlanQualitySpec pins this), so a
+        * selective read of a 100 TB table prunes at the scan, not after
+        * the merge. Deletes are applied to the filtered rows only —
+        * semantically identical because anti-joins only REMOVE rows
+        * (filter and anti-join commute on the data side). */
+      filter: Option[Column] = None
   ): Option[DataFrame] = {
     val snap = snapshot(tableDir, asOfVersion, catalog)
     val tasks = ScanPlanner.toInputTasks(snap.files.map(_.toTask))
     if (tasks.dataFiles.isEmpty) None
-    else Some(SparkCompactionExecutor.liveRows(spark, tasks))
+    else {
+      val live = SparkCompactionExecutor.liveRows(spark, tasks)
+      Some(filter.fold(live)(live.filter))
+    }
   }
 
   /** Live rows of the table at the current (or `asOfVersion`) snapshot. */
@@ -52,9 +64,10 @@ object TableReader {
       spark: SparkSession,
       tableDir: String,
       asOfVersion: Option[Long] = None,
-      catalog: TableCatalog = FileTableCatalog
+      catalog: TableCatalog = FileTableCatalog,
+      filter: Option[Column] = None
   ): DataFrame =
-    readOption(spark, tableDir, asOfVersion, catalog).getOrElse(
+    readOption(spark, tableDir, asOfVersion, catalog, filter).getOrElse(
       throw CompactionError.Config(
         s"table has no data files at the requested version under $tableDir"))
 

@@ -93,6 +93,64 @@ class CompactionSpec extends AnyFunSuite {
       (6, "Frank"), (7, "Grace"), (8, "Heidi"), (2, "Bob2")))
   }
 
+  test("incremental compaction rewrites only the small-file backlog") {
+    val dir = Files.createTempDirectory("graft-incr").toString
+    // big: 2000 rows; small: 5 + 4 rows; deletes touch both sides
+    val big = s"$dir/data/big.parquet"
+    val (sb, rb) = writeFile((100 until 2100).map(i => (i, s"n$i")).toDF("id", "name"), big)
+    val f1 = s"$dir/data/f1.parquet"
+    val (s1, r1) = writeFile(
+      Seq((1, "Alice"), (2, "Bob"), (3, "Charlie"), (4, "Dave"), (5, "Eve"))
+        .toDF("id", "name"), f1)
+    val f2 = s"$dir/data/f2.parquet"
+    val (s2, r2) = writeFile(
+      Seq((6, "Frank"), (7, "Grace"), (8, "Heidi"), (2, "Bob2"))
+        .toDF("id", "name"), f2)
+    val pd = s"$dir/data/pos-del.parquet"
+    val (s3, r3) = writeFile(Seq((f1, 0L)).toDF("file_path", "pos"), pd)
+    // eq-delete at seq 2 hits seq-1 data: {2,5} in f1 and {100} in big
+    val ed = s"$dir/data/eq-del.parquet"
+    val (s4, r4) = writeFile(
+      Seq(Tuple1(2), Tuple1(5), Tuple1(100)).toDF("id"), ed)
+    TableMetadata.commit(dir, TableSnapshot(
+      version = 1, schemaId = 1, lastSequenceNumber = 3,
+      files = Seq(
+        FileEntry(big, "data", sb, rb, sequenceNumber = 1),
+        FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
+        FileEntry(f2, "data", s2, r2, sequenceNumber = 3),
+        FileEntry(pd, "position-deletes", s3, r3, sequenceNumber = 3),
+        FileEntry(ed, "equality-deletes", s4, r4, sequenceNumber = 2,
+          equalityIds = Seq("id")))))
+
+    val stat = Compaction.builder()
+      .withSpark(spark).withTableDir(dir)
+      .withConfig(CompactionConfig(
+        enableValidateCompaction = true, strictValidation = true,
+        targetFileSizeBytes = sb,
+        compactionType = CompactionType.Incremental(0.75)))
+      .build().compact()
+    // only the two small files were rewritten
+    assert(stat.rewrittenFilesCount == 2)
+
+    val snap = TableMetadata.loadOrThrow(dir)
+    val paths = snap.files.map(_.path).toSet
+    // untouched big file and BOTH delete files survive the commit
+    assert(paths.contains(big) && paths.contains(pd) && paths.contains(ed))
+    assert(!paths.contains(f1) && !paths.contains(f2))
+    // new files carry the SELECTED files' max sequence number (3), so
+    // the retained eq-delete (seq 2) does not re-apply to them
+    val added = snap.files.filter(f => f.content == "data" && f.path != big)
+    assert(added.nonEmpty && added.forall(_.sequenceNumber == 3))
+
+    // full MoR read: retained eq-delete still applies to the untouched
+    // big file (kills id=100), rewrite already applied it to f1
+    val rows = graft.sources.TableReader.read(spark, dir)
+      .as[(Int, String)].collect().toSet
+    val expectedBig = (100 until 2100).filter(_ != 100).map(i => (i, s"n$i")).toSet
+    assert(rows == expectedBig ++ Set((3, "Charlie"), (4, "Dave"),
+      (6, "Frank"), (7, "Grace"), (8, "Heidi"), (2, "Bob2")))
+  }
+
   test("mock executor plugs in and commits an empty rewrite (reference mock.rs)") {
     val dir = mkTable()
     val stat = Compaction.builder()

@@ -58,6 +58,38 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rank and count windows must reuse the same partitioning:\n$p")
   }
 
+  test("MoR read filter pushes through the anti-join chain to the scan") {
+    import org.apache.spark.sql.functions._
+    import graft.txn.{FileEntry, TableMetadata, TableSnapshot}
+    val spark2 = spark
+    import spark2.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-pushdown").toString
+    val f1 = s"$t/data/f1.parquet"
+    Seq((1L, "a"), (2L, "b"), (50L, "c")).toDF("id", "name")
+      .coalesce(1).write.parquet(s"$t/tmp1")
+    val part = new java.io.File(s"$t/tmp1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(f1).getParent)
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(f1))
+    val ed = s"$t/data/ed.parquet"
+    Seq(Tuple1(2L)).toDF("id").coalesce(1).write.parquet(s"$t/tmp2")
+    val part2 = new java.io.File(s"$t/tmp2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part2.toPath, java.nio.file.Paths.get(ed))
+    TableMetadata.commit(t, TableSnapshot(1, 1, 2, Seq(
+      FileEntry(f1, "data", 1L, 3L, sequenceNumber = 1),
+      FileEntry(ed, "equality-deletes", 1L, 1L, sequenceNumber = 2,
+        equalityIds = Seq("id")))))
+    val df = graft.sources.TableReader.read(spark, t,
+      filter = Some(col("id") >= 10L))
+    val p = plan(df)
+    val dataScan = p.split("\n").find(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(id,10)"))
+    assert(dataScan.isDefined,
+      s"filter must reach the parquet scan as a pushed filter:\n$p")
+    assert(df.as[(Long, String)].collect().toSeq == Seq((50L, "c")))
+  }
+
   test("KMV sketch never exchanges the full distinct hash set") {
     val q = graft.queries.PipelineQueries.queries("kmv_distinct")(spark, dir)
     val p = plan(q)
