@@ -78,6 +78,43 @@ object Multimodal {
     }
   }
 
+  /** Decoded image container output. */
+  final case class DecodedMedia(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      checksum: Long)
+
+  /** Container-format decode over a GENUINE BinaryType column at the
+    * `mapPartitions` codec boundary: parses a fake-image container
+    * (magic "GIMG" ‖ uint16-BE width ‖ uint16-BE height ‖ pixel bytes)
+    * byte-by-byte — the same boundary where a real JPEG/PNG decode
+    * would sit (that codec call is the stub: this container IS decoded
+    * for real, bytes to fields). Malformed payloads fail loudly rather
+    * than producing silent garbage features.
+    *
+    * Scale: narrow per-partition pass, no shuffle; raw bytes never
+    * cross a stage boundary — only the small fixed-width decode output
+    * does. */
+  def decodeImages(media: Dataset[(Long, Array[Byte])]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        require(bytes != null && bytes.length >= 8,
+          s"media $id: payload too short (${if (bytes == null) -1 else bytes.length})")
+        require(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'M' && bytes(3) == 'G',
+          s"media $id: bad container magic")
+        val w = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+        val h = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+        var sum = 0L
+        var i = 8
+        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+        DecodedMedia(id, w, h, (bytes.length - 8).toLong, sum)
+      }
+    }
+  }
+
   /** Treat documents' text as a binary payload column — the SQL-visible
     * slice of the multimodal path (byte length + md5 digest computed on
     * the BINARY payload; equals md5 of the utf8 string cross-engine). */

@@ -78,6 +78,46 @@ object PipelineQueries {
         maxDistance = 6, hashKind = "xx")
       .orderBy("a_id", "b_id")
 
+  /** Planted-truth corpus for REAL checks of the xx-hash twins: DuckDB
+    * cannot replay seeded xxh64, but it can verify the pipeline's OUTPUT
+    * on an input whose true answer is known by construction. Per base
+    * doc id i < 200 (ids from the documents table, so the oracle derives
+    * the same set):
+    *  - doc 3i   ("A"): 12 unique tokens w{i}_1..12 (10 distinct
+    *    3-shingles, disjoint from every other base id's);
+    *  - doc 3i+1 ("B"): EXACT copy of A — true Jaccard 1.0, the pair
+    *    every near-dup detector must emit;
+    *  - doc 3i+2 ("C"): first 6 tokens of A + 6 fresh tokens — exactly
+    *    4 shared shingles, true Jaccard 4/16 = 0.25, below the 0.5
+    *    threshold: a planted near-miss the verify stage must reject no
+    *    matter which band collisions the hash produces.
+    * Output is therefore EXACTLY {(3i, 3i+1)} independent of the hash
+    * function — so the xx path gets a full rows+schema+hash oracle. */
+  private def plantedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir).select(col("doc_id").as("i"))
+      .filter(col("i") < 200)
+    def tok(prefix: String, k: Int) =
+      concat(lit(prefix), col("i"), lit("_" + k))
+    val textA = concat_ws(" ", (1 to 12).map(tok("w", _)): _*)
+    val textC = concat_ws(" ",
+      ((1 to 6).map(tok("w", _)) ++ (1 to 6).map(tok("x", _))): _*)
+    base.select((col("i") * 3).as("doc_id"), textA.as("text"), col("i").as("blk"))
+      .unionByName(base.select((col("i") * 3 + 1).as("doc_id"), textA.as("text"),
+        col("i").as("blk")))
+      .unionByName(base.select((col("i") * 3 + 2).as("doc_id"), textC.as("text"),
+        col("i").as("blk")))
+  }
+
+  def dedupMinhashXxPlanted(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(plantedDocs(spark, dir), "doc_id", "text",
+        numHashes = 32, bandSize = 4, thresholdX1000 = 500, hashKind = "xx")
+      .orderBy("a_id", "b_id")
+
+  def dedupSimhashXxPlanted(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(plantedDocs(spark, dir), "doc_id", "text", "blk",
+        maxDistance = 2, hashKind = "xx")
+      .orderBy("a_id", "b_id")
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(embeddings(spark, dir), "vec_id", "embedding",
         "label", minCosine = 0.4)
@@ -198,6 +238,31 @@ object PipelineQueries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.payloadMeta(documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** GENUINE binary-column decode: build a real BinaryType payload per
+    * document — fake-image container "GIMG" ‖ uint16-BE width ‖
+    * uint16-BE height ‖ (width*height) pixel bytes of value
+    * doc_id % 251, all derived from doc_id — then parse it byte-by-byte
+    * at the mapPartitions codec boundary ([[Multimodal.decodeImages]]).
+    * The oracle recomputes width/height/pixels/checksum from doc_id
+    * WITHOUT touching bytes, so a hash-match certifies the binary
+    * encode -> BinaryType column -> byte-level decode round-trip. */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = documents(spark, dir).select(col("doc_id"),
+      expr("""unhex(concat(
+        '47494D47',
+        lpad(hex(cast(doc_id % 16 + 1 as int)), 4, '0'),
+        lpad(hex(cast(doc_id % 8 + 1 as int)), 4, '0'),
+        repeat(lpad(hex(cast(doc_id % 251 as int)), 2, '0'),
+               cast((doc_id % 16 + 1) * (doc_id % 8 + 1) as int))))""")
+        .as("payload"))
+    require(payloads.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType,
+      "payload must be a genuine BinaryType column")
+    Multimodal.decodeImages(payloads.as[(Long, Array[Byte])])
+      .toDF().orderBy("doc_id")
+  }
 
   // ---- oracle SQL (DuckDB dialect, ANSI where possible) ----
 
@@ -346,6 +411,20 @@ object PipelineQueries {
          |FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY a_id, b_id""".stripMargin,
+    // planted-truth xx twins: the answer is known by construction (see
+    // plantedDocs), so the xxHash64 path gets a full hash-checked oracle
+    "dedup_minhash_xx_planted" ->
+      """SELECT CAST(3*doc_id AS BIGINT) AS a_id,
+        |  CAST(3*doc_id+1 AS BIGINT) AS b_id,
+        |  CAST(1000 AS BIGINT) AS jac_x1000
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_simhash_xx_planted" ->
+      """SELECT CAST(3*doc_id AS BIGINT) AS a_id,
+        |  CAST(3*doc_id+1 AS BIGINT) AS b_id,
+        |  CAST(0 AS BIGINT) AS dist
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH $shinglesCte,
          |hs AS (
@@ -460,6 +539,16 @@ object PipelineQueries {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // recomputed from doc_id arithmetic alone — matching the engine's
+    // byte-level container decode certifies the binary round-trip
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 8 + 1 AS INTEGER) AS height,
+        |  CAST((doc_id % 16 + 1) * (doc_id % 8 + 1) AS BIGINT) AS n_pixels,
+        |  CAST((doc_id % 16 + 1) * (doc_id % 8 + 1) * (doc_id % 251) AS BIGINT)
+        |    AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 
@@ -475,6 +564,8 @@ object PipelineQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_minhash_xx" -> (dedupMinhashXx _),
     "dedup_simhash_xx" -> (dedupSimhashXx _),
+    "dedup_minhash_xx_planted" -> (dedupMinhashXxPlanted _),
+    "dedup_simhash_xx_planted" -> (dedupSimhashXxPlanted _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_topk" -> (annTopK _),
@@ -484,6 +575,7 @@ object PipelineQueries {
     "kmv_distinct" -> (kmvDistinct _),
     "deterministic_sample" -> (deterministicSample _),
     "uniform_sample" -> (uniformSample _),
-    "multimodal_meta" -> (multimodalMeta _)
+    "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_decode" -> (multimodalDecode _)
   )
 }

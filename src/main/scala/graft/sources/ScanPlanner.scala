@@ -97,10 +97,31 @@ object ScanPlanner {
   ): DataFrame = {
     require(tasks.nonEmpty, "no data files to read")
     // Several byte-range tasks may reference the same physical file —
-    // read each file once (Spark re-splits by maxPartitionBytes itself;
-    // the range tasks drive MODEL-level planning, e.g. bin-packing).
+    // each file is read once, but when the planner SPLIT a file into
+    // {start, length} ranges (reference task model,
+    // iceberg_file_task_scan.rs:301-354 reads per-range), the ranges
+    // must drive the actual scan parallelism, not Spark's session
+    // default: a single 1 TB file's read fan-out is the engine's
+    // decision. Spark's file splitting is governed by
+    // `spark.sql.files.maxPartitionBytes`, so the read runs in a child
+    // session scoped to the plan's range size — split boundaries then
+    // align to parquet row groups at execution, which is the correct
+    // physical realization of byte-range tasks over parquet.
     val paths = tasks.map(_.filePath).distinct
-    var df = spark.read.parquet(paths: _*)
+    val rangeSize: Option[Long] = {
+      val splitFiles = tasks.groupBy(_.filePath).values.filter(_.size > 1)
+      if (splitFiles.isEmpty) None
+      else Some(splitFiles.flatMap(_.map(_.lengthBytes)).max)
+    }
+    val session = rangeSize.fold(spark) { bytes =>
+      // newSession shares the SparkContext and builder options but owns
+      // its conf, so the setting cannot leak into the caller's session
+      // (the round-1 session-mutation bug class)
+      val s = spark.newSession()
+      s.conf.set("spark.sql.files.maxPartitionBytes", bytes)
+      s
+    }
+    var df = session.read.parquet(paths: _*)
     // _metadata.file_path is a file: URI; normalize to a plain absolute
     // path so it compares equal to task paths and position-delete entries.
     val normPath = regexp_replace(col("_metadata.file_path"), "^file:/+", "/")

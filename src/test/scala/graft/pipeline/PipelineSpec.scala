@@ -161,6 +161,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.map(_.feature.toSeq).toSeq == feats.map(_.feature.toSeq).toSeq)
   }
 
+  test("container decode parses real bytes: magic, BE dims, checksum") {
+    import Multimodal._
+    def img(id: Long, w: Int, h: Int, v: Int): (Long, Array[Byte]) = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIMG".getBytes("UTF-8"))
+      out.write((w >> 8) & 0xff); out.write(w & 0xff)
+      out.write((h >> 8) & 0xff); out.write(h & 0xff)
+      (0 until w * h).foreach(_ => out.write(v))
+      (id, out.toByteArray)
+    }
+    // 300 > 255 exercises the BE high byte of the uint16 dims
+    val media = Seq(img(1L, 3, 2, 7), img(2L, 300, 1, 200)).toDS()
+    val decoded = decodeImages(media).collect().sortBy(_.doc_id)
+    assert(decoded(0) == DecodedMedia(1L, 3, 2, 6L, 42L))
+    assert(decoded(1) == DecodedMedia(2L, 300, 1, 300L, 60000L))
+    // malformed payloads fail loudly, not silently
+    val bad = Seq((9L, "nope".getBytes("UTF-8"))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      decodeImages(bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("payload meta equals md5 of utf8 text") {
     val d = Seq((1L, "hello")).toDF("doc_id", "text")
     val r = Multimodal.payloadMeta(d, "doc_id", "text")

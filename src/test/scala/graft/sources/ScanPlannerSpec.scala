@@ -62,6 +62,36 @@ class ScanPlannerSpec extends AnyFunSuite {
     assert(df.count() == 1000, "each row read exactly once despite range tasks")
   }
 
+  test("byte-range tasks drive the physical scan partitioning") {
+    // one multi-row-group file, ~hundreds of KB
+    val f = s"${Files.createTempDirectory("sp-range")}/big.parquet"
+    val bytes = writeOne(
+      (0 until 200000).map(i => (i.toLong, s"val_$i")).toDF("id", "v"), f)
+    val whole = Seq(FileScanTask(f, FileContent.Data, bytes, recordCount = 200000))
+
+    // unsplit: one task -> Spark's default session splitting (1 partition
+    // for a file this small under the 128 MiB default)
+    val dfWhole = ScanPlanner.readDataFiles(spark, whole,
+      needSeqNum = false, needFilePathAndPos = false)
+    val wholeParts = dfWhole.rdd.getNumPartitions
+
+    // split into ~8 byte-range tasks: the engine's plan must change the
+    // actual scan fan-out, not just the model
+    val target = bytes / 8 + 1
+    val ranges = ScanPlanner.splitTasks(whole, target)
+    assert(ranges.size >= 8 - 1 && ranges.forall(_.lengthBytes <= target))
+    val dfRanges = ScanPlanner.readDataFiles(spark, ranges,
+      needSeqNum = false, needFilePathAndPos = false)
+    val rangeParts = dfRanges.rdd.getNumPartitions
+    assert(rangeParts > wholeParts,
+      s"range tasks must raise scan parallelism: $rangeParts vs $wholeParts")
+
+    // the scoped setting must NOT leak into the caller's session
+    assert(spark.conf.get("spark.sql.files.maxPartitionBytes") != target.toString)
+    // and the data still reads completely
+    assert(dfRanges.count() == 200000)
+  }
+
   test("registerTables creates reference-named temp views usable by SqlBuilder text") {
     val dir = Files.createTempDirectory("sp-reg").toString
     val f1 = s"$dir/d1.parquet"
