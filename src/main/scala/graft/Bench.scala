@@ -43,7 +43,13 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter for targeted re-timing
+    // (SPARK_GRAFT_BENCH_FILTER=dedup_embedding,sessionize_batch)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       System.err.println(s"[bench] starting $name ($runs runs)")
       val samples = (1 to runs).map(_ => timeOnce(fn))
       if (samples.exists(_ < 0)) name -> (-1.0, -1.0)

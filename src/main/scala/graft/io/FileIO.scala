@@ -166,10 +166,45 @@ object FileIO {
   final class AlreadyExists(val path: String, cause: Throwable = null)
       extends RuntimeException(s"target already exists: $path", cause)
 
+  /** Store-native conditional put: a TRUE atomic create-if-absent the
+    * way the target store implements it — S3 `If-None-Match: *`, GCS
+    * `x-goog-if-generation-match: 0`, Azure `If-None-Match: *`. The
+    * Hadoop FileSystem API cannot express these (its rename is
+    * copy-then-delete on object stores, so the no-replace rename below
+    * is only best-effort there); a deployment that genuinely races
+    * committers against an object store registers one of these per URI
+    * scheme and every snapshot commit in the engine goes through it.
+    * (The reference delegates the same responsibility to its catalog,
+    * core/src/compaction/mod.rs:530-614.) */
+  trait ConditionalPut {
+    /** Atomically create `path` with `content` iff absent; must throw
+      * [[AlreadyExists]] when the object already exists. */
+    def putIfAbsent(path: String, content: Array[Byte]): Unit
+  }
+
+  private val conditionalPuts =
+    new java.util.concurrent.ConcurrentHashMap[String, ConditionalPut]()
+
+  /** Register a store-native [[ConditionalPut]] for a URI scheme (e.g.
+    * "s3a"); [[casCreate]] routes commits on that scheme through it. */
+  def registerConditionalPut(scheme: String, impl: ConditionalPut): Unit =
+    conditionalPuts.put(scheme, impl)
+  def unregisterConditionalPut(scheme: String): Unit =
+    conditionalPuts.remove(scheme)
+
   /** Atomically create `target` with `content` iff it does not exist.
-    * Throws [[AlreadyExists]] when another writer got there first. */
+    * Throws [[AlreadyExists]] when another writer got there first.
+    * Resolution order: a registered store-native [[ConditionalPut]] for
+    * the target's scheme, else POSIX hard-link (local), else no-replace
+    * rename (atomic on HDFS, best-effort on object stores). */
   def casCreate(target: String, content: String): Unit = {
     val hp = new Path(target)
+    val registered = conditionalPuts.get(
+      Option(hp.toUri.getScheme).getOrElse("file"))
+    if (registered != null) {
+      registered.putIfAbsent(target, content.getBytes(StandardCharsets.UTF_8))
+      return
+    }
     val f = fs(hp)
     f.mkdirs(hp.getParent)
     if (isLocal(hp)) {

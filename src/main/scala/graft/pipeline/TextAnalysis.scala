@@ -141,4 +141,59 @@ object TextAnalysis {
         .otherwise(0L)
         .as("dup_2gram_x1000"))
   }
+
+  /** Benchmark decontamination — the n-gram-overlap check every serious
+    * training corpus runs before release (GPT-3 appendix C / The Pile
+    * use 13-gram collision against eval sets; n is a parameter here):
+    * a training document is contaminated if it shares any distinct
+    * word n-gram with the benchmark set. Returns (doc_id, n_hits) for
+    * contaminated docs only.
+    *
+    * Scale: the benchmark side is DISTINCT n-grams of the (small) eval
+    * corpus — broadcast to every executor, so the 100 TB training side
+    * is scanned once with a map-side semi-join; the only shuffle is the
+    * final per-doc count with map-side partial aggregation. For an
+    * adversarially huge benchmark set, drop the broadcast hint and let
+    * AQE choose (the join degrades to shuffled, same semantics). */
+  def contamination(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5
+  ): DataFrame = {
+    val grams = graft.functions.HashColumns.shingles(col(textCol), n)
+    val benchGrams = benchmark
+      .select(explode(grams).as("g")).distinct()
+    docs
+      .select(col(idCol).as("doc_id"), explode(grams).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy("doc_id")
+      // per-doc shingles are already distinct -> count = distinct
+      // contaminated n-grams
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** PII scrubbing: redact email addresses and long digit runs (phone /
+    * account-number shaped) — the standard pre-training privacy pass.
+    * Returns per doc the redaction counts and the scrubbed text's md5,
+    * so a cross-engine hash-match certifies byte-exact redaction.
+    * Patterns are RE2-compatible (run identically under Java regex and
+    * DuckDB). Narrow per-row transform, zero shuffle; the scrubbed text
+    * itself never leaves the row. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitsPattern = "[0-9]{7,}"
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(t, EmailPattern, "<EMAIL>"),
+      LongDigitsPattern, "<NUM>")
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(regexp_replace(t, EmailPattern, "<EMAIL>"),
+        lit(LongDigitsPattern), lit(0))).cast("long").as("n_digit_runs"),
+      md5(scrubbed).as("scrubbed_digest"))
+  }
 }

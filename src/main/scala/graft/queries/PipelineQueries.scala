@@ -233,6 +233,32 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: the planted "benchmark" is every 17th
+    * document, so contaminated = docs sharing any distinct 5-gram with
+    * that set (benchmark members hit themselves — the classic
+    * self-match a real decontam run also reports). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.contamination(
+        documents(spark, dir),
+        documents(spark, dir).filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+
+  /** PII scrub over a corpus with PLANTED pii (every 5th doc gets a
+    * deterministic email + digit-run suffix, built identically in the
+    * oracle) — so the redaction counts and the scrubbed-text digests
+    * are non-vacuous on the synthetic corpus. */
+  def piiScrubQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com ref "),
+          col("doc_id").cast("string"), lit("0077123456")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.piiScrub(planted, "doc_id", "text").orderBy("doc_id")
+  }
+
   // ---- multimodal ----
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -540,6 +566,38 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      """WITH g5 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' '))-4),
+        |    i -> array_to_string((string_split(text,' '))[i:i+4], ' ')))) AS g
+        |  FROM documents),
+        |eg AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 17 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM g5 JOIN eg USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' contact user' || doc_id || '@example.com ref '
+        |           || doc_id || '0077123456'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS t1
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t1, '[0-9]{7,}')) AS BIGINT)
+        |    AS n_digit_runs,
+        |  md5(regexp_replace(t1, '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_digest
+        |FROM s ORDER BY doc_id""".stripMargin,
     // recomputed from doc_id arithmetic alone — matching the engine's
     // byte-level container decode certifies the binary round-trip
     "multimodal_decode" ->
@@ -575,6 +633,8 @@ object PipelineQueries {
     "kmv_distinct" -> (kmvDistinct _),
     "deterministic_sample" -> (deterministicSample _),
     "uniform_sample" -> (uniformSample _),
+    "decontaminate" -> (decontaminate _),
+    "pii_scrub" -> (piiScrubQuery _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _)
   )

@@ -46,6 +46,31 @@ class FileIOSpec extends AnyFunSuite {
     assert(FileIO.listFiles(dir).map(_._1).forall(!_.endsWith(".tmp")))
   }
 
+  test("registered conditional-put intercepts CAS for its scheme") {
+    // an in-memory "object store" with true compare-and-swap — the
+    // shape an S3 If-None-Match client implements behind the same seam
+    val store = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    FileIO.registerConditionalPut("condmock", new FileIO.ConditionalPut {
+      override def putIfAbsent(path: String, content: Array[Byte]): Unit =
+        if (store.putIfAbsent(path, content) != null)
+          throw new FileIO.AlreadyExists(path)
+    })
+    try {
+      FileIO.casCreate("condmock://bucket/t/v1.json", "first")
+      // the winner's bytes landed in the store, not on any filesystem
+      assert(new String(store.get("condmock://bucket/t/v1.json")) == "first")
+      // a losing committer gets the conflict from the STORE's CAS
+      intercept[FileIO.AlreadyExists] {
+        FileIO.casCreate("condmock://bucket/t/v1.json", "second")
+      }
+      assert(new String(store.get("condmock://bucket/t/v1.json")) == "first")
+      // other schemes are untouched by the registration
+      val dir = Files.createTempDirectory("cas-other").toString
+      FileIO.casCreate(s"$dir/v1.json", "local")
+      assert(FileIO.readString(s"$dir/v1.json") == "local")
+    } finally FileIO.unregisterConditionalPut("condmock")
+  }
+
   test("remote-scheme listing, rename, length, delete round-trip") {
     val dir = mockDir()
     FileIO.mkdirs(dir)

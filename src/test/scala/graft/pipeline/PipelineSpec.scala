@@ -161,6 +161,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.map(_.feature.toSeq).toSeq == feats.map(_.feature.toSeq).toSeq)
   }
 
+  test("contamination flags only docs sharing an n-gram with the benchmark") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words nothing shared here at all ok"),
+      (3L, "prefix text then quick brown fox jumps over suffix words"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "the quick brown fox jumps over a fence")).toDF("doc_id", "text")
+    val hits = TextAnalysis.contamination(docs, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert(hits(1L) == 2L)
+    assert(hits(3L) == 1L) // only "quick brown fox jumps over"
+    assert(!hits.contains(2L) && !hits.contains(4L))
+  }
+
+  test("pii scrub redacts emails then digit runs, deterministically") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@mail.example.org or 12345678 now"),
+      (2L, "clean text with short 123 numbers only"),
+      (3L, "two mails x@y.io and z@w.co plus 99999999999")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0)._2 == 1L && r(0)._3 == 1L)
+    assert(r(1)._2 == 0L && r(1)._3 == 0L)
+    assert(r(2)._2 == 2L && r(2)._3 == 1L)
+    // digest equals md5 of the expected scrubbed text
+    val expected = "mail me at <EMAIL> or <NUM> now"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(0)._4 == hex)
+  }
+
   test("container decode parses real bytes: magic, BE dims, checksum") {
     import Multimodal._
     def img(id: Long, w: Int, h: Int, v: Int): (Long, Array[Byte]) = {
