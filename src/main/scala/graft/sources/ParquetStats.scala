@@ -63,36 +63,49 @@ object ParquetStats {
     } finally pool.shutdownNow()
   }
 
+  /** One footer read returning BOTH the exact row count and the integral
+    * min/max for `cols` — for callers that need several footer facts per
+    * file (e.g. Iceberg manifest record_count + column bounds) without
+    * opening the footer twice. */
+  def fileStats(path: String, cols: Seq[String]): (Long, Option[Map[String, (Long, Long)]]) = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), FileIO.hadoopConf))
+    try (reader.getRecordCount, minMaxOf(reader, cols)) finally reader.close()
+  }
+
   /** One file's footer min/max for `cols`: None if a non-empty row group
     * lacks trustworthy integral stats for a requested column; a map
     * missing some columns when the file holds no values for them. */
   private def fileMinMax(path: String, cols: Seq[String]): Option[Map[String, (Long, Long)]] = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), FileIO.hadoopConf))
-    try {
-      val acc = scala.collection.mutable.Map[String, (Long, Long)]()
-      for (block <- reader.getFooter.getBlocks.asScala if block.getRowCount > 0;
-           cc <- block.getColumns.asScala) {
-        val name = cc.getPath.toDotString
-        if (cols.contains(name)) {
-          val pt = cc.getPrimitiveType
-          val integral = (pt.getPrimitiveTypeName == PrimitiveTypeName.INT64 ||
-            pt.getPrimitiveTypeName == PrimitiveTypeName.INT32) &&
-            (pt.getLogicalTypeAnnotation == null ||
-              pt.getLogicalTypeAnnotation.isInstanceOf[IntLogicalTypeAnnotation])
-          val st = cc.getStatistics
-          if (!integral || st == null || st.isEmpty) return None
-          if (st.hasNonNullValue) {
-            val mn = st.genericGetMin.asInstanceOf[Number].longValue
-            val mx = st.genericGetMax.asInstanceOf[Number].longValue
-            acc(name) = acc.get(name) match {
-              case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
-              case None         => (mn, mx)
-            }
+    try minMaxOf(reader, cols) finally reader.close()
+  }
+
+  private def minMaxOf(reader: ParquetFileReader,
+      cols: Seq[String]): Option[Map[String, (Long, Long)]] = {
+    val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+    for (block <- reader.getFooter.getBlocks.asScala if block.getRowCount > 0;
+         cc <- block.getColumns.asScala) {
+      val name = cc.getPath.toDotString
+      if (cols.contains(name)) {
+        val pt = cc.getPrimitiveType
+        val integral = (pt.getPrimitiveTypeName == PrimitiveTypeName.INT64 ||
+          pt.getPrimitiveTypeName == PrimitiveTypeName.INT32) &&
+          (pt.getLogicalTypeAnnotation == null ||
+            pt.getLogicalTypeAnnotation.isInstanceOf[IntLogicalTypeAnnotation])
+        val st = cc.getStatistics
+        if (!integral || st == null || st.isEmpty) return None
+        if (st.hasNonNullValue) {
+          val mn = st.genericGetMin.asInstanceOf[Number].longValue
+          val mx = st.genericGetMax.asInstanceOf[Number].longValue
+          acc(name) = acc.get(name) match {
+            case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
+            case None         => (mn, mx)
           }
         }
       }
-      Some(acc.toMap)
-    } finally reader.close()
+    }
+    Some(acc.toMap)
   }
 }

@@ -148,11 +148,39 @@ object IcebergFormat {
       |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |  {"name":"record_count","type":"long","field-id":103},
       |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"lower_bounds","default":null,"field-id":125,
+      |   "type":["null",{"type":"array","logicalType":"map",
+      |     "items":{"type":"record","name":"k126_v127","fields":[
+      |       {"name":"key","type":"int","field-id":126},
+      |       {"name":"value","type":"bytes","field-id":127}]}}]},
+      |  {"name":"upper_bounds","default":null,"field-id":128,
+      |   "type":["null",{"type":"array","logicalType":"map",
+      |     "items":{"type":"record","name":"k129_v130","fields":[
+      |       {"name":"key","type":"int","field-id":129},
+      |       {"name":"value","type":"bytes","field-id":130}]}}]},
       |  {"name":"equality_ids","default":null,"field-id":135,
       |   "type":["null",{"type":"array","items":"int","element-id":136}]},
       |  {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
       |]}}
       |]}""".stripMargin)
+
+  /** Iceberg single-value binary serialization (spec appendix D) for the
+    * bound maps: int = 4-byte little-endian, long = 8-byte little-endian. */
+  def boundBytes(typ: String, v: Long): java.nio.ByteBuffer = {
+    val n = typ match {
+      case "int"                                => 4
+      case "long" | "timestamp" | "timestamptz" => 8
+      case other => throw CompactionError.Config(
+        s"no single-value serialization implemented for type $other")
+    }
+    val b = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (n == 4) b.putInt(v.toInt) else b.putLong(v)
+    b.flip(); b
+  }
+
+  /** Types whose footer stats we trust for manifest bounds (matches
+    * [[graft.sources.ParquetStats]]' integral-only policy). */
+  val BoundTypes: Set[String] = Set("int", "long")
 
   /** Spec manifest_file schema (v2) for the manifest list. */
   val ManifestFileSchema: AvroSchema = new AvroSchema.Parser().parse(

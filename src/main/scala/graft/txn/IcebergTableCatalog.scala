@@ -145,11 +145,24 @@ object IcebergTableCatalog extends TableCatalog {
       }
     val nameToId = fields.map(f => f.name -> f.id).toMap
 
-    // manifests need exact record counts; entries the engine listed
-    // without counting (rolling-writer output) are footer-counted here
+    // One footer read per file yields BOTH the exact record count the
+    // manifests require and integral column min/max for the data files'
+    // lower/upper bound maps — the stats an Iceberg reader prunes scans
+    // with, which is what makes the metadata useful at 100 TB, not just
+    // readable. Files whose count is known and that need no bounds skip
+    // the read entirely.
+    val boundCols = fields.filter(f => IcebergFormat.BoundTypes(f.typ)).map(_.name)
+    val fieldType = fields.map(f => f.name -> f.typ).toMap
+    val boundsByPath = scala.collection.mutable.Map[String, Map[String, (Long, Long)]]()
     val counted = snapshot.files.map { f =>
-      if (f.recordCount >= 0) f
-      else f.copy(recordCount = TableWrites.parquetRowCount(f.path))
+      val wantBounds = f.content == "data" && boundCols.nonEmpty
+      if (f.recordCount >= 0 && !wantBounds) f
+      else {
+        val (rows, mm) = graft.sources.ParquetStats.fileStats(
+          f.path, if (wantBounds) boundCols else Nil)
+        mm.filter(_.nonEmpty).foreach(m => boundsByPath(f.path) = m)
+        if (f.recordCount >= 0) f else f.copy(recordCount = rows)
+      }
     }
 
     val prevPaths: Set[String] = prevDoc.flatMap { d =>
@@ -181,6 +194,18 @@ object IcebergTableCatalog extends TableCatalog {
                 s"(${fields.map(_.name).mkString(", ")})")))
           }.asJava
         val dfSchema = ManifestEntrySchema.getField("data_file").schema()
+        // column bound maps (Iceberg avro map = array of key/value
+        // records): exact integral min/max from the file's own footer
+        def boundMap(fieldName: String, pick: ((Long, Long)) => Long): AnyRef =
+          boundsByPath.get(f.path).map { m =>
+            val itemSchema = dfSchema.getField(fieldName).schema()
+              .getTypes.get(1).getElementType
+            m.toSeq.sortBy(kv => nameToId(kv._1)).map { case (n, mm) =>
+              record(itemSchema)(
+                "key" -> Int.box(nameToId(n)),
+                "value" -> boundBytes(fieldType(n), pick(mm)))
+            }.asJava
+          }.orNull
         val dataFile = record(dfSchema)(
           "content" -> Int.box(f.content match {
             case "data" => 0; case "position-deletes" => 1
@@ -192,6 +217,8 @@ object IcebergTableCatalog extends TableCatalog {
           "partition" -> record(dfSchema.getField("partition").schema())(),
           "record_count" -> Long.box(f.recordCount),
           "file_size_in_bytes" -> Long.box(f.sizeBytes),
+          "lower_bounds" -> boundMap("lower_bounds", _._1),
+          "upper_bounds" -> boundMap("upper_bounds", _._2),
           "equality_ids" -> eqIds,
           "sort_order_id" -> null)
         record(ManifestEntrySchema)(

@@ -106,6 +106,23 @@ class IcebergCatalogSpec extends AnyFunSuite {
     assert(mMeta("format-version") == "2" && mMeta("content") == "data")
     assert(mMeta.contains("schema") && mMeta("partition-spec-id") == "0")
     assert(entries.size == 2)
+    // data files carry exact integral column bounds from their footers
+    // (little-endian single-value serialization, spec appendix D):
+    // f1 holds ids 1..5, f2 ids 2..8
+    def bounds(which: String): Map[Int, Long] =
+      entries.map { e =>
+        val df2 = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        (df2.get("file_path").toString, df2.get(which))
+      }.collect { case (p, arr) if p.endsWith("f1.parquet") =>
+        arr.asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]]
+          .asScala.map { kv =>
+            val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+              .duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            kv.get("key").asInstanceOf[Int] -> bb.getInt.toLong
+          }.toMap
+      }.head
+    assert(bounds("lower_bounds")(1) == 1L) // id min
+    assert(bounds("upper_bounds")(1) == 5L) // id max
     // equality ids in the deletes manifest are FIELD IDS (id -> 1)
     val delManifest = manifests.find(_.get("content").asInstanceOf[Int] == 1).get
     val (_, delEntries) = IcebergFormat.readAvro(
