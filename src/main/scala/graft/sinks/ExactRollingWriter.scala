@@ -12,7 +12,8 @@ import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 
 /** Byte-exact rolling parquet writer — the runtime realization of the
@@ -71,9 +72,14 @@ object ExactRollingWriter {
         .map(e => (e.getKey, e.getValue)).toArray
     }
 
-    // one element per partition: the winning attempt's (path, rowCount)s
+    // one element per partition: the winning attempt's (path, rowCount)s.
+    // The partition stream is the UNSAFE row representation
+    // (queryExecution.toRdd): no Tungsten -> external-Row deserialization,
+    // no per-field boxing — rows stay in Spark's binary format until the
+    // parquet writer consumes each field. Buffered rows are copy()-ed
+    // (one array copy per UnsafeRow) because the iterator reuses its row.
     val perTask: Array[Seq[(String, Long)]] =
-      df.rdd.mapPartitions { rows =>
+      df.queryExecution.toRdd.mapPartitions { rows =>
         val tc = TaskContext.get()
         val pid = tc.partitionId()
         val attemptDir = s"$outDir/_attempt-${tc.taskAttemptId()}"
@@ -105,11 +111,11 @@ object ExactRollingWriter {
           writer = null
         }
 
-        val batch = new Array[Row](batchRows)
+        val batch = new Array[InternalRow](batchRows)
         var bytesPerRow = 256.0
         while (rows.hasNext) {
           var n = 0
-          while (n < batchRows && rows.hasNext) { batch(n) = rows.next(); n += 1 }
+          while (n < batchRows && rows.hasNext) { batch(n) = rows.next().copy(); n += 1 }
           val estIncoming = (bytesPerRow * n).toLong
           if (writer == null) newWriter()
           else if (RollingPolicy.needBuildNewFile(
@@ -177,7 +183,11 @@ object ExactRollingWriter {
     b.named("graft_row")
   }
 
-  private def toGroup(factory: SimpleGroupFactory, schema: StructType, row: Row): Group = {
+  /** InternalRow field access: primitives read straight from the unsafe
+    * format; timestamps are ALREADY epoch-micros longs internally (both
+    * tz and ntz), so the write needs no java.sql/LocalDateTime object
+    * round-trip at all. */
+  private def toGroup(factory: SimpleGroupFactory, schema: StructType, row: InternalRow): Group = {
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
@@ -189,14 +199,8 @@ object ExactRollingWriter {
           case DoubleType => g.add(name, row.getDouble(i))
           case FloatType => g.add(name, row.getFloat(i))
           case BooleanType => g.add(name, row.getBoolean(i))
-          case StringType => g.add(name, row.getString(i))
-          case TimestampType =>
-            val ts = row.getTimestamp(i)
-            g.add(name, ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
-          case TimestampNTZType =>
-            val ldt = row.getAs[java.time.LocalDateTime](i)
-            g.add(name, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-              ldt.getNano / 1000L)
+          case StringType => g.add(name, row.getUTF8String(i).toString)
+          case TimestampType | TimestampNTZType => g.add(name, row.getLong(i))
           case other => throw new IllegalArgumentException(s"unsupported: $other")
         }
       }

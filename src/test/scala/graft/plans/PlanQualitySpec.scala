@@ -90,6 +90,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.as[(Long, String)].collect().toSeq == Seq((50L, "c")))
   }
 
+  test("decontamination broadcasts the benchmark n-gram set") {
+    val p = plan(graft.queries.PipelineQueries.decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast, not shuffle the corpus:\n$p")
+    // per-doc hit count aggregates map-side before its exchange
+    assert(p.contains("partial_count"), "hit count must partial-aggregate")
+  }
+
+  test("pii scrub is a narrow per-row pass (no join, no hash shuffle)") {
+    val p = plan(graft.queries.PipelineQueries.piiScrubQuery(spark, dir))
+    assert(!p.contains("Join"), s"pii scrub must not join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"pii scrub must not hash-shuffle (only the output sort ranges):\n$p")
+  }
+
   test("KMV sketch never exchanges the full distinct hash set") {
     val q = graft.queries.PipelineQueries.queries("kmv_distinct")(spark, dir)
     val p = plan(q)

@@ -177,6 +177,46 @@ class IcebergCatalogSpec extends AnyFunSuite {
     assert(v1 == rows)
   }
 
+  test("streaming ingest commits through Iceberg metadata; replay marker survives compaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = Files.createTempDirectory("graft-iceberg-ingest").toString
+    val input = MemoryStream[(Long, String)]
+    val writer = graft.streaming.StreamingIngest.batchWriter(
+      tableDir, schemaId = 1,
+      CompactionConfig(targetPartitions = 1), catalog = cat)
+    val q = input.toDF().toDF("id", "name")
+      .writeStream.foreachBatch(writer).start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val afterIngest = cat.loadOrThrow(tableDir)
+    assert(afterIngest.version == 3)
+    // the replay marker round-trips through metadata.json properties
+    assert(afterIngest.properties(
+      graft.streaming.StreamingIngest.LastBatchIdProp) == "1")
+    assert(afterIngest.files.map(_.sequenceNumber).distinct.sorted == Seq(1L, 2L))
+
+    Compaction.builder().withSpark(spark).withTableDir(tableDir)
+      .withCatalog(cat)
+      .withConfig(CompactionConfig(
+        targetPartitions = 1, enableValidateCompaction = true))
+      .build().compact()
+    val compacted = cat.loadOrThrow(tableDir)
+    assert(compacted.version == 4)
+    // marker preserved by the rewrite commit -> a replayed batch is a no-op
+    val schema = spark.read.parquet(compacted.files.head.path).schema
+    val emptyBatch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq[org.apache.spark.sql.Row]()), schema)
+    writer(emptyBatch, 1L)
+    assert(cat.loadOrThrow(tableDir).version == 4)
+    assert(TableReader.read(spark, tableDir, catalog = cat).count() == 3)
+  }
+
   test("deleteVersion drops the version's metadata, list, and manifests") {
     val dir = mkTable()
     Compaction.builder().withSpark(spark).withTableDir(dir)
