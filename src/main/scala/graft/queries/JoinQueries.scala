@@ -95,7 +95,45 @@ object JoinQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` — the
+    * production shape: in streaming it runs on the session-window state
+    * store with watermark-based state eviction (vs the custom
+    * flatMapGroupsWithState twin whose NoTimeout state grows per key),
+    * and in batch it is a plain codegen'd aggregation. Semantics note:
+    * session_window merges events whose windows [t, t+gap) overlap, so
+    * a gap of EXACTLY `gap` breaks the session (>=), while the lag-based
+    * twin breaks strictly greater — the oracle mirrors >=. */
+  def sessionizeNative(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tus"))
+      .withColumn("tts", timestamp_micros(col("tus")))
+      .groupBy(session_window(col("tts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"))
+      .select("user_id", "n_events", "start_us", "end_us")
+      .orderBy("user_id", "start_us")
+
   val oracles: Map[String, String] = Map(
+    "sessionize_native" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, count(*) AS n_events,
+        |  min(tus) AS start_us, max(tus) AS end_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin,
     "sessionize_batch" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
@@ -143,6 +181,7 @@ object JoinQueries {
     "asof_join" -> (asofJoin _),
     "interval_join" -> (intervalJoin _),
     "purchase_attribution" -> (purchaseAttribution _),
-    "sessionize_batch" -> (sessionizeBatch _)
+    "sessionize_batch" -> (sessionizeBatch _),
+    "sessionize_native" -> (sessionizeNative _)
   )
 }

@@ -97,6 +97,27 @@ object EventStream {
         unix_timestamp(col("click_ts")).cast("long").as("click_epoch"))
   }
 
+  /** Sessionization on Spark's NATIVE session windows — the production
+    * streaming shape: the session-window state store merges overlapping
+    * [t, t+gap) event windows per key and the WATERMARK evicts closed
+    * sessions, so state is bounded by the lateness horizon instead of
+    * growing per key forever (the custom-state twin below keeps one
+    * entry per user with NoTimeout — fine for demos, not for a 100 TB
+    * ingest). Append mode: a session emits once the watermark passes
+    * its close. Batch twin: graft.queries.JoinQueries.sessionizeNative
+    * (oracle-checked, same expression). */
+  def sessionizeWindow(events: DataFrame,
+      gap: String = "30 minutes", watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("n_events"),
+        unix_timestamp(col("session_window.start")).cast("long").as("start_epoch"),
+        unix_timestamp(col("session_window.end")).cast("long").as("end_epoch"))
+
   /** Session assembly with a 30-minute inactivity gap via
     * flatMapGroupsWithState: one state entry per user, pruned by
     * processing-time timeout — the custom-state streaming primitive. */

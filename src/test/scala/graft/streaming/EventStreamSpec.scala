@@ -38,6 +38,35 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session windows merge by gap and finalize past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionizeWindow(input.toDF(),
+        gap = "30 minutes", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 100: events at minute 0, 10 (one session), then 50 (a new
+      // session: 40 min > gap); a minute-600 event advances the
+      // watermark far enough to close and emit all three
+      input.addData(
+        Event(1, ts(0), 100, "click", 1.0),
+        Event(2, ts(10), 100, "view", 1.0),
+        Event(3, ts(50), 100, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(600), 999, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "n_events", "start_epoch", "end_epoch")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime / 1000
+      // session 1: [min 0, min 10+gap) with 2 events
+      assert(rows.contains((100L, 2L, t0, t0 + 10 * 60 + 30 * 60)))
+      // session 2: [min 50, min 50+gap) with 1 event
+      assert(rows.contains((100L, 1L, t0 + 50 * 60, t0 + 80 * 60)))
+    } finally q.stop()
+  }
+
   test("streaming dedup marks only the first arrival per key, across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
