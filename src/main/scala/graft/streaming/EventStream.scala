@@ -67,6 +67,19 @@ object EventStream {
       }
   }
 
+  /** Streaming dedup on Spark's NATIVE watermark-bounded operator
+    * (`dropDuplicatesWithinWatermark`): emits the first arrival per
+    * (user_id, event_type) and drops later ones arriving within the
+    * watermark horizon; the state store evicts keys once the watermark
+    * passes — bounded state, vs the custom-state twin above whose
+    * NoTimeout entries live forever (kept as the explicit-primitive
+    * demo). The production shape for continuous ingest dedup. */
+  def streamingDedupNative(events: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Watermarked stream-stream interval join: every purchase joined to
     * the same user's click events within `windowMs` BEFORE it. Both
     * sides carry watermarks and the join condition bounds the time

@@ -294,6 +294,19 @@ object IcebergTableCatalog extends TableCatalog {
       val order = doc.putArray("sort-orders").addObject()
       order.put("order-id", 0); order.putArray("fields")
       val props = doc.putObject("properties")
+      // Spark-written parquet carries no Iceberg field ids; the spec's
+      // name-mapping property tells real readers to resolve columns by
+      // NAME for files without ids — without it an Iceberg client reads
+      // all-null columns from the committed data files
+      if (fields.nonEmpty) {
+        val nm = newArray()
+        fields.foreach { fl =>
+          val e = nm.addObject()
+          e.put("field-id", fl.id)
+          e.putArray("names").add(fl.name)
+        }
+        props.put("schema.name-mapping.default", nm.toString)
+      }
       snapshot.properties.foreach { case (k, v) => props.put(k, v) }
       doc.put("current-snapshot-id", snapshotId)
       val snaps = doc.putArray("snapshots")

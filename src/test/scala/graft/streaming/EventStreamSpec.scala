@@ -38,6 +38,25 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native watermarked dedup emits one row per key within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = streamingDedupNative(input.toDF(), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("ndedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 100, "click", 1.0),
+        Event(2, ts(5), 100, "click", 2.0)) // same key, same batch -> dropped
+      q.processAllAvailable()
+      input.addData(Event(3, ts(10), 100, "click", 3.0)) // later batch, within horizon
+      q.processAllAvailable()
+      val rows = spark.table("ndedup_out")
+        .select("event_id").as[Long].collect().toSet
+      assert(rows == Set(1L), s"only the first arrival should survive, got $rows")
+    } finally q.stop()
+  }
+
   test("native session windows merge by gap and finalize past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -131,6 +131,12 @@ class IcebergCatalogSpec extends AnyFunSuite {
       .find(_.get("content").asInstanceOf[Int] == 2).get
     assert(eq.get("equality_ids").asInstanceOf[java.util.List[Integer]].asScala == Seq(1))
     assert(FileIO.readString(s"$dir/metadata/version-hint.text") == "1")
+    // name mapping lets real Iceberg readers resolve our id-less parquet
+    val nm = IcebergFormat.parse(
+      doc.get("properties").get("schema.name-mapping.default").asText)
+    assert(nm.elements().asScala.map(e =>
+      (e.get("field-id").asInt, e.get("names").get(0).asText)).toSeq ==
+      Seq((1, "id"), (2, "name")))
   }
 
   test("CAS: committing an existing version raises CommitConflict") {
