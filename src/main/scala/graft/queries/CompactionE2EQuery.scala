@@ -49,34 +49,39 @@ object CompactionE2EQuery {
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val tableDir = Files.createTempDirectory("graft-e2e-table").toString
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    // single sorted partition => physical row order == sort order
-    def sorted(df: DataFrame) =
-      df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
+    // the FIXTURE reads lineitem once per synthetic file it writes —
+    // cache it for construction (the engine under test reads only the
+    // written table files, never this frame)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet").persist()
+    try {
+      // single sorted partition => physical row order == sort order
+      def sorted(df: DataFrame) =
+        df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
 
-    val f1 = s"$tableDir/data/f1.parquet"
-    val f2 = s"$tableDir/data/f2.parquet"
-    val (s1, r1) = writeOne(sorted(li.filter(col("l_orderkey") % 2 === 0)), f1)
-    val (s2, r2) = writeOne(sorted(li.filter(col("l_orderkey") % 2 === 1)), f2)
+      val f1 = s"$tableDir/data/f1.parquet"
+      val f2 = s"$tableDir/data/f2.parquet"
+      val (s1, r1) = writeOne(sorted(li.filter(col("l_orderkey") % 2 === 0)), f1)
+      val (s2, r2) = writeOne(sorted(li.filter(col("l_orderkey") % 2 === 1)), f2)
 
-    val pd = s"$tableDir/data/pos-del.parquet"
-    val (s3, r3) = writeOne(
-      spark.range(100).coalesce(1)
-        .select(lit(f1).as("file_path"), col("id").as("pos")), pd)
+      val pd = s"$tableDir/data/pos-del.parquet"
+      val (s3, r3) = writeOne(
+        spark.range(100).coalesce(1)
+          .select(lit(f1).as("file_path"), col("id").as("pos")), pd)
 
-    val ed = s"$tableDir/data/eq-del.parquet"
-    val (s4, r4) = writeOne(
-      li.filter(col("l_orderkey") % 13 === 0)
-        .select("l_orderkey").distinct().repartition(1), ed)
+      val ed = s"$tableDir/data/eq-del.parquet"
+      val (s4, r4) = writeOne(
+        li.filter(col("l_orderkey") % 13 === 0)
+          .select("l_orderkey").distinct().repartition(1), ed)
 
-    TableMetadata.commit(tableDir, TableSnapshot(
-      version = 1, schemaId = 1, lastSequenceNumber = 3,
-      files = Seq(
-        FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
-        FileEntry(f2, "data", s2, r2, sequenceNumber = 3),
-        FileEntry(pd, "position-deletes", s3, r3, sequenceNumber = 3),
-        FileEntry(ed, "equality-deletes", s4, r4, sequenceNumber = 2,
-          equalityIds = Seq("l_orderkey")))))
+      TableMetadata.commit(tableDir, TableSnapshot(
+        version = 1, schemaId = 1, lastSequenceNumber = 3,
+        files = Seq(
+          FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
+          FileEntry(f2, "data", s2, r2, sequenceNumber = 3),
+          FileEntry(pd, "position-deletes", s3, r3, sequenceNumber = 3),
+          FileEntry(ed, "equality-deletes", s4, r4, sequenceNumber = 2,
+            equalityIds = Seq("l_orderkey")))))
+    } finally li.unpersist()
 
     Compaction.builder()
       .withSpark(spark).withTableDir(tableDir)
@@ -110,35 +115,39 @@ object CompactionE2EQuery {
     * retained deletes keep working against untouched files. */
   def runIncremental(spark: SparkSession, dir: String): DataFrame = {
     val tableDir = Files.createTempDirectory("graft-incr-table").toString
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    def sorted(df: DataFrame) =
-      df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
-
     val f1 = s"$tableDir/data/f1.parquet"
     val f2 = s"$tableDir/data/f2.parquet"
     val f3 = s"$tableDir/data/f3.parquet"
-    val (s1, r1) = writeOne(sorted(li.filter(col("l_orderkey") % 8 === 0)), f1)
-    val (s2, r2) = writeOne(sorted(li.filter(col("l_orderkey") % 8 === 1)), f2)
-    val (s3, r3) = writeOne(sorted(li.filter(col("l_orderkey") % 8 >= 2)), f3)
-
     val pd = s"$tableDir/data/pos-del.parquet"
-    val (s4, r4) = writeOne(
-      spark.range(50).coalesce(1)
-        .select(lit(f1).as("file_path"), col("id").as("pos")), pd)
     val ed = s"$tableDir/data/eq-del.parquet"
-    val (s5, r5) = writeOne(
-      li.filter(col("l_orderkey") % 13 === 0)
-        .select("l_orderkey").distinct().repartition(1), ed)
+    // fixture-only cache: five synthetic files derive from one lineitem read
+    val li = spark.read.parquet(s"$dir/lineitem.parquet").persist()
+    val s3 = try {
+      def sorted(df: DataFrame) =
+        df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
 
-    TableMetadata.commit(tableDir, TableSnapshot(
-      version = 1, schemaId = 1, lastSequenceNumber = 3,
-      files = Seq(
-        FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
-        FileEntry(f2, "data", s2, r2, sequenceNumber = 3),
-        FileEntry(f3, "data", s3, r3, sequenceNumber = 1),
-        FileEntry(pd, "position-deletes", s4, r4, sequenceNumber = 3),
-        FileEntry(ed, "equality-deletes", s5, r5, sequenceNumber = 2,
-          equalityIds = Seq("l_orderkey")))))
+      val (s1, r1) = writeOne(sorted(li.filter(col("l_orderkey") % 8 === 0)), f1)
+      val (s2, r2) = writeOne(sorted(li.filter(col("l_orderkey") % 8 === 1)), f2)
+      val (s3, r3) = writeOne(sorted(li.filter(col("l_orderkey") % 8 >= 2)), f3)
+
+      val (s4, r4) = writeOne(
+        spark.range(50).coalesce(1)
+          .select(lit(f1).as("file_path"), col("id").as("pos")), pd)
+      val (s5, r5) = writeOne(
+        li.filter(col("l_orderkey") % 13 === 0)
+          .select("l_orderkey").distinct().repartition(1), ed)
+
+      TableMetadata.commit(tableDir, TableSnapshot(
+        version = 1, schemaId = 1, lastSequenceNumber = 3,
+        files = Seq(
+          FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
+          FileEntry(f2, "data", s2, r2, sequenceNumber = 3),
+          FileEntry(f3, "data", s3, r3, sequenceNumber = 1),
+          FileEntry(pd, "position-deletes", s4, r4, sequenceNumber = 3),
+          FileEntry(ed, "equality-deletes", s5, r5, sequenceNumber = 2,
+            equalityIds = Seq("l_orderkey")))))
+      s3
+    } finally li.unpersist()
 
     // threshold = 0.75 * s3 sits between the small files (~s3/6) and f3
     Compaction.builder()

@@ -66,29 +66,32 @@ object TableLifecycleQuery {
   private def buildTable(spark: SparkSession, dir: String,
       catalog: TableCatalog, prefix: String): String = {
     val tableDir = Files.createTempDirectory(prefix).toString
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    def sorted(df: DataFrame) =
-      df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
+    // fixture-only cache: three appends derive from one lineitem read
+    val li = spark.read.parquet(s"$dir/lineitem.parquet").persist()
+    try {
+      def sorted(df: DataFrame) =
+        df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
 
-    catalog.commitCas(tableDir, TableSnapshot(1, 1, 0, Nil))
-    // seq 1: even rows, physically sorted so row i == row_number()-1
-    TableWrites.appendData(tableDir,
-      sorted(li.filter(col("l_orderkey") % 2 === 0)), catalog = catalog)
-    // the position/oracle mapping assumes the sorted single-partition
-    // append landed as ONE physical file (a maxRecordsPerFile-style
-    // session setting would split it and positions would diverge from
-    // the oracle's global ordinal — fail clearly instead)
-    val dataFilesAfterFirst = catalog.loadOrThrow(tableDir)
-      .files.count(_.content == "data")
-    require(dataFilesAfterFirst == 1,
-      s"expected 1 data file from the sorted append, got $dataFilesAfterFirst")
-    // seq 2: equality-delete every 13th orderkey (hits only seq-1 data)
-    TableWrites.appendEqualityDeletes(tableDir,
-      li.filter(col("l_orderkey") % 13 === 0).select("l_orderkey"),
-      Seq("l_orderkey"), catalog = catalog)
-    // seq 3: odd rows — newer than the delete, all survive
-    TableWrites.appendData(tableDir,
-      sorted(li.filter(col("l_orderkey") % 2 === 1)), catalog = catalog)
+      catalog.commitCas(tableDir, TableSnapshot(1, 1, 0, Nil))
+      // seq 1: even rows, physically sorted so row i == row_number()-1
+      TableWrites.appendData(tableDir,
+        sorted(li.filter(col("l_orderkey") % 2 === 0)), catalog = catalog)
+      // the position/oracle mapping assumes the sorted single-partition
+      // append landed as ONE physical file (a maxRecordsPerFile-style
+      // session setting would split it and positions would diverge from
+      // the oracle's global ordinal — fail clearly instead)
+      val dataFilesAfterFirst = catalog.loadOrThrow(tableDir)
+        .files.count(_.content == "data")
+      require(dataFilesAfterFirst == 1,
+        s"expected 1 data file from the sorted append, got $dataFilesAfterFirst")
+      // seq 2: equality-delete every 13th orderkey (hits only seq-1 data)
+      TableWrites.appendEqualityDeletes(tableDir,
+        li.filter(col("l_orderkey") % 13 === 0).select("l_orderkey"),
+        Seq("l_orderkey"), catalog = catalog)
+      // seq 3: odd rows — newer than the delete, all survive
+      TableWrites.appendData(tableDir,
+        sorted(li.filter(col("l_orderkey") % 2 === 1)), catalog = catalog)
+    } finally li.unpersist()
     // seq 4: position-delete the first 100 physical rows of the seq-1 file
     val firstFile = catalog.loadOrThrow(tableDir)
       .files.filter(_.content == "data").minBy(_.sequenceNumber).path
