@@ -269,4 +269,72 @@ object Dedup {
       .filter(col("cos") >= minCosine)
       .select(col("a_id"), col("b_id"))
   }
+
+  /** Passage-level exact dedup — the corpus-wide paragraph-hash pass of
+    * CCNet (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", LREC 2020) and the "exact substring"
+    * family of Lee et al. 2022: split every document into fixed-size
+    * token passages, keep only the globally FIRST occurrence of each
+    * distinct passage, and reassemble the surviving text per document.
+    * Documents here have no line structure, so the passage boundary is a
+    * deterministic token count rather than '\n' — the algebra is
+    * identical.
+    *
+    * Returns (doc_id, n_passages, n_kept, cleaned_digest) where
+    * cleaned_digest = md5 of the reassembled text — a cross-engine
+    * hash-match certifies byte-exact reassembly, not just the counts.
+    *
+    * 100 TB shape (3 shuffles, all skew-proof):
+    *  1. passages form per-row (narrow — no explode-then-regroup);
+    *  2. winner per distinct passage via `min(doc*2^20+chunk)` groupBy —
+    *     partial aggregation collapses a million-fold duplicated passage
+    *     to one row per map task BEFORE the shuffle (a window over the
+    *     passage key would funnel all duplicates into one partition);
+    *  3. instances join winners on the UNIQUE (doc_id, chunk_idx) slot —
+    *     uniform key distribution even when passage frequencies are
+    *     wildly skewed;
+    *  4. per-document reassembly groupBy.
+    */
+  def passageDedup(docs: DataFrame, idCol: String, textCol: String,
+      passageTokens: Int = 8): DataFrame = {
+    val n = passageTokens
+    require(n > 0, s"passageTokens must be positive, got $n")
+    val toks = split(col(textCol), " ")
+    val lastChunk = ((size(toks) - 1).cast("double") / n).cast("long")
+    val passages = transform(
+      sequence(lit(0L), lastChunk),
+      k => array_join(slice(toks, (k * n + 1).cast("int"), lit(n)), " "))
+    val inst = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(passages).as(Seq("chunk_idx", "passage")))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+    // chunk_idx must stay below 2^20 for the packed winner key (an 8M+
+    // token document would silently corrupt winners — fail loudly)
+    val packed = when(col("chunk_idx") < 1048576L,
+        col("doc_id") * lit(1048576L) + col("chunk_idx"))
+      .otherwise(raise_error(concat(
+        lit("passageDedup: chunk_idx overflows the packed winner key: "),
+        col("chunk_idx").cast("string"))))
+    val winners = inst
+      .withColumn("k", packed)
+      .groupBy("passage").agg(min(col("k")).as("wkey"))
+      .select(expr("wkey div 1048576").as("w_doc"),
+        (col("wkey") % 1048576).as("w_chunk"))
+    val kept = col("w_doc").isNotNull
+    inst
+      .join(winners,
+        inst("doc_id") === winners("w_doc") &&
+          inst("chunk_idx") === winners("w_chunk"),
+        "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(kept, struct(col("chunk_idx"), col("passage"))))),
+            s => s.getField("passage")),
+          " ")).as("cleaned_digest"))
+  }
 }

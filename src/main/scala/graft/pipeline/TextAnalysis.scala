@@ -174,6 +174,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[contamination]] with a Bloom-filter prefilter on the training
+    * side — the shape a 100 TB decontamination run actually takes when
+    * the benchmark n-gram set is too large to broadcast as an exact
+    * hashmap: the join degrades to a shuffle, and without a prefilter
+    * the FULL exploded training corpus (tens of n-grams per document)
+    * crosses the wire to match a set that rejects almost all of it.
+    *
+    * Here the benchmark grams build a fixed-size [[graft.functions.Bloom]]
+    * sketch (megabytes for millions of grams) probed map-side inside
+    * whole-stage codegen, so only candidate grams — true hits plus the
+    * configured false-positive trickle — reach the shuffle. The exact
+    * join that follows removes the false positives, making the result
+    * byte-identical to [[contamination]]: the SAME DuckDB oracle
+    * certifies this path. The join is left unhinted deliberately — AQE
+    * broadcasts the benchmark side while it fits and falls back to a
+    * (bloom-thinned) shuffle join when it doesn't. */
+  def contaminationBloom(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      expectedGrams: Long = 1000000L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val grams = graft.functions.HashColumns.shingles(col(textCol), n)
+    val benchGrams = benchmark.select(explode(grams).as("g")).distinct()
+    val bloom = graft.functions.Bloom.build(benchGrams, "g", expectedGrams, fpp)
+    docs
+      .select(col(idCol).as("doc_id"), explode(grams).as("g"))
+      .filter(graft.functions.Bloom.mightContain(col("g"), bloom))
+      .join(benchGrams, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** PII scrubbing: redact email addresses and long digit runs (phone /
     * account-number shaped) — the standard pre-training privacy pass.
     * Returns per doc the redaction counts and the scrubbed text's md5,

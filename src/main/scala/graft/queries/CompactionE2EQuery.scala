@@ -32,7 +32,6 @@ object CompactionE2EQuery {
   private val outCols = Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag")
 
   private def writeOne(df: DataFrame, target: String): (Long, Long) = {
-    val spark = df.sparkSession
     val tmp = Files.createTempDirectory("graft-e2e-w").toString
     df.write.mode("overwrite").parquet(tmp)
     val parts = new File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
@@ -44,7 +43,9 @@ object CompactionE2EQuery {
     // dir itself must outlive this call — the returned DataFrame reads it
     Option(new File(tmp).listFiles()).getOrElse(Array.empty).foreach(_.delete())
     new File(tmp).delete()
-    (new File(target).length(), spark.read.parquet(target).count())
+    // footer row count — exact, no Spark job per fixture file
+    (new File(target).length(),
+      graft.sources.ParquetStats.fileStats(target, Nil)._1)
   }
 
   def run(spark: SparkSession, dir: String): DataFrame = {

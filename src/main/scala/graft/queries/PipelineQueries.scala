@@ -244,6 +244,24 @@ object PipelineQueries {
         "doc_id", "text", n = 5)
       .orderBy("doc_id")
 
+  /** The SAME decontamination through the Bloom-prefiltered scale path
+    * ([[TextAnalysis.contaminationBloom]]) — the exact join after the
+    * probe removes false positives, so the result must hash-match the
+    * identical oracle as `decontaminate`. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.contaminationBloom(
+        documents(spark, dir),
+        documents(spark, dir).filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+
+  /** CCNet-style corpus-wide passage dedup ([[Dedup.passageDedup]]):
+    * keep only the globally-first occurrence of every 8-token passage
+    * and certify the reassembled text byte-exactly via md5. */
+  def passageDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.passageDedup(documents(spark, dir), "doc_id", "text", 8)
+      .orderBy("doc_id")
+
   /** PII scrub over a corpus with PLANTED pii (every 5th doc gets a
     * deterministic email + digit-run suffix, built identically in the
     * oracle) — so the redaction counts and the scrubbed-text digests
@@ -566,6 +584,40 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "decontaminate_bloom" ->
+      """WITH g5 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' '))-4),
+        |    i -> array_to_string((string_split(text,' '))[i:i+4], ' ')))) AS g
+        |  FROM documents),
+        |eg AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 17 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM g5 JOIN eg USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "passage_dedup" ->
+      """WITH p0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, (len(toks)-1)//8)) AS chunk_idx
+        |  FROM p0),
+        |inst AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(toks[chunk_idx*8+1 : chunk_idx*8+8], ' ') AS passage
+        |  FROM idx),
+        |win AS (
+        |  SELECT passage, min(doc_id * 1048576 + chunk_idx) AS wkey
+        |  FROM inst GROUP BY passage),
+        |flagged AS (
+        |  SELECT i.doc_id, i.chunk_idx, i.passage,
+        |    (i.doc_id * 1048576 + i.chunk_idx = w.wkey) AS kept
+        |  FROM inst i JOIN win w USING (passage))
+        |SELECT doc_id,
+        |  count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN kept THEN passage END, ' '
+        |    ORDER BY chunk_idx), '')) AS cleaned_digest
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "decontaminate" ->
       """WITH g5 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -634,6 +686,8 @@ object PipelineQueries {
     "deterministic_sample" -> (deterministicSample _),
     "uniform_sample" -> (uniformSample _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_bloom" -> (decontaminateBloom _),
+    "passage_dedup" -> (passageDedup _),
     "pii_scrub" -> (piiScrubQuery _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _)

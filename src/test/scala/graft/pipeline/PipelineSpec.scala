@@ -224,4 +224,42 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, String)].collect().head
     assert(r == ((1L, 5L, "5d41402abc4b2a76b9719d911017c592")))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("passage dedup keeps the globally-first occurrence, reassembles byte-exact") {
+    val corpus = Seq(
+      (1L, "a b c d e f"), // passages (n=3): "a b c", "d e f" — both first
+      (2L, "a b c x y z"), // "a b c" dup of doc1#0 -> dropped; "x y z" kept
+      (3L, "d e f")        // dup of doc1#1 (later doc wins nothing) -> empty
+    ).toDF("doc_id", "text")
+    val r = Dedup.passageDedup(corpus, "doc_id", "text", passageTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq(
+      (1L, 2L, 2L, md5hex("a b c d e f")),
+      (2L, 2L, 1L, md5hex("x y z")),
+      (3L, 1L, 0L, md5hex(""))))
+  }
+
+  test("passage dedup: within-doc repeats collapse to the first chunk") {
+    val corpus = Seq((7L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val r = Dedup.passageDedup(corpus, "doc_id", "text", passageTokens = 3)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(r == ((7L, 3L, 1L, md5hex("p q r"))))
+  }
+
+  test("bloom-prefiltered contamination equals the exact path") {
+    val train = docs
+    val bench = docs.filter(col("doc_id") % 2 === 0)
+    val exact = TextAnalysis.contamination(train, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val bloomed = TextAnalysis.contaminationBloom(
+        train, bench, "doc_id", "text", n = 3,
+        expectedGrams = 1000, fpp = 0.01)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(exact.nonEmpty && bloomed == exact)
+  }
 }

@@ -181,4 +181,20 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(over.contains("LeftAnti"), s"anti-join missing:\n$over")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("decontamination bloom probe filters map-side BELOW the join") {
+    val p = plan(graft.queries.PipelineQueries.decontaminateBloom(spark, dir))
+    val lines = p.split("\n")
+    val joinIdx = lines.indexWhere(l => l.contains("Join"))
+    val probeIdx = lines.indexWhere(_.contains("bloom_might_contain"))
+    assert(probeIdx >= 0, s"bloom probe missing from plan:\n$p")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe must sit on the scan side below the join (probe line " +
+        s"$probeIdx, join line $joinIdx):\n$p")
+    // the probe must be a plain Filter feeding the exchange/join — i.e.
+    // applied before any shuffle of the exploded training grams
+    val probeLine = lines(probeIdx)
+    assert(probeLine.contains("Filter") || probeLine.contains("Project"),
+      s"probe not in a narrow operator: $probeLine")
+  }
 }
