@@ -206,6 +206,128 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos_x1e6")
   }
 
+  /** Product-quantization ANN (Jégou/Douze/Schmid, "Product Quantization
+    * for Nearest Neighbor Search", IEEE TPAMI 2011): split each vector
+    * into `numSubs` subvectors, train a `codebookSize`-entry codebook per
+    * subspace (Lloyd k-means), encode every corpus vector as `numSubs`
+    * small codes, and answer queries by ADC — a per-query lookup table of
+    * query-subvector-to-codeword distances, summed over subspaces by code
+    * lookup instead of touching the original vectors.
+    *
+    * THE memory-compression scale path for billion-vector search: a
+    * 64-dim float vector (256-512 B) becomes `numSubs` codes (4 B here),
+    * so the scored side of the search carries ~100x less data — the scan
+    * of a 100 TB embedding corpus scores against codes that fit in a
+    * fraction of executor memory, with the codebooks and per-query
+    * distance tables (numSubs x codebookSize ints) broadcast.
+    *
+    * Training reuses [[ivfTopKTrained]]'s integer-exact Lloyd recipe
+    * (quantize x1e6 -> exact integer L2 -> floor-divided means), keyed by
+    * subspace, so codebooks, codes, and ADC distances replay bit-for-bit
+    * in any engine; the returned `adist` is the exact integer ADC
+    * distance (smaller = nearer), ranked ascending with vec_id
+    * tie-break. Empty codebook entries drop out exactly as in IVF.
+    *
+    * Plan shape: training = narrow subvector explode + tiny groupBys;
+    * encoding = corpus x broadcast(codebook, numSubs*codebookSize rows)
+    * with a per-(vector, subspace) window min; search scores the code
+    * rows against BROADCAST per-query distance maps — a narrow pass with
+    * no corpus shuffle; the only exchange in the search is the per-query
+    * top-k window, and nothing ever plans a cartesian product over two
+    * large sides.
+    */
+  def pqTopK(
+      queries: DataFrame, // (query_id, qv)
+      corpus: DataFrame,  // (vec_id, v)
+      dims: Int,
+      k: Int,
+      numSubs: Int = 4,
+      codebookSize: Int = 16,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    require(dims % numSubs == 0, s"dims=$dims not divisible by numSubs=$numSubs")
+    val subLen = dims / numSubs
+    def quant(vec: Column): Column =
+      transform(vec, x => round(x.cast("double") * 1e6).cast("long"))
+    def idist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    // (id, m, spx): one row per vector per subspace — narrow explode
+    def subVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col(idCol),
+          posexplode(transform(sequence(lit(0), lit(numSubs - 1)),
+            m => slice(quant(col(vecCol)), (m * subLen + 1).cast("int"),
+              lit(subLen)))).as(Seq("m", "spx")))
+
+    val corpusSub = subVectors(corpus, "vec_id", "v").persist()
+
+    // nearest codebook entry per (row, subspace); keep=1
+    def assign(sub: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(idCol), col("m"))
+        .orderBy(col("cdist").asc, col("code").asc)
+      sub.join(broadcast(cents), Seq("m"))
+        .withColumn("cdist", idist(col("spx"), col("cq")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .drop("cq", "cdist", "crank")
+    }
+
+    // init: per subspace, the codebookSize subvectors with the smallest
+    // hash64("pq:m:", vec_id) — deterministic seeding, replayable anywhere
+    val wInit = Window.partitionBy("m").orderBy(col("h").asc, col("vec_id").asc)
+    var codebook = corpusSub
+      .withColumn("h", hash64(lit("pq"),
+        concat(col("m").cast("string"), lit(":"), col("vec_id").cast("string"))))
+      .withColumn("irank", row_number().over(wInit))
+      .filter(col("irank") <= codebookSize)
+      .select(col("m"), col("vec_id").as("code"), col("spx").as("cq"))
+
+    for (_ <- 1 to lloydIters) {
+      val assigned = assign(corpusSub, "vec_id", codebook)
+      // integer mean per (subspace, code, dim): exact sum, floor divide
+      codebook = assigned
+        .select(col("m"), col("code"), posexplode(col("spx")).as(Seq("pos", "value")))
+        .groupBy("m", "code", "pos")
+        .agg(floor(sum(col("value")).cast("double") / count(lit(1)))
+          .cast("long").as("mean"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("cq"))
+    }
+
+    // corpus codes collapsed to ONE row per vector: the compressed
+    // representation (numSubs small ints — the ~100x memory story)
+    val codes = assign(corpusSub, "vec_id", codebook)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    // per-query ADC lookup table over EVERY codeword, packed as a map
+    // keyed m*1024+code (codebookSize <= 1024 by construction)
+    require(codebookSize <= 1024, s"codebookSize=$codebookSize exceeds key packing")
+    val dt = subVectors(queries, "query_id", "qv")
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("d", idist(col("spx"), col("cq")))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("m") * 1024 + col("code"), col("d")))).as("dmap"))
+
+    // scoring is NARROW: codes x broadcast(per-query maps), adist = sum of
+    // numSubs map lookups — no shuffle of the corpus-side rows at all;
+    // the only exchange left is the per-query top-k window
+    val scored = codes.crossJoin(broadcast(dt))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist",
+        aggregate(sequence(lit(0), lit(numSubs - 1)), lit(0L),
+          (acc, m) => acc + element_at(col("dmap"),
+            m * 1024 + element_at(col("codes"), (m + 1).cast("int")))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adist")
+  }
+
   /** LSH ANN: same-bucket candidates re-ranked exactly. Recall < 1 by
     * construction; deterministic. Returns (query_id, rank, vec_id,
     * cos_x1e6) with rank over bucket candidates only. */

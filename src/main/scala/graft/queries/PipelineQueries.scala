@@ -176,6 +176,21 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Product-quantization ANN ([[Similarity.pqTopK]]): 4 subspaces x
+    * 16 codewords over the 64-dim embeddings, 2 Lloyd rounds, ADC
+    * ranking — the integer-exact training replays bit-for-bit in the
+    * DuckDB oracle, codes, distance tables and all. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val t = embeddings(spark, dir)
+    val q = t.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = t.select(col("vec_id"), col("embedding").as("v"))
+    Similarity.pqTopK(q, c, dims = 64, k = 10, numSubs = 4,
+        codebookSize = 16, lloydIters = 2)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch over l_orderkey — a
     * DETERMINISTIC alternative to HLL (approx_count_distinct's HLL++
     * cannot be replayed by another engine): estimate = (k-1) * 2^60 /
@@ -331,6 +346,62 @@ object PipelineQueries {
     * unrolled as CTE pairs (assign_i, cent_i); the per-dimension integer
     * mean is emitted as 64 explicit floor(sum/count) terms (SQL lambdas
     * cannot aggregate per element). */
+  /** The full PQ pipeline replayed in DuckDB — subspace split, seeded
+    * init, 2 integer-exact Lloyd rounds per subspace, encoding, ADC
+    * tables, ranking. The SQL scores via the (m, code) join + SUM form;
+    * the engine scores via broadcast map lookups — alternative plans of
+    * the same integer algebra, so the hashes must match exactly. */
+  private val pqOracle: String = {
+    val meanVec = (1 to 16)
+      .map(i => s"CAST(floor(sum(spx[$i]) / count(*)) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    def idist(p: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, 16), i -> ($p[i]-$c[i])*($p[i]-$c[i])))"
+    def assignCte(name: String, cb: String) =
+      s"""$name AS (
+         |  SELECT vec_id, m, spx, code FROM (
+         |    SELECT s.vec_id, s.m, s.spx, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        ${idist("s.spx", "c.cq")} ASC, c.code ASC) AS rnk
+         |    FROM sub s JOIN $cb c ON s.m = c.m)
+         |  WHERE rnk = 1)""".stripMargin
+    s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |tq AS (SELECT vec_id,
+       |  list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS px FROM t),
+       |subm AS (SELECT vec_id, px, unnest(generate_series(0, 3)) AS m FROM tq),
+       |sub AS (SELECT vec_id, m, px[m*16+1 : m*16+16] AS spx FROM subm),
+       |cb0 AS (
+       |  SELECT m, code, cq FROM (
+       |    SELECT m, vec_id AS code, spx AS cq,
+       |      row_number() OVER (PARTITION BY m ORDER BY
+       |        ${h64("'pq:' || m || ':' || vec_id")}, vec_id) AS irank
+       |    FROM sub)
+       |  WHERE irank <= 16),
+       |${assignCte("assign1", "cb0")},
+       |cb1 AS (SELECT m, code, $meanVec AS cq FROM assign1 GROUP BY m, code),
+       |${assignCte("assign2", "cb1")},
+       |cb2 AS (SELECT m, code, $meanVec AS cq FROM assign2 GROUP BY m, code),
+       |${assignCte("codes", "cb2")},
+       |dt AS (
+       |  SELECT s.vec_id AS query_id, c.m, c.code,
+       |    ${idist("s.spx", "c.cq")} AS d
+       |  FROM sub s JOIN cb2 c ON s.m = c.m
+       |  WHERE s.vec_id < 5),
+       |scored AS (
+       |  SELECT dt.query_id, k.vec_id, CAST(sum(dt.d) AS BIGINT) AS adist
+       |  FROM codes k JOIN dt ON k.m = dt.m AND k.code = dt.code
+       |  WHERE k.vec_id <> dt.query_id
+       |  GROUP BY dt.query_id, k.vec_id),
+       |ranked AS (
+       |  SELECT query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rnk,
+       |    vec_id, adist
+       |  FROM scored)
+       |SELECT query_id, rnk, vec_id, adist FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
   private val ivfTrainedOracle: String = {
     val meanVec = (1 to 64)
       .map(i => s"CAST(floor(sum(px[$i]) / count(*)) AS BIGINT)")
@@ -382,6 +453,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" -> ivfTrainedOracle,
+    "ann_pq" -> pqOracle,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens,
@@ -682,6 +754,7 @@ object PipelineQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_trained" -> (annIvfTrained _),
+    "ann_pq" -> (annPq _),
     "kmv_distinct" -> (kmvDistinct _),
     "deterministic_sample" -> (deterministicSample _),
     "uniform_sample" -> (uniformSample _),

@@ -142,6 +142,31 @@ class PipelineSpec extends AnyFunSuite {
     assert((ivf intersect bf).nonEmpty)
   }
 
+  test("pq topk: self-coded duplicate ranks first, deterministic, nonzero recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = e.select($"vec_id", $"embedding".as("v"))
+    def run() = Similarity.pqTopK(q, c, dims = 64, k = 10)
+      .select("query_id", "rank", "vec_id", "adist")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val pq = run()
+    assert(pq == run()) // deterministic end-to-end (training included)
+    assert(pq.forall(_._4 >= 0)) // ADC distance is a sum of squares
+    // a vector sharing the query's exact codes has adist == the query's
+    // own quantization residual — for a query in the corpus, its nearest
+    // neighbors by ADC must overlap the true cosine top-k
+    val bf = Similarity.bruteForceTopK(q, c, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = pq.map(r => (r._1, r._3)).toSet
+    assert((got intersect bf).nonEmpty)
+    // per query: exactly k rows, ranks 1..k, adist non-decreasing
+    pq.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2) == (1L to 10L))
+      assert(rows.map(_._4) == rows.map(_._4).sorted)
+    }
+  }
+
   test("multimodal feature extraction: deterministic stub decode over binary") {
     import Multimodal._
     val media = Seq(

@@ -127,6 +127,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"corpus x centroids must not plan as a cartesian product:\n$p")
   }
 
+  test("PQ search: codes scored against broadcast tables, no cartesian, no corpus shuffle pre-window") {
+    val p = plan(graft.queries.PipelineQueries.queries("ann_pq")(spark, dir))
+    assert(p.contains("Broadcast"),
+      s"codebook / distance-table sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"PQ must never plan a cartesian product over two large sides:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in PQ should sort-merge (all small sides broadcast):\n$p")
+  }
+
   test("freq_score: AQE broadcasts the small vocabulary at runtime") {
     // the join is deliberately unhinted (a forced broadcast would OOM on
     // vocab blowups instead of degrading) — so the property to pin is the
