@@ -67,6 +67,21 @@ object AnalyticsQueries {
       .orderBy("o_orderpriority", "rnk")
   }
 
+  /** The SAME top-k through the skew-proof two-phase form
+    * ([[graft.operators.TopK.saltedTopK]]) — the ordering is total
+    * (price desc, orderkey tie-break), so the salted result must
+    * hash-match `window_topk`'s oracle verbatim. */
+  def windowTopKSalted(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .withColumn("price_cents", cents(col("o_totalprice")))
+    graft.operators.TopK.saltedTopK(
+        o, keys = Seq("o_orderpriority"),
+        ordering = Seq(col("price_cents").desc, col("o_orderkey").asc),
+        k = 3, saltFrom = col("o_orderkey"), salts = 8)
+      .select("o_orderpriority", "rnk", "o_orderkey", "price_cents")
+      .orderBy("o_orderpriority", "rnk")
+  }
+
   /** Event-time hourly rollup — the batch twin of the streaming windowed
     * aggregation (graft.streaming.EventStream.windowedStats). The events
     * parquet stores TIMESTAMP(NANOS), which Spark only reads as a long
@@ -180,6 +195,20 @@ object AnalyticsQueries {
       .orderBy("bucket")
   }
 
+  private val windowTopkOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_orderpriority,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY price_cents DESC, o_orderkey) AS BIGINT) AS rnk,
+      |    o_orderkey, price_cents
+      |  FROM o)
+      |SELECT o_orderpriority, rnk, o_orderkey, price_cents FROM r
+      |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "zorder_layout" -> {
       val z = graft.operators.ZOrder.zValue2Sql("okey", "skey", ZBits)
@@ -244,19 +273,8 @@ object AnalyticsQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "window_topk" ->
-      """WITH o AS (
-        |  SELECT o_orderpriority, o_orderkey,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-        |  FROM orders),
-        |r AS (
-        |  SELECT o_orderpriority,
-        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY price_cents DESC, o_orderkey) AS BIGINT) AS rnk,
-        |    o_orderkey, price_cents
-        |  FROM o)
-        |SELECT o_orderpriority, rnk, o_orderkey, price_cents FROM r
-        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+    "window_topk" -> windowTopkOracle,
+    "window_topk_salted" -> windowTopkOracle,
     "events_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |  event_type,
@@ -273,6 +291,7 @@ object AnalyticsQueries {
     "agg_pricing" -> (aggPricing _),
     "join_revenue" -> (joinRevenue _),
     "window_topk" -> (windowTopK _),
+    "window_topk_salted" -> (windowTopKSalted _),
     "events_window" -> (eventsWindow _),
     "quantiles" -> (quantiles _),
     "value_histogram" -> (valueHistogram _),
