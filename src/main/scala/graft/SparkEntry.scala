@@ -23,6 +23,7 @@ object SparkEntry {
       ("table_lifecycle" -> (graft.queries.TableLifecycleQuery.run _)) +
       ("table_lifecycle_iceberg" -> (graft.queries.TableLifecycleQuery.runIceberg _)) +
       ("mor_filtered" -> (graft.queries.TableLifecycleQuery.runFiltered _)) +
+      ("mor_pruned" -> (graft.queries.TableLifecycleQuery.runPruned _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -37,6 +38,7 @@ object SparkEntry {
       ("table_lifecycle" -> graft.queries.TableLifecycleQuery.oracle) +
       ("table_lifecycle_iceberg" -> graft.queries.TableLifecycleQuery.oracle) +
       ("mor_filtered" -> graft.queries.TableLifecycleQuery.filteredOracle) +
+      ("mor_pruned" -> graft.queries.TableLifecycleQuery.prunedOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

@@ -31,7 +31,7 @@ object CompactionE2EQuery {
   private val rowKey = MorQueries.rowKey // one verified-unique definition
   private val outCols = Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag")
 
-  private def writeOne(df: DataFrame, target: String): (Long, Long) = {
+  private[queries] def writeOne(df: DataFrame, target: String): (Long, Long) = {
     val tmp = Files.createTempDirectory("graft-e2e-w").toString
     df.write.mode("overwrite").parquet(tmp)
     val parts = new File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))

@@ -101,6 +101,63 @@ object TableLifecycleQuery {
     tableDir
   }
 
+  /** Bounds-pruned MoR read: lineitem RANGE-split into three real files
+    * (terciles of l_orderkey), plus an equality-delete that applies to
+    * all of them; reading with `l_orderkey <= tercile1` must (a) prune
+    * the scan to the FIRST file only — asserted on the plan's actual
+    * input files, the footer-stats pruning at work — and (b) still apply
+    * the delete chain, hash-matching survivors the oracle recomputes
+    * from lineitem alone. */
+  def runPruned(spark: SparkSession, dir: String): DataFrame = {
+    import graft.txn.{FileEntry, TableMetadata, TableSnapshot}
+    val tableDir = Files.createTempDirectory("graft-pruned").toString
+    val li = spark.read.parquet(s"$dir/lineitem.parquet").persist()
+    try {
+      val maxK = li.agg(max(col("l_orderkey"))).first().getLong(0)
+      val (b1, b2) = (maxK / 3, 2 * maxK / 3)
+      val parts = Seq(
+        s"$tableDir/data/f1.parquet" -> (col("l_orderkey") <= b1),
+        s"$tableDir/data/f2.parquet" ->
+          (col("l_orderkey") > b1 && col("l_orderkey") <= b2),
+        s"$tableDir/data/f3.parquet" -> (col("l_orderkey") > b2))
+      val dataEntries = parts.map { case (path, pred) =>
+        val (sz, n) = CompactionE2EQuery.writeOne(
+          li.filter(pred).repartition(1), path)
+        FileEntry(path, "data", sz, n, sequenceNumber = 1)
+      }
+      val ed = s"$tableDir/data/eq-del.parquet"
+      val (s4, r4) = CompactionE2EQuery.writeOne(
+        li.filter(col("l_orderkey") % 13 === 0)
+          .select("l_orderkey").distinct().repartition(1), ed)
+      TableMetadata.commit(tableDir, TableSnapshot(
+        version = 1, schemaId = 1, lastSequenceNumber = 2,
+        files = dataEntries :+ FileEntry(ed, "equality-deletes", s4, r4,
+          sequenceNumber = 2, equalityIds = Seq("l_orderkey"))))
+
+      val out = TableReader.read(spark, tableDir,
+          filter = Some(col("l_orderkey") <= b1))
+        .select(outCols.map(col): _*)
+        .orderBy(outCols.map(col): _*)
+      // the pruning is the point — fail loudly if the scan still lists
+      // the files the bounds exclude
+      val ins = out.inputFiles.filter(_.contains("/data/f"))
+      require(ins.exists(_.endsWith("f1.parquet")),
+        s"pruned read lost the matching file: ${ins.mkString(",")}")
+      require(!ins.exists(p => p.endsWith("f2.parquet") || p.endsWith("f3.parquet")),
+        s"bounds should have pruned f2/f3 from the scan: ${ins.mkString(",")}")
+      out
+    } finally li.unpersist()
+  }
+
+  val prunedOracle: String =
+    """WITH m AS (
+      |  SELECT CAST(floor(max(l_orderkey) / 3.0) AS BIGINT) AS b1
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+      |FROM lineitem, m
+      |WHERE l_orderkey <= b1 AND l_orderkey % 13 <> 0
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
+
   /** Same expected-survivor computation as the compaction e2e (this
     * query certifies the identical algebra through the public API) —
     * ONE shared definition so the scenarios cannot drift apart. */

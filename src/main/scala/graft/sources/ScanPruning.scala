@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.txn.FileEntry
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.NodeBridge
+import org.apache.spark.sql.graftbridge.NodeBridge.PredNode
+
+/** File-level min/max pruning for merge-on-read reads — the scan-planning
+  * half of what makes a filtered read of a 100 TB table cheap.
+  *
+  * Row-group pruning (Spark's parquet reader, fed by the pushed filters)
+  * only helps AFTER a file is opened; at warehouse scale the win is
+  * never LISTING the file into the scan at all. Iceberg readers do this
+  * from manifest column bounds; this engine's snapshots don't carry
+  * bounds for every catalog, so pruning reads each candidate data file's
+  * parquet FOOTER (a few KB, fetched in parallel — the same
+  * [[ParquetStats]] pool the z-order domain pass uses) and drops files
+  * whose [min, max] cannot intersect the filter's bound constraints.
+  *
+  * Extraction is deliberately CONSERVATIVE: only integral-column
+  * comparisons to literals (`=`, `<`, `<=`, `>`, `>=`) conjoined with
+  * `AND` produce constraints; anything else (OR, NOT, arithmetic,
+  * strings, unknown expressions) contributes nothing and the file is
+  * kept. A kept file is never wrong — the filter still runs on the
+  * scan — so pruning can only remove provably-dead IO.
+  */
+object ScanPruning {
+
+  /** Inclusive [lo, hi] bound per column name, merged by intersection. */
+  type Bounds = Map[String, (Long, Long)]
+
+  private def longOf(n: PredNode): Option[Long] = n match {
+    case PredNode.Lit(v) => v match {
+      case i: Int   => Some(i.toLong)
+      case i: Long  => Some(i)
+      case i: Short => Some(i.toLong)
+      case _        => None
+    }
+    case _ => None
+  }
+
+  private def nameOf(n: PredNode): Option[String] = n match {
+    case PredNode.Attr(name) => Some(name)
+    case _                   => None
+  }
+
+  private def merge(a: Bounds, b: Bounds): Bounds =
+    (a.keySet ++ b.keySet).map { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some((lo1, hi1)), Some((lo2, hi2))) =>
+          k -> (math.max(lo1, lo2), math.min(hi1, hi2))
+        case (one, two) => k -> one.orElse(two).get
+      }
+    }.toMap
+
+  /** Bound constraints implied by `filter`; empty when nothing usable.
+    * Walks the Column's node tree (Spark 4 Columns are ColumnNode trees
+    * until bound to a plan — exactly right here, since pruning runs
+    * BEFORE any DataFrame exists to resolve against). */
+  def constraints(filter: Column): Bounds = {
+    // comparison with the attribute on the left; [lo/hi]Delta adjust for
+    // strictness (x > v means x >= v+1 on an integral column)
+    def cmp(a: PredNode, v: PredNode,
+        loDelta: Option[Long], hiDelta: Option[Long]): Bounds =
+      (nameOf(a), longOf(v)) match {
+        case (Some(n), Some(value)) =>
+          Map(n -> (loDelta.map(d => saturatingAdd(value, d)).getOrElse(Long.MinValue),
+            hiDelta.map(d => saturatingAdd(value, d)).getOrElse(Long.MaxValue)))
+        case _ => Map.empty
+      }
+    def walk(n: PredNode): Bounds = n match {
+      case PredNode.Fn(fname, Seq(a, b)) =>
+        val aIsAttr = nameOf(a).isDefined
+        fname match {
+          case "and" => merge(walk(a), walk(b))
+          case "=" | "==" =>
+            if (aIsAttr) cmp(a, b, Some(0L), Some(0L)) else cmp(b, a, Some(0L), Some(0L))
+          case ">" =>
+            if (aIsAttr) cmp(a, b, Some(1L), None) else cmp(b, a, None, Some(-1L))
+          case ">=" =>
+            if (aIsAttr) cmp(a, b, Some(0L), None) else cmp(b, a, None, Some(0L))
+          case "<" =>
+            if (aIsAttr) cmp(a, b, None, Some(-1L)) else cmp(b, a, Some(1L), None)
+          case "<=" =>
+            if (aIsAttr) cmp(a, b, None, Some(0L)) else cmp(b, a, Some(0L), None)
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
+    walk(NodeBridge.tree(filter))
+  }
+
+  /** v + d clamped at the Long range (a wrap would flip a strict bound
+    * at Long.MaxValue into a keep-nothing constraint). */
+  private def saturatingAdd(v: Long, d: Long): Long = {
+    val r = v + d
+    if (d > 0 && r < v) Long.MaxValue
+    else if (d < 0 && r > v) Long.MinValue
+    else r
+  }
+
+  /** Data files that may satisfy `filter`; delete files and files
+    * without trustworthy stats pass through untouched. If every data
+    * file is pruned, ONE is kept so the read still resolves the table
+    * schema and returns a correct empty result (the filter runs
+    * regardless — pruning is an IO optimization, never a semantic one).
+    */
+  def pruneDataFiles(files: Seq[FileEntry], filter: Column): Seq[FileEntry] = {
+    val cs = constraints(filter)
+    if (cs.isEmpty || cs.values.exists { case (lo, hi) => lo > hi }) return files
+    val (data, deletes) = files.partition(_.content == "data")
+    val cols = cs.keys.toSeq
+    // footers in parallel — the same driver-pool rationale as
+    // ParquetStats.minMaxLong (object-store round-trips, not CPU)
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.max(1, math.min(16, data.size)))
+    val kept = try {
+      val futures = data.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean =
+            ParquetStats.fileStats(f.path, cols)._2 match {
+              case None => true // no trustworthy stats -> keep
+              case Some(stats) => cs.forall { case (c, (lo, hi)) =>
+                stats.get(c) match {
+                  case None           => true // column absent -> keep
+                  case Some((mn, mx)) => mx >= lo && mn <= hi
+                }
+              }
+            }
+        })
+      }
+      data.zip(futures).collect {
+        case (f, fut) if fut.get(120, java.util.concurrent.TimeUnit.SECONDS) => f
+      }
+    } finally pool.shutdownNow()
+    val keptData = if (kept.nonEmpty) kept else data.take(1)
+    keptData ++ deletes
+  }
+}

@@ -51,7 +51,11 @@ object TableReader {
       filter: Option[Column] = None
   ): Option[DataFrame] = {
     val snap = snapshot(tableDir, asOfVersion, catalog)
-    val tasks = ScanPlanner.toInputTasks(snap.files.map(_.toTask))
+    // file-level min/max pruning BEFORE Spark sees the file list: bound
+    // constraints in the filter drop data files whose footer stats prove
+    // no row can match ([[ScanPruning]] — conservative, IO-only)
+    val files = filter.fold(snap.files)(ScanPruning.pruneDataFiles(snap.files, _))
+    val tasks = ScanPlanner.toInputTasks(files.map(_.toTask))
     if (tasks.dataFiles.isEmpty) None
     else {
       val live = SparkCompactionExecutor.liveRows(spark, tasks)

@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.txn.{FileEntry, TableMetadata, TableSnapshot}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.File
+import java.nio.file.Files
+
+class ScanPruningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("constraint extraction: comparisons, conjunction, both orientations") {
+    import ScanPruning.constraints
+    assert(constraints(col("x") === 5L) == Map("x" -> (5L, 5L)))
+    assert(constraints(lit(5L) === col("x")) == Map("x" -> (5L, 5L)))
+    assert(constraints(col("x") > 5L) == Map("x" -> (6L, Long.MaxValue)))
+    assert(constraints(col("x") >= 5L) == Map("x" -> (5L, Long.MaxValue)))
+    assert(constraints(col("x") < 5L) == Map("x" -> (Long.MinValue, 4L)))
+    assert(constraints(col("x") <= 5L) == Map("x" -> (Long.MinValue, 5L)))
+    assert(constraints(lit(5L) < col("x")) == Map("x" -> (6L, Long.MaxValue)))
+    assert(constraints(col("x") >= 2L && col("x") <= 9L && col("y") === 1L)
+      == Map("x" -> (2L, 9L), "y" -> (1L, 1L)))
+  }
+
+  test("constraint extraction is conservative: OR, strings, arithmetic yield nothing") {
+    import ScanPruning.constraints
+    assert(constraints(col("x") === 1L || col("x") === 2L).isEmpty)
+    assert(constraints(col("s") === "abc").isEmpty)
+    assert(constraints(col("x") % 2 === 0).isEmpty)
+    // the supported half of an AND still contributes
+    assert(constraints(col("x") <= 3L && col("s") === "abc")
+      == Map("x" -> (Long.MinValue, 3L)))
+  }
+
+  private def writeFile(rows: Seq[(Long, String)], path: String): FileEntry = {
+    val tmp = Files.createTempDirectory("prune-w").toString
+    rows.toDF("id", "v").repartition(1).write.mode("overwrite").parquet(tmp)
+    val part = new File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.createDirectories(new File(path).getParentFile.toPath)
+    Files.move(part.toPath, new File(path).toPath)
+    FileEntry(path, "data", new File(path).length(),
+      rows.size.toLong, sequenceNumber = 1)
+  }
+
+  test("footer bounds prune non-intersecting files; deletes pass through") {
+    val dir = Files.createTempDirectory("prune-t").toString
+    val f1 = writeFile((1L to 10L).map(i => (i, s"a$i")), s"$dir/data/f1.parquet")
+    val f2 = writeFile((11L to 20L).map(i => (i, s"b$i")), s"$dir/data/f2.parquet")
+    val del = f1.copy(path = f1.path, content = "equality-deletes",
+      equalityIds = Seq("id"))
+    val files = Seq(f1, f2, del)
+
+    val kept = ScanPruning.pruneDataFiles(files, col("id") <= 7L)
+    assert(kept.map(_.path).contains(f1.path))
+    assert(!kept.filter(_.content == "data").map(_.path).contains(f2.path))
+    assert(kept.exists(_.content == "equality-deletes"))
+
+    // boundary inclusivity: id <= 10 and id >= 11 each keep exactly one
+    assert(ScanPruning.pruneDataFiles(files, col("id") <= 10L)
+      .count(_.content == "data") == 1)
+    assert(ScanPruning.pruneDataFiles(files, col("id") >= 11L)
+      .count(_.content == "data") == 1)
+    // spanning range keeps both
+    assert(ScanPruning.pruneDataFiles(files, col("id") >= 5L && col("id") <= 15L)
+      .count(_.content == "data") == 2)
+  }
+
+  test("all-pruned keeps one file so the read resolves schema and returns empty") {
+    val dir = Files.createTempDirectory("prune-e").toString
+    val f1 = writeFile((1L to 10L).map(i => (i, s"a$i")), s"$dir/data/f1.parquet")
+    val f2 = writeFile((11L to 20L).map(i => (i, s"b$i")), s"$dir/data/f2.parquet")
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 1, Seq(f1, f2)))
+    val out = TableReader.read(spark, dir, filter = Some(col("id") === 999L))
+    assert(out.inputFiles.count(_.contains("/data/f")) == 1)
+    assert(out.count() == 0 && out.columns.contains("v"))
+  }
+
+  test("unsupported filters prune nothing") {
+    val dir = Files.createTempDirectory("prune-u").toString
+    val f1 = writeFile((1L to 10L).map(i => (i, s"a$i")), s"$dir/data/f1.parquet")
+    val f2 = writeFile((11L to 20L).map(i => (i, s"b$i")), s"$dir/data/f2.parquet")
+    val files = Seq(f1, f2)
+    assert(ScanPruning.pruneDataFiles(files, col("v") === "a3").size == 2)
+  }
+}
