@@ -136,6 +136,21 @@ final class Compaction(
   def liveRowsFor(tasks: InputFileScanTasks): DataFrame =
     SparkCompactionExecutor.liveRows(spark, tasks)
 
+  /** [[Maintenance.shouldCompact]] gate in front of [[compact]] — the
+    * call a scheduled maintenance tick makes: None means the table did
+    * not need work (and no Spark job ran). Self-quiescing: the rewrite
+    * leaves a state the policy then Skips. */
+  def compactIfNeeded(
+      minSmallFiles: Int = 2,
+      smallFileFactor: Double = 0.75
+  ): Option[RewriteFilesStat] =
+    catalog.load(tableDir).flatMap { snap =>
+      Maintenance.shouldCompact(snap, config, minSmallFiles, smallFileFactor) match {
+        case Maintenance.Run(_)  => Some(compact())
+        case Maintenance.Skip(_) => None
+      }
+    }
+
   /** Reference T3. */
   def expireSnapshots(keepLast: Int = 1): Seq[Long] =
     new CommitManager(tableDir, retry, metrics, labels, catalog = catalog)

@@ -421,6 +421,49 @@ class CompactionSpec extends AnyFunSuite {
     assert(rows1 == rows2)
   }
 
+  test("maintenance policy: deletes or small-file backlog trigger, else skip") {
+    import graft.txn.{FileEntry, TableSnapshot}
+    val cfg = CompactionConfig(targetFileSizeBytes = 1000L)
+    def snap(files: FileEntry*) = TableSnapshot(1, 1, 1, files)
+    def data(p: String, sz: Long) = FileEntry(p, "data", sz, 1L, 1L)
+
+    assert(Maintenance.shouldCompact(snap(), cfg).isInstanceOf[Maintenance.Skip])
+    // deletes always trigger
+    assert(Maintenance.shouldCompact(snap(data("a", 5000),
+      FileEntry("d", "equality-deletes", 10, 1, 2, Seq("id"))), cfg)
+      .isInstanceOf[Maintenance.Run])
+    // two small files trigger; one does not; two LARGE files do not
+    assert(Maintenance.shouldCompact(snap(data("a", 100), data("b", 100)), cfg)
+      .isInstanceOf[Maintenance.Run])
+    assert(Maintenance.shouldCompact(snap(data("a", 100), data("b", 5000)), cfg)
+      .isInstanceOf[Maintenance.Skip])
+    assert(Maintenance.shouldCompact(snap(data("a", 5000), data("b", 5000)), cfg)
+      .isInstanceOf[Maintenance.Skip])
+    // factor scales the smallness threshold: 750 < 1000*0.76 counts small
+    assert(Maintenance.shouldCompact(snap(data("a", 750), data("b", 750)),
+      cfg, smallFileFactor = 0.76).isInstanceOf[Maintenance.Run])
+  }
+
+  test("compactIfNeeded runs once then quiesces (no rewrite loop)") {
+    val dir = mkTable() // 2 small data files + deletes -> must Run
+    // one output partition: at test scale the default 4-way round-robin
+    // would re-create a small-file backlog out of 8 rows (at production
+    // scale output files sit at targetFileSizeBytes and read as large)
+    val c = Compaction.builder()
+      .withSpark(spark).withTableDir(dir)
+      .withConfig(CompactionConfig(enableValidateCompaction = true,
+        targetPartitions = 1))
+      .build()
+    val first = c.compactIfNeeded()
+    assert(first.nonEmpty, "table with deletes + small files must compact")
+    val after = TableMetadata.loadOrThrow(dir)
+    assert(after.files.forall(_.content == "data"))
+    // the fresh state holds one data file and no deletes -> Skip forever
+    assert(c.compactIfNeeded().isEmpty, "freshly compacted table must quiesce")
+    assert(TableMetadata.loadOrThrow(dir).version == after.version,
+      "a Skip decision must not commit anything")
+  }
+
   test("expire snapshots removes old versions and unreferenced files") {
     val dir = mkTable()
     val c = Compaction.builder().withSpark(spark).withTableDir(dir).build()
