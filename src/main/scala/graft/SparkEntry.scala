@@ -24,6 +24,8 @@ object SparkEntry {
       ("table_lifecycle_iceberg" -> (graft.queries.TableLifecycleQuery.runIceberg _)) +
       ("mor_filtered" -> (graft.queries.TableLifecycleQuery.runFiltered _)) +
       ("mor_pruned" -> (graft.queries.TableLifecycleQuery.runPruned _)) +
+      ("time_travel" -> (graft.queries.TableLifecycleQuery.runTimeTravel _)) +
+      ("snapshot_diff" -> (graft.queries.TableLifecycleQuery.runDiff _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -39,6 +41,8 @@ object SparkEntry {
       ("table_lifecycle_iceberg" -> graft.queries.TableLifecycleQuery.oracle) +
       ("mor_filtered" -> graft.queries.TableLifecycleQuery.filteredOracle) +
       ("mor_pruned" -> graft.queries.TableLifecycleQuery.prunedOracle) +
+      ("time_travel" -> graft.queries.TableLifecycleQuery.timeTravelOracle) +
+      ("snapshot_diff" -> graft.queries.TableLifecycleQuery.diffOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

@@ -101,6 +101,48 @@ object TableLifecycleQuery {
     tableDir
   }
 
+  /** Time travel as an oracle-checked query: the same lifecycle table,
+    * read at the snapshot BEFORE any delete committed (version 2 — the
+    * bootstrap is v1, the first append v2). The result must be exactly
+    * the even-orderkey rows: no eq-delete, no pos-delete, no odd rows —
+    * certifying that version resolution pins the file set, not just the
+    * latest state. */
+  def runTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = buildTable(spark, dir, FileTableCatalog, "graft-tt")
+    TableReader.read(spark, tableDir, asOfVersion = Some(2L))
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+  }
+
+  val timeTravelOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+      |FROM lineitem WHERE l_orderkey % 2 = 0
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
+
+  /** Snapshot diff as an oracle-checked query: changes between the
+    * first-append snapshot (v2: all even rows) and the post-odd-append
+    * snapshot (v4: even minus the eq-deleted %13 keys, plus all odd
+    * rows). `+` must be exactly the odd rows, `-` exactly the deleted
+    * even %13 rows — certifying the multiset exceptAll diff through the
+    * public read surface. */
+  def runDiff(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = buildTable(spark, dir, FileTableCatalog, "graft-diff")
+    val ordered = outCols :+ "_change"
+    TableReader.changes(spark, tableDir, fromVersion = 2L, toVersion = 4L)
+      .select(ordered.map(col): _*)
+      .orderBy(ordered.map(col): _*)
+  }
+
+  val diffOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag,
+      |  '+' AS _change
+      |FROM lineitem WHERE l_orderkey % 2 = 1
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag,
+      |  '-' AS _change
+      |FROM lineitem WHERE l_orderkey % 2 = 0 AND l_orderkey % 13 = 0
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag, _change""".stripMargin
+
   /** Bounds-pruned MoR read: lineitem RANGE-split into three real files
     * (terciles of l_orderkey), plus an equality-delete that applies to
     * all of them; reading with `l_orderkey <= tercile1` must (a) prune
