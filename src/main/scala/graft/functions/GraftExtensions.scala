@@ -34,6 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$what must be a string literal, got $other")
   }
+  private def lit2Long(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType)                        => v.toLong
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
@@ -79,5 +85,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine of float arrays"),
       (args: Seq[Expression]) => CosineSimExpr(args.head, args(1))))
+
+    // table-valued function: full SQL access to merge-on-read tables —
+    //   SELECT * FROM graft_table('/path/to/table')
+    //   SELECT * FROM graft_table('/path/to/table', 2)   -- time travel
+    // The builder runs during analysis on the query's session thread, so
+    // SparkSession.active is the right session to resolve the read; the
+    // embedded plan is the SAME live-row assembly every other read uses
+    // (delete chain, pruning, pushdown included).
+    ext.injectTableFunction((FunctionIdentifier("graft_table"),
+      info("graft_table",
+        "graft_table(tableDir[, asOfVersion]) - merge-on-read rows of a graft table"),
+      (args: Seq[Expression]) => {
+        val dir = lit2Str(args.head, "tableDir")
+        val version =
+          if (args.size > 1) Some(lit2Long(args(1), "asOfVersion")) else None
+        graft.sources.TableReader
+          .read(org.apache.spark.sql.SparkSession.active, dir,
+            asOfVersion = version)
+          .queryExecution.logical
+      }))
   }
 }

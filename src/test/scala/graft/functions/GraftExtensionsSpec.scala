@@ -58,4 +58,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("graft_table TVF: SQL reads the MoR table, with time travel") {
+    import graft.txn.{FileTableCatalog, TableSnapshot, TableWrites}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    TableWrites.appendEqualityDeletes(dir,
+      Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+
+    // current state through pure SQL == the programmatic read
+    val sqlRows = spark.sql(s"SELECT id, v FROM graft_table('$dir') ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(sqlRows == Seq((1L, "a"), (3L, "c")))
+    val api = graft.sources.TableReader.read(spark, dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(sqlRows == api)
+
+    // time travel to the pre-delete snapshot (v2 = first append)
+    val old = spark.sql(s"SELECT id FROM graft_table('$dir', 2) ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(old == Seq(1L, 2L, 3L))
+
+    // composes with the rest of SQL (joins, aggregates)
+    val n = spark.sql(
+      s"""SELECT count(*) FROM graft_table('$dir') t
+         |JOIN graft_table('$dir', 2) o ON t.id = o.id""".stripMargin)
+      .head().getLong(0)
+    assert(n == 2L)
+
+    val bad = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_table(42)").collect()
+    }
+    assert(bad.getMessage.contains("string literal"))
+  }
 }
