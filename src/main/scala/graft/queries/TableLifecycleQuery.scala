@@ -62,8 +62,21 @@ object TableLifecycleQuery {
       .orderBy(outCols.map(col): _*)
   }
 
-  /** Drive the table through the public write API; returns the table dir. */
+  /** The built fixture is identical for every query that shares a
+    * (source dir, catalog) pair — five commits cost ~seconds each at
+    * bench SF, so the lifecycle FAMILY (plain read, filtered read, time
+    * travel, snapshot diff) shares ONE build per JVM. The tables are
+    * immutable once built (reads only), so memoization is safe. */
+  private val builtTables =
+    new java.util.concurrent.ConcurrentHashMap[(String, TableCatalog), String]()
+
   private def buildTable(spark: SparkSession, dir: String,
+      catalog: TableCatalog, prefix: String): String =
+    builtTables.computeIfAbsent((dir, catalog),
+      _ => buildTableUncached(spark, dir, catalog, prefix))
+
+  /** Drive the table through the public write API; returns the table dir. */
+  private def buildTableUncached(spark: SparkSession, dir: String,
       catalog: TableCatalog, prefix: String): String = {
     val tableDir = Files.createTempDirectory(prefix).toString
     // fixture-only cache: three appends derive from one lineitem read
@@ -151,6 +164,26 @@ object TableLifecycleQuery {
     * the delete chain, hash-matching survivors the oracle recomputes
     * from lineitem alone. */
   def runPruned(spark: SparkSession, dir: String): DataFrame = {
+    val (tableDir, b1) = prunedTables.computeIfAbsent(dir,
+      _ => buildPrunedTable(spark, dir))
+    val out = TableReader.read(spark, tableDir,
+        filter = Some(col("l_orderkey") <= b1))
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+    // the pruning is the point — fail loudly if the scan still lists
+    // the files the bounds exclude
+    val ins = out.inputFiles.filter(_.contains("/data/f"))
+    require(ins.exists(_.endsWith("f1.parquet")),
+      s"pruned read lost the matching file: ${ins.mkString(",")}")
+    require(!ins.exists(p => p.endsWith("f2.parquet") || p.endsWith("f3.parquet")),
+      s"bounds should have pruned f2/f3 from the scan: ${ins.mkString(",")}")
+    out
+  }
+
+  private val prunedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def buildPrunedTable(spark: SparkSession, dir: String): (String, Long) = {
     import graft.txn.{FileEntry, TableMetadata, TableSnapshot}
     val tableDir = Files.createTempDirectory("graft-pruned").toString
     val li = spark.read.parquet(s"$dir/lineitem.parquet").persist()
@@ -175,19 +208,7 @@ object TableLifecycleQuery {
         version = 1, schemaId = 1, lastSequenceNumber = 2,
         files = dataEntries :+ FileEntry(ed, "equality-deletes", s4, r4,
           sequenceNumber = 2, equalityIds = Seq("l_orderkey"))))
-
-      val out = TableReader.read(spark, tableDir,
-          filter = Some(col("l_orderkey") <= b1))
-        .select(outCols.map(col): _*)
-        .orderBy(outCols.map(col): _*)
-      // the pruning is the point — fail loudly if the scan still lists
-      // the files the bounds exclude
-      val ins = out.inputFiles.filter(_.contains("/data/f"))
-      require(ins.exists(_.endsWith("f1.parquet")),
-        s"pruned read lost the matching file: ${ins.mkString(",")}")
-      require(!ins.exists(p => p.endsWith("f2.parquet") || p.endsWith("f3.parquet")),
-        s"bounds should have pruned f2/f3 from the scan: ${ins.mkString(",")}")
-      out
+      (tableDir, b1)
     } finally li.unpersist()
   }
 

@@ -77,10 +77,22 @@ object TableReader {
 
   /** Change set between two retained snapshots: rows present at
     * `toVersion` but not `fromVersion` (`+`) and vice versa (`-`) —
-    * multiset semantics via exceptAll, so duplicate-row cardinality
-    * changes surface too. Both sides are full MoR reads; cost is two
-    * scans + two anti-joins, the honest price of a value-level diff
-    * without row lineage. */
+    * multiset semantics (duplicate-row cardinality changes surface too).
+    *
+    * Scale design, in two layers:
+    *
+    *  1. *Metadata scoping.* A data file present in BOTH snapshots whose
+    *     applicable delete chain cannot have changed produces the same
+    *     live rows on each side, and identical multisets cancel in the
+    *     diff — so such files are dropped from both reads before any IO.
+    *     For an append-only interval (the common case) the diff scans
+    *     ONLY the files added between the versions, not the table.
+    *  2. *One-shuffle diff.* Instead of two `exceptAll`s (each of which
+    *     re-plans both MoR reads and shuffles full-width rows twice),
+    *     tag `after` rows +1 and `before` rows -1, union, and aggregate:
+    *     `sum(tag) > 0` replicated that many times is `+`, `< 0` is `-`.
+    *     Each side is scanned once; one hash aggregation total.
+    */
   def changes(
       spark: SparkSession,
       tableDir: String,
@@ -88,22 +100,66 @@ object TableReader {
       toVersion: Long,
       catalog: TableCatalog = FileTableCatalog
   ): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val beforeOpt = readOption(spark, tableDir, Some(fromVersion), catalog)
-    val afterOpt = readOption(spark, tableDir, Some(toVersion), catalog)
-    // a side with no data files is an EMPTY relation with the other
-    // side's schema (diffing against the bootstrap snapshot is the
-    // natural "what did the first commit add")
-    val (before, after) = (beforeOpt, afterOpt) match {
+    import graft.txn.FileEntry
+    val beforeSnap = snapshot(tableDir, Some(fromVersion), catalog)
+    val afterSnap = snapshot(tableDir, Some(toVersion), catalog)
+
+    def deletes(s: TableSnapshot) = s.files.filter(_.content != "data")
+    def delKey(f: FileEntry) = (f.path, f.sequenceNumber, f.content)
+    val changedDeletes =
+      (deletes(beforeSnap).map(delKey).toSet
+        union deletes(afterSnap).map(delKey).toSet)
+        .diff(deletes(beforeSnap).map(delKey).toSet
+          intersect deletes(afterSnap).map(delKey).toSet)
+    // An equality delete at sequence s applies to data files with seq < s;
+    // a changed position delete is taken to affect every older-or-equal
+    // common file (its referenced paths are inside the file — staying
+    // metadata-only is conservative, never wrong).
+    def affected(f: FileEntry): Boolean = changedDeletes.exists {
+      case (_, seq, "equality-deletes") => f.sequenceNumber < seq
+      case (_, seq, _)                  => f.sequenceNumber <= seq
+    }
+    def dataKey(f: FileEntry) = (f.path, f.sequenceNumber)
+    val commonData =
+      beforeSnap.files.filter(_.content == "data").map(dataKey).toSet intersect
+        afterSnap.files.filter(_.content == "data").map(dataKey).toSet
+    def scoped(s: TableSnapshot): Seq[FileEntry] = s.files.filter { f =>
+      f.content != "data" || !commonData(dataKey(f)) || affected(f)
+    }
+
+    def live(files: Seq[FileEntry]): Option[DataFrame] = {
+      val tasks = ScanPlanner.toInputTasks(files.map(_.toTask))
+      if (tasks.dataFiles.isEmpty) None
+      else Some(SparkCompactionExecutor.liveRows(spark, tasks))
+    }
+    val (before, after) = (live(scoped(beforeSnap)), live(scoped(afterSnap))) match {
       case (Some(b), Some(a)) => (b, a)
       case (Some(b), None)    => (b, b.limit(0))
       case (None, Some(a))    => (a.limit(0), a)
       case (None, None) => throw CompactionError.Config(
-        s"neither version $fromVersion nor $toVersion has data files under $tableDir")
+        s"no data files changed between v$fromVersion and v$toVersion under $tableDir" +
+          " and neither version has any — nothing to diff")
     }
     require(!after.columns.contains("_change"),
       "column name _change is reserved by changes()")
-    after.exceptAll(before).withColumn("_change", lit("+"))
-      .unionByName(before.exceptAll(after).withColumn("_change", lit("-")))
+    multisetDiff(after = after, before = before)
+  }
+
+  /** `after − before` as `+` rows and `before − after` as `-` rows,
+    * multiset semantics, in ONE aggregation: tag, union, sum the tags,
+    * replicate each survivor |sum| times. */
+  private def multisetDiff(after: DataFrame, before: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = after.columns.toSeq
+    val tagged = after.withColumn("_graft_w", lit(1L))
+      .unionByName(before.withColumn("_graft_w", lit(-1L)))
+    tagged
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("_graft_w")).as("_graft_c"))
+      .filter(col("_graft_c") =!= 0L)
+      .withColumn("_change", when(col("_graft_c") > 0, lit("+")).otherwise(lit("-")))
+      .withColumn("_graft_dup",
+        explode(array_repeat(lit(1), abs(col("_graft_c")).cast("int"))))
+      .select((cols :+ "_change").map(col): _*)
   }
 }
