@@ -26,6 +26,8 @@ object SparkEntry {
       ("mor_pruned" -> (graft.queries.TableLifecycleQuery.runPruned _)) +
       ("time_travel" -> (graft.queries.TableLifecycleQuery.runTimeTravel _)) +
       ("snapshot_diff" -> (graft.queries.TableLifecycleQuery.runDiff _)) +
+      ("upsert_mor" -> (graft.queries.TableLifecycleQuery.runUpsert _)) +
+      ("schema_evolution" -> (graft.queries.TableLifecycleQuery.runEvolution _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -43,6 +45,8 @@ object SparkEntry {
       ("mor_pruned" -> graft.queries.TableLifecycleQuery.prunedOracle) +
       ("time_travel" -> graft.queries.TableLifecycleQuery.timeTravelOracle) +
       ("snapshot_diff" -> graft.queries.TableLifecycleQuery.diffOracle) +
+      ("upsert_mor" -> graft.queries.TableLifecycleQuery.upsertOracle) +
+      ("schema_evolution" -> graft.queries.TableLifecycleQuery.evolutionOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

@@ -70,7 +70,8 @@ final class Compaction(
       // already-committed data files.
       val outDir = s"$tableDir/data/${config.dataFilePrefix}-" +
         java.util.UUID.randomUUID().toString.take(8)
-      val request = RewriteFilesRequest(tasks, null, config, outDir)
+      val request = RewriteFilesRequest(tasks, null, config, outDir,
+        schemas = snap.schemas, currentSchemaId = snap.schemaId)
       val startingSeq = tasks.dataFiles.map(_.sequenceNumber).max
       val response = executor.rewriteFiles(spark, request, startingSeq)
       val written = response.dataFiles
@@ -99,7 +100,7 @@ final class Compaction(
       // leaf files read plainly; an empty rewrite validates as 0 rows
       // instead of crashing the schema-less parquet read.
       if (config.enableValidateCompaction) {
-        val input = liveRowsFor(tasks)
+        val input = liveRowsFor(tasks, snap.schemas, snap.schemaId)
         // validate the ADDED files against the rewritten inputs' live
         // rows (for Incremental, untouched data files are out of scope
         // on both sides)
@@ -133,8 +134,12 @@ final class Compaction(
   /** Merge-on-read live rows for the given tasks (steps 3-4) — shared
     * with the validator re-scan, delegating to the Spark executor's
     * assembly. */
-  def liveRowsFor(tasks: InputFileScanTasks): DataFrame =
-    SparkCompactionExecutor.liveRows(spark, tasks)
+  def liveRowsFor(tasks: InputFileScanTasks,
+      schemas: Seq[graft.core.TableSchema] = Nil,
+      currentSchemaId: Long = -1L): DataFrame =
+    if (graft.plans.SchemaReconcile.needed(schemas, currentSchemaId, tasks))
+      graft.plans.SchemaReconcile.liveRows(spark, tasks, schemas, currentSchemaId)
+    else SparkCompactionExecutor.liveRows(spark, tasks)
 
   /** [[Maintenance.shouldCompact]] gate in front of [[compact]] — the
     * call a scheduled maintenance tick makes: None means the table did

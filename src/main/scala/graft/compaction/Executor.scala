@@ -29,7 +29,15 @@ object SparkCompactionExecutor extends CompactionExecutor {
       "useExactRolling does not support partition fanout; use the declarative writer")
     require(!(config.useExactRolling && config.zOrderBy.nonEmpty),
       "useExactRolling does not support z-order layout; use the declarative writer")
-    val live = liveRows(spark, request.tasks)
+    // on an evolved table the rewrite reads through schema reconciliation,
+    // so the output files carry the CURRENT schema — compaction migrates
+    // old-layout files as a side effect
+    val live =
+      if (graft.plans.SchemaReconcile.needed(
+          request.schemas, request.currentSchemaId, request.tasks))
+        graft.plans.SchemaReconcile.liveRows(
+          spark, request.tasks, request.schemas, request.currentSchemaId)
+      else liveRows(spark, request.tasks)
     val written =
       if (config.useExactRolling)
         graft.sinks.ExactRollingWriter.write(

@@ -40,8 +40,28 @@ final case class FileScanTask(
       * Empty for data / position-delete files. An eq-delete file with an
       * EMPTY key list degenerates to seq-only semantics ("delete everything
       * older") — reference datafusion_processor.rs:371-375. */
-    equalityIds: Seq[String] = Nil
+    equalityIds: Seq[String] = Nil,
+    /** Schema id the file was WRITTEN under (Iceberg model: readers
+      * resolve columns by field id through the schema history, so renames
+      * and adds never rewrite data). -1 = table has no schema history;
+      * the file's physical names ARE the current names. */
+    schemaId: Long = -1L
 )
+
+/** One field of a table schema version — Iceberg's `{id, name, type}`
+  * model: the FIELD ID is the stable identity; names are labels that
+  * rename without touching data. `dataType` is a Spark DDL type string
+  * (`bigint`, `string`, ...), castable via `Column.cast`. */
+final case class SchemaField(id: Int, name: String, dataType: String)
+
+/** One schema version in a table's schema history. Files record which
+  * schemaId they were written under; readers reconcile every file to the
+  * CURRENT schema by field id (rename = same id/new name, add = id absent
+  * from old schema → null, drop = id absent from current → excluded). */
+final case class TableSchema(schemaId: Long, fields: Seq[SchemaField]) {
+  def fieldById: Map[Int, SchemaField] = fields.map(f => f.id -> f).toMap
+  def idByName: Map[String, Int] = fields.map(f => f.name -> f.id).toMap
+}
 
 /** The planned inputs of one compaction, split by content
   * (reference: core/src/executor/mod.rs:47-61 InputFileScanTasks). */
@@ -62,7 +82,14 @@ final case class RewriteFilesRequest(
     tasks: InputFileScanTasks,
     schema: StructType,
     config: CompactionConfig,
-    outputDir: String
+    outputDir: String,
+    /** Schema history + current schema id of the source table, when it
+      * has one. A compaction over files written under older schemas
+      * reconciles them to the current schema while rewriting — the
+      * rewrite MIGRATES old-layout files, exactly like Iceberg's
+      * rewrite_data_files on an evolved table. */
+    schemas: Seq[TableSchema] = Nil,
+    currentSchemaId: Long = -1L
 )
 
 /** Metadata of one written data file. */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.sources.TableReader
-import graft.txn.{FileTableCatalog, IcebergTableCatalog, TableCatalog, TableSnapshot, TableWrites}
+import graft.txn.{FileTableCatalog, IcebergTableCatalog, SchemaEvolution, SchemaOp, TableCatalog, TableSnapshot, TableWrites}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -179,6 +179,108 @@ object TableLifecycleQuery {
       s"bounds should have pruned f2/f3 from the scan: ${ins.mkString(",")}")
     out
   }
+
+  /** MoR UPSERT as an oracle-checked query: append the whole lineitem
+    * (seq 1), then one [[TableWrites.upsert]] batch (seq 2) that mixes
+    *  - UPDATES: every row with `l_orderkey % 10 == 0`, `l_returnflag`
+    *    rewritten to 'U' (keyed by the verified-unique total key), and
+    *  - INSERTS: rows derived from `l_orderkey % 17 == 3` shifted to a
+    *    fresh key range with `l_returnflag = 'I'`.
+    * The read must show each updated key exactly once (new value), every
+    * untouched row unchanged, and the inserts present — certifying the
+    * same-sequence contract (a batch's eq-delete kills older rows but
+    * not the batch's own data) through the public API. */
+  def runUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = upsertTables.computeIfAbsent(dir, _ => {
+      val td = Files.createTempDirectory("graft-upsert").toString
+      val li = spark.read.parquet(s"$dir/lineitem.parquet").persist()
+      try {
+        FileTableCatalog.commitCas(td, TableSnapshot(1, 1, 0, Nil))
+        TableWrites.appendData(td, li)
+        val key = Seq("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey", "l_quantity", "l_extendedprice")
+        val updates = li.filter(col("l_orderkey") % 10 === 0)
+          .withColumn("l_returnflag", lit("U"))
+        val inserts = li.filter(col("l_orderkey") % 17 === 3)
+          .withColumn("l_orderkey", col("l_orderkey") + lit(100000000L))
+          .withColumn("l_returnflag", lit("I"))
+        TableWrites.upsert(td, updates.unionByName(inserts), key)
+      } finally li.unpersist()
+      td
+    })
+    TableReader.read(spark, tableDir)
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+  }
+
+  private val upsertTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val upsertOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey,
+      |  CASE WHEN l_orderkey % 10 = 0 THEN 'U' ELSE l_returnflag END
+      |    AS l_returnflag
+      |FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey + 100000000, l_linenumber, l_suppkey, 'I'
+      |FROM lineitem WHERE l_orderkey % 17 = 3
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
+
+  /** Schema evolution end-to-end as an oracle-checked query:
+    *
+    *  1. append the EVEN lineitem rows projected to schema v1
+    *     `(l_orderkey, l_linenumber, l_suppkey, l_quantity, l_returnflag)`;
+    *  2. [[SchemaEvolution.evolve]]: rename `l_returnflag -> rflag`, add
+    *     `note string`, drop `l_quantity` — metadata only, no rewrite;
+    *  3. append the ODD rows under the NEW schema with a computed `note`;
+    *  4. equality-delete `l_orderkey % 19 == 0` — applies id-wise across
+    *     BOTH layouts;
+    *  5. read: old files must surface renamed (`rflag`), null-filled
+    *     (`note`), and without the dropped column, hash-matching the
+    *     oracle's CASE reconstruction.
+    */
+  def runEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = evolutionTables.computeIfAbsent(dir, _ => {
+      val td = Files.createTempDirectory("graft-evolve").toString
+      val li = spark.read.parquet(s"$dir/lineitem.parquet").persist()
+      try {
+        FileTableCatalog.commitCas(td, TableSnapshot(1, 1, 0, Nil))
+        TableWrites.appendData(td,
+          li.filter(col("l_orderkey") % 2 === 0)
+            .select("l_orderkey", "l_linenumber", "l_suppkey",
+              "l_quantity", "l_returnflag"))
+        SchemaEvolution.evolve(td, Seq(
+          SchemaOp.Rename("l_returnflag", "rflag"),
+          SchemaOp.Add("note", "string"),
+          SchemaOp.Drop("l_quantity")))
+        TableWrites.appendData(td,
+          li.filter(col("l_orderkey") % 2 === 1)
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+              col("l_returnflag").as("rflag"),
+              concat(lit("n"), col("l_linenumber").cast("string")).as("note")))
+        TableWrites.appendEqualityDeletes(td,
+          li.filter(col("l_orderkey") % 19 === 0).select("l_orderkey"),
+          Seq("l_orderkey"))
+      } finally li.unpersist()
+      td
+    })
+    val cols = Seq("l_orderkey", "l_linenumber", "l_suppkey", "rflag", "note")
+    TableReader.read(spark, tableDir)
+      .select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*)
+  }
+
+  private val evolutionTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val evolutionOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey,
+      |  l_returnflag AS rflag,
+      |  CASE WHEN l_orderkey % 2 = 1
+      |       THEN 'n' || CAST(l_linenumber AS VARCHAR) END AS note
+      |FROM lineitem
+      |WHERE l_orderkey % 19 <> 0
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, rflag, note""".stripMargin
 
   private val prunedTables =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()

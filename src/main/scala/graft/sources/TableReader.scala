@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.compaction.SparkCompactionExecutor
 import graft.core.CompactionError
+import graft.plans.SchemaReconcile
 import graft.txn.{FileTableCatalog, TableCatalog, TableSnapshot}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -53,12 +54,23 @@ object TableReader {
     val snap = snapshot(tableDir, asOfVersion, catalog)
     // file-level min/max pruning BEFORE Spark sees the file list: bound
     // constraints in the filter drop data files whose footer stats prove
-    // no row can match ([[ScanPruning]] — conservative, IO-only)
-    val files = filter.fold(snap.files)(ScanPruning.pruneDataFiles(snap.files, _))
+    // no row can match ([[ScanPruning]] — conservative, IO-only). Footer
+    // stats are keyed by PHYSICAL column names, so on an evolved table
+    // only current-schema files are pruned (an old file could alias a
+    // since-renamed name onto a different logical column).
+    val prunable = (f: graft.txn.FileEntry) =>
+      snap.schemas.isEmpty || f.schemaId < 0 || f.schemaId == snap.schemaId
+    val files = filter.fold(snap.files) { p =>
+      val (pr, keep) = snap.files.partition(prunable)
+      ScanPruning.pruneDataFiles(pr, p) ++ keep
+    }
     val tasks = ScanPlanner.toInputTasks(files.map(_.toTask))
     if (tasks.dataFiles.isEmpty) None
     else {
-      val live = SparkCompactionExecutor.liveRows(spark, tasks)
+      val live =
+        if (SchemaReconcile.needed(snap.schemas, snap.schemaId, tasks))
+          SchemaReconcile.liveRows(spark, tasks, snap.schemas, snap.schemaId)
+        else SparkCompactionExecutor.liveRows(spark, tasks)
       Some(filter.fold(live)(live.filter))
     }
   }
@@ -127,12 +139,18 @@ object TableReader {
       f.content != "data" || !commonData(dataKey(f)) || affected(f)
     }
 
-    def live(files: Seq[FileEntry]): Option[DataFrame] = {
+    def live(snap: TableSnapshot, files: Seq[FileEntry]): Option[DataFrame] = {
       val tasks = ScanPlanner.toInputTasks(files.map(_.toTask))
       if (tasks.dataFiles.isEmpty) None
+      else if (SchemaReconcile.needed(snap.schemas, snap.schemaId, tasks))
+        Some(SchemaReconcile.liveRows(spark, tasks, snap.schemas, snap.schemaId))
       else Some(SparkCompactionExecutor.liveRows(spark, tasks))
     }
-    val (before, after) = (live(scoped(beforeSnap)), live(scoped(afterSnap))) match {
+    // both sides reconcile to the AFTER snapshot's schema (its history
+    // contains every older schema), so the diff compares like with like
+    // even when the interval straddles a schema evolution
+    val (before, after) =
+      (live(afterSnap, scoped(beforeSnap)), live(afterSnap, scoped(afterSnap))) match {
       case (Some(b), Some(a)) => (b, a)
       case (Some(b), None)    => (b, b.limit(0))
       case (None, Some(a))    => (a.limit(0), a)

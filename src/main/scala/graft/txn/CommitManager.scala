@@ -53,13 +53,14 @@ final class CommitManager(
       val kept = cur.files.filterNot(f => removedPaths.contains(f.path))
       val added = addedFiles.map(f => FileEntry(
         path = f.filePath, content = "data", sizeBytes = f.fileSizeBytes,
-        recordCount = f.recordCount, sequenceNumber = newSeq))
-      TableSnapshot(
+        recordCount = f.recordCount, sequenceNumber = newSeq,
+        // rewritten files are PHYSICALLY written by the executor reading
+        // through schema reconciliation, so they carry the current schema
+        schemaId = if (cur.schemas.nonEmpty) cur.schemaId else -1L))
+      cur.copy(
         version = cur.version + 1,
-        schemaId = cur.schemaId,
         lastSequenceNumber = math.max(cur.lastSequenceNumber, newSeq),
-        files = kept ++ added,
-        properties = cur.properties)
+        files = kept ++ added)
     }
 
   /** Append pre-built file entries (data OR delete files) at the next
@@ -76,12 +77,37 @@ final class CommitManager(
   ): TableSnapshot =
     commitLoop(expectedSchemaId) { cur =>
       val newSeq = cur.lastSequenceNumber + 1
-      TableSnapshot(
+      val stamped = entries.map { e =>
+        e.copy(sequenceNumber = newSeq,
+          schemaId =
+            if (e.schemaId >= 0) e.schemaId
+            else if (cur.schemas.nonEmpty) cur.schemaId
+            else -1L)
+      }
+      cur.copy(
         version = cur.version + 1,
-        schemaId = cur.schemaId,
         lastSequenceNumber = newSeq,
-        files = cur.files ++ entries.map(_.copy(sequenceNumber = newSeq)),
+        files = cur.files ++ stamped,
         properties = cur.properties ++ setProperties)
+    }
+
+  /** Commit a schema change: bump `schemaId` to `newSchemaId` and replace
+    * the schema history, touching no files. Legacy files (schemaId -1,
+    * committed before the table had a history) are stamped with the
+    * PRE-evolution schema id — their physical names are by definition the
+    * names that were current until now. */
+  def evolveSchema(
+      expectedSchemaId: Long,
+      newSchemaId: Long,
+      schemas: Seq[graft.core.TableSchema]
+  ): TableSnapshot =
+    commitLoop(expectedSchemaId) { cur =>
+      cur.copy(
+        version = cur.version + 1,
+        schemaId = newSchemaId,
+        files = cur.files.map(f =>
+          if (f.schemaId >= 0) f else f.copy(schemaId = cur.schemaId)),
+        schemas = schemas)
     }
 
   /** CAS retry loop shared by every commit shape: per-attempt reload,

@@ -1,0 +1,170 @@
+package graft.txn
+
+import graft.core._
+import graft.io.FileIO
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+/** Iceberg-model schema evolution over the engine's table format: field
+  * IDS are the stable identity, names are labels, and NO data file is
+  * ever rewritten by a schema change — readers reconcile every file to
+  * the current schema by id ([[graft.plans.SchemaReconcile]]), and
+  * compaction migrates old-layout files as a side effect of rewriting.
+  * (The reference scopes schema evolution out, README.md:45-58; this is
+  * deliberate extension surface.)
+  *
+  * Supported operations (the metadata-only core of the Iceberg set):
+  *  - [[SchemaOp.Add]]    — new column (fresh field id), null for
+  *    every pre-existing row;
+  *  - [[SchemaOp.Rename]] — same field id, new label; old files keep
+  *    their physical name and are mapped on read;
+  *  - [[SchemaOp.Drop]]   — field id removed from the current schema;
+  *    old files' data for it is simply no longer projected.
+  */
+sealed trait SchemaOp
+object SchemaOp {
+  /** `dataType` is a Spark DDL type string (`bigint`, `string`, ...). */
+  final case class Add(name: String, dataType: String) extends SchemaOp
+  final case class Rename(from: String, to: String) extends SchemaOp
+  final case class Drop(name: String) extends SchemaOp
+}
+
+object SchemaEvolution {
+
+  /** Apply `ops` to the table's current schema and commit the new schema
+    * version (CAS loop, schema-drift guarded). A table without a schema
+    * history gets one bootstrapped first: field ids 1..n in the column
+    * order of the newest data file's parquet footer.
+    *
+    * Guards (all fail the evolve, never corrupt the table):
+    *  - add of an existing name / rename-from a missing name /
+    *    rename-to an existing name / drop of a missing name;
+    *  - drop of a column any LIVE equality-delete file keys on — the
+    *    delete could no longer be applied and deleted rows would
+    *    resurrect.
+    */
+  def evolve(
+      tableDir: String,
+      ops: Seq[SchemaOp],
+      retry: RetryConfig = RetryConfig(),
+      catalog: TableCatalog = FileTableCatalog
+  ): TableSnapshot = {
+    require(ops.nonEmpty, "no schema operations given")
+    val cur = catalog.loadOrThrow(tableDir)
+    val base: TableSchema = cur.currentSchema.getOrElse(bootstrapSchema(cur))
+
+    var fields = base.fields
+    def names = fields.map(_.name).toSet
+    ops.foreach {
+      case SchemaOp.Add(name, dataType) =>
+        if (names(name)) throw CompactionError.Config(
+          s"add column: '$name' already exists")
+        // parse eagerly so a bad DDL string fails the evolve, not a read
+        try org.apache.spark.sql.types.DataType.fromDDL(dataType)
+        catch {
+          case e: Exception => throw CompactionError.Config(
+            s"add column '$name': invalid Spark DDL type '$dataType' (${e.getMessage})")
+        }
+        val nextId = (0 +: fields.map(_.id)).max + 1
+        fields = fields :+ SchemaField(nextId, name, dataType)
+      case SchemaOp.Rename(from, to) =>
+        if (!names(from)) throw CompactionError.Config(
+          s"rename column: '$from' does not exist")
+        if (names(to)) throw CompactionError.Config(
+          s"rename column: target '$to' already exists")
+        fields = fields.map(f => if (f.name == from) f.copy(name = to) else f)
+      case SchemaOp.Drop(name) =>
+        if (!names(name)) throw CompactionError.Config(
+          s"drop column: '$name' does not exist")
+        val dropId = fields.find(_.name == name).get.id
+        // a live eq-delete keyed (under ITS schema) on this field id
+        // becomes unapplicable — deleted rows would resurrect
+        val schemaById = (cur.schemas :+ base).map(s => s.schemaId -> s).toMap
+        cur.files.filter(_.content == "equality-deletes").foreach { d =>
+          val ds = schemaById.getOrElse(
+            if (d.schemaId >= 0) d.schemaId else base.schemaId, base)
+          if (d.equalityIds.exists(n => ds.idByName.get(n).contains(dropId)))
+            throw CompactionError.Config(
+              s"drop column: '$name' is an equality-delete key of live " +
+                s"delete file ${d.path}; compact first")
+        }
+        fields = fields.filterNot(_.id == dropId)
+    }
+    if (fields.isEmpty) throw CompactionError.Config(
+      "schema evolution would drop every column")
+
+    val history = if (cur.schemas.exists(_.schemaId == base.schemaId))
+      cur.schemas else cur.schemas :+ base
+    val newId = (history.map(_.schemaId) :+ cur.schemaId).max + 1
+    val committed = new CommitManager(tableDir, retry, catalog = catalog)
+      .evolveSchema(cur.schemaId, newId,
+        history :+ TableSchema(newId, fields))
+
+    // the catalog must ROUND-TRIP the history or every later read would
+    // silently treat old files as current-schema — fail loudly instead
+    val reloaded = catalog.loadOrThrow(tableDir)
+    if (!reloaded.schemas.exists(_.schemaId == newId))
+      throw CompactionError.Config(
+        s"catalog ${catalog.getClass.getSimpleName} does not persist " +
+          "schema history; schema evolution requires the engine-native " +
+          "table format")
+    committed
+  }
+
+  /** Bootstrap a schema for a pre-evolution table: field ids 1..n in the
+    * column order of the NEWEST data file's parquet footer (all files of
+    * a history-less table share one physical schema by construction). */
+  def bootstrapSchema(snap: TableSnapshot): TableSchema = {
+    val newest = snap.files.filter(_.content == "data")
+      .sortBy(f => (f.sequenceNumber, f.path)).lastOption.getOrElse(
+        throw CompactionError.Config(
+          "cannot bootstrap a schema for a table with no data files; " +
+            "append data before evolving"))
+    TableSchema(snap.schemaId, footerFields(newest.path))
+  }
+
+  /** Read a parquet footer's columns as (id, name, Spark DDL type),
+    * ids 1..n in file order. Flat schemas only — same contract as the
+    * Iceberg catalog's inference. */
+  def footerFields(path: String): Seq[SchemaField] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), FileIO.hadoopConf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val msg = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    import scala.jdk.CollectionConverters._
+    msg.getFields.asScala.toSeq.zipWithIndex.map { case (t, i) =>
+      if (!t.isPrimitive) throw CompactionError.Config(
+        s"schema evolution supports flat schemas only; column ${t.getName} " +
+          s"of $path is a group type")
+      SchemaField(i + 1, t.getName, ddlType(t.asPrimitiveType()))
+    }
+  }
+
+  private def ddlType(t: org.apache.parquet.schema.PrimitiveType): String = {
+    val logical = t.getLogicalTypeAnnotation
+    t.getPrimitiveTypeName match {
+      case INT64 =>
+        logical match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS => "timestamp"
+          case _ => "bigint"
+        }
+      case INT32 =>
+        logical match {
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => "date"
+          case _                                                  => "int"
+        }
+      case BINARY =>
+        logical match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => "string"
+          case _                                                    => "binary"
+        }
+      case DOUBLE  => "double"
+      case FLOAT   => "float"
+      case BOOLEAN => "boolean"
+      case other => throw CompactionError.Config(
+        s"unsupported parquet primitive for schema evolution: $other " +
+          s"(column ${t.getName})")
+    }
+  }
+}

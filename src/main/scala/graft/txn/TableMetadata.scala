@@ -37,7 +37,10 @@ final case class FileEntry(
     sizeBytes: Long,
     recordCount: Long,
     sequenceNumber: Long,
-    equalityIds: Seq[String] = Nil
+    equalityIds: Seq[String] = Nil,
+    /** Schema id this file was written under (see
+      * [[graft.core.FileScanTask.schemaId]]); stamped by the commit. */
+    schemaId: Long = -1L
 ) {
   def toTask: FileScanTask = FileScanTask(
     filePath = path,
@@ -50,7 +53,8 @@ final case class FileEntry(
     lengthBytes = sizeBytes,
     recordCount = recordCount,
     sequenceNumber = sequenceNumber,
-    equalityIds = equalityIds
+    equalityIds = equalityIds,
+    schemaId = schemaId
   )
 }
 
@@ -63,8 +67,16 @@ final case class TableSnapshot(
     /** Snapshot-carried table properties (e.g. the streaming-ingest
       * replay marker). Commits PRESERVE these unless told otherwise —
       * a compaction must not erase an ingest sink's idempotence state. */
-    properties: Map[String, String] = Map.empty
-)
+    properties: Map[String, String] = Map.empty,
+    /** Schema HISTORY (empty until the first [[SchemaEvolution.evolve]]):
+      * every schema version ever current, by id. `schemaId` above names
+      * the current one. Files resolve to the current schema by field id
+      * through this history — the Iceberg evolution model. */
+    schemas: Seq[graft.core.TableSchema] = Nil
+) {
+  def currentSchema: Option[graft.core.TableSchema] =
+    schemas.find(_.schemaId == schemaId)
+}
 
 object TableMetadata {
   private val mapper: ObjectMapper = {
@@ -86,10 +98,12 @@ object TableMetadata {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Snapshots written before the `properties` field existed
-    * deserialize with a null map — normalize to empty. */
-  private def norm(s: TableSnapshot): TableSnapshot =
-    if (s.properties == null) s.copy(properties = Map.empty) else s
+  /** Snapshots written before the `properties`/`schemas` fields existed
+    * deserialize with null collections — normalize to empty. */
+  private def norm(s: TableSnapshot): TableSnapshot = {
+    val p = if (s.properties == null) s.copy(properties = Map.empty) else s
+    if (p.schemas == null) p.copy(schemas = Nil) else p
+  }
 
   def load(tableDir: String): Option[TableSnapshot] =
     currentVersion(tableDir).map { v =>

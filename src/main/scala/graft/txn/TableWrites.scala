@@ -39,6 +39,19 @@ object TableWrites {
       .map { case (p, len) => (p, len, parquetRowCount(p)) }
   }
 
+  /** On a table with a schema history, an append whose columns don't
+    * match the CURRENT schema would commit a file the reconciled read
+    * cannot resolve — refuse it at write time. */
+  private def requireConforming(cur: TableSnapshot, rows: DataFrame): Unit =
+    cur.currentSchema.foreach { s =>
+      val want = s.fields.map(_.name).toSet
+      val got = rows.columns.toSet
+      if (want != got) throw CompactionError.Config(
+        s"append does not match the current schema: table has " +
+          s"(${want.toSeq.sorted.mkString(", ")}), rows have " +
+          s"(${got.toSeq.sorted.mkString(", ")})")
+    }
+
   /** Append `rows` as data files. */
   def appendData(
       tableDir: String,
@@ -48,6 +61,7 @@ object TableWrites {
       catalog: TableCatalog = FileTableCatalog
   ): TableSnapshot = {
     val cur = catalog.loadOrThrow(tableDir)
+    requireConforming(cur, rows)
     val outDir = s"$tableDir/data/append-${java.util.UUID.randomUUID().toString.take(8)}"
     val files = writeParquet(rows, outDir, config.parquetCompression)
     new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
@@ -76,6 +90,45 @@ object TableWrites {
       files.map { case (p, len, rc) =>
         FileEntry(p, "equality-deletes", len, rc, -1L,
           equalityIds = equalityIds)
+      },
+      expectedSchemaId = cur.schemaId)
+  }
+
+  /** UPSERT (the Flink-CDC / Iceberg v2 write shape): atomically commit
+    * an equality-delete file on `keyCols` AND the new data files in ONE
+    * snapshot at ONE sequence number `s`. The delete applies to rows
+    * with sequence < s — i.e. every pre-existing row matching a key —
+    * while the batch's own rows (sequence == s) survive it. Keys present
+    * in the table are replaced; absent keys are plain inserts; no
+    * read-modify-write cycle and no table scan, which is what makes this
+    * the 100 TB CDC ingest pattern: cost is proportional to the batch,
+    * and the merge happens lazily at read/compaction time.
+    *
+    * `rows` must be key-unique within the batch (two rows with the same
+    * key both survive — same contract as Iceberg upsert writers).
+    */
+  def upsert(
+      tableDir: String,
+      rows: DataFrame,
+      keyCols: Seq[String],
+      config: CompactionConfig = CompactionConfig(),
+      retry: RetryConfig = RetryConfig(),
+      catalog: TableCatalog = FileTableCatalog
+  ): TableSnapshot = {
+    require(keyCols.nonEmpty, "keyCols must name at least one column")
+    val cur = catalog.loadOrThrow(tableDir)
+    requireConforming(cur, rows)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val dataFiles = writeParquet(rows,
+      s"$tableDir/data/upsert-$tag", config.parquetCompression)
+    val keyFiles = writeParquet(
+      rows.select(keyCols.map(col): _*).distinct(),
+      s"$tableDir/data/upsert-del-$tag", config.parquetCompression)
+    new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
+      keyFiles.map { case (p, len, rc) =>
+        FileEntry(p, "equality-deletes", len, rc, -1L, equalityIds = keyCols)
+      } ++ dataFiles.map { case (p, len, rc) =>
+        FileEntry(p, "data", len, rc, -1L)
       },
       expectedSchemaId = cur.schemaId)
   }

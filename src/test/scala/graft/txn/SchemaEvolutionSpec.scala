@@ -1,0 +1,138 @@
+package graft.txn
+
+import graft.SparkTestSession
+import graft.compaction.Compaction
+import graft.core._
+import graft.sources.TableReader
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Schema evolution: id-based rename/add/drop, reconciled reads over
+  * mixed-layout files, guard rails, and the compaction-heals-layout
+  * property (rewrite output carries the current schema). */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mkTable(): String = {
+    val dir = Files.createTempDirectory("graft-evo").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "name", "score"))
+    dir
+  }
+
+  test("rename + add + drop reconcile over old files") {
+    val dir = mkTable()
+    SchemaEvolution.evolve(dir, Seq(
+      SchemaOp.Rename("name", "label"),
+      SchemaOp.Add("tag", "string"),
+      SchemaOp.Drop("score")))
+    TableWrites.appendData(dir,
+      Seq((4L, "d", "t4")).toDF("id", "label", "tag"))
+
+    val out = TableReader.read(spark, dir).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "label", "tag"))
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(rows.toSeq == Seq(
+      (1L, "a", None), (2L, "b", None), (3L, "c", None),
+      (4L, "d", Some("t4"))))
+  }
+
+  test("eq-delete keyed on a since-renamed column still applies id-wise") {
+    val dir = mkTable()
+    // delete BEFORE the rename, keyed by the old name
+    TableWrites.appendEqualityDeletes(dir,
+      Seq(Tuple1("b")).toDF("name"), Seq("name"))
+    SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("name", "label")))
+    val ids = TableReader.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+  }
+
+  test("guards: bad adds/renames/drops abort without committing") {
+    val dir = mkTable()
+    val v0 = FileTableCatalog.loadOrThrow(dir).version
+    intercept[CompactionError.Config] {
+      SchemaEvolution.evolve(dir, Seq(SchemaOp.Add("name", "string")))
+    }
+    intercept[CompactionError.Config] {
+      SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("nope", "x")))
+    }
+    intercept[CompactionError.Config] {
+      SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("name", "id")))
+    }
+    intercept[CompactionError.Config] {
+      SchemaEvolution.evolve(dir, Seq(SchemaOp.Drop("nope")))
+    }
+    intercept[CompactionError.Config] {
+      SchemaEvolution.evolve(dir, Seq(SchemaOp.Add("bad", "not a type")))
+    }
+    assert(FileTableCatalog.loadOrThrow(dir).version == v0)
+  }
+
+  test("dropping a live equality-delete key is refused") {
+    val dir = mkTable()
+    TableWrites.appendEqualityDeletes(dir,
+      Seq(Tuple1("b")).toDF("name"), Seq("name"))
+    val e = intercept[CompactionError.Config] {
+      SchemaEvolution.evolve(dir, Seq(SchemaOp.Drop("name")))
+    }
+    assert(e.getMessage.contains("equality-delete key"))
+  }
+
+  test("compaction heals old-layout files to the current schema") {
+    val dir = mkTable()
+    SchemaEvolution.evolve(dir, Seq(
+      SchemaOp.Rename("name", "label"), SchemaOp.Add("tag", "string"),
+      SchemaOp.Drop("score")))
+    TableWrites.appendData(dir,
+      Seq((4L, "d", "t4")).toDF("id", "label", "tag"))
+
+    new Compaction(spark, dir,
+      CompactionConfig(targetPartitions = 1)).compact()
+
+    val snap = FileTableCatalog.loadOrThrow(dir)
+    val dataFiles = snap.files.filter(_.content == "data")
+    // every surviving data file carries the CURRENT schema id...
+    assert(dataFiles.nonEmpty &&
+      dataFiles.forall(_.schemaId == snap.schemaId))
+    // ...and is PHYSICALLY written under the current names
+    dataFiles.foreach { f =>
+      assert(spark.read.parquet(f.path).columns.toSeq ==
+        Seq("id", "label", "tag"))
+    }
+    val out = TableReader.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("append not matching the current schema is refused") {
+    val dir = mkTable()
+    SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("name", "label")))
+    val e = intercept[CompactionError.Config] {
+      // still using the OLD column name
+      TableWrites.appendData(dir,
+        Seq((9L, "x", 1L)).toDF("id", "name", "score"))
+    }
+    assert(e.getMessage.contains("does not match the current schema"))
+  }
+
+  test("history survives further appends and upserts") {
+    val dir = mkTable()
+    SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("name", "label")))
+    TableWrites.upsert(dir,
+      Seq((2L, "B2", 99L), (9L, "i", 9L)).toDF("id", "label", "score"),
+      keyCols = Seq("id"))
+    val snap = FileTableCatalog.loadOrThrow(dir)
+    assert(snap.schemas.size == 2)
+    val rows = TableReader.read(spark, dir)
+      .select("id", "label").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq(
+      (1L, "a"), (2L, "B2"), (3L, "c"), (9L, "i")))
+  }
+}
