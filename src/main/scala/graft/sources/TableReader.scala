@@ -146,17 +146,40 @@ object TableReader {
         Some(SchemaReconcile.liveRows(spark, tasks, snap.schemas, snap.schemaId))
       else Some(SparkCompactionExecutor.liveRows(spark, tasks))
     }
+    // When the interval straddles the FIRST schema evolution, the before
+    // snapshot predates a schema history, so its files still carry
+    // schemaId -1 (the evolve commit stamps only its own snapshot
+    // onward). Under the after history "-1" would read as current-schema
+    // and skip reconciliation — stamp those files with the before
+    // snapshot's schema id (the evolve stamped the same value on the
+    // after side), so both sides reconcile identically.
+    def stampLegacy(snap: TableSnapshot, files: Seq[FileEntry]): Seq[FileEntry] =
+      if (afterSnap.schemas.isEmpty) files
+      else files.map(f =>
+        if (f.schemaId >= 0) f else f.copy(schemaId = snap.schemaId))
     // both sides reconcile to the AFTER snapshot's schema (its history
     // contains every older schema), so the diff compares like with like
     // even when the interval straddles a schema evolution
     val (before, after) =
-      (live(afterSnap, scoped(beforeSnap)), live(afterSnap, scoped(afterSnap))) match {
+      (live(afterSnap, stampLegacy(beforeSnap, scoped(beforeSnap))),
+        live(afterSnap, stampLegacy(afterSnap, scoped(afterSnap)))) match {
       case (Some(b), Some(a)) => (b, a)
       case (Some(b), None)    => (b, b.limit(0))
       case (None, Some(a))    => (a.limit(0), a)
-      case (None, None) => throw CompactionError.Config(
-        s"no data files changed between v$fromVersion and v$toVersion under $tableDir" +
-          " and neither version has any — nothing to diff")
+      case (None, None) =>
+        // Nothing in scope — either every common file cancelled (a
+        // properties-only / schema-only interval: the diff is genuinely
+        // EMPTY) or neither snapshot holds data at all (schema unknowable
+        // — that alone is an error). Borrow one retained data file for
+        // its schema and diff zero rows against zero rows.
+        val donor = Seq(afterSnap, beforeSnap)
+          .flatMap(s => s.files.filter(_.content == "data").map(s -> _))
+          .headOption.getOrElse(throw CompactionError.Config(
+            s"neither v$fromVersion nor v$toVersion has any data files " +
+              s"under $tableDir — nothing to diff"))
+        val empty = live(afterSnap, stampLegacy(donor._1, Seq(donor._2)))
+          .get.limit(0)
+        (empty, empty)
     }
     require(!after.columns.contains("_change"),
       "column name _change is reserved by changes()")

@@ -99,9 +99,16 @@ final class CommitManager(
   def evolveSchema(
       expectedSchemaId: Long,
       newSchemaId: Long,
-      schemas: Seq[graft.core.TableSchema]
+      schemas: Seq[graft.core.TableSchema],
+      /** Re-validated against EVERY attempt's reloaded snapshot, inside
+        * the CAS loop — op preconditions checked before the loop are
+        * stale the moment a concurrent commit lands (e.g. an equality
+        * delete appended between a drop-guard check and the commit would
+        * silently resurrect rows). Throw non-retryable to abort. */
+      validate: TableSnapshot => Unit = _ => ()
   ): TableSnapshot =
     commitLoop(expectedSchemaId) { cur =>
+      validate(cur)
       cur.copy(
         version = cur.version + 1,
         schemaId = newSchemaId,

@@ -41,6 +41,12 @@ import scala.jdk.CollectionConverters._
   */
 object IcebergTableCatalog extends TableCatalog {
 
+  /** The Iceberg writer keeps ONE stable schema (inferred at first data
+    * commit) and does not round-trip graft's schema history or per-file
+    * schema ids — declare that so [[SchemaEvolution.evolve]] refuses up
+    * front instead of committing a snapshot whose history vanishes. */
+  override def persistsSchemaHistory: Boolean = false
+
   private val MetadataFile = "^v(\\d+)\\.metadata\\.json$".r
 
   private def metadataDir(t: String) = s"$t/metadata"

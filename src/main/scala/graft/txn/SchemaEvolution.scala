@@ -50,10 +50,20 @@ object SchemaEvolution {
       catalog: TableCatalog = FileTableCatalog
   ): TableSnapshot = {
     require(ops.nonEmpty, "no schema operations given")
+    // capability probe BEFORE any commit: a catalog that cannot persist
+    // the schema history would otherwise accept the evolve commit and
+    // only fail on the post-commit verification, stranding a
+    // half-evolved snapshot in the table history
+    if (!catalog.persistsSchemaHistory)
+      throw CompactionError.Config(
+        s"catalog ${catalog.getClass.getSimpleName} does not persist " +
+          "schema history; schema evolution requires the engine-native " +
+          "table format")
     val cur = catalog.loadOrThrow(tableDir)
     val base: TableSchema = cur.currentSchema.getOrElse(bootstrapSchema(cur))
 
     var fields = base.fields
+    var dropped = Map.empty[Int, String] // field id -> dropped name
     def names = fields.map(_.name).toSet
     ops.foreach {
       case SchemaOp.Add(name, dataType) =>
@@ -77,19 +87,30 @@ object SchemaEvolution {
         if (!names(name)) throw CompactionError.Config(
           s"drop column: '$name' does not exist")
         val dropId = fields.find(_.name == name).get.id
-        // a live eq-delete keyed (under ITS schema) on this field id
-        // becomes unapplicable — deleted rows would resurrect
-        val schemaById = (cur.schemas :+ base).map(s => s.schemaId -> s).toMap
-        cur.files.filter(_.content == "equality-deletes").foreach { d =>
-          val ds = schemaById.getOrElse(
-            if (d.schemaId >= 0) d.schemaId else base.schemaId, base)
-          if (d.equalityIds.exists(n => ds.idByName.get(n).contains(dropId)))
-            throw CompactionError.Config(
-              s"drop column: '$name' is an equality-delete key of live " +
-                s"delete file ${d.path}; compact first")
-        }
+        dropped += dropId -> name
         fields = fields.filterNot(_.id == dropId)
     }
+    // a live eq-delete keyed (under ITS schema) on a dropped field id
+    // becomes unapplicable — deleted rows would resurrect. Checked here
+    // for a fast, cheap failure AND re-checked against every commit
+    // attempt's reloaded snapshot (a concurrent appendEqualityDeletes
+    // does not change the schema id, so the drift guard alone would let
+    // the drop race past it).
+    def guardDroppedEqKeys(snap: TableSnapshot): Unit =
+      if (dropped.nonEmpty) {
+        val schemaById = (snap.schemas :+ base).map(s => s.schemaId -> s).toMap
+        snap.files.filter(_.content == "equality-deletes").foreach { d =>
+          val ds = schemaById.getOrElse(
+            if (d.schemaId >= 0) d.schemaId else base.schemaId, base)
+          d.equalityIds.flatMap(n => ds.idByName.get(n)).find(dropped.contains)
+            .foreach { id =>
+              throw CompactionError.Config(
+                s"drop column: '${dropped(id)}' is an equality-delete key of " +
+                  s"live delete file ${d.path}; compact first")
+            }
+        }
+      }
+    guardDroppedEqKeys(cur)
     if (fields.isEmpty) throw CompactionError.Config(
       "schema evolution would drop every column")
 
@@ -98,10 +119,12 @@ object SchemaEvolution {
     val newId = (history.map(_.schemaId) :+ cur.schemaId).max + 1
     val committed = new CommitManager(tableDir, retry, catalog = catalog)
       .evolveSchema(cur.schemaId, newId,
-        history :+ TableSchema(newId, fields))
+        history :+ TableSchema(newId, fields),
+        validate = guardDroppedEqKeys)
 
-    // the catalog must ROUND-TRIP the history or every later read would
-    // silently treat old files as current-schema — fail loudly instead
+    // backstop for catalogs that DECLARE history support but drop it on
+    // the round-trip — every later read would silently treat old files
+    // as current-schema, so fail loudly instead
     val reloaded = catalog.loadOrThrow(tableDir)
     if (!reloaded.schemas.exists(_.schemaId == newId))
       throw CompactionError.Config(

@@ -37,6 +37,13 @@ trait TableCatalog {
   /** Drop one snapshot version's metadata (expiry). */
   def deleteVersion(table: String, version: Long): Unit
 
+  /** Whether commits ROUND-TRIP the schema history and per-file schema
+    * ids ([[TableSnapshot.schemas]], [[FileEntry.schemaId]]).
+    * [[SchemaEvolution.evolve]] probes this BEFORE committing, so a
+    * catalog that would lose the history fails the evolve up front
+    * instead of stranding a half-evolved snapshot. */
+  def persistsSchemaHistory: Boolean = true
+
   final def loadOrThrow(table: String): TableSnapshot =
     load(table).getOrElse(
       throw CompactionError.Config(s"no table metadata under $table"))

@@ -121,8 +121,15 @@ object TableWrites {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val dataFiles = writeParquet(rows,
       s"$tableDir/data/upsert-$tag", config.parquetCompression)
+    // derive the delete keys from the data files just WRITTEN, not by
+    // re-evaluating `rows`: a nondeterministic input (rand(), shuffle-
+    // order-dependent source) evaluated twice could commit delete keys
+    // that disagree with the committed data rows — reading the landed
+    // bytes back (key columns only, column-pruned scan of this batch)
+    // makes the pair consistent by construction
+    val landed = rows.sparkSession.read.parquet(dataFiles.map(_._1): _*)
     val keyFiles = writeParquet(
-      rows.select(keyCols.map(col): _*).distinct(),
+      landed.select(keyCols.map(col): _*).distinct(),
       s"$tableDir/data/upsert-del-$tag", config.parquetCompression)
     new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
       keyFiles.map { case (p, len, rc) =>

@@ -232,6 +232,32 @@ class CompactionSpec extends AnyFunSuite {
     assert(rows == Set((2, "b2"), (3, "c"), (4, "d")))
   }
 
+  test("upsert delete keys are derived from the LANDED data files " +
+    "(nondeterministic input evaluated once)") {
+    import graft.txn.TableWrites
+    import org.apache.spark.sql.functions.{lit, udf}
+    val dir = Files.createTempDirectory("graft-upsert-nd").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    // a genuinely nondeterministic source: every evaluation of the plan
+    // yields different ids, so deriving the delete keys by re-evaluating
+    // `rows` would commit keys that disagree with the committed data
+    val nd = udf(() =>
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      .asNondeterministic()
+    val rows = spark.range(0, 64, 1, 8)
+      .select(nd().as("id"), lit("x").as("name"))
+    TableWrites.upsert(dir, rows, keyCols = Seq("id"))
+    val snap = TableMetadata.loadOrThrow(dir)
+    val dataKeys = spark.read
+      .parquet(snap.files.filter(_.content == "data").map(_.path): _*)
+      .select("id").as[Long].collect().toSet
+    val delKeys = spark.read
+      .parquet(snap.files.filter(_.content == "equality-deletes").map(_.path): _*)
+      .select("id").as[Long].collect().toSet
+    assert(dataKeys == delKeys, "delete keys must match the landed rows")
+    assert(dataKeys.size == 64, "input was not actually nondeterministic")
+  }
+
   test("TableReader: MoR reads, time travel, and version diff") {
     import graft.txn.TableWrites
     import graft.sources.TableReader

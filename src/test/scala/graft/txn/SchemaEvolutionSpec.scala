@@ -121,6 +121,100 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not match the current schema"))
   }
 
+  test("changes() straddling the FIRST schema evolution reconciles both sides") {
+    val dir = mkTable() // v1 bootstrap, v2 data (schemaId -1, no history)
+    SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("name", "label"))) // v3
+    // a delete AFTER the evolve keeps the common data file in scope on
+    // BOTH sides of the diff — the before side's files still carry
+    // schemaId -1 and must reconcile under the after history too
+    TableWrites.appendEqualityDeletes(dir,
+      Seq(Tuple1("b")).toDF("label"), Seq("label"))                    // v4
+    val diff = TableReader.changes(spark, dir, fromVersion = 2, toVersion = 4)
+    assert(diff.columns.toSeq == Seq("id", "label", "score", "_change"))
+    val rows = diff.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSet == Set((2L, "b", 20L, "-")))
+  }
+
+  test("changes() over a schema-only interval is an EMPTY diff, not an error") {
+    val dir = mkTable()                                                // v2 data
+    SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("name", "label"))) // v3
+    // no data or delete files changed -> every common file cancels; the
+    // diff is genuinely empty and carries the AFTER snapshot's schema
+    val diff = TableReader.changes(spark, dir, fromVersion = 2, toVersion = 3)
+    assert(diff.columns.toSeq == Seq("id", "label", "score", "_change"))
+    assert(diff.count() == 0)
+    // degenerate same-version interval: also empty
+    assert(TableReader.changes(spark, dir, 3, 3).count() == 0)
+    // but a table with NO data files at either version is still an error
+    val bare = Files.createTempDirectory("graft-evo-bare").toString
+    FileTableCatalog.commitCas(bare, TableSnapshot(1, 1, 0, Nil))
+    val e = intercept[CompactionError.Config] {
+      TableReader.changes(spark, bare, 1, 1)
+    }
+    assert(e.getMessage.contains("data files"))
+  }
+
+  test("concurrent eq-delete between drop-guard check and commit aborts the drop") {
+    val dir = mkTable()
+    var injected = false
+    // wraps the real catalog; on the evolve's FIRST commit attempt (the
+    // only commit that carries a schema history) it lands a concurrent
+    // equality delete keyed on the column being dropped, forcing the
+    // classic TOCTOU interleaving deterministically
+    val racy = new TableCatalog {
+      override def load(t: String) = FileTableCatalog.load(t)
+      override def commitCas(t: String, s: TableSnapshot): Unit = {
+        if (!injected && s.schemas.nonEmpty) {
+          injected = true
+          TableWrites.appendEqualityDeletes(dir,
+            Seq(Tuple1("b")).toDF("name"), Seq("name"))
+        }
+        FileTableCatalog.commitCas(t, s)
+      }
+      override def versions(t: String) = FileTableCatalog.versions(t)
+      override def loadVersion(t: String, v: Long) = FileTableCatalog.loadVersion(t, v)
+      override def deleteVersion(t: String, v: Long) = FileTableCatalog.deleteVersion(t, v)
+    }
+    val e = intercept[CompactionError.Config] {
+      SchemaEvolution.evolve(dir, Seq(SchemaOp.Drop("name")),
+        retry = RetryConfig(minDelayMs = 1, maxDelayMs = 2), catalog = racy)
+    }
+    assert(e.getMessage.contains("equality-delete key"))
+    assert(injected, "the race was never exercised")
+    // the drop did NOT commit — and the concurrent delete still applies
+    val snap = FileTableCatalog.loadOrThrow(dir)
+    assert(snap.schemas.isEmpty)
+    val ids = TableReader.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+  }
+
+  test("evolve refuses a history-less catalog BEFORE committing anything") {
+    // build a minimal real Iceberg-format table so we can prove no stray
+    // half-evolved snapshot is left behind
+    val dir = Files.createTempDirectory("graft-evo-iceberg").toString
+    val tmp = Files.createTempDirectory("graft-evo-iwf").toString
+    Seq((1L, "a")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val target = java.nio.file.Paths.get(s"$dir/data/f1.parquet")
+    Files.createDirectories(target.getParent)
+    Files.move(part.toPath, target)
+    IcebergTableCatalog.commitCas(dir, TableSnapshot(1, 1, 1, Seq(
+      FileEntry(target.toString, "data", target.toFile.length(), 1L,
+        sequenceNumber = 1))))
+    val v0 = IcebergTableCatalog.versions(dir)
+    val e = intercept[CompactionError.Config] {
+      SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("name", "label")),
+        catalog = IcebergTableCatalog)
+    }
+    assert(e.getMessage.contains("does not persist"))
+    assert(IcebergTableCatalog.versions(dir) == v0,
+      "a half-evolved snapshot was committed before the refusal")
+  }
+
   test("history survives further appends and upserts") {
     val dir = mkTable()
     SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("name", "label")))
