@@ -28,6 +28,7 @@ object SparkEntry {
       ("snapshot_diff" -> (graft.queries.TableLifecycleQuery.runDiff _)) +
       ("upsert_mor" -> (graft.queries.TableLifecycleQuery.runUpsert _)) +
       ("schema_evolution" -> (graft.queries.TableLifecycleQuery.runEvolution _)) +
+      ("delete_convert" -> (graft.queries.TableLifecycleQuery.runDeleteConvert _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -47,6 +48,7 @@ object SparkEntry {
       ("snapshot_diff" -> graft.queries.TableLifecycleQuery.diffOracle) +
       ("upsert_mor" -> graft.queries.TableLifecycleQuery.upsertOracle) +
       ("schema_evolution" -> graft.queries.TableLifecycleQuery.evolutionOracle) +
+      ("delete_convert" -> graft.queries.TableLifecycleQuery.deleteConvertOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

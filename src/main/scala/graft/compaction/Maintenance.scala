@@ -27,6 +27,27 @@ object Maintenance {
   final case class Run(reason: String) extends Decision
   final case class Skip(reason: String) extends Decision
 
+  /** The MINOR-compaction twin of [[shouldCompact]]: delete conversion
+    * ([[DeleteCompaction]]) pays off whenever equality deletes exist (each
+    * one taxes EVERY read with a seq-aware anti-join over older data) or
+    * position deletes are fragmented across files. Cheaper than a full
+    * rewrite — data files untouched — so a scheduler typically runs this
+    * between full compactions. Self-quiescing for the same reason
+    * `convertIfNeeded` is: after a conversion the table holds at most one
+    * consolidated position-delete file. */
+  def shouldConvertDeletes(snapshot: TableSnapshot): Decision = {
+    val eq = snapshot.files.count(_.content == "equality-deletes")
+    val pos = snapshot.files.count(_.content == "position-deletes")
+    if (snapshot.files.forall(_.content != "data"))
+      Skip("no data files")
+    else if (eq > 0)
+      Run(s"$eq equality-delete file(s) taxing every read")
+    else if (pos > 1)
+      Run(s"$pos fragmented position-delete files")
+    else
+      Skip("no equality deletes, position deletes consolidated")
+  }
+
   def shouldCompact(
       snapshot: TableSnapshot,
       config: CompactionConfig,

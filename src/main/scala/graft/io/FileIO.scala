@@ -106,6 +106,24 @@ object FileIO {
     }
   }
 
+  /** Recursive listing with modification times, sorted by path —
+    * orphan-file cleanup needs the mtime to honor its grace period. */
+  def listFilesWithMtime(dir: String): Seq[(String, Long, Long)] = {
+    val hp = new Path(dir)
+    val f = fs(hp)
+    if (!f.exists(hp)) Nil
+    else {
+      val out = ArrayBuffer.empty[(String, Long, Long)]
+      val it = f.listFiles(hp, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile)
+          out += ((pathString(s.getPath), s.getLen, s.getModificationTime))
+      }
+      out.sortBy(_._1).toSeq
+    }
+  }
+
   def readString(p: String): String = {
     val hp = new Path(p)
     val in = new BufferedReader(

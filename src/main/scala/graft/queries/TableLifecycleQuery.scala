@@ -114,6 +114,40 @@ object TableLifecycleQuery {
     tableDir
   }
 
+  /** Delete conversion (MINOR compaction) as an oracle-checked query:
+    * the same lifecycle fixture — eq-delete on %13 keys plus a
+    * position-delete of the first 100 rows — is converted by
+    * [[graft.compaction.DeleteCompaction]] into ONE sorted
+    * position-delete file (validation ON), then read merge-on-read.
+    * A hash-match against the SAME survivor oracle certifies that the
+    * conversion is an identity on live rows while every equality-delete
+    * file leaves the table. Own fixture build: conversion COMMITS, and
+    * the lifecycle family's memoized table must stay immutable. */
+  def runDeleteConvert(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = convertTables.computeIfAbsent(dir, _ => {
+      val td = buildTableUncached(spark, dir, FileTableCatalog, "graft-delconv")
+      val stat = graft.compaction.DeleteCompaction.convertIfNeeded(spark, td,
+        graft.core.CompactionConfig(enableValidateCompaction = true))
+        .getOrElse(throw new IllegalStateException(
+          "fixture has deletes; conversion must run"))
+      require(stat.removedDeleteFiles >= 2 && stat.addedDeleteFiles >= 1,
+        s"unexpected conversion shape: $stat")
+      val snap = FileTableCatalog.loadOrThrow(td)
+      require(!snap.files.exists(_.content == "equality-deletes"),
+        "equality deletes must be gone after conversion")
+      td
+    })
+    TableReader.read(spark, tableDir)
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+  }
+
+  private val convertTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Identity on live rows -> the shared survivor oracle verbatim. */
+  val deleteConvertOracle: String = CompactionE2EQuery.oracle
+
   /** Time travel as an oracle-checked query: the same lifecycle table,
     * read at the snapshot BEFORE any delete committed (version 2 — the
     * bootstrap is v1, the first append v2). The result must be exactly

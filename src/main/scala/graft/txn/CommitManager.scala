@@ -91,6 +91,39 @@ final class CommitManager(
         properties = cur.properties ++ setProperties)
     }
 
+  /** Swap an explicit file set: remove `removedPaths`, add `added` at a
+    * fresh sequence number — the delete-conversion commit shape
+    * ([[graft.compaction.DeleteCompaction]]). Unlike [[rewriteFiles]] the
+    * added entries keep their own content kind, and `requiredPaths` lets
+    * the caller pin files it READ but does not replace (the data files
+    * whose positions a converted delete references): if any pinned or
+    * removed file left the current snapshot, the plan is permanently
+    * stale — abort, never retry. */
+  def replaceFiles(
+      added: Seq[FileEntry],
+      removedPaths: Set[String],
+      requiredPaths: Set[String],
+      expectedSchemaId: Long
+  ): TableSnapshot =
+    commitLoop(expectedSchemaId) { cur =>
+      val current = cur.files.map(_.path).toSet
+      val gone = (removedPaths ++ requiredPaths) -- current
+      if (gone.nonEmpty)
+        throw CompactionError.StaleRewrite(
+          s"replace is stale: ${gone.size} planned file(s) no longer in the " +
+            s"current snapshot (e.g. ${gone.head})")
+      val newSeq = cur.lastSequenceNumber + 1
+      cur.copy(
+        version = cur.version + 1,
+        lastSequenceNumber = newSeq,
+        files = cur.files.filterNot(f => removedPaths.contains(f.path)) ++
+          added.map(e => e.copy(sequenceNumber = newSeq,
+            schemaId =
+              if (e.schemaId >= 0) e.schemaId
+              else if (cur.schemas.nonEmpty) cur.schemaId
+              else -1L)))
+    }
+
   /** Commit a schema change: bump `schemaId` to `newSchemaId` and replace
     * the schema history, touching no files. Legacy files (schemaId -1,
     * committed before the table had a history) are stamped with the

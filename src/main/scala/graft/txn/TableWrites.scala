@@ -31,7 +31,7 @@ object TableWrites {
     * written files' metadata, so they are exact even for
     * non-deterministic inputs — a pre-write `df.count()` would run the
     * whole plan twice AND could disagree with what actually landed). */
-  private def writeParquet(df: DataFrame, outDir: String,
+  private[graft] def writeParquet(df: DataFrame, outDir: String,
       compression: String): Seq[(String, Long, Long)] = {
     df.write.mode("overwrite").option("compression", compression)
       .parquet(outDir)
