@@ -29,6 +29,7 @@ object SparkEntry {
       ("upsert_mor" -> (graft.queries.TableLifecycleQuery.runUpsert _)) +
       ("schema_evolution" -> (graft.queries.TableLifecycleQuery.runEvolution _)) +
       ("delete_convert" -> (graft.queries.TableLifecycleQuery.runDeleteConvert _)) +
+      ("stream_tail" -> (graft.queries.StreamTailQuery.run _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -49,6 +50,7 @@ object SparkEntry {
       ("upsert_mor" -> graft.queries.TableLifecycleQuery.upsertOracle) +
       ("schema_evolution" -> graft.queries.TableLifecycleQuery.evolutionOracle) +
       ("delete_convert" -> graft.queries.TableLifecycleQuery.deleteConvertOracle) +
+      ("stream_tail" -> graft.queries.StreamTailQuery.oracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

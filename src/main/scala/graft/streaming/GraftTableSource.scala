@@ -1,0 +1,224 @@
+package graft.streaming
+
+import graft.core.CompactionError
+import graft.txn.{FileTableCatalog, SchemaEvolution, TableCatalog, TableSnapshot}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** Structured Streaming source over a graft table: an incremental TAIL
+  * of committed appends — `spark.readStream.format("graft").load(dir)`.
+  *
+  * Offsets are SNAPSHOT VERSIONS (the natural changelog of the table's
+  * CAS commit line): a microbatch (v₁, v₂] emits exactly the rows of
+  * data files APPENDED by commits v₁+1..v₂. Snapshot atomicity carries
+  * over — a file is visible to the stream only once its commit landed,
+  * so the tail never reads a torn write (the raw data directory is NOT
+  * watched; uncommitted files are invisible by construction).
+  *
+  * Commit classification per version step:
+  *  - appended data files (sequence number ABOVE the previous snapshot's
+  *    last) → emitted;
+  *  - rewrite output (files added at a retained STARTING sequence
+  *    number — compaction) → skipped silently: a rewrite adds no logical
+  *    rows, so skipping is exactness, not loss;
+  *  - delete commits (equality/position delete files) → the table
+  *    stopped being an append log; FAIL by default, emit-nothing with
+  *    `skipDeletes=true` (Iceberg's streaming read draws the same line
+  *    with skip-delete-snapshots).
+  *
+  * Options: `startingVersion` (default 1 = everything ever appended;
+  * `latest` = only commits after stream start), `skipDeletes`.
+  *
+  * Scale: planning walks snapshot metadata only (no file IO); each
+  * appended file becomes one input partition, so read parallelism is
+  * the append fan-out. Flat primitive schemas (the ExactRollingWriter
+  * contract) — nested types would need the vectorized reader.
+  */
+class GraftTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def dir(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw CompactionError.Config("graft source requires .load(<tableDir>)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTableSource.tableSchema(dir(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val d = Option(properties.get("path")).getOrElse(
+      throw CompactionError.Config("graft source requires .load(<tableDir>)"))
+    new GraftTable(d, schema)
+  }
+}
+
+object GraftTableSource {
+  /** Read schema = the newest data file's footer under the CURRENT
+    * snapshot (flat primitives, the engine's exact-writer contract). */
+  def tableSchema(tableDir: String, catalog: TableCatalog = FileTableCatalog): StructType = {
+    val snap = catalog.loadOrThrow(tableDir)
+    val fields = SchemaEvolution.bootstrapSchema(snap).fields
+    StructType(fields.map(f =>
+      StructField(f.name, DataType.fromDDL(f.dataType), nullable = true)))
+  }
+}
+
+final class GraftTable(tableDir: String, tblSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.`$tableDir`"
+  override def schema(): StructType = tblSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val startingVersion = Option(options.get("startingVersion")).getOrElse("1")
+    val skipDeletes = options.getBoolean("skipDeletes", false)
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tblSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftMicroBatchStream(tableDir, tblSchema, startingVersion, skipDeletes)
+      }
+    }
+  }
+}
+
+/** Version offset in the table's commit line. */
+final case class GraftOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+final class GraftMicroBatchStream(
+    tableDir: String,
+    schema: StructType,
+    startingVersion: String,
+    skipDeletes: Boolean,
+    catalog: TableCatalog = FileTableCatalog
+) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = {
+    val cur = catalog.loadOrThrow(tableDir)
+    startingVersion.trim.toLowerCase match {
+      case "latest" => GraftOffset(cur.version)
+      case v =>
+        val n = v.toLongOption.getOrElse(throw CompactionError.Config(
+          s"startingVersion must be a version number or 'latest', got '$v'"))
+        GraftOffset(n)
+    }
+  }
+
+  override def latestOffset(): Offset =
+    GraftOffset(catalog.loadOrThrow(tableDir).version)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].version
+    val to = end.asInstanceOf[GraftOffset].version
+    if (to <= from) return Array.empty
+
+    def snap(v: Long): TableSnapshot =
+      catalog.loadVersion(tableDir, v).getOrElse(throw CompactionError.Config(
+        s"snapshot v$v was expired while the stream still needed it " +
+          s"(under $tableDir); restart from a retained version"))
+
+    (from until to).flatMap { v =>
+      val prev = snap(v)
+      val curr = snap(v + 1)
+      val prevPaths = prev.files.map(_.path).toSet
+      val added = curr.files.filterNot(f => prevPaths.contains(f.path))
+      val deletes = added.filter(_.content != "data")
+      if (deletes.nonEmpty && !skipDeletes)
+        throw CompactionError.Config(
+          s"commit v${v + 1} added ${deletes.size} delete file(s); the table " +
+            "is not an append log over this interval. Set skipDeletes=true " +
+            "to tail appends only, or consume TableReader.changes() batches")
+      added
+        .filter(_.content == "data")
+        // rewrite outputs re-add EXISTING rows at a retained sequence
+        // number; a tail must not emit them twice
+        .filter(_.sequenceNumber > prev.lastSequenceNumber)
+        .map(f => GraftInputPartition(f.path): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class GraftInputPartition(path: String) extends InputPartition
+
+final class GraftReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GroupPartitionReader(
+      partition.asInstanceOf[GraftInputPartition].path, schema)
+}
+
+/** Row-by-row parquet reader over the example Group model — the exact
+  * READ twin of [[graft.sinks.ExactRollingWriter]]'s write bridge; flat
+  * primitive schemas, resolved by column NAME. */
+final class GroupPartitionReader(path: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new HPath(path))
+      .withConf(new Configuration())
+      .build()
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    val values = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      val gi = g.getType.getFieldIndex(f.name)
+      values(i) =
+        if (g.getFieldRepetitionCount(gi) == 0) null
+        else f.dataType match {
+          case LongType | TimestampType | TimestampNTZType => g.getLong(gi, 0)
+          case IntegerType | DateType => g.getInteger(gi, 0)
+          case StringType  => UTF8String.fromString(g.getString(gi, 0))
+          case DoubleType  => g.getDouble(gi, 0)
+          case FloatType   => g.getFloat(gi, 0)
+          case BooleanType => g.getBoolean(gi, 0)
+          case BinaryType  => g.getBinary(gi, 0).getBytes
+          case other => throw CompactionError.Config(
+            s"graft streaming source supports flat primitives; column " +
+              s"${f.name} has unsupported type $other")
+        }
+      i += 1
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = reader.close()
+}
