@@ -64,7 +64,10 @@ object Bench {
     val sp = results.map { case (k, (_, s)) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,"runs":$runs,"sf":"$sfDir"}""")
+    // spread goes to stderr: the driver parses stdout's tail, and a
+    // second map pushes the JSON head past its capture buffer
+    System.err.println(s"""[bench] spread=$sp runs=$runs""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
