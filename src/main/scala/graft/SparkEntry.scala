@@ -30,6 +30,8 @@ object SparkEntry {
       ("schema_evolution" -> (graft.queries.TableLifecycleQuery.runEvolution _)) +
       ("delete_convert" -> (graft.queries.TableLifecycleQuery.runDeleteConvert _)) +
       ("stream_tail" -> (graft.queries.StreamTailQuery.run _)) +
+      ("mor_dsv2" -> (graft.queries.TableLifecycleQuery.runDsv2 _)) +
+      ("dsv2_roundtrip" -> (graft.queries.Dsv2RoundtripQuery.run _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -51,6 +53,8 @@ object SparkEntry {
       ("schema_evolution" -> graft.queries.TableLifecycleQuery.evolutionOracle) +
       ("delete_convert" -> graft.queries.TableLifecycleQuery.deleteConvertOracle) +
       ("stream_tail" -> graft.queries.StreamTailQuery.oracle) +
+      ("mor_dsv2" -> graft.queries.TableLifecycleQuery.oracle) +
+      ("dsv2_roundtrip" -> graft.queries.Dsv2RoundtripQuery.oracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

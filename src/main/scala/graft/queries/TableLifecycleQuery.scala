@@ -148,6 +148,18 @@ object TableLifecycleQuery {
   /** Identity on live rows -> the shared survivor oracle verbatim. */
   val deleteConvertOracle: String = CompactionE2EQuery.oracle
 
+  /** The SAME lifecycle table read through the DSv2 batch source
+    * (`spark.read.format("graft")`) instead of [[TableReader]]: per-task
+    * delete application ([[graft.sources.GraftMorPartitionReader]])
+    * must produce byte-identical live rows to the anti-join plan —
+    * certified by sharing the survivor oracle verbatim. */
+  def runDsv2(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = buildTable(spark, dir, FileTableCatalog, "graft-lifecycle")
+    spark.read.format("graft").load(tableDir)
+      .select(outCols.map(col): _*)
+      .orderBy(outCols.map(col): _*)
+  }
+
   /** Time travel as an oracle-checked query: the same lifecycle table,
     * read at the snapshot BEFORE any delete committed (version 2 — the
     * bootstrap is v1, the first append v2). The result must be exactly

@@ -56,7 +56,7 @@ object ExactRollingWriter {
   ): Seq[DataFileMeta] = {
     val schema = df.schema
     schema.fields.foreach { f =>
-      require(supported(f.dataType),
+      require(supportedType(f.dataType),
         s"ExactRollingWriter supports flat primitive schemas; ${f.name}: ${f.dataType} is not")
     }
     graft.io.FileIO.mkdirs(outDir)
@@ -124,7 +124,7 @@ object ExactRollingWriter {
           }
           val before = writer.getDataSize
           var i = 0
-          while (i < n) { writer.write(toGroup(factory, schema, batch(i))); i += 1 }
+          while (i < n) { writer.write(rowToGroup(factory, schema, batch(i))); i += 1 }
           rowsInWriter += n
           // refine the running bytes-per-row estimate from observed growth
           val grew = writer.getDataSize - before
@@ -152,13 +152,15 @@ object ExactRollingWriter {
     metas.sortBy(_.filePath).toSeq
   }
 
-  private def supported(dt: DataType): Boolean = dt match {
+  /** Type support of the engine's flat-primitive table model (shared
+    * with the DSv2 batch writer's up-front schema validation). */
+  private[graft] def supportedType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
          BooleanType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
-  private[sinks] def toMessageType(schema: StructType): MessageType = {
+  private[graft] def toMessageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
       val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
@@ -187,7 +189,7 @@ object ExactRollingWriter {
     * format; timestamps are ALREADY epoch-micros longs internally (both
     * tz and ntz), so the write needs no java.sql/LocalDateTime object
     * round-trip at all. */
-  private def toGroup(factory: SimpleGroupFactory, schema: StructType, row: InternalRow): Group = {
+  private[graft] def rowToGroup(factory: SimpleGroupFactory, schema: StructType, row: InternalRow): Group = {
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {

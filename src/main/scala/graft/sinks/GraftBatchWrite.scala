@@ -1,0 +1,236 @@
+package graft.sinks
+
+import graft.core.{CompactionConfig, CompactionError, RetryConfig}
+import graft.io.FileIO
+import graft.operators.RollingPolicy
+import graft.txn.{CommitManager, FileEntry, FileTableCatalog, TableCatalog}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetWriter}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+/** DSv2 BATCH append — `df.write.format("graft").mode("append")
+  * .save(tableDir)` commits data files through the same CAS line every
+  * other write takes ([[CommitManager.appendFiles]]: fresh sequence
+  * number, schema-drift guard, conflict retry).
+  *
+  * The executor half is a [[DataWriter]] that streams InternalRows
+  * straight into a rolling parquet writer — rows stay in Spark's unsafe
+  * format until each field is consumed (no `df.rdd` deserialization),
+  * and files roll on the reference's W2 byte policy
+  * ([[RollingPolicy.needBuildNewFile]]) exactly like
+  * [[ExactRollingWriter]]'s task loop.
+  *
+  * Commit safety mirrors ExactRollingWriter: every task ATTEMPT writes
+  * under its own `_attempt-<taskId>/` directory and reports its file
+  * list in its commit message; Spark's commit coordinator guarantees one
+  * winning attempt per partition, the driver renames only the winners
+  * into the batch directory, and `abort` deletes the whole batch dir —
+  * a failed or speculative attempt can never leak files into the
+  * committed snapshot.
+  *
+  * Schema contract: the incoming columns must match the table's current
+  * schema by NAME (the table declares ACCEPT_ANY_SCHEMA so this check —
+  * not positional resolution — is the contract, same as
+  * [[graft.txn.TableWrites.appendData]]); the first append to an empty
+  * table defines the schema. Types follow the engine's flat-primitive
+  * table model.
+  */
+object GraftBatchWrite {
+
+  /** Validate `querySchema` against the table's current state; returns
+    * nothing — throws [[CompactionError.Config]] on any mismatch. */
+  def validateSchema(tableDir: String, querySchema: StructType,
+      catalog: TableCatalog = FileTableCatalog): Unit = {
+    querySchema.fields.foreach { f =>
+      if (!ExactRollingWriter.supportedType(f.dataType))
+        throw CompactionError.Config(
+          s"graft writes flat primitive schemas; ${f.name}: ${f.dataType} is not supported")
+    }
+    val snap = catalog.loadOrThrow(tableDir)
+    val tableCols: Option[Set[String]] =
+      snap.currentSchema.map(_.fields.map(_.name).toSet).orElse {
+        val newest = snap.files.filter(_.content == "data")
+          .sortBy(f => (f.sequenceNumber, f.path)).lastOption
+        newest.map(f =>
+          graft.txn.SchemaEvolution.footerFields(f.path).map(_.name).toSet)
+      }
+    tableCols.foreach { want =>
+      val got = querySchema.fieldNames.toSet
+      if (want != got) throw CompactionError.Config(
+        s"append does not match the table schema: table has " +
+          s"(${want.toSeq.sorted.mkString(", ")}), rows have " +
+          s"(${got.toSeq.sorted.mkString(", ")})")
+    }
+  }
+}
+
+final class GraftWriteBuilder(
+    tableDir: String,
+    info: LogicalWriteInfo,
+    catalog: TableCatalog = FileTableCatalog
+) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
+      val opts = info.options()
+      val target = Option(opts.get("targetFileSizeBytes")).map(_.toLong)
+        .getOrElse(CompactionConfig().targetFileSizeBytes)
+      val compression = Option(opts.get("compression")).getOrElse("snappy")
+      new GraftDsv2BatchWrite(tableDir, info.schema(), target, compression, catalog)
+    }
+  }
+}
+
+final case class GraftCommitMessage(files: Seq[(String, Long)])
+    extends WriterCommitMessage
+
+final class GraftDsv2BatchWrite(
+    tableDir: String,
+    schema: StructType,
+    targetFileSizeBytes: Long,
+    compression: String,
+    catalog: TableCatalog
+) extends BatchWrite {
+
+  private val writeDir =
+    s"$tableDir/data/dsv2-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    FileIO.mkdirs(writeDir)
+    // ship the driver's hadoop conf to tasks (same rationale as
+    // ExactRollingWriter: object-store credentials/endpoints)
+    val confEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      FileIO.hadoopConf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    }
+    new GraftDataWriterFactory(writeDir, schema, targetFileSizeBytes,
+      compression, confEntries)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.toSeq
+      .flatMap(_.asInstanceOf[GraftCommitMessage].files)
+      .sortBy(_._1)
+      .map { case (attemptPath, rowCount) =>
+        val name = attemptPath.substring(attemptPath.lastIndexOf('/') + 1)
+        val target = s"$writeDir/$name"
+        if (!FileIO.rename(attemptPath, target))
+          throw CompactionError.Io(s"failed to publish $attemptPath -> $target")
+        FileEntry(target, "data", FileIO.fileLength(target), rowCount, -1L)
+      }
+    // attempt dirs (losers + emptied winners) die unreferenced
+    FileIO.listDirectories(writeDir)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("_attempt-"))
+      .foreach(FileIO.deleteRecursive)
+    if (entries.isEmpty) { FileIO.deleteRecursive(writeDir); return }
+    val cur = catalog.loadOrThrow(tableDir)
+    new CommitManager(tableDir, RetryConfig(), catalog = catalog)
+      .appendFiles(entries, expectedSchemaId = cur.schemaId)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    FileIO.deleteRecursive(writeDir)
+}
+
+final class GraftDataWriterFactory(
+    writeDir: String,
+    schema: StructType,
+    targetFileSizeBytes: Long,
+    compression: String,
+    confEntries: Array[(String, String)]
+) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(s"$writeDir/_attempt-$taskId", partitionId, schema,
+      targetFileSizeBytes, compression, confEntries)
+}
+
+/** Per-task rolling writer: W2 policy consulted once per `batchRows`
+  * rows with a running bytes-per-row estimate (the streaming twin of
+  * [[ExactRollingWriter]]'s buffered loop — no buffering needed here
+  * because DSv2 hands rows one at a time and the parquet writer consumes
+  * each immediately). */
+final class GraftDataWriter(
+    attemptDir: String,
+    partitionId: Int,
+    schema: StructType,
+    targetFileSizeBytes: Long,
+    compression: String,
+    confEntries: Array[(String, String)],
+    batchRows: Int = 1024
+) extends DataWriter[InternalRow] {
+
+  private val taskConf = {
+    val c = new Configuration(false)
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val message = ExactRollingWriter.toMessageType(schema)
+  private val factory = new SimpleGroupFactory(message)
+  private val codec = CompressionCodecName.valueOf(compression.toUpperCase)
+
+  private val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  private var fileIdx = 0
+  private var curPath: String = _
+  private var writer: ParquetWriter[Group] = _
+  private var rowsInWriter = 0L
+  private var rowsSinceCheck = 0
+  private var bytesAtCheck = 0L
+  private var bytesPerRow = 256.0
+
+  private def newWriter(): Unit = {
+    curPath = s"$attemptDir/part-$partitionId-$fileIdx.parquet"
+    val conf = new Configuration(taskConf)
+    conf.set("parquet.example.schema", message.toString)
+    writer = ExampleParquetWriter.builder(new HPath(curPath))
+      .withConf(conf)
+      .withCompressionCodec(codec)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    rowsInWriter = 0L
+    rowsSinceCheck = 0
+    bytesAtCheck = 0L
+    fileIdx += 1
+  }
+
+  private def closeCurrent(): Unit = if (writer != null) {
+    writer.close()
+    files += ((curPath, rowsInWriter))
+    writer = null
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) newWriter()
+    else if (rowsSinceCheck >= batchRows) {
+      // refine the estimate from the completed batch, then consult W2
+      val grew = writer.getDataSize - bytesAtCheck
+      if (grew > 0) bytesPerRow = 0.5 * bytesPerRow + 0.5 * (grew.toDouble / rowsSinceCheck)
+      if (RollingPolicy.needBuildNewFile(
+          writer.getDataSize, (bytesPerRow * batchRows).toLong, targetFileSizeBytes)) {
+        closeCurrent(); newWriter()
+      } else { rowsSinceCheck = 0; bytesAtCheck = writer.getDataSize }
+    }
+    writer.write(ExactRollingWriter.rowToGroup(factory, schema, row))
+    rowsInWriter += 1
+    rowsSinceCheck += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeCurrent()
+    GraftCommitMessage(files.toSeq)
+  }
+
+  override def abort(): Unit = {
+    try if (writer != null) writer.close() catch { case _: Throwable => () }
+    writer = null
+    FileIO.deleteRecursive(attemptDir)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,362 @@
+package graft.sources
+
+import graft.core.CompactionError
+import graft.plans.SchemaReconcile
+import graft.txn.{FileEntry, TableCatalog, TableSnapshot}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.OptionalLong
+import scala.jdk.CollectionConverters._
+
+/** DSv2 BATCH read of a graft table — `spark.read.format("graft")
+  * .load(tableDir)` returns the table's LIVE rows (merge-on-read), the
+  * same result [[TableReader.read]] assembles with anti-joins, realized
+  * the way Iceberg's own Spark source does it: **per-task delete
+  * application**. Each input partition is one data file plus the delete
+  * files that apply to it; the reader loads that task's position-delete
+  * ordinals and equality-delete key sets into memory and filters rows
+  * as it streams the file. No join, no shuffle — a full-table read is
+  * embarrassingly parallel across data files.
+  *
+  * Scale posture:
+  *  - *Statistics* ([[SupportsReportStatistics]]) come from snapshot
+  *    metadata (no IO), so Catalyst sees a real `sizeInBytes` for a
+  *    graft table under a join and can choose to BROADCAST it — the
+  *    decision that matters most at 100 TB.
+  *  - *Column pruning* ([[SupportsPushDownRequiredColumns]]) reaches the
+  *    parquet reader as a requested-projection schema (column chunks of
+  *    unused columns are never read).
+  *  - *Filters* ([[SupportsPushDownFilters]]) are used for FILE-level
+  *    min/max pruning against parquet footer stats ([[ScanPruning]]) and
+  *    returned to Spark as residuals — `Inexact` pushdown, the same
+  *    contract as the reference's provider (SURVEY §2.2 P2). Row-group
+  *    filters are deliberately NOT pushed into the reader: skipping row
+  *    groups would desynchronize the running row ordinal that
+  *    position-delete application depends on.
+  *  - Per-task delete load is bounded by the live delete backlog, which
+  *    [[graft.compaction.DeleteCompaction]] keeps converged to a few
+  *    sorted files — the same memory model as Iceberg's `DeleteFilter`.
+  *
+  * Boundaries (fail loudly, never silently wrong): tables needing schema
+  * reconciliation (a read straddling column renames/adds/drops) refuse
+  * the DSv2 path and point at [[TableReader.read]]; schemas are the
+  * engine's flat-primitive table model.
+  */
+object GraftBatchScan {
+
+  /** Spark-type-driven extraction of one field from a parquet example
+    * [[Group]], tolerant of INT32-backed long columns. Shared by the
+    * batch reader and the streaming tail reader. */
+  private[graft] def groupValue(g: Group, gi: Int, dt: DataType, name: String): Any =
+    if (g.getFieldRepetitionCount(gi) == 0) null
+    else dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        g.getType.getType(gi).asPrimitiveType().getPrimitiveTypeName match {
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
+            g.getInteger(gi, 0).toLong
+          case _ => g.getLong(gi, 0)
+        }
+      case IntegerType | DateType => g.getInteger(gi, 0)
+      case StringType  => g.getString(gi, 0)
+      case DoubleType  => g.getDouble(gi, 0)
+      case FloatType   => g.getFloat(gi, 0)
+      case BooleanType => g.getBoolean(gi, 0)
+      case BinaryType  => g.getBinary(gi, 0).getBytes
+      case other => throw CompactionError.Config(
+        s"graft source supports flat primitives; column $name has unsupported type $other")
+    }
+
+  /** Catalyst boxing for [[groupValue]] output (strings → UTF8String). */
+  private[graft] def toCatalyst(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other     => other
+  }
+
+  /** Build a ParquetReader over `path` restricted to `cols`, with the
+    * requested projection derived from the FILE's own schema (exact
+    * types/repetitions, so parquet's containment check always passes).
+    * Columns missing from the file are an error — the DSv2 path refuses
+    * evolved tables, so every live file carries the current names. */
+  private[graft] def projectedReader(
+      path: String, cols: Seq[String]): ParquetReader[Group] = {
+    val conf = new Configuration()
+    val inFile = HadoopInputFile.fromPath(new HPath(path), conf)
+    val fileSchema: MessageType = {
+      val r = ParquetFileReader.open(inFile)
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    val missing = cols.filterNot(c => fileSchema.containsField(c))
+    if (missing.nonEmpty) throw CompactionError.Config(
+      s"columns ${missing.mkString(", ")} absent from $path " +
+        "(schema drift? evolved tables must be read via TableReader)")
+    val projection = new MessageType(fileSchema.getName,
+      cols.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))).asJava)
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    ParquetReader.builder(new GroupReadSupport(), new HPath(path))
+      .withConf(conf).build()
+  }
+}
+
+/** One equality-delete file applicable to a task's data file. */
+final case class EqDeleteSpec(path: String, sequenceNumber: Long, equalityIds: Seq[String])
+
+/** One data file plus exactly the delete files that can affect it. */
+final case class GraftMorPartition(
+    dataPath: String,
+    dataSeq: Long,
+    posDeletePaths: Seq[String],
+    eqDeletes: Seq[EqDeleteSpec]
+) extends InputPartition
+
+final class GraftScanBuilder(
+    tableDir: String,
+    tableSchema: StructType,
+    asOfVersion: Option[Long],
+    catalog: TableCatalog,
+    // streaming options, threaded through to the micro-batch stream
+    startingVersion: String,
+    skipDeletes: Boolean
+) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = tableSchema
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit =
+    // preserve TABLE column order (parquet projection order must be a
+    // sub-sequence of the file schema); Spark reorders above if needed
+    requiredSchema = StructType(
+      tableSchema.fields.filter(f => required.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    // Inexact pushdown (reference P2): keep what file-pruning can use,
+    // hand EVERYTHING back to Spark to re-apply above the scan
+    pushed = filters.filter(f => boundsOf(Seq(f)).nonEmpty)
+    filters
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  /** sources.Filter → integral [lo, hi] bounds, same conservative rules
+    * as [[ScanPruning.constraints]]: only integral comparisons survive. */
+  private def boundsOf(filters: Seq[sources.Filter]): ScanPruning.Bounds = {
+    def lit(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong); case l: Long => Some(l)
+      case s: Short => Some(s.toLong); case _ => None
+    }
+    filters.foldLeft(Map.empty: ScanPruning.Bounds) { (acc, f) =>
+      val b: ScanPruning.Bounds = f match {
+        case sources.EqualTo(a, v)            => lit(v).map(x => Map(a -> (x, x))).getOrElse(Map.empty)
+        case sources.GreaterThan(a, v)        => lit(v).map(x => Map(a -> (x + 1, Long.MaxValue))).getOrElse(Map.empty)
+        case sources.GreaterThanOrEqual(a, v) => lit(v).map(x => Map(a -> (x, Long.MaxValue))).getOrElse(Map.empty)
+        case sources.LessThan(a, v)           => lit(v).map(x => Map(a -> (Long.MinValue, x - 1))).getOrElse(Map.empty)
+        case sources.LessThanOrEqual(a, v)    => lit(v).map(x => Map(a -> (Long.MinValue, x))).getOrElse(Map.empty)
+        case sources.And(l, r)                => boundsOf(Seq(l, r))
+        case _                                => Map.empty
+      }
+      ScanPruning.mergeBounds(acc, b)
+    }
+  }
+
+  override def build(): Scan =
+    new GraftScan(tableDir, tableSchema, requiredSchema, boundsOf(pushed.toSeq),
+      asOfVersion, catalog, startingVersion, skipDeletes)
+}
+
+final class GraftScan(
+    tableDir: String,
+    tableSchema: StructType,
+    requiredSchema: StructType,
+    pruneBounds: ScanPruning.Bounds,
+    asOfVersion: Option[Long],
+    catalog: TableCatalog,
+    startingVersion: String,
+    skipDeletes: Boolean
+) extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft MoR $tableDir${asOfVersion.fold("")(v => s" @v$v")}"
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new graft.streaming.GraftMicroBatchStream(
+      tableDir, tableSchema, startingVersion, skipDeletes)
+
+  private lazy val snap: TableSnapshot = TableReader.snapshot(tableDir, asOfVersion, catalog)
+
+  private lazy val prunedDataFiles: Seq[FileEntry] = {
+    val data = snap.files.filter(_.content == "data")
+    if (pruneBounds.isEmpty) data
+    else ScanPruning.pruneDataFilesWithBounds(data, pruneBounds)
+  }
+
+  /** Metadata-only estimate: bytes of surviving data files; rows net of
+    * position deletes (equality-delete selectivity is unknowable without
+    * reading keys — leaving it out overestimates, which only errs on the
+    * safe side of a broadcast decision). */
+  override def estimateStatistics(): Statistics = {
+    val bytes = prunedDataFiles.map(_.sizeBytes).sum
+    val posDeleted = snap.files.filter(_.content == "position-deletes")
+      .map(_.recordCount).sum
+    val rows = math.max(0L, prunedDataFiles.map(_.recordCount).sum - posDeleted)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val tasks = ScanPlanner.toInputTasks(snap.files.map(_.toTask))
+    if (SchemaReconcile.needed(snap.schemas, snap.schemaId, tasks))
+      throw CompactionError.Config(
+        s"table under $tableDir needs schema reconciliation (files written " +
+          "under older schema versions); read it via graft.sources.TableReader")
+    val posPaths = snap.files.filter(_.content == "position-deletes")
+      .map(_.path).sorted
+    val eqFiles = snap.files.filter(_.content == "equality-deletes")
+      .sortBy(f => (f.sequenceNumber, f.path))
+    prunedDataFiles.sortBy(_.path).map { d =>
+      GraftMorPartition(
+        dataPath = d.path,
+        dataSeq = d.sequenceNumber,
+        posDeletePaths = posPaths,
+        eqDeletes = eqFiles.filter(_.sequenceNumber > d.sequenceNumber)
+          .map(e => EqDeleteSpec(e.path, e.sequenceNumber, e.equalityIds))
+      ): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftMorReaderFactory(requiredSchema, tableSchema)
+}
+
+final class GraftMorReaderFactory(
+    requiredSchema: StructType, tableSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftMorPartition]
+    new GraftMorPartitionReader(p, requiredSchema, tableSchema)
+  }
+}
+
+/** Streams one data file, dropping rows dead under the task's deletes:
+  * position ordinals collected for THIS file, equality keys per delete
+  * file with `deleteSeq > dataSeq` (the J2 sequence rule). Null equality
+  * keys never match (`===` join semantics on the DataFrame path). */
+final class GraftMorPartitionReader(
+    part: GraftMorPartition,
+    requiredSchema: StructType,
+    tableSchema: StructType
+) extends PartitionReader[InternalRow] {
+  import GraftBatchScan._
+
+  private val dataPathNorm = ScanPlanner.normalizePath(part.dataPath)
+
+  private val deadPositions: java.util.HashSet[Long] = {
+    val set = new java.util.HashSet[Long]()
+    part.posDeletePaths.foreach { pd =>
+      val r = projectedReader(pd, Seq("file_path", "pos"))
+      try {
+        var g = r.read()
+        while (g != null) {
+          val fp = groupValue(g, g.getType.getFieldIndex("file_path"),
+            StringType, "file_path").asInstanceOf[String]
+          if (fp != null && ScanPlanner.normalizePath(fp) == dataPathNorm)
+            set.add(groupValue(g, g.getType.getFieldIndex("pos"),
+              LongType, "pos").asInstanceOf[Long])
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    set
+  }
+
+  /** Per applicable equality-delete file: (key column names, key set).
+    * Keys containing null are dropped — they can never match. */
+  private val eqKeySets: Seq[(Seq[String], java.util.HashSet[Seq[Any]])] =
+    part.eqDeletes.map { e =>
+      val types = e.equalityIds.map { c =>
+        tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(
+          throw CompactionError.Config(
+            s"equality-delete column $c not in table schema"))
+      }
+      val set = new java.util.HashSet[Seq[Any]]()
+      val r = projectedReader(e.path, e.equalityIds)
+      try {
+        var g = r.read()
+        while (g != null) {
+          val key = e.equalityIds.zip(types).map { case (c, t) =>
+            groupValue(g, g.getType.getFieldIndex(c), t, c)
+          }
+          if (!key.contains(null)) set.add(key)
+          g = r.read()
+        }
+      } finally r.close()
+      (e.equalityIds, set)
+    }
+
+  // read schema = output columns ∪ equality key columns, in table order
+  private val readCols: Seq[String] = {
+    val need = requiredSchema.fieldNames.toSet ++ eqKeySets.flatMap(_._1)
+    tableSchema.fields.map(_.name).filter(need.contains).toSeq
+  }
+  private val readTypes: Map[String, DataType] =
+    tableSchema.fields.map(f => f.name -> f.dataType).toMap
+  private val outCols: Array[String] = requiredSchema.fieldNames
+
+  private val reader: ParquetReader[Group] =
+    if (readCols.isEmpty)
+      // 0-column scan (e.g. a bare count) still needs every row ordinal;
+      // read the narrowest column as a carrier
+      projectedReader(part.dataPath, Seq(firstColumn))
+    else projectedReader(part.dataPath, readCols)
+
+  private def firstColumn: String =
+    tableSchema.fields.headOption.map(_.name).getOrElse(
+      throw CompactionError.Config("cannot scan a table with no columns"))
+
+  private var pos: Long = -1L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      pos += 1
+      if (!deadPositions.contains(pos) && liveUnderEqDeletes(g)) {
+        val vals = new Array[Any](outCols.length)
+        var i = 0
+        while (i < outCols.length) {
+          val c = outCols(i)
+          vals(i) = toCatalyst(groupValue(g, g.getType.getFieldIndex(c), readTypes(c), c))
+          i += 1
+        }
+        current = InternalRow.fromSeq(vals.toIndexedSeq)
+        return true
+      }
+      g = reader.read()
+    }
+    false
+  }
+
+  private def liveUnderEqDeletes(g: Group): Boolean =
+    eqKeySets.forall { case (cols, set) =>
+      val key = cols.map(c => groupValue(g, g.getType.getFieldIndex(c), readTypes(c), c))
+      key.contains(null) || !set.contains(key)
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

@@ -44,6 +44,10 @@ object ScanPruning {
     case _                   => None
   }
 
+  /** Intersect two bound maps (shared with the DSv2 scan's
+    * sources.Filter-derived bounds). */
+  def mergeBounds(a: Bounds, b: Bounds): Bounds = merge(a, b)
+
   private def merge(a: Bounds, b: Bounds): Bounds =
     (a.keySet ++ b.keySet).map { k =>
       (a.get(k), b.get(k)) match {
@@ -105,8 +109,12 @@ object ScanPruning {
     * schema and returns a correct empty result (the filter runs
     * regardless — pruning is an IO optimization, never a semantic one).
     */
-  def pruneDataFiles(files: Seq[FileEntry], filter: Column): Seq[FileEntry] = {
-    val cs = constraints(filter)
+  def pruneDataFiles(files: Seq[FileEntry], filter: Column): Seq[FileEntry] =
+    pruneDataFilesWithBounds(files, constraints(filter))
+
+  /** Same pruning from pre-extracted bounds (the DSv2 scan derives them
+    * from pushed `sources.Filter`s instead of a Column tree). */
+  def pruneDataFilesWithBounds(files: Seq[FileEntry], cs: Bounds): Seq[FileEntry] = {
     if (cs.isEmpty || cs.values.exists { case (lo, hi) => lo > hi }) return files
     val (data, deletes) = files.partition(_.content == "data")
     val cols = cs.keys.toSeq

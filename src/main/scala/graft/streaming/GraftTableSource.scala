@@ -8,10 +8,11 @@ import org.apache.parquet.example.data.Group
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,34 +73,50 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object GraftTableSource {
-  /** Read schema = the newest data file's footer under the CURRENT
-    * snapshot (flat primitives, the engine's exact-writer contract). */
+  /** Read schema, resolved in order: the snapshot's CURRENT schema (an
+    * evolved table's source of truth) → the newest data file's footer
+    * (flat primitives, the exact-writer contract) → empty for a
+    * bootstrap table with no data yet (a scan of it is a correct empty
+    * result; the first append defines the schema). */
   def tableSchema(tableDir: String, catalog: TableCatalog = FileTableCatalog): StructType = {
     val snap = catalog.loadOrThrow(tableDir)
-    val fields = SchemaEvolution.bootstrapSchema(snap).fields
+    val fields = snap.currentSchema match {
+      case Some(s) => s.fields
+      case None if snap.files.exists(_.content == "data") =>
+        SchemaEvolution.bootstrapSchema(snap).fields
+      case None => Nil
+    }
     StructType(fields.map(f =>
       StructField(f.name, DataType.fromDDL(f.dataType), nullable = true)))
   }
 }
 
+/** The graft table as a full DSv2 table: batch MoR read
+  * ([[graft.sources.GraftScan]]), streaming tail
+  * ([[GraftMicroBatchStream]]), and batch append
+  * ([[graft.sinks.GraftWriteBuilder]]). ACCEPT_ANY_SCHEMA delegates
+  * write-schema validation to the write builder's by-NAME check (the
+  * engine's append contract) instead of Spark's positional resolution. */
 final class GraftTable(tableDir: String, tblSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.`$tableDir`"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val startingVersion = Option(options.get("startingVersion")).getOrElse("1")
     val skipDeletes = options.getBoolean("skipDeletes", false)
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tblSchema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftMicroBatchStream(tableDir, tblSchema, startingVersion, skipDeletes)
-      }
-    }
+    val asOfVersion = Option(options.get("asOfVersion")).map(_.toLong)
+    new graft.sources.GraftScanBuilder(tableDir, tblSchema, asOfVersion,
+      FileTableCatalog, startingVersion, skipDeletes)
   }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new graft.sinks.GraftWriteBuilder(tableDir, info)
 }
 
 /** Version offset in the table's commit line. */
@@ -195,26 +212,14 @@ final class GroupPartitionReader(path: String, schema: StructType)
   }
 
   override def get(): InternalRow = {
+    import graft.sources.GraftBatchScan.{groupValue, toCatalyst}
     val g = current
     val values = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
       val f = schema(i)
       val gi = g.getType.getFieldIndex(f.name)
-      values(i) =
-        if (g.getFieldRepetitionCount(gi) == 0) null
-        else f.dataType match {
-          case LongType | TimestampType | TimestampNTZType => g.getLong(gi, 0)
-          case IntegerType | DateType => g.getInteger(gi, 0)
-          case StringType  => UTF8String.fromString(g.getString(gi, 0))
-          case DoubleType  => g.getDouble(gi, 0)
-          case FloatType   => g.getFloat(gi, 0)
-          case BooleanType => g.getBoolean(gi, 0)
-          case BinaryType  => g.getBinary(gi, 0).getBytes
-          case other => throw CompactionError.Config(
-            s"graft streaming source supports flat primitives; column " +
-              s"${f.name} has unsupported type $other")
-        }
+      values(i) = toCatalyst(groupValue(g, gi, f.dataType, f.name))
       i += 1
     }
     InternalRow.fromSeq(values.toIndexedSeq)

@@ -1,0 +1,163 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.core.CompactionError
+import graft.txn.{FileTableCatalog, SchemaEvolution, SchemaOp, TableSnapshot, TableWrites}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** DSv2 batch surface: MoR read equivalence vs TableReader, time
+  * travel, pushdown (columns pruned at the reader, filters pruning
+  * files), metadata statistics, the append writer's commit/abort
+  * safety, and the evolved-table refusal. */
+class GraftBatchSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Table with data + eq-delete + pos-delete and a later append that
+    * survives the delete — every MoR code path in one fixture. */
+  private def mkMorTable(): String = {
+    val dir = Files.createTempDirectory("graft-batch").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir, // seq 1
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "name").coalesce(1))
+    TableWrites.appendEqualityDeletes(dir, // seq 2: kills 3,6,9,12,15,18
+      (1L to 20L).filter(_ % 3 == 0).toDF("id"), Seq("id"))
+    TableWrites.appendData(dir, // seq 3: re-insert 3 — newer, survives
+      Seq((3L, "again")).toDF("id", "name").coalesce(1))
+    // seq 4: position-delete ordinals 0 and 4 of the FIRST file (ids 1, 5)
+    val firstFile = FileTableCatalog.loadOrThrow(dir)
+      .files.filter(_.content == "data").minBy(_.sequenceNumber).path
+    TableWrites.appendPositionDeletes(dir,
+      Seq((firstFile, 0L), (firstFile, 4L)).toDF("file_path", "pos"))
+    dir
+  }
+
+  private def dsv2(dir: String): DataFrame =
+    spark.read.format("graft").load(dir)
+
+  test("batch read applies position and equality deletes like TableReader") {
+    val dir = mkMorTable()
+    val viaDsv2 = dsv2(dir).as[(Long, String)].collect().toSet
+    val viaJoin = TableReader.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(viaDsv2 == viaJoin)
+    // spot semantics: 1,5 position-deleted; %3 eq-deleted except the
+    // re-inserted (3,"again")
+    assert(!viaDsv2.exists(_._1 == 1L) && !viaDsv2.exists(_._1 == 5L))
+    assert(viaDsv2.filter(_._1 % 3 == 0) == Set((3L, "again")))
+    assert(viaDsv2.contains((2L, "v2")))
+  }
+
+  test("asOfVersion reads a retained snapshot") {
+    val dir = mkMorTable()
+    val atV2 = dsv2(dir).count() // sanity: current has deletes applied
+    val preDeletes = spark.read.format("graft")
+      .option("asOfVersion", "2").load(dir).count()
+    assert(preDeletes == 20L && atV2 < preDeletes)
+  }
+
+  test("column pruning reaches the reader and a pruned read stays correct") {
+    val dir = mkMorTable()
+    val names = dsv2(dir).select("name").as[String].collect().toSet
+    assert(names.contains("again") && !names.contains("v3") && !names.contains("v1"))
+    // the optimized plan's scan schema must have shed the other column
+    val scanLine = dsv2(dir).select("name").queryExecution.executedPlan.toString
+    assert(scanLine.contains("name") && !scanLine.contains("id"),
+      s"expected id pruned from the DSv2 scan:\n$scanLine")
+  }
+
+  test("pushed bounds prune files from the scan; residual still applied") {
+    val dir = Files.createTempDirectory("graft-batch-prune").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    // two files with disjoint id ranges
+    TableWrites.appendData(dir,
+      (1L to 100L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1))
+    TableWrites.appendData(dir,
+      (1000L to 1100L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1))
+    val q = dsv2(dir).filter(col("id") <= 50)
+    val parts = { // bounds must drop the 1000..1100 file before any task runs
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec in plan"))
+      scan.partitions.size
+    }
+    assert(parts == 1, s"expected the out-of-bounds file pruned, got $parts partitions")
+    assert(q.count() == 50L)
+  }
+
+  test("statistics come from snapshot metadata") {
+    val dir = mkMorTable()
+    val snap = FileTableCatalog.loadOrThrow(dir)
+    val expectBytes = snap.files.filter(_.content == "data").map(_.sizeBytes).sum
+    val rel = dsv2(dir).queryExecution.optimizedPlan
+    assert(rel.stats.sizeInBytes == BigInt(expectBytes),
+      s"expected $expectBytes from metadata, got ${rel.stats.sizeInBytes}")
+  }
+
+  test("DSv2 append commits through the CAS line and rolls on the byte target") {
+    val dir = Files.createTempDirectory("graft-batch-wr").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    // the W2 policy is consulted once per 1024-row batch, so the
+    // fixture needs several batches' worth of bytes to roll
+    (1L to 5000L).map(i => (i, "x" * 64)).toDF("id", "pad")
+      .coalesce(1)
+      .write.format("graft").mode("append")
+      .option("targetFileSizeBytes", "16384")
+      .save(dir)
+    val snap = FileTableCatalog.loadOrThrow(dir)
+    val data = snap.files.filter(_.content == "data")
+    assert(snap.version == 2 && snap.lastSequenceNumber == 1)
+    assert(data.map(_.recordCount).sum == 5000L)
+    assert(data.size > 1, s"16 KiB target over ~350 KB of rows should roll: ${data.size} file(s)")
+    assert(data.forall(f => f.sequenceNumber == 1L && f.path.contains("/data/dsv2-")))
+    // no attempt debris next to the committed files
+    val leftover = graft.io.FileIO.listFilesRecursive(s"$dir/data")
+      .filter(_._1.contains("_attempt-"))
+    assert(leftover.isEmpty, s"attempt debris: $leftover")
+    // and the written rows read back
+    assert(dsv2(dir).count() == 5000L)
+  }
+
+  test("append schema is validated by name against the table") {
+    val dir = Files.createTempDirectory("graft-batch-wrbad").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    Seq((1L, "a")).toDF("id", "name")
+      .write.format("graft").mode("append").save(dir)
+    val e = intercept[Exception] {
+      Seq((2L, 7L)).toDF("id", "other")
+        .write.format("graft").mode("append").save(dir)
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(_.getMessage.contains("does not match the table schema")))
+    // table unchanged: one data commit only
+    assert(FileTableCatalog.loadOrThrow(dir).version == 2)
+  }
+
+  test("an evolved table refuses the DSv2 batch path with a clear error") {
+    val dir = Files.createTempDirectory("graft-batch-evolved").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir, Seq((1L, "a")).toDF("id", "name").coalesce(1))
+    SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("name", "label")))
+    TableWrites.appendData(dir, Seq((2L, "b")).toDF("id", "label").coalesce(1))
+    val e = intercept[Exception] { dsv2(dir).collect() }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists {
+        case c: CompactionError.Config =>
+          c.getMessage.contains("schema reconciliation")
+        case _ => false
+      })
+  }
+
+  test("empty bootstrap table scans as empty and the first append defines the schema") {
+    val dir = Files.createTempDirectory("graft-batch-empty").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    assert(dsv2(dir).count() == 0L)
+    Seq((1L, "a")).toDF("id", "name")
+      .write.format("graft").mode("append").save(dir)
+    assert(dsv2(dir).columns.toSeq == Seq("id", "name"))
+    assert(dsv2(dir).count() == 1L)
+  }
+}
