@@ -183,12 +183,47 @@ final class GraftScan(
     catalog: TableCatalog,
     startingVersion: String,
     skipDeletes: Boolean
-) extends Scan with Batch with SupportsReportStatistics {
+) extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft MoR $tableDir${asOfVersion.fold("")(v => s" @v$v")}"
+
+  /** Runtime filtering (the DSv2 analog of dynamic partition pruning):
+    * when a graft table is joined to a selective side, Spark executes
+    * that side first and hands the join-key values back here as `In`
+    * filters BEFORE tasks launch — each value set collapses to a
+    * per-file footer-stats membership test, so a 100 TB fact table
+    * joined to a pruned dimension scans only the files that can match.
+    * Integral columns only (the same conservative envelope as
+    * [[ScanPruning]]); anything else keeps every file. Spark resolves
+    * these against the scan's pruned OUTPUT, so they must come from
+    * `requiredSchema`, never the full table schema. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    requiredSchema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  @volatile private var runtimeInSets: Map[String, Array[Long]] = Map.empty
+
+  override def filter(filters: Array[sources.Filter]): Unit = {
+    def longs(vs: Array[Any]): Option[Array[Long]] = {
+      val out = vs.flatMap {
+        case i: Int => Some(i.toLong); case l: Long => Some(l)
+        case s: Short => Some(s.toLong); case null => None
+        case _ => return None // non-integral value set: unusable
+      }
+      Some(out)
+    }
+    runtimeInSets = filters.collect {
+      case sources.In(attr, vs) => longs(vs).map(attr -> _)
+      case sources.EqualTo(attr, v) => longs(Array(v)).map(attr -> _)
+    }.flatten.toMap
+  }
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -228,7 +263,10 @@ final class GraftScan(
       .map(_.path).sorted
     val eqFiles = snap.files.filter(_.content == "equality-deletes")
       .sortBy(f => (f.sequenceNumber, f.path))
-    prunedDataFiles.sortBy(_.path).map { d =>
+    val afterRuntime =
+      if (runtimeInSets.isEmpty) prunedDataFiles
+      else ScanPruning.pruneDataFilesWithInSets(prunedDataFiles, runtimeInSets)
+    afterRuntime.sortBy(_.path).map { d =>
       GraftMorPartition(
         dataPath = d.path,
         dataSeq = d.sequenceNumber,

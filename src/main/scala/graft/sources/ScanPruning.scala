@@ -112,14 +112,47 @@ object ScanPruning {
   def pruneDataFiles(files: Seq[FileEntry], filter: Column): Seq[FileEntry] =
     pruneDataFilesWithBounds(files, constraints(filter))
 
+  /** Runtime-filter pruning: keep a data file iff, for EVERY constrained
+    * column, at least one of the join-key values lands inside the file's
+    * footer [min, max] (no stats → keep). Sets arrive from Spark's
+    * runtime filtering (`SupportsRuntimeFiltering`) after the selective
+    * join side has executed. */
+  def pruneDataFilesWithInSets(
+      files: Seq[FileEntry], sets: Map[String, Array[Long]]): Seq[FileEntry] =
+    if (sets.isEmpty) files
+    else pruneWith(files, sets.keys.toSeq) { stats =>
+      sets.forall { case (c, vs) =>
+        stats.get(c) match {
+          case None           => true
+          // an empty value set (empty join side) matches nothing; the
+          // shared keep-one-file floor still returns a correct empty scan
+          case Some((mn, mx)) => vs.exists(v => v >= mn && v <= mx)
+        }
+      }
+    }
+
   /** Same pruning from pre-extracted bounds (the DSv2 scan derives them
     * from pushed `sources.Filter`s instead of a Column tree). */
-  def pruneDataFilesWithBounds(files: Seq[FileEntry], cs: Bounds): Seq[FileEntry] = {
-    if (cs.isEmpty || cs.values.exists { case (lo, hi) => lo > hi }) return files
+  def pruneDataFilesWithBounds(files: Seq[FileEntry], cs: Bounds): Seq[FileEntry] =
+    if (cs.isEmpty || cs.values.exists { case (lo, hi) => lo > hi }) files
+    else pruneWith(files, cs.keys.toSeq) { stats =>
+      cs.forall { case (c, (lo, hi)) =>
+        stats.get(c) match {
+          case None           => true // column absent -> keep
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+        }
+      }
+    }
+
+  /** Shared pruning loop: evaluate `keep` over each data file's footer
+    * min/max for `cols`; files without trustworthy stats always survive,
+    * delete files pass through, and at least one data file is retained
+    * so the read still resolves the table schema. Footers are fetched in
+    * parallel — the same driver-pool rationale as
+    * ParquetStats.minMaxLong (object-store round-trips, not CPU). */
+  private def pruneWith(files: Seq[FileEntry], cols: Seq[String])(
+      keep: Map[String, (Long, Long)] => Boolean): Seq[FileEntry] = {
     val (data, deletes) = files.partition(_.content == "data")
-    val cols = cs.keys.toSeq
-    // footers in parallel — the same driver-pool rationale as
-    // ParquetStats.minMaxLong (object-store round-trips, not CPU)
     val pool = java.util.concurrent.Executors
       .newFixedThreadPool(math.max(1, math.min(16, data.size)))
     val kept = try {
@@ -127,13 +160,8 @@ object ScanPruning {
         pool.submit(new java.util.concurrent.Callable[Boolean] {
           override def call(): Boolean =
             ParquetStats.fileStats(f.path, cols)._2 match {
-              case None => true // no trustworthy stats -> keep
-              case Some(stats) => cs.forall { case (c, (lo, hi)) =>
-                stats.get(c) match {
-                  case None           => true // column absent -> keep
-                  case Some((mn, mx)) => mx >= lo && mn <= hi
-                }
-              }
+              case None        => true // no trustworthy stats -> keep
+              case Some(stats) => keep(stats)
             }
         })
       }

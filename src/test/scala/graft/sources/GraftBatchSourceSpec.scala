@@ -88,6 +88,52 @@ class GraftBatchSourceSpec extends AnyFunSuite {
     assert(q.count() == 50L)
   }
 
+  test("runtime In-filters prune files before tasks launch") {
+    val dir = Files.createTempDirectory("graft-batch-rtf").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      (1L to 100L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1))
+    TableWrites.appendData(dir,
+      (1000L to 1100L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1))
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.{sources => f}
+    def freshScan() = {
+      val builder = new GraftScanBuilder(dir,
+        dsv2(dir).schema, None, FileTableCatalog, "1", skipDeletes = false)
+      builder.build()
+    }
+    val scan = freshScan()
+    // unpruned scan exposes both integral columns for runtime filtering
+    assert(scan.asInstanceOf[SupportsRuntimeFiltering]
+      .filterAttributes().map(_.describe()).toSet == Set("id", "v"))
+    assert(scan.toBatch.planInputPartitions().length == 2)
+    // a column-pruned scan must only expose columns it still outputs
+    // (Spark resolves filterAttributes against the scan output)
+    val prunedBuilder = new GraftScanBuilder(dir,
+      dsv2(dir).schema, None, FileTableCatalog, "1", skipDeletes = false)
+    prunedBuilder.pruneColumns(org.apache.spark.sql.types.StructType(
+      dsv2(dir).schema.fields.filter(_.name == "id")))
+    assert(prunedBuilder.build().asInstanceOf[SupportsRuntimeFiltering]
+      .filterAttributes().map(_.describe()).toSet == Set("id"))
+    // join-side values all land in the first file's [1,100] range
+    val filtered = freshScan()
+    filtered.asInstanceOf[SupportsRuntimeFiltering]
+      .filter(Array[f.Filter](f.In("id", Array(7L, 42L))))
+    val parts = filtered.toBatch.planInputPartitions()
+    assert(parts.length == 1 &&
+      parts.head.asInstanceOf[GraftMorPartition].dataPath.contains("/data/"))
+    // values inside NEITHER file's range -> keep-one-file floor (schema
+    // resolution), never zero partitions with data present
+    val none = freshScan()
+    none.asInstanceOf[SupportsRuntimeFiltering]
+      .filter(Array[f.Filter](f.In("id", Array(500L))))
+    assert(none.toBatch.planInputPartitions().length == 1)
+    // and a real broadcast join over the source stays correct
+    val dim = Seq((7L, "a"), (42L, "b")).toDF("id", "tag")
+    val joined = dsv2(dir).join(broadcast(dim), "id")
+    assert(joined.count() == 2)
+  }
+
   test("statistics come from snapshot metadata") {
     val dir = mkMorTable()
     val snap = FileTableCatalog.loadOrThrow(dir)
