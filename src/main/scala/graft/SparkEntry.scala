@@ -32,6 +32,7 @@ object SparkEntry {
       ("stream_tail" -> (graft.queries.StreamTailQuery.run _)) +
       ("mor_dsv2" -> (graft.queries.TableLifecycleQuery.runDsv2 _)) +
       ("dsv2_roundtrip" -> (graft.queries.Dsv2RoundtripQuery.run _)) +
+      ("sql_catalog_crud" -> (graft.queries.SqlCatalogQuery.run _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -55,6 +56,7 @@ object SparkEntry {
       ("stream_tail" -> graft.queries.StreamTailQuery.oracle) +
       ("mor_dsv2" -> graft.queries.TableLifecycleQuery.oracle) +
       ("dsv2_roundtrip" -> graft.queries.Dsv2RoundtripQuery.oracle) +
+      ("sql_catalog_crud" -> graft.queries.SqlCatalogQuery.oracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

@@ -58,12 +58,18 @@ object SparkCompactionExecutor extends CompactionExecutor {
 
   /** Merge-on-read live rows for the given tasks (reference §3.1 steps
     * 3-6): hidden columns only as needed, delete tables broadcast when
-    * their file bytes are under the session broadcast threshold. */
-  def liveRows(spark: SparkSession, tasks: InputFileScanTasks): DataFrame = {
+    * their file bytes are under the session broadcast threshold.
+    * `keepLineage` retains `sys_hidden_file_path`/`sys_hidden_pos` in
+    * the output — the DELETE FROM path selects matching positions from
+    * them. */
+  def liveRows(spark: SparkSession, tasks: InputFileScanTasks,
+      keepLineage: Boolean = false): DataFrame = {
     val needSeq = tasks.equalityDeleteFiles.nonEmpty
-    val needPos = tasks.positionDeleteFiles.nonEmpty
+    val needPos = keepLineage || tasks.positionDeleteFiles.nonEmpty
     val data = ScanPlanner.readDataFiles(spark, tasks.dataFiles, needSeq, needPos)
-    val userCols = data.columns.filterNot(MergeOnRead.HiddenCols.contains).toSeq
+    val userCols = data.columns.filterNot(MergeOnRead.HiddenCols.contains).toSeq ++
+      (if (keepLineage) Seq(MergeOnRead.SysHiddenFilePath, MergeOnRead.SysHiddenPos)
+       else Nil)
     val posDel = ScanPlanner.readPositionDeletes(spark, tasks.positionDeleteFiles)
     // Broadcast gate for position deletes mirrors the equality-delete gate
     // below: a heavily-deleted table can carry tens of GB of position

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+/** The pure-SQL surface ([[graft.sql.GraftCatalog]]) as an
+  * oracle-checked query — every statement below runs through
+  * `spark.sql`, no engine API calls:
+  *
+  *  1. CREATE TABLE declares the schema (bootstrap snapshot carries it);
+  *  2. two INSERT INTO commits land thirds of lineitem;
+  *  3. DELETE FROM removes rows matching a translatable predicate —
+  *     planned as a merge-on-read POSITION delete commit
+  *     ([[graft.streaming.GraftTable.deleteWhere]]), so it affects only
+  *     rows present at delete time;
+  *  4. the last third is inserted AFTER the delete — its matching rows
+  *     must survive (position deletes pin physical rows, not keys);
+  *  5. SELECT reads the live rows back.
+  *
+  * The oracle recomputes the survivors from lineitem alone: a hash
+  * match certifies SQL DDL → DSv2 append → MoR DELETE → MoR read,
+  * end-to-end through Spark's catalog resolution.
+  */
+object SqlCatalogQuery {
+
+  private val outCols = Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag")
+
+  private val catalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val counter = new AtomicInteger(0)
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val cat = catalogs.computeIfAbsent(dir, _ => {
+      val name = s"gq${counter.incrementAndGet()}"
+      val wh = Files.createTempDirectory(s"graft-sqlcat-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(
+        // l_linenumber is INT32 in the source parquet — declare INT so
+        // the round-tripped dtype matches the DuckDB oracle exactly
+        s"""CREATE TABLE $name.db.li (
+           |  l_orderkey BIGINT, l_linenumber INT,
+           |  l_suppkey BIGINT, l_returnflag STRING)""".stripMargin)
+      def insertThird(k: Int): Unit = spark.sql(
+        s"""INSERT INTO $name.db.li
+           |SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+           |FROM li_src WHERE l_orderkey % 3 = $k""".stripMargin)
+      insertThird(0)
+      insertThird(1)
+      spark.sql(
+        s"DELETE FROM $name.db.li WHERE l_orderkey <= 500 AND l_returnflag = 'A'")
+      insertThird(2) // post-delete rows survive even when they match
+      name
+    })
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+         |FROM $cat.db.li
+         |ORDER BY ${outCols.mkString(", ")}""".stripMargin)
+  }
+
+  val oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+      |FROM lineitem
+      |WHERE l_orderkey % 3 = 2
+      |   OR NOT (l_orderkey <= 500 AND l_returnflag = 'A')
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
+}

@@ -1,7 +1,6 @@
 package graft.sources
 
 import graft.core.CompactionError
-import graft.plans.SchemaReconcile
 import graft.txn.{FileEntry, TableCatalog, TableSnapshot}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
@@ -49,10 +48,14 @@ import scala.jdk.CollectionConverters._
   *    [[graft.compaction.DeleteCompaction]] keeps converged to a few
   *    sorted files — the same memory model as Iceberg's `DeleteFilter`.
   *
-  * Boundaries (fail loudly, never silently wrong): tables needing schema
-  * reconciliation (a read straddling column renames/adds/drops) refuse
-  * the DSv2 path and point at [[TableReader.read]]; schemas are the
-  * engine's flat-primitive table model.
+  * Schema evolution is handled per task (the row-level mirror of
+  * [[graft.plans.SchemaReconcile]]'s plan-level union): planning
+  * resolves each file's columns to the CURRENT schema by field id —
+  * renames become a physical-name mapping, added columns null-fill,
+  * dropped ids are not projected, and equality-delete keys recorded
+  * under old names are id-translated — so a read straddling an ALTER
+  * TABLE needs no extra scan nodes. Schemas are the engine's
+  * flat-primitive table model.
   */
 object GraftBatchScan {
 
@@ -100,7 +103,7 @@ object GraftBatchScan {
     val missing = cols.filterNot(c => fileSchema.containsField(c))
     if (missing.nonEmpty) throw CompactionError.Config(
       s"columns ${missing.mkString(", ")} absent from $path " +
-        "(schema drift? evolved tables must be read via TableReader)")
+        "(file/metadata schema drift — was the file replaced outside a commit?)")
     val projection = new MessageType(fileSchema.getName,
       cols.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))).asJava)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
@@ -109,15 +112,25 @@ object GraftBatchScan {
   }
 }
 
-/** One equality-delete file applicable to a task's data file. */
-final case class EqDeleteSpec(path: String, sequenceNumber: Long, equalityIds: Seq[String])
+/** One equality-delete file applicable to a task's data file. Keys are
+  * carried as (current logical name, physical name in the delete file)
+  * pairs — identical for un-evolved tables, id-translated through the
+  * schema history otherwise (same semantics as
+  * [[graft.plans.SchemaReconcile]]). */
+final case class EqDeleteSpec(path: String, sequenceNumber: Long,
+    keyCols: Seq[(String, String)])
 
-/** One data file plus exactly the delete files that can affect it. */
+/** One data file plus exactly the delete files that can affect it.
+  * `columnMap` resolves each CURRENT column to its physical name in
+  * THIS file (None = the file predates the column → null-fill), so a
+  * read straddling renames/adds/drops needs no join or union — the
+  * mapping is applied row-by-row in the reader. */
 final case class GraftMorPartition(
     dataPath: String,
     dataSeq: Long,
     posDeletePaths: Seq[String],
-    eqDeletes: Seq[EqDeleteSpec]
+    eqDeletes: Seq[EqDeleteSpec],
+    columnMap: Map[String, Option[String]]
 ) extends InputPartition
 
 final class GraftScanBuilder(
@@ -232,10 +245,20 @@ final class GraftScan(
 
   private lazy val snap: TableSnapshot = TableReader.snapshot(tableDir, asOfVersion, catalog)
 
+  /** Footer stats are keyed by PHYSICAL column names, so pruning only
+    * applies to files written under the current schema (same guard as
+    * [[TableReader.readOption]]); older files always survive. */
+  private def pruneGuarded(data: Seq[FileEntry],
+      prune: Seq[FileEntry] => Seq[FileEntry]): Seq[FileEntry] = {
+    val (pr, keep) = data.partition(f =>
+      snap.schemas.isEmpty || f.schemaId < 0 || f.schemaId == snap.schemaId)
+    prune(pr) ++ keep
+  }
+
   private lazy val prunedDataFiles: Seq[FileEntry] = {
     val data = snap.files.filter(_.content == "data")
     if (pruneBounds.isEmpty) data
-    else ScanPruning.pruneDataFilesWithBounds(data, pruneBounds)
+    else pruneGuarded(data, ScanPruning.pruneDataFilesWithBounds(_, pruneBounds))
   }
 
   /** Metadata-only estimate: bytes of surviving data files; rows net of
@@ -254,25 +277,55 @@ final class GraftScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val tasks = ScanPlanner.toInputTasks(snap.files.map(_.toTask))
-    if (SchemaReconcile.needed(snap.schemas, snap.schemaId, tasks))
-      throw CompactionError.Config(
-        s"table under $tableDir needs schema reconciliation (files written " +
-          "under older schema versions); read it via graft.sources.TableReader")
+    // Schema-history resolution (the per-task mirror of
+    // [[SchemaReconcile]]): files written under older schemas get an
+    // id-translated column map; un-evolved tables get identity maps.
+    val byId = snap.schemas.map(s => s.schemaId -> s).toMap
+    val current = snap.currentSchema
+    def oldSchemaOf(schemaId: Long): Option[graft.core.TableSchema] =
+      current.flatMap { cur =>
+        if (schemaId < 0 || schemaId == cur.schemaId) None
+        else Some(byId.getOrElse(schemaId, throw CompactionError.Config(
+          s"file written under unknown schema id $schemaId (history: " +
+            s"${snap.schemas.map(_.schemaId).mkString(", ")})")))
+      }
+    val identityMap: Map[String, Option[String]] =
+      tableSchema.fieldNames.map(n => n -> Some(n)).toMap
+    def columnMapFor(f: FileEntry): Map[String, Option[String]] =
+      oldSchemaOf(f.schemaId) match {
+        case None => identityMap
+        case Some(old) => current.get.fields.map(fl =>
+          fl.name -> old.fieldById.get(fl.id).map(_.name)).toMap
+      }
+    def keyColsFor(e: FileEntry): Seq[(String, String)] =
+      oldSchemaOf(e.schemaId) match {
+        case None => e.equalityIds.map(n => (n, n))
+        case Some(old) => e.equalityIds.map { n =>
+          val id = old.idByName.getOrElse(n, throw CompactionError.Config(
+            s"equality column '$n' of ${e.path} not in its schema ${e.schemaId}"))
+          val cur = current.get.fieldById.getOrElse(id,
+            throw CompactionError.Config(
+              s"equality-delete ${e.path} keys on field $id ('$n'), which " +
+                "the current schema dropped — the delete cannot apply"))
+          (cur.name, n)
+        }
+      }
     val posPaths = snap.files.filter(_.content == "position-deletes")
       .map(_.path).sorted
     val eqFiles = snap.files.filter(_.content == "equality-deletes")
       .sortBy(f => (f.sequenceNumber, f.path))
     val afterRuntime =
       if (runtimeInSets.isEmpty) prunedDataFiles
-      else ScanPruning.pruneDataFilesWithInSets(prunedDataFiles, runtimeInSets)
+      else pruneGuarded(prunedDataFiles,
+        ScanPruning.pruneDataFilesWithInSets(_, runtimeInSets))
     afterRuntime.sortBy(_.path).map { d =>
       GraftMorPartition(
         dataPath = d.path,
         dataSeq = d.sequenceNumber,
         posDeletePaths = posPaths,
         eqDeletes = eqFiles.filter(_.sequenceNumber > d.sequenceNumber)
-          .map(e => EqDeleteSpec(e.path, e.sequenceNumber, e.equalityIds))
+          .map(e => EqDeleteSpec(e.path, e.sequenceNumber, keyColsFor(e))),
+        columnMap = columnMapFor(d)
       ): InputPartition
     }.toArray
   }
@@ -322,49 +375,61 @@ final class GraftMorPartitionReader(
     set
   }
 
-  /** Per applicable equality-delete file: (key column names, key set).
-    * Keys containing null are dropped — they can never match. */
+  private val readTypes: Map[String, DataType] =
+    tableSchema.fields.map(f => f.name -> f.dataType).toMap
+
+  /** Per applicable equality-delete file: (current key column names,
+    * key set). Keys read under the DELETE file's physical names, typed
+    * by the current schema. Keys containing null are dropped — they can
+    * never match (`===` anti-join semantics). */
   private val eqKeySets: Seq[(Seq[String], java.util.HashSet[Seq[Any]])] =
     part.eqDeletes.map { e =>
-      val types = e.equalityIds.map { c =>
-        tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(
-          throw CompactionError.Config(
-            s"equality-delete column $c not in table schema"))
+      val curNames = e.keyCols.map(_._1)
+      val types = curNames.map { c =>
+        readTypes.getOrElse(c, throw CompactionError.Config(
+          s"equality-delete column $c not in table schema"))
       }
       val set = new java.util.HashSet[Seq[Any]]()
-      val r = projectedReader(e.path, e.equalityIds)
+      val r = projectedReader(e.path, e.keyCols.map(_._2))
       try {
         var g = r.read()
         while (g != null) {
-          val key = e.equalityIds.zip(types).map { case (c, t) =>
-            groupValue(g, g.getType.getFieldIndex(c), t, c)
+          val key = e.keyCols.zip(types).map { case ((_, phys), t) =>
+            groupValue(g, g.getType.getFieldIndex(phys), t, phys)
           }
           if (!key.contains(null)) set.add(key)
           g = r.read()
         }
       } finally r.close()
-      (e.equalityIds, set)
+      (curNames, set)
     }
 
-  // read schema = output columns ∪ equality key columns, in table order
-  private val readCols: Seq[String] = {
+  // columns to materialize = output ∪ equality keys (current names, in
+  // table order); read from the file under their PHYSICAL names —
+  // current columns the file predates are null, not read
+  private val neededCurrent: Seq[String] = {
     val need = requiredSchema.fieldNames.toSet ++ eqKeySets.flatMap(_._1)
     tableSchema.fields.map(_.name).filter(need.contains).toSeq
   }
-  private val readTypes: Map[String, DataType] =
-    tableSchema.fields.map(f => f.name -> f.dataType).toMap
+  private val physicalCols: Seq[String] =
+    neededCurrent.flatMap(c => part.columnMap.getOrElse(c, None))
   private val outCols: Array[String] = requiredSchema.fieldNames
 
   private val reader: ParquetReader[Group] =
-    if (readCols.isEmpty)
-      // 0-column scan (e.g. a bare count) still needs every row ordinal;
-      // read the narrowest column as a carrier
-      projectedReader(part.dataPath, Seq(firstColumn))
-    else projectedReader(part.dataPath, readCols)
+    if (physicalCols.isEmpty)
+      // nothing to materialize from this file (bare count, or every
+      // needed column postdates it) — full rows, only ordinals consumed
+      ParquetReader.builder(new GroupReadSupport(), new HPath(part.dataPath))
+        .withConf(new Configuration()).build()
+    else projectedReader(part.dataPath, physicalCols)
 
-  private def firstColumn: String =
-    tableSchema.fields.headOption.map(_.name).getOrElse(
-      throw CompactionError.Config("cannot scan a table with no columns"))
+  /** One field of the current row, in CURRENT-schema terms. */
+  private def fieldValue(g: Group, currentName: String): Any =
+    part.columnMap.getOrElse(currentName, Some(currentName)) match {
+      case None       => null // file predates the column
+      case Some(phys) =>
+        groupValue(g, g.getType.getFieldIndex(phys), readTypes(currentName), phys)
+    }
 
   private var pos: Long = -1L
   private var current: InternalRow = _
@@ -377,8 +442,7 @@ final class GraftMorPartitionReader(
         val vals = new Array[Any](outCols.length)
         var i = 0
         while (i < outCols.length) {
-          val c = outCols(i)
-          vals(i) = toCatalyst(groupValue(g, g.getType.getFieldIndex(c), readTypes(c), c))
+          vals(i) = toCatalyst(fieldValue(g, outCols(i)))
           i += 1
         }
         current = InternalRow.fromSeq(vals.toIndexedSeq)
@@ -391,7 +455,7 @@ final class GraftMorPartitionReader(
 
   private def liveUnderEqDeletes(g: Group): Boolean =
     eqKeySets.forall { case (cols, set) =>
-      val key = cols.map(c => groupValue(g, g.getType.getFieldIndex(c), readTypes(c), c))
+      val key = cols.map(fieldValue(g, _))
       key.contains(null) || !set.contains(key)
     }
 

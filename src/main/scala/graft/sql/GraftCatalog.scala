@@ -1,0 +1,230 @@
+package graft.sql
+
+import graft.core.CompactionError
+import graft.io.FileIO
+import graft.sinks.ExactRollingWriter
+import graft.streaming.{GraftTable, GraftTableSource}
+import graft.txn.{FileTableCatalog, SchemaEvolution, SchemaOp, TableSnapshot}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{sources => f}
+
+import java.util
+
+/** Spark SQL catalog plugin over a warehouse of graft tables — the last
+  * mile that makes the engine usable from PURE SQL:
+  *
+  * {{{
+  *   spark.sql.catalog.g           = graft.sql.GraftCatalog
+  *   spark.sql.catalog.g.warehouse = /data/warehouse
+  *
+  *   CREATE TABLE g.db.t (id BIGINT, name STRING)
+  *   INSERT INTO g.db.t SELECT ...        -- DSv2 rolling append + CAS
+  *   SELECT * FROM g.db.t WHERE id < 10   -- MoR read, file pruning
+  *   SELECT * FROM g.db.t VERSION AS OF 3 -- time travel
+  *   DELETE FROM g.db.t WHERE id % 2 = 0  -- position-delete commit
+  *   ALTER TABLE g.db.t RENAME COLUMN name TO label
+  *   DROP TABLE g.db.t
+  * }}}
+  *
+  * Layout: `<warehouse>/<namespace...>/<table>/` — a directory is a
+  * table iff it holds committed graft metadata, otherwise it is a
+  * namespace. CREATE TABLE commits a bootstrap snapshot CARRYING the
+  * declared schema (as schema history v1), so reads/writes against an
+  * empty table resolve columns before any data lands and appends are
+  * name-checked from the first row. ALTER TABLE maps add/rename/drop
+  * column straight onto [[SchemaEvolution.evolve]] (same id-based
+  * reconciliation the API path uses).
+  *
+  * DELETE FROM is merge-on-read: see [[GraftTable.deleteWhere]] — it
+  * commits position deletes for the matching live rows, cost
+  * proportional to the matching scan, no data-file rewrite; the next
+  * compaction folds them in.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw CompactionError.Config(
+        s"graft catalog '$name' requires spark.sql.catalog.$name.warehouse")
+    ).stripSuffix("/")
+    FileIO.mkdirs(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(parts: Seq[String]): String =
+    (warehouse +: parts).mkString("/")
+  private def tableDir(ident: Identifier): String =
+    dirOf(ident.namespace.toIndexedSeq :+ ident.name)
+  private def isTable(dir: String): Boolean =
+    FileTableCatalog.load(dir).isDefined
+
+  // ---- tables -----------------------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val dir = dirOf(ns.toIndexedSeq)
+    if (ns.nonEmpty && !FileIO.exists(dir)) throw new NoSuchNamespaceException(ns)
+    FileIO.listDirectories(dir)
+      .filter(isTable)
+      .map(d => Identifier.of(ns, d.substring(d.lastIndexOf('/') + 1)))
+      .sortBy(_.name)
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new GraftTable(dir, GraftTableSource.tableSchema(dir),
+      acceptAnySchema = false)
+  }
+
+  /** `VERSION AS OF <v>` — pin the scan to a retained snapshot. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw CompactionError.Config(
+      s"graft versions are snapshot numbers; got '$version'"))
+    new GraftTable(dir, GraftTableSource.tableSchema(dir, asOfVersion = Some(v)),
+      pinnedVersion = Some(v), acceptAnySchema = false)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw CompactionError.Config(
+      "graft SQL tables do not support PARTITIONED BY (use the compaction " +
+        "API's partition spec for fanout writes)")
+    schema.fields.foreach { fld =>
+      if (!ExactRollingWriter.supportedType(fld.dataType))
+        throw CompactionError.Config(
+          s"graft tables hold flat primitives; ${fld.name}: ${fld.dataType} is not supported")
+    }
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    // bootstrap snapshot CARRIES the declared schema as history v1, so
+    // the empty table already resolves columns and appends name-check
+    val fields = schema.fields.zipWithIndex.map { case (fld, i) =>
+      graft.core.SchemaField(i + 1, fld.name, fld.dataType.sql)
+    }
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil,
+      schemas = Seq(graft.core.TableSchema(1, fields.toIndexedSeq))))
+    new GraftTable(dir, GraftTableSource.tableSchema(dir),
+      acceptAnySchema = false)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val ops: Seq[SchemaOp] = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        SchemaOp.Add(a.fieldNames.head, a.dataType.sql)
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        SchemaOp.Rename(r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        SchemaOp.Drop(d.fieldNames.head)
+      case other => throw CompactionError.Config(
+        s"unsupported ALTER TABLE change for a graft table: $other")
+    }.toSeq
+    SchemaEvolution.evolve(dir, ops)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    isTable(dir) && FileIO.deleteRecursive(dir)
+  }
+
+  /** Refused, deliberately: graft snapshots (and the file_path column
+    * inside committed position-delete files) address data by ABSOLUTE
+    * path, so a directory move would orphan every reference — the same
+    * reason Iceberg's HadoopCatalog refuses rename. A service-backed
+    * catalog that maps names to locations would support this for free
+    * behind the same seam. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft's path-addressed catalog cannot rename tables: snapshot and " +
+        "position-delete file references are absolute paths")
+
+  // ---- namespaces -------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    FileIO.listDirectories(warehouse)
+      .filterNot(isTable)
+      .map(d => Array(d.substring(d.lastIndexOf('/') + 1)))
+      .sortBy(_.head)
+      .toArray
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] =
+    if (ns.isEmpty) listNamespaces()
+    else {
+      val dir = dirOf(ns.toIndexedSeq)
+      if (!FileIO.exists(dir)) throw new NoSuchNamespaceException(ns)
+      FileIO.listDirectories(dir)
+        .filterNot(isTable)
+        .map(d => ns :+ d.substring(d.lastIndexOf('/') + 1))
+        .toArray
+    }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || (FileIO.exists(dirOf(ns.toIndexedSeq)) && !isTable(dirOf(ns.toIndexedSeq)))
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    FileIO.mkdirs(dirOf(ns.toIndexedSeq))
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    throw CompactionError.Config("graft namespaces carry no metadata to alter")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    val dir = dirOf(ns.toIndexedSeq)
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    if (!cascade && (listTables(ns).nonEmpty || listNamespaces(ns).nonEmpty))
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(ns)
+    FileIO.deleteRecursive(dir)
+  }
+}
+
+/** `sources.Filter` → `Column` translation for DELETE FROM (and any
+  * other surface that needs to run a pushed filter as a plan). None =
+  * untranslatable, the caller must refuse rather than under-delete. */
+object Filters {
+  def toColumn(flt: f.Filter): Option[Column] = flt match {
+    case f.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case f.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case f.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case f.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case f.LessThan(a, v)           => Some(col(a) < lit(v))
+    case f.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case f.In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case f.IsNull(a)                => Some(col(a).isNull)
+    case f.IsNotNull(a)             => Some(col(a).isNotNull)
+    case f.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case f.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case f.StringContains(a, v)     => Some(col(a).contains(v))
+    case f.AlwaysTrue()             => Some(lit(true))
+    case f.AlwaysFalse()            => Some(lit(false))
+    case f.And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case f.Or(l, r)  => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case f.Not(c)    => toColumn(c).map(!_)
+    case _           => None
+  }
+}

@@ -8,7 +8,7 @@ import org.apache.parquet.example.data.Group
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -78,8 +78,14 @@ object GraftTableSource {
     * (flat primitives, the exact-writer contract) → empty for a
     * bootstrap table with no data yet (a scan of it is a correct empty
     * result; the first append defines the schema). */
-  def tableSchema(tableDir: String, catalog: TableCatalog = FileTableCatalog): StructType = {
-    val snap = catalog.loadOrThrow(tableDir)
+  def tableSchema(tableDir: String, catalog: TableCatalog = FileTableCatalog,
+      asOfVersion: Option[Long] = None): StructType = {
+    val snap = asOfVersion match {
+      case None => catalog.loadOrThrow(tableDir)
+      case Some(v) => catalog.loadVersion(tableDir, v).getOrElse(
+        throw CompactionError.Config(
+          s"snapshot v$v does not exist (expired or never committed) under $tableDir"))
+    }
     val fields = snap.currentSchema match {
       case Some(s) => s.fields
       case None if snap.files.exists(_.content == "data") =>
@@ -97,26 +103,79 @@ object GraftTableSource {
   * ([[graft.sinks.GraftWriteBuilder]]). ACCEPT_ANY_SCHEMA delegates
   * write-schema validation to the write builder's by-NAME check (the
   * engine's append contract) instead of Spark's positional resolution. */
-final class GraftTable(tableDir: String, tblSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graft.`$tableDir`"
+final class GraftTable(tableDir: String, tblSchema: StructType,
+    pinnedVersion: Option[Long] = None,
+    /** Path-based uses (format("graft")) accept any write schema and
+      * validate by NAME in the write builder — the first append to an
+      * empty table defines the schema. Catalog-resolved tables
+      * ([[graft.sql.GraftCatalog]]) turn this OFF so Spark applies
+      * standard INSERT resolution (positional VALUES get renamed to the
+      * declared columns, mismatched arity fails in analysis). */
+    acceptAnySchema: Boolean = true)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  override def name(): String =
+    s"graft.`$tableDir`${pinnedVersion.fold("")(v => s"@v$v")}"
   override def schema(): StructType = tblSchema
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+  override def capabilities(): util.Set[TableCapability] = {
+    val base: Set[TableCapability] =
+      Set(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE)
+    (if (acceptAnySchema) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val startingVersion = Option(options.get("startingVersion")).getOrElse("1")
     val skipDeletes = options.getBoolean("skipDeletes", false)
     val asOfVersion = Option(options.get("asOfVersion")).map(_.toLong)
+      .orElse(pinnedVersion)
     new graft.sources.GraftScanBuilder(tableDir, tblSchema, asOfVersion,
       FileTableCatalog, startingVersion, skipDeletes)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (pinnedVersion.nonEmpty) throw CompactionError.Config(
+      "cannot write to a VERSION AS OF read of a graft table")
     new graft.sinks.GraftWriteBuilder(tableDir, info)
+  }
+
+  /** `DELETE FROM` as a merge-on-read commit: run the filter over the
+    * current LIVE rows with their physical lineage
+    * (sys_hidden_file_path / sys_hidden_pos) retained, and append the
+    * matching positions as a position-delete file — cost proportional
+    * to the matching scan, no data-file rewrite; already-dead rows are
+    * filtered out by the read so re-deletes never accumulate. The next
+    * compaction (full or delete-conversion) folds the backlog. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    pinnedVersion.isEmpty && filters.forall(graft.sql.Filters.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import graft.plans.MergeOnRead
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cond = filters.flatMap(graft.sql.Filters.toColumn(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val snap = FileTableCatalog.loadOrThrow(tableDir)
+    val tasks = graft.sources.ScanPlanner.toInputTasks(snap.files.map(_.toTask))
+    if (tasks.dataFiles.isEmpty) return
+    if (graft.plans.SchemaReconcile.needed(snap.schemas, snap.schemaId, tasks))
+      throw CompactionError.Config(
+        "DELETE FROM on a table needing schema reconciliation is not " +
+          "supported; compact the table first")
+    import org.apache.spark.sql.functions.col
+    val positions = graft.compaction.SparkCompactionExecutor
+      .liveRows(spark, tasks, keepLineage = true)
+      .filter(cond)
+      .select(
+        col(MergeOnRead.SysHiddenFilePath).as("file_path"),
+        col(MergeOnRead.SysHiddenPos).as("pos"))
+      // scan partitions are file-aligned, so a within-partition sort is
+      // shuffle-free and lands SORTED delete files (row-group stats then
+      // let readers skip other files' positions)
+      .sortWithinPartitions(col("file_path"), col("pos"))
+    if (!positions.isEmpty)
+      graft.txn.TableWrites.appendPositionDeletes(tableDir, positions)
+  }
 }
 
 /** Version offset in the table's commit line. */

@@ -182,19 +182,23 @@ class GraftBatchSourceSpec extends AnyFunSuite {
     assert(FileTableCatalog.loadOrThrow(dir).version == 2)
   }
 
-  test("an evolved table refuses the DSv2 batch path with a clear error") {
+  test("an evolved table reads through per-task reconciliation") {
     val dir = Files.createTempDirectory("graft-batch-evolved").toString
     FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
     TableWrites.appendData(dir, Seq((1L, "a")).toDF("id", "name").coalesce(1))
-    SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("name", "label")))
-    TableWrites.appendData(dir, Seq((2L, "b")).toDF("id", "label").coalesce(1))
-    val e = intercept[Exception] { dsv2(dir).collect() }
-    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
-      .exists {
-        case c: CompactionError.Config =>
-          c.getMessage.contains("schema reconciliation")
-        case _ => false
-      })
+    SchemaEvolution.evolve(dir, Seq(
+      SchemaOp.Rename("name", "label"), SchemaOp.Add("score", "BIGINT")))
+    TableWrites.appendData(dir,
+      Seq((2L, "b", 9L)).toDF("id", "label", "score").coalesce(1))
+    // delete keyed on the RENAMED column, recorded under the new name —
+    // must still kill the old file's row via field-id translation
+    TableWrites.appendEqualityDeletes(dir, Seq("a").toDF("label"), Seq("label"))
+    val viaDsv2 = dsv2(dir).select("id", "label", "score")
+      .as[(Long, String, Option[Long])].collect().toSet
+    val viaJoin = TableReader.read(spark, dir).select("id", "label", "score")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(viaDsv2 == viaJoin)
+    assert(viaDsv2 == Set((2L, "b", Some(9L))))
   }
 
   test("empty bootstrap table scans as empty and the first append defines the schema") {

@@ -1,0 +1,94 @@
+package graft.sql
+
+import graft.SparkTestSession
+import graft.txn.FileTableCatalog
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Pure-SQL lifecycle through the catalog plugin: DDL, inserts, reads
+  * with pruning, time travel, merge-on-read DELETE FROM, schema
+  * evolution via ALTER TABLE, rename/drop. */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    val wh = Files.createTempDirectory("graft-warehouse").toString
+    s.conf.set("spark.sql.catalog.gsql", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+    s
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("CREATE / INSERT / SELECT / DELETE / VERSION AS OF / ALTER / DROP") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.db")
+    sql("CREATE TABLE gsql.db.t (id BIGINT, name STRING)")
+    // empty table resolves its declared columns before any data
+    assert(sql("SELECT * FROM gsql.db.t").columns.toSeq == Seq("id", "name"))
+
+    sql("INSERT INTO gsql.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("INSERT INTO gsql.db.t SELECT id, concat('n', id) FROM range(4, 7)")
+    assert(sql("SELECT count(*) FROM gsql.db.t").head.getLong(0) == 6)
+
+    // merge-on-read DELETE: commits a position-delete file, no rewrite
+    // (predicates must translate to source filters — arithmetic like
+    // `id % 2 = 0` is rejected by Spark's metadata-delete planning)
+    sql("DELETE FROM gsql.db.t WHERE id IN (2, 4, 6)")
+    assert(sql("SELECT id FROM gsql.db.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    val warehouseDir = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+    val snap = FileTableCatalog.loadOrThrow(s"$warehouseDir/db/t")
+    val posDels = snap.files.filter(_.content == "position-deletes")
+    assert(posDels.nonEmpty && posDels.map(_.recordCount).sum == 3)
+    assert(snap.files.count(_.content == "data") >= 2)
+
+    // time travel to before the delete (v2 = bootstrap+first insert)
+    assert(sql("SELECT count(*) FROM gsql.db.t VERSION AS OF 3").head.getLong(0) == 6)
+
+    // deleted keys can be re-inserted (positions, not key deletes)
+    sql("INSERT INTO gsql.db.t VALUES (2, 'b2')")
+    assert(sql("SELECT name FROM gsql.db.t WHERE id = 2").head.getString(0) == "b2")
+
+    // ALTER TABLE maps onto schema evolution
+    sql("ALTER TABLE gsql.db.t RENAME COLUMN name TO label")
+    assert(sql("SELECT label FROM gsql.db.t WHERE id = 1").head.getString(0) == "a")
+    sql("ALTER TABLE gsql.db.t ADD COLUMN score BIGINT")
+    assert(sql("SELECT score FROM gsql.db.t WHERE id = 1").head.isNullAt(0))
+
+    // listing + rename (refused: path-addressed references) + drop
+    assert(sql("SHOW TABLES IN gsql.db").collect().map(_.getString(1)).toSet == Set("t"))
+    intercept[UnsupportedOperationException] {
+      sql("ALTER TABLE gsql.db.t RENAME TO db.t2")
+    }
+    // live rows: 1, 3, 5 survived the delete, plus the re-inserted 2
+    assert(spark.table("gsql.db.t").count() == 4)
+    sql("DROP TABLE gsql.db.t")
+    assert(sql("SHOW TABLES IN gsql.db").collect().isEmpty)
+  }
+
+  test("DELETE FROM with a predicate over live rows only") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.db2")
+    sql("CREATE TABLE gsql.db2.u (id BIGINT, v BIGINT)")
+    sql("INSERT INTO gsql.db2.u SELECT id, id * 10 FROM range(0, 100)")
+    sql("DELETE FROM gsql.db2.u WHERE id < 50")
+    sql("DELETE FROM gsql.db2.u WHERE v >= 800")
+    assert(sql("SELECT count(*) FROM gsql.db2.u").head.getLong(0) == 30)
+    assert(sql("SELECT min(id), max(id) FROM gsql.db2.u").head.toSeq == Seq(50L, 79L))
+    // a delete matching nothing commits nothing
+    val warehouseDir = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+    val before = FileTableCatalog.loadOrThrow(s"$warehouseDir/db2/u").version
+    sql("DELETE FROM gsql.db2.u WHERE id > 1000000")
+    assert(FileTableCatalog.loadOrThrow(s"$warehouseDir/db2/u").version == before)
+  }
+
+  test("CREATE TABLE rejects nested types and duplicate tables") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.db3")
+    val e = intercept[Exception] {
+      sql("CREATE TABLE gsql.db3.bad (id BIGINT, xs ARRAY<BIGINT>)")
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(_.getMessage.contains("flat primitives")))
+    sql("CREATE TABLE gsql.db3.ok (id BIGINT)")
+    intercept[Exception] { sql("CREATE TABLE gsql.db3.ok (id BIGINT)") }
+  }
+}
