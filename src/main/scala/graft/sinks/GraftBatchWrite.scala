@@ -13,6 +13,8 @@ import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetWriter}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => sstreaming}
+import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 import org.apache.spark.sql.types.StructType
 
 /** DSv2 BATCH append — `df.write.format("graft").mode("append")
@@ -76,14 +78,19 @@ final class GraftWriteBuilder(
     info: LogicalWriteInfo,
     catalog: TableCatalog = FileTableCatalog
 ) extends WriteBuilder {
+  private def targetBytes = Option(info.options().get("targetFileSizeBytes"))
+    .map(_.toLong).getOrElse(CompactionConfig().targetFileSizeBytes)
+  private def compression = Option(info.options().get("compression")).getOrElse("snappy")
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
-      val opts = info.options()
-      val target = Option(opts.get("targetFileSizeBytes")).map(_.toLong)
-        .getOrElse(CompactionConfig().targetFileSizeBytes)
-      val compression = Option(opts.get("compression")).getOrElse("snappy")
-      new GraftDsv2BatchWrite(tableDir, info.schema(), target, compression, catalog)
+      new GraftDsv2BatchWrite(tableDir, info.schema(), targetBytes, compression, catalog)
+    }
+    override def toStreaming: sstreaming.StreamingWrite = {
+      GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
+      new GraftStreamingWrite(tableDir, info.schema(), targetBytes, compression,
+        catalog, info.queryId())
     }
   }
 }
@@ -149,6 +156,86 @@ final class GraftDataWriterFactory(
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(s"$writeDir/_attempt-$taskId", partitionId, schema,
       targetFileSizeBytes, compression, confEntries)
+}
+
+/** Structured Streaming sink — `df.writeStream.format("graft")`: each
+  * micro-batch (epoch) publishes its winning attempts and commits ONE
+  * snapshot through [[CommitManager.appendFiles]], stamping the epoch
+  * id into a per-query snapshot property. A restarted query that
+  * REPLAYS an epoch (checkpoint recovery) finds the marker and skips
+  * the commit — exactly-once table contents on at-least-once batch
+  * delivery, the same idempotence contract as
+  * [[graft.streaming.StreamingIngest]]. Epochs of one query run
+  * sequentially, so the marker check-then-commit needs no CAS of its
+  * own (the snapshot commit itself is still CAS'd against concurrent
+  * writers/compactions). */
+final class GraftStreamingWrite(
+    tableDir: String,
+    schema: StructType,
+    targetFileSizeBytes: Long,
+    compression: String,
+    catalog: TableCatalog,
+    queryId: String
+) extends sstreaming.StreamingWrite {
+
+  private val writeDir =
+    s"$tableDir/data/stream-${java.util.UUID.randomUUID().toString.take(8)}"
+  private def marker = s"graft.stream.$queryId.epoch"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    FileIO.mkdirs(writeDir)
+    val confEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      FileIO.hadoopConf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    }
+    new GraftStreamingDataWriterFactory(writeDir, schema, targetFileSizeBytes,
+      compression, confEntries)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val cur = catalog.loadOrThrow(tableDir)
+    val replayed = cur.properties.get(marker).flatMap(_.toLongOption)
+      .exists(_ >= epochId)
+    val files = messages.toSeq.flatMap(_.asInstanceOf[GraftCommitMessage].files)
+    if (replayed || files.isEmpty) {
+      dropEpochAttempts(epochId)
+      return
+    }
+    val entries = files.sortBy(_._1).map { case (attemptPath, rowCount) =>
+      val name = attemptPath.substring(attemptPath.lastIndexOf('/') + 1)
+      // epoch prefix keeps names unique across the query's lifetime
+      val target = s"$writeDir/e$epochId-$name"
+      if (!FileIO.rename(attemptPath, target))
+        throw CompactionError.Io(s"failed to publish $attemptPath -> $target")
+      FileEntry(target, "data", FileIO.fileLength(target), rowCount, -1L)
+    }
+    dropEpochAttempts(epochId)
+    new CommitManager(tableDir, RetryConfig(), catalog = catalog)
+      .appendFiles(entries, expectedSchemaId = cur.schemaId,
+        setProperties = Map(marker -> epochId.toString))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    dropEpochAttempts(epochId)
+
+  private def dropEpochAttempts(epochId: Long): Unit =
+    FileIO.listDirectories(writeDir)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith(s"_attempt-e$epochId-"))
+      .foreach(FileIO.deleteRecursive)
+}
+
+final class GraftStreamingDataWriterFactory(
+    writeDir: String,
+    schema: StructType,
+    targetFileSizeBytes: Long,
+    compression: String,
+    confEntries: Array[(String, String)]
+) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(s"$writeDir/_attempt-e$epochId-$taskId", partitionId,
+      schema, targetFileSizeBytes, compression, confEntries)
 }
 
 /** Per-task rolling writer: W2 policy consulted once per `batchRows`

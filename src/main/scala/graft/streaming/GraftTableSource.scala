@@ -120,7 +120,8 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
     val base: Set[TableCapability] =
       Set(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
-        TableCapability.BATCH_WRITE)
+        TableCapability.BATCH_WRITE,
+        TableCapability.STREAMING_WRITE)
     (if (acceptAnySchema) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
   }
 

@@ -78,6 +78,49 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(sunk(out) == Set((9L, "z")))
   }
 
+  test("streaming sink commits epochs exactly once across a restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sink").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+
+    def start() = ms.toDF().toDF("id", "name")
+      .writeStream.format("graft")
+      .option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+      ms.addData((3L, "c"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.format("graft").load(dir)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val v1 = FileTableCatalog.loadOrThrow(dir)
+    assert(v1.properties.keys.exists(_.startsWith("graft.stream.")),
+      s"epoch marker missing from ${v1.properties}")
+
+    // restart from the checkpoint: recovery may REPLAY the last epoch —
+    // the marker must keep the table exactly-once
+    val q2 = start()
+    try {
+      ms.addData((4L, "d"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.format("graft").load(dir)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // no attempt-dir debris under the table
+    assert(!graft.io.FileIO.listFilesRecursive(s"$dir/data")
+      .exists(_._1.contains("_attempt-")))
+  }
+
   test("a delete commit fails the tail by default and is skippable") {
     val dir = mkTable()
     TableWrites.appendEqualityDeletes(dir, Seq(1L).toDF("id"), Seq("id"))
