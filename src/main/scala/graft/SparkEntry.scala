@@ -33,6 +33,7 @@ object SparkEntry {
       ("mor_dsv2" -> (graft.queries.TableLifecycleQuery.runDsv2 _)) +
       ("dsv2_roundtrip" -> (graft.queries.Dsv2RoundtripQuery.run _)) +
       ("sql_catalog_crud" -> (graft.queries.SqlCatalogQuery.run _)) +
+      ("sql_merge_cow" -> (graft.queries.SqlCatalogQuery.runMerge _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -57,6 +58,7 @@ object SparkEntry {
       ("mor_dsv2" -> graft.queries.TableLifecycleQuery.oracle) +
       ("dsv2_roundtrip" -> graft.queries.Dsv2RoundtripQuery.oracle) +
       ("sql_catalog_crud" -> graft.queries.SqlCatalogQuery.oracle) +
+      ("sql_merge_cow" -> graft.queries.SqlCatalogQuery.mergeOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

@@ -68,4 +68,74 @@ object SqlCatalogQuery {
       |WHERE l_orderkey % 3 = 2
       |   OR NOT (l_orderkey <= 500 AND l_returnflag = 'A')
       |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
+
+  // -------- MERGE INTO (group-based copy-on-write) ----------------------
+
+  private val mergeCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SQL `MERGE INTO` as an oracle-checked query: the table starts as
+    * the even-orderkey rows; the source carries `%4 == 0` rows with
+    * returnflag rewritten to 'U' (they exist → WHEN MATCHED UPDATE over
+    * the verified-unique six-column key) and `%4 == 1` rows (absent →
+    * WHEN NOT MATCHED INSERT). The matched groups are rewritten
+    * copy-on-write ([[graft.sinks.GraftRowLevelOperation]]); doubles
+    * are stored as integer cents so nothing floating ever crosses the
+    * oracle boundary. */
+  def runMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cat = mergeCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"gm${counter.incrementAndGet()}"
+      val wh = Files.createTempDirectory(s"graft-sqlmerge-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_merge")
+      spark.sql("""CREATE OR REPLACE TEMP VIEW li_keyed AS
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS lq,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS lep,
+        |  l_returnflag
+        |FROM li_merge""".stripMargin)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(
+        s"""CREATE TABLE $name.db.li (
+           |  l_orderkey BIGINT, l_linenumber INT, l_partkey BIGINT,
+           |  l_suppkey BIGINT, lq BIGINT, lep BIGINT, l_returnflag STRING)""".stripMargin)
+      spark.sql(
+        s"INSERT INTO $name.db.li SELECT * FROM li_keyed WHERE l_orderkey % 2 = 0")
+      spark.sql(
+        s"""MERGE INTO $name.db.li t
+           |USING (
+           |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |         lq, lep, 'U' AS l_returnflag
+           |  FROM li_keyed WHERE l_orderkey % 4 = 0
+           |  UNION ALL
+           |  SELECT * FROM li_keyed WHERE l_orderkey % 4 = 1
+           |) s
+           |ON  t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+           |AND t.l_partkey = s.l_partkey AND t.l_suppkey = s.l_suppkey
+           |AND t.lq = s.lq AND t.lep = s.lep
+           |WHEN MATCHED THEN UPDATE SET l_returnflag = s.l_returnflag
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      name
+    })
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, lq, lep, l_returnflag
+         |FROM $cat.db.li
+         |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin)
+  }
+
+  val mergeOracle: String =
+    """WITH src AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS lq,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS lep,
+      |    l_returnflag
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, lq, lep,
+      |  CASE WHEN l_orderkey % 4 = 0 THEN 'U' ELSE l_returnflag END AS l_returnflag
+      |FROM src WHERE l_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, lq, lep, l_returnflag
+      |FROM src WHERE l_orderkey % 4 = 1
+      |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
 }

@@ -59,6 +59,11 @@ import scala.jdk.CollectionConverters._
   */
 object GraftBatchScan {
 
+  /** Metadata column exposing each row's physical data file — the
+    * grouping handle for copy-on-write row-level operations (the same
+    * role as Iceberg's `_file`). */
+  val FileColumn = "_file"
+
   /** Spark-type-driven extraction of one field from a parquet example
     * [[Group]], tolerant of INT32-backed long columns. Shared by the
     * batch reader and the streaming tail reader. */
@@ -140,18 +145,28 @@ final class GraftScanBuilder(
     catalog: TableCatalog,
     // streaming options, threaded through to the micro-batch stream
     startingVersion: String,
-    skipDeletes: Boolean
+    skipDeletes: Boolean,
+    /** Set when this scan drives a row-level operation
+      * ([[graft.sinks.GraftRowLevelOperation]]): the planned file set is
+      * reported back so the copy-on-write commit replaces exactly the
+      * groups that were read. */
+    cowOwner: Option[graft.sinks.GraftRowLevelOperation] = None
 ) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var requiredSchema: StructType = tableSchema
+  private var includeFileColumn: Boolean = false
   private var pushed: Array[sources.Filter] = Array.empty
 
-  override def pruneColumns(required: StructType): Unit =
+  override def pruneColumns(required: StructType): Unit = {
     // preserve TABLE column order (parquet projection order must be a
-    // sub-sequence of the file schema); Spark reorders above if needed
+    // sub-sequence of the file schema); Spark reorders above if needed.
+    // `_file` is the metadata column (emitted by the reader, not read
+    // from parquet) — track it separately.
+    includeFileColumn = required.fieldNames.contains(GraftBatchScan.FileColumn)
     requiredSchema = StructType(
       tableSchema.fields.filter(f => required.fieldNames.contains(f.name)))
+  }
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     // Inexact pushdown (reference P2): keep what file-pruning can use,
@@ -184,7 +199,8 @@ final class GraftScanBuilder(
 
   override def build(): Scan =
     new GraftScan(tableDir, tableSchema, requiredSchema, boundsOf(pushed.toSeq),
-      asOfVersion, catalog, startingVersion, skipDeletes)
+      asOfVersion, catalog, startingVersion, skipDeletes,
+      includeFileColumn, cowOwner)
 }
 
 final class GraftScan(
@@ -195,11 +211,16 @@ final class GraftScan(
     asOfVersion: Option[Long],
     catalog: TableCatalog,
     startingVersion: String,
-    skipDeletes: Boolean
+    skipDeletes: Boolean,
+    includeFileColumn: Boolean = false,
+    cowOwner: Option[graft.sinks.GraftRowLevelOperation] = None
 ) extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
-  override def readSchema(): StructType = requiredSchema
+  override def readSchema(): StructType =
+    if (!includeFileColumn) requiredSchema
+    else StructType(requiredSchema.fields :+
+      StructField(GraftBatchScan.FileColumn, StringType, nullable = false))
   override def toBatch: Batch = this
   override def description(): String =
     s"graft MoR $tableDir${asOfVersion.fold("")(v => s" @v$v")}"
@@ -213,15 +234,24 @@ final class GraftScan(
     * Integral columns only (the same conservative envelope as
     * [[ScanPruning]]); anything else keeps every file. Spark resolves
     * these against the scan's pruned OUTPUT, so they must come from
-    * `requiredSchema`, never the full table schema. */
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    requiredSchema.fields.collect {
+    * `requiredSchema`, never the full table schema. The `_file`
+    * metadata column (when projected) is also filterable — row-level
+    * operations group-filter on it, and an `In(_file, …)` collapses to
+    * an EXACT path-set selection with no footer reads at all. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val dataCols = requiredSchema.fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == ShortType =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
+    if (includeFileColumn)
+      dataCols :+ org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftBatchScan.FileColumn)
+    else dataCols
+  }
 
   @volatile private var runtimeInSets: Map[String, Array[Long]] = Map.empty
+  @volatile private var runtimePathSet: Option[Set[String]] = None
 
   override def filter(filters: Array[sources.Filter]): Unit = {
     def longs(vs: Array[Any]): Option[Array[Long]] = {
@@ -232,9 +262,17 @@ final class GraftScan(
       }
       Some(out)
     }
+    runtimePathSet = filters.collectFirst {
+      case sources.In(attr, vs) if attr == GraftBatchScan.FileColumn =>
+        vs.collect { case s: String => ScanPlanner.normalizePath(s) }.toSet
+      case sources.EqualTo(attr, v: String) if attr == GraftBatchScan.FileColumn =>
+        Set(ScanPlanner.normalizePath(v))
+    }
     runtimeInSets = filters.collect {
-      case sources.In(attr, vs) => longs(vs).map(attr -> _)
-      case sources.EqualTo(attr, v) => longs(Array(v)).map(attr -> _)
+      case sources.In(attr, vs) if attr != GraftBatchScan.FileColumn =>
+        longs(vs).map(attr -> _)
+      case sources.EqualTo(attr, v) if attr != GraftBatchScan.FileColumn =>
+        longs(Array(v)).map(attr -> _)
     }.flatten.toMap
   }
 
@@ -314,10 +352,18 @@ final class GraftScan(
       .map(_.path).sorted
     val eqFiles = snap.files.filter(_.content == "equality-deletes")
       .sortBy(f => (f.sequenceNumber, f.path))
-    val afterRuntime =
+    val afterInSets =
       if (runtimeInSets.isEmpty) prunedDataFiles
       else pruneGuarded(prunedDataFiles,
         ScanPruning.pruneDataFilesWithInSets(_, runtimeInSets))
+    // _file group filter is EXACT — empty set means no group matched
+    val afterRuntime = runtimePathSet.fold(afterInSets) { paths =>
+      afterInSets.filter(f => paths.contains(ScanPlanner.normalizePath(f.path)))
+    }
+    // report the planned groups to the row-level operation: its
+    // copy-on-write commit replaces exactly these files
+    cowOwner.foreach(_.recordScan(
+      afterRuntime.map(_.path), snap.lastSequenceNumber, snap.schemaId))
     afterRuntime.sortBy(_.path).map { d =>
       GraftMorPartition(
         dataPath = d.path,
@@ -331,15 +377,16 @@ final class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftMorReaderFactory(requiredSchema, tableSchema)
+    new GraftMorReaderFactory(requiredSchema, tableSchema, includeFileColumn)
 }
 
 final class GraftMorReaderFactory(
-    requiredSchema: StructType, tableSchema: StructType)
+    requiredSchema: StructType, tableSchema: StructType,
+    includeFileColumn: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftMorPartition]
-    new GraftMorPartitionReader(p, requiredSchema, tableSchema)
+    new GraftMorPartitionReader(p, requiredSchema, tableSchema, includeFileColumn)
   }
 }
 
@@ -350,7 +397,8 @@ final class GraftMorReaderFactory(
 final class GraftMorPartitionReader(
     part: GraftMorPartition,
     requiredSchema: StructType,
-    tableSchema: StructType
+    tableSchema: StructType,
+    includeFileColumn: Boolean = false
 ) extends PartitionReader[InternalRow] {
   import GraftBatchScan._
 
@@ -433,18 +481,21 @@ final class GraftMorPartitionReader(
 
   private var pos: Long = -1L
   private var current: InternalRow = _
+  private val filePathValue = UTF8String.fromString(part.dataPath)
 
   override def next(): Boolean = {
     var g = reader.read()
     while (g != null) {
       pos += 1
       if (!deadPositions.contains(pos) && liveUnderEqDeletes(g)) {
-        val vals = new Array[Any](outCols.length)
+        val n = outCols.length + (if (includeFileColumn) 1 else 0)
+        val vals = new Array[Any](n)
         var i = 0
         while (i < outCols.length) {
           vals(i) = toCatalyst(fieldValue(g, outCols(i)))
           i += 1
         }
+        if (includeFileColumn) vals(outCols.length) = filePathValue
         current = InternalRow.fromSeq(vals.toIndexedSeq)
         return true
       }

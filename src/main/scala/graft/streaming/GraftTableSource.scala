@@ -8,7 +8,8 @@ import org.apache.parquet.example.data.Group
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -112,7 +113,8 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
       * standard INSERT resolution (positional VALUES get renamed to the
       * declared columns, mismatched arity fails in analysis). */
     acceptAnySchema: Boolean = true)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsMetadataColumns with SupportsRowLevelOperations {
   override def name(): String =
     s"graft.`$tableDir`${pinnedVersion.fold("")(v => s"@v$v")}"
   override def schema(): StructType = tblSchema
@@ -138,6 +140,32 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
     if (pinnedVersion.nonEmpty) throw CompactionError.Config(
       "cannot write to a VERSION AS OF read of a graft table")
     new graft.sinks.GraftWriteBuilder(tableDir, info)
+  }
+
+  /** `_file` metadata column: each row's physical data file — the
+    * grouping handle for copy-on-write row-level operations and a
+    * lineage-debugging aid (`SELECT _file, count(*) ... GROUP BY 1`). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = graft.sources.GraftBatchScan.FileColumn
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "physical data file holding the row"
+    })
+
+  /** SQL `UPDATE` / `MERGE INTO` / untranslatable `DELETE` — group-based
+    * copy-on-write ([[graft.sinks.GraftRowLevelOperation]]): rewrite
+    * only the files containing matching rows, swap them atomically.
+    * Translatable DELETEs still take the cheaper metadata path
+    * ([[deleteWhere]]) via Spark's optimizer. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (pinnedVersion.nonEmpty) throw CompactionError.Config(
+      "cannot modify a VERSION AS OF read of a graft table")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new graft.sinks.GraftRowLevelOperation(tableDir, tblSchema, info.command())
+    }
   }
 
   /** `DELETE FROM` as a merge-on-read commit: run the filter over the

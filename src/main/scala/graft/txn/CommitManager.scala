@@ -103,9 +103,17 @@ final class CommitManager(
       added: Seq[FileEntry],
       removedPaths: Set[String],
       requiredPaths: Set[String],
-      expectedSchemaId: Long
+      expectedSchemaId: Long,
+      /** Extra per-attempt guard, run against each attempt's RELOADED
+        * snapshot inside the CAS loop (same contract as
+        * [[evolveSchema]]'s validate) — e.g. the copy-on-write rewrite
+        * aborts when a delete file committed after its scan could have
+        * targeted the rows being rewritten. Throw non-retryable kinds
+        * to abort. */
+      validate: TableSnapshot => Unit = _ => ()
   ): TableSnapshot =
     commitLoop(expectedSchemaId) { cur =>
+      validate(cur)
       val current = cur.files.map(_.path).toSet
       val gone = (removedPaths ++ requiredPaths) -- current
       if (gone.nonEmpty)

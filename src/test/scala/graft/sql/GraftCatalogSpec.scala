@@ -81,6 +81,54 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(FileTableCatalog.loadOrThrow(s"$warehouseDir/db2/u").version == before)
   }
 
+  test("UPDATE and arbitrary-predicate DELETE rewrite only affected files") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.db4")
+    sql("CREATE TABLE gsql.db4.w (id BIGINT, v BIGINT)")
+    // two files with disjoint id ranges (two separate commits; COALESCE
+    // hint -> one file each)
+    sql("INSERT INTO gsql.db4.w SELECT /*+ COALESCE(1) */ id, id FROM range(0, 100)")
+    sql("INSERT INTO gsql.db4.w SELECT /*+ COALESCE(1) */ id, id FROM range(1000, 1100)")
+    val warehouseDir = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+    val tdir = s"$warehouseDir/db4/w"
+    val beforeFiles = FileTableCatalog.loadOrThrow(tdir)
+      .files.filter(_.content == "data").map(_.path).toSet
+    assert(beforeFiles.size == 2)
+
+    // UPDATE touches only the first file's range -> copy-on-write must
+    // replace THAT file and keep the other byte-identical
+    sql("UPDATE gsql.db4.w SET v = v * 10 WHERE id < 50")
+    val afterUpdate = FileTableCatalog.loadOrThrow(tdir)
+      .files.filter(_.content == "data").map(_.path).toSet
+    assert((beforeFiles intersect afterUpdate).size == 1,
+      s"expected exactly the untouched file to survive: $afterUpdate")
+    assert(sql("SELECT sum(v) FROM gsql.db4.w WHERE id < 50").head.getLong(0) ==
+      (0L until 50L).map(_ * 10).sum)
+    assert(sql("SELECT sum(v) FROM gsql.db4.w WHERE id >= 1000").head.getLong(0) ==
+      (1000L until 1100L).sum)
+
+    // DELETE with arithmetic (untranslatable -> copy-on-write, not the
+    // metadata position-delete path)
+    sql("DELETE FROM gsql.db4.w WHERE id % 2 = 1 AND id < 1000")
+    assert(sql("SELECT count(*) FROM gsql.db4.w").head.getLong(0) == 150)
+    val snap = FileTableCatalog.loadOrThrow(tdir)
+    assert(snap.files.count(_.content == "position-deletes") == 0,
+      "arithmetic delete must rewrite groups, not commit position deletes")
+  }
+
+  test("MERGE INTO upserts through group-based copy-on-write") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.db5")
+    sql("CREATE TABLE gsql.db5.m (id BIGINT, v STRING)")
+    sql("INSERT INTO gsql.db5.m VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("SELECT * FROM VALUES (2, 'B'), (4, 'D') AS s(id, v)")
+      .createOrReplaceTempView("merge_src")
+    sql("""MERGE INTO gsql.db5.m t USING merge_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(sql("SELECT id, v FROM gsql.db5.m ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+  }
+
   test("CREATE TABLE rejects nested types and duplicate tables") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db3")
     val e = intercept[Exception] {
