@@ -299,6 +299,36 @@ final class GraftScan(
     else pruneGuarded(data, ScanPruning.pruneDataFilesWithBounds(_, pruneBounds))
   }
 
+  /** Per-task position-delete scoping: [[graft.compaction
+    * .DeleteCompaction]] lands position deletes SORTED by (file_path,
+    * pos), so each delete file's footer carries a tight file_path
+    * [min, max] — a task only loads the delete files whose range can
+    * contain its data path. One driver-side footer read per delete
+    * file, memoized across planning calls; a file without trustworthy
+    * stats (or whose paths use a non-plain-absolute form the range test
+    * cannot compare safely) is kept for every task — conservative,
+    * never wrong. */
+  private lazy val posDeleteRanges: Seq[(String, Option[(Array[Byte], Array[Byte])])] =
+    snap.files.filter(_.content == "position-deletes").map(_.path).sorted
+      .map { p =>
+        p -> (try ParquetStats.stringRange(p, "file_path") catch {
+          case _: Exception => None
+        })
+      }
+
+  private def posDeletesFor(d: FileEntry): Seq[String] = {
+    val key = ScanPlanner.normalizePath(d.path)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    posDeleteRanges.collect {
+      case (p, Some((mn, mx)))
+        if mn.headOption.contains('/'.toByte) && mx.headOption.contains('/'.toByte) =>
+        if (ParquetStats.unsignedLe(mn, key) && ParquetStats.unsignedLe(key, mx))
+          Some(p)
+        else None
+      case (p, _) => Some(p) // no usable stats -> every task keeps it
+    }.flatten
+  }
+
   /** Metadata-only estimate: bytes of surviving data files; rows net of
     * position deletes (equality-delete selectivity is unknowable without
     * reading keys — leaving it out overestimates, which only errs on the
@@ -348,8 +378,6 @@ final class GraftScan(
           (cur.name, n)
         }
       }
-    val posPaths = snap.files.filter(_.content == "position-deletes")
-      .map(_.path).sorted
     val eqFiles = snap.files.filter(_.content == "equality-deletes")
       .sortBy(f => (f.sequenceNumber, f.path))
     val afterInSets =
@@ -368,7 +396,7 @@ final class GraftScan(
       GraftMorPartition(
         dataPath = d.path,
         dataSeq = d.sequenceNumber,
-        posDeletePaths = posPaths,
+        posDeletePaths = posDeletesFor(d),
         eqDeletes = eqFiles.filter(_.sequenceNumber > d.sequenceNumber)
           .map(e => EqDeleteSpec(e.path, e.sequenceNumber, keyColsFor(e))),
         columnMap = columnMapFor(d)

@@ -82,6 +82,51 @@ object ParquetStats {
     try minMaxOf(reader, cols) finally reader.close()
   }
 
+  /** Inclusive [min, max] raw byte bounds of a string (BINARY) column
+    * from footer stats — None when any non-empty row group lacks
+    * trustworthy stats (caller must keep the file). Parquet orders
+    * binary stats by UNSIGNED byte comparison; compare candidates the
+    * same way. Truncated stats remain valid bounds (parquet adjusts the
+    * truncated max upward). */
+  def stringRange(path: String, col: String): Option[(Array[Byte], Array[Byte])] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), FileIO.hadoopConf))
+    try {
+      var lo: Array[Byte] = null
+      var hi: Array[Byte] = null
+      for (block <- reader.getFooter.getBlocks.asScala if block.getRowCount > 0;
+           cc <- block.getColumns.asScala if cc.getPath.toDotString == col) {
+        if (cc.getPrimitiveType.getPrimitiveTypeName != PrimitiveTypeName.BINARY)
+          return None
+        val st = cc.getStatistics
+        if (st == null || st.isEmpty) return None
+        if (st.hasNonNullValue) {
+          val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+          val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+          if (lo == null || unsignedLt(mn, lo)) lo = mn
+          if (hi == null || unsignedLt(hi, mx)) hi = mx
+        }
+      }
+      if (lo == null) None else Some((lo, hi))
+    } finally reader.close()
+  }
+
+  /** Unsigned lexicographic byte comparison (parquet's binary order). */
+  def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  def unsignedLe(a: Array[Byte], b: Array[Byte]): Boolean =
+    !unsignedLt(b, a)
+
   private def minMaxOf(reader: ParquetFileReader,
       cols: Seq[String]): Option[Map[String, (Long, Long)]] = {
     val acc = scala.collection.mutable.Map[String, (Long, Long)]()

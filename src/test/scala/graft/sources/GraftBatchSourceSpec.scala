@@ -134,6 +134,29 @@ class GraftBatchSourceSpec extends AnyFunSuite {
     assert(joined.count() == 2)
   }
 
+  test("position-delete files are scoped per task by file_path footer range") {
+    val dir = Files.createTempDirectory("graft-batch-posscope").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir, (1L to 10L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    TableWrites.appendData(dir, (11L to 20L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    val files = FileTableCatalog.loadOrThrow(dir)
+      .files.filter(_.content == "data").sortBy(_.sequenceNumber).map(_.path)
+    // delete positions 0..2 of the FIRST file only (sorted single file)
+    TableWrites.appendPositionDeletes(dir,
+      (0L to 2L).map(p => (files.head, p)).toDF("file_path", "pos").coalesce(1))
+    val scan = new GraftScanBuilder(dir, dsv2(dir).schema, None,
+      FileTableCatalog, "1", skipDeletes = false).build()
+    val parts = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[GraftMorPartition])
+    val byPath = parts.map(p => p.dataPath -> p.posDeletePaths).toMap
+    assert(byPath(files.head).nonEmpty,
+      "first file's task must carry the delete file")
+    assert(byPath(files(1)).isEmpty,
+      "second file's task must skip the delete file via the footer range")
+    // and the read stays correct
+    assert(dsv2(dir).count() == 17)
+  }
+
   test("statistics come from snapshot metadata") {
     val dir = mkMorTable()
     val snap = FileTableCatalog.loadOrThrow(dir)
