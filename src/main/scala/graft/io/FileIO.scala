@@ -54,6 +54,24 @@ object FileIO {
   def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
   def fs(p: String): FileSystem = fs(new Path(p))
 
+  /** The driver's hadoop conf as a SERIALIZABLE entry array — ship this
+    * to executor-side readers/writers and rebuild with [[confFrom]]: a
+    * bare `new Configuration()` in a task lacks the session's
+    * `spark.hadoop.*` settings (object-store credentials, endpoints),
+    * silently breaking non-local table dirs. Configuration itself is
+    * not serializable; its entries are. */
+  def hadoopConfEntries(): Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    hadoopConf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+  }
+
+  /** Rebuild a Configuration from [[hadoopConfEntries]] output. */
+  def confFrom(entries: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   private def isLocal(p: Path): Boolean = {
     val scheme = Option(p.toUri.getScheme)
     scheme.isEmpty || scheme.contains("file")

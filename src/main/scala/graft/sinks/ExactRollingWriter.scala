@@ -61,16 +61,10 @@ object ExactRollingWriter {
     }
     graft.io.FileIO.mkdirs(outDir)
     val codec = CompressionCodecName.valueOf(compression.toUpperCase)
-    // ship the driver's hadoop conf entries to the write tasks — a bare
-    // `new Configuration()` in the executor would lack the session's
-    // `spark.hadoop.*` settings (object-store credentials, endpoints),
-    // silently breaking non-local output dirs. Configuration itself is
-    // not serializable; its entries are.
-    val confEntries: Array[(String, String)] = {
-      import scala.jdk.CollectionConverters._
-      graft.io.FileIO.hadoopConf.iterator().asScala
-        .map(e => (e.getKey, e.getValue)).toArray
-    }
+    // ship the driver's hadoop conf entries to the write tasks
+    // (FileIO.hadoopConfEntries scaladoc explains why a bare
+    // Configuration in the executor breaks non-local dirs)
+    val confEntries: Array[(String, String)] = graft.io.FileIO.hadoopConfEntries()
 
     // one element per partition: the winning attempt's (path, rowCount)s.
     // The partition stream is the UNSAFE row representation

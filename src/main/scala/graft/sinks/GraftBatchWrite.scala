@@ -71,6 +71,29 @@ object GraftBatchWrite {
           s"(${got.toSeq.sorted.mkString(", ")})")
     }
   }
+
+  /** Rename the winning attempts' files into `writeDir` (optionally
+    * under a name prefix) and sweep attempt directories matching
+    * `attemptSweepPrefix` — the shared publish step of the batch,
+    * streaming, and copy-on-write commits. Returns the committed-file
+    * entries (sequence number assigned by the commit). */
+  private[graft] def publishWinners(
+      files: Seq[(String, Long)],
+      writeDir: String,
+      namePrefix: String = "",
+      attemptSweepPrefix: String = "_attempt-"): Seq[FileEntry] = {
+    val entries = files.sortBy(_._1).map { case (attemptPath, rowCount) =>
+      val name = attemptPath.substring(attemptPath.lastIndexOf('/') + 1)
+      val target = s"$writeDir/$namePrefix$name"
+      if (!FileIO.rename(attemptPath, target))
+        throw CompactionError.Io(s"failed to publish $attemptPath -> $target")
+      FileEntry(target, "data", FileIO.fileLength(target), rowCount, -1L)
+    }
+    FileIO.listDirectories(writeDir)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith(attemptSweepPrefix))
+      .foreach(FileIO.deleteRecursive)
+    entries
+  }
 }
 
 final class GraftWriteBuilder(
@@ -113,29 +136,14 @@ final class GraftDsv2BatchWrite(
     FileIO.mkdirs(writeDir)
     // ship the driver's hadoop conf to tasks (same rationale as
     // ExactRollingWriter: object-store credentials/endpoints)
-    val confEntries: Array[(String, String)] = {
-      import scala.jdk.CollectionConverters._
-      FileIO.hadoopConf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
-    }
     new GraftDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, confEntries)
+      compression, FileIO.hadoopConfEntries())
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val entries = messages.toSeq
-      .flatMap(_.asInstanceOf[GraftCommitMessage].files)
-      .sortBy(_._1)
-      .map { case (attemptPath, rowCount) =>
-        val name = attemptPath.substring(attemptPath.lastIndexOf('/') + 1)
-        val target = s"$writeDir/$name"
-        if (!FileIO.rename(attemptPath, target))
-          throw CompactionError.Io(s"failed to publish $attemptPath -> $target")
-        FileEntry(target, "data", FileIO.fileLength(target), rowCount, -1L)
-      }
-    // attempt dirs (losers + emptied winners) die unreferenced
-    FileIO.listDirectories(writeDir)
-      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("_attempt-"))
-      .foreach(FileIO.deleteRecursive)
+    val entries = GraftBatchWrite.publishWinners(
+      messages.toSeq.flatMap(_.asInstanceOf[GraftCommitMessage].files),
+      writeDir)
     if (entries.isEmpty) { FileIO.deleteRecursive(writeDir); return }
     val cur = catalog.loadOrThrow(tableDir)
     new CommitManager(tableDir, RetryConfig(), catalog = catalog)
@@ -185,12 +193,8 @@ final class GraftStreamingWrite(
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     FileIO.mkdirs(writeDir)
-    val confEntries: Array[(String, String)] = {
-      import scala.jdk.CollectionConverters._
-      FileIO.hadoopConf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
-    }
     new GraftStreamingDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, confEntries)
+      compression, FileIO.hadoopConfEntries())
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -202,22 +206,32 @@ final class GraftStreamingWrite(
       dropEpochAttempts(epochId)
       return
     }
-    val entries = files.sortBy(_._1).map { case (attemptPath, rowCount) =>
-      val name = attemptPath.substring(attemptPath.lastIndexOf('/') + 1)
-      // epoch prefix keeps names unique across the query's lifetime
-      val target = s"$writeDir/e$epochId-$name"
-      if (!FileIO.rename(attemptPath, target))
-        throw CompactionError.Io(s"failed to publish $attemptPath -> $target")
-      FileEntry(target, "data", FileIO.fileLength(target), rowCount, -1L)
-    }
-    dropEpochAttempts(epochId)
+    // epoch prefix keeps names unique across the query's lifetime
+    val entries = GraftBatchWrite.publishWinners(files, writeDir,
+      namePrefix = s"e$epochId-", attemptSweepPrefix = s"_attempt-e$epochId-")
     new CommitManager(tableDir, RetryConfig(), catalog = catalog)
       .appendFiles(entries, expectedSchemaId = cur.schemaId,
         setProperties = Map(marker -> epochId.toString))
   }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  /** Abort of a FAILED epoch: drop its attempt dirs AND any of its
+    * published-but-uncommitted `e<epoch>-*` files (a commit that threw
+    * after publishing would otherwise strand them under the table
+    * forever — prior epochs' committed files share this directory, so
+    * the whole-dir delete the batch path uses is not available).
+    * Snapshot-referenced files are never touched. */
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     dropEpochAttempts(epochId)
+    val referenced = catalog.load(tableDir)
+      .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    FileIO.listFiles(writeDir)
+      .map(_._1)
+      .filter { p =>
+        p.substring(p.lastIndexOf('/') + 1).startsWith(s"e$epochId-") &&
+          !referenced.contains(p)
+      }
+      .foreach(FileIO.delete)
+  }
 
   private def dropEpochAttempts(epochId: Long): Unit =
     FileIO.listDirectories(writeDir)

@@ -43,14 +43,21 @@ final class GraftRowLevelOperation(
     catalog: TableCatalog = FileTableCatalog
 ) extends RowLevelOperation {
 
+  /** Snapshot version the WHOLE operation is pinned to: the rewrite
+    * scan reads it via asOfVersion, and the commit requires the table
+    * to still be AT it. Without the pin, the runtime group-filter
+    * subquery (a separate, unpinned table scan) and the rewrite scan
+    * could straddle a concurrent commit — a compaction renaming every
+    * file in between would empty their `_file` intersection and the
+    * operation would "succeed" having modified nothing. */
+  private lazy val pinnedVersion: Long = catalog.loadOrThrow(tableDir).version
+
   // driver-side handoff from the operation's scan to its commit
   @volatile private var scannedFiles: Seq[String] = Nil
-  @volatile private var scanSeq: Long = -1L
   @volatile private var scanSchemaId: Long = -1L
 
   def recordScan(paths: Seq[String], lastSequenceNumber: Long, schemaId: Long): Unit = {
     scannedFiles = paths
-    scanSeq = lastSequenceNumber
     scanSchemaId = schemaId
   }
 
@@ -60,7 +67,8 @@ final class GraftRowLevelOperation(
     Array(Expressions.column(GraftBatchScan.FileColumn))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableDir, tableSchema, asOfVersion = None, catalog,
+    new GraftScanBuilder(tableDir, tableSchema,
+      asOfVersion = Some(pinnedVersion), catalog,
       startingVersion = "1", skipDeletes = false, cowOwner = Some(this))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -79,8 +87,8 @@ final class GraftRowLevelOperation(
     }
 
   private[sinks] def replacedFiles: Seq[String] = scannedFiles
-  private[sinks] def scanSequenceNumber: Long = scanSeq
   private[sinks] def scanSchema: Long = scanSchemaId
+  private[sinks] def scanVersion: Long = pinnedVersion
 }
 
 /** The ReplaceData write: rewrite output replaces the scanned groups. */
@@ -98,46 +106,33 @@ final class GraftCowBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     FileIO.mkdirs(writeDir)
-    val confEntries: Array[(String, String)] = {
-      import scala.jdk.CollectionConverters._
-      FileIO.hadoopConf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
-    }
     new GraftDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, confEntries)
+      compression, FileIO.hadoopConfEntries())
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val entries = messages.toSeq
-      .flatMap(_.asInstanceOf[GraftCommitMessage].files)
-      .sortBy(_._1)
-      .map { case (attemptPath, rowCount) =>
-        val name = attemptPath.substring(attemptPath.lastIndexOf('/') + 1)
-        val target = s"$writeDir/$name"
-        if (!FileIO.rename(attemptPath, target))
-          throw CompactionError.Io(s"failed to publish $attemptPath -> $target")
-        FileEntry(target, "data", FileIO.fileLength(target), rowCount, -1L)
-      }
-    FileIO.listDirectories(writeDir)
-      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("_attempt-"))
-      .foreach(FileIO.deleteRecursive)
+    val entries = GraftBatchWrite.publishWinners(
+      messages.toSeq.flatMap(_.asInstanceOf[GraftCommitMessage].files),
+      writeDir)
     val removed = op.replacedFiles.map(ScanPlanner.normalizePath).toSet
     if (removed.isEmpty && entries.isEmpty) {
       FileIO.deleteRecursive(writeDir); return
     }
-    val scanSeq = op.scanSequenceNumber
+    val scanV = op.scanVersion
     new CommitManager(tableDir, RetryConfig(), catalog = catalog).replaceFiles(
       added = entries,
       removedPaths = removed,
       requiredPaths = Set.empty,
       expectedSchemaId = op.scanSchema,
+      // STRICT snapshot pin: any commit since the operation started —
+      // compaction, delete, even a plain append — aborts the rewrite.
+      // The operation planned and filtered groups against version
+      // `scanV` (see pinnedVersion); committing over a moved table
+      // risks a silent partial rewrite, which is worse than retrying.
       validate = cur => {
-        val lateDeletes = cur.files.filter(f =>
-          f.content != "data" && f.sequenceNumber > scanSeq)
-        if (lateDeletes.nonEmpty) throw CompactionError.StaleRewrite(
-          s"copy-on-write rewrite is stale: ${lateDeletes.size} delete " +
-            s"file(s) committed after the scan (seq > $scanSeq) could " +
-            "target the rows being rewritten (e.g. " +
-            s"${lateDeletes.head.path}); re-run the operation")
+        if (cur.version != scanV) throw CompactionError.StaleRewrite(
+          s"copy-on-write rewrite is stale: table moved v$scanV -> " +
+            s"v${cur.version} since the operation's scan; re-run it")
       })
   }
 

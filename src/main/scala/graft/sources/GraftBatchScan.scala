@@ -95,11 +95,13 @@ object GraftBatchScan {
   /** Build a ParquetReader over `path` restricted to `cols`, with the
     * requested projection derived from the FILE's own schema (exact
     * types/repetitions, so parquet's containment check always passes).
-    * Columns missing from the file are an error — the DSv2 path refuses
-    * evolved tables, so every live file carries the current names. */
+    * `base` must carry the session's hadoop settings
+    * ([[graft.io.FileIO.confFrom]] on executors) — a bare Configuration
+    * cannot open object-store paths. */
   private[graft] def projectedReader(
-      path: String, cols: Seq[String]): ParquetReader[Group] = {
-    val conf = new Configuration()
+      path: String, cols: Seq[String],
+      base: Configuration): ParquetReader[Group] = {
+    val conf = new Configuration(base)
     val inFile = HadoopInputFile.fromPath(new HPath(path), conf)
     val fileSchema: MessageType = {
       val r = ParquetFileReader.open(inFile)
@@ -332,11 +334,17 @@ final class GraftScan(
   /** Metadata-only estimate: bytes of surviving data files; rows net of
     * position deletes (equality-delete selectivity is unknowable without
     * reading keys — leaving it out overestimates, which only errs on the
-    * safe side of a broadcast decision). */
+    * safe side of a broadcast decision). Position deletes are subtracted
+    * only for an UNPRUNED scan: after file pruning the deletes targeting
+    * pruned-away files would deflate the estimate below the truth, and
+    * an underestimate is the dangerous direction (it invites
+    * broadcasting a large side). */
   override def estimateStatistics(): Statistics = {
     val bytes = prunedDataFiles.map(_.sizeBytes).sum
-    val posDeleted = snap.files.filter(_.content == "position-deletes")
-      .map(_.recordCount).sum
+    val posDeleted =
+      if (pruneBounds.nonEmpty) 0L
+      else snap.files.filter(_.content == "position-deletes")
+        .map(_.recordCount).sum
     val rows = math.max(0L, prunedDataFiles.map(_.recordCount).sum - posDeleted)
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
@@ -405,16 +413,19 @@ final class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftMorReaderFactory(requiredSchema, tableSchema, includeFileColumn)
+    new GraftMorReaderFactory(requiredSchema, tableSchema, includeFileColumn,
+      graft.io.FileIO.hadoopConfEntries())
 }
 
 final class GraftMorReaderFactory(
     requiredSchema: StructType, tableSchema: StructType,
-    includeFileColumn: Boolean = false)
+    includeFileColumn: Boolean = false,
+    confEntries: Array[(String, String)] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftMorPartition]
-    new GraftMorPartitionReader(p, requiredSchema, tableSchema, includeFileColumn)
+    new GraftMorPartitionReader(p, requiredSchema, tableSchema, includeFileColumn,
+      graft.io.FileIO.confFrom(confEntries))
   }
 }
 
@@ -426,7 +437,8 @@ final class GraftMorPartitionReader(
     part: GraftMorPartition,
     requiredSchema: StructType,
     tableSchema: StructType,
-    includeFileColumn: Boolean = false
+    includeFileColumn: Boolean = false,
+    taskConf: Configuration = new Configuration()
 ) extends PartitionReader[InternalRow] {
   import GraftBatchScan._
 
@@ -435,7 +447,7 @@ final class GraftMorPartitionReader(
   private val deadPositions: java.util.HashSet[Long] = {
     val set = new java.util.HashSet[Long]()
     part.posDeletePaths.foreach { pd =>
-      val r = projectedReader(pd, Seq("file_path", "pos"))
+      val r = projectedReader(pd, Seq("file_path", "pos"), taskConf)
       try {
         var g = r.read()
         while (g != null) {
@@ -466,7 +478,7 @@ final class GraftMorPartitionReader(
           s"equality-delete column $c not in table schema"))
       }
       val set = new java.util.HashSet[Seq[Any]]()
-      val r = projectedReader(e.path, e.keyCols.map(_._2))
+      val r = projectedReader(e.path, e.keyCols.map(_._2), taskConf)
       try {
         var g = r.read()
         while (g != null) {
@@ -496,8 +508,8 @@ final class GraftMorPartitionReader(
       // nothing to materialize from this file (bare count, or every
       // needed column postdates it) — full rows, only ordinals consumed
       ParquetReader.builder(new GroupReadSupport(), new HPath(part.dataPath))
-        .withConf(new Configuration()).build()
-    else projectedReader(part.dataPath, physicalCols)
+        .withConf(new Configuration(taskConf)).build()
+    else projectedReader(part.dataPath, physicalCols, taskConf)
 
   /** One field of the current row, in CURRENT-schema terms. */
   private def fieldValue(g: Group, currentName: String): Any =

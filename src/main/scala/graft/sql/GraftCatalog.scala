@@ -73,7 +73,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
     val dir = dirOf(ns.toIndexedSeq)
-    if (ns.nonEmpty && !FileIO.exists(dir)) throw new NoSuchNamespaceException(ns)
+    if (ns.nonEmpty && !namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
     FileIO.listDirectories(dir)
       .filter(isTable)
       .map(d => Identifier.of(ns, d.substring(d.lastIndexOf('/') + 1)))
@@ -171,11 +171,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(ns: Array[String]): Array[Array[String]] =
     if (ns.isEmpty) listNamespaces()
     else {
-      val dir = dirOf(ns.toIndexedSeq)
-      if (!FileIO.exists(dir)) throw new NoSuchNamespaceException(ns)
-      FileIO.listDirectories(dir)
+      // a TABLE's directory is not a namespace — listing it would
+      // surface the table's internal data/ and metadata/ dirs
+      if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+      FileIO.listDirectories(dirOf(ns.toIndexedSeq))
         .filterNot(isTable)
         .map(d => ns :+ d.substring(d.lastIndexOf('/') + 1))
+        .sortBy(_.last)
         .toArray
     }
 

@@ -202,8 +202,13 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
       // shuffle-free and lands SORTED delete files (row-group stats then
       // let readers skip other files' positions)
       .sortWithinPartitions(col("file_path"), col("pos"))
-    if (!positions.isEmpty)
-      graft.txn.TableWrites.appendPositionDeletes(tableDir, positions)
+    // ONE evaluation of the matching scan: appendPositionDeletes skips
+    // the commit itself when the written positions turn out empty, and
+    // pinning the scanned data files aborts the delete if a concurrent
+    // compaction rewrote them (committing would orphan the references
+    // and silently resurrect the rows)
+    graft.txn.TableWrites.appendPositionDeletes(tableDir, positions,
+      requiredDataPaths = snap.files.filter(_.content == "data").map(_.path).toSet)
   }
 }
 
@@ -268,7 +273,7 @@ final class GraftMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema)
+    new GraftReaderFactory(schema, graft.io.FileIO.hadoopConfEntries())
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -276,21 +281,25 @@ final class GraftMicroBatchStream(
 
 final case class GraftInputPartition(path: String) extends InputPartition
 
-final class GraftReaderFactory(schema: StructType) extends PartitionReaderFactory {
+final class GraftReaderFactory(schema: StructType,
+    confEntries: Array[(String, String)] = Array.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GroupPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].path, schema)
+      partition.asInstanceOf[GraftInputPartition].path, schema,
+      graft.io.FileIO.confFrom(confEntries))
 }
 
 /** Row-by-row parquet reader over the example Group model — the exact
   * READ twin of [[graft.sinks.ExactRollingWriter]]'s write bridge; flat
   * primitive schemas, resolved by column NAME. */
-final class GroupPartitionReader(path: String, schema: StructType)
+final class GroupPartitionReader(path: String, schema: StructType,
+    taskConf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new HPath(path))
-      .withConf(new Configuration())
+      .withConf(taskConf)
       .build()
   private var current: Group = _
 

@@ -73,9 +73,24 @@ final class CommitManager(
   def appendFiles(
       entries: Seq[FileEntry],
       expectedSchemaId: Long,
-      setProperties: Map[String, String] = Map.empty
+      setProperties: Map[String, String] = Map.empty,
+      /** Data files the appended entries REFERENCE (e.g. the files a
+        * position-delete names rows of). Checked against every
+        * attempt's reloaded snapshot: if any left the table (concurrent
+        * compaction), committing would orphan the references and the
+        * intended deletes would silently stop applying — abort instead
+        * (permanent, non-retryable). */
+      requiredPaths: Set[String] = Set.empty
   ): TableSnapshot =
     commitLoop(expectedSchemaId) { cur =>
+      if (requiredPaths.nonEmpty) {
+        val current = cur.files.map(_.path).toSet
+        val gone = requiredPaths -- current
+        if (gone.nonEmpty)
+          throw CompactionError.StaleRewrite(
+            s"append is stale: ${gone.size} referenced file(s) no longer in " +
+              s"the current snapshot (e.g. ${gone.head})")
+      }
       val newSeq = cur.lastSequenceNumber + 1
       val stamped = entries.map { e =>
         e.copy(sequenceNumber = newSeq,

@@ -148,17 +148,32 @@ object TableWrites {
       positions: DataFrame,
       config: CompactionConfig = CompactionConfig(),
       retry: RetryConfig = RetryConfig(),
-      catalog: TableCatalog = FileTableCatalog
+      catalog: TableCatalog = FileTableCatalog,
+      /** Data files the positions reference — passed through to
+        * [[CommitManager.appendFiles]]'s staleness guard so a delete
+        * racing a compaction ABORTS instead of committing references to
+        * rewritten (gone) files, which would silently resurrect the
+        * rows. Callers that compute positions from a snapshot should
+        * pass that snapshot's data paths. */
+      requiredDataPaths: Set[String] = Set.empty
   ): TableSnapshot = {
     val cur = catalog.loadOrThrow(tableDir)
     val outDir = s"$tableDir/data/posdel-${java.util.UUID.randomUUID().toString.take(8)}"
     val files = writeParquet(
       positions.select(col("file_path"), col("pos")),
       outDir, config.parquetCompression)
+    // a no-op delete (zero matching positions) commits nothing — the
+    // written-row counts are already exact from the files' footers, so
+    // this does not re-evaluate the input plan
+    if (files.map(_._3).sum == 0L) {
+      FileIO.deleteRecursive(outDir)
+      return cur
+    }
     new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
       files.map { case (p, len, rc) =>
         FileEntry(p, "position-deletes", len, rc, -1L)
       },
-      expectedSchemaId = cur.schemaId)
+      expectedSchemaId = cur.schemaId,
+      requiredPaths = requiredDataPaths)
   }
 }
