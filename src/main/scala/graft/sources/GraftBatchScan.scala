@@ -64,6 +64,11 @@ object GraftBatchScan {
     * role as Iceberg's `_file`). */
   val FileColumn = "_file"
 
+  /** Files above this size split into row-group-aligned range tasks
+    * (the engine's own read fan-out decision — ScanPlanner.splitTask's
+    * default, realized here for the DSv2 path). */
+  val DefaultSplitTargetBytes: Long = 128L * 1024 * 1024
+
   /** Spark-type-driven extraction of one field from a parquet example
     * [[Group]], tolerant of INT32-backed long columns. Shared by the
     * batch reader and the streaming tail reader. */
@@ -100,7 +105,8 @@ object GraftBatchScan {
     * cannot open object-store paths. */
   private[graft] def projectedReader(
       path: String, cols: Seq[String],
-      base: Configuration): ParquetReader[Group] = {
+      base: Configuration,
+      range: Option[(Long, Long)] = None): ParquetReader[Group] = {
     val conf = new Configuration(base)
     val inFile = HadoopInputFile.fromPath(new HPath(path), conf)
     val fileSchema: MessageType = {
@@ -114,8 +120,10 @@ object GraftBatchScan {
     val projection = new MessageType(fileSchema.getName,
       cols.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))).asJava)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-    ParquetReader.builder(new GroupReadSupport(), new HPath(path))
-      .withConf(conf).build()
+    val b = ParquetReader.builder(new GroupReadSupport(), new HPath(path))
+      .withConf(conf)
+    range.foreach { case (s, e) => b.withFileRange(s, e) }
+    b.build()
   }
 }
 
@@ -131,13 +139,23 @@ final case class EqDeleteSpec(path: String, sequenceNumber: Long,
   * `columnMap` resolves each CURRENT column to its physical name in
   * THIS file (None = the file predates the column → null-fill), so a
   * read straddling renames/adds/drops needs no join or union — the
-  * mapping is applied row-by-row in the reader. */
+  * mapping is applied row-by-row in the reader.
+  *
+  * A LARGE file is split into several partitions over row-group-aligned
+  * byte ranges: `[rangeStart, rangeEnd)` selects the row groups whose
+  * midpoint falls inside (parquet's file-range rule) and `baseOrdinal`
+  * is the count of rows in all PRECEDING row groups, so each split's
+  * running position stays the file-absolute ordinal that
+  * position-delete semantics require. */
 final case class GraftMorPartition(
     dataPath: String,
     dataSeq: Long,
     posDeletePaths: Seq[String],
     eqDeletes: Seq[EqDeleteSpec],
-    columnMap: Map[String, Option[String]]
+    columnMap: Map[String, Option[String]],
+    rangeStart: Long = 0L,
+    rangeEnd: Long = Long.MaxValue,
+    baseOrdinal: Long = 0L
 ) extends InputPartition
 
 final class GraftScanBuilder(
@@ -152,7 +170,8 @@ final class GraftScanBuilder(
       * ([[graft.sinks.GraftRowLevelOperation]]): the planned file set is
       * reported back so the copy-on-write commit replaces exactly the
       * groups that were read. */
-    cowOwner: Option[graft.sinks.GraftRowLevelOperation] = None
+    cowOwner: Option[graft.sinks.GraftRowLevelOperation] = None,
+    splitTargetBytes: Long = GraftBatchScan.DefaultSplitTargetBytes
 ) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -202,7 +221,7 @@ final class GraftScanBuilder(
   override def build(): Scan =
     new GraftScan(tableDir, tableSchema, requiredSchema, boundsOf(pushed.toSeq),
       asOfVersion, catalog, startingVersion, skipDeletes,
-      includeFileColumn, cowOwner)
+      includeFileColumn, cowOwner, splitTargetBytes)
 }
 
 final class GraftScan(
@@ -215,7 +234,8 @@ final class GraftScan(
     startingVersion: String,
     skipDeletes: Boolean,
     includeFileColumn: Boolean = false,
-    cowOwner: Option[graft.sinks.GraftRowLevelOperation] = None
+    cowOwner: Option[graft.sinks.GraftRowLevelOperation] = None,
+    splitTargetBytes: Long = GraftBatchScan.DefaultSplitTargetBytes
 ) extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -397,19 +417,60 @@ final class GraftScan(
       afterInSets.filter(f => paths.contains(ScanPlanner.normalizePath(f.path)))
     }
     // report the planned groups to the row-level operation: its
-    // copy-on-write commit replaces exactly these files
+    // copy-on-write commit replaces exactly these files (distinct —
+    // splitting emits several partitions per file)
     cowOwner.foreach(_.recordScan(
-      afterRuntime.map(_.path), snap.lastSequenceNumber, snap.schemaId))
-    afterRuntime.sortBy(_.path).map { d =>
-      GraftMorPartition(
+      afterRuntime.map(_.path).distinct, snap.lastSequenceNumber, snap.schemaId))
+    afterRuntime.sortBy(_.path).flatMap { d =>
+      val base = GraftMorPartition(
         dataPath = d.path,
         dataSeq = d.sequenceNumber,
         posDeletePaths = posDeletesFor(d),
         eqDeletes = eqFiles.filter(_.sequenceNumber > d.sequenceNumber)
           .map(e => EqDeleteSpec(e.path, e.sequenceNumber, keyColsFor(e))),
         columnMap = columnMapFor(d)
-      ): InputPartition
+      )
+      splitByRowGroups(base, d.sizeBytes).map(p => p: InputPartition)
     }.toArray
+  }
+
+  /** Split one file's partition into row-group-aligned byte ranges of
+    * roughly `splitTargetBytes` each — a single oversized file's read
+    * parallelism is the engine's decision, not one task. Chunk ranges
+    * tile the file at row-group STARTING positions, so parquet's
+    * midpoint rule assigns every group to exactly one chunk; base
+    * ordinals come from the preceding groups' footer row counts. A file
+    * under the threshold (or whose footer cannot be read) stays one
+    * task. */
+  private def splitByRowGroups(
+      base: GraftMorPartition, sizeBytes: Long): Seq[GraftMorPartition] = {
+    if (sizeBytes <= splitTargetBytes) return Seq(base)
+    val groups = try ParquetStats.rowGroups(base.dataPath) catch {
+      case _: Exception => return Seq(base)
+    }
+    if (groups.size <= 1) return Seq(base)
+    // greedy pack consecutive groups up to the target
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Vector[(Long, Long, Long)]]
+    var cur = Vector.empty[(Long, Long, Long)]
+    var curBytes = 0L
+    groups.foreach { g =>
+      if (cur.nonEmpty && curBytes + g._2 > splitTargetBytes) {
+        chunks += cur; cur = Vector.empty; curBytes = 0L
+      }
+      cur :+= g; curBytes += g._2
+    }
+    if (cur.nonEmpty) chunks += cur
+    if (chunks.size <= 1) return Seq(base)
+    var ordinal = 0L
+    chunks.zipWithIndex.map { case (chunk, i) =>
+      val start = if (i == 0) 0L else chunk.head._1
+      val end =
+        if (i == chunks.size - 1) Long.MaxValue
+        else chunks(i + 1).head._1
+      val p = base.copy(rangeStart = start, rangeEnd = end, baseOrdinal = ordinal)
+      ordinal += chunk.map(_._3).sum
+      p
+    }.toSeq
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -503,13 +564,19 @@ final class GraftMorPartitionReader(
     neededCurrent.flatMap(c => part.columnMap.getOrElse(c, None))
   private val outCols: Array[String] = requiredSchema.fieldNames
 
+  private val range: Option[(Long, Long)] =
+    if (part.rangeStart == 0L && part.rangeEnd == Long.MaxValue) None
+    else Some((part.rangeStart, part.rangeEnd))
+
   private val reader: ParquetReader[Group] =
-    if (physicalCols.isEmpty)
+    if (physicalCols.isEmpty) {
       // nothing to materialize from this file (bare count, or every
       // needed column postdates it) — full rows, only ordinals consumed
-      ParquetReader.builder(new GroupReadSupport(), new HPath(part.dataPath))
-        .withConf(new Configuration(taskConf)).build()
-    else projectedReader(part.dataPath, physicalCols, taskConf)
+      val b = ParquetReader.builder(new GroupReadSupport(), new HPath(part.dataPath))
+        .withConf(new Configuration(taskConf))
+      range.foreach { case (s, e) => b.withFileRange(s, e) }
+      b.build()
+    } else projectedReader(part.dataPath, physicalCols, taskConf, range)
 
   /** One field of the current row, in CURRENT-schema terms. */
   private def fieldValue(g: Group, currentName: String): Any =
@@ -519,7 +586,9 @@ final class GraftMorPartitionReader(
         groupValue(g, g.getType.getFieldIndex(phys), readTypes(currentName), phys)
     }
 
-  private var pos: Long = -1L
+  // running FILE-ABSOLUTE ordinal: a range split starts at the row
+  // count of every preceding row group (position-delete semantics)
+  private var pos: Long = part.baseOrdinal - 1L
   private var current: InternalRow = _
   private val filePathValue = UTF8String.fromString(part.dataPath)
 

@@ -82,6 +82,17 @@ object ParquetStats {
     try minMaxOf(reader, cols) finally reader.close()
   }
 
+  /** Row-group layout of one file from its footer:
+    * (startingPos, compressedBytes, rowCount) per block, in file order —
+    * drives byte-range task splitting with exact row-ordinal bases. */
+  def rowGroups(path: String): Seq[(Long, Long, Long)] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), FileIO.hadoopConf))
+    try reader.getFooter.getBlocks.asScala.toSeq.map(b =>
+      (b.getStartingPos, b.getCompressedSize, b.getRowCount))
+    finally reader.close()
+  }
+
   /** Inclusive [min, max] raw byte bounds of a string (BINARY) column
     * from footer stats — None when any non-empty row group lacks
     * trustworthy stats (caller must keep the file). Parquet orders

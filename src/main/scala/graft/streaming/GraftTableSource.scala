@@ -132,8 +132,11 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
     val skipDeletes = options.getBoolean("skipDeletes", false)
     val asOfVersion = Option(options.get("asOfVersion")).map(_.toLong)
       .orElse(pinnedVersion)
+    val splitTarget = Option(options.get("splitTargetBytes")).map(_.toLong)
+      .getOrElse(graft.sources.GraftBatchScan.DefaultSplitTargetBytes)
     new graft.sources.GraftScanBuilder(tableDir, tblSchema, asOfVersion,
-      FileTableCatalog, startingVersion, skipDeletes)
+      FileTableCatalog, startingVersion, skipDeletes,
+      splitTargetBytes = splitTarget)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -157,6 +157,47 @@ class GraftBatchSourceSpec extends AnyFunSuite {
     assert(dsv2(dir).count() == 17)
   }
 
+  test("large files split into row-group range tasks with exact ordinals") {
+    val dir = Files.createTempDirectory("graft-batch-split").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    // one physical file with MANY row groups (tiny block size)
+    (0L until 20000L).map(i => (i, "x" * 32)).toDF("id", "pad")
+      .coalesce(1)
+      .write.mode("append").option("compression", "snappy")
+      .option("parquet.block.size", "16384")
+      .parquet(s"$dir/data/manual")
+    val files = graft.io.FileIO.listFilesRecursive(s"$dir/data/manual")
+      .filter(_._1.endsWith(".parquet"))
+    assert(files.size == 1)
+    val (fpath, flen) = files.head
+    new graft.txn.CommitManager(dir).appendFiles(
+      Seq(graft.txn.FileEntry(fpath, "data", flen,
+        graft.txn.TableWrites.parquetRowCount(fpath), -1L)),
+      expectedSchemaId = 1)
+    assert(ParquetStats.rowGroups(fpath).size > 3,
+      "fixture needs several row groups")
+    // position-delete ordinals spread across row groups
+    TableWrites.appendPositionDeletes(dir,
+      Seq(0L, 7000L, 19999L).map(p => (fpath, p)).toDF("file_path", "pos"))
+
+    def scanWith(split: Long) = {
+      val b = new GraftScanBuilder(dir, dsv2(dir).schema, None,
+        FileTableCatalog, "1", skipDeletes = false, splitTargetBytes = split)
+      b.build().toBatch.planInputPartitions()
+    }
+    // default threshold: one task; tiny threshold: several range tasks
+    assert(scanWith(Long.MaxValue).length == 1)
+    val parts = scanWith(32 * 1024)
+    assert(parts.length > 1, s"expected range splits, got ${parts.length}")
+    // a split read must agree with the unsplit read AND the oracle:
+    // rows minus the three deleted ordinals
+    val split = spark.read.format("graft")
+      .option("splitTargetBytes", (32 * 1024).toString).load(dir)
+    assert(split.count() == 20000L - 3)
+    assert(split.agg(sum("id")).head.getLong(0) ==
+      (0L until 20000L).sum - 0L - 7000L - 19999L)
+  }
+
   test("statistics come from snapshot metadata") {
     val dir = mkMorTable()
     val snap = FileTableCatalog.loadOrThrow(dir)
