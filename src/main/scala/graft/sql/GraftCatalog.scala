@@ -85,9 +85,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
-    new GraftTable(dir, GraftTableSource.tableSchema(dir),
-      acceptAnySchema = false)
+    if (isTable(dir))
+      return new GraftTable(dir, GraftTableSource.tableSchema(dir),
+        acceptAnySchema = false)
+    // inspection tables, the Iceberg pattern: `db.t.files` resolves with
+    // the TABLE as the namespace tail and the metadata kind as the name
+    if (ident.namespace.nonEmpty && GraftMetadataTable.Kinds(ident.name)) {
+      val parentDir = dirOf(ident.namespace.toIndexedSeq)
+      if (isTable(parentDir)) return GraftMetadataTable(parentDir, ident.name)
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** `VERSION AS OF <v>` — pin the scan to a retained snapshot. */

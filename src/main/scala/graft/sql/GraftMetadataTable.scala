@@ -1,0 +1,88 @@
+package graft.sql
+
+import graft.txn.{FileTableCatalog, TableCatalog}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** Inspection (metadata) tables, the Iceberg pattern:
+  * `SELECT * FROM <cat>.db.t.files` / `....snapshots` — resolved by
+  * [[GraftCatalog.loadTable]] when the identifier's namespace is itself
+  * a table. Rows come straight from snapshot METADATA on the driver
+  * ([[LocalScan]] — no Spark job, no file IO beyond the catalog load),
+  * which is exactly the cost profile table inspection should have at
+  * 100 TB: proportional to the metadata, not the data.
+  */
+object GraftMetadataTable {
+
+  val Kinds: Set[String] = Set("files", "snapshots")
+
+  def apply(tableDir: String, kind: String,
+      catalog: TableCatalog = FileTableCatalog): Table =
+    new GraftMetadataTable(tableDir, kind, catalog)
+
+  private[sql] val filesSchema = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("content", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("sequence_number", LongType, nullable = false),
+    StructField("schema_id", LongType, nullable = false)))
+
+  private[sql] val snapshotsSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("schema_id", LongType, nullable = false),
+    StructField("last_sequence_number", LongType, nullable = false),
+    StructField("data_files", LongType, nullable = false),
+    StructField("delete_files", LongType, nullable = false),
+    StructField("total_records", LongType, nullable = false)))
+}
+
+final class GraftMetadataTable(
+    tableDir: String, kind: String, catalog: TableCatalog
+) extends Table with SupportsRead {
+  import GraftMetadataTable._
+
+  override def name(): String = s"graft.`$tableDir`.$kind"
+  override def schema(): StructType =
+    if (kind == "files") filesSchema else snapshotsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = schema()
+        override def rows(): Array[InternalRow] = computeRows()
+        override def description(): String = name()
+      }
+    }
+
+  private def computeRows(): Array[InternalRow] = kind match {
+    case "files" =>
+      catalog.loadOrThrow(tableDir).files.sortBy(_.path).map { f =>
+        InternalRow.fromSeq(Seq(
+          UTF8String.fromString(f.path), UTF8String.fromString(f.content),
+          f.sizeBytes, f.recordCount, f.sequenceNumber, f.schemaId))
+      }.toArray
+    case "snapshots" =>
+      catalog.versions(tableDir).map { v =>
+        val s = catalog.loadVersion(tableDir, v).getOrElse(
+          throw graft.core.CompactionError.Config(
+            s"snapshot v$v vanished while listing $tableDir"))
+        val data = s.files.filter(_.content == "data")
+        InternalRow.fromSeq(Seq(
+          s.version, s.schemaId, s.lastSequenceNumber,
+          data.size.toLong, (s.files.size - data.size).toLong,
+          data.map(_.recordCount).sum))
+      }.toArray
+    case other => throw graft.core.CompactionError.Config(
+      s"unknown metadata table kind: $other")
+  }
+}

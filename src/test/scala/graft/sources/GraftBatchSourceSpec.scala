@@ -207,6 +207,17 @@ class GraftBatchSourceSpec extends AnyFunSuite {
       s"expected $expectBytes from metadata, got ${rel.stats.sizeInBytes}")
   }
 
+  test("metadata statistics drive a broadcast of the small graft side") {
+    val dir = Files.createTempDirectory("graft-batch-bcast").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      (1L to 100L).map(i => (i, s"t$i")).toDF("id", "tag").coalesce(1))
+    val big = spark.range(0, 1000000L).toDF("id")
+    val plan = big.join(dsv2(dir), "id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the KB-sized graft side broadcast from metadata stats:\n$plan")
+  }
+
   test("DSv2 append commits through the CAS line and rolls on the byte target") {
     val dir = Files.createTempDirectory("graft-batch-wr").toString
     FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))

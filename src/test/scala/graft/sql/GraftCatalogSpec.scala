@@ -129,6 +129,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
   }
 
+  test("metadata tables expose files and snapshots from pure SQL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.db6")
+    sql("CREATE TABLE gsql.db6.mt (id BIGINT)")
+    sql("INSERT INTO gsql.db6.mt SELECT /*+ COALESCE(1) */ id FROM range(0, 100)")
+    sql("DELETE FROM gsql.db6.mt WHERE id IN (1, 2)")
+    val files = sql("SELECT content, record_count FROM gsql.db6.mt.files ORDER BY content")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(files.toSeq == Seq(("data", 100L), ("position-deletes", 2L)))
+    val snaps = sql(
+      """SELECT version, data_files, delete_files, total_records
+        |FROM gsql.db6.mt.snapshots ORDER BY version""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(snaps.toSeq ==
+      Seq((1L, 0L, 0L, 0L), (2L, 1L, 0L, 100L), (3L, 1L, 1L, 100L)))
+    // no Spark job fan-out: the scan is a driver-local metadata read
+    assert(sql("SELECT * FROM gsql.db6.mt.files").queryExecution.executedPlan
+      .toString.contains("LocalTableScan"))
+  }
+
+  test("TRUNCATE TABLE empties the table and later inserts still land") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.db7")
+    sql("CREATE TABLE gsql.db7.tr (id BIGINT)")
+    sql("INSERT INTO gsql.db7.tr SELECT id FROM range(0, 50)")
+    sql("TRUNCATE TABLE gsql.db7.tr")
+    assert(sql("SELECT count(*) FROM gsql.db7.tr").head.getLong(0) == 0)
+    sql("INSERT INTO gsql.db7.tr VALUES (7)")
+    assert(sql("SELECT id FROM gsql.db7.tr").head.getLong(0) == 7)
+  }
+
   test("CREATE TABLE rejects nested types and duplicate tables") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db3")
     val e = intercept[Exception] {
