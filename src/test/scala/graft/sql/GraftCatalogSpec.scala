@@ -158,6 +158,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT id FROM gsql.db7.tr").head.getLong(0) == 7)
   }
 
+  test("compaction folds a SQL-built table and SQL reads the rewrite") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.db8")
+    sql("CREATE TABLE gsql.db8.c (id BIGINT, v STRING)")
+    // a small-file backlog from many single-row commits + a delete
+    (1 to 5).foreach(i => sql(s"INSERT INTO gsql.db8.c VALUES ($i, 'v$i')"))
+    sql("DELETE FROM gsql.db8.c WHERE id IN (2, 4)")
+    val warehouseDir = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+    val tdir = s"$warehouseDir/db8/c"
+    val before = FileTableCatalog.loadOrThrow(tdir)
+    assert(before.files.count(_.content == "data") == 5)
+
+    val stat = graft.compaction.Compaction.builder()
+      .withSpark(spark).withTableDir(tdir)
+      .withConfig(graft.core.CompactionConfig(
+        targetPartitions = 1, enableValidateCompaction = true))
+      .build().compact()
+    assert(stat.rewrittenFilesCount > 0)
+
+    val after = FileTableCatalog.loadOrThrow(tdir)
+    assert(after.files.count(_.content == "data") == 1)
+    assert(after.files.count(_.content != "data") == 0,
+      "full compaction must fold the position deletes away")
+    assert(sql("SELECT id FROM gsql.db8.c ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    // and the table stays writable through SQL after the rewrite
+    sql("INSERT INTO gsql.db8.c VALUES (6, 'v6')")
+    assert(sql("SELECT count(*) FROM gsql.db8.c").head.getLong(0) == 4)
+  }
+
   test("CREATE TABLE rejects nested types and duplicate tables") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db3")
     val e = intercept[Exception] {
