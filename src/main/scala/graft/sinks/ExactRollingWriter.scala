@@ -77,8 +77,7 @@ object ExactRollingWriter {
         val tc = TaskContext.get()
         val pid = tc.partitionId()
         val attemptDir = s"$outDir/_attempt-${tc.taskAttemptId()}"
-        val taskConf = new Configuration(false)
-        confEntries.foreach { case (k, v) => taskConf.set(k, v) }
+        val taskConf = graft.io.FileIO.confFrom(confEntries)
         val message = toMessageType(schema)
         val factory = new SimpleGroupFactory(message)
         val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]

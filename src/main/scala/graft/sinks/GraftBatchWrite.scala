@@ -222,13 +222,17 @@ final class GraftStreamingWrite(
     * Snapshot-referenced files are never touched. */
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     dropEpochAttempts(epochId)
+    // NORMALIZED comparison on both sides: snapshot entries may carry a
+    // scheme prefix while the listing returns plain paths — a raw
+    // compare would fail open and delete committed files
     val referenced = catalog.load(tableDir)
-      .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+      .map(_.files.map(f => graft.sources.ScanPlanner.normalizePath(f.path)).toSet)
+      .getOrElse(Set.empty)
     FileIO.listFiles(writeDir)
       .map(_._1)
       .filter { p =>
         p.substring(p.lastIndexOf('/') + 1).startsWith(s"e$epochId-") &&
-          !referenced.contains(p)
+          !referenced.contains(graft.sources.ScanPlanner.normalizePath(p))
       }
       .foreach(FileIO.delete)
   }
@@ -267,11 +271,7 @@ final class GraftDataWriter(
     batchRows: Int = 1024
 ) extends DataWriter[InternalRow] {
 
-  private val taskConf = {
-    val c = new Configuration(false)
-    confEntries.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
+  private val taskConf = FileIO.confFrom(confEntries)
   private val message = ExactRollingWriter.toMessageType(schema)
   private val factory = new SimpleGroupFactory(message)
   private val codec = CompressionCodecName.valueOf(compression.toUpperCase)

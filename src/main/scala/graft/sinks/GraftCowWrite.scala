@@ -54,10 +54,13 @@ final class GraftRowLevelOperation(
 
   // driver-side handoff from the operation's scan to its commit
   @volatile private var scannedFiles: Seq[String] = Nil
+  @volatile private var scanAllPaths: Set[String] = Set.empty
   @volatile private var scanSchemaId: Long = -1L
 
-  def recordScan(paths: Seq[String], lastSequenceNumber: Long, schemaId: Long): Unit = {
+  def recordScan(paths: Seq[String], allSnapshotPaths: Set[String],
+      schemaId: Long): Unit = {
     scannedFiles = paths
+    scanAllPaths = allSnapshotPaths
     scanSchemaId = schemaId
   }
 
@@ -87,6 +90,7 @@ final class GraftRowLevelOperation(
     }
 
   private[sinks] def replacedFiles: Seq[String] = scannedFiles
+  private[sinks] def snapshotPaths: Set[String] = scanAllPaths
   private[sinks] def scanSchema: Long = scanSchemaId
   private[sinks] def scanVersion: Long = pinnedVersion
 }
@@ -118,21 +122,33 @@ final class GraftCowBatchWrite(
     if (removed.isEmpty && entries.isEmpty) {
       FileIO.deleteRecursive(writeDir); return
     }
-    val scanV = op.scanVersion
+    val scanPaths = op.snapshotPaths
     new CommitManager(tableDir, RetryConfig(), catalog = catalog).replaceFiles(
       added = entries,
       removedPaths = removed,
       requiredPaths = Set.empty,
       expectedSchemaId = op.scanSchema,
-      // STRICT snapshot pin: any commit since the operation started —
-      // compaction, delete, even a plain append — aborts the rewrite.
-      // The operation planned and filtered groups against version
-      // `scanV` (see pinnedVersion); committing over a moved table
-      // risks a silent partial rewrite, which is worse than retrying.
+      // Snapshot pin that TOLERATES pure appends (an appended file was
+      // not in the pinned scan, cannot intersect the `_file` group
+      // filter, and is untouched by the swap) but aborts when either
+      //  - any pinned-snapshot file LEFT the table (a compaction or
+      //    other rewrite: group filtering against renamed files risks
+      //    a silent partial rewrite), or
+      //  - a DELETE file landed since the scan (it may target rows
+      //    being rewritten — Iceberg's validateNoConflictingDeletes).
       validate = cur => {
-        if (cur.version != scanV) throw CompactionError.StaleRewrite(
-          s"copy-on-write rewrite is stale: table moved v$scanV -> " +
-            s"v${cur.version} since the operation's scan; re-run it")
+        val curPaths = cur.files.map(_.path).toSet
+        val goneSinceScan = scanPaths -- curPaths
+        if (goneSinceScan.nonEmpty) throw CompactionError.StaleRewrite(
+          s"copy-on-write rewrite is stale: ${goneSinceScan.size} file(s) " +
+            s"of the scanned snapshot left the table (e.g. " +
+            s"${goneSinceScan.head}); re-run the operation")
+        val newDeletes = cur.files.filter(f =>
+          f.content != "data" && !scanPaths.contains(f.path))
+        if (newDeletes.nonEmpty) throw CompactionError.StaleRewrite(
+          s"copy-on-write rewrite is stale: ${newDeletes.size} delete " +
+            s"file(s) committed after the scan could target the rows " +
+            s"being rewritten (e.g. ${newDeletes.head.path}); re-run it")
       })
   }
 

@@ -155,7 +155,11 @@ final case class GraftMorPartition(
     columnMap: Map[String, Option[String]],
     rangeStart: Long = 0L,
     rangeEnd: Long = Long.MaxValue,
-    baseOrdinal: Long = 0L
+    baseOrdinal: Long = 0L,
+    /** Exclusive upper ordinal of this split (row count of its chunk's
+      * groups added to `baseOrdinal`) — bounds the position-delete
+      * ordinals the split's reader needs to hold in memory. */
+    ordinalEnd: Long = Long.MaxValue
 ) extends InputPartition
 
 final class GraftScanBuilder(
@@ -418,9 +422,11 @@ final class GraftScan(
     }
     // report the planned groups to the row-level operation: its
     // copy-on-write commit replaces exactly these files (distinct —
-    // splitting emits several partitions per file)
+    // splitting emits several partitions per file), plus the full
+    // snapshot path set its append-tolerant conflict guard compares
     cowOwner.foreach(_.recordScan(
-      afterRuntime.map(_.path).distinct, snap.lastSequenceNumber, snap.schemaId))
+      afterRuntime.map(_.path).distinct,
+      snap.files.map(_.path).toSet, snap.schemaId))
     afterRuntime.sortBy(_.path).flatMap { d =>
       val base = GraftMorPartition(
         dataPath = d.path,
@@ -430,8 +436,30 @@ final class GraftScan(
           .map(e => EqDeleteSpec(e.path, e.sequenceNumber, keyColsFor(e))),
         columnMap = columnMapFor(d)
       )
-      splitByRowGroups(base, d.sizeBytes).map(p => p: InputPartition)
+      splitByRowGroups(base, rowGroupLayouts(afterRuntime).getOrElse(d.path, Nil))
+        .map(p => p: InputPartition)
     }.toArray
+  }
+
+  /** Footer row-group layouts of the OVERSIZED files, fetched on a
+    * bounded driver pool (the same object-store-round-trip rationale as
+    * [[ParquetStats.minMaxLong]]); an unreadable footer maps to Nil and
+    * the file stays one task. */
+  private def rowGroupLayouts(
+      files: Seq[FileEntry]): Map[String, Seq[(Long, Long, Long)]] = {
+    val oversized = files.filter(_.sizeBytes > splitTargetBytes).map(_.path).distinct
+    if (oversized.isEmpty) return Map.empty
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(16, oversized.size))
+    try oversized.map { p =>
+      p -> pool.submit(new java.util.concurrent.Callable[Seq[(Long, Long, Long)]] {
+        override def call(): Seq[(Long, Long, Long)] =
+          try ParquetStats.rowGroups(p) catch { case _: Exception => Nil }
+      })
+    }.map { case (p, f) =>
+      p -> f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    }.toMap
+    finally pool.shutdownNow()
   }
 
   /** Split one file's partition into row-group-aligned byte ranges of
@@ -443,11 +471,8 @@ final class GraftScan(
     * under the threshold (or whose footer cannot be read) stays one
     * task. */
   private def splitByRowGroups(
-      base: GraftMorPartition, sizeBytes: Long): Seq[GraftMorPartition] = {
-    if (sizeBytes <= splitTargetBytes) return Seq(base)
-    val groups = try ParquetStats.rowGroups(base.dataPath) catch {
-      case _: Exception => return Seq(base)
-    }
+      base: GraftMorPartition,
+      groups: Seq[(Long, Long, Long)]): Seq[GraftMorPartition] = {
     if (groups.size <= 1) return Seq(base)
     // greedy pack consecutive groups up to the target
     val chunks = scala.collection.mutable.ArrayBuffer.empty[Vector[(Long, Long, Long)]]
@@ -467,8 +492,10 @@ final class GraftScan(
       val end =
         if (i == chunks.size - 1) Long.MaxValue
         else chunks(i + 1).head._1
-      val p = base.copy(rangeStart = start, rangeEnd = end, baseOrdinal = ordinal)
-      ordinal += chunk.map(_._3).sum
+      val rows = chunk.map(_._3).sum
+      val p = base.copy(rangeStart = start, rangeEnd = end,
+        baseOrdinal = ordinal, ordinalEnd = ordinal + rows)
+      ordinal += rows
       p
     }.toSeq
   }
@@ -514,9 +541,13 @@ final class GraftMorPartitionReader(
         while (g != null) {
           val fp = groupValue(g, g.getType.getFieldIndex("file_path"),
             StringType, "file_path").asInstanceOf[String]
-          if (fp != null && ScanPlanner.normalizePath(fp) == dataPathNorm)
-            set.add(groupValue(g, g.getType.getFieldIndex("pos"),
-              LongType, "pos").asInstanceOf[Long])
+          if (fp != null && ScanPlanner.normalizePath(fp) == dataPathNorm) {
+            val p = groupValue(g, g.getType.getFieldIndex("pos"),
+              LongType, "pos").asInstanceOf[Long]
+            // only this split's ordinal window — bounds memory when a
+            // large file fans out into many range tasks
+            if (p >= part.baseOrdinal && p < part.ordinalEnd) set.add(p)
+          }
           g = r.read()
         }
       } finally r.close()

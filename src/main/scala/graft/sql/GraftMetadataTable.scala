@@ -72,10 +72,10 @@ final class GraftMetadataTable(
           f.sizeBytes, f.recordCount, f.sequenceNumber, f.schemaId))
       }.toArray
     case "snapshots" =>
-      catalog.versions(tableDir).map { v =>
-        val s = catalog.loadVersion(tableDir, v).getOrElse(
-          throw graft.core.CompactionError.Config(
-            s"snapshot v$v vanished while listing $tableDir"))
+      // flatMap: a version expired between the listing and the load
+      // (concurrent expireSnapshots) just drops from the inspection —
+      // routine maintenance must not fail a metadata query
+      catalog.versions(tableDir).flatMap(catalog.loadVersion(tableDir, _)).map { s =>
         val data = s.files.filter(_.content == "data")
         InternalRow.fromSeq(Seq(
           s.version, s.schemaId, s.lastSequenceNumber,

@@ -207,11 +207,18 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
       .sortWithinPartitions(col("file_path"), col("pos"))
     // ONE evaluation of the matching scan: appendPositionDeletes skips
     // the commit itself when the written positions turn out empty, and
-    // pinning the scanned data files aborts the delete if a concurrent
-    // compaction rewrote them (committing would orphan the references
-    // and silently resurrect the rows)
+    // pinning the data files the positions can REFERENCE aborts the
+    // delete if a concurrent compaction rewrote them (committing would
+    // orphan the references and silently resurrect the rows). The pin
+    // set is the predicate's footer-stats candidate files — files the
+    // stats prove matchless hold no referenced positions, so leaving
+    // them unpinned avoids false aborts under unrelated concurrent
+    // rewrites.
+    val candidatePaths = graft.sources.ScanPruning
+      .pruneDataFiles(snap.files.filter(_.content == "data"), cond)
+      .map(_.path).toSet
     graft.txn.TableWrites.appendPositionDeletes(tableDir, positions,
-      requiredDataPaths = snap.files.filter(_.content == "data").map(_.path).toSet)
+      requiredDataPaths = candidatePaths)
   }
 }
 
