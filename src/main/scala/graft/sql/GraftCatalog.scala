@@ -107,6 +107,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       pinnedVersion = Some(v), acceptAnySchema = false)
   }
 
+  /** `TIMESTAMP AS OF <t>` (micros since epoch, per the DSv2 contract) —
+    * resolve to the newest retained snapshot committed at or before the
+    * timestamp. Snapshots predating the commit-time stamp deserialize
+    * with time 0 and so resolve for any timestamp (treated as oldest). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val tsMs = timestampMicros / 1000L
+    val v = FileTableCatalog.versions(dir).reverse
+      .flatMap(FileTableCatalog.loadVersion(dir, _))
+      .find(_.committedAtMs <= tsMs)
+      .map(_.version)
+      .getOrElse(throw CompactionError.Config(
+        s"no snapshot of ${ident.name} at or before timestamp " +
+          s"${tsMs}ms (oldest retained is newer, or all expired)"))
+    new GraftTable(dir, GraftTableSource.tableSchema(dir, asOfVersion = Some(v)),
+      pinnedVersion = Some(v), acceptAnySchema = false)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -128,7 +147,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       graft.core.SchemaField(i + 1, fld.name, fld.dataType.sql)
     }
     FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil,
-      schemas = Seq(graft.core.TableSchema(1, fields.toIndexedSeq))))
+      schemas = Seq(graft.core.TableSchema(1, fields.toIndexedSeq)),
+      committedAtMs = System.currentTimeMillis()))
     new GraftTable(dir, GraftTableSource.tableSchema(dir),
       acceptAnySchema = false)
   }

@@ -37,6 +37,7 @@ object GraftMetadataTable {
 
   private[sql] val snapshotsSchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
+    StructField("committed_at_ms", LongType, nullable = false),
     StructField("schema_id", LongType, nullable = false),
     StructField("last_sequence_number", LongType, nullable = false),
     StructField("data_files", LongType, nullable = false),
@@ -78,7 +79,7 @@ final class GraftMetadataTable(
       catalog.versions(tableDir).flatMap(catalog.loadVersion(tableDir, _)).map { s =>
         val data = s.files.filter(_.content == "data")
         InternalRow.fromSeq(Seq(
-          s.version, s.schemaId, s.lastSequenceNumber,
+          s.version, s.committedAtMs, s.schemaId, s.lastSequenceNumber,
           data.size.toLong, (s.files.size - data.size).toLong,
           data.map(_.recordCount).sum))
       }.toArray

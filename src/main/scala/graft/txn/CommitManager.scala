@@ -188,7 +188,8 @@ final class CommitManager(
         if (cur.schemaId != expectedSchemaId)
           throw CompactionError.SchemaDrift(
             s"schema id changed ${expectedSchemaId} -> ${cur.schemaId} between plan and commit")
-        val snap = next(cur)
+        // every commit shape gets a wall-clock stamp (TIMESTAMP AS OF)
+        val snap = next(cur).copy(committedAtMs = System.currentTimeMillis())
         catalog.commitCas(tableDir, snap)
         if (labels != null) {
           metrics.incCommit(labels)

@@ -72,7 +72,13 @@ final case class TableSnapshot(
       * every schema version ever current, by id. `schemaId` above names
       * the current one. Files resolve to the current schema by field id
       * through this history — the Iceberg evolution model. */
-    schemas: Seq[graft.core.TableSchema] = Nil
+    schemas: Seq[graft.core.TableSchema] = Nil,
+    /** Wall-clock commit time (epoch millis), stamped by
+      * [[CommitManager]] at CAS time — drives `TIMESTAMP AS OF` time
+      * travel and snapshot-age expiry policies. Snapshots written
+      * before this field existed deserialize as 0 (primitive default):
+      * "unknown, treat as older than any timestamp". */
+    committedAtMs: Long = 0L
 ) {
   def currentSchema: Option[graft.core.TableSchema] =
     schemas.find(_.schemaId == schemaId)

@@ -148,6 +148,33 @@ class GraftCatalogSpec extends AnyFunSuite {
       .toString.contains("LocalTableScan"))
   }
 
+  test("TIMESTAMP AS OF resolves the snapshot committed at or before it") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.db9")
+    sql("CREATE TABLE gsql.db9.tt (id BIGINT)")
+    sql("INSERT INTO gsql.db9.tt VALUES (1)")
+    Thread.sleep(15)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(15)
+    sql("INSERT INTO gsql.db9.tt VALUES (2)")
+    val tsLiteral = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(betweenMs))
+    assert(sql(s"SELECT count(*) FROM gsql.db9.tt TIMESTAMP AS OF '$tsLiteral'")
+      .head.getLong(0) == 1)
+    assert(sql("SELECT count(*) FROM gsql.db9.tt").head.getLong(0) == 2)
+    // snapshots metadata carries the commit times that drive this
+    val times = sql("SELECT committed_at_ms FROM gsql.db9.tt.snapshots ORDER BY version")
+      .collect().map(_.getLong(0))
+    assert(times.length == 3 && times.forall(_ > 0) && times.sorted.sameElements(times))
+    // a timestamp before the table existed errors clearly
+    val e = intercept[Exception] {
+      sql("SELECT * FROM gsql.db9.tt TIMESTAMP AS OF '2000-01-01 00:00:00'").collect()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(_.getMessage.contains("no snapshot")))
+  }
+
   test("TRUNCATE TABLE empties the table and later inserts still land") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db7")
     sql("CREATE TABLE gsql.db7.tr (id BIGINT)")
