@@ -28,6 +28,7 @@ object SparkEntry {
       ("snapshot_diff" -> (graft.queries.TableLifecycleQuery.runDiff _)) +
       ("upsert_mor" -> (graft.queries.TableLifecycleQuery.runUpsert _)) +
       ("schema_evolution" -> (graft.queries.TableLifecycleQuery.runEvolution _)) +
+      ("schema_evolution_iceberg" -> (graft.queries.TableLifecycleQuery.runEvolutionIceberg _)) +
       ("delete_convert" -> (graft.queries.TableLifecycleQuery.runDeleteConvert _)) +
       ("stream_tail" -> (graft.queries.StreamTailQuery.run _)) +
       ("mor_dsv2" -> (graft.queries.TableLifecycleQuery.runDsv2 _)) +
@@ -53,6 +54,7 @@ object SparkEntry {
       ("snapshot_diff" -> graft.queries.TableLifecycleQuery.diffOracle) +
       ("upsert_mor" -> graft.queries.TableLifecycleQuery.upsertOracle) +
       ("schema_evolution" -> graft.queries.TableLifecycleQuery.evolutionOracle) +
+      ("schema_evolution_iceberg" -> graft.queries.TableLifecycleQuery.evolutionOracle) +
       ("delete_convert" -> graft.queries.TableLifecycleQuery.deleteConvertOracle) +
       ("stream_tail" -> graft.queries.StreamTailQuery.oracle) +
       ("mor_dsv2" -> graft.queries.TableLifecycleQuery.oracle) +

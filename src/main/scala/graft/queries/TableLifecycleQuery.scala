@@ -285,39 +285,51 @@ object TableLifecycleQuery {
     *     (`note`), and without the dropped column, hash-matching the
     *     oracle's CASE reconstruction.
     */
-  def runEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val tableDir = evolutionTables.computeIfAbsent(dir, _ => {
+  def runEvolution(spark: SparkSession, dir: String): DataFrame =
+    runEvolutionWith(spark, dir, FileTableCatalog)
+
+  /** The SAME evolution lifecycle against the Iceberg v2 catalog — the
+    * schema history rides the spec's multi-schema `schemas` array, the
+    * per-file schema ids a table property, and the reconciled MoR read
+    * must hash-match the identical oracle. */
+  def runEvolutionIceberg(spark: SparkSession, dir: String): DataFrame =
+    runEvolutionWith(spark, dir, IcebergTableCatalog)
+
+  private def runEvolutionWith(spark: SparkSession, dir: String,
+      catalog: TableCatalog): DataFrame = {
+    val tableDir = evolutionTables.computeIfAbsent((dir, catalog), _ => {
       val td = Files.createTempDirectory("graft-evolve").toString
       val li = spark.read.parquet(s"$dir/lineitem.parquet").persist()
       try {
-        FileTableCatalog.commitCas(td, TableSnapshot(1, 1, 0, Nil))
+        catalog.commitCas(td, TableSnapshot(1, 1, 0, Nil))
         TableWrites.appendData(td,
           li.filter(col("l_orderkey") % 2 === 0)
             .select("l_orderkey", "l_linenumber", "l_suppkey",
-              "l_quantity", "l_returnflag"))
+              "l_quantity", "l_returnflag"), catalog = catalog)
         SchemaEvolution.evolve(td, Seq(
           SchemaOp.Rename("l_returnflag", "rflag"),
           SchemaOp.Add("note", "string"),
-          SchemaOp.Drop("l_quantity")))
+          SchemaOp.Drop("l_quantity")), catalog = catalog)
         TableWrites.appendData(td,
           li.filter(col("l_orderkey") % 2 === 1)
             .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
               col("l_returnflag").as("rflag"),
-              concat(lit("n"), col("l_linenumber").cast("string")).as("note")))
+              concat(lit("n"), col("l_linenumber").cast("string")).as("note")),
+          catalog = catalog)
         TableWrites.appendEqualityDeletes(td,
           li.filter(col("l_orderkey") % 19 === 0).select("l_orderkey"),
-          Seq("l_orderkey"))
+          Seq("l_orderkey"), catalog = catalog)
       } finally li.unpersist()
       td
     })
     val cols = Seq("l_orderkey", "l_linenumber", "l_suppkey", "rflag", "note")
-    TableReader.read(spark, tableDir)
+    TableReader.read(spark, tableDir, catalog = catalog)
       .select(cols.map(col): _*)
       .orderBy(cols.map(col): _*)
   }
 
   private val evolutionTables =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, TableCatalog), String]()
 
   val evolutionOracle: String =
     """SELECT l_orderkey, l_linenumber, l_suppkey,

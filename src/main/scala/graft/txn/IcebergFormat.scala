@@ -130,6 +130,44 @@ object IcebergFormat {
         f.get("required").asBoolean, f.get("type").asText)
     }
 
+  /** Spark DDL type string (graft's [[graft.core.SchemaField.dataType]]
+    * representation) → Iceberg primitive type string — the flat
+    * primitives of the engine's table model. */
+  def sparkDdlToIceberg(ddl: String): String =
+    org.apache.spark.sql.types.DataType.fromDDL(ddl) match {
+      case org.apache.spark.sql.types.LongType         => "long"
+      case org.apache.spark.sql.types.IntegerType      => "int"
+      case org.apache.spark.sql.types.ShortType        => "int"
+      case org.apache.spark.sql.types.StringType       => "string"
+      case org.apache.spark.sql.types.DoubleType       => "double"
+      case org.apache.spark.sql.types.FloatType        => "float"
+      case org.apache.spark.sql.types.BooleanType      => "boolean"
+      case org.apache.spark.sql.types.TimestampType    => "timestamptz"
+      case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
+      case org.apache.spark.sql.types.DateType         => "date"
+      case org.apache.spark.sql.types.BinaryType       => "binary"
+      case other => throw CompactionError.Config(
+        s"no Iceberg mapping for Spark type $other (flat primitives only)")
+    }
+
+  /** Inverse of [[sparkDdlToIceberg]] for loading a graft schema history
+    * back out of Iceberg metadata (only types the forward mapping
+    * emits). */
+  def icebergToSparkDdl(typ: String): String = typ match {
+    case "long"        => "BIGINT"
+    case "int"         => "INT"
+    case "string"      => "STRING"
+    case "double"      => "DOUBLE"
+    case "float"       => "FLOAT"
+    case "boolean"     => "BOOLEAN"
+    case "timestamptz" => "TIMESTAMP"
+    case "timestamp"   => "TIMESTAMP_NTZ"
+    case "date"        => "DATE"
+    case "binary"      => "BINARY"
+    case other => throw CompactionError.Config(
+      s"no Spark mapping for Iceberg type $other in a graft schema history")
+  }
+
   // ------------------------------------------------------------- avro decl
 
   /** Spec manifest_entry schema (v2) with Iceberg field-ids as Avro field

@@ -41,11 +41,24 @@ import scala.jdk.CollectionConverters._
   */
 object IcebergTableCatalog extends TableCatalog {
 
-  /** The Iceberg writer keeps ONE stable schema (inferred at first data
-    * commit) and does not round-trip graft's schema history or per-file
-    * schema ids — declare that so [[SchemaEvolution.evolve]] refuses up
-    * front instead of committing a snapshot whose history vanishes. */
-  override def persistsSchemaHistory: Boolean = false
+  /** Graft's schema HISTORY round-trips through the spec's own
+    * multi-schema `schemas` array (every historical schema, by id,
+    * current named by `current-schema-id`); per-file schema ids — a
+    * concept Iceberg itself replaces with parquet field-id resolution,
+    * which id-less Spark-written files cannot use — ride the
+    * [[FileSchemaIdsProp]] table property. Both are invisible to a real
+    * Iceberg reader (extra schemas and unknown properties are
+    * spec-legal), so [[SchemaEvolution.evolve]] works against this
+    * catalog like any other. */
+  override def persistsSchemaHistory: Boolean = true
+
+  /** Table property carrying `path -> schemaId` for files written under
+    * non-current schemas (JSON object; absent = every file current). */
+  private[txn] val FileSchemaIdsProp = "graft.file-schema-ids"
+  /** Marks a metadata file whose `schemas` array is a REAL graft schema
+    * history (vs the single inferred schema a history-less table gets). */
+  private[txn] val SchemaHistoryProp = "graft.schema-history"
+  private val InternalProps = Set(FileSchemaIdsProp, SchemaHistoryProp)
 
   private val MetadataFile = "^v(\\d+)\\.metadata\\.json$".r
 
@@ -70,8 +83,32 @@ object IcebergTableCatalog extends TableCatalog {
     val doc = parse(FileIO.readString(p))
     val snapId = doc.get("current-snapshot-id").asLong
     val schemaId = doc.get("current-schema-id").asLong
-    val fields = currentSchemaFields(doc)
-    val idToName = fields.map(f => f.id -> f.name).toMap
+    val props = Option(doc.get("properties")).map { pr =>
+      pr.fieldNames().asScala.map(k => k -> pr.get(k).asText).toMap
+    }.getOrElse(Map.empty[String, String])
+
+    // graft schema history (only when this writer stamped one)
+    val schemas: Seq[graft.core.TableSchema] =
+      if (!props.get(SchemaHistoryProp).contains("true")) Nil
+      else doc.get("schemas").elements().asScala.toSeq.map { s =>
+        graft.core.TableSchema(s.get("schema-id").asLong,
+          parseSchemaFields(s).map(f =>
+            graft.core.SchemaField(f.id, f.name, icebergToSparkDdl(f.typ))))
+      }
+    val schemaIdByPath: Map[String, Long] =
+      props.get(FileSchemaIdsProp).map { json =>
+        val n = parse(json)
+        n.fieldNames().asScala.map(k => k -> n.get(k).asLong).toMap
+      }.getOrElse(Map.empty)
+    // equality ids must surface under the names of the FILE's schema
+    // (graft's FileEntry contract — SchemaReconcile translates id-wise)
+    val idToNameBySchema: Map[Long, Map[Int, String]] =
+      schemas.map(s => s.schemaId -> s.fields.map(f => f.id -> f.name).toMap).toMap
+    val currentIdToName = currentSchemaFields(doc).map(f => f.id -> f.name).toMap
+    def idToNameFor(path: String): Map[Int, String] =
+      schemaIdByPath.get(path).flatMap(idToNameBySchema.get)
+        .getOrElse(currentIdToName)
+
     val files =
       if (snapId < 0) Nil
       else {
@@ -79,17 +116,23 @@ object IcebergTableCatalog extends TableCatalog {
           .find(_.get("snapshot-id").asLong == snapId)
           .getOrElse(throw CompactionError.Config(
             s"current-snapshot-id $snapId not in snapshots list of $p"))
-        readManifestList(snap.get("manifest-list").asText, idToName)
+        readManifestList(snap.get("manifest-list").asText, idToNameFor)
+          .map(f => f.copy(schemaId = schemaIdByPath.getOrElse(f.path,
+            if (schemas.nonEmpty) schemaId else -1L)))
       }
-    val props = Option(doc.get("properties")).map { p =>
-      p.fieldNames().asScala.map(k => k -> p.get(k).asText).toMap
-    }.getOrElse(Map.empty[String, String])
+    val committedAt = (for {
+      snaps <- Option(doc.get("snapshots"))
+      s <- snaps.elements().asScala.find(_.get("snapshot-id").asLong == snapId)
+      ts <- Option(s.get("timestamp-ms"))
+    } yield ts.asLong).getOrElse(0L)
     Some(TableSnapshot(
       version = version,
       schemaId = schemaId,
       lastSequenceNumber = doc.get("last-sequence-number").asLong,
       files = files,
-      properties = props))
+      properties = props -- InternalProps,
+      schemas = schemas,
+      committedAtMs = committedAt))
   }
 
   private def currentSchemaFields(doc: JsonNode): Seq[Field] = {
@@ -100,13 +143,17 @@ object IcebergTableCatalog extends TableCatalog {
       .getOrElse(Nil)
   }
 
-  private def readManifestList(path: String, idToName: Map[Int, String]): Seq[FileEntry] = {
+  private def readManifestList(path: String,
+      idToNameFor: String => Map[Int, String]): Seq[FileEntry] = {
     val (_, manifests) = readAvro(path)
     manifests.flatMap { m =>
       val (_, entries) = readAvro(m.get("manifest_path").toString)
       entries.collect {
         // status 0=EXISTING, 1=ADDED are live; 2=DELETED entries are not
-        case e if e.get("status").asInstanceOf[Int] != 2 => toFileEntry(e, idToName)
+        case e if e.get("status").asInstanceOf[Int] != 2 =>
+          val fp = e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString
+          toFileEntry(e, idToNameFor(fp))
       }
     }
   }
@@ -140,16 +187,36 @@ object IcebergTableCatalog extends TableCatalog {
       versions(table).lastOption.filter(_ < snapshot.version)
         .map(v => parse(FileIO.readString(metadataPath(table, v))))
 
-    // schema: keep the previous non-empty schema (stable field ids);
-    // infer from a data file footer when this commit first brings data
+    // schema resolution, in order: a graft schema HISTORY (authoritative
+    // — evolve commits carry it); else the previous metadata's schema
+    // (stable field ids); else infer from a data file footer on the
+    // first data commit
+    val graftSchemas = snapshot.schemas
+    def toFields(s: graft.core.TableSchema): Seq[Field] =
+      s.fields.map(f => Field(f.id, f.name, required = false,
+        sparkDdlToIceberg(f.dataType)))
     val prevFields = prevDoc.map(currentSchemaFields).getOrElse(Nil)
     val fields =
-      if (prevFields.nonEmpty) prevFields
+      if (graftSchemas.nonEmpty)
+        toFields(graftSchemas.find(_.schemaId == snapshot.schemaId).getOrElse(
+          throw CompactionError.Config(
+            s"current schema id ${snapshot.schemaId} not in the history " +
+              s"(${graftSchemas.map(_.schemaId).mkString(", ")})")))
+      else if (prevFields.nonEmpty) prevFields
       else snapshot.files.find(_.content == "data") match {
         case Some(f) => inferSchema(f.path)
         case None    => Nil
       }
     val nameToId = fields.map(f => f.name -> f.id).toMap
+    // equality ids resolve through the FILE's schema when a history
+    // exists (an eq-delete keyed under a since-renamed name must keep
+    // its field id)
+    def nameToIdFor(f: FileEntry): Map[String, Int] =
+      if (graftSchemas.isEmpty || f.schemaId < 0 || f.schemaId == snapshot.schemaId)
+        nameToId
+      else graftSchemas.find(_.schemaId == f.schemaId)
+        .map(_.fields.map(fl => fl.name -> fl.id).toMap)
+        .getOrElse(nameToId)
 
     // One footer read per file yields BOTH the exact record count the
     // manifests require and integral column min/max for the data files'
@@ -177,10 +244,12 @@ object IcebergTableCatalog extends TableCatalog {
       else d.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong == sid)
         .map(s => readManifestList(s.get("manifest-list").asText,
-          prevFields.map(f => f.id -> f.name).toMap).map(_.path).toSet)
+          _ => prevFields.map(f => f.id -> f.name).toMap).map(_.path).toSet)
     }.getOrElse(Set.empty)
 
-    val now = System.currentTimeMillis()
+    val now =
+      if (snapshot.committedAtMs > 0) snapshot.committedAtMs
+      else System.currentTimeMillis()
     val snapshotId = snapshot.version
     val commitUuid = UUID.randomUUID().toString
     val schemaDoc = schemaJson(snapshot.schemaId, fields)
@@ -192,12 +261,13 @@ object IcebergTableCatalog extends TableCatalog {
       if (entries.isEmpty) return None
       val path = s"$mdir/$commitUuid-m$idx.avro"
       val recs = entries.map { f =>
+        val fileNameToId = nameToIdFor(f)
         val eqIds: AnyRef =
           if (f.equalityIds.isEmpty) null
           else f.equalityIds.map { n =>
-            Int.box(nameToId.getOrElse(n, throw CompactionError.Config(
-              s"equality column '$n' is not in the table schema " +
-                s"(${fields.map(_.name).mkString(", ")})")))
+            Int.box(fileNameToId.getOrElse(n, throw CompactionError.Config(
+              s"equality column '$n' is not in the file's schema " +
+                s"(${fileNameToId.keys.mkString(", ")})")))
           }.asJava
         val dfSchema = ManifestEntrySchema.getField("data_file").schema()
         // column bound maps (Iceberg avro map = array of key/value
@@ -206,11 +276,14 @@ object IcebergTableCatalog extends TableCatalog {
           boundsByPath.get(f.path).map { m =>
             val itemSchema = dfSchema.getField(fieldName).schema()
               .getTypes.get(1).getElementType
-            m.toSeq.sortBy(kv => nameToId(kv._1)).map { case (n, mm) =>
-              record(itemSchema)(
-                "key" -> Int.box(nameToId(n)),
-                "value" -> boundBytes(fieldType(n), pick(mm)))
-            }.asJava
+            // drop columns absent from the CURRENT schema (an old file's
+            // physical names after a rename) — bounds are optional
+            m.toSeq.filter(kv => nameToId.contains(kv._1))
+              .sortBy(kv => nameToId(kv._1)).map { case (n, mm) =>
+                record(itemSchema)(
+                  "key" -> Int.box(nameToId(n)),
+                  "value" -> boundBytes(fieldType(n), pick(mm)))
+              }.asJava
           }.orNull
         val dataFile = record(dfSchema)(
           "content" -> Int.box(f.content match {
@@ -289,9 +362,16 @@ object IcebergTableCatalog extends TableCatalog {
       doc.put("last-sequence-number", snapshot.lastSequenceNumber)
       doc.put("last-updated-ms", now)
       doc.put("last-column-id",
-        if (fields.isEmpty) 0 else fields.map(_.id).max)
+        if (graftSchemas.nonEmpty)
+          graftSchemas.flatMap(_.fields.map(_.id)).max
+        else if (fields.isEmpty) 0 else fields.map(_.id).max)
       doc.put("current-schema-id", snapshot.schemaId)
-      doc.putArray("schemas").add(schemaDoc)
+      val schemasArr = doc.putArray("schemas")
+      if (graftSchemas.nonEmpty)
+        // the FULL history, per the spec's multi-schema model — old
+        // schemas stay resolvable by id for readers of older snapshots
+        graftSchemas.foreach(s => schemasArr.add(schemaJson(s.schemaId, toFields(s))))
+      else schemasArr.add(schemaDoc)
       doc.put("default-spec-id", 0)
       val spec = doc.putArray("partition-specs").addObject()
       spec.put("spec-id", 0); spec.putArray("fields")
@@ -314,6 +394,15 @@ object IcebergTableCatalog extends TableCatalog {
         props.put("schema.name-mapping.default", nm.toString)
       }
       snapshot.properties.foreach { case (k, v) => props.put(k, v) }
+      // graft round-trip markers (spec-legal unknown properties)
+      if (graftSchemas.nonEmpty) {
+        props.put(SchemaHistoryProp, "true")
+        val ids = newObject()
+        snapshot.files
+          .filter(f => f.schemaId >= 0 && f.schemaId != snapshot.schemaId)
+          .foreach(f => ids.put(f.path, f.schemaId))
+        if (ids.size > 0) props.put(FileSchemaIdsProp, ids.toString)
+      }
       doc.put("current-snapshot-id", snapshotId)
       val snaps = doc.putArray("snapshots")
       prevDoc.foreach(_.get("snapshots").elements().asScala.foreach(snaps.add))

@@ -139,6 +139,38 @@ class IcebergCatalogSpec extends AnyFunSuite {
       Seq((1, "id"), (2, "name")))
   }
 
+  test("schema evolution round-trips: history, per-file ids, eq-delete " +
+    "translation, commit timestamps") {
+    val dir = Files.createTempDirectory("graft-iceberg-evolve").toString
+    cat.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1), catalog = cat)
+    SchemaEvolution.evolve(dir,
+      Seq(SchemaOp.Rename("name", "label"), SchemaOp.Add("score", "BIGINT")),
+      catalog = cat)
+    TableWrites.appendData(dir,
+      Seq((3L, "c", 9L)).toDF("id", "label", "score").coalesce(1), catalog = cat)
+    // eq-delete keyed on the RENAMED column: its field id must survive
+    // the Avro round-trip and kill the OLD file's row via reconciliation
+    TableWrites.appendEqualityDeletes(dir,
+      Seq("a").toDF("label"), Seq("label"), catalog = cat)
+
+    val snap = cat.loadOrThrow(dir)
+    assert(snap.schemas.map(_.schemaId).sorted == Seq(1L, 2L),
+      s"history must round-trip, got ${snap.schemas}")
+    assert(snap.currentSchema.get.fields.map(_.name) == Seq("id", "label", "score"))
+    assert(snap.committedAtMs > 0)
+    val oldFile = snap.files.filter(_.content == "data").minBy(_.sequenceNumber)
+    assert(oldFile.schemaId == 1L, s"pre-evolve file must keep schema id 1: $oldFile")
+    val eqFile = snap.files.find(_.content == "equality-deletes").get
+    assert(eqFile.equalityIds == Seq("label") && eqFile.schemaId == 2L)
+
+    val live = TableReader.read(spark, dir, catalog = cat)
+      .select("id", "label", "score")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(live == Set((2L, "b", None), (3L, "c", Some(9L))))
+  }
+
   test("CAS: committing an existing version raises CommitConflict") {
     val dir = mkTable()
     val snap = cat.loadOrThrow(dir)

@@ -191,27 +191,31 @@ class SchemaEvolutionSpec extends AnyFunSuite {
   }
 
   test("evolve refuses a history-less catalog BEFORE committing anything") {
-    // build a minimal real Iceberg-format table so we can prove no stray
-    // half-evolved snapshot is left behind
-    val dir = Files.createTempDirectory("graft-evo-iceberg").toString
-    val tmp = Files.createTempDirectory("graft-evo-iwf").toString
-    Seq((1L, "a")).toDF("id", "name").coalesce(1)
-      .write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    val target = java.nio.file.Paths.get(s"$dir/data/f1.parquet")
-    Files.createDirectories(target.getParent)
-    Files.move(part.toPath, target)
-    IcebergTableCatalog.commitCas(dir, TableSnapshot(1, 1, 1, Seq(
-      FileEntry(target.toString, "data", target.toFile.length(), 1L,
-        sequenceNumber = 1))))
-    val v0 = IcebergTableCatalog.versions(dir)
+    // a catalog that declares it cannot persist schema history (the
+    // Iceberg catalog used to be the real example; it round-trips the
+    // history now, so a stub keeps the guard covered)
+    val inner = new MemoryCatalog
+    val historyless = new TableCatalog {
+      override def persistsSchemaHistory: Boolean = false
+      override def load(t: String) = inner.load(t)
+      override def commitCas(t: String, s: TableSnapshot): Unit =
+        inner.commitCas(t, s)
+      override def versions(t: String) = inner.versions(t)
+      override def loadVersion(t: String, v: Long) = inner.loadVersion(t, v)
+      override def deleteVersion(t: String, v: Long): Unit =
+        inner.deleteVersion(t, v)
+    }
+    val dir = Files.createTempDirectory("graft-evo-nohist").toString
+    historyless.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      Seq((1L, "a")).toDF("id", "name").coalesce(1), catalog = historyless)
+    val v0 = historyless.versions(dir)
     val e = intercept[CompactionError.Config] {
       SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("name", "label")),
-        catalog = IcebergTableCatalog)
+        catalog = historyless)
     }
     assert(e.getMessage.contains("does not persist"))
-    assert(IcebergTableCatalog.versions(dir) == v0,
+    assert(historyless.versions(dir) == v0,
       "a half-evolved snapshot was committed before the refusal")
   }
 
