@@ -305,7 +305,7 @@ final class GraftScan(
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new graft.streaming.GraftMicroBatchStream(
-      tableDir, tableSchema, startingVersion, skipDeletes)
+      tableDir, tableSchema, startingVersion, skipDeletes, catalog)
 
   private lazy val snap: TableSnapshot = TableReader.snapshot(tableDir, asOfVersion, catalog)
 

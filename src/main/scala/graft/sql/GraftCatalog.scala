@@ -50,6 +50,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
+  private var snapCatalog: graft.txn.TableCatalog = FileTableCatalog
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -57,6 +58,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw CompactionError.Config(
         s"graft catalog '$name' requires spark.sql.catalog.$name.warehouse")
     ).stripSuffix("/")
+    // format=iceberg backs every table with the Iceberg v2 metadata
+    // writer (schema history, per-file ids, and commit timestamps
+    // round-trip through the format), so the SQL surface produces
+    // tables a real Iceberg client can read
+    snapCatalog = Option(options.get("format")).map(_.toLowerCase) match {
+      case None | Some("graft")  => FileTableCatalog
+      case Some("iceberg")       => graft.txn.IcebergTableCatalog
+      case Some(other) => throw CompactionError.Config(
+        s"unknown graft catalog format '$other' (graft | iceberg)")
+    }
     FileIO.mkdirs(warehouse)
   }
 
@@ -67,7 +78,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def tableDir(ident: Identifier): String =
     dirOf(ident.namespace.toIndexedSeq :+ ident.name)
   private def isTable(dir: String): Boolean =
-    FileTableCatalog.load(dir).isDefined
+    snapCatalog.load(dir).isDefined
 
   // ---- tables -----------------------------------------------------------
 
@@ -86,13 +97,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (isTable(dir))
-      return new GraftTable(dir, GraftTableSource.tableSchema(dir),
-        acceptAnySchema = false)
+      return new GraftTable(dir,
+        GraftTableSource.tableSchema(dir, snapCatalog),
+        acceptAnySchema = false, catalog = snapCatalog)
     // inspection tables, the Iceberg pattern: `db.t.files` resolves with
     // the TABLE as the namespace tail and the metadata kind as the name
     if (ident.namespace.nonEmpty && GraftMetadataTable.Kinds(ident.name)) {
       val parentDir = dirOf(ident.namespace.toIndexedSeq)
-      if (isTable(parentDir)) return GraftMetadataTable(parentDir, ident.name)
+      if (isTable(parentDir))
+        return GraftMetadataTable(parentDir, ident.name, snapCatalog)
     }
     throw new NoSuchTableException(ident)
   }
@@ -103,8 +116,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val v = version.toLongOption.getOrElse(throw CompactionError.Config(
       s"graft versions are snapshot numbers; got '$version'"))
-    new GraftTable(dir, GraftTableSource.tableSchema(dir, asOfVersion = Some(v)),
-      pinnedVersion = Some(v), acceptAnySchema = false)
+    new GraftTable(dir,
+      GraftTableSource.tableSchema(dir, snapCatalog, asOfVersion = Some(v)),
+      pinnedVersion = Some(v), acceptAnySchema = false, catalog = snapCatalog)
   }
 
   /** `TIMESTAMP AS OF <t>` (micros since epoch, per the DSv2 contract) —
@@ -115,15 +129,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val tsMs = timestampMicros / 1000L
-    val v = FileTableCatalog.versions(dir).reverse
-      .flatMap(FileTableCatalog.loadVersion(dir, _))
+    val v = snapCatalog.versions(dir).reverse
+      .flatMap(snapCatalog.loadVersion(dir, _))
       .find(_.committedAtMs <= tsMs)
       .map(_.version)
       .getOrElse(throw CompactionError.Config(
         s"no snapshot of ${ident.name} at or before timestamp " +
           s"${tsMs}ms (oldest retained is newer, or all expired)"))
-    new GraftTable(dir, GraftTableSource.tableSchema(dir, asOfVersion = Some(v)),
-      pinnedVersion = Some(v), acceptAnySchema = false)
+    new GraftTable(dir,
+      GraftTableSource.tableSchema(dir, snapCatalog, asOfVersion = Some(v)),
+      pinnedVersion = Some(v), acceptAnySchema = false, catalog = snapCatalog)
   }
 
   override def createTable(
@@ -146,11 +161,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val fields = schema.fields.zipWithIndex.map { case (fld, i) =>
       graft.core.SchemaField(i + 1, fld.name, fld.dataType.sql)
     }
-    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil,
+    snapCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil,
       schemas = Seq(graft.core.TableSchema(1, fields.toIndexedSeq)),
       committedAtMs = System.currentTimeMillis()))
-    new GraftTable(dir, GraftTableSource.tableSchema(dir),
-      acceptAnySchema = false)
+    new GraftTable(dir, GraftTableSource.tableSchema(dir, snapCatalog),
+      acceptAnySchema = false, catalog = snapCatalog)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -166,7 +181,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case other => throw CompactionError.Config(
         s"unsupported ALTER TABLE change for a graft table: $other")
     }.toSeq
-    SchemaEvolution.evolve(dir, ops)
+    SchemaEvolution.evolve(dir, ops, catalog = snapCatalog)
     loadTable(ident)
   }
 

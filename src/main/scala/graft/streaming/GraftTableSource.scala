@@ -112,7 +112,11 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
       * ([[graft.sql.GraftCatalog]]) turn this OFF so Spark applies
       * standard INSERT resolution (positional VALUES get renamed to the
       * declared columns, mismatched arity fails in analysis). */
-    acceptAnySchema: Boolean = true)
+    acceptAnySchema: Boolean = true,
+    /** Where snapshots live. The path-based provider always uses the
+      * metadata-JSON catalog; [[graft.sql.GraftCatalog]] injects the
+      * Iceberg-format catalog for `format=iceberg` warehouses. */
+    catalog: TableCatalog = FileTableCatalog)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns with SupportsRowLevelOperations {
   override def name(): String =
@@ -135,14 +139,14 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
     val splitTarget = Option(options.get("splitTargetBytes")).map(_.toLong)
       .getOrElse(graft.sources.GraftBatchScan.DefaultSplitTargetBytes)
     new graft.sources.GraftScanBuilder(tableDir, tblSchema, asOfVersion,
-      FileTableCatalog, startingVersion, skipDeletes,
+      catalog, startingVersion, skipDeletes,
       splitTargetBytes = splitTarget)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (pinnedVersion.nonEmpty) throw CompactionError.Config(
       "cannot write to a VERSION AS OF read of a graft table")
-    new graft.sinks.GraftWriteBuilder(tableDir, info)
+    new graft.sinks.GraftWriteBuilder(tableDir, info, catalog)
   }
 
   /** `_file` metadata column: each row's physical data file — the
@@ -167,7 +171,8 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
       "cannot modify a VERSION AS OF read of a graft table")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new graft.sinks.GraftRowLevelOperation(tableDir, tblSchema, info.command())
+        new graft.sinks.GraftRowLevelOperation(tableDir, tblSchema,
+          info.command(), catalog)
     }
   }
 
@@ -187,7 +192,7 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
     val cond = filters.flatMap(graft.sql.Filters.toColumn(_))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    val snap = FileTableCatalog.loadOrThrow(tableDir)
+    val snap = catalog.loadOrThrow(tableDir)
     val tasks = graft.sources.ScanPlanner.toInputTasks(snap.files.map(_.toTask))
     if (tasks.dataFiles.isEmpty) return
     if (graft.plans.SchemaReconcile.needed(snap.schemas, snap.schemaId, tasks))
@@ -218,7 +223,7 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
       .pruneDataFiles(snap.files.filter(_.content == "data"), cond)
       .map(_.path).toSet
     graft.txn.TableWrites.appendPositionDeletes(tableDir, positions,
-      requiredDataPaths = candidatePaths)
+      catalog = catalog, requiredDataPaths = candidatePaths)
   }
 }
 

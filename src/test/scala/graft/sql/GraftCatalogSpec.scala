@@ -214,6 +214,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gsql.db8.c").head.getLong(0) == 4)
   }
 
+  test("format=iceberg backs SQL tables with Iceberg v2 metadata") {
+    val wh = Files.createTempDirectory("graft-wh-iceberg").toString
+    spark.conf.set("spark.sql.catalog.gice", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gice.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.gice.format", "iceberg")
+    sql("CREATE NAMESPACE IF NOT EXISTS gice.db")
+    sql("CREATE TABLE gice.db.t (id BIGINT, name STRING)")
+    sql("INSERT INTO gice.db.t VALUES (1, 'a'), (2, 'b')")
+    sql("DELETE FROM gice.db.t WHERE id IN (1)")
+    sql("ALTER TABLE gice.db.t RENAME COLUMN name TO label")
+    sql("INSERT INTO gice.db.t VALUES (3, 'c')")
+    assert(sql("SELECT id, label FROM gice.db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "b"), (3L, "c")))
+    // on disk it is real Iceberg v2: metadata.json + Avro manifests
+    val meta = graft.io.FileIO.listFiles(s"$wh/db/t/metadata").map(_._1)
+    assert(meta.exists(_.endsWith(".metadata.json")))
+    assert(meta.exists(_.endsWith(".avro")))
+    assert(meta.exists(_.endsWith("version-hint.text")))
+    // time travel through the Iceberg snapshot line
+    assert(sql("SELECT count(*) FROM gice.db.t VERSION AS OF 2").head.getLong(0) == 2)
+  }
+
   test("CREATE TABLE rejects nested types and duplicate tables") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db3")
     val e = intercept[Exception] {
