@@ -46,10 +46,13 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftBatchWrite {
 
-  /** Validate `querySchema` against the table's current state; returns
-    * nothing — throws [[CompactionError.Config]] on any mismatch. */
+  /** Validate `querySchema` against the table's current state; throws
+    * [[CompactionError.Config]] on any mismatch. Returns the snapshot's
+    * schemaId AS OF validation — commits pass it as `expectedSchemaId`
+    * so a concurrent ALTER TABLE between planning and commit aborts
+    * instead of stamping the files with the wrong (newer) schema id. */
   def validateSchema(tableDir: String, querySchema: StructType,
-      catalog: TableCatalog = FileTableCatalog): Unit = {
+      catalog: TableCatalog = FileTableCatalog): Long = {
     querySchema.fields.foreach { f =>
       if (!ExactRollingWriter.supportedType(f.dataType))
         throw CompactionError.Config(
@@ -70,6 +73,7 @@ object GraftBatchWrite {
           s"(${want.toSeq.sorted.mkString(", ")}), rows have " +
           s"(${got.toSeq.sorted.mkString(", ")})")
     }
+    snap.schemaId
   }
 
   /** Rename the winning attempts' files into `writeDir` (optionally
@@ -107,13 +111,14 @@ final class GraftWriteBuilder(
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
-      new GraftDsv2BatchWrite(tableDir, info.schema(), targetBytes, compression, catalog)
+      val schemaId = GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
+      new GraftDsv2BatchWrite(tableDir, info.schema(), targetBytes, compression,
+        catalog, schemaId)
     }
     override def toStreaming: sstreaming.StreamingWrite = {
-      GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
+      val schemaId = GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
       new GraftStreamingWrite(tableDir, info.schema(), targetBytes, compression,
-        catalog, info.queryId())
+        catalog, info.queryId(), schemaId)
     }
   }
 }
@@ -126,7 +131,8 @@ final class GraftDsv2BatchWrite(
     schema: StructType,
     targetFileSizeBytes: Long,
     compression: String,
-    catalog: TableCatalog
+    catalog: TableCatalog,
+    validatedSchemaId: Long
 ) extends BatchWrite {
 
   private val writeDir =
@@ -145,9 +151,11 @@ final class GraftDsv2BatchWrite(
       messages.toSeq.flatMap(_.asInstanceOf[GraftCommitMessage].files),
       writeDir)
     if (entries.isEmpty) { FileIO.deleteRecursive(writeDir); return }
-    val cur = catalog.loadOrThrow(tableDir)
+    // schemaId captured at build/validate time, NOT reloaded here — a
+    // concurrent ALTER TABLE mid-write must abort the commit, not
+    // stamp the files with the new schema id
     new CommitManager(tableDir, RetryConfig(), catalog = catalog)
-      .appendFiles(entries, expectedSchemaId = cur.schemaId)
+      .appendFiles(entries, expectedSchemaId = validatedSchemaId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -183,7 +191,8 @@ final class GraftStreamingWrite(
     targetFileSizeBytes: Long,
     compression: String,
     catalog: TableCatalog,
-    queryId: String
+    queryId: String,
+    validatedSchemaId: Long
 ) extends sstreaming.StreamingWrite {
 
   private val writeDir =
@@ -209,8 +218,11 @@ final class GraftStreamingWrite(
     // epoch prefix keeps names unique across the query's lifetime
     val entries = GraftBatchWrite.publishWinners(files, writeDir,
       namePrefix = s"e$epochId-", attemptSweepPrefix = s"_attempt-e$epochId-")
+    // schemaId from build/validate time (see GraftDsv2BatchWrite.commit):
+    // the query writes the schema it was planned with for its whole
+    // lifetime, so an ALTER TABLE mid-query aborts the next epoch
     new CommitManager(tableDir, RetryConfig(), catalog = catalog)
-      .appendFiles(entries, expectedSchemaId = cur.schemaId,
+      .appendFiles(entries, expectedSchemaId = validatedSchemaId,
         setProperties = Map(marker -> epochId.toString))
   }
 

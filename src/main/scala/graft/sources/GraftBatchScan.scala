@@ -211,9 +211,12 @@ final class GraftScanBuilder(
     filters.foldLeft(Map.empty: ScanPruning.Bounds) { (acc, f) =>
       val b: ScanPruning.Bounds = f match {
         case sources.EqualTo(a, v)            => lit(v).map(x => Map(a -> (x, x))).getOrElse(Map.empty)
-        case sources.GreaterThan(a, v)        => lit(v).map(x => Map(a -> (x + 1, Long.MaxValue))).getOrElse(Map.empty)
+        // saturate at the extremes: `> Long.MaxValue` / `< Long.MinValue`
+        // are impossible predicates — an empty range (lo > hi) prunes
+        // every file rather than wrapping around and keeping all of them
+        case sources.GreaterThan(a, v)        => lit(v).map(x => Map(a -> (if (x == Long.MaxValue) (1L, 0L) else (x + 1, Long.MaxValue)))).getOrElse(Map.empty)
         case sources.GreaterThanOrEqual(a, v) => lit(v).map(x => Map(a -> (x, Long.MaxValue))).getOrElse(Map.empty)
-        case sources.LessThan(a, v)           => lit(v).map(x => Map(a -> (Long.MinValue, x - 1))).getOrElse(Map.empty)
+        case sources.LessThan(a, v)           => lit(v).map(x => Map(a -> (if (x == Long.MinValue) (1L, 0L) else (Long.MinValue, x - 1)))).getOrElse(Map.empty)
         case sources.LessThanOrEqual(a, v)    => lit(v).map(x => Map(a -> (Long.MinValue, x))).getOrElse(Map.empty)
         case sources.And(l, r)                => boundsOf(Seq(l, r))
         case _                                => Map.empty
@@ -427,6 +430,10 @@ final class GraftScan(
     cowOwner.foreach(_.recordScan(
       afterRuntime.map(_.path).distinct,
       snap.files.map(_.path).toSet, snap.schemaId))
+    // fetched once per planning pass — calling this inside the flatMap
+    // would re-read every oversized footer N times (O(N*K) driver
+    // round-trips) and spin up a fresh pool per file
+    val layouts = rowGroupLayouts(afterRuntime)
     afterRuntime.sortBy(_.path).flatMap { d =>
       val base = GraftMorPartition(
         dataPath = d.path,
@@ -436,7 +443,7 @@ final class GraftScan(
           .map(e => EqDeleteSpec(e.path, e.sequenceNumber, keyColsFor(e))),
         columnMap = columnMapFor(d)
       )
-      splitByRowGroups(base, rowGroupLayouts(afterRuntime).getOrElse(d.path, Nil))
+      splitByRowGroups(base, layouts.getOrElse(d.path, Nil))
         .map(p => p: InputPartition)
     }.toArray
   }

@@ -134,7 +134,15 @@ object ScanPruning {
   /** Same pruning from pre-extracted bounds (the DSv2 scan derives them
     * from pushed `sources.Filter`s instead of a Column tree). */
   def pruneDataFilesWithBounds(files: Seq[FileEntry], cs: Bounds): Seq[FileEntry] =
-    if (cs.isEmpty || cs.values.exists { case (lo, hi) => lo > hi }) files
+    if (cs.isEmpty) files
+    else if (cs.values.exists { case (lo, hi) => lo > hi }) {
+      // contradictory bounds (x > MAX, or merged x > 5 AND x < 3): no row
+      // can match — prune to the single schema-anchor file without any
+      // footer fetches; the filter still runs above the scan, so the
+      // result is a correct empty set
+      val (data, deletes) = files.partition(_.content == "data")
+      data.take(1) ++ deletes
+    }
     else pruneWith(files, cs.keys.toSeq) { stats =>
       cs.forall { case (c, (lo, hi)) =>
         stats.get(c) match {

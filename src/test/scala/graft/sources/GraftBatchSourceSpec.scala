@@ -88,6 +88,27 @@ class GraftBatchSourceSpec extends AnyFunSuite {
     assert(q.count() == 50L)
   }
 
+  test("impossible extreme predicates prune files instead of disabling pruning") {
+    val dir = Files.createTempDirectory("graft-batch-extreme").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      (1L to 100L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1))
+    TableWrites.appendData(dir,
+      (1000L to 1100L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1))
+    def partsOf(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec in plan")).partitions.size
+    // id > Long.MaxValue used to wrap to (MinValue, MaxValue) and keep
+    // both files; saturation yields lo > hi → one schema-anchor file
+    val qHi = dsv2(dir).filter(col("id") > Long.MaxValue)
+    assert(partsOf(qHi) == 1, "expected > MaxValue to prune to the anchor")
+    assert(qHi.count() == 0L)
+    val qLo = dsv2(dir).filter(col("id") < Long.MinValue)
+    assert(partsOf(qLo) == 1, "expected < MinValue to prune to the anchor")
+    assert(qLo.count() == 0L)
+  }
+
   test("runtime In-filters prune files before tasks launch") {
     val dir = Files.createTempDirectory("graft-batch-rtf").toString
     FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
@@ -240,6 +261,30 @@ class GraftBatchSourceSpec extends AnyFunSuite {
     assert(leftover.isEmpty, s"attempt debris: $leftover")
     // and the written rows read back
     assert(dsv2(dir).count() == 5000L)
+  }
+
+  test("an ALTER TABLE between write planning and commit aborts the commit") {
+    val dir = Files.createTempDirectory("graft-batch-drift").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir, Seq((1L, 2L)).toDF("id", "v").coalesce(1))
+    val writeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def options() =
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+      override def queryId(): String = "q-drift"
+      override def schema() = writeSchema
+    }
+    val batch = new graft.sinks.GraftWriteBuilder(dir, info).build().toBatch
+    // concurrent evolution AFTER planning: files written with the old
+    // column set must not be stamped with the new schema id
+    SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("v", "w")))
+    val w = batch.createBatchWriterFactory(null).createWriter(0, 7L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(5L, 6L))
+    val msg = w.commit()
+    val e = intercept[CompactionError] { batch.commit(Array(msg)) }
+    assert(e.isInstanceOf[CompactionError.SchemaDrift], s"got $e")
   }
 
   test("append schema is validated by name against the table") {

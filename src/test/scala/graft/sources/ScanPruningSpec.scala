@@ -78,6 +78,18 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(out.count() == 0 && out.columns.contains("v"))
   }
 
+  test("contradictory bounds prune to the schema anchor without footer reads") {
+    val dir = Files.createTempDirectory("prune-c").toString
+    val f1 = writeFile((1L to 10L).map(i => (i, s"a$i")), s"$dir/data/f1.parquet")
+    val f2 = writeFile((11L to 20L).map(i => (i, s"b$i")), s"$dir/data/f2.parquet")
+    val del = f1.copy(content = "equality-deletes", equalityIds = Seq("id"))
+    val files = Seq(f1, f2, del)
+    // merged x > 5 AND x < 3 → lo > hi: one data anchor, deletes kept
+    val kept = ScanPruning.pruneDataFilesWithBounds(files, Map("id" -> (6L, 2L)))
+    assert(kept.count(_.content == "data") == 1)
+    assert(kept.exists(_.content == "equality-deletes"))
+  }
+
   test("unsupported filters prune nothing") {
     val dir = Files.createTempDirectory("prune-u").toString
     val f1 = writeFile((1L to 10L).map(i => (i, s"a$i")), s"$dir/data/f1.parquet")

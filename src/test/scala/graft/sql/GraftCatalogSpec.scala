@@ -237,6 +237,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gice.db.t VERSION AS OF 2").head.getLong(0) == 2)
   }
 
+  test("translatable DELETE on an evolved table falls back to copy-on-write") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.db9")
+    sql("CREATE TABLE gsql.db9.e (id BIGINT, name STRING)")
+    sql("INSERT INTO gsql.db9.e VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    // evolve: existing files now need per-file column maps, which the
+    // metadata-delete path cannot carry — canDeleteWhere must answer
+    // false so Spark routes this through the row-level operation
+    sql("ALTER TABLE gsql.db9.e RENAME COLUMN name TO label")
+    sql("DELETE FROM gsql.db9.e WHERE id IN (2)")
+    assert(sql("SELECT id, label FROM gsql.db9.e ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "c")))
+  }
+
   test("CREATE TABLE rejects nested types and duplicate tables") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db3")
     val e = intercept[Exception] {
