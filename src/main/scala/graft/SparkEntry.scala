@@ -35,6 +35,7 @@ object SparkEntry {
       ("dsv2_roundtrip" -> (graft.queries.Dsv2RoundtripQuery.run _)) +
       ("sql_catalog_crud" -> (graft.queries.SqlCatalogQuery.run _)) +
       ("sql_merge_cow" -> (graft.queries.SqlCatalogQuery.runMerge _)) +
+      ("sql_merge_mor" -> (graft.queries.SqlCatalogQuery.runMergeMor _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -61,6 +62,7 @@ object SparkEntry {
       ("dsv2_roundtrip" -> graft.queries.Dsv2RoundtripQuery.oracle) +
       ("sql_catalog_crud" -> graft.queries.SqlCatalogQuery.oracle) +
       ("sql_merge_cow" -> graft.queries.SqlCatalogQuery.mergeOracle) +
+      ("sql_merge_mor" -> graft.queries.SqlCatalogQuery.mergeOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

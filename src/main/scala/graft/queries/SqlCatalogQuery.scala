@@ -82,8 +82,19 @@ object SqlCatalogQuery {
     * copy-on-write ([[graft.sinks.GraftRowLevelOperation]]); doubles
     * are stored as integer cents so nothing floating ever crosses the
     * oracle boundary. */
-  def runMerge(spark: SparkSession, dir: String): DataFrame = {
-    val cat = mergeCatalogs.computeIfAbsent(dir, _ => {
+  def runMerge(spark: SparkSession, dir: String): DataFrame =
+    runMergeMode(spark, dir, "copy-on-write")
+
+  /** The same MERGE with `graft.rowlevel.mode = merge-on-read`: matched
+    * rows land as position deletes + re-inserts
+    * ([[graft.sinks.GraftDeltaOperation]]), data files are never
+    * rewritten. Shares [[mergeOracle]] — both modes must produce the
+    * same logical table. */
+  def runMergeMor(spark: SparkSession, dir: String): DataFrame =
+    runMergeMode(spark, dir, "merge-on-read")
+
+  private def runMergeMode(spark: SparkSession, dir: String, mode: String): DataFrame = {
+    val cat = mergeCatalogs.computeIfAbsent(s"$dir#$mode", _ => {
       val name = s"gm${counter.incrementAndGet()}"
       val wh = Files.createTempDirectory(s"graft-sqlmerge-$name").toString
       spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
@@ -99,7 +110,8 @@ object SqlCatalogQuery {
       spark.sql(
         s"""CREATE TABLE $name.db.li (
            |  l_orderkey BIGINT, l_linenumber INT, l_partkey BIGINT,
-           |  l_suppkey BIGINT, lq BIGINT, lep BIGINT, l_returnflag STRING)""".stripMargin)
+           |  l_suppkey BIGINT, lq BIGINT, lep BIGINT, l_returnflag STRING)
+           |TBLPROPERTIES ('graft.rowlevel.mode' = '$mode')""".stripMargin)
       spark.sql(
         s"INSERT INTO $name.db.li SELECT * FROM li_keyed WHERE l_orderkey % 2 = 0")
       spark.sql(

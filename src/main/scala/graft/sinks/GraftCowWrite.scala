@@ -36,12 +36,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     the scan (it could target rows we are rewriting — aborting
   *     mirrors Iceberg's validateNoConflictingDeletes).
   */
+/** Driver-side handoff from a row-level operation's scan to its commit:
+  * [[graft.sources.GraftScan]] reports the planned file set (and the
+  * snapshot it was planned against) to whichever operation owns it —
+  * group-based copy-on-write ([[GraftRowLevelOperation]]) or delta
+  * merge-on-read ([[GraftDeltaOperation]]). */
+trait RowLevelScanOwner {
+  def recordScan(paths: Seq[String], allSnapshotPaths: Set[String],
+      schemaId: Long): Unit
+}
+
 final class GraftRowLevelOperation(
     tableDir: String,
     tableSchema: StructType,
     cmd: RowLevelOperation.Command,
     catalog: TableCatalog = FileTableCatalog
-) extends RowLevelOperation {
+) extends RowLevelOperation with RowLevelScanOwner {
 
   /** Snapshot version the WHOLE operation is pinned to: the rewrite
     * scan reads it via asOfVersion, and the commit requires the table

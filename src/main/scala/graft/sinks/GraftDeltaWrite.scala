@@ -1,0 +1,249 @@
+package graft.sinks
+
+import graft.core.{CompactionConfig, CompactionError, RetryConfig}
+import graft.io.FileIO
+import graft.sources.{GraftBatchScan, GraftScanBuilder, ScanPlanner}
+import graft.txn.{CommitManager, FileTableCatalog, TableCatalog}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DELTA (merge-on-read) row-level operations — SQL `UPDATE`,
+  * `MERGE INTO`, and untranslatable `DELETE` when the table sets
+  * `graft.rowlevel.mode = merge-on-read`.
+  *
+  * Where the copy-on-write path ([[GraftRowLevelOperation]]) rewrites
+  * every file containing a matching row, the delta path writes only the
+  * CHANGE: deleted/updated rows become a position-delete file keyed by
+  * the scan's `_file`/`_pos` row id (Iceberg's position-delta model),
+  * and inserted/updated rows become ordinary appended data files. The
+  * next MoR read folds them back together; compaction folds them
+  * physically. For a wide table with a narrow update this turns an
+  * O(affected-file bytes) rewrite into an O(changed rows) append —
+  * the 100 TB shape for trickle updates.
+  *
+  * Updates arrive as delete+insert pairs
+  * (`representUpdateAsDeleteAndInsert` — the engine has no in-place
+  * update, matching the reference's delete-file semantics).
+  *
+  * Commit is one atomic snapshot: new data files and position-delete
+  * files land together at one sequence number via
+  * [[CommitManager.replaceFiles]] (removing nothing), with the same two
+  * conflict guards as the copy-on-write path — every data file the
+  * deletes REFERENCE must still be current (a concurrent compaction
+  * aborts us, never resurrects rows), and no delete file may have
+  * committed since the pinned scan (it could target rows this
+  * operation read — Iceberg's validateNoConflictingDeletes).
+  */
+final class GraftDeltaOperation(
+    tableDir: String,
+    tableSchema: StructType,
+    cmd: RowLevelOperation.Command,
+    catalog: TableCatalog = FileTableCatalog
+) extends RowLevelOperation with SupportsDelta with RowLevelScanOwner {
+
+  /** Same pin as the copy-on-write path: the scan and the group-filter
+    * subquery must see ONE snapshot. */
+  private lazy val pinnedVersion: Long = catalog.loadOrThrow(tableDir).version
+
+  @volatile private var scanAllPaths: Set[String] = Set.empty
+  @volatile private var scanSchemaId: Long = -1L
+
+  override def recordScan(paths: Seq[String], allSnapshotPaths: Set[String],
+      schemaId: Long): Unit = {
+    scanAllPaths = allSnapshotPaths
+    scanSchemaId = schemaId
+  }
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(GraftBatchScan.FileColumn),
+    Expressions.column(GraftBatchScan.PosColumn))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(tableDir, tableSchema,
+      asOfVersion = Some(pinnedVersion), catalog,
+      startingVersion = "1", skipDeletes = false, cowOwner = Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = {
+          // a pure DELETE plans no insert rows — nothing to validate
+          if (info.schema().nonEmpty)
+            GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
+          val opts = info.options()
+          val target = Option(opts.get("targetFileSizeBytes")).map(_.toLong)
+            .getOrElse(CompactionConfig().targetFileSizeBytes)
+          val compression = Option(opts.get("compression")).getOrElse("snappy")
+          val idSchema = info.rowIdSchema().orElseThrow(() =>
+            CompactionError.Config("delta write planned without a row id"))
+          new GraftDeltaBatchWrite(GraftDeltaOperation.this, tableDir,
+            info.schema(), idSchema, target, compression, catalog)
+        }
+      }
+    }
+
+  private[sinks] def snapshotPaths: Set[String] = scanAllPaths
+  private[sinks] def scanSchema: Long =
+    if (scanSchemaId >= 0) scanSchemaId else catalog.loadOrThrow(tableDir).schemaId
+}
+
+/** Per-task payload: data files and position-delete files written by
+  * one task, plus the distinct data paths its deletes reference. */
+final case class GraftDeltaCommitMessage(
+    dataFiles: Seq[(String, Long)],
+    deleteFiles: Seq[(String, Long)],
+    referencedPaths: Set[String]) extends WriterCommitMessage
+
+final class GraftDeltaBatchWrite(
+    op: GraftDeltaOperation,
+    tableDir: String,
+    dataSchema: StructType,
+    rowIdSchema: StructType,
+    targetFileSizeBytes: Long,
+    compression: String,
+    catalog: TableCatalog
+) extends DeltaBatchWrite {
+
+  private val writeDir =
+    s"$tableDir/data/delta-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    FileIO.mkdirs(writeDir)
+    new GraftDeltaWriterFactory(writeDir, dataSchema, rowIdSchema,
+      targetFileSizeBytes, compression, FileIO.hadoopConfEntries())
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.toSeq.map(_.asInstanceOf[GraftDeltaCommitMessage])
+    // deletes first, sweeping only their own attempt dirs; the data
+    // publish then sweeps every remaining attempt dir
+    val delEntries = GraftBatchWrite.publishWinners(
+      msgs.flatMap(_.deleteFiles), writeDir,
+      namePrefix = "del-", attemptSweepPrefix = "_attempt-del-")
+      .map(_.copy(content = "position-deletes"))
+    val dataEntries = GraftBatchWrite.publishWinners(
+      msgs.flatMap(_.dataFiles), writeDir)
+    if (delEntries.isEmpty && dataEntries.isEmpty) {
+      FileIO.deleteRecursive(writeDir); return
+    }
+    val referenced = msgs.flatMap(_.referencedPaths).toSet
+    val scanPaths = op.snapshotPaths
+    new CommitManager(tableDir, RetryConfig(), catalog = catalog).replaceFiles(
+      added = dataEntries ++ delEntries,
+      removedPaths = Set.empty,
+      requiredPaths = referenced,
+      expectedSchemaId = op.scanSchema,
+      // tolerate pure appends, abort if a delete file landed since the
+      // pinned scan (same rationale as the copy-on-write guard)
+      validate = cur => {
+        val newDeletes = cur.files.filter(f =>
+          f.content != "data" && !scanPaths.contains(f.path))
+        if (newDeletes.nonEmpty) throw CompactionError.StaleRewrite(
+          s"delta write is stale: ${newDeletes.size} delete file(s) " +
+            s"committed after the scan could target the rows being " +
+            s"modified (e.g. ${newDeletes.head.path}); re-run the operation")
+      })
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    FileIO.deleteRecursive(writeDir)
+}
+
+final class GraftDeltaWriterFactory(
+    writeDir: String,
+    dataSchema: StructType,
+    rowIdSchema: StructType,
+    targetFileSizeBytes: Long,
+    compression: String,
+    confEntries: Array[(String, String)]
+) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(writeDir, partitionId, taskId, dataSchema, rowIdSchema,
+      targetFileSizeBytes, compression, confEntries)
+}
+
+/** Per-task delta writer: inserts stream through the same rolling
+  * [[GraftDataWriter]] the append path uses; deleted row ids buffer in
+  * memory and land at commit as ONE sorted (file_path, pos) parquet
+  * file — sorted so the delete file's footer carries a tight file_path
+  * [min, max] and the per-task delete scoping of the MoR read
+  * ([[graft.sources.GraftScan]]) can skip it for unrelated files.
+  * Buffering is bounded by the rows a single task deletes (two words +
+  * one shared path reference each); a task deleting hundreds of
+  * millions of rows should route through compaction instead. */
+final class GraftDeltaWriter(
+    writeDir: String,
+    partitionId: Int,
+    taskId: Long,
+    dataSchema: StructType,
+    rowIdSchema: StructType,
+    targetFileSizeBytes: Long,
+    compression: String,
+    confEntries: Array[(String, String)]
+) extends DeltaWriter[InternalRow] {
+
+  private val fileIdx = rowIdSchema.fieldIndex(GraftBatchScan.FileColumn)
+  private val posIdx = rowIdSchema.fieldIndex(GraftBatchScan.PosColumn)
+
+  private lazy val dataWriter = new GraftDataWriter(
+    s"$writeDir/_attempt-$taskId", partitionId, dataSchema,
+    targetFileSizeBytes, compression, confEntries)
+  private var dataUsed = false
+
+  // (path, pos) buffer; paths of one task repeat heavily -> intern
+  private val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  private val pathIntern = new java.util.HashMap[String, String]()
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val raw = id.getUTF8String(fileIdx).toString
+    val path = pathIntern.computeIfAbsent(raw, identity[String])
+    deletes += ((path, id.getLong(posIdx)))
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    dataUsed = true
+    dataWriter.write(row)
+  }
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates are represented as delete+insert (representUpdateAsDeleteAndInsert)")
+
+  private val deleteSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  override def commit(): WriterCommitMessage = {
+    val dataFiles =
+      if (dataUsed) dataWriter.commit().asInstanceOf[GraftCommitMessage].files
+      else Nil
+    val deleteFiles = if (deletes.isEmpty) Nil else {
+      val sorted = deletes.sortInPlace()(Ordering.Tuple2(Ordering.String, Ordering.Long))
+      val w = new GraftDataWriter(s"$writeDir/_attempt-del-$taskId", partitionId,
+        deleteSchema, targetFileSizeBytes, compression, confEntries)
+      try {
+        sorted.foreach { case (p, pos) =>
+          w.write(InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(p), pos))
+        }
+        w.commit().asInstanceOf[GraftCommitMessage].files
+      } catch { case e: Throwable => w.abort(); throw e }
+    }
+    GraftDeltaCommitMessage(dataFiles, deleteFiles, pathIntern.keySet()
+      .toArray(Array.empty[String]).toSet)
+  }
+
+  override def abort(): Unit = {
+    if (dataUsed) dataWriter.abort()
+    FileIO.deleteRecursive(s"$writeDir/_attempt-del-$taskId")
+  }
+
+  override def close(): Unit = ()
+}

@@ -64,6 +64,12 @@ object GraftBatchScan {
     * role as Iceberg's `_file`). */
   val FileColumn = "_file"
 
+  /** Metadata column exposing each row's file-absolute ordinal — with
+    * [[FileColumn]] it forms the row id of the delta (merge-on-read)
+    * row-level path (the same role as Iceberg's `_pos`): a delta DELETE
+    * writes these two columns back as a position-delete file. */
+  val PosColumn = "_pos"
+
   /** Files above this size split into row-group-aligned range tasks
     * (the engine's own read fan-out decision — ScanPlanner.splitTask's
     * default, realized here for the DSv2 path). */
@@ -174,21 +180,23 @@ final class GraftScanBuilder(
       * ([[graft.sinks.GraftRowLevelOperation]]): the planned file set is
       * reported back so the copy-on-write commit replaces exactly the
       * groups that were read. */
-    cowOwner: Option[graft.sinks.GraftRowLevelOperation] = None,
+    cowOwner: Option[graft.sinks.RowLevelScanOwner] = None,
     splitTargetBytes: Long = GraftBatchScan.DefaultSplitTargetBytes
 ) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var requiredSchema: StructType = tableSchema
   private var includeFileColumn: Boolean = false
+  private var includePosColumn: Boolean = false
   private var pushed: Array[sources.Filter] = Array.empty
 
   override def pruneColumns(required: StructType): Unit = {
     // preserve TABLE column order (parquet projection order must be a
     // sub-sequence of the file schema); Spark reorders above if needed.
-    // `_file` is the metadata column (emitted by the reader, not read
-    // from parquet) — track it separately.
+    // `_file` / `_pos` are metadata columns (emitted by the reader, not
+    // read from parquet) — track them separately.
     includeFileColumn = required.fieldNames.contains(GraftBatchScan.FileColumn)
+    includePosColumn = required.fieldNames.contains(GraftBatchScan.PosColumn)
     requiredSchema = StructType(
       tableSchema.fields.filter(f => required.fieldNames.contains(f.name)))
   }
@@ -228,7 +236,7 @@ final class GraftScanBuilder(
   override def build(): Scan =
     new GraftScan(tableDir, tableSchema, requiredSchema, boundsOf(pushed.toSeq),
       asOfVersion, catalog, startingVersion, skipDeletes,
-      includeFileColumn, cowOwner, splitTargetBytes)
+      includeFileColumn, cowOwner, splitTargetBytes, includePosColumn)
 }
 
 final class GraftScan(
@@ -241,15 +249,20 @@ final class GraftScan(
     startingVersion: String,
     skipDeletes: Boolean,
     includeFileColumn: Boolean = false,
-    cowOwner: Option[graft.sinks.GraftRowLevelOperation] = None,
-    splitTargetBytes: Long = GraftBatchScan.DefaultSplitTargetBytes
+    cowOwner: Option[graft.sinks.RowLevelScanOwner] = None,
+    splitTargetBytes: Long = GraftBatchScan.DefaultSplitTargetBytes,
+    includePosColumn: Boolean = false
 ) extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
-  override def readSchema(): StructType =
-    if (!includeFileColumn) requiredSchema
-    else StructType(requiredSchema.fields :+
-      StructField(GraftBatchScan.FileColumn, StringType, nullable = false))
+  override def readSchema(): StructType = {
+    var fields = requiredSchema.fields
+    if (includeFileColumn) fields = fields :+
+      StructField(GraftBatchScan.FileColumn, StringType, nullable = false)
+    if (includePosColumn) fields = fields :+
+      StructField(GraftBatchScan.PosColumn, LongType, nullable = false)
+    StructType(fields)
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"graft MoR $tableDir${asOfVersion.fold("")(v => s" @v$v")}"
@@ -509,18 +522,19 @@ final class GraftScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftMorReaderFactory(requiredSchema, tableSchema, includeFileColumn,
-      graft.io.FileIO.hadoopConfEntries())
+      graft.io.FileIO.hadoopConfEntries(), includePosColumn)
 }
 
 final class GraftMorReaderFactory(
     requiredSchema: StructType, tableSchema: StructType,
     includeFileColumn: Boolean = false,
-    confEntries: Array[(String, String)] = Array.empty)
+    confEntries: Array[(String, String)] = Array.empty,
+    includePosColumn: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftMorPartition]
     new GraftMorPartitionReader(p, requiredSchema, tableSchema, includeFileColumn,
-      graft.io.FileIO.confFrom(confEntries))
+      graft.io.FileIO.confFrom(confEntries), includePosColumn)
   }
 }
 
@@ -533,7 +547,8 @@ final class GraftMorPartitionReader(
     requiredSchema: StructType,
     tableSchema: StructType,
     includeFileColumn: Boolean = false,
-    taskConf: Configuration = new Configuration()
+    taskConf: Configuration = new Configuration(),
+    includePosColumn: Boolean = false
 ) extends PartitionReader[InternalRow] {
   import GraftBatchScan._
 
@@ -635,14 +650,16 @@ final class GraftMorPartitionReader(
     while (g != null) {
       pos += 1
       if (!deadPositions.contains(pos) && liveUnderEqDeletes(g)) {
-        val n = outCols.length + (if (includeFileColumn) 1 else 0)
+        val n = outCols.length + (if (includeFileColumn) 1 else 0) +
+          (if (includePosColumn) 1 else 0)
         val vals = new Array[Any](n)
         var i = 0
         while (i < outCols.length) {
           vals(i) = toCatalyst(fieldValue(g, outCols(i)))
           i += 1
         }
-        if (includeFileColumn) vals(outCols.length) = filePathValue
+        if (includeFileColumn) { vals(i) = filePathValue; i += 1 }
+        if (includePosColumn) vals(i) = pos
         current = InternalRow.fromSeq(vals.toIndexedSeq)
         return true
       }

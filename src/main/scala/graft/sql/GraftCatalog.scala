@@ -15,6 +15,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{sources => f}
 
 import java.util
+import scala.jdk.CollectionConverters._
 
 /** Spark SQL catalog plugin over a warehouse of graft tables — the last
   * mile that makes the engine usable from PURE SQL:
@@ -46,6 +47,14 @@ import java.util
   * proportional to the matching scan, no data-file rewrite; the next
   * compaction folds them in.
   */
+object GraftCatalog {
+  /** Spark-managed bookkeeping keys that must not leak into snapshot
+    * properties as if they were user TBLPROPERTIES. */
+  val ReservedProps: Set[String] =
+    Set("provider", "location", "owner", "comment", "external",
+      "option.path", "path")
+}
+
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -161,9 +170,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val fields = schema.fields.zipWithIndex.map { case (fld, i) =>
       graft.core.SchemaField(i + 1, fld.name, fld.dataType.sql)
     }
+    // user TBLPROPERTIES ride the snapshot (e.g. graft.rowlevel.mode);
+    // Spark's reserved bookkeeping keys stay out of the table
+    val userProps = properties.asScala.toMap -- GraftCatalog.ReservedProps
     snapCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil,
       schemas = Seq(graft.core.TableSchema(1, fields.toIndexedSeq)),
-      committedAtMs = System.currentTimeMillis()))
+      committedAtMs = System.currentTimeMillis(),
+      properties = userProps))
     new GraftTable(dir, GraftTableSource.tableSchema(dir, snapCatalog),
       acceptAnySchema = false, catalog = snapCatalog)
   }
@@ -171,17 +184,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val ops: Seq[SchemaOp] = changes.map {
+    val setProps = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+    }.toMap
+    val unsetProps = changes.collect {
+      case r: TableChange.RemoveProperty => r.property
+    }.toSet
+    val ops: Seq[SchemaOp] = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
         SchemaOp.Add(a.fieldNames.head, a.dataType.sql)
       case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
         SchemaOp.Rename(r.fieldNames.head, r.newName)
       case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
         SchemaOp.Drop(d.fieldNames.head)
-      case other => throw CompactionError.Config(
-        s"unsupported ALTER TABLE change for a graft table: $other")
+      case other: TableChange
+        if !other.isInstanceOf[TableChange.SetProperty] &&
+          !other.isInstanceOf[TableChange.RemoveProperty] =>
+        throw CompactionError.Config(
+          s"unsupported ALTER TABLE change for a graft table: $other")
     }.toSeq
-    SchemaEvolution.evolve(dir, ops, catalog = snapCatalog)
+    if (ops.nonEmpty) SchemaEvolution.evolve(dir, ops, catalog = snapCatalog)
+    if (setProps.nonEmpty || unsetProps.nonEmpty) {
+      // property-only commit: a fresh version, files untouched
+      val cur = snapCatalog.loadOrThrow(dir)
+      new graft.txn.CommitManager(dir, graft.core.RetryConfig(),
+        catalog = snapCatalog).setTableProperties(
+        setProps -- GraftCatalog.ReservedProps,
+        unsetProps, expectedSchemaId = cur.schemaId)
+    }
     loadTable(ident)
   }
 

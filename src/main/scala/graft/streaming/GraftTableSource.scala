@@ -158,21 +158,42 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
       override def dataType(): org.apache.spark.sql.types.DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "physical data file holding the row"
+    },
+    new MetadataColumn {
+      override def name(): String = graft.sources.GraftBatchScan.PosColumn
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "file-absolute row ordinal (position-delete addressing)"
     })
 
-  /** SQL `UPDATE` / `MERGE INTO` / untranslatable `DELETE` — group-based
-    * copy-on-write ([[graft.sinks.GraftRowLevelOperation]]): rewrite
-    * only the files containing matching rows, swap them atomically.
-    * Translatable DELETEs still take the cheaper metadata path
-    * ([[deleteWhere]]) via Spark's optimizer. */
+  /** SQL `UPDATE` / `MERGE INTO` / untranslatable `DELETE`, in the
+    * table's configured mode (`graft.rowlevel.mode` table property):
+    * group-based copy-on-write rewrites whole affected files
+    * ([[graft.sinks.GraftRowLevelOperation]], the default), while
+    * `merge-on-read` writes only position deletes + new rows
+    * ([[graft.sinks.GraftDeltaOperation]]) and leaves folding to the
+    * read path / compaction. Translatable DELETEs still take the
+    * cheaper metadata path ([[deleteWhere]]) via Spark's optimizer. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     if (pinnedVersion.nonEmpty) throw CompactionError.Config(
       "cannot modify a VERSION AS OF read of a graft table")
+    val mode = catalog.load(tableDir)
+      .flatMap(_.properties.get(GraftTable.RowLevelModeProp))
+      .getOrElse("copy-on-write")
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation =
-        new graft.sinks.GraftRowLevelOperation(tableDir, tblSchema,
-          info.command(), catalog)
+      override def build(): RowLevelOperation = mode match {
+        case "merge-on-read" =>
+          new graft.sinks.GraftDeltaOperation(tableDir, tblSchema,
+            info.command(), catalog)
+        case "copy-on-write" =>
+          new graft.sinks.GraftRowLevelOperation(tableDir, tblSchema,
+            info.command(), catalog)
+        case other => throw CompactionError.Config(
+          s"unknown ${GraftTable.RowLevelModeProp} '$other' " +
+            "(copy-on-write | merge-on-read)")
+      }
     }
   }
 
@@ -233,6 +254,13 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
     graft.txn.TableWrites.appendPositionDeletes(tableDir, positions,
       catalog = catalog, requiredDataPaths = candidatePaths)
   }
+}
+
+object GraftTable {
+  /** Table property selecting the row-level operation strategy:
+    * `copy-on-write` (default — rewrite affected files) or
+    * `merge-on-read` (position deletes + appends, folded at read). */
+  val RowLevelModeProp = "graft.rowlevel.mode"
 }
 
 /** Version offset in the table's commit line. */

@@ -147,6 +147,19 @@ final class CommitManager(
               else -1L)))
     }
 
+  /** Property-only commit (SQL `ALTER TABLE ... SET/UNSET TBLPROPERTIES`):
+    * merge `set`, drop `unset`, touch no files. */
+  def setTableProperties(
+      set: Map[String, String],
+      unset: Set[String],
+      expectedSchemaId: Long
+  ): TableSnapshot =
+    commitLoop(expectedSchemaId) { cur =>
+      cur.copy(
+        version = cur.version + 1,
+        properties = cur.properties ++ set -- unset)
+    }
+
   /** Commit a schema change: bump `schemaId` to `newSchemaId` and replace
     * the schema history, touching no files. Legacy files (schemaId -1,
     * committed before the table had a history) are stamped with the

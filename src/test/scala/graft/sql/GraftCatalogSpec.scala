@@ -129,6 +129,84 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
   }
 
+  test("merge-on-read mode: UPDATE/MERGE/DELETE write deltas, never rewrite data files") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbm")
+    sql("""CREATE TABLE gsql.dbm.d (id BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')""".stripMargin)
+    sql("INSERT INTO gsql.dbm.d SELECT /*+ COALESCE(1) */ id, id FROM range(0, 100)")
+    sql("INSERT INTO gsql.dbm.d SELECT /*+ COALESCE(1) */ id, id FROM range(1000, 1100)")
+    val warehouseDir = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+    val tdir = s"$warehouseDir/dbm/d"
+    val beforeFiles = FileTableCatalog.loadOrThrow(tdir)
+      .files.filter(_.content == "data").map(_.path).toSet
+    assert(beforeFiles.size == 2)
+
+    // UPDATE = position deletes for the old rows + appended new rows;
+    // BOTH original data files must survive untouched
+    sql("UPDATE gsql.dbm.d SET v = v * 10 WHERE id < 50")
+    val afterUpdate = FileTableCatalog.loadOrThrow(tdir)
+    assert(beforeFiles.subsetOf(
+      afterUpdate.files.filter(_.content == "data").map(_.path).toSet),
+      "merge-on-read UPDATE must not rewrite data files")
+    val posDels = afterUpdate.files.filter(_.content == "position-deletes")
+    assert(posDels.nonEmpty && posDels.map(_.recordCount).sum == 50)
+    assert(sql("SELECT sum(v) FROM gsql.dbm.d WHERE id < 50").head.getLong(0) ==
+      (0L until 50L).map(_ * 10).sum)
+    assert(sql("SELECT count(*) FROM gsql.dbm.d").head.getLong(0) == 200)
+
+    // arithmetic DELETE (untranslatable -> row-level) also lands as a delta
+    sql("DELETE FROM gsql.dbm.d WHERE id % 2 = 1 AND id >= 1000")
+    val afterDelete = FileTableCatalog.loadOrThrow(tdir)
+    assert(beforeFiles.subsetOf(
+      afterDelete.files.filter(_.content == "data").map(_.path).toSet),
+      "merge-on-read DELETE must not rewrite data files")
+    assert(sql("SELECT count(*) FROM gsql.dbm.d").head.getLong(0) == 150)
+
+    // MERGE upsert: matched rows update (delete+insert), unmatched insert
+    spark.sql("SELECT * FROM VALUES (0, 999), (5000, 1) AS s(id, v)")
+      .createOrReplaceTempView("merge_mor_src")
+    sql("""MERGE INTO gsql.dbm.d t USING merge_mor_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(sql("SELECT v FROM gsql.dbm.d WHERE id = 0").head.getLong(0) == 999L)
+    assert(sql("SELECT v FROM gsql.dbm.d WHERE id = 5000").head.getLong(0) == 1L)
+    assert(sql("SELECT count(*) FROM gsql.dbm.d").head.getLong(0) == 151)
+    assert(beforeFiles.subsetOf(FileTableCatalog.loadOrThrow(tdir)
+      .files.filter(_.content == "data").map(_.path).toSet))
+
+    // compaction folds the delta backlog and the table keeps answering
+    graft.compaction.Compaction.builder()
+      .withSpark(spark).withTableDir(tdir)
+      .withConfig(graft.core.CompactionConfig(
+        targetPartitions = 1, enableValidateCompaction = true))
+      .build().compact()
+    assert(sql("SELECT count(*) FROM gsql.dbm.d").head.getLong(0) == 151)
+    assert(sql("SELECT v FROM gsql.dbm.d WHERE id = 0").head.getLong(0) == 999L)
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES switches the row-level mode") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbm2")
+    sql("CREATE TABLE gsql.dbm2.s (id BIGINT, v BIGINT)")
+    sql("INSERT INTO gsql.dbm2.s SELECT /*+ COALESCE(1) */ id, id FROM range(0, 10)")
+    val warehouseDir = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+    val tdir = s"$warehouseDir/dbm2/s"
+    val before = FileTableCatalog.loadOrThrow(tdir)
+      .files.filter(_.content == "data").map(_.path).toSet
+    // default copy-on-write: the UPDATE rewrites the file
+    sql("UPDATE gsql.dbm2.s SET v = 0 WHERE id = 1")
+    assert((before -- FileTableCatalog.loadOrThrow(tdir).files.map(_.path).toSet).nonEmpty)
+    // flip to merge-on-read and update again: files now survive
+    sql("ALTER TABLE gsql.dbm2.s SET TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')")
+    val mid = FileTableCatalog.loadOrThrow(tdir)
+      .files.filter(_.content == "data").map(_.path).toSet
+    sql("UPDATE gsql.dbm2.s SET v = 7 WHERE id = 2")
+    val after = FileTableCatalog.loadOrThrow(tdir)
+    assert(mid.subsetOf(after.files.filter(_.content == "data").map(_.path).toSet))
+    assert(after.files.exists(_.content == "position-deletes"))
+    assert(sql("SELECT v FROM gsql.dbm2.s WHERE id = 2").head.getLong(0) == 7L)
+    assert(sql("SELECT count(*) FROM gsql.dbm2.s").head.getLong(0) == 10L)
+  }
+
   test("metadata tables expose files and snapshots from pure SQL") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db6")
     sql("CREATE TABLE gsql.db6.mt (id BIGINT)")
