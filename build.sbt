@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the forked JVM inherits sbt's own stdout/stderr instead of being
+// logged line-by-line with "[info] "/"[error] " prefixes — the round
+// driver tail-parses Bench's final JSON line from captured stdout, and
+// the logger prefix broke that parse (BENCH_r03..r05 "parsed": null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -67,7 +67,15 @@ object Bench {
     // spread goes to stderr: the driver parses stdout's tail, and a
     // second map pushes the JSON head past its capture buffer
     System.err.println(s"""[bench] spread=$sp runs=$runs""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+    // lands RAW on the captured stdout: build.sbt sets
+    // `run / outputStrategy := StdoutOutput` so the forked JVM inherits
+    // sbt's streams — without it every line arrives in the driver's
+    // capture prefixed "[info] ", which broke the tail json parse
+    // (BENCH_r03..r05 "parsed": null)
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }
