@@ -103,6 +103,33 @@ object GraftBatchScan {
     case other     => other
   }
 
+  /** Ordinals of this split's rows killed by its position-delete files
+    * (only the `[baseOrdinal, ordinalEnd)` window — bounds memory when
+    * a large file fans out into many range tasks). Shared by the row
+    * and columnar readers. */
+  private[graft] def loadDeadPositions(part: GraftMorPartition,
+      taskConf: Configuration): java.util.HashSet[Long] = {
+    val dataPathNorm = ScanPlanner.normalizePath(part.dataPath)
+    val set = new java.util.HashSet[Long]()
+    part.posDeletePaths.foreach { pd =>
+      val r = projectedReader(pd, Seq("file_path", "pos"), taskConf)
+      try {
+        var g = r.read()
+        while (g != null) {
+          val fp = groupValue(g, g.getType.getFieldIndex("file_path"),
+            StringType, "file_path").asInstanceOf[String]
+          if (fp != null && ScanPlanner.normalizePath(fp) == dataPathNorm) {
+            val p = groupValue(g, g.getType.getFieldIndex("pos"),
+              LongType, "pos").asInstanceOf[Long]
+            if (p >= part.baseOrdinal && p < part.ordinalEnd) set.add(p)
+          }
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    set
+  }
+
   /** Build a ParquetReader over `path` restricted to `cols`, with the
     * requested projection derived from the FILE's own schema (exact
     * types/repetitions, so parquet's containment check always passes).
@@ -181,7 +208,10 @@ final class GraftScanBuilder(
       * reported back so the copy-on-write commit replaces exactly the
       * groups that were read. */
     cowOwner: Option[graft.sinks.RowLevelScanOwner] = None,
-    splitTargetBytes: Long = GraftBatchScan.DefaultSplitTargetBytes
+    splitTargetBytes: Long = GraftBatchScan.DefaultSplitTargetBytes,
+    /** Escape hatch (`.option("vectorizedRead", false)`): force the
+      * row readers even where the columnar gate would allow batches. */
+    vectorizedRead: Boolean = true
 ) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -236,7 +266,8 @@ final class GraftScanBuilder(
   override def build(): Scan =
     new GraftScan(tableDir, tableSchema, requiredSchema, boundsOf(pushed.toSeq),
       asOfVersion, catalog, startingVersion, skipDeletes,
-      includeFileColumn, cowOwner, splitTargetBytes, includePosColumn)
+      includeFileColumn, cowOwner, splitTargetBytes, includePosColumn,
+      vectorizedRead)
 }
 
 final class GraftScan(
@@ -251,7 +282,8 @@ final class GraftScan(
     includeFileColumn: Boolean = false,
     cowOwner: Option[graft.sinks.RowLevelScanOwner] = None,
     splitTargetBytes: Long = GraftBatchScan.DefaultSplitTargetBytes,
-    includePosColumn: Boolean = false
+    includePosColumn: Boolean = false,
+    vectorizedRead: Boolean = true
 ) extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -520,20 +552,39 @@ final class GraftScan(
     }.toSeq
   }
 
+  /** Columnar is all-or-nothing per scan (Spark refuses mixed row/
+    * columnar partitions), so the gate is snapshot-level: any equality
+    * delete anywhere routes the WHOLE scan through the row readers
+    * (their per-row key probes want the row pipeline). The decision is
+    * stable under runtime filtering — it only ever removes files. */
+  private lazy val columnarOk: Boolean =
+    vectorizedRead && snap.files.forall(_.content != "equality-deletes") &&
+      GraftMorColumnarReader.supportedSchema(requiredSchema)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftMorReaderFactory(requiredSchema, tableSchema, includeFileColumn,
-      graft.io.FileIO.hadoopConfEntries(), includePosColumn)
+      graft.io.FileIO.hadoopConfEntries(), includePosColumn, columnarOk)
 }
 
 final class GraftMorReaderFactory(
     requiredSchema: StructType, tableSchema: StructType,
     includeFileColumn: Boolean = false,
     confEntries: Array[(String, String)] = Array.empty,
-    includePosColumn: Boolean = false)
+    includePosColumn: Boolean = false,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftMorPartition]
     new GraftMorPartitionReader(p, requiredSchema, tableSchema, includeFileColumn,
+      graft.io.FileIO.confFrom(confEntries), includePosColumn)
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftMorPartition]
+    new GraftMorColumnarReader(p, requiredSchema, tableSchema, includeFileColumn,
       graft.io.FileIO.confFrom(confEntries), includePosColumn)
   }
 }
@@ -552,30 +603,8 @@ final class GraftMorPartitionReader(
 ) extends PartitionReader[InternalRow] {
   import GraftBatchScan._
 
-  private val dataPathNorm = ScanPlanner.normalizePath(part.dataPath)
-
-  private val deadPositions: java.util.HashSet[Long] = {
-    val set = new java.util.HashSet[Long]()
-    part.posDeletePaths.foreach { pd =>
-      val r = projectedReader(pd, Seq("file_path", "pos"), taskConf)
-      try {
-        var g = r.read()
-        while (g != null) {
-          val fp = groupValue(g, g.getType.getFieldIndex("file_path"),
-            StringType, "file_path").asInstanceOf[String]
-          if (fp != null && ScanPlanner.normalizePath(fp) == dataPathNorm) {
-            val p = groupValue(g, g.getType.getFieldIndex("pos"),
-              LongType, "pos").asInstanceOf[Long]
-            // only this split's ordinal window — bounds memory when a
-            // large file fans out into many range tasks
-            if (p >= part.baseOrdinal && p < part.ordinalEnd) set.add(p)
-          }
-          g = r.read()
-        }
-      } finally r.close()
-    }
-    set
-  }
+  private val deadPositions: java.util.HashSet[Long] =
+    GraftBatchScan.loadDeadPositions(part, taskConf)
 
   private val readTypes: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap

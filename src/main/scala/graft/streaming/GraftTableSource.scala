@@ -138,9 +138,10 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
       .orElse(pinnedVersion)
     val splitTarget = Option(options.get("splitTargetBytes")).map(_.toLong)
       .getOrElse(graft.sources.GraftBatchScan.DefaultSplitTargetBytes)
+    val vectorized = options.getBoolean("vectorizedRead", true)
     new graft.sources.GraftScanBuilder(tableDir, tblSchema, asOfVersion,
       catalog, startingVersion, skipDeletes,
-      splitTargetBytes = splitTarget)
+      splitTargetBytes = splitTarget, vectorizedRead = vectorized)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

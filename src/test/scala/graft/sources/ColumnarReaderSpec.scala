@@ -1,0 +1,148 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.txn.{FileTableCatalog, SchemaEvolution, SchemaOp, TableSnapshot, TableWrites}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The vectorized DSv2 read path: plan-asserted columnar execution,
+  * value equivalence with the row reader, position-delete compaction
+  * inside the batch fill, schema reconciliation, metadata columns, and
+  * the equality-delete fallback to the row pipeline. */
+class ColumnarReaderSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def dsv2(dir: String): DataFrame =
+    spark.read.format("graft").load(dir)
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("a delete-free table scans columnar and matches the row reader") {
+    val dir = Files.createTempDirectory("graft-colnar").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      (1L to 5000L).map(i => (i, s"v$i", i * 0.5)).toDF("id", "name", "score")
+        .coalesce(2))
+    val q = dsv2(dir)
+    assert(scanOf(q).supportsColumnar, "expected a columnar scan")
+    assert(q.count() == 5000L)
+    assert(q.agg(sum("id")).head.getLong(0) == (1L to 5000L).sum)
+    assert(q.filter($"id" === 42L).select("name").head.getString(0) == "v42")
+    // doubles survive the vector fill
+    assert(q.agg(sum("score")).head.getDouble(0) == (1L to 5000L).map(_ * 0.5).sum)
+  }
+
+  test("position deletes compact away inside the columnar fill") {
+    val dir = Files.createTempDirectory("graft-colnar-pd").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      (0L until 1000L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1))
+    val file = FileTableCatalog.loadOrThrow(dir)
+      .files.filter(_.content == "data").head.path
+    // kill every ordinal divisible by 7
+    TableWrites.appendPositionDeletes(dir,
+      (0L until 1000L).filter(_ % 7 == 0).map(p => (file, p))
+        .toDF("file_path", "pos"))
+    val q = dsv2(dir)
+    assert(scanOf(q).supportsColumnar,
+      "position deletes must not force the row path")
+    val expected = (0L until 1000L).filterNot(_ % 7 == 0)
+    assert(q.select("id").as[Long].collect().sorted.toSeq == expected)
+    assert(q.count() == expected.size.toLong)
+  }
+
+  test("equality deletes fall back to the row pipeline, same results") {
+    val dir = Files.createTempDirectory("graft-colnar-eq").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1))
+    TableWrites.appendEqualityDeletes(dir,
+      Seq(3L, 6L, 9L).toDF("id"), Seq("id"))
+    val q = dsv2(dir)
+    assert(!scanOf(q).supportsColumnar,
+      "equality deletes must route through the row readers")
+    assert(q.count() == 97L)
+    assert(!q.select("id").as[Long].collect().contains(3L))
+  }
+
+  test("schema reconciliation: renamed and late columns through the vectors") {
+    val dir = Files.createTempDirectory("graft-colnar-evo").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      (1L to 10L).map(i => (i, s"old$i")).toDF("id", "name").coalesce(1))
+    SchemaEvolution.evolve(dir, Seq(
+      SchemaOp.Rename("name", "label"), SchemaOp.Add("score", "BIGINT")))
+    TableWrites.appendData(dir,
+      Seq((11L, "new11", 7L)).toDF("id", "label", "score").coalesce(1))
+    val q = dsv2(dir)
+    assert(scanOf(q).supportsColumnar, "evolution alone must stay columnar")
+    val rows = q.orderBy("id").collect()
+    assert(rows.length == 11)
+    assert(rows.head.getString(1) == "old1") // renamed col read from old file
+    assert(rows.head.isNullAt(2))            // score predates the old file
+    assert(rows.last.getLong(2) == 7L)
+  }
+
+  test("_file and _pos metadata columns come out of the columnar batch") {
+    val dir = Files.createTempDirectory("graft-colnar-meta").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      (0L until 50L).map(i => (i, i)).toDF("id", "v").coalesce(1))
+    val q = dsv2(dir).select(col("id"), col("_file"), col("_pos"))
+    assert(scanOf(q).supportsColumnar)
+    val rows = q.orderBy("id").collect()
+    assert(rows.map(_.getLong(2)).toSeq == (0L until 50L)) // pos == write order
+    assert(rows.map(_.getString(1)).distinct.length == 1)  // one file
+  }
+
+  test("row-group range splits keep exact ordinals in the columnar path") {
+    val dir = Files.createTempDirectory("graft-colnar-split").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    // small row groups so a tiny splitTargetBytes yields several ranges
+    val conf = spark.conf
+    val prev = spark.sparkContext.hadoopConfiguration.get("parquet.block.size")
+    spark.sparkContext.hadoopConfiguration.set("parquet.block.size", "4096")
+    try TableWrites.appendData(dir,
+      (0L until 20000L).map(i => (i, s"pad-$i-${"x" * 16}")).toDF("id", "v")
+        .coalesce(1))
+    finally {
+      if (prev == null)
+        spark.sparkContext.hadoopConfiguration.unset("parquet.block.size")
+      else spark.sparkContext.hadoopConfiguration.set("parquet.block.size", prev)
+    }
+    val file = FileTableCatalog.loadOrThrow(dir)
+      .files.filter(_.content == "data").head.path
+    // position-delete a slice that spans row groups
+    TableWrites.appendPositionDeletes(dir,
+      (5000L until 5100L).map(p => (file, p)).toDF("file_path", "pos"))
+    val q = spark.read.format("graft")
+      .option("splitTargetBytes", "65536").load(dir)
+    val scan = scanOf(q)
+    assert(scan.supportsColumnar)
+    assert(scan.partitions.size > 1, "expected the file split into ranges")
+    assert(q.count() == 19900L)
+    val ids = q.select("id").as[Long].collect().sorted
+    assert(ids.length == 19900 && !ids.contains(5050L) && ids.contains(4999L))
+    assert(ids.sum == (0L until 20000L).sum - (5000L until 5100L).sum)
+  }
+
+  test("null values round-trip through the vectors") {
+    val dir = Files.createTempDirectory("graft-colnar-null").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+        .toDF("id", "name").coalesce(1))
+    val q = dsv2(dir)
+    assert(scanOf(q).supportsColumnar)
+    val rows = q.orderBy("id").collect()
+    assert(rows(1).isNullAt(1) && rows(0).getString(1) == "a")
+    assert(q.filter($"name".isNull).count() == 1L)
+  }
+}
