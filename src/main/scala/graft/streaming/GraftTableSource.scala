@@ -150,6 +150,13 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
     new graft.sinks.GraftWriteBuilder(tableDir, info, catalog)
   }
 
+  /** Snapshot-carried table properties, surfaced to SQL
+    * (`SHOW TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED`). */
+  override def properties(): util.Map[String, String] =
+    catalog.load(tableDir)
+      .map(s => s.properties.asJava)
+      .getOrElse(java.util.Collections.emptyMap[String, String]())
+
   /** `_file` metadata column: each row's physical data file — the
     * grouping handle for copy-on-write row-level operations and a
     * lineage-debugging aid (`SELECT _file, count(*) ... GROUP BY 1`). */

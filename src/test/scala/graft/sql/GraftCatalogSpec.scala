@@ -329,6 +329,30 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq((1L, "a"), (3L, "c")))
   }
 
+  test("merge-on-read row-level ops work on an Iceberg-format table") {
+    val wh = Files.createTempDirectory("graft-wh-ice-mor").toString
+    spark.conf.set("spark.sql.catalog.gim", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gim.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.gim.format", "iceberg")
+    sql("CREATE NAMESPACE IF NOT EXISTS gim.db")
+    sql("""CREATE TABLE gim.db.t (id BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')""".stripMargin)
+    sql("INSERT INTO gim.db.t SELECT /*+ COALESCE(1) */ id, id FROM range(0, 100)")
+    // the property round-trips through Iceberg metadata and SHOW reads it
+    val props = sql("SHOW TBLPROPERTIES gim.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.rowlevel.mode").contains("merge-on-read"))
+    val dataBefore = graft.io.FileIO.listFiles(s"$wh/db/t/data").map(_._1)
+      .filter(_.endsWith(".parquet")).toSet
+    sql("UPDATE gim.db.t SET v = v + 1000 WHERE id < 10")
+    assert(sql("SELECT sum(v) FROM gim.db.t").head.getLong(0) ==
+      (0L until 100L).sum + 10 * 1000L)
+    // delta semantics held: the original data files were not rewritten
+    val dataAfter = graft.io.FileIO.listFiles(s"$wh/db/t/data").map(_._1)
+      .filter(_.endsWith(".parquet")).toSet
+    assert(dataBefore.subsetOf(dataAfter))
+  }
+
   test("CREATE TABLE rejects nested types and duplicate tables") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db3")
     val e = intercept[Exception] {
