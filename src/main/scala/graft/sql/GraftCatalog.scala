@@ -55,7 +55,8 @@ object GraftCatalog {
       "option.path", "path")
 }
 
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -214,6 +215,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     loadTable(ident)
   }
+
+  // ---- procedures (CALL g.system.<proc>) --------------------------------
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(Array("system")))
+      throw CompactionError.Config(
+        s"procedures live in the 'system' namespace, got " +
+          s"${ident.namespace.mkString(".")}.${ident.name}")
+    // the `table` argument is '<ns>.<name>' relative to THIS catalog
+    GraftProcedures.load(ident.name,
+      t => dirOf(t.split('.').toIndexedSeq), snapCatalog, catalogName)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

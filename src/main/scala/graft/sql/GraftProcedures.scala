@@ -1,0 +1,152 @@
+package graft.sql
+
+import graft.compaction.{Compaction, OrphanCleanup}
+import graft.core.{CompactionConfig, CompactionError, CompactionType, RetryConfig}
+import graft.txn.{CommitManager, TableCatalog}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` maintenance procedures (Spark 4 [[org.apache.spark.sql
+  * .connector.catalog.ProcedureCatalog]]) — the operational surface an
+  * Iceberg user expects, over this engine's primitives:
+  *
+  * {{{
+  *   CALL g.system.rewrite_data_files(`table` => 'db.t')
+  *   CALL g.system.rewrite_data_files(`table` => 'db.t',
+  *        mode => 'incremental', small_file_factor => 0.5)
+  *   CALL g.system.expire_snapshots(`table` => 'db.t', retain_last => 5)
+  *   CALL g.system.remove_orphan_files(`table` => 'db.t', dry_run => true)
+  * }}}
+  *
+  * Results come back as driver-local rows ([[LocalScan]] — the work
+  * itself runs as ordinary Spark jobs inside the engine calls).
+  * Parallels Iceberg's SparkProcedures registry; the reference exposes
+  * the same operations as its library API (BergLoom
+  * `CompactionExecutor`), not SQL — procedures are this engine's
+  * last-mile addition.
+  */
+private[sql] object GraftProcedures {
+
+  val Names: Seq[String] = Seq(
+    "rewrite_data_files", "expire_snapshots", "remove_orphan_files")
+
+  def load(name: String, resolveDir: String => String,
+      catalog: TableCatalog, catalogName: String): UnboundProcedure =
+    name match {
+      case "rewrite_data_files" => new RewriteDataFiles(resolveDir, catalog, catalogName)
+      case "expire_snapshots"   => new ExpireSnapshots(resolveDir, catalog)
+      case "remove_orphan_files" => new RemoveOrphanFiles(resolveDir, catalog)
+      case other => throw CompactionError.Config(
+        s"unknown procedure $other (available: ${Names.mkString(", ")})")
+    }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def localScan(out: StructType, data: Array[InternalRow],
+      desc: String): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = out
+      override def rows(): Array[InternalRow] = data
+      override def description(): String = desc
+    }).iterator()
+
+  /** Shared base: one-step bind (parameters are static per procedure). */
+  private abstract class GraftProcedure(procName: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  private final class RewriteDataFiles(resolveDir: String => String,
+      catalog: TableCatalog, catalogName: String)
+      extends GraftProcedure("rewrite_data_files") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      inDefault("mode", StringType, "'full'"),
+      inDefault("target_file_size_bytes", LongType,
+        CompactionConfig().targetFileSizeBytes.toString),
+      inDefault("small_file_factor", DoubleType, "0.75"),
+      inDefault("validate", BooleanType, "false"))
+
+    private val out = StructType(Seq(
+      StructField("rewritten_files", LongType, nullable = false),
+      StructField("added_files", LongType, nullable = false),
+      StructField("rewritten_bytes", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val mode = input.getUTF8String(1).toString match {
+        case "full" => CompactionType.Full
+        case "incremental" => CompactionType.Incremental(input.getDouble(3))
+        case other => throw CompactionError.Config(
+          s"rewrite_data_files mode must be 'full' or 'incremental', got '$other'")
+      }
+      val stat = Compaction.builder()
+        .withSpark(SparkSession.active)
+        .withTableDir(dir)
+        .withCatalog(catalog)
+        .withConfig(CompactionConfig(
+          targetFileSizeBytes = input.getLong(2),
+          compactionType = mode,
+          enableValidateCompaction = input.getBoolean(4)))
+        .build().compact()
+      localScan(out, Array(InternalRow(
+        stat.rewrittenFilesCount, stat.addedFilesCount, stat.rewrittenBytes)),
+        s"rewrite_data_files($catalogName.$dir)")
+    }
+  }
+
+  private final class ExpireSnapshots(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("expire_snapshots") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      inDefault("retain_last", IntegerType, "1"))
+
+    private val out = StructType(Seq(
+      StructField("expired_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val expired = new CommitManager(dir, RetryConfig(), catalog = catalog)
+        .expireSnapshots(keepLast = input.getInt(1))
+      localScan(out, expired.map(v => InternalRow(v)).toArray,
+        s"expire_snapshots($dir)")
+    }
+  }
+
+  private final class RemoveOrphanFiles(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("remove_orphan_files") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      inDefault("older_than_ms", LongType, OrphanCleanup.DefaultGraceMs.toString),
+      inDefault("dry_run", BooleanType, "false"))
+
+    private val out = StructType(Seq(
+      StructField("orphan_path", StringType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val grace = input.getLong(1)
+      val stat =
+        if (input.getBoolean(2)) OrphanCleanup.find(dir, catalog, graceMs = grace)
+        else OrphanCleanup.remove(dir, catalog, graceMs = grace)
+      localScan(out,
+        stat.orphans.sorted.map(p => InternalRow(UTF8String.fromString(p))).toArray,
+        s"remove_orphan_files($dir)")
+    }
+  }
+}

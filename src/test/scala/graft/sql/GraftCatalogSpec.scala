@@ -353,6 +353,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(dataBefore.subsetOf(dataAfter))
   }
 
+  test("CALL procedures: rewrite_data_files, expire_snapshots, remove_orphan_files") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbp")
+    sql("CREATE TABLE gsql.dbp.p (id BIGINT, v STRING)")
+    (1 to 6).foreach(i => sql(s"INSERT INTO gsql.dbp.p VALUES ($i, 'v$i')"))
+    sql("DELETE FROM gsql.dbp.p WHERE id IN (2, 4)")
+    val warehouseDir = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+    val tdir = s"$warehouseDir/dbp/p"
+    assert(FileTableCatalog.loadOrThrow(tdir).files.count(_.content == "data") == 6)
+
+    // full rewrite folds the 6-file backlog + delete into one file
+    val rw = sql(
+      "CALL gsql.system.rewrite_data_files(`table` => 'dbp.p', validate => true)")
+      .collect()
+    // rewritten = the 6 data files + the delete files they folded
+    assert(rw.length == 1 && rw.head.getLong(0) >= 6L)
+    val folded = FileTableCatalog.loadOrThrow(tdir)
+    assert(folded.files.count(_.content == "data") == rw.head.getLong(1))
+    assert(folded.files.count(_.content != "data") == 0)
+    assert(sql("SELECT id FROM gsql.dbp.p ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L, 6L))
+
+    // snapshot history: bootstrap + 6 inserts + delete + rewrite = 9
+    val expired = sql(
+      "CALL gsql.system.expire_snapshots(`table` => 'dbp.p', retain_last => 2)")
+      .collect()
+    assert(expired.length == 7, s"expected 7 expired, got ${expired.length}")
+    assert(sql("SELECT count(*) FROM gsql.dbp.p").head.getLong(0) == 4)
+
+    // a stray file in the data dir is an orphan; dry_run lists, real removes
+    val stray = s"$tdir/data/stray-not-committed.parquet"
+    graft.io.FileIO.mkdirs(s"$tdir/data")
+    val out = new java.io.FileOutputStream(stray)
+    out.write("junk".getBytes); out.close()
+    val dry = sql(
+      "CALL gsql.system.remove_orphan_files(`table` => 'dbp.p', " +
+        "older_than_ms => 0, dry_run => true)").collect()
+    assert(dry.map(_.getString(0)).exists(_.endsWith("stray-not-committed.parquet")))
+    assert(new java.io.File(stray).exists)
+    sql("CALL gsql.system.remove_orphan_files(`table` => 'dbp.p', older_than_ms => 0)")
+    assert(!new java.io.File(stray).exists)
+    assert(sql("SELECT count(*) FROM gsql.dbp.p").head.getLong(0) == 4)
+  }
+
   test("CREATE TABLE rejects nested types and duplicate tables") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db3")
     val e = intercept[Exception] {
