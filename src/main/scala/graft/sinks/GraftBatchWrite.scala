@@ -104,18 +104,28 @@ final class GraftWriteBuilder(
     tableDir: String,
     info: LogicalWriteInfo,
     catalog: TableCatalog = FileTableCatalog
-) extends WriteBuilder {
+) extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
   private def targetBytes = Option(info.options().get("targetFileSizeBytes"))
     .map(_.toLong).getOrElse(CompactionConfig().targetFileSizeBytes)
   private def compression = Option(info.options().get("compression")).getOrElse("snappy")
+
+  /** SQL `INSERT OVERWRITE TABLE` (and `df.writeTo(...).replace`-style
+    * whole-table overwrites): the commit atomically swaps the table's
+    * entire file set for the new rows. */
+  private var overwriteAll = false
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val schemaId = GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
       new GraftDsv2BatchWrite(tableDir, info.schema(), targetBytes, compression,
-        catalog, schemaId)
+        catalog, schemaId, overwriteAll)
     }
     override def toStreaming: sstreaming.StreamingWrite = {
+      if (overwriteAll) throw CompactionError.Config(
+        "graft streaming writes are append-only; Complete output mode " +
+          "(per-epoch truncate) is not supported")
       val schemaId = GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
       new GraftStreamingWrite(tableDir, info.schema(), targetBytes, compression,
         catalog, info.queryId(), schemaId)
@@ -132,7 +142,8 @@ final class GraftDsv2BatchWrite(
     targetFileSizeBytes: Long,
     compression: String,
     catalog: TableCatalog,
-    validatedSchemaId: Long
+    validatedSchemaId: Long,
+    overwriteAll: Boolean = false
 ) extends BatchWrite {
 
   private val writeDir =
@@ -150,12 +161,15 @@ final class GraftDsv2BatchWrite(
     val entries = GraftBatchWrite.publishWinners(
       messages.toSeq.flatMap(_.asInstanceOf[GraftCommitMessage].files),
       writeDir)
-    if (entries.isEmpty) { FileIO.deleteRecursive(writeDir); return }
+    // an overwrite of zero rows still truncates; a plain append of
+    // zero rows commits nothing
+    if (entries.isEmpty && !overwriteAll) { FileIO.deleteRecursive(writeDir); return }
     // schemaId captured at build/validate time, NOT reloaded here — a
     // concurrent ALTER TABLE mid-write must abort the commit, not
     // stamp the files with the new schema id
-    new CommitManager(tableDir, RetryConfig(), catalog = catalog)
-      .appendFiles(entries, expectedSchemaId = validatedSchemaId)
+    val cm = new CommitManager(tableDir, RetryConfig(), catalog = catalog)
+    if (overwriteAll) cm.overwriteAll(entries, expectedSchemaId = validatedSchemaId)
+    else cm.appendFiles(entries, expectedSchemaId = validatedSchemaId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -76,7 +76,10 @@ private[sql] object GraftProcedures {
       inDefault("target_file_size_bytes", LongType,
         CompactionConfig().targetFileSizeBytes.toString),
       inDefault("small_file_factor", DoubleType, "0.75"),
-      inDefault("validate", BooleanType, "false"))
+      inDefault("validate", BooleanType, "false"),
+      // 'colA,colB': OPTIMIZE-ZORDER-style rewrite — Morton-interleave
+      // the two columns so output files carry tight min/max on both
+      inDefault("zorder_by", StringType, "''"))
 
     private val out = StructType(Seq(
       StructField("rewritten_files", LongType, nullable = false),
@@ -91,6 +94,8 @@ private[sql] object GraftProcedures {
         case other => throw CompactionError.Config(
           s"rewrite_data_files mode must be 'full' or 'incremental', got '$other'")
       }
+      val zorder = input.getUTF8String(5).toString.split(',')
+        .map(_.trim).filter(_.nonEmpty).toSeq
       val stat = Compaction.builder()
         .withSpark(SparkSession.active)
         .withTableDir(dir)
@@ -98,7 +103,8 @@ private[sql] object GraftProcedures {
         .withConfig(CompactionConfig(
           targetFileSizeBytes = input.getLong(2),
           compactionType = mode,
-          enableValidateCompaction = input.getBoolean(4)))
+          enableValidateCompaction = input.getBoolean(4),
+          zOrderBy = zorder))
         .build().compact()
       localScan(out, Array(InternalRow(
         stat.rewrittenFilesCount, stat.addedFilesCount, stat.rewrittenBytes)),

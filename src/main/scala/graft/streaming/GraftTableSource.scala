@@ -127,7 +127,10 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
       Set(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE,
-        TableCapability.STREAMING_WRITE)
+        TableCapability.STREAMING_WRITE,
+        // INSERT OVERWRITE TABLE: the write builder's truncate() swaps
+        // the whole file set atomically (SupportsTruncate)
+        TableCapability.TRUNCATE)
     (if (acceptAnySchema) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
   }
 

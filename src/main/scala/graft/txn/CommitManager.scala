@@ -147,6 +147,31 @@ final class CommitManager(
               else -1L)))
     }
 
+  /** Atomic truncate-and-append (SQL `INSERT OVERWRITE TABLE`): the new
+    * snapshot's file set is EXACTLY `entries` — every previous data and
+    * delete file leaves the table in the same commit the new contents
+    * land. Properties survive (e.g. streaming replay markers); expired
+    * physical files are left for snapshot expiration / orphan cleanup,
+    * since older snapshots still reference them (time travel). */
+  def overwriteAll(
+      entries: Seq[FileEntry],
+      expectedSchemaId: Long
+  ): TableSnapshot =
+    commitLoop(expectedSchemaId) { cur =>
+      val newSeq = cur.lastSequenceNumber + 1
+      val stamped = entries.map { e =>
+        e.copy(sequenceNumber = newSeq,
+          schemaId =
+            if (e.schemaId >= 0) e.schemaId
+            else if (cur.schemas.nonEmpty) cur.schemaId
+            else -1L)
+      }
+      cur.copy(
+        version = cur.version + 1,
+        lastSequenceNumber = newSeq,
+        files = stamped)
+    }
+
   /** Property-only commit (SQL `ALTER TABLE ... SET/UNSET TBLPROPERTIES`):
     * merge `set`, drop `unset`, touch no files. */
   def setTableProperties(

@@ -396,6 +396,42 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gsql.dbp.p").head.getLong(0) == 4)
   }
 
+  test("CALL rewrite_data_files with zorder_by clusters the output") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbz")
+    sql("CREATE TABLE gsql.dbz.z (x BIGINT, y BIGINT)")
+    sql("INSERT INTO gsql.dbz.z SELECT id % 100, CAST(id / 100 AS BIGINT) FROM range(0, 10000)")
+    val rw = sql(
+      "CALL gsql.system.rewrite_data_files(`table` => 'dbz.z', " +
+        "zorder_by => 'x,y', validate => true)").collect()
+    assert(rw.head.getLong(1) >= 1L)
+    assert(sql("SELECT count(*), sum(x), sum(y) FROM gsql.dbz.z").head.toSeq ==
+      Seq(10000L, (0L until 10000L).map(_ % 100).sum, (0L until 10000L).map(_ / 100).sum))
+  }
+
+  test("INSERT OVERWRITE atomically replaces the table contents") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbo")
+    sql("CREATE TABLE gsql.dbo.o (id BIGINT, v STRING)")
+    sql("INSERT INTO gsql.dbo.o VALUES (1, 'a'), (2, 'b')")
+    sql("DELETE FROM gsql.dbo.o WHERE id = 1")
+    sql("INSERT OVERWRITE gsql.dbo.o VALUES (10, 'x'), (20, 'y'), (30, 'z')")
+    assert(sql("SELECT id FROM gsql.dbo.o ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L))
+    val warehouseDir = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+    val snap = FileTableCatalog.loadOrThrow(s"$warehouseDir/dbo/o")
+    // the old data AND the delete file left in one commit
+    assert(snap.files.count(_.content == "data") >= 1)
+    assert(snap.files.count(_.content != "data") == 0)
+    // history survives: the version before the overwrite still reads
+    assert(sql(s"SELECT count(*) FROM gsql.dbo.o VERSION AS OF ${snap.version - 1}")
+      .head.getLong(0) == 1)
+    // overwrite with an empty SELECT truncates
+    sql("INSERT OVERWRITE gsql.dbo.o SELECT id, CAST(NULL AS STRING) FROM range(0)")
+    assert(sql("SELECT count(*) FROM gsql.dbo.o").head.getLong(0) == 0)
+    // and the table stays writable
+    sql("INSERT INTO gsql.dbo.o VALUES (7, 'q')")
+    assert(sql("SELECT count(*) FROM gsql.dbo.o").head.getLong(0) == 1)
+  }
+
   test("CREATE TABLE rejects nested types and duplicate tables") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db3")
     val e = intercept[Exception] {
