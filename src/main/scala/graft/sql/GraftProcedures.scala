@@ -32,12 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sql] object GraftProcedures {
 
   val Names: Seq[String] = Seq(
-    "rewrite_data_files", "expire_snapshots", "remove_orphan_files")
+    "rewrite_data_files", "rewrite_delete_files", "expire_snapshots",
+    "remove_orphan_files")
 
   def load(name: String, resolveDir: String => String,
       catalog: TableCatalog, catalogName: String): UnboundProcedure =
     name match {
       case "rewrite_data_files" => new RewriteDataFiles(resolveDir, catalog, catalogName)
+      case "rewrite_delete_files" => new RewriteDeleteFiles(resolveDir, catalog)
       case "expire_snapshots"   => new ExpireSnapshots(resolveDir, catalog)
       case "remove_orphan_files" => new RemoveOrphanFiles(resolveDir, catalog)
       case other => throw CompactionError.Config(
@@ -109,6 +111,34 @@ private[sql] object GraftProcedures {
       localScan(out, Array(InternalRow(
         stat.rewrittenFilesCount, stat.addedFilesCount, stat.rewrittenBytes)),
         s"rewrite_data_files($catalogName.$dir)")
+    }
+  }
+
+  /** MINOR compaction ([[graft.compaction.DeleteCompaction]]): fold
+    * every live equality + position delete into one sorted set of
+    * position-delete files without touching data files — the job that
+    * keeps read-side anti-joins cheap between full rewrites. No-op
+    * (zero rows) when there is nothing to gain. */
+  private final class RewriteDeleteFiles(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("rewrite_delete_files") {
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType))
+
+    private val out = StructType(Seq(
+      StructField("removed_delete_files", LongType, nullable = false),
+      StructField("added_delete_files", LongType, nullable = false),
+      StructField("deleted_positions", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val rows = graft.compaction.DeleteCompaction
+        .convertIfNeeded(SparkSession.active, dir, catalog = catalog)
+        .map(s => InternalRow(
+          s.removedDeleteFiles, s.addedDeleteFiles, s.deletedPositions))
+        .toArray
+      localScan(out, rows, s"rewrite_delete_files($dir)")
     }
   }
 

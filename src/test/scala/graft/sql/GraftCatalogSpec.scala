@@ -432,6 +432,101 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gsql.dbo.o").head.getLong(0) == 1)
   }
 
+  test("CALL rewrite_delete_files folds the delta backlog into sorted position deletes") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbd")
+    sql("""CREATE TABLE gsql.dbd.d (id BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')""".stripMargin)
+    sql("INSERT INTO gsql.dbd.d SELECT id, id FROM range(0, 200)")
+    // three separate delta updates -> three position-delete files
+    sql("UPDATE gsql.dbd.d SET v = 0 WHERE id < 10")
+    sql("UPDATE gsql.dbd.d SET v = 1 WHERE id >= 10 AND id < 20")
+    sql("UPDATE gsql.dbd.d SET v = 2 WHERE id >= 20 AND id < 30")
+    val warehouseDir = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+    val tdir = s"$warehouseDir/dbd/d"
+    assert(FileTableCatalog.loadOrThrow(tdir)
+      .files.count(_.content == "position-deletes") == 3)
+    val st = sql("CALL gsql.system.rewrite_delete_files(`table` => 'dbd.d')").collect()
+    assert(st.length == 1 && st.head.getLong(0) == 3L && st.head.getLong(2) == 30L)
+    val after = FileTableCatalog.loadOrThrow(tdir)
+    assert(after.files.count(_.content == "position-deletes") == st.head.getLong(1))
+    assert(sql("SELECT sum(v) FROM gsql.dbd.d").head.getLong(0) ==
+      (30L until 200L).sum + 0 + 10 + 20)
+    // converged backlog: a second call is a no-op (zero result rows)
+    // unless the deletes are already one file
+    val again = sql("CALL gsql.system.rewrite_delete_files(`table` => 'dbd.d')").collect()
+    assert(again.isEmpty || after.files.count(_.content == "position-deletes") > 1)
+  }
+
+  test("concurrent delete commit aborts an in-flight delta operation") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbr")
+    sql("""CREATE TABLE gsql.dbr.r (id BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')""".stripMargin)
+    sql("INSERT INTO gsql.dbr.r SELECT /*+ COALESCE(1) */ id, id FROM range(0, 100)")
+    val warehouseDir = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+    val tdir = s"$warehouseDir/dbr/r"
+    // build the delta write against the current snapshot...
+    val op = new graft.sinks.GraftDeltaOperation(tdir,
+      spark.table("gsql.dbr.r").schema,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE)
+    op.recordScan(Nil,
+      FileTableCatalog.loadOrThrow(tdir).files.map(_.path).toSet,
+      FileTableCatalog.loadOrThrow(tdir).schemaId)
+    // ...then race a DELETE commit in between
+    sql("DELETE FROM gsql.dbr.r WHERE id IN (5)")
+    val batch = new graft.sinks.GraftDeltaBatchWrite(op, tdir,
+      spark.table("gsql.dbr.r").schema,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_pos",
+          org.apache.spark.sql.types.LongType))),
+      1024L * 1024, "snappy", FileTableCatalog)
+    val w = batch.createBatchWriterFactory(null).createWriter(0, 1L)
+      .asInstanceOf[graft.sinks.GraftDeltaWriter]
+    val dataFile = FileTableCatalog.loadOrThrow(tdir)
+      .files.filter(_.content == "data").head.path
+    w.delete(null, org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(dataFile), 7L))
+    val msg = w.commit()
+    val e = intercept[graft.core.CompactionError] {
+      batch.commit(Array(msg))
+    }
+    assert(e.isInstanceOf[graft.core.CompactionError.StaleRewrite], s"got $e")
+    // the raced table is untouched by the aborted delta
+    assert(sql("SELECT count(*) FROM gsql.dbr.r").head.getLong(0) == 99)
+  }
+
+  test("writeStream.toTable streams into a catalog table; readStream tails it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbs")
+    sql("CREATE TABLE gsql.dbs.st (id BIGINT, name STRING)")
+    val ckpt = Files.createTempDirectory("graft-tot-ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "name")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable("gsql.dbs.st")
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      ms.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sql("SELECT id, name FROM gsql.dbs.st ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // and the table tails back out as a stream source
+    val outCkpt = Files.createTempDirectory("graft-tot-out").toString
+    val tail = spark.readStream.table("gsql.dbs.st")
+      .writeStream.format("memory").queryName("tot_tail")
+      .option("checkpointLocation", outCkpt)
+      .start()
+    try tail.processAllAvailable() finally tail.stop()
+    assert(spark.table("tot_tail").count() == 3)
+  }
+
   test("CREATE TABLE rejects nested types and duplicate tables") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db3")
     val e = intercept[Exception] {
