@@ -24,6 +24,11 @@ sealed trait PartitionTransform {
   def fieldName: String
   /** Partition-value expression; `dt` is the source column's type. */
   def expr(dt: DataType): Column
+  /** Row-level twin of [[expr]] for the DSv2 fanout writer (executors
+    * see InternalRows, not Columns). MUST stay bit-identical to the
+    * Column form — PartitionTransformSpec cross-checks them. Takes the
+    * JVM-boxed value (Long/Int/String/…, null passthrough). */
+  def eval(v: Any, dt: DataType): Any
 }
 
 object PartitionTransform {
@@ -37,12 +42,29 @@ object PartitionTransform {
   /** Convenience: identity transforms over raw column names. */
   def identity(cols: Seq[String]): Seq[PartitionTransform] =
     cols.map(IdentityTransform)
+
+  /** Row-level twin of [[hash60]]: md5 over the same "<seed>:<s>"
+    * string, first 15 hex digits as a base-16 long (60 bits). */
+  private[core] def hash60Jvm(seed: String, s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$s".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Spark CAST-to-string semantics for the types bucketing supports
+    * (integrals render as decimal digits — identical to JVM toString). */
+  private[core] def castString(v: Any): String = v match {
+    case s: String => s
+    case other     => other.toString
+  }
 }
 
 /** Raw column value. */
 final case class IdentityTransform(source: String) extends PartitionTransform {
   override def fieldName: String = source
   override def expr(dt: DataType): Column = col(source)
+  override def eval(v: Any, dt: DataType): Any = v
 }
 
 /** Hash-bucket into `n` buckets (0 until n). */
@@ -51,6 +73,12 @@ final case class BucketTransform(n: Int, source: String) extends PartitionTransf
   override def fieldName: String = s"${source}_bucket"
   override def expr(dt: DataType): Column =
     pmod(PartitionTransform.hash60("bkt", col(source)), lit(n.toLong)).cast("int")
+  override def eval(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else {
+      val h = PartitionTransform.hash60Jvm("bkt", PartitionTransform.castString(v))
+      (((h % n) + n) % n).toInt
+    }
 }
 
 /** Truncate: integers floor to a multiple of `width` (Iceberg
@@ -66,6 +94,17 @@ final case class TruncateTransform(width: Int, source: String) extends Partition
     case other =>
       throw CompactionError.Config(s"truncate($width) unsupported for type $other")
   }
+  override def eval(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => v.asInstanceOf[String].take(width)
+      case LongType =>
+        val x = v.asInstanceOf[Long]; x - (((x % width) + width) % width)
+      case IntegerType =>
+        val x = v.asInstanceOf[Int]; x - (((x % width) + width) % width)
+      case other =>
+        throw CompactionError.Config(s"truncate($width) unsupported for type $other")
+    }
 }
 
 /** Calendar day of a timestamp/date column. */
@@ -76,4 +115,42 @@ final case class DayTransform(source: String) extends PartitionTransform {
     case other =>
       throw CompactionError.Config(s"day transform unsupported for type $other")
   }
+  /** Catalyst values: timestamps are UTC micros, dates epoch days. The
+    * engine pins spark.sql.session.timeZone=UTC, so the epoch-day floor
+    * matches to_date bit-for-bit. */
+  override def eval(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case DateType => v
+      case TimestampType | TimestampNTZType =>
+        java.lang.Math.floorDiv(v.asInstanceOf[Long], 86400000000L).toInt
+      case other =>
+        throw CompactionError.Config(s"day transform unsupported for type $other")
+    }
+}
+
+/** Compact string form of a partition spec, carried as the
+  * `graft.partition-spec` snapshot property (no table-model change;
+  * spec-legal unknown property under the Iceberg-format catalog). */
+object PartitionSpecCodec {
+  val Property = "graft.partition-spec"
+
+  def encode(ts: Seq[PartitionTransform]): String = ts.map {
+    case IdentityTransform(c)    => s"identity:$c"
+    case BucketTransform(n, c)   => s"bucket:$n:$c"
+    case TruncateTransform(w, c) => s"truncate:$w:$c"
+    case DayTransform(c)         => s"day:$c"
+  }.mkString("|")
+
+  def decode(s: String): Seq[PartitionTransform] =
+    s.split('|').toIndexedSeq.filter(_.nonEmpty).map { part =>
+      part.split(':') match {
+        case Array("identity", c)    => IdentityTransform(c)
+        case Array("bucket", n, c)   => BucketTransform(n.toInt, c)
+        case Array("truncate", w, c) => TruncateTransform(w.toInt, c)
+        case Array("day", c)         => DayTransform(c)
+        case other => throw CompactionError.Config(
+          s"bad partition-spec fragment '${other.mkString(":")}'")
+      }
+    }
 }

@@ -116,11 +116,36 @@ final class GraftWriteBuilder(
   private var overwriteAll = false
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
-  override def build(): Write = new Write {
+  /** Partition spec of the target table (snapshot property) — fanout
+    * writers route rows per partition value. */
+  private lazy val partitionSpec: Seq[graft.core.PartitionTransform] =
+    catalog.load(tableDir)
+      .flatMap(_.properties.get(graft.core.PartitionSpecCodec.Property))
+      .map(graft.core.PartitionSpecCodec.decode)
+      .getOrElse(Nil)
+
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+    // cluster incoming rows by the partition SOURCE columns (same value
+    // ⇒ same partition value), so each write task sees few partition
+    // values and the fanout map stays small — without needing Spark to
+    // evaluate the engine's transforms
+    override def requiredDistribution():
+        org.apache.spark.sql.connector.distributions.Distribution =
+      if (partitionSpec.isEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        partitionSpec.map(t => org.apache.spark.sql.connector.expressions
+          .Expressions.column(t.source):
+          org.apache.spark.sql.connector.expressions.Expression).toArray)
+    override def requiredOrdering():
+        Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+
     override def toBatch: BatchWrite = {
       val schemaId = GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
       new GraftDsv2BatchWrite(tableDir, info.schema(), targetBytes, compression,
-        catalog, schemaId, overwriteAll)
+        catalog, schemaId, overwriteAll, partitionSpec)
     }
     override def toStreaming: sstreaming.StreamingWrite = {
       if (overwriteAll) throw CompactionError.Config(
@@ -128,7 +153,7 @@ final class GraftWriteBuilder(
           "(per-epoch truncate) is not supported")
       val schemaId = GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
       new GraftStreamingWrite(tableDir, info.schema(), targetBytes, compression,
-        catalog, info.queryId(), schemaId)
+        catalog, info.queryId(), schemaId, partitionSpec)
     }
   }
 }
@@ -143,7 +168,8 @@ final class GraftDsv2BatchWrite(
     compression: String,
     catalog: TableCatalog,
     validatedSchemaId: Long,
-    overwriteAll: Boolean = false
+    overwriteAll: Boolean = false,
+    partitionSpec: Seq[graft.core.PartitionTransform] = Nil
 ) extends BatchWrite {
 
   private val writeDir =
@@ -154,7 +180,7 @@ final class GraftDsv2BatchWrite(
     // ship the driver's hadoop conf to tasks (same rationale as
     // ExactRollingWriter: object-store credentials/endpoints)
     new GraftDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, FileIO.hadoopConfEntries())
+      compression, FileIO.hadoopConfEntries(), partitionSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -181,11 +207,84 @@ final class GraftDataWriterFactory(
     schema: StructType,
     targetFileSizeBytes: Long,
     compression: String,
-    confEntries: Array[(String, String)]
+    confEntries: Array[(String, String)],
+    partitionSpec: Seq[graft.core.PartitionTransform] = Nil
 ) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(s"$writeDir/_attempt-$taskId", partitionId, schema,
-      targetFileSizeBytes, compression, confEntries)
+    if (partitionSpec.isEmpty)
+      new GraftDataWriter(s"$writeDir/_attempt-$taskId", partitionId, schema,
+        targetFileSizeBytes, compression, confEntries)
+    else
+      new GraftFanoutDataWriter(s"$writeDir/_attempt-$taskId", partitionId, schema,
+        partitionSpec, targetFileSizeBytes, compression, confEntries)
+}
+
+/** Fanout writer for PARTITIONED tables (reference S8, realized on the
+  * DSv2 path): each row's partition values route it to a per-value
+  * rolling [[GraftDataWriter]], so every output file holds exactly one
+  * partition value and carries footer stats the scan-side pruning can
+  * use. The write plans a CLUSTERED distribution on the source columns
+  * ([[GraftWriteBuilder]]), so one task usually sees few values and the
+  * open-writer map stays small — the Iceberg fanout-writer shape. File
+  * names carry the sanitized partition key (`region=EU.part-0-0…`);
+  * the snapshot, not the directory tree, is the source of truth. */
+final class GraftFanoutDataWriter(
+    attemptDir: String,
+    partitionId: Int,
+    schema: StructType,
+    partitionSpec: Seq[graft.core.PartitionTransform],
+    targetFileSizeBytes: Long,
+    compression: String,
+    confEntries: Array[(String, String)]
+) extends DataWriter[InternalRow] {
+  import org.apache.spark.sql.types._
+
+  private val slots: Seq[(graft.core.PartitionTransform, Int, DataType)] =
+    partitionSpec.map { t =>
+      val idx = schema.fieldIndex(t.source)
+      (t, idx, schema(idx).dataType)
+    }
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, GraftDataWriter]
+
+  private def boxed(row: InternalRow, idx: Int, dt: DataType): Any =
+    if (row.isNullAt(idx)) null
+    else dt match {
+      case StringType                         => row.getUTF8String(idx).toString
+      case LongType                           => row.getLong(idx)
+      case IntegerType | DateType             => row.getInt(idx)
+      case TimestampType | TimestampNTZType   => row.getLong(idx)
+      case DoubleType                         => row.getDouble(idx)
+      case FloatType                          => row.getFloat(idx)
+      case BooleanType                        => row.getBoolean(idx)
+      case other => throw CompactionError.Config(
+        s"partition source type $other is not supported")
+    }
+
+  private def sanitize(s: String): String =
+    s.map(c => if (c.isLetterOrDigit || c == '=' || c == '_' || c == '.' ||
+      c == '-' || c == ',') c else '_')
+
+  override def write(row: InternalRow): Unit = {
+    val key = slots.map { case (t, i, dt) =>
+      s"${t.fieldName}=${Option(t.eval(boxed(row, i, dt), dt)).getOrElse("null")}"
+    }.mkString(",")
+    writers.getOrElseUpdate(key,
+      new GraftDataWriter(attemptDir, partitionId, schema, targetFileSizeBytes,
+        compression, confEntries, namePrefix = sanitize(key) + "."))
+      .write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    GraftCommitMessage(writers.values.toSeq.flatMap(
+      _.commit().asInstanceOf[GraftCommitMessage].files))
+
+  override def abort(): Unit = {
+    writers.values.foreach(w => try w.abort() catch { case _: Throwable => () })
+    FileIO.deleteRecursive(attemptDir)
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Structured Streaming sink — `df.writeStream.format("graft")`: each
@@ -206,7 +305,8 @@ final class GraftStreamingWrite(
     compression: String,
     catalog: TableCatalog,
     queryId: String,
-    validatedSchemaId: Long
+    validatedSchemaId: Long,
+    partitionSpec: Seq[graft.core.PartitionTransform] = Nil
 ) extends sstreaming.StreamingWrite {
 
   private val writeDir =
@@ -217,7 +317,7 @@ final class GraftStreamingWrite(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     FileIO.mkdirs(writeDir)
     new GraftStreamingDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, FileIO.hadoopConfEntries())
+      compression, FileIO.hadoopConfEntries(), partitionSpec)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -274,12 +374,18 @@ final class GraftStreamingDataWriterFactory(
     schema: StructType,
     targetFileSizeBytes: Long,
     compression: String,
-    confEntries: Array[(String, String)]
+    confEntries: Array[(String, String)],
+    partitionSpec: Seq[graft.core.PartitionTransform] = Nil
 ) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(s"$writeDir/_attempt-e$epochId-$taskId", partitionId,
-      schema, targetFileSizeBytes, compression, confEntries)
+    if (partitionSpec.isEmpty)
+      new GraftDataWriter(s"$writeDir/_attempt-e$epochId-$taskId", partitionId,
+        schema, targetFileSizeBytes, compression, confEntries)
+    else
+      new GraftFanoutDataWriter(s"$writeDir/_attempt-e$epochId-$taskId",
+        partitionId, schema, partitionSpec, targetFileSizeBytes, compression,
+        confEntries)
 }
 
 /** Per-task rolling writer: W2 policy consulted once per `batchRows`
@@ -294,7 +400,10 @@ final class GraftDataWriter(
     targetFileSizeBytes: Long,
     compression: String,
     confEntries: Array[(String, String)],
-    batchRows: Int = 1024
+    batchRows: Int = 1024,
+    /** Distinguishes files of different partition values when several
+      * writers share one attempt dir (the fanout path). */
+    namePrefix: String = ""
 ) extends DataWriter[InternalRow] {
 
   private val taskConf = FileIO.confFrom(confEntries)
@@ -312,7 +421,7 @@ final class GraftDataWriter(
   private var bytesPerRow = 256.0
 
   private def newWriter(): Unit = {
-    curPath = s"$attemptDir/part-$partitionId-$fileIdx.parquet"
+    curPath = s"$attemptDir/${namePrefix}part-$partitionId-$fileIdx.parquet"
     val conf = new Configuration(taskConf)
     conf.set("parquet.example.schema", message.toString)
     writer = ExampleParquetWriter.builder(new HPath(curPath))

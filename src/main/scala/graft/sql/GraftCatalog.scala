@@ -53,6 +53,55 @@ object GraftCatalog {
   val ReservedProps: Set[String] =
     Set("provider", "location", "owner", "comment", "external",
       "option.path", "path")
+
+  /** `PARTITIONED BY` clause element → engine transform. Matched on the
+    * connector expression's generic (name, arguments) form, which is
+    * stable across Spark's parser variants. */
+  private[sql] def toGraftTransform(t: Transform,
+      schema: StructType): graft.core.PartitionTransform = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
+    def colOf(e: Expression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+      case _ => None
+    }
+    def intOf(e: Expression): Option[Int] = e match {
+      case l: Literal[_] => l.value match {
+        case i: java.lang.Integer => Some(i.intValue)
+        case i: java.lang.Long    => Some(i.intValue)
+        case _                    => None
+      }
+      case _ => None
+    }
+    val args = t.arguments().toSeq
+    val out = t.name() match {
+      case "identity" =>
+        graft.core.IdentityTransform(args.flatMap(colOf).headOption.getOrElse(
+          throw CompactionError.Config(s"bad identity partition: $t")))
+      case "bucket" =>
+        graft.core.BucketTransform(
+          args.flatMap(intOf).headOption.getOrElse(
+            throw CompactionError.Config(s"bucket needs a count: $t")),
+          args.flatMap(colOf).headOption.getOrElse(
+            throw CompactionError.Config(s"bucket needs a column: $t")))
+      case "truncate" =>
+        graft.core.TruncateTransform(
+          args.flatMap(intOf).headOption.getOrElse(
+            throw CompactionError.Config(s"truncate needs a width: $t")),
+          args.flatMap(colOf).headOption.getOrElse(
+            throw CompactionError.Config(s"truncate needs a column: $t")))
+      case "days" | "day" =>
+        graft.core.DayTransform(args.flatMap(colOf).headOption.getOrElse(
+          throw CompactionError.Config(s"bad day partition: $t")))
+      case other => throw CompactionError.Config(
+        s"unsupported partition transform '$other' " +
+          "(identity | bucket(n, col) | truncate(w, col) | days(col))")
+    }
+    val fld = schema.fields.find(_.name == out.source).getOrElse(
+      throw CompactionError.Config(
+        s"partition source column '${out.source}' is not in the table schema"))
+    out.expr(fld.dataType) // type-check the transform now, not at first INSERT
+    out
+  }
 }
 
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
@@ -156,13 +205,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw CompactionError.Config(
-      "graft SQL tables do not support PARTITIONED BY (use the compaction " +
-        "API's partition spec for fanout writes)")
     schema.fields.foreach { fld =>
       if (!ExactRollingWriter.supportedType(fld.dataType))
         throw CompactionError.Config(
           s"graft tables hold flat primitives; ${fld.name}: ${fld.dataType} is not supported")
+    }
+    // PARTITIONED BY → the engine's fanout transforms (reference S8):
+    // identity / bucket(n) / truncate(w) / days. The spec rides a
+    // snapshot property; INSERTs fan out per partition value.
+    val spec: Seq[graft.core.PartitionTransform] = partitions.toSeq.map { t =>
+      GraftCatalog.toGraftTransform(t, schema)
     }
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
@@ -173,7 +225,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     // user TBLPROPERTIES ride the snapshot (e.g. graft.rowlevel.mode);
     // Spark's reserved bookkeeping keys stay out of the table
-    val userProps = properties.asScala.toMap -- GraftCatalog.ReservedProps
+    val userProps = (properties.asScala.toMap -- GraftCatalog.ReservedProps) ++
+      (if (spec.isEmpty) Map.empty[String, String]
+       else Map(graft.core.PartitionSpecCodec.Property ->
+         graft.core.PartitionSpecCodec.encode(spec)))
     snapCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil,
       schemas = Seq(graft.core.TableSchema(1, fields.toIndexedSeq)),
       committedAtMs = System.currentTimeMillis(),

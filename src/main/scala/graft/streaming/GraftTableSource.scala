@@ -160,6 +160,25 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
       .map(s => s.properties.asJava)
       .getOrElse(java.util.Collections.emptyMap[String, String]())
 
+  /** Declared partition transforms (`PARTITIONED BY`), surfaced to SQL
+    * (`DESCRIBE` / `SHOW CREATE TABLE`). Writes fan out per partition
+    * value ([[graft.sinks.GraftFanoutDataWriter]]). */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    catalog.load(tableDir)
+      .flatMap(_.properties.get(graft.core.PartitionSpecCodec.Property))
+      .map(graft.core.PartitionSpecCodec.decode)
+      .getOrElse(Nil)
+      .map {
+        case graft.core.IdentityTransform(c)    => Expressions.identity(c)
+        case graft.core.BucketTransform(n, c)   => Expressions.bucket(n, c)
+        case graft.core.TruncateTransform(w, c) =>
+          Expressions.apply("truncate",
+            Expressions.literal(Int.box(w)), Expressions.column(c))
+        case graft.core.DayTransform(c)         => Expressions.days(c)
+      }.toArray
+  }
+
   /** `_file` metadata column: each row's physical data file — the
     * grouping handle for copy-on-write row-level operations and a
     * lineage-debugging aid (`SELECT _file, count(*) ... GROUP BY 1`). */

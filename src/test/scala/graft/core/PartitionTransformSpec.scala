@@ -57,4 +57,42 @@ class PartitionTransformSpec extends AnyFunSuite {
       DayTransform("x").expr(org.apache.spark.sql.types.LongType)
     }
   }
+
+  test("row-level eval matches the Column expression bit-for-bit") {
+    import org.apache.spark.sql.types._
+    // bucket over longs and strings
+    val longs = (-5L to 50L).toSeq
+    val bl = BucketTransform(7, "x")
+    val colVals = eval(bl, longs.toDF("x"))
+    assert(longs.map(v => bl.eval(v, LongType)) == colVals)
+    val strs = Seq("", "a", "doc-42", "\u00fcber", "x" * 100)
+    val bs = BucketTransform(16, "s")
+    assert(strs.map(v => bs.eval(v, StringType)) == eval(bs, strs.toDF("s")))
+    // truncate longs + strings
+    val tl = TruncateTransform(10, "x")
+    assert(longs.map(v => tl.eval(v, LongType)) == eval(tl, longs.toDF("x")))
+    val ts = TruncateTransform(3, "s")
+    assert(strs.map(v => ts.eval(v, StringType)) == eval(ts, strs.toDF("s")))
+    // day over timestamps: eval sees Catalyst micros, the Column sees
+    // java.sql.Timestamp — compare via epoch day (session TZ is UTC)
+    val td = DayTransform("d")
+    val instants = Seq("2024-03-05T13:45:00Z", "1969-12-31T23:00:00Z",
+      "1970-01-01T00:00:00Z").map(java.time.Instant.parse)
+    val tdf = instants.map(java.sql.Timestamp.from).toDF("d")
+    val colDays = eval(td, tdf).map(_.asInstanceOf[Date].toLocalDate.toEpochDay.toInt)
+    val evalDays = instants.map { i =>
+      val micros = i.getEpochSecond * 1000000L + i.getNano / 1000L
+      td.eval(micros, TimestampType).asInstanceOf[Int]
+    }
+    assert(evalDays == colDays)
+    // nulls pass through
+    assert(bl.eval(null, LongType) == null && td.eval(null, TimestampType) == null)
+  }
+
+  test("codec round-trips every transform shape") {
+    val spec = Seq(IdentityTransform("region"), BucketTransform(4, "id"),
+      TruncateTransform(3, "name"), DayTransform("ts"))
+    assert(PartitionSpecCodec.decode(PartitionSpecCodec.encode(spec)) == spec)
+    assert(PartitionSpecCodec.decode("") == Nil)
+  }
 }

@@ -527,6 +527,52 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("tot_tail").count() == 3)
   }
 
+  test("PARTITIONED BY fans out writes per partition value and reads prune") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbpt")
+    sql("""CREATE TABLE gsql.dbpt.t (id BIGINT, region STRING, v BIGINT)
+          |PARTITIONED BY (region, bucket(4, id))""".stripMargin)
+    // DESCRIBE reflects the declared transforms
+    val parts = spark.sessionState.catalogManager.catalog("gsql")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("dbpt"), "t")).partitioning()
+    assert(parts.length == 2 && parts.head.name == "identity" &&
+      parts(1).name == "bucket")
+
+    sql("""INSERT INTO gsql.dbpt.t
+          |SELECT id, CASE WHEN id % 2 = 0 THEN 'EU' ELSE 'US' END, id
+          |FROM range(0, 1000)""".stripMargin)
+    val warehouseDir = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+    val snap = FileTableCatalog.loadOrThrow(s"$warehouseDir/dbpt/t")
+    val dataFiles = snap.files.filter(_.content == "data")
+    // every file holds exactly ONE (region, bucket) value — the name
+    // carries the key and no file mixes regions
+    assert(dataFiles.nonEmpty)
+    assert(dataFiles.forall { f =>
+      val name = f.path.substring(f.path.lastIndexOf('/') + 1)
+      name.startsWith("region=EU,") || name.startsWith("region=US,")
+    }, s"unexpected names: ${dataFiles.map(_.path).take(3)}")
+    assert(dataFiles.exists(_.path.contains("region=EU")) &&
+      dataFiles.exists(_.path.contains("region=US")))
+    // results are intact and both row-level strategies keep working
+    assert(sql("SELECT count(*) FROM gsql.dbpt.t WHERE region = 'EU'")
+      .head.getLong(0) == 500)
+    sql("UPDATE gsql.dbpt.t SET v = 0 WHERE id < 10")
+    assert(sql("SELECT sum(v) FROM gsql.dbpt.t").head.getLong(0) ==
+      (10L until 1000L).sum)
+    // partition-value clustering gives per-file footer stats pruning on
+    // a DSv2 read: an id range that lands in few buckets reads fewer
+    // partitions than the full file set
+    val q = spark.read.format("graft").load(s"$warehouseDir/dbpt/t")
+      .filter(org.apache.spark.sql.functions.col("id") === 7L)
+    val scanned = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get.partitions.size
+    assert(scanned < dataFiles.size,
+      s"expected id=7 to prune ($scanned vs ${dataFiles.size})")
+    assert(q.count() == 1)
+  }
+
   test("CREATE TABLE rejects nested types and duplicate tables") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db3")
     val e = intercept[Exception] {
