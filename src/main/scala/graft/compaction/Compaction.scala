@@ -52,6 +52,17 @@ final class Compaction(
       // {start, length} task model)
       val allTasks = ScanPlanner.toInputTasks(snap.files.map(_.toTask))
       if (allTasks.dataFiles.isEmpty) return RewriteFilesStat()
+      // a PARTITIONED table (SQL `PARTITIONED BY`, carried as a snapshot
+      // property) keeps its layout through compaction: the rewrite fans
+      // out per partition value unless the caller configured a spec
+      val config = this.config.partitionSpec match {
+        case Nil => snap.properties
+          .get(graft.core.PartitionSpecCodec.Property)
+          .map(p => this.config.copy(
+            partitionSpec = graft.core.PartitionSpecCodec.decode(p)))
+          .getOrElse(this.config)
+        case _ => this.config
+      }
       val (selected, kept) = config.compactionType match {
         case CompactionType.Full => (allTasks.dataFiles, Nil)
         case CompactionType.Incremental(factor) =>

@@ -29,6 +29,11 @@ sealed trait PartitionTransform {
     * Column form — PartitionTransformSpec cross-checks them. Takes the
     * JVM-boxed value (Long/Int/String/…, null passthrough). */
   def eval(v: Any, dt: DataType): Any
+  /** Human/path form of an [[eval]] output — MUST match how Spark's
+    * partitionBy renders the [[expr]] output in directory names, so the
+    * DSv2 name prefix and the compaction directory layout parse to the
+    * same strings (partition pruning compares them). */
+  def render(pv: Any): String = PartitionKey.renderValue(pv)
 }
 
 object PartitionTransform {
@@ -127,6 +132,9 @@ final case class DayTransform(source: String) extends PartitionTransform {
       case other =>
         throw CompactionError.Config(s"day transform unsupported for type $other")
     }
+  override def render(pv: Any): String =
+    if (pv == null) "null"
+    else java.time.LocalDate.ofEpochDay(pv.asInstanceOf[Int].toLong).toString
 }
 
 /** Compact string form of a partition spec, carried as the
@@ -153,4 +161,56 @@ object PartitionSpecCodec {
           s"bad partition-spec fragment '${other.mkString(":")}'")
       }
     }
+}
+
+/** Shared rendering of partition keys between the fanout writer (file
+  * NAME prefix, e.g. `region=EU,id_bucket=3.part-0-0.parquet`) and the
+  * scan-side partition pruning that parses it back. One field is
+  * `<fieldName>=<sanitized value>`; fields join with ',' — the
+  * sanitizer maps ',' (and anything else exotic) to '_', so the
+  * separators are unambiguous. */
+object PartitionKey {
+  def sanitize(s: String): String =
+    s.map(c => if (c.isLetterOrDigit || c == '=' || c == '_' || c == '.' ||
+      c == '-') c else '_')
+
+  def renderValue(v: Any): String =
+    Option(v).map(String.valueOf).getOrElse("null")
+
+  def field(t: PartitionTransform, partitionValue: Any): String =
+    s"${t.fieldName}=${sanitize(t.render(partitionValue))}"
+
+  def key(fields: Seq[String]): String = fields.mkString(",")
+
+  /** Parse a data file's partition fields — from the fanout NAME prefix
+    * (`region=EU,id_bucket=3.part-…`, the DSv2 writer) and from
+    * `__p_<field>=<v>` DIRECTORY segments (the compaction fanout
+    * writer's Spark partitionBy layout). Empty map for files without
+    * either (pre-partitioning appends) — callers must treat empty as
+    * "unknown, keep". */
+  def parse(path: String): Map[String, String] = {
+    val segs = path.split('/')
+    val dirFields = segs.dropRight(1).toIndexedSeq.flatMap { s =>
+      val eq = s.indexOf('=')
+      if (eq <= 4 || !s.startsWith("__p_")) None
+      else {
+        // Spark URL-escapes special chars in partition dirs; normalize
+        // through our sanitizer so both layouts compare equal
+        val raw = try {
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(s.substring(eq + 1))
+        } catch { case _: Exception => s.substring(eq + 1) }
+        Some(s.substring(4, eq) -> sanitize(raw))
+      }
+    }
+    val name = segs.last
+    val cut = name.indexOf(".part-")
+    val nameFields =
+      if (cut <= 0) Nil
+      else name.substring(0, cut).split(',').toIndexedSeq.flatMap { f =>
+        val eq = f.indexOf('=')
+        if (eq <= 0) None else Some(f.substring(0, eq) -> f.substring(eq + 1))
+      }
+    (dirFields ++ nameFields).toMap
+  }
 }

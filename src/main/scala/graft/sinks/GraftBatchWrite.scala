@@ -261,17 +261,13 @@ final class GraftFanoutDataWriter(
         s"partition source type $other is not supported")
     }
 
-  private def sanitize(s: String): String =
-    s.map(c => if (c.isLetterOrDigit || c == '=' || c == '_' || c == '.' ||
-      c == '-' || c == ',') c else '_')
-
   override def write(row: InternalRow): Unit = {
-    val key = slots.map { case (t, i, dt) =>
-      s"${t.fieldName}=${Option(t.eval(boxed(row, i, dt), dt)).getOrElse("null")}"
-    }.mkString(",")
+    val key = graft.core.PartitionKey.key(slots.map { case (t, i, dt) =>
+      graft.core.PartitionKey.field(t, t.eval(boxed(row, i, dt), dt))
+    })
     writers.getOrElseUpdate(key,
       new GraftDataWriter(attemptDir, partitionId, schema, targetFileSizeBytes,
-        compression, confEntries, namePrefix = sanitize(key) + "."))
+        compression, confEntries, namePrefix = key + "."))
       .write(row)
   }
 

@@ -120,8 +120,14 @@ final class GraftCowBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     FileIO.mkdirs(writeDir)
+    // a rewrite of a PARTITIONED table keeps the partition layout —
+    // otherwise copy-on-write output would lose the per-value file
+    // clustering the scan-side pruning depends on
+    val spec = catalog.load(tableDir)
+      .flatMap(_.properties.get(graft.core.PartitionSpecCodec.Property))
+      .map(graft.core.PartitionSpecCodec.decode).getOrElse(Nil)
     new GraftDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, FileIO.hadoopConfEntries())
+      compression, FileIO.hadoopConfEntries(), spec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -117,8 +117,12 @@ final class GraftDeltaBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     FileIO.mkdirs(writeDir)
+    // delta INSERTS on a partitioned table keep the partition layout
+    val spec = catalog.load(tableDir)
+      .flatMap(_.properties.get(graft.core.PartitionSpecCodec.Property))
+      .map(graft.core.PartitionSpecCodec.decode).getOrElse(Nil)
     new GraftDeltaWriterFactory(writeDir, dataSchema, rowIdSchema,
-      targetFileSizeBytes, compression, FileIO.hadoopConfEntries())
+      targetFileSizeBytes, compression, FileIO.hadoopConfEntries(), spec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -163,11 +167,12 @@ final class GraftDeltaWriterFactory(
     rowIdSchema: StructType,
     targetFileSizeBytes: Long,
     compression: String,
-    confEntries: Array[(String, String)]
+    confEntries: Array[(String, String)],
+    partitionSpec: Seq[graft.core.PartitionTransform] = Nil
 ) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(writeDir, partitionId, taskId, dataSchema, rowIdSchema,
-      targetFileSizeBytes, compression, confEntries)
+      targetFileSizeBytes, compression, confEntries, partitionSpec)
 }
 
 /** Per-task delta writer: inserts stream through the same rolling
@@ -187,15 +192,20 @@ final class GraftDeltaWriter(
     rowIdSchema: StructType,
     targetFileSizeBytes: Long,
     compression: String,
-    confEntries: Array[(String, String)]
+    confEntries: Array[(String, String)],
+    partitionSpec: Seq[graft.core.PartitionTransform] = Nil
 ) extends DeltaWriter[InternalRow] {
 
   private val fileIdx = rowIdSchema.fieldIndex(GraftBatchScan.FileColumn)
   private val posIdx = rowIdSchema.fieldIndex(GraftBatchScan.PosColumn)
 
-  private lazy val dataWriter = new GraftDataWriter(
-    s"$writeDir/_attempt-$taskId", partitionId, dataSchema,
-    targetFileSizeBytes, compression, confEntries)
+  private lazy val dataWriter: DataWriter[InternalRow] =
+    if (partitionSpec.isEmpty)
+      new GraftDataWriter(s"$writeDir/_attempt-$taskId", partitionId, dataSchema,
+        targetFileSizeBytes, compression, confEntries)
+    else
+      new GraftFanoutDataWriter(s"$writeDir/_attempt-$taskId", partitionId,
+        dataSchema, partitionSpec, targetFileSizeBytes, compression, confEntries)
   private var dataUsed = false
 
   // (path, pos) buffer; paths of one task repeat heavily -> intern

@@ -232,12 +232,35 @@ final class GraftScanBuilder(
   }
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
-    // Inexact pushdown (reference P2): keep what file-pruning can use,
-    // hand EVERYTHING back to Spark to re-apply above the scan
-    pushed = filters.filter(f => boundsOf(Seq(f)).nonEmpty)
+    // Inexact pushdown (reference P2): keep what file-pruning can use
+    // (integral bounds, or exact-equality literals the partition
+    // transforms can hash), hand EVERYTHING back to Spark to re-apply
+    pushed = filters.filter(f =>
+      boundsOf(Seq(f)).nonEmpty || equalityCandidates(Seq(f)).nonEmpty)
     filters
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
+
+  /** column → exact literal values allowed by `filters` (EqualTo / In,
+    * conjunctions included) — the inputs of transform-aware partition
+    * pruning ([[PartitionPruning]]). */
+  private def equalityCandidates(
+      filters: Seq[sources.Filter]): Map[String, Seq[Any]] =
+    filters.foldLeft(Map.empty[String, Seq[Any]]) { (acc, f) =>
+      val m: Map[String, Seq[Any]] = f match {
+        case sources.EqualTo(a, v) => Map(a -> Seq(v))
+        case sources.In(a, vs)     => Map(a -> vs.toSeq)
+        case sources.And(l, r)     => equalityCandidates(Seq(l, r))
+        case _                     => Map.empty
+      }
+      // conjunction: a column constrained twice keeps the TIGHTER set
+      m.foldLeft(acc) { case (a, (k, vs)) =>
+        a.get(k) match {
+          case Some(prev) => a + (k -> prev.intersect(vs))
+          case None       => a + (k -> vs)
+        }
+      }
+    }
 
   /** sources.Filter → integral [lo, hi] bounds, same conservative rules
     * as [[ScanPruning.constraints]]: only integral comparisons survive. */
@@ -267,7 +290,7 @@ final class GraftScanBuilder(
     new GraftScan(tableDir, tableSchema, requiredSchema, boundsOf(pushed.toSeq),
       asOfVersion, catalog, startingVersion, skipDeletes,
       includeFileColumn, cowOwner, splitTargetBytes, includePosColumn,
-      vectorizedRead)
+      vectorizedRead, equalityCandidates(pushed.toSeq))
 }
 
 final class GraftScan(
@@ -283,7 +306,8 @@ final class GraftScan(
     cowOwner: Option[graft.sinks.RowLevelScanOwner] = None,
     splitTargetBytes: Long = GraftBatchScan.DefaultSplitTargetBytes,
     includePosColumn: Boolean = false,
-    vectorizedRead: Boolean = true
+    vectorizedRead: Boolean = true,
+    pushedEqCandidates: Map[String, Seq[Any]] = Map.empty
 ) extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -367,10 +391,20 @@ final class GraftScan(
     prune(pr) ++ keep
   }
 
+  private lazy val partSpec: Seq[graft.core.PartitionTransform] =
+    snap.properties.get(graft.core.PartitionSpecCodec.Property)
+      .map(graft.core.PartitionSpecCodec.decode).getOrElse(Nil)
+  private lazy val colTypes: Map[String, DataType] =
+    tableSchema.fields.map(f => f.name -> f.dataType).toMap
+
   private lazy val prunedDataFiles: Seq[FileEntry] = {
     val data = snap.files.filter(_.content == "data")
-    if (pruneBounds.isEmpty) data
-    else pruneGuarded(data, ScanPruning.pruneDataFilesWithBounds(_, pruneBounds))
+    // transform-aware partition pruning first: name-parse only, no IO
+    val partPruned =
+      if (partSpec.isEmpty || pushedEqCandidates.isEmpty) data
+      else PartitionPruning.prune(data, partSpec, pushedEqCandidates, colTypes)
+    if (pruneBounds.isEmpty) partPruned
+    else pruneGuarded(partPruned, ScanPruning.pruneDataFilesWithBounds(_, pruneBounds))
   }
 
   /** Per-task position-delete scoping: [[graft.compaction
@@ -460,10 +494,17 @@ final class GraftScan(
       }
     val eqFiles = snap.files.filter(_.content == "equality-deletes")
       .sortBy(f => (f.sequenceNumber, f.path))
-    val afterInSets =
+    val afterInSets0 =
       if (runtimeInSets.isEmpty) prunedDataFiles
       else pruneGuarded(prunedDataFiles,
         ScanPruning.pruneDataFilesWithInSets(_, runtimeInSets))
+    // join-driven bucket pruning: runtime In values hash through the
+    // partition transforms, dropping whole buckets before tasks launch
+    val afterInSets =
+      if (partSpec.isEmpty || runtimeInSets.isEmpty) afterInSets0
+      else PartitionPruning.prune(afterInSets0, partSpec,
+        runtimeInSets.map { case (k, vs) => k -> vs.toSeq },
+        colTypes)
     // _file group filter is EXACT — empty set means no group matched
     val afterRuntime = runtimePathSet.fold(afterInSets) { paths =>
       afterInSets.filter(f => paths.contains(ScanPlanner.normalizePath(f.path)))

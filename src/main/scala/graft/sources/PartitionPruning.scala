@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.core.{PartitionKey, PartitionTransform}
+import graft.txn.FileEntry
+import org.apache.spark.sql.types._
+
+/** Transform-aware partition pruning for PARTITIONED tables: evaluate
+  * the table's partition transforms over filter LITERALS and keep only
+  * the files whose name-encoded partition value can match — zero IO
+  * (no footer reads), and it prunes shapes footer stats cannot: an
+  * `id = 7` point lookup on a `bucket(16, id)` table hashes 7 once and
+  * reads ONE bucket's files instead of all 16 (each bucket's id
+  * min/max spans the whole domain, so stats keep everything).
+  *
+  * The same mechanism serves runtime (join-driven) `In` sets — a
+  * selective dimension join prunes the fact table's buckets before
+  * tasks launch. This is the Iceberg bucket-transform pruning story,
+  * re-expressed over the engine's md5 transforms.
+  *
+  * Conservative everywhere: files without the fanout name prefix
+  * (pre-partitioning appends, compaction output) and columns without a
+  * transform keep all files; at least one data file survives so the
+  * read still resolves the table schema.
+  */
+object PartitionPruning {
+
+  /** Keep the data files whose partition fields can satisfy
+    * `candidates` (column → the exact values the filters allow).
+    * Delete files pass through. */
+  def prune(
+      files: Seq[FileEntry],
+      spec: Seq[PartitionTransform],
+      candidates: Map[String, Seq[Any]],
+      colTypes: Map[String, DataType]): Seq[FileEntry] = {
+    if (spec.isEmpty || candidates.isEmpty) return files
+    // expected rendered values per partition FIELD name
+    val expected: Seq[(String, Set[String])] = spec.flatMap { t =>
+      (candidates.get(t.source), colTypes.get(t.source)) match {
+        case (Some(vs), Some(dt)) =>
+          val rendered = vs.flatMap(coerce(_, dt))
+            .map(v => PartitionKey.sanitize(t.render(t.eval(v, dt))))
+          // a candidate we could not coerce makes the set non-exhaustive
+          if (rendered.size == vs.size) Some(t.fieldName -> rendered.toSet)
+          else None
+        case _ => None
+      }
+    }
+    if (expected.isEmpty) return files
+    val (data, deletes) = files.partition(_.content == "data")
+    val kept = data.filter { f =>
+      val fields = PartitionKey.parse(f.path)
+      fields.isEmpty || expected.forall { case (name, ok) =>
+        fields.get(name).forall(ok.contains)
+      }
+    }
+    (if (kept.nonEmpty) kept else data.take(1)) ++ deletes
+  }
+
+  /** Literal → the column's JVM type ([[PartitionTransform.eval]]'s
+    * convention); None = unsupported literal shape (prune nothing). */
+  private def coerce(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (null, _)                   => Some(null)
+    case (x: Long, LongType)         => Some(x)
+    case (x: Int, LongType)          => Some(x.toLong)
+    case (x: Short, LongType)        => Some(x.toLong)
+    case (x: Int, IntegerType)       => Some(x)
+    case (x: Short, IntegerType)     => Some(x.toInt)
+    case (x: Long, IntegerType) if x == x.toInt.toLong => Some(x.toInt)
+    case (s: String, StringType)     => Some(s)
+    case _                           => None
+  }
+}

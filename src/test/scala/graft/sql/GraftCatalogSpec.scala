@@ -560,17 +560,51 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("UPDATE gsql.dbpt.t SET v = 0 WHERE id < 10")
     assert(sql("SELECT sum(v) FROM gsql.dbpt.t").head.getLong(0) ==
       (10L until 1000L).sum)
-    // partition-value clustering gives per-file footer stats pruning on
-    // a DSv2 read: an id range that lands in few buckets reads fewer
-    // partitions than the full file set
-    val q = spark.read.format("graft").load(s"$warehouseDir/dbpt/t")
+    // transform-aware pruning: id = 7 hashes to ONE bucket, and the
+    // identity transform narrows region — a point lookup reads exactly
+    // the files of one (region, bucket) pair (no footer IO involved).
+    // The copy-on-write UPDATE above kept the layout: rewritten files
+    // carry the same partition-key names, so counts stay tight.
+    def partsOf(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get.partitions.size
+    val curFiles = FileTableCatalog.loadOrThrow(s"$warehouseDir/dbpt/t")
+      .files.filter(_.content == "data")
+    assert(curFiles.forall(f => graft.core.PartitionKey.parse(f.path).nonEmpty),
+      s"rewritten files lost the partition key: ${curFiles.map(_.path).take(3)}")
+    val dfq = spark.read.format("graft").load(s"$warehouseDir/dbpt/t")
+    val bucket = graft.core.BucketTransform(4, "id").eval(7L,
+      org.apache.spark.sql.types.LongType)
+    val oneBucket = curFiles.count(_.path.contains(s"id_bucket=$bucket"))
+    val qPoint = dfq.filter(org.apache.spark.sql.functions.col("id") === 7L)
+    assert(partsOf(qPoint) <= oneBucket,
+      s"expected id=7 to read one bucket (${partsOf(qPoint)} vs $oneBucket of ${curFiles.size})")
+    assert(qPoint.count() == 1)
+    val qBoth = dfq.filter(org.apache.spark.sql.functions.col("id") === 7L &&
+      org.apache.spark.sql.functions.col("region") === "US")
+    assert(partsOf(qBoth) <= curFiles.count(f =>
+      f.path.contains(s"id_bucket=$bucket") && f.path.contains("region=US")))
+    assert(qBoth.count() == 1)
+    // a value set over the partition column prunes too (IN-list)
+    val qIn = dfq.filter(org.apache.spark.sql.functions.col("region").isin("EU"))
+    assert(partsOf(qIn) <= curFiles.count(_.path.contains("region=EU")))
+    assert(qIn.count() == 500)
+    // compaction keeps the partition layout (fanout via the table spec)
+    graft.compaction.Compaction.builder()
+      .withSpark(spark).withTableDir(s"$warehouseDir/dbpt/t")
+      .withConfig(graft.core.CompactionConfig(targetPartitions = 1))
+      .build().compact()
+    val folded = FileTableCatalog.loadOrThrow(s"$warehouseDir/dbpt/t")
+      .files.filter(_.content == "data")
+    assert(folded.forall(f => graft.core.PartitionKey.parse(f.path).nonEmpty),
+      s"compaction lost the partition layout: ${folded.map(_.path).take(3)}")
+    val qAfter = spark.read.format("graft").load(s"$warehouseDir/dbpt/t")
       .filter(org.apache.spark.sql.functions.col("id") === 7L)
-    val scanned = q.queryExecution.executedPlan.collectFirst {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-    }.get.partitions.size
-    assert(scanned < dataFiles.size,
-      s"expected id=7 to prune ($scanned vs ${dataFiles.size})")
-    assert(q.count() == 1)
+    assert(partsOf(qAfter) <= folded.count(
+      _.path.contains(s"id_bucket=$bucket")))
+    assert(qAfter.count() == 1)
+    assert(sql("SELECT count(*) FROM gsql.dbpt.t").head.getLong(0) == 1000)
   }
 
   test("CREATE TABLE rejects nested types and duplicate tables") {
