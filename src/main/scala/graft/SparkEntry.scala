@@ -36,6 +36,7 @@ object SparkEntry {
       ("sql_catalog_crud" -> (graft.queries.SqlCatalogQuery.run _)) +
       ("sql_merge_cow" -> (graft.queries.SqlCatalogQuery.runMerge _)) +
       ("sql_merge_mor" -> (graft.queries.SqlCatalogQuery.runMergeMor _)) +
+      ("sql_partitioned" -> (graft.queries.SqlCatalogQuery.runPartitioned _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -63,6 +64,7 @@ object SparkEntry {
       ("sql_catalog_crud" -> graft.queries.SqlCatalogQuery.oracle) +
       ("sql_merge_cow" -> graft.queries.SqlCatalogQuery.mergeOracle) +
       ("sql_merge_mor" -> graft.queries.SqlCatalogQuery.mergeOracle) +
+      ("sql_partitioned" -> graft.queries.SqlCatalogQuery.partitionedOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

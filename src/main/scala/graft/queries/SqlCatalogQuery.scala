@@ -69,6 +69,51 @@ object SqlCatalogQuery {
       |   OR NOT (l_orderkey <= 500 AND l_returnflag = 'A')
       |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
 
+  // -------- PARTITIONED BY (fanout write + transform pruning) -----------
+
+  private val partCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A PARTITIONED table driven end-to-end from SQL: fanout INSERT
+    * (identity + bucket transforms, clustered write distribution),
+    * merge-on-read DELETE, filtered read-back. The oracle recomputes
+    * the survivors from lineitem alone — a hash match certifies that
+    * per-partition-value files and the pruning that reads them back
+    * lose and duplicate nothing. */
+  def runPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val cat = partCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"gp${counter.incrementAndGet()}"
+      val wh = Files.createTempDirectory(s"graft-sqlpart-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_part")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(
+        s"""CREATE TABLE $name.db.lp (
+           |  l_orderkey BIGINT, l_linenumber INT,
+           |  l_suppkey BIGINT, l_returnflag STRING)
+           |PARTITIONED BY (l_returnflag, bucket(4, l_orderkey))""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.lp
+           |SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+           |FROM li_part""".stripMargin)
+      spark.sql(
+        s"DELETE FROM $name.db.lp WHERE l_orderkey <= 300 AND l_returnflag = 'R'")
+      name
+    })
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+         |FROM $cat.db.lp WHERE l_orderkey % 5 = 2
+         |ORDER BY 1, 2, 3, 4""".stripMargin)
+  }
+
+  val partitionedOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+      |FROM lineitem
+      |WHERE l_orderkey % 5 = 2
+      |  AND NOT (l_orderkey <= 300 AND l_returnflag = 'R')
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
   // -------- MERGE INTO (group-based copy-on-write) ----------------------
 
   private val mergeCatalogs =
