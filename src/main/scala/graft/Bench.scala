@@ -59,7 +59,10 @@ object Bench {
         name -> (median, sorted.last - sorted.head)
       }
     }
-    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + f"$m%.3f" }
+    // 2 decimals: the driver captures only a ~2 KB stdout TAIL and the
+    // query map grows with every release — keep the line comfortably
+    // inside the window
+    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + f"$m%.2f" }
       .mkString("{", ",", "}")
     val sp = results.map { case (k, (_, s)) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")

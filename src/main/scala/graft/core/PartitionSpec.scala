@@ -203,7 +203,9 @@ object PartitionKey {
         Some(s.substring(4, eq) -> sanitize(raw))
       }
     }
-    val name = segs.last
+    // streaming epochs publish as `e<epoch>-<partition key>.part-…` —
+    // strip the epoch marker so the first field parses cleanly
+    val name = segs.last.replaceFirst("^e\\d+-", "")
     val cut = name.indexOf(".part-")
     val nameFields =
       if (cut <= 0) Nil

@@ -99,7 +99,24 @@ final class GraftMorColumnarReader(
   private var batch: ColumnarBatch = _
   private var exhausted = false
 
+  /** Empty projection (`SELECT count(*)`, or every needed column
+    * postdates the file): row counts come straight from the footer's
+    * (range-filtered) block metadata — no column-chunk IO at all. */
+  private val footerOnlyGroups: java.util.Iterator[java.lang.Long] =
+    if (physicalCols.nonEmpty) null
+    else {
+      val it = reader.getRowGroups.iterator()
+      val out = new java.util.ArrayList[java.lang.Long]()
+      while (it.hasNext) out.add(it.next().getRowCount)
+      out.iterator()
+    }
+
   private def advanceGroup(): Boolean = {
+    if (footerOnlyGroups != null) {
+      if (!footerOnlyGroups.hasNext) { exhausted = true; return false }
+      groupRowsLeft = footerOnlyGroups.next()
+      return true
+    }
     val pages = reader.readNextRowGroup()
     if (pages == null) { exhausted = true; return false }
     groupRowsLeft = pages.getRowCount
