@@ -56,11 +56,10 @@ final class Compaction(
       // property) keeps its layout through compaction: the rewrite fans
       // out per partition value unless the caller configured a spec
       val config = this.config.partitionSpec match {
-        case Nil => snap.properties
-          .get(graft.core.PartitionSpecCodec.Property)
-          .map(p => this.config.copy(
-            partitionSpec = graft.core.PartitionSpecCodec.decode(p)))
-          .getOrElse(this.config)
+        case Nil => graft.core.PartitionSpecCodec.of(Some(snap)) match {
+          case Nil  => this.config
+          case spec => this.config.copy(partitionSpec = spec)
+        }
         case _ => this.config
       }
       val (selected, kept) = config.compactionType match {

@@ -102,7 +102,12 @@ final case class TruncateTransform(width: Int, source: String) extends Partition
   override def eval(v: Any, dt: DataType): Any =
     if (v == null) null
     else dt match {
-      case StringType => v.asInstanceOf[String].take(width)
+      case StringType =>
+        // Spark's substring counts CODE POINTS; String.take counts
+        // UTF-16 units and would split supplementary characters
+        val s = v.asInstanceOf[String]
+        val cp = math.min(width, s.codePointCount(0, s.length))
+        s.substring(0, s.offsetByCodePoints(0, cp))
       case LongType =>
         val x = v.asInstanceOf[Long]; x - (((x % width) + width) % width)
       case IntegerType =>
@@ -142,6 +147,11 @@ final case class DayTransform(source: String) extends PartitionTransform {
   * spec-legal unknown property under the Iceberg-format catalog). */
 object PartitionSpecCodec {
   val Property = "graft.partition-spec"
+
+  /** The table's partition spec as carried by its snapshot (Nil when
+    * unpartitioned) — the one decode every writer and the scan share. */
+  def of(snap: Option[graft.txn.TableSnapshot]): Seq[PartitionTransform] =
+    snap.flatMap(_.properties.get(Property)).map(decode).getOrElse(Nil)
 
   def encode(ts: Seq[PartitionTransform]): String = ts.map {
     case IdentityTransform(c)    => s"identity:$c"
@@ -206,7 +216,9 @@ object PartitionKey {
     // streaming epochs publish as `e<epoch>-<partition key>.part-…` —
     // strip the epoch marker so the first field parses cleanly
     val name = segs.last.replaceFirst("^e\\d+-", "")
-    val cut = name.indexOf(".part-")
+    // LAST occurrence: a sanitized partition VALUE may itself contain
+    // '.part-'; the writer's suffix is always the final one
+    val cut = name.lastIndexOf(".part-")
     val nameFields =
       if (cut <= 0) Nil
       else name.substring(0, cut).split(',').toIndexedSeq.flatMap { f =>

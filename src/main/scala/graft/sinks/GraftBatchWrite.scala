@@ -119,10 +119,7 @@ final class GraftWriteBuilder(
   /** Partition spec of the target table (snapshot property) — fanout
     * writers route rows per partition value. */
   private lazy val partitionSpec: Seq[graft.core.PartitionTransform] =
-    catalog.load(tableDir)
-      .flatMap(_.properties.get(graft.core.PartitionSpecCodec.Property))
-      .map(graft.core.PartitionSpecCodec.decode)
-      .getOrElse(Nil)
+    graft.core.PartitionSpecCodec.of(catalog.load(tableDir))
 
   override def build(): Write = new Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {

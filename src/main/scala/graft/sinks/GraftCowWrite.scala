@@ -123,9 +123,7 @@ final class GraftCowBatchWrite(
     // a rewrite of a PARTITIONED table keeps the partition layout —
     // otherwise copy-on-write output would lose the per-value file
     // clustering the scan-side pruning depends on
-    val spec = catalog.load(tableDir)
-      .flatMap(_.properties.get(graft.core.PartitionSpecCodec.Property))
-      .map(graft.core.PartitionSpecCodec.decode).getOrElse(Nil)
+    val spec = graft.core.PartitionSpecCodec.of(catalog.load(tableDir))
     new GraftDataWriterFactory(writeDir, schema, targetFileSizeBytes,
       compression, FileIO.hadoopConfEntries(), spec)
   }

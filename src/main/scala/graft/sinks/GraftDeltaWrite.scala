@@ -118,9 +118,7 @@ final class GraftDeltaBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     FileIO.mkdirs(writeDir)
     // delta INSERTS on a partitioned table keep the partition layout
-    val spec = catalog.load(tableDir)
-      .flatMap(_.properties.get(graft.core.PartitionSpecCodec.Property))
-      .map(graft.core.PartitionSpecCodec.decode).getOrElse(Nil)
+    val spec = graft.core.PartitionSpecCodec.of(catalog.load(tableDir))
     new GraftDeltaWriterFactory(writeDir, dataSchema, rowIdSchema,
       targetFileSizeBytes, compression, FileIO.hadoopConfEntries(), spec)
   }

@@ -392,8 +392,7 @@ final class GraftScan(
   }
 
   private lazy val partSpec: Seq[graft.core.PartitionTransform] =
-    snap.properties.get(graft.core.PartitionSpecCodec.Property)
-      .map(graft.core.PartitionSpecCodec.decode).getOrElse(Nil)
+    graft.core.PartitionSpecCodec.of(Some(snap))
   private lazy val colTypes: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
 

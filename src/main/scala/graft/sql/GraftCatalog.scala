@@ -100,6 +100,22 @@ object GraftCatalog {
       throw CompactionError.Config(
         s"partition source column '${out.source}' is not in the table schema"))
     out.expr(fld.dataType) // type-check the transform now, not at first INSERT
+    // tighter envelope than expr(): the row-level eval/render twins and
+    // Spark's directory rendering must agree BIT-FOR-BIT across the
+    // DSv2 and compaction layouts, which holds only for these types
+    // (e.g. identity/bucket over TIMESTAMP renders micros on one path
+    // and a formatted date-time on the other — use days(ts) instead)
+    import org.apache.spark.sql.types._
+    val ok = out match {
+      case _: graft.core.DayTransform => true // expr() already gated
+      case _: graft.core.TruncateTransform =>
+        Set[DataType](StringType, LongType, IntegerType)(fld.dataType)
+      case _ => Set[DataType](StringType, LongType, IntegerType,
+        ShortType, DateType, BooleanType)(fld.dataType)
+    }
+    if (!ok) throw CompactionError.Config(
+      s"partition transform over ${out.source}: ${fld.dataType.simpleString} " +
+        "is not supported (integral, string, date, boolean; use days() for timestamps)")
     out
   }
 }
@@ -259,14 +275,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw CompactionError.Config(
           s"unsupported ALTER TABLE change for a graft table: $other")
     }.toSeq
+    // a partition SOURCE column cannot be renamed or dropped: the spec
+    // addresses it by name and every writer would break — refuse, the
+    // same line Iceberg draws until the spec itself is evolved
+    val specSources = graft.core.PartitionSpecCodec
+      .of(snapCatalog.load(dir)).map(_.source).toSet
+    ops.collect {
+      case SchemaOp.Rename(from, _) if specSources(from) => from
+      case SchemaOp.Drop(name) if specSources(name)      => name
+    }.headOption.foreach { c =>
+      throw CompactionError.Config(
+        s"column '$c' is a partition source (PARTITIONED BY); renaming " +
+          "or dropping it would orphan the partition spec")
+    }
     if (ops.nonEmpty) SchemaEvolution.evolve(dir, ops, catalog = snapCatalog)
     if (setProps.nonEmpty || unsetProps.nonEmpty) {
-      // property-only commit: a fresh version, files untouched
+      // property-only commit: a fresh version, files untouched. Unlike
+      // CREATE (where Spark injects bookkeeping keys), an ALTER SET is
+      // the user's explicit intent — nothing is filtered.
       val cur = snapCatalog.loadOrThrow(dir)
       new graft.txn.CommitManager(dir, graft.core.RetryConfig(),
         catalog = snapCatalog).setTableProperties(
-        setProps -- GraftCatalog.ReservedProps,
-        unsetProps, expectedSchemaId = cur.schemaId)
+        setProps, unsetProps, expectedSchemaId = cur.schemaId)
     }
     loadTable(ident)
   }

@@ -165,10 +165,7 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
     * value ([[graft.sinks.GraftFanoutDataWriter]]). */
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    catalog.load(tableDir)
-      .flatMap(_.properties.get(graft.core.PartitionSpecCodec.Property))
-      .map(graft.core.PartitionSpecCodec.decode)
-      .getOrElse(Nil)
+    graft.core.PartitionSpecCodec.of(catalog.load(tableDir))
       .map {
         case graft.core.IdentityTransform(c)    => Expressions.identity(c)
         case graft.core.BucketTransform(n, c)   => Expressions.bucket(n, c)

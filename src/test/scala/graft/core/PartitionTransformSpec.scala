@@ -65,7 +65,8 @@ class PartitionTransformSpec extends AnyFunSuite {
     val bl = BucketTransform(7, "x")
     val colVals = eval(bl, longs.toDF("x"))
     assert(longs.map(v => bl.eval(v, LongType)) == colVals)
-    val strs = Seq("", "a", "doc-42", "\u00fcber", "x" * 100)
+    val strs = Seq("", "a", "doc-42", "\u00fcber", "x" * 100,
+      new String(Character.toChars(0x1D11E)) * 2 + "abc") // astral chars
     val bs = BucketTransform(16, "s")
     assert(strs.map(v => bs.eval(v, StringType)) == eval(bs, strs.toDF("s")))
     // truncate longs + strings
@@ -87,6 +88,24 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(evalDays == colDays)
     // nulls pass through
     assert(bl.eval(null, LongType) == null && td.eval(null, TimestampType) == null)
+  }
+
+  test("partition keys parse back from both physical layouts") {
+    import graft.core.{PartitionKey => PK}
+    // DSv2 name prefix, including a VALUE that contains '.part-'
+    assert(PK.parse("/w/t/data/x/region=EU,id_bucket=3.part-0-0.parquet") ==
+      Map("region" -> "EU", "id_bucket" -> "3"))
+    assert(PK.parse("/w/t/data/x/region=a.part-b.part-0-1.parquet") ==
+      Map("region" -> "a.part-b"))
+    // streaming epoch marker strips
+    assert(PK.parse("/w/t/data/s/e12-region=US.part-0-0.parquet") ==
+      Map("region" -> "US"))
+    // compaction directory layout (Spark-escaped values unescape)
+    assert(PK.parse("/w/t/data/c/__p_region=a%20b/part-00000-x.parquet") ==
+      Map("region" -> "a_b"))
+    // unpartitioned shapes parse to empty (conservative keep)
+    assert(PK.parse("/w/t/data/d/part-0-0.parquet").isEmpty)
+    assert(PK.parse("/w/t/data/d/del-part-0-0.parquet").isEmpty)
   }
 
   test("codec round-trips every transform shape") {

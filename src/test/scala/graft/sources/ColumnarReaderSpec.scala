@@ -106,7 +106,6 @@ class ColumnarReaderSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-colnar-split").toString
     FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
     // small row groups so a tiny splitTargetBytes yields several ranges
-    val conf = spark.conf
     val prev = spark.sparkContext.hadoopConfiguration.get("parquet.block.size")
     spark.sparkContext.hadoopConfiguration.set("parquet.block.size", "4096")
     try TableWrites.appendData(dir,

@@ -607,6 +607,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gsql.dbpt.t").head.getLong(0) == 1000)
   }
 
+  test("partition source columns cannot be renamed, dropped, or timestamp-typed") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbpg")
+    sql("""CREATE TABLE gsql.dbpg.g (id BIGINT, region STRING, v BIGINT)
+          |PARTITIONED BY (region)""".stripMargin)
+    sql("INSERT INTO gsql.dbpg.g VALUES (1, 'EU', 10)")
+    // renaming/dropping the source would orphan the spec — refuse both
+    val e1 = intercept[Exception] {
+      sql("ALTER TABLE gsql.dbpg.g RENAME COLUMN region TO r")
+    }
+    assert(Iterator.iterate[Throwable](e1)(_.getCause).takeWhile(_ != null)
+      .exists(_.getMessage.contains("partition source")))
+    val e2 = intercept[Exception] {
+      sql("ALTER TABLE gsql.dbpg.g DROP COLUMN region")
+    }
+    assert(Iterator.iterate[Throwable](e2)(_.getCause).takeWhile(_ != null)
+      .exists(_.getMessage.contains("partition source")))
+    // the table still works after the refusals
+    assert(sql("SELECT region FROM gsql.dbpg.g").head.getString(0) == "EU")
+    // identity/bucket over TIMESTAMP renders differently across the two
+    // physical layouts — refused at CREATE (days() is the supported form)
+    val e3 = intercept[Exception] {
+      sql("""CREATE TABLE gsql.dbpg.bad (id BIGINT, ts TIMESTAMP)
+            |PARTITIONED BY (bucket(4, ts))""".stripMargin)
+    }
+    assert(Iterator.iterate[Throwable](e3)(_.getCause).takeWhile(_ != null)
+      .exists(_.getMessage.contains("not supported")))
+  }
+
   test("CREATE TABLE rejects nested types and duplicate tables") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db3")
     val e = intercept[Exception] {
