@@ -607,6 +607,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gsql.dbpt.t").head.getLong(0) == 1000)
   }
 
+  test("maintenance procedures run against the Iceberg-format catalog") {
+    val wh = Files.createTempDirectory("graft-wh-ice-proc").toString
+    spark.conf.set("spark.sql.catalog.gip", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gip.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.gip.format", "iceberg")
+    sql("CREATE NAMESPACE IF NOT EXISTS gip.db")
+    sql("CREATE TABLE gip.db.m (id BIGINT, v STRING)")
+    (1 to 4).foreach(i => sql(s"INSERT INTO gip.db.m VALUES ($i, 'v$i')"))
+    sql("DELETE FROM gip.db.m WHERE id = 2")
+    val rw = sql(
+      "CALL gip.system.rewrite_data_files(`table` => 'db.m', validate => true)")
+      .collect()
+    assert(rw.head.getLong(0) >= 4)
+    assert(sql("SELECT id FROM gip.db.m ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    val expired = sql(
+      "CALL gip.system.expire_snapshots(`table` => 'db.m', retain_last => 1)")
+      .collect()
+    assert(expired.nonEmpty)
+    assert(sql("SELECT count(*) FROM gip.db.m").head.getLong(0) == 3)
+  }
+
   test("partition source columns cannot be renamed, dropped, or timestamp-typed") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbpg")
     sql("""CREATE TABLE gsql.dbpg.g (id BIGINT, region STRING, v BIGINT)
