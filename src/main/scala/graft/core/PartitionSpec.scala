@@ -213,9 +213,12 @@ object PartitionKey {
         Some(s.substring(4, eq) -> sanitize(raw))
       }
     }
-    // streaming epochs publish as `e<epoch>-<partition key>.part-…` —
-    // strip the epoch marker so the first field parses cleanly
-    val name = segs.last.replaceFirst("^e\\d+-", "")
+    // streaming epochs publish as `e<epoch>-…` and the fanout writer
+    // stamps a per-writer generation `g<n>-…` — strip both markers so
+    // the first field parses cleanly
+    val name = segs.last
+      .replaceFirst("^e\\d+-", "")
+      .replaceFirst("^g\\d+-", "")
     // LAST occurrence: a sanitized partition VALUE may itself contain
     // '.part-'; the writer's suffix is always the final one
     val cut = name.lastIndexOf(".part-")

@@ -225,6 +225,12 @@ final class GraftDataWriterFactory(
   * open-writer map stays small — the Iceberg fanout-writer shape. File
   * names carry the sanitized partition key (`region=EU.part-0-0…`);
   * the snapshot, not the directory tree, is the source of truth. */
+object GraftFanoutDataWriter {
+  /** Open-writer bound per task (Iceberg's fanout writers draw the same
+    * line): beyond it the oldest writer finalizes early. */
+  val MaxOpenWriters = 64
+}
+
 final class GraftFanoutDataWriter(
     attemptDir: String,
     partitionId: Int,
@@ -258,18 +264,37 @@ final class GraftFanoutDataWriter(
         s"partition source type $other is not supported")
     }
 
+  // files of writers already evicted and finalized (see MaxOpenWriters)
+  private val closedFiles = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  private var generation = 0
+
   override def write(row: InternalRow): Unit = {
     val key = graft.core.PartitionKey.key(slots.map { case (t, i, dt) =>
       graft.core.PartitionKey.field(t, t.eval(boxed(row, i, dt), dt))
     })
-    writers.getOrElseUpdate(key,
-      new GraftDataWriter(attemptDir, partitionId, schema, targetFileSizeBytes,
-        compression, confEntries, namePrefix = key + "."))
-      .write(row)
+    val w = writers.getOrElse(key, {
+      // bound the open parquet writers (each holds column buffers): a
+      // high-cardinality partition under a skewed/unclustered input
+      // evicts FIFO — the closed value just starts a fresh file if it
+      // reappears, so the cost is extra files, never wrong data. The
+      // generation marker keeps recreated writers' file names unique.
+      if (writers.size >= GraftFanoutDataWriter.MaxOpenWriters) {
+        val (oldKey, oldW) = writers.head
+        closedFiles ++= oldW.commit().asInstanceOf[GraftCommitMessage].files
+        writers.remove(oldKey)
+      }
+      generation += 1
+      val nw = new GraftDataWriter(attemptDir, partitionId, schema,
+        targetFileSizeBytes, compression, confEntries,
+        namePrefix = s"g$generation-$key.")
+      writers(key) = nw
+      nw
+    })
+    w.write(row)
   }
 
   override def commit(): WriterCommitMessage =
-    GraftCommitMessage(writers.values.toSeq.flatMap(
+    GraftCommitMessage(closedFiles.toSeq ++ writers.values.toSeq.flatMap(
       _.commit().asInstanceOf[GraftCommitMessage].files))
 
   override def abort(): Unit = {

@@ -100,6 +100,11 @@ class PartitionTransformSpec extends AnyFunSuite {
     // streaming epoch marker strips
     assert(PK.parse("/w/t/data/s/e12-region=US.part-0-0.parquet") ==
       Map("region" -> "US"))
+    // fanout generation marker strips (alone and after an epoch)
+    assert(PK.parse("/w/t/data/x/g7-region=EU.part-0-0.parquet") ==
+      Map("region" -> "EU"))
+    assert(PK.parse("/w/t/data/s/e12-g2-region=US,id_bucket=1.part-0-0.parquet") ==
+      Map("region" -> "US", "id_bucket" -> "1"))
     // compaction directory layout (Spark-escaped values unescape)
     assert(PK.parse("/w/t/data/c/__p_region=a%20b/part-00000-x.parquet") ==
       Map("region" -> "a_b"))

@@ -549,8 +549,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     // carries the key and no file mixes regions
     assert(dataFiles.nonEmpty)
     assert(dataFiles.forall { f =>
-      val name = f.path.substring(f.path.lastIndexOf('/') + 1)
-      name.startsWith("region=EU,") || name.startsWith("region=US,")
+      val k = graft.core.PartitionKey.parse(f.path)
+      k.get("region").exists(Set("EU", "US")) && k.contains("id_bucket")
     }, s"unexpected names: ${dataFiles.map(_.path).take(3)}")
     assert(dataFiles.exists(_.path.contains("region=EU")) &&
       dataFiles.exists(_.path.contains("region=US")))
@@ -627,6 +627,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()
     assert(expired.nonEmpty)
     assert(sql("SELECT count(*) FROM gip.db.m").head.getLong(0) == 3)
+  }
+
+  test("fanout writer bounds open writers; evicted partitions stay correct") {
+    // drive the writer directly: 100 partition values through ONE task
+    // (> the 64-writer cap), round-robin so evicted keys reappear
+    val dir = Files.createTempDirectory("graft-fanout-cap").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val w = new graft.sinks.GraftFanoutDataWriter(dir, 0, schema,
+      Seq(graft.core.IdentityTransform("k")), 1024L * 1024 * 1024,
+      "snappy", graft.io.FileIO.hadoopConfEntries())
+    (0L until 1000L).foreach { i =>
+      w.write(org.apache.spark.sql.catalyst.InternalRow(i, i % 100))
+    }
+    val files = w.commit().asInstanceOf[graft.sinks.GraftCommitMessage].files
+    assert(files.map(_._2).sum == 1000L)
+    // evictions split some partitions across generations -> more files
+    // than the 100 values, and every file name still parses its value
+    assert(files.size >= 100, s"got ${files.size}")
+    assert(files.forall { case (p, _) =>
+      graft.core.PartitionKey.parse(p).contains("k") })
+    val back = spark.read.parquet(files.map(_._1): _*)
+    assert(back.count() == 1000L)
+    import org.apache.spark.sql.functions.{col => c, sum => fsum}
+    assert(back.filter(c("k") === 99L).agg(fsum("id")).head.getLong(0) ==
+      (0L until 1000L).filter(_ % 100 == 99).sum)
   }
 
   test("partition source columns cannot be renamed, dropped, or timestamp-typed") {
