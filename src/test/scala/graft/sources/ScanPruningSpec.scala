@@ -90,6 +90,27 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(kept.exists(_.content == "equality-deletes"))
   }
 
+  test("TableReader prunes partitioned tables through the transforms") {
+    import graft.core.{BucketTransform, PartitionSpecCodec}
+    val dir = Files.createTempDirectory("prune-part").toString
+    // four bucket files by the engine's own transform, spec on the snapshot
+    val spec = Seq(BucketTransform(4, "id"))
+    val rows = (1L to 400L).map(i => (i, s"v$i"))
+    val byBucket = rows.groupBy { case (i, _) =>
+      spec.head.eval(i, org.apache.spark.sql.types.LongType) }
+    val entries = byBucket.toSeq.map { case (b, rs) =>
+      writeFile(rs, s"$dir/data/g1-id_bucket=$b.part-0-$b.parquet")
+    }
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 1, entries,
+      properties = Map(PartitionSpecCodec.Property -> PartitionSpecCodec.encode(spec))))
+    val out = TableReader.read(spark, dir, filter = Some(col("id") === 7L))
+    // exactly one bucket file feeds the plan; result intact
+    assert(out.inputFiles.length == 1, s"read ${out.inputFiles.toSeq}")
+    assert(out.inputFiles.head.contains(
+      s"id_bucket=${spec.head.eval(7L, org.apache.spark.sql.types.LongType)}"))
+    assert(out.select("v").head.getString(0) == "v7")
+  }
+
   test("unsupported filters prune nothing") {
     val dir = Files.createTempDirectory("prune-u").toString
     val f1 = writeFile((1L to 10L).map(i => (i, s"a$i")), s"$dir/data/f1.parquet")

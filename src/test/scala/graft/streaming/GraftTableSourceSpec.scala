@@ -121,6 +121,35 @@ class GraftTableSourceSpec extends AnyFunSuite {
       .exists(_._1.contains("_attempt-")))
   }
 
+  test("streaming epochs fan out per partition value on a partitioned table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sink-part").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil,
+      properties = Map(graft.core.PartitionSpecCodec.Property ->
+        graft.core.PartitionSpecCodec.encode(
+          Seq(graft.core.IdentityTransform("region"))))))
+    val ckpt = Files.createTempDirectory("graft-sink-part-ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "region")
+      .writeStream.format("graft")
+      .option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      ms.addData((1L, "EU"), (2L, "US"), (3L, "EU"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val files = FileTableCatalog.loadOrThrow(dir).files.filter(_.content == "data")
+    // per-value files, partition key parses through the epoch marker
+    assert(files.nonEmpty && files.forall(f =>
+      graft.core.PartitionKey.parse(f.path).contains("region")),
+      s"names: ${files.map(_.path)}")
+    assert(files.exists(_.path.contains("region=EU")) &&
+      files.exists(_.path.contains("region=US")))
+    assert(spark.read.format("graft").load(dir).count() == 3)
+  }
+
   test("a delete commit fails the tail by default and is skippable") {
     val dir = mkTable()
     TableWrites.appendEqualityDeletes(dir, Seq(1L).toDF("id"), Seq("id"))
