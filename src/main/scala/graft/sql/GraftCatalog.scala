@@ -54,6 +54,10 @@ object GraftCatalog {
     Set("provider", "location", "owner", "comment", "external",
       "option.path", "path")
 
+  /** Snapshot-property prefix for named refs (tags): `graft.ref.<name>`
+    * holds the pinned version. Expiration keeps tagged versions. */
+  val RefPropPrefix = "graft.ref."
+
   /** `PARTITIONED BY` clause element → engine transform. Matched on the
     * connector expression's generic (name, arguments) form, which is
     * stable across Spark's parser variants. */
@@ -189,8 +193,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val v = version.toLongOption.getOrElse(throw CompactionError.Config(
-      s"graft versions are snapshot numbers; got '$version'"))
+    // a snapshot number, or a named TAG (`CALL g.system.create_tag`) —
+    // tags pin a version under `graft.ref.<name>` (Iceberg refs)
+    val v = version.toLongOption.getOrElse {
+      snapCatalog.loadOrThrow(dir).properties
+        .get(s"${GraftCatalog.RefPropPrefix}$version")
+        .flatMap(_.toLongOption)
+        .getOrElse(throw CompactionError.Config(
+          s"'$version' is neither a snapshot number nor a tag of ${ident.name}"))
+    }
     new GraftTable(dir,
       GraftTableSource.tableSchema(dir, snapCatalog, asOfVersion = Some(v)),
       pinnedVersion = Some(v), acceptAnySchema = false, catalog = snapCatalog)

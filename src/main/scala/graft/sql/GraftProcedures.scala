@@ -33,7 +33,7 @@ private[sql] object GraftProcedures {
 
   val Names: Seq[String] = Seq(
     "rewrite_data_files", "rewrite_delete_files", "expire_snapshots",
-    "remove_orphan_files")
+    "remove_orphan_files", "create_tag", "drop_tag")
 
   def load(name: String, resolveDir: String => String,
       catalog: TableCatalog, catalogName: String): UnboundProcedure =
@@ -41,6 +41,8 @@ private[sql] object GraftProcedures {
       case "rewrite_data_files" => new RewriteDataFiles(resolveDir, catalog, catalogName)
       case "rewrite_delete_files" => new RewriteDeleteFiles(resolveDir, catalog)
       case "expire_snapshots"   => new ExpireSnapshots(resolveDir, catalog)
+      case "create_tag"          => new CreateTag(resolveDir, catalog)
+      case "drop_tag"            => new DropTag(resolveDir, catalog)
       case "remove_orphan_files" => new RemoveOrphanFiles(resolveDir, catalog)
       case other => throw CompactionError.Config(
         s"unknown procedure $other (available: ${Names.mkString(", ")})")
@@ -155,10 +157,78 @@ private[sql] object GraftProcedures {
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = resolveDir(input.getUTF8String(0).toString)
+      // tagged versions survive expiration (Iceberg ref semantics)
+      val tagged = catalog.loadOrThrow(dir).properties.collect {
+        case (k, v) if k.startsWith(GraftCatalog.RefPropPrefix) => v.toLong
+      }.toSet
       val expired = new CommitManager(dir, RetryConfig(), catalog = catalog)
-        .expireSnapshots(keepLast = input.getInt(1))
+        .expireSnapshots(keepLast = input.getInt(1), protectedVersions = tagged)
       localScan(out, expired.map(v => InternalRow(v)).toArray,
         s"expire_snapshots($dir)")
+    }
+  }
+
+  /** Named TAG over a snapshot version (Iceberg refs): readable via
+    * `VERSION AS OF '<tag>'`, protected from expiration. Stored as the
+    * `graft.ref.<name>` snapshot property. */
+  private final class CreateTag(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("create_tag") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("tag", StringType),
+      inDefault("version", LongType, "-1")) // -1 = current
+
+    private val out = StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val tag = input.getUTF8String(1).toString
+      val cur = catalog.loadOrThrow(dir)
+      val v = input.getLong(2) match {
+        case -1L => cur.version
+        case x =>
+          if (catalog.loadVersion(dir, x).isEmpty) throw CompactionError.Config(
+            s"cannot tag version $x: not a retained snapshot")
+          x
+      }
+      val key = s"${GraftCatalog.RefPropPrefix}$tag"
+      if (cur.properties.contains(key)) throw CompactionError.Config(
+        s"tag '$tag' already exists (drop_tag first)")
+      new CommitManager(dir, RetryConfig(), catalog = catalog)
+        .setTableProperties(Map(key -> v.toString), Set.empty,
+          expectedSchemaId = cur.schemaId)
+      localScan(out, Array(InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(tag), v)),
+        s"create_tag($dir, $tag)")
+    }
+  }
+
+  private final class DropTag(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("drop_tag") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType), in("tag", StringType))
+
+    private val out = StructType(Seq(
+      StructField("tag", StringType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val tag = input.getUTF8String(1).toString
+      val cur = catalog.loadOrThrow(dir)
+      val key = s"${GraftCatalog.RefPropPrefix}$tag"
+      if (!cur.properties.contains(key)) throw CompactionError.Config(
+        s"tag '$tag' does not exist")
+      new CommitManager(dir, RetryConfig(), catalog = catalog)
+        .setTableProperties(Map.empty, Set(key), expectedSchemaId = cur.schemaId)
+      localScan(out, Array(InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(tag))),
+        s"drop_tag($dir, $tag)")
     }
   }
 

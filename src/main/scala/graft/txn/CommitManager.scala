@@ -257,10 +257,15 @@ final class CommitManager(
   /** Snapshot expiration — reference T3 (core/src/compaction/mod.rs:354-361):
     * drop all snapshot versions older than the latest `keepLast`, and
     * delete files no surviving snapshot references. */
-  def expireSnapshots(keepLast: Int = 1): Seq[Long] = {
+  def expireSnapshots(keepLast: Int = 1,
+      /** Versions that must survive regardless of age — e.g. the targets
+        * of named tags (`graft.ref.*`). */
+      protectedVersions: Set[Long] = Set.empty): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val all = catalog.versions(tableDir)
-    val (expired, kept) = all.splitAt(math.max(0, all.size - keepLast))
+    val (candidates, recent) = all.splitAt(math.max(0, all.size - keepLast))
+    val (pinned, expired) = candidates.partition(protectedVersions.contains)
+    val kept = pinned ++ recent
     if (expired.isEmpty) return Nil
     val keptFiles: Set[String] = kept.flatMap(loadVersionFiles).toSet
     val expiredFiles = expired.flatMap(loadVersionFiles).toSet

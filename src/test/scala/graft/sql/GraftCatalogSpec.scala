@@ -658,6 +658,41 @@ class GraftCatalogSpec extends AnyFunSuite {
       (0L until 1000L).filter(_ % 100 == 99).sum)
   }
 
+  test("tags: VERSION AS OF a name, protected from expiration") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbt")
+    sql("CREATE TABLE gsql.dbt.t (id BIGINT)")
+    sql("INSERT INTO gsql.dbt.t VALUES (1)")
+    sql("INSERT INTO gsql.dbt.t VALUES (2)")
+    // tag the 2-row state, then keep writing
+    val tagged = sql("CALL gsql.system.create_tag(`table` => 'dbt.t', tag => 'v2rows')")
+      .collect()
+    val tagVersion = tagged.head.getLong(1)
+    sql("INSERT INTO gsql.dbt.t VALUES (3)")
+    sql("INSERT INTO gsql.dbt.t VALUES (4)")
+    assert(sql("SELECT count(*) FROM gsql.dbt.t").head.getLong(0) == 4)
+    assert(sql("SELECT count(*) FROM gsql.dbt.t VERSION AS OF 'v2rows'")
+      .head.getLong(0) == 2)
+    // expiration keeps the tagged version alive
+    sql("CALL gsql.system.expire_snapshots(`table` => 'dbt.t', retain_last => 1)")
+    assert(sql("SELECT count(*) FROM gsql.dbt.t VERSION AS OF 'v2rows'")
+      .head.getLong(0) == 2)
+    assert(sql(s"SELECT count(*) FROM gsql.dbt.t VERSION AS OF $tagVersion")
+      .head.getLong(0) == 2)
+    // duplicate tag refused; drop re-opens the name and expiration reclaims
+    intercept[Exception] {
+      sql("CALL gsql.system.create_tag(`table` => 'dbt.t', tag => 'v2rows')")
+    }
+    sql("CALL gsql.system.drop_tag(`table` => 'dbt.t', tag => 'v2rows')")
+    intercept[Exception] {
+      sql("SELECT count(*) FROM gsql.dbt.t VERSION AS OF 'v2rows'").collect()
+    }
+    sql("CALL gsql.system.expire_snapshots(`table` => 'dbt.t', retain_last => 1)")
+    intercept[Exception] {
+      sql(s"SELECT count(*) FROM gsql.dbt.t VERSION AS OF $tagVersion").collect()
+    }
+    assert(sql("SELECT count(*) FROM gsql.dbt.t").head.getLong(0) == 4)
+  }
+
   test("partition source columns cannot be renamed, dropped, or timestamp-typed") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbpg")
     sql("""CREATE TABLE gsql.dbpg.g (id BIGINT, region STRING, v BIGINT)
