@@ -94,6 +94,42 @@ object ScanPruning {
     walk(NodeBridge.tree(filter))
   }
 
+  /** column → EXACT literal values allowed by `filter` (`=` / `isin`
+    * under AND conjunction, any literal type) — the inputs of
+    * transform-aware partition pruning on the API read path. Merged by
+    * intersection; anything unrecognized contributes nothing. */
+  def equalityCandidates(filter: Column): Map[String, Seq[Any]] = {
+    def lit(n: PredNode): Option[Any] = n match {
+      case PredNode.Lit(v) if v != null => Some(v)
+      case _                            => None
+    }
+    def mergeC(a: Map[String, Seq[Any]], b: Map[String, Seq[Any]]) =
+      (a.keySet ++ b.keySet).map { k =>
+        (a.get(k), b.get(k)) match {
+          case (Some(x), Some(y)) => k -> x.intersect(y)
+          case (one, two)         => k -> one.orElse(two).get
+        }
+      }.toMap
+    def walk(n: PredNode): Map[String, Seq[Any]] = n match {
+      case PredNode.Fn("and", Seq(a, b)) => mergeC(walk(a), walk(b))
+      case PredNode.Fn("=" | "==", Seq(a, b)) =>
+        (nameOf(a), lit(b)) match {
+          case (Some(c), Some(v)) => Map(c -> Seq(v))
+          case _ => (nameOf(b), lit(a)) match {
+            case (Some(c), Some(v)) => Map(c -> Seq(v))
+            case _                  => Map.empty
+          }
+        }
+      case PredNode.Fn("in", args) if args.size >= 2 =>
+        (nameOf(args.head), args.tail.map(lit)) match {
+          case (Some(c), vs) if vs.forall(_.isDefined) => Map(c -> vs.flatten)
+          case _                                       => Map.empty
+        }
+      case _ => Map.empty
+    }
+    walk(NodeBridge.tree(filter))
+  }
+
   /** v + d clamped at the Long range (a wrap would flip a strict bound
     * at Long.MaxValue into a keep-nothing constraint). */
   private def saturatingAdd(v: Long, d: Long): Long = {

@@ -61,28 +61,28 @@ object TableReader {
     val prunable = (f: graft.txn.FileEntry) =>
       snap.schemas.isEmpty || f.schemaId < 0 || f.schemaId == snap.schemaId
     val files = filter.fold(snap.files) { p =>
-      val (pr, keep) = snap.files.partition(prunable)
-      val statPruned = ScanPruning.pruneDataFiles(pr, p) ++ keep
-      // transform-aware partition pruning (the API twin of the DSv2
-      // path): exact integral constraints hash through the table's
-      // partition transforms — a bucket point lookup reads one bucket
+      // transform-aware partition pruning FIRST (the API twin of the
+      // DSv2 path): name-parse only, zero IO — a bucket point lookup
+      // keeps one bucket's files before any footer is fetched
       val spec = graft.core.PartitionSpecCodec.of(Some(snap))
       val cands: Map[String, Seq[Any]] =
         if (spec.isEmpty) Map.empty
-        else ScanPruning.constraints(p).collect {
-          case (c, (lo, hi)) if lo == hi => c -> Seq[Any](lo)
+        else ScanPruning.equalityCandidates(p)
+      val partPruned =
+        if (cands.isEmpty || !snap.files.exists(_.content == "data")) snap.files
+        else {
+          // same type resolution as GraftTableSource.tableSchema: schema
+          // history, else the newest data file's footer (one IO, and only
+          // on this filtered-partitioned path)
+          val fields = snap.currentSchema.map(_.fields).getOrElse(
+            graft.txn.SchemaEvolution.bootstrapSchema(snap).fields)
+          val types = fields.map(f => f.name ->
+            org.apache.spark.sql.types.DataType.fromDDL(f.dataType)).toMap
+          PartitionPruning.prune(snap.files, spec, cands, types)
         }
-      if (cands.isEmpty) statPruned
-      else {
-        // same type resolution as GraftTableSource.tableSchema: schema
-        // history, else the newest data file's footer (one IO, and only
-        // on this filtered-partitioned path)
-        val fields = snap.currentSchema.map(_.fields).getOrElse(
-          graft.txn.SchemaEvolution.bootstrapSchema(snap).fields)
-        val types = fields.map(f => f.name ->
-          org.apache.spark.sql.types.DataType.fromDDL(f.dataType)).toMap
-        PartitionPruning.prune(statPruned, spec, cands, types)
-      }
+      // footer-stats pruning over the survivors
+      val (pr, keep) = partPruned.partition(prunable)
+      ScanPruning.pruneDataFiles(pr, p) ++ keep
     }
     val tasks = ScanPlanner.toInputTasks(files.map(_.toTask))
     if (tasks.dataFiles.isEmpty) None

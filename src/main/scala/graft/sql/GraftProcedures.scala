@@ -157,12 +157,10 @@ private[sql] object GraftProcedures {
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = resolveDir(input.getUTF8String(0).toString)
-      // tagged versions survive expiration (Iceberg ref semantics)
-      val tagged = catalog.loadOrThrow(dir).properties.collect {
-        case (k, v) if k.startsWith(GraftCatalog.RefPropPrefix) => v.toLong
-      }.toSet
+      // tagged versions survive expiration — enforced INSIDE
+      // CommitManager.expireSnapshots, on every caller
       val expired = new CommitManager(dir, RetryConfig(), catalog = catalog)
-        .expireSnapshots(keepLast = input.getInt(1), protectedVersions = tagged)
+        .expireSnapshots(keepLast = input.getInt(1))
       localScan(out, expired.map(v => InternalRow(v)).toArray,
         s"expire_snapshots($dir)")
     }
@@ -187,6 +185,11 @@ private[sql] object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = resolveDir(input.getUTF8String(0).toString)
       val tag = input.getUTF8String(1).toString
+      // an all-numeric name would be shadowed by VERSION AS OF's
+      // snapshot-number branch — unreachable, so refuse it up front
+      if (tag.isEmpty || tag.forall(_.isDigit)) throw CompactionError.Config(
+        s"tag name '$tag' must contain a non-digit (numeric strings " +
+          "resolve as snapshot numbers)")
       val cur = catalog.loadOrThrow(dir)
       val v = input.getLong(2) match {
         case -1L => cur.version
@@ -196,11 +199,14 @@ private[sql] object GraftProcedures {
           x
       }
       val key = s"${GraftCatalog.RefPropPrefix}$tag"
-      if (cur.properties.contains(key)) throw CompactionError.Config(
-        s"tag '$tag' already exists (drop_tag first)")
       new CommitManager(dir, RetryConfig(), catalog = catalog)
         .setTableProperties(Map(key -> v.toString), Set.empty,
-          expectedSchemaId = cur.schemaId)
+          expectedSchemaId = cur.schemaId,
+          // duplicate check against each attempt's RELOADED snapshot —
+          // a concurrent create_tag of the same name loses loudly
+          validate = reloaded =>
+            if (reloaded.properties.contains(key)) throw CompactionError.Config(
+              s"tag '$tag' already exists (drop_tag first)"))
       localScan(out, Array(InternalRow(
         org.apache.spark.unsafe.types.UTF8String.fromString(tag), v)),
         s"create_tag($dir, $tag)")

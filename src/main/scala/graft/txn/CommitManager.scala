@@ -177,9 +177,14 @@ final class CommitManager(
   def setTableProperties(
       set: Map[String, String],
       unset: Set[String],
-      expectedSchemaId: Long
+      expectedSchemaId: Long,
+      /** Re-validated against every attempt's RELOADED snapshot inside
+        * the CAS loop (same contract as [[evolveSchema]]) — e.g.
+        * create_tag's duplicate check must not race a concurrent tag. */
+      validate: TableSnapshot => Unit = _ => ()
   ): TableSnapshot =
     commitLoop(expectedSchemaId) { cur =>
+      validate(cur)
       cur.copy(
         version = cur.version + 1,
         properties = cur.properties ++ set -- unset)
@@ -258,13 +263,22 @@ final class CommitManager(
     * drop all snapshot versions older than the latest `keepLast`, and
     * delete files no surviving snapshot references. */
   def expireSnapshots(keepLast: Int = 1,
-      /** Versions that must survive regardless of age — e.g. the targets
-        * of named tags (`graft.ref.*`). */
+      /** Extra versions that must survive regardless of age; the targets
+        * of named tags (`graft.ref.*` snapshot properties) are ALWAYS
+        * protected, on every expiration path — the SQL procedure and
+        * library maintenance jobs alike. */
       protectedVersions: Set[Long] = Set.empty): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
+    val tagged: Set[Long] = catalog.load(tableDir)
+      .map(_.properties.collect {
+        // malformed ref values are skipped, never a crash
+        case (k, v) if k.startsWith("graft.ref.") => v.toLongOption
+      }.flatten.toSet)
+      .getOrElse(Set.empty)
+    val keepAlways = protectedVersions ++ tagged
     val all = catalog.versions(tableDir)
     val (candidates, recent) = all.splitAt(math.max(0, all.size - keepLast))
-    val (pinned, expired) = candidates.partition(protectedVersions.contains)
+    val (pinned, expired) = candidates.partition(keepAlways.contains)
     val kept = pinned ++ recent
     if (expired.isEmpty) return Nil
     val keptFiles: Set[String] = kept.flatMap(loadVersionFiles).toSet
