@@ -132,6 +132,39 @@ class ColumnarReaderSpec extends AnyFunSuite {
     assert(ids.sum == (0L until 20000L).sum - (5000L until 5100L).sum)
   }
 
+  test("columnar and row readers agree on randomized tables") {
+    val rng = new scala.util.Random(101)
+    (1 to 3).foreach { round =>
+      val dir = Files.createTempDirectory(s"graft-colnar-eq$round").toString
+      FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+      val n = 500 + rng.nextInt(1500)
+      val rows = (0 until n).map { i =>
+        (i.toLong,
+          if (rng.nextInt(10) == 0) None else Some(rng.alphanumeric.take(rng.nextInt(20)).mkString),
+          rng.nextDouble(),
+          rng.nextBoolean(),
+          rng.nextInt())
+      }
+      TableWrites.appendData(dir,
+        rows.toDF("id", "s", "d", "b", "i").repartition(3))
+      // kill a random slice by position in one file
+      val f = FileTableCatalog.loadOrThrow(dir)
+        .files.filter(_.content == "data").head.path
+      TableWrites.appendPositionDeletes(dir,
+        (0L until 20L).map(p => (f, p * 3)).toDF("file_path", "pos"))
+      def readAll(vec: Boolean) = spark.read.format("graft")
+        .option("vectorizedRead", vec).load(dir)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(readAll(true) == readAll(false), s"round $round diverged")
+      // and the pruned/projected shape agrees too
+      def readProj(vec: Boolean) = spark.read.format("graft")
+        .option("vectorizedRead", vec).load(dir)
+        .filter($"id" % 7 === 0).select("s", "i")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(readProj(true) == readProj(false))
+    }
+  }
+
   test("null values round-trip through the vectors") {
     val dir = Files.createTempDirectory("graft-colnar-null").toString
     FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
