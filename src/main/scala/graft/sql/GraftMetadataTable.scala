@@ -21,7 +21,7 @@ import scala.jdk.CollectionConverters._
   */
 object GraftMetadataTable {
 
-  val Kinds: Set[String] = Set("files", "snapshots")
+  val Kinds: Set[String] = Set("files", "snapshots", "refs")
 
   def apply(tableDir: String, kind: String,
       catalog: TableCatalog = FileTableCatalog): Table =
@@ -34,6 +34,11 @@ object GraftMetadataTable {
     StructField("record_count", LongType, nullable = false),
     StructField("sequence_number", LongType, nullable = false),
     StructField("schema_id", LongType, nullable = false)))
+
+  private[sql] val refsSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
 
   private[sql] val snapshotsSchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -51,8 +56,11 @@ final class GraftMetadataTable(
   import GraftMetadataTable._
 
   override def name(): String = s"graft.`$tableDir`.$kind"
-  override def schema(): StructType =
-    if (kind == "files") filesSchema else snapshotsSchema
+  override def schema(): StructType = kind match {
+    case "files" => filesSchema
+    case "refs"  => refsSchema
+    case _       => snapshotsSchema
+  }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
@@ -72,6 +80,14 @@ final class GraftMetadataTable(
           UTF8String.fromString(f.path), UTF8String.fromString(f.content),
           f.sizeBytes, f.recordCount, f.sequenceNumber, f.schemaId))
       }.toArray
+    case "refs" =>
+      catalog.loadOrThrow(tableDir).properties.toSeq.collect {
+        case (k, v) if k.startsWith(graft.sql.GraftCatalog.RefPropPrefix) &&
+          v.toLongOption.isDefined =>
+          InternalRow.fromSeq(Seq(
+            UTF8String.fromString(k.stripPrefix(graft.sql.GraftCatalog.RefPropPrefix)),
+            UTF8String.fromString("tag"), v.toLong))
+      }.sortBy(_.getUTF8String(0).toString).toArray
     case "snapshots" =>
       // flatMap: a version expired between the listing and the load
       // (concurrent expireSnapshots) just drops from the inspection —

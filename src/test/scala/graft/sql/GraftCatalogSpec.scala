@@ -682,7 +682,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       sql("CALL gsql.system.create_tag(`table` => 'dbt.t', tag => 'v2rows')")
     }
+    // the refs metadata table lists the tag
+    assert(sql("SELECT name, type, version FROM gsql.dbt.t.refs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("v2rows", "tag", tagVersion)))
     sql("CALL gsql.system.drop_tag(`table` => 'dbt.t', tag => 'v2rows')")
+    assert(sql("SELECT count(*) FROM gsql.dbt.t.refs").head.getLong(0) == 0)
     intercept[Exception] {
       sql("SELECT count(*) FROM gsql.dbt.t VERSION AS OF 'v2rows'").collect()
     }
