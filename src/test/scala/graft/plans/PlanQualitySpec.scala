@@ -207,4 +207,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(probeLine.contains("Filter") || probeLine.contains("Project"),
       s"probe not in a narrow operator: $probeLine")
   }
+
+  test("partitioned INSERT clusters rows by the partition sources before the write") {
+    // without the clustered distribution every write task sees every
+    // partition value and the fanout writers explode — the shape that
+    // decides whether a partitioned 100 TB INSERT works at all
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-plan").toString
+    spark.conf.set("spark.sql.catalog.gplan", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gplan.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gplan.db")
+    spark.sql("""CREATE TABLE gplan.db.p (id BIGINT, region STRING)
+                |PARTITIONED BY (region, bucket(4, id))""".stripMargin)
+    val p = spark.sql(
+      """EXPLAIN INSERT INTO gplan.db.p
+        |SELECT id, CAST(id % 3 AS STRING) FROM range(0, 10)""".stripMargin)
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"expected a clustering exchange in the INSERT plan:\n$p")
+    assert(p.contains("region") && p.contains("id"),
+      s"exchange must cluster on the partition sources:\n$p")
+  }
 }
