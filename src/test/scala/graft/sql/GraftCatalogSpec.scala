@@ -698,6 +698,40 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gsql.dbt.t").head.getLong(0) == 4)
   }
 
+  test("merge-on-read deltas and INSERT OVERWRITE keep the partition layout") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbpm")
+    sql("""CREATE TABLE gsql.dbpm.pm (id BIGINT, region STRING, v BIGINT)
+          |PARTITIONED BY (region)
+          |TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')""".stripMargin)
+    sql("""INSERT INTO gsql.dbpm.pm
+          |SELECT id, CASE WHEN id % 2 = 0 THEN 'EU' ELSE 'US' END, id
+          |FROM range(0, 100)""".stripMargin)
+    val warehouseDir = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+    val tdir = s"$warehouseDir/dbpm/pm"
+    val before = FileTableCatalog.loadOrThrow(tdir)
+      .files.filter(_.content == "data").map(_.path).toSet
+    // delta UPDATE: data files survive; the INSERT half fans out
+    sql("UPDATE gsql.dbpm.pm SET v = v + 1000 WHERE id < 10")
+    val mid = FileTableCatalog.loadOrThrow(tdir)
+    assert(before.subsetOf(mid.files.filter(_.content == "data").map(_.path).toSet))
+    assert(mid.files.exists(_.content == "position-deletes"))
+    val newData = mid.files.filter(f =>
+      f.content == "data" && !before.contains(f.path))
+    assert(newData.nonEmpty && newData.forall(f =>
+      graft.core.PartitionKey.parse(f.path).contains("region")),
+      s"delta inserts lost the layout: ${newData.map(_.path)}")
+    assert(sql("SELECT sum(v) FROM gsql.dbpm.pm").head.getLong(0) ==
+      (0L until 100L).sum + 10 * 1000L)
+    // INSERT OVERWRITE replaces everything, still fanned out
+    sql("""INSERT OVERWRITE gsql.dbpm.pm
+          |SELECT id, 'EU', id FROM range(0, 5)""".stripMargin)
+    val after = FileTableCatalog.loadOrThrow(tdir)
+    assert(after.files.count(_.content != "data") == 0)
+    assert(after.files.filter(_.content == "data").forall(f =>
+      graft.core.PartitionKey.parse(f.path).get("region").contains("EU")))
+    assert(sql("SELECT count(*) FROM gsql.dbpm.pm").head.getLong(0) == 5)
+  }
+
   test("partition source columns cannot be renamed, dropped, or timestamp-typed") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbpg")
     sql("""CREATE TABLE gsql.dbpg.g (id BIGINT, region STRING, v BIGINT)
