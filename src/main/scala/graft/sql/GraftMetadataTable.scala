@@ -57,9 +57,11 @@ final class GraftMetadataTable(
 
   override def name(): String = s"graft.`$tableDir`.$kind"
   override def schema(): StructType = kind match {
-    case "files" => filesSchema
-    case "refs"  => refsSchema
-    case _       => snapshotsSchema
+    case "files"     => filesSchema
+    case "refs"      => refsSchema
+    case "snapshots" => snapshotsSchema
+    case other => throw graft.core.CompactionError.Config(
+      s"unknown metadata table kind: $other")
   }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
@@ -81,12 +83,15 @@ final class GraftMetadataTable(
           f.sizeBytes, f.recordCount, f.sequenceNumber, f.schemaId))
       }.toArray
     case "refs" =>
+      // malformed values (a hand-set property that is not a version)
+      // surface as type "invalid"/version -1 rather than hiding — the
+      // inspection table must agree with what create_tag sees
       catalog.loadOrThrow(tableDir).properties.toSeq.collect {
-        case (k, v) if k.startsWith(graft.sql.GraftCatalog.RefPropPrefix) &&
-          v.toLongOption.isDefined =>
+        case (k, v) if k.startsWith(graft.sql.GraftCatalog.RefPropPrefix) =>
           InternalRow.fromSeq(Seq(
             UTF8String.fromString(k.stripPrefix(graft.sql.GraftCatalog.RefPropPrefix)),
-            UTF8String.fromString("tag"), v.toLong))
+            UTF8String.fromString(v.toLongOption.fold("invalid")(_ => "tag")),
+            v.toLongOption.getOrElse(-1L)))
       }.sortBy(_.getUTF8String(0).toString).toArray
     case "snapshots" =>
       // flatMap: a version expired between the listing and the load
