@@ -130,6 +130,35 @@ object GraftBatchScan {
     set
   }
 
+  /** Per applicable equality-delete file of this split: (current key
+    * column names, key set). Keys read under the DELETE file's physical
+    * names, typed by the current schema (`readTypes`). Keys containing
+    * null are dropped — they can never match (`===` anti-join
+    * semantics). Shared by the row and columnar readers. */
+  private[graft] def loadEqKeySets(part: GraftMorPartition,
+      readTypes: Map[String, DataType],
+      taskConf: Configuration): Seq[(Seq[String], java.util.HashSet[Seq[Any]])] =
+    part.eqDeletes.map { e =>
+      val curNames = e.keyCols.map(_._1)
+      val types = curNames.map { c =>
+        readTypes.getOrElse(c, throw CompactionError.Config(
+          s"equality-delete column $c not in table schema"))
+      }
+      val set = new java.util.HashSet[Seq[Any]]()
+      val r = projectedReader(e.path, e.keyCols.map(_._2), taskConf)
+      try {
+        var g = r.read()
+        while (g != null) {
+          val key = e.keyCols.zip(types).map { case ((_, phys), t) =>
+            groupValue(g, g.getType.getFieldIndex(phys), t, phys)
+          }
+          if (!key.contains(null)) set.add(key)
+          g = r.read()
+        }
+      } finally r.close()
+      (curNames, set)
+    }
+
   /** Build a ParquetReader over `path` restricted to `cols`, with the
     * requested projection derived from the FILE's own schema (exact
     * types/repetitions, so parquet's containment check always passes).
@@ -593,13 +622,14 @@ final class GraftScan(
   }
 
   /** Columnar is all-or-nothing per scan (Spark refuses mixed row/
-    * columnar partitions), so the gate is snapshot-level: any equality
-    * delete anywhere routes the WHOLE scan through the row readers
-    * (their per-row key probes want the row pipeline). The decision is
-    * stable under runtime filtering — it only ever removes files. */
+    * columnar partitions), so the gate is scan-level and depends only
+    * on TYPES: outputs always, plus the full table schema when any
+    * equality delete exists (its key columns decode inside the batch
+    * fill). Stable under runtime filtering — it only removes files. */
   private lazy val columnarOk: Boolean =
-    vectorizedRead && snap.files.forall(_.content != "equality-deletes") &&
-      GraftMorColumnarReader.supportedSchema(requiredSchema)
+    vectorizedRead && GraftMorColumnarReader.supportedSchema(requiredSchema) &&
+      (snap.files.forall(_.content != "equality-deletes") ||
+        GraftMorColumnarReader.supportedSchema(tableSchema))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftMorReaderFactory(requiredSchema, tableSchema, includeFileColumn,
@@ -649,31 +679,8 @@ final class GraftMorPartitionReader(
   private val readTypes: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
 
-  /** Per applicable equality-delete file: (current key column names,
-    * key set). Keys read under the DELETE file's physical names, typed
-    * by the current schema. Keys containing null are dropped — they can
-    * never match (`===` anti-join semantics). */
   private val eqKeySets: Seq[(Seq[String], java.util.HashSet[Seq[Any]])] =
-    part.eqDeletes.map { e =>
-      val curNames = e.keyCols.map(_._1)
-      val types = curNames.map { c =>
-        readTypes.getOrElse(c, throw CompactionError.Config(
-          s"equality-delete column $c not in table schema"))
-      }
-      val set = new java.util.HashSet[Seq[Any]]()
-      val r = projectedReader(e.path, e.keyCols.map(_._2), taskConf)
-      try {
-        var g = r.read()
-        while (g != null) {
-          val key = e.keyCols.zip(types).map { case ((_, phys), t) =>
-            groupValue(g, g.getType.getFieldIndex(phys), t, phys)
-          }
-          if (!key.contains(null)) set.add(key)
-          g = r.read()
-        }
-      } finally r.close()
-      (curNames, set)
-    }
+    GraftBatchScan.loadEqKeySets(part, readTypes, taskConf)
 
   // columns to materialize = output ∪ equality keys (current names, in
   // table order); read from the file under their PHYSICAL names —

@@ -9,7 +9,7 @@ import org.apache.parquet.column.impl.ColumnReadStoreImpl
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
-import org.apache.parquet.schema.{MessageType, Type => PType}
+import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.connector.read.PartitionReader
 import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector, WritableColumnVector}
 import org.apache.spark.sql.types._
@@ -19,18 +19,26 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Vectorized MoR partition reader: streams a data file's row groups
   * through parquet's column-level cursors ([[ColumnReadStoreImpl]])
   * straight into Spark [[OnHeapColumnVector]]s — no per-row `Group`
-  * materialization, no boxing, one [[ColumnarBatch]] per ~4k rows.
-  * 3-5× the row reader's throughput on scan-heavy plans, and Spark
-  * runs its whole-stage codegen over the batches.
+  * materialization, no boxing on the output columns, one
+  * [[ColumnarBatch]] per ~4k rows. 3-5× the row reader's throughput on
+  * scan-heavy plans, and Spark runs whole-stage codegen over the
+  * batches.
   *
-  * Scope (the factory gates this path, falling back to the row reader
-  * otherwise): no equality deletes (their per-row key probes want the
-  * row pipeline), flat primitive schema. Position deletes ARE handled
-  * here — ordinals are known per row group, so dead rows compact away
-  * during the column fill at no extra pass. Schema reconciliation
-  * works unchanged: columns read under their physical names via
-  * `columnMap`; a column the file predates yields a null
-  * [[ConstantColumnVector]].
+  * The FULL delete chain applies inside the batch fill:
+  *  - position deletes: ordinals are known per row group, so dead rows
+  *    compact away at no extra pass;
+  *  - equality deletes: the key columns decode first (boxed, the same
+  *    per-row cost the row reader pays for every column), the key
+  *    probes the per-file key sets, and only surviving rows reach the
+  *    output vectors.
+  *
+  * Schema reconciliation works unchanged: columns read under their
+  * physical names via `columnMap`; a column the file predates yields a
+  * null [[ConstantColumnVector]] (and null-keyed rows live — `===`
+  * anti-join semantics). `_file`/`_pos` metadata columns are
+  * synthesized as constant/ordinal vectors. An empty projection
+  * (`SELECT count(*)`) with no applicable deletes touches only footer
+  * metadata.
   *
   * Parallels Iceberg's vectorized Spark read path; the reference
   * engine gets the same effect from DataFusion's Arrow-native scans
@@ -50,11 +58,34 @@ final class GraftMorColumnarReader(
   private val BatchRows = 4096
 
   private val deadPositions = GraftBatchScan.loadDeadPositions(part, taskConf)
+  private val readTypes: Map[String, DataType] =
+    tableSchema.fields.map(f => f.name -> f.dataType).toMap
+  private val eqKeySets = GraftBatchScan.loadEqKeySets(part, readTypes, taskConf)
 
-  // current-name -> physical-name in THIS file (None: file predates it)
-  private val physByOut: Array[Option[String]] =
-    requiredSchema.fieldNames.map(c => part.columnMap.getOrElse(c, Some(c)))
-  private val physicalCols: Seq[String] = physByOut.flatten.toSeq
+  // ---- cursor layout ------------------------------------------------------
+  // cursor columns = outputs present in the file ∪ equality-key columns
+  // present in the file (table order, deduped); each batch consumes
+  // exactly n values from every cursor
+  private def physOf(cur: String): Option[String] =
+    part.columnMap.getOrElse(cur, Some(cur))
+
+  private val eqCurrentCols: Seq[String] = {
+    val need = eqKeySets.flatMap(_._1).toSet
+    tableSchema.fields.map(_.name).filter(need.contains).toSeq
+  }
+  private val cursorCurrentCols: Seq[String] = {
+    val need = requiredSchema.fieldNames.toSet ++ eqCurrentCols
+    tableSchema.fields.map(_.name)
+      .filter(c => need.contains(c) && physOf(c).isDefined).toSeq
+  }
+  private val cursorIdxByCol: Map[String, Int] =
+    cursorCurrentCols.zipWithIndex.toMap
+  private val cursorTypes: Array[DataType] =
+    cursorCurrentCols.map(readTypes(_)).toArray
+  // eq-key columns must decode BEFORE the keep mask exists (scratch)
+  private val scratchCols: Array[Int] =
+    eqCurrentCols.flatMap(cursorIdxByCol.get).toArray
+  private val scratchSet = scratchCols.toSet
 
   private val inputFile =
     HadoopInputFile.fromPath(new HPath(part.dataPath), taskConf)
@@ -72,24 +103,31 @@ final class GraftMorColumnarReader(
     * repetition/type always match (the [[GraftBatchScan.projectedReader]]
     * contract). */
   private val requestedSchema: MessageType = {
-    val fields = physicalCols.map { c =>
-      if (!fileSchema.containsField(c)) throw CompactionError.Config(
-        s"column $c not found in ${part.dataPath}")
-      fileSchema.getFields.get(fileSchema.getFieldIndex(c))
+    val fields = cursorCurrentCols.map { c =>
+      val phys = physOf(c).get
+      if (!fileSchema.containsField(phys)) throw CompactionError.Config(
+        s"column $phys not found in ${part.dataPath}")
+      fileSchema.getFields.get(fileSchema.getFieldIndex(phys))
     }
     new MessageType(fileSchema.getName, fields: _*)
   }
-  if (physicalCols.nonEmpty) reader.setRequestedSchema(requestedSchema)
+  if (cursorCurrentCols.nonEmpty) reader.setRequestedSchema(requestedSchema)
 
-  // reusable output vectors for the data columns (null = constant-null)
+  // reusable output vectors per REQUIRED field; null = constant-null
+  // (the file predates the column)
   private val dataVectors: Array[WritableColumnVector] =
-    requiredSchema.fields.zip(physByOut).map {
-      case (f, Some(_)) => new OnHeapColumnVector(BatchRows, f.dataType)
-      case _            => null
+    requiredSchema.fields.map { f =>
+      if (physOf(f.name).isDefined) new OnHeapColumnVector(BatchRows, f.dataType)
+      else null
     }
   private val posVector: OnHeapColumnVector =
     if (includePosColumn) new OnHeapColumnVector(BatchRows, LongType) else null
   private val filePathUtf8 = UTF8String.fromString(part.dataPath)
+
+  // scratch rows for the eq-key columns of the CURRENT batch
+  private val scratch: Array[Array[Any]] =
+    Array.fill(cursorCurrentCols.length)(
+      if (eqKeySets.isEmpty) null else new Array[Any](BatchRows))
 
   // ---- row-group cursor state -------------------------------------------
   private var groupRowsLeft = 0L
@@ -99,11 +137,12 @@ final class GraftMorColumnarReader(
   private var batch: ColumnarBatch = _
   private var exhausted = false
 
-  /** Empty projection (`SELECT count(*)`, or every needed column
-    * postdates the file): row counts come straight from the footer's
-    * (range-filtered) block metadata — no column-chunk IO at all. */
+  /** Empty cursor set (`SELECT count(*)` with every needed column
+    * postdating the file — a null-keyed row can never be eq-deleted):
+    * row counts come straight from the footer's (range-filtered) block
+    * metadata — no column-chunk IO at all. */
   private val footerOnlyGroups: java.util.Iterator[java.lang.Long] =
-    if (physicalCols.nonEmpty) null
+    if (cursorCurrentCols.nonEmpty) null
     else {
       val it = reader.getRowGroups.iterator()
       val out = new java.util.ArrayList[java.lang.Long]()
@@ -120,17 +159,15 @@ final class GraftMorColumnarReader(
     val pages = reader.readNextRowGroup()
     if (pages == null) { exhausted = true; return false }
     groupRowsLeft = pages.getRowCount
-    if (physicalCols.nonEmpty) {
-      val store = new ColumnReadStoreImpl(pages, DummyRoot, requestedSchema, createdBy)
-      val descs = requestedSchema.getColumns
-      groupColumns = new Array[ColumnReader](descs.size())
-      groupMaxDef = new Array[Int](descs.size())
-      var i = 0
-      while (i < descs.size()) {
-        groupColumns(i) = store.getColumnReader(descs.get(i))
-        groupMaxDef(i) = descs.get(i).getMaxDefinitionLevel
-        i += 1
-      }
+    val store = new ColumnReadStoreImpl(pages, DummyRoot, requestedSchema, createdBy)
+    val descs = requestedSchema.getColumns
+    groupColumns = new Array[ColumnReader](descs.size())
+    groupMaxDef = new Array[Int](descs.size())
+    var i = 0
+    while (i < descs.size()) {
+      groupColumns(i) = store.getColumnReader(descs.get(i))
+      groupMaxDef(i) = descs.get(i).getMaxDefinitionLevel
+      i += 1
     }
     true
   }
@@ -139,12 +176,20 @@ final class GraftMorColumnarReader(
     while (!exhausted) {
       if (groupRowsLeft == 0L && !advanceGroup()) return false
       val n = math.min(BatchRows.toLong, groupRowsLeft).toInt
-      // keep-mask from position deletes; ordinals are consecutive here
+      // eq-key columns first: the keep mask needs their values
+      var s = 0
+      while (s < scratchCols.length) {
+        val ci = scratchCols(s)
+        decodeToScratch(groupColumns(ci), groupMaxDef(ci), cursorTypes(ci),
+          scratch(ci), n)
+        s += 1
+      }
       var live = 0
       val keep = new Array[Boolean](n)
       var i = 0
       while (i < n) {
-        keep(i) = deadPositions.isEmpty || !deadPositions.contains(ordinal + i)
+        keep(i) = (deadPositions.isEmpty ||
+          !deadPositions.contains(ordinal + i)) && liveUnderEqDeletes(i)
         if (keep(i)) live += 1
         i += 1
       }
@@ -156,25 +201,42 @@ final class GraftMorColumnarReader(
     false
   }
 
+  /** Row `i` of the current batch survives every equality-delete key
+    * set (a key containing null never matches — `===` semantics). A key
+    * column the file predates contributes null. */
+  private def liveUnderEqDeletes(i: Int): Boolean = {
+    if (eqKeySets.isEmpty) return true
+    eqKeySets.forall { case (cols, set) =>
+      val key = cols.map { c =>
+        cursorIdxByCol.get(c) match {
+          case Some(ci) => scratch(ci)(i)
+          case None     => null // column absent from this file
+        }
+      }
+      key.contains(null) || !set.contains(key)
+    }
+  }
+
   private def fillBatch(n: Int, keep: Array[Boolean], live: Int): Unit = {
     val out = new Array[ColumnVector](
       requiredSchema.length + (if (includeFileColumn) 1 else 0) +
         (if (includePosColumn) 1 else 0))
-    var physIdx = 0
     var c = 0
     while (c < requiredSchema.length) {
-      val dt = requiredSchema.fields(c).dataType
-      physByOut(c) match {
+      val f = requiredSchema.fields(c)
+      cursorIdxByCol.get(f.name) match {
         case None =>
-          val cv = new ConstantColumnVector(live, dt)
+          val cv = new ConstantColumnVector(live, f.dataType)
           cv.setNull()
           out(c) = cv
-        case Some(_) =>
+        case Some(ci) =>
           val v = dataVectors(c)
           v.reset()
-          fillColumn(v, groupColumns(physIdx), groupMaxDef(physIdx), dt, n, keep)
+          if (scratchSet.contains(ci))
+            fillFromScratch(v, scratch(ci), f.dataType, n, keep)
+          else
+            fillColumn(v, groupColumns(ci), groupMaxDef(ci), f.dataType, n, keep)
           out(c) = v
-          physIdx += 1
       }
       c += 1
     }
@@ -195,6 +257,67 @@ final class GraftMorColumnarReader(
       out(extra) = posVector
     }
     batch = new ColumnarBatch(out, live)
+  }
+
+  /** Pull `n` BOXED values off one cursor into `dst` (the row reader's
+    * [[GraftBatchScan.groupValue]] type rules — INT32-backed longs,
+    * String for binary strings). Only the equality-key columns pay this
+    * boxing; plain output columns stream unboxed via [[fillColumn]]. */
+  private def decodeToScratch(cr: ColumnReader, maxDef: Int, dt: DataType,
+      dst: Array[Any], n: Int): Unit = {
+    val phys = cr.getDescriptor.getPrimitiveType.getPrimitiveTypeName
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    var i = 0
+    while (i < n) {
+      dst(i) =
+        if (cr.getCurrentDefinitionLevel != maxDef) null
+        else dt match {
+          case LongType | TimestampType | TimestampNTZType =>
+            if (phys == INT32) cr.getInteger.toLong else cr.getLong
+          case IntegerType | DateType => cr.getInteger
+          case DoubleType             => cr.getDouble
+          case FloatType              => cr.getFloat
+          case BooleanType            => cr.getBoolean
+          case StringType             => cr.getBinary.toStringUsingUTF8
+          case BinaryType             => cr.getBinary.getBytes
+          case other => throw CompactionError.Config(
+            s"columnar read does not support type $other")
+        }
+      cr.consume()
+      i += 1
+    }
+  }
+
+  /** Copy a scratch-decoded column into the output vector under the
+    * keep mask (the cursor was already consumed by the scratch pass). */
+  private def fillFromScratch(v: WritableColumnVector, src: Array[Any],
+      dt: DataType, n: Int, keep: Array[Boolean]): Unit = {
+    var i = 0
+    var o = 0
+    while (i < n) {
+      if (keep(i)) {
+        val x = src(i)
+        if (x == null) v.putNull(o)
+        else dt match {
+          case LongType | TimestampType | TimestampNTZType =>
+            v.putLong(o, x.asInstanceOf[Long])
+          case IntegerType | DateType => v.putInt(o, x.asInstanceOf[Int])
+          case DoubleType             => v.putDouble(o, x.asInstanceOf[Double])
+          case FloatType              => v.putFloat(o, x.asInstanceOf[Float])
+          case BooleanType            => v.putBoolean(o, x.asInstanceOf[Boolean])
+          case StringType =>
+            val b = x.asInstanceOf[String].getBytes("UTF-8")
+            v.putByteArray(o, b, 0, b.length)
+          case BinaryType =>
+            val b = x.asInstanceOf[Array[Byte]]
+            v.putByteArray(o, b, 0, b.length)
+          case other => throw CompactionError.Config(
+            s"columnar read does not support type $other")
+        }
+        o += 1
+      }
+      i += 1
+    }
   }
 
   /** Pull `n` values off one column cursor, writing the kept ones

@@ -58,18 +58,38 @@ class ColumnarReaderSpec extends AnyFunSuite {
     assert(q.count() == expected.size.toLong)
   }
 
-  test("equality deletes fall back to the row pipeline, same results") {
+  test("equality deletes apply inside the columnar batch fill") {
     val dir = Files.createTempDirectory("graft-colnar-eq").toString
     FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
     TableWrites.appendData(dir,
       (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1))
     TableWrites.appendEqualityDeletes(dir,
       Seq(3L, 6L, 9L).toDF("id"), Seq("id"))
+    // a later append is NEWER than the delete and must survive it
+    TableWrites.appendData(dir,
+      Seq((3L, "again")).toDF("id", "name").coalesce(1))
     val q = dsv2(dir)
-    assert(!scanOf(q).supportsColumnar,
-      "equality deletes must route through the row readers")
-    assert(q.count() == 97L)
-    assert(!q.select("id").as[Long].collect().contains(3L))
+    assert(scanOf(q).supportsColumnar,
+      "equality deletes must not force the row path")
+    assert(q.count() == 98L)
+    val ids = q.select("id").as[Long].collect()
+    assert(ids.count(_ == 3L) == 1 && !ids.contains(6L) && !ids.contains(9L))
+    assert(q.filter($"id" === 3L).select("name").head.getString(0) == "again")
+    // projection NOT containing the key column still applies the delete
+    val names = q.select("name").as[String].collect().toSet
+    assert(!names.contains("n6") && names.contains("again") && names.size == 98)
+    // bare count under eq deletes stays exact: ids 1..10 minus {3,6,9}
+    // plus the re-inserted 3 = 8
+    assert(dsv2(dir).filter($"id" <= 10L).count() == 8L)
+    // multi-key delete over two columns, plus row-path equivalence
+    TableWrites.appendEqualityDeletes(dir,
+      Seq((10L, "n10")).toDF("id", "name"), Seq("id", "name"))
+    val q2 = dsv2(dir)
+    assert(scanOf(q2).supportsColumnar)
+    assert(q2.count() == 97L && !q2.select("id").as[Long].collect().contains(10L))
+    val rowPath = spark.read.format("graft").option("vectorizedRead", false)
+      .load(dir).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(q2.orderBy("id").collect().map(_.toSeq).toSeq == rowPath)
   }
 
   test("schema reconciliation: renamed and late columns through the vectors") {
