@@ -130,15 +130,38 @@ object GraftBatchScan {
     set
   }
 
-  /** Per applicable equality-delete file of this split: (current key
-    * column names, key set). Keys read under the DELETE file's physical
-    * names, typed by the current schema (`readTypes`). Keys containing
-    * null are dropped — they can never match (`===` anti-join
-    * semantics). Shared by the row and columnar readers. */
-  private[graft] def loadEqKeySets(part: GraftMorPartition,
+  /** Canonical sentinel for NaN equality-key components — Spark's `===`
+    * (and Iceberg's eq-delete semantics) treat NaN = NaN, but boxed
+    * Scala `==` does not; both set build and probes normalize through
+    * [[eqKeyComponent]] so the readers agree with the plan-level
+    * anti-join. */
+  private[graft] case object NaNKey
+
+  /** Normalize one equality-key component for set/probe equality: byte
+    * arrays wrap in content-equality [[org.apache.parquet.io.api
+    * .Binary]] (raw arrays compare by reference inside Seq keys), NaN
+    * canonicalizes to [[NaNKey]]. Applied at the set build AND every
+    * probe. */
+  private[graft] def eqKeyComponent(v: Any): Any = v match {
+    case b: Array[Byte] =>
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(b)
+    case d: java.lang.Double if d.isNaN => NaNKey
+    case f: java.lang.Float if f.isNaN  => NaNKey
+    case x => x
+  }
+
+  /** Per applicable equality-delete file: (current key column names,
+    * key set). Keys read under the DELETE file's physical names, typed
+    * by the current schema (`readTypes`), normalized through
+    * [[eqKeyComponent]]. Keys containing null are dropped — they can
+    * never match (`===` anti-join semantics) — and files whose set
+    * comes out empty are dropped wholesale (a no-op file must not keep
+    * cursors alive). Shared by the row and columnar readers; callers
+    * pre-filter files keyed on columns the data file lacks. */
+  private[graft] def loadEqKeySets(eqDeletes: Seq[EqDeleteSpec],
       readTypes: Map[String, DataType],
       taskConf: Configuration): Seq[(Seq[String], java.util.HashSet[Seq[Any]])] =
-    part.eqDeletes.map { e =>
+    eqDeletes.map { e =>
       val curNames = e.keyCols.map(_._1)
       val types = curNames.map { c =>
         readTypes.getOrElse(c, throw CompactionError.Config(
@@ -152,12 +175,12 @@ object GraftBatchScan {
           val key = e.keyCols.zip(types).map { case ((_, phys), t) =>
             groupValue(g, g.getType.getFieldIndex(phys), t, phys)
           }
-          if (!key.contains(null)) set.add(key)
+          if (!key.contains(null)) set.add(key.map(eqKeyComponent))
           g = r.read()
         }
       } finally r.close()
       (curNames, set)
-    }
+    }.filter(_._2.size() > 0)
 
   /** Build a ParquetReader over `path` restricted to `cols`, with the
     * requested projection derived from the FILE's own schema (exact
@@ -680,7 +703,12 @@ final class GraftMorPartitionReader(
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
 
   private val eqKeySets: Seq[(Seq[String], java.util.HashSet[Seq[Any]])] =
-    GraftBatchScan.loadEqKeySets(part, readTypes, taskConf)
+    GraftBatchScan.loadEqKeySets(
+      // a file keyed on a column THIS data file predates can never
+      // match (the key would contain null) — skip its IO entirely
+      part.eqDeletes.filter(_.keyCols.forall(kc =>
+        part.columnMap.getOrElse(kc._1, Some(kc._1)).isDefined)),
+      readTypes, taskConf)
 
   // columns to materialize = output ∪ equality keys (current names, in
   // table order); read from the file under their PHYSICAL names —
@@ -747,7 +775,7 @@ final class GraftMorPartitionReader(
   private def liveUnderEqDeletes(g: Group): Boolean =
     eqKeySets.forall { case (cols, set) =>
       val key = cols.map(fieldValue(g, _))
-      key.contains(null) || !set.contains(key)
+      key.contains(null) || !set.contains(key.map(GraftBatchScan.eqKeyComponent))
     }
 
   override def get(): InternalRow = current

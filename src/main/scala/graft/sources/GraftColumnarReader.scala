@@ -60,7 +60,13 @@ final class GraftMorColumnarReader(
   private val deadPositions = GraftBatchScan.loadDeadPositions(part, taskConf)
   private val readTypes: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
-  private val eqKeySets = GraftBatchScan.loadEqKeySets(part, readTypes, taskConf)
+  // a file keyed on a column THIS data file predates can never match
+  // (the key would contain null) — skip it before any IO, which also
+  // keeps the footer-only count(*) path available when no file applies
+  private val eqKeySets = GraftBatchScan.loadEqKeySets(
+    part.eqDeletes.filter(_.keyCols.forall(kc =>
+      part.columnMap.getOrElse(kc._1, Some(kc._1)).isDefined)),
+    readTypes, taskConf)
 
   // ---- cursor layout ------------------------------------------------------
   // cursor columns = outputs present in the file ∪ equality-key columns
@@ -124,10 +130,11 @@ final class GraftMorColumnarReader(
     if (includePosColumn) new OnHeapColumnVector(BatchRows, LongType) else null
   private val filePathUtf8 = UTF8String.fromString(part.dataPath)
 
-  // scratch rows for the eq-key columns of the CURRENT batch
+  // scratch rows for the eq-key columns of the CURRENT batch (only
+  // those columns allocate)
   private val scratch: Array[Array[Any]] =
-    Array.fill(cursorCurrentCols.length)(
-      if (eqKeySets.isEmpty) null else new Array[Any](BatchRows))
+    Array.tabulate(cursorCurrentCols.length)(i =>
+      if (scratchSet.contains(i)) new Array[Any](BatchRows) else null)
 
   // ---- row-group cursor state -------------------------------------------
   private var groupRowsLeft = 0L
@@ -202,18 +209,14 @@ final class GraftMorColumnarReader(
   }
 
   /** Row `i` of the current batch survives every equality-delete key
-    * set (a key containing null never matches — `===` semantics). A key
-    * column the file predates contributes null. */
+    * set (a key containing null never matches — `===` semantics;
+    * inapplicable files were filtered before load). */
   private def liveUnderEqDeletes(i: Int): Boolean = {
     if (eqKeySets.isEmpty) return true
     eqKeySets.forall { case (cols, set) =>
-      val key = cols.map { c =>
-        cursorIdxByCol.get(c) match {
-          case Some(ci) => scratch(ci)(i)
-          case None     => null // column absent from this file
-        }
-      }
-      key.contains(null) || !set.contains(key)
+      // applicability is pre-filtered, so every key column has a cursor
+      val key = cols.map(c => scratch(cursorIdxByCol(c))(i))
+      key.contains(null) || !set.contains(key.map(GraftBatchScan.eqKeyComponent))
     }
   }
 

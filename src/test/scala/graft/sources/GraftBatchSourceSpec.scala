@@ -287,6 +287,23 @@ class GraftBatchSourceSpec extends AnyFunSuite {
     assert(e.isInstanceOf[CompactionError.SchemaDrift], s"got $e")
   }
 
+  test("NaN equality-delete keys delete NaN rows (Spark NaN = NaN semantics)") {
+    val dir = Files.createTempDirectory("graft-batch-nan").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      Seq((1L, 1.5), (2L, Double.NaN), (3L, 3.5), (4L, Double.NaN))
+        .toDF("id", "v").coalesce(1))
+    TableWrites.appendEqualityDeletes(dir, Seq(Double.NaN).toDF("v"), Seq("v"))
+    // both reader paths and the plan-level anti-join must agree
+    val vec = dsv2(dir).select("id").as[Long].collect().sorted.toSeq
+    val row = spark.read.format("graft").option("vectorizedRead", false)
+      .load(dir).select("id").as[Long].collect().sorted.toSeq
+    assert(vec == Seq(1L, 3L), s"columnar kept NaN rows: $vec")
+    assert(row == Seq(1L, 3L), s"row reader kept NaN rows: $row")
+    assert(graft.sources.TableReader.read(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("append schema is validated by name against the table") {
     val dir = Files.createTempDirectory("graft-batch-wrbad").toString
     FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
