@@ -106,28 +106,67 @@ object GraftBatchScan {
   /** Ordinals of this split's rows killed by its position-delete files
     * (only the `[baseOrdinal, ordinalEnd)` window — bounds memory when
     * a large file fans out into many range tasks). Shared by the row
-    * and columnar readers. */
+    * and columnar readers. The FILE parse goes through
+    * [[DeleteFileCache]] — each delete file is read once per JVM, not
+    * once per task — and the per-task window filter is a binary search
+    * over the cached sorted positions. */
   private[graft] def loadDeadPositions(part: GraftMorPartition,
       taskConf: Configuration): java.util.HashSet[Long] = {
     val dataPathNorm = ScanPlanner.normalizePath(part.dataPath)
     val set = new java.util.HashSet[Long]()
-    part.posDeletePaths.foreach { pd =>
-      val r = projectedReader(pd, Seq("file_path", "pos"), taskConf)
-      try {
-        var g = r.read()
-        while (g != null) {
-          val fp = groupValue(g, g.getType.getFieldIndex("file_path"),
-            StringType, "file_path").asInstanceOf[String]
-          if (fp != null && ScanPlanner.normalizePath(fp) == dataPathNorm) {
-            val p = groupValue(g, g.getType.getFieldIndex("pos"),
-              LongType, "pos").asInstanceOf[Long]
-            if (p >= part.baseOrdinal && p < part.ordinalEnd) set.add(p)
-          }
-          g = r.read()
+    part.posDeletes.foreach { pd =>
+      val byPath = DeleteFileCache.getOrLoad(pd.path, pd.sizeBytes, "pos") {
+        parsePosDeleteFile(pd.path, taskConf)
+      }
+      val arr = byPath.get(dataPathNorm)
+      if (arr != null) {
+        var i = lowerBound(arr, part.baseOrdinal)
+        while (i < arr.length && arr(i) < part.ordinalEnd) {
+          set.add(arr(i)); i += 1
         }
-      } finally r.close()
+      }
     }
     set
+  }
+
+  /** Parse one position-delete file completely: normalized data-file
+    * path → its deleted ordinals, sorted ascending (enables the window
+    * binary search above). Built once per file per JVM and shared
+    * read-only across tasks. */
+  private def parsePosDeleteFile(path: String, taskConf: Configuration)
+      : java.util.HashMap[String, Array[Long]] = {
+    val tmp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+    val r = projectedReader(path, Seq("file_path", "pos"), taskConf)
+    try {
+      var g = r.read()
+      while (g != null) {
+        val fp = groupValue(g, g.getType.getFieldIndex("file_path"),
+          StringType, "file_path").asInstanceOf[String]
+        if (fp != null) {
+          val p = groupValue(g, g.getType.getFieldIndex("pos"),
+            LongType, "pos").asInstanceOf[Long]
+          tmp.computeIfAbsent(ScanPlanner.normalizePath(fp),
+            _ => new scala.collection.mutable.ArrayBuilder.ofLong) += p
+        }
+        g = r.read()
+      }
+    } finally r.close()
+    val out = new java.util.HashMap[String, Array[Long]](
+      math.max(16, tmp.size() * 2))
+    tmp.forEach { (k, b) =>
+      val a = b.result(); java.util.Arrays.sort(a); out.put(k, a)
+    }
+    out
+  }
+
+  /** First index in sorted `a` whose value is ≥ `target`. */
+  private def lowerBound(a: Array[Long], target: Long): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (a(mid) < target) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   /** Canonical sentinel for NaN equality-key components — Spark's `===`
@@ -167,18 +206,28 @@ object GraftBatchScan {
         readTypes.getOrElse(c, throw CompactionError.Config(
           s"equality-delete column $c not in table schema"))
       }
-      val set = new java.util.HashSet[Seq[Any]]()
-      val r = projectedReader(e.path, e.keyCols.map(_._2), taskConf)
-      try {
-        var g = r.read()
-        while (g != null) {
-          val key = e.keyCols.zip(types).map { case ((_, phys), t) =>
-            groupValue(g, g.getType.getFieldIndex(phys), t, phys)
+      // parse-once-per-JVM: the variant pins the key mapping AND the
+      // read types, so the same file scanned under an evolved schema
+      // (different current names or types) loads its own entry. The
+      // cached set is probed concurrently by tasks — never mutated.
+      val variant = "eq:" +
+        e.keyCols.map { case (c, p) => s"$c=$p" }.mkString(",") + ";" +
+        types.map(_.catalogString).mkString(",")
+      val set = DeleteFileCache.getOrLoad(e.path, e.sizeBytes, variant) {
+        val s = new java.util.HashSet[Seq[Any]]()
+        val r = projectedReader(e.path, e.keyCols.map(_._2), taskConf)
+        try {
+          var g = r.read()
+          while (g != null) {
+            val key = e.keyCols.zip(types).map { case ((_, phys), t) =>
+              groupValue(g, g.getType.getFieldIndex(phys), t, phys)
+            }
+            if (!key.contains(null)) s.add(key.map(eqKeyComponent))
+            g = r.read()
           }
-          if (!key.contains(null)) set.add(key.map(eqKeyComponent))
-          g = r.read()
-        }
-      } finally r.close()
+        } finally r.close()
+        s
+      }
       (curNames, set)
     }.filter(_._2.size() > 0)
 
@@ -218,7 +267,14 @@ object GraftBatchScan {
   * schema history otherwise (same semantics as
   * [[graft.plans.SchemaReconcile]]). */
 final case class EqDeleteSpec(path: String, sequenceNumber: Long,
-    keyCols: Seq[(String, String)])
+    keyCols: Seq[(String, String)],
+    /** Committed file length from the snapshot — the [[DeleteFileCache]]
+      * staleness stamp (delete files are immutable once committed). */
+    sizeBytes: Long = -1L)
+
+/** One position-delete file applicable to a task's data file, with its
+  * committed length as the [[DeleteFileCache]] staleness stamp. */
+final case class PosDeleteSpec(path: String, sizeBytes: Long = -1L)
 
 /** One data file plus exactly the delete files that can affect it.
   * `columnMap` resolves each CURRENT column to its physical name in
@@ -235,7 +291,7 @@ final case class EqDeleteSpec(path: String, sequenceNumber: Long,
 final case class GraftMorPartition(
     dataPath: String,
     dataSeq: Long,
-    posDeletePaths: Seq[String],
+    posDeletes: Seq[PosDeleteSpec],
     eqDeletes: Seq[EqDeleteSpec],
     columnMap: Map[String, Option[String]],
     rangeStart: Long = 0L,
@@ -467,15 +523,18 @@ final class GraftScan(
     * stats (or whose paths use a non-plain-absolute form the range test
     * cannot compare safely) is kept for every task — conservative,
     * never wrong. */
-  private lazy val posDeleteRanges: Seq[(String, Option[(Array[Byte], Array[Byte])])] =
-    snap.files.filter(_.content == "position-deletes").map(_.path).sorted
-      .map { p =>
-        p -> (try ParquetStats.stringRange(p, "file_path") catch {
-          case _: Exception => None
-        })
+  private lazy val posDeleteRanges
+      : Seq[(PosDeleteSpec, Option[(Array[Byte], Array[Byte])])] =
+    snap.files.filter(_.content == "position-deletes")
+      .sortBy(_.path)
+      .map { f =>
+        PosDeleteSpec(f.path, f.sizeBytes) ->
+          (try ParquetStats.stringRange(f.path, "file_path") catch {
+            case _: Exception => None
+          })
       }
 
-  private def posDeletesFor(d: FileEntry): Seq[String] = {
+  private def posDeletesFor(d: FileEntry): Seq[PosDeleteSpec] = {
     val key = ScanPlanner.normalizePath(d.path)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     posDeleteRanges.collect {
@@ -575,9 +634,10 @@ final class GraftScan(
       val base = GraftMorPartition(
         dataPath = d.path,
         dataSeq = d.sequenceNumber,
-        posDeletePaths = posDeletesFor(d),
+        posDeletes = posDeletesFor(d),
         eqDeletes = eqFiles.filter(_.sequenceNumber > d.sequenceNumber)
-          .map(e => EqDeleteSpec(e.path, e.sequenceNumber, keyColsFor(e))),
+          .map(e => EqDeleteSpec(e.path, e.sequenceNumber, keyColsFor(e),
+            e.sizeBytes)),
         columnMap = columnMapFor(d)
       )
       splitByRowGroups(base, layouts.getOrElse(d.path, Nil))

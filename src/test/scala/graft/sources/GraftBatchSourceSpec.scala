@@ -169,7 +169,7 @@ class GraftBatchSourceSpec extends AnyFunSuite {
       FileTableCatalog, "1", skipDeletes = false).build()
     val parts = scan.toBatch.planInputPartitions()
       .map(_.asInstanceOf[GraftMorPartition])
-    val byPath = parts.map(p => p.dataPath -> p.posDeletePaths).toMap
+    val byPath = parts.map(p => p.dataPath -> p.posDeletes).toMap
     assert(byPath(files.head).nonEmpty,
       "first file's task must carry the delete file")
     assert(byPath(files(1)).isEmpty,
