@@ -58,6 +58,15 @@ object GraftCatalog {
     * holds the pinned version. Expiration keeps tagged versions. */
   val RefPropPrefix = "graft.ref."
 
+  /** Keys a user may not touch through ALTER TABLE SET/UNSET
+    * TBLPROPERTIES: the partition spec addresses the physical file
+    * layout (changing `bucket:4` to `bucket:8` would make pruning
+    * silently drop matching files), and `graft.ref.*` tags are managed
+    * by the create_tag/drop_tag procedures. */
+  private[sql] def guardedProp(key: String): Boolean =
+    key == graft.core.PartitionSpecCodec.Property ||
+      key.startsWith(RefPropPrefix)
+
   /** `PARTITIONED BY` clause element → engine transform. Matched on the
     * connector expression's generic (name, arguments) form, which is
     * stable across Spark's parser variants. */
@@ -273,6 +282,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val unsetProps = changes.collect {
       case r: TableChange.RemoveProperty => r.property
     }.toSet
+    // the partition spec and ref tags are layout/engine state, not user
+    // metadata: a SET that rewrites `graft.partition-spec` would change
+    // the pruning arithmetic under existing fanout files → wrong results
+    (setProps.keysIterator ++ unsetProps.iterator)
+      .find(GraftCatalog.guardedProp).foreach { k =>
+        throw CompactionError.Config(
+          s"table property '$k' is engine-managed and cannot be set or " +
+            "unset via ALTER TABLE; use the partition/tag procedures")
+      }
     val ops: Seq[SchemaOp] = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
         SchemaOp.Add(a.fieldNames.head, a.dataType.sql)

@@ -207,6 +207,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gsql.dbm2.s").head.getLong(0) == 10L)
   }
 
+  test("ALTER TABLE refuses engine-managed property keys") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbm3")
+    sql("CREATE TABLE gsql.dbm3.g (id BIGINT) PARTITIONED BY (bucket(4, id))")
+    // rewriting the spec key would change pruning arithmetic under the
+    // existing bucket(4) file layout → must refuse, not silently apply
+    val e1 = intercept[Exception] {
+      sql("ALTER TABLE gsql.dbm3.g SET TBLPROPERTIES " +
+        "('graft.partition-spec' = 'bucket:8:id')")
+    }
+    assert(e1.getMessage.contains("engine-managed"))
+    val e2 = intercept[Exception] {
+      sql("ALTER TABLE gsql.dbm3.g UNSET TBLPROPERTIES ('graft.partition-spec')")
+    }
+    assert(e2.getMessage.contains("engine-managed"))
+    val e3 = intercept[Exception] {
+      sql("ALTER TABLE gsql.dbm3.g SET TBLPROPERTIES ('graft.ref.v1' = '1')")
+    }
+    assert(e3.getMessage.contains("engine-managed"))
+    // ordinary user properties still pass
+    sql("ALTER TABLE gsql.dbm3.g SET TBLPROPERTIES ('note' = 'ok')")
+    val props = sql("SHOW TBLPROPERTIES gsql.dbm3.g").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("note").contains("ok"))
+    assert(props.get("graft.partition-spec").contains("bucket:4:id"))
+  }
+
   test("metadata tables expose files and snapshots from pure SQL") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db6")
     sql("CREATE TABLE gsql.db6.mt (id BIGINT)")
