@@ -37,6 +37,7 @@ object SparkEntry {
       ("sql_merge_cow" -> (graft.queries.SqlCatalogQuery.runMerge _)) +
       ("sql_merge_mor" -> (graft.queries.SqlCatalogQuery.runMergeMor _)) +
       ("sql_partitioned" -> (graft.queries.SqlCatalogQuery.runPartitioned _)) +
+      ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -65,6 +66,7 @@ object SparkEntry {
       ("sql_merge_cow" -> graft.queries.SqlCatalogQuery.mergeOracle) +
       ("sql_merge_mor" -> graft.queries.SqlCatalogQuery.mergeOracle) +
       ("sql_partitioned" -> graft.queries.SqlCatalogQuery.partitionedOracle) +
+      ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

@@ -181,6 +181,81 @@ object SqlCatalogQuery {
          |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin)
   }
 
+  // -------- DECIMAL + DATE through the engine table format --------------
+
+  private val decCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** `DECIMAL(12,2)` (INT64-backed), `DECIMAL(24,4)` (FIXED_LEN_BYTE_
+    * ARRAY-backed) and `DATE` columns through the full engine lifecycle:
+    * CREATE → INSERT (exact decimal arithmetic, nothing floating) →
+    * merge-on-read DELETE on a decimal predicate → MERGE UPDATE of a
+    * decimal column → MoR read-back (columnar fill with position
+    * deletes over decimal files). Dates render as strings on both sides
+    * so the oracle compare is dtype-stable. */
+  def runDecimal(spark: SparkSession, dir: String): DataFrame = {
+    val cat = decCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"gd${counter.incrementAndGet()}"
+      val wh = Files.createTempDirectory(s"graft-sqldec-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_dec")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(
+        s"""CREATE TABLE $name.db.dec (
+           |  l_orderkey BIGINT, l_linenumber INT,
+           |  price DECIMAL(12,2), big DECIMAL(24,4), ship DATE)
+           |TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.dec
+           |SELECT l_orderkey, l_linenumber,
+           |  CAST(CAST(l_quantity AS DECIMAL(12,2)) + l_linenumber * 0.01
+           |       AS DECIMAL(12,2)),
+           |  CAST(CAST(l_orderkey * 100000 + l_partkey AS DECIMAL(24,4)) + 0.1234
+           |       AS DECIMAL(24,4)),
+           |  CAST(l_shipdate AS DATE)
+           |FROM li_dec WHERE l_orderkey % 3 < 2""".stripMargin)
+      spark.sql(s"DELETE FROM $name.db.dec WHERE price < 5.00")
+      spark.sql(
+        s"""MERGE INTO $name.db.dec t
+           |USING (SELECT DISTINCT l_orderkey FROM li_dec WHERE l_orderkey % 10 = 1) s
+           |ON t.l_orderkey = s.l_orderkey
+           |WHEN MATCHED THEN UPDATE SET price = t.price + 1.00""".stripMargin)
+      name
+    })
+    // decimals render as strings in the FINAL projection only (the
+    // table stores true DECIMAL columns): DuckDB's pandas bridge
+    // widens small decimals to float64, so a decimal-typed output
+    // column can never dtype-match the Spark parquet dump
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(CAST(price AS DECIMAL(12,2)) AS STRING) AS price_s,
+         |  CAST(CAST(big AS DECIMAL(24,4)) AS STRING) AS big_s,
+         |  CAST(ship AS STRING) AS ship_s
+         |FROM $cat.db.dec WHERE l_orderkey % 7 = 3
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin)
+  }
+
+  val decimalOracle: String =
+    """WITH src AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,2)) + l_linenumber * 0.01
+      |         AS DECIMAL(12,2)) AS price,
+      |    CAST(CAST(l_orderkey * 100000 + l_partkey AS DECIMAL(24,4)) + 0.1234
+      |         AS DECIMAL(24,4)) AS big,
+      |    CAST(l_shipdate AS DATE) AS ship
+      |  FROM lineitem),
+      |live AS (
+      |  SELECT * FROM src
+      |  WHERE l_orderkey % 3 < 2 AND NOT (price < 5.00))
+      |SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(CASE WHEN l_orderkey % 10 = 1 THEN price + 1.00 ELSE price END
+      |       AS DECIMAL(12,2)) AS VARCHAR) AS price_s,
+      |  CAST(CAST(big AS DECIMAL(24,4)) AS VARCHAR) AS big_s,
+      |  CAST(ship AS VARCHAR) AS ship_s
+      |FROM live WHERE l_orderkey % 7 = 3
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
   val mergeOracle: String =
     """WITH src AS (
       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

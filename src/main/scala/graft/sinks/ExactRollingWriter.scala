@@ -149,8 +149,21 @@ object ExactRollingWriter {
     * with the DSv2 batch writer's up-front schema validation). */
   private[graft] def supportedType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
-         BooleanType | TimestampType | TimestampNTZType => true
+         BooleanType | TimestampType | TimestampNTZType | DateType => true
+    case _: DecimalType => true
     case _ => false
+  }
+
+  /** Smallest FIXED_LEN_BYTE_ARRAY length that can hold any two's-
+    * complement unscaled value of `precision` digits (the parquet spec's
+    * sizing rule for FLBA-backed decimals). */
+  private[graft] def minBytesForPrecision(precision: Int): Int = {
+    var bytes = 1
+    // max unscaled magnitude is 10^precision - 1; a signed n-byte field
+    // holds magnitudes below 2^(8n-1)
+    while (math.pow(2.0, 8.0 * bytes - 1) < math.pow(10.0, precision.toDouble))
+      bytes += 1
+    bytes
   }
 
   private[graft] def toMessageType(schema: StructType): MessageType = {
@@ -171,6 +184,24 @@ object ExactRollingWriter {
         case TimestampNTZType => Types.primitive(PrimitiveTypeName.INT64, rep)
           .as(LogicalTypeAnnotation.timestampType(false,
             LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case DateType => Types.primitive(PrimitiveTypeName.INT32, rep)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        // parquet's decimal physical ladder: INT32 to 9 digits, INT64 to
+        // 18, two's-complement FLBA beyond — what every Iceberg/Spark
+        // reader expects for each precision band
+        case d: DecimalType if d.precision <= 9 =>
+          Types.primitive(PrimitiveTypeName.INT32, rep)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+            .named(f.name)
+        case d: DecimalType if d.precision <= 18 =>
+          Types.primitive(PrimitiveTypeName.INT64, rep)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+            .named(f.name)
+        case d: DecimalType =>
+          Types.primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, rep)
+            .length(minBytesForPrecision(d.precision))
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+            .named(f.name)
         case other => throw new IllegalArgumentException(s"unsupported: $other")
       }
       b.addField(t)
@@ -196,6 +227,23 @@ object ExactRollingWriter {
           case BooleanType => g.add(name, row.getBoolean(i))
           case StringType => g.add(name, row.getUTF8String(i).toString)
           case TimestampType | TimestampNTZType => g.add(name, row.getLong(i))
+          case DateType => g.add(name, row.getInt(i))
+          case d: DecimalType =>
+            val dec = row.getDecimal(i, d.precision, d.scale)
+            if (d.precision <= 9) g.add(name, dec.toUnscaledLong.toInt)
+            else if (d.precision <= 18) g.add(name, dec.toUnscaledLong)
+            else {
+              // sign-extend the two's-complement unscaled value to the
+              // declared FLBA width
+              val width = minBytesForPrecision(d.precision)
+              val raw = dec.toJavaBigDecimal.unscaledValue().toByteArray
+              val out = new Array[Byte](width)
+              val pad: Byte = if (raw(0) < 0) -1 else 0
+              java.util.Arrays.fill(out, 0, width - raw.length, pad)
+              System.arraycopy(raw, 0, out, width - raw.length, raw.length)
+              g.add(name,
+                org.apache.parquet.io.api.Binary.fromConstantByteArray(out))
+            }
           case other => throw new IllegalArgumentException(s"unsupported: $other")
         }
       }

@@ -93,6 +93,20 @@ object GraftBatchScan {
       case FloatType   => g.getFloat(gi, 0)
       case BooleanType => g.getBoolean(gi, 0)
       case BinaryType  => g.getBinary(gi, 0).getBytes
+      case d: DecimalType =>
+        // physical ladder mirrors [[graft.sinks.ExactRollingWriter
+        // .toMessageType]]: INT32/INT64 carry the unscaled value,
+        // FLBA/BINARY a two's-complement big-endian encoding
+        g.getType.getType(gi).asPrimitiveType().getPrimitiveTypeName match {
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
+            Decimal(g.getInteger(gi, 0).toLong, d.precision, d.scale)
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
+            Decimal(g.getLong(gi, 0), d.precision, d.scale)
+          case _ =>
+            val bytes = g.getBinary(gi, 0).getBytes
+            Decimal(new java.math.BigDecimal(
+              new java.math.BigInteger(bytes), d.scale), d.precision, d.scale)
+        }
       case other => throw CompactionError.Config(
         s"graft source supports flat primitives; column $name has unsupported type $other")
     }
@@ -371,22 +385,43 @@ final class GraftScanBuilder(
     }
 
   /** sources.Filter → integral [lo, hi] bounds, same conservative rules
-    * as [[ScanPruning.constraints]]: only integral comparisons survive. */
+    * as [[ScanPruning.constraints]]: integral comparisons, plus
+    * decimals of ≤18 digits compared in UNSCALED space (order-preserving
+    * at the column's fixed scale; the footer stats of INT32/INT64-backed
+    * decimal columns are unscaled values — [[ParquetStats]]). A literal
+    * that doesn't land exactly on the column's scale contributes
+    * nothing (conservative: the file is kept). */
   private def boundsOf(filters: Seq[sources.Filter]): ScanPruning.Bounds = {
-    def lit(v: Any): Option[Long] = v match {
-      case i: Int => Some(i.toLong); case l: Long => Some(l)
-      case s: Short => Some(s.toLong); case _ => None
+    lazy val colTypes: Map[String, DataType] =
+      tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    def lit(a: String, v: Any): Option[Long] = colTypes.get(a) match {
+      case Some(d: DecimalType) if d.precision <= 18 =>
+        val bd: Option[java.math.BigDecimal] = v match {
+          case b: java.math.BigDecimal => Some(b)
+          case b: scala.math.BigDecimal => Some(b.bigDecimal)
+          case dec: Decimal => Some(dec.toJavaBigDecimal)
+          case _ => None
+        }
+        bd.flatMap { b =>
+          try Some(b.setScale(d.scale).unscaledValue().longValueExact())
+          catch { case _: ArithmeticException => None }
+        }
+      case Some(_: DecimalType) => None // FLBA-backed: stats untrusted
+      case _ => v match {
+        case i: Int => Some(i.toLong); case l: Long => Some(l)
+        case s: Short => Some(s.toLong); case _ => None
+      }
     }
     filters.foldLeft(Map.empty: ScanPruning.Bounds) { (acc, f) =>
       val b: ScanPruning.Bounds = f match {
-        case sources.EqualTo(a, v)            => lit(v).map(x => Map(a -> (x, x))).getOrElse(Map.empty)
+        case sources.EqualTo(a, v)            => lit(a, v).map(x => Map(a -> (x, x))).getOrElse(Map.empty)
         // saturate at the extremes: `> Long.MaxValue` / `< Long.MinValue`
         // are impossible predicates — an empty range (lo > hi) prunes
         // every file rather than wrapping around and keeping all of them
-        case sources.GreaterThan(a, v)        => lit(v).map(x => Map(a -> (if (x == Long.MaxValue) (1L, 0L) else (x + 1, Long.MaxValue)))).getOrElse(Map.empty)
-        case sources.GreaterThanOrEqual(a, v) => lit(v).map(x => Map(a -> (x, Long.MaxValue))).getOrElse(Map.empty)
-        case sources.LessThan(a, v)           => lit(v).map(x => Map(a -> (if (x == Long.MinValue) (1L, 0L) else (Long.MinValue, x - 1)))).getOrElse(Map.empty)
-        case sources.LessThanOrEqual(a, v)    => lit(v).map(x => Map(a -> (Long.MinValue, x))).getOrElse(Map.empty)
+        case sources.GreaterThan(a, v)        => lit(a, v).map(x => Map(a -> (if (x == Long.MaxValue) (1L, 0L) else (x + 1, Long.MaxValue)))).getOrElse(Map.empty)
+        case sources.GreaterThanOrEqual(a, v) => lit(a, v).map(x => Map(a -> (x, Long.MaxValue))).getOrElse(Map.empty)
+        case sources.LessThan(a, v)           => lit(a, v).map(x => Map(a -> (if (x == Long.MinValue) (1L, 0L) else (Long.MinValue, x - 1)))).getOrElse(Map.empty)
+        case sources.LessThanOrEqual(a, v)    => lit(a, v).map(x => Map(a -> (Long.MinValue, x))).getOrElse(Map.empty)
         case sources.And(l, r)                => boundsOf(Seq(l, r))
         case _                                => Map.empty
       }

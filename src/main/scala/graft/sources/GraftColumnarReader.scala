@@ -283,11 +283,28 @@ final class GraftMorColumnarReader(
           case BooleanType            => cr.getBoolean
           case StringType             => cr.getBinary.toStringUsingUTF8
           case BinaryType             => cr.getBinary.getBytes
+          case d: DecimalType         => decodeDecimal(cr, phys, d)
           case other => throw CompactionError.Config(
             s"columnar read does not support type $other")
         }
       cr.consume()
       i += 1
+    }
+  }
+
+  /** One decimal value off the cursor, by its physical encoding (the
+    * same INT32/INT64/FLBA ladder as the writer and the row reader). */
+  private def decodeDecimal(cr: ColumnReader,
+      phys: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+      d: DecimalType): Decimal = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    phys match {
+      case INT32 => Decimal(cr.getInteger.toLong, d.precision, d.scale)
+      case INT64 => Decimal(cr.getLong, d.precision, d.scale)
+      case _ =>
+        val bytes = cr.getBinary.getBytes
+        Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(bytes), d.scale), d.precision, d.scale)
     }
   }
 
@@ -314,6 +331,8 @@ final class GraftMorColumnarReader(
           case BinaryType =>
             val b = x.asInstanceOf[Array[Byte]]
             v.putByteArray(o, b, 0, b.length)
+          case d: DecimalType =>
+            v.putDecimal(o, x.asInstanceOf[Decimal], d.precision)
           case other => throw CompactionError.Config(
             s"columnar read does not support type $other")
         }
@@ -346,6 +365,8 @@ final class GraftMorColumnarReader(
           case StringType | BinaryType =>
             val b = cr.getBinary.getBytes
             v.putByteArray(o, b, 0, b.length)
+          case d: DecimalType =>
+            v.putDecimal(o, decodeDecimal(cr, phys, d), d.precision)
           case other => throw CompactionError.Config(
             s"columnar read does not support type $other")
         }
@@ -387,6 +408,7 @@ object GraftMorColumnarReader {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
          BooleanType | TimestampType | TimestampNTZType | DateType |
          BinaryType => true
+    case _: DecimalType => true
     case _ => false
   }
 

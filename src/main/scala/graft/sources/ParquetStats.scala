@@ -146,10 +146,16 @@ object ParquetStats {
       val name = cc.getPath.toDotString
       if (cols.contains(name)) {
         val pt = cc.getPrimitiveType
+        // decimals annotated on INT32/INT64 are trustworthy too: their
+        // stats are unscaled values, which order exactly like the
+        // decimals themselves at the column's fixed scale (callers
+        // compare in unscaled space — see GraftScanBuilder.boundsOf)
         val integral = (pt.getPrimitiveTypeName == PrimitiveTypeName.INT64 ||
           pt.getPrimitiveTypeName == PrimitiveTypeName.INT32) &&
           (pt.getLogicalTypeAnnotation == null ||
-            pt.getLogicalTypeAnnotation.isInstanceOf[IntLogicalTypeAnnotation])
+            pt.getLogicalTypeAnnotation.isInstanceOf[IntLogicalTypeAnnotation] ||
+            pt.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])
         val st = cc.getStatistics
         if (!integral || st == null || st.isEmpty) return None
         if (st.hasNonNullValue) {

@@ -146,6 +146,8 @@ object IcebergFormat {
       case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
       case org.apache.spark.sql.types.DateType         => "date"
       case org.apache.spark.sql.types.BinaryType       => "binary"
+      case d: org.apache.spark.sql.types.DecimalType   =>
+        s"decimal(${d.precision}, ${d.scale})"
       case other => throw CompactionError.Config(
         s"no Iceberg mapping for Spark type $other (flat primitives only)")
     }
@@ -164,9 +166,12 @@ object IcebergFormat {
     case "timestamp"   => "TIMESTAMP_NTZ"
     case "date"        => "DATE"
     case "binary"      => "BINARY"
+    case DecimalRe(p, s) => s"DECIMAL($p,$s)"
     case other => throw CompactionError.Config(
       s"no Spark mapping for Iceberg type $other in a graft schema history")
   }
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
   // ------------------------------------------------------------- avro decl
 

@@ -170,17 +170,29 @@ object SchemaEvolution {
         logical match {
           case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
               if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS => "timestamp"
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            s"decimal(${d.getPrecision},${d.getScale})"
           case _ => "bigint"
         }
       case INT32 =>
         logical match {
           case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => "date"
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            s"decimal(${d.getPrecision},${d.getScale})"
           case _                                                  => "int"
         }
       case BINARY =>
         logical match {
           case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => "string"
           case _                                                    => "binary"
+        }
+      case FIXED_LEN_BYTE_ARRAY =>
+        logical match {
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            s"decimal(${d.getPrecision},${d.getScale})"
+          case _ => throw CompactionError.Config(
+            s"unsupported FIXED_LEN_BYTE_ARRAY column ${t.getName} " +
+              "(only decimal annotations are recognized)")
         }
       case DOUBLE  => "double"
       case FLOAT   => "float"
