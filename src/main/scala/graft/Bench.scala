@@ -52,6 +52,10 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       System.err.println(s"[bench] starting $name ($runs runs)")
       val samples = (1 to runs).map(_ => timeOnce(fn))
+      // per-run samples on stderr: lets a regressed median be
+      // adjudicated as noise vs real without re-running the bench
+      System.err.println(
+        s"[bench] $name samples=${samples.map(s => f"$s%.3f").mkString(",")}")
       if (samples.exists(_ < 0)) name -> (-1.0, -1.0)
       else {
         val sorted = samples.sorted
