@@ -48,41 +48,63 @@ object CompactionE2EQuery {
       graft.sources.ParquetStats.fileStats(target, Nil)._1)
   }
 
+  /** Fixture-file template cache: the expensive synthetic inputs (full
+    * lineitem sorts forced into single files) build ONCE per sf dir;
+    * each timed run copies them into a fresh table dir, so the per-run
+    * cost is the ENGINE (compaction + validation + read-back), not
+    * repeated fixture sorting. Pos-delete files are still written per
+    * run — they embed the data file's absolute (per-run) path. */
+  private val templates =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def templateFiles(dir: String, key: String)(
+      build: String => Unit): String =
+    templates.computeIfAbsent(s"$dir#$key", _ => {
+      val t = Files.createTempDirectory(s"graft-tmpl-$key").toString
+      build(t)
+      t
+    })
+
+  /** Copy one template file into the run's data dir; (path, size, rows)
+    * from the copy's own length + footer. */
+  private def copyInto(tmpl: String, name: String,
+      dataDir: String): (String, Long, Long) = {
+    val target = s"$dataDir/$name"
+    Files.createDirectories(Paths.get(dataDir))
+    Files.copy(Paths.get(s"$tmpl/$name"), Paths.get(target))
+    (target, new File(target).length(),
+      graft.sources.ParquetStats.fileStats(target, Nil)._1)
+  }
+
   def run(spark: SparkSession, dir: String): DataFrame = {
+    val tmpl = templateFiles(dir, "e2e") { t =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet").persist()
+      try {
+        // single sorted partition => physical row order == sort order
+        def sorted(df: DataFrame) =
+          df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
+        writeOne(sorted(li.filter(col("l_orderkey") % 2 === 0)), s"$t/f1.parquet")
+        writeOne(sorted(li.filter(col("l_orderkey") % 2 === 1)), s"$t/f2.parquet")
+        writeOne(li.filter(col("l_orderkey") % 13 === 0)
+          .select("l_orderkey").distinct().repartition(1), s"$t/eq-del.parquet")
+      } finally li.unpersist()
+    }
     val tableDir = Files.createTempDirectory("graft-e2e-table").toString
-    // the FIXTURE reads lineitem once per synthetic file it writes —
-    // cache it for construction (the engine under test reads only the
-    // written table files, never this frame)
-    val li = spark.read.parquet(s"$dir/lineitem.parquet").persist()
-    try {
-      // single sorted partition => physical row order == sort order
-      def sorted(df: DataFrame) =
-        df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
-
-      val f1 = s"$tableDir/data/f1.parquet"
-      val f2 = s"$tableDir/data/f2.parquet"
-      val (s1, r1) = writeOne(sorted(li.filter(col("l_orderkey") % 2 === 0)), f1)
-      val (s2, r2) = writeOne(sorted(li.filter(col("l_orderkey") % 2 === 1)), f2)
-
-      val pd = s"$tableDir/data/pos-del.parquet"
-      val (s3, r3) = writeOne(
-        spark.range(100).coalesce(1)
-          .select(lit(f1).as("file_path"), col("id").as("pos")), pd)
-
-      val ed = s"$tableDir/data/eq-del.parquet"
-      val (s4, r4) = writeOne(
-        li.filter(col("l_orderkey") % 13 === 0)
-          .select("l_orderkey").distinct().repartition(1), ed)
-
-      TableMetadata.commit(tableDir, TableSnapshot(
-        version = 1, schemaId = 1, lastSequenceNumber = 3,
-        files = Seq(
-          FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
-          FileEntry(f2, "data", s2, r2, sequenceNumber = 3),
-          FileEntry(pd, "position-deletes", s3, r3, sequenceNumber = 3),
-          FileEntry(ed, "equality-deletes", s4, r4, sequenceNumber = 2,
-            equalityIds = Seq("l_orderkey")))))
-    } finally li.unpersist()
+    val (f1, s1, r1) = copyInto(tmpl, "f1.parquet", s"$tableDir/data")
+    val (f2, s2, r2) = copyInto(tmpl, "f2.parquet", s"$tableDir/data")
+    val (ed, s4, r4) = copyInto(tmpl, "eq-del.parquet", s"$tableDir/data")
+    val pd = s"$tableDir/data/pos-del.parquet"
+    val (s3, r3) = writeOne(
+      spark.range(100).coalesce(1)
+        .select(lit(f1).as("file_path"), col("id").as("pos")), pd)
+    TableMetadata.commit(tableDir, TableSnapshot(
+      version = 1, schemaId = 1, lastSequenceNumber = 3,
+      files = Seq(
+        FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
+        FileEntry(f2, "data", s2, r2, sequenceNumber = 3),
+        FileEntry(pd, "position-deletes", s3, r3, sequenceNumber = 3),
+        FileEntry(ed, "equality-deletes", s4, r4, sequenceNumber = 2,
+          equalityIds = Seq("l_orderkey")))))
 
     Compaction.builder()
       .withSpark(spark).withTableDir(tableDir)
@@ -115,40 +137,36 @@ object CompactionE2EQuery {
     * minus %13 — certifying both the selective rewrite and that
     * retained deletes keep working against untouched files. */
   def runIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val tmpl = templateFiles(dir, "incr") { t =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet").persist()
+      try {
+        def sorted(df: DataFrame) =
+          df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
+        writeOne(sorted(li.filter(col("l_orderkey") % 8 === 0)), s"$t/f1.parquet")
+        writeOne(sorted(li.filter(col("l_orderkey") % 8 === 1)), s"$t/f2.parquet")
+        writeOne(sorted(li.filter(col("l_orderkey") % 8 >= 2)), s"$t/f3.parquet")
+        writeOne(li.filter(col("l_orderkey") % 13 === 0)
+          .select("l_orderkey").distinct().repartition(1), s"$t/eq-del.parquet")
+      } finally li.unpersist()
+    }
     val tableDir = Files.createTempDirectory("graft-incr-table").toString
-    val f1 = s"$tableDir/data/f1.parquet"
-    val f2 = s"$tableDir/data/f2.parquet"
-    val f3 = s"$tableDir/data/f3.parquet"
+    val (f1, s1, r1) = copyInto(tmpl, "f1.parquet", s"$tableDir/data")
+    val (f2, s2, r2) = copyInto(tmpl, "f2.parquet", s"$tableDir/data")
+    val (f3, s3, r3) = copyInto(tmpl, "f3.parquet", s"$tableDir/data")
+    val (ed, s5, r5) = copyInto(tmpl, "eq-del.parquet", s"$tableDir/data")
     val pd = s"$tableDir/data/pos-del.parquet"
-    val ed = s"$tableDir/data/eq-del.parquet"
-    // fixture-only cache: five synthetic files derive from one lineitem read
-    val li = spark.read.parquet(s"$dir/lineitem.parquet").persist()
-    val s3 = try {
-      def sorted(df: DataFrame) =
-        df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
-
-      val (s1, r1) = writeOne(sorted(li.filter(col("l_orderkey") % 8 === 0)), f1)
-      val (s2, r2) = writeOne(sorted(li.filter(col("l_orderkey") % 8 === 1)), f2)
-      val (s3, r3) = writeOne(sorted(li.filter(col("l_orderkey") % 8 >= 2)), f3)
-
-      val (s4, r4) = writeOne(
-        spark.range(50).coalesce(1)
-          .select(lit(f1).as("file_path"), col("id").as("pos")), pd)
-      val (s5, r5) = writeOne(
-        li.filter(col("l_orderkey") % 13 === 0)
-          .select("l_orderkey").distinct().repartition(1), ed)
-
-      TableMetadata.commit(tableDir, TableSnapshot(
-        version = 1, schemaId = 1, lastSequenceNumber = 3,
-        files = Seq(
-          FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
-          FileEntry(f2, "data", s2, r2, sequenceNumber = 3),
-          FileEntry(f3, "data", s3, r3, sequenceNumber = 1),
-          FileEntry(pd, "position-deletes", s4, r4, sequenceNumber = 3),
-          FileEntry(ed, "equality-deletes", s5, r5, sequenceNumber = 2,
-            equalityIds = Seq("l_orderkey")))))
-      s3
-    } finally li.unpersist()
+    val (s4, r4) = writeOne(
+      spark.range(50).coalesce(1)
+        .select(lit(f1).as("file_path"), col("id").as("pos")), pd)
+    TableMetadata.commit(tableDir, TableSnapshot(
+      version = 1, schemaId = 1, lastSequenceNumber = 3,
+      files = Seq(
+        FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
+        FileEntry(f2, "data", s2, r2, sequenceNumber = 3),
+        FileEntry(f3, "data", s3, r3, sequenceNumber = 1),
+        FileEntry(pd, "position-deletes", s4, r4, sequenceNumber = 3),
+        FileEntry(ed, "equality-deletes", s5, r5, sequenceNumber = 2,
+          equalityIds = Seq("l_orderkey")))))
 
     // threshold = 0.75 * s3 sits between the small files (~s3/6) and f3
     Compaction.builder()
@@ -207,10 +225,12 @@ object CompactionE2EQuery {
     * self-contained: the original l_orderkey is read from the files
     * themselves (`__p_` mirroring). */
   def runBucket(spark: SparkSession, dir: String): DataFrame = {
+    val tmpl = templateFiles(dir, "bkt") { t =>
+      writeOne(spark.read.parquet(s"$dir/lineitem.parquet").repartition(1),
+        s"$t/f1.parquet")
+    }
     val tableDir = Files.createTempDirectory("graft-bkt-table").toString
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    val f1 = s"$tableDir/data/f1.parquet"
-    val (s1, r1) = writeOne(li.repartition(1), f1)
+    val (f1, s1, r1) = copyInto(tmpl, "f1.parquet", s"$tableDir/data")
     TableMetadata.commit(tableDir, TableSnapshot(
       version = 1, schemaId = 1, lastSequenceNumber = 1,
       files = Seq(FileEntry(f1, "data", s1, r1, sequenceNumber = 1))))
