@@ -175,13 +175,14 @@ final class GraftDeltaWriterFactory(
 
 /** Per-task delta writer: inserts stream through the same rolling
   * [[GraftDataWriter]] the append path uses; deleted row ids buffer in
-  * memory and land at commit as ONE sorted (file_path, pos) parquet
-  * file — sorted so the delete file's footer carries a tight file_path
-  * [min, max] and the per-task delete scoping of the MoR read
-  * ([[graft.sources.GraftScan]]) can skip it for unrelated files.
-  * Buffering is bounded by the rows a single task deletes (two words +
-  * one shared path reference each); a task deleting hundreds of
-  * millions of rows should route through compaction instead. */
+  * memory up to `deleteSpillThreshold`, then each full chunk is SORTED
+  * by (file_path, pos) and streamed into a rolling delete writer — so
+  * task memory is bounded by one chunk no matter how many rows the task
+  * deletes, and every emitted parquet file still carries exact
+  * file_path [min, max] footer stats for the per-task delete scoping of
+  * the MoR read ([[graft.sources.GraftScan]]). Chunk-local sorting
+  * keeps each file's path range narrow; exactness of the stats does not
+  * depend on a global sort (parquet computes min/max from values). */
 final class GraftDeltaWriter(
     writeDir: String,
     partitionId: Int,
@@ -191,7 +192,11 @@ final class GraftDeltaWriter(
     targetFileSizeBytes: Long,
     compression: String,
     confEntries: Array[(String, String)],
-    partitionSpec: Seq[graft.core.PartitionTransform] = Nil
+    partitionSpec: Seq[graft.core.PartitionTransform] = Nil,
+    /** Max buffered delete ids before a sorted chunk spills to the
+      * delete writer (~tens of bytes per id; the default bounds the
+      * buffer around a hundred MB). */
+    deleteSpillThreshold: Int = 2_000_000
 ) extends DeltaWriter[InternalRow] {
 
   private val fileIdx = rowIdSchema.fieldIndex(GraftBatchScan.FileColumn)
@@ -209,11 +214,32 @@ final class GraftDeltaWriter(
   // (path, pos) buffer; paths of one task repeat heavily -> intern
   private val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
   private val pathIntern = new java.util.HashMap[String, String]()
+  private var deleteWriter: GraftDataWriter = null
+  /** Chunks spilled so far — observability for the bounded-memory spec. */
+  private[sinks] var deleteSpills: Int = 0
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val raw = id.getUTF8String(fileIdx).toString
     val path = pathIntern.computeIfAbsent(raw, identity[String])
     deletes += ((path, id.getLong(posIdx)))
+    if (deletes.length >= deleteSpillThreshold) {
+      flushDeleteChunk()
+      deleteSpills += 1
+    }
+  }
+
+  /** Sort the buffered chunk and stream it into the (lazily created)
+    * rolling delete writer, then release the buffer. */
+  private def flushDeleteChunk(): Unit = if (deletes.nonEmpty) {
+    if (deleteWriter == null)
+      deleteWriter = new GraftDataWriter(s"$writeDir/_attempt-del-$taskId",
+        partitionId, deleteSchema, targetFileSizeBytes, compression, confEntries)
+    val sorted = deletes.sortInPlace()(Ordering.Tuple2(Ordering.String, Ordering.Long))
+    sorted.foreach { case (p, pos) =>
+      deleteWriter.write(
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(p), pos))
+    }
+    deletes.clear()
   }
 
   override def insert(row: InternalRow): Unit = {
@@ -233,16 +259,14 @@ final class GraftDeltaWriter(
     val dataFiles =
       if (dataUsed) dataWriter.commit().asInstanceOf[GraftCommitMessage].files
       else Nil
-    val deleteFiles = if (deletes.isEmpty) Nil else {
-      val sorted = deletes.sortInPlace()(Ordering.Tuple2(Ordering.String, Ordering.Long))
-      val w = new GraftDataWriter(s"$writeDir/_attempt-del-$taskId", partitionId,
-        deleteSchema, targetFileSizeBytes, compression, confEntries)
-      try {
-        sorted.foreach { case (p, pos) =>
-          w.write(InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(p), pos))
-        }
-        w.commit().asInstanceOf[GraftCommitMessage].files
-      } catch { case e: Throwable => w.abort(); throw e }
+    val deleteFiles = try {
+      flushDeleteChunk()
+      if (deleteWriter == null) Nil
+      else deleteWriter.commit().asInstanceOf[GraftCommitMessage].files
+    } catch {
+      case e: Throwable =>
+        if (deleteWriter != null) deleteWriter.abort()
+        throw e
     }
     GraftDeltaCommitMessage(dataFiles, deleteFiles, pathIntern.keySet()
       .toArray(Array.empty[String]).toSet)
@@ -250,7 +274,8 @@ final class GraftDeltaWriter(
 
   override def abort(): Unit = {
     if (dataUsed) dataWriter.abort()
-    FileIO.deleteRecursive(s"$writeDir/_attempt-del-$taskId")
+    if (deleteWriter != null) deleteWriter.abort() // closes + removes dir
+    else FileIO.deleteRecursive(s"$writeDir/_attempt-del-$taskId")
   }
 
   override def close(): Unit = ()
