@@ -243,7 +243,15 @@ object Similarity {
       k: Int,
       numSubs: Int = 4,
       codebookSize: Int = 16,
-      lloydIters: Int = 2
+      lloydIters: Int = 2,
+      /** Ceiling on the ADC broadcast: total (query x subspace x
+        * codeword) distance entries shipped to executors at once. Each
+        * query's map holds numSubs*codebookSize entries, so an
+        * unguarded 100k-query batch would blow through the broadcast
+        * limit; past the ceiling the query set processes in
+        * deterministic hash chunks (scoring is per-query independent,
+        * so the union of chunked top-ks is exact). */
+      maxAdcEntries: Long = 32L * 1024 * 1024
   ): DataFrame = {
     require(dims % numSubs == 0, s"dims=$dims not divisible by numSubs=$numSubs")
     val subLen = dims / numSubs
@@ -304,28 +312,46 @@ object Similarity {
     // per-query ADC lookup table over EVERY codeword, packed as a map
     // keyed m*1024+code (codebookSize <= 1024 by construction)
     require(codebookSize <= 1024, s"codebookSize=$codebookSize exceeds key packing")
-    val dt = subVectors(queries, "query_id", "qv")
-      .join(broadcast(codebook), Seq("m"))
-      .withColumn("d", idist(col("spx"), col("cq")))
-      .groupBy("query_id")
-      .agg(map_from_entries(collect_list(
-        struct(col("m") * 1024 + col("code"), col("d")))).as("dmap"))
 
     // scoring is NARROW: codes x broadcast(per-query maps), adist = sum of
     // numSubs map lookups — no shuffle of the corpus-side rows at all;
     // the only exchange left is the per-query top-k window
-    val scored = codes.crossJoin(broadcast(dt))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adist",
-        aggregate(sequence(lit(0), lit(numSubs - 1)), lit(0L),
-          (acc, m) => acc + element_at(col("dmap"),
-            m * 1024 + element_at(col("codes"), (m + 1).cast("int")))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "adist")
+    def scoreChunk(qs: DataFrame): DataFrame = {
+      val dt = subVectors(qs, "query_id", "qv")
+        .join(broadcast(codebook), Seq("m"))
+        .withColumn("d", idist(col("spx"), col("cq")))
+        .groupBy("query_id")
+        .agg(map_from_entries(collect_list(
+          struct(col("m") * 1024 + col("code"), col("d")))).as("dmap"))
+      val scored = codes.crossJoin(broadcast(dt))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("adist",
+          aggregate(sequence(lit(0), lit(numSubs - 1)), lit(0L),
+            (acc, m) => acc + element_at(col("dmap"),
+              m * 1024 + element_at(col("codes"), (m + 1).cast("int")))))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adist").asc, col("vec_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "adist")
+    }
+
+    val perQueryEntries = numSubs.toLong * codebookSize
+    val qCount = queries.count()
+    val chunks = math.min(qCount max 1L,
+      (qCount * perQueryEntries + maxAdcEntries - 1) / maxAdcEntries max 1L).toInt
+    if (chunks <= 1) scoreChunk(queries)
+    else {
+      // each chunk re-reads the compressed codes, not the raw corpus —
+      // persist them so the chunk loop doesn't re-encode
+      codes.persist()
+      (0 until chunks).map { c =>
+        scoreChunk(queries.filter(
+          pmod(hash64(lit("pqchunk"), col("query_id").cast("string")),
+            lit(chunks)) === c))
+      }.reduce(_ union _)
+    }
   }
 
   /** LSH ANN: same-bucket candidates re-ranked exactly. Recall < 1 by

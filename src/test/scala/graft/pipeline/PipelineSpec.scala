@@ -167,6 +167,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pq topk: a tiny ADC ceiling chunks the query set without changing results") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 6)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = e.select($"vec_id", $"embedding".as("v"))
+    def run(ceiling: Long) = Similarity.pqTopK(q, c, dims = 64, k = 5,
+      maxAdcEntries = ceiling)
+      .select("query_id", "rank", "vec_id", "adist")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // default numSubs*codebookSize = 64 entries/query; a 100-entry
+    // ceiling forces several chunks over 6 queries
+    val chunked = run(100L)
+    val whole = run(32L * 1024 * 1024)
+    assert(chunked == whole,
+      "chunked ADC scoring must be exact: per-query top-k is independent")
+  }
+
   test("multimodal feature extraction: deterministic stub decode over binary") {
     import Multimodal._
     val media = Seq(
