@@ -69,7 +69,17 @@ object PartitionTransform {
 final case class IdentityTransform(source: String) extends PartitionTransform {
   override def fieldName: String = source
   override def expr(dt: DataType): Column = col(source)
-  override def eval(v: Any, dt: DataType): Any = v
+  override def eval(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      // DATE values arrive as Catalyst epoch-day ints; normalize to the
+      // ISO string Spark renders in partitionBy directories, so the
+      // DSv2 fanout names, the compaction layout, and pruning all
+      // compute the SAME rendered value for one date
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+      case _ => v
+    }
 }
 
 /** Hash-bucket into `n` buckets (0 until n). */
@@ -81,7 +91,16 @@ final case class BucketTransform(n: Int, source: String) extends PartitionTransf
   override def eval(v: Any, dt: DataType): Any =
     if (v == null) null
     else {
-      val h = PartitionTransform.hash60Jvm("bkt", PartitionTransform.castString(v))
+      // expr() hashes cast(col AS STRING): a DATE casts to its ISO form
+      // there, so the JVM twin must hash the SAME string — hashing the
+      // raw epoch-day int would bucket rows differently than the
+      // compaction layout's expression
+      val s = dt match {
+        case DateType =>
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+        case _ => PartitionTransform.castString(v)
+      }
+      val h = PartitionTransform.hash60Jvm("bkt", s)
       (((h % n) + n) % n).toInt
     }
 }

@@ -407,6 +407,13 @@ final class GraftScanBuilder(
           catch { case _: ArithmeticException => None }
         }
       case Some(_: DecimalType) => None // FLBA-backed: stats untrusted
+      case Some(DateType) => v match {
+        // date stats are INT32 epoch days — compare in that domain
+        case d: java.sql.Date => Some(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
+        case _ => None
+      }
       case _ => v match {
         case i: Int => Some(i.toLong); case l: Long => Some(l)
         case s: Short => Some(s.toLong); case _ => None
@@ -480,9 +487,13 @@ final class GraftScan(
     * operations group-filter on it, and an `In(_file, …)` collapses to
     * an EXACT path-set selection with no footer reads at all. */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // string/date identity partitions benefit from transform pruning
+    // too, so they are exposed alongside the integral columns (the
+    // footer-stat path below simply ignores what it cannot compare)
     val dataCols = requiredSchema.fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == ShortType =>
+        f.dataType == ShortType || f.dataType == StringType ||
+        f.dataType == DateType =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
     if (includeFileColumn)
@@ -492,14 +503,20 @@ final class GraftScan(
   }
 
   @volatile private var runtimeInSets: Map[String, Array[Long]] = Map.empty
+  @volatile private var runtimeEqCandidates: Map[String, Seq[Any]] = Map.empty
   @volatile private var runtimePathSet: Option[Set[String]] = None
 
   override def filter(filters: Array[sources.Filter]): Unit = {
+    // integral view of a runtime value set — feeds FOOTER-STAT pruning,
+    // so dates map to their epoch-day stats domain; strings drop out
     def longs(vs: Array[Any]): Option[Array[Long]] = {
       val out = vs.flatMap {
         case i: Int => Some(i.toLong); case l: Long => Some(l)
         case s: Short => Some(s.toLong); case null => None
-        case _ => return None // non-integral value set: unusable
+        case d: java.sql.Date => Some(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
+        case _ => return None // unusable for stats comparison
       }
       Some(out)
     }
@@ -509,12 +526,18 @@ final class GraftScan(
       case sources.EqualTo(attr, v: String) if attr == GraftBatchScan.FileColumn =>
         Set(ScanPlanner.normalizePath(v))
     }
-    runtimeInSets = filters.collect {
+    val sets = filters.collect {
       case sources.In(attr, vs) if attr != GraftBatchScan.FileColumn =>
-        longs(vs).map(attr -> _)
+        attr -> vs
       case sources.EqualTo(attr, v) if attr != GraftBatchScan.FileColumn =>
-        longs(Array(v)).map(attr -> _)
-    }.flatten.toMap
+        attr -> Array(v)
+    }
+    runtimeInSets = sets.flatMap { case (a, vs) => longs(vs).map(a -> _) }.toMap
+    // raw values for TRANSFORM pruning (PartitionPruning coerces per
+    // column type; null candidates can never equal a partition value)
+    runtimeEqCandidates = sets
+      .map { case (a, vs) => a -> vs.filter(_ != null).toSeq }
+      .filter(_._2.nonEmpty).toMap
   }
 
   override def toMicroBatchStream(
@@ -645,11 +668,12 @@ final class GraftScan(
         ScanPruning.pruneDataFilesWithInSets(_, runtimeInSets))
     // join-driven bucket pruning: runtime In values hash through the
     // partition transforms, dropping whole buckets before tasks launch
+    // (raw candidate values — string/date identity sources prune here
+    // even though footer stats cannot compare them)
     val afterInSets =
-      if (partSpec.isEmpty || runtimeInSets.isEmpty) afterInSets0
+      if (partSpec.isEmpty || runtimeEqCandidates.isEmpty) afterInSets0
       else PartitionPruning.prune(afterInSets0, partSpec,
-        runtimeInSets.map { case (k, vs) => k -> vs.toSeq },
-        colTypes)
+        runtimeEqCandidates, colTypes)
     // _file group filter is EXACT — empty set means no group matched
     val afterRuntime = runtimePathSet.fold(afterInSets) { paths =>
       afterInSets.filter(f => paths.contains(ScanPlanner.normalizePath(f.path)))

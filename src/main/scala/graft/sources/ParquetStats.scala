@@ -155,7 +155,9 @@ object ParquetStats {
           (pt.getLogicalTypeAnnotation == null ||
             pt.getLogicalTypeAnnotation.isInstanceOf[IntLogicalTypeAnnotation] ||
             pt.getLogicalTypeAnnotation.isInstanceOf[
-              org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])
+              org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] ||
+            pt.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation])
         val st = cc.getStatistics
         if (!integral || st == null || st.isEmpty) return None
         if (st.hasNonNullValue) {

@@ -67,6 +67,12 @@ object PartitionPruning {
     case (x: Short, IntegerType)     => Some(x.toInt)
     case (x: Long, IntegerType) if x == x.toInt.toLong => Some(x.toInt)
     case (s: String, StringType)     => Some(s)
+    // dates normalize to epoch days — the eval/render convention of
+    // [[graft.core.DayTransform]] and identity over DATE columns
+    case (d: java.sql.Date, DateType) => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+    case (d: java.time.LocalDate, DateType) => Some(d.toEpochDay.toInt)
+    case (x: Int, DateType)          => Some(x)
     case _                           => None
   }
 }

@@ -66,6 +66,46 @@ class PartitionPruningPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("a file holding the filtered value always survives (date columns)") {
+    val rng = new scala.util.Random(21)
+    (1 to 300).foreach { _ =>
+      val t = rng.nextInt(3) match {
+        case 0 => IdentityTransform("c")
+        case 1 => BucketTransform(rng.nextInt(16) + 1, "c")
+        case 2 => DayTransform("c")
+      }
+      val vals = List.fill(rng.nextInt(29) + 1)(rng.nextInt(40000) - 10000)
+      val target = vals(rng.nextInt(vals.size))
+      val files = vals.zipWithIndex.map { case (v, i) => entryFor(t, DateType, v, i) }
+      // candidates arrive in any of Spark's date-literal shapes
+      val cand: Any = rng.nextInt(3) match {
+        case 0 => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(target.toLong))
+        case 1 => java.time.LocalDate.ofEpochDay(target.toLong)
+        case 2 => target
+      }
+      val kept = PartitionPruning.prune(files, Seq(t),
+        Map("c" -> Seq(cand)), Map("c" -> DateType)).map(_.path).toSet
+      def rendered(v: Int) = PartitionKey.sanitize(t.render(t.eval(v, DateType)))
+      val mustKeep = files.zip(vals).collect {
+        case (f, v) if rendered(v) == rendered(target) => f.path
+      }
+      assert(mustKeep.forall(kept.contains),
+        s"$t dropped a matching file for epoch day $target (candidate $cand)")
+    }
+  }
+
+  test("date eval agrees with Spark's rendering across DSv2 and compaction layouts") {
+    // identity over DATE must render the ISO form (what partitionBy
+    // writes in directory names), and bucket over DATE must hash the
+    // ISO string (what `cast(col AS STRING)` feeds the layout expr) —
+    // epoch-day ints in either place would split one date across
+    // layouts and break pruning
+    val days = java.time.LocalDate.parse("2024-01-03").toEpochDay.toInt
+    assert(IdentityTransform("d").eval(days, DateType) == "2024-01-03")
+    val viaString = BucketTransform(8, "d").eval("2024-01-03", StringType)
+    assert(BucketTransform(8, "d").eval(days, DateType) == viaString)
+  }
+
   test("unknown-name files and delete files always survive; anchor floor holds") {
     val t = BucketTransform(8, "c")
     val unparsed = FileEntry("/w/t/data/x/part-0-0.parquet", "data", 1L, 1L, 1L)

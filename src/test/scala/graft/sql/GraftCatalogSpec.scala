@@ -207,6 +207,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gsql.dbm2.s").head.getLong(0) == 10L)
   }
 
+  test("runtime filters prune string and date identity partitions") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbrt2")
+    sql("""CREATE TABLE gsql.dbrt2.p (id BIGINT, flag STRING, d DATE)
+          |PARTITIONED BY (flag, d)""".stripMargin)
+    sql("""INSERT INTO gsql.dbrt2.p
+          |SELECT id,
+          |  CASE CAST(id % 3 AS INT) WHEN 0 THEN 'A' WHEN 1 THEN 'B' ELSE 'C' END,
+          |  DATE_ADD(DATE'2024-01-01', CAST(id % 3 AS INT))
+          |FROM range(0, 300)""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+    val tdir = s"$wh/dbrt2/p"
+    import graft.sources.{GraftMorPartition, GraftScanBuilder}
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.{sources => f}
+    val schema = spark.table("gsql.dbrt2.p").schema
+    def fresh() = new GraftScanBuilder(tdir, schema, None, FileTableCatalog,
+      "1", skipDeletes = false).build()
+    val all = fresh().toBatch.planInputPartitions().length
+    assert(all >= 3, "fixture must fan out into one file per partition value")
+    // join-driven string In set → only flag=B files survive planning
+    val sFlag = fresh()
+    sFlag.asInstanceOf[SupportsRuntimeFiltering]
+      .filter(Array[f.Filter](f.In("flag", Array[Any]("B"))))
+    val pFlag = sFlag.toBatch.planInputPartitions()
+    assert(pFlag.length < all && pFlag.nonEmpty)
+    assert(pFlag.forall(_.asInstanceOf[GraftMorPartition].dataPath.contains("flag=B")))
+    // date equality → only that date's files survive planning
+    val sDate = fresh()
+    sDate.asInstanceOf[SupportsRuntimeFiltering].filter(Array[f.Filter](
+      f.EqualTo("d", java.sql.Date.valueOf("2024-01-02"))))
+    val pDate = sDate.toBatch.planInputPartitions()
+    assert(pDate.length < all && pDate.nonEmpty)
+    assert(pDate.forall(_.asInstanceOf[GraftMorPartition].dataPath.contains("d=2024-01-02")))
+    // correctness end-to-end through a real broadcast join on the key
+    val dim = spark.createDataFrame(Seq(Tuple1("B"))).toDF("flag")
+    assert(spark.table("gsql.dbrt2.p")
+      .join(org.apache.spark.sql.functions.broadcast(dim), "flag").count() == 100L)
+  }
+
   test("ALTER TABLE refuses engine-managed property keys") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbm3")
     sql("CREATE TABLE gsql.dbm3.g (id BIGINT) PARTITIONED BY (bucket(4, id))")
