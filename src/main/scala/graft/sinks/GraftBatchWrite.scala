@@ -105,7 +105,8 @@ final class GraftWriteBuilder(
     info: LogicalWriteInfo,
     catalog: TableCatalog = FileTableCatalog
 ) extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private def targetBytes = Option(info.options().get("targetFileSizeBytes"))
     .map(_.toLong).getOrElse(CompactionConfig().targetFileSizeBytes)
   private def compression = Option(info.options().get("compression")).getOrElse("snappy")
@@ -115,6 +116,18 @@ final class GraftWriteBuilder(
     * entire file set for the new rows. */
   private var overwriteAll = false
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  /** `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`: replace only
+    * the partitions present in the incoming rows. On an unpartitioned
+    * table every row is "the one partition", i.e. a full overwrite —
+    * Spark's own semantics for dynamic mode without partitions. */
+  private var overwriteDynamic = false
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    if (partitionSpec.isEmpty) overwriteAll = true
+    else overwriteDynamic = true
+    this
+  }
 
   /** Partition spec of the target table (snapshot property) — fanout
     * writers route rows per partition value. */
@@ -142,7 +155,7 @@ final class GraftWriteBuilder(
     override def toBatch: BatchWrite = {
       val schemaId = GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
       new GraftDsv2BatchWrite(tableDir, info.schema(), targetBytes, compression,
-        catalog, schemaId, overwriteAll, partitionSpec)
+        catalog, schemaId, overwriteAll, partitionSpec, overwriteDynamic)
     }
     override def toStreaming: sstreaming.StreamingWrite = {
       if (overwriteAll) throw CompactionError.Config(
@@ -166,7 +179,8 @@ final class GraftDsv2BatchWrite(
     catalog: TableCatalog,
     validatedSchemaId: Long,
     overwriteAll: Boolean = false,
-    partitionSpec: Seq[graft.core.PartitionTransform] = Nil
+    partitionSpec: Seq[graft.core.PartitionTransform] = Nil,
+    overwriteDynamic: Boolean = false
 ) extends BatchWrite {
 
   private val writeDir =
@@ -192,6 +206,22 @@ final class GraftDsv2BatchWrite(
     // stamp the files with the new schema id
     val cm = new CommitManager(tableDir, RetryConfig(), catalog = catalog)
     if (overwriteAll) cm.overwriteAll(entries, expectedSchemaId = validatedSchemaId)
+    else if (overwriteDynamic) {
+      // partition key of a fanout-written file, canonicalized in spec
+      // field order; None = no parseable key (pre-partitioning file)
+      val fieldNames = partitionSpec.map(_.fieldName)
+      def keyOf(path: String): Option[String] = {
+        val fs = graft.core.PartitionKey.parse(path)
+        if (fieldNames.forall(fs.contains))
+          Some(fieldNames.map(n => s"$n=${fs(n)}").mkString(","))
+        else None
+      }
+      val newKeys = entries.flatMap(e => keyOf(e.path)).toSet
+      require(newKeys.nonEmpty && entries.forall(e => keyOf(e.path).isDefined),
+        "fanout-written files must carry their partition key")
+      cm.overwritePartitions(entries, newKeys, keyOf,
+        expectedSchemaId = validatedSchemaId)
+    }
     else cm.appendFiles(entries, expectedSchemaId = validatedSchemaId)
   }
 

@@ -128,6 +128,7 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE,
         TableCapability.STREAMING_WRITE,
+        TableCapability.OVERWRITE_DYNAMIC,
         // INSERT OVERWRITE TABLE: the write builder's truncate() swaps
         // the whole file set atomically (SupportsTruncate)
         TableCapability.TRUNCATE)

@@ -153,6 +153,43 @@ final class CommitManager(
     * land. Properties survive (e.g. streaming replay markers); expired
     * physical files are left for snapshot expiration / orphan cleanup,
     * since older snapshots still reference them (time travel). */
+  /** Dynamic partition overwrite (Spark's `OverwritePartitionsDynamic`):
+    * replace exactly the data files whose partition key is in `keys`,
+    * computed against each attempt's RELOADED snapshot inside the CAS
+    * loop — so an append into an overwritten partition that races this
+    * commit is still replaced (or the CAS retries), never silently
+    * kept alongside the new rows. Data files whose key cannot be
+    * parsed from their path (pre-partitioning appends) make the
+    * overwrite ill-defined: refuse loudly rather than guess. Delete
+    * files pass through — position deletes against removed files
+    * become inert, equality deletes never apply to the newer files. */
+  def overwritePartitions(
+      added: Seq[FileEntry],
+      keys: Set[String],
+      keyOf: String => Option[String],
+      expectedSchemaId: Long
+  ): TableSnapshot =
+    commitLoop(expectedSchemaId) { cur =>
+      val dataFiles = cur.files.filter(_.content == "data")
+      val unparseable = dataFiles.filter(f => keyOf(f.path).isEmpty)
+      if (unparseable.nonEmpty) throw CompactionError.Config(
+        s"dynamic partition overwrite needs every data file's partition " +
+          s"key, but ${unparseable.size} file(s) predate the partition " +
+          s"layout (e.g. ${unparseable.head.path}); compact the table first")
+      val removed = dataFiles
+        .filter(f => keys.contains(keyOf(f.path).get)).map(_.path).toSet
+      val newSeq = cur.lastSequenceNumber + 1
+      cur.copy(
+        version = cur.version + 1,
+        lastSequenceNumber = newSeq,
+        files = cur.files.filterNot(f => removed.contains(f.path)) ++
+          added.map(e => e.copy(sequenceNumber = newSeq,
+            schemaId =
+              if (e.schemaId >= 0) e.schemaId
+              else if (cur.schemas.nonEmpty) cur.schemaId
+              else -1L)))
+    }
+
   def overwriteAll(
       entries: Seq[FileEntry],
       expectedSchemaId: Long

@@ -561,6 +561,75 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gsql.dbr.r").head.getLong(0) == 99)
   }
 
+  test("dynamic partition overwrite replaces only the incoming partitions") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbdo")
+    sql("CREATE TABLE gsql.dbdo.p (id BIGINT, flag STRING) PARTITIONED BY (flag)")
+    sql("INSERT INTO gsql.dbdo.p VALUES (1,'A'),(2,'A'),(3,'B'),(4,'C')")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      sql("INSERT OVERWRITE gsql.dbdo.p VALUES (10,'A'),(11,'B')")
+      // partitions A and B replaced with the incoming rows; C untouched
+      assert(sql("SELECT id, flag FROM gsql.dbdo.p ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((4L, "C"), (10L, "A"), (11L, "B")))
+      // dynamic overwrite of an UNPARTITIONED table = full overwrite
+      sql("CREATE TABLE gsql.dbdo.u (id BIGINT)")
+      sql("INSERT INTO gsql.dbdo.u VALUES (1), (2)")
+      sql("INSERT OVERWRITE gsql.dbdo.u VALUES (9)")
+      assert(sql("SELECT id FROM gsql.dbdo.u").collect().map(_.getLong(0)).toSeq
+        == Seq(9L))
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    // static mode still truncates the whole table
+    sql("INSERT OVERWRITE gsql.dbdo.p VALUES (20,'Z')")
+    assert(sql("SELECT id, flag FROM gsql.dbdo.p").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((20L, "Z")))
+  }
+
+  test("concurrent append aborts an in-flight MERGE but not an UPDATE") {
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    def inFlight(ns: String, cmd: Command): Throwable = {
+      sql(s"CREATE NAMESPACE IF NOT EXISTS gsql.$ns")
+      sql(s"""CREATE TABLE gsql.$ns.m (id BIGINT, v BIGINT)
+            |TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')""".stripMargin)
+      sql(s"INSERT INTO gsql.$ns.m SELECT /*+ COALESCE(1) */ id, id FROM range(0, 10)")
+      val warehouseDir = spark.conf.get("spark.sql.catalog.gsql.warehouse")
+      val tdir = s"$warehouseDir/$ns/m"
+      val op = new graft.sinks.GraftDeltaOperation(tdir,
+        spark.table(s"gsql.$ns.m").schema, cmd)
+      op.recordScan(Nil,
+        FileTableCatalog.loadOrThrow(tdir).files.map(_.path).toSet,
+        FileTableCatalog.loadOrThrow(tdir).schemaId)
+      // a rival INSERT lands between the scan and the commit
+      sql(s"INSERT INTO gsql.$ns.m VALUES (999, 999)")
+      val batch = new graft.sinks.GraftDeltaBatchWrite(op, tdir,
+        spark.table(s"gsql.$ns.m").schema,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_file",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_pos",
+            org.apache.spark.sql.types.LongType))),
+        1024L * 1024, "snappy", FileTableCatalog)
+      val w = batch.createBatchWriterFactory(null).createWriter(0, 1L)
+        .asInstanceOf[graft.sinks.GraftDeltaWriter]
+      val dataFile = FileTableCatalog.loadOrThrow(tdir)
+        .files.filter(_.content == "data").minBy(_.sequenceNumber).path
+      w.delete(null, org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dataFile), 3L))
+      val msg = w.commit()
+      try { batch.commit(Array(msg)); null }
+      catch { case e: Throwable => e }
+    }
+    // MERGE: the appended rows may match the ON clause -> must abort
+    val e = inFlight("dbmc1", Command.MERGE)
+    assert(e != null && e.isInstanceOf[graft.core.CompactionError.StaleRewrite],
+      s"MERGE racing an append must abort, got $e")
+    assert(sql("SELECT count(*) FROM gsql.dbmc1.m").head.getLong(0) == 11)
+    // UPDATE keeps snapshot isolation: appended rows were not targeted
+    assert(inFlight("dbmc2", Command.UPDATE) == null,
+      "UPDATE racing a pure append must commit")
+    assert(sql("SELECT count(*) FROM gsql.dbmc2.m").head.getLong(0) == 10)
+  }
+
   test("writeStream.toTable streams into a catalog table; readStream tails it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
