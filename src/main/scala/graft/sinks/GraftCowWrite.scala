@@ -163,6 +163,18 @@ final class GraftCowBatchWrite(
           s"copy-on-write rewrite is stale: ${newDeletes.size} delete " +
             s"file(s) committed after the scan could target the rows " +
             s"being rewritten (e.g. ${newDeletes.head.path}); re-run it")
+        // MERGE additionally conflicts with concurrent DATA appends: a
+        // file landed after the pinned scan may match the ON clause and
+        // the NOT MATCHED branch would insert a duplicate key —
+        // serializable, like Iceberg's validateNoConflictingData
+        if (op.command() == RowLevelOperation.Command.MERGE) {
+          val newData = cur.files.filter(f =>
+            f.content == "data" && !scanPaths.contains(f.path))
+          if (newData.nonEmpty) throw CompactionError.StaleRewrite(
+            s"MERGE is stale: ${newData.size} data file(s) committed " +
+              s"after the scan may match the ON clause (e.g. " +
+              s"${newData.head.path}); re-run the MERGE")
+        }
       })
   }
 

@@ -143,8 +143,9 @@ final class GraftDeltaBatchWrite(
       removedPaths = Set.empty,
       requiredPaths = referenced,
       expectedSchemaId = op.scanSchema,
-      // tolerate pure appends, abort if a delete file landed since the
-      // pinned scan (same rationale as the copy-on-write guard)
+      // tolerate pure appends for UPDATE/DELETE, abort if a delete file
+      // landed since the pinned scan (same rationale as the
+      // copy-on-write guard)
       validate = cur => {
         val newDeletes = cur.files.filter(f =>
           f.content != "data" && !scanPaths.contains(f.path))
@@ -152,6 +153,20 @@ final class GraftDeltaBatchWrite(
           s"delta write is stale: ${newDeletes.size} delete file(s) " +
             s"committed after the scan could target the rows being " +
             s"modified (e.g. ${newDeletes.head.path}); re-run the operation")
+        // MERGE additionally conflicts with concurrent DATA: a file
+        // appended after the pinned scan may hold rows matching the ON
+        // clause, and this commit's NOT MATCHED branch would insert a
+        // duplicate key — serializable, like Iceberg's
+        // validateNoConflictingData for MERGE (UPDATE/DELETE keep
+        // snapshot isolation: appended rows simply weren't targeted)
+        if (op.command() == RowLevelOperation.Command.MERGE) {
+          val newData = cur.files.filter(f =>
+            f.content == "data" && !scanPaths.contains(f.path))
+          if (newData.nonEmpty) throw CompactionError.StaleRewrite(
+            s"MERGE is stale: ${newData.size} data file(s) committed " +
+              s"after the scan may match the ON clause (e.g. " +
+              s"${newData.head.path}); re-run the MERGE")
+        }
       })
   }
 
