@@ -104,6 +104,14 @@ object TableMetadata {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** Canonical snapshot JSON — the wire format shared by the metadata
+    * files and the network catalog client ([[RestTableCatalog]]). */
+  def snapshotToJson(s: TableSnapshot): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(s)
+
+  def snapshotFromJson(json: String): TableSnapshot =
+    norm(mapper.readValue(json, classOf[TableSnapshot]))
+
   /** Snapshots written before the `properties`/`schemas` fields existed
     * deserialize with null collections — normalize to empty. */
   private def norm(s: TableSnapshot): TableSnapshot = {
