@@ -316,13 +316,7 @@ object Similarity {
     // scoring is NARROW: codes x broadcast(per-query maps), adist = sum of
     // numSubs map lookups — no shuffle of the corpus-side rows at all;
     // the only exchange left is the per-query top-k window
-    def scoreChunk(qs: DataFrame): DataFrame = {
-      val dt = subVectors(qs, "query_id", "qv")
-        .join(broadcast(codebook), Seq("m"))
-        .withColumn("d", idist(col("spx"), col("cq")))
-        .groupBy("query_id")
-        .agg(map_from_entries(collect_list(
-          struct(col("m") * 1024 + col("code"), col("d")))).as("dmap"))
+    def scoreChunk(dt: DataFrame): DataFrame = {
       val scored = codes.crossJoin(broadcast(dt))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("adist",
@@ -337,17 +331,27 @@ object Similarity {
         .select("query_id", "rank", "vec_id", "adist")
     }
 
+    // one dmap row per query — the frame the broadcast ships. Counting
+    // it gates the ceiling for FREE: the count materializes the cache
+    // the broadcast (or each chunk's filter) then reads.
+    val dtAll = subVectors(queries, "query_id", "qv")
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("d", idist(col("spx"), col("cq")))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("m") * 1024 + col("code"), col("d")))).as("dmap"))
+      .persist()
     val perQueryEntries = numSubs.toLong * codebookSize
-    val qCount = queries.count()
+    val qCount = dtAll.count()
     val chunks = math.min(qCount max 1L,
       (qCount * perQueryEntries + maxAdcEntries - 1) / maxAdcEntries max 1L).toInt
-    if (chunks <= 1) scoreChunk(queries)
+    if (chunks <= 1) scoreChunk(dtAll)
     else {
       // each chunk re-reads the compressed codes, not the raw corpus —
       // persist them so the chunk loop doesn't re-encode
       codes.persist()
       (0 until chunks).map { c =>
-        scoreChunk(queries.filter(
+        scoreChunk(dtAll.filter(
           pmod(hash64(lit("pqchunk"), col("query_id").cast("string")),
             lit(chunks)) === c))
       }.reduce(_ union _)
