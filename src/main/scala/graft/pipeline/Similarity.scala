@@ -253,6 +253,30 @@ object Similarity {
         * so the union of chunked top-ks is exact). */
       maxAdcEntries: Long = 32L * 1024 * 1024
   ): DataFrame = {
+    val (out, caches) = pqTopKLazy(queries, corpus, dims, k, numSubs,
+      codebookSize, lloydIters, maxAdcEntries)
+    // materialize the (small) top-k result and RELEASE every cached
+    // input — repeated calls must not accumulate dead cached blocks in
+    // executor storage (CacheManager holds them until an explicit
+    // unpersist; the checkpointed frame no longer references them)
+    val materialized = out.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    materialized
+  }
+
+  /** The lazy PQ plan plus the frames it persisted — split out so plan
+    * shape stays inspectable ([[pqTopK]] checkpoints the result, which
+    * truncates lineage to an ExistingRDD scan). */
+  private[graft] def pqTopKLazy(
+      queries: DataFrame,
+      corpus: DataFrame,
+      dims: Int,
+      k: Int,
+      numSubs: Int = 4,
+      codebookSize: Int = 16,
+      lloydIters: Int = 2,
+      maxAdcEntries: Long = 32L * 1024 * 1024
+  ): (DataFrame, Seq[DataFrame]) = {
     require(dims % numSubs == 0, s"dims=$dims not divisible by numSubs=$numSubs")
     val subLen = dims / numSubs
     def quant(vec: Column): Column =
@@ -345,17 +369,19 @@ object Similarity {
     val qCount = dtAll.count()
     val chunks = math.min(qCount max 1L,
       (qCount * perQueryEntries + maxAdcEntries - 1) / maxAdcEntries max 1L).toInt
-    if (chunks <= 1) scoreChunk(dtAll)
-    else {
-      // each chunk re-reads the compressed codes, not the raw corpus —
-      // persist them so the chunk loop doesn't re-encode
-      codes.persist()
-      (0 until chunks).map { c =>
-        scoreChunk(dtAll.filter(
-          pmod(hash64(lit("pqchunk"), col("query_id").cast("string")),
-            lit(chunks)) === c))
-      }.reduce(_ union _)
-    }
+    val out =
+      if (chunks <= 1) scoreChunk(dtAll)
+      else {
+        // each chunk re-reads the compressed codes, not the raw corpus —
+        // persist them so the chunk loop doesn't re-encode
+        codes.persist()
+        (0 until chunks).map { c =>
+          scoreChunk(dtAll.filter(
+            pmod(hash64(lit("pqchunk"), col("query_id").cast("string")),
+              lit(chunks)) === c))
+        }.reduce(_ union _)
+      }
+    (out, Seq(dtAll, codes, corpusSub))
   }
 
   /** LSH ANN: same-bucket candidates re-ranked exactly. Recall < 1 by

@@ -156,15 +156,20 @@ object ExactRollingWriter {
 
   /** Smallest FIXED_LEN_BYTE_ARRAY length that can hold any two's-
     * complement unscaled value of `precision` digits (the parquet spec's
-    * sizing rule for FLBA-backed decimals). */
-  private[graft] def minBytesForPrecision(precision: Int): Int = {
-    var bytes = 1
-    // max unscaled magnitude is 10^precision - 1; a signed n-byte field
-    // holds magnitudes below 2^(8n-1)
-    while (math.pow(2.0, 8.0 * bytes - 1) < math.pow(10.0, precision.toDouble))
-      bytes += 1
-    bytes
-  }
+    * sizing rule for FLBA-backed decimals). Precomputed — the lookup
+    * sits on the per-row write path. */
+  private val MinBytesByPrecision: Array[Int] =
+    (0 to 38).map { p =>
+      var bytes = 1
+      // max unscaled magnitude is 10^p - 1; a signed n-byte field holds
+      // magnitudes below 2^(8n-1)
+      while (math.pow(2.0, 8.0 * bytes - 1) < math.pow(10.0, p.toDouble))
+        bytes += 1
+      bytes
+    }.toArray
+
+  private[graft] def minBytesForPrecision(precision: Int): Int =
+    MinBytesByPrecision(precision)
 
   private[graft] def toMessageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()

@@ -219,6 +219,22 @@ final class GraftDsv2BatchWrite(
       val newKeys = entries.flatMap(e => keyOf(e.path)).toSet
       require(newKeys.nonEmpty && entries.forall(e => keyOf(e.path).isDefined),
         "fanout-written files must carry their partition key")
+      // partition identity is compared on SANITIZED rendered values, and
+      // the sanitizer is lossy only through '_' (every replaced char
+      // becomes '_'): two distinct raw values can collide only if the
+      // sanitized form contains '_'. Removal is destructive, so refuse
+      // when any incoming value could be ambiguous — a collision here
+      // would delete a DIFFERENT partition's files.
+      val ambiguous = entries.flatMap { e =>
+        val fs = graft.core.PartitionKey.parse(e.path)
+        fieldNames.flatMap(fs.get).filter(_.contains('_'))
+      }.distinct
+      if (ambiguous.nonEmpty) throw graft.core.CompactionError.Config(
+        s"dynamic partition overwrite cannot prove partition identity for " +
+          s"value(s) ${ambiguous.take(3).mkString(", ")} ('_' in a sanitized " +
+          "partition value may collide with a different raw value); use a " +
+          "static INSERT OVERWRITE or partition values without special " +
+          "characters or underscores")
       cm.overwritePartitions(entries, newKeys, keyOf,
         expectedSchemaId = validatedSchemaId)
     }

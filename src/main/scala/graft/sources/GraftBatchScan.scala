@@ -569,7 +569,12 @@ final class GraftScan(
       if (partSpec.isEmpty || pushedEqCandidates.isEmpty) data
       else PartitionPruning.prune(data, partSpec, pushedEqCandidates, colTypes)
     if (pruneBounds.isEmpty) partPruned
-    else pruneGuarded(partPruned, ScanPruning.pruneDataFilesWithBounds(_, pruneBounds))
+    else pruneGuarded(partPruned,
+      ScanPruning.pruneDataFilesWithBounds(_, pruneBounds,
+        // boundsOf expressed these columns' bounds in unscaled space
+        tableSchema.fields.collect {
+          case f if f.dataType.isInstanceOf[DecimalType] => f.name
+        }.toSet))
   }
 
   /** Per-task position-delete scoping: [[graft.compaction

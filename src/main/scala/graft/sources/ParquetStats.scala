@@ -66,11 +66,22 @@ object ParquetStats {
   /** One footer read returning BOTH the exact row count and the integral
     * min/max for `cols` — for callers that need several footer facts per
     * file (e.g. Iceberg manifest record_count + column bounds) without
-    * opening the footer twice. */
-  def fileStats(path: String, cols: Seq[String]): (Long, Option[Map[String, (Long, Long)]]) = {
+    * opening the footer twice.
+    *
+    * `decimalAsUnscaled` opts specific columns into decimal stats: a
+    * decimal column's footer min/max are UNSCALED values, so only a
+    * caller whose bound constraints are already expressed in unscaled
+    * space (the DSv2 scan's type-aware [[GraftScanBuilder]] path) may
+    * consume them — the typeless Column-tree path must keep treating
+    * decimal stats as untrustworthy or it would compare value-domain
+    * literals against unscaled stats and prune files that match. */
+  def fileStats(path: String, cols: Seq[String],
+      decimalAsUnscaled: Set[String] = Set.empty)
+      : (Long, Option[Map[String, (Long, Long)]]) = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), FileIO.hadoopConf))
-    try (reader.getRecordCount, minMaxOf(reader, cols)) finally reader.close()
+    try (reader.getRecordCount, minMaxOf(reader, cols, decimalAsUnscaled))
+    finally reader.close()
   }
 
   /** One file's footer min/max for `cols`: None if a non-empty row group
@@ -138,24 +149,28 @@ object ParquetStats {
   def unsignedLe(a: Array[Byte], b: Array[Byte]): Boolean =
     !unsignedLt(b, a)
 
-  private def minMaxOf(reader: ParquetFileReader,
-      cols: Seq[String]): Option[Map[String, (Long, Long)]] = {
+  private def minMaxOf(reader: ParquetFileReader, cols: Seq[String],
+      decimalAsUnscaled: Set[String] = Set.empty)
+      : Option[Map[String, (Long, Long)]] = {
     val acc = scala.collection.mutable.Map[String, (Long, Long)]()
     for (block <- reader.getFooter.getBlocks.asScala if block.getRowCount > 0;
          cc <- block.getColumns.asScala) {
       val name = cc.getPath.toDotString
       if (cols.contains(name)) {
         val pt = cc.getPrimitiveType
-        // decimals annotated on INT32/INT64 are trustworthy too: their
-        // stats are unscaled values, which order exactly like the
-        // decimals themselves at the column's fixed scale (callers
-        // compare in unscaled space — see GraftScanBuilder.boundsOf)
+        // decimal stats are UNSCALED values — only trusted for columns
+        // the caller explicitly opted in (its bounds must be unscaled
+        // too, see fileStats); date stats are epoch days, safe for all
+        // callers because an epoch-day bound can only come from a
+        // date-typed literal (a raw int literal never compares to a
+        // DATE column through Spark's analyzer)
         val integral = (pt.getPrimitiveTypeName == PrimitiveTypeName.INT64 ||
           pt.getPrimitiveTypeName == PrimitiveTypeName.INT32) &&
           (pt.getLogicalTypeAnnotation == null ||
             pt.getLogicalTypeAnnotation.isInstanceOf[IntLogicalTypeAnnotation] ||
-            pt.getLogicalTypeAnnotation.isInstanceOf[
-              org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] ||
+            (pt.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] &&
+              decimalAsUnscaled.contains(name)) ||
             pt.getLogicalTypeAnnotation.isInstanceOf[
               org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation])
         val st = cc.getStatistics

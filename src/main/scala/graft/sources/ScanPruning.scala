@@ -168,8 +168,13 @@ object ScanPruning {
     }
 
   /** Same pruning from pre-extracted bounds (the DSv2 scan derives them
-    * from pushed `sources.Filter`s instead of a Column tree). */
-  def pruneDataFilesWithBounds(files: Seq[FileEntry], cs: Bounds): Seq[FileEntry] =
+    * from pushed `sources.Filter`s instead of a Column tree).
+    * `decimalAsUnscaled` names the columns whose bounds are expressed
+    * in UNSCALED decimal space (the type-aware DSv2 path) — only those
+    * may consume decimal footer stats; the typeless [[constraints]]
+    * path passes none and keeps decimal files conservatively. */
+  def pruneDataFilesWithBounds(files: Seq[FileEntry], cs: Bounds,
+      decimalAsUnscaled: Set[String] = Set.empty): Seq[FileEntry] =
     if (cs.isEmpty) files
     else if (cs.values.exists { case (lo, hi) => lo > hi }) {
       // contradictory bounds (x > MAX, or merged x > 5 AND x < 3): no row
@@ -179,7 +184,7 @@ object ScanPruning {
       val (data, deletes) = files.partition(_.content == "data")
       data.take(1) ++ deletes
     }
-    else pruneWith(files, cs.keys.toSeq) { stats =>
+    else pruneWith(files, cs.keys.toSeq, decimalAsUnscaled) { stats =>
       cs.forall { case (c, (lo, hi)) =>
         stats.get(c) match {
           case None           => true // column absent -> keep
@@ -194,7 +199,8 @@ object ScanPruning {
     * so the read still resolves the table schema. Footers are fetched in
     * parallel — the same driver-pool rationale as
     * ParquetStats.minMaxLong (object-store round-trips, not CPU). */
-  private def pruneWith(files: Seq[FileEntry], cols: Seq[String])(
+  private def pruneWith(files: Seq[FileEntry], cols: Seq[String],
+      decimalAsUnscaled: Set[String] = Set.empty)(
       keep: Map[String, (Long, Long)] => Boolean): Seq[FileEntry] = {
     val (data, deletes) = files.partition(_.content == "data")
     val pool = java.util.concurrent.Executors
@@ -203,7 +209,7 @@ object ScanPruning {
       val futures = data.map { f =>
         pool.submit(new java.util.concurrent.Callable[Boolean] {
           override def call(): Boolean =
-            ParquetStats.fileStats(f.path, cols)._2 match {
+            ParquetStats.fileStats(f.path, cols, decimalAsUnscaled)._2 match {
               case None        => true // no trustworthy stats -> keep
               case Some(stats) => keep(stats)
             }

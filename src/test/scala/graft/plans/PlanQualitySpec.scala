@@ -128,7 +128,18 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("PQ search: codes scored against broadcast tables, no cartesian, no corpus shuffle pre-window") {
-    val p = plan(graft.queries.PipelineQueries.queries("ann_pq")(spark, dir))
+    // the public pqTopK localCheckpoints (truncating lineage), so the
+    // shape assertions run on the LAZY plan it executes
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (lazyPlan, caches) = graft.pipeline.Similarity.pqTopKLazy(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+        .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+          org.apache.spark.sql.functions.col("embedding").as("qv")),
+      e.select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").as("v")),
+      dims = 64, k = 10)
+    val p = plan(lazyPlan)
+    caches.foreach(_.unpersist())
     assert(p.contains("Broadcast"),
       s"codebook / distance-table sides must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),

@@ -45,6 +45,32 @@ class ScanPruningSpec extends AnyFunSuite {
       rows.size.toLong, sequenceNumber = 1)
   }
 
+  test("typeless constraints never consume decimal stats (value vs unscaled domain)") {
+    // price 1.00..2.00 stores unscaled stats [100, 200]; the typeless
+    // Column-tree path extracts the raw literal 5 — comparing the two
+    // domains would wrongly prune a file full of matching rows
+    val dir = Files.createTempDirectory("prune-dec").toString
+    val tmp = Files.createTempDirectory("prune-dec-w").toString
+    spark.range(0, 101)
+      .selectExpr("id", "CAST(1.00 + id * 0.01 AS DECIMAL(12,2)) AS price")
+      .repartition(1).write.mode("overwrite").parquet(tmp)
+    val part = new File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val target = new File(s"$dir/data/f1.parquet")
+    Files.createDirectories(target.getParentFile.toPath)
+    Files.move(part.toPath, target.toPath)
+    val fe = FileEntry(target.getPath, "data", target.length(), 101L, 1L)
+    val kept = ScanPruning.pruneDataFiles(Seq(fe), col("price") < 5)
+    assert(kept.map(_.path) == Seq(fe.path),
+      "a decimal column must not be pruned by an untyped literal bound")
+    // the type-aware path (bounds already unscaled) MAY prune via the
+    // same stats when opted in: unscaled bound < 100 excludes the file
+    val keptAware = ScanPruning.pruneDataFilesWithBounds(
+      Seq(fe, fe.copy(path = fe.path)), Map("price" -> (Long.MinValue, 99L)),
+      decimalAsUnscaled = Set("price"))
+    assert(keptAware.count(_.content == "data") == 1,
+      "opted-in unscaled bounds prune to the anchor floor")
+  }
+
   test("footer bounds prune non-intersecting files; deletes pass through") {
     val dir = Files.createTempDirectory("prune-t").toString
     val f1 = writeFile((1L to 10L).map(i => (i, s"a$i")), s"$dir/data/f1.parquet")

@@ -578,6 +578,16 @@ class GraftCatalogSpec extends AnyFunSuite {
       sql("INSERT OVERWRITE gsql.dbdo.u VALUES (9)")
       assert(sql("SELECT id FROM gsql.dbdo.u").collect().map(_.getLong(0)).toSeq
         == Seq(9L))
+      // a value whose sanitized form contains '_' could collide with a
+      // DIFFERENT raw value ("x,1" and "x_1" both render x_1) — the
+      // destructive overwrite must refuse rather than risk deleting
+      // another partition's files
+      val e = intercept[Exception] {
+        sql("INSERT OVERWRITE gsql.dbdo.p VALUES (30,'x_1')")
+      }
+      assert(e.getMessage.contains("partition identity") ||
+        Option(e.getCause).exists(_.getMessage.contains("partition identity")),
+        s"ambiguous value must be refused, got: $e")
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     // static mode still truncates the whole table
     sql("INSERT OVERWRITE gsql.dbdo.p VALUES (20,'Z')")
