@@ -255,14 +255,19 @@ object Similarity {
   ): DataFrame = {
     val (out, caches) = pqTopKLazy(queries, corpus, dims, k, numSubs,
       codebookSize, lloydIters, maxAdcEntries)
-    // materialize the (small) top-k result and RELEASE every cached
-    // input — repeated calls must not accumulate dead cached blocks in
-    // executor storage (CacheManager holds them until an explicit
-    // unpersist; the checkpointed frame no longer references them)
-    val materialized = out.localCheckpoint(true)
-    caches.foreach(_.unpersist())
-    materialized
+    // release the PREVIOUS invocation's cached frames: CacheManager
+    // holds persisted plans until an explicit unpersist, so repeated
+    // searches would otherwise accumulate dead cached blocks. A
+    // generation swap bounds storage to one invocation while keeping
+    // the returned plan lazy (an eager localCheckpoint here costs ~2x —
+    // the RDD materialization path loses AQE). If a caller still
+    // consumes an older result, unpersist only means recompute.
+    lastPqCaches.getAndSet(caches).foreach(_.unpersist())
+    out
   }
+
+  private val lastPqCaches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
 
   /** The lazy PQ plan plus the frames it persisted — split out so plan
     * shape stays inspectable ([[pqTopK]] checkpoints the result, which
