@@ -38,6 +38,7 @@ object SparkEntry {
       ("sql_merge_mor" -> (graft.queries.SqlCatalogQuery.runMergeMor _)) +
       ("sql_partitioned" -> (graft.queries.SqlCatalogQuery.runPartitioned _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
+      ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -67,6 +68,7 @@ object SparkEntry {
       ("sql_merge_mor" -> graft.queries.SqlCatalogQuery.mergeOracle) +
       ("sql_partitioned" -> graft.queries.SqlCatalogQuery.partitionedOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
+      ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

@@ -236,6 +236,74 @@ object SqlCatalogQuery {
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin)
   }
 
+  // -------- ARRAY / STRUCT / MAP through the engine table format --------
+
+  private val nestCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Nested columns through the full engine lifecycle: CREATE a table
+    * with ARRAY<STRING> / STRUCT / MAP<STRING,BIGINT> columns, INSERT
+    * values BUILT from lineitem primitives (per-row arrays of varying
+    * length, a null array row, struct members, two-key maps), DELETE
+    * merge-on-read on a primitive predicate, then read back and FLATTEN
+    * to primitives (element/member/map lookups). The oracle recomputes
+    * the flattened result from lineitem alone — a hash match certifies
+    * the nested values survived the write → MoR read round-trip
+    * bit-for-bit, while every compared column stays a primitive the
+    * DuckDB/pandas bridge is dtype-stable on. */
+  def runNested(spark: SparkSession, dir: String): DataFrame = {
+    val cat = nestCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"gn${counter.incrementAndGet()}"
+      val wh = Files.createTempDirectory(s"graft-sqlnest-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_nest")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(
+        s"""CREATE TABLE $name.db.nest (
+           |  l_orderkey BIGINT, l_linenumber INT,
+           |  tags ARRAY<STRING>,
+           |  info STRUCT<qty: BIGINT, flag: STRING>,
+           |  m MAP<STRING, BIGINT>)""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.nest
+           |SELECT l_orderkey, l_linenumber,
+           |  CASE WHEN l_linenumber = 7 THEN NULL
+           |       WHEN l_linenumber % 2 = 0 THEN array(l_returnflag)
+           |       ELSE array(l_returnflag, l_linestatus) END,
+           |  named_struct('qty', CAST(round(l_quantity * 100) AS BIGINT),
+           |               'flag', l_returnflag),
+           |  map('ok', l_orderkey, 'sk', l_suppkey)
+           |FROM li_nest WHERE l_orderkey % 3 < 2""".stripMargin)
+      spark.sql(s"DELETE FROM $name.db.nest WHERE l_orderkey <= 400")
+      name
+    })
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN tags IS NULL THEN NULL
+         |       ELSE CAST(size(tags) AS STRING) END AS n_tags_s,
+         |  try_element_at(tags, 1) AS t1,
+         |  try_element_at(tags, 2) AS t2,
+         |  info.qty AS qty, info.flag AS flag,
+         |  try_element_at(m, 'sk') AS mv
+         |FROM $cat.db.nest WHERE l_orderkey % 7 = 3
+         |ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin)
+  }
+
+  val nestedOracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_linenumber = 7 THEN NULL
+      |       WHEN l_linenumber % 2 = 0 THEN '1' ELSE '2' END AS n_tags_s,
+      |  CASE WHEN l_linenumber = 7 THEN NULL ELSE l_returnflag END AS t1,
+      |  CASE WHEN l_linenumber = 7 OR l_linenumber % 2 = 0 THEN NULL
+      |       ELSE l_linestatus END AS t2,
+      |  CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+      |  l_returnflag AS flag,
+      |  l_suppkey AS mv
+      |FROM lineitem
+      |WHERE l_orderkey % 3 < 2 AND l_orderkey > 400 AND l_orderkey % 7 = 3
+      |ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
+
   val decimalOracle: String =
     """WITH src AS (
       |  SELECT l_orderkey, l_linenumber,

@@ -57,7 +57,8 @@ object ExactRollingWriter {
     val schema = df.schema
     schema.fields.foreach { f =>
       require(supportedType(f.dataType),
-        s"ExactRollingWriter supports flat primitive schemas; ${f.name}: ${f.dataType} is not")
+        s"ExactRollingWriter supports primitive and array/struct/map columns; " +
+          s"${f.name}: ${f.dataType} is not")
     }
     graft.io.FileIO.mkdirs(outDir)
     val codec = CompressionCodecName.valueOf(compression.toUpperCase)
@@ -145,12 +146,21 @@ object ExactRollingWriter {
     metas.sortBy(_.filePath).toSeq
   }
 
-  /** Type support of the engine's flat-primitive table model (shared
-    * with the DSv2 batch writer's up-front schema validation). */
+  /** Type support of the engine's table model (shared with the DSv2
+    * batch writer's up-front schema validation): the primitive lattice
+    * plus ARRAY/STRUCT/MAP compositions of it (standard parquet 3-level
+    * LIST and MAP group encodings). Nested columns ride the row read
+    * path — [[graft.sources.GraftColumnarReader.supportedSchema]] gates
+    * them off the vectorized fill, and scans with nested output fall
+    * back per scan. */
   private[graft] def supportedType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
-         BooleanType | TimestampType | TimestampNTZType | DateType => true
+         BooleanType | TimestampType | TimestampNTZType | DateType |
+         BinaryType => true
     case _: DecimalType => true
+    case ArrayType(et, _) => supportedType(et)
+    case MapType(kt, vt, _) => supportedType(kt) && supportedType(vt)
+    case StructType(fields) => fields.forall(f => supportedType(f.dataType))
     case _ => false
   }
 
@@ -173,87 +183,153 @@ object ExactRollingWriter {
 
   private[graft] def toMessageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
-      val t: PrimitiveType = f.dataType match {
-        case LongType => Types.primitive(PrimitiveTypeName.INT64, rep).named(f.name)
-        case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep).named(f.name)
-        case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep).named(f.name)
-        case FloatType => Types.primitive(PrimitiveTypeName.FLOAT, rep).named(f.name)
-        case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep).named(f.name)
-        case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name)
-        case TimestampType => Types.primitive(PrimitiveTypeName.INT64, rep)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-        case TimestampNTZType => Types.primitive(PrimitiveTypeName.INT64, rep)
-          .as(LogicalTypeAnnotation.timestampType(false,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-        case DateType => Types.primitive(PrimitiveTypeName.INT32, rep)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name)
-        // parquet's decimal physical ladder: INT32 to 9 digits, INT64 to
-        // 18, two's-complement FLBA beyond — what every Iceberg/Spark
-        // reader expects for each precision band
-        case d: DecimalType if d.precision <= 9 =>
-          Types.primitive(PrimitiveTypeName.INT32, rep)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-            .named(f.name)
-        case d: DecimalType if d.precision <= 18 =>
-          Types.primitive(PrimitiveTypeName.INT64, rep)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-            .named(f.name)
-        case d: DecimalType =>
-          Types.primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, rep)
-            .length(minBytesForPrecision(d.precision))
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-            .named(f.name)
-        case other => throw new IllegalArgumentException(s"unsupported: $other")
-      }
-      b.addField(t)
-    }
+    schema.fields.foreach(f => b.addField(toParquetType(f.name, f.dataType, f.nullable)))
     b.named("graft_row")
+  }
+
+  /** One column's parquet type. Nested compositions use the spec's
+    * standard group shapes — 3-level LIST (`group (LIST) { repeated
+    * group list { element } }`), MAP (`group (MAP) { repeated group
+    * key_value { required key; value } }`), and plain groups for
+    * structs — the encodings every modern parquet reader (Spark's own
+    * vectorized one included) resolves. */
+  private def toParquetType(name: String, dt: DataType, nullable: Boolean): Type = {
+    val rep = if (nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
+    dt match {
+      case LongType => Types.primitive(PrimitiveTypeName.INT64, rep).named(name)
+      case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep).named(name)
+      case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep).named(name)
+      case FloatType => Types.primitive(PrimitiveTypeName.FLOAT, rep).named(name)
+      case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep).named(name)
+      case BinaryType => Types.primitive(PrimitiveTypeName.BINARY, rep).named(name)
+      case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case TimestampType => Types.primitive(PrimitiveTypeName.INT64, rep)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case TimestampNTZType => Types.primitive(PrimitiveTypeName.INT64, rep)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case DateType => Types.primitive(PrimitiveTypeName.INT32, rep)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+      // parquet's decimal physical ladder: INT32 to 9 digits, INT64 to
+      // 18, two's-complement FLBA beyond — what every Iceberg/Spark
+      // reader expects for each precision band
+      case d: DecimalType if d.precision <= 9 =>
+        Types.primitive(PrimitiveTypeName.INT32, rep)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(name)
+      case d: DecimalType if d.precision <= 18 =>
+        Types.primitive(PrimitiveTypeName.INT64, rep)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(name)
+      case d: DecimalType =>
+        Types.primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, rep)
+          .length(minBytesForPrecision(d.precision))
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(name)
+      case ArrayType(et, containsNull) =>
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.listType())
+          .addField(Types.repeatedGroup()
+            .addField(toParquetType("element", et, containsNull))
+            .named("list"))
+          .named(name)
+      case MapType(kt, vt, valueContainsNull) =>
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
+          .addField(Types.repeatedGroup()
+            .addField(toParquetType("key", kt, nullable = false))
+            .addField(toParquetType("value", vt, valueContainsNull))
+            .named("key_value"))
+          .named(name)
+      case StructType(fields) =>
+        val g = Types.buildGroup(rep)
+        fields.foreach(f => g.addField(toParquetType(f.name, f.dataType, f.nullable)))
+        g.named(name)
+      case other => throw new IllegalArgumentException(s"unsupported: $other")
+    }
   }
 
   /** InternalRow field access: primitives read straight from the unsafe
     * format; timestamps are ALREADY epoch-micros longs internally (both
     * tz and ntz), so the write needs no java.sql/LocalDateTime object
-    * round-trip at all. */
+    * round-trip at all. Nested values recurse through
+    * [[org.apache.spark.sql.catalyst.expressions.SpecializedGetters]] —
+    * the accessor interface InternalRow and ArrayData share — so
+    * array/struct/map levels add group nesting without ever surfacing
+    * external Row objects. */
   private[graft] def rowToGroup(factory: SimpleGroupFactory, schema: StructType, row: InternalRow): Group = {
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) {
-        val name = schema(i).name
-        schema(i).dataType match {
-          case LongType => g.add(name, row.getLong(i))
-          case IntegerType => g.add(name, row.getInt(i))
-          case DoubleType => g.add(name, row.getDouble(i))
-          case FloatType => g.add(name, row.getFloat(i))
-          case BooleanType => g.add(name, row.getBoolean(i))
-          case StringType => g.add(name, row.getUTF8String(i).toString)
-          case TimestampType | TimestampNTZType => g.add(name, row.getLong(i))
-          case DateType => g.add(name, row.getInt(i))
-          case d: DecimalType =>
-            val dec = row.getDecimal(i, d.precision, d.scale)
-            if (d.precision <= 9) g.add(name, dec.toUnscaledLong.toInt)
-            else if (d.precision <= 18) g.add(name, dec.toUnscaledLong)
-            else {
-              // sign-extend the two's-complement unscaled value to the
-              // declared FLBA width
-              val width = minBytesForPrecision(d.precision)
-              val raw = dec.toJavaBigDecimal.unscaledValue().toByteArray
-              val out = new Array[Byte](width)
-              val pad: Byte = if (raw(0) < 0) -1 else 0
-              java.util.Arrays.fill(out, 0, width - raw.length, pad)
-              System.arraycopy(raw, 0, out, width - raw.length, raw.length)
-              g.add(name,
-                org.apache.parquet.io.api.Binary.fromConstantByteArray(out))
-            }
-          case other => throw new IllegalArgumentException(s"unsupported: $other")
-        }
-      }
+      if (!row.isNullAt(i)) addField(g, schema(i).name, schema(i).dataType, row, i)
       i += 1
     }
     g
+  }
+
+  import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+  import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+
+  /** Append `src(ord)` (non-null) to group field `name`. Group-typed
+    * fields (LIST/MAP/struct) append a child group and recurse; a null
+    * nested ELEMENT simply skips its optional leaf (repetition count 0,
+    * exactly how parquet encodes a null at any nesting depth). */
+  private def addField(g: Group, name: String, dt: DataType,
+      src: SpecializedGetters, ord: Int): Unit = dt match {
+    case LongType => g.add(name, src.getLong(ord))
+    case IntegerType => g.add(name, src.getInt(ord))
+    case DoubleType => g.add(name, src.getDouble(ord))
+    case FloatType => g.add(name, src.getFloat(ord))
+    case BooleanType => g.add(name, src.getBoolean(ord))
+    case StringType => g.add(name, src.getUTF8String(ord).toString)
+    case BinaryType => g.add(name,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(src.getBinary(ord)))
+    case TimestampType | TimestampNTZType => g.add(name, src.getLong(ord))
+    case DateType => g.add(name, src.getInt(ord))
+    case d: DecimalType =>
+      val dec = src.getDecimal(ord, d.precision, d.scale)
+      if (d.precision <= 9) g.add(name, dec.toUnscaledLong.toInt)
+      else if (d.precision <= 18) g.add(name, dec.toUnscaledLong)
+      else {
+        // sign-extend the two's-complement unscaled value to the
+        // declared FLBA width
+        val width = minBytesForPrecision(d.precision)
+        val raw = dec.toJavaBigDecimal.unscaledValue().toByteArray
+        val out = new Array[Byte](width)
+        val pad: Byte = if (raw(0) < 0) -1 else 0
+        java.util.Arrays.fill(out, 0, width - raw.length, pad)
+        System.arraycopy(raw, 0, out, width - raw.length, raw.length)
+        g.add(name,
+          org.apache.parquet.io.api.Binary.fromConstantByteArray(out))
+      }
+    case ArrayType(et, _) =>
+      val lg = g.addGroup(name)
+      val arr: ArrayData = src.getArray(ord)
+      var i = 0
+      while (i < arr.numElements()) {
+        val entry = lg.addGroup("list")
+        if (!arr.isNullAt(i)) addField(entry, "element", et, arr, i)
+        i += 1
+      }
+    case MapType(kt, vt, _) =>
+      val mg = g.addGroup(name)
+      val m: MapData = src.getMap(ord)
+      val keys = m.keyArray(); val vals = m.valueArray()
+      var i = 0
+      while (i < m.numElements()) {
+        val kv = mg.addGroup("key_value")
+        addField(kv, "key", kt, keys, i) // map keys are never null in Spark
+        if (!vals.isNullAt(i)) addField(kv, "value", vt, vals, i)
+        i += 1
+      }
+    case st: StructType =>
+      val sg = g.addGroup(name)
+      val child = src.getStruct(ord, st.length)
+      var i = 0
+      while (i < st.length) {
+        if (!child.isNullAt(i)) addField(sg, st(i).name, st(i).dataType, child, i)
+        i += 1
+      }
+    case other => throw new IllegalArgumentException(s"unsupported: $other")
   }
 }

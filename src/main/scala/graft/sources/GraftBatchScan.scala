@@ -107,9 +107,76 @@ object GraftBatchScan {
             Decimal(new java.math.BigDecimal(
               new java.math.BigInteger(bytes), d.scale), d.precision, d.scale)
         }
+      // nested compositions (the writer's standard 3-level LIST / MAP /
+      // struct group shapes, ExactRollingWriter.toParquetType) build
+      // CATALYST values directly — unlike the primitive cases there is
+      // no later [[toCatalyst]] boxing pass inside an array
+      case ArrayType(et, _) =>
+        val lg = g.getGroup(gi, 0)
+        requireChild(lg, "list", name)
+        val n = lg.getFieldRepetitionCount(0)
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          val entry = lg.getGroup(0, i)
+          out(i) =
+            if (entry.getFieldRepetitionCount(0) == 0) null
+            else toCatalyst(groupValue(entry, 0, et, s"$name.element"))
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case MapType(kt, vt, _) =>
+        val mg = g.getGroup(gi, 0)
+        requireChild(mg, "key_value", name)
+        val n = mg.getFieldRepetitionCount(0)
+        val keys = new Array[Any](n); val vals = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          val kv = mg.getGroup(0, i)
+          keys(i) = toCatalyst(groupValue(kv, 0, kt, s"$name.key"))
+          vals(i) =
+            if (kv.getFieldRepetitionCount(1) == 0) null
+            else toCatalyst(groupValue(kv, 1, vt, s"$name.value"))
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+      case st: StructType =>
+        val sg = g.getGroup(gi, 0)
+        val vals = new Array[Any](st.length)
+        var i = 0
+        while (i < st.length) {
+          // resolve struct members by NAME against the file's group —
+          // robust to member reordering by other writers; a missing
+          // member is a loud schema error, not a silent null (nested
+          // evolution is out of scope — columns evolve as a whole)
+          val idx =
+            try sg.getType.getFieldIndex(st(i).name)
+            catch { case _: org.apache.parquet.io.InvalidRecordException =>
+              throw CompactionError.Config(
+                s"struct member ${st(i).name} absent from column $name in the file")
+            }
+          vals(i) = toCatalyst(groupValue(sg, idx, st(i).dataType, s"$name.${st(i).name}"))
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
       case other => throw CompactionError.Config(
-        s"graft source supports flat primitives; column $name has unsupported type $other")
+        s"graft source supports primitive and array/struct/map columns; " +
+          s"column $name has unsupported type $other")
     }
+
+  /** The nested group shapes this reader resolves are positional under
+    * a NAMED wrapper (list / key_value); a different wrapper name means
+    * a legacy 2-level or nonstandard encoding — refuse loudly rather
+    * than misread. */
+  private def requireChild(g: Group, expect: String, col: String): Unit = {
+    val t = g.getType
+    if (t.getFieldCount != 1 || t.getType(0).getName != expect)
+      throw CompactionError.Config(
+        s"column $col uses a nonstandard parquet nested encoding " +
+          s"(expected a single repeated '$expect' group in ${t.getName})")
+  }
 
   /** Catalyst boxing for [[groupValue]] output (strings → UTF8String). */
   private[graft] def toCatalyst(v: Any): Any = v match {

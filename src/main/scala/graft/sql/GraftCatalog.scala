@@ -244,7 +244,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     schema.fields.foreach { fld =>
       if (!ExactRollingWriter.supportedType(fld.dataType))
         throw CompactionError.Config(
-          s"graft tables hold flat primitives; ${fld.name}: ${fld.dataType} is not supported")
+          s"graft tables hold primitive and array/struct/map columns; " +
+            s"${fld.name}: ${fld.dataType} is not supported")
     }
     // PARTITIONED BY → the engine's fanout transforms (reference S8):
     // identity / bucket(n) / truncate(w) / days. The spec rides a

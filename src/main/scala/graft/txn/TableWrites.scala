@@ -39,6 +39,27 @@ object TableWrites {
       .map { case (p, len) => (p, len, parquetRowCount(p)) }
   }
 
+  /** Equality-delete key columns must be primitive (the Iceberg spec's
+    * own restriction on equality field ids): the readers' key-set
+    * normalization ([[graft.sources.GraftBatchScan.eqKeyComponent]])
+    * canonicalizes NaN/binary at the TOP level only, so an array/struct/
+    * map key could compare differently between the set probe and the
+    * plan-level anti-join — refuse rather than risk divergence. */
+  private def requirePrimitiveKeys(df: DataFrame, cols: Seq[String]): Unit =
+    cols.foreach { c =>
+      df.schema.fields.find(_.name == c).foreach { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType =>
+            throw CompactionError.Config(
+              s"equality-delete key column '$c' has nested type " +
+                s"${f.dataType.simpleString}; keys must be primitive")
+          case _ => ()
+        }
+      }
+    }
+
   /** On a table with a schema history, an append whose columns don't
     * match the CURRENT schema would commit a file the reconciled read
     * cannot resolve — refuse it at write time. */
@@ -81,6 +102,7 @@ object TableWrites {
       catalog: TableCatalog = FileTableCatalog
   ): TableSnapshot = {
     require(equalityIds.nonEmpty, "equalityIds must name at least one column")
+    requirePrimitiveKeys(keys, equalityIds)
     val cur = catalog.loadOrThrow(tableDir)
     val outDir = s"$tableDir/data/eqdel-${java.util.UUID.randomUUID().toString.take(8)}"
     val files = writeParquet(
@@ -116,6 +138,7 @@ object TableWrites {
       catalog: TableCatalog = FileTableCatalog
   ): TableSnapshot = {
     require(keyCols.nonEmpty, "keyCols must name at least one column")
+    requirePrimitiveKeys(rows, keyCols)
     val cur = catalog.loadOrThrow(tableDir)
     requireConforming(cur, rows)
     val tag = java.util.UUID.randomUUID().toString.take(8)

@@ -36,12 +36,14 @@ class ExactRollingWriterSpec extends AnyFunSuite {
     assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
   }
 
-  test("rejects nested schemas clearly") {
+  test("rejects unsupported leaf types clearly, even nested inside arrays") {
     import spark.implicits._
-    val df = Seq((1L, Seq("a"))).toDF("id", "arr")
+    // SHORT is outside the engine's type lattice; the recursive check
+    // must surface it through the array wrapper, not at first write
+    val df = Seq((1L, Seq(2.toShort))).toDF("id", "arr")
     val e = intercept[IllegalArgumentException] {
       ExactRollingWriter.write(df, "/tmp/never", 1024)
     }
-    assert(e.getMessage.contains("flat primitive"))
+    assert(e.getMessage.contains("array/struct/map"))
   }
 }

@@ -937,13 +937,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gipt.db.pt").head.getLong(0) == 41)
   }
 
-  test("CREATE TABLE rejects nested types and duplicate tables") {
+  test("CREATE TABLE rejects unsupported leaf types and duplicate tables") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db3")
+    // nested compositions are in the lattice now, but their LEAVES still
+    // gate — SMALLINT is outside the engine's type model at any depth
     val e = intercept[Exception] {
-      sql("CREATE TABLE gsql.db3.bad (id BIGINT, xs ARRAY<BIGINT>)")
+      sql("CREATE TABLE gsql.db3.bad (id BIGINT, xs ARRAY<SMALLINT>)")
     }
     assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
-      .exists(_.getMessage.contains("flat primitives")))
+      .exists(_.getMessage.contains("array/struct/map")))
     sql("CREATE TABLE gsql.db3.ok (id BIGINT)")
     intercept[Exception] { sql("CREATE TABLE gsql.db3.ok (id BIGINT)") }
   }
