@@ -30,8 +30,10 @@ import scala.jdk.CollectionConverters._
   *
   * Scope (documented simplifications, all spec-legal for readers of the
   * CURRENT snapshot):
-  *  - flat schemas only (struct/list/map columns fail loudly — the
-  *    compaction tables this engine manages are flat);
+  *  - nested columns (list/map/struct) serialize as the spec's JSON
+  *    type objects with sub-field ids from a reserved per-column block
+  *    (see [[nestedIdCounter]]); member-wise nested evolution is out of
+  *    scope — nested columns evolve as a whole;
   *  - unpartitioned partition spec (file layout is the engine's own
   *    fanout; Iceberg hidden partitioning metadata is not emitted);
   *  - every commit writes fresh manifests for the full live file set
@@ -102,14 +104,60 @@ object IcebergFormat {
       HadoopInputFile.fromPath(new Path(dataFilePath), FileIO.hadoopConf))
     val msg = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
     msg.getFields.asScala.toSeq.zipWithIndex.map { case (f, i) =>
-      if (!f.isPrimitive)
-        throw CompactionError.Config(
-          s"IcebergTableCatalog supports flat schemas only; column " +
-            s"'${f.getName}' is nested (${f.asGroupType()})")
-      Field(i + 1, f.getName, f.getRepetition == PType.Repetition.REQUIRED,
-        icebergType(f.asPrimitiveType()))
+      val typ =
+        if (f.isPrimitive) icebergType(f.asPrimitiveType())
+        else mapper.writeValueAsString(
+          parquetTypeToIceberg(f, nestedIdCounter(i + 1)))
+      Field(i + 1, f.getName, f.getRepetition == PType.Repetition.REQUIRED, typ)
     }
   }
+
+  /** Parquet type → Iceberg type JSON, resolving the standard 3-level
+    * LIST / MAP group encodings (the shapes
+    * [[graft.sinks.ExactRollingWriter]] emits) and plain groups as
+    * structs. */
+  private def parquetTypeToIceberg(t: PType, nextId: () => Int): JsonNode =
+    if (t.isPrimitive)
+      com.fasterxml.jackson.databind.node.TextNode.valueOf(
+        icebergType(t.asPrimitiveType()))
+    else {
+      val g = t.asGroupType()
+      g.getLogicalTypeAnnotation match {
+        case _: ListLogicalTypeAnnotation =>
+          val elem = g.getType(0).asGroupType().getType(0)
+          val o = mapper.createObjectNode()
+          o.put("type", "list")
+          o.put("element-id", nextId())
+          o.put("element-required", elem.getRepetition == PType.Repetition.REQUIRED)
+          o.set[JsonNode]("element", parquetTypeToIceberg(elem, nextId))
+          o
+        case _: MapLogicalTypeAnnotation =>
+          val kv = g.getType(0).asGroupType()
+          val o = mapper.createObjectNode()
+          o.put("type", "map")
+          o.put("key-id", nextId())
+          val vid = nextId()
+          o.set[JsonNode]("key", parquetTypeToIceberg(kv.getType(0), nextId))
+          o.put("value-id", vid)
+          o.put("value-required", kv.getType(1).getRepetition == PType.Repetition.REQUIRED)
+          o.set[JsonNode]("value", parquetTypeToIceberg(kv.getType(1), nextId))
+          o
+        case _ =>
+          val o = mapper.createObjectNode()
+          o.put("type", "struct")
+          val fs = o.putArray("fields")
+          val members = g.getFields.asScala.toSeq
+          val ids = members.map(_ => nextId())
+          members.zip(ids).foreach { case (m, id) =>
+            val fo = fs.addObject()
+            fo.put("id", id)
+            fo.put("name", m.getName)
+            fo.put("required", m.getRepetition == PType.Repetition.REQUIRED)
+            fo.set[JsonNode]("type", parquetTypeToIceberg(m, nextId))
+          }
+          o
+      }
+    }
 
   def schemaJson(schemaId: Long, fields: Seq[Field]): ObjectNode = {
     val o = mapper.createObjectNode()
@@ -119,15 +167,20 @@ object IcebergFormat {
     fields.foreach { f =>
       val fo = fs.addObject()
       fo.put("id", f.id); fo.put("name", f.name)
-      fo.put("required", f.required); fo.put("type", f.typ)
+      fo.put("required", f.required)
+      // nested types carry the spec's JSON type OBJECT; primitives a string
+      if (f.typ.startsWith("{")) fo.set[JsonNode]("type", parse(f.typ))
+      else fo.put("type", f.typ)
     }
     o
   }
 
   def parseSchemaFields(schema: JsonNode): Seq[Field] =
     schema.get("fields").elements().asScala.toSeq.map { f =>
+      val t = f.get("type")
+      val typ = if (t.isTextual) t.asText else mapper.writeValueAsString(t)
       Field(f.get("id").asInt, f.get("name").asText,
-        f.get("required").asBoolean, f.get("type").asText)
+        f.get("required").asBoolean, typ)
     }
 
   /** Spark DDL type string (graft's [[graft.core.SchemaField.dataType]]
@@ -149,13 +202,148 @@ object IcebergFormat {
       case d: org.apache.spark.sql.types.DecimalType   =>
         s"decimal(${d.precision}, ${d.scale})"
       case other => throw CompactionError.Config(
-        s"no Iceberg mapping for Spark type $other (flat primitives only)")
+        s"no Iceberg primitive mapping for Spark type $other")
     }
 
-  /** Inverse of [[sparkDdlToIceberg]] for loading a graft schema history
-    * back out of Iceberg metadata (only types the forward mapping
-    * emits). */
-  def icebergToSparkDdl(typ: String): String = typ match {
+  // --------------------------------------------------- nested type mapping
+
+  /** Nested field-id allocation: every non-top-level id (list element,
+    * map key/value, struct member) for top-level field `topId` comes
+    * from the reserved block `[NestedIdBase + (topId-1)*NestedIdSpan,
+    * +NestedIdSpan)`. Ids are therefore unique within a schema, DISJOINT
+    * from any realistic top-level id, and — because graft evolves nested
+    * columns as a whole (member-wise nested evolution is refused) —
+    * STABLE for an unchanged column across every schema version in the
+    * history, which is what id-tracking Iceberg readers require. */
+  private[txn] val NestedIdBase = 10000
+  private[txn] val NestedIdSpan = 200
+
+  private def nestedIdCounter(topId: Int): () => Int = {
+    if (topId <= 0 || topId >= NestedIdBase)
+      throw CompactionError.Config(
+        s"top-level field id $topId outside the nested-id scheme's range " +
+          s"(1 until $NestedIdBase)")
+    val base = NestedIdBase + (topId - 1) * NestedIdSpan
+    var next = base
+    () => {
+      if (next >= base + NestedIdSpan)
+        throw CompactionError.Config(
+          s"column with field id $topId nests more than $NestedIdSpan " +
+            s"sub-fields; widen NestedIdSpan")
+      val v = next; next += 1; v
+    }
+  }
+
+  /** Spark DDL type → Iceberg type `Field.typ` encoding: the primitive
+    * type string, or for ARRAY/STRUCT/MAP the spec's JSON type object
+    * (compact), with sub-field ids from [[nestedIdCounter]]. */
+  def sparkDdlToIcebergTyped(ddl: String, topId: Int): String = {
+    import org.apache.spark.sql.types._
+    DataType.fromDDL(ddl) match {
+      case _: ArrayType | _: MapType | _: StructType =>
+        mapper.writeValueAsString(
+          sparkTypeToIceberg(DataType.fromDDL(ddl), nestedIdCounter(topId)))
+      case _ => sparkDdlToIceberg(ddl)
+    }
+  }
+
+  /** Spark type → Iceberg type JSON (spec "Schemas" — list/map/struct
+    * objects, primitive strings). Struct member ids are assigned
+    * breadth-first within each struct (all siblings before any child),
+    * matching Iceberg's own fresh-id visitor order. */
+  private def sparkTypeToIceberg(dt: org.apache.spark.sql.types.DataType,
+      nextId: () => Int): JsonNode = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(et, containsNull) =>
+        val o = mapper.createObjectNode()
+        o.put("type", "list")
+        o.put("element-id", nextId())
+        o.put("element-required", !containsNull)
+        o.set[JsonNode]("element", sparkTypeToIceberg(et, nextId))
+        o
+      case MapType(kt, vt, valueContainsNull) =>
+        val o = mapper.createObjectNode()
+        o.put("type", "map")
+        val kid = nextId(); val vid = nextId()
+        o.put("key-id", kid)
+        o.set[JsonNode]("key", sparkTypeToIceberg(kt, nextId))
+        o.put("value-id", vid)
+        o.put("value-required", !valueContainsNull)
+        o.set[JsonNode]("value", sparkTypeToIceberg(vt, nextId))
+        o
+      case StructType(fields) =>
+        val o = mapper.createObjectNode()
+        o.put("type", "struct")
+        val fs = o.putArray("fields")
+        val ids = fields.map(_ => nextId())
+        fields.zip(ids).foreach { case (f, id) =>
+          val fo = fs.addObject()
+          fo.put("id", id)
+          fo.put("name", f.name)
+          fo.put("required", !f.nullable)
+          fo.set[JsonNode]("type", sparkTypeToIceberg(f.dataType, nextId))
+        }
+        o
+      case p => com.fasterxml.jackson.databind.node.TextNode.valueOf(
+        sparkDdlToIceberg(p.sql))
+    }
+  }
+
+  /** Highest assigned field id across `fields`, INCLUDING sub-field ids
+    * inside nested type objects — what the spec's `last-column-id`
+    * records. */
+  def maxFieldId(fields: Seq[Field]): Int =
+    fields.foldLeft(0) { (m, f) =>
+      val nested = if (f.typ.startsWith("{")) maxIdIn(parse(f.typ)) else 0
+      math.max(m, math.max(f.id, nested))
+    }
+
+  private def maxIdIn(n: JsonNode): Int = {
+    var m = 0
+    if (n.isObject) {
+      Seq("id", "element-id", "key-id", "value-id").foreach { k =>
+        val v = n.get(k)
+        if (v != null && v.isInt) m = math.max(m, v.asInt)
+      }
+      n.elements().asScala.foreach(c => m = math.max(m, maxIdIn(c)))
+    } else if (n.isArray)
+      n.elements().asScala.foreach(c => m = math.max(m, maxIdIn(c)))
+    m
+  }
+
+  /** Iceberg type JSON node → Spark DataType (inverse of
+    * [[sparkTypeToIceberg]]). */
+  private def icebergNodeToSpark(n: JsonNode): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    if (n.isTextual) DataType.fromDDL(icebergToSparkDdl(n.asText))
+    else n.get("type").asText match {
+      case "list" =>
+        ArrayType(icebergNodeToSpark(n.get("element")),
+          containsNull = !Option(n.get("element-required")).exists(_.asBoolean))
+      case "map" =>
+        MapType(icebergNodeToSpark(n.get("key")),
+          icebergNodeToSpark(n.get("value")),
+          valueContainsNull = !Option(n.get("value-required")).exists(_.asBoolean))
+      case "struct" =>
+        StructType(n.get("fields").elements().asScala.toSeq.map { f =>
+          StructField(f.get("name").asText, icebergNodeToSpark(f.get("type")),
+            nullable = !f.get("required").asBoolean)
+        })
+      case other => throw CompactionError.Config(
+        s"unsupported Iceberg nested type kind: $other")
+    }
+  }
+
+  /** Inverse of [[sparkDdlToIceberg]]/[[sparkDdlToIcebergTyped]] for
+    * loading a graft schema history back out of Iceberg metadata (only
+    * types the forward mappings emit). Nested types arrive as the JSON
+    * object [[parseSchemaFields]] re-serialized into `Field.typ`. */
+  def icebergToSparkDdl(typ: String): String =
+    if (typ.startsWith("{")) icebergNodeToSpark(parse(typ)).sql
+    else icebergPrimToSparkDdl(typ)
+
+  private def icebergPrimToSparkDdl(typ: String): String = typ match {
     case "long"        => "BIGINT"
     case "int"         => "INT"
     case "string"      => "STRING"

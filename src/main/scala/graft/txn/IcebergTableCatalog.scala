@@ -194,7 +194,7 @@ object IcebergTableCatalog extends TableCatalog {
     val graftSchemas = snapshot.schemas
     def toFields(s: graft.core.TableSchema): Seq[Field] =
       s.fields.map(f => Field(f.id, f.name, required = false,
-        sparkDdlToIceberg(f.dataType)))
+        sparkDdlToIcebergTyped(f.dataType, f.id)))
     val prevFields = prevDoc.map(currentSchemaFields).getOrElse(Nil)
     val fields =
       if (graftSchemas.nonEmpty)
@@ -363,8 +363,8 @@ object IcebergTableCatalog extends TableCatalog {
       doc.put("last-updated-ms", now)
       doc.put("last-column-id",
         if (graftSchemas.nonEmpty)
-          graftSchemas.flatMap(_.fields.map(_.id)).max
-        else if (fields.isEmpty) 0 else fields.map(_.id).max)
+          graftSchemas.map(s => IcebergFormat.maxFieldId(toFields(s))).max
+        else IcebergFormat.maxFieldId(fields))
       doc.put("current-schema-id", snapshot.schemaId)
       val schemasArr = doc.putArray("schemas")
       if (graftSchemas.nonEmpty)

@@ -113,6 +113,46 @@ class NestedTypesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gnest.db.n")
   }
 
+  test("nested tables survive compaction and MERGE (cow + mor)") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("nested-merge-wh").toString
+    spark.conf.set("spark.sql.catalog.gnm", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gnm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnm.db")
+    Seq("copy-on-write", "merge-on-read").foreach { mode =>
+      val t = s"gnm.db.t_${mode.take(4).replace('-', '_')}"
+      spark.sql(s"CREATE TABLE $t (id BIGINT, tags ARRAY<STRING>, " +
+        "info STRUCT<qty: BIGINT, flag: STRING>) " +
+        s"TBLPROPERTIES ('graft.rowlevel.mode' = '$mode')")
+      // several small files so compaction has something to bin-pack
+      (1 to 4).foreach { k =>
+        spark.sql(s"INSERT INTO $t VALUES ($k, array('t$k'), " +
+          s"named_struct('qty', ${k}0L, 'flag', 'f$k'))")
+      }
+      // MERGE rewrites rows carrying nested values through the delta/COW
+      // writer; the UPDATE builds a NEW nested value from the old one
+      spark.sql(s"""MERGE INTO $t dst USING (SELECT 2L AS id, 'X' AS nf) src
+        |ON dst.id = src.id
+        |WHEN MATCHED THEN UPDATE SET
+        |  dst.tags = array_append(dst.tags, src.nf),
+        |  dst.info = named_struct('qty', dst.info.qty + 1L, 'flag', src.nf)
+        |WHEN NOT MATCHED THEN INSERT (id, tags, info)
+        |  VALUES (src.id, array(src.nf), named_struct('qty', 0L, 'flag', src.nf))
+        |""".stripMargin)
+      spark.sql(s"CALL gnm.system.rewrite_data_files(`table` => " +
+        s"'db.t_${mode.take(4).replace('-', '_')}', validate => true)")
+      val rows = spark.table(t)
+        .select(col("id"), concat_ws(",", col("tags")).as("ts"),
+          col("info.qty").as("q"), col("info.flag").as("f"))
+        .orderBy("id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L), mode)
+      assert(rows(1).getString(1) == "t2,X" && rows(1).getLong(2) == 21L &&
+        rows(1).getString(3) == "X", mode)
+      assert(rows(3).getString(1) == "t4" && rows(3).getLong(2) == 40L, mode)
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   test("nested equality-delete keys are refused") {
     val wh = Files.createTempDirectory("nested-eq").toString + "/t"
     import spark.implicits._
