@@ -255,19 +255,17 @@ object Similarity {
   ): DataFrame = {
     val (out, caches) = pqTopKLazy(queries, corpus, dims, k, numSubs,
       codebookSize, lloydIters, maxAdcEntries)
-    // release the PREVIOUS invocation's cached frames: CacheManager
-    // holds persisted plans until an explicit unpersist, so repeated
-    // searches would otherwise accumulate dead cached blocks. A
-    // generation swap bounds storage to one invocation while keeping
-    // the returned plan lazy (an eager localCheckpoint here costs ~2x —
-    // the RDD materialization path loses AQE). If a caller still
-    // consumes an older result, unpersist only means recompute.
-    lastPqCaches.getAndSet(caches).foreach(_.unpersist())
-    out
+    // materialize the (small) top-k result and RELEASE every cached
+    // input immediately — repeated calls must not accumulate dead cached
+    // blocks in executor storage. A lazy-return + deferred-unpersist
+    // variant was A/B-timed at ~1.5x SLOWER end-to-end on the bench
+    // (steady 5.5-6.3s vs 3.6-3.8s at sf0.1): the consumer's action
+    // re-runs the scoring stage against the caches, which costs more
+    // than scoring once here while they are hot.
+    val materialized = out.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    materialized
   }
-
-  private val lastPqCaches =
-    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
 
   /** The lazy PQ plan plus the frames it persisted — split out so plan
     * shape stays inspectable ([[pqTopK]] checkpoints the result, which
@@ -332,6 +330,13 @@ object Similarity {
           s => s.getField("mean")).as("cq"))
     }
 
+    // the trained codebook is TINY (numSubs x codebookSize rows) but its
+    // lineage is the whole Lloyd chain; it is referenced by two separate
+    // JOBS (the dtAll count below, then the scoring action), and
+    // cross-job exchange reuse does not exist — persist it so Lloyd
+    // trains once per invocation, not once per job
+    codebook = codebook.persist()
+
     // corpus codes collapsed to ONE row per vector: the compressed
     // representation (numSubs small ints — the ~100x memory story)
     val codes = assign(corpusSub, "vec_id", codebook)
@@ -386,7 +391,7 @@ object Similarity {
               lit(chunks)) === c))
         }.reduce(_ union _)
       }
-    (out, Seq(dtAll, codes, corpusSub))
+    (out, Seq(dtAll, codes, corpusSub, codebook))
   }
 
   /** LSH ANN: same-bucket candidates re-ranked exactly. Recall < 1 by
