@@ -381,7 +381,11 @@ final case class GraftMorPartition(
     /** Exclusive upper ordinal of this split (row count of its chunk's
       * groups added to `baseOrdinal`) — bounds the position-delete
       * ordinals the split's reader needs to hold in memory. */
-    ordinalEnd: Long = Long.MaxValue
+    ordinalEnd: Long = Long.MaxValue,
+    /** Pushed filters, for ROW-GROUP statistics skipping in the
+      * vectorized reader ([[ParquetPredicate]]). Purely an optimization:
+      * every filter is also re-applied by Spark above the scan. */
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil
 ) extends InputPartition
 
 final class GraftScanBuilder(
@@ -507,7 +511,7 @@ final class GraftScanBuilder(
     new GraftScan(tableDir, tableSchema, requiredSchema, boundsOf(pushed.toSeq),
       asOfVersion, catalog, startingVersion, skipDeletes,
       includeFileColumn, cowOwner, splitTargetBytes, includePosColumn,
-      vectorizedRead, equalityCandidates(pushed.toSeq))
+      vectorizedRead, equalityCandidates(pushed.toSeq), pushed.toSeq)
 }
 
 final class GraftScan(
@@ -524,7 +528,10 @@ final class GraftScan(
     splitTargetBytes: Long = GraftBatchScan.DefaultSplitTargetBytes,
     includePosColumn: Boolean = false,
     vectorizedRead: Boolean = true,
-    pushedEqCandidates: Map[String, Seq[Any]] = Map.empty
+    pushedEqCandidates: Map[String, Seq[Any]] = Map.empty,
+    /** The pushed `sources.Filter`s verbatim — shipped to every task for
+      * row-group statistics skipping ([[ParquetPredicate]]). */
+    pushedSourceFilters: Seq[sources.Filter] = Nil
 ) extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -761,6 +768,22 @@ final class GraftScan(
     // would re-read every oversized footer N times (O(N*K) driver
     // round-trips) and spin up a fresh pool per file
     val layouts = rowGroupLayouts(afterRuntime)
+    // task-side ROW-GROUP skipping sees the pushed filters plus the
+    // runtime In sets (reconstructed as In filters) — the same values
+    // that pruned whole files above also skip row groups inside the
+    // surviving files. NEVER when this scan drives a row-level
+    // operation: a copy-on-write rewrite must read EVERY live row of
+    // the files it replaces (file-level pruning merely leaves a file
+    // out of the rewrite — still correct — but skipping row groups
+    // inside a replaced file would silently drop their rows from the
+    // rewritten data: data loss).
+    val taskFilters: Seq[sources.Filter] =
+      if (cowOwner.isDefined) Nil
+      else pushedSourceFilters ++
+        runtimeEqCandidates.collect {
+          case (a, vs) if a != GraftBatchScan.FileColumn =>
+            sources.In(a, vs.toArray)
+        }
     afterRuntime.sortBy(_.path).flatMap { d =>
       val base = GraftMorPartition(
         dataPath = d.path,
@@ -769,7 +792,8 @@ final class GraftScan(
         eqDeletes = eqFiles.filter(_.sequenceNumber > d.sequenceNumber)
           .map(e => EqDeleteSpec(e.path, e.sequenceNumber, keyColsFor(e),
             e.sizeBytes)),
-        columnMap = columnMapFor(d)
+        columnMap = columnMapFor(d),
+        filters = taskFilters
       )
       splitByRowGroups(base, layouts.getOrElse(d.path, Nil))
         .map(p => p: InputPartition)

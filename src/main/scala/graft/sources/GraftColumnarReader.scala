@@ -95,13 +95,35 @@ final class GraftMorColumnarReader(
 
   private val inputFile =
     HadoopInputFile.fromPath(new HPath(part.dataPath), taskConf)
-  private val readOptions = {
+
+  /** Row-group statistics predicate from the pushed filters (None on
+    * the footer-only path — a bare `count(*)` must count every group).
+    * Strictly an optimization: Spark re-applies all filters above. */
+  private val rowGroupPredicate =
+    if (cursorCurrentCols.isEmpty || part.filters.isEmpty) None
+    else ParquetPredicate.build(part.filters, tableSchema, part.columnMap)
+
+  private def mkOptions(withFilter: Boolean) = {
     val b = HadoopReadOptions.builder(taskConf, new HPath(part.dataPath))
     if (!(part.rangeStart == 0L && part.rangeEnd == Long.MaxValue))
       b.withRange(part.rangeStart, part.rangeEnd)
+    if (withFilter) rowGroupPredicate.foreach(p =>
+      b.withRecordFilter(org.apache.parquet.filter2.compat.FilterCompat.get(p)))
     b.build()
   }
-  private val reader = ParquetFileReader.open(inputFile, readOptions)
+  /** Whether group skipping is in effect for THIS file — false when the
+    * predicate doesn't type-check against the file's physical schema
+    * (e.g. an adopted foreign file): reopen unfiltered rather than fail
+    * the read over an optimization. */
+  private var groupSkippingActive = rowGroupPredicate.isDefined
+  private val reader =
+    if (!groupSkippingActive) ParquetFileReader.open(inputFile, mkOptions(false))
+    else
+      try ParquetFileReader.open(inputFile, mkOptions(true))
+      catch { case _: Exception =>
+        groupSkippingActive = false
+        ParquetFileReader.open(inputFile, mkOptions(false))
+      }
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val createdBy = reader.getFooter.getFileMetaData.getCreatedBy
 
@@ -166,6 +188,16 @@ final class GraftMorColumnarReader(
     val pages = reader.readNextRowGroup()
     if (pages == null) { exhausted = true; return false }
     groupRowsLeft = pages.getRowCount
+    // file-absolute base ordinal of this group: REQUIRED once groups can
+    // be skipped (position-delete ordinals and `_pos` must not shift);
+    // parquet always stamps it on the row-group page store, so treat
+    // absence under an active filter as a hard error, not silent drift
+    val off = pages.getRowIndexOffset
+    if (off.isPresent) ordinal = off.get
+    else if (groupSkippingActive)
+      throw graft.core.CompactionError.Config(
+        s"row-group filtering active but ${part.dataPath} reports no " +
+          "row index offset — cannot maintain file-absolute positions")
     val store = new ColumnReadStoreImpl(pages, DummyRoot, requestedSchema, createdBy)
     val descs = requestedSchema.getColumns
     groupColumns = new Array[ColumnReader](descs.size())
