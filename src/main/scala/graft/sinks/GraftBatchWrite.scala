@@ -91,7 +91,8 @@ object GraftBatchWrite {
       val target = s"$writeDir/$namePrefix$name"
       if (!FileIO.rename(attemptPath, target))
         throw CompactionError.Io(s"failed to publish $attemptPath -> $target")
-      FileEntry(target, "data", FileIO.fileLength(target), rowCount, -1L)
+      graft.sources.ParquetStats.stampBounds(
+        FileEntry(target, "data", FileIO.fileLength(target), rowCount, -1L))
     }
     FileIO.listDirectories(writeDir)
       .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith(attemptSweepPrefix))

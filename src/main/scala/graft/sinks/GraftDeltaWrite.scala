@@ -130,7 +130,8 @@ final class GraftDeltaBatchWrite(
     val delEntries = GraftBatchWrite.publishWinners(
       msgs.flatMap(_.deleteFiles), writeDir,
       namePrefix = "del-", attemptSweepPrefix = "_attempt-del-")
-      .map(_.copy(content = "position-deletes"))
+      .map(_.copy(content = "position-deletes",
+        bounds = Map.empty, decimalBounds = Map.empty))
     val dataEntries = GraftBatchWrite.publishWinners(
       msgs.flatMap(_.dataFiles), writeDir)
     if (delEntries.isEmpty && dataEntries.isEmpty) {

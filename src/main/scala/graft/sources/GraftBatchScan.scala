@@ -38,12 +38,12 @@ import scala.jdk.CollectionConverters._
   *    parquet reader as a requested-projection schema (column chunks of
   *    unused columns are never read).
   *  - *Filters* ([[SupportsPushDownFilters]]) are used for FILE-level
-  *    min/max pruning against parquet footer stats ([[ScanPruning]]) and
-  *    returned to Spark as residuals — `Inexact` pushdown, the same
-  *    contract as the reference's provider (SURVEY §2.2 P2). Row-group
-  *    filters are deliberately NOT pushed into the reader: skipping row
-  *    groups would desynchronize the running row ordinal that
-  *    position-delete application depends on.
+  *    min/max pruning (write-time stamped bounds, footer stats as the
+  *    fallback — [[ScanPruning]]) and for ROW-GROUP statistics skipping
+  *    inside the vectorized reader ([[ParquetPredicate]], ordinals kept
+  *    file-absolute via the page store's row index offset); everything
+  *    is returned to Spark as residuals — `Inexact` pushdown, the same
+  *    contract as the reference's provider (SURVEY §2.2 P2).
   *  - Per-task delete load is bounded by the live delete backlog, which
   *    [[graft.compaction.DeleteCompaction]] keeps converged to a few
   *    sorted files — the same memory model as Iceberg's `DeleteFilter`.

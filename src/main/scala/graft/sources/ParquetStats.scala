@@ -93,6 +93,68 @@ object ParquetStats {
     try minMaxOf(reader, cols) finally reader.close()
   }
 
+  /** Every trustworthy column bound of one file, from ONE footer read —
+    * the write-time stamping source for [[graft.txn.FileEntry.bounds]].
+    * Returns (rowCount, valueBounds, decimalUnscaledBounds): a column
+    * appears iff EVERY non-empty row group carries trustworthy integral
+    * stats for it (same trust rules as [[minMaxLong]] — INT32/INT64
+    * physical; int/date annotations value-domain, decimal ≤18 digits
+    * unscaled; timestamps and everything else excluded). */
+  def fileFacts(path: String)
+      : (Long, Map[String, Seq[Long]], Map[String, Seq[Long]]) = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), FileIO.hadoopConf))
+    try {
+      val plain = scala.collection.mutable.Map[String, (Long, Long)]()
+      val dec = scala.collection.mutable.Map[String, (Long, Long)]()
+      val untrusted = scala.collection.mutable.Set[String]()
+      for (block <- reader.getFooter.getBlocks.asScala if block.getRowCount > 0;
+           cc <- block.getColumns.asScala) {
+        val name = cc.getPath.toDotString
+        if (!untrusted.contains(name)) {
+          val pt = cc.getPrimitiveType
+          val isIntegralPhys =
+            pt.getPrimitiveTypeName == PrimitiveTypeName.INT64 ||
+              pt.getPrimitiveTypeName == PrimitiveTypeName.INT32
+          val ann = pt.getLogicalTypeAnnotation
+          val isDecimal = ann.isInstanceOf[
+            org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          val isPlain = ann == null ||
+            ann.isInstanceOf[IntLogicalTypeAnnotation] ||
+            ann.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+          val st = cc.getStatistics
+          val target = if (isDecimal) dec else plain
+          if (!isIntegralPhys || !(isDecimal || isPlain) || st == null || st.isEmpty) {
+            untrusted += name; plain.remove(name); dec.remove(name)
+          } else if (st.hasNonNullValue) {
+            val mn = st.genericGetMin.asInstanceOf[Number].longValue
+            val mx = st.genericGetMax.asInstanceOf[Number].longValue
+            target(name) = target.get(name) match {
+              case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
+              case None         => (mn, mx)
+            }
+          }
+        }
+      }
+      (reader.getRecordCount,
+        plain.map { case (k, (a, b)) => k -> Seq(a, b) }.toMap,
+        dec.map { case (k, (a, b)) => k -> Seq(a, b) }.toMap)
+    } finally reader.close()
+  }
+
+  /** Stamp a data-file entry with its footer bounds ([[fileFacts]]) —
+    * called at WRITE time by every data-file commit path, so the
+    * planning-side pruning never needs the footer again. An unreadable
+    * footer leaves the entry unstamped (planning falls back). */
+  def stampBounds(e: graft.txn.FileEntry): graft.txn.FileEntry =
+    if (e.content != "data") e
+    else
+      try {
+        val (_, b, d) = fileFacts(e.path)
+        e.copy(bounds = b, decimalBounds = d)
+      } catch { case _: Exception => e }
+
   /** Row-group layout of one file from its footer:
     * (startingPos, compressedBytes, rowCount) per block, in file order —
     * drives byte-range task splitting with exact row-ordinal bases. */

@@ -203,22 +203,42 @@ object ScanPruning {
       decimalAsUnscaled: Set[String] = Set.empty)(
       keep: Map[String, (Long, Long)] => Boolean): Seq[FileEntry] = {
     val (data, deletes) = files.partition(_.content == "data")
-    val pool = java.util.concurrent.Executors
-      .newFixedThreadPool(math.max(1, math.min(16, data.size)))
-    val kept = try {
-      val futures = data.map { f =>
-        pool.submit(new java.util.concurrent.Callable[Boolean] {
-          override def call(): Boolean =
-            ParquetStats.fileStats(f.path, cols, decimalAsUnscaled)._2 match {
-              case None        => true // no trustworthy stats -> keep
-              case Some(stats) => keep(stats)
-            }
-        })
+    // METADATA-ONLY fast path: entries stamped at write time
+    // (FileEntry.bounds — the Iceberg-manifest model) decide from the
+    // snapshot alone; a column missing from the stamps (untrustworthy,
+    // absent, or renamed since the write) keeps the file. Only
+    // UNSTAMPED entries — pre-feature files — pay a footer round-trip.
+    def stampedStats(f: FileEntry): Option[Map[String, (Long, Long)]] =
+      if (f.bounds.isEmpty && f.decimalBounds.isEmpty) None
+      else Some(
+        f.bounds.flatMap { case (c, v) => FileEntry.loHi(v).map(c -> _) } ++
+          f.decimalBounds.collect {
+            case (c, v) if decimalAsUnscaled.contains(c) => c -> FileEntry.loHi(v)
+          }.collect { case (c, Some(b)) => c -> b })
+    val (stamped, unstamped) = data.partition(f => stampedStats(f).isDefined)
+    val keptStamped = stamped.filter(f => keep(stampedStats(f).get))
+    val keptUnstamped =
+      if (unstamped.isEmpty) Nil
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.max(1, math.min(16, unstamped.size)))
+        try {
+          val futures = unstamped.map { f =>
+            pool.submit(new java.util.concurrent.Callable[Boolean] {
+              override def call(): Boolean =
+                ParquetStats.fileStats(f.path, cols, decimalAsUnscaled)._2 match {
+                  case None        => true // no trustworthy stats -> keep
+                  case Some(stats) => keep(stats)
+                }
+            })
+          }
+          unstamped.zip(futures).collect {
+            case (f, fut) if fut.get(120, java.util.concurrent.TimeUnit.SECONDS) => f
+          }
+        } finally pool.shutdownNow()
       }
-      data.zip(futures).collect {
-        case (f, fut) if fut.get(120, java.util.concurrent.TimeUnit.SECONDS) => f
-      }
-    } finally pool.shutdownNow()
+    val keepPaths = (keptStamped ++ keptUnstamped).map(_.path).toSet
+    val kept = data.filter(f => keepPaths.contains(f.path))
     val keptData = if (kept.nonEmpty) kept else data.take(1)
     keptData ++ deletes
   }

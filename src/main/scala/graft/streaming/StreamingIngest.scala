@@ -78,7 +78,8 @@ object StreamingIngest {
           val rc =
             if (f.recordCount >= 0) f.recordCount
             else graft.txn.TableWrites.parquetRowCount(f.filePath)
-          FileEntry(f.filePath, "data", f.fileSizeBytes, rc, -1L)
+          graft.sources.ParquetStats.stampBounds(
+            FileEntry(f.filePath, "data", f.fileSizeBytes, rc, -1L))
         },
         expectedSchemaId = cur.schemaId,
         setProperties = Map(LastBatchIdProp -> batchId.toString))

@@ -51,12 +51,13 @@ final class CommitManager(
         if (useStartingSequenceNumber) startingSequenceNumber
         else cur.lastSequenceNumber + 1
       val kept = cur.files.filterNot(f => removedPaths.contains(f.path))
-      val added = addedFiles.map(f => FileEntry(
-        path = f.filePath, content = "data", sizeBytes = f.fileSizeBytes,
-        recordCount = f.recordCount, sequenceNumber = newSeq,
-        // rewritten files are PHYSICALLY written by the executor reading
-        // through schema reconciliation, so they carry the current schema
-        schemaId = if (cur.schemas.nonEmpty) cur.schemaId else -1L))
+      val added = addedFiles.map(f => graft.sources.ParquetStats.stampBounds(
+        FileEntry(
+          path = f.filePath, content = "data", sizeBytes = f.fileSizeBytes,
+          recordCount = f.recordCount, sequenceNumber = newSeq,
+          // rewritten files are PHYSICALLY written by the executor reading
+          // through schema reconciliation, so they carry the current schema
+          schemaId = if (cur.schemas.nonEmpty) cur.schemaId else -1L)))
       cur.copy(
         version = cur.version + 1,
         lastSequenceNumber = math.max(cur.lastSequenceNumber, newSeq),

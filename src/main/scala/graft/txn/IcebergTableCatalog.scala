@@ -171,13 +171,33 @@ object IcebergTableCatalog extends TableCatalog {
         idToName.getOrElse(id.toInt, throw CompactionError.Config(
           s"equality field id $id not in table schema"))
       }).getOrElse(Seq.empty[String])
+    // restore the manifest's column bound maps into the entry so a
+    // RELOADED table keeps metadata-only pruning (ScanPruning reads
+    // FileEntry.bounds before any footer IO). Values are the spec's
+    // little-endian single-value encoding; the byte width distinguishes
+    // int from long. Only ids the schema still names are kept.
+    def boundMapOf(field: String): Map[Int, Long] =
+      Option(df.get(field)).map { raw =>
+        raw.asInstanceOf[java.util.List[GenericRecord]].asScala.map { kv =>
+          val buf = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+            .duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val v = if (buf.remaining() == 4) buf.getInt.toLong else buf.getLong
+          kv.get("key").asInstanceOf[Int] -> v
+        }.toMap
+      }.getOrElse(Map.empty)
+    val los = boundMapOf("lower_bounds"); val his = boundMapOf("upper_bounds")
+    val bounds: Map[String, Seq[Long]] =
+      los.keySet.intersect(his.keySet).toSeq.flatMap { id =>
+        idToName.get(id).map(n => n -> Seq(los(id), his(id)))
+      }.toMap
     FileEntry(
       path = df.get("file_path").toString,
       content = content,
       sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
       recordCount = df.get("record_count").asInstanceOf[Long],
       sequenceNumber = e.get("sequence_number").asInstanceOf[Long],
-      equalityIds = eqIds)
+      equalityIds = eqIds,
+      bounds = bounds)
   }
 
   // ---------------------------------------------------------------- commit
@@ -229,7 +249,17 @@ object IcebergTableCatalog extends TableCatalog {
     val boundsByPath = scala.collection.mutable.Map[String, Map[String, (Long, Long)]]()
     val counted = snapshot.files.map { f =>
       val wantBounds = f.content == "data" && boundCols.nonEmpty
-      if (f.recordCount >= 0 && !wantBounds) f
+      // write-time stamps (FileEntry.bounds) satisfy the manifest bound
+      // maps without re-opening the footer at commit time; only
+      // unstamped entries (adopted files) still pay the read
+      val stamped: Map[String, (Long, Long)] =
+        f.bounds.flatMap { case (c, v) =>
+          if (boundCols.contains(c)) FileEntry.loHi(v).map(c -> _) else None }
+      if (wantBounds && stamped.nonEmpty) {
+        boundsByPath(f.path) = stamped
+        if (f.recordCount >= 0) f
+        else f.copy(recordCount = graft.txn.TableWrites.parquetRowCount(f.path))
+      } else if (f.recordCount >= 0 && !wantBounds) f
       else {
         val (rows, mm) = graft.sources.ParquetStats.fileStats(
           f.path, if (wantBounds) boundCols else Nil)

@@ -40,7 +40,20 @@ final case class FileEntry(
     equalityIds: Seq[String] = Nil,
     /** Schema id this file was written under (see
       * [[graft.core.FileScanTask.schemaId]]); stamped by the commit. */
-    schemaId: Long = -1L
+    schemaId: Long = -1L,
+    /** Per-column `[lo, hi]` footer bounds stamped at WRITE time (the
+      * Iceberg-manifest model): scan planning prunes files from snapshot
+      * METADATA alone instead of one footer round-trip per file per
+      * query — the difference between O(files) driver IO and O(1) at
+      * 100k files. Value-domain for int/long/date columns
+      * ([[graft.sources.ParquetStats]] trust rules); keyed by the
+      * write-time column names. Empty = not stamped (pre-feature file or
+      * no trustworthy columns) → planning falls back to the footer. */
+    bounds: Map[String, Seq[Long]] = Map.empty,
+    /** Like [[bounds]] but for decimal(≤18) columns, in UNSCALED space —
+      * kept separate because only type-aware consumers whose constraints
+      * are already unscaled may compare against these. */
+    decimalBounds: Map[String, Seq[Long]] = Map.empty
 ) {
   def toTask: FileScanTask = FileScanTask(
     filePath = path,
@@ -56,6 +69,19 @@ final case class FileEntry(
     equalityIds = equalityIds,
     schemaId = schemaId
   )
+}
+
+object FileEntry {
+  /** Decode one stamped `[lo, hi]` pair. Jackson's type-erased
+    * deserialization materializes the inner Seq[Long] as boxed Integers
+    * when values fit — read through Number so a reloaded snapshot
+    * compares identically to a freshly stamped one. */
+  def loHi(v: Seq[Long]): Option[(Long, Long)] = {
+    val s = v.asInstanceOf[Seq[Any]]
+    if (s.length != 2) None
+    else Some((s(0).asInstanceOf[Number].longValue,
+      s(1).asInstanceOf[Number].longValue))
+  }
 }
 
 final case class TableSnapshot(

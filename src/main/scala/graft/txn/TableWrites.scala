@@ -86,7 +86,8 @@ object TableWrites {
     val outDir = s"$tableDir/data/append-${java.util.UUID.randomUUID().toString.take(8)}"
     val files = writeParquet(rows, outDir, config.parquetCompression)
     new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
-      files.map { case (p, len, rc) => FileEntry(p, "data", len, rc, -1L) },
+      files.map { case (p, len, rc) =>
+        graft.sources.ParquetStats.stampBounds(FileEntry(p, "data", len, rc, -1L)) },
       expectedSchemaId = cur.schemaId)
   }
 
@@ -158,7 +159,7 @@ object TableWrites {
       keyFiles.map { case (p, len, rc) =>
         FileEntry(p, "equality-deletes", len, rc, -1L, equalityIds = keyCols)
       } ++ dataFiles.map { case (p, len, rc) =>
-        FileEntry(p, "data", len, rc, -1L)
+        graft.sources.ParquetStats.stampBounds(FileEntry(p, "data", len, rc, -1L))
       },
       expectedSchemaId = cur.schemaId)
   }
