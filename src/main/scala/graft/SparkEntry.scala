@@ -39,6 +39,7 @@ object SparkEntry {
       ("sql_partitioned" -> (graft.queries.SqlCatalogQuery.runPartitioned _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
+      ("sql_agg_meta" -> (graft.queries.SqlCatalogQuery.runAggMeta _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -69,6 +70,7 @@ object SparkEntry {
       ("sql_partitioned" -> graft.queries.SqlCatalogQuery.partitionedOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +
+      ("sql_agg_meta" -> graft.queries.SqlCatalogQuery.aggMetaOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

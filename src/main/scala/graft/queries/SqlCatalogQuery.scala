@@ -338,4 +338,56 @@ object SqlCatalogQuery {
       |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, lq, lep, l_returnflag
       |FROM src WHERE l_orderkey % 4 = 1
       |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+
+  // -------- metadata-only aggregate pushdown ----------------------------
+
+  private val aggCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** COUNT(*)/MIN/MAX over a clean graft table answer from snapshot
+    * metadata alone ([[graft.sources.MetadataAgg]] — a LocalScan, zero
+    * file IO); the filtered twin in the UNION runs the ordinary scan.
+    * Both rows hash-match an oracle recomputed from lineitem, so the
+    * shortcut provably returns exactly what the full scan would. */
+  def runAggMeta(spark: SparkSession, dir: String): DataFrame = {
+    val cat = aggCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"ga${counter.incrementAndGet()}"
+      val wh = Files.createTempDirectory(s"graft-sqlagg-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_agg")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(
+        s"""CREATE TABLE $name.db.am (
+           |  l_orderkey BIGINT, l_linenumber INT, l_suppkey BIGINT)""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.am
+           |SELECT l_orderkey, l_linenumber, l_suppkey
+           |FROM li_agg WHERE l_orderkey % 2 = 0""".stripMargin)
+      name
+    })
+    spark.sql(
+      s"""SELECT 'all' AS part, count(*) AS cnt,
+         |  min(l_orderkey) AS mn, max(l_orderkey) AS mx,
+         |  min(l_linenumber) AS lmn, max(l_linenumber) AS lmx
+         |FROM $cat.db.am
+         |UNION ALL
+         |SELECT 'su7' AS part, count(*) AS cnt,
+         |  min(l_orderkey) AS mn, max(l_orderkey) AS mx,
+         |  min(l_linenumber) AS lmn, max(l_linenumber) AS lmx
+         |FROM $cat.db.am WHERE l_suppkey % 7 = 3
+         |ORDER BY part""".stripMargin)
+  }
+
+  val aggMetaOracle: String =
+    """SELECT 'all' AS part, count(*) AS cnt,
+      |  min(l_orderkey) AS mn, max(l_orderkey) AS mx,
+      |  min(l_linenumber) AS lmn, max(l_linenumber) AS lmx
+      |FROM lineitem WHERE l_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT 'su7' AS part, count(*) AS cnt,
+      |  min(l_orderkey) AS mn, max(l_orderkey) AS mx,
+      |  min(l_linenumber) AS lmn, max(l_linenumber) AS lmx
+      |FROM lineitem WHERE l_orderkey % 2 = 0 AND l_suppkey % 7 = 3
+      |ORDER BY part""".stripMargin
 }

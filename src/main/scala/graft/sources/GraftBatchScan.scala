@@ -406,12 +406,42 @@ final class GraftScanBuilder(
       * row readers even where the columnar gate would allow batches. */
     vectorizedRead: Boolean = true
 ) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = tableSchema
   private var includeFileColumn: Boolean = false
   private var includePosColumn: Boolean = false
   private var pushed: Array[sources.Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  /** Metadata-only COUNT(*)/MIN/MAX ([[MetadataAgg]]). Spark only
+    * attempts aggregate pushdown when no post-scan filters remain —
+    * and every filter this builder accepts stays a residual — so the
+    * `pushed.isEmpty` guard is belt-and-braces. Both entry points
+    * recompute (Spark may probe completeness with a different
+    * translation than it finally pushes); tryCompute is deterministic
+    * per aggregation, so last-call-wins is safe. */
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+    if (cowOwner.nonEmpty || pushed.nonEmpty) None
+    else
+      try MetadataAgg.tryCompute(
+        agg, TableReader.snapshot(tableDir, asOfVersion, catalog), tableSchema)
+      catch { case scala.util.control.NonFatal(_) => None }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    pushedAgg = computeAgg(agg)
+    pushedAgg.isDefined
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    pushedAgg = computeAgg(agg)
+    pushedAgg.isDefined
+  }
 
   override def pruneColumns(required: StructType): Unit = {
     // preserve TABLE column order (parquet projection order must be a
@@ -507,11 +537,14 @@ final class GraftScanBuilder(
     }
   }
 
-  override def build(): Scan =
-    new GraftScan(tableDir, tableSchema, requiredSchema, boundsOf(pushed.toSeq),
-      asOfVersion, catalog, startingVersion, skipDeletes,
-      includeFileColumn, cowOwner, splitTargetBytes, includePosColumn,
-      vectorizedRead, equalityCandidates(pushed.toSeq), pushed.toSeq)
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row)) => new GraftAggScan(schema, row, tableDir)
+    case None =>
+      new GraftScan(tableDir, tableSchema, requiredSchema, boundsOf(pushed.toSeq),
+        asOfVersion, catalog, startingVersion, skipDeletes,
+        includeFileColumn, cowOwner, splitTargetBytes, includePosColumn,
+        vectorizedRead, equalityCandidates(pushed.toSeq), pushed.toSeq)
+  }
 }
 
 final class GraftScan(
