@@ -131,7 +131,7 @@ final class GraftDeltaBatchWrite(
       msgs.flatMap(_.deleteFiles), writeDir,
       namePrefix = "del-", attemptSweepPrefix = "_attempt-del-")
       .map(_.copy(content = "position-deletes",
-        bounds = Map.empty, decimalBounds = Map.empty))
+        bounds = Map.empty, decimalBounds = Map.empty, nullCounts = Map.empty))
     val dataEntries = GraftBatchWrite.publishWinners(
       msgs.flatMap(_.dataFiles), writeDir)
     if (delEntries.isEmpty && dataEntries.isEmpty) {

@@ -456,10 +456,14 @@ final class GraftScanBuilder(
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     // Inexact pushdown (reference P2): keep what file-pruning can use
-    // (integral bounds, or exact-equality literals the partition
-    // transforms can hash), hand EVERYTHING back to Spark to re-apply
-    pushed = filters.filter(f =>
-      boundsOf(Seq(f)).nonEmpty || equalityCandidates(Seq(f)).nonEmpty)
+    // (integral bounds, exact-equality literals the partition
+    // transforms can hash, or null predicates the null-count stamps
+    // decide), hand EVERYTHING back to Spark to re-apply
+    pushed = filters.filter { f =>
+      lazy val nulls = ScanPruning.nullPredicateCols(Seq(f))
+      boundsOf(Seq(f)).nonEmpty || equalityCandidates(Seq(f)).nonEmpty ||
+        nulls._1.nonEmpty || nulls._2.nonEmpty
+    }
     filters
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
@@ -675,13 +679,20 @@ final class GraftScan(
     val partPruned =
       if (partSpec.isEmpty || pushedEqCandidates.isEmpty) data
       else PartitionPruning.prune(data, partSpec, pushedEqCandidates, colTypes)
-    if (pruneBounds.isEmpty) partPruned
-    else pruneGuarded(partPruned,
-      ScanPruning.pruneDataFilesWithBounds(_, pruneBounds,
-        // boundsOf expressed these columns' bounds in unscaled space
-        tableSchema.fields.collect {
-          case f if f.dataType.isInstanceOf[DecimalType] => f.name
-        }.toSet))
+    val boundsPruned =
+      if (pruneBounds.isEmpty) partPruned
+      else pruneGuarded(partPruned,
+        ScanPruning.pruneDataFilesWithBounds(_, pruneBounds,
+          // boundsOf expressed these columns' bounds in unscaled space
+          tableSchema.fields.collect {
+            case f if f.dataType.isInstanceOf[DecimalType] => f.name
+          }.toSet))
+    // null-count stamps answer IS [NOT] NULL predicates metadata-only
+    val (isNullCols, isNotNullCols) =
+      ScanPruning.nullPredicateCols(pushedSourceFilters)
+    if (isNullCols.isEmpty && isNotNullCols.isEmpty) boundsPruned
+    else pruneGuarded(boundsPruned,
+      ScanPruning.pruneDataFilesWithNullCounts(_, isNullCols, isNotNullCols))
   }
 
   /** Per-task position-delete scoping: [[graft.compaction

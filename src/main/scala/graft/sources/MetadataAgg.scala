@@ -4,7 +4,7 @@ import graft.txn.{FileEntry, TableSnapshot}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.LocalScan
 import org.apache.spark.sql.types._
 
@@ -109,7 +109,25 @@ object MetadataAgg {
         case m: Max =>
           colOf(m.column).flatMap(extreme(_, takeMin = false))
             .map { case (t, v) => (t, true, v) }
-        case _ => None // SUM/AVG/COUNT(col)/... need row data
+        case c: Count if !c.isDistinct =>
+          // COUNT(col) = rows − stamped nulls. Top-level atomic columns
+          // only: a nested leaf's null count conflates ancestor-null
+          // with leaf-null, so those never stamp (ParquetStats).
+          colOf(c.column).flatMap { col =>
+            types.get(col) match {
+              case Some(_: StructType) | Some(_: ArrayType) | Some(_: MapType) |
+                  None => None
+              case Some(_) =>
+                if (!schemaCurrent || !data.forall(_.recordCount >= 0)) None
+                else {
+                  val ns = live.map(f => FileEntry.longAt(f.nullCounts, col))
+                  if (ns.exists(_.isEmpty)) None
+                  else Some((LongType, false,
+                    (data.map(_.recordCount).sum - ns.flatten.sum): Any))
+                }
+            }
+          }
+        case _ => None // SUM/AVG/COUNT(DISTINCT)/... need row data
       }
     if (resolved.exists(_.isEmpty)) None
     else {

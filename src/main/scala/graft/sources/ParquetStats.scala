@@ -93,24 +93,41 @@ object ParquetStats {
     try minMaxOf(reader, cols) finally reader.close()
   }
 
-  /** Every trustworthy column bound of one file, from ONE footer read —
-    * the write-time stamping source for [[graft.txn.FileEntry.bounds]].
-    * Returns (rowCount, valueBounds, decimalUnscaledBounds): a column
-    * appears iff EVERY non-empty row group carries trustworthy integral
-    * stats for it (same trust rules as [[minMaxLong]] — INT32/INT64
-    * physical; int/date annotations value-domain, decimal ≤18 digits
-    * unscaled; timestamps and everything else excluded). */
-  def fileFacts(path: String)
-      : (Long, Map[String, Seq[Long]], Map[String, Seq[Long]]) = {
+  /** One file's stampable footer facts — see [[fileFacts]]. */
+  final case class FileFacts(
+      rowCount: Long,
+      bounds: Map[String, Seq[Long]],
+      decimalBounds: Map[String, Seq[Long]],
+      nullCounts: Map[String, Long])
+
+  /** Every trustworthy column fact of one file, from ONE footer read —
+    * the write-time stamping source for [[graft.txn.FileEntry.bounds]] /
+    * `decimalBounds` / `nullCounts`. A column appears in a bounds map
+    * iff EVERY non-empty row group carries trustworthy integral stats
+    * for it (same trust rules as [[minMaxLong]] — INT32/INT64 physical;
+    * int/date annotations value-domain, decimal ≤18 digits unscaled;
+    * timestamps and everything else excluded). Null counts are
+    * type-independent: a TOP-LEVEL column (no nested path — a leaf's
+    * null count conflates ancestor-null with leaf-null) appears iff
+    * every non-empty row group sets numNulls. */
+  def fileFacts(path: String): FileFacts = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), FileIO.hadoopConf))
     try {
       val plain = scala.collection.mutable.Map[String, (Long, Long)]()
       val dec = scala.collection.mutable.Map[String, (Long, Long)]()
       val untrusted = scala.collection.mutable.Set[String]()
+      val nulls = scala.collection.mutable.Map[String, Long]()
+      val nullsUntrusted = scala.collection.mutable.Set[String]()
       for (block <- reader.getFooter.getBlocks.asScala if block.getRowCount > 0;
            cc <- block.getColumns.asScala) {
         val name = cc.getPath.toDotString
+        val st = cc.getStatistics
+        if (!name.contains('.') && !nullsUntrusted.contains(name)) {
+          if (st == null || !st.isNumNullsSet) {
+            nullsUntrusted += name; nulls.remove(name)
+          } else nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+        }
         if (!untrusted.contains(name)) {
           val pt = cc.getPrimitiveType
           val isIntegralPhys =
@@ -123,7 +140,6 @@ object ParquetStats {
             ann.isInstanceOf[IntLogicalTypeAnnotation] ||
             ann.isInstanceOf[
               org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation]
-          val st = cc.getStatistics
           val target = if (isDecimal) dec else plain
           if (!isIntegralPhys || !(isDecimal || isPlain) || st == null || st.isEmpty) {
             untrusted += name; plain.remove(name); dec.remove(name)
@@ -137,13 +153,14 @@ object ParquetStats {
           }
         }
       }
-      (reader.getRecordCount,
+      FileFacts(reader.getRecordCount,
         plain.map { case (k, (a, b)) => k -> Seq(a, b) }.toMap,
-        dec.map { case (k, (a, b)) => k -> Seq(a, b) }.toMap)
+        dec.map { case (k, (a, b)) => k -> Seq(a, b) }.toMap,
+        nulls.toMap)
     } finally reader.close()
   }
 
-  /** Stamp a data-file entry with its footer bounds ([[fileFacts]]) —
+  /** Stamp a data-file entry with its footer facts ([[fileFacts]]) —
     * called at WRITE time by every data-file commit path, so the
     * planning-side pruning never needs the footer again. An unreadable
     * footer leaves the entry unstamped (planning falls back). */
@@ -151,8 +168,9 @@ object ParquetStats {
     if (e.content != "data") e
     else
       try {
-        val (_, b, d) = fileFacts(e.path)
-        e.copy(bounds = b, decimalBounds = d)
+        val facts = fileFacts(e.path)
+        e.copy(bounds = facts.bounds, decimalBounds = facts.decimalBounds,
+          nullCounts = facts.nullCounts)
       } catch { case _: Exception => e }
 
   /** Row-group layout of one file from its footer:

@@ -193,6 +193,47 @@ object ScanPruning {
       }
     }
 
+  /** Columns constrained by top-level IS NULL / IS NOT NULL predicates
+    * (conjunctions included; anything under OR is ignored —
+    * conservative). Returns (isNullCols, isNotNullCols). */
+  def nullPredicateCols(filters: Seq[org.apache.spark.sql.sources.Filter])
+      : (Set[String], Set[String]) = {
+    import org.apache.spark.sql.{sources => sf}
+    filters.foldLeft((Set.empty[String], Set.empty[String])) {
+      case ((nu, nn), f) => f match {
+        case sf.IsNull(a)    => (nu + a, nn)
+        case sf.IsNotNull(a) => (nu, nn + a)
+        case sf.And(l, r) =>
+          val (a, b) = nullPredicateCols(Seq(l, r)); (nu ++ a, nn ++ b)
+        case _ => (nu, nn)
+      }
+    }
+  }
+
+  /** IS NULL / IS NOT NULL file pruning from write-time null-count
+    * stamps ([[graft.txn.FileEntry.nullCounts]]) — metadata only, no
+    * footer fallback (an unstamped file or column is kept). `IS NULL`
+    * drops files with zero nulls; `IS NOT NULL` drops all-null files.
+    * Spark plants IsNotNull beside nearly every comparison filter, so
+    * the all-null case prunes everywhere for free. */
+  def pruneDataFilesWithNullCounts(
+      files: Seq[FileEntry],
+      isNullCols: Set[String],
+      isNotNullCols: Set[String]): Seq[FileEntry] = {
+    if (isNullCols.isEmpty && isNotNullCols.isEmpty) return files
+    val (data, deletes) = files.partition(_.content == "data")
+    val kept = data.filter { f =>
+      val dropNull = isNullCols.exists(c =>
+        FileEntry.longAt(f.nullCounts, c).contains(0L))
+      val dropNotNull = isNotNullCols.exists(c =>
+        f.recordCount > 0 &&
+          FileEntry.longAt(f.nullCounts, c).contains(f.recordCount))
+      !dropNull && !dropNotNull
+    }
+    val keptData = if (kept.nonEmpty) kept else data.take(1)
+    keptData ++ deletes
+  }
+
   /** Shared pruning loop: evaluate `keep` over each data file's footer
     * min/max for `cols`; files without trustworthy stats always survive,
     * delete files pass through, and at least one data file is retained

@@ -379,6 +379,11 @@ object IcebergFormat {
       |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |  {"name":"record_count","type":"long","field-id":103},
       |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"null_value_counts","default":null,"field-id":110,
+      |   "type":["null",{"type":"array","logicalType":"map",
+      |     "items":{"type":"record","name":"k121_v122","fields":[
+      |       {"name":"key","type":"int","field-id":121},
+      |       {"name":"value","type":"long","field-id":122}]}}]},
       |  {"name":"lower_bounds","default":null,"field-id":125,
       |   "type":["null",{"type":"array","logicalType":"map",
       |     "items":{"type":"record","name":"k126_v127","fields":[

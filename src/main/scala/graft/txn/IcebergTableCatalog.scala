@@ -190,6 +190,15 @@ object IcebergTableCatalog extends TableCatalog {
       los.keySet.intersect(his.keySet).toSeq.flatMap { id =>
         idToName.get(id).map(n => n -> Seq(los(id), his(id)))
       }.toMap
+    // null_value_counts (field-id 110) restore — plain longs, no
+    // single-value decoding needed
+    val nullCounts: Map[String, Long] =
+      Option(df.get("null_value_counts")).map { raw =>
+        raw.asInstanceOf[java.util.List[GenericRecord]].asScala.flatMap { kv =>
+          idToName.get(kv.get("key").asInstanceOf[Int])
+            .map(_ -> kv.get("value").asInstanceOf[Long])
+        }.toMap
+      }.getOrElse(Map.empty)
     FileEntry(
       path = df.get("file_path").toString,
       content = content,
@@ -197,7 +206,8 @@ object IcebergTableCatalog extends TableCatalog {
       recordCount = df.get("record_count").asInstanceOf[Long],
       sequenceNumber = e.get("sequence_number").asInstanceOf[Long],
       equalityIds = eqIds,
-      bounds = bounds)
+      bounds = bounds,
+      nullCounts = nullCounts)
   }
 
   // ---------------------------------------------------------------- commit
@@ -315,6 +325,20 @@ object IcebergTableCatalog extends TableCatalog {
                   "value" -> boundBytes(fieldType(n), pick(mm)))
               }.asJava
           }.orNull
+        // null-count map (field-id 110): write-time stamps ∩ current
+        // schema, same rename rule as the bound maps
+        val nullCountMap: AnyRef =
+          if (f.content != "data" || f.nullCounts.isEmpty) null
+          else {
+            val itemSchema = dfSchema.getField("null_value_counts").schema()
+              .getTypes.get(1).getElementType
+            f.nullCounts.keys.toSeq.filter(nameToId.contains)
+              .sortBy(nameToId).map { n =>
+                record(itemSchema)(
+                  "key" -> Int.box(nameToId(n)),
+                  "value" -> Long.box(FileEntry.longAt(f.nullCounts, n).get))
+              }.asJava
+          }
         val dataFile = record(dfSchema)(
           "content" -> Int.box(f.content match {
             case "data" => 0; case "position-deletes" => 1
@@ -326,6 +350,7 @@ object IcebergTableCatalog extends TableCatalog {
           "partition" -> record(dfSchema.getField("partition").schema())(),
           "record_count" -> Long.box(f.recordCount),
           "file_size_in_bytes" -> Long.box(f.sizeBytes),
+          "null_value_counts" -> nullCountMap,
           "lower_bounds" -> boundMap("lower_bounds", _._1),
           "upper_bounds" -> boundMap("upper_bounds", _._2),
           "equality_ids" -> eqIds,

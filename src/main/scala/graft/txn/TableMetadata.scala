@@ -53,7 +53,12 @@ final case class FileEntry(
     /** Like [[bounds]] but for decimal(≤18) columns, in UNSCALED space —
       * kept separate because only type-aware consumers whose constraints
       * are already unscaled may compare against these. */
-    decimalBounds: Map[String, Seq[Long]] = Map.empty
+    decimalBounds: Map[String, Seq[Long]] = Map.empty,
+    /** Per-column null counts stamped at WRITE time — TOP-LEVEL columns
+      * of any type (the Iceberg `null_value_counts` model). Drives
+      * COUNT(col) metadata aggregation and IS [NOT] NULL file pruning.
+      * Empty = not stamped (pre-feature file) → consumers fall back. */
+    nullCounts: Map[String, Long] = Map.empty
 ) {
   def toTask: FileScanTask = FileScanTask(
     filePath = path,
@@ -82,6 +87,13 @@ object FileEntry {
     else Some((s(0).asInstanceOf[Number].longValue,
       s(1).asInstanceOf[Number].longValue))
   }
+
+  /** Read one stamped count through the same type-erasure guard: a
+    * reloaded snapshot's `Map[String, Long]` values may be boxed
+    * Integers at runtime. */
+  def longAt(m: Map[String, Long], c: String): Option[Long] =
+    m.asInstanceOf[Map[String, Any]].get(c)
+      .map(_.asInstanceOf[Number].longValue)
 }
 
 final case class TableSnapshot(
@@ -138,11 +150,22 @@ object TableMetadata {
   def snapshotFromJson(json: String): TableSnapshot =
     norm(mapper.readValue(json, classOf[TableSnapshot]))
 
-  /** Snapshots written before the `properties`/`schemas` fields existed
-    * deserialize with null collections — normalize to empty. */
+  /** Snapshots written before the `properties`/`schemas` fields (or the
+    * per-entry `equalityIds`/`bounds`/`decimalBounds`/`nullCounts`
+    * stamps) existed deserialize with null collections — normalize to
+    * empty so every consumer can assume non-null. */
   private def norm(s: TableSnapshot): TableSnapshot = {
-    val p = if (s.properties == null) s.copy(properties = Map.empty) else s
-    if (p.schemas == null) p.copy(schemas = Nil) else p
+    val p0 = if (s.properties == null) s.copy(properties = Map.empty) else s
+    val p = if (p0.schemas == null) p0.copy(schemas = Nil) else p0
+    if (p.files == null) p.copy(files = Nil)
+    else p.copy(files = p.files.map { f =>
+      var e = f
+      if (e.equalityIds == null) e = e.copy(equalityIds = Nil)
+      if (e.bounds == null) e = e.copy(bounds = Map.empty)
+      if (e.decimalBounds == null) e = e.copy(decimalBounds = Map.empty)
+      if (e.nullCounts == null) e = e.copy(nullCounts = Map.empty)
+      e
+    })
   }
 
   def load(tableDir: String): Option[TableSnapshot] =
