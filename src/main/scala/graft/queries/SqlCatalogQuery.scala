@@ -344,9 +344,10 @@ object SqlCatalogQuery {
   private val aggCatalogs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** COUNT(*)/MIN/MAX over a clean graft table answer from snapshot
-    * metadata alone ([[graft.sources.MetadataAgg]] — a LocalScan, zero
-    * file IO); the filtered twin in the UNION runs the ordinary scan.
+  /** COUNT(*)/COUNT(col)/MIN/MAX over a clean graft table answer from
+    * snapshot metadata alone ([[graft.sources.MetadataAgg]] — a LocalScan,
+    * zero file IO; COUNT(col) from the write-time null-count stamps);
+    * the filtered twin in the UNION runs the ordinary scan.
     * Both rows hash-match an oracle recomputed from lineitem, so the
     * shortcut provably returns exactly what the full scan would. */
   def runAggMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -359,20 +360,22 @@ object SqlCatalogQuery {
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
       spark.sql(
         s"""CREATE TABLE $name.db.am (
-           |  l_orderkey BIGINT, l_linenumber INT, l_suppkey BIGINT)""".stripMargin)
+           |  l_orderkey BIGINT, l_linenumber INT, l_suppkey BIGINT,
+           |  l_pk3 BIGINT)""".stripMargin)
       spark.sql(
         s"""INSERT INTO $name.db.am
-           |SELECT l_orderkey, l_linenumber, l_suppkey
+           |SELECT l_orderkey, l_linenumber, l_suppkey,
+           |  CASE WHEN l_linenumber % 3 = 0 THEN l_partkey END AS l_pk3
            |FROM li_agg WHERE l_orderkey % 2 = 0""".stripMargin)
       name
     })
     spark.sql(
-      s"""SELECT 'all' AS part, count(*) AS cnt,
+      s"""SELECT 'all' AS part, count(*) AS cnt, count(l_pk3) AS cp,
          |  min(l_orderkey) AS mn, max(l_orderkey) AS mx,
          |  min(l_linenumber) AS lmn, max(l_linenumber) AS lmx
          |FROM $cat.db.am
          |UNION ALL
-         |SELECT 'su7' AS part, count(*) AS cnt,
+         |SELECT 'su7' AS part, count(*) AS cnt, count(l_pk3) AS cp,
          |  min(l_orderkey) AS mn, max(l_orderkey) AS mx,
          |  min(l_linenumber) AS lmn, max(l_linenumber) AS lmx
          |FROM $cat.db.am WHERE l_suppkey % 7 = 3
@@ -381,11 +384,13 @@ object SqlCatalogQuery {
 
   val aggMetaOracle: String =
     """SELECT 'all' AS part, count(*) AS cnt,
+      |  count(CASE WHEN l_linenumber % 3 = 0 THEN l_partkey END) AS cp,
       |  min(l_orderkey) AS mn, max(l_orderkey) AS mx,
       |  min(l_linenumber) AS lmn, max(l_linenumber) AS lmx
       |FROM lineitem WHERE l_orderkey % 2 = 0
       |UNION ALL
       |SELECT 'su7' AS part, count(*) AS cnt,
+      |  count(CASE WHEN l_linenumber % 3 = 0 THEN l_partkey END) AS cp,
       |  min(l_orderkey) AS mn, max(l_orderkey) AS mx,
       |  min(l_linenumber) AS lmn, max(l_linenumber) AS lmx
       |FROM lineitem WHERE l_orderkey % 2 = 0 AND l_suppkey % 7 = 3
