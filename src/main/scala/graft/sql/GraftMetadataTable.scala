@@ -33,7 +33,16 @@ object GraftMetadataTable {
     StructField("size_bytes", LongType, nullable = false),
     StructField("record_count", LongType, nullable = false),
     StructField("sequence_number", LongType, nullable = false),
-    StructField("schema_id", LongType, nullable = false)))
+    StructField("schema_id", LongType, nullable = false),
+    // write-time stamps (Iceberg files-table surface): per-column null
+    // counts, and min/max of the trusted integral columns ([[graft
+    // .sources.ParquetStats.fileFacts]]; decimals are in UNSCALED space)
+    StructField("null_value_counts",
+      MapType(StringType, LongType, valueContainsNull = false), nullable = false),
+    StructField("lower_bounds",
+      MapType(StringType, LongType, valueContainsNull = false), nullable = false),
+    StructField("upper_bounds",
+      MapType(StringType, LongType, valueContainsNull = false), nullable = false)))
 
   private[sql] val refsSchema = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -77,10 +86,28 @@ final class GraftMetadataTable(
 
   private def computeRows(): Array[InternalRow] = kind match {
     case "files" =>
+      // bounds merge the plain and the decimal (unscaled) stamp maps —
+      // keys are disjoint by construction (a column stamps in one or
+      // the other); deterministic key order for stable inspection output
+      def mapData(m: Map[String, Long]): org.apache.spark.sql.catalyst.util.MapData = {
+        val ks = m.keys.toSeq.sorted
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            ks.map(UTF8String.fromString)),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            ks.map(k => graft.txn.FileEntry.longAt(m, k).get)))
+      }
+      def side(m: Map[String, Seq[Long]], lo: Boolean): Map[String, Long] =
+        m.flatMap { case (k, v) => graft.txn.FileEntry.loHi(v)
+          .map(b => k -> (if (lo) b._1 else b._2)) }
+      def boundAt(f: graft.txn.FileEntry, lo: Boolean): Map[String, Long] =
+        side(f.bounds, lo) ++ side(f.decimalBounds, lo)
       catalog.loadOrThrow(tableDir).files.sortBy(_.path).map { f =>
         InternalRow.fromSeq(Seq(
           UTF8String.fromString(f.path), UTF8String.fromString(f.content),
-          f.sizeBytes, f.recordCount, f.sequenceNumber, f.schemaId))
+          f.sizeBytes, f.recordCount, f.sequenceNumber, f.schemaId,
+          mapData(f.nullCounts),
+          mapData(boundAt(f, lo = true)), mapData(boundAt(f, lo = false))))
       }.toArray
     case "refs" =>
       // malformed values (a hand-set property that is not a version)

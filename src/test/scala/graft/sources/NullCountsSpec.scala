@@ -96,6 +96,29 @@ class NullCountsSpec extends AnyFunSuite {
     assert(e.nullCounts != null && e.nullCounts.isEmpty)
   }
 
+  test(".files inspection table exposes the stamp maps") {
+    val dir = mkTable()
+    val scan = new graft.sql.GraftMetadataTable(dir, "files", FileTableCatalog)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+      .build().asInstanceOf[org.apache.spark.sql.connector.read.LocalScan]
+    val rows = scan.rows()
+    assert(rows.length == 2)
+    val schema = scan.readSchema()
+    val nc = schema.fieldIndex("null_value_counts")
+    val lo = schema.fieldIndex("lower_bounds")
+    def asMap(r: org.apache.spark.sql.catalyst.InternalRow, i: Int): Map[String, Long] = {
+      val m = r.getMap(i)
+      (0 until m.numElements()).map(j =>
+        m.keyArray.getUTF8String(j).toString -> m.valueArray.getLong(j)).toMap
+    }
+    val vNulls = rows.map(asMap(_, nc)("v")).sorted
+    assert(vNulls.toSeq == Seq(30L, 50L))
+    // id bounds stamped on both files; the all-null v column has no bound
+    assert(rows.forall(asMap(_, lo).contains("id")))
+    assert(rows.map(asMap(_, lo)("id")).sorted.toSeq == Seq(1L, 200L))
+  }
+
   test("null counts survive the Iceberg manifest round-trip") {
     val dir = Files.createTempDirectory("nullcounts-ice").toString
     val df = (1L to 40L).map(i => (i, if (i % 4 == 0) Some(s"s$i") else None))
