@@ -40,6 +40,7 @@ object SparkEntry {
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
       ("sql_agg_meta" -> (graft.queries.SqlCatalogQuery.runAggMeta _)) +
+      ("sql_write_order" -> (graft.queries.SqlCatalogQuery.runWriteOrder _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -71,6 +72,7 @@ object SparkEntry {
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +
       ("sql_agg_meta" -> graft.queries.SqlCatalogQuery.aggMetaOracle) +
+      ("sql_write_order" -> graft.queries.SqlCatalogQuery.writeOrderOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

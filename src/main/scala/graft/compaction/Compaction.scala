@@ -55,13 +55,24 @@ final class Compaction(
       // a PARTITIONED table (SQL `PARTITIONED BY`, carried as a snapshot
       // property) keeps its layout through compaction: the rewrite fans
       // out per partition value unless the caller configured a spec
-      val config = this.config.partitionSpec match {
+      val config0 = this.config.partitionSpec match {
         case Nil => graft.core.PartitionSpecCodec.of(Some(snap)) match {
           case Nil  => this.config
           case spec => this.config.copy(partitionSpec = spec)
         }
         case _ => this.config
       }
+      // a table with a declared write order keeps it through compaction
+      // (unless the caller picked an explicit layout: zorder or its own
+      // sortBy) — otherwise a rewrite would destroy the disjoint file
+      // bounds the sorted writes paid a range exchange to create
+      val config =
+        if (config0.sortBy.nonEmpty || config0.zOrderBy.nonEmpty ||
+            config0.useExactRolling) config0
+        else graft.core.WriteOrderCodec.of(Some(snap)) match {
+          case Nil   => config0
+          case order => config0.copy(sortBy = order)
+        }
       val (selected, kept) = config.compactionType match {
         case CompactionType.Full => (allTasks.dataFiles, Nil)
         case CompactionType.Incremental(factor) =>

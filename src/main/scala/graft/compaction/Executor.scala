@@ -29,6 +29,8 @@ object SparkCompactionExecutor extends CompactionExecutor {
       "useExactRolling does not support partition fanout; use the declarative writer")
     require(!(config.useExactRolling && config.zOrderBy.nonEmpty),
       "useExactRolling does not support z-order layout; use the declarative writer")
+    require(!(config.useExactRolling && config.sortBy.nonEmpty),
+      "useExactRolling does not support sort layout; use the declarative writer")
     // on an evolved table the rewrite reads through schema reconciliation,
     // so the output files carry the CURRENT schema — compaction migrates
     // old-layout files as a side effect

@@ -67,6 +67,12 @@ final case class CompactionConfig(
       * BOTH columns (scan pruning on either predicate). Empty = keep the
       * reference's plain round-robin layout. */
     zOrderBy: Seq[String] = Nil,
+    /** Linear sort layout for the rewrite output (range-partition +
+      * in-partition sort), defaulted from the table's declared
+      * `graft.write-order` by [[graft.compaction.Compaction]] — so
+      * compaction PRESERVES a sorted table's tight file bounds instead
+      * of shuffling them away. Mutually exclusive with [[zOrderBy]]. */
+    sortBy: Seq[SortField] = Nil,
     /** Full rewrites everything (reference behavior); Incremental
       * selects only the small-file backlog (see [[CompactionType]]). */
     compactionType: CompactionType = CompactionType.Full
@@ -78,6 +84,8 @@ final case class CompactionConfig(
   require(splitTargetBytes > 0, "splitTargetBytes must be > 0")
   require(zOrderBy.isEmpty || zOrderBy.size == 2,
     "zOrderBy takes exactly two columns (Morton interleave is 2-D here)")
+  require(zOrderBy.isEmpty || sortBy.isEmpty,
+    "zOrderBy and sortBy are mutually exclusive layouts")
 }
 
 /** Commit retry policy. Reference: 3 retries, 1s -> 10s exponential backoff,

@@ -114,6 +114,52 @@ object SqlCatalogQuery {
       |  AND NOT (l_orderkey <= 300 AND l_returnflag = 'R')
       |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // -------- declared write order (sorted inserts) -----------------------
+
+  private val woCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Declared write order (`graft.write-order`) as an oracle-checked
+    * query: scrambled input range-distributes + sorts through the DSv2
+    * write, a range DELETE lands merge-on-read position deletes on the
+    * sorted files, and a range read prunes by the stamped bounds. The
+    * oracle recomputes survivors from lineitem — a hash match certifies
+    * the range exchange loses and duplicates nothing and that pruning
+    * over the sorted layout returns exactly the full-scan answer. */
+  def runWriteOrder(spark: SparkSession, dir: String): DataFrame = {
+    val cat = woCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"gw${counter.incrementAndGet()}"
+      val wh = Files.createTempDirectory(s"graft-sqlwo-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_wo")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(
+        s"""CREATE TABLE $name.db.wo (
+           |  l_orderkey BIGINT, l_linenumber INT,
+           |  l_suppkey BIGINT, l_partkey BIGINT)
+           |TBLPROPERTIES ('graft.write-order'='l_orderkey')""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.wo
+           |SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey
+           |FROM li_wo DISTRIBUTE BY pmod(hash(l_suppkey, l_linenumber), 16)""".stripMargin)
+      spark.sql(
+        s"DELETE FROM $name.db.wo WHERE l_orderkey > 100 AND l_orderkey <= 200")
+      name
+    })
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey
+         |FROM $cat.db.wo WHERE l_orderkey <= 1000
+         |ORDER BY 1, 2, 3, 4""".stripMargin)
+  }
+
+  val writeOrderOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey
+      |FROM lineitem
+      |WHERE l_orderkey <= 1000
+      |  AND NOT (l_orderkey > 100 AND l_orderkey <= 200)
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
   // -------- MERGE INTO (group-based copy-on-write) ----------------------
 
   private val mergeCatalogs =

@@ -135,23 +135,51 @@ final class GraftWriteBuilder(
   private lazy val partitionSpec: Seq[graft.core.PartitionTransform] =
     graft.core.PartitionSpecCodec.of(catalog.load(tableDir))
 
+  /** Declared write order (snapshot property, validated against the
+    * incoming write schema so a stale order fails at planning). */
+  private lazy val writeOrder: Seq[graft.core.SortField] = {
+    val order = graft.core.WriteOrderCodec.of(catalog.load(tableDir))
+    graft.core.WriteOrderCodec.validate(order,
+      info.schema().fieldNames.toSet)
+    order
+  }
+
   override def build(): Write = new Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
-    // cluster incoming rows by the partition SOURCE columns (same value
-    // ⇒ same partition value), so each write task sees few partition
-    // values and the fanout map stays small — without needing Spark to
-    // evaluate the engine's transforms
+    // With a declared write order: range-distribute AND sort on
+    // (partition sources ++ sort fields) — partition values still
+    // co-locate (equal keys fall in one range), and each task writes
+    // files whose sort-key bounds are tight and mostly disjoint, which
+    // is what makes the stamped-bounds file pruning bite at scale.
+    // Without one: cluster incoming rows by the partition SOURCE
+    // columns (same value ⇒ same partition value), so each write task
+    // sees few partition values and the fanout map stays small —
+    // without needing Spark to evaluate the engine's transforms.
+    private def orderingExprs:
+        Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      val partLeads = partitionSpec.map(_.source)
+        .filterNot(writeOrder.map(_.column).contains)
+        .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      (partLeads ++ writeOrder.map(f => Expressions.sort(
+        Expressions.column(f.column),
+        if (f.descending) SortDirection.DESCENDING else SortDirection.ASCENDING)))
+        .toArray
+    }
     override def requiredDistribution():
         org.apache.spark.sql.connector.distributions.Distribution =
-      if (partitionSpec.isEmpty)
+      if (writeOrder.nonEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.ordered(orderingExprs)
+      else if (partitionSpec.isEmpty)
         org.apache.spark.sql.connector.distributions.Distributions.unspecified()
       else org.apache.spark.sql.connector.distributions.Distributions.clustered(
         partitionSpec.map(t => org.apache.spark.sql.connector.expressions
           .Expressions.column(t.source):
           org.apache.spark.sql.connector.expressions.Expression).toArray)
     override def requiredOrdering():
-        Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+        Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      if (writeOrder.isEmpty) Array.empty else orderingExprs
 
     override def toBatch: BatchWrite = {
       val schemaId = GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)

@@ -123,6 +123,22 @@ object RollingWriter {
               .sortWithinPartitions(zc)
               .drop("__zval")
         }
+      case _ if cfg.sortBy.nonEmpty =>
+        // linear sort layout (declared write order): range-partition on
+        // the sort key, then sort (partition values first so fanout
+        // files stay contiguous) — same bounds-tightening trade as the
+        // sorted DSv2 write path
+        import org.apache.spark.sql.functions.{col => c}
+        cfg.sortBy.map(_.column).find(!outDf.columns.contains(_)).foreach { m =>
+          throw graft.core.CompactionError.Config(
+            s"sortBy column '$m' is not in the written schema " +
+              s"(${outDf.columns.mkString(", ")})")
+        }
+        val sortCols = cfg.sortBy.map(f =>
+          if (f.descending) c(f.column).desc else c(f.column).asc)
+        outDf
+          .repartitionByRange(cfg.targetPartitions, sortCols: _*)
+          .sortWithinPartitions(partCols.map(c(_).asc) ++ sortCols: _*)
       case _ => outDf.repartition(cfg.targetPartitions)
     }
     try {

@@ -262,6 +262,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     // user TBLPROPERTIES ride the snapshot (e.g. graft.rowlevel.mode);
     // Spark's reserved bookkeeping keys stay out of the table
+    Option(properties.get(graft.core.WriteOrderCodec.Property)).foreach { v =>
+      graft.core.WriteOrderCodec.validate(
+        graft.core.WriteOrderCodec.decode(v), schema.fieldNames.toSet)
+    }
     val userProps = (properties.asScala.toMap -- GraftCatalog.ReservedProps) ++
       (if (spec.isEmpty) Map.empty[String, String]
        else Map(graft.core.PartitionSpecCodec.Property ->
@@ -317,6 +321,32 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw CompactionError.Config(
         s"column '$c' is a partition source (PARTITIONED BY); renaming " +
           "or dropping it would orphan the partition spec")
+    }
+    // a declared write-order column is addressed by name the same way:
+    // refuse rename/drop while the order references it (unset or re-SET
+    // graft.write-order first), and validate a newly SET order against
+    // the schema this ALTER produces
+    val orderCols = graft.core.WriteOrderCodec
+      .of(snapCatalog.load(dir)).map(_.column).toSet
+    if (!setProps.contains(graft.core.WriteOrderCodec.Property) &&
+        !unsetProps.contains(graft.core.WriteOrderCodec.Property))
+      ops.collect {
+        case SchemaOp.Rename(from, _) if orderCols(from) => from
+        case SchemaOp.Drop(name) if orderCols(name)      => name
+      }.headOption.foreach { c =>
+        throw CompactionError.Config(
+          s"column '$c' is named by graft.write-order; unset or re-set " +
+            "the property in the same ALTER to rename or drop it")
+      }
+    setProps.get(graft.core.WriteOrderCodec.Property).foreach { v =>
+      val after = GraftTableSource.tableSchema(dir, snapCatalog).fieldNames.toSet
+      val renamed = ops.collect { case SchemaOp.Rename(_, to) => to }
+      val dropped = ops.collect { case SchemaOp.Drop(n) => n }
+      val added = ops.collect { case SchemaOp.Add(n, _) => n }
+      graft.core.WriteOrderCodec.validate(
+        graft.core.WriteOrderCodec.decode(v),
+        after -- dropped -- ops.collect { case SchemaOp.Rename(from, _) => from } ++
+          renamed ++ added)
     }
     if (ops.nonEmpty) SchemaEvolution.evolve(dir, ops, catalog = snapCatalog)
     if (setProps.nonEmpty || unsetProps.nonEmpty) {
