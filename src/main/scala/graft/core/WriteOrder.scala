@@ -22,22 +22,30 @@ object WriteOrderCodec {
   def of(snap: Option[graft.txn.TableSnapshot]): Seq[SortField] =
     snap.flatMap(_.properties.get(Property)).map(decode).getOrElse(Nil)
 
-  /** `"c1,c2:desc,c3:asc"` → fields. Empty fragments refused. */
-  def decode(s: String): Seq[SortField] =
-    s.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty).map { part =>
-      part.split(':') match {
-        case Array(c)         => SortField(c, descending = false)
-        case Array(c, "asc")  => SortField(c, descending = false)
-        case Array(c, "desc") => SortField(c, descending = true)
-        case other => throw CompactionError.Config(
-          s"bad write-order fragment '${other.mkString(":")}' — " +
-            "expected 'col', 'col:asc' or 'col:desc'")
+  /** `"c1,c2:desc,c3:asc"` → fields. STRICT: empty fragments, stray
+    * colons (`"id:"` — a likely typo for a direction), and duplicate
+    * columns are all refused — a write order drives physical layout, so
+    * a malformed value must fail loudly, never be silently reshaped. */
+  def decode(s: String): Seq[SortField] = {
+    def bad(part: String): Nothing = throw CompactionError.Config(
+      s"bad write-order fragment '$part' — expected 'col', 'col:asc' " +
+        "or 'col:desc'")
+    if (s.trim.isEmpty) throw CompactionError.Config(
+      "empty graft.write-order — unset the property instead")
+    val fields = s.split(",", -1).toIndexedSeq.map(_.trim).map { part =>
+      // split with a limit keeps trailing empties, so "id:" is caught
+      part.split(":", -1) match {
+        case Array(c) if c.nonEmpty         => SortField(c, descending = false)
+        case Array(c, "asc") if c.nonEmpty  => SortField(c, descending = false)
+        case Array(c, "desc") if c.nonEmpty => SortField(c, descending = true)
+        case _ => bad(part)
       }
-    } match {
-      case fields if fields.isEmpty => throw CompactionError.Config(
-        "empty graft.write-order — unset the property instead")
-      case fields => fields
     }
+    val dup = fields.map(_.column).diff(fields.map(_.column).distinct)
+    if (dup.nonEmpty) throw CompactionError.Config(
+      s"write-order names column '${dup.head}' more than once")
+    fields
+  }
 
   /** Refuse a write order naming columns the schema doesn't have —
     * called when the property is SET (create/alter) and again at write

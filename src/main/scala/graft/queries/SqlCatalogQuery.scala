@@ -31,14 +31,30 @@ object SqlCatalogQuery {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val counter = new AtomicInteger(0)
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
-    val cat = catalogs.computeIfAbsent(dir, _ => {
-      val name = s"gq${counter.incrementAndGet()}"
-      val wh = Files.createTempDirectory(s"graft-sqlcat-$name").toString
+  /** One-per-dir catalog bootstrap shared by every query here: register
+    * a fresh [[graft.sql.GraftCatalog]] over a temp warehouse, expose the
+    * scale-factor lineitem as `viewName`, create namespace `db`, run the
+    * query-specific `setup` DDL/DML, and memoize the catalog name in
+    * `cache` under `key`. */
+  private def bootstrapCatalog(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      key: String, spark: SparkSession, dir: String,
+      prefix: String, tmpTag: String, viewName: String)
+      (setup: String => Unit): String =
+    cache.computeIfAbsent(key, _ => {
+      val name = s"$prefix${counter.incrementAndGet()}"
+      val wh = Files.createTempDirectory(s"graft-$tmpTag-$name").toString
       spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_src")
-      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView(viewName)
+      setup(name)
+      name
+    })
+
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(catalogs, dir, spark, dir,
+        "gq", "sqlcat", "li_src") { name =>
       spark.sql(
         // l_linenumber is INT32 in the source parquet — declare INT so
         // the round-tripped dtype matches the DuckDB oracle exactly
@@ -54,8 +70,7 @@ object SqlCatalogQuery {
       spark.sql(
         s"DELETE FROM $name.db.li WHERE l_orderkey <= 500 AND l_returnflag = 'A'")
       insertThird(2) // post-delete rows survive even when they match
-      name
-    })
+    }
     spark.sql(
       s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
          |FROM $cat.db.li
@@ -81,13 +96,8 @@ object SqlCatalogQuery {
     * per-partition-value files and the pruning that reads them back
     * lose and duplicate nothing. */
   def runPartitioned(spark: SparkSession, dir: String): DataFrame = {
-    val cat = partCatalogs.computeIfAbsent(dir, _ => {
-      val name = s"gp${counter.incrementAndGet()}"
-      val wh = Files.createTempDirectory(s"graft-sqlpart-$name").toString
-      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_part")
-      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    val cat = bootstrapCatalog(partCatalogs, dir, spark, dir,
+        "gp", "sqlpart", "li_part") { name =>
       spark.sql(
         s"""CREATE TABLE $name.db.lp (
            |  l_orderkey BIGINT, l_linenumber INT,
@@ -99,8 +109,7 @@ object SqlCatalogQuery {
            |FROM li_part""".stripMargin)
       spark.sql(
         s"DELETE FROM $name.db.lp WHERE l_orderkey <= 300 AND l_returnflag = 'R'")
-      name
-    })
+    }
     spark.sql(
       s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
          |FROM $cat.db.lp WHERE l_orderkey % 5 = 2
@@ -127,13 +136,8 @@ object SqlCatalogQuery {
     * the range exchange loses and duplicates nothing and that pruning
     * over the sorted layout returns exactly the full-scan answer. */
   def runWriteOrder(spark: SparkSession, dir: String): DataFrame = {
-    val cat = woCatalogs.computeIfAbsent(dir, _ => {
-      val name = s"gw${counter.incrementAndGet()}"
-      val wh = Files.createTempDirectory(s"graft-sqlwo-$name").toString
-      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_wo")
-      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    val cat = bootstrapCatalog(woCatalogs, dir, spark, dir,
+        "gw", "sqlwo", "li_wo") { name =>
       spark.sql(
         s"""CREATE TABLE $name.db.wo (
            |  l_orderkey BIGINT, l_linenumber INT,
@@ -145,8 +149,7 @@ object SqlCatalogQuery {
            |FROM li_wo DISTRIBUTE BY pmod(hash(l_suppkey, l_linenumber), 16)""".stripMargin)
       spark.sql(
         s"DELETE FROM $name.db.wo WHERE l_orderkey > 100 AND l_orderkey <= 200")
-      name
-    })
+    }
     spark.sql(
       s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey
          |FROM $cat.db.wo WHERE l_orderkey <= 1000
@@ -185,19 +188,14 @@ object SqlCatalogQuery {
     runMergeMode(spark, dir, "merge-on-read")
 
   private def runMergeMode(spark: SparkSession, dir: String, mode: String): DataFrame = {
-    val cat = mergeCatalogs.computeIfAbsent(s"$dir#$mode", _ => {
-      val name = s"gm${counter.incrementAndGet()}"
-      val wh = Files.createTempDirectory(s"graft-sqlmerge-$name").toString
-      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_merge")
+    val cat = bootstrapCatalog(mergeCatalogs, s"$dir#$mode", spark, dir,
+        "gm", "sqlmerge", "li_merge") { name =>
       spark.sql("""CREATE OR REPLACE TEMP VIEW li_keyed AS
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |  CAST(round(l_quantity * 100) AS BIGINT) AS lq,
         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS lep,
         |  l_returnflag
         |FROM li_merge""".stripMargin)
-      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
       spark.sql(
         s"""CREATE TABLE $name.db.li (
            |  l_orderkey BIGINT, l_linenumber INT, l_partkey BIGINT,
@@ -219,8 +217,7 @@ object SqlCatalogQuery {
            |AND t.lq = s.lq AND t.lep = s.lep
            |WHEN MATCHED THEN UPDATE SET l_returnflag = s.l_returnflag
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      name
-    })
+    }
     spark.sql(
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, lq, lep, l_returnflag
          |FROM $cat.db.li
@@ -240,13 +237,8 @@ object SqlCatalogQuery {
     * deletes over decimal files). Dates render as strings on both sides
     * so the oracle compare is dtype-stable. */
   def runDecimal(spark: SparkSession, dir: String): DataFrame = {
-    val cat = decCatalogs.computeIfAbsent(dir, _ => {
-      val name = s"gd${counter.incrementAndGet()}"
-      val wh = Files.createTempDirectory(s"graft-sqldec-$name").toString
-      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_dec")
-      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    val cat = bootstrapCatalog(decCatalogs, dir, spark, dir,
+        "gd", "sqldec", "li_dec") { name =>
       spark.sql(
         s"""CREATE TABLE $name.db.dec (
            |  l_orderkey BIGINT, l_linenumber INT,
@@ -267,8 +259,7 @@ object SqlCatalogQuery {
            |USING (SELECT DISTINCT l_orderkey FROM li_dec WHERE l_orderkey % 10 = 1) s
            |ON t.l_orderkey = s.l_orderkey
            |WHEN MATCHED THEN UPDATE SET price = t.price + 1.00""".stripMargin)
-      name
-    })
+    }
     // decimals render as strings in the FINAL projection only (the
     // table stores true DECIMAL columns): DuckDB's pandas bridge
     // widens small decimals to float64, so a decimal-typed output
@@ -298,13 +289,8 @@ object SqlCatalogQuery {
     * bit-for-bit, while every compared column stays a primitive the
     * DuckDB/pandas bridge is dtype-stable on. */
   def runNested(spark: SparkSession, dir: String): DataFrame = {
-    val cat = nestCatalogs.computeIfAbsent(dir, _ => {
-      val name = s"gn${counter.incrementAndGet()}"
-      val wh = Files.createTempDirectory(s"graft-sqlnest-$name").toString
-      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_nest")
-      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    val cat = bootstrapCatalog(nestCatalogs, dir, spark, dir,
+        "gn", "sqlnest", "li_nest") { name =>
       spark.sql(
         s"""CREATE TABLE $name.db.nest (
            |  l_orderkey BIGINT, l_linenumber INT,
@@ -322,8 +308,7 @@ object SqlCatalogQuery {
            |  map('ok', l_orderkey, 'sk', l_suppkey)
            |FROM li_nest WHERE l_orderkey % 3 < 2""".stripMargin)
       spark.sql(s"DELETE FROM $name.db.nest WHERE l_orderkey <= 400")
-      name
-    })
+    }
     spark.sql(
       s"""SELECT l_orderkey, l_linenumber,
          |  CASE WHEN tags IS NULL THEN NULL
@@ -397,12 +382,8 @@ object SqlCatalogQuery {
     * Both rows hash-match an oracle recomputed from lineitem, so the
     * shortcut provably returns exactly what the full scan would. */
   def runAggMeta(spark: SparkSession, dir: String): DataFrame = {
-    val cat = aggCatalogs.computeIfAbsent(dir, _ => {
-      val name = s"ga${counter.incrementAndGet()}"
-      val wh = Files.createTempDirectory(s"graft-sqlagg-$name").toString
-      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_agg")
+    val cat = bootstrapCatalog(aggCatalogs, dir, spark, dir,
+        "ga", "sqlagg", "li_agg") { name =>
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
       spark.sql(
         s"""CREATE TABLE $name.db.am (
@@ -413,8 +394,7 @@ object SqlCatalogQuery {
            |SELECT l_orderkey, l_linenumber, l_suppkey,
            |  CASE WHEN l_linenumber % 3 = 0 THEN l_partkey END AS l_pk3
            |FROM li_agg WHERE l_orderkey % 2 = 0""".stripMargin)
-      name
-    })
+    }
     spark.sql(
       s"""SELECT 'all' AS part, count(*) AS cnt, count(l_pk3) AS cp,
          |  min(l_orderkey) AS mn, max(l_orderkey) AS mx,

@@ -130,15 +130,22 @@ final class GraftWriteBuilder(
     this
   }
 
+  /** ONE snapshot load for all planning-time property reads — both so
+    * planning pays the metadata parse once and so the partition spec and
+    * write order can never reflect different table states across a
+    * concurrent commit. */
+  private lazy val planningSnap: Option[graft.txn.TableSnapshot] =
+    catalog.load(tableDir)
+
   /** Partition spec of the target table (snapshot property) — fanout
     * writers route rows per partition value. */
   private lazy val partitionSpec: Seq[graft.core.PartitionTransform] =
-    graft.core.PartitionSpecCodec.of(catalog.load(tableDir))
+    graft.core.PartitionSpecCodec.of(planningSnap)
 
   /** Declared write order (snapshot property, validated against the
     * incoming write schema so a stale order fails at planning). */
   private lazy val writeOrder: Seq[graft.core.SortField] = {
-    val order = graft.core.WriteOrderCodec.of(catalog.load(tableDir))
+    val order = graft.core.WriteOrderCodec.of(planningSnap)
     graft.core.WriteOrderCodec.validate(order,
       info.schema().fieldNames.toSet)
     order

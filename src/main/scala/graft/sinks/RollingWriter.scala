@@ -76,14 +76,16 @@ object RollingWriter {
     // code, so each output file bounds BOTH z columns) or the reference's
     // plain round-robin repartition (X2)
     var persisted: DataFrame = null
+    def requireColumns(cols: Seq[String], what: String): Unit =
+      cols.find(!outDf.columns.contains(_)).foreach { missing =>
+        throw graft.core.CompactionError.Config(
+          s"$what column '$missing' is not in the written schema " +
+            s"(${outDf.columns.mkString(", ")})")
+      }
     val distributed = cfg.zOrderBy match {
       case Seq(a, b) =>
         import org.apache.spark.sql.functions.{col => c, min => fmin, max => fmax}
-        cfg.zOrderBy.find(!outDf.columns.contains(_)).foreach { missing =>
-          throw graft.core.CompactionError.Config(
-            s"zOrderBy column '$missing' is not in the written schema " +
-              s"(${outDf.columns.mkString(", ")})")
-        }
+        requireColumns(cfg.zOrderBy, "zOrderBy")
         require(!outDf.columns.contains("__zval"),
           "column name __zval is reserved by the z-order writer")
         // normalize both key domains onto 16 bits with exact integer math
@@ -129,11 +131,7 @@ object RollingWriter {
         // files stay contiguous) — same bounds-tightening trade as the
         // sorted DSv2 write path
         import org.apache.spark.sql.functions.{col => c}
-        cfg.sortBy.map(_.column).find(!outDf.columns.contains(_)).foreach { m =>
-          throw graft.core.CompactionError.Config(
-            s"sortBy column '$m' is not in the written schema " +
-              s"(${outDf.columns.mkString(", ")})")
-        }
+        requireColumns(cfg.sortBy.map(_.column), "sortBy")
         val sortCols = cfg.sortBy.map(f =>
           if (f.descending) c(f.column).desc else c(f.column).asc)
         outDf

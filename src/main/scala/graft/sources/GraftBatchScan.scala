@@ -732,14 +732,16 @@ final class GraftScan(
     * position deletes (equality-delete selectivity is unknowable without
     * reading keys — leaving it out overestimates, which only errs on the
     * safe side of a broadcast decision). Position deletes are subtracted
-    * only for an UNPRUNED scan: after file pruning the deletes targeting
-    * pruned-away files would deflate the estimate below the truth, and
-    * an underestimate is the dangerous direction (it invites
-    * broadcasting a large side). */
+    * only for an UNPRUNED scan — decided by comparing the surviving file
+    * set against the snapshot's, so EVERY pruning mechanism (bounds,
+    * partition, null-count) disables the subtraction: after file pruning
+    * the deletes targeting pruned-away files would deflate the estimate
+    * below the truth, and an underestimate is the dangerous direction
+    * (it invites broadcasting a large side). */
   override def estimateStatistics(): Statistics = {
     val bytes = prunedDataFiles.map(_.sizeBytes).sum
     val posDeleted =
-      if (pruneBounds.nonEmpty) 0L
+      if (prunedDataFiles.size != snap.files.count(_.content == "data")) 0L
       else snap.files.filter(_.content == "position-deletes")
         .map(_.recordCount).sum
     val rows = math.max(0L, prunedDataFiles.map(_.recordCount).sum - posDeleted)

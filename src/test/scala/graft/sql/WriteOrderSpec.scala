@@ -152,6 +152,11 @@ class WriteOrderSpec extends AnyFunSuite {
       sql("ALTER TABLE gwo.db.alt SET TBLPROPERTIES ('graft.write-order'='id:sideways')")
     }
     assert(e3.getMessage.contains("sideways"))
+    // malformed fragments fail loudly, never silently reshape
+    for (v <- Seq("id:", "a:desc:", "a,,b", "id,id:desc", " "))
+      assert(intercept[CompactionError.Config] {
+        sql(s"ALTER TABLE gwo.db.alt SET TBLPROPERTIES ('graft.write-order'='$v')")
+      }.getMessage.contains("write-order"), s"value '$v' must be refused")
     // a valid order SET + the guarded rename is refused while referenced
     sql("ALTER TABLE gwo.db.alt SET TBLPROPERTIES ('graft.write-order'='v')")
     val e4 = intercept[CompactionError.Config] {
