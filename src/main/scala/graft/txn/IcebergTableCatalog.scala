@@ -431,9 +431,30 @@ object IcebergTableCatalog extends TableCatalog {
       val spec = doc.putArray("partition-specs").addObject()
       spec.put("spec-id", 0); spec.putArray("fields")
       doc.put("last-partition-id", 999)
-      doc.put("default-sort-order-id", 0)
-      val order = doc.putArray("sort-orders").addObject()
-      order.put("order-id", 0); order.putArray("fields")
+      // a declared write order serializes as a REAL Iceberg sort order
+      // (identity transform per field, Spark's null-ordering defaults),
+      // so external readers see the layout contract, not just a foreign
+      // property; unresolvable/absent orders fall back to unsorted(0)
+      val woNameToId = fields.map(fl => fl.name -> fl.id).toMap
+      val wo = try graft.core.WriteOrderCodec.of(Some(snapshot))
+        catch { case _: Exception => Nil }
+      val woResolvable = wo.nonEmpty && wo.forall(f => woNameToId.contains(f.column))
+      doc.put("default-sort-order-id", if (woResolvable) 1 else 0)
+      val ordersArr = doc.putArray("sort-orders")
+      val o0 = ordersArr.addObject()
+      o0.put("order-id", 0); o0.putArray("fields")
+      if (woResolvable) {
+        val o1 = ordersArr.addObject()
+        o1.put("order-id", 1)
+        val fa = o1.putArray("fields")
+        wo.foreach { f =>
+          val e = fa.addObject()
+          e.put("transform", "identity")
+          e.put("source-id", woNameToId(f.column))
+          e.put("direction", if (f.descending) "desc" else "asc")
+          e.put("null-order", if (f.descending) "nulls-last" else "nulls-first")
+        }
+      }
       val props = doc.putObject("properties")
       // Spark-written parquet carries no Iceberg field ids; the spec's
       // name-mapping property tells real readers to resolve columns by

@@ -137,6 +137,45 @@ class WriteOrderSpec extends AnyFunSuite {
         ((k * 1000).toLong until (k * 1000 + 3000)).sum).sum))
   }
 
+  test("iceberg-format tables carry the order as a real Iceberg sort order") {
+    val wh = Files.createTempDirectory("graft-wo-ice").toString
+    spark.conf.set("spark.sql.catalog.gwoi", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwoi.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.gwoi.format", "iceberg")
+    sql("CREATE NAMESPACE IF NOT EXISTS gwoi.db")
+    sql("""CREATE TABLE gwoi.db.t (id BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.write-order'='id,v:desc')""".stripMargin)
+    withSmallShuffle {
+      sql("INSERT INTO gwoi.db.t SELECT id, id FROM range(0, 500) DISTRIBUTE BY pmod(id, 4)")
+    }
+    assert(sql("SELECT sum(id) FROM gwoi.db.t").head.getLong(0) == 124750L)
+    // files are sorted (disjoint id bounds survive the Iceberg manifest)
+    val files = graft.txn.IcebergTableCatalog.loadOrThrow(s"$wh/db/t")
+      .files.filter(_.content == "data")
+    assert(files.size >= 3)
+    val bounds = files.map(f => FileEntry.loHi(f.bounds("id")).get).sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) => assert(hiA < loB)
+      case _ =>
+    }
+    // metadata.json declares the order in Iceberg's own model
+    val mdir = new java.io.File(s"$wh/db/t/metadata")
+    val latest = mdir.listFiles().filter(_.getName.endsWith(".metadata.json"))
+      .maxBy(_.getName)
+    val doc = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(latest.toPath))
+    assert(doc.get("default-sort-order-id").asInt == 1)
+    val orders = doc.get("sort-orders")
+    val o1 = (0 until orders.size).map(orders.get)
+      .find(_.get("order-id").asInt == 1).get
+    val fs = o1.get("fields")
+    assert(fs.size == 2)
+    assert(fs.get(0).get("transform").asText == "identity")
+    assert(fs.get(0).get("direction").asText == "asc")
+    assert(fs.get(1).get("direction").asText == "desc")
+    assert(fs.get(1).get("null-order").asText == "nulls-last")
+  }
+
   test("unknown columns are refused at CREATE, ALTER, and write planning") {
     val e1 = intercept[CompactionError.Config] {
       sql("""CREATE TABLE gwo.db.bad (id BIGINT)
