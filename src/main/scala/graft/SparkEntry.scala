@@ -41,6 +41,7 @@ object SparkEntry {
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
       ("sql_agg_meta" -> (graft.queries.SqlCatalogQuery.runAggMeta _)) +
       ("sql_write_order" -> (graft.queries.SqlCatalogQuery.runWriteOrder _)) +
+      ("spj_join" -> (graft.queries.SqlCatalogQuery.runSpjJoin _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -73,6 +74,7 @@ object SparkEntry {
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +
       ("sql_agg_meta" -> graft.queries.SqlCatalogQuery.aggMetaOracle) +
       ("sql_write_order" -> graft.queries.SqlCatalogQuery.writeOrderOracle) +
+      ("spj_join" -> graft.queries.SqlCatalogQuery.spjJoinOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

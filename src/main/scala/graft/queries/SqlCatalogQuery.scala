@@ -163,6 +163,93 @@ object SqlCatalogQuery {
       |  AND NOT (l_orderkey > 100 AND l_orderkey <= 200)
       |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // -------- storage-partitioned join (co-bucketed, shuffle-free) --------
+
+  private val spjCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Storage-partitioned join as an oracle-checked query: orders and
+    * customer land in two tables bucketed the SAME way on the join key
+    * (`bucket(4, custkey)`), and the join runs with Spark's v2
+    * bucketing enabled — the scans report `KeyGroupedPartitioning`,
+    * the catalog's V2 `bucket` function proves both layouts equal, and
+    * the join executes with NO shuffle on either input (the plan is
+    * asserted: the only exchange is the final ORDER BY). At 100 TB this
+    * is the difference between moving both tables over the wire and
+    * moving nothing. The oracle replays the join from the raw parquet —
+    * a hash match certifies the keyed-task read path loses and
+    * duplicates nothing.
+    *
+    * SPJ is an execution-time plan property, so the confs are enabled
+    * around an EAGER run and restored (leaking them would re-shape
+    * every later partitioned-table scan in the session); the collected
+    * result returns as a local DataFrame with the join's schema. */
+  def runSpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(spjCatalogs, dir, spark, dir,
+        "gj", "sqlspj", "spj_li_unused") { name =>
+      spark.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("spj_orders")
+      spark.read.parquet(s"$dir/customer.parquet")
+        .createOrReplaceTempView("spj_customer")
+      spark.sql(
+        s"""CREATE TABLE $name.db.ofact (o_orderkey BIGINT, o_custkey BIGINT)
+           |PARTITIONED BY (bucket(4, o_custkey))""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.ofact
+           |SELECT o_orderkey, o_custkey FROM spj_orders""".stripMargin)
+      spark.sql(
+        s"""CREATE TABLE $name.db.cdim (
+           |  c_custkey BIGINT, c_name STRING, c_nationkey INT)
+           |PARTITIONED BY (bucket(4, c_custkey))""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.cdim
+           |SELECT c_custkey, c_name, c_nationkey FROM spj_customer""".stripMargin)
+    }
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    // broadcast off: the join must prove co-partitioning, not dodge it
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        s"""SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey
+           |FROM $cat.db.ofact o
+           |JOIN $cat.db.cdim c ON o.o_custkey = c.c_custkey
+           |ORDER BY 1, 2, 3, 4""".stripMargin)
+      val rows = j.collect()
+      val plan = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }.size
+      // at most the final ORDER BY's range exchange (AQE elides even
+      // that when the join output collapses to one partition) — the
+      // JOIN itself must be shuffle-free
+      require(shuffles <= 1,
+        s"expected a storage-partitioned join (at most the final ORDER BY " +
+          s"exchange), got $shuffles shuffles:\n${j.queryExecution}")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  val spjJoinOracle: String =
+    """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
   // -------- MERGE INTO (group-based copy-on-write) ----------------------
 
   private val mergeCatalogs =

@@ -388,6 +388,21 @@ final case class GraftMorPartition(
     filters: Seq[org.apache.spark.sql.sources.Filter] = Nil
 ) extends InputPartition
 
+/** A [[GraftMorPartition]] stamped with its typed partition key — the
+  * `HasPartitionKey` surface Spark groups by when the scan reports
+  * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+  * (storage-partitioned joins). `keyVals` are Catalyst-typed values
+  * (Long / Int / UTF8String / null) in partition-spec order, matching
+  * the reported clustering expressions' evaluated types; splits of one
+  * file share one key, and Spark's own grouping coalesces them. */
+final case class GraftMorKeyedPartition(
+    inner: GraftMorPartition,
+    keyVals: Array[Any]
+) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyVals)
+}
+
 final class GraftScanBuilder(
     tableDir: String,
     tableSchema: StructType,
@@ -570,7 +585,7 @@ final class GraftScan(
       * row-group statistics skipping ([[ParquetPredicate]]). */
     pushedSourceFilters: Seq[sources.Filter] = Nil
 ) extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   override def readSchema(): StructType = {
     var fields = requiredSchema.fields
@@ -694,6 +709,82 @@ final class GraftScan(
     else pruneGuarded(boundsPruned,
       ScanPruning.pruneDataFilesWithNullCounts(_, isNullCols, isNotNullCols))
   }
+
+  /** Storage-partitioned-join surface: the clustering expressions plus
+    * each data file's TYPED partition key, parsed from the fanout
+    * layout the writers stamped (file-name prefix / `__p_` dirs) — no
+    * IO. Defined only when the whole spec is join-expressible (identity
+    * over integral/string/date sources, bucket over hashable sources)
+    * AND every pruned data file parses to a full key; one un-keyed file
+    * (a pre-partitioning append) disables the report, never corrupts
+    * it. Values are Catalyst-typed to match what Spark evaluates the
+    * clustering expressions to: identity → the column's value domain,
+    * bucket → the int bucket ordinal. The rendered-string round-trip is
+    * identical on both sides of a join (one shared renderer), so
+    * sanitization collisions cost only co-grouping — the join condition
+    * still compares real values.
+    *
+    * Always reported when available: the physical grouping (and thus
+    * any parallelism trade) only happens once the user opts in via
+    * `spark.sql.sources.v2.bucketing.enabled`, and Catalyst drops the
+    * report gracefully when the partition source column is pruned from
+    * the scan output or the function catalog is absent. */
+  private lazy val spjKeys: Option[(
+      Array[org.apache.spark.sql.connector.expressions.Expression],
+      Map[String, Array[Any]])] = {
+    import graft.core.{BucketTransform, IdentityTransform, PartitionKey}
+    import org.apache.spark.sql.connector.expressions.{Expressions => XE}
+    if (partSpec.isEmpty) None
+    else {
+      val exprs = partSpec.map {
+        case IdentityTransform(c) => colTypes.get(c).collect {
+          case LongType | IntegerType | ShortType | StringType | DateType =>
+            XE.column(c): org.apache.spark.sql.connector.expressions.Expression
+        }
+        case BucketTransform(n, c)
+            if colTypes.get(c).exists(graft.sql.GraftV2Functions.bucketSupported) =>
+          Some(XE.bucket(n, c): org.apache.spark.sql.connector.expressions.Expression)
+        case _ => None
+      }
+      if (exprs.exists(_.isEmpty)) None
+      else {
+        def typed(t: graft.core.PartitionTransform, raw: String): Option[Any] =
+          if (raw == "null") Some(null)
+          else t match {
+            case IdentityTransform(c) => colTypes(c) match {
+              case LongType => raw.toLongOption
+              case IntegerType => raw.toIntOption
+              case ShortType => raw.toShortOption
+              case StringType => Some(UTF8String.fromString(raw))
+              case DateType =>
+                try Some(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+                catch { case _: java.time.format.DateTimeParseException => None }
+              case _ => None
+            }
+            case BucketTransform(_, _) => raw.toIntOption
+            case _ => None
+          }
+        val byPath = prunedDataFiles.map { f =>
+          val fields = PartitionKey.parse(f.path)
+          val key = partSpec.map(t => fields.get(t.fieldName).flatMap(typed(t, _)))
+          f.path -> (if (key.exists(_.isEmpty)) null
+                     else key.map(_.get).toArray)
+        }
+        if (byPath.exists(_._2 == null)) None
+        else Some((exprs.map(_.get).toArray, byPath.toMap))
+      }
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKeys match {
+      case Some((exprs, byPath)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          exprs, byPath.values.map(_.toSeq).toSet.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** Per-task position-delete scoping: [[graft.compaction
     * .DeleteCompaction]] lands position deletes SORTED by (file_path,
@@ -841,8 +932,14 @@ final class GraftScan(
         columnMap = columnMapFor(d),
         filters = taskFilters
       )
-      splitByRowGroups(base, layouts.getOrElse(d.path, Nil))
-        .map(p => p: InputPartition)
+      val splits = splitByRowGroups(base, layouts.getOrElse(d.path, Nil))
+      spjKeys match {
+        // stamp the typed key so Spark can group tasks by partition
+        // value (the HasPartitionKey half of the KeyGrouped report)
+        case Some((_, byPath)) =>
+          splits.map(p => GraftMorKeyedPartition(p, byPath(d.path)): InputPartition)
+        case None => splits.map(p => p: InputPartition)
+      }
     }.toArray
   }
 
@@ -927,8 +1024,14 @@ final class GraftMorReaderFactory(
     includePosColumn: Boolean = false,
     columnar: Boolean = false)
     extends PartitionReaderFactory {
+  private def unwrap(partition: InputPartition): GraftMorPartition =
+    partition match {
+      case k: GraftMorKeyedPartition => k.inner
+      case p => p.asInstanceOf[GraftMorPartition]
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftMorPartition]
+    val p = unwrap(partition)
     new GraftMorPartitionReader(p, requiredSchema, tableSchema, includeFileColumn,
       graft.io.FileIO.confFrom(confEntries), includePosColumn)
   }
@@ -937,7 +1040,7 @@ final class GraftMorReaderFactory(
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[GraftMorPartition]
+    val p = unwrap(partition)
     new GraftMorColumnarReader(p, requiredSchema, tableSchema, includeFileColumn,
       graft.io.FileIO.confFrom(confEntries), includePosColumn)
   }

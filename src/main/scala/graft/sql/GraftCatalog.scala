@@ -134,7 +134,7 @@ object GraftCatalog {
 }
 
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -438,6 +438,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!cascade && (listTables(ns).nonEmpty || listNamespaces(ns).nonEmpty))
       throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(ns)
     FileIO.deleteRecursive(dir)
+  }
+
+  // --- FunctionCatalog: the partition-transform functions Catalyst
+  // resolves when a scan reports transform-clustered partitioning
+  // (storage-partitioned joins load `bucket` through here and compare
+  // both sides by its canonical name). Resolution passes
+  // Identifier.of(Array.empty, name), so functions live at the root.
+  override def listFunctions(ns: Array[String]): Array[Identifier] = {
+    if (ns.nonEmpty && !namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    if (ns.nonEmpty) Array.empty
+    else GraftV2Functions.names.map(Identifier.of(Array.empty[String], _)).toArray
+  }
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction = {
+    if (ident.namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    GraftV2Functions.load(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
   }
 }
 
