@@ -218,9 +218,15 @@ class GraftCatalogSpec extends AnyFunSuite {
           |FROM range(0, 300)""".stripMargin)
     val wh = spark.conf.get("spark.sql.catalog.gsql.warehouse")
     val tdir = s"$wh/dbrt2/p"
-    import graft.sources.{GraftMorPartition, GraftScanBuilder}
-    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import graft.sources.{GraftMorKeyedPartition, GraftMorPartition, GraftScanBuilder}
+    import org.apache.spark.sql.connector.read.{InputPartition, SupportsRuntimeFiltering}
     import org.apache.spark.sql.{sources => f}
+    // identity-partitioned tables report key-grouped partitioning (SPJ),
+    // so planned partitions arrive wrapped with their partition key
+    def dataPathOf(p: InputPartition): String = p match {
+      case k: GraftMorKeyedPartition => k.inner.dataPath
+      case m: GraftMorPartition      => m.dataPath
+    }
     val schema = spark.table("gsql.dbrt2.p").schema
     def fresh() = new GraftScanBuilder(tdir, schema, None, FileTableCatalog,
       "1", skipDeletes = false).build()
@@ -232,14 +238,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       .filter(Array[f.Filter](f.In("flag", Array[Any]("B"))))
     val pFlag = sFlag.toBatch.planInputPartitions()
     assert(pFlag.length < all && pFlag.nonEmpty)
-    assert(pFlag.forall(_.asInstanceOf[GraftMorPartition].dataPath.contains("flag=B")))
+    assert(pFlag.forall(p => dataPathOf(p).contains("flag=B")))
     // date equality → only that date's files survive planning
     val sDate = fresh()
     sDate.asInstanceOf[SupportsRuntimeFiltering].filter(Array[f.Filter](
       f.EqualTo("d", java.sql.Date.valueOf("2024-01-02"))))
     val pDate = sDate.toBatch.planInputPartitions()
     assert(pDate.length < all && pDate.nonEmpty)
-    assert(pDate.forall(_.asInstanceOf[GraftMorPartition].dataPath.contains("d=2024-01-02")))
+    assert(pDate.forall(p => dataPathOf(p).contains("d=2024-01-02")))
     // correctness end-to-end through a real broadcast join on the key
     val dim = spark.createDataFrame(Seq(Tuple1("B"))).toDF("flag")
     assert(spark.table("gsql.dbrt2.p")
