@@ -41,6 +41,7 @@ object SparkEntry {
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
       ("sql_agg_meta" -> (graft.queries.SqlCatalogQuery.runAggMeta _)) +
       ("sql_write_order" -> (graft.queries.SqlCatalogQuery.runWriteOrder _)) +
+      ("sql_dv" -> (graft.queries.SqlCatalogQuery.runDv _)) +
       ("spj_join" -> (graft.queries.SqlCatalogQuery.runSpjJoin _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
@@ -74,6 +75,7 @@ object SparkEntry {
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +
       ("sql_agg_meta" -> graft.queries.SqlCatalogQuery.aggMetaOracle) +
       ("sql_write_order" -> graft.queries.SqlCatalogQuery.writeOrderOracle) +
+      ("sql_dv" -> graft.queries.SqlCatalogQuery.dvOracle) +
       ("spj_join" -> graft.queries.SqlCatalogQuery.spjJoinOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)

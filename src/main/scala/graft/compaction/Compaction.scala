@@ -106,7 +106,16 @@ final class Compaction(
       // degenerating to the reference's full rewrite.
       val removed: Set[String] =
         if (kept.isEmpty) snap.files.map(_.path).toSet
-        else selected.map(_.filePath).toSet
+        else {
+          val sel = selected.map(_.filePath).toSet
+          // a deletion vector is 1:1 with its data file — once that file
+          // is rewritten the vector is provably inert, so drop it in the
+          // same commit instead of accreting dead metadata
+          val selNorm = sel.map(ScanPlanner.normalizePath)
+          sel ++ snap.files.filter(f => f.content == "deletion-vectors" &&
+            f.referencedDataFile.exists(r =>
+              selNorm.contains(ScanPlanner.normalizePath(r)))).map(_.path)
+        }
       val committed = new CommitManager(tableDir, retry, metrics, labels,
           catalog = catalog)
         .rewriteFiles(

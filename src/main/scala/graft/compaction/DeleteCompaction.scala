@@ -61,9 +61,20 @@ object DeleteCompaction {
     val snap = catalog.loadOrThrow(tableDir)
     val eqFiles = snap.files.filter(_.content == "equality-deletes")
     val posFiles = snap.files.filter(_.content == "position-deletes")
-    if (eqFiles.isEmpty && posFiles.size <= 1) None
+    // dv-format tables additionally fold any parquet position deletes
+    // into deletion vectors (the migration path); vectors themselves are
+    // already consolidated (one per data file), so they never trigger
+    val worthIt =
+      if (dvMode(snap)) eqFiles.nonEmpty || posFiles.nonEmpty
+      else eqFiles.nonEmpty || posFiles.size > 1
+    if (!worthIt) None
     else Some(convert(spark, tableDir, config, retry, catalog, snap))
   }
+
+  private def dvMode(snap: TableSnapshot): Boolean =
+    snap.properties
+      .get(graft.sinks.GraftDeltaBatchWrite.DeletesFormatProp)
+      .contains("dv")
 
   private def convert(
       spark: SparkSession,
@@ -97,14 +108,17 @@ object DeleteCompaction {
         val parts = math.max(1L, math.min(config.targetPartitions.toLong,
           (deleteBytes + config.targetFileSizeBytes - 1) /
             config.targetFileSizeBytes)).toInt
-        val sorted = df
-          .repartitionByRange(parts, col("file_path"), col("pos"))
-          .sortWithinPartitions(col("file_path"), col("pos"))
-        TableWrites.writeParquet(sorted, outDir, config.parquetCompression)
-          .map { case (p, len, rc) =>
-            FileEntry(p, "position-deletes", len, rc, -1L)
-          }
-          .filter(_.recordCount > 0) // drop empty part files, keep quiescence
+        if (dvMode(snap)) writeDvs(spark, df, outDir, parts)
+        else {
+          val sorted = df
+            .repartitionByRange(parts, col("file_path"), col("pos"))
+            .sortWithinPartitions(col("file_path"), col("pos"))
+          TableWrites.writeParquet(sorted, outDir, config.parquetCompression)
+            .map { case (p, len, rc) =>
+              FileEntry(p, "position-deletes", len, rc, -1L)
+            }
+            .filter(_.recordCount > 0) // drop empty part files, keep quiescence
+        }
     }
     // all-empty outputs (every row of the dead set vanished in a write
     // that produced zero-row part files) still count zero positions
@@ -129,6 +143,52 @@ object DeleteCompaction {
       addedDeleteFiles = added.size.toLong,
       deletedPositions = deadCount,
       snapshot = committed)
+  }
+
+  /** Write the dead set as deletion vectors — one single-blob Puffin
+    * container per data file (the 1:1 identity the snapshot machinery
+    * relies on). The dead pairs hash-partition BY data path, so every
+    * file's positions land in exactly one task and each task streams
+    * path-sorted runs into per-file bitmaps — memory is one bitmap at a
+    * time, and no two tasks ever write the same file's vector. */
+  private def writeDvs(spark: SparkSession, dead: DataFrame,
+      outDir: String, parts: Int): Seq[FileEntry] = {
+    import spark.implicits._
+    val confEntries = graft.io.FileIO.hadoopConfEntries()
+    dead
+      .repartition(parts, col("file_path"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val conf = graft.io.FileIO.confFrom(confEntries)
+        val out = scala.collection.mutable
+          .ArrayBuffer.empty[(String, String, Long, Long, Long, Long)]
+        var cur: String = null
+        var bm: org.roaringbitmap.longlong.Roaring64Bitmap = null
+        def flush(): Unit = if (cur != null) {
+          val p = s"$outDir/dv-" +
+            s"${java.util.UUID.randomUUID().toString.take(12)}.puffin"
+          val w = graft.io.Puffin.writeDvFile(p, Seq(cur -> bm), conf)
+          val d = w.blobs.head
+          out += ((p, cur, d.contentOffset, d.contentSizeBytes,
+            d.cardinality, w.sizeBytes))
+        }
+        it.foreach { case (fp, pos) =>
+          if (fp != cur) {
+            flush(); cur = fp
+            bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+          }
+          bm.addLong(pos)
+        }
+        flush()
+        out.iterator
+      }
+      .collect().toSeq
+      .map { case (p, ref, off, size, card, fileBytes) =>
+        FileEntry(p, "deletion-vectors", fileBytes, card, -1L,
+          referencedDataFile = Some(ref), contentOffset = off,
+          contentSizeBytes = size)
+      }
   }
 
   /** The DEAD (path, pos) set under the full delete chain, or None when

@@ -38,10 +38,14 @@ object Maintenance {
   def shouldConvertDeletes(snapshot: TableSnapshot): Decision = {
     val eq = snapshot.files.count(_.content == "equality-deletes")
     val pos = snapshot.files.count(_.content == "position-deletes")
+    val dvTable = snapshot.properties
+      .get(graft.sinks.GraftDeltaBatchWrite.DeletesFormatProp).contains("dv")
     if (snapshot.files.forall(_.content != "data"))
       Skip("no data files")
     else if (eq > 0)
       Run(s"$eq equality-delete file(s) taxing every read")
+    else if (dvTable && pos > 0)
+      Run(s"$pos parquet position-delete file(s) to fold into deletion vectors")
     else if (pos > 1)
       Run(s"$pos fragmented position-delete files")
     else

@@ -10,6 +10,11 @@ object FileContent {
   case object Data extends FileContent
   case object PositionDeletes extends FileContent
   case object EqualityDeletes extends FileContent
+  /** Iceberg-v3-style deletion vector: a roaring bitmap of dead ordinals
+    * for exactly one data file, stored as a blob inside a Puffin
+    * container ([[graft.io.Puffin]]). Semantically a position delete;
+    * physically a ranged-read bitmap instead of a parquet table. */
+  case object DeletionVectors extends FileContent
 }
 
 /** Unit of scan work — one physical file (or byte-range of one).
@@ -45,7 +50,13 @@ final case class FileScanTask(
       * resolve columns by field id through the schema history, so renames
       * and adds never rewrite data). -1 = table has no schema history;
       * the file's physical names ARE the current names. */
-    schemaId: Long = -1L
+    schemaId: Long = -1L,
+    /** Deletion-vector tasks only: the single data file whose ordinals
+      * the vector kills, and the blob's byte address inside the Puffin
+      * container (`filePath`). */
+    referencedDataFile: Option[String] = None,
+    contentOffset: Long = 0L,
+    contentSizeBytes: Long = 0L
 )
 
 /** One field of a table schema version — Iceberg's `{id, name, type}`

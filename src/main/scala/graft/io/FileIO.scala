@@ -163,6 +163,35 @@ object FileIO {
     finally out.close()
   }
 
+  /** Plain overwrite write of raw bytes (deletion-vector Puffin files —
+    * binary container, not text). `conf` must be passed on EXECUTORS
+    * (see [[readBytesRange]]). */
+  def writeBytes(p: String, content: Array[Byte],
+      conf: Configuration = null): Unit = {
+    val hp = new Path(p)
+    val out = (if (conf == null) fs(hp) else hp.getFileSystem(conf))
+      .create(hp, true)
+    try out.write(content)
+    finally out.close()
+  }
+
+  /** Ranged read: exactly `length` bytes starting at `offset`. The read
+    * is positioned (`readFully`), so a task fetching one deletion-vector
+    * blob out of a shared Puffin file pulls only its own byte range —
+    * never the whole file. `conf` must be passed on EXECUTORS (rebuilt
+    * via [[confFrom]]) — there is no active session there, so the
+    * default conf lacks object-store credentials. */
+  def readBytesRange(p: String, offset: Long, length: Int,
+      conf: Configuration = null): Array[Byte] = {
+    val hp = new Path(p)
+    val in = (if (conf == null) fs(hp) else hp.getFileSystem(conf)).open(hp)
+    try {
+      val buf = new Array[Byte](length)
+      in.readFully(offset, buf, 0, length)
+      buf
+    } finally in.close()
+  }
+
   def delete(p: String): Boolean = {
     val hp = new Path(p)
     fs(hp).delete(hp, false)

@@ -457,6 +457,65 @@ object SqlCatalogQuery {
       |FROM src WHERE l_orderkey % 4 = 1
       |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
 
+  // -------- deletion vectors (graft.deletes.format = dv) ----------------
+
+  private val dvCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The deletion-vector delete path, certified end-to-end: a
+    * merge-on-read table with `graft.deletes.format = dv` takes two
+    * OVERLAPPING `DELETE FROM` statements — the first commits one
+    * roaring-bitmap vector per affected data file, the second OR-merges
+    * into fresh vectors (one per file stays the invariant) — then a
+    * post-delete INSERT proves vectors pin physical rows, not keys.
+    * The read back through the MoR chain hash-matches an oracle
+    * recomputed from lineitem with the same predicates. */
+  def runDv(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(dvCatalogs, dir, spark, dir,
+        "gv", "sqldv", "li_dv") { name =>
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(
+        s"""CREATE TABLE $name.db.dv (
+           |  l_orderkey BIGINT, l_linenumber INT,
+           |  l_suppkey BIGINT, l_returnflag STRING)
+           |TBLPROPERTIES (
+           |  'graft.rowlevel.mode'='merge-on-read',
+           |  'graft.deletes.format'='dv')""".stripMargin)
+      def insertThird(k: Int): Unit = spark.sql(
+        s"""INSERT INTO $name.db.dv
+           |SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+           |FROM li_dv WHERE l_orderkey % 3 = $k""".stripMargin)
+      insertThird(0)
+      insertThird(1)
+      spark.sql(
+        s"DELETE FROM $name.db.dv WHERE l_orderkey <= 500 AND l_returnflag = 'A'")
+      // overlaps the first delete on ('A', <=300) — exercises the
+      // vector merge; already-dead rows must not double-count
+      spark.sql(s"DELETE FROM $name.db.dv WHERE l_orderkey <= 300 " +
+        "AND l_returnflag IN ('A', 'N')")
+      insertThird(2) // post-delete rows survive even when they match
+      // the commits must actually BE vectors, not parquet deletes — a
+      // silent fallback would pass the value check while testing nothing
+      val wh = spark.conf.get(s"spark.sql.catalog.$name.warehouse")
+      val files = graft.txn.FileTableCatalog.loadOrThrow(s"$wh/db/dv").files
+      require(files.exists(_.content == "deletion-vectors") &&
+        !files.exists(_.content == "position-deletes"),
+        "expected deletion-vector commits on the dv table")
+    }
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+         |FROM $cat.db.dv
+         |ORDER BY ${outCols.mkString(", ")}""".stripMargin)
+  }
+
+  val dvOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+      |FROM lineitem
+      |WHERE l_orderkey % 3 = 2
+      |   OR NOT ((l_orderkey <= 500 AND l_returnflag = 'A')
+      |        OR (l_orderkey <= 300 AND l_returnflag IN ('A', 'N')))
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
+
   // -------- metadata-only aggregate pushdown ----------------------------
 
   private val aggCatalogs =

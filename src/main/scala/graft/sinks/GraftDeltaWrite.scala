@@ -95,12 +95,35 @@ final class GraftDeltaOperation(
     if (scanSchemaId >= 0) scanSchemaId else catalog.loadOrThrow(tableDir).schemaId
 }
 
+/** One task-written Puffin container holding the deletion vector of ONE
+  * data file (1:1 keeps every snapshot entry's `path` unique, so the
+  * path-keyed removal/diff/expire machinery needs no entry-level
+  * identity). */
+final case class DvTaskFile(
+    attemptPath: String,
+    referencedDataFile: String,
+    contentOffset: Long,
+    contentSizeBytes: Long,
+    cardinality: Long,
+    fileSizeBytes: Long)
+
 /** Per-task payload: data files and position-delete files written by
-  * one task, plus the distinct data paths its deletes reference. */
+  * one task, plus the distinct data paths its deletes reference.
+  * `dvFiles` replaces `deleteFiles` when the table writes deletion
+  * vectors (`graft.deletes.format = dv`). */
 final case class GraftDeltaCommitMessage(
     dataFiles: Seq[(String, Long)],
     deleteFiles: Seq[(String, Long)],
-    referencedPaths: Set[String]) extends WriterCommitMessage
+    referencedPaths: Set[String],
+    dvFiles: Seq[DvTaskFile] = Nil) extends WriterCommitMessage
+
+object GraftDeltaBatchWrite {
+  /** Table property selecting the delta path's physical delete format:
+    * "parquet" (default — position-delete parquet files) or "dv"
+    * (deletion vectors: roaring bitmaps in Puffin containers, one per
+    * data file — the Iceberg v3 model). */
+  val DeletesFormatProp = "graft.deletes.format"
+}
 
 final class GraftDeltaBatchWrite(
     op: GraftDeltaOperation,
@@ -115,12 +138,91 @@ final class GraftDeltaBatchWrite(
   private val writeDir =
     s"$tableDir/data/delta-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  /** `graft.deletes.format = dv`: deleted row ids become deletion
+    * vectors (roaring bitmaps in Puffin containers) instead of parquet
+    * position-delete files. */
+  private val dvMode = catalog.load(tableDir)
+    .exists(_.properties.get(GraftDeltaBatchWrite.DeletesFormatProp)
+      .contains("dv"))
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     FileIO.mkdirs(writeDir)
     // delta INSERTS on a partitioned table keep the partition layout
     val spec = graft.core.PartitionSpecCodec.of(catalog.load(tableDir))
     new GraftDeltaWriterFactory(writeDir, dataSchema, rowIdSchema,
-      targetFileSizeBytes, compression, FileIO.hadoopConfEntries(), spec)
+      targetFileSizeBytes, compression, FileIO.hadoopConfEntries(), spec,
+      dvMode = dvMode)
+  }
+
+  /** Publish the tasks' deletion vectors and restore the one-vector-per-
+    * data-file invariant: a data file whose ordinals were killed by
+    * SEVERAL tasks (range splits), or that already carries a committed
+    * vector, gets its bitmaps OR-merged into one fresh single-blob
+    * container, and the superseded committed entry is removed in the
+    * same commit. The common trickle case — one task, no prior vector —
+    * publishes the task's own container untouched: zero extra IO.
+    * Returns (added entries, replaced committed paths). */
+  private def publishDvs(msgs: Seq[GraftDeltaCommitMessage])
+      : (Seq[graft.txn.FileEntry], Set[String]) = {
+    val taskFiles = msgs.flatMap(_.dvFiles)
+    if (taskFiles.isEmpty) return (Nil, Set.empty)
+    // publish winners under their (already unique) names; losing
+    // attempts stay in _attempt-dv-* dirs for the data publish sweep
+    val published = taskFiles.map { f =>
+      val name = f.attemptPath.substring(f.attemptPath.lastIndexOf('/') + 1)
+      val target = s"$writeDir/$name"
+      if (!FileIO.rename(f.attemptPath, target))
+        throw CompactionError.Io(s"failed to publish $f.attemptPath -> $target")
+      f.copy(attemptPath = target)
+    }
+    val existingDvByRef: Map[String, graft.txn.FileEntry] =
+      catalog.loadOrThrow(tableDir).files
+        .filter(_.content == "deletion-vectors")
+        .flatMap(e => e.referencedDataFile.map(r =>
+          graft.sources.ScanPlanner.normalizePath(r) -> e)).toMap
+    val added = Seq.newBuilder[graft.txn.FileEntry]
+    val replaced = Set.newBuilder[String]
+    published.groupBy(f =>
+      graft.sources.ScanPlanner.normalizePath(f.referencedDataFile))
+      .foreach { case (refNorm, group) =>
+        val existing = existingDvByRef.get(refNorm)
+        if (group.size == 1 && existing.isEmpty) {
+          val f = group.head
+          added += graft.txn.FileEntry(
+            path = f.attemptPath, content = "deletion-vectors",
+            sizeBytes = f.fileSizeBytes,
+            recordCount = f.cardinality, sequenceNumber = -1L,
+            referencedDataFile = Some(f.referencedDataFile),
+            contentOffset = f.contentOffset,
+            contentSizeBytes = f.contentSizeBytes)
+        } else {
+          val merged = new org.roaringbitmap.longlong.Roaring64Bitmap()
+          group.foreach { f =>
+            merged.or(graft.io.Puffin.readDvBlob(
+              f.attemptPath, f.contentOffset, f.contentSizeBytes))
+          }
+          existing.foreach { e =>
+            merged.or(graft.io.Puffin.readDvBlob(
+              e.path, e.contentOffset, e.contentSizeBytes))
+            replaced += e.path
+          }
+          val target = s"$writeDir/dv-merged-" +
+            s"${java.util.UUID.randomUUID().toString.take(8)}.puffin"
+          val written = graft.io.Puffin.writeDvFile(target,
+            Seq(group.head.referencedDataFile -> merged))
+          val d = written.blobs.head
+          // superseded task containers were never committed — drop now
+          group.foreach(f => FileIO.delete(f.attemptPath))
+          added += graft.txn.FileEntry(
+            path = target, content = "deletion-vectors",
+            sizeBytes = written.sizeBytes,
+            recordCount = d.cardinality, sequenceNumber = -1L,
+            referencedDataFile = Some(d.referencedDataFile),
+            contentOffset = d.contentOffset,
+            contentSizeBytes = d.contentSizeBytes)
+        }
+      }
+    (added.result(), replaced.result())
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -132,16 +234,17 @@ final class GraftDeltaBatchWrite(
       namePrefix = "del-", attemptSweepPrefix = "_attempt-del-")
       .map(_.copy(content = "position-deletes",
         bounds = Map.empty, decimalBounds = Map.empty, nullCounts = Map.empty))
+    val (dvEntries, replacedDvPaths) = publishDvs(msgs)
     val dataEntries = GraftBatchWrite.publishWinners(
       msgs.flatMap(_.dataFiles), writeDir)
-    if (delEntries.isEmpty && dataEntries.isEmpty) {
+    if (delEntries.isEmpty && dataEntries.isEmpty && dvEntries.isEmpty) {
       FileIO.deleteRecursive(writeDir); return
     }
     val referenced = msgs.flatMap(_.referencedPaths).toSet
     val scanPaths = op.snapshotPaths
     new CommitManager(tableDir, RetryConfig(), catalog = catalog).replaceFiles(
-      added = dataEntries ++ delEntries,
-      removedPaths = Set.empty,
+      added = dataEntries ++ delEntries ++ dvEntries,
+      removedPaths = replacedDvPaths,
       requiredPaths = referenced,
       expectedSchemaId = op.scanSchema,
       // tolerate pure appends for UPDATE/DELETE, abort if a delete file
@@ -182,11 +285,13 @@ final class GraftDeltaWriterFactory(
     targetFileSizeBytes: Long,
     compression: String,
     confEntries: Array[(String, String)],
-    partitionSpec: Seq[graft.core.PartitionTransform] = Nil
+    partitionSpec: Seq[graft.core.PartitionTransform] = Nil,
+    dvMode: Boolean = false
 ) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(writeDir, partitionId, taskId, dataSchema, rowIdSchema,
-      targetFileSizeBytes, compression, confEntries, partitionSpec)
+      targetFileSizeBytes, compression, confEntries, partitionSpec,
+      dvMode = dvMode)
 }
 
 /** Per-task delta writer: inserts stream through the same rolling
@@ -212,7 +317,13 @@ final class GraftDeltaWriter(
     /** Max buffered delete ids before a sorted chunk spills to the
       * delete writer (~tens of bytes per id; the default bounds the
       * buffer around a hundred MB). */
-    deleteSpillThreshold: Int = 2_000_000
+    deleteSpillThreshold: Int = 2_000_000,
+    /** Emit deletion vectors instead of parquet delete files. Deleted
+      * ids accumulate as one roaring bitmap per data file — inherently
+      * compact (a dense run costs bytes, not 16 B/row), so no spill
+      * threshold applies; task memory is bounded by the bitmap sum,
+      * orders of magnitude below the id-tuple buffer it replaces. */
+    dvMode: Boolean = false
 ) extends DeltaWriter[InternalRow] {
 
   private val fileIdx = rowIdSchema.fieldIndex(GraftBatchScan.FileColumn)
@@ -234,9 +345,22 @@ final class GraftDeltaWriter(
   /** Chunks spilled so far — observability for the bounded-memory spec. */
   private[sinks] var deleteSpills: Int = 0
 
+  /** DV mode: one bitmap per referenced data file. */
+  private val dvBitmaps =
+    new java.util.HashMap[String, org.roaringbitmap.longlong.Roaring64Bitmap]()
+
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val raw = id.getUTF8String(fileIdx).toString
     val path = pathIntern.computeIfAbsent(raw, identity[String])
+    if (dvMode) {
+      var bm = dvBitmaps.get(path)
+      if (bm == null) {
+        bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+        dvBitmaps.put(path, bm)
+      }
+      bm.addLong(id.getLong(posIdx))
+      return
+    }
     deletes += ((path, id.getLong(posIdx)))
     if (deletes.length >= deleteSpillThreshold) {
       flushDeleteChunk()
@@ -271,6 +395,29 @@ final class GraftDeltaWriter(
     StructField("file_path", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 
+  /** One single-blob Puffin container per data file this task deleted
+    * from (1:1 with the snapshot entries the driver will commit). */
+  private def writeDvFiles(): Seq[DvTaskFile] = {
+    if (dvBitmaps.isEmpty) return Nil
+    val conf = FileIO.confFrom(confEntries)
+    val dir = s"$writeDir/_attempt-dv-$taskId"
+    val out = Seq.newBuilder[DvTaskFile]
+    val it = dvBitmaps.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val path = s"$dir/dv-$partitionId-$i-" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.puffin"
+      val written = graft.io.Puffin.writeDvFile(path,
+        Seq(e.getKey -> e.getValue), conf)
+      val d = written.blobs.head
+      out += DvTaskFile(path, e.getKey, d.contentOffset, d.contentSizeBytes,
+        d.cardinality, written.sizeBytes)
+      i += 1
+    }
+    out.result()
+  }
+
   override def commit(): WriterCommitMessage = {
     val dataFiles =
       if (dataUsed) dataWriter.commit().asInstanceOf[GraftCommitMessage].files
@@ -285,13 +432,15 @@ final class GraftDeltaWriter(
         throw e
     }
     GraftDeltaCommitMessage(dataFiles, deleteFiles, pathIntern.keySet()
-      .toArray(Array.empty[String]).toSet)
+      .toArray(Array.empty[String]).toSet, dvFiles = writeDvFiles())
   }
 
   override def abort(): Unit = {
     if (dataUsed) dataWriter.abort()
     if (deleteWriter != null) deleteWriter.abort() // closes + removes dir
     else FileIO.deleteRecursive(s"$writeDir/_attempt-del-$taskId")
+    if (!dvBitmaps.isEmpty)
+      FileIO.deleteRecursive(s"$writeDir/_attempt-dv-$taskId")
   }
 
   override def close(): Unit = ()

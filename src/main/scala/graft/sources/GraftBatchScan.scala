@@ -184,15 +184,32 @@ object GraftBatchScan {
     case other     => other
   }
 
+  /** Dead-ordinal membership for one task: a window-filtered hash set
+    * from parquet position-delete files, plus (when the file carries a
+    * deletion vector) a roaring bitmap probed directly — the bitmap IS
+    * the compact representation, so it needs no window filter. Both can
+    * be present on one file (parquet deletes from before a format
+    * switch). Instances are task-local; probes are single-threaded. */
+  private[graft] final class DeadPositions(
+      set: java.util.HashSet[Long],
+      bitmap: org.roaringbitmap.longlong.Roaring64Bitmap) {
+    def isEmpty: Boolean = set.isEmpty && (bitmap == null || bitmap.isEmpty)
+    def contains(pos: Long): Boolean =
+      set.contains(pos) || (bitmap != null && bitmap.contains(pos))
+  }
+
   /** Ordinals of this split's rows killed by its position-delete files
     * (only the `[baseOrdinal, ordinalEnd)` window — bounds memory when
-    * a large file fans out into many range tasks). Shared by the row
-    * and columnar readers. The FILE parse goes through
-    * [[DeleteFileCache]] — each delete file is read once per JVM, not
-    * once per task — and the per-task window filter is a binary search
-    * over the cached sorted positions. */
+    * a large file fans out into many range tasks) and/or its deletion
+    * vector. Shared by the row and columnar readers. Parquet delete
+    * files parse once per JVM through [[DeleteFileCache]] with a
+    * per-task binary-search window; deletion-vector BLOB BYTES cache
+    * once per JVM (one ranged read of this file's own blob — O(own
+    * blob), never the table's whole delete corpus) and each task
+    * deserializes its own bitmap, because roaring bitmaps are not safe
+    * for concurrent probing. */
   private[graft] def loadDeadPositions(part: GraftMorPartition,
-      taskConf: Configuration): java.util.HashSet[Long] = {
+      taskConf: Configuration): DeadPositions = {
     val dataPathNorm = ScanPlanner.normalizePath(part.dataPath)
     val set = new java.util.HashSet[Long]()
     part.posDeletes.foreach { pd =>
@@ -207,7 +224,15 @@ object GraftBatchScan {
         }
       }
     }
-    set
+    val bitmap = part.dv.map { d =>
+      val bytes = DeleteFileCache.getOrLoad(
+        d.path, d.sizeStamp, s"dv:${d.contentOffset}") {
+        graft.io.FileIO.readBytesRange(
+          d.path, d.contentOffset, d.contentSizeBytes.toInt, taskConf)
+      }
+      graft.io.Puffin.decodeDvBlob(bytes, s"${d.path}@${d.contentOffset}")
+    }.orNull
+    new DeadPositions(set, bitmap)
   }
 
   /** Parse one position-delete file completely: normalized data-file
@@ -357,6 +382,15 @@ final case class EqDeleteSpec(path: String, sequenceNumber: Long,
   * committed length as the [[DeleteFileCache]] staleness stamp. */
 final case class PosDeleteSpec(path: String, sizeBytes: Long = -1L)
 
+/** The deletion vector applicable to a task's data file — at most ONE
+  * per data file (the invariant the write path maintains by OR-merging
+  * bitmaps before commit). `path` is the Puffin container; the blob's
+  * byte address comes from snapshot metadata, so the task does one
+  * ranged read of exactly its own vector. `sizeStamp` is the
+  * container's committed length ([[DeleteFileCache]] staleness). */
+final case class DvSpec(path: String, contentOffset: Long,
+    contentSizeBytes: Long, sizeStamp: Long = -1L)
+
 /** One data file plus exactly the delete files that can affect it.
   * `columnMap` resolves each CURRENT column to its physical name in
   * THIS file (None = the file predates the column → null-fill), so a
@@ -374,6 +408,8 @@ final case class GraftMorPartition(
     dataSeq: Long,
     posDeletes: Seq[PosDeleteSpec],
     eqDeletes: Seq[EqDeleteSpec],
+    /** This data file's deletion vector, if the snapshot carries one. */
+    dv: Option[DvSpec] = None,
     columnMap: Map[String, Option[String]],
     rangeStart: Long = 0L,
     rangeEnd: Long = Long.MaxValue,
@@ -806,6 +842,17 @@ final class GraftScan(
           })
       }
 
+  /** Deletion vectors resolve to their data file EXACTLY from snapshot
+    * metadata (`referencedDataFile`) — zero footer IO, unlike the
+    * parquet path-range scoping above. At most one per data file. */
+  private lazy val dvByData: Map[String, DvSpec] =
+    snap.files.filter(_.content == "deletion-vectors").map { f =>
+      ScanPlanner.normalizePath(f.referencedDataFile.getOrElse(
+        throw CompactionError.Config(
+          s"deletion-vector entry ${f.path} lacks a referenced data file"))) ->
+        DvSpec(f.path, f.contentOffset, f.contentSizeBytes, f.sizeBytes)
+    }.toMap
+
   private def posDeletesFor(d: FileEntry): Seq[PosDeleteSpec] = {
     val key = ScanPlanner.normalizePath(d.path)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -833,7 +880,8 @@ final class GraftScan(
     val bytes = prunedDataFiles.map(_.sizeBytes).sum
     val posDeleted =
       if (prunedDataFiles.size != snap.files.count(_.content == "data")) 0L
-      else snap.files.filter(_.content == "position-deletes")
+      else snap.files.filter(f => f.content == "position-deletes" ||
+          f.content == "deletion-vectors")
         .map(_.recordCount).sum
     val rows = math.max(0L, prunedDataFiles.map(_.recordCount).sum - posDeleted)
     new Statistics {
@@ -926,6 +974,7 @@ final class GraftScan(
         dataPath = d.path,
         dataSeq = d.sequenceNumber,
         posDeletes = posDeletesFor(d),
+        dv = dvByData.get(ScanPlanner.normalizePath(d.path)),
         eqDeletes = eqFiles.filter(_.sequenceNumber > d.sequenceNumber)
           .map(e => EqDeleteSpec(e.path, e.sequenceNumber, keyColsFor(e),
             e.sizeBytes)),
@@ -1060,7 +1109,7 @@ final class GraftMorPartitionReader(
 ) extends PartitionReader[InternalRow] {
   import GraftBatchScan._
 
-  private val deadPositions: java.util.HashSet[Long] =
+  private val deadPositions: GraftBatchScan.DeadPositions =
     GraftBatchScan.loadDeadPositions(part, taskConf)
 
   private val readTypes: Map[String, DataType] =

@@ -73,11 +73,16 @@ object ScanPlanner {
   def splitTasks(tasks: Seq[FileScanTask], targetSplitBytes: Long): Seq[FileScanTask] =
     tasks.flatMap(splitTask(_, targetSplitBytes))
 
-  /** Split planned tasks by content (reference S2). */
+  /** Split planned tasks by content (reference S2). Deletion vectors are
+    * position deletes semantically, so they ride in
+    * `positionDeleteFiles` — [[readPositionDeletes]] decodes each kind
+    * by its physical format. */
   def toInputTasks(tasks: Seq[FileScanTask]): InputFileScanTasks =
     InputFileScanTasks(
       dataFiles = tasks.filter(_.content == FileContent.Data),
-      positionDeleteFiles = tasks.filter(_.content == FileContent.PositionDeletes),
+      positionDeleteFiles = tasks.filter(t =>
+        t.content == FileContent.PositionDeletes ||
+          t.content == FileContent.DeletionVectors),
       equalityDeleteFiles = tasks.filter(_.content == FileContent.EqualityDeletes)
     )
 
@@ -146,14 +151,46 @@ object ScanPlanner {
       case s                      => "/" + s
     }
 
-  /** Read position-delete parquet files: physical schema (file_path, pos)
-    * per the Iceberg spec, surfaced under the hidden names (reference
-    * datafusion_processor.rs:455-473). */
-  def readPositionDeletes(spark: SparkSession, tasks: Seq[FileScanTask]): Option[DataFrame] =
-    if (tasks.isEmpty) None
-    else Some(
-      spark.read.parquet(tasks.map(_.filePath): _*)
+  /** Read position-delete files as ONE (file_path, pos) DataFrame under
+    * the hidden names (reference datafusion_processor.rs:455-473).
+    * Parquet delete files read through Spark's scan; deletion-vector
+    * blobs decode task-side — descriptors parallelize to executors and
+    * each task ranged-reads its own blob, so the driver never holds a
+    * bitmap and the expansion to rows is distributed. */
+  def readPositionDeletes(spark: SparkSession, tasks: Seq[FileScanTask]): Option[DataFrame] = {
+    val (dvs, parquet) = tasks.partition(_.content == FileContent.DeletionVectors)
+    val parquetDf =
+      if (parquet.isEmpty) None
+      else Some(spark.read.parquet(parquet.map(_.filePath): _*)
         .toDF(SysHiddenFilePath, SysHiddenPos))
+    val dvDf =
+      if (dvs.isEmpty) None
+      else {
+        import spark.implicits._
+        val confEntries = FileIO.hadoopConfEntries()
+        val descriptors = dvs.map { t =>
+          (t.filePath, t.contentOffset, t.contentSizeBytes,
+            t.referencedDataFile.getOrElse(throw CompactionError.Config(
+              s"deletion-vector entry ${t.filePath} lacks a referenced data file")))
+        }
+        Some(spark.createDataset(descriptors)
+          .repartition(math.min(descriptors.size,
+            spark.sparkContext.defaultParallelism))
+          .flatMap { case (path, off, size, ref) =>
+            val conf = FileIO.confFrom(confEntries)
+            val bm = graft.io.Puffin.readDvBlob(path, off, size, conf)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+            bm.forEach(new org.roaringbitmap.longlong.LongConsumer {
+              override def accept(p: Long): Unit = out += ((ref, p))
+            })
+            out
+          }.toDF(SysHiddenFilePath, SysHiddenPos))
+      }
+    (parquetDf, dvDf) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b)             => a.orElse(b)
+    }
+  }
 
   /** Read equality-delete files as joinable delete tables: grouped by
     * CONSECUTIVE runs of identical `equalityIds` (the reference groups

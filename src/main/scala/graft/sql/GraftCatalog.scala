@@ -67,6 +67,15 @@ object GraftCatalog {
     key == graft.core.PartitionSpecCodec.Property ||
       key.startsWith(RefPropPrefix)
 
+  /** `graft.deletes.format` allowlist — an unknown value would silently
+    * fall back to parquet at write time, so refuse it up front. Both
+    * formats coexist at read, so switching is always safe. */
+  private[sql] def validateDeletesFormat(v: String): Unit =
+    if (v != "parquet" && v != "dv")
+      throw CompactionError.Config(
+        s"unknown ${graft.sinks.GraftDeltaBatchWrite.DeletesFormatProp} " +
+          s"'$v' (parquet | dv)")
+
   /** `PARTITIONED BY` clause element → engine transform. Matched on the
     * connector expression's generic (name, arguments) form, which is
     * stable across Spark's parser variants. */
@@ -266,6 +275,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       graft.core.WriteOrderCodec.validate(
         graft.core.WriteOrderCodec.decode(v), schema.fieldNames.toSet)
     }
+    Option(properties.get(graft.sinks.GraftDeltaBatchWrite.DeletesFormatProp))
+      .foreach(GraftCatalog.validateDeletesFormat)
     val userProps = (properties.asScala.toMap -- GraftCatalog.ReservedProps) ++
       (if (spec.isEmpty) Map.empty[String, String]
        else Map(graft.core.PartitionSpecCodec.Property ->
@@ -296,6 +307,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"table property '$k' is engine-managed and cannot be set or " +
             "unset via ALTER TABLE; use the partition/tag procedures")
       }
+    setProps.get(graft.sinks.GraftDeltaBatchWrite.DeletesFormatProp)
+      .foreach(GraftCatalog.validateDeletesFormat)
     val ops: Seq[SchemaOp] = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
         SchemaOp.Add(a.fieldNames.head, a.dataType.sql)

@@ -42,7 +42,10 @@ object GraftMetadataTable {
     StructField("lower_bounds",
       MapType(StringType, LongType, valueContainsNull = false), nullable = false),
     StructField("upper_bounds",
-      MapType(StringType, LongType, valueContainsNull = false), nullable = false)))
+      MapType(StringType, LongType, valueContainsNull = false), nullable = false),
+    // deletion-vector entries: the data file the vector references
+    // (null for every other content kind)
+    StructField("referenced_data_file", StringType, nullable = true)))
 
   private[sql] val refsSchema = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -107,7 +110,8 @@ final class GraftMetadataTable(
           UTF8String.fromString(f.path), UTF8String.fromString(f.content),
           f.sizeBytes, f.recordCount, f.sequenceNumber, f.schemaId,
           mapData(f.nullCounts),
-          mapData(boundAt(f, lo = true)), mapData(boundAt(f, lo = false))))
+          mapData(boundAt(f, lo = true)), mapData(boundAt(f, lo = false)),
+          f.referencedDataFile.map(UTF8String.fromString).orNull))
       }.toArray
     case "refs" =>
       // malformed values (a hand-set property that is not a version)

@@ -241,7 +241,12 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
       !catalog.load(tableDir).exists { snap =>
         val tasks = graft.sources.ScanPlanner.toInputTasks(snap.files.map(_.toTask))
         graft.plans.SchemaReconcile.needed(snap.schemas, snap.schemaId, tasks)
-      }
+      } &&
+      // deletion-vector tables route through the delta row-level path
+      // (same scan cost) — this direct path only emits parquet deletes
+      !catalog.load(tableDir).exists(
+        _.properties.get(graft.sinks.GraftDeltaBatchWrite.DeletesFormatProp)
+          .contains("dv"))
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import graft.plans.MergeOnRead

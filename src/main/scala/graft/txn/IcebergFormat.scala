@@ -396,7 +396,10 @@ object IcebergFormat {
       |       {"name":"value","type":"bytes","field-id":130}]}}]},
       |  {"name":"equality_ids","default":null,"field-id":135,
       |   "type":["null",{"type":"array","items":"int","element-id":136}]},
-      |  {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
+      |  {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140},
+      |  {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+      |  {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+      |  {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
       |]}}
       |]}""".stripMargin)
 

@@ -160,9 +160,13 @@ object IcebergTableCatalog extends TableCatalog {
 
   private def toFileEntry(e: GenericRecord, idToName: Map[Int, String]): FileEntry = {
     val df = e.get("data_file").asInstanceOf[GenericRecord]
+    // a POSITION_DELETES entry with a referenced data file is a
+    // deletion vector (v3); the PUFFIN format marker corroborates
+    val refDataFile = Option(df.get("referenced_data_file")).map(_.toString)
     val content = df.get("content").asInstanceOf[Int] match {
       case 0 => "data"
-      case 1 => "position-deletes"
+      case 1 => if (refDataFile.isDefined) "deletion-vectors"
+                else "position-deletes"
       case 2 => "equality-deletes"
       case other => throw CompactionError.Config(s"unknown data_file.content $other")
     }
@@ -207,7 +211,12 @@ object IcebergTableCatalog extends TableCatalog {
       sequenceNumber = e.get("sequence_number").asInstanceOf[Long],
       equalityIds = eqIds,
       bounds = bounds,
-      nullCounts = nullCounts)
+      nullCounts = nullCounts,
+      referencedDataFile = refDataFile,
+      contentOffset = Option(df.get("content_offset"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L),
+      contentSizeBytes = Option(df.get("content_size_in_bytes"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
   }
 
   // ---------------------------------------------------------------- commit
@@ -339,14 +348,19 @@ object IcebergTableCatalog extends TableCatalog {
                   "value" -> Long.box(FileEntry.longAt(f.nullCounts, n).get))
               }.asJava
           }
+        // deletion vectors serialize per the v3 spec: POSITION_DELETES
+        // content in PUFFIN format, addressed by referenced_data_file +
+        // content_offset/content_size_in_bytes (field-ids 143-145)
+        val isDv = f.content == "deletion-vectors"
         val dataFile = record(dfSchema)(
           "content" -> Int.box(f.content match {
             case "data" => 0; case "position-deletes" => 1
+            case "deletion-vectors" => 1
             case "equality-deletes" => 2
             case other => throw CompactionError.Config(s"unknown content $other")
           }),
           "file_path" -> f.path,
-          "file_format" -> "PARQUET",
+          "file_format" -> (if (isDv) "PUFFIN" else "PARQUET"),
           "partition" -> record(dfSchema.getField("partition").schema())(),
           "record_count" -> Long.box(f.recordCount),
           "file_size_in_bytes" -> Long.box(f.sizeBytes),
@@ -354,7 +368,13 @@ object IcebergTableCatalog extends TableCatalog {
           "lower_bounds" -> boundMap("lower_bounds", _._1),
           "upper_bounds" -> boundMap("upper_bounds", _._2),
           "equality_ids" -> eqIds,
-          "sort_order_id" -> null)
+          "sort_order_id" -> null,
+          "referenced_data_file" ->
+            (if (isDv) f.referencedDataFile.orNull else null),
+          "content_offset" ->
+            (if (isDv) Long.box(f.contentOffset) else null),
+          "content_size_in_bytes" ->
+            (if (isDv) Long.box(f.contentSizeBytes) else null))
         record(ManifestEntrySchema)(
           "status" -> Int.box(if (prevPaths.contains(f.path)) 0 else 1),
           "snapshot_id" -> Long.box(snapshotId),

@@ -33,7 +33,7 @@ import graft.io.FileIO
   */
 final case class FileEntry(
     path: String,
-    content: String, // "data" | "position-deletes" | "equality-deletes"
+    content: String, // "data" | "position-deletes" | "equality-deletes" | "deletion-vectors"
     sizeBytes: Long,
     recordCount: Long,
     sequenceNumber: Long,
@@ -58,7 +58,16 @@ final case class FileEntry(
       * of any type (the Iceberg `null_value_counts` model). Drives
       * COUNT(col) metadata aggregation and IS [NOT] NULL file pruning.
       * Empty = not stamped (pre-feature file) → consumers fall back. */
-    nullCounts: Map[String, Long] = Map.empty
+    nullCounts: Map[String, Long] = Map.empty,
+    /** Deletion-vector entries only (content "deletion-vectors"): the
+      * one data file this vector's ordinals reference, and the blob's
+      * byte address inside the Puffin container at `path` (Iceberg v3
+      * `referenced_data_file` / `content_offset` /
+      * `content_size_in_bytes`). `recordCount` is the vector's
+      * cardinality. */
+    referencedDataFile: Option[String] = None,
+    contentOffset: Long = 0L,
+    contentSizeBytes: Long = 0L
 ) {
   def toTask: FileScanTask = FileScanTask(
     filePath = path,
@@ -66,13 +75,17 @@ final case class FileEntry(
       case "data"              => FileContent.Data
       case "position-deletes"  => FileContent.PositionDeletes
       case "equality-deletes"  => FileContent.EqualityDeletes
+      case "deletion-vectors"  => FileContent.DeletionVectors
       case other => throw CompactionError.Config(s"unknown content type: $other")
     },
     lengthBytes = sizeBytes,
     recordCount = recordCount,
     sequenceNumber = sequenceNumber,
     equalityIds = equalityIds,
-    schemaId = schemaId
+    schemaId = schemaId,
+    referencedDataFile = referencedDataFile,
+    contentOffset = contentOffset,
+    contentSizeBytes = contentSizeBytes
   )
 }
 
@@ -164,6 +177,7 @@ object TableMetadata {
       if (e.bounds == null) e = e.copy(bounds = Map.empty)
       if (e.decimalBounds == null) e = e.copy(decimalBounds = Map.empty)
       if (e.nullCounts == null) e = e.copy(nullCounts = Map.empty)
+      if (e.referencedDataFile == null) e = e.copy(referencedDataFile = None)
       e
     })
   }
