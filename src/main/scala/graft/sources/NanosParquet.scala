@@ -30,12 +30,54 @@ object NanosParquet {
       .option("spark.sql.legacy.parquet.nanosAsLong", "true")
       .parquet(path)
 
-  /** Driver-testdata `events` table: `ts` is TIMESTAMP(NANOS) in the file,
-    * surfaced as BIGINT epoch-nanos. */
+  /** Driver-testdata `events` table: `ts` surfaced as BIGINT epoch-nanos
+    * regardless of the file's own precision. */
   val EventsSchema =
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING"
 
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    read(spark, s"$dir/events.parquet", EventsSchema)
+  /** The file's `ts` timestamp unit, from its own footer (memoized per
+    * path+mtime — the driver regenerates testdata between rounds). */
+  private val nanosByPath =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
+  private def tsIsNanos(path: String): Boolean = {
+    val key = (path, graft.io.FileIO.fileLength(path))
+    nanosByPath.computeIfAbsent(key, _ => {
+      val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), graft.io.FileIO.hadoopConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        val t = schema.getType(schema.getFieldIndex("ts"))
+        t.getLogicalTypeAnnotation match {
+          case ts: org.apache.parquet.schema.LogicalTypeAnnotation
+              .TimestampLogicalTypeAnnotation =>
+            ts.getUnit ==
+              org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        }
+      } finally r.close()
+    })
+  }
+
+  /** Every consumer computes in epoch-nanos (`ts div 1000` → µs, the
+    * precision the DuckDB oracles use), so both encodings the driver has
+    * shipped — TIMESTAMP(NANOS) and TIMESTAMP(MICROS) — normalize here:
+    * nanos reads long behind the legacy flag; micros reads as a real
+    * timestamp and scales ×1000. A unit change in regenerated testdata
+    * must never silently shift every time computation by 1000×. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    if (tsIsNanos(path)) read(spark, path, EventsSchema)
+    else {
+      import org.apache.spark.sql.functions._
+      // the driver writes isAdjustedToUTC=false, which Spark surfaces as
+      // TIMESTAMP_NTZ; every graft session pins the session zone to UTC,
+      // so the NTZ→LTZ cast is the identity DuckDB's epoch_us applies
+      spark.read.parquet(path)
+        .withColumn("ts",
+          expr("unix_micros(cast(ts as timestamp)) * 1000"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+  }
 }
