@@ -155,18 +155,28 @@ object DeleteCompaction {
       outDir: String, parts: Int): Seq[FileEntry] = {
     import spark.implicits._
     val confEntries = graft.io.FileIO.hadoopConfEntries()
-    dead
+    val written = dead
+      // normalize spellings BEFORE grouping: two forms of one path must
+      // land in the same bitmap, or the scan would refuse the snapshot
+      // (one-vector-per-file invariant). Engine-written deletes are
+      // already normalized; this covers adopted/foreign delete files.
+      .withColumn("file_path",
+        regexp_replace(col("file_path"), "^file:/+", "/"))
       .repartition(parts, col("file_path"))
       .sortWithinPartitions(col("file_path"), col("pos"))
       .as[(String, Long)]
       .mapPartitions { it =>
         val conf = graft.io.FileIO.confFrom(confEntries)
+        // attempt-scoped subdir: a failed/speculative attempt's files
+        // stay out of the committed namespace and are swept below
+        val attemptDir = s"$outDir/_attempt-" +
+          org.apache.spark.TaskContext.get().taskAttemptId()
         val out = scala.collection.mutable
           .ArrayBuffer.empty[(String, String, Long, Long, Long, Long)]
         var cur: String = null
         var bm: org.roaringbitmap.longlong.Roaring64Bitmap = null
         def flush(): Unit = if (cur != null) {
-          val p = s"$outDir/dv-" +
+          val p = s"$attemptDir/dv-" +
             s"${java.util.UUID.randomUUID().toString.take(12)}.puffin"
           val w = graft.io.Puffin.writeDvFile(p, Seq(cur -> bm), conf)
           val d = w.blobs.head
@@ -184,11 +194,20 @@ object DeleteCompaction {
         out.iterator
       }
       .collect().toSeq
-      .map { case (p, ref, off, size, card, fileBytes) =>
-        FileEntry(p, "deletion-vectors", fileBytes, card, -1L,
-          referencedDataFile = Some(ref), contentOffset = off,
-          contentSizeBytes = size)
-      }
+    // publish winners (names are uuid-unique; offsets survive rename),
+    // then sweep every attempt dir — losers' files with them
+    val entries = written.map { case (p, ref, off, size, card, fileBytes) =>
+      val target = s"$outDir/${p.substring(p.lastIndexOf('/') + 1)}"
+      if (!graft.io.FileIO.rename(p, target))
+        throw CompactionError.Io(s"failed to publish $p -> $target")
+      FileEntry(target, "deletion-vectors", fileBytes, card, -1L,
+        referencedDataFile = Some(ref), contentOffset = off,
+        contentSizeBytes = size)
+    }
+    graft.io.FileIO.listDirectories(outDir)
+      .filter(_.substring(outDir.length + 1).startsWith("_attempt-"))
+      .foreach(graft.io.FileIO.deleteRecursive)
+    entries
   }
 
   /** The DEAD (path, pos) set under the full delete chain, or None when

@@ -172,7 +172,7 @@ final class GraftDeltaBatchWrite(
       val name = f.attemptPath.substring(f.attemptPath.lastIndexOf('/') + 1)
       val target = s"$writeDir/$name"
       if (!FileIO.rename(f.attemptPath, target))
-        throw CompactionError.Io(s"failed to publish $f.attemptPath -> $target")
+        throw CompactionError.Io(s"failed to publish ${f.attemptPath} -> $target")
       f.copy(attemptPath = target)
     }
     val existingDvByRef: Map[String, graft.txn.FileEntry] =

@@ -225,6 +225,13 @@ object GraftBatchScan {
       }
     }
     val bitmap = part.dv.map { d =>
+      // same plausibility window readDvBlob enforces — an implausible
+      // snapshot-recorded size must fail as a deliberate error, not a
+      // negative-array-size crash inside the ranged read
+      if (d.contentSizeBytes < 12 || d.contentSizeBytes > Int.MaxValue)
+        throw CompactionError.Io(
+          s"implausible deletion-vector blob size ${d.contentSizeBytes} " +
+            s"for ${d.path}@${d.contentOffset}")
       val bytes = DeleteFileCache.getOrLoad(
         d.path, d.sizeStamp, s"dv:${d.contentOffset}") {
         graft.io.FileIO.readBytesRange(
@@ -844,14 +851,26 @@ final class GraftScan(
 
   /** Deletion vectors resolve to their data file EXACTLY from snapshot
     * metadata (`referencedDataFile`) — zero footer IO, unlike the
-    * parquet path-range scoping above. At most one per data file. */
-  private lazy val dvByData: Map[String, DvSpec] =
-    snap.files.filter(_.content == "deletion-vectors").map { f =>
+    * parquet path-range scoping above. At most one per data file; a
+    * snapshot violating that invariant (e.g. hand-edited, or two
+    * spellings of one path normalizing together) must fail the read
+    * loudly — a silent last-wins map would drop the other vector's
+    * deletes and resurrect rows. */
+  private lazy val dvByData: Map[String, DvSpec] = {
+    val pairs = snap.files.filter(_.content == "deletion-vectors").map { f =>
       ScanPlanner.normalizePath(f.referencedDataFile.getOrElse(
         throw CompactionError.Config(
           s"deletion-vector entry ${f.path} lacks a referenced data file"))) ->
         DvSpec(f.path, f.contentOffset, f.contentSizeBytes, f.sizeBytes)
-    }.toMap
+    }
+    pairs.groupBy(_._1).find(_._2.size > 1).foreach { case (ref, vs) =>
+      throw CompactionError.Config(
+        s"${vs.size} deletion vectors reference data file $ref " +
+          s"(${vs.map(_._2.path).mkString(", ")}); the snapshot violates " +
+          "the one-vector-per-file invariant")
+    }
+    pairs.toMap
+  }
 
   private def posDeletesFor(d: FileEntry): Seq[PosDeleteSpec] = {
     val key = ScanPlanner.normalizePath(d.path)

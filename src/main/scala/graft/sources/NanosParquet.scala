@@ -39,9 +39,14 @@ object NanosParquet {
   /** The file's `ts` timestamp unit, from its own footer (memoized per
     * path+mtime — the driver regenerates testdata between rounds). */
   private val nanosByPath =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      java.lang.Boolean]()
   private def tsIsNanos(path: String): Boolean = {
-    val key = (path, graft.io.FileIO.fileLength(path))
+    // key on length AND mtime: a regenerated file of identical byte
+    // length must not serve a stale unit decision
+    val st = graft.io.FileIO.fs(path)
+      .getFileStatus(new org.apache.hadoop.fs.Path(path))
+    val key = (path, st.getLen, st.getModificationTime)
     nanosByPath.computeIfAbsent(key, _ => {
       val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(path), graft.io.FileIO.hadoopConf)

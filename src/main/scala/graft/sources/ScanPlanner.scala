@@ -168,10 +168,14 @@ object ScanPlanner {
       else {
         import spark.implicits._
         val confEntries = FileIO.hadoopConfEntries()
+        // refs NORMALIZED here: the data side's sys_hidden_file_path is
+        // normalized by readDataFiles, and an unnormalized ref (foreign
+        // writer, file: prefix) would silently miss the anti-join
         val descriptors = dvs.map { t =>
           (t.filePath, t.contentOffset, t.contentSizeBytes,
-            t.referencedDataFile.getOrElse(throw CompactionError.Config(
-              s"deletion-vector entry ${t.filePath} lacks a referenced data file")))
+            normalizePath(t.referencedDataFile.getOrElse(
+              throw CompactionError.Config(
+                s"deletion-vector entry ${t.filePath} lacks a referenced data file"))))
         }
         Some(spark.createDataset(descriptors)
           .repartition(math.min(descriptors.size,
@@ -179,11 +183,14 @@ object ScanPlanner {
           .flatMap { case (path, off, size, ref) =>
             val conf = FileIO.confFrom(confEntries)
             val bm = graft.io.Puffin.readDvBlob(path, off, size, conf)
-            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-            bm.forEach(new org.roaringbitmap.longlong.LongConsumer {
-              override def accept(p: Long): Unit = out += ((ref, p))
-            })
-            out
+            // lazy iterator, not a materialized buffer: a dense vector
+            // (100M dead ordinals) must stream through the task, not
+            // stage multi-GB of boxed tuples on one heap
+            val it = bm.getLongIterator
+            new Iterator[(String, Long)] {
+              override def hasNext: Boolean = it.hasNext
+              override def next(): (String, Long) = (ref, it.next())
+            }
           }.toDF(SysHiddenFilePath, SysHiddenPos))
       }
     (parquetDf, dvDf) match {

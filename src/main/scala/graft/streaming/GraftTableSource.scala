@@ -233,20 +233,22 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
     * filtered out by the read so re-deletes never accumulate. The next
     * compaction (full or delete-conversion) folds the backlog. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    pinnedVersion.isEmpty && filters.forall(graft.sql.Filters.toColumn(_).isDefined) &&
+    pinnedVersion.isEmpty && filters.forall(graft.sql.Filters.toColumn(_).isDefined) && {
+      val snap = catalog.load(tableDir)
       // evolved tables need per-file column maps, which only the
       // row-level copy-on-write path carries — answer false so Spark
       // falls back to newRowLevelOperationBuilder instead of the
       // metadata path failing outright
-      !catalog.load(tableDir).exists { snap =>
-        val tasks = graft.sources.ScanPlanner.toInputTasks(snap.files.map(_.toTask))
-        graft.plans.SchemaReconcile.needed(snap.schemas, snap.schemaId, tasks)
+      !snap.exists { s =>
+        val tasks = graft.sources.ScanPlanner.toInputTasks(s.files.map(_.toTask))
+        graft.plans.SchemaReconcile.needed(s.schemas, s.schemaId, tasks)
       } &&
       // deletion-vector tables route through the delta row-level path
       // (same scan cost) — this direct path only emits parquet deletes
-      !catalog.load(tableDir).exists(
+      !snap.exists(
         _.properties.get(graft.sinks.GraftDeltaBatchWrite.DeletesFormatProp)
           .contains("dv"))
+    }
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import graft.plans.MergeOnRead

@@ -160,12 +160,15 @@ object IcebergTableCatalog extends TableCatalog {
 
   private def toFileEntry(e: GenericRecord, idToName: Map[Int, String]): FileEntry = {
     val df = e.get("data_file").asInstanceOf[GenericRecord]
-    // a POSITION_DELETES entry with a referenced data file is a
-    // deletion vector (v3); the PUFFIN format marker corroborates
+    // a POSITION_DELETES entry is a deletion vector (v3) only when BOTH
+    // markers agree: PUFFIN file format AND a referenced data file. The
+    // spec lets PARQUET position-delete files stamp referenced_data_file
+    // too (single-target files) — those must stay parquet-parsed.
     val refDataFile = Option(df.get("referenced_data_file")).map(_.toString)
+    val isPuffin = Option(df.get("file_format")).exists(_.toString == "PUFFIN")
     val content = df.get("content").asInstanceOf[Int] match {
       case 0 => "data"
-      case 1 => if (refDataFile.isDefined) "deletion-vectors"
+      case 1 => if (isPuffin && refDataFile.isDefined) "deletion-vectors"
                 else "position-deletes"
       case 2 => "equality-deletes"
       case other => throw CompactionError.Config(s"unknown data_file.content $other")
@@ -300,6 +303,11 @@ object IcebergTableCatalog extends TableCatalog {
       if (snapshot.committedAtMs > 0) snapshot.committedAtMs
       else System.currentTimeMillis()
     val snapshotId = snapshot.version
+    // deletion vectors are an Iceberg V3 construct (PUFFIN delete
+    // format, manifest fields 143-145) — a snapshot carrying one must
+    // declare format-version 3 or a spec-compliant reader would reject
+    // or misread the delete manifest
+    val formatVersion = if (snapshot.files.exists(_.content == "deletion-vectors")) 3 else 2
     val commitUuid = UUID.randomUUID().toString
     val schemaDoc = schemaJson(snapshot.schemaId, fields)
     val mdir = metadataDir(table)
@@ -390,7 +398,7 @@ object IcebergTableCatalog extends TableCatalog {
         "schema-id" -> snapshot.schemaId.toString,
         "partition-spec" -> "[]",
         "partition-spec-id" -> "0",
-        "format-version" -> "2",
+        "format-version" -> formatVersion.toString,
         "content" -> content), recs)
       written += path
       val added = entries.filterNot(f => prevPaths.contains(f.path))
@@ -420,7 +428,7 @@ object IcebergTableCatalog extends TableCatalog {
         counted.filter(_.content != "data"), 1)
       val listPath = s"$mdir/snap-$snapshotId-$commitUuid.avro"
       writeAvro(listPath, ManifestFileSchema, Map(
-        "format-version" -> "2",
+        "format-version" -> formatVersion.toString,
         "snapshot-id" -> snapshotId.toString,
         "sequence-number" -> snapshot.lastSequenceNumber.toString,
         "parent-snapshot-id" -> prevDoc.map(_.get("current-snapshot-id").asText)
@@ -430,7 +438,7 @@ object IcebergTableCatalog extends TableCatalog {
 
       // ---- metadata.json
       val doc = newObject()
-      doc.put("format-version", 2)
+      doc.put("format-version", formatVersion)
       doc.put("table-uuid",
         UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString)
       doc.put("location", table)
