@@ -903,10 +903,70 @@ final class GraftScan(
           f.content == "deletion-vectors")
         .map(_.recordCount).sum
     val rows = math.max(0L, prunedDataFiles.map(_.recordCount).sum - posDeleted)
+    val colStats = columnStatsFromStamps(prunedDataFiles)
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong = OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
+  }
+
+  /** Per-column CBO statistics straight from the write-time stamps —
+    * min/max of the integral/date columns and null counts, merged
+    * across the surviving files at plan time with ZERO file IO (the
+    * DSv2 `columnStats` surface; Spark's cost-based join planning
+    * consumes them when `spark.sql.cbo.enabled` is on). A statistic is
+    * reported only when EVERY surviving data file stamps it: a partial
+    * sum understates, and an understated null count or shrunken range
+    * skews selectivity the dangerous way. Bounds stay valid under
+    * deletes (they only shrink the true range — a superset bound is
+    * conservative); files written under older schemas stamp under
+    * old names, so evolved tables simply report nothing for the
+    * affected columns. */
+  private def columnStatsFromStamps(files: Seq[FileEntry]): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    if (files.isEmpty) return out
+    tableSchema.fields.foreach { fld =>
+      val c = fld.name
+      // internal-typed min/max objects per Catalyst convention
+      def boxed(v: Long): Option[AnyRef] = fld.dataType match {
+        case org.apache.spark.sql.types.LongType      => Some(Long.box(v))
+        case org.apache.spark.sql.types.IntegerType   => Some(Int.box(v.toInt))
+        case org.apache.spark.sql.types.DateType      => Some(Int.box(v.toInt))
+        case org.apache.spark.sql.types.TimestampType => Some(Long.box(v))
+        case _                                        => None
+      }
+      val his = files.flatMap(f => FileEntry.loHi(f.bounds.getOrElse(c, Nil)))
+      val minMax: Option[(AnyRef, AnyRef)] =
+        if (his.size != files.size) None
+        else for {
+          lo <- boxed(his.map(_._1).min)
+          hi <- boxed(his.map(_._2).max)
+        } yield (lo, hi)
+      val nulls: Option[Long] = {
+        val ns = files.flatMap(f => FileEntry.longAt(f.nullCounts, c))
+        if (ns.size != files.size) None else Some(ns.sum)
+      }
+      if (minMax.isDefined || nulls.isDefined)
+        out.put(Expressions.column(c), new ColumnStatistics {
+          override def min(): java.util.Optional[Object] =
+            minMax.fold(java.util.Optional.empty[Object]())(m =>
+              java.util.Optional.of(m._1))
+          override def max(): java.util.Optional[Object] =
+            minMax.fold(java.util.Optional.empty[Object]())(m =>
+              java.util.Optional.of(m._2))
+          override def nullCount(): OptionalLong =
+            nulls.fold(OptionalLong.empty())(OptionalLong.of)
+        })
+    }
+    out
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
