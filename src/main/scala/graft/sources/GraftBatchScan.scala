@@ -196,6 +196,30 @@ object GraftBatchScan {
     def isEmpty: Boolean = set.isEmpty && (bitmap == null || bitmap.isEmpty)
     def contains(pos: Long): Boolean =
       set.contains(pos) || (bitmap != null && bitmap.contains(pos))
+
+    /** Batch form for the columnar reader: `keep(i) = !dead(base+i)`
+      * for the window `[base, base+n)`. The bitmap path walks the range
+      * ONCE — run-encoded stretches fill the mask in O(runs), not a
+      * tree probe per row; the hash-set path stays per-row. */
+    def fillAlive(base: Long, n: Int, keep: Array[Boolean]): Unit = {
+      if (isEmpty) { java.util.Arrays.fill(keep, 0, n, true); return }
+      if (bitmap == null) java.util.Arrays.fill(keep, 0, n, true)
+      else bitmap.forAllInRange(base, n, new org.roaringbitmap.RelativeRangeConsumer {
+        override def acceptPresent(rel: Int): Unit = keep(rel) = false
+        override def acceptAbsent(rel: Int): Unit = keep(rel) = true
+        override def acceptAllPresent(from: Int, to: Int): Unit =
+          java.util.Arrays.fill(keep, from, to, false)
+        override def acceptAllAbsent(from: Int, to: Int): Unit =
+          java.util.Arrays.fill(keep, from, to, true)
+      })
+      if (!set.isEmpty) {
+        var i = 0
+        while (i < n) {
+          if (keep(i) && set.contains(base + i)) keep(i) = false
+          i += 1
+        }
+      }
+    }
   }
 
   /** Ordinals of this split's rows killed by its position-delete files

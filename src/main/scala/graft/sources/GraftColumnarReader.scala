@@ -225,10 +225,11 @@ final class GraftMorColumnarReader(
       }
       var live = 0
       val keep = new Array[Boolean](n)
+      // dead positions first as one range walk, then the eq mask per row
+      deadPositions.fillAlive(ordinal, n, keep)
       var i = 0
       while (i < n) {
-        keep(i) = (deadPositions.isEmpty ||
-          !deadPositions.contains(ordinal + i)) && liveUnderEqDeletes(i)
+        keep(i) = keep(i) && liveUnderEqDeletes(i)
         if (keep(i)) live += 1
         i += 1
       }
