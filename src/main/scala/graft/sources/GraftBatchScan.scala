@@ -544,10 +544,16 @@ final class GraftScanBuilder(
     pushed = filters.filter { f =>
       lazy val nulls = ScanPruning.nullPredicateCols(Seq(f))
       boundsOf(Seq(f)).nonEmpty || equalityCandidates(Seq(f)).nonEmpty ||
+        ScanPruning.stringConstraints(Seq(f), stringCols).nonEmpty ||
         nulls._1.nonEmpty || nulls._2.nonEmpty
     }
     filters
   }
+
+  private lazy val stringCols: Set[String] =
+    tableSchema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toSet
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   /** column → exact literal values allowed by `filters` (EqualTo / In,
@@ -769,11 +775,21 @@ final class GraftScan(
           tableSchema.fields.collect {
             case f if f.dataType.isInstanceOf[DecimalType] => f.name
           }.toSet))
+    // string bounds (base64 byte stamps) answer string predicates —
+    // equality/In/range/StartsWith — from snapshot metadata alone
+    val strCols = tableSchema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toSet
+    val strCs = ScanPruning.stringConstraints(pushedSourceFilters, strCols)
+    val strPruned =
+      if (strCs.isEmpty) boundsPruned
+      else pruneGuarded(boundsPruned,
+        ScanPruning.pruneDataFilesWithStringBounds(_, strCs))
     // null-count stamps answer IS [NOT] NULL predicates metadata-only
     val (isNullCols, isNotNullCols) =
       ScanPruning.nullPredicateCols(pushedSourceFilters)
-    if (isNullCols.isEmpty && isNotNullCols.isEmpty) boundsPruned
-    else pruneGuarded(boundsPruned,
+    if (isNullCols.isEmpty && isNotNullCols.isEmpty) strPruned
+    else pruneGuarded(strPruned,
       ScanPruning.pruneDataFilesWithNullCounts(_, isNullCols, isNotNullCols))
   }
 
@@ -1029,10 +1045,20 @@ final class GraftScan(
       }
     val eqFiles = snap.files.filter(_.content == "equality-deletes")
       .sortBy(f => (f.sequenceNumber, f.path))
-    val afterInSets0 =
+    val afterInSets1 =
       if (runtimeInSets.isEmpty) prunedDataFiles
       else pruneGuarded(prunedDataFiles,
         ScanPruning.pruneDataFilesWithInSets(_, runtimeInSets))
+    // join-driven STRING key values prune by the stamped byte bounds —
+    // the string half of runtime file skipping
+    val strCands = ScanPruning.stringCandidateConstraints(
+      runtimeEqCandidates, tableSchema.fields.collect {
+        case f if f.dataType == StringType => f.name
+      }.toSet)
+    val afterInSets0 =
+      if (strCands.isEmpty) afterInSets1
+      else pruneGuarded(afterInSets1,
+        ScanPruning.pruneDataFilesWithStringBounds(_, strCands))
     // join-driven bucket pruning: runtime In values hash through the
     // partition transforms, dropping whole buckets before tasks launch
     // (raw candidate values — string/date identity sources prune here

@@ -98,7 +98,32 @@ object ParquetStats {
       rowCount: Long,
       bounds: Map[String, Seq[Long]],
       decimalBounds: Map[String, Seq[Long]],
-      nullCounts: Map[String, Long])
+      nullCounts: Map[String, Long],
+      /** STRING columns: base64 of raw [lo, hi] bytes, truncated to
+        * [[StringBoundBytes]] (upper bound incremented — see
+        * [[truncatedUpper]]). */
+      stringBounds: Map[String, Seq[String]] = Map.empty)
+
+  /** Iceberg's default string-bound truncation width. */
+  val StringBoundBytes = 16
+
+  /** A valid (possibly widened) upper bound of `b` within the
+    * truncation width: the prefix with its last byte incremented,
+    * carrying left past 0xFF bytes. None when every prefix byte is
+    * 0xFF — no bounded prefix can upper-bound the value. */
+  private[sources] def truncatedUpper(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length <= StringBoundBytes) return Some(b)
+    val p = java.util.Arrays.copyOf(b, StringBoundBytes)
+    var i = p.length - 1
+    while (i >= 0) {
+      if (p(i) != -1) { // 0xFF
+        p(i) = (p(i) + 1).toByte
+        return Some(java.util.Arrays.copyOf(p, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
 
   /** Every trustworthy column fact of one file, from ONE footer read —
     * the write-time stamping source for [[graft.txn.FileEntry.bounds]] /
@@ -116,6 +141,7 @@ object ParquetStats {
     try {
       val plain = scala.collection.mutable.Map[String, (Long, Long)]()
       val dec = scala.collection.mutable.Map[String, (Long, Long)]()
+      val str = scala.collection.mutable.Map[String, (Array[Byte], Array[Byte])]()
       val untrusted = scala.collection.mutable.Set[String]()
       val nulls = scala.collection.mutable.Map[String, Long]()
       val nullsUntrusted = scala.collection.mutable.Set[String]()
@@ -140,23 +166,59 @@ object ParquetStats {
             ann.isInstanceOf[IntLogicalTypeAnnotation] ||
             ann.isInstanceOf[
               org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation]
-          val target = if (isDecimal) dec else plain
-          if (!isIntegralPhys || !(isDecimal || isPlain) || st == null || st.isEmpty) {
-            untrusted += name; plain.remove(name); dec.remove(name)
-          } else if (st.hasNonNullValue) {
-            val mn = st.genericGetMin.asInstanceOf[Number].longValue
-            val mx = st.genericGetMax.asInstanceOf[Number].longValue
-            target(name) = target.get(name) match {
-              case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
-              case None         => (mn, mx)
+          // strings: BINARY physical + String annotation; parquet's
+          // binary stats order is unsigned lexicographic — the same
+          // order the pruning side compares candidates in
+          val isString =
+            pt.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
+              ann.isInstanceOf[
+                org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          if (isString) {
+            if (st == null || st.isEmpty) { untrusted += name; str.remove(name) }
+            else if (st.hasNonNullValue) {
+              val mn = st.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+              val mx = st.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+              str(name) = str.get(name) match {
+                case Some((a, b)) => (
+                  if (unsignedLt(mn, a)) mn else a,
+                  if (unsignedLt(b, mx)) mx else b)
+                case None => (mn, mx)
+              }
+            }
+          } else {
+            val target = if (isDecimal) dec else plain
+            if (!isIntegralPhys || !(isDecimal || isPlain) || st == null || st.isEmpty) {
+              untrusted += name; plain.remove(name); dec.remove(name)
+            } else if (st.hasNonNullValue) {
+              val mn = st.genericGetMin.asInstanceOf[Number].longValue
+              val mx = st.genericGetMax.asInstanceOf[Number].longValue
+              target(name) = target.get(name) match {
+                case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
+                case None         => (mn, mx)
+              }
             }
           }
         }
       }
+      val b64 = java.util.Base64.getEncoder
+      val strBounds = str.flatMap { case (k, (lo, hi)) =>
+        // lower: plain prefix (a prefix never exceeds the value);
+        // upper: incremented prefix, or drop the column when no
+        // bounded prefix can cover it (all-0xFF)
+        truncatedUpper(hi).map { h =>
+          val l =
+            if (lo.length <= StringBoundBytes) lo
+            else java.util.Arrays.copyOf(lo, StringBoundBytes)
+          k -> Seq(b64.encodeToString(l), b64.encodeToString(h))
+        }
+      }.toMap
       FileFacts(reader.getRecordCount,
         plain.map { case (k, (a, b)) => k -> Seq(a, b) }.toMap,
         dec.map { case (k, (a, b)) => k -> Seq(a, b) }.toMap,
-        nulls.toMap)
+        nulls.toMap,
+        strBounds)
     } finally reader.close()
   }
 
@@ -170,7 +232,7 @@ object ParquetStats {
       try {
         val facts = fileFacts(e.path)
         e.copy(bounds = facts.bounds, decimalBounds = facts.decimalBounds,
-          nullCounts = facts.nullCounts)
+          nullCounts = facts.nullCounts, stringBounds = facts.stringBounds)
       } catch { case _: Exception => e }
 
   /** Row-group layout of one file from its footer:

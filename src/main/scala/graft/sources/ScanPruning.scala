@@ -130,6 +130,154 @@ object ScanPruning {
     walk(NodeBridge.tree(filter))
   }
 
+  // ---------------------------------------------------------------- strings
+
+  /** Constraint on one STRING column in parquet's unsigned-byte order:
+    * an inclusive lower bound, an upper bound with inclusivity, and/or
+    * an exact candidate set (EqualTo / In). All satisfied together
+    * (AND semantics). */
+  final case class StringConstraint(
+      lo: Option[Array[Byte]] = None,
+      hi: Option[(Array[Byte], Boolean)] = None,
+      candidates: Option[Seq[Array[Byte]]] = None) {
+    def merge(o: StringConstraint): StringConstraint = StringConstraint(
+      lo = (lo, o.lo) match {
+        case (Some(a), Some(b)) =>
+          Some(if (ParquetStats.unsignedLt(a, b)) b else a)
+        case (a, b) => a.orElse(b)
+      },
+      hi = (hi, o.hi) match {
+        case (Some((a, ai)), Some((b, bi))) =>
+          if (ParquetStats.unsignedLt(a, b)) Some((a, ai))
+          else if (ParquetStats.unsignedLt(b, a)) Some((b, bi))
+          else Some((a, ai && bi)) // same bound: exclusive wins
+        case (a, b) => a.orElse(b)
+      },
+      candidates = (candidates, o.candidates) match {
+        case (Some(a), Some(b)) =>
+          Some(a.filter(x => b.exists(java.util.Arrays.equals(x, _))))
+        case (a, b) => a.orElse(b)
+      })
+  }
+
+  /** Unsigned byte-successor of a prefix (increment with carry); None
+    * when every byte is 0xFF. `startsWith(p)` means `[p, successor(p))`. */
+  private def successor(p: Array[Byte]): Option[Array[Byte]] = {
+    val c = p.clone()
+    var i = c.length - 1
+    while (i >= 0) {
+      if (c(i) != -1) {
+        c(i) = (c(i) + 1).toByte
+        return Some(java.util.Arrays.copyOf(c, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  private def utf8(v: Any): Option[Array[Byte]] = v match {
+    case s: String => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+    case _ => None
+  }
+
+  /** String-column constraints implied by pushed source filters —
+    * EqualTo / In / ranges / StartsWith under AND conjunction, only for
+    * columns in `stringCols`. Anything else contributes nothing (the
+    * file is kept — pruning only removes provably-dead IO). */
+  def stringConstraints(filters: Seq[org.apache.spark.sql.sources.Filter],
+      stringCols: Set[String]): Map[String, StringConstraint] = {
+    import org.apache.spark.sql.{sources => f}
+    def one(flt: f.Filter): Map[String, StringConstraint] = flt match {
+      case f.EqualTo(a, v) if stringCols(a) =>
+        utf8(v).map(b => Map(a -> StringConstraint(candidates = Some(Seq(b)))))
+          .getOrElse(Map.empty)
+      case f.In(a, vs) if stringCols(a) =>
+        val bs = vs.toSeq.filter(_ != null).map(utf8)
+        if (bs.isEmpty || bs.exists(_.isEmpty)) Map.empty
+        else Map(a -> StringConstraint(candidates = Some(bs.flatten)))
+      case f.GreaterThan(a, v) if stringCols(a) =>
+        // x > v  ⟺  x >= v ++ 0x00 (the immediate successor string)
+        utf8(v).map(b => Map(a -> StringConstraint(
+          lo = Some(b :+ 0.toByte)))).getOrElse(Map.empty)
+      case f.GreaterThanOrEqual(a, v) if stringCols(a) =>
+        utf8(v).map(b => Map(a -> StringConstraint(lo = Some(b))))
+          .getOrElse(Map.empty)
+      case f.LessThan(a, v) if stringCols(a) =>
+        utf8(v).map(b => Map(a -> StringConstraint(hi = Some((b, false)))))
+          .getOrElse(Map.empty)
+      case f.LessThanOrEqual(a, v) if stringCols(a) =>
+        utf8(v).map(b => Map(a -> StringConstraint(hi = Some((b, true)))))
+          .getOrElse(Map.empty)
+      case f.StringStartsWith(a, p) if stringCols(a) && p != null =>
+        val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Some(StringConstraint(lo = Some(pb),
+          hi = successor(pb).map(s => (s, false))))
+          .map(c => Map(a -> c)).getOrElse(Map.empty)
+      case f.And(l, r) =>
+        val (a, b) = (one(l), one(r))
+        (a.keySet ++ b.keySet).map { k =>
+          (a.get(k), b.get(k)) match {
+            case (Some(x), Some(y)) => k -> x.merge(y)
+            case (x, y)             => k -> x.orElse(y).get
+          }
+        }.toMap
+      case _ => Map.empty
+    }
+    filters.foldLeft(Map.empty[String, StringConstraint]) { (acc, flt) =>
+      val m = one(flt)
+      (acc.keySet ++ m.keySet).map { k =>
+        (acc.get(k), m.get(k)) match {
+          case (Some(x), Some(y)) => k -> x.merge(y)
+          case (x, y)             => k -> x.orElse(y).get
+        }
+      }.toMap
+    }
+  }
+
+  /** Runtime-join candidate values → string constraints (the string
+    * half of what [[pruneDataFilesWithInSets]] does for integrals):
+    * join-key values handed back by Spark's runtime filtering become
+    * per-file membership tests against the stamped byte bounds. */
+  def stringCandidateConstraints(cands: Map[String, Seq[Any]],
+      stringCols: Set[String]): Map[String, StringConstraint] =
+    cands.collect {
+      case (a, vs) if stringCols(a) && vs.nonEmpty =>
+        val bs = vs.map(utf8)
+        if (bs.exists(_.isEmpty)) None
+        else Some(a -> StringConstraint(candidates = Some(bs.flatten)))
+    }.flatten.toMap
+
+  /** Keep files whose stamped string bounds can satisfy every
+    * constraint; unstamped files/columns are kept (pre-feature files,
+    * renamed columns — metadata-only, NO footer fallback). Same
+    * keep-one-when-all-pruned rule as the integral path. */
+  def pruneDataFilesWithStringBounds(files: Seq[FileEntry],
+      cs: Map[String, StringConstraint]): Seq[FileEntry] = {
+    if (cs.isEmpty) return files
+    val (data, deletes) = files.partition(_.content == "data")
+    val dec = java.util.Base64.getDecoder
+    def keep(fe: FileEntry): Boolean = cs.forall { case (c, sc) =>
+      fe.stringBounds.get(c).map(_.toSeq) match {
+        case Some(Seq(loB64, hiB64)) =>
+          val fLo = dec.decode(loB64); val fHi = dec.decode(hiB64)
+          val rangeOk =
+            sc.lo.forall(lo => !ParquetStats.unsignedLt(fHi, lo)) &&
+              sc.hi.forall { case (hi, incl) =>
+                if (incl) !ParquetStats.unsignedLt(hi, fLo)
+                else ParquetStats.unsignedLt(fLo, hi)
+              }
+          val candOk = sc.candidates.forall(_.exists(cand =>
+            !ParquetStats.unsignedLt(cand, fLo) &&
+              !ParquetStats.unsignedLt(fHi, cand)))
+          rangeOk && candOk
+        case _ => true // unstamped -> keep
+      }
+    }
+    val kept = data.filter(keep)
+    (if (kept.isEmpty && data.nonEmpty) Seq(data.head) else kept) ++ deletes
+  }
+
   /** v + d clamped at the Long range (a wrap would flip a strict bound
     * at Long.MaxValue into a keep-nothing constraint). */
   private def saturatingAdd(v: Long, d: Long): Long = {

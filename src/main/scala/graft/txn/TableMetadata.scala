@@ -59,6 +59,12 @@ final case class FileEntry(
       * COUNT(col) metadata aggregation and IS [NOT] NULL file pruning.
       * Empty = not stamped (pre-feature file) → consumers fall back. */
     nullCounts: Map[String, Long] = Map.empty,
+    /** Like [[bounds]] but for STRING columns: base64 of the raw
+      * `[lo, hi]` byte bounds in parquet's unsigned lexicographic
+      * order, truncated to 16 bytes Iceberg-style (the upper bound is
+      * incremented when truncated, so it stays a valid upper bound).
+      * Consumers compare candidate UTF-8 bytes unsigned. */
+    stringBounds: Map[String, Seq[String]] = Map.empty,
     /** Deletion-vector entries only (content "deletion-vectors"): the
       * one data file this vector's ordinals reference, and the blob's
       * byte address inside the Puffin container at `path` (Iceberg v3
@@ -177,6 +183,7 @@ object TableMetadata {
       if (e.bounds == null) e = e.copy(bounds = Map.empty)
       if (e.decimalBounds == null) e = e.copy(decimalBounds = Map.empty)
       if (e.nullCounts == null) e = e.copy(nullCounts = Map.empty)
+      if (e.stringBounds == null) e = e.copy(stringBounds = Map.empty)
       if (e.referencedDataFile == null) e = e.copy(referencedDataFile = None)
       e
     })

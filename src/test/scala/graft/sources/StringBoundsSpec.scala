@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.txn.{FileTableCatalog, TableSnapshot, TableWrites}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** String-column file pruning from write-time byte-bound stamps:
+  * equality, In, ranges, and StartsWith decide from snapshot metadata
+  * alone, with Iceberg-style 16-byte truncation (incremented upper). */
+class StringBoundsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Files actually planned for a filtered read. */
+  private def plannedFiles(dir: String, cond: String): Int = {
+    val df = spark.read.format("graft").load(dir).filter(cond)
+    val scan = df.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec"))
+    scan.inputRDD.getNumPartitions
+  }
+
+  private def freshTable(rows: Seq[(Long, String)], files: Int): String = {
+    val dir = Files.createTempDirectory("graft-strb").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    // deterministic file split by sorted key ranges -> disjoint bounds
+    val sorted = rows.sortBy(_._2)
+    val per = math.max(1, sorted.size / files)
+    sorted.grouped(per).foreach { g =>
+      TableWrites.appendData(dir, g.toDF("id", "k").coalesce(1))
+    }
+    dir
+  }
+
+  test("equality, range, and StartsWith prune to the matching files") {
+    val rows = (0L until 900L).map(i => i -> f"key$i%04d")
+    val dir = freshTable(rows, 3)
+    val snap = FileTableCatalog.loadOrThrow(dir)
+    assert(snap.files.count(_.content == "data") >= 3)
+    assert(snap.files.filter(_.content == "data")
+      .forall(_.stringBounds.contains("k")), "string bounds must be stamped")
+    val all = plannedFiles(dir, "id >= 0")
+    assert(all >= 3)
+    // point read: one file
+    assert(plannedFiles(dir, "k = 'key0123'") == 1)
+    // range read: the upper third only
+    assert(plannedFiles(dir, "k >= 'key0600'") < all)
+    // StartsWith: 'key089' covers one sorted stretch
+    assert(plannedFiles(dir, "k LIKE 'key089%'") == 1)
+    // correctness: pruning must never drop matching rows
+    val q = spark.read.format("graft").load(dir)
+    assert(q.filter("k = 'key0123'").count() == 1L)
+    assert(q.filter("k >= 'key0600'").count() == 300L)
+    assert(q.filter("k LIKE 'key089%'").count() == 10L)
+    assert(q.filter("k IN ('key0001', 'key0899')").count() == 2L)
+  }
+
+  test("truncated bounds stay conservative for long strings") {
+    // 20-char keys share a 16-byte prefix within each file -> the stamp
+    // truncates; reads just past the truncation point must still match
+    val rows = (0L until 200L).map(i => i -> (("p" * 15) + f"${('a' + (i % 26)).toChar}%c$i%04d"))
+    val dir = freshTable(rows, 2)
+    val q = spark.read.format("graft").load(dir)
+    rows.take(5).foreach { case (_, k) =>
+      assert(q.filter($"k" === k).count() == 1L, s"lost $k to truncation")
+    }
+    assert(q.filter($"k" >= ("p" * 15) + "m").count() ==
+      rows.count(_._2 >= ("p" * 15) + "m").toLong)
+  }
+
+  test("a join-driven string key prunes files at runtime") {
+    val rows = (0L until 600L).map(i => i -> f"u$i%04d")
+    val dir = freshTable(rows, 3)
+    val dim = Seq("u0001").toDF("k")
+    val joined = spark.read.format("graft").load(dir)
+      .join(org.apache.spark.sql.functions.broadcast(dim), "k")
+    assert(joined.count() == 1L)
+    // the runtime In values must reach the scan and drop files: rerun
+    // through the planner surface directly for an observable count
+    val schema = spark.read.format("graft").load(dir).schema
+    val sb = new GraftScanBuilder(dir, schema, None, FileTableCatalog,
+      "1", skipDeletes = false)
+    val scan = sb.build()
+    scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("k", Array[Any]("u0001"))))
+    assert(scan.toBatch.planInputPartitions().length == 1)
+  }
+
+  test("unstamped files survive every string predicate") {
+    val dir = freshTable((0L until 100L).map(i => i -> f"s$i%03d"), 1)
+    val snap = FileTableCatalog.loadOrThrow(dir)
+    FileTableCatalog.commitCas(dir, snap.copy(version = snap.version + 1,
+      files = snap.files.map(_.copy(stringBounds = Map.empty))))
+    assert(plannedFiles(dir, "k = 'zzz'") == 1)
+    assert(spark.read.format("graft").load(dir).filter("k = 's042'").count() == 1L)
+  }
+}
