@@ -42,6 +42,7 @@ object SparkEntry {
       ("sql_agg_meta" -> (graft.queries.SqlCatalogQuery.runAggMeta _)) +
       ("sql_write_order" -> (graft.queries.SqlCatalogQuery.runWriteOrder _)) +
       ("sql_dv" -> (graft.queries.SqlCatalogQuery.runDv _)) +
+      ("sql_string_prune" -> (graft.queries.SqlCatalogQuery.runStringPrune _)) +
       ("spj_join" -> (graft.queries.SqlCatalogQuery.runSpjJoin _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
@@ -76,6 +77,7 @@ object SparkEntry {
       ("sql_agg_meta" -> graft.queries.SqlCatalogQuery.aggMetaOracle) +
       ("sql_write_order" -> graft.queries.SqlCatalogQuery.writeOrderOracle) +
       ("sql_dv" -> graft.queries.SqlCatalogQuery.dvOracle) +
+      ("sql_string_prune" -> graft.queries.SqlCatalogQuery.stringPruneOracle) +
       ("spj_join" -> graft.queries.SqlCatalogQuery.spjJoinOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)

@@ -516,6 +516,57 @@ object SqlCatalogQuery {
       |        OR (l_orderkey <= 300 AND l_returnflag IN ('A', 'N')))
       |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
 
+  // -------- string-bound pruning over a declared write order ------------
+
+  private val strCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** String-column file pruning, certified end-to-end: a table declares
+    * `graft.write-order` on a STRING key, a scrambled insert
+    * range-distributes into files with disjoint byte bounds, a MoR
+    * DELETE carves a string range out, and the read back applies string
+    * range predicates — planned from the stamped byte bounds alone
+    * (plan shape pinned in StringBoundsSpec; this query certifies the
+    * VALUES against DuckDB replaying the same predicates). */
+  def runStringPrune(spark: SparkSession, dir: String): DataFrame = {
+    val cat = strCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"gs${counter.incrementAndGet()}"
+      val wh = Files.createTempDirectory(s"graft-sqlstr-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView("docs_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(
+        s"""CREATE TABLE $name.db.sp (
+           |  doc_id BIGINT, k STRING, lang STRING, n_chars BIGINT)
+           |TBLPROPERTIES (
+           |  'graft.write-order'='k',
+           |  'graft.rowlevel.mode'='merge-on-read')""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.sp
+           |SELECT doc_id, format_string('doc%05d', doc_id), lang, n_chars
+           |FROM docs_src DISTRIBUTE BY pmod(hash(doc_id), 8)""".stripMargin)
+      spark.sql(s"DELETE FROM $name.db.sp " +
+        "WHERE k >= 'doc00100' AND k < 'doc00150'")
+      name
+    })
+    spark.sql(
+      s"""SELECT doc_id, k, lang, n_chars
+         |FROM $cat.db.sp
+         |WHERE k >= 'doc00050' AND k < 'doc00250'
+         |ORDER BY 1, 2, 3, 4""".stripMargin)
+  }
+
+  val stringPruneOracle: String =
+    """SELECT doc_id, printf('doc%05d', doc_id) AS k, lang, n_chars
+      |FROM documents
+      |WHERE printf('doc%05d', doc_id) >= 'doc00050'
+      |  AND printf('doc%05d', doc_id) < 'doc00250'
+      |  AND NOT (printf('doc%05d', doc_id) >= 'doc00100'
+      |       AND printf('doc%05d', doc_id) < 'doc00150')
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
   // -------- metadata-only aggregate pushdown ----------------------------
 
   private val aggCatalogs =
