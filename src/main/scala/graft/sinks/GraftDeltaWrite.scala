@@ -233,7 +233,8 @@ final class GraftDeltaBatchWrite(
       msgs.flatMap(_.deleteFiles), writeDir,
       namePrefix = "del-", attemptSweepPrefix = "_attempt-del-")
       .map(_.copy(content = "position-deletes",
-        bounds = Map.empty, decimalBounds = Map.empty, nullCounts = Map.empty))
+        bounds = Map.empty, decimalBounds = Map.empty, nullCounts = Map.empty,
+        stringBounds = Map.empty))
     val (dvEntries, replacedDvPaths) = publishDvs(msgs)
     val dataEntries = GraftBatchWrite.publishWinners(
       msgs.flatMap(_.dataFiles), writeDir)

@@ -760,6 +760,13 @@ final class GraftScan(
     graft.core.PartitionSpecCodec.of(Some(snap))
   private lazy val colTypes: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
+  /** String columns eligible for byte-bound pruning — one definition
+    * shared by the plan-time and runtime pruning paths, so what counts
+    * as a prunable string column can never diverge between them. */
+  private lazy val scanStringCols: Set[String] =
+    tableSchema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toSet
 
   private lazy val prunedDataFiles: Seq[FileEntry] = {
     val data = snap.files.filter(_.content == "data")
@@ -777,10 +784,7 @@ final class GraftScan(
           }.toSet))
     // string bounds (base64 byte stamps) answer string predicates —
     // equality/In/range/StartsWith — from snapshot metadata alone
-    val strCols = tableSchema.fields.collect {
-      case f if f.dataType == StringType => f.name
-    }.toSet
-    val strCs = ScanPruning.stringConstraints(pushedSourceFilters, strCols)
+    val strCs = ScanPruning.stringConstraints(pushedSourceFilters, scanStringCols)
     val strPruned =
       if (strCs.isEmpty) boundsPruned
       else pruneGuarded(boundsPruned,
@@ -973,6 +977,18 @@ final class GraftScan(
     import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
     val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
     if (files.isEmpty) return out
+    // stamps are keyed by WRITE-time column names — a file written under
+    // an older schema could alias a since-reused name to different data
+    // (same guard every pruning path applies via pruneGuarded); one such
+    // file in scope suppresses all column statistics
+    if (files.exists(f => snap.schemas.nonEmpty && f.schemaId >= 0 &&
+        f.schemaId != snap.schemaId)) return out
+    // write-time null counts cannot see later MoR deletes — with any
+    // delete in the snapshot a stamped sum may exceed the reported
+    // numRows (nullPercent > 1 skews CBO selectivity the dangerous
+    // way), so suppress null counts; min/max stay (deletes only shrink
+    // the true range — a superset bound is conservative)
+    val nullsSafe = !snap.files.exists(_.content != "data")
     tableSchema.fields.foreach { fld =>
       val c = fld.name
       // internal-typed min/max objects per Catalyst convention
@@ -990,10 +1006,12 @@ final class GraftScan(
           lo <- boxed(his.map(_._1).min)
           hi <- boxed(his.map(_._2).max)
         } yield (lo, hi)
-      val nulls: Option[Long] = {
-        val ns = files.flatMap(f => FileEntry.longAt(f.nullCounts, c))
-        if (ns.size != files.size) None else Some(ns.sum)
-      }
+      val nulls: Option[Long] =
+        if (!nullsSafe) None
+        else {
+          val ns = files.flatMap(f => FileEntry.longAt(f.nullCounts, c))
+          if (ns.size != files.size) None else Some(ns.sum)
+        }
       if (minMax.isDefined || nulls.isDefined)
         out.put(Expressions.column(c), new ColumnStatistics {
           override def min(): java.util.Optional[Object] =
@@ -1052,9 +1070,7 @@ final class GraftScan(
     // join-driven STRING key values prune by the stamped byte bounds —
     // the string half of runtime file skipping
     val strCands = ScanPruning.stringCandidateConstraints(
-      runtimeEqCandidates, tableSchema.fields.collect {
-        case f if f.dataType == StringType => f.name
-      }.toSet)
+      runtimeEqCandidates, scanStringCols)
     val afterInSets0 =
       if (strCands.isEmpty) afterInSets1
       else pruneGuarded(afterInSets1,

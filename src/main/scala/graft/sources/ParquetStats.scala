@@ -107,23 +107,29 @@ object ParquetStats {
   /** Iceberg's default string-bound truncation width. */
   val StringBoundBytes = 16
 
-  /** A valid (possibly widened) upper bound of `b` within the
-    * truncation width: the prefix with its last byte incremented,
-    * carrying left past 0xFF bytes. None when every prefix byte is
-    * 0xFF — no bounded prefix can upper-bound the value. */
-  private[sources] def truncatedUpper(b: Array[Byte]): Option[Array[Byte]] = {
-    if (b.length <= StringBoundBytes) return Some(b)
-    val p = java.util.Arrays.copyOf(b, StringBoundBytes)
-    var i = p.length - 1
+  /** Unsigned byte-successor of `p` as a shrunk prefix: increment the
+    * last non-0xFF byte and drop everything after it. None when every
+    * byte is 0xFF — nothing bounded succeeds it. Shared by bound
+    * truncation here and `startsWith`-range derivation in
+    * [[ScanPruning]] (the carry edge cases must never diverge). */
+  private[sources] def incrementPrefix(p: Array[Byte]): Option[Array[Byte]] = {
+    val c = p.clone()
+    var i = c.length - 1
     while (i >= 0) {
-      if (p(i) != -1) { // 0xFF
-        p(i) = (p(i) + 1).toByte
-        return Some(java.util.Arrays.copyOf(p, i + 1))
+      if (c(i) != -1) { // 0xFF
+        c(i) = (c(i) + 1).toByte
+        return Some(java.util.Arrays.copyOf(c, i + 1))
       }
       i -= 1
     }
     None
   }
+
+  /** A valid (possibly widened) upper bound of `b` within the
+    * truncation width. None when every prefix byte is 0xFF. */
+  private[sources] def truncatedUpper(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= StringBoundBytes) Some(b)
+    else incrementPrefix(java.util.Arrays.copyOf(b, StringBoundBytes))
 
   /** Every trustworthy column fact of one file, from ONE footer read —
     * the write-time stamping source for [[graft.txn.FileEntry.bounds]] /
@@ -165,7 +171,13 @@ object ParquetStats {
           val isPlain = ann == null ||
             ann.isInstanceOf[IntLogicalTypeAnnotation] ||
             ann.isInstanceOf[
-              org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+              org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation] ||
+            // timestamps: INT64 stats are epoch values in the file's own
+            // unit — every consumer (bound pruning with long literals,
+            // columnStats boxing the internal micros long) compares in
+            // that same physical domain
+            ann.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
           // strings: BINARY physical + String annotation; parquet's
           // binary stats order is unsigned lexicographic — the same
           // order the pruning side compares candidates in

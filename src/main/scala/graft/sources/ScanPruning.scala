@@ -160,20 +160,10 @@ object ScanPruning {
       })
   }
 
-  /** Unsigned byte-successor of a prefix (increment with carry); None
-    * when every byte is 0xFF. `startsWith(p)` means `[p, successor(p))`. */
-  private def successor(p: Array[Byte]): Option[Array[Byte]] = {
-    val c = p.clone()
-    var i = c.length - 1
-    while (i >= 0) {
-      if (c(i) != -1) {
-        c(i) = (c(i) + 1).toByte
-        return Some(java.util.Arrays.copyOf(c, i + 1))
-      }
-      i -= 1
-    }
-    None
-  }
+  /** `startsWith(p)` means `[p, successor(p))` — the shared carry
+    * helper lives in [[ParquetStats.incrementPrefix]]. */
+  private def successor(p: Array[Byte]): Option[Array[Byte]] =
+    ParquetStats.incrementPrefix(p)
 
   private def utf8(v: Any): Option[Array[Byte]] = v match {
     case s: String => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
