@@ -45,7 +45,14 @@ object GraftMetadataTable {
       MapType(StringType, LongType, valueContainsNull = false), nullable = false),
     // deletion-vector entries: the data file the vector references
     // (null for every other content kind)
-    StructField("referenced_data_file", StringType, nullable = true)))
+    StructField("referenced_data_file", StringType, nullable = true),
+    // string-column byte bounds as stored (base64, 16-byte truncated,
+    // incremented upper) — faithful to the stamp, not decoded, since
+    // truncation can cut mid-codepoint
+    StructField("string_lower_bounds",
+      MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("string_upper_bounds",
+      MapType(StringType, StringType, valueContainsNull = false), nullable = false)))
 
   private[sql] val refsSchema = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -106,12 +113,22 @@ final class GraftMetadataTable(
       def boundAt(f: graft.txn.FileEntry, lo: Boolean): Map[String, Long] =
         side(f.bounds, lo) ++ side(f.decimalBounds, lo)
       catalog.loadOrThrow(tableDir).files.sortBy(_.path).map { f =>
+        def strSide(lo: Boolean): org.apache.spark.sql.catalyst.util.MapData = {
+          val ks = f.stringBounds.keys.toSeq.sorted
+          new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              ks.map(UTF8String.fromString)),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              ks.map(k => UTF8String.fromString(
+                f.stringBounds(k).toSeq(if (lo) 0 else 1)))))
+        }
         InternalRow.fromSeq(Seq(
           UTF8String.fromString(f.path), UTF8String.fromString(f.content),
           f.sizeBytes, f.recordCount, f.sequenceNumber, f.schemaId,
           mapData(f.nullCounts),
           mapData(boundAt(f, lo = true)), mapData(boundAt(f, lo = false)),
-          f.referencedDataFile.map(UTF8String.fromString).orNull))
+          f.referencedDataFile.map(UTF8String.fromString).orNull,
+          strSide(lo = true), strSide(lo = false)))
       }.toArray
     case "refs" =>
       // malformed values (a hand-set property that is not a version)
