@@ -989,6 +989,12 @@ final class GraftScan(
     // way), so suppress null counts; min/max stay (deletes only shrink
     // the true range — a superset bound is conservative)
     val nullsSafe = !snap.files.exists(_.content != "data")
+    // analyze_table NDVs: exact-file-set-guarded (TableAnalyze), and
+    // only for an UNPRUNED scan — table-level distinct counts over a
+    // pruned subset overstate, which undersizes join outputs
+    val ndv: Map[String, Long] =
+      if (files.size != snap.files.count(_.content == "data")) Map.empty
+      else graft.txn.TableAnalyze.currentNdv(snap)
     tableSchema.fields.foreach { fld =>
       val c = fld.name
       // internal-typed min/max objects per Catalyst convention
@@ -1012,7 +1018,8 @@ final class GraftScan(
           val ns = files.flatMap(f => FileEntry.longAt(f.nullCounts, c))
           if (ns.size != files.size) None else Some(ns.sum)
         }
-      if (minMax.isDefined || nulls.isDefined)
+      val distinct: Option[Long] = ndv.get(c)
+      if (minMax.isDefined || nulls.isDefined || distinct.isDefined)
         out.put(Expressions.column(c), new ColumnStatistics {
           override def min(): java.util.Optional[Object] =
             minMax.fold(java.util.Optional.empty[Object]())(m =>
@@ -1022,6 +1029,8 @@ final class GraftScan(
               java.util.Optional.of(m._2))
           override def nullCount(): OptionalLong =
             nulls.fold(OptionalLong.empty())(OptionalLong.of)
+          override def distinctCount(): OptionalLong =
+            distinct.fold(OptionalLong.empty())(OptionalLong.of)
         })
     }
     out

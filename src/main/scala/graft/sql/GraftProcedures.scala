@@ -33,7 +33,7 @@ private[sql] object GraftProcedures {
 
   val Names: Seq[String] = Seq(
     "rewrite_data_files", "rewrite_delete_files", "expire_snapshots",
-    "remove_orphan_files", "create_tag", "drop_tag")
+    "remove_orphan_files", "create_tag", "drop_tag", "analyze_table")
 
   def load(name: String, resolveDir: String => String,
       catalog: TableCatalog, catalogName: String): UnboundProcedure =
@@ -44,6 +44,7 @@ private[sql] object GraftProcedures {
       case "create_tag"          => new CreateTag(resolveDir, catalog)
       case "drop_tag"            => new DropTag(resolveDir, catalog)
       case "remove_orphan_files" => new RemoveOrphanFiles(resolveDir, catalog)
+      case "analyze_table"       => new AnalyzeTable(resolveDir, catalog)
       case other => throw CompactionError.Config(
         s"unknown procedure $other (available: ${Names.mkString(", ")})")
     }
@@ -141,6 +142,38 @@ private[sql] object GraftProcedures {
           s.removedDeleteFiles, s.addedDeleteFiles, s.deletedPositions))
         .toArray
       localScan(out, rows, s"rewrite_delete_files($dir)")
+    }
+  }
+
+  /** `CALL cat.system.analyze_table(table => 'db.t', columns => 'a,b')`
+    * — distinct-count statistics for the CBO ([[graft.txn.TableAnalyze]]);
+    * empty `columns` analyzes every top-level column. Returns the
+    * committed counts; the scan reports them as `distinctCount` while
+    * the table's file set is unchanged. */
+  private final class AnalyzeTable(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("analyze_table") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      inDefault("columns", StringType, "''"))
+
+    private val out = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("ndv", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val cols =
+        if (input.isNullAt(1)) Nil
+        else input.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      val ndv = graft.txn.TableAnalyze.analyze(
+        SparkSession.active, dir, cols, catalog)
+      val rows = ndv.toSeq.sortBy(_._1).map { case (c, n) =>
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(c), n)
+      }.toArray
+      localScan(out, rows, s"analyze_table($dir)")
     }
   }
 

@@ -1,0 +1,92 @@
+package graft.txn
+
+import graft.core.{CompactionError, RetryConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** `ANALYZE`-style distinct-count statistics for the cost-based
+  * optimizer — the one per-column statistic the write-time stamps
+  * cannot provide (a footer has no NDV).
+  *
+  * `analyze` scans the table's LIVE rows (merge-on-read chain applied)
+  * with HyperLogLog++ sketches (`approx_count_distinct`, 1% rsd) and
+  * commits the counts as snapshot properties together with a HASH of
+  * the exact file set that was scanned. The scan reports
+  * `distinctCount` ONLY while the current file set still matches that
+  * hash — any append, delete, or compaction silently invalidates the
+  * stats instead of feeding the planner numbers about data that no
+  * longer exists (Spark's own ANALYZE TABLE keeps serving stale
+  * statistics; at 100 TB a stale NDV under-sizes a join output and
+  * invites a broadcast OOM, so staleness here is a hard cutoff).
+  * Append-mostly tables simply re-run the procedure after batch loads.
+  */
+object TableAnalyze {
+
+  /** JSON `{column: ndv}` of the last analyze. */
+  val NdvProp = "graft.stats.ndv"
+  /** [[fileSetHash]] of the snapshot the NDVs were computed against. */
+  val FilesHashProp = "graft.stats.files-hash"
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  /** Order-independent digest of the snapshot's whole file set —
+    * data AND delete files (a new deletion vector changes live NDV as
+    * surely as an append does). */
+  def fileSetHash(snap: TableSnapshot): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    snap.files.map(f => s"${f.path}:${f.sizeBytes}:${f.sequenceNumber}")
+      .sorted
+      .foreach(l => md.update(l.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    md.digest().map("%02x".format(_)).mkString.take(32)
+  }
+
+  /** Compute and commit NDVs for `columns` (all top-level columns when
+    * empty). Returns the committed counts. Aborts instead of committing
+    * stats for a file set that changed mid-analyze. */
+  def analyze(spark: SparkSession, tableDir: String,
+      columns: Seq[String] = Nil,
+      catalog: TableCatalog = FileTableCatalog): Map[String, Long] = {
+    val snap = catalog.loadOrThrow(tableDir)
+    val df = graft.sources.TableReader.read(spark, tableDir, catalog = catalog)
+    val schemaCols = df.schema.fieldNames.toSeq
+    val cols = if (columns.isEmpty) schemaCols else columns
+    cols.filterNot(schemaCols.contains).headOption.foreach { c =>
+      throw CompactionError.Config(
+        s"analyze column '$c' is not in the table schema " +
+          s"(${schemaCols.mkString(", ")})")
+    }
+    val scannedHash = fileSetHash(snap)
+    val aggs = cols.map(c => approx_count_distinct(col(c), 0.01).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val ndv = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+    new CommitManager(tableDir, RetryConfig(), catalog = catalog)
+      .setTableProperties(
+        set = Map(
+          NdvProp -> mapper.writeValueAsString(ndv),
+          FilesHashProp -> scannedHash),
+        unset = Set.empty,
+        expectedSchemaId = snap.schemaId,
+        // a file committed between the scan and this commit would make
+        // the hash lie about what was analyzed — abort, never publish
+        validate = cur => if (fileSetHash(cur) != scannedHash)
+          throw CompactionError.StaleRewrite(
+            "table files changed while analyzing; re-run analyze_table"))
+    ndv
+  }
+
+  /** The committed NDVs, ONLY while still exact for `snap`'s file set. */
+  def currentNdv(snap: TableSnapshot): Map[String, Long] =
+    (snap.properties.get(NdvProp), snap.properties.get(FilesHashProp)) match {
+      case (Some(json), Some(hash)) if hash == fileSetHash(snap) =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val n = mapper.readTree(json)
+          n.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+        } catch { case _: Exception => Map.empty }
+      case _ => Map.empty
+    }
+}

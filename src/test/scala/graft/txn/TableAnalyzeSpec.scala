@@ -1,0 +1,84 @@
+package graft.txn
+
+import graft.SparkTestSession
+import graft.sql.GraftCatalog
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** analyze_table distinct counts: committed with an exact file-set
+  * hash, served to the CBO only while that file set is unchanged, and
+  * suppressed for pruned scans. */
+class TableAnalyzeSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    val wh = Files.createTempDirectory("graft-an-wh").toString
+    s.conf.set("spark.sql.catalog.gan", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gan.warehouse", wh)
+    s
+  }
+  private def sql(q: String) = spark.sql(q)
+  private def wh = spark.conf.get("spark.sql.catalog.gan.warehouse")
+
+  private def statsOf(dir: String, filter: Option[String] = None) = {
+    var df = spark.read.format("graft").load(dir)
+    filter.foreach(f => df = df.filter(f))
+    df.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }.get
+      .scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+  }
+
+  private def ndvOf(dir: String, col: String,
+      filter: Option[String] = None): java.util.OptionalLong = {
+    val cs = statsOf(dir, filter).columnStats()
+      .get(org.apache.spark.sql.connector.expressions.Expressions.column(col))
+    if (cs == null) java.util.OptionalLong.empty() else cs.distinctCount()
+  }
+
+  test("analyze publishes NDVs; any commit invalidates them exactly") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gan.db")
+    sql("CREATE TABLE gan.db.t (id BIGINT, grp STRING)")
+    sql("""INSERT INTO gan.db.t
+          |SELECT id, concat('g', CAST(id % 37 AS STRING)) FROM range(0, 5000)""".stripMargin)
+    val dir = s"$wh/db/t"
+    // un-analyzed: no distinct counts
+    assert(!ndvOf(dir, "grp").isPresent)
+    val res = sql("CALL gan.system.analyze_table(`table` => 'db.t')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // HLL++ at 1% rsd on 37/5000 distincts is exact or near-exact
+    assert(math.abs(res("grp") - 37L) <= 1)
+    assert(math.abs(res("id") - 5000L) <= 100)
+    val served = ndvOf(dir, "grp")
+    assert(served.isPresent && math.abs(served.getAsLong - 37L) <= 1)
+    // string column entry exists even without integral bounds
+    // an append makes the stats stale -> suppressed, not served wrong
+    sql("INSERT INTO gan.db.t VALUES (5000, 'brand-new-group')")
+    assert(!ndvOf(dir, "grp").isPresent,
+      "stale NDVs must not reach the planner")
+    // re-analyze restores, with the new group counted
+    sql("CALL gan.system.analyze_table(`table` => 'db.t', columns => 'grp')")
+    val again = ndvOf(dir, "grp")
+    assert(again.isPresent && math.abs(again.getAsLong - 38L) <= 1)
+  }
+
+  test("pruned scans suppress table-level NDVs") {
+    val dir = s"$wh/db/t"
+    sql("CALL gan.system.analyze_table(`table` => 'db.t')")
+    assert(ndvOf(dir, "grp").isPresent)
+    // a bounds-pruning filter narrows the file set -> table-level NDV
+    // would overstate -> suppressed
+    val pruned = ndvOf(dir, "grp", Some("id < 10"))
+    val all = statsOf(dir).numRows().getAsLong
+    val prunedRows = statsOf(dir, Some("id < 10")).numRows().getAsLong
+    if (prunedRows < all) // files actually pruned
+      assert(!pruned.isPresent)
+  }
+
+  test("unknown analyze column is refused") {
+    intercept[graft.core.CompactionError.Config] {
+      sql("CALL gan.system.analyze_table(`table` => 'db.t', columns => 'nope')")
+    }
+  }
+}
