@@ -108,6 +108,16 @@ object IcebergTableCatalog extends TableCatalog {
     def idToNameFor(path: String): Map[Int, String] =
       schemaIdByPath.get(path).flatMap(idToNameBySchema.get)
         .getOrElse(currentIdToName)
+    // field types drive the bound-value decode: string bounds are raw
+    // bytes, integral bounds the 4/8-byte single-value encoding
+    val idToTypeBySchema: Map[Long, Map[Int, String]] =
+      schemas.map(s => s.schemaId ->
+        s.fields.map(f => f.id -> f.dataType.toLowerCase).toMap).toMap
+    val currentIdToType = currentSchemaFields(doc)
+      .map(f => f.id -> f.typ.toLowerCase).toMap
+    def idToTypeFor(path: String): Map[Int, String] =
+      schemaIdByPath.get(path).flatMap(idToTypeBySchema.get)
+        .getOrElse(currentIdToType)
 
     val files =
       if (snapId < 0) Nil
@@ -116,7 +126,8 @@ object IcebergTableCatalog extends TableCatalog {
           .find(_.get("snapshot-id").asLong == snapId)
           .getOrElse(throw CompactionError.Config(
             s"current-snapshot-id $snapId not in snapshots list of $p"))
-        readManifestList(snap.get("manifest-list").asText, idToNameFor)
+        readManifestList(snap.get("manifest-list").asText, idToNameFor,
+            idToTypeFor)
           .map(f => f.copy(schemaId = schemaIdByPath.getOrElse(f.path,
             if (schemas.nonEmpty) schemaId else -1L)))
       }
@@ -144,7 +155,8 @@ object IcebergTableCatalog extends TableCatalog {
   }
 
   private def readManifestList(path: String,
-      idToNameFor: String => Map[Int, String]): Seq[FileEntry] = {
+      idToNameFor: String => Map[Int, String],
+      idToTypeFor: String => Map[Int, String] = _ => Map.empty): Seq[FileEntry] = {
     val (_, manifests) = readAvro(path)
     manifests.flatMap { m =>
       val (_, entries) = readAvro(m.get("manifest_path").toString)
@@ -153,12 +165,13 @@ object IcebergTableCatalog extends TableCatalog {
         case e if e.get("status").asInstanceOf[Int] != 2 =>
           val fp = e.get("data_file").asInstanceOf[GenericRecord]
             .get("file_path").toString
-          toFileEntry(e, idToNameFor(fp))
+          toFileEntry(e, idToNameFor(fp), idToTypeFor(fp))
       }
     }
   }
 
-  private def toFileEntry(e: GenericRecord, idToName: Map[Int, String]): FileEntry = {
+  private def toFileEntry(e: GenericRecord, idToName: Map[Int, String],
+      idToType: Map[Int, String] = Map.empty): FileEntry = {
     val df = e.get("data_file").asInstanceOf[GenericRecord]
     // a POSITION_DELETES entry is a deletion vector (v3) only when BOTH
     // markers agree: PUFFIN file format AND a referenced data file. The
@@ -180,23 +193,49 @@ object IcebergTableCatalog extends TableCatalog {
       }).getOrElse(Seq.empty[String])
     // restore the manifest's column bound maps into the entry so a
     // RELOADED table keeps metadata-only pruning (ScanPruning reads
-    // FileEntry.bounds before any footer IO). Values are the spec's
-    // little-endian single-value encoding; the byte width distinguishes
-    // int from long. Only ids the schema still names are kept.
-    def boundMapOf(field: String): Map[Int, Long] =
+    // FileEntry.bounds before any footer IO). Decode is TYPE-aware:
+    // string fields carry raw UTF-8 bytes (the spec's single-value form
+    // for strings), everything else the 4/8-byte little-endian integral
+    // encoding. Only ids the schema still names are kept; an id with no
+    // known type decodes as integral (the pre-string legacy behavior —
+    // strings were never written without type info).
+    def rawBoundMapOf(field: String): Map[Int, Array[Byte]] =
       Option(df.get(field)).map { raw =>
         raw.asInstanceOf[java.util.List[GenericRecord]].asScala.map { kv =>
-          val buf = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
-            .duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val v = if (buf.remaining() == 4) buf.getInt.toLong else buf.getLong
-          kv.get("key").asInstanceOf[Int] -> v
+          val buf = kv.get("value").asInstanceOf[java.nio.ByteBuffer].duplicate()
+          val arr = new Array[Byte](buf.remaining()); buf.get(arr)
+          kv.get("key").asInstanceOf[Int] -> arr
         }.toMap
       }.getOrElse(Map.empty)
-    val los = boundMapOf("lower_bounds"); val his = boundMapOf("upper_bounds")
+    // widths other than 4/8 cannot be the integral encoding — a foreign
+    // manifest's string/binary bounds reaching this path (no type info)
+    // must be SKIPPED, never misparsed into garbage integral bounds
+    def longOf(a: Array[Byte]): Option[Long] = {
+      val buf = java.nio.ByteBuffer.wrap(a)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (buf.remaining() == 4) Some(buf.getInt.toLong)
+      else if (buf.remaining() == 8) Some(buf.getLong)
+      else None
+    }
+    val losRaw = rawBoundMapOf("lower_bounds")
+    val hisRaw = rawBoundMapOf("upper_bounds")
+    val commonIds = losRaw.keySet.intersect(hisRaw.keySet).toSeq
+    def isString(id: Int) = idToType.get(id).contains("string")
     val bounds: Map[String, Seq[Long]] =
-      los.keySet.intersect(his.keySet).toSeq.flatMap { id =>
-        idToName.get(id).map(n => n -> Seq(los(id), his(id)))
+      commonIds.filterNot(isString).flatMap { id =>
+        for {
+          n <- idToName.get(id)
+          lo <- longOf(losRaw(id))
+          hi <- longOf(hisRaw(id))
+        } yield n -> Seq(lo, hi)
       }.toMap
+    val strBounds: Map[String, Seq[String]] = {
+      val b64 = java.util.Base64.getEncoder
+      commonIds.filter(isString).flatMap { id =>
+        idToName.get(id).map(n => n -> Seq(
+          b64.encodeToString(losRaw(id)), b64.encodeToString(hisRaw(id))))
+      }.toMap
+    }
     // null_value_counts (field-id 110) restore — plain longs, no
     // single-value decoding needed
     val nullCounts: Map[String, Long] =
@@ -214,6 +253,7 @@ object IcebergTableCatalog extends TableCatalog {
       sequenceNumber = e.get("sequence_number").asInstanceOf[Long],
       equalityIds = eqIds,
       bounds = bounds,
+      stringBounds = strBounds,
       nullCounts = nullCounts,
       referencedDataFile = refDataFile,
       contentOffset = Option(df.get("content_offset"))
@@ -296,7 +336,9 @@ object IcebergTableCatalog extends TableCatalog {
       else d.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong == sid)
         .map(s => readManifestList(s.get("manifest-list").asText,
-          _ => prevFields.map(f => f.id -> f.name).toMap).map(_.path).toSet)
+          _ => prevFields.map(f => f.id -> f.name).toMap,
+          _ => prevFields.map(f => f.id -> f.typ.toLowerCase).toMap)
+          .map(_.path).toSet)
     }.getOrElse(Set.empty)
 
     val now =
@@ -328,20 +370,33 @@ object IcebergTableCatalog extends TableCatalog {
           }.asJava
         val dfSchema = ManifestEntrySchema.getField("data_file").schema()
         // column bound maps (Iceberg avro map = array of key/value
-        // records): exact integral min/max from the file's own footer
-        def boundMap(fieldName: String, pick: ((Long, Long)) => Long): AnyRef =
-          boundsByPath.get(f.path).map { m =>
-            val itemSchema = dfSchema.getField(fieldName).schema()
-              .getTypes.get(1).getElementType
-            // drop columns absent from the CURRENT schema (an old file's
-            // physical names after a rename) — bounds are optional
-            m.toSeq.filter(kv => nameToId.contains(kv._1))
-              .sortBy(kv => nameToId(kv._1)).map { case (n, mm) =>
-                record(itemSchema)(
-                  "key" -> Int.box(nameToId(n)),
-                  "value" -> boundBytes(fieldType(n), pick(mm)))
-              }.asJava
-          }.orNull
+        // records): exact integral min/max from the file's own footer,
+        // plus the write-time STRING byte bounds (spec single-value
+        // form for strings IS the raw bytes) — so string pruning
+        // survives the manifest round-trip
+        def boundMap(fieldName: String, pick: ((Long, Long)) => Long,
+            side: Int): AnyRef = {
+          val itemSchema = dfSchema.getField(fieldName).schema()
+            .getTypes.get(1).getElementType
+          // drop columns absent from the CURRENT schema (an old file's
+          // physical names after a rename) — bounds are optional
+          val ints = boundsByPath.get(f.path).map(
+            _.toSeq.filter(kv => nameToId.contains(kv._1))
+              .map { case (n, mm) =>
+                nameToId(n) -> (boundBytes(fieldType(n), pick(mm)): AnyRef)
+              }).getOrElse(Nil)
+          val strs = f.stringBounds.toSeq.filter { case (n, _) =>
+              nameToId.contains(n) && fieldType.get(n).contains("string")
+            }.map { case (n, v) =>
+              nameToId(n) -> (java.nio.ByteBuffer.wrap(
+                java.util.Base64.getDecoder.decode(v.toSeq(side))): AnyRef)
+            }
+          val all = (ints ++ strs).sortBy(_._1)
+          if (all.isEmpty) null
+          else all.map { case (id, bb) =>
+            record(itemSchema)("key" -> Int.box(id), "value" -> bb)
+          }.asJava
+        }
         // null-count map (field-id 110): write-time stamps ∩ current
         // schema, same rename rule as the bound maps
         val nullCountMap: AnyRef =
@@ -373,8 +428,8 @@ object IcebergTableCatalog extends TableCatalog {
           "record_count" -> Long.box(f.recordCount),
           "file_size_in_bytes" -> Long.box(f.sizeBytes),
           "null_value_counts" -> nullCountMap,
-          "lower_bounds" -> boundMap("lower_bounds", _._1),
-          "upper_bounds" -> boundMap("upper_bounds", _._2),
+          "lower_bounds" -> boundMap("lower_bounds", _._1, side = 0),
+          "upper_bounds" -> boundMap("upper_bounds", _._2, side = 1),
           "equality_ids" -> eqIds,
           "sort_order_id" -> null,
           "referenced_data_file" ->

@@ -90,6 +90,33 @@ class StringBoundsSpec extends AnyFunSuite {
     assert(scan.toBatch.planInputPartitions().length == 1)
   }
 
+  test("string bounds survive the Iceberg-format manifest round-trip") {
+    import graft.sql.GraftCatalog
+    val iwh = Files.createTempDirectory("graft-strb-ice").toString
+    spark.conf.set("spark.sql.catalog.gsbi", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsbi.warehouse", iwh)
+    spark.conf.set("spark.sql.catalog.gsbi.format", "iceberg")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsbi.db")
+    spark.sql("CREATE TABLE gsbi.db.s (id BIGINT, k STRING)")
+    spark.sql(
+      "INSERT INTO gsbi.db.s SELECT id, format_string('k%04d', id) FROM range(0, 100)")
+    val dir = s"$iwh/db/s"
+    // reload through the Avro manifests: byte bounds must come back
+    val reloaded = graft.txn.IcebergTableCatalog.loadOrThrow(dir)
+    val data = reloaded.files.filter(_.content == "data")
+    assert(data.nonEmpty && data.forall(_.stringBounds.contains("k")),
+      "string bounds lost in the manifest round-trip")
+    // and the integral bounds still decode as longs beside them
+    assert(data.forall(f => graft.txn.FileEntry
+      .loHi(f.bounds.getOrElse("id", Nil)).isDefined))
+    val dec = java.util.Base64.getDecoder
+    val lo = new String(dec.decode(data.head.stringBounds("k").toSeq.head),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(lo.startsWith("k0"))
+    assert(spark.sql("SELECT count(*) FROM gsbi.db.s WHERE k = 'k0042'")
+      .head.getLong(0) == 1L)
+  }
+
   test("unstamped files survive every string predicate") {
     val dir = freshTable((0L until 100L).map(i => i -> f"s$i%03d"), 1)
     val snap = FileTableCatalog.loadOrThrow(dir)
