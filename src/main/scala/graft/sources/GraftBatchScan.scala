@@ -75,6 +75,14 @@ object GraftBatchScan {
     * default, realized here for the DSv2 path). */
   val DefaultSplitTargetBytes: Long = 128L * 1024 * 1024
 
+  /** String columns eligible for byte-bound pruning — THE definition,
+    * shared by the builder's pushdown acceptance and the scan's
+    * plan-time/runtime pruning so they can never diverge. */
+  private[sources] def stringColsOf(schema: StructType): Set[String] =
+    schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toSet
+
   /** Spark-type-driven extraction of one field from a parquet example
     * [[Group]], tolerant of INT32-backed long columns. Shared by the
     * batch reader and the streaming tail reader. */
@@ -551,9 +559,7 @@ final class GraftScanBuilder(
   }
 
   private lazy val stringCols: Set[String] =
-    tableSchema.fields.collect {
-      case f if f.dataType == StringType => f.name
-    }.toSet
+    GraftBatchScan.stringColsOf(tableSchema)
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   /** column → exact literal values allowed by `filters` (EqualTo / In,
@@ -760,13 +766,16 @@ final class GraftScan(
     graft.core.PartitionSpecCodec.of(Some(snap))
   private lazy val colTypes: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
-  /** String columns eligible for byte-bound pruning — one definition
-    * shared by the plan-time and runtime pruning paths, so what counts
-    * as a prunable string column can never diverge between them. */
+  /** String columns eligible for byte-bound pruning — the ONE shared
+    * definition ([[GraftBatchScan.stringColsOf]]), so the pushdown,
+    * plan-time, and runtime paths can never diverge. */
   private lazy val scanStringCols: Set[String] =
-    tableSchema.fields.collect {
-      case f if f.dataType == StringType => f.name
-    }.toSet
+    GraftBatchScan.stringColsOf(tableSchema)
+  /** analyze_table NDVs, hash-validated ONCE per scan — the file-set
+    * digest is O(files) and estimateStatistics can run several times
+    * per planning pass. */
+  private lazy val cachedNdv: Map[String, Long] =
+    graft.txn.TableAnalyze.currentNdv(snap)
 
   private lazy val prunedDataFiles: Seq[FileEntry] = {
     val data = snap.files.filter(_.content == "data")
@@ -994,7 +1003,7 @@ final class GraftScan(
     // pruned subset overstate, which undersizes join outputs
     val ndv: Map[String, Long] =
       if (files.size != snap.files.count(_.content == "data")) Map.empty
-      else graft.txn.TableAnalyze.currentNdv(snap)
+      else cachedNdv
     tableSchema.fields.foreach { fld =>
       val c = fld.name
       // internal-typed min/max objects per Catalyst convention

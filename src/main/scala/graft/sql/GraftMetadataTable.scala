@@ -114,13 +114,17 @@ final class GraftMetadataTable(
         side(f.bounds, lo) ++ side(f.decimalBounds, lo)
       catalog.loadOrThrow(tableDir).files.sortBy(_.path).map { f =>
         def strSide(lo: Boolean): org.apache.spark.sql.catalyst.util.MapData = {
-          val ks = f.stringBounds.keys.toSeq.sorted
+          // malformed entries (hand-edited metadata) are skipped, not a
+          // crash — same defensive shape the pruning consumer uses
+          val pairs = f.stringBounds.toSeq.collect {
+            case (k, v) if v.toSeq.length == 2 =>
+              k -> v.toSeq(if (lo) 0 else 1)
+          }.sortBy(_._1)
           new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
             new org.apache.spark.sql.catalyst.util.GenericArrayData(
-              ks.map(UTF8String.fromString)),
+              pairs.map(p => UTF8String.fromString(p._1))),
             new org.apache.spark.sql.catalyst.util.GenericArrayData(
-              ks.map(k => UTF8String.fromString(
-                f.stringBounds(k).toSeq(if (lo) 0 else 1)))))
+              pairs.map(p => UTF8String.fromString(p._2))))
         }
         InternalRow.fromSeq(Seq(
           UTF8String.fromString(f.path), UTF8String.fromString(f.content),

@@ -221,8 +221,18 @@ object IcebergTableCatalog extends TableCatalog {
     val hisRaw = rawBoundMapOf("upper_bounds")
     val commonIds = losRaw.keySet.intersect(hisRaw.keySet).toSeq
     def isString(id: Int) = idToType.get(id).contains("string")
+    // integral decode is WHITELISTED by type: a foreign manifest's
+    // decimal/float bounds are also 4/8 bytes wide but in a different
+    // encoding — misdecoding them into pruning ranges would silently
+    // drop matching files. Unknown-type ids are skipped for the same
+    // reason (named fields always resolve a type through the schema
+    // doc, so nothing legitimate is lost).
+    def isIntegral(id: Int) = idToType.get(id).exists(t =>
+      t == "int" || t == "integer" || t == "long" || t == "bigint" ||
+        t == "date" || t == "timestamp" || t == "timestamptz" ||
+        t == "timestamp_ntz")
     val bounds: Map[String, Seq[Long]] =
-      commonIds.filterNot(isString).flatMap { id =>
+      commonIds.filter(isIntegral).flatMap { id =>
         for {
           n <- idToName.get(id)
           lo <- longOf(losRaw(id))
@@ -385,12 +395,14 @@ object IcebergTableCatalog extends TableCatalog {
               .map { case (n, mm) =>
                 nameToId(n) -> (boundBytes(fieldType(n), pick(mm)): AnyRef)
               }).getOrElse(Nil)
-          val strs = f.stringBounds.toSeq.filter { case (n, _) =>
-              nameToId.contains(n) && fieldType.get(n).contains("string")
-            }.map { case (n, v) =>
-              nameToId(n) -> (java.nio.ByteBuffer.wrap(
-                java.util.Base64.getDecoder.decode(v.toSeq(side))): AnyRef)
-            }
+          val strs = f.stringBounds.toSeq.collect {
+            // malformed entries skipped, never a crashed commit
+            case (n, v) if nameToId.contains(n) &&
+                fieldType.get(n).contains("string") && v.toSeq.length == 2 =>
+              try Some(nameToId(n) -> (java.nio.ByteBuffer.wrap(
+                java.util.Base64.getDecoder.decode(v.toSeq(side))): AnyRef))
+              catch { case _: IllegalArgumentException => None }
+          }.flatten
           val all = (ints ++ strs).sortBy(_._1)
           if (all.isEmpty) null
           else all.map { case (id, bb) =>

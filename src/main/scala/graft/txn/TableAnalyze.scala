@@ -35,38 +35,57 @@ object TableAnalyze {
 
   /** Order-independent digest of the snapshot's whole file set —
     * data AND delete files (a new deletion vector changes live NDV as
-    * surely as an append does). */
+    * surely as an append does). One record per line: paths cannot
+    * contain '\n', so distinct sets can never collide by record
+    * concatenation. */
   def fileSetHash(snap: TableSnapshot): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    snap.files.map(f => s"${f.path}:${f.sizeBytes}:${f.sequenceNumber}")
+    snap.files.map(f => s"${f.path}:${f.sizeBytes}:${f.sequenceNumber}\n")
       .sorted
       .foreach(l => md.update(l.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     md.digest().map("%02x".format(_)).mkString.take(32)
   }
 
-  /** Compute and commit NDVs for `columns` (all top-level columns when
-    * empty). Returns the committed counts. Aborts instead of committing
+  /** Compute and commit NDVs for `columns` (every HASHABLE top-level
+    * column when empty — map/array/struct columns have no distinct-count
+    * semantics HLL accepts and are skipped, not fatal). A partial
+    * analyze MERGES into still-valid earlier counts for the same file
+    * set rather than discarding them. Aborts instead of committing
     * stats for a file set that changed mid-analyze. */
   def analyze(spark: SparkSession, tableDir: String,
       columns: Seq[String] = Nil,
       catalog: TableCatalog = FileTableCatalog): Map[String, Long] = {
     val snap = catalog.loadOrThrow(tableDir)
-    val df = graft.sources.TableReader.read(spark, tableDir, catalog = catalog)
-    val schemaCols = df.schema.fieldNames.toSeq
-    val cols = if (columns.isEmpty) schemaCols else columns
-    cols.filterNot(schemaCols.contains).headOption.foreach { c =>
-      throw CompactionError.Config(
-        s"analyze column '$c' is not in the table schema " +
-          s"(${schemaCols.mkString(", ")})")
-    }
+    // pin the scan to the hashed snapshot: the hash and the rows must
+    // describe the SAME version by construction, not by a lucky race
+    val df = graft.sources.TableReader.read(spark, tableDir,
+      asOfVersion = Some(snap.version), catalog = catalog)
+    val hashable = df.schema.fields.filterNot(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+      .map(_.name).toSeq
+    // explicit columns resolve case-insensitively, like Spark itself
+    val byLower = df.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    val cols =
+      if (columns.isEmpty) hashable
+      else columns.map { c =>
+        byLower.getOrElse(c.toLowerCase, throw CompactionError.Config(
+          s"analyze column '$c' is not in the table schema " +
+            s"(${df.schema.fieldNames.mkString(", ")})"))
+      }
+    if (cols.isEmpty) throw CompactionError.Config(
+      "no analyzable (atomic-typed) columns in the table")
     val scannedHash = fileSetHash(snap)
-    val aggs = cols.map(c => approx_count_distinct(col(c), 0.01).as(c))
+    val aggs = cols.map(c => approx_count_distinct(col(s"`$c`"), 0.01).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val ndv = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+    val fresh = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+    // merge with counts already exact for this same file set
+    val merged = currentNdv(snap) ++ fresh
     new CommitManager(tableDir, RetryConfig(), catalog = catalog)
       .setTableProperties(
         set = Map(
-          NdvProp -> mapper.writeValueAsString(ndv),
+          NdvProp -> mapper.writeValueAsString(merged),
           FilesHashProp -> scannedHash),
         unset = Set.empty,
         expectedSchemaId = snap.schemaId,
@@ -75,7 +94,7 @@ object TableAnalyze {
         validate = cur => if (fileSetHash(cur) != scannedHash)
           throw CompactionError.StaleRewrite(
             "table files changed while analyzing; re-run analyze_table"))
-    ndv
+    merged
   }
 
   /** The committed NDVs, ONLY while still exact for `snap`'s file set. */

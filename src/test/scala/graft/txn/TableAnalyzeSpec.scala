@@ -72,8 +72,10 @@ class TableAnalyzeSpec extends AnyFunSuite {
     val pruned = ndvOf(dir, "grp", Some("id < 10"))
     val all = statsOf(dir).numRows().getAsLong
     val prunedRows = statsOf(dir, Some("id < 10")).numRows().getAsLong
-    if (prunedRows < all) // files actually pruned
-      assert(!pruned.isPresent)
+    // precondition, not a guard: if pruning itself regressed this test
+    // must fail rather than pass vacuously
+    assert(prunedRows < all, "fixture must actually prune files")
+    assert(!pruned.isPresent)
   }
 
   test("unknown analyze column is refused") {
