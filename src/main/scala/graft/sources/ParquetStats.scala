@@ -172,12 +172,19 @@ object ParquetStats {
             ann.isInstanceOf[IntLogicalTypeAnnotation] ||
             ann.isInstanceOf[
               org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation] ||
-            // timestamps: INT64 stats are epoch values in the file's own
-            // unit — every consumer (bound pruning with long literals,
-            // columnStats boxing the internal micros long) compares in
-            // that same physical domain
-            ann.isInstanceOf[
-              org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+            // timestamps: stamps carry no unit, and the consumers
+            // (columnStats boxes TimestampType bounds as Catalyst
+            // micros; nanosAsLong reads NANOS columns as LongType and
+            // prunes with raw long literals) assume MICROS — so ONLY
+            // MICROS-annotated stats are stamped; a MILLIS/NANOS file
+            // (foreign/adopted) contributes no bounds rather than
+            // bounds off by up to 10^6x
+            (ann match {
+              case ts: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                ts.getUnit ==
+                  org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+              case _ => false
+            })
           // strings: BINARY physical + String annotation; parquet's
           // binary stats order is unsigned lexicographic — the same
           // order the pruning side compares candidates in

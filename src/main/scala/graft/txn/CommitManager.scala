@@ -228,6 +228,24 @@ final class CommitManager(
         properties = cur.properties ++ set -- unset)
     }
 
+  /** Property commit whose NEW values are computed from each attempt's
+    * reloaded snapshot INSIDE the CAS loop — for read-merge-write
+    * properties (e.g. analyze_table's NDV map) where a fixed `set`
+    * computed before the loop would overwrite a concurrent committer's
+    * merge (lost update). `compute` returns (set, unset). */
+  def updateTableProperties(
+      expectedSchemaId: Long,
+      validate: TableSnapshot => Unit = _ => ())(
+      compute: TableSnapshot => (Map[String, String], Set[String])
+  ): TableSnapshot =
+    commitLoop(expectedSchemaId) { cur =>
+      validate(cur)
+      val (set, unset) = compute(cur)
+      cur.copy(
+        version = cur.version + 1,
+        properties = cur.properties ++ set -- unset)
+    }
+
   /** Commit a schema change: bump `schemaId` to `newSchemaId` and replace
     * the schema history, touching no files. Legacy files (schemaId -1,
     * committed before the table had a history) are stamped with the

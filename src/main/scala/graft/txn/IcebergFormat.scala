@@ -191,6 +191,7 @@ object IcebergFormat {
       case org.apache.spark.sql.types.LongType         => "long"
       case org.apache.spark.sql.types.IntegerType      => "int"
       case org.apache.spark.sql.types.ShortType        => "int"
+      case org.apache.spark.sql.types.ByteType         => "int"
       case org.apache.spark.sql.types.StringType       => "string"
       case org.apache.spark.sql.types.DoubleType       => "double"
       case org.apache.spark.sql.types.FloatType        => "float"

@@ -229,6 +229,10 @@ object IcebergTableCatalog extends TableCatalog {
     // doc, so nothing legitimate is lost).
     def isIntegral(id: Int) = idToType.get(id).exists(t =>
       t == "int" || t == "integer" || t == "long" || t == "bigint" ||
+        // smallint/tinyint (graft DDL spellings) write the same 4-byte
+        // int single-value form — dropping them here would silently
+        // lose their pruning bounds on the manifest round-trip
+        t == "smallint" || t == "tinyint" || t == "short" || t == "byte" ||
         t == "date" || t == "timestamp" || t == "timestamptz" ||
         t == "timestamp_ntz")
     val bounds: Map[String, Seq[Long]] =
@@ -358,8 +362,13 @@ object IcebergTableCatalog extends TableCatalog {
     // deletion vectors are an Iceberg V3 construct (PUFFIN delete
     // format, manifest fields 143-145) — a snapshot carrying one must
     // declare format-version 3 or a spec-compliant reader would reject
-    // or misread the delete manifest
-    val formatVersion = if (snapshot.files.exists(_.content == "deletion-vectors")) 3 else 2
+    // or misread the delete manifest. STICKY upward: the spec forbids
+    // downgrading, and retained older snapshots may still reference DV
+    // manifests that v2 replay rules would misread as parquet deletes
+    val formatVersion = math.max(
+      if (snapshot.files.exists(_.content == "deletion-vectors")) 3 else 2,
+      prevDoc.flatMap(d => Option(d.get("format-version")).map(_.asInt))
+        .getOrElse(2))
     val commitUuid = UUID.randomUUID().toString
     val schemaDoc = schemaJson(snapshot.schemaId, fields)
     val mdir = metadataDir(table)

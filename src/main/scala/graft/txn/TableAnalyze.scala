@@ -80,20 +80,26 @@ object TableAnalyze {
     val aggs = cols.map(c => approx_count_distinct(col(s"`$c`"), 0.01).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val fresh = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
-    // merge with counts already exact for this same file set
-    val merged = currentNdv(snap) ++ fresh
+    // the merge base is read from EACH ATTEMPT's reloaded snapshot
+    // inside the CAS loop: two concurrent analyzes of disjoint column
+    // sets both land (the later one re-merges over the earlier commit)
+    // instead of the later silently dropping the earlier's columns
+    var merged = fresh
     new CommitManager(tableDir, RetryConfig(), catalog = catalog)
-      .setTableProperties(
-        set = Map(
-          NdvProp -> mapper.writeValueAsString(merged),
-          FilesHashProp -> scannedHash),
-        unset = Set.empty,
+      .updateTableProperties(
         expectedSchemaId = snap.schemaId,
         // a file committed between the scan and this commit would make
         // the hash lie about what was analyzed — abort, never publish
         validate = cur => if (fileSetHash(cur) != scannedHash)
           throw CompactionError.StaleRewrite(
-            "table files changed while analyzing; re-run analyze_table"))
+            "table files changed while analyzing; re-run analyze_table")) { cur =>
+        // validate ran first, so cur's file set IS the scanned one —
+        // any NDVs cur carries for it are exact and safe to merge under
+        merged = currentNdv(cur) ++ fresh
+        (Map(
+          NdvProp -> mapper.writeValueAsString(merged),
+          FilesHashProp -> scannedHash), Set.empty)
+      }
     merged
   }
 

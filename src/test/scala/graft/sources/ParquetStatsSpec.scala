@@ -25,6 +25,33 @@ class ParquetStatsSpec extends AnyFunSuite {
     assert(mm.contains(Map("a" -> (1L, 1000L), "b" -> (4000L, 4999L))))
   }
 
+  test("timestamp bounds stamp only for MICROS-annotated files") {
+    // the stamp carries no unit and every consumer assumes micros
+    // (columnStats boxes TimestampType as Catalyst micros; nanosAsLong
+    // prunes LongType with raw literals) — a MILLIS-annotated file must
+    // contribute NO timestamp bounds rather than bounds off by 1000x
+    val df = Seq(java.sql.Timestamp.valueOf("2024-03-01 10:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-02 10:00:00")).toDF("ts")
+    def factsAt(outType: String): ParquetStats.FileFacts = {
+      val dir = tmp(s"pstats-ts-$outType")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", outType)
+      try df.coalesce(1).write.mode("overwrite").parquet(dir)
+      finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      val p = graft.io.FileIO.listFilesRecursive(dir)
+        .map(_._1).filter(_.endsWith(".parquet")).head
+      ParquetStats.fileFacts(p)
+    }
+    val micros = factsAt("TIMESTAMP_MICROS")
+    assert(micros.bounds.contains("ts"),
+      s"MICROS files must stamp ts bounds, got ${micros.bounds}")
+    val expectedLo = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .fromJavaTimestamp(java.sql.Timestamp.valueOf("2024-03-01 10:00:00"))
+    assert(micros.bounds("ts").head == expectedLo)
+    val millis = factsAt("TIMESTAMP_MILLIS")
+    assert(!millis.bounds.contains("ts"),
+      s"MILLIS files must NOT stamp unit-less ts bounds, got ${millis.bounds}")
+  }
+
   test("non-integral column falls back to None") {
     val dir = tmp("pstats-str")
     Seq((1L, "x"), (2L, "y")).toDF("a", "s").write.mode("overwrite").parquet(dir)

@@ -255,6 +255,47 @@ class IcebergCatalogSpec extends AnyFunSuite {
     assert(TableReader.read(spark, tableDir, catalog = cat).count() == 3)
   }
 
+  test("format-version is sticky: never downgrades after DVs compact away") {
+    val dir = Files.createTempDirectory("graft-iceberg-fv").toString
+    val f1 = s"$dir/data/f1.parquet"
+    val (s1, r1) = writeFile(Seq((1, "a"), (2, "b")).toDF("id", "name"), f1)
+    // v1 carries a deletion vector -> format-version 3
+    cat.commitCas(dir, TableSnapshot(1, 1, 1, Seq(
+      FileEntry(f1, "data", s1, r1, sequenceNumber = 1),
+      FileEntry(s"$dir/data/dv.puffin", "deletion-vectors", 64, 1,
+        sequenceNumber = 1, referencedDataFile = Some(f1),
+        contentOffset = 4, contentSizeBytes = 20))))
+    def fv(v: Long) = IcebergFormat.parse(
+      FileIO.readString(IcebergTableCatalog.metadataPath(dir, v)))
+      .get("format-version").asInt
+    assert(fv(1) == 3)
+    // v2 compacts the DV away — the spec forbids downgrading, and v1's
+    // retained manifests still hold PUFFIN entries v2 rules would
+    // misread, so the version must STAY 3
+    cat.commitCas(dir, TableSnapshot(2, 1, 2, Seq(
+      FileEntry(f1, "data", s1, r1, sequenceNumber = 1))))
+    assert(fv(2) == 3, "format-version must never downgrade")
+  }
+
+  test("smallint bounds survive the manifest round-trip under a schema history") {
+    val dir = Files.createTempDirectory("graft-iceberg-si").toString
+    val f1 = s"$dir/data/f1.parquet"
+    val (s1, r1) = writeFile(
+      Seq((3.toShort, "a"), (9.toShort, "b")).toDF("sid", "name"), f1)
+    // a graft schema HISTORY types the column by its Spark DDL spelling
+    // ("smallint"), which the round-trip decode must whitelist as the
+    // 4-byte integral bound form
+    cat.commitCas(dir, TableSnapshot(1, 1, 1,
+      files = Seq(FileEntry(f1, "data", s1, r1, sequenceNumber = 1)),
+      schemas = Seq(graft.core.TableSchema(1, Seq(
+        graft.core.SchemaField(1, "sid", "SMALLINT"),
+        graft.core.SchemaField(2, "name", "STRING"))))))
+    val loaded = cat.loadOrThrow(dir)
+    val f = loaded.files.head
+    assert(f.bounds.get("sid").contains(Seq(3L, 9L)),
+      s"smallint bounds must round-trip, got ${f.bounds}")
+  }
+
   test("deleteVersion drops the version's metadata, list, and manifests") {
     val dir = mkTable()
     Compaction.builder().withSpark(spark).withTableDir(dir)

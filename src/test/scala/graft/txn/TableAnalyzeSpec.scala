@@ -83,4 +83,37 @@ class TableAnalyzeSpec extends AnyFunSuite {
       sql("CALL gan.system.analyze_table(`table` => 'db.t', columns => 'nope')")
     }
   }
+
+  test("racing analyzes of disjoint columns merge, not lost-update") {
+    sql("CREATE TABLE gan.db.race (id BIGINT, grp STRING)")
+    sql("""INSERT INTO gan.db.race
+          |SELECT id, concat('g', CAST(id % 7 AS STRING)) FROM range(0, 200)""".stripMargin)
+    val dir = s"$wh/db/race"
+    // interleave the classic read-merge-write race: while analyze(id)
+    // is between its scan and its commit, a CONCURRENT analyze(grp)
+    // commits first. The outer commit must RE-MERGE against the
+    // reloaded snapshot inside its retry, not overwrite grp's NDV with
+    // its pre-race view.
+    object racing extends TableCatalog {
+      var fired = false
+      override def load(t: String) = FileTableCatalog.load(t)
+      override def commitCas(t: String, s: TableSnapshot): Unit = {
+        if (!fired) {
+          fired = true
+          TableAnalyze.analyze(spark, t, Seq("grp"), FileTableCatalog)
+        }
+        FileTableCatalog.commitCas(t, s)
+      }
+      override def versions(t: String) = FileTableCatalog.versions(t)
+      override def loadVersion(t: String, v: Long) = FileTableCatalog.loadVersion(t, v)
+      override def deleteVersion(t: String, v: Long) = FileTableCatalog.deleteVersion(t, v)
+    }
+    TableAnalyze.analyze(spark, dir, Seq("id"), racing)
+    assert(racing.fired, "race fixture must actually interleave")
+    val ndv = TableAnalyze.currentNdv(FileTableCatalog.loadOrThrow(dir))
+    assert(ndv.contains("grp"),
+      "concurrently committed NDV column must survive the later commit")
+    assert(ndv.contains("id"))
+    assert(math.abs(ndv("grp") - 7L) <= 1 && math.abs(ndv("id") - 200L) <= 10)
+  }
 }
