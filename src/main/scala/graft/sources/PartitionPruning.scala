@@ -53,7 +53,7 @@ object PartitionPruning {
         fields.get(name).forall(ok.contains)
       }
     }
-    (if (kept.nonEmpty) kept else data.take(1)) ++ deletes
+    kept ++ deletes
   }
 
   /** Literal → the column's JVM type ([[PartitionTransform.eval]]'s

@@ -240,8 +240,9 @@ object ScanPruning {
 
   /** Keep files whose stamped string bounds can satisfy every
     * constraint; unstamped files/columns are kept (pre-feature files,
-    * renamed columns — metadata-only, NO footer fallback). Same
-    * keep-one-when-all-pruned rule as the integral path. */
+    * renamed columns — metadata-only, NO footer fallback). All-pruned
+    * yields an EMPTY data set — readers resolve the schema from the
+    * snapshot, so no anchor file (and its wasted IO) is needed. */
   def pruneDataFilesWithStringBounds(files: Seq[FileEntry],
       cs: Map[String, StringConstraint]): Seq[FileEntry] = {
     if (cs.isEmpty) return files
@@ -264,8 +265,7 @@ object ScanPruning {
         case _ => true // unstamped -> keep
       }
     }
-    val kept = data.filter(keep)
-    (if (kept.isEmpty && data.nonEmpty) Seq(data.head) else kept) ++ deletes
+    data.filter(keep) ++ deletes
   }
 
   /** v + d clamped at the Long range (a wrap would flip a strict bound
@@ -279,10 +279,10 @@ object ScanPruning {
 
   /** Data files that may satisfy `filter`; delete files and files
     * without trustworthy stats pass through untouched. If every data
-    * file is pruned, ONE is kept so the read still resolves the table
-    * schema and returns a correct empty result (the filter runs
-    * regardless — pruning is an IO optimization, never a semantic one).
-    */
+    * file is pruned the result holds NO data files — the caller
+    * resolves the schema from the snapshot and returns an empty scan
+    * with zero file IO (the filter runs regardless — pruning is an IO
+    * optimization, never a semantic one). */
   def pruneDataFiles(files: Seq[FileEntry], filter: Column): Seq[FileEntry] =
     pruneDataFilesWithBounds(files, constraints(filter))
 
@@ -298,8 +298,8 @@ object ScanPruning {
       sets.forall { case (c, vs) =>
         stats.get(c) match {
           case None           => true
-          // an empty value set (empty join side) matches nothing; the
-          // shared keep-one-file floor still returns a correct empty scan
+          // an empty value set (empty join side) matches nothing —
+          // every stamped file drops and the scan plans no tasks
           case Some((mn, mx)) => vs.exists(v => v >= mn && v <= mx)
         }
       }
@@ -315,12 +315,10 @@ object ScanPruning {
       decimalAsUnscaled: Set[String] = Set.empty): Seq[FileEntry] =
     if (cs.isEmpty) files
     else if (cs.values.exists { case (lo, hi) => lo > hi }) {
-      // contradictory bounds (x > MAX, or merged x > 5 AND x < 3): no row
-      // can match — prune to the single schema-anchor file without any
-      // footer fetches; the filter still runs above the scan, so the
-      // result is a correct empty set
-      val (data, deletes) = files.partition(_.content == "data")
-      data.take(1) ++ deletes
+      // contradictory bounds (x > MAX, or merged x > 5 AND x < 3): no
+      // row can match — drop every data file without any footer
+      // fetches; the scan comes back empty with the snapshot's schema
+      files.filter(_.content != "data")
     }
     else pruneWith(files, cs.keys.toSeq, decimalAsUnscaled) { stats =>
       cs.forall { case (c, (lo, hi)) =>
@@ -368,15 +366,14 @@ object ScanPruning {
           FileEntry.longAt(f.nullCounts, c).contains(f.recordCount))
       !dropNull && !dropNotNull
     }
-    val keptData = if (kept.nonEmpty) kept else data.take(1)
-    keptData ++ deletes
+    kept ++ deletes
   }
 
   /** Shared pruning loop: evaluate `keep` over each data file's footer
     * min/max for `cols`; files without trustworthy stats always survive,
-    * delete files pass through, and at least one data file is retained
-    * so the read still resolves the table schema. Footers are fetched in
-    * parallel — the same driver-pool rationale as
+    * delete files pass through. All-pruned is an EMPTY data set (the
+    * readers resolve the schema from the snapshot, not an anchor file).
+    * Footers are fetched in parallel — the same driver-pool rationale as
     * ParquetStats.minMaxLong (object-store round-trips, not CPU). */
   private def pruneWith(files: Seq[FileEntry], cols: Seq[String],
       decimalAsUnscaled: Set[String] = Set.empty)(
@@ -417,8 +414,6 @@ object ScanPruning {
         } finally pool.shutdownNow()
       }
     val keepPaths = (keptStamped ++ keptUnstamped).map(_.path).toSet
-    val kept = data.filter(f => keepPaths.contains(f.path))
-    val keptData = if (kept.nonEmpty) kept else data.take(1)
-    keptData ++ deletes
+    data.filter(f => keepPaths.contains(f.path)) ++ deletes
   }
 }

@@ -85,8 +85,23 @@ object TableReader {
       ScanPruning.pruneDataFiles(pr, p) ++ keep
     }
     val tasks = ScanPlanner.toInputTasks(files.map(_.toTask))
-    if (tasks.dataFiles.isEmpty) None
-    else {
+    if (tasks.dataFiles.isEmpty) {
+      if (!snap.files.exists(_.content == "data")) None
+      else {
+        // every data file was PRUNED (metadata-only): the scan is
+        // empty with the snapshot-resolved schema — zero data-file IO
+        // (at most one footer read on a history-less table), instead
+        // of reading a whole anchor file just to produce no rows
+        val fields = snap.currentSchema.map(_.fields).getOrElse(
+          graft.txn.SchemaEvolution.bootstrapSchema(snap).fields)
+        val schema = org.apache.spark.sql.types.StructType(fields.map(f =>
+          org.apache.spark.sql.types.StructField(f.name,
+            org.apache.spark.sql.types.DataType.fromDDL(f.dataType))))
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        Some(filter.fold(empty)(empty.filter))
+      }
+    } else {
       val live =
         if (SchemaReconcile.needed(snap.schemas, snap.schemaId, tasks))
           SchemaReconcile.liveRows(spark, tasks, snap.schemas, snap.schemaId)

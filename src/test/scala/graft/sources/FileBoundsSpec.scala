@@ -46,8 +46,8 @@ class FileBoundsSpec extends AnyFunSuite {
     val lying = real.copy(bounds = Map("id" -> Seq(1000L, 2000L)))
     val keptLying = ScanPruning.pruneDataFilesWithBounds(
       Seq(lying), Map("id" -> (5L, 5L)))
-    assert(keptLying.filter(_.content == "data") == Seq(lying),
-      "schema-anchor retention keeps exactly one file") // sole file stays as anchor
+    assert(keptLying.count(_.content == "data") == 0,
+      "stamped-excluded file is pruned even when it is the only file")
     // with a second file in range, the lying one is dropped
     val inRange = real.copy(path = real.path + ".twin",
       bounds = Map("id" -> Seq(0L, 99L)))

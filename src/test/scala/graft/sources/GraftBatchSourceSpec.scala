@@ -100,12 +100,13 @@ class GraftBatchSourceSpec extends AnyFunSuite {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
       }.getOrElse(fail("no BatchScanExec in plan")).partitions.size
     // id > Long.MaxValue used to wrap to (MinValue, MaxValue) and keep
-    // both files; saturation yields lo > hi → one schema-anchor file
+    // both files; saturation yields lo > hi → every file pruned, zero
+    // tasks planned, no file IO
     val qHi = dsv2(dir).filter(col("id") > Long.MaxValue)
-    assert(partsOf(qHi) == 1, "expected > MaxValue to prune to the anchor")
+    assert(partsOf(qHi) == 0, "expected > MaxValue to prune everything")
     assert(qHi.count() == 0L)
     val qLo = dsv2(dir).filter(col("id") < Long.MinValue)
-    assert(partsOf(qLo) == 1, "expected < MinValue to prune to the anchor")
+    assert(partsOf(qLo) == 0, "expected < MinValue to prune everything")
     assert(qLo.count() == 0L)
   }
 
@@ -143,12 +144,12 @@ class GraftBatchSourceSpec extends AnyFunSuite {
     val parts = filtered.toBatch.planInputPartitions()
     assert(parts.length == 1 &&
       parts.head.asInstanceOf[GraftMorPartition].dataPath.contains("/data/"))
-    // values inside NEITHER file's range -> keep-one-file floor (schema
-    // resolution), never zero partitions with data present
+    // values inside NEITHER file's range -> zero partitions, no file
+    // opens; the scan schema still resolves from the table metadata
     val none = freshScan()
     none.asInstanceOf[SupportsRuntimeFiltering]
       .filter(Array[f.Filter](f.In("id", Array(500L))))
-    assert(none.toBatch.planInputPartitions().length == 1)
+    assert(none.toBatch.planInputPartitions().length == 0)
     // and a real broadcast join over the source stays correct
     val dim = Seq((7L, "a"), (42L, "b")).toDF("id", "tag")
     val joined = dsv2(dir).join(broadcast(dim), "id")

@@ -62,9 +62,10 @@ class NullCountsSpec extends AnyFunSuite {
     assert(partsOf(qNotNull) == 1,
       "expected the all-null file pruned by IS NOT NULL")
     assert(qNotNull.count() == 50L)
-    // id has zero nulls in both files -> IS NULL prunes to the anchor
+    // id has zero nulls in both files -> IS NULL prunes EVERY file:
+    // the scan plans zero partitions and opens nothing
     val qNull = dsv2(dir).filter($"id".isNull)
-    assert(partsOf(qNull) == 1, "expected zero-null files pruned by IS NULL")
+    assert(partsOf(qNull) == 0, "expected zero-null files pruned by IS NULL")
     assert(qNull.count() == 0L)
     // v IS NULL keeps both files (both contain nulls)
     assert(dsv2(dir).filter($"v".isNull).count() == 80L)

@@ -117,9 +117,10 @@ class PartitionPruningPropertySpec extends AnyFunSuite {
       Map("c" -> Seq(miss)), Map("c" -> LongType))
     assert(kept.map(_.path).contains(unparsed.path), "unparsed file must survive")
     assert(kept.exists(_.content == "position-deletes"), "deletes pass through")
-    // all-pruned parsed set: the anchor floor keeps at least one data file
+    // all-pruned parsed set: every data file drops (empty scan, no
+    // anchor read)
     val keptAll = PartitionPruning.prune(Seq(other), Seq(t),
       Map("c" -> Seq(miss)), Map("c" -> LongType))
-    assert(keptAll.count(_.content == "data") == 1)
+    assert(keptAll.count(_.content == "data") == 0)
   }
 }

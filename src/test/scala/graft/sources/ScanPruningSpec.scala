@@ -67,8 +67,8 @@ class ScanPruningSpec extends AnyFunSuite {
     val keptAware = ScanPruning.pruneDataFilesWithBounds(
       Seq(fe, fe.copy(path = fe.path)), Map("price" -> (Long.MinValue, 99L)),
       decimalAsUnscaled = Set("price"))
-    assert(keptAware.count(_.content == "data") == 1,
-      "opted-in unscaled bounds prune to the anchor floor")
+    assert(keptAware.count(_.content == "data") == 0,
+      "opted-in unscaled bounds prune every excluded file")
   }
 
   test("footer bounds prune non-intersecting files; deletes pass through") {
@@ -94,25 +94,41 @@ class ScanPruningSpec extends AnyFunSuite {
       .count(_.content == "data") == 2)
   }
 
-  test("all-pruned keeps one file so the read resolves schema and returns empty") {
+  test("all-pruned reads NO data files; schema resolves from the snapshot") {
     val dir = Files.createTempDirectory("prune-e").toString
     val f1 = writeFile((1L to 10L).map(i => (i, s"a$i")), s"$dir/data/f1.parquet")
     val f2 = writeFile((11L to 20L).map(i => (i, s"b$i")), s"$dir/data/f2.parquet")
     TableMetadata.commit(dir, TableSnapshot(1, 1, 1, Seq(f1, f2)))
     val out = TableReader.read(spark, dir, filter = Some(col("id") === 999L))
-    assert(out.inputFiles.count(_.contains("/data/f")) == 1)
-    assert(out.count() == 0 && out.columns.contains("v"))
+    // zero data files in the plan: the former keep-one anchor cost a
+    // whole file read per fully-pruned query
+    assert(out.inputFiles.count(_.contains("/data/f")) == 0,
+      s"expected no data files scanned, got ${out.inputFiles.toSeq}")
+    assert(out.count() == 0 && out.columns.toSeq == Seq("id", "v"))
   }
 
-  test("contradictory bounds prune to the schema anchor without footer reads") {
+  test("DSv2: fully-pruned scan plans ZERO input partitions") {
+    val dir = Files.createTempDirectory("prune-dsv2").toString
+    val f1 = writeFile((1L to 10L).map(i => (i, s"a$i")), s"$dir/data/f1.parquet")
+    val f2 = writeFile((11L to 20L).map(i => (i, s"b$i")), s"$dir/data/f2.parquet")
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 1, Seq(f1, f2)))
+    val q = spark.read.format("graft").load(dir).filter(col("id") === 999L)
+    val parts = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan")).partitions.size
+    assert(parts == 0, s"expected no tasks for a fully-pruned scan, got $parts")
+    assert(q.count() == 0 && q.columns.toSeq == Seq("id", "v"))
+  }
+
+  test("contradictory bounds prune everything without footer reads") {
     val dir = Files.createTempDirectory("prune-c").toString
     val f1 = writeFile((1L to 10L).map(i => (i, s"a$i")), s"$dir/data/f1.parquet")
     val f2 = writeFile((11L to 20L).map(i => (i, s"b$i")), s"$dir/data/f2.parquet")
     val del = f1.copy(content = "equality-deletes", equalityIds = Seq("id"))
     val files = Seq(f1, f2, del)
-    // merged x > 5 AND x < 3 → lo > hi: one data anchor, deletes kept
+    // merged x > 5 AND x < 3 → lo > hi: no data survives, deletes kept
     val kept = ScanPruning.pruneDataFilesWithBounds(files, Map("id" -> (6L, 2L)))
-    assert(kept.count(_.content == "data") == 1)
+    assert(kept.count(_.content == "data") == 0)
     assert(kept.exists(_.content == "equality-deletes"))
   }
 
