@@ -37,6 +37,7 @@ object SparkEntry {
       ("sql_merge_cow" -> (graft.queries.SqlCatalogQuery.runMerge _)) +
       ("sql_merge_mor" -> (graft.queries.SqlCatalogQuery.runMergeMor _)) +
       ("sql_partitioned" -> (graft.queries.SqlCatalogQuery.runPartitioned _)) +
+      ("sql_overwrite_dynamic" -> (graft.queries.SqlCatalogQuery.runInsertOverwriteDynamic _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
       ("sql_agg_meta" -> (graft.queries.SqlCatalogQuery.runAggMeta _)) +
@@ -72,6 +73,7 @@ object SparkEntry {
       ("sql_merge_cow" -> graft.queries.SqlCatalogQuery.mergeOracle) +
       ("sql_merge_mor" -> graft.queries.SqlCatalogQuery.mergeOracle) +
       ("sql_partitioned" -> graft.queries.SqlCatalogQuery.partitionedOracle) +
+      ("sql_overwrite_dynamic" -> graft.queries.SqlCatalogQuery.insertOverwriteDynamicOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +
       ("sql_agg_meta" -> graft.queries.SqlCatalogQuery.aggMetaOracle) +

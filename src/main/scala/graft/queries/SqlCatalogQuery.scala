@@ -123,6 +123,53 @@ object SqlCatalogQuery {
       |  AND NOT (l_orderkey <= 300 AND l_returnflag = 'R')
       |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // -------- dynamic partition overwrite ---------------------------------
+
+  private val dynCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Dynamic partition overwrite as an oracle-checked query: load the
+    * whole table partitioned by `l_returnflag`, then `INSERT OVERWRITE`
+    * under `partitionOverwriteMode=dynamic` with replacement rows for
+    * only the non-'A' partitions. The 'A' partition's files must
+    * survive untouched while 'N'/'R' are atomically swapped — the
+    * hash-match against the oracle's UNION is exactly the contract a
+    * partial-overwrite bug (dropping a partition not in the incoming
+    * set, or keeping stale files of one that is) would violate. */
+  def runInsertOverwriteDynamic(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(dynCatalogs, dir, spark, dir,
+        "gdy", "sqldyn", "li_dyn") { name =>
+      spark.sql(
+        s"""CREATE TABLE $name.db.lod (
+           |  l_orderkey BIGINT, l_linenumber INT,
+           |  l_suppkey BIGINT, l_returnflag STRING)
+           |PARTITIONED BY (l_returnflag)""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.lod
+           |SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+           |FROM li_dyn""".stripMargin)
+      val mode = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(mode)
+      spark.conf.set(mode, "dynamic")
+      try spark.sql(
+        s"""INSERT OVERWRITE $name.db.lod
+           |SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+           |FROM li_dyn WHERE l_returnflag <> 'A' AND l_orderkey <= 2000""".stripMargin)
+      finally prev.fold(spark.conf.unset(mode))(spark.conf.set(mode, _))
+    }
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+         |FROM $cat.db.lod
+         |ORDER BY 1, 2, 3, 4""".stripMargin)
+  }
+
+  val insertOverwriteDynamicOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+      |FROM lineitem
+      |WHERE l_returnflag = 'A'
+      |   OR (l_returnflag <> 'A' AND l_orderkey <= 2000)
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
   // -------- declared write order (sorted inserts) -----------------------
 
   private val woCatalogs =
