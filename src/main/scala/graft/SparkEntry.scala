@@ -36,6 +36,8 @@ object SparkEntry {
       ("sql_catalog_crud" -> (graft.queries.SqlCatalogQuery.run _)) +
       ("sql_merge_cow" -> (graft.queries.SqlCatalogQuery.runMerge _)) +
       ("sql_merge_mor" -> (graft.queries.SqlCatalogQuery.runMergeMor _)) +
+      ("sql_merge_dv" -> (graft.queries.SqlCatalogQuery.runMergeDv _)) +
+      ("stream_tail_dv" -> (graft.queries.StreamTailQuery.runDv _)) +
       ("sql_partitioned" -> (graft.queries.SqlCatalogQuery.runPartitioned _)) +
       ("sql_overwrite_dynamic" -> (graft.queries.SqlCatalogQuery.runInsertOverwriteDynamic _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
@@ -72,6 +74,8 @@ object SparkEntry {
       ("sql_catalog_crud" -> graft.queries.SqlCatalogQuery.oracle) +
       ("sql_merge_cow" -> graft.queries.SqlCatalogQuery.mergeOracle) +
       ("sql_merge_mor" -> graft.queries.SqlCatalogQuery.mergeOracle) +
+      ("sql_merge_dv" -> graft.queries.SqlCatalogQuery.mergeOracle) +
+      ("stream_tail_dv" -> graft.queries.StreamTailQuery.dvOracle) +
       ("sql_partitioned" -> graft.queries.SqlCatalogQuery.partitionedOracle) +
       ("sql_overwrite_dynamic" -> graft.queries.SqlCatalogQuery.insertOverwriteDynamicOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +

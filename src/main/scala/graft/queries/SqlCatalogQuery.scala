@@ -321,20 +321,31 @@ object SqlCatalogQuery {
   def runMergeMor(spark: SparkSession, dir: String): DataFrame =
     runMergeMode(spark, dir, "merge-on-read")
 
-  private def runMergeMode(spark: SparkSession, dir: String, mode: String): DataFrame = {
-    val cat = bootstrapCatalog(mergeCatalogs, s"$dir#$mode", spark, dir,
-        "gm", "sqlmerge", "li_merge") { name =>
+  /** The MoR MERGE again with `graft.deletes.format = dv`: the matched
+    * rows' deletes must land as deletion vectors (asserted — a silent
+    * parquet fallback would pass the value check while testing
+    * nothing), and the read must fold them. Shares [[mergeOracle]]:
+    * all three delete encodings produce the same logical table. */
+  def runMergeDv(spark: SparkSession, dir: String): DataFrame =
+    runMergeMode(spark, dir, "merge-on-read", dvDeletes = true)
+
+  private def runMergeMode(spark: SparkSession, dir: String, mode: String,
+      dvDeletes: Boolean = false): DataFrame = {
+    val cat = bootstrapCatalog(mergeCatalogs, s"$dir#$mode#dv=$dvDeletes",
+        spark, dir, "gm", "sqlmerge", "li_merge") { name =>
       spark.sql("""CREATE OR REPLACE TEMP VIEW li_keyed AS
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |  CAST(round(l_quantity * 100) AS BIGINT) AS lq,
         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS lep,
         |  l_returnflag
         |FROM li_merge""".stripMargin)
+      val dvProp =
+        if (dvDeletes) ", 'graft.deletes.format' = 'dv'" else ""
       spark.sql(
         s"""CREATE TABLE $name.db.li (
            |  l_orderkey BIGINT, l_linenumber INT, l_partkey BIGINT,
            |  l_suppkey BIGINT, lq BIGINT, lep BIGINT, l_returnflag STRING)
-           |TBLPROPERTIES ('graft.rowlevel.mode' = '$mode')""".stripMargin)
+           |TBLPROPERTIES ('graft.rowlevel.mode' = '$mode'$dvProp)""".stripMargin)
       spark.sql(
         s"INSERT INTO $name.db.li SELECT * FROM li_keyed WHERE l_orderkey % 2 = 0")
       spark.sql(
@@ -351,6 +362,13 @@ object SqlCatalogQuery {
            |AND t.lq = s.lq AND t.lep = s.lep
            |WHEN MATCHED THEN UPDATE SET l_returnflag = s.l_returnflag
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      if (dvDeletes) {
+        val wh = spark.conf.get(s"spark.sql.catalog.$name.warehouse")
+        val files = graft.txn.FileTableCatalog.loadOrThrow(s"$wh/db/li").files
+        require(files.exists(_.content == "deletion-vectors") &&
+          !files.exists(_.content == "position-deletes"),
+          "MERGE on a dv-format table must commit deletion vectors")
+      }
     }
     spark.sql(
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, lq, lep, l_returnflag
