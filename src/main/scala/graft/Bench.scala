@@ -51,7 +51,16 @@ object Bench {
       .filter { case (n, _) => filter.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       System.err.println(s"[bench] starting $name ($runs runs)")
-      val samples = (1 to runs).map(_ => timeOnce(fn))
+      val samples = (1 to runs).map { _ =>
+        val s = timeOnce(fn)
+        // OUTSIDE the timer: a GC between samples lets Spark's
+        // ContextCleaner reclaim the previous run's shuffle/broadcast
+        // state, so one query's (or fixture's) garbage does not bleed
+        // into the next sample — the r7 bench showed 2-6x per-query
+        // medians that vanished when re-run isolated
+        System.gc()
+        s
+      }
       // per-run samples on stderr: lets a regressed median be
       // adjudicated as noise vs real without re-running the bench
       System.err.println(
