@@ -40,6 +40,7 @@ object SparkEntry {
       ("stream_tail_dv" -> (graft.queries.StreamTailQuery.runDv _)) +
       ("sql_partitioned" -> (graft.queries.SqlCatalogQuery.runPartitioned _)) +
       ("sql_overwrite_dynamic" -> (graft.queries.SqlCatalogQuery.runInsertOverwriteDynamic _)) +
+      ("sql_partition_evolution" -> (graft.queries.SqlCatalogQuery.runPartitionEvolution _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
       ("sql_agg_meta" -> (graft.queries.SqlCatalogQuery.runAggMeta _)) +
@@ -78,6 +79,7 @@ object SparkEntry {
       ("stream_tail_dv" -> graft.queries.StreamTailQuery.dvOracle) +
       ("sql_partitioned" -> graft.queries.SqlCatalogQuery.partitionedOracle) +
       ("sql_overwrite_dynamic" -> graft.queries.SqlCatalogQuery.insertOverwriteDynamicOracle) +
+      ("sql_partition_evolution" -> graft.queries.SqlCatalogQuery.partitionEvolutionOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +
       ("sql_agg_meta" -> graft.queries.SqlCatalogQuery.aggMetaOracle) +

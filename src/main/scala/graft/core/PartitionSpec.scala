@@ -166,11 +166,54 @@ final case class DayTransform(source: String) extends PartitionTransform {
   * spec-legal unknown property under the Iceberg-format catalog). */
 object PartitionSpecCodec {
   val Property = "graft.partition-spec"
+  /** Current spec's id (absent = 0, the table's first spec). */
+  val IdProperty = "graft.partition-spec-id"
+  /** Spec HISTORY after an evolution: `<id>=<encoded spec>` fragments
+    * joined by ';' — every spec ever current, by id, so pruning can
+    * resolve each file's own layout ([[graft.txn.FileEntry.specId]]).
+    * Absent until the first [[graft.txn.CommitManager.evolvePartitionSpec]]. */
+  val HistoryProperty = "graft.partition-specs"
 
-  /** The table's partition spec as carried by its snapshot (Nil when
-    * unpartitioned) — the one decode every writer and the scan share. */
+  /** The table's CURRENT partition spec as carried by its snapshot (Nil
+    * when unpartitioned) — the decode every writer shares; new files
+    * always lay out under this spec. */
   def of(snap: Option[graft.txn.TableSnapshot]): Seq[PartitionTransform] =
     snap.flatMap(_.properties.get(Property)).map(decode).getOrElse(Nil)
+
+  def currentId(snap: Option[graft.txn.TableSnapshot]): Long =
+    snap.flatMap(_.properties.get(IdProperty)).map(_.toLong).getOrElse(0L)
+
+  /** Every spec ever current, by id. Without a history (never-evolved
+    * table) this is just {0 -> current}. */
+  def history(snap: Option[graft.txn.TableSnapshot]): Map[Long, Seq[PartitionTransform]] =
+    snap.flatMap(_.properties.get(HistoryProperty)) match {
+      case Some(h) => decodeHistory(h)
+      case None    => Map(0L -> of(snap))
+    }
+
+  /** Per-file spec resolution for pruning: the file's own spec when a
+    * history exists (unknown/unstamped ids resolve to spec 0 — the
+    * only spec such files can predate), else the table's single spec. */
+  def specForFile(snap: Option[graft.txn.TableSnapshot])
+      : graft.txn.FileEntry => Seq[PartitionTransform] = {
+    val hasHistory = snap.exists(_.properties.contains(HistoryProperty))
+    if (!hasHistory) { val cur = of(snap); _ => cur }
+    else {
+      val byId = history(snap)
+      f => byId.getOrElse(math.max(f.specId, 0L), Nil)
+    }
+  }
+
+  def encodeHistory(h: Map[Long, Seq[PartitionTransform]]): String =
+    h.toSeq.sortBy(_._1).map { case (id, s) => s"$id=${encode(s)}" }.mkString(";")
+
+  def decodeHistory(s: String): Map[Long, Seq[PartitionTransform]] =
+    s.split(';').toIndexedSeq.filter(_.nonEmpty).map { frag =>
+      val eq = frag.indexOf('=')
+      if (eq <= 0) throw CompactionError.Config(
+        s"bad partition-spec history fragment '$frag'")
+      frag.take(eq).toLong -> decode(frag.drop(eq + 1))
+    }.toMap
 
   def encode(ts: Seq[PartitionTransform]): String = ts.map {
     case IdentityTransform(c)    => s"identity:$c"

@@ -123,6 +123,59 @@ object SqlCatalogQuery {
       |  AND NOT (l_orderkey <= 300 AND l_returnflag = 'R')
       |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // -------- partition-spec evolution ------------------------------------
+
+  private val pevoCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Partition-spec EVOLUTION as an oracle-checked query: load half the
+    * table under `PARTITIONED BY (l_returnflag)`, evolve the layout to
+    * `bucket(4, l_orderkey)` via the procedure, load the other half
+    * under the new spec, and run a merge-on-read DELETE across both
+    * layouts. The final filtered read prunes spec-0 files by their OWN
+    * identity field while keeping the bucket-laid files (whose names
+    * carry no returnflag) — per-file spec resolution
+    * ([[graft.core.PartitionSpecCodec.specForFile]]). The fixture
+    * REQUIRES both spec ids present so the mixed-layout path is
+    * actually exercised. */
+  def runPartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(pevoCatalogs, dir, spark, dir,
+        "gpe", "sqlpevo", "li_pevo") { name =>
+      spark.sql(
+        s"""CREATE TABLE $name.db.lpe (
+           |  l_orderkey BIGINT, l_linenumber INT,
+           |  l_suppkey BIGINT, l_returnflag STRING)
+           |PARTITIONED BY (l_returnflag)
+           |TBLPROPERTIES ('graft.rowlevel.mode'='merge-on-read')""".stripMargin)
+      def insertHalf(k: Int): Unit = spark.sql(
+        s"""INSERT INTO $name.db.lpe
+           |SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+           |FROM li_pevo WHERE l_orderkey % 2 = $k""".stripMargin)
+      insertHalf(0)
+      spark.sql(s"CALL $name.system.evolve_partition_spec(" +
+        "`table` => 'db.lpe', spec => 'bucket:4:l_orderkey')")
+      insertHalf(1)
+      // merge-on-read DELETE spans BOTH layouts without rewriting them
+      spark.sql(s"DELETE FROM $name.db.lpe WHERE l_orderkey <= 200")
+      val wh = spark.conf.get(s"spark.sql.catalog.$name.warehouse")
+      val snap = graft.txn.FileTableCatalog.loadOrThrow(s"$wh/db/lpe")
+      val ids = snap.files.filter(_.content == "data")
+        .map(f => math.max(f.specId, 0L)).distinct.sorted
+      require(ids.size == 2,
+        s"fixture must hold files under BOTH specs, got spec ids $ids")
+    }
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+         |FROM $cat.db.lpe WHERE l_returnflag = 'N'
+         |ORDER BY 1, 2, 3, 4""".stripMargin)
+  }
+
+  val partitionEvolutionOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+      |FROM lineitem
+      |WHERE l_returnflag = 'N' AND l_orderkey > 200
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
   // -------- dynamic partition overwrite ---------------------------------
 
   private val dynCatalogs =

@@ -764,6 +764,10 @@ final class GraftScan(
 
   private lazy val partSpec: Seq[graft.core.PartitionTransform] =
     graft.core.PartitionSpecCodec.of(Some(snap))
+  /** Per-file spec resolution for spec-evolved tables (identical to
+    * partSpec for every file on a never-evolved table). */
+  private lazy val specForFile: FileEntry => Seq[graft.core.PartitionTransform] =
+    graft.core.PartitionSpecCodec.specForFile(Some(snap))
   private lazy val colTypes: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
   /** String columns eligible for byte-bound pruning — the ONE shared
@@ -779,10 +783,12 @@ final class GraftScan(
 
   private lazy val prunedDataFiles: Seq[FileEntry] = {
     val data = snap.files.filter(_.content == "data")
-    // transform-aware partition pruning first: name-parse only, no IO
+    // transform-aware partition pruning first: name-parse only, no IO;
+    // per-file spec resolution handles spec-evolved tables
     val partPruned =
       if (partSpec.isEmpty || pushedEqCandidates.isEmpty) data
-      else PartitionPruning.prune(data, partSpec, pushedEqCandidates, colTypes)
+      else PartitionPruning.prunePerFile(data, specForFile,
+        pushedEqCandidates, colTypes)
     val boundsPruned =
       if (pruneBounds.isEmpty) partPruned
       else pruneGuarded(partPruned,
@@ -830,7 +836,16 @@ final class GraftScan(
       Map[String, Array[Any]])] = {
     import graft.core.{BucketTransform, IdentityTransform, PartitionKey}
     import org.apache.spark.sql.connector.expressions.{Expressions => XE}
-    if (partSpec.isEmpty) None
+    // spec-evolved tables: an old-spec file's rendered fields can ALIAS
+    // the current spec's field names (bucket(4) and bucket(8) both
+    // render `c_bucket=k`) — reporting its key as a current-spec value
+    // would co-group rows wrongly. Disable the report until compaction
+    // migrates every file to the current spec.
+    val curSpecId = graft.core.PartitionSpecCodec.currentId(Some(snap))
+    val mixedSpecs = snap.properties
+      .contains(graft.core.PartitionSpecCodec.HistoryProperty) &&
+      prunedDataFiles.exists(f => math.max(f.specId, 0L) != curSpecId)
+    if (partSpec.isEmpty || mixedSpecs) None
     else {
       val exprs = partSpec.map {
         case IdentityTransform(c) => colTypes.get(c).collect {
@@ -1099,7 +1114,7 @@ final class GraftScan(
     // even though footer stats cannot compare them)
     val afterInSets =
       if (partSpec.isEmpty || runtimeEqCandidates.isEmpty) afterInSets0
-      else PartitionPruning.prune(afterInSets0, partSpec,
+      else PartitionPruning.prunePerFile(afterInSets0, specForFile,
         runtimeEqCandidates, colTypes)
     // _file group filter is EXACT — empty set means no group matched
     val afterRuntime = runtimePathSet.fold(afterInSets) { paths =>

@@ -19,38 +19,61 @@ import org.apache.spark.sql.types._
   *
   * Conservative everywhere: files without the fanout name prefix
   * (pre-partitioning appends, compaction output) and columns without a
-  * transform keep all files; at least one data file survives so the
-  * read still resolves the table schema.
+  * transform keep all files; all-pruned yields an empty data set (the
+  * readers resolve the schema from the snapshot).
   */
 object PartitionPruning {
 
   /** Keep the data files whose partition fields can satisfy
     * `candidates` (column → the exact values the filters allow).
-    * Delete files pass through. */
+    * Delete files pass through. Single-spec form (never-evolved
+    * tables). */
   def prune(
       files: Seq[FileEntry],
       spec: Seq[PartitionTransform],
       candidates: Map[String, Seq[Any]],
+      colTypes: Map[String, DataType]): Seq[FileEntry] =
+    prunePerFile(files, _ => spec, candidates, colTypes)
+
+  /** Per-file-spec form for SPEC-EVOLVED tables: each data file is
+    * judged under ITS OWN spec ([[graft.core.PartitionSpecCodec
+    * .specForFile]]) — the ordinal `c_bucket=3` means a different value
+    * set under bucket(4) than under bucket(8), so evaluating every file
+    * under the current spec would silently drop matching rows. Expected
+    * value sets are computed once per DISTINCT spec, not per file. */
+  def prunePerFile(
+      files: Seq[FileEntry],
+      specFor: FileEntry => Seq[PartitionTransform],
+      candidates: Map[String, Seq[Any]],
       colTypes: Map[String, DataType]): Seq[FileEntry] = {
-    if (spec.isEmpty || candidates.isEmpty) return files
-    // expected rendered values per partition FIELD name
-    val expected: Seq[(String, Set[String])] = spec.flatMap { t =>
-      (candidates.get(t.source), colTypes.get(t.source)) match {
-        case (Some(vs), Some(dt)) =>
-          val rendered = vs.flatMap(coerce(_, dt))
-            .map(v => PartitionKey.sanitize(t.render(t.eval(v, dt))))
-          // a candidate we could not coerce makes the set non-exhaustive
-          if (rendered.size == vs.size) Some(t.fieldName -> rendered.toSet)
-          else None
-        case _ => None
+    if (candidates.isEmpty) return files
+    // expected rendered values per partition FIELD name, per spec
+    def expectedOf(spec: Seq[PartitionTransform]): Seq[(String, Set[String])] =
+      spec.flatMap { t =>
+        (candidates.get(t.source), colTypes.get(t.source)) match {
+          case (Some(vs), Some(dt)) =>
+            val rendered = vs.flatMap(coerce(_, dt))
+              .map(v => PartitionKey.sanitize(t.render(t.eval(v, dt))))
+            // a candidate we could not coerce makes the set non-exhaustive
+            if (rendered.size == vs.size) Some(t.fieldName -> rendered.toSet)
+            else None
+          case _ => None
+        }
       }
-    }
-    if (expected.isEmpty) return files
+    val bySpec = scala.collection.mutable.Map
+      .empty[Seq[graft.core.PartitionTransform], Seq[(String, Set[String])]]
     val (data, deletes) = files.partition(_.content == "data")
     val kept = data.filter { f =>
-      val fields = PartitionKey.parse(f.path)
-      fields.isEmpty || expected.forall { case (name, ok) =>
-        fields.get(name).forall(ok.contains)
+      val spec = specFor(f)
+      if (spec.isEmpty) true
+      else {
+        val expected = bySpec.getOrElseUpdate(spec, expectedOf(spec))
+        expected.isEmpty || {
+          val fields = PartitionKey.parse(f.path)
+          fields.isEmpty || expected.forall { case (name, ok) =>
+            fields.get(name).forall(ok.contains)
+          }
+        }
       }
     }
     kept ++ deletes

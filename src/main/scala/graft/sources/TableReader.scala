@@ -78,7 +78,10 @@ object TableReader {
             graft.txn.SchemaEvolution.bootstrapSchema(snap).fields)
           val types = fields.map(f => f.name ->
             org.apache.spark.sql.types.DataType.fromDDL(f.dataType)).toMap
-          PartitionPruning.prune(snap.files, spec, cands, types)
+          // per-file spec resolution: after a spec evolution each file
+          // prunes under the layout it was actually written with
+          PartitionPruning.prunePerFile(snap.files,
+            graft.core.PartitionSpecCodec.specForFile(Some(snap)), cands, types)
         }
       // footer-stats pruning over the survivors
       val (pr, keep) = partPruned.partition(prunable)

@@ -65,6 +65,8 @@ object GraftCatalog {
     * by the create_tag/drop_tag procedures. */
   private[sql] def guardedProp(key: String): Boolean =
     key == graft.core.PartitionSpecCodec.Property ||
+      key == graft.core.PartitionSpecCodec.IdProperty ||
+      key == graft.core.PartitionSpecCodec.HistoryProperty ||
       key.startsWith(RefPropPrefix)
 
   /** `graft.deletes.format` allowlist — an unknown value would silently

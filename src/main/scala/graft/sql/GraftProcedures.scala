@@ -33,7 +33,8 @@ private[sql] object GraftProcedures {
 
   val Names: Seq[String] = Seq(
     "rewrite_data_files", "rewrite_delete_files", "expire_snapshots",
-    "remove_orphan_files", "create_tag", "drop_tag", "analyze_table")
+    "remove_orphan_files", "create_tag", "drop_tag", "analyze_table",
+    "evolve_partition_spec")
 
   def load(name: String, resolveDir: String => String,
       catalog: TableCatalog, catalogName: String): UnboundProcedure =
@@ -45,6 +46,7 @@ private[sql] object GraftProcedures {
       case "drop_tag"            => new DropTag(resolveDir, catalog)
       case "remove_orphan_files" => new RemoveOrphanFiles(resolveDir, catalog)
       case "analyze_table"       => new AnalyzeTable(resolveDir, catalog)
+      case "evolve_partition_spec" => new EvolvePartitionSpec(resolveDir, catalog)
       case other => throw CompactionError.Config(
         s"unknown procedure $other (available: ${Names.mkString(", ")})")
     }
@@ -292,6 +294,62 @@ private[sql] object GraftProcedures {
       localScan(out,
         stat.orphans.sorted.map(p => InternalRow(UTF8String.fromString(p))).toArray,
         s"remove_orphan_files($dir)")
+    }
+  }
+
+  /** `CALL cat.system.evolve_partition_spec(table => 'db.t',
+    * spec => 'l_returnflag|bucket:4:l_orderkey')` — layout evolution
+    * (the Iceberg per-file spec-id model,
+    * [[graft.txn.CommitManager.evolvePartitionSpec]]). The new spec
+    * applies to files written from now on; existing files keep their
+    * own spec for pruning; compaction migrates them. Spec syntax is
+    * '|'-separated fields: a bare column name (identity),
+    * `bucket:<n>:<col>`, `truncate:<w>:<col>`, `day:<col>`; empty
+    * string evolves to unpartitioned. */
+  private final class EvolvePartitionSpec(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("evolve_partition_spec") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("spec", StringType))
+
+    private val out = StructType(Seq(
+      StructField("spec_id", LongType, nullable = false),
+      StructField("spec", StringType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      // bare-name fragments are identity-transform sugar
+      val encoded = input.getUTF8String(1).toString.split('|')
+        .map(_.trim).filter(_.nonEmpty)
+        .map(f => if (f.contains(':')) f else s"identity:$f")
+        .mkString("|")
+      val spec = graft.core.PartitionSpecCodec.decode(encoded)
+      val snap = catalog.loadOrThrow(dir)
+      // every source column must exist in the table schema — a typo'd
+      // spec would silently never fan out
+      val cols: Set[String] =
+        snap.currentSchema.map(_.fields.map(_.name).toSet).getOrElse {
+          if (snap.files.exists(_.content == "data"))
+            graft.txn.SchemaEvolution.bootstrapSchema(snap)
+              .fields.map(_.name).toSet
+          else Set.empty
+        }
+      if (cols.nonEmpty)
+        spec.map(_.source).find(!cols.contains(_)).foreach(c =>
+          throw CompactionError.Config(
+            s"partition source column '$c' is not in the table schema " +
+              s"(${cols.toSeq.sorted.mkString(", ")})"))
+      val committed = new CommitManager(dir, RetryConfig(), catalog = catalog)
+        .evolvePartitionSpec(spec, expectedSchemaId = snap.schemaId)
+      localScan(out, Array(InternalRow(
+        graft.core.PartitionSpecCodec.currentId(Some(committed)),
+        UTF8String.fromString(
+          graft.core.PartitionSpecCodec.of(Some(committed))
+            .map(t => graft.core.PartitionSpecCodec.encode(Seq(t)))
+            .mkString("|")))),
+        s"evolve_partition_spec($dir)")
     }
   }
 }

@@ -57,7 +57,10 @@ final class CommitManager(
           recordCount = f.recordCount, sequenceNumber = newSeq,
           // rewritten files are PHYSICALLY written by the executor reading
           // through schema reconciliation, so they carry the current schema
-          schemaId = if (cur.schemas.nonEmpty) cur.schemaId else -1L)))
+          schemaId = if (cur.schemas.nonEmpty) cur.schemaId else -1L,
+          // ...and are laid out by the fanout writer under the CURRENT
+          // partition spec — this is how old-spec files migrate
+          specId = PartitionSpecCodec.currentId(Some(cur)))))
       cur.copy(
         version = cur.version + 1,
         lastSequenceNumber = math.max(cur.lastSequenceNumber, newSeq),
@@ -98,7 +101,10 @@ final class CommitManager(
           schemaId =
             if (e.schemaId >= 0) e.schemaId
             else if (cur.schemas.nonEmpty) cur.schemaId
-            else -1L)
+            else -1L,
+          specId =
+            if (e.specId >= 0) e.specId
+            else PartitionSpecCodec.currentId(Some(cur)))
       }
       cur.copy(
         version = cur.version + 1,
@@ -145,7 +151,10 @@ final class CommitManager(
             schemaId =
               if (e.schemaId >= 0) e.schemaId
               else if (cur.schemas.nonEmpty) cur.schemaId
-              else -1L)))
+              else -1L,
+            specId =
+              if (e.specId >= 0) e.specId
+              else PartitionSpecCodec.currentId(Some(cur)))))
     }
 
   /** Atomic truncate-and-append (SQL `INSERT OVERWRITE TABLE`): the new
@@ -172,6 +181,18 @@ final class CommitManager(
   ): TableSnapshot =
     commitLoop(expectedSchemaId) { cur =>
       val dataFiles = cur.files.filter(_.content == "data")
+      // spec-evolved tables: an old-spec file's rendered fields can
+      // ALIAS the current spec's names (bucket(4) vs bucket(8) both
+      // render `c_bucket=k`) — replacing it as if it held the current
+      // partition would drop rows belonging to OTHER new-spec
+      // partitions. Refuse until compaction migrates the layout.
+      val curSpecId = PartitionSpecCodec.currentId(Some(cur))
+      if (cur.properties.contains(PartitionSpecCodec.HistoryProperty) &&
+          dataFiles.exists(f => math.max(f.specId, 0L) != curSpecId))
+        throw CompactionError.Config(
+          "dynamic partition overwrite on a spec-evolved table requires " +
+            "every data file to be laid out under the current spec; run " +
+            "rewrite_data_files first")
       val unparseable = dataFiles.filter(f => keyOf(f.path).isEmpty)
       if (unparseable.nonEmpty) throw CompactionError.Config(
         s"dynamic partition overwrite needs every data file's partition " +
@@ -188,7 +209,10 @@ final class CommitManager(
             schemaId =
               if (e.schemaId >= 0) e.schemaId
               else if (cur.schemas.nonEmpty) cur.schemaId
-              else -1L)))
+              else -1L,
+            specId =
+              if (e.specId >= 0) e.specId
+              else PartitionSpecCodec.currentId(Some(cur)))))
     }
 
   def overwriteAll(
@@ -202,7 +226,10 @@ final class CommitManager(
           schemaId =
             if (e.schemaId >= 0) e.schemaId
             else if (cur.schemas.nonEmpty) cur.schemaId
-            else -1L)
+            else -1L,
+          specId =
+            if (e.specId >= 0) e.specId
+            else PartitionSpecCodec.currentId(Some(cur)))
       }
       cur.copy(
         version = cur.version + 1,
@@ -270,6 +297,42 @@ final class CommitManager(
         files = cur.files.map(f =>
           if (f.schemaId >= 0) f else f.copy(schemaId = cur.schemaId)),
         schemas = schemas)
+    }
+
+  /** Evolve the PARTITION SPEC (the Iceberg layout-evolution model):
+    * the new spec gets a fresh id and applies to files written FROM NOW
+    * ON; existing files keep their own spec id, pruning consults each
+    * file's layout through the spec history
+    * ([[PartitionSpecCodec.specForFile]]), and the next full compaction
+    * migrates old files opportunistically (rewritten files are fanned
+    * out — and stamped — under the current spec). Touches no files.
+    * Pre-tracking files are stamped with the PRE-evolution id — their
+    * layout is by definition the spec that was current until now. */
+  def evolvePartitionSpec(
+      newSpec: Seq[PartitionTransform],
+      expectedSchemaId: Long,
+      validate: TableSnapshot => Unit = _ => ()
+  ): TableSnapshot =
+    commitLoop(expectedSchemaId) { cur =>
+      validate(cur)
+      val curId = PartitionSpecCodec.currentId(Some(cur))
+      val hist = PartitionSpecCodec.history(Some(cur))
+      if (PartitionSpecCodec.encode(newSpec) ==
+          PartitionSpecCodec.encode(PartitionSpecCodec.of(Some(cur))))
+        throw CompactionError.Config(
+          "the new partition spec is identical to the current one")
+      val newId = (hist.keySet + curId).max + 1
+      val newHist = hist +
+        (curId -> PartitionSpecCodec.of(Some(cur))) + (newId -> newSpec)
+      cur.copy(
+        version = cur.version + 1,
+        files = cur.files.map(f =>
+          if (f.specId >= 0) f else f.copy(specId = curId)),
+        properties = cur.properties +
+          (PartitionSpecCodec.Property -> PartitionSpecCodec.encode(newSpec)) +
+          (PartitionSpecCodec.IdProperty -> newId.toString) +
+          (PartitionSpecCodec.HistoryProperty ->
+            PartitionSpecCodec.encodeHistory(newHist)))
     }
 
   /** CAS retry loop shared by every commit shape: per-attempt reload,

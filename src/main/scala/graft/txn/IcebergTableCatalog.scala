@@ -55,10 +55,18 @@ object IcebergTableCatalog extends TableCatalog {
   /** Table property carrying `path -> schemaId` for files written under
     * non-current schemas (JSON object; absent = every file current). */
   private[txn] val FileSchemaIdsProp = "graft.file-schema-ids"
+  /** Like [[FileSchemaIdsProp]] for PARTITION-SPEC ids: `path -> specId`
+    * for files laid out under non-current specs (absent = every file
+    * current). The graft spec history itself rides
+    * [[graft.core.PartitionSpecCodec.HistoryProperty]] as an ordinary
+    * snapshot property; metadata.json's `partition-specs` stays the
+    * empty spec-0 because the manifests carry EMPTY partition tuples —
+    * declaring fields without tuple values would mislead real readers. */
+  private[txn] val FileSpecIdsProp = "graft.file-spec-ids"
   /** Marks a metadata file whose `schemas` array is a REAL graft schema
     * history (vs the single inferred schema a history-less table gets). */
   private[txn] val SchemaHistoryProp = "graft.schema-history"
-  private val InternalProps = Set(FileSchemaIdsProp, SchemaHistoryProp)
+  private val InternalProps = Set(FileSchemaIdsProp, FileSpecIdsProp, SchemaHistoryProp)
 
   private val MetadataFile = "^v(\\d+)\\.metadata\\.json$".r
 
@@ -119,6 +127,15 @@ object IcebergTableCatalog extends TableCatalog {
       schemaIdByPath.get(path).flatMap(idToTypeBySchema.get)
         .getOrElse(currentIdToType)
 
+    // per-file PARTITION-SPEC ids ride the same property mechanism as
+    // schema ids; files absent from the map are current-spec
+    val specIdByPath: Map[String, Long] =
+      props.get(FileSpecIdsProp).map { json =>
+        val n = parse(json)
+        n.fieldNames().asScala.map(k => k -> n.get(k).asLong).toMap
+      }.getOrElse(Map.empty)
+    val curSpecId = props.get(graft.core.PartitionSpecCodec.IdProperty)
+      .map(_.toLong).getOrElse(0L)
     val files =
       if (snapId < 0) Nil
       else {
@@ -128,8 +145,10 @@ object IcebergTableCatalog extends TableCatalog {
             s"current-snapshot-id $snapId not in snapshots list of $p"))
         readManifestList(snap.get("manifest-list").asText, idToNameFor,
             idToTypeFor)
-          .map(f => f.copy(schemaId = schemaIdByPath.getOrElse(f.path,
-            if (schemas.nonEmpty) schemaId else -1L)))
+          .map(f => f.copy(
+            schemaId = schemaIdByPath.getOrElse(f.path,
+              if (schemas.nonEmpty) schemaId else -1L),
+            specId = specIdByPath.getOrElse(f.path, curSpecId)))
       }
     val committedAt = (for {
       snaps <- Option(doc.get("snapshots"))
@@ -583,6 +602,13 @@ object IcebergTableCatalog extends TableCatalog {
           .foreach(f => ids.put(f.path, f.schemaId))
         if (ids.size > 0) props.put(FileSchemaIdsProp, ids.toString)
       }
+      // per-file partition-spec ids for files under non-current specs
+      val curSpecId = graft.core.PartitionSpecCodec.currentId(Some(snapshot))
+      val specIds = newObject()
+      snapshot.files
+        .filter(f => f.specId >= 0 && f.specId != curSpecId)
+        .foreach(f => specIds.put(f.path, f.specId))
+      if (specIds.size > 0) props.put(FileSpecIdsProp, specIds.toString)
       doc.put("current-snapshot-id", snapshotId)
       val snaps = doc.putArray("snapshots")
       prevDoc.foreach(_.get("snapshots").elements().asScala.foreach(snaps.add))

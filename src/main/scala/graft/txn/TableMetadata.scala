@@ -41,6 +41,15 @@ final case class FileEntry(
     /** Schema id this file was written under (see
       * [[graft.core.FileScanTask.schemaId]]); stamped by the commit. */
     schemaId: Long = -1L,
+    /** PARTITION-SPEC id this file was written under (the Iceberg
+      * per-file spec-id model): after a partition-spec evolution,
+      * pruning consults each file's OWN spec — comparing a bucket(8)
+      * ordinal against a file laid out under bucket(4) would silently
+      * drop matching files. Stamped by the commit from the snapshot's
+      * current spec id; -1 in memory = "stamp me"; files persisted
+      * before this field existed reload as 0 (Jackson primitive
+      * default), which correctly names the table's FIRST spec. */
+    specId: Long = -1L,
     /** Per-column `[lo, hi]` footer bounds stamped at WRITE time (the
       * Iceberg-manifest model): scan planning prunes files from snapshot
       * METADATA alone instead of one footer round-trip per file per
