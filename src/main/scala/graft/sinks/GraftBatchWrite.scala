@@ -85,14 +85,16 @@ object GraftBatchWrite {
       files: Seq[(String, Long)],
       writeDir: String,
       namePrefix: String = "",
-      attemptSweepPrefix: String = "_attempt-"): Seq[FileEntry] = {
+      attemptSweepPrefix: String = "_attempt-",
+      sketches: Map[String, Map[String, String]] = Map.empty): Seq[FileEntry] = {
     val entries = files.sortBy(_._1).map { case (attemptPath, rowCount) =>
       val name = attemptPath.substring(attemptPath.lastIndexOf('/') + 1)
       val target = s"$writeDir/$namePrefix$name"
       if (!FileIO.rename(attemptPath, target))
         throw CompactionError.Io(s"failed to publish $attemptPath -> $target")
       graft.sources.ParquetStats.stampBounds(
-        FileEntry(target, "data", FileIO.fileLength(target), rowCount, -1L))
+        FileEntry(target, "data", FileIO.fileLength(target), rowCount, -1L,
+          ndvSketch = sketches.getOrElse(attemptPath, Map.empty)))
     }
     FileIO.listDirectories(writeDir)
       .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith(attemptSweepPrefix))
@@ -204,7 +206,11 @@ final class GraftWriteBuilder(
   }
 }
 
-final case class GraftCommitMessage(files: Seq[(String, Long)])
+final case class GraftCommitMessage(
+    files: Seq[(String, Long)],
+    /** attempt path -> column -> serialized [[graft.core.NdvSketch]]
+      * stamped while the rows streamed through the writer. */
+    sketches: Map[String, Map[String, String]] = Map.empty)
     extends WriterCommitMessage
 
 final class GraftDsv2BatchWrite(
@@ -231,9 +237,10 @@ final class GraftDsv2BatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.toSeq.map(_.asInstanceOf[GraftCommitMessage])
     val entries = GraftBatchWrite.publishWinners(
-      messages.toSeq.flatMap(_.asInstanceOf[GraftCommitMessage].files),
-      writeDir)
+      msgs.flatMap(_.files), writeDir,
+      sketches = msgs.flatMap(_.sketches).toMap)
     // an overwrite of zero rows still truncates; a plain append of
     // zero rows commits nothing
     if (entries.isEmpty && !overwriteAll) { FileIO.deleteRecursive(writeDir); return }
@@ -348,6 +355,8 @@ final class GraftFanoutDataWriter(
 
   // files of writers already evicted and finalized (see MaxOpenWriters)
   private val closedFiles = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  private val closedSketches =
+    scala.collection.mutable.Map.empty[String, Map[String, String]]
   private var generation = 0
 
   override def write(row: InternalRow): Unit = {
@@ -362,7 +371,9 @@ final class GraftFanoutDataWriter(
       // generation marker keeps recreated writers' file names unique.
       if (writers.size >= GraftFanoutDataWriter.MaxOpenWriters) {
         val (oldKey, oldW) = writers.head
-        closedFiles ++= oldW.commit().asInstanceOf[GraftCommitMessage].files
+        val m = oldW.commit().asInstanceOf[GraftCommitMessage]
+        closedFiles ++= m.files
+        closedSketches ++= m.sketches
         writers.remove(oldKey)
       }
       generation += 1
@@ -375,9 +386,12 @@ final class GraftFanoutDataWriter(
     w.write(row)
   }
 
-  override def commit(): WriterCommitMessage =
-    GraftCommitMessage(closedFiles.toSeq ++ writers.values.toSeq.flatMap(
-      _.commit().asInstanceOf[GraftCommitMessage].files))
+  override def commit(): WriterCommitMessage = {
+    val ms = writers.values.toSeq.map(_.commit().asInstanceOf[GraftCommitMessage])
+    GraftCommitMessage(
+      closedFiles.toSeq ++ ms.flatMap(_.files),
+      closedSketches.toMap ++ ms.flatMap(_.sketches))
+  }
 
   override def abort(): Unit = {
     writers.values.foreach(w => try w.abort() catch { case _: Throwable => () })
@@ -424,14 +438,16 @@ final class GraftStreamingWrite(
     val cur = catalog.loadOrThrow(tableDir)
     val replayed = cur.properties.get(marker).flatMap(_.toLongOption)
       .exists(_ >= epochId)
-    val files = messages.toSeq.flatMap(_.asInstanceOf[GraftCommitMessage].files)
+    val msgs = messages.toSeq.map(_.asInstanceOf[GraftCommitMessage])
+    val files = msgs.flatMap(_.files)
     if (replayed || files.isEmpty) {
       dropEpochAttempts(epochId)
       return
     }
     // epoch prefix keeps names unique across the query's lifetime
     val entries = GraftBatchWrite.publishWinners(files, writeDir,
-      namePrefix = s"e$epochId-", attemptSweepPrefix = s"_attempt-e$epochId-")
+      namePrefix = s"e$epochId-", attemptSweepPrefix = s"_attempt-e$epochId-",
+      sketches = msgs.flatMap(_.sketches).toMap)
     // schemaId from build/validate time (see GraftDsv2BatchWrite.commit):
     // the query writes the schema it was planned with for its whole
     // lifetime, so an ALTER TABLE mid-query aborts the next epoch
@@ -520,6 +536,17 @@ final class GraftDataWriter(
   private var bytesAtCheck = 0L
   private var bytesPerRow = 256.0
 
+  // per-file NDV sketches over the eligible columns, accumulated as
+  // the rows stream through (graft.core.NdvSketch — one unsigned-min
+  // set per column, a few ns per value)
+  private val sketchSlots: Array[(Int, org.apache.spark.sql.types.DataType)] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if graft.core.NdvSketch.eligible(f.dataType) => (i, f.dataType)
+    }
+  private var sketchAccs: Array[graft.core.NdvSketch.Acc] = _
+  private val sketches =
+    scala.collection.mutable.Map.empty[String, Map[String, String]]
+
   private def newWriter(): Unit = {
     curPath = s"$attemptDir/${namePrefix}part-$partitionId-$fileIdx.parquet"
     val conf = new Configuration(taskConf)
@@ -533,11 +560,16 @@ final class GraftDataWriter(
     rowsSinceCheck = 0
     bytesAtCheck = 0L
     fileIdx += 1
+    sketchAccs = Array.fill(sketchSlots.length)(new graft.core.NdvSketch.Acc)
   }
 
   private def closeCurrent(): Unit = if (writer != null) {
     writer.close()
     files += ((curPath, rowsInWriter))
+    if (sketchSlots.nonEmpty)
+      sketches(curPath) = sketchSlots.zip(sketchAccs).map {
+        case ((i, _), acc) => schema.fields(i).name -> acc.serialize
+      }.toMap
     writer = null
   }
 
@@ -553,13 +585,32 @@ final class GraftDataWriter(
       } else { rowsSinceCheck = 0; bytesAtCheck = writer.getDataSize }
     }
     writer.write(ExactRollingWriter.rowToGroup(factory, schema, row))
+    var s = 0
+    while (s < sketchSlots.length) {
+      val (i, dt) = sketchSlots(s)
+      if (!row.isNullAt(i)) {
+        import org.apache.spark.sql.types._
+        val h = dt match {
+          case LongType    => graft.core.NdvSketch.hashLong(row.getLong(i))
+          case IntegerType | DateType =>
+            graft.core.NdvSketch.hashLong(row.getInt(i).toLong)
+          case ShortType   => graft.core.NdvSketch.hashLong(row.getShort(i).toLong)
+          case ByteType    => graft.core.NdvSketch.hashLong(row.getByte(i).toLong)
+          case StringType  =>
+            graft.core.NdvSketch.hashBytes(row.getUTF8String(i).getBytes)
+          case _           => 0L // unreachable: slots are pre-filtered
+        }
+        sketchAccs(s).add(h)
+      }
+      s += 1
+    }
     rowsInWriter += 1
     rowsSinceCheck += 1
   }
 
   override def commit(): WriterCommitMessage = {
     closeCurrent()
-    GraftCommitMessage(files.toSeq)
+    GraftCommitMessage(files.toSeq, sketches.toMap)
   }
 
   override def abort(): Unit = {

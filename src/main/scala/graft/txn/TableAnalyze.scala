@@ -94,8 +94,9 @@ object TableAnalyze {
           throw CompactionError.StaleRewrite(
             "table files changed while analyzing; re-run analyze_table")) { cur =>
         // validate ran first, so cur's file set IS the scanned one —
-        // any NDVs cur carries for it are exact and safe to merge under
-        merged = currentNdv(cur) ++ fresh
+        // any EXACT NDVs cur carries for it are safe to merge under
+        // (sketch estimates must never be committed as exact counts)
+        merged = exactNdv(cur) ++ fresh
         (Map(
           NdvProp -> mapper.writeValueAsString(merged),
           FilesHashProp -> scannedHash), Set.empty)
@@ -103,8 +104,17 @@ object TableAnalyze {
     merged
   }
 
+  /** NDVs for the planner: the ANALYZED exact counts while still valid
+    * for `snap`'s file set, else the write-time sketch merge
+    * ([[sketchNdv]]) — which survives appends, the case the hard exact
+    * guard (rightly) invalidates. */
+  def currentNdv(snap: TableSnapshot): Map[String, Long] = {
+    val exact = exactNdv(snap)
+    if (exact.nonEmpty) exact else sketchNdv(snap)
+  }
+
   /** The committed NDVs, ONLY while still exact for `snap`'s file set. */
-  def currentNdv(snap: TableSnapshot): Map[String, Long] =
+  def exactNdv(snap: TableSnapshot): Map[String, Long] =
     (snap.properties.get(NdvProp), snap.properties.get(FilesHashProp)) match {
       case (Some(json), Some(hash)) if hash == fileSetHash(snap) =>
         try {
@@ -114,4 +124,27 @@ object TableAnalyze {
         } catch { case _: Exception => Map.empty }
       case _ => Map.empty
     }
+
+  /** Append-surviving NDV from the WRITE-TIME sketches
+    * ([[graft.core.NdvSketch]]): merge each column's per-file sketches
+    * across the current data files. Served ONLY when
+    *  - NO delete file exists (a sketch describes its file's contents;
+    *    hidden rows would make the merge overstate live NDV, which
+    *    undersizes join outputs — the dangerous direction), and
+    *  - EVERY data file carries a sketch for the column (an unsketched
+    *    file would silently undercount).
+    * Deletes, rewrites through non-sketching writers, and pre-feature
+    * files therefore hard-cut to "no statistic", exactly like the
+    * analyze guard — never a wrong number. */
+  def sketchNdv(snap: TableSnapshot): Map[String, Long] = {
+    val data = snap.files.filter(_.content == "data")
+    if (data.isEmpty || snap.files.exists(_.content != "data")) Map.empty
+    else {
+      val cols = data.map(_.ndvSketch.keySet).reduce(_ intersect _)
+      cols.flatMap { c =>
+        graft.core.NdvSketch.estimate(data.map(_.ndvSketch(c)).toSeq)
+          .map(c -> _)
+      }.toMap
+    }
+  }
 }

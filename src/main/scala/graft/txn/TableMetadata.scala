@@ -74,6 +74,15 @@ final case class FileEntry(
       * incremented when truncated, so it stays a valid upper bound).
       * Consumers compare candidate UTF-8 bytes unsigned. */
     stringBounds: Map[String, Seq[String]] = Map.empty,
+    /** Per-column KMV distinct-count sketches stamped by the ROW-LEVEL
+      * writers ([[graft.core.NdvSketch]]): base64 of the K smallest
+      * distinct unsigned xxHash64 values of the column IN THIS FILE.
+      * Merged at plan time into an append-surviving table NDV
+      * ([[TableAnalyze.sketchNdv]]). Empty = unsketched (pre-feature
+      * file, Spark-native write, or ineligible column types) — which
+      * DISABLES the sketch estimate for the whole table rather than
+      * undercounting. */
+    ndvSketch: Map[String, String] = Map.empty,
     /** Deletion-vector entries only (content "deletion-vectors"): the
       * one data file this vector's ordinals reference, and the blob's
       * byte address inside the Puffin container at `path` (Iceberg v3
@@ -193,6 +202,7 @@ object TableMetadata {
       if (e.decimalBounds == null) e = e.copy(decimalBounds = Map.empty)
       if (e.nullCounts == null) e = e.copy(nullCounts = Map.empty)
       if (e.stringBounds == null) e = e.copy(stringBounds = Map.empty)
+      if (e.ndvSketch == null) e = e.copy(ndvSketch = Map.empty)
       if (e.referencedDataFile == null) e = e.copy(referencedDataFile = None)
       e
     })

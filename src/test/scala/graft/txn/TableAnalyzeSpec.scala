@@ -37,14 +37,18 @@ class TableAnalyzeSpec extends AnyFunSuite {
     if (cs == null) java.util.OptionalLong.empty() else cs.distinctCount()
   }
 
-  test("analyze publishes NDVs; any commit invalidates them exactly") {
+  test("analyze publishes NDVs; appends fall back to sketches; " +
+    "deletes hard-cut") {
     sql("CREATE NAMESPACE IF NOT EXISTS gan.db")
     sql("CREATE TABLE gan.db.t (id BIGINT, grp STRING)")
     sql("""INSERT INTO gan.db.t
           |SELECT id, concat('g', CAST(id % 37 AS STRING)) FROM range(0, 5000)""".stripMargin)
     val dir = s"$wh/db/t"
-    // un-analyzed: no distinct counts
-    assert(!ndvOf(dir, "grp").isPresent)
+    // un-analyzed: the WRITE-TIME sketches already serve a distinct
+    // count — exact for grp (37 < K distinct hashes survive the merge)
+    val preAnalyze = ndvOf(dir, "grp")
+    assert(preAnalyze.isPresent && preAnalyze.getAsLong == 37L,
+      s"sub-K sketch merge must be exact, got $preAnalyze")
     val res = sql("CALL gan.system.analyze_table(`table` => 'db.t')")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // HLL++ at 1% rsd on 37/5000 distincts is exact or near-exact
@@ -52,15 +56,29 @@ class TableAnalyzeSpec extends AnyFunSuite {
     assert(math.abs(res("id") - 5000L) <= 100)
     val served = ndvOf(dir, "grp")
     assert(served.isPresent && math.abs(served.getAsLong - 37L) <= 1)
-    // string column entry exists even without integral bounds
-    // an append makes the stats stale -> suppressed, not served wrong
+    // an append invalidates the EXACT stats (hard hash guard), but the
+    // sketch merge — which includes the new file — still serves, so an
+    // actively-loaded table keeps NDVs without re-analyzing (r7 gap)
     sql("INSERT INTO gan.db.t VALUES (5000, 'brand-new-group')")
+    val afterAppend = ndvOf(dir, "grp")
+    assert(afterAppend.isPresent && afterAppend.getAsLong == 38L,
+      s"append must serve the sketch-merged count, got $afterAppend")
+    assert(TableAnalyze.exactNdv(FileTableCatalog.loadOrThrow(dir)).isEmpty,
+      "the exact stats must be invalidated by the append")
+    // id has > K distincts -> KMV estimate, rsd ~ 1/sqrt(128)
+    val idNdv = ndvOf(dir, "id")
+    assert(idNdv.isPresent &&
+      math.abs(idNdv.getAsLong - 5001L) <= 5001L / 4,
+      s"KMV estimate out of tolerance: $idNdv")
+    // a DELETE hides rows the sketches still describe -> hard cut, no
+    // statistic at all rather than an overstated one
+    sql("DELETE FROM gan.db.t WHERE grp = 'brand-new-group'")
     assert(!ndvOf(dir, "grp").isPresent,
-      "stale NDVs must not reach the planner")
-    // re-analyze restores, with the new group counted
+      "deletes must suppress both exact and sketch NDVs")
+    // re-analyze restores the exact path
     sql("CALL gan.system.analyze_table(`table` => 'db.t', columns => 'grp')")
     val again = ndvOf(dir, "grp")
-    assert(again.isPresent && math.abs(again.getAsLong - 38L) <= 1)
+    assert(again.isPresent && math.abs(again.getAsLong - 37L) <= 1)
   }
 
   test("pruned scans suppress table-level NDVs") {
