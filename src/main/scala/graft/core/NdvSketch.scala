@@ -66,6 +66,12 @@ object NdvSketch {
 
   def deserialize(b64: String): Array[Long] = {
     val bytes = java.util.Base64.getDecoder.decode(b64)
+    // a payload that is not whole longs is CORRUPT — reject it so the
+    // estimate disables ("malformed must disable, never skew"), rather
+    // than silently dropping the tail and undercounting
+    if (bytes.length % 8 != 0)
+      throw new IllegalArgumentException(
+        s"ndv sketch payload of ${bytes.length} bytes is not whole longs")
     val bb = java.nio.ByteBuffer.wrap(bytes)
     Array.fill(bytes.length / 8)(bb.getLong)
   }

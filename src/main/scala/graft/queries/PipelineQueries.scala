@@ -79,16 +79,12 @@ object PipelineQueries {
         numHashes = 32, bandSize = 4, thresholdX1000 = 500, hashKind = "xx")
       .orderBy("a_id", "b_id")
 
-  /** SimHash distance is a function OF the hash (no verify stage can
-    * make it hash-independent), so the certified xx-simhash query runs
-    * on the planted corpus where the true pair set is known by
-    * construction — [[dedupSimhashXxPlanted]] IS the `dedup_simhash_xx`
-    * entry. The real-corpus xx form stays exercised (and differential-
-    * checked against md5 geometry) in HashDifferentialSpec. */
-  def dedupSimhashXx(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(documents(spark, dir), "doc_id", "text", "lang",
-        maxDistance = 6, hashKind = "xx")
-      .orderBy("a_id", "b_id")
+  // SimHash distance is a function OF the hash (no verify stage can
+  // make it hash-independent), so the certified `dedup_simhash_xx`
+  // entry is [[dedupSimhashXxPlanted]] — the corpus whose true pair
+  // set is known by construction. The real-corpus xx form stays
+  // exercised (and differential-checked against md5 geometry) in
+  // HashDifferentialSpec, which calls Dedup.simhashPairs directly.
 
   /** Planted-truth corpus for REAL checks of the xx-hash twins: DuckDB
     * cannot replay seeded xxh64, but it can verify the pipeline's OUTPUT

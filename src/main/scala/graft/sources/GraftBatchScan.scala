@@ -768,6 +768,13 @@ final class GraftScan(
     * partSpec for every file on a never-evolved table). */
   private lazy val specForFile: FileEntry => Seq[graft.core.PartitionTransform] =
     graft.core.PartitionSpecCodec.specForFile(Some(snap))
+  /** Whether ANY spec can prune here: the current one, or — after an
+    * evolution to unpartitioned — an OLD spec some files still carry
+    * (their partitioned names prune under their own layout even though
+    * the current spec is empty). */
+  private lazy val anySpecPrunes: Boolean =
+    partSpec.nonEmpty ||
+      snap.properties.contains(graft.core.PartitionSpecCodec.HistoryProperty)
   private lazy val colTypes: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
   /** String columns eligible for byte-bound pruning — the ONE shared
@@ -786,7 +793,7 @@ final class GraftScan(
     // transform-aware partition pruning first: name-parse only, no IO;
     // per-file spec resolution handles spec-evolved tables
     val partPruned =
-      if (partSpec.isEmpty || pushedEqCandidates.isEmpty) data
+      if (!anySpecPrunes || pushedEqCandidates.isEmpty) data
       else PartitionPruning.prunePerFile(data, specForFile,
         pushedEqCandidates, colTypes)
     val boundsPruned =
@@ -1113,7 +1120,7 @@ final class GraftScan(
     // (raw candidate values — string/date identity sources prune here
     // even though footer stats cannot compare them)
     val afterInSets =
-      if (partSpec.isEmpty || runtimeEqCandidates.isEmpty) afterInSets0
+      if (!anySpecPrunes || runtimeEqCandidates.isEmpty) afterInSets0
       else PartitionPruning.prunePerFile(afterInSets0, specForFile,
         runtimeEqCandidates, colTypes)
     // _file group filter is EXACT — empty set means no group matched

@@ -65,8 +65,13 @@ object TableReader {
       // DSv2 path): name-parse only, zero IO — a bucket point lookup
       // keeps one bucket's files before any footer is fetched
       val spec = graft.core.PartitionSpecCodec.of(Some(snap))
+      // a spec HISTORY means old files may still prune under their own
+      // layout even when the CURRENT spec is empty (evolved to
+      // unpartitioned)
+      val anySpecPrunes = spec.nonEmpty ||
+        snap.properties.contains(graft.core.PartitionSpecCodec.HistoryProperty)
       val cands: Map[String, Seq[Any]] =
-        if (spec.isEmpty) Map.empty
+        if (!anySpecPrunes) Map.empty
         else ScanPruning.equalityCandidates(p)
       val partPruned =
         if (cands.isEmpty || !snap.files.exists(_.content == "data")) snap.files

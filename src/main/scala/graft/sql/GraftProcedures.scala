@@ -345,10 +345,8 @@ private[sql] object GraftProcedures {
         .evolvePartitionSpec(spec, expectedSchemaId = snap.schemaId)
       localScan(out, Array(InternalRow(
         graft.core.PartitionSpecCodec.currentId(Some(committed)),
-        UTF8String.fromString(
-          graft.core.PartitionSpecCodec.of(Some(committed))
-            .map(t => graft.core.PartitionSpecCodec.encode(Seq(t)))
-            .mkString("|")))),
+        UTF8String.fromString(graft.core.PartitionSpecCodec.encode(
+          graft.core.PartitionSpecCodec.of(Some(committed)))))),
         s"evolve_partition_spec($dir)")
     }
   }

@@ -248,12 +248,7 @@ final class CommitManager(
         * create_tag's duplicate check must not race a concurrent tag. */
       validate: TableSnapshot => Unit = _ => ()
   ): TableSnapshot =
-    commitLoop(expectedSchemaId) { cur =>
-      validate(cur)
-      cur.copy(
-        version = cur.version + 1,
-        properties = cur.properties ++ set -- unset)
-    }
+    updateTableProperties(expectedSchemaId, validate)(_ => (set, unset))
 
   /** Property commit whose NEW values are computed from each attempt's
     * reloaded snapshot INSIDE the CAS loop — for read-merge-write

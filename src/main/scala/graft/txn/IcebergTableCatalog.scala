@@ -63,10 +63,16 @@ object IcebergTableCatalog extends TableCatalog {
     * empty spec-0 because the manifests carry EMPTY partition tuples —
     * declaring fields without tuple values would mislead real readers. */
   private[txn] val FileSpecIdsProp = "graft.file-spec-ids"
+  /** `path -> {column -> sketch}` write-time NDV sketches
+    * ([[graft.core.NdvSketch]]) — without this round-trip the feature
+    * would be silently inert on iceberg-format tables while writers
+    * still paid the per-row hashing. */
+  private[txn] val FileNdvSketchesProp = "graft.file-ndv-sketches"
   /** Marks a metadata file whose `schemas` array is a REAL graft schema
     * history (vs the single inferred schema a history-less table gets). */
   private[txn] val SchemaHistoryProp = "graft.schema-history"
-  private val InternalProps = Set(FileSchemaIdsProp, FileSpecIdsProp, SchemaHistoryProp)
+  private val InternalProps =
+    Set(FileSchemaIdsProp, FileSpecIdsProp, FileNdvSketchesProp, SchemaHistoryProp)
 
   private val MetadataFile = "^v(\\d+)\\.metadata\\.json$".r
 
@@ -134,6 +140,15 @@ object IcebergTableCatalog extends TableCatalog {
         val n = parse(json)
         n.fieldNames().asScala.map(k => k -> n.get(k).asLong).toMap
       }.getOrElse(Map.empty)
+    val sketchesByPath: Map[String, Map[String, String]] =
+      props.get(FileNdvSketchesProp).map { json =>
+        val n = parse(json)
+        n.fieldNames().asScala.map { p =>
+          val cols = n.get(p)
+          p -> cols.fieldNames().asScala
+            .map(c => c -> cols.get(c).asText).toMap
+        }.toMap
+      }.getOrElse(Map.empty)
     val curSpecId = props.get(graft.core.PartitionSpecCodec.IdProperty)
       .map(_.toLong).getOrElse(0L)
     val files =
@@ -148,7 +163,8 @@ object IcebergTableCatalog extends TableCatalog {
           .map(f => f.copy(
             schemaId = schemaIdByPath.getOrElse(f.path,
               if (schemas.nonEmpty) schemaId else -1L),
-            specId = specIdByPath.getOrElse(f.path, curSpecId)))
+            specId = specIdByPath.getOrElse(f.path, curSpecId),
+            ndvSketch = sketchesByPath.getOrElse(f.path, Map.empty)))
       }
     val committedAt = (for {
       snaps <- Option(doc.get("snapshots"))
@@ -609,6 +625,13 @@ object IcebergTableCatalog extends TableCatalog {
         .filter(f => f.specId >= 0 && f.specId != curSpecId)
         .foreach(f => specIds.put(f.path, f.specId))
       if (specIds.size > 0) props.put(FileSpecIdsProp, specIds.toString)
+      // per-file write-time NDV sketches
+      val sketches = newObject()
+      snapshot.files.filter(_.ndvSketch.nonEmpty).foreach { f =>
+        val cols = sketches.putObject(f.path)
+        f.ndvSketch.toSeq.sortBy(_._1).foreach { case (c, s) => cols.put(c, s) }
+      }
+      if (sketches.size > 0) props.put(FileNdvSketchesProp, sketches.toString)
       doc.put("current-snapshot-id", snapshotId)
       val snaps = doc.putArray("snapshots")
       prevDoc.foreach(_.get("snapshots").elements().asScala.foreach(snaps.add))

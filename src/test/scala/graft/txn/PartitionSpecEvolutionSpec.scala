@@ -173,10 +173,16 @@ class PartitionSpecEvolutionSpec extends AnyFunSuite {
     val hist = Map(
       0L -> PartitionSpecCodec.decode("identity:v"),
       1L -> PartitionSpecCodec.decode("bucket:4:id"))
+    val sketch = {
+      val acc = new NdvSketch.Acc
+      (1L to 10L).foreach(v => acc.add(NdvSketch.hashLong(v)))
+      acc.serialize
+    }
     IcebergTableCatalog.commitCas(dir, TableSnapshot(1, 1, 1,
       files = Seq(
         FileEntry(f1, "data", new java.io.File(f1).length(), 1L,
-          sequenceNumber = 1, specId = 0L)),
+          sequenceNumber = 1, specId = 0L,
+          ndvSketch = Map("id" -> sketch))),
       properties = Map(
         PartitionSpecCodec.Property -> "bucket:4:id",
         PartitionSpecCodec.IdProperty -> "1",
@@ -186,5 +192,9 @@ class PartitionSpecEvolutionSpec extends AnyFunSuite {
       s"non-current spec id must round-trip, got ${loaded.files.head.specId}")
     assert(PartitionSpecCodec.currentId(Some(loaded)) == 1L)
     assert(PartitionSpecCodec.history(Some(loaded)) == hist)
+    // write-time NDV sketches survive the iceberg-format round-trip
+    // too (else the feature would be silently inert on these tables)
+    assert(loaded.files.head.ndvSketch == Map("id" -> sketch))
+    assert(TableAnalyze.sketchNdv(loaded) == Map("id" -> 10L))
   }
 }
