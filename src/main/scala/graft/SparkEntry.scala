@@ -38,6 +38,7 @@ object SparkEntry {
       ("sql_merge_mor" -> (graft.queries.SqlCatalogQuery.runMergeMor _)) +
       ("sql_merge_dv" -> (graft.queries.SqlCatalogQuery.runMergeDv _)) +
       ("stream_tail_dv" -> (graft.queries.StreamTailQuery.runDv _)) +
+      ("stream_upsert" -> (graft.queries.UpsertStreamQuery.run _)) +
       ("sql_partitioned" -> (graft.queries.SqlCatalogQuery.runPartitioned _)) +
       ("sql_overwrite_dynamic" -> (graft.queries.SqlCatalogQuery.runInsertOverwriteDynamic _)) +
       ("sql_partition_evolution" -> (graft.queries.SqlCatalogQuery.runPartitionEvolution _)) +
@@ -77,6 +78,7 @@ object SparkEntry {
       ("sql_merge_mor" -> graft.queries.SqlCatalogQuery.mergeOracle) +
       ("sql_merge_dv" -> graft.queries.SqlCatalogQuery.mergeOracle) +
       ("stream_tail_dv" -> graft.queries.StreamTailQuery.dvOracle) +
+      ("stream_upsert" -> graft.queries.UpsertStreamQuery.oracle) +
       ("sql_partitioned" -> graft.queries.SqlCatalogQuery.partitionedOracle) +
       ("sql_overwrite_dynamic" -> graft.queries.SqlCatalogQuery.insertOverwriteDynamicOracle) +
       ("sql_partition_evolution" -> graft.queries.SqlCatalogQuery.partitionEvolutionOracle) +

@@ -85,4 +85,50 @@ object StreamingIngest {
         setProperties = Map(LastBatchIdProp -> batchId.toString))
     }
   }
+
+  /** CDC/upsert foreachBatch sink (the Flink→Iceberg upsert pattern,
+    * and the write shape that PRODUCES the equality deletes the
+    * reference's compaction exists to fold): each micro-batch commits,
+    * in ONE atomic snapshot,
+    *  - an equality-delete file over the batch's keys (killing any
+    *    OLDER row with the same key — `data.seq < delete.seq`), and
+    *  - the batch's rows as data files at that same sequence number,
+    *    which therefore survive their own delete.
+    * Rows whose `deleteFlagCol` is true are CDC deletes: their keys
+    * join the delete file, no data row lands. Replay-idempotent via
+    * the same [[LastBatchIdProp]] marker as [[batchWriter]]. A key
+    * must appear at most once per batch (CDC batches are keyed
+    * changelogs); two versions of one key in one batch would BOTH
+    * survive, since a commit's delete never applies to its own rows. */
+  def upsertWriter(
+      tableDir: String,
+      schemaId: Long,
+      keyCols: Seq[String],
+      deleteFlagCol: Option[String] = None,
+      config: CompactionConfig = CompactionConfig(),
+      retry: RetryConfig = RetryConfig(),
+      catalog: TableCatalog = FileTableCatalog
+  ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    import org.apache.spark.sql.functions.col
+    val cur = catalog.load(tableDir).getOrElse {
+      val v1 = TableSnapshot(version = 1, schemaId = schemaId,
+        lastSequenceNumber = 0, files = Nil)
+      try catalog.commitCas(tableDir, v1)
+      catch { case _: CompactionError.CommitConflict => () } // raced: fine
+      catalog.loadOrThrow(tableDir)
+    }
+    val committed = cur.properties.get(LastBatchIdProp).map(_.toLong)
+    if (!committed.exists(batchId <= _)) {
+      val (ups, dels) = deleteFlagCol match {
+        case None => (batch, None)
+        case Some(f) => (
+          batch.filter(!col(f)).drop(f),
+          Some(batch.filter(col(f)).select(keyCols.map(col): _*)))
+      }
+      graft.txn.TableWrites.upsert(tableDir, ups, keyCols,
+        config = config, retry = retry, catalog = catalog,
+        deleteKeys = dels,
+        setProperties = Map(LastBatchIdProp -> batchId.toString))
+    }
+  }
 }

@@ -136,7 +136,14 @@ object TableWrites {
       keyCols: Seq[String],
       config: CompactionConfig = CompactionConfig(),
       retry: RetryConfig = RetryConfig(),
-      catalog: TableCatalog = FileTableCatalog
+      catalog: TableCatalog = FileTableCatalog,
+      /** Additional keys to DELETE in the same commit (CDC delete rows,
+        * key columns only) — disjoint from the upsert keys in a sane
+        * change batch; a key in both simply resolves to the upsert. */
+      deleteKeys: Option[DataFrame] = None,
+      /** Properties committed ATOMICALLY with the batch (e.g. the
+        * streaming replay marker). */
+      setProperties: Map[String, String] = Map.empty
   ): TableSnapshot = {
     require(keyCols.nonEmpty, "keyCols must name at least one column")
     requirePrimitiveKeys(rows, keyCols)
@@ -151,17 +158,22 @@ object TableWrites {
     // that disagree with the committed data rows — reading the landed
     // bytes back (key columns only, column-pruned scan of this batch)
     // makes the pair consistent by construction
-    val landed = rows.sparkSession.read.parquet(dataFiles.map(_._1): _*)
+    val landed =
+      if (dataFiles.isEmpty) rows.limit(0) // delete-only batch
+      else rows.sparkSession.read.parquet(dataFiles.map(_._1): _*)
+    val delKeySets = deleteKeys.toSeq.map(_.select(keyCols.map(col): _*)) :+
+      landed.select(keyCols.map(col): _*)
     val keyFiles = writeParquet(
-      landed.select(keyCols.map(col): _*).distinct(),
+      delKeySets.reduce(_ unionByName _).distinct(),
       s"$tableDir/data/upsert-del-$tag", config.parquetCompression)
     new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
       keyFiles.map { case (p, len, rc) =>
         FileEntry(p, "equality-deletes", len, rc, -1L, equalityIds = keyCols)
-      } ++ dataFiles.map { case (p, len, rc) =>
+      } ++ dataFiles.filter(_._3 > 0).map { case (p, len, rc) =>
         graft.sources.ParquetStats.stampBounds(FileEntry(p, "data", len, rc, -1L))
       },
-      expectedSchemaId = cur.schemaId)
+      expectedSchemaId = cur.schemaId,
+      setProperties = setProperties)
   }
 
   /** Append a POSITION delete: `positions` must carry

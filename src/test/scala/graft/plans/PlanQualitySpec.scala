@@ -240,4 +240,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchange.contains("region") && exchange.contains("id"),
       s"exchange must cluster on BOTH partition sources: $exchange")
   }
+
+  test("spec-evolved table: identity filter prunes OLD-spec files only, " +
+    "new-layout files stay (end-to-end task count)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-pevo").toString
+    spark.conf.set("spark.sql.catalog.gpev", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gpev.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpev.db")
+    spark.sql("""CREATE TABLE gpev.db.e (id BIGINT, region STRING)
+                |PARTITIONED BY (region)""".stripMargin)
+    // spec 0: one file per region value
+    spark.sql("""INSERT INTO gpev.db.e
+                |SELECT id, CAST(id % 3 AS STRING) FROM range(0, 300)""".stripMargin)
+    spark.sql("CALL gpev.system.evolve_partition_spec(" +
+      "`table` => 'db.e', spec => 'bucket:4:id')")
+    // spec 1: bucket files, no region field in their names
+    spark.sql("""INSERT INTO gpev.db.e
+                |SELECT id, CAST(id % 3 AS STRING) FROM range(300, 600)""".stripMargin)
+    def partsOf(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec in plan")).partitions.size
+    val all = partsOf(spark.table("gpev.db.e"))
+    val filtered = partsOf(spark.table("gpev.db.e").filter("region = '1'"))
+    // the filter prunes the spec-0 region-partitioned files by NAME
+    // alone, while every spec-1 bucket file (whose layout cannot answer
+    // a region predicate) must survive — per-file spec resolution
+    assert(filtered < all,
+      s"expected spec-0 region pruning to drop tasks ($filtered vs $all)")
+    val snap = graft.txn.FileTableCatalog.loadOrThrow(s"$wh/db/e")
+    val spec1Files = snap.files.count(f => f.content == "data" && f.specId == 1L)
+    assert(spec1Files > 0, "fixture must hold new-layout files")
+    assert(filtered >= spec1Files,
+      s"new-layout files must not be pruned by a region filter " +
+        s"($filtered tasks < $spec1Files spec-1 files)")
+    // correctness alongside the shape
+    assert(spark.table("gpev.db.e").filter("region = '1'").count() == 200L)
+  }
 }
