@@ -1160,8 +1160,17 @@ final class GraftScan(
         dataSeq = d.sequenceNumber,
         posDeletes = posDeletesFor(d),
         dv = dvByData.get(ScanPlanner.normalizePath(d.path)),
-        eqDeletes = eqFiles.filter(_.sequenceNumber > d.sequenceNumber)
-          .map(e => EqDeleteSpec(e.path, e.sequenceNumber, keyColsFor(e),
+        eqDeletes = eqFiles.filter { e =>
+          // key-bounds skipping (metadata-only): a delete whose stamped
+          // key range provably misses this file's rows never ships to
+          // the task. ONLY when both files are current-schema — an
+          // evolved table's names may alias across schema versions.
+          def schemaSafe(f: FileEntry) =
+            snap.schemas.isEmpty || f.schemaId < 0 || f.schemaId == snap.schemaId
+          e.sequenceNumber > d.sequenceNumber &&
+            (!(schemaSafe(e) && schemaSafe(d)) ||
+              ScanPruning.eqDeleteMayApply(e, d))
+        }.map(e => EqDeleteSpec(e.path, e.sequenceNumber, keyColsFor(e),
             e.sizeBytes)),
         columnMap = columnMapFor(d),
         filters = taskFilters

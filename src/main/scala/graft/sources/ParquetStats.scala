@@ -246,7 +246,11 @@ object ParquetStats {
     * planning-side pruning never needs the footer again. An unreadable
     * footer leaves the entry unstamped (planning falls back). */
   def stampBounds(e: graft.txn.FileEntry): graft.txn.FileEntry =
-    if (e.content != "data") e
+    // data files: full stamps. Equality-delete files: KEY bounds, so
+    // the scan can skip a delete for tasks whose data range provably
+    // misses it (ScanPruning.eqDeleteMayApply). Other delete shapes
+    // carry positions, not values — nothing to stamp.
+    if (e.content != "data" && e.content != "equality-deletes") e
     else
       try {
         val facts = fileFacts(e.path)

@@ -268,6 +268,41 @@ object ScanPruning {
     data.filter(keep) ++ deletes
   }
 
+  /** Can the keys in equality-delete file `del` possibly match any row
+    * of data file `data`? False ONLY when some key column's stamped
+    * bounds are provably disjoint in both files (ALL key columns must
+    * match for a delete to hit, so one disjoint column suffices) —
+    * metadata-only, no footer reads; a missing stamp keeps the delete.
+    * The 100 TB case this exists for: a hot CDC/upsert table
+    * accumulates an equality-delete file per batch between delete
+    * conversions, and without bounds skipping EVERY task loads EVERY
+    * newer delete file — O(tasks x delete files) — even when a
+    * delete's keys land entirely in one file's range. String bounds
+    * stay provable under Iceberg truncation: the stamped lo is a
+    * prefix (<= the true min) and the stamped hi is incremented
+    * (>= the true max), so lo-beyond-hi comparisons only widen. */
+  def eqDeleteMayApply(del: graft.txn.FileEntry,
+      data: graft.txn.FileEntry): Boolean = {
+    import graft.txn.FileEntry
+    def intDisjoint(c: String): Boolean = (for {
+      (dl, dh) <- FileEntry.loHi(del.bounds.getOrElse(c, Nil))
+      (al, ah) <- FileEntry.loHi(data.bounds.getOrElse(c, Nil))
+    } yield dl > ah || dh < al).getOrElse(false)
+    def strDisjoint(c: String): Boolean = {
+      val dec = java.util.Base64.getDecoder
+      (del.stringBounds.get(c).map(_.toSeq),
+        data.stringBounds.get(c).map(_.toSeq)) match {
+        case (Some(Seq(dl, dh)), Some(Seq(al, ah))) =>
+          try {
+            ParquetStats.unsignedLt(dec.decode(ah), dec.decode(dl)) ||
+              ParquetStats.unsignedLt(dec.decode(dh), dec.decode(al))
+          } catch { case _: IllegalArgumentException => false }
+        case _ => false
+      }
+    }
+    !del.equalityIds.exists(c => intDisjoint(c) || strDisjoint(c))
+  }
+
   /** v + d clamped at the Long range (a wrap would flip a strict bound
     * at Long.MaxValue into a keep-nothing constraint). */
   private def saturatingAdd(v: Long, d: Long): Long = {

@@ -359,7 +359,12 @@ object IcebergTableCatalog extends TableCatalog {
     val fieldType = fields.map(f => f.name -> f.typ).toMap
     val boundsByPath = scala.collection.mutable.Map[String, Map[String, (Long, Long)]]()
     val counted = snapshot.files.map { f =>
-      val wantBounds = f.content == "data" && boundCols.nonEmpty
+      // equality-delete files keep their key bounds too: the scan's
+      // per-task delete skipping (ScanPruning.eqDeleteMayApply) must
+      // survive an Iceberg-catalog round-trip like data bounds do
+      val wantBounds =
+        (f.content == "data" || f.content == "equality-deletes") &&
+          boundCols.nonEmpty
       // write-time stamps (FileEntry.bounds) satisfy the manifest bound
       // maps without re-opening the footer at commit time; only
       // unstamped entries (adopted files) still pay the read

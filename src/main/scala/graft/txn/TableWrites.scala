@@ -111,8 +111,12 @@ object TableWrites {
       outDir, config.parquetCompression)
     new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
       files.map { case (p, len, rc) =>
-        FileEntry(p, "equality-deletes", len, rc, -1L,
-          equalityIds = equalityIds)
+        // stamped key bounds let the scan SKIP this delete for tasks
+        // whose data range provably misses it (ScanPruning
+        // .eqDeleteMayApply)
+        graft.sources.ParquetStats.stampBounds(
+          FileEntry(p, "equality-deletes", len, rc, -1L,
+            equalityIds = equalityIds))
       },
       expectedSchemaId = cur.schemaId)
   }
@@ -168,7 +172,8 @@ object TableWrites {
       s"$tableDir/data/upsert-del-$tag", config.parquetCompression)
     new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
       keyFiles.map { case (p, len, rc) =>
-        FileEntry(p, "equality-deletes", len, rc, -1L, equalityIds = keyCols)
+        graft.sources.ParquetStats.stampBounds(
+          FileEntry(p, "equality-deletes", len, rc, -1L, equalityIds = keyCols))
       } ++ dataFiles.filter(_._3 > 0).map { case (p, len, rc) =>
         graft.sources.ParquetStats.stampBounds(FileEntry(p, "data", len, rc, -1L))
       },

@@ -107,6 +107,74 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(out.count() == 0 && out.columns.toSeq == Seq("id", "v"))
   }
 
+  test("eqDeleteMayApply: stamped key bounds prove disjointness, " +
+    "missing stamps keep the delete") {
+    def data(bounds: Map[String, Seq[Long]],
+        str: Map[String, Seq[String]] = Map.empty) =
+      FileEntry("/t/data/d.parquet", "data", 1L, 1L, 1L,
+        bounds = bounds, stringBounds = str)
+    def del(ids: Seq[String], bounds: Map[String, Seq[Long]],
+        str: Map[String, Seq[String]] = Map.empty) =
+      FileEntry("/t/data/e.parquet", "equality-deletes", 1L, 1L, 2L,
+        equalityIds = ids, bounds = bounds, stringBounds = str)
+    import ScanPruning.eqDeleteMayApply
+    // integral disjoint -> skip; overlap -> keep
+    assert(!eqDeleteMayApply(
+      del(Seq("id"), Map("id" -> Seq(1000L, 1100L))),
+      data(Map("id" -> Seq(1L, 100L)))))
+    assert(eqDeleteMayApply(
+      del(Seq("id"), Map("id" -> Seq(90L, 1100L))),
+      data(Map("id" -> Seq(1L, 100L)))))
+    // missing stamps on either side -> keep (conservative)
+    assert(eqDeleteMayApply(
+      del(Seq("id"), Map.empty), data(Map("id" -> Seq(1L, 100L)))))
+    assert(eqDeleteMayApply(
+      del(Seq("id"), Map("id" -> Seq(1000L, 1100L))), data(Map.empty)))
+    // multi-key: ONE provably-disjoint column suffices to skip
+    assert(!eqDeleteMayApply(
+      del(Seq("id", "v"), Map("id" -> Seq(1L, 100L), "v" -> Seq(900L, 999L))),
+      data(Map("id" -> Seq(1L, 100L), "v" -> Seq(1L, 10L)))))
+    // string key bounds (base64 raw bytes, unsigned order)
+    val b64 = java.util.Base64.getEncoder
+    def sb(lo: String, hi: String) = Seq(
+      b64.encodeToString(lo.getBytes("UTF-8")),
+      b64.encodeToString(hi.getBytes("UTF-8")))
+    assert(!eqDeleteMayApply(
+      del(Seq("k"), Map.empty, Map("k" -> sb("x", "z"))),
+      data(Map.empty, Map("k" -> sb("a", "c")))))
+    assert(eqDeleteMayApply(
+      del(Seq("k"), Map.empty, Map("k" -> sb("b", "z"))),
+      data(Map.empty, Map("k" -> sb("a", "c")))))
+  }
+
+  test("DSv2: eq-delete files ship only to tasks their key range can hit") {
+    val dir = Files.createTempDirectory("prune-eqskip").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    import spark.implicits._
+    graft.txn.TableWrites.appendData(dir,
+      (1L to 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    graft.txn.TableWrites.appendData(dir,
+      (1000L to 1100L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    graft.txn.TableWrites.appendEqualityDeletes(dir,
+      (1000L to 1004L).toDF("id"), Seq("id"))
+    val snap = graft.txn.FileTableCatalog.loadOrThrow(dir)
+    val loPath = snap.files.find(f => f.content == "data" &&
+      graft.txn.FileEntry.loHi(f.bounds("id")).exists(_._2 <= 100L)).get.path
+    val parts = new GraftScanBuilder(dir,
+        spark.read.format("graft").load(dir).schema, None,
+        graft.txn.FileTableCatalog, "1", skipDeletes = false)
+      .build().toBatch.planInputPartitions()
+      .map(_.asInstanceOf[GraftMorPartition])
+    val lo = parts.find(_.dataPath == loPath).get
+    val hi = parts.find(_.dataPath != loPath).get
+    assert(lo.eqDeletes.isEmpty,
+      s"delete keys [1000,1004] cannot hit rows [1,100]: ${lo.eqDeletes}")
+    assert(hi.eqDeletes.size == 1,
+      s"the delete must still ship to the file it can hit: ${hi.eqDeletes}")
+    // and the skipping is an IO optimization, never a semantic one
+    assert(spark.read.format("graft").load(dir).count() == 196L)
+  }
+
   test("DSv2: fully-pruned scan plans ZERO input partitions") {
     val dir = Files.createTempDirectory("prune-dsv2").toString
     val f1 = writeFile((1L to 10L).map(i => (i, s"a$i")), s"$dir/data/f1.parquet")

@@ -80,13 +80,19 @@ class RestTableCatalogSpec extends AnyFunSuite {
       assert(cat.load(t).isEmpty && cat.versions(t).isEmpty)
       cat.commitCas(t, TableSnapshot(1, 1, 0, Nil))
       cat.commitCas(t, TableSnapshot(2, 1, 1,
-        Seq(FileEntry("/warehouse/db/orders/data/a.parquet", "data", 10, 5, 1))))
+        Seq(FileEntry("/warehouse/db/orders/data/a.parquet", "data", 10, 5, 1,
+          specId = 3L, ndvSketch = Map("id" -> "AAAAAAAAAAE=")))))
       intercept[CompactionError.CommitConflict] {
         cat.commitCas(t, TableSnapshot(2, 1, 1, Nil))
       }
       assert(cat.versions(t) == Seq(1L, 2L))
       val cur = cat.loadOrThrow(t)
       assert(cur.version == 2L && cur.files.head.recordCount == 5L)
+      // per-file spec ids and NDV sketches ride the snapshot JSON wire
+      // format unchanged — layout evolution and append-surviving stats
+      // work against a network catalog too
+      assert(cur.files.head.specId == 3L)
+      assert(cur.files.head.ndvSketch == Map("id" -> "AAAAAAAAAAE="))
       assert(cat.loadVersion(t, 1).exists(_.files.isEmpty))
       cat.deleteVersion(t, 1)
       assert(cat.versions(t) == Seq(2L))
