@@ -115,7 +115,7 @@ object NdvSketch {
     import org.apache.spark.sql.types._
     dt match {
       case LongType | IntegerType | ShortType | ByteType | DateType |
-           StringType => true
+           TimestampType | TimestampNTZType | StringType => true
       case _ => false
     }
   }

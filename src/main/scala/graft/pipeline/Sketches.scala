@@ -63,4 +63,63 @@ object Sketches {
     override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
     override def outputEncoder: Encoder[KmvResult] = Encoders.product[KmvResult]
   }
+
+  /** EXACT heavy hitters via SpaceSaving candidates + recount — the
+    * vocabulary/domain-frequency shape a 100 TB pipeline needs without
+    * ever shuffling the full value cardinality:
+    *
+    *  1. each partition keeps a SpaceSaving summary of `capacityFactor
+    *     * denom` counters — by the summary's guarantee, any value with
+    *     local count > n_p/cap is tracked, and by averaging, a value
+    *     with GLOBAL count >= N/denom must exceed n_p/(factor*denom)
+    *     locally in at least one partition, so the union of summaries
+    *     is a PROVEN SUPERSET of the true heavy hitters (eviction
+    *     tie-breaking may add noise candidates, never lose a true one);
+    *  2. the bounded candidate set (<= cap * partitions values)
+    *     broadcast-semi-joins the input and ONE aggregation recounts
+    *     exactly — shuffle width is the candidate count, not the
+    *     vocabulary.
+    *
+    * Output: values whose exact count * denom >= N, with their exact
+    * counts — deterministic and engine-replayable (the candidate
+    * phase's nondeterministic tie-breaks cannot reach the output). */
+  def heavyHitters(
+      df: org.apache.spark.sql.DataFrame,
+      valueCol: String,
+      /** Frequency threshold as 1/denom of the total row count. */
+      denom: Int,
+      capacityFactor: Int = 2
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(denom > 0 && capacityFactor > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("string").as("v"))
+    val total = vals.count()
+    val cap = denom * capacityFactor
+    val cands = vals.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        counts.get(v) match {
+          case Some(c) => counts(v) = c + 1
+          case None =>
+            if (counts.size < cap) counts(v) = 1L
+            else {
+              // classic SpaceSaving eviction: the new value inherits
+              // the minimum counter + 1 (overestimates, never loses)
+              val (mk, mc) = counts.minBy(_._2)
+              counts.remove(mk)
+              counts(v) = mc + 1
+            }
+        }
+      }
+      counts.keysIterator
+    }.toDF("v").distinct()
+    vals
+      .join(broadcast(cands), Seq("v"), "left_semi")
+      .groupBy("v")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * denom >= total)
+      .select(col("v").as(valueCol), col("cnt"))
+  }
 }

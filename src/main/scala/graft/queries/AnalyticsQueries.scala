@@ -111,6 +111,19 @@ object AnalyticsQueries {
       .orderBy(col("freq").desc, col("term").asc)
       .limit(20)
 
+  /** Exact vocabulary heavy hitters (count >= 1/500 of all tokens) via
+    * SpaceSaving candidates + broadcast-semi-join recount
+    * ([[graft.pipeline.Sketches.heavyHitters]]) — never shuffles the
+    * full vocabulary; the oracle recomputes the same set exactly with
+    * a plain GROUP BY ... HAVING, certifying the candidate phase's
+    * superset guarantee end-to-end. */
+  def heavyHittersQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sketches.heavyHitters(
+      t(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term")),
+      "term", denom = 500)
+      .orderBy("term")
+
   /** Multi-level rollup of the pricing aggregate: (flag, status), (flag),
     * and grand total in one pass — Spark's partial-aggregate rollup. */
   def rollupPricing(spark: SparkSession, dir: String): DataFrame =
@@ -252,6 +265,13 @@ object AnalyticsQueries {
       """SELECT term, count(*) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20""".stripMargin,
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, count(*) AS cnt FROM toks
+        |GROUP BY term
+        |HAVING count(*) * 500 >= (SELECT count(*) FROM toks)
+        |ORDER BY term""".stripMargin,
     "rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,
@@ -287,6 +307,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "set_ops" -> (setOps _),
     "vocab_topk" -> (vocabTopK _),
+    "heavy_hitters" -> (heavyHittersQuery _),
     "rollup_pricing" -> (rollupPricing _),
     "agg_pricing" -> (aggPricing _),
     "join_revenue" -> (joinRevenue _),

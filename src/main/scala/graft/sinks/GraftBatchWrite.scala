@@ -591,7 +591,8 @@ final class GraftDataWriter(
       if (!row.isNullAt(i)) {
         import org.apache.spark.sql.types._
         val h = dt match {
-          case LongType    => graft.core.NdvSketch.hashLong(row.getLong(i))
+          case LongType | TimestampType | TimestampNTZType =>
+            graft.core.NdvSketch.hashLong(row.getLong(i))
           case IntegerType | DateType =>
             graft.core.NdvSketch.hashLong(row.getInt(i).toLong)
           case ShortType   => graft.core.NdvSketch.hashLong(row.getShort(i).toLong)

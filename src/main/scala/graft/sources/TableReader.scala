@@ -92,7 +92,21 @@ object TableReader {
       val (pr, keep) = partPruned.partition(prunable)
       ScanPruning.pruneDataFiles(pr, p) ++ keep
     }
-    val tasks = ScanPlanner.toInputTasks(files.map(_.toTask))
+    // equality-delete files whose stamped key bounds provably miss
+    // EVERY retained data file (or that no older data file exists for)
+    // never join the plan — the read-path twin of the DSv2 per-task
+    // skipping. READ ONLY: compaction keeps all delete files in its
+    // tasks because its commit must REMOVE their paths. Schema-evolved
+    // entries keep every delete (names may alias across versions).
+    val filesEq = {
+      val dataF = files.filter(_.content == "data")
+      files.filter { f =>
+        f.content != "equality-deletes" || !prunable(f) ||
+          dataF.exists(d => d.sequenceNumber < f.sequenceNumber &&
+            (!prunable(d) || ScanPruning.eqDeleteMayApply(f, d)))
+      }
+    }
+    val tasks = ScanPlanner.toInputTasks(filesEq.map(_.toTask))
     if (tasks.dataFiles.isEmpty) {
       if (!snap.files.exists(_.content == "data")) None
       else {

@@ -58,4 +58,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(s.reduce(b, 99L) eq b) // no allocation on the fast path
     assert(s.reduce(b, 2L) eq b)  // duplicate
   }
+
+  test("heavy hitters: exact output at the threshold boundary, under " +
+    "heavy unique-value noise") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    // total 10_000 rows, denom 100 -> threshold count 100:
+    //  - "hotA" exactly 100 times (AT the threshold -> included)
+    //  - "hotB" exactly 99 times (just below -> excluded)
+    //  - "hotC" 800 times (clear hitter)
+    //  - 9_001 unique fillers that keep every partition summary churning
+    val rows =
+      Seq.fill(100)("hotA") ++ Seq.fill(99)("hotB") ++ Seq.fill(800)("hotC") ++
+        (1 to 9001).map(i => s"filler_$i")
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Tuple1(_)), 16))
+      .toDF("term")
+    val out = Sketches.heavyHitters(df, "term", denom = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("hotA" -> 100L, "hotC" -> 800L),
+      s"expected exact boundary semantics, got $out")
+  }
 }
