@@ -88,38 +88,70 @@ object Sketches {
       valueCol: String,
       /** Frequency threshold as 1/denom of the total row count. */
       denom: Int,
+      /** Summary over-capacity. MUST be >= 2: at exactly 1, a value
+        * sitting precisely AT the threshold (which the final filter
+        * includes) could evade every partition summary — the superset
+        * proof needs strict inequality headroom. */
       capacityFactor: Int = 2
   ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    require(denom > 0 && capacityFactor > 0)
+    require(denom > 0, "denom must be positive")
+    require(capacityFactor >= 2,
+      "capacityFactor must be >= 2 to preserve the candidate superset " +
+        "guarantee at the threshold boundary")
+    val cap = math.toIntExact(denom.toLong * capacityFactor)
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = df.select(col(valueCol).cast("string").as("v"))
-    val total = vals.count()
-    val cap = denom * capacityFactor
-    val cands = vals.as[String].mapPartitions { it =>
-      val counts = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { v =>
-        counts.get(v) match {
-          case Some(c) => counts(v) = c + 1
-          case None =>
-            if (counts.size < cap) counts(v) = 1L
-            else {
-              // classic SpaceSaving eviction: the new value inherits
-              // the minimum counter + 1 (overestimates, never loses)
-              val (mk, mc) = counts.minBy(_._2)
-              counts.remove(mk)
-              counts(v) = mc + 1
-            }
+    // three passes share one materialization (count, candidates,
+    // recount) — on a 100 TB exploded-token input, re-deriving the
+    // values each pass would triple the dominant scan cost
+    val vals = df.select(col(valueCol).cast("string").as("v")).persist()
+    try {
+      val total = vals.count()
+      val cands = vals.as[String].mapPartitions { it =>
+        // SpaceSaving with count-bucketed eviction: counts only grow by
+        // 1, so buckets form a non-decreasing ladder and evicting from
+        // the lowest bucket is O(1) amortized — a minBy scan per miss
+        // would cost O(cap) per row on unique-heavy noise
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        val buckets = scala.collection.mutable
+          .TreeMap.empty[Long, scala.collection.mutable.Set[String]]
+        def bucketAdd(v: String, c: Long): Unit =
+          buckets.getOrElseUpdate(c, scala.collection.mutable.Set.empty) += v
+        def bucketRemove(v: String, c: Long): Unit = {
+          val b = buckets(c)
+          b -= v
+          if (b.isEmpty) buckets.remove(c)
         }
-      }
-      counts.keysIterator
-    }.toDF("v").distinct()
-    vals
-      .join(broadcast(cands), Seq("v"), "left_semi")
-      .groupBy("v")
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * denom >= total)
-      .select(col("v").as(valueCol), col("cnt"))
+        it.foreach { v =>
+          counts.get(v) match {
+            case Some(c) =>
+              counts(v) = c + 1
+              bucketRemove(v, c); bucketAdd(v, c + 1)
+            case None =>
+              if (counts.size < cap) { counts(v) = 1L; bucketAdd(v, 1L) }
+              else {
+                // classic SpaceSaving: the new value inherits the
+                // minimum counter + 1 (overestimates, never loses)
+                val (mc, keys) = buckets.head
+                val mk = keys.head
+                bucketRemove(mk, mc)
+                counts.remove(mk)
+                counts(v) = mc + 1
+                bucketAdd(v, mc + 1)
+              }
+          }
+        }
+        counts.keysIterator
+      }.toDF("v").distinct()
+      vals
+        .join(broadcast(cands), Seq("v"), "left_semi")
+        .groupBy("v")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * denom >= total)
+        .select(col("v").as(valueCol), col("cnt"))
+        // materialize before unpersist drops the shared input
+        .localCheckpoint(eager = true)
+    } finally vals.unpersist()
   }
 }

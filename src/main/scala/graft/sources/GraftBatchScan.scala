@@ -757,8 +757,7 @@ final class GraftScan(
     * [[TableReader.readOption]]); older files always survive. */
   private def pruneGuarded(data: Seq[FileEntry],
       prune: Seq[FileEntry] => Seq[FileEntry]): Seq[FileEntry] = {
-    val (pr, keep) = data.partition(f =>
-      snap.schemas.isEmpty || f.schemaId < 0 || f.schemaId == snap.schemaId)
+    val (pr, keep) = data.partition(snap.isCurrentSchema)
     prune(pr) ++ keep
   }
 
@@ -1165,10 +1164,8 @@ final class GraftScan(
           // key range provably misses this file's rows never ships to
           // the task. ONLY when both files are current-schema — an
           // evolved table's names may alias across schema versions.
-          def schemaSafe(f: FileEntry) =
-            snap.schemas.isEmpty || f.schemaId < 0 || f.schemaId == snap.schemaId
           e.sequenceNumber > d.sequenceNumber &&
-            (!(schemaSafe(e) && schemaSafe(d)) ||
+            (!(snap.isCurrentSchema(e) && snap.isCurrentSchema(d)) ||
               ScanPruning.eqDeleteMayApply(e, d))
         }.map(e => EqDeleteSpec(e.path, e.sequenceNumber, keyColsFor(e),
             e.sizeBytes)),

@@ -58,8 +58,7 @@ object TableReader {
     // stats are keyed by PHYSICAL column names, so on an evolved table
     // only current-schema files are pruned (an old file could alias a
     // since-renamed name onto a different logical column).
-    val prunable = (f: graft.txn.FileEntry) =>
-      snap.schemas.isEmpty || f.schemaId < 0 || f.schemaId == snap.schemaId
+    val prunable = (f: graft.txn.FileEntry) => snap.isCurrentSchema(f)
     val files = filter.fold(snap.files) { p =>
       // transform-aware partition pruning FIRST (the API twin of the
       // DSv2 path): name-parse only, zero IO — a bucket point lookup

@@ -109,7 +109,7 @@ object StreamingIngest {
       retry: RetryConfig = RetryConfig(),
       catalog: TableCatalog = FileTableCatalog
   ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val cur = catalog.load(tableDir).getOrElse {
       val v1 = TableSnapshot(version = 1, schemaId = schemaId,
         lastSequenceNumber = 0, files = Nil)
@@ -121,9 +121,13 @@ object StreamingIngest {
     if (!committed.exists(batchId <= _)) {
       val (ups, dels) = deleteFlagCol match {
         case None => (batch, None)
-        case Some(f) => (
-          batch.filter(!col(f)).drop(f),
-          Some(batch.filter(col(f)).select(keyCols.map(col): _*)))
+        case Some(f) =>
+          // NULL flag = "not a delete" (Debezium-style feeds leave the
+          // flag null on plain upserts) — a bare !col(f) would evaluate
+          // to null and silently drop the row from BOTH branches
+          val isDelete = coalesce(col(f), lit(false))
+          (batch.filter(isDelete === false).drop(f),
+            Some(batch.filter(isDelete === true).select(keyCols.map(col): _*)))
       }
       graft.txn.TableWrites.upsert(tableDir, ups, keyCols,
         config = config, retry = retry, catalog = catalog,

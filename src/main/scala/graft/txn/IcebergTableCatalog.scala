@@ -371,8 +371,12 @@ object IcebergTableCatalog extends TableCatalog {
       val stamped: Map[String, (Long, Long)] =
         f.bounds.flatMap { case (c, v) =>
           if (boundCols.contains(c)) FileEntry.loHi(v).map(c -> _) else None }
-      if (wantBounds && stamped.nonEmpty) {
-        boundsByPath(f.path) = stamped
+      // a file with ANY write-time stamp (integral OR string-only, e.g.
+      // a string-keyed equality delete) skips the footer re-read — else
+      // every commit would re-open every prior stringly-stamped delete
+      // file, O(batches^2) over a CDC table's life
+      if (wantBounds && (stamped.nonEmpty || f.stringBounds.nonEmpty)) {
+        if (stamped.nonEmpty) boundsByPath(f.path) = stamped
         if (f.recordCount >= 0) f
         else f.copy(recordCount = graft.txn.TableWrites.parquetRowCount(f.path))
       } else if (f.recordCount >= 0 && !wantBounds) f

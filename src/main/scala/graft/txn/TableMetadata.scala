@@ -157,6 +157,14 @@ final case class TableSnapshot(
 ) {
   def currentSchema: Option[graft.core.TableSchema] =
     schemas.find(_.schemaId == schemaId)
+
+  /** Whether `f`'s physical column names mean what the CURRENT schema
+    * says — the guard every name-keyed optimization (bounds pruning,
+    * eq-delete skipping) must consult on an evolved table. Legacy ids
+    * (-1) are trustworthy only because evolve-commits stamp every file
+    * they leave behind ([[CommitManager.evolveSchema]]). */
+  def isCurrentSchema(f: FileEntry): Boolean =
+    schemas.isEmpty || f.schemaId < 0 || f.schemaId == schemaId
 }
 
 object TableMetadata {

@@ -170,8 +170,11 @@ object TableWrites {
     val keyFiles = writeParquet(
       delKeySets.reduce(_ unionByName _).distinct(),
       s"$tableDir/data/upsert-del-$tag", config.parquetCompression)
+    // zero-record files (empty batch, empty part files) never commit:
+    // an rc==0 delete file has no bounds, so planning could never skip
+    // it and every task would pay a footer read for a no-op
     new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
-      keyFiles.map { case (p, len, rc) =>
+      keyFiles.filter(_._3 > 0).map { case (p, len, rc) =>
         graft.sources.ParquetStats.stampBounds(
           FileEntry(p, "equality-deletes", len, rc, -1L, equalityIds = keyCols))
       } ++ dataFiles.filter(_._3 > 0).map { case (p, len, rc) =>
