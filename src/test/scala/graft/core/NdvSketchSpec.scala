@@ -52,5 +52,31 @@ class NdvSketchSpec extends AnyFunSuite {
   test("malformed sketches disable the estimate instead of skewing it") {
     assert(NdvSketch.estimate(Seq("not-base64!!")).isEmpty)
     assert(NdvSketch.estimate(Nil).contains(0L))
+    // a payload that is not whole longs is corrupt, not truncatable
+    val valid = {
+      val acc = new NdvSketch.Acc
+      (1L to 200L).foreach(v => acc.add(NdvSketch.hashLong(v)))
+      acc.serialize
+    }
+    val torn = java.util.Base64.getEncoder.encodeToString(
+      java.util.Base64.getDecoder.decode(valid).take(20))
+    assert(NdvSketch.estimate(Seq(torn)).isEmpty,
+      "torn sketch must disable the estimate, never undercount")
+  }
+
+  test("sketch hashes match Spark's xxhash64 expression (the documented " +
+    "SQL-producer contract)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val longs = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue)
+    val sqlLong = longs.toDF("v").selectExpr("xxhash64(v) AS h")
+      .as[Long].collect().toSeq
+    assert(sqlLong == longs.map(NdvSketch.hashLong),
+      "hashLong must equal xxhash64(BIGINT) so a SQL producer can merge")
+    val strs = Seq("", "a", "doc-42", "über", "多字节")
+    val sqlStr = strs.toDF("v").selectExpr("xxhash64(v) AS h")
+      .as[Long].collect().toSeq
+    assert(sqlStr == strs.map(s => NdvSketch.hashBytes(s.getBytes("UTF-8"))),
+      "hashBytes must equal xxhash64(STRING) over the UTF-8 bytes")
   }
 }

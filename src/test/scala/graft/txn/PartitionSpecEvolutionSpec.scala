@@ -122,6 +122,23 @@ class PartitionSpecEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("spec-history codec round-trips arbitrary specs") {
+    val rng = new scala.util.Random(5)
+    def transform(): PartitionTransform = rng.nextInt(4) match {
+      case 0 => IdentityTransform(s"c${rng.nextInt(5)}")
+      case 1 => BucketTransform(rng.nextInt(64) + 1, s"c${rng.nextInt(5)}")
+      case 2 => TruncateTransform(rng.nextInt(40) + 1, s"c${rng.nextInt(5)}")
+      case 3 => DayTransform(s"c${rng.nextInt(5)}")
+    }
+    (1 to 200).foreach { _ =>
+      val hist = (0L to rng.nextInt(4).toLong).map(id =>
+        id -> Seq.fill(rng.nextInt(3))(transform()).toSeq).toMap
+      val enc = PartitionSpecCodec.encodeHistory(hist)
+      assert(PartitionSpecCodec.decodeHistory(enc) == hist,
+        s"history codec must round-trip: $hist via '$enc'")
+    }
+  }
+
   test("compaction migrates old-spec files to the current layout") {
     val dir = Files.createTempDirectory("graft-pevo-compact").toString
     FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
