@@ -123,7 +123,8 @@ final class Compaction(
           removedPaths = removed,
           expectedSchemaId = snap.schemaId,
           startingSequenceNumber = startingSeq,
-          useStartingSequenceNumber = config.useStartingSequenceNumber)
+          useStartingSequenceNumber = config.useStartingSequenceNumber,
+          sketches = outputSketches(snap, removed, written, config))
 
       // validate (V1). Fanout data files carry every original column
       // (the writer partitions by mirrored __p_ columns), so committed
@@ -159,6 +160,47 @@ final class Compaction(
         throw e
     } finally
       metrics.observeDuration(labels, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** NDV sketches for the rewrite's output files, or empty when the
+    * pass shouldn't run (see [[CompactionConfig.sketchOutputs]]).
+    *
+    * AUTO rule — sketch only when it keeps the table's NDV statistic
+    * serviceable ([[graft.txn.TableAnalyze.sketchNdv]] needs EVERY data
+    * file sketched): every surviving (kept) data file already carries a
+    * sketch, and at least one current data file does (so a table that
+    * never had sketches pays nothing). Because a full compaction also
+    * folds delete files away, this is the path that RESTORES the
+    * statistic a delete-heavy table had lost.
+    *
+    * Safety: the pass reads the output files back (column-pruned to the
+    * eligible columns); a path Spark reports that is NOT one of the
+    * written files means the spelling normalization drifted — stamp
+    * NOTHING rather than risk keying a sketch to the wrong file. A
+    * written file with no observed rows legitimately sketches EMPTY for
+    * every eligible column (zero rows or all nulls). */
+  private def outputSketches(snap: graft.txn.TableSnapshot,
+      removed: Set[String], written: Seq[DataFileMeta],
+      config: CompactionConfig): Map[String, Map[String, String]] = {
+    val data = snap.files.filter(_.content == "data")
+    val kept = data.filterNot(f => removed.contains(f.path))
+    val run = config.sketchOutputs.getOrElse(
+      kept.forall(_.ndvSketch.nonEmpty) && data.exists(_.ndvSketch.nonEmpty))
+    if (!run || written.isEmpty) return Map.empty
+    val res = graft.core.NdvSketch.sketchFiles(spark, written.map(_.filePath))
+    if (res.columns.isEmpty) return Map.empty
+    val byNorm = res.byPath.map { case (p, m) =>
+      ScanPlanner.normalizePath(p) -> m
+    }
+    val writtenNorm = written.map(m => ScanPlanner.normalizePath(m.filePath)).toSet
+    if (byNorm.keySet.exists(!writtenNorm.contains(_))) return Map.empty
+    val empty = res.columns.map(_ ->
+      graft.core.NdvSketch.serialize(Array.empty[Long])).toMap
+    written.map { m =>
+      m.filePath ->
+        (empty ++ byNorm.getOrElse(ScanPlanner.normalizePath(m.filePath),
+          Map.empty[String, String]))
+    }.toMap
   }
 
   /** Merge-on-read live rows for the given tasks (steps 3-4) — shared

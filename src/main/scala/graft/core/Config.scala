@@ -75,7 +75,15 @@ final case class CompactionConfig(
     sortBy: Seq[SortField] = Nil,
     /** Full rewrites everything (reference behavior); Incremental
       * selects only the small-file backlog (see [[CompactionType]]). */
-    compactionType: CompactionType = CompactionType.Full
+    compactionType: CompactionType = CompactionType.Full,
+    /** Stamp write-time NDV sketches ([[NdvSketch]]) onto the rewrite's
+      * output files via a second column-pruned read. None = AUTO: run
+      * the pass only when the table's surviving files keep full sketch
+      * coverage (so compaction PRESERVES — or, by folding away delete
+      * files, RESTORES — the append-surviving NDV statistic) and skip
+      * the cost entirely for tables that never had sketches.
+      * Some(true)/Some(false) force either way. */
+    sketchOutputs: Option[Boolean] = None
 ) {
   require(batchParallelism > 0, "batchParallelism must be > 0")
   require(targetPartitions > 0, "targetPartitions must be > 0")

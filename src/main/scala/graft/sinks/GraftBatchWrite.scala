@@ -588,21 +588,8 @@ final class GraftDataWriter(
     var s = 0
     while (s < sketchSlots.length) {
       val (i, dt) = sketchSlots(s)
-      if (!row.isNullAt(i)) {
-        import org.apache.spark.sql.types._
-        val h = dt match {
-          case LongType | TimestampType | TimestampNTZType =>
-            graft.core.NdvSketch.hashLong(row.getLong(i))
-          case IntegerType | DateType =>
-            graft.core.NdvSketch.hashLong(row.getInt(i).toLong)
-          case ShortType   => graft.core.NdvSketch.hashLong(row.getShort(i).toLong)
-          case ByteType    => graft.core.NdvSketch.hashLong(row.getByte(i).toLong)
-          case StringType  =>
-            graft.core.NdvSketch.hashBytes(row.getUTF8String(i).getBytes)
-          case _           => 0L // unreachable: slots are pre-filtered
-        }
-        sketchAccs(s).add(h)
-      }
+      if (!row.isNullAt(i))
+        sketchAccs(s).add(graft.core.NdvSketch.hashAt(dt, row, i))
       s += 1
     }
     rowsInWriter += 1

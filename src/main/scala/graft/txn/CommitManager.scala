@@ -33,7 +33,11 @@ final class CommitManager(
       removedPaths: Set[String],
       expectedSchemaId: Long,
       startingSequenceNumber: Long,
-      useStartingSequenceNumber: Boolean = true
+      useStartingSequenceNumber: Boolean = true,
+      /** Per-added-file NDV sketches keyed by the EXACT `filePath`
+        * spelling of `addedFiles` (see [[graft.core.NdvSketch]]); files
+        * absent from the map commit unsketched. */
+      sketches: Map[String, Map[String, String]] = Map.empty
   ): TableSnapshot =
     commitLoop(expectedSchemaId) { cur =>
       // stale-rewrite guard: every file this rewrite removes must still
@@ -60,7 +64,8 @@ final class CommitManager(
           schemaId = if (cur.schemas.nonEmpty) cur.schemaId else -1L,
           // ...and are laid out by the fanout writer under the CURRENT
           // partition spec — this is how old-spec files migrate
-          specId = PartitionSpecCodec.currentId(Some(cur)))))
+          specId = PartitionSpecCodec.currentId(Some(cur)),
+          ndvSketch = sketches.getOrElse(f.filePath, Map.empty))))
       cur.copy(
         version = cur.version + 1,
         lastSequenceNumber = math.max(cur.lastSequenceNumber, newSeq),
