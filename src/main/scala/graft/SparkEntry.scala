@@ -42,6 +42,7 @@ object SparkEntry {
       ("sql_partitioned" -> (graft.queries.SqlCatalogQuery.runPartitioned _)) +
       ("sql_overwrite_dynamic" -> (graft.queries.SqlCatalogQuery.runInsertOverwriteDynamic _)) +
       ("sql_partition_evolution" -> (graft.queries.SqlCatalogQuery.runPartitionEvolution _)) +
+      ("sql_wap" -> (graft.queries.SqlCatalogQuery.runWap _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
       ("sql_agg_meta" -> (graft.queries.SqlCatalogQuery.runAggMeta _)) +
@@ -82,6 +83,7 @@ object SparkEntry {
       ("sql_partitioned" -> graft.queries.SqlCatalogQuery.partitionedOracle) +
       ("sql_overwrite_dynamic" -> graft.queries.SqlCatalogQuery.insertOverwriteDynamicOracle) +
       ("sql_partition_evolution" -> graft.queries.SqlCatalogQuery.partitionEvolutionOracle) +
+      ("sql_wap" -> graft.queries.SqlCatalogQuery.wapOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +
       ("sql_agg_meta" -> graft.queries.SqlCatalogQuery.aggMetaOracle) +

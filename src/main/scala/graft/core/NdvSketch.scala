@@ -155,6 +155,13 @@ object NdvSketch {
     }
   }
 
+  /** [[sketchFiles]] result: the eligible columns that were sketched
+    * (a file absent from `byPath` had no rows or only nulls in them —
+    * its sketch for every listed column is legitimately EMPTY), and the
+    * per-file sketches keyed by Spark's `input_file_name` spelling. */
+  final case class FileSketches(columns: Seq[String],
+      byPath: Map[String, Map[String, String]])
+
   /** Distributed POST-HOC sketch pass over already-written parquet
     * files: one Spark job reading ONLY the sketch-eligible columns,
     * returning per-file per-column serialized sketches keyed by the
@@ -171,13 +178,6 @@ object NdvSketch {
     * ([[graft.compaction.Compaction]]). A file split across several
     * tasks yields partial sketches that [[merge]] collapses (KMV union
     * is exact). */
-  /** [[sketchFiles]] result: the eligible columns that were sketched
-    * (a file absent from `byPath` had no rows or only nulls in them —
-    * its sketch for every listed column is legitimately EMPTY), and the
-    * per-file sketches keyed by Spark's `input_file_name` spelling. */
-  final case class FileSketches(columns: Seq[String],
-      byPath: Map[String, Map[String, String]])
-
   def sketchFiles(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String]): FileSketches = {
     import org.apache.spark.sql.functions.{col, input_file_name}

@@ -123,6 +123,64 @@ object SqlCatalogQuery {
       |  AND NOT (l_orderkey <= 300 AND l_returnflag = 'R')
       |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // -------- write-audit-publish staging ---------------------------------
+
+  private val wapCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-audit-publish from SQL ([[graft.txn.Wap]]): a staged INSERT
+    * is invisible to a DELETE that runs while the stage is open, then
+    * lands intact via `CALL publish_wap`. The staged rows include
+    * `l_returnflag='A'` matches the interleaved DELETE would have
+    * killed — a hash match therefore certifies BOTH publish atomicity
+    * (no loss/duplication) and stage isolation (the delete never saw
+    * the staged rows); the setup additionally asserts the audit read
+    * and pre-publish invisibility by count. */
+  def runWap(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(wapCatalogs, dir, spark, dir,
+        "gwq", "sqlwap", "li_wap") { name =>
+      spark.sql(
+        s"""CREATE TABLE $name.db.lw (
+           |  l_orderkey BIGINT, l_linenumber INT,
+           |  l_suppkey BIGINT, l_returnflag STRING)
+           |TBLPROPERTIES('graft.wap.enabled'='true')""".stripMargin)
+      def insertThird(k: Int): Unit = spark.sql(
+        s"""INSERT INTO $name.db.lw
+           |SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+           |FROM li_wap WHERE l_orderkey % 3 = $k""".stripMargin)
+      insertThird(0)
+      val base = spark.table(s"$name.db.lw").count()
+      spark.conf.set(graft.txn.Wap.SessionConf, "audit-1")
+      try insertThird(1)
+      finally spark.conf.unset(graft.txn.Wap.SessionConf)
+      // the staged rows are invisible to the live table but complete
+      // under the audit ref
+      require(spark.table(s"$name.db.lw").count() == base,
+        "staged rows leaked into the live table")
+      val audit = spark.sql(
+        s"SELECT count(*) FROM $name.db.lw VERSION AS OF 'wap:audit-1'")
+        .head().getLong(0)
+      require(audit > base, "audit read must include the staged rows")
+      // this DELETE must not touch the staged 'A' rows it cannot see
+      spark.sql(s"DELETE FROM $name.db.lw WHERE l_returnflag = 'A'")
+      spark.sql(
+        s"CALL $name.system.publish_wap(`table` => 'db.lw', wap_id => 'audit-1')")
+      insertThird(2)
+    }
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+         |FROM $cat.db.lw
+         |ORDER BY ${outCols.mkString(", ")}""".stripMargin)
+  }
+
+  val wapOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+      |FROM lineitem
+      |WHERE (l_orderkey % 3 = 0 AND l_returnflag <> 'A')
+      |   OR l_orderkey % 3 = 1
+      |   OR l_orderkey % 3 = 2
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
+
   // -------- partition-spec evolution ------------------------------------
 
   private val pevoCatalogs =

@@ -46,6 +46,13 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftBatchWrite {
 
+  /** The session's in-flight WAP id ([[graft.txn.Wap.SessionConf]]),
+    * read driver-side at commit time (commits run on the driver, like
+    * Iceberg's `spark.wap.id` lookup). Blank unsets. */
+  def activeWapId(): Option[String] =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption(graft.txn.Wap.SessionConf).map(_.trim).filter(_.nonEmpty)
+
   /** Validate `querySchema` against the table's current state; throws
     * [[CompactionError.Config]] on any mismatch. Returns the snapshot's
     * schemaId AS OF validation — commits pass it as `expectedSchemaId`
@@ -248,6 +255,20 @@ final class GraftDsv2BatchWrite(
     // concurrent ALTER TABLE mid-write must abort the commit, not
     // stamp the files with the new schema id
     val cm = new CommitManager(tableDir, RetryConfig(), catalog = catalog)
+    // an active session wap id stages APPENDS ([[graft.txn.Wap]]);
+    // overwrites encode removals relative to the current snapshot and
+    // cannot cherry-pick safely at publish time, so they refuse rather
+    // than silently running unstaged under a wap session
+    val wapId = GraftBatchWrite.activeWapId()
+    if (wapId.isDefined && (overwriteAll || overwriteDynamic))
+      throw graft.core.CompactionError.Config(
+        s"session ${graft.txn.Wap.SessionConf} is set: only appends can be " +
+          "WAP-staged; run the overwrite without a wap id")
+    if (wapId.isDefined && catalog.eq(graft.txn.IcebergTableCatalog))
+      throw graft.core.CompactionError.Config(
+        "WAP staging is not supported on format=iceberg tables (their " +
+          "current-snapshot pointer cannot skip staged commits); use the " +
+          "native graft format")
     if (overwriteAll) cm.overwriteAll(entries, expectedSchemaId = validatedSchemaId)
     else if (overwriteDynamic) {
       // partition key of a fanout-written file, canonicalized in spec
@@ -281,7 +302,8 @@ final class GraftDsv2BatchWrite(
       cm.overwritePartitions(entries, newKeys, keyOf,
         expectedSchemaId = validatedSchemaId)
     }
-    else cm.appendFiles(entries, expectedSchemaId = validatedSchemaId)
+    else cm.appendFiles(entries, expectedSchemaId = validatedSchemaId,
+      stageWapId = wapId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -435,6 +457,14 @@ final class GraftStreamingWrite(
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // streaming epochs replay by marker, staged snapshots publish by
+    // cherry-pick — the two idempotence protocols don't compose, so a
+    // wap session refuses streaming commits outright
+    GraftBatchWrite.activeWapId().foreach { id =>
+      throw graft.core.CompactionError.Config(
+        s"session ${graft.txn.Wap.SessionConf}='$id' is set: streaming " +
+          "epochs cannot be WAP-staged; unset the wap id for this query")
+    }
     val cur = catalog.loadOrThrow(tableDir)
     val replayed = cur.properties.get(marker).flatMap(_.toLongOption)
       .exists(_ >= epochId)

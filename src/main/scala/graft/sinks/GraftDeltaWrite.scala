@@ -226,6 +226,15 @@ final class GraftDeltaBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // row-level ops (DELETE/UPDATE/MERGE) encode deletes against the
+    // current snapshot — not a cherry-pickable append — so an active
+    // wap session refuses instead of silently committing unstaged
+    GraftBatchWrite.activeWapId().foreach { id =>
+      throw CompactionError.Config(
+        s"session ${graft.txn.Wap.SessionConf}='$id' is set: row-level " +
+          "writes (DELETE/UPDATE/MERGE) cannot be WAP-staged; unset the " +
+          "wap id to run them against the live table")
+    }
     val msgs = messages.toSeq.map(_.asInstanceOf[GraftDeltaCommitMessage])
     // deletes first, sweeping only their own attempt dirs; the data
     // publish then sweeps every remaining attempt dir

@@ -67,7 +67,13 @@ object GraftCatalog {
     key == graft.core.PartitionSpecCodec.Property ||
       key == graft.core.PartitionSpecCodec.IdProperty ||
       key == graft.core.PartitionSpecCodec.HistoryProperty ||
-      key.startsWith(RefPropPrefix)
+      key.startsWith(RefPropPrefix) ||
+      // WAP bookkeeping (NOT the user-facing enable switch): forging
+      // the published map or a staged marker would corrupt publish /
+      // expiry decisions
+      key == graft.txn.Wap.IdProp ||
+      key == graft.txn.Wap.ParentProp ||
+      key == graft.txn.Wap.PublishedProp
 
   /** `graft.deletes.format` allowlist — an unknown value would silently
     * fall back to parquet at write time, so refuse it up front. Both
@@ -213,10 +219,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    // a snapshot number, or a named TAG (`CALL g.system.create_tag`) —
-    // tags pin a version under `graft.ref.<name>` (Iceberg refs)
+    // a snapshot number, a named TAG (`CALL g.system.create_tag`, pinned
+    // under `graft.ref.<name>`), or `wap:<id>` — the AUDIT read of a
+    // WAP-staged snapshot (graft.txn.Wap) before it is published
     val v = version.toLongOption.getOrElse {
-      snapCatalog.loadOrThrow(dir).properties
+      if (version.startsWith("wap:")) {
+        val id = version.stripPrefix("wap:")
+        graft.txn.Wap.findStaged(snapCatalog, dir,
+            snapCatalog.loadOrThrow(dir), id)
+          .map(_.version)
+          .getOrElse(throw CompactionError.Config(
+            s"no unpublished staged snapshot with wap id '$id' on ${ident.name}"))
+      } else snapCatalog.loadOrThrow(dir).properties
         .get(s"${GraftCatalog.RefPropPrefix}$version")
         .flatMap(_.toLongOption)
         .getOrElse(throw CompactionError.Config(
@@ -237,6 +251,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val tsMs = timestampMicros / 1000L
     val v = snapCatalog.versions(dir).reverse
       .flatMap(snapCatalog.loadVersion(dir, _))
+      // WAP-staged snapshots are outside main history — a timestamp
+      // read must never surface unaudited rows
+      .filterNot(graft.txn.Wap.isStaged)
       .find(_.committedAtMs <= tsMs)
       .map(_.version)
       .getOrElse(throw CompactionError.Config(

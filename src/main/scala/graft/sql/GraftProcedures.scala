@@ -47,6 +47,9 @@ private[sql] object GraftProcedures {
       case "remove_orphan_files" => new RemoveOrphanFiles(resolveDir, catalog)
       case "analyze_table"       => new AnalyzeTable(resolveDir, catalog)
       case "evolve_partition_spec" => new EvolvePartitionSpec(resolveDir, catalog)
+      case "publish_wap"           => new PublishWap(resolveDir, catalog)
+      case "discard_wap"           => new DiscardWap(resolveDir, catalog)
+      case "list_waps"             => new ListWaps(resolveDir, catalog)
       case other => throw CompactionError.Config(
         s"unknown procedure $other (available: ${Names.mkString(", ")})")
     }
@@ -270,6 +273,104 @@ private[sql] object GraftProcedures {
       localScan(out, Array(InternalRow(
         org.apache.spark.unsafe.types.UTF8String.fromString(tag))),
         s"drop_tag($dir, $tag)")
+    }
+  }
+
+  /** `CALL publish_wap(table, wap_id)` — cherry-pick a write-audit-
+    * publish staged append ([[graft.txn.Wap]]) onto the live table.
+    * The staged snapshot resolves by its wap id (the newest unpublished
+    * one, so re-used ids behave like Iceberg's). */
+  private final class PublishWap(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("publish_wap") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("wap_id", StringType))
+
+    private val out = StructType(Seq(
+      StructField("wap_id", StringType, nullable = false),
+      StructField("staged_version", LongType, nullable = false),
+      StructField("published_version", LongType, nullable = false),
+      StructField("files_published", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val id = input.getUTF8String(1).toString
+      val cur = catalog.loadOrThrow(dir)
+      val staged = graft.txn.Wap.findStaged(catalog, dir, cur, id)
+        .getOrElse(throw CompactionError.Config(
+          s"no unpublished staged snapshot with wap id '$id'"))
+      val before = cur.files.map(_.path).toSet
+      val committed = new CommitManager(dir, RetryConfig(), catalog = catalog)
+        .publishWap(staged.version)
+      val added = committed.files.count(f => !before.contains(f.path))
+      localScan(out, Array(InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id),
+        staged.version, committed.version, added.toLong)),
+        s"publish_wap($dir, $id)")
+    }
+  }
+
+  /** `CALL discard_wap(table, wap_id)` — drop an unpublished staged
+    * snapshot and delete the files only it referenced. */
+  private final class DiscardWap(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("discard_wap") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("wap_id", StringType))
+
+    private val out = StructType(Seq(
+      StructField("wap_id", StringType, nullable = false),
+      StructField("staged_version", LongType, nullable = false),
+      StructField("files_deleted", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val id = input.getUTF8String(1).toString
+      val cur = catalog.loadOrThrow(dir)
+      val staged = graft.txn.Wap.findStaged(catalog, dir, cur, id)
+        .getOrElse(throw CompactionError.Config(
+          s"no unpublished staged snapshot with wap id '$id'"))
+      val deleted = new CommitManager(dir, RetryConfig(), catalog = catalog)
+        .discardWap(staged.version)
+      localScan(out, Array(InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id),
+        staged.version, deleted.size.toLong)),
+        s"discard_wap($dir, $id)")
+    }
+  }
+
+  /** `CALL list_waps(table)` — every staged snapshot, newest first,
+    * with its published state. */
+  private final class ListWaps(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("list_waps") {
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType))
+
+    private val out = StructType(Seq(
+      StructField("wap_id", StringType, nullable = false),
+      StructField("staged_version", LongType, nullable = false),
+      StructField("parent_version", LongType, nullable = true),
+      StructField("published", BooleanType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val cur = catalog.loadOrThrow(dir)
+      val rows = graft.txn.Wap.listStaged(catalog, dir, cur).map {
+        case (s, published) => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            s.properties(graft.txn.Wap.IdProp)),
+          s.version,
+          s.properties.get(graft.txn.Wap.ParentProp)
+            .flatMap(_.toLongOption).map(Long.box).orNull,
+          published)
+      }.toArray
+      localScan(out, rows, s"list_waps($dir)")
     }
   }
 

@@ -252,6 +252,13 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import graft.plans.MergeOnRead
+    // same refusal as the row-level path: deletes are relative to the
+    // current snapshot, not a cherry-pickable append
+    graft.sinks.GraftBatchWrite.activeWapId().foreach { id =>
+      throw CompactionError.Config(
+        s"session ${graft.txn.Wap.SessionConf}='$id' is set: DELETE FROM " +
+          "cannot be WAP-staged; unset the wap id to delete from the live table")
+    }
     val spark = org.apache.spark.sql.SparkSession.active
     val cond = filters.flatMap(graft.sql.Filters.toColumn(_))
       .reduceOption(_ && _)
@@ -338,17 +345,26 @@ final class GraftMicroBatchStream(
         s"snapshot v$v was expired while the stream still needed it " +
           s"(under $tableDir); restart from a retained version"))
 
-    (from until to).flatMap { v =>
-      val prev = snap(v)
-      val curr = snap(v + 1)
+    // WAP-staged snapshots interleave with main-lineage versions on the
+    // same number line but are NOT commits of this table's visible
+    // history — a tail must not surface unaudited rows (they arrive as
+    // a normal append when published). Offsets themselves are always
+    // main versions (latestOffset resolves through the staged-skipping
+    // load), so filtering interior versions is safe.
+    val lineage = (from to to).map(v => v -> snap(v))
+      .collect { case (v, s) if !graft.txn.Wap.isStaged(s) => s }
+
+    lineage.sliding(2).filter(_.size == 2).flatMap { pair =>
+      val prev = pair(0)
+      val curr = pair(1)
       val prevPaths = prev.files.map(_.path).toSet
       val added = curr.files.filterNot(f => prevPaths.contains(f.path))
       val deletes = added.filter(_.content != "data")
       if (deletes.nonEmpty && !skipDeletes)
         throw CompactionError.Config(
-          s"commit v${v + 1} added ${deletes.size} delete file(s); the table " +
-            "is not an append log over this interval. Set skipDeletes=true " +
-            "to tail appends only, or consume TableReader.changes() batches")
+          s"commit v${curr.version} added ${deletes.size} delete file(s); the " +
+            "table is not an append log over this interval. Set skipDeletes=" +
+            "true to tail appends only, or consume TableReader.changes() batches")
       added
         .filter(_.content == "data")
         // rewrite outputs re-add EXISTING rows at a retained sequence

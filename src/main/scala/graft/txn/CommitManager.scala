@@ -89,9 +89,31 @@ final class CommitManager(
         * compaction), committing would orphan the references and the
         * intended deletes would silently stop applying — abort instead
         * (permanent, non-retryable). */
-      requiredPaths: Set[String] = Set.empty
+      requiredPaths: Set[String] = Set.empty,
+      /** When set, commit STAGED under this WAP id ([[Wap]]): the
+        * snapshot carries the staged marker + its parent version, and
+        * current-state resolution skips it until `publish_wap`. Refused
+        * unless the table opted in via [[Wap.EnabledProp]] — silently
+        * publishing rows the pipeline meant to audit is the failure WAP
+        * exists to prevent. */
+      stageWapId: Option[String] = None
   ): TableSnapshot =
     commitLoop(expectedSchemaId) { cur =>
+      stageWapId.foreach { id =>
+        if (!cur.properties.get(Wap.EnabledProp).map(_.trim.toLowerCase)
+            .contains("true"))
+          throw CompactionError.Config(
+            s"session ${Wap.SessionConf}='$id' is set but the table does " +
+              s"not have ${Wap.EnabledProp}=true; enable WAP on the table " +
+              "or unset the session wap id")
+        // one live stage per id: a second staged commit under the same
+        // id would orphan the first forever (publish resolves the
+        // newest; the older stays expiry-protected garbage)
+        if (Wap.findStaged(catalog, tableDir, cur, id).isDefined)
+          throw CompactionError.Config(
+            s"wap id '$id' already has an unpublished staged snapshot; " +
+              "publish or discard it first (or use a fresh id)")
+      }
       if (requiredPaths.nonEmpty) {
         val current = cur.files.map(_.path).toSet
         val gone = requiredPaths -- current
@@ -115,8 +137,105 @@ final class CommitManager(
         version = cur.version + 1,
         lastSequenceNumber = newSeq,
         files = cur.files ++ stamped,
-        properties = cur.properties ++ setProperties)
+        properties = cur.properties ++ setProperties ++
+          // the marker lives ONLY on the staged snapshot — later main
+          // commits build on `cur` (staged-skipped), so it never leaks
+          stageWapId.map(id => Map(
+            Wap.IdProp -> id,
+            Wap.ParentProp -> cur.version.toString)).getOrElse(Map.empty))
     }
+
+  /** PUBLISH a WAP-staged snapshot ([[Wap]]): cherry-pick its net-new
+    * data files onto the CURRENT main snapshot as a fresh append
+    * commit. Only pure appends publish — a staged snapshot that removed
+    * files (or added delete files) encodes row-level state relative to
+    * its own parent and cannot be re-applied safely under interleaved
+    * main history, so it is refused (Iceberg's cherry-pick draws the
+    * same line). The published files take a fresh sequence number: an
+    * equality delete committed to main between stage and publish does
+    * NOT apply to them, exactly as if the append had happened now.
+    * Returns the publishing commit. */
+  def publishWap(stagedVersion: Long): TableSnapshot = {
+    val staged = catalog.loadVersion(tableDir, stagedVersion).getOrElse(
+      throw CompactionError.Config(
+        s"staged snapshot v$stagedVersion does not exist under $tableDir"))
+    val id = staged.properties.getOrElse(Wap.IdProp,
+      throw CompactionError.Config(
+        s"snapshot v$stagedVersion is not WAP-staged"))
+    val parentV = staged.properties.get(Wap.ParentProp)
+      .flatMap(_.toLongOption)
+      .getOrElse(throw CompactionError.Config(
+        s"staged snapshot v$stagedVersion carries no parent version"))
+    val added = catalog.loadVersion(tableDir, parentV) match {
+      case Some(parent) =>
+        val parentPaths = parent.files.map(_.path).toSet
+        val removedByStage = parentPaths -- staged.files.map(_.path).toSet
+        if (removedByStage.nonEmpty)
+          throw CompactionError.Config(
+            s"staged snapshot v$stagedVersion is not a pure append (removed " +
+              s"${removedByStage.size} file(s), e.g. ${removedByStage.head}); " +
+              "only staged appends can publish")
+        staged.files.filterNot(f => parentPaths.contains(f.path))
+      case None =>
+        // the parent was expired while the stage was open. The staged
+        // append committed every new entry at a sequence number STRICTLY
+        // above the parent's (appendFiles contract), so the net-new set
+        // is derivable from the staged snapshot alone — and staged
+        // snapshots are only ever produced by that append path, so the
+        // pure-append shape holds by construction.
+        staged.files.filter(_.sequenceNumber == staged.lastSequenceNumber)
+    }
+    added.find(_.content != "data").foreach { f =>
+      throw CompactionError.Config(
+        s"staged snapshot v$stagedVersion added a ${f.content} file " +
+          s"(${f.path}); only staged DATA appends can publish")
+    }
+    val cur0 = catalog.loadOrThrow(tableDir)
+    commitLoop(cur0.schemaId) { cur =>
+      if (Wap.publishedMap(cur).get(id).contains(stagedVersion))
+        throw CompactionError.Config(
+          s"wap id '$id' (v$stagedVersion) is already published")
+      val collide = cur.files.map(_.path).toSet.intersect(
+        added.map(_.path).toSet)
+      if (collide.nonEmpty)
+        throw CompactionError.Config(
+          s"cannot publish v$stagedVersion: ${collide.size} of its " +
+            s"file(s) already in the current snapshot (e.g. ${collide.head})")
+      val newSeq = cur.lastSequenceNumber + 1
+      // entries keep their write-time stamps (bounds/sketches) AND their
+      // schema/spec ids — reconciliation reads old-schema files correctly
+      cur.copy(
+        version = cur.version + 1,
+        lastSequenceNumber = newSeq,
+        files = cur.files ++ added.map(_.copy(sequenceNumber = newSeq)),
+        properties = cur.properties + (Wap.PublishedProp ->
+          Wap.publishedJson(Wap.publishedMap(cur) + (id -> stagedVersion))))
+    }
+  }
+
+  /** DISCARD a WAP-staged snapshot: delete its version file, then any
+    * physical file no surviving snapshot references (robust even when
+    * the staged parent already expired). Returns the deleted data-file
+    * paths. Published snapshots refuse — their files are live. */
+  def discardWap(stagedVersion: Long): Seq[String] = {
+    val staged = catalog.loadVersion(tableDir, stagedVersion).getOrElse(
+      throw CompactionError.Config(
+        s"staged snapshot v$stagedVersion does not exist under $tableDir"))
+    val id = staged.properties.getOrElse(Wap.IdProp,
+      throw CompactionError.Config(
+        s"snapshot v$stagedVersion is not WAP-staged"))
+    val cur = catalog.loadOrThrow(tableDir)
+    if (Wap.publishedMap(cur).get(id).contains(stagedVersion))
+      throw CompactionError.Config(
+        s"wap id '$id' (v$stagedVersion) is published; its files are " +
+          "live — expire snapshots instead of discarding")
+    catalog.deleteVersion(tableDir, stagedVersion)
+    val survivors: Set[String] =
+      catalog.versions(tableDir).flatMap(loadVersionFiles).toSet
+    val dead = staged.files.map(_.path).filterNot(survivors.contains)
+    dead.foreach(FileIO.delete)
+    dead
+  }
 
   /** Swap an explicit file set: remove `removedPaths`, add `added` at a
     * fresh sequence number — the delete-conversion commit shape
@@ -351,7 +470,18 @@ final class CommitManager(
           throw CompactionError.SchemaDrift(
             s"schema id changed ${expectedSchemaId} -> ${cur.schemaId} between plan and commit")
         // every commit shape gets a wall-clock stamp (TIMESTAMP AS OF)
-        val snap = next(cur).copy(committedAtMs = System.currentTimeMillis())
+        var snap = next(cur).copy(committedAtMs = System.currentTimeMillis())
+        // WAP-staged snapshots occupy version numbers without being part
+        // of the main lineage — advance the CAS target past them (a
+        // NON-staged occupant must still conflict: that is the lost-
+        // update detection this CAS exists for). An occupant that does
+        // not even load counts as non-staged: let commitCas surface the
+        // real conflict rather than guessing here.
+        def stagedAt(v: Long): Boolean =
+          try catalog.loadVersion(tableDir, v).exists(Wap.isStaged)
+          catch { case _: Exception => false }
+        while (stagedAt(snap.version))
+          snap = snap.copy(version = snap.version + 1)
         catalog.commitCas(tableDir, snap)
         if (labels != null) {
           metrics.incCommit(labels)
@@ -388,7 +518,8 @@ final class CommitManager(
         * library maintenance jobs alike. */
       protectedVersions: Set[Long] = Set.empty): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val tagged: Set[Long] = catalog.load(tableDir)
+    val curOpt = catalog.load(tableDir)
+    val tagged: Set[Long] = curOpt
       .map(_.properties.collect {
         // malformed ref values are skipped, never a crash
         case (k, v) if k.startsWith("graft.ref.") => v.toLongOption
@@ -397,7 +528,16 @@ final class CommitManager(
     val keepAlways = protectedVersions ++ tagged
     val all = catalog.versions(tableDir)
     val (candidates, recent) = all.splitAt(math.max(0, all.size - keepLast))
-    val (pinned, expired) = candidates.partition(keepAlways.contains)
+    // WAP-staged snapshots that are not yet published hold the ONLY
+    // reference to their files — expiring one silently deletes a
+    // pipeline's in-flight (audit-pending) data. Published ones expire
+    // normally: their files are re-referenced from the main lineage.
+    val published = curOpt.map(Wap.publishedMap).getOrElse(Map.empty)
+    def unpublishedStaged(v: Long): Boolean =
+      catalog.loadVersion(tableDir, v).exists(s => Wap.isStaged(s) &&
+        !published.get(s.properties(Wap.IdProp)).contains(v))
+    val (pinned, expired) = candidates.partition(v =>
+      keepAlways.contains(v) || unpublishedStaged(v))
     val kept = pinned ++ recent
     if (expired.isEmpty) return Nil
     val keptFiles: Set[String] = kept.flatMap(loadVersionFiles).toSet

@@ -78,7 +78,12 @@ final class RestTableCatalog(
   }
 
   override def load(table: String): Option[TableSnapshot] =
-    versions(table).lastOption.flatMap(loadVersion(table, _))
+    // current state = newest non-staged version (same contract as
+    // TableMetadata.load; the staged-skip runs client-side, so a plain
+    // snapshot store needs no WAP awareness)
+    versions(table).reverseIterator
+      .flatMap(loadVersion(table, _))
+      .find(!Wap.isStaged(_))
 
   override def commitCas(table: String, snapshot: TableSnapshot): Unit = {
     val url = s"$base/v1/tables/${enc(table)}/snapshots"

@@ -73,10 +73,11 @@ final class MemoryCatalog extends TableCatalog {
   private def of(table: String) =
     tables.computeIfAbsent(table, _ => new ConcurrentHashMap[Long, TableSnapshot]())
 
-  override def load(table: String): Option[TableSnapshot] = {
-    val m = of(table)
-    versions(table).lastOption.map(m.get)
-  }
+  override def load(table: String): Option[TableSnapshot] =
+    // current state = newest non-staged version (same contract as
+    // TableMetadata.load: WAP-staged snapshots are outside main lineage)
+    versions(table).reverseIterator.map(of(table).get)
+      .find(!Wap.isStaged(_))
   override def commitCas(table: String, snapshot: TableSnapshot): Unit =
     if (of(table).putIfAbsent(snapshot.version, snapshot) != null)
       throw CompactionError.CommitConflict(

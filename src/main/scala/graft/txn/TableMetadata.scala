@@ -182,6 +182,8 @@ object TableMetadata {
   def versionPath(tableDir: String, version: Long): String =
     s"${metadataDir(tableDir)}/v$version.json"
 
+  /** Newest version NUMBER on disk — including WAP-staged snapshots;
+    * current-STATE resolution is [[load]], which skips staged. */
   def currentVersion(tableDir: String): Option[Long] = {
     val vs = versions(tableDir)
     if (vs.isEmpty) None else Some(vs.max)
@@ -216,11 +218,18 @@ object TableMetadata {
     })
   }
 
+  /** Resolve the CURRENT snapshot: the newest version that is not a
+    * WAP-staged commit ([[Wap.isStaged]] — staged snapshots hold real
+    * version numbers but are outside the main lineage until published).
+    * The walk-back is one extra read per live staged tip, and zero when
+    * nothing is staged. */
   def load(tableDir: String): Option[TableSnapshot] =
-    currentVersion(tableDir).map { v =>
-      norm(mapper.readValue(FileIO.readString(versionPath(tableDir, v)),
-        classOf[TableSnapshot]))
-    }
+    versions(tableDir).reverseIterator
+      .map { v =>
+        norm(mapper.readValue(FileIO.readString(versionPath(tableDir, v)),
+          classOf[TableSnapshot]))
+      }
+      .find(!Wap.isStaged(_))
 
   def loadOrThrow(tableDir: String): TableSnapshot =
     load(tableDir).getOrElse(

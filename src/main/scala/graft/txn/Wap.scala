@@ -1,0 +1,91 @@
+package graft.txn
+
+/** Write-audit-publish (WAP) staging — the Iceberg `write.wap.enabled`
+  * / `spark.wap.id` workflow re-expressed on the engine's linear
+  * version chain:
+  *
+  *  - a STAGED commit is a real, immutable snapshot version carrying
+  *    the [[IdProp]] marker (plus [[ParentProp]], the main-lineage
+  *    version it was built from). Staged versions occupy version
+  *    numbers but are INVISIBLE to current-state resolution
+  *    ([[TableMetadata.load]] walks past them), so readers, writers and
+  *    compaction never see unaudited rows;
+  *  - AUDIT reads address the staged snapshot directly — `VERSION AS OF
+  *    'wap:<id>'` or the staged version number;
+  *  - PUBLISH cherry-picks the staged snapshot's net-new data files
+  *    onto the CURRENT main snapshot as a fresh commit (pure appends
+  *    only — the one commit shape that re-applies safely under any
+  *    interleaved main history, which is also where Iceberg's
+  *    cherry-pick draws the line), recording the id in
+  *    [[PublishedProp]] so a second publish is refused;
+  *  - DISCARD deletes the staged version and any file no surviving
+  *    snapshot references.
+  *
+  * Staged-but-unpublished versions are protected from snapshot
+  * expiration ([[CommitManager.expireSnapshots]]).
+  */
+object Wap {
+
+  /** User-set TABLE property: staging must be opted into per table.
+    * With it false/absent, a write under an active wap id REFUSES
+    * (publishing unaudited data because one table missed a property is
+    * the failure WAP exists to prevent). */
+  val EnabledProp = "graft.wap.enabled"
+  /** Spark SESSION conf naming the in-flight wap id (the analog of
+    * Iceberg's `spark.wap.id`): while set, appends to WAP-enabled
+    * tables commit STAGED. */
+  val SessionConf = "spark.graft.wap.id"
+  /** Per-snapshot marker: present exactly on staged snapshots. */
+  val IdProp = "graft.wap.id"
+  /** Staged snapshots: the main-lineage version the staged files were
+    * appended onto (net-new files = staged minus this parent). */
+  val ParentProp = "graft.wap.parent"
+  /** Main-lineage JSON map `{wapId: stagedVersion}` of published ids —
+    * the double-publish guard and the expiry-protection cutoff. */
+  val PublishedProp = "graft.wap.published"
+
+  def isStaged(s: TableSnapshot): Boolean = s.properties.contains(IdProp)
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  /** The published-ids map of a MAIN-lineage snapshot (empty when the
+    * property is absent or malformed — a malformed map must never make
+    * a staged id look unpublished AND unprotected at once, so expiry
+    * treats decode failure as "nothing published"). */
+  def publishedMap(s: TableSnapshot): Map[String, Long] =
+    s.properties.get(PublishedProp).map { json =>
+      try {
+        import scala.jdk.CollectionConverters._
+        mapper.readTree(json).properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong).toMap
+      } catch { case _: Exception => Map.empty[String, Long] }
+    }.getOrElse(Map.empty)
+
+  def publishedJson(m: Map[String, Long]): String =
+    mapper.writeValueAsString(m)
+
+  /** All staged snapshots of the table, newest first, with their
+    * published state resolved against `current`. */
+  def listStaged(catalog: TableCatalog, tableDir: String,
+      current: TableSnapshot): Seq[(TableSnapshot, Boolean)] = {
+    val published = publishedMap(current)
+    catalog.versions(tableDir).reverse
+      .flatMap(catalog.loadVersion(tableDir, _))
+      .filter(isStaged)
+      .map(s => s -> published.get(s.properties(IdProp))
+        .contains(s.version))
+  }
+
+  /** The UNPUBLISHED staged snapshot carrying `wapId`, if any. Newest
+    * first so re-using a wap id after a publish stages (and later
+    * resolves) a fresh snapshot rather than colliding with history. */
+  def findStaged(catalog: TableCatalog, tableDir: String,
+      current: TableSnapshot, wapId: String): Option[TableSnapshot] =
+    listStaged(catalog, tableDir, current).collectFirst {
+      case (s, published) if !published && s.properties(IdProp) == wapId => s
+    }
+}
