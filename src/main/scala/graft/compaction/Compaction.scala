@@ -189,8 +189,15 @@ final class Compaction(
     if (!run || written.isEmpty) return Map.empty
     val res = graft.core.NdvSketch.sketchFiles(spark, written.map(_.filePath))
     if (res.columns.isEmpty) return Map.empty
+    // input_file_name reports URI-ENCODED paths (a space comes back as
+    // %20); decode through java.net.URI before normalizing, falling
+    // back to the raw string for paths that are not URI-parseable
+    // (a literal space means the path was never encoded)
+    def decode(p: String): String =
+      try Option(new java.net.URI(p).getPath).getOrElse(p)
+      catch { case _: java.net.URISyntaxException => p }
     val byNorm = res.byPath.map { case (p, m) =>
-      ScanPlanner.normalizePath(p) -> m
+      ScanPlanner.normalizePath(decode(p)) -> m
     }
     val writtenNorm = written.map(m => ScanPlanner.normalizePath(m.filePath)).toSet
     if (byNorm.keySet.exists(!writtenNorm.contains(_))) return Map.empty

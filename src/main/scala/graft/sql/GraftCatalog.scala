@@ -73,7 +73,8 @@ object GraftCatalog {
       // expiry decisions
       key == graft.txn.Wap.IdProp ||
       key == graft.txn.Wap.ParentProp ||
-      key == graft.txn.Wap.PublishedProp
+      key == graft.txn.Wap.PublishedProp ||
+      key == graft.txn.Wap.DiscardedProp
 
   /** `graft.deletes.format` allowlist — an unknown value would silently
     * fall back to parquet at write time, so refuse it up front. Both

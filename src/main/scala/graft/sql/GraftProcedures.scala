@@ -356,19 +356,19 @@ private[sql] object GraftProcedures {
       StructField("wap_id", StringType, nullable = false),
       StructField("staged_version", LongType, nullable = false),
       StructField("parent_version", LongType, nullable = true),
-      StructField("published", BooleanType, nullable = false)))
+      StructField("state", StringType, nullable = false)))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = resolveDir(input.getUTF8String(0).toString)
       val cur = catalog.loadOrThrow(dir)
       val rows = graft.txn.Wap.listStaged(catalog, dir, cur).map {
-        case (s, published) => InternalRow(
+        case (s, state) => InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(
             s.properties(graft.txn.Wap.IdProp)),
           s.version,
           s.properties.get(graft.txn.Wap.ParentProp)
             .flatMap(_.toLongOption).map(Long.box).orNull,
-          published)
+          org.apache.spark.unsafe.types.UTF8String.fromString(state))
       }.toArray
       localScan(out, rows, s"list_waps($dir)")
     }

@@ -350,9 +350,16 @@ final class GraftMicroBatchStream(
     // history — a tail must not surface unaudited rows (they arrive as
     // a normal append when published). Offsets themselves are always
     // main versions (latestOffset resolves through the staged-skipping
-    // load), so filtering interior versions is safe.
-    val lineage = (from to to).map(v => v -> snap(v))
-      .collect { case (v, s) if !graft.txn.Wap.isStaged(s) => s }
+    // load). The RANGE ENDPOINTS must still exist (losing the base or
+    // end would silently drop their adds), but an INTERIOR version that
+    // is staged — or already reaped (an expired discard tombstone, or
+    // an expired main version) — simply drops out of the walk: diffing
+    // across the gap still yields every net-added file, and a rewrite
+    // output inside the gap keeps its RETAINED sequence number, so the
+    // seq guard below emits its rows exactly once either way.
+    val lineage = snap(from) +:
+      ((from + 1) until to).flatMap(catalog.loadVersion(tableDir, _))
+        .filterNot(graft.txn.Wap.isStaged) :+ snap(to)
 
     lineage.sliding(2).filter(_.size == 2).flatMap { pair =>
       val prev = pair(0)

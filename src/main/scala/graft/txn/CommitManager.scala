@@ -106,12 +106,16 @@ final class CommitManager(
             s"session ${Wap.SessionConf}='$id' is set but the table does " +
               s"not have ${Wap.EnabledProp}=true; enable WAP on the table " +
               "or unset the session wap id")
-        // one live stage per id: a second staged commit under the same
-        // id would orphan the first forever (publish resolves the
-        // newest; the older stays expiry-protected garbage)
+        // wap ids are SINGLE-USE: the published/discarded bookkeeping
+        // maps hold one slot per id, so re-use would make the earlier
+        // record unreachable (un-protecting or double-publishing it)
+        if (Wap.closedIds(cur).contains(id))
+          throw CompactionError.Config(
+            s"wap id '$id' was already published or discarded on this " +
+              "table; wap ids are single-use — pick a fresh id")
         if (Wap.findStaged(catalog, tableDir, cur, id).isDefined)
           throw CompactionError.Config(
-            s"wap id '$id' already has an unpublished staged snapshot; " +
+            s"wap id '$id' already has an open staged snapshot; " +
               "publish or discard it first (or use a fresh id)")
       }
       if (requiredPaths.nonEmpty) {
@@ -192,9 +196,9 @@ final class CommitManager(
     }
     val cur0 = catalog.loadOrThrow(tableDir)
     commitLoop(cur0.schemaId) { cur =>
-      if (Wap.publishedMap(cur).get(id).contains(stagedVersion))
+      if (Wap.closedIds(cur).contains(id))
         throw CompactionError.Config(
-          s"wap id '$id' (v$stagedVersion) is already published")
+          s"wap id '$id' (v$stagedVersion) was already published or discarded")
       val collide = cur.files.map(_.path).toSet.intersect(
         added.map(_.path).toSet)
       if (collide.nonEmpty)
@@ -209,14 +213,19 @@ final class CommitManager(
         lastSequenceNumber = newSeq,
         files = cur.files ++ added.map(_.copy(sequenceNumber = newSeq)),
         properties = cur.properties + (Wap.PublishedProp ->
-          Wap.publishedJson(Wap.publishedMap(cur) + (id -> stagedVersion))))
+          Wap.idsJson(Wap.publishedMap(cur) + (id -> stagedVersion))))
     }
   }
 
-  /** DISCARD a WAP-staged snapshot: delete its version file, then any
-    * physical file no surviving snapshot references (robust even when
-    * the staged parent already expired). Returns the deleted data-file
-    * paths. Published snapshots refuse — their files are live. */
+  /** DISCARD a WAP-staged snapshot. The version FILE stays in place as
+    * a tombstone — deleting it would punch a hole in the version
+    * sequence (streams walking an offset range would fail on the gap)
+    * and free the number for an unrelated commit (silently changing
+    * what a pinned audit read of that number returns). Instead the
+    * discard is recorded in main-lineage bookkeeping (closing the id),
+    * the staged NET-NEW files are deleted, and normal snapshot
+    * expiration reaps the unprotected tombstone later. Returns the
+    * deleted data-file paths. */
   def discardWap(stagedVersion: Long): Seq[String] = {
     val staged = catalog.loadVersion(tableDir, stagedVersion).getOrElse(
       throw CompactionError.Config(
@@ -224,14 +233,22 @@ final class CommitManager(
     val id = staged.properties.getOrElse(Wap.IdProp,
       throw CompactionError.Config(
         s"snapshot v$stagedVersion is not WAP-staged"))
-    val cur = catalog.loadOrThrow(tableDir)
-    if (Wap.publishedMap(cur).get(id).contains(stagedVersion))
-      throw CompactionError.Config(
-        s"wap id '$id' (v$stagedVersion) is published; its files are " +
-          "live — expire snapshots instead of discarding")
-    catalog.deleteVersion(tableDir, stagedVersion)
-    val survivors: Set[String] =
-      catalog.versions(tableDir).flatMap(loadVersionFiles).toSet
+    // close the id FIRST (CAS'd, single-slot guard): once this commit
+    // lands, no publish can resurrect the stage, so deleting its files
+    // below can never race a concurrent publish into data loss
+    val cur0 = catalog.loadOrThrow(tableDir)
+    commitLoop(cur0.schemaId) { cur =>
+      if (Wap.closedIds(cur).contains(id))
+        throw CompactionError.Config(
+          s"wap id '$id' (v$stagedVersion) was already published or discarded")
+      cur.copy(
+        version = cur.version + 1,
+        properties = cur.properties + (Wap.DiscardedProp ->
+          Wap.idsJson(Wap.discardedMap(cur) + (id -> stagedVersion))))
+    }
+    // net-new files of the stage: those no OTHER snapshot references
+    val survivors: Set[String] = catalog.versions(tableDir)
+      .filterNot(_ == stagedVersion).flatMap(loadVersionFiles).toSet
     val dead = staged.files.map(_.path).filterNot(survivors.contains)
     dead.foreach(FileIO.delete)
     dead
@@ -528,16 +545,17 @@ final class CommitManager(
     val keepAlways = protectedVersions ++ tagged
     val all = catalog.versions(tableDir)
     val (candidates, recent) = all.splitAt(math.max(0, all.size - keepLast))
-    // WAP-staged snapshots that are not yet published hold the ONLY
-    // reference to their files — expiring one silently deletes a
-    // pipeline's in-flight (audit-pending) data. Published ones expire
-    // normally: their files are re-referenced from the main lineage.
-    val published = curOpt.map(Wap.publishedMap).getOrElse(Map.empty)
-    def unpublishedStaged(v: Long): Boolean =
+    // OPEN WAP-staged snapshots hold the ONLY reference to their files —
+    // expiring one silently deletes a pipeline's in-flight
+    // (audit-pending) data. Published stages and discard tombstones
+    // expire normally: the published files are re-referenced from the
+    // main lineage, the discarded ones are already gone.
+    val closed = curOpt.map(Wap.closedIds).getOrElse(Set.empty)
+    def openStaged(v: Long): Boolean =
       catalog.loadVersion(tableDir, v).exists(s => Wap.isStaged(s) &&
-        !published.get(s.properties(Wap.IdProp)).contains(v))
+        !closed.contains(s.properties(Wap.IdProp)))
     val (pinned, expired) = candidates.partition(v =>
-      keepAlways.contains(v) || unpublishedStaged(v))
+      keepAlways.contains(v) || openStaged(v))
     val kept = pinned ++ recent
     if (expired.isEmpty) return Nil
     val keptFiles: Set[String] = kept.flatMap(loadVersionFiles).toSet

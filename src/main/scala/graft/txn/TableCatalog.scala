@@ -75,8 +75,10 @@ final class MemoryCatalog extends TableCatalog {
 
   override def load(table: String): Option[TableSnapshot] =
     // current state = newest non-staged version (same contract as
-    // TableMetadata.load: WAP-staged snapshots are outside main lineage)
-    versions(table).reverseIterator.map(of(table).get)
+    // TableMetadata.load: WAP-staged snapshots are outside main
+    // lineage; a concurrently-removed version skips instead of NPEing)
+    versions(table).reverseIterator
+      .flatMap(v => Option(of(table).get(v)))
       .find(!Wap.isStaged(_))
   override def commitCas(table: String, snapshot: TableSnapshot): Unit =
     if (of(table).putIfAbsent(snapshot.version, snapshot) != null)

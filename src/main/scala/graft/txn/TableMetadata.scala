@@ -222,12 +222,20 @@ object TableMetadata {
     * WAP-staged commit ([[Wap.isStaged]] — staged snapshots hold real
     * version numbers but are outside the main lineage until published).
     * The walk-back is one extra read per live staged tip, and zero when
-    * nothing is staged. */
+    * nothing is staged.
+    *
+    * A version listed but GONE by read time is skipped: the only
+    * versions that can vanish under a reader are staged tombstones
+    * being reaped by snapshot expiration (expiration never deletes the
+    * newest MAIN version — the keep-last floor is 1). Any other read
+    * failure (corrupt file, IO error) still propagates — silently
+    * serving an older snapshot would be a wrong answer. */
   def load(tableDir: String): Option[TableSnapshot] =
     versions(tableDir).reverseIterator
-      .map { v =>
-        norm(mapper.readValue(FileIO.readString(versionPath(tableDir, v)),
-          classOf[TableSnapshot]))
+      .flatMap { v =>
+        try Some(norm(mapper.readValue(
+          FileIO.readString(versionPath(tableDir, v)), classOf[TableSnapshot])))
+        catch { case _: java.io.FileNotFoundException => None }
       }
       .find(!Wap.isStaged(_))
 

@@ -43,6 +43,13 @@ object Wap {
   /** Main-lineage JSON map `{wapId: stagedVersion}` of published ids —
     * the double-publish guard and the expiry-protection cutoff. */
   val PublishedProp = "graft.wap.published"
+  /** Main-lineage JSON map `{wapId: stagedVersion}` of DISCARDED ids.
+    * Discard keeps the staged version FILE as a tombstone (so the
+    * version sequence has no hole for streams to trip on, and the
+    * number is never re-used for an unrelated commit) and deletes only
+    * the staged data files; normal snapshot expiration reaps the
+    * tombstone later. */
+  val DiscardedProp = "graft.wap.discarded"
 
   def isStaged(s: TableSnapshot): Boolean = s.properties.contains(IdProp)
 
@@ -52,12 +59,13 @@ object Wap {
     m
   }
 
-  /** The published-ids map of a MAIN-lineage snapshot (empty when the
-    * property is absent or malformed — a malformed map must never make
-    * a staged id look unpublished AND unprotected at once, so expiry
-    * treats decode failure as "nothing published"). */
-  def publishedMap(s: TableSnapshot): Map[String, Long] =
-    s.properties.get(PublishedProp).map { json =>
+  /** Decode one of the id→version bookkeeping maps of a MAIN-lineage
+    * snapshot (empty when the property is absent or malformed — a
+    * malformed map must never make a staged id look unpublished AND
+    * unprotected at once, so expiry treats decode failure as "nothing
+    * recorded"). */
+  private def idMap(s: TableSnapshot, prop: String): Map[String, Long] =
+    s.properties.get(prop).map { json =>
       try {
         import scala.jdk.CollectionConverters._
         mapper.readTree(json).properties().asScala
@@ -65,27 +73,50 @@ object Wap {
       } catch { case _: Exception => Map.empty[String, Long] }
     }.getOrElse(Map.empty)
 
-  def publishedJson(m: Map[String, Long]): String =
+  def publishedMap(s: TableSnapshot): Map[String, Long] = idMap(s, PublishedProp)
+  def discardedMap(s: TableSnapshot): Map[String, Long] = idMap(s, DiscardedProp)
+  /** Ids whose lifecycle is CLOSED (published or discarded). Wap ids
+    * are SINGLE-USE: the bookkeeping maps have one slot per id, and a
+    * re-used id would make the earlier record unreachable — which would
+    * un-protect or double-publish the earlier stage. Staging refuses
+    * closed ids ([[CommitManager.appendFiles]]). */
+  def closedIds(s: TableSnapshot): Set[String] =
+    publishedMap(s).keySet ++ discardedMap(s).keySet
+
+  def idsJson(m: Map[String, Long]): String =
     mapper.writeValueAsString(m)
 
-  /** All staged snapshots of the table, newest first, with their
-    * published state resolved against `current`. */
+  /** All staged snapshots of the table, newest first, each with its
+    * lifecycle state resolved against `current`: "open", "published",
+    * or "discarded" (tombstone awaiting expiry). Cost: one metadata
+    * read per retained version — inspection/maintenance surface, not a
+    * hot path. */
   def listStaged(catalog: TableCatalog, tableDir: String,
-      current: TableSnapshot): Seq[(TableSnapshot, Boolean)] = {
+      current: TableSnapshot): Seq[(TableSnapshot, String)] = {
     val published = publishedMap(current)
+    val discarded = discardedMap(current)
     catalog.versions(tableDir).reverse
       .flatMap(catalog.loadVersion(tableDir, _))
       .filter(isStaged)
-      .map(s => s -> published.get(s.properties(IdProp))
-        .contains(s.version))
+      .map { s =>
+        val id = s.properties(IdProp)
+        val state =
+          if (published.get(id).contains(s.version)) "published"
+          else if (discarded.get(id).contains(s.version)) "discarded"
+          else "open"
+        s -> state
+      }
   }
 
-  /** The UNPUBLISHED staged snapshot carrying `wapId`, if any. Newest
-    * first so re-using a wap id after a publish stages (and later
-    * resolves) a fresh snapshot rather than colliding with history. */
+  /** The OPEN staged snapshot carrying `wapId`, if any. Ids are
+    * single-use, so at most one can exist; the newest-first walk
+    * short-circuits on the first hit (staged tips sit near the top of
+    * the version sequence in the common stage→publish flow), and
+    * closed ids skip the scan entirely via the bookkeeping maps. */
   def findStaged(catalog: TableCatalog, tableDir: String,
       current: TableSnapshot, wapId: String): Option[TableSnapshot] =
-    listStaged(catalog, tableDir, current).collectFirst {
-      case (s, published) if !published && s.properties(IdProp) == wapId => s
-    }
+    if (closedIds(current).contains(wapId)) None
+    else catalog.versions(tableDir).reverseIterator
+      .flatMap(catalog.loadVersion(tableDir, _))
+      .find(s => isStaged(s) && s.properties(IdProp) == wapId)
 }

@@ -117,4 +117,23 @@ class CompactionSketchSpec extends AnyFunSuite {
     val est = NdvSketch.estimate(Seq(big("a"))).get
     assert(est > 20000 * 0.75 && est < 20000 * 1.25, s"got $est")
   }
+
+  test("sketch pass survives URI-encoding table paths (space in dir)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsk.db")
+    // a warehouse path with a space: input_file_name() reports %20 —
+    // the compaction-side match must decode before comparing
+    val base = Files.createTempDirectory("graft enc sk").toString
+    assert(base.contains(" "))
+    val dir = s"$base/t"
+    graft.txn.TableMetadata.commit(dir,
+      graft.txn.TableSnapshot(1, -1L, 0, Nil))
+    import spark.implicits._
+    graft.txn.TableWrites.appendData(dir,
+      (0L until 500L).map(i => (i, s"g${i % 11}")).toDF("id", "grp").coalesce(1))
+    Compaction.builder().withSpark(spark).withTableDir(dir)
+      .withConfig(graft.core.CompactionConfig(sketchOutputs = Some(true)))
+      .build().compact()
+    val ndv = TableAnalyze.sketchNdv(FileTableCatalog.loadOrThrow(dir))
+    assert(ndv.get("grp").contains(11L), s"got $ndv")
+  }
 }

@@ -54,7 +54,7 @@ class WapSpec extends AnyFunSuite {
       (0L until 5L))
     val listed = sql("CALL gw.system.list_waps(`table` => 'db.t')").collect()
     assert(listed.length == 1 && listed(0).getString(0) == "etl-42" &&
-      !listed(0).getBoolean(3))
+      listed(0).getString(3) == "open")
 
     // an interleaved MAIN commit lands normally while the stage is open
     sql("INSERT INTO gw.db.t SELECT id, 'main2' FROM range(5, 7)")
@@ -67,10 +67,16 @@ class WapSpec extends AnyFunSuite {
     assert(ids("gw.db.t") == ((0L until 7L) ++ (100L until 103L)))
     // published flag flips; a second publish refuses
     val listed2 = sql("CALL gw.system.list_waps(`table` => 'db.t')").collect()
-    assert(listed2.length == 1 && listed2(0).getBoolean(3))
+    assert(listed2.length == 1 && listed2(0).getString(3) == "published")
     val again = intercept[Exception](sql(
       "CALL gw.system.publish_wap(`table` => 'db.t', wap_id => 'etl-42')"))
     assert(again.getMessage.contains("no unpublished staged snapshot"))
+    // wap ids are single-use: re-staging a published id refuses
+    withWap("etl-42") {
+      val reuse = intercept[Exception](
+        sql("INSERT INTO gw.db.t VALUES (999, 'late')"))
+      assert(reuse.getMessage.contains("single-use"), reuse.getMessage)
+    }
   }
 
   test("staging refuses tables without the enable property, and " +
@@ -125,6 +131,10 @@ class WapSpec extends AnyFunSuite {
     assert(del.getLong(2) > 0, "discard must delete the staged files")
     assert(intercept[Exception](ids("gw.db.d", "VERSION AS OF 'wap:drop'"))
       .getMessage.contains("no unpublished staged snapshot"))
+    // the tombstone stays in the version sequence (no hole, no number
+    // re-use) and lists as discarded until expiry reaps it
+    assert(sql("CALL gw.system.list_waps(`table` => 'db.d')").collect()
+      .exists(r => r.getString(0) == "drop" && r.getString(3) == "discarded"))
 
     // the surviving stage still publishes cleanly
     sql("CALL gw.system.publish_wap(`table` => 'db.d', wap_id => 'keep')")
@@ -159,6 +169,16 @@ class WapSpec extends AnyFunSuite {
     sql("CALL gw.system.publish_wap(`table` => 'db.s', wap_id => 'st')")
     assert(drain() == ((0L until 5L) ++ (50L until 52L)).toSet,
       "published rows must stream exactly once")
+
+    // a DISCARDED stage leaves a tombstone, not a hole: the tail keeps
+    // working across its version number and never sees its rows
+    withWap("gone") {
+      sql("INSERT INTO gw.db.s SELECT id, 'dead' FROM range(90, 92)")
+    }
+    sql("CALL gw.system.discard_wap(`table` => 'db.s', wap_id => 'gone')")
+    sql("INSERT INTO gw.db.s SELECT id, 'c' FROM range(5, 7)")
+    assert(drain() == ((0L until 7L) ++ (50L until 52L)).toSet,
+      "discarded rows must never stream; later appends must")
   }
 
   test("forging wap bookkeeping via ALTER TABLE is refused; the enable " +
