@@ -43,6 +43,7 @@ object SparkEntry {
       ("sql_overwrite_dynamic" -> (graft.queries.SqlCatalogQuery.runInsertOverwriteDynamic _)) +
       ("sql_partition_evolution" -> (graft.queries.SqlCatalogQuery.runPartitionEvolution _)) +
       ("sql_wap" -> (graft.queries.SqlCatalogQuery.runWap _)) +
+      ("sql_bloom" -> (graft.queries.SqlCatalogQuery.runBloom _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
       ("sql_agg_meta" -> (graft.queries.SqlCatalogQuery.runAggMeta _)) +
@@ -84,6 +85,7 @@ object SparkEntry {
       ("sql_overwrite_dynamic" -> graft.queries.SqlCatalogQuery.insertOverwriteDynamicOracle) +
       ("sql_partition_evolution" -> graft.queries.SqlCatalogQuery.partitionEvolutionOracle) +
       ("sql_wap" -> graft.queries.SqlCatalogQuery.wapOracle) +
+      ("sql_bloom" -> graft.queries.SqlCatalogQuery.bloomOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +
       ("sql_agg_meta" -> graft.queries.SqlCatalogQuery.aggMetaOracle) +

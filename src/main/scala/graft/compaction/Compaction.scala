@@ -66,12 +66,19 @@ final class Compaction(
       // (unless the caller picked an explicit layout: zorder or its own
       // sortBy) — otherwise a rewrite would destroy the disjoint file
       // bounds the sorted writes paid a range exchange to create
-      val config =
+      val config1 =
         if (config0.sortBy.nonEmpty || config0.zOrderBy.nonEmpty ||
             config0.useExactRolling) config0
         else graft.core.WriteOrderCodec.of(Some(snap)) match {
           case Nil   => config0
           case order => config0.copy(sortBy = order)
+        }
+      // ...and its configured point-lookup bloom filters
+      val config =
+        if (config1.bloomColumns.nonEmpty) config1
+        else graft.core.BloomColumns.of(Some(snap)) match {
+          case Nil   => config1
+          case specs => config1.copy(bloomColumns = specs)
         }
       val (selected, kept) = config.compactionType match {
         case CompactionType.Full => (allTasks.dataFiles, Nil)

@@ -45,7 +45,8 @@ object SparkCompactionExecutor extends CompactionExecutor {
         graft.sinks.ExactRollingWriter.write(
           live.repartition(config.targetPartitions), request.outputDir,
           config.targetFileSizeBytes, config.parquetCompression,
-          config.maxRecordBatchRows, sequenceNumber)
+          config.maxRecordBatchRows, sequenceNumber,
+          bloomColumns = config.bloomColumns)
       else RollingWriter.write(live, request, sequenceNumber,
         partitionSpec = config.partitionSpec)
     RewriteFilesResponse(

@@ -76,6 +76,11 @@ final case class CompactionConfig(
     /** Full rewrites everything (reference behavior); Incremental
       * selects only the small-file backlog (see [[CompactionType]]). */
     compactionType: CompactionType = CompactionType.Full,
+    /** Parquet bloom filters to emit on output data files
+      * ([[BloomColumns]]); defaulted from the table's
+      * `graft.bloom.columns` property by [[graft.compaction.Compaction]]
+      * so rewrites preserve the configured point-lookup blooms. */
+    bloomColumns: Seq[BloomColumns.Spec] = Nil,
     /** Stamp write-time NDV sketches ([[NdvSketch]]) onto the rewrite's
       * output files via a second column-pruned read. None = AUTO: run
       * the pass only when the table's surviving files keep full sketch

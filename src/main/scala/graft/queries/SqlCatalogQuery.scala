@@ -123,6 +123,46 @@ object SqlCatalogQuery {
       |  AND NOT (l_orderkey <= 300 AND l_returnflag = 'R')
       |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // -------- bloom-filter point lookups ----------------------------------
+
+  private val bloomCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A bloom-configured table (`graft.bloom.columns`) read back through
+    * point predicates after a MoR DELETE — the hash match certifies the
+    * bloom-assisted row-group skipping never drops a matching row
+    * (bloom filters may only have false POSITIVES). The probed key set
+    * mixes present, deleted, and never-present ids. */
+  def runBloom(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(bloomCatalogs, dir, spark, dir,
+        "gbq", "sqlbloom", "li_bloom") { name =>
+      spark.sql(
+        s"""CREATE TABLE $name.db.lb (
+           |  l_orderkey BIGINT, l_linenumber INT,
+           |  l_suppkey BIGINT, l_returnflag STRING)
+           |TBLPROPERTIES('graft.bloom.columns'='l_orderkey,l_suppkey')""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.lb
+           |SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+           |FROM li_bloom""".stripMargin)
+      spark.sql(s"DELETE FROM $name.db.lb WHERE l_orderkey % 7 = 3")
+    }
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+         |FROM $cat.db.lb
+         |WHERE l_orderkey IN (1, 3, 7, 31, 59, 101, 499, 997, 1493, 4999)
+         |   OR l_suppkey IN (2, 47, 83)
+         |ORDER BY ${outCols.mkString(", ")}""".stripMargin)
+  }
+
+  val bloomOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+      |FROM lineitem
+      |WHERE (l_orderkey IN (1, 3, 7, 31, 59, 101, 499, 997, 1493, 4999)
+      |    OR l_suppkey IN (2, 47, 83))
+      |  AND l_orderkey % 7 <> 3
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
+
   // -------- write-audit-publish staging ---------------------------------
 
   private val wapCatalogs =

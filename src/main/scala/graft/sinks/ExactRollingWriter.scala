@@ -52,7 +52,11 @@ object ExactRollingWriter {
       targetFileSizeBytes: Long,
       compression: String = "snappy",
       batchRows: Int = 1024,
-      sequenceNumber: Long = 0L
+      sequenceNumber: Long = 0L,
+      /** Parquet bloom filters to emit per output file
+        * ([[graft.core.BloomColumns]]) — compaction preserves the
+        * table's configured point-lookup blooms through rewrites. */
+      bloomColumns: Seq[graft.core.BloomColumns.Spec] = Nil
   ): Seq[DataFileMeta] = {
     val schema = df.schema
     schema.fields.foreach { f =>
@@ -91,10 +95,12 @@ object ExactRollingWriter {
           curPath = s"$attemptDir/part-$pid-$fileIdx.parquet"
           val conf = new Configuration(taskConf)
           conf.set("parquet.example.schema", message.toString)
-          writer = ExampleParquetWriter.builder(new HPath(curPath))
-            .withConf(conf)
-            .withCompressionCodec(codec)
-            .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+          writer = GraftBatchWrite.applyBloom(
+            ExampleParquetWriter.builder(new HPath(curPath))
+              .withConf(conf)
+              .withCompressionCodec(codec)
+              .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE),
+            bloomColumns, schema.fieldNames.toSet)
             .build()
           rowsInWriter = 0L
           fileIdx += 1

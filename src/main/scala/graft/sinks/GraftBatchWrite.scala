@@ -46,6 +46,48 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftBatchWrite {
 
+  /** Hadoop conf entries shipped to write tasks, extended with the
+    * table's bloom-column config ([[graft.core.BloomColumns]]) so every
+    * row-level writer emits the configured parquet bloom filters
+    * without threading one more constructor parameter through the
+    * writer tree. */
+  def writeConfEntries(tableDir: String,
+      catalog: TableCatalog): Array[(String, String)] = {
+    val base = FileIO.hadoopConfEntries()
+    catalog.load(tableDir)
+      .flatMap(_.properties.get(graft.core.BloomColumns.Property)) match {
+      case Some(raw) => base :+ (graft.core.BloomColumns.Property -> raw)
+      case None      => base
+    }
+  }
+
+  /** Enable the configured bloom filters on a parquet writer builder —
+    * columns absent from the write schema skip (a rename/drop degrades
+    * the optimization, never the write). Columns without an explicit
+    * ndv use parquet's adaptive bloom writer. */
+  def applyBloom(b: org.apache.parquet.hadoop.example.ExampleParquetWriter.Builder,
+      specs: Seq[graft.core.BloomColumns.Spec],
+      schemaCols: Set[String]): org.apache.parquet.hadoop.example.ExampleParquetWriter.Builder = {
+    val live = specs.filter(s => schemaCols.contains(s.column))
+    var out = b
+    live.foreach { s =>
+      out = out.withBloomFilterEnabled(s.column, true)
+      s.ndv.foreach(n => out = out.withBloomFilterNDV(s.column, n))
+    }
+    if (live.exists(_.ndv.isEmpty)) out = out.withAdaptiveBloomFilterEnabled(true)
+    out
+  }
+
+  /** Parse the bloom config a factory shipped in the task conf
+    * ([[writeConfEntries]]); malformed values degrade to none. */
+  def bloomSpecsFrom(taskConf: Configuration): Seq[graft.core.BloomColumns.Spec] =
+    Option(taskConf.get(graft.core.BloomColumns.Property)) match {
+      case None => Nil
+      case Some(raw) =>
+        try graft.core.BloomColumns.parse(raw)
+        catch { case _: Exception => Nil }
+    }
+
   /** The session's in-flight WAP id ([[graft.txn.Wap.SessionConf]]),
     * read driver-side at commit time (commits run on the driver, like
     * Iceberg's `spark.wap.id` lookup). Blank unsets. */
@@ -240,7 +282,7 @@ final class GraftDsv2BatchWrite(
     // ship the driver's hadoop conf to tasks (same rationale as
     // ExactRollingWriter: object-store credentials/endpoints)
     new GraftDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, FileIO.hadoopConfEntries(), partitionSpec)
+      compression, GraftBatchWrite.writeConfEntries(tableDir, catalog), partitionSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -453,7 +495,7 @@ final class GraftStreamingWrite(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     FileIO.mkdirs(writeDir)
     new GraftStreamingDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, FileIO.hadoopConfEntries(), partitionSpec)
+      compression, GraftBatchWrite.writeConfEntries(tableDir, catalog), partitionSpec)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -577,14 +619,18 @@ final class GraftDataWriter(
   private val sketches =
     scala.collection.mutable.Map.empty[String, Map[String, String]]
 
+  private val bloomSpecs = GraftBatchWrite.bloomSpecsFrom(taskConf)
+
   private def newWriter(): Unit = {
     curPath = s"$attemptDir/${namePrefix}part-$partitionId-$fileIdx.parquet"
     val conf = new Configuration(taskConf)
     conf.set("parquet.example.schema", message.toString)
-    writer = ExampleParquetWriter.builder(new HPath(curPath))
-      .withConf(conf)
-      .withCompressionCodec(codec)
-      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+    writer = GraftBatchWrite.applyBloom(
+      ExampleParquetWriter.builder(new HPath(curPath))
+        .withConf(conf)
+        .withCompressionCodec(codec)
+        .withWriteMode(ParquetFileWriter.Mode.OVERWRITE),
+      bloomSpecs, schema.fieldNames.toSet)
       .build()
     rowsInWriter = 0L
     rowsSinceCheck = 0

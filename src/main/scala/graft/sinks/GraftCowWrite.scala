@@ -125,7 +125,7 @@ final class GraftCowBatchWrite(
     // clustering the scan-side pruning depends on
     val spec = graft.core.PartitionSpecCodec.of(catalog.load(tableDir))
     new GraftDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, FileIO.hadoopConfEntries(), spec)
+      compression, GraftBatchWrite.writeConfEntries(tableDir, catalog), spec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -150,7 +150,7 @@ final class GraftDeltaBatchWrite(
     // delta INSERTS on a partitioned table keep the partition layout
     val spec = graft.core.PartitionSpecCodec.of(catalog.load(tableDir))
     new GraftDeltaWriterFactory(writeDir, dataSchema, rowIdSchema,
-      targetFileSizeBytes, compression, FileIO.hadoopConfEntries(), spec,
+      targetFileSizeBytes, compression, GraftBatchWrite.writeConfEntries(tableDir, catalog), spec,
       dvMode = dvMode)
   }
 

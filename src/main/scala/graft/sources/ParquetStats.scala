@@ -255,7 +255,13 @@ object ParquetStats {
       try {
         val facts = fileFacts(e.path)
         e.copy(bounds = facts.bounds, decimalBounds = facts.decimalBounds,
-          nullCounts = facts.nullCounts, stringBounds = facts.stringBounds)
+          nullCounts = facts.nullCounts, stringBounds = facts.stringBounds,
+          // writers that only list their output (the declarative
+          // compaction path) report -1 rows; the footer read already
+          // paid for the exact count, so stamp it — metadata-only
+          // COUNT(*) then survives compaction
+          recordCount =
+            if (e.recordCount >= 0) e.recordCount else facts.rowCount)
       } catch { case _: Exception => e }
 
   /** Row-group layout of one file from its footer:

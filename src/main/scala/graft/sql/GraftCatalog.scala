@@ -297,6 +297,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     Option(properties.get(graft.sinks.GraftDeltaBatchWrite.DeletesFormatProp))
       .foreach(GraftCatalog.validateDeletesFormat)
+    Option(properties.get(graft.core.BloomColumns.Property))
+      .foreach(graft.core.BloomColumns.validate(_, schema.fieldNames.toSet))
     val userProps = (properties.asScala.toMap -- GraftCatalog.ReservedProps) ++
       (if (spec.isEmpty) Map.empty[String, String]
        else Map(graft.core.PartitionSpecCodec.Property ->
@@ -329,6 +331,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     setProps.get(graft.sinks.GraftDeltaBatchWrite.DeletesFormatProp)
       .foreach(GraftCatalog.validateDeletesFormat)
+    setProps.get(graft.core.BloomColumns.Property).foreach { raw =>
+      graft.core.BloomColumns.validate(raw,
+        GraftTableSource.tableSchema(dir, snapCatalog).fieldNames.toSet)
+    }
     val ops: Seq[SchemaOp] = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
         SchemaOp.Add(a.fieldNames.head, a.dataType.sql)

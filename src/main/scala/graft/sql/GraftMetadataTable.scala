@@ -21,7 +21,7 @@ import scala.jdk.CollectionConverters._
   */
 object GraftMetadataTable {
 
-  val Kinds: Set[String] = Set("files", "snapshots", "refs")
+  val Kinds: Set[String] = Set("files", "snapshots", "refs", "partitions")
 
   def apply(tableDir: String, kind: String,
       catalog: TableCatalog = FileTableCatalog): Table =
@@ -66,7 +66,24 @@ object GraftMetadataTable {
     StructField("last_sequence_number", LongType, nullable = false),
     StructField("data_files", LongType, nullable = false),
     StructField("delete_files", LongType, nullable = false),
-    StructField("total_records", LongType, nullable = false)))
+    StructField("total_records", LongType, nullable = false),
+    // WAP surface: staged snapshots are outside main lineage until
+    // published ([[graft.txn.Wap]]); wap_id is null on main commits
+    StructField("staged", BooleanType, nullable = false),
+    StructField("wap_id", StringType, nullable = true)))
+
+  /** Iceberg's partitions-table surface: per-partition health (file and
+    * record counts, bytes) of the CURRENT snapshot, from metadata alone.
+    * `partition` renders `field=value,...` in the file's OWN spec
+    * (per-file spec ids — a mixed-layout table lists both layouts);
+    * unpartitioned data rows under the empty string. */
+  private[sql] val partitionsSchema = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("spec_id", LongType, nullable = false),
+    StructField("data_files", LongType, nullable = false),
+    StructField("records", LongType, nullable = true),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("last_sequence_number", LongType, nullable = false)))
 }
 
 final class GraftMetadataTable(
@@ -76,9 +93,10 @@ final class GraftMetadataTable(
 
   override def name(): String = s"graft.`$tableDir`.$kind"
   override def schema(): StructType = kind match {
-    case "files"     => filesSchema
-    case "refs"      => refsSchema
-    case "snapshots" => snapshotsSchema
+    case "files"      => filesSchema
+    case "refs"       => refsSchema
+    case "snapshots"  => snapshotsSchema
+    case "partitions" => partitionsSchema
     case other => throw graft.core.CompactionError.Config(
       s"unknown metadata table kind: $other")
   }
@@ -154,8 +172,33 @@ final class GraftMetadataTable(
         InternalRow.fromSeq(Seq(
           s.version, s.committedAtMs, s.schemaId, s.lastSequenceNumber,
           data.size.toLong, (s.files.size - data.size).toLong,
-          data.map(_.recordCount).sum))
+          data.map(_.recordCount).sum,
+          graft.txn.Wap.isStaged(s),
+          s.properties.get(graft.txn.Wap.IdProp)
+            .map(UTF8String.fromString).orNull))
       }.toArray
+    case "partitions" =>
+      val snap = catalog.loadOrThrow(tableDir)
+      val specFor = graft.core.PartitionSpecCodec.specForFile(Some(snap))
+      snap.files.filter(_.content == "data")
+        .groupBy { f =>
+          val fields = graft.core.PartitionKey.parse(f.path)
+          val key = specFor(f)
+            .map(t => s"${t.fieldName}=${fields.getOrElse(t.fieldName, "null")}")
+            .mkString(",")
+          (key, math.max(f.specId, 0L))
+        }
+        .toSeq.sortBy { case ((key, specId), _) => (key, specId) }
+        .map { case ((key, specId), fs) =>
+          InternalRow.fromSeq(Seq(
+            UTF8String.fromString(key), specId, fs.size.toLong,
+            // a pre-stamp file with unknown rows makes the sum a lie —
+            // surface null instead
+            if (fs.forall(_.recordCount >= 0)) Long.box(fs.map(_.recordCount).sum)
+            else null,
+            fs.map(_.sizeBytes).sum,
+            fs.map(_.sequenceNumber).max))
+        }.toArray
     case other => throw graft.core.CompactionError.Config(
       s"unknown metadata table kind: $other")
   }

@@ -297,6 +297,31 @@ class GraftCatalogSpec extends AnyFunSuite {
       .toString.contains("LocalTableScan"))
   }
 
+  test("the partitions metadata table reports per-partition health " +
+    "from metadata alone") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbpt")
+    sql("""CREATE TABLE gsql.dbpt.pm (id BIGINT, r STRING)
+          |PARTITIONED BY (r)""".stripMargin)
+    sql("""INSERT INTO gsql.dbpt.pm
+          |SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END
+          |FROM range(0, 100)""".stripMargin)
+    val parts = sql(
+      """SELECT partition, data_files, records FROM gsql.dbpt.pm.partitions
+        |ORDER BY partition""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(parts.map(_._1).toSeq == Seq("r=even", "r=odd"))
+    assert(parts.map(_._3).sum == 100L)
+    assert(parts.forall(_._2 >= 1L))
+    // an unpartitioned table rolls up under the empty partition key
+    sql("CREATE TABLE gsql.dbpt.un (id BIGINT)")
+    sql("INSERT INTO gsql.dbpt.un SELECT id FROM range(0, 7)")
+    val un = sql("SELECT partition, records FROM gsql.dbpt.un.partitions").collect()
+    assert(un.length == 1 && un(0).getString(0) == "" && un(0).getLong(1) == 7L)
+    // driver-local, like every inspection table
+    assert(sql("SELECT * FROM gsql.dbpt.pm.partitions").queryExecution
+      .executedPlan.toString.contains("LocalTableScan"))
+  }
+
   test("TIMESTAMP AS OF resolves the snapshot committed at or before it") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.db9")
     sql("CREATE TABLE gsql.db9.tt (id BIGINT)")

@@ -55,6 +55,10 @@ class WapSpec extends AnyFunSuite {
     val listed = sql("CALL gw.system.list_waps(`table` => 'db.t')").collect()
     assert(listed.length == 1 && listed(0).getString(0) == "etl-42" &&
       listed(0).getString(3) == "open")
+    // the snapshots inspection table surfaces the staged marker
+    val stagedRows = sql(
+      "SELECT wap_id FROM gw.db.t.snapshots WHERE staged").collect()
+    assert(stagedRows.map(_.getString(0)).toSeq == Seq("etl-42"))
 
     // an interleaved MAIN commit lands normally while the stage is open
     sql("INSERT INTO gw.db.t SELECT id, 'main2' FROM range(5, 7)")
