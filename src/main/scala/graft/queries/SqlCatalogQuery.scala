@@ -129,10 +129,13 @@ object SqlCatalogQuery {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A bloom-configured table (`graft.bloom.columns`) read back through
-    * point predicates after a MoR DELETE — the hash match certifies the
-    * bloom-assisted row-group skipping never drops a matching row
-    * (bloom filters may only have false POSITIVES). The probed key set
-    * mixes present, deleted, and never-present ids. */
+    * point predicates after a merge-on-read DELETE (the modulo
+    * predicate is untranslatable, so with rowlevel.mode=merge-on-read
+    * it takes the delta path and commits real delete files) — the hash
+    * match certifies the bloom-assisted row-group skipping composes
+    * with MoR delete application and never drops a matching row (bloom
+    * filters may only have false POSITIVES). The probed key set mixes
+    * present, deleted, and never-present ids. */
   def runBloom(spark: SparkSession, dir: String): DataFrame = {
     val cat = bootstrapCatalog(bloomCatalogs, dir, spark, dir,
         "gbq", "sqlbloom", "li_bloom") { name =>
@@ -140,7 +143,8 @@ object SqlCatalogQuery {
         s"""CREATE TABLE $name.db.lb (
            |  l_orderkey BIGINT, l_linenumber INT,
            |  l_suppkey BIGINT, l_returnflag STRING)
-           |TBLPROPERTIES('graft.bloom.columns'='l_orderkey,l_suppkey')""".stripMargin)
+           |TBLPROPERTIES('graft.bloom.columns'='l_orderkey,l_suppkey',
+           |  'graft.rowlevel.mode'='merge-on-read')""".stripMargin)
       spark.sql(
         s"""INSERT INTO $name.db.lb
            |SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag

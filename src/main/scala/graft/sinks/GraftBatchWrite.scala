@@ -52,10 +52,14 @@ object GraftBatchWrite {
     * without threading one more constructor parameter through the
     * writer tree. */
   def writeConfEntries(tableDir: String,
-      catalog: TableCatalog): Array[(String, String)] = {
+      catalog: TableCatalog): Array[(String, String)] =
+    writeConfEntries(catalog.load(tableDir))
+
+  /** Overload for callers that already hold the loaded snapshot — no
+    * second catalog round-trip per write build. */
+  def writeConfEntries(snap: Option[graft.txn.TableSnapshot]): Array[(String, String)] = {
     val base = FileIO.hadoopConfEntries()
-    catalog.load(tableDir)
-      .flatMap(_.properties.get(graft.core.BloomColumns.Property)) match {
+    snap.flatMap(_.properties.get(graft.core.BloomColumns.Property)) match {
       case Some(raw) => base :+ (graft.core.BloomColumns.Property -> raw)
       case None      => base
     }
@@ -68,7 +72,10 @@ object GraftBatchWrite {
   def applyBloom(b: org.apache.parquet.hadoop.example.ExampleParquetWriter.Builder,
       specs: Seq[graft.core.BloomColumns.Spec],
       schemaCols: Set[String]): org.apache.parquet.hadoop.example.ExampleParquetWriter.Builder = {
-    val live = specs.filter(s => schemaCols.contains(s.column))
+    // case-insensitive resolution to the schema's own casing — parquet
+    // column paths are case-sensitive even though Spark identifiers
+    // are not
+    val live = graft.core.BloomColumns.resolve(specs, schemaCols.toSeq)
     var out = b
     live.foreach { s =>
       out = out.withBloomFilterEnabled(s.column, true)
@@ -306,11 +313,6 @@ final class GraftDsv2BatchWrite(
       throw graft.core.CompactionError.Config(
         s"session ${graft.txn.Wap.SessionConf} is set: only appends can be " +
           "WAP-staged; run the overwrite without a wap id")
-    if (wapId.isDefined && catalog.eq(graft.txn.IcebergTableCatalog))
-      throw graft.core.CompactionError.Config(
-        "WAP staging is not supported on format=iceberg tables (their " +
-          "current-snapshot pointer cannot skip staged commits); use the " +
-          "native graft format")
     if (overwriteAll) cm.overwriteAll(entries, expectedSchemaId = validatedSchemaId)
     else if (overwriteDynamic) {
       // partition key of a fanout-written file, canonicalized in spec

@@ -123,9 +123,10 @@ final class GraftCowBatchWrite(
     // a rewrite of a PARTITIONED table keeps the partition layout —
     // otherwise copy-on-write output would lose the per-value file
     // clustering the scan-side pruning depends on
-    val spec = graft.core.PartitionSpecCodec.of(catalog.load(tableDir))
+    val snap = catalog.load(tableDir)
+    val spec = graft.core.PartitionSpecCodec.of(snap)
     new GraftDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, GraftBatchWrite.writeConfEntries(tableDir, catalog), spec)
+      compression, GraftBatchWrite.writeConfEntries(snap), spec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -148,9 +148,10 @@ final class GraftDeltaBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     FileIO.mkdirs(writeDir)
     // delta INSERTS on a partitioned table keep the partition layout
-    val spec = graft.core.PartitionSpecCodec.of(catalog.load(tableDir))
+    val snap = catalog.load(tableDir)
+    val spec = graft.core.PartitionSpecCodec.of(snap)
     new GraftDeltaWriterFactory(writeDir, dataSchema, rowIdSchema,
-      targetFileSizeBytes, compression, GraftBatchWrite.writeConfEntries(tableDir, catalog), spec,
+      targetFileSizeBytes, compression, GraftBatchWrite.writeConfEntries(snap), spec,
       dvMode = dvMode)
   }
 

@@ -140,21 +140,15 @@ object RollingWriter {
       case _ => outDf.repartition(cfg.targetPartitions)
     }
     try {
-      var writer = distributed
-        .write
-        .mode("overwrite")
-        .option("compression", cfg.parquetCompression)
-        .option("maxRecordsPerFile", maxRecords)
       // configured point-lookup blooms ride write options into the
-      // parquet output format (Spark folds options into the job's
-      // hadoop conf) — rewrites keep the table's bloom coverage
-      cfg.bloomColumns.foreach { s =>
-        writer = writer.option(s"parquet.bloom.filter.enabled#${s.column}", "true")
-        s.ndv.foreach(n => writer = writer.option(
-          s"parquet.bloom.filter.expected.ndv#${s.column}", n.toString))
-      }
-      if (cfg.bloomColumns.exists(_.ndv.isEmpty))
-        writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
+      // parquet output format — rewrites keep the table's bloom coverage
+      val writer = graft.core.BloomColumns.applyOptions(
+        distributed
+          .write
+          .mode("overwrite")
+          .option("compression", cfg.parquetCompression)
+          .option("maxRecordsPerFile", maxRecords),
+        cfg.bloomColumns, distributed.schema.fieldNames.toSeq)
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(request.outputDir)
     } finally if (persisted != null) persisted.unpersist()

@@ -66,7 +66,9 @@ object GraftMetadataTable {
     StructField("last_sequence_number", LongType, nullable = false),
     StructField("data_files", LongType, nullable = false),
     StructField("delete_files", LongType, nullable = false),
-    StructField("total_records", LongType, nullable = false),
+    // null when any data file's record count is unknown (pre-stamp
+    // snapshots) — a partial sum would silently under-report
+    StructField("total_records", LongType, nullable = true),
     // WAP surface: staged snapshots are outside main lineage until
     // published ([[graft.txn.Wap]]); wap_id is null on main commits
     StructField("staged", BooleanType, nullable = false),
@@ -172,7 +174,10 @@ final class GraftMetadataTable(
         InternalRow.fromSeq(Seq(
           s.version, s.committedAtMs, s.schemaId, s.lastSequenceNumber,
           data.size.toLong, (s.files.size - data.size).toLong,
-          data.map(_.recordCount).sum,
+          // same unknown-rows guard as the partitions table below
+          if (data.forall(_.recordCount >= 0))
+            Long.box(data.map(_.recordCount).sum)
+          else null,
           graft.txn.Wap.isStaged(s),
           s.properties.get(graft.txn.Wap.IdProp)
             .map(UTF8String.fromString).orNull))

@@ -48,6 +48,7 @@ private[sql] object GraftProcedures {
       case "analyze_table"       => new AnalyzeTable(resolveDir, catalog)
       case "evolve_partition_spec" => new EvolvePartitionSpec(resolveDir, catalog)
       case "publish_wap"           => new PublishWap(resolveDir, catalog)
+      case "rollback_to_version"   => new RollbackToVersion(resolveDir, catalog)
       case "discard_wap"           => new DiscardWap(resolveDir, catalog)
       case "list_waps"             => new ListWaps(resolveDir, catalog)
       case other => throw CompactionError.Config(
@@ -273,6 +274,32 @@ private[sql] object GraftProcedures {
       localScan(out, Array(InternalRow(
         org.apache.spark.unsafe.types.UTF8String.fromString(tag))),
         s"drop_tag($dir, $tag)")
+    }
+  }
+
+  /** `CALL rollback_to_version(table, version)` — restore a retained
+    * snapshot's content as a NEW commit (Iceberg's
+    * `rollback_to_snapshot`): the bad commits stay time-travelable,
+    * nothing is rewritten, and expiry reaps them later. */
+  private final class RollbackToVersion(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("rollback_to_version") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("version", LongType))
+
+    private val out = StructType(Seq(
+      StructField("rolled_back_to", LongType, nullable = false),
+      StructField("new_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val target = input.getLong(1)
+      val committed = new CommitManager(dir, RetryConfig(), catalog = catalog)
+        .rollbackTo(target)
+      localScan(out, Array(InternalRow(target, committed.version)),
+        s"rollback_to_version($dir, $target)")
     }
   }
 

@@ -65,9 +65,14 @@ object StreamingIngest {
       // replayed batch: already committed — idempotent skip
     } else {
       val outDir = s"$tableDir/data/ingest-$batchId"
+      // ingested files honor the table's configured point-lookup
+      // blooms, same defaulting as compaction
+      val cfg =
+        if (config.bloomColumns.nonEmpty) config
+        else config.copy(bloomColumns = graft.core.BloomColumns.of(Some(cur)))
       val request = RewriteFilesRequest(
         tasks = InputFileScanTasks(Nil, Nil, Nil),
-        schema = batch.schema, config = config, outputDir = outDir)
+        schema = batch.schema, config = cfg, outputDir = outDir)
       val written = RollingWriter.write(batch, request, sequenceNumber = 0L)
       // appendFiles assigns the fresh sequence number from the
       // per-attempt reload, so every batch's rows are strictly newer

@@ -254,6 +254,33 @@ final class CommitManager(
     dead
   }
 
+  /** ROLL BACK the table's content to a retained snapshot (Iceberg's
+    * `rollback_to_snapshot`): commits a NEW version whose file set is
+    * the target's, so nothing is rewritten, history stays intact
+    * (the bad commits remain time-travelable until expiry), and the
+    * rollback itself is one CAS like any other commit. The CURRENT
+    * schema history and properties are kept — a rollback undoes DATA,
+    * not DDL (old-schema files read through reconciliation); the
+    * sequence number floor stays monotonic so delete-file semantics
+    * committed after the rollback behave like on any append. */
+  def rollbackTo(targetVersion: Long): TableSnapshot = {
+    val target = catalog.loadVersion(tableDir, targetVersion).getOrElse(
+      throw CompactionError.Config(
+        s"cannot roll back to v$targetVersion: not a retained snapshot"))
+    if (Wap.isStaged(target))
+      throw CompactionError.Config(
+        s"cannot roll back to v$targetVersion: it is a WAP-staged " +
+          "snapshot, not part of the table's history (publish it instead)")
+    val cur0 = catalog.loadOrThrow(tableDir)
+    commitLoop(cur0.schemaId) { cur =>
+      cur.copy(
+        version = cur.version + 1,
+        files = target.files,
+        lastSequenceNumber =
+          math.max(cur.lastSequenceNumber, target.lastSequenceNumber))
+    }
+  }
+
   /** Swap an explicit file set: remove `removedPaths`, add `added` at a
     * fresh sequence number — the delete-conversion commit shape
     * ([[graft.compaction.DeleteCompaction]]). Unlike [[rewriteFiles]] the

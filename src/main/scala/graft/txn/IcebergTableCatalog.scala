@@ -89,7 +89,12 @@ object IcebergTableCatalog extends TableCatalog {
       }.sorted
 
   override def load(table: String): Option[TableSnapshot] =
-    versions(table).lastOption.flatMap(loadVersion(table, _))
+    // current state = newest non-staged version (same contract as
+    // TableMetadata.load: WAP-staged snapshots are outside main lineage
+    // until published; the marker rides the metadata.json properties)
+    versions(table).reverseIterator
+      .flatMap(loadVersion(table, _))
+      .find(!Wap.isStaged(_))
 
   override def loadVersion(table: String, version: Long): Option[TableSnapshot] = {
     val p = metadataPath(table, version)
@@ -667,8 +672,13 @@ object IcebergTableCatalog extends TableCatalog {
             s"metadata v${snapshot.version} already exists (concurrent commit): ${e.getMessage}")
       }
       // HadoopCatalog-style pointer for readers that resolve via hint;
-      // best-effort (the authoritative current version is max(v*))
-      FileIO.writeString(s"$mdir/version-hint.text", snapshot.version.toString)
+      // best-effort (the authoritative current version for THIS engine
+      // is the newest non-staged metadata). A WAP-STAGED commit leaves
+      // the hint on the main lineage, so a foreign Iceberg client
+      // following version-hint.text never reads unaudited rows — the
+      // Iceberg-format realization of stage-only commits.
+      if (!Wap.isStaged(snapshot))
+        FileIO.writeString(s"$mdir/version-hint.text", snapshot.version.toString)
     } catch {
       case e: Throwable =>
         // a losing committer's manifests are unreferenced — remove them

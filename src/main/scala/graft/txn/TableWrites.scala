@@ -32,12 +32,24 @@ object TableWrites {
     * non-deterministic inputs — a pre-write `df.count()` would run the
     * whole plan twice AND could disagree with what actually landed). */
   private[graft] def writeParquet(df: DataFrame, outDir: String,
-      compression: String): Seq[(String, Long, Long)] = {
-    df.write.mode("overwrite").option("compression", compression)
+      compression: String,
+      bloomColumns: Seq[graft.core.BloomColumns.Spec] = Nil): Seq[(String, Long, Long)] = {
+    graft.core.BloomColumns.applyOptions(
+      df.write.mode("overwrite").option("compression", compression),
+      bloomColumns, df.schema.fieldNames.toSeq)
       .parquet(outDir)
     FileIO.listFilesRecursive(outDir).filter(_._1.endsWith(".parquet"))
       .map { case (p, len) => (p, len, parquetRowCount(p)) }
   }
+
+  /** The table's configured point-lookup blooms ([[BloomColumns]]),
+    * unless the caller's config already chose — data-file writes here
+    * and in [[graft.streaming.StreamingIngest]] honor the property just
+    * like the DSv2 and compaction writers do. */
+  private def bloomColumnsFor(config: CompactionConfig,
+      cur: TableSnapshot): Seq[BloomColumns.Spec] =
+    if (config.bloomColumns.nonEmpty) config.bloomColumns
+    else BloomColumns.of(Some(cur))
 
   /** Equality-delete key columns must be primitive (the Iceberg spec's
     * own restriction on equality field ids): the readers' key-set
@@ -84,7 +96,8 @@ object TableWrites {
     val cur = catalog.loadOrThrow(tableDir)
     requireConforming(cur, rows)
     val outDir = s"$tableDir/data/append-${java.util.UUID.randomUUID().toString.take(8)}"
-    val files = writeParquet(rows, outDir, config.parquetCompression)
+    val files = writeParquet(rows, outDir, config.parquetCompression,
+      bloomColumnsFor(config, cur))
     new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
       files.map { case (p, len, rc) =>
         graft.sources.ParquetStats.stampBounds(FileEntry(p, "data", len, rc, -1L)) },
@@ -155,7 +168,8 @@ object TableWrites {
     requireConforming(cur, rows)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val dataFiles = writeParquet(rows,
-      s"$tableDir/data/upsert-$tag", config.parquetCompression)
+      s"$tableDir/data/upsert-$tag", config.parquetCompression,
+      bloomColumnsFor(config, cur))
     // derive the delete keys from the data files just WRITTEN, not by
     // re-evaluating `rows`: a nondeterministic input (rand(), shuffle-
     // order-dependent source) evaluated twice could commit delete keys

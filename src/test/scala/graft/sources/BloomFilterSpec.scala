@@ -92,7 +92,13 @@ class BloomFilterSpec extends AnyFunSuite {
   }
 
   test("compaction preserves the configured blooms on its outputs") {
-    val dir = s"$wh/db/b" // table from the previous test
+    sql("CREATE NAMESPACE IF NOT EXISTS gbl.db")
+    sql("""CREATE TABLE gbl.db.c (id BIGINT, v STRING)
+          |TBLPROPERTIES('graft.bloom.columns'='id:20000')""".stripMargin)
+    sql("""INSERT INTO gbl.db.c
+          |SELECT id * 2, concat('v', CAST(id AS STRING))
+          |FROM range(0, 20000)""".stripMargin)
+    val dir = s"$wh/db/c"
     graft.compaction.Compaction.builder().withSpark(spark).withTableDir(dir)
       .build().compact()
     val files = FileTableCatalog.loadOrThrow(dir).files.filter(_.content == "data")

@@ -297,6 +297,32 @@ class GraftCatalogSpec extends AnyFunSuite {
       .toString.contains("LocalTableScan"))
   }
 
+  test("rollback_to_version restores old content as a new commit and " +
+    "survives expiry") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbrb")
+    sql("CREATE TABLE gsql.dbrb.r (id BIGINT)")
+    sql("INSERT INTO gsql.dbrb.r SELECT id FROM range(0, 5)")       // v2
+    sql("INSERT INTO gsql.dbrb.r SELECT id FROM range(100, 103)")   // v3
+    sql("DELETE FROM gsql.dbrb.r WHERE id < 2")                     // v4
+    def idsNow: Seq[Long] =
+      sql("SELECT id FROM gsql.dbrb.r ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(idsNow == Seq(2L, 3L, 4L, 100L, 101L, 102L))
+    val res = sql(
+      "CALL gsql.system.rollback_to_version(`table` => 'dbrb.r', version => 3)")
+      .collect()(0)
+    assert(res.getLong(0) == 3L && res.getLong(1) == 5L)
+    assert(idsNow == ((0L until 5L) ++ (100L until 103L)))
+    // the undone DELETE remains time-travelable until expiry
+    assert(sql("SELECT count(*) FROM gsql.dbrb.r VERSION AS OF 4")
+      .head().getLong(0) == 6L)
+    // expiring everything but the rollback commit keeps its files live
+    sql("CALL gsql.system.expire_snapshots(`table` => 'dbrb.r', retain_last => 1)")
+    assert(idsNow == ((0L until 5L) ++ (100L until 103L)))
+    val bad = intercept[Exception](sql(
+      "CALL gsql.system.rollback_to_version(`table` => 'dbrb.r', version => 999)"))
+    assert(bad.getMessage.contains("not a retained snapshot"), bad.getMessage)
+  }
+
   test("the partitions metadata table reports per-partition health " +
     "from metadata alone") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbpt")

@@ -185,6 +185,34 @@ class WapSpec extends AnyFunSuite {
       "discarded rows must never stream; later appends must")
   }
 
+  test("WAP on format=iceberg tables: staged commits skip the " +
+    "version-hint, so hint-following foreign readers stay on main") {
+    val s = spark
+    val wh2 = Files.createTempDirectory("graft-wapi-wh").toString
+    s.conf.set("spark.sql.catalog.gwi", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gwi.warehouse", wh2)
+    s.conf.set("spark.sql.catalog.gwi.format", "iceberg")
+    sql("CREATE NAMESPACE IF NOT EXISTS gwi.db")
+    sql("""CREATE TABLE gwi.db.i (id BIGINT, v STRING)
+          |TBLPROPERTIES('graft.wap.enabled'='true')""".stripMargin)
+    sql("INSERT INTO gwi.db.i SELECT id, 'base' FROM range(0, 4)")
+    val dir = s"$wh2/db/i"
+    def hint: Long =
+      graft.io.FileIO.readString(s"$dir/metadata/version-hint.text").trim.toLong
+    val hintBefore = hint
+    withWap("ice-1") {
+      sql("INSERT INTO gwi.db.i SELECT id, 'staged' FROM range(40, 42)")
+    }
+    // main read AND the foreign-reader pointer stay pre-stage
+    assert(ids("gwi.db.i") == (0L until 4L))
+    assert(hint == hintBefore, "staged commit must not advance version-hint")
+    assert(ids("gwi.db.i", "VERSION AS OF 'wap:ice-1'") ==
+      ((0L until 4L) ++ (40L until 42L)))
+    sql("CALL gwi.system.publish_wap(`table` => 'db.i', wap_id => 'ice-1')")
+    assert(ids("gwi.db.i") == ((0L until 4L) ++ (40L until 42L)))
+    assert(hint > hintBefore, "publish must advance version-hint")
+  }
+
   test("forging wap bookkeeping via ALTER TABLE is refused; the enable " +
     "switch itself is settable") {
     sql("CREATE NAMESPACE IF NOT EXISTS gw.db")
