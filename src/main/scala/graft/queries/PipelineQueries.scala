@@ -221,6 +221,33 @@ object PipelineQueries {
           .as("distinct_estimate"))
   }
 
+  /** STRATIFIED deterministic sampling — the corpus-REBALANCING shape of
+    * training-data pipelines (downsample head languages, keep the tail):
+    * each stratum (language) gets its own permille rate, and a document
+    * is kept iff `hash64("ssmp", doc_id) % 1000 < rate(lang)`. The rate
+    * here derives deterministically from the language itself
+    * (`100 + hash64("rate", lang) % 900`) so the oracle replays it with
+    * no side-channel rate table; a production caller passes a real
+    * per-stratum map the same way (a broadcast lookup or a plain
+    * CASE/join — the gate stays a NARROW per-row filter, no shuffle).
+    * Output: per-stratum (rate, sampled, total) — certifying both the
+    * gate arithmetic and that every stratum was sampled independently. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.TextFunctions.hash64
+    documents(spark, dir)
+      .withColumn("rate_permille",
+        pmod(hash64(lit("rate"), col("lang")), lit(900L)) + lit(100L))
+      .withColumn("in_sample",
+        pmod(hash64(lit("ssmp"), col("doc_id").cast("string")), lit(1000L))
+          < col("rate_permille"))
+      .groupBy("lang")
+      .agg(
+        max("rate_permille").as("rate_permille"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("sampled"),
+        count(lit(1)).as("total"))
+      .orderBy("lang")
+  }
+
   /** Deterministic (hash-gated) stratified sampling — reproducible corpus
     * subsets without RNG state: doc is sampled iff
     * hash64("smp", doc_id) % 1000 < 200 (a 20% gate). Per-language
@@ -663,6 +690,13 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN ${h64("'smp:' || doc_id")} % 1000 < 200 THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
          |  count(*) AS total
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "stratified_sample" ->
+      s"""SELECT lang,
+         |  (${h64("'rate:' || lang")} % 900) + 100 AS rate_permille,
+         |  CAST(sum(CASE WHEN ${h64("'ssmp:' || doc_id")} % 1000 <
+         |    (${h64("'rate:' || lang")} % 900) + 100 THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+         |  count(*) AS total
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "kmv_distinct" ->
       s"""WITH hashes AS (
          |  SELECT DISTINCT ${h64("'kmv:' || l_orderkey")} AS h FROM lineitem),
@@ -781,6 +815,7 @@ object PipelineQueries {
     "ann_pq" -> (annPq _),
     "kmv_distinct" -> (kmvDistinct _),
     "deterministic_sample" -> (deterministicSample _),
+    "stratified_sample" -> (stratifiedSample _),
     "uniform_sample" -> (uniformSample _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),

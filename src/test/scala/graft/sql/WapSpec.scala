@@ -213,6 +213,30 @@ class WapSpec extends AnyFunSuite {
     assert(hint > hintBefore, "publish must advance version-hint")
   }
 
+  test("a stage survives schema evolution between stage and publish: " +
+    "published files reconcile under the evolved schema") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gw.db")
+    sql("""CREATE TABLE gw.db.ev (id BIGINT, v STRING)
+          |TBLPROPERTIES('graft.wap.enabled'='true')""".stripMargin)
+    sql("INSERT INTO gw.db.ev SELECT id, 'base' FROM range(0, 3)")
+    withWap("pre-evolve") {
+      sql("INSERT INTO gw.db.ev SELECT id, 'staged' FROM range(10, 12)")
+    }
+    sql("ALTER TABLE gw.db.ev ADD COLUMN extra BIGINT")
+    sql("INSERT INTO gw.db.ev SELECT id, 'post', id * 7 FROM range(3, 5)")
+    sql("CALL gw.system.publish_wap(`table` => 'db.ev', wap_id => 'pre-evolve')")
+    // staged rows land; their files predate `extra`, so it reconciles
+    // to null — exactly like any pre-evolution file
+    val rows = sql(
+      "SELECT id, v, extra FROM gw.db.ev ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (0L, "base", -1L), (1L, "base", -1L), (2L, "base", -1L),
+      (3L, "post", 21L), (4L, "post", 28L),
+      (10L, "staged", -1L), (11L, "staged", -1L)))
+  }
+
   test("forging wap bookkeeping via ALTER TABLE is refused; the enable " +
     "switch itself is settable") {
     sql("CREATE NAMESPACE IF NOT EXISTS gw.db")
