@@ -786,6 +786,8 @@ final class GraftScan(
     * per planning pass. */
   private lazy val cachedNdv: Map[String, Long] =
     graft.txn.TableAnalyze.currentNdv(snap)
+  private lazy val cachedHist: Map[String, graft.txn.TableAnalyze.Hist] =
+    graft.txn.TableAnalyze.exactHistograms(snap)
 
   private lazy val prunedDataFiles: Seq[FileEntry] = {
     val data = snap.files.filter(_.content == "data")
@@ -1022,9 +1024,13 @@ final class GraftScan(
     // analyze_table NDVs: exact-file-set-guarded (TableAnalyze), and
     // only for an UNPRUNED scan — table-level distinct counts over a
     // pruned subset overstate, which undersizes join outputs
-    val ndv: Map[String, Long] =
-      if (files.size != snap.files.count(_.content == "data")) Map.empty
-      else cachedNdv
+    val unpruned = files.size == snap.files.count(_.content == "data")
+    val ndv: Map[String, Long] = if (unpruned) cachedNdv else Map.empty
+    // analyze-time equi-height histograms, same exact-file-set guard
+    // and same no-pruned-subset rule (a table-level distribution over
+    // a pruned scan misstates selectivity)
+    val hist: Map[String, graft.txn.TableAnalyze.Hist] =
+      if (unpruned) cachedHist else Map.empty
     tableSchema.fields.foreach { fld =>
       val c = fld.name
       // internal-typed min/max objects per Catalyst convention
@@ -1049,7 +1055,9 @@ final class GraftScan(
           if (ns.size != files.size) None else Some(ns.sum)
         }
       val distinct: Option[Long] = ndv.get(c)
-      if (minMax.isDefined || nulls.isDefined || distinct.isDefined)
+      val histo: Option[graft.txn.TableAnalyze.Hist] = hist.get(c)
+      if (minMax.isDefined || nulls.isDefined || distinct.isDefined ||
+          histo.isDefined)
         out.put(Expressions.column(c), new ColumnStatistics {
           override def min(): java.util.Optional[Object] =
             minMax.fold(java.util.Optional.empty[Object]())(m =>
@@ -1061,6 +1069,24 @@ final class GraftScan(
             nulls.fold(OptionalLong.empty())(OptionalLong.of)
           override def distinctCount(): OptionalLong =
             distinct.fold(OptionalLong.empty())(OptionalLong.of)
+          override def histogram(): java.util.Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            histo.fold(java.util.Optional.empty[
+                org.apache.spark.sql.connector.read.colstats.Histogram]()) { h =>
+              java.util.Optional.of(
+                new org.apache.spark.sql.connector.read.colstats.Histogram {
+                  override def height(): Double = h.height
+                  override def bins(): Array[
+                      org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                    h.bins.map { case (l, u, n) =>
+                      new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                        override def lo(): Double = l
+                        override def hi(): Double = u
+                        override def ndv(): Long = n
+                      }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                    }.toArray
+                })
+            }
         })
     }
     out

@@ -162,7 +162,11 @@ private[sql] object GraftProcedures {
 
     override def parameters(): Array[ProcedureParameter] = Array(
       in("table", StringType),
-      inDefault("columns", StringType, "''"))
+      inDefault("columns", StringType, "''"),
+      // equi-height histograms for the CBO (served through the DSv2
+      // columnStats histogram surface under the same staleness guard)
+      inDefault("histogram", BooleanType, "false"),
+      inDefault("bins", IntegerType, "32"))
 
     private val out = StructType(Seq(
       StructField("column", StringType, nullable = false),
@@ -175,7 +179,9 @@ private[sql] object GraftProcedures {
         else input.getUTF8String(1).toString.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
       val ndv = graft.txn.TableAnalyze.analyze(
-        SparkSession.active, dir, cols, catalog)
+        SparkSession.active, dir, cols, catalog,
+        histogram = !input.isNullAt(2) && input.getBoolean(2),
+        histogramBins = if (input.isNullAt(3)) 32 else input.getInt(3))
       val rows = ndv.toSeq.sortBy(_._1).map { case (c, n) =>
         InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(c), n)
       }.toArray

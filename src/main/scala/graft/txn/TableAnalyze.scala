@@ -26,6 +26,15 @@ object TableAnalyze {
   val NdvProp = "graft.stats.ndv"
   /** [[fileSetHash]] of the snapshot the NDVs were computed against. */
   val FilesHashProp = "graft.stats.files-hash"
+  /** JSON `{column: {h: height, b: [[lo, hi, ndv], ...]}}` — the
+    * equi-height histograms of the last `analyze(histogram = true)`,
+    * guarded by the SAME file-set hash as the NDVs. */
+  val HistProp = "graft.stats.histograms"
+
+  /** One column's equi-height histogram: `height` (non-null) rows per
+    * bin; bins as (lo, hi, ndv) in the column's DOUBLE-space
+    * representation (Catalyst's histogram model). */
+  final case class Hist(height: Double, bins: Seq[(Double, Double, Long)])
 
   private val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -54,7 +63,20 @@ object TableAnalyze {
     * stats for a file set that changed mid-analyze. */
   def analyze(spark: SparkSession, tableDir: String,
       columns: Seq[String] = Nil,
-      catalog: TableCatalog = FileTableCatalog): Map[String, Long] = {
+      catalog: TableCatalog = FileTableCatalog,
+      /** Also compute EQUI-HEIGHT HISTOGRAMS for the numeric/date/
+        * timestamp columns of the analyze set — the distribution
+        * statistic that lets the CBO estimate range-predicate and join
+        * selectivity on SKEWED data, where min/max + NDV assume a
+        * uniformity that can be off by orders of magnitude. Served to
+        * Spark through the DSv2 `columnStats().histogram()` surface
+        * under the same exact file-set guard as the NDVs. Cost: two
+        * extra aggregation passes (percentile boundaries, per-interval
+        * distinct counts). */
+      histogram: Boolean = false,
+      histogramBins: Int = 32): Map[String, Long] = {
+    require(histogramBins >= 2 && histogramBins <= 1000,
+      s"histogramBins must be in [2, 1000], got $histogramBins")
     val snap = catalog.loadOrThrow(tableDir)
     // pin the scan to the hashed snapshot: the hash and the rows must
     // describe the SAME version by construction, not by a lucky race
@@ -80,6 +102,8 @@ object TableAnalyze {
     val aggs = cols.map(c => approx_count_distinct(col(s"`$c`"), 0.01).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val fresh = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+    val freshHist: Map[String, Hist] =
+      if (!histogram) Map.empty else computeHistograms(df, cols, histogramBins)
     // the merge base is read from EACH ATTEMPT's reloaded snapshot
     // inside the CAS loop: two concurrent analyzes of disjoint column
     // sets both land (the later one re-merges over the earlier commit)
@@ -97,12 +121,89 @@ object TableAnalyze {
         // any EXACT NDVs cur carries for it are safe to merge under
         // (sketch estimates must never be committed as exact counts)
         merged = exactNdv(cur) ++ fresh
+        val mergedHist = exactHistograms(cur) ++ freshHist
         (Map(
           NdvProp -> mapper.writeValueAsString(merged),
-          FilesHashProp -> scannedHash), Set.empty)
+          FilesHashProp -> scannedHash) ++
+          (if (mergedHist.isEmpty) Map.empty[String, String]
+           else Map(HistProp -> histJson(mergedHist))), Set.empty)
       }
     merged
   }
+
+  private def histEligible(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  /** Two aggregation passes, both covering EVERY eligible column at
+    * once: (1) equi-height bin boundaries via `percentile_approx` at
+    * `bins + 1` quantiles + the non-null count; (2) per-interval
+    * distinct counts via Catalyst's interval-HLL aggregate — the same
+    * two-pass shape Spark's own `ANALYZE ... FOR COLUMNS` uses with
+    * `spark.sql.statistics.histogram.enabled`. */
+  private def computeHistograms(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String], bins: Int): Map[String, Hist] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val hc = cols.filter(c => histEligible(df.schema(c).dataType))
+    if (hc.isEmpty) return Map.empty
+    val probs = lit((0 to bins).map(_.toDouble / bins).toArray)
+    val aggsA = hc.flatMap(c => Seq(
+      percentile_approx(col(s"`$c`").cast("double"), probs, lit(10000)).as(s"p_$c"),
+      count(col(s"`$c`")).as(s"n_$c")))
+    val rowA = df.agg(aggsA.head, aggsA.tail: _*).head()
+    // a column with zero non-null rows yields null percentiles — skip it
+    val withEp: Seq[(String, Array[Double], Long)] = hc.flatMap { c =>
+      val i = rowA.fieldIndex(s"p_$c")
+      if (rowA.isNullAt(i)) None
+      else Some((c, rowA.getSeq[Double](i).toArray,
+        rowA.getLong(rowA.fieldIndex(s"n_$c"))))
+    }
+    if (withEp.isEmpty) return Map.empty
+    val aggsB = withEp.map { case (c, ep, _) =>
+      toCol(org.apache.spark.sql.catalyst.expressions.aggregate
+        .ApproxCountDistinctForIntervals(
+          toExpr(col(s"`$c`").cast("double")),
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(ep, ArrayType(DoubleType)),
+          0.05).toAggregateExpression()).as(s"i_$c")
+    }
+    val rowB = df.agg(aggsB.head, aggsB.tail: _*).head()
+    withEp.map { case (c, ep, nonNull) =>
+      val ndvs = rowB.getSeq[Long](rowB.fieldIndex(s"i_$c"))
+      c -> Hist(nonNull.toDouble / bins,
+        (0 until bins).map(i => (ep(i), ep(i + 1), ndvs(i))))
+    }.toMap
+  }
+
+  private def histJson(m: Map[String, Hist]): String =
+    mapper.writeValueAsString(m.map { case (c, h) =>
+      c -> Map("h" -> h.height,
+        "b" -> h.bins.map(b => Seq(b._1, b._2, b._3.toDouble)))
+    })
+
+  /** The committed histograms, ONLY while still exact for `snap`'s file
+    * set (same guard as [[exactNdv]] — the two stats share
+    * [[FilesHashProp]]). */
+  def exactHistograms(snap: TableSnapshot): Map[String, Hist] =
+    (snap.properties.get(HistProp), snap.properties.get(FilesHashProp)) match {
+      case (Some(json), Some(hash)) if hash == fileSetHash(snap) =>
+        try {
+          import scala.jdk.CollectionConverters._
+          mapper.readTree(json).properties().asScala.map { e =>
+            val h = e.getValue.get("h").asDouble
+            val bins = e.getValue.get("b").elements().asScala.map { b =>
+              (b.get(0).asDouble, b.get(1).asDouble, b.get(2).asLong)
+            }.toSeq
+            e.getKey -> Hist(h, bins)
+          }.toMap
+        } catch { case _: Exception => Map.empty }
+      case _ => Map.empty
+    }
 
   /** NDVs for the planner: the ANALYZED exact counts while still valid
     * for `snap`'s file set, else the write-time sketch merge

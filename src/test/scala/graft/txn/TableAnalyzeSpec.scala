@@ -81,6 +81,40 @@ class TableAnalyzeSpec extends AnyFunSuite {
     assert(again.isPresent && math.abs(again.getAsLong - 37L) <= 1)
   }
 
+  test("analyze with histogram serves equi-height bins to the scan's " +
+    "column statistics; appends invalidate them") {
+    sql("CREATE TABLE gan.db.h (id BIGINT, skew BIGINT, s STRING)")
+    // heavily skewed column: ~half the rows share value 0
+    sql("""INSERT INTO gan.db.h
+          |SELECT id, CASE WHEN id % 2 = 0 THEN 0 ELSE id END, 'x'
+          |FROM range(0, 4000)""".stripMargin)
+    val dir = s"$wh/db/h"
+    sql("CALL gan.system.analyze_table(`table` => 'db.h', " +
+      "histogram => true, bins => 8)")
+    def histOf(c: String) = {
+      val cs = statsOf(dir).columnStats()
+        .get(org.apache.spark.sql.connector.expressions.Expressions.column(c))
+      if (cs == null) java.util.Optional.empty[
+        org.apache.spark.sql.connector.read.colstats.Histogram]()
+      else cs.histogram()
+    }
+    val h = histOf("skew")
+    assert(h.isPresent, "numeric column must carry a histogram")
+    val bins = h.get.bins()
+    assert(bins.length == 8)
+    assert(h.get.height() == 4000.0 / 8)
+    // the skew shows: the low bins sit entirely on the hot value 0
+    assert(bins.head.lo() == 0.0 && bins.head.hi() == 0.0 &&
+      bins.head.ndv() <= 1, s"hot-value bin: ${bins.head.lo()}..${bins.head.hi()}")
+    assert(bins.last.hi() == 3999.0)
+    // non-numeric column: NDV yes, histogram no
+    assert(!histOf("s").isPresent)
+    // an append invalidates the histogram (same hash guard as NDVs)
+    sql("INSERT INTO gan.db.h VALUES (9999, 9999, 'y')")
+    assert(!histOf("skew").isPresent,
+      "append must hard-cut the analyze-time histogram")
+  }
+
   test("pruned scans suppress table-level NDVs") {
     val dir = s"$wh/db/t"
     sql("CALL gan.system.analyze_table(`table` => 'db.t')")
