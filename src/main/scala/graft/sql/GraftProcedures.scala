@@ -195,7 +195,10 @@ private[sql] object GraftProcedures {
 
     override def parameters(): Array[ProcedureParameter] = Array(
       in("table", StringType),
-      inDefault("retain_last", IntegerType, "1"))
+      inDefault("retain_last", IntegerType, "1"),
+      // Iceberg's older_than: only versions committed before this
+      // wall-clock ms expire; -1 disables the age gate
+      inDefault("older_than_ms", LongType, "-1"))
 
     private val out = StructType(Seq(
       StructField("expired_version", LongType, nullable = false)))
@@ -205,7 +208,8 @@ private[sql] object GraftProcedures {
       // tagged versions survive expiration — enforced INSIDE
       // CommitManager.expireSnapshots, on every caller
       val expired = new CommitManager(dir, RetryConfig(), catalog = catalog)
-        .expireSnapshots(keepLast = input.getInt(1))
+        .expireSnapshots(keepLast = input.getInt(1),
+          olderThanMs = if (input.isNullAt(2)) -1L else input.getLong(2))
       localScan(out, expired.map(v => InternalRow(v)).toArray,
         s"expire_snapshots($dir)")
     }

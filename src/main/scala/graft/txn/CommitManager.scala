@@ -560,7 +560,12 @@ final class CommitManager(
         * of named tags (`graft.ref.*` snapshot properties) are ALWAYS
         * protected, on every expiration path — the SQL procedure and
         * library maintenance jobs alike. */
-      protectedVersions: Set[Long] = Set.empty): Seq[Long] = {
+      protectedVersions: Set[Long] = Set.empty,
+      /** Only versions COMMITTED BEFORE this wall-clock ms expire
+        * (Iceberg's `older_than`); < 0 disables the age gate. Both
+        * gates compose: a version must be past `keepLast` AND old
+        * enough. */
+      olderThanMs: Long = -1L): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val curOpt = catalog.load(tableDir)
     val tagged: Set[Long] = curOpt
@@ -581,8 +586,11 @@ final class CommitManager(
     def openStaged(v: Long): Boolean =
       catalog.loadVersion(tableDir, v).exists(s => Wap.isStaged(s) &&
         !closed.contains(s.properties(Wap.IdProp)))
+    def youngEnough(v: Long): Boolean =
+      olderThanMs >= 0 && catalog.loadVersion(tableDir, v)
+        .exists(_.committedAtMs >= olderThanMs)
     val (pinned, expired) = candidates.partition(v =>
-      keepAlways.contains(v) || openStaged(v))
+      keepAlways.contains(v) || openStaged(v) || youngEnough(v))
     val kept = pinned ++ recent
     if (expired.isEmpty) return Nil
     val keptFiles: Set[String] = kept.flatMap(loadVersionFiles).toSet

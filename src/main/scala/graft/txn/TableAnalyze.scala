@@ -122,11 +122,19 @@ object TableAnalyze {
         // (sketch estimates must never be committed as exact counts)
         merged = exactNdv(cur) ++ fresh
         val mergedHist = exactHistograms(cur) ++ freshHist
+        // committing a NEW FilesHashProp would falsely re-validate a
+        // histogram committed against an OLDER file set (its own hash
+        // died with that set) — when no valid histograms survive this
+        // commit, the property must go, not linger
+        val removeStaleHist: Set[String] =
+          if (mergedHist.isEmpty && cur.properties.contains(HistProp))
+            Set(HistProp)
+          else Set.empty
         (Map(
           NdvProp -> mapper.writeValueAsString(merged),
           FilesHashProp -> scannedHash) ++
           (if (mergedHist.isEmpty) Map.empty[String, String]
-           else Map(HistProp -> histJson(mergedHist))), Set.empty)
+           else Map(HistProp -> histJson(mergedHist))), removeStaleHist)
       }
     merged
   }

@@ -297,6 +297,29 @@ class GraftCatalogSpec extends AnyFunSuite {
       .toString.contains("LocalTableScan"))
   }
 
+  test("expire_snapshots(older_than_ms) keeps versions younger than " +
+    "the cutoff even past retain_last") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbet")
+    sql("CREATE TABLE gsql.dbet.e (id BIGINT)")
+    sql("INSERT INTO gsql.dbet.e VALUES (1)")
+    sql("INSERT INTO gsql.dbet.e VALUES (2)")
+    sql("INSERT INTO gsql.dbet.e VALUES (3)")
+    // cutoff in the past: everything is "young", nothing expires
+    val past = System.currentTimeMillis() - 3600 * 1000L
+    val kept = sql("CALL gsql.system.expire_snapshots(" +
+      s"`table` => 'dbet.e', retain_last => 1, older_than_ms => $past)")
+      .collect()
+    assert(kept.isEmpty, "young snapshots must survive the age gate")
+    assert(sql("SELECT count(*) FROM gsql.dbet.e VERSION AS OF 2")
+      .head().getLong(0) == 1L)
+    // cutoff in the future: the age gate passes, retain_last governs
+    val future = System.currentTimeMillis() + 3600 * 1000L
+    val expired = sql("CALL gsql.system.expire_snapshots(" +
+      s"`table` => 'dbet.e', retain_last => 1, older_than_ms => $future)")
+      .collect()
+    assert(expired.nonEmpty)
+  }
+
   test("rollback_to_version restores old content as a new commit and " +
     "survives expiry") {
     sql("CREATE NAMESPACE IF NOT EXISTS gsql.dbrb")

@@ -113,6 +113,17 @@ class TableAnalyzeSpec extends AnyFunSuite {
     sql("INSERT INTO gan.db.h VALUES (9999, 9999, 'y')")
     assert(!histOf("skew").isPresent,
       "append must hard-cut the analyze-time histogram")
+    // a histogram-LESS re-analyze must not resurrect the stale one: it
+    // refreshes the file-set hash the old histogram would otherwise
+    // ride back in on
+    sql("CALL gan.system.analyze_table(`table` => 'db.h')")
+    assert(ndvOf(dir, "skew").isPresent, "re-analyze must serve NDVs")
+    assert(!histOf("skew").isPresent,
+      "a stale histogram must not re-validate under the fresh hash")
+    // ...and a histogram re-analyze brings it back
+    sql("CALL gan.system.analyze_table(`table` => 'db.h', " +
+      "histogram => true, bins => 8)")
+    assert(histOf("skew").isPresent)
   }
 
   test("pruned scans suppress table-level NDVs") {
