@@ -43,6 +43,8 @@ object SparkEntry {
       ("sql_overwrite_dynamic" -> (graft.queries.SqlCatalogQuery.runInsertOverwriteDynamic _)) +
       ("sql_partition_evolution" -> (graft.queries.SqlCatalogQuery.runPartitionEvolution _)) +
       ("sql_wap" -> (graft.queries.SqlCatalogQuery.runWap _)) +
+      ("sql_branch" -> (graft.queries.SqlCatalogQuery.runBranch _)) +
+      ("cdc_changelog" -> (graft.queries.ChangelogQuery.run _)) +
       ("sql_bloom" -> (graft.queries.SqlCatalogQuery.runBloom _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
@@ -85,6 +87,8 @@ object SparkEntry {
       ("sql_overwrite_dynamic" -> graft.queries.SqlCatalogQuery.insertOverwriteDynamicOracle) +
       ("sql_partition_evolution" -> graft.queries.SqlCatalogQuery.partitionEvolutionOracle) +
       ("sql_wap" -> graft.queries.SqlCatalogQuery.wapOracle) +
+      ("sql_branch" -> graft.queries.SqlCatalogQuery.branchOracle) +
+      ("cdc_changelog" -> graft.queries.ChangelogQuery.oracle) +
       ("sql_bloom" -> graft.queries.SqlCatalogQuery.bloomOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +

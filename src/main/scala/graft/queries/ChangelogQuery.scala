@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.compaction.Compaction
+import graft.core.CompactionConfig
+import graft.sources.TableReader
+import graft.txn.{FileTableCatalog, TableMetadata, TableSnapshot, TableWrites}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Batch CDC as an oracle-checked query ([[TableReader.changelog]]):
+  * drive a table through appends, an equality delete, a position
+  * delete, and a FULL COMPACTION, then read the per-commit changelog of
+  * the whole interval. The hash-match certifies:
+  *
+  *   - insert attribution (each append's rows appear exactly once, at
+  *     its own `commit_version`);
+  *   - delete semantics per kind (the eq-delete hits only OLDER rows;
+  *     the position delete names physical ordinals, minus the rows the
+  *     eq-delete already killed — a multiset diff, not a file replay);
+  *   - compaction invisibility (the rewrite commit contributes ZERO
+  *     change rows even though it replaced every file).
+  *
+  * Fixture versions are deterministic (v1 bootstrap … v6 compaction),
+  * so the oracle pins the attribution by constant.
+  */
+object ChangelogQuery {
+
+  private val rowKey = MorQueries.rowKey
+  private val outCols = Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag")
+  private val orderCols = outCols ++ Seq("change_type", "commit_version")
+
+  private val builtTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def buildTable(spark: SparkSession, dir: String): String =
+    builtTables.computeIfAbsent(dir, _ => {
+      val tableDir = Files.createTempDirectory("graft-changelog").toString
+      val li = spark.read.parquet(s"$dir/lineitem.parquet").persist()
+      try {
+        def sorted(df: DataFrame) =
+          df.repartition(1).sortWithinPartitions(rowKey.map(col): _*)
+        TableMetadata.commit(tableDir, TableSnapshot(1, 1, 0, Nil))
+        // v2: even rows, one sorted file (physical pos == oracle ordinal)
+        TableWrites.appendData(tableDir,
+          sorted(li.filter(col("l_orderkey") % 2 === 0)))
+        val dataFiles = TableMetadata.loadOrThrow(tableDir)
+          .files.filter(_.content == "data")
+        require(dataFiles.size == 1,
+          s"expected 1 data file from the sorted append, got ${dataFiles.size}")
+        // v3: equality-delete every 13th orderkey (hits only v2 data)
+        TableWrites.appendEqualityDeletes(tableDir,
+          li.filter(col("l_orderkey") % 13 === 0).select("l_orderkey"),
+          Seq("l_orderkey"))
+        // v4: odd rows — newer than the delete, unaffected by it
+        TableWrites.appendData(tableDir,
+          sorted(li.filter(col("l_orderkey") % 2 === 1)))
+        // v5: position-delete the first 100 physical rows of the v2 file
+        TableWrites.appendPositionDeletes(tableDir,
+          spark.range(100).select(
+            lit(dataFiles.head.path).as("file_path"), col("id").as("pos")))
+      } finally li.unpersist()
+      // v6: full compaction — rewrites every file, changes no rows
+      Compaction.builder()
+        .withSpark(spark).withTableDir(tableDir)
+        .withConfig(CompactionConfig(enableValidateCompaction = true))
+        .build()
+        .compact()
+      require(TableMetadata.loadOrThrow(tableDir).version == 6,
+        "fixture drifted: the compaction commit should be v6")
+      tableDir
+    })
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = buildTable(spark, dir)
+    TableReader.changelog(spark, tableDir, fromVersion = 1, toVersion = 6)
+      .withColumnRenamed("_change_type", "change_type")
+      .withColumnRenamed("_commit_version", "commit_version")
+      .select(orderCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+  }
+
+  val oracle: String = {
+    val key6 = rowKey.mkString(", ")
+    val cols = outCols.mkString(", ")
+    s"""WITH f1 AS (
+       |  SELECT *, row_number() OVER (ORDER BY $key6) - 1 AS pos
+       |  FROM lineitem WHERE l_orderkey % 2 = 0),
+       |f2 AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1),
+       |ch AS (
+       |  SELECT $cols, 'insert' AS change_type,
+       |         CAST(2 AS BIGINT) AS commit_version FROM f1
+       |  UNION ALL
+       |  SELECT $cols, 'delete', CAST(3 AS BIGINT)
+       |  FROM f1 WHERE l_orderkey % 13 = 0
+       |  UNION ALL
+       |  SELECT $cols, 'insert', CAST(4 AS BIGINT) FROM f2
+       |  UNION ALL
+       |  SELECT $cols, 'delete', CAST(5 AS BIGINT)
+       |  FROM f1 WHERE pos < 100 AND l_orderkey % 13 <> 0)
+       |SELECT * FROM ch
+       |ORDER BY ${orderCols.mkString(", ")}""".stripMargin
+  }
+}

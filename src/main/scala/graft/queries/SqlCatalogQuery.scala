@@ -225,6 +225,78 @@ object SqlCatalogQuery {
       |   OR l_orderkey % 3 = 2
       |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
 
+  // -------- branches ----------------------------------------------------
+
+  private val branchCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Branch refs ([[graft.txn.Branch]]) as an oracle-checked query:
+    *
+    *  1. load the `%3 = 0` third on MAIN;
+    *  2. `CALL create_branch(... 'dev')`;
+    *  3. INSERT the `%3 = 1` third under the session branch conf (the
+    *     `spark.wap.branch` analog) — main must not see it;
+    *  4. equality-delete every `%7 = 0` orderkey ON THE BRANCH
+    *     (`TableWrites.appendEqualityDeletes(branch = ...)`);
+    *  5. INSERT the `%3 = 2` third on the branch — NEWER than the
+    *     delete, survives it even on matching keys;
+    *  6. audit-read `VERSION AS OF 'branch:dev'`, assert main isolation
+    *     by count, then `CALL fast_forward` and read MAIN.
+    *
+    * The final hash-match certifies branch isolation, branch-lineage
+    * sequence semantics (the delete's seq window), and the wholesale
+    * adoption of the branch chain at publish. */
+  def runBranch(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(branchCatalogs, dir, spark, dir,
+        "gbr", "sqlbranch", "li_branch") { name =>
+      spark.sql(
+        s"""CREATE TABLE $name.db.lb (
+           |  l_orderkey BIGINT, l_linenumber INT,
+           |  l_suppkey BIGINT, l_returnflag STRING)""".stripMargin)
+      def insertThird(k: Int): Unit = spark.sql(
+        s"""INSERT INTO $name.db.lb
+           |SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+           |FROM li_branch WHERE l_orderkey % 3 = $k""".stripMargin)
+      insertThird(0)
+      val base = spark.table(s"$name.db.lb").count()
+      spark.sql(s"CALL $name.system.create_branch(`table` => 'db.lb', branch => 'dev')")
+      spark.conf.set(graft.txn.Branch.SessionConf, "dev")
+      try insertThird(1)
+      finally spark.conf.unset(graft.txn.Branch.SessionConf)
+      require(spark.table(s"$name.db.lb").count() == base,
+        "branch rows leaked into the main table")
+      // branch-lineage equality delete through the library surface
+      val tableDir = spark.conf.get(s"spark.sql.catalog.$name.warehouse") +
+        "/db/lb"
+      graft.txn.TableWrites.appendEqualityDeletes(tableDir,
+        spark.table("li_branch")
+          .filter(org.apache.spark.sql.functions.col("l_orderkey") % 7 === 0)
+          .select("l_orderkey"),
+        Seq("l_orderkey"), branch = Some("dev"))
+      spark.conf.set(graft.txn.Branch.SessionConf, "dev")
+      try insertThird(2) // newer than the delete — survives it
+      finally spark.conf.unset(graft.txn.Branch.SessionConf)
+      require(spark.table(s"$name.db.lb").count() == base,
+        "branch delete/insert leaked into the main table")
+      val audit = spark.sql(
+        s"SELECT count(*) FROM $name.db.lb VERSION AS OF 'branch:dev'")
+        .head().getLong(0)
+      require(audit > base, "branch read must include the branch rows")
+      spark.sql(s"CALL $name.system.fast_forward(`table` => 'db.lb', branch => 'dev')")
+    }
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+         |FROM $cat.db.lb
+         |ORDER BY ${outCols.mkString(", ")}""".stripMargin)
+  }
+
+  val branchOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+      |FROM lineitem
+      |WHERE (l_orderkey % 3 <= 1 AND l_orderkey % 7 <> 0)
+      |   OR l_orderkey % 3 = 2
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
+
   // -------- partition-spec evolution ------------------------------------
 
   private val pevoCatalogs =

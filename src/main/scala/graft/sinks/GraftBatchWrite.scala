@@ -102,6 +102,13 @@ object GraftBatchWrite {
     org.apache.spark.sql.SparkSession.active.conf
       .getOption(graft.txn.Wap.SessionConf).map(_.trim).filter(_.nonEmpty)
 
+  /** The session's write-target branch ([[graft.txn.Branch.SessionConf]],
+    * the analog of Iceberg's `spark.wap.branch`), read driver-side at
+    * commit time like the wap id. Blank unsets. */
+  def activeBranch(): Option[String] =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption(graft.txn.Branch.SessionConf).map(_.trim).filter(_.nonEmpty)
+
   /** Validate `querySchema` against the table's current state; throws
     * [[CompactionError.Config]] on any mismatch. Returns the snapshot's
     * schemaId AS OF validation — commits pass it as `expectedSchemaId`
@@ -313,6 +320,21 @@ final class GraftDsv2BatchWrite(
       throw graft.core.CompactionError.Config(
         s"session ${graft.txn.Wap.SessionConf} is set: only appends can be " +
           "WAP-staged; run the overwrite without a wap id")
+    // a session branch target routes APPENDS onto the branch lineage;
+    // overwrites encode removals relative to MAIN and would reparent
+    // under fast-forward — refuse rather than run them unbranced. WAP
+    // staging and branch targeting are distinct audit protocols that
+    // do not compose in one commit.
+    val branchTarget = GraftBatchWrite.activeBranch()
+    if (branchTarget.isDefined && wapId.isDefined)
+      throw graft.core.CompactionError.Config(
+        s"both ${graft.txn.Wap.SessionConf} and " +
+          s"${graft.txn.Branch.SessionConf} are set: a commit is either " +
+          "WAP-staged or branch-targeted, not both")
+    if (branchTarget.isDefined && (overwriteAll || overwriteDynamic))
+      throw graft.core.CompactionError.Config(
+        s"session ${graft.txn.Branch.SessionConf} is set: only appends " +
+          "can target a branch; run the overwrite without a branch")
     if (overwriteAll) cm.overwriteAll(entries, expectedSchemaId = validatedSchemaId)
     else if (overwriteDynamic) {
       // partition key of a fanout-written file, canonicalized in spec
@@ -346,8 +368,13 @@ final class GraftDsv2BatchWrite(
       cm.overwritePartitions(entries, newKeys, keyOf,
         expectedSchemaId = validatedSchemaId)
     }
-    else cm.appendFiles(entries, expectedSchemaId = validatedSchemaId,
-      stageWapId = wapId)
+    else branchTarget match {
+      case Some(b) =>
+        cm.branchAppend(b, entries, expectedSchemaId = validatedSchemaId)
+      case None =>
+        cm.appendFiles(entries, expectedSchemaId = validatedSchemaId,
+          stageWapId = wapId)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -508,6 +535,13 @@ final class GraftStreamingWrite(
       throw graft.core.CompactionError.Config(
         s"session ${graft.txn.Wap.SessionConf}='$id' is set: streaming " +
           "epochs cannot be WAP-staged; unset the wap id for this query")
+    }
+    // the epoch replay marker rides MAIN snapshot properties; a branch
+    // commit would fork the marker and replay epochs after fast-forward
+    GraftBatchWrite.activeBranch().foreach { b =>
+      throw graft.core.CompactionError.Config(
+        s"session ${graft.txn.Branch.SessionConf}='$b' is set: streaming " +
+          "epochs cannot target a branch; unset the branch for this query")
     }
     val cur = catalog.loadOrThrow(tableDir)
     val replayed = cur.properties.get(marker).flatMap(_.toLongOption)

@@ -236,6 +236,15 @@ final class GraftDeltaBatchWrite(
           "writes (DELETE/UPDATE/MERGE) cannot be WAP-staged; unset the " +
           "wap id to run them against the live table")
     }
+    // SQL row-level plans scanned MAIN at analysis time, so their
+    // deletes are relative to the main snapshot — committing them to a
+    // branch would delete against the wrong lineage
+    GraftBatchWrite.activeBranch().foreach { b =>
+      throw CompactionError.Config(
+        s"session ${graft.txn.Branch.SessionConf}='$b' is set: row-level " +
+          "writes (DELETE/UPDATE/MERGE) cannot target a branch; use " +
+          "TableWrites.appendEqualityDeletes(branch = ...) for branch deletes")
+    }
     val msgs = messages.toSeq.map(_.asInstanceOf[GraftDeltaCommitMessage])
     // deletes first, sweeping only their own attempt dirs; the data
     // publish then sweeps every remaining attempt dir

@@ -242,6 +242,72 @@ object TableReader {
     multisetDiff(after = after, before = before)
   }
 
+  /** Per-commit CHANGELOG between two retained snapshots — the batch
+    * CDC read (Iceberg's changelog scan / Delta's `table_changes`):
+    * every row-level change in `(fromVersion, toVersion]`, attributed
+    * to the main-lineage commit that made it:
+    *
+    *   - `_change_type`: `insert` | `delete` (an update is a delete +
+    *     insert of the same key at one `_commit_version`);
+    *   - `_commit_version`: the snapshot version the change landed in.
+    *
+    * Built as one [[changes]] diff per consecutive main-lineage pair,
+    * so each step inherits the metadata scoping: an append-only commit
+    * costs a scan of ITS files only, a row-level delete costs the
+    * affected files, and a compaction/rewrite step cancels to ZERO rows
+    * (live rows unchanged ⇒ empty diff) without needing an operation
+    * marker — logical no-ops are invisible by construction. Total cost
+    * is proportional to the data the interval actually changed, not to
+    * interval length × table size. WAP-staged and branch snapshots are
+    * not main history and never surface.
+    *
+    * Downstream incremental pipelines drive this with a version
+    * checkpoint: process `changelog(lastSeen, current)`, persist
+    * `current`, repeat. */
+  def changelog(
+      spark: SparkSession,
+      tableDir: String,
+      fromVersion: Long,
+      toVersion: Long,
+      catalog: TableCatalog = FileTableCatalog
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion < toVersion,
+      s"changelog needs fromVersion < toVersion, got $fromVersion >= $toVersion")
+    // endpoints must exist (same contract as changes()); interior
+    // versions already expired simply merge their step into the next —
+    // the diff across the gap still yields every net change, attributed
+    // to the first surviving version after the gap
+    snapshot(tableDir, Some(fromVersion), catalog)
+    snapshot(tableDir, Some(toVersion), catalog)
+    val mainVs: Seq[(Long, TableSnapshot)] = catalog.versions(tableDir)
+      .filter(v => v >= fromVersion && v <= toVersion)
+      .flatMap(v => catalog.loadVersion(tableDir, v).map(v -> _))
+      .filterNot { case (_, s) => graft.txn.Branch.isOutOfMain(s) }
+    val steps = mainVs.sliding(2).filter(_.size == 2).flatMap {
+      case Seq((a, sa), (b, sb)) =>
+        // a step where NEITHER side holds data is zero changes by
+        // definition (schema-/property-only on an empty table) — and
+        // changes() could not even derive a schema for it
+        val anyData = (sa.files ++ sb.files).exists(_.content == "data")
+        if (!anyData) None
+        else Some(changes(spark, tableDir, a, b, catalog)
+          .withColumn("_commit_version", lit(b)))
+    }.toSeq
+    if (steps.isEmpty)
+      throw CompactionError.Config(
+        s"no data-bearing snapshots in [$fromVersion, $toVersion] under " +
+          s"$tableDir — nothing to attribute")
+    // unionByName(allowMissing): steps straddling a schema evolution
+    // widen to the union; pre-evolution steps carry nulls for columns
+    // born later (each step's rows are already reconciled to ITS
+    // interval-end schema by changes())
+    steps.reduce(_.unionByName(_, allowMissingColumns = true))
+      .withColumn("_change_type",
+        when(col("_change") === "+", lit("insert")).otherwise(lit("delete")))
+      .drop("_change")
+  }
+
   /** `after − before` as `+` rows and `before − after` as `-` rows,
     * multiset semantics, in ONE aggregation: tag, union, sum the tags,
     * replicate each survivor |sum| times. */

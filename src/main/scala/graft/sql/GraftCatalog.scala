@@ -74,7 +74,14 @@ object GraftCatalog {
       key == graft.txn.Wap.IdProp ||
       key == graft.txn.Wap.ParentProp ||
       key == graft.txn.Wap.PublishedProp ||
-      key == graft.txn.Wap.DiscardedProp
+      key == graft.txn.Wap.DiscardedProp ||
+      // branch registry/markers: managed by the branch procedures —
+      // forging the registry or a floor would resurrect or orphan
+      // branch chains
+      key == graft.txn.Branch.NameProp ||
+      key == graft.txn.Branch.ParentProp ||
+      key == graft.txn.Branch.RefsProp ||
+      key == graft.txn.Branch.ClosedProp
 
   /** `graft.deletes.format` allowlist — an unknown value would silently
     * fall back to parquet at write time, so refuse it up front. Both
@@ -221,8 +228,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     // a snapshot number, a named TAG (`CALL g.system.create_tag`, pinned
-    // under `graft.ref.<name>`), or `wap:<id>` — the AUDIT read of a
-    // WAP-staged snapshot (graft.txn.Wap) before it is published
+    // under `graft.ref.<name>`), `wap:<id>` — the AUDIT read of a
+    // WAP-staged snapshot (graft.txn.Wap) before it is published — or
+    // `branch:<name>`, the branch HEAD (graft.txn.Branch)
     val v = version.toLongOption.getOrElse {
       if (version.startsWith("wap:")) {
         val id = version.stripPrefix("wap:")
@@ -231,6 +239,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           .map(_.version)
           .getOrElse(throw CompactionError.Config(
             s"no unpublished staged snapshot with wap id '$id' on ${ident.name}"))
+      } else if (version.startsWith("branch:")) {
+        graft.txn.Branch.head(snapCatalog, dir,
+          version.stripPrefix("branch:")).version
       } else snapCatalog.loadOrThrow(dir).properties
         .get(s"${GraftCatalog.RefPropPrefix}$version")
         .flatMap(_.toLongOption)
@@ -252,9 +263,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val tsMs = timestampMicros / 1000L
     val v = snapCatalog.versions(dir).reverse
       .flatMap(snapCatalog.loadVersion(dir, _))
-      // WAP-staged snapshots are outside main history — a timestamp
-      // read must never surface unaudited rows
-      .filterNot(graft.txn.Wap.isStaged)
+      // WAP-staged and branch snapshots are outside main history — a
+      // timestamp read must never surface unaudited/unpublished rows
+      .filterNot(graft.txn.Branch.isOutOfMain)
       .find(_.committedAtMs <= tsMs)
       .map(_.version)
       .getOrElse(throw CompactionError.Config(

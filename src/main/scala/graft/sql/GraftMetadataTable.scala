@@ -158,13 +158,27 @@ final class GraftMetadataTable(
       // malformed values (a hand-set property that is not a version)
       // surface as type "invalid"/version -1 rather than hiding — the
       // inspection table must agree with what create_tag sees
-      catalog.loadOrThrow(tableDir).properties.toSeq.collect {
+      val cur = catalog.loadOrThrow(tableDir)
+      val tagRows = cur.properties.toSeq.collect {
         case (k, v) if k.startsWith(graft.sql.GraftCatalog.RefPropPrefix) =>
           InternalRow.fromSeq(Seq(
             UTF8String.fromString(k.stripPrefix(graft.sql.GraftCatalog.RefPropPrefix)),
             UTF8String.fromString(v.toLongOption.fold("invalid")(_ => "tag")),
             v.toLongOption.getOrElse(-1L)))
-      }.sortBy(_.getUTF8String(0).toString).toArray
+      }
+      // open branches resolve to their HEAD version (the snapshot a
+      // `VERSION AS OF 'branch:<name>'` read pins), like Iceberg's
+      // refs table reports branch tips
+      val listing = catalog.versions(tableDir)
+      val branchRows = graft.txn.Branch.refs(cur).toSeq.map {
+        case (name, _) => InternalRow.fromSeq(Seq(
+          UTF8String.fromString(name),
+          UTF8String.fromString("branch"),
+          graft.txn.Branch.headFrom(catalog, tableDir, cur, name, listing)
+            .version))
+      }
+      (tagRows ++ branchRows)
+        .sortBy(_.getUTF8String(0).toString).toArray
     case "snapshots" =>
       // flatMap: a version expired between the listing and the load
       // (concurrent expireSnapshots) just drops from the inspection —

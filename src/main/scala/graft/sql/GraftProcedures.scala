@@ -34,7 +34,9 @@ private[sql] object GraftProcedures {
   val Names: Seq[String] = Seq(
     "rewrite_data_files", "rewrite_delete_files", "expire_snapshots",
     "remove_orphan_files", "create_tag", "drop_tag", "analyze_table",
-    "evolve_partition_spec")
+    "evolve_partition_spec", "publish_wap", "discard_wap", "list_waps",
+    "rollback_to_version", "create_branch", "drop_branch", "fast_forward",
+    "list_branches")
 
   def load(name: String, resolveDir: String => String,
       catalog: TableCatalog, catalogName: String): UnboundProcedure =
@@ -51,6 +53,10 @@ private[sql] object GraftProcedures {
       case "rollback_to_version"   => new RollbackToVersion(resolveDir, catalog)
       case "discard_wap"           => new DiscardWap(resolveDir, catalog)
       case "list_waps"             => new ListWaps(resolveDir, catalog)
+      case "create_branch"         => new CreateBranch(resolveDir, catalog)
+      case "drop_branch"           => new DropBranch(resolveDir, catalog)
+      case "fast_forward"          => new FastForward(resolveDir, catalog)
+      case "list_branches"         => new ListBranches(resolveDir, catalog)
       case other => throw CompactionError.Config(
         s"unknown procedure $other (available: ${Names.mkString(", ")})")
     }
@@ -408,6 +414,114 @@ private[sql] object GraftProcedures {
           org.apache.spark.unsafe.types.UTF8String.fromString(state))
       }.toArray
       localScan(out, rows, s"list_waps($dir)")
+    }
+  }
+
+  /** `CALL create_branch(table, branch [, version])` — open a named
+    * writable branch at a main snapshot ([[graft.txn.Branch]]). Write
+    * to it with the session conf `spark.graft.branch = '<name>'` (the
+    * `spark.wap.branch` analog) or `TableWrites.appendData(branch=…)`;
+    * read it via `VERSION AS OF 'branch:<name>'`. */
+  private final class CreateBranch(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("create_branch") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("branch", StringType),
+      inDefault("version", LongType, "-1")) // -1 = current
+
+    private val out = StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("fork_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val name = input.getUTF8String(1).toString
+      val at = input.getLong(2) match {
+        case -1L => None
+        case x   => Some(x)
+      }
+      val snap = new CommitManager(dir, RetryConfig(), catalog = catalog)
+        .createBranch(name, at)
+      localScan(out, Array(InternalRow(
+        UTF8String.fromString(name),
+        graft.txn.Branch.refs(snap)(name))),
+        s"create_branch($dir, $name)")
+    }
+  }
+
+  /** `CALL drop_branch(table, branch)` — close the branch without
+    * publishing; its snapshots become expiry-reapable tombstones. */
+  private final class DropBranch(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("drop_branch") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType), in("branch", StringType))
+
+    private val out = StructType(Seq(
+      StructField("branch", StringType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val name = input.getUTF8String(1).toString
+      new CommitManager(dir, RetryConfig(), catalog = catalog).dropBranch(name)
+      localScan(out, Array(InternalRow(UTF8String.fromString(name))),
+        s"drop_branch($dir, $name)")
+    }
+  }
+
+  /** `CALL fast_forward(table, branch)` — publish the branch head onto
+    * main (refused if main's data changed since the fork) and close
+    * the branch. Iceberg's `fast_forward` procedure, on this engine's
+    * version chain. */
+  private final class FastForward(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("fast_forward") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType), in("branch", StringType))
+
+    private val out = StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("published_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val name = input.getUTF8String(1).toString
+      val snap = new CommitManager(dir, RetryConfig(), catalog = catalog)
+        .fastForward(name)
+      localScan(out, Array(InternalRow(
+        UTF8String.fromString(name), snap.version)),
+        s"fast_forward($dir, $name)")
+    }
+  }
+
+  /** `CALL list_branches(table)` — every OPEN branch with its fork and
+    * resolved head version. */
+  private final class ListBranches(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("list_branches") {
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType))
+
+    private val out = StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("fork_version", LongType, nullable = false),
+      StructField("head_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val cur = catalog.loadOrThrow(dir)
+      val listing = catalog.versions(dir)
+      val rows = graft.txn.Branch.refs(cur).toSeq.sortBy(_._1).map {
+        case (name, fork) => InternalRow(
+          UTF8String.fromString(name), fork,
+          graft.txn.Branch.headFrom(catalog, dir, cur, name, listing).version)
+      }.toArray
+      localScan(out, rows, s"list_branches($dir)")
     }
   }
 

@@ -259,6 +259,11 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
         s"session ${graft.txn.Wap.SessionConf}='$id' is set: DELETE FROM " +
           "cannot be WAP-staged; unset the wap id to delete from the live table")
     }
+    graft.sinks.GraftBatchWrite.activeBranch().foreach { b =>
+      throw CompactionError.Config(
+        s"session ${graft.txn.Branch.SessionConf}='$b' is set: DELETE FROM " +
+          "cannot target a branch; unset the branch to delete from the live table")
+    }
     val spark = org.apache.spark.sql.SparkSession.active
     val cond = filters.flatMap(graft.sql.Filters.toColumn(_))
       .reduceOption(_ && _)
@@ -359,7 +364,7 @@ final class GraftMicroBatchStream(
     // seq guard below emits its rows exactly once either way.
     val lineage = snap(from) +:
       ((from + 1) until to).flatMap(catalog.loadVersion(tableDir, _))
-        .filterNot(graft.txn.Wap.isStaged) :+ snap(to)
+        .filterNot(graft.txn.Branch.isOutOfMain) :+ snap(to)
 
     lineage.sliding(2).filter(_.size == 2).flatMap { pair =>
       val prev = pair(0)

@@ -271,6 +271,10 @@ final class CommitManager(
       throw CompactionError.Config(
         s"cannot roll back to v$targetVersion: it is a WAP-staged " +
           "snapshot, not part of the table's history (publish it instead)")
+    if (Branch.isBranch(target))
+      throw CompactionError.Config(
+        s"cannot roll back to v$targetVersion: it is a branch commit, " +
+          "not part of the main history (fast_forward the branch instead)")
     val cur0 = catalog.loadOrThrow(tableDir)
     commitLoop(cur0.schemaId) { cur =>
       cur.copy(
@@ -498,6 +502,187 @@ final class CommitManager(
             PartitionSpecCodec.encodeHistory(newHist)))
     }
 
+  // ---------------- branches ([[Branch]]) ----------------------------
+
+  /** Next FREE global version number given a `catalog.versions` listing
+    * — branch-aware commits number from the listing their head/registry
+    * reads used, so any concurrent commit either appears in that
+    * listing or collides on the CAS and forces a full-reload retry. */
+  private def nextFree(versionsListing: Seq[Long]): Long =
+    if (versionsListing.isEmpty) 1L else versionsListing.max + 1L
+
+  /** Current MAIN snapshot derived from the SAME listing a branch-aware
+    * commit numbers from — the linchpin of the closing-floor guarantee:
+    * a successful CAS at `max(listing)+1` proves every version the
+    * listing missed is NUMBERED HIGHER (new numbers never fall below an
+    * existing one — rawLoop targets max+1, the main loop steps to the
+    * first free slot, expiry holes are never re-targeted). So a closing
+    * commit this registry read did not see necessarily lands ABOVE this
+    * commit's number, and its floor hides this commit — an append can
+    * race a drop, but never orphan itself above the floor. */
+  private def mainFrom(listing: Seq[Long]): TableSnapshot =
+    listing.reverseIterator
+      .flatMap(catalog.loadVersion(tableDir, _))
+      .find(!Branch.isOutOfMain(_))
+      .getOrElse(throw CompactionError.Config(
+        s"no table metadata under $tableDir"))
+
+  /** Open a branch at `at` (default: the current main version). One
+    * main property commit; the branch itself has no snapshots yet and
+    * reads as its fork until the first [[branchAppend]]. */
+  def createBranch(name: String, at: Option[Long] = None): TableSnapshot = {
+    Branch.validateName(name)
+    rawLoop { () =>
+      val listing = catalog.versions(tableDir)
+      val cur = mainFrom(listing)
+      val refs = Branch.refs(cur)
+      if (refs.contains(name))
+        throw CompactionError.Config(s"branch '$name' already exists")
+      val fork = at.getOrElse(cur.version)
+      val forkSnap = catalog.loadVersion(tableDir, fork).getOrElse(
+        throw CompactionError.Config(
+          s"cannot branch at v$fork: not a retained snapshot"))
+      if (Branch.isOutOfMain(forkSnap))
+        throw CompactionError.Config(
+          s"cannot branch at v$fork: it is a staged/branch commit, not a " +
+            "main-lineage snapshot")
+      cur.copy(
+        version = nextFree(listing),
+        properties = cur.properties +
+          (Branch.RefsProp -> Wap.idsJson(refs + (name -> fork))))
+    }
+  }
+
+  /** Append file entries (data and/or delete files) to branch `name` —
+    * the branch twin of [[appendFiles]]: a fresh sequence number on the
+    * BRANCH lineage, schema/spec stamps from the branch head.
+    *
+    * Concurrency: the CAS target is the next free global version
+    * computed from the SAME listing the head walk used. A concurrent
+    * same-branch commit therefore either (a) appears in the listing —
+    * the walk builds on it — or (b) wins the target number first, the
+    * CAS collides, and the retry reloads everything. Either way the
+    * chain stays linear; no append is ever silently orphaned. A
+    * concurrent `drop_branch`/`fast_forward` is caught the same way:
+    * its closing commit occupies a number ≥ this target (closing
+    * commits number the same way), so this CAS collides and the retry's
+    * registry read aborts with "no branch". */
+  def branchAppend(
+      name: String,
+      entries: Seq[FileEntry],
+      expectedSchemaId: Long,
+      setProperties: Map[String, String] = Map.empty
+  ): TableSnapshot = rawLoop { () =>
+    val listing = catalog.versions(tableDir)
+    val cur = mainFrom(listing)
+    val head = Branch.headFrom(catalog, tableDir, cur, name, listing)
+    if (head.schemaId != expectedSchemaId)
+      throw CompactionError.SchemaDrift(
+        s"branch '$name' schema id changed $expectedSchemaId -> " +
+          s"${head.schemaId} between plan and commit")
+    val newSeq = head.lastSequenceNumber + 1
+    val stamped = entries.map { e =>
+      e.copy(sequenceNumber = newSeq,
+        schemaId =
+          if (e.schemaId >= 0) e.schemaId
+          else if (head.schemas.nonEmpty) head.schemaId
+          else -1L,
+        specId =
+          if (e.specId >= 0) e.specId
+          else PartitionSpecCodec.currentId(Some(head)))
+    }
+    head.copy(
+      version = nextFree(listing),
+      lastSequenceNumber = newSeq,
+      files = head.files ++ stamped,
+      properties = head.properties ++ setProperties +
+        (Branch.NameProp -> name) +
+        (Branch.ParentProp -> head.version.toString))
+  }
+
+  /** Publish branch `name` onto main and close it. Allowed only while
+    * main's FILE state is unchanged since the fork (property/bookkeeping
+    * commits are fine; schema or data changes refuse — the same
+    * no-divergence line Iceberg's `fast_forward` draws). The publishing
+    * commit adopts the branch head's files and sequence floor wholesale,
+    * so branch-side delete-file semantics (eq-delete seq windows,
+    * position targets) are preserved exactly. */
+  def fastForward(name: String): TableSnapshot = rawLoop { () =>
+    val listing = catalog.versions(tableDir)
+    val cur = mainFrom(listing)
+    val fork = Branch.forkOf(cur, name)
+    val head = Branch.headFrom(catalog, tableDir, cur, name, listing)
+    val forkSnap = catalog.loadVersion(tableDir, fork).getOrElse(
+      throw CompactionError.Config(
+        s"branch '$name' fork v$fork no longer exists; cannot prove " +
+          "main has not diverged — drop the branch instead"))
+    def fileKey(f: FileEntry) = (f.path, f.sequenceNumber, f.content)
+    if (cur.files.map(fileKey).toSet != forkSnap.files.map(fileKey).toSet)
+      throw CompactionError.Config(
+        s"cannot fast-forward branch '$name': main changed data since " +
+          s"the fork (v$fork); diverged branches do not merge — " +
+          "re-stage the work on a fresh branch")
+    if (cur.schemaId != head.schemaId)
+      throw CompactionError.Config(
+        s"cannot fast-forward branch '$name': main schema id " +
+          s"(${cur.schemaId}) differs from the branch's (${head.schemaId})")
+    val target = nextFree(listing)
+    cur.copy(
+      version = target,
+      files = head.files,
+      lastSequenceNumber =
+        math.max(cur.lastSequenceNumber, head.lastSequenceNumber),
+      properties = cur.properties +
+        (Branch.RefsProp -> Wap.idsJson(Branch.refs(cur) - name)) +
+        (Branch.ClosedProp ->
+          Wap.idsJson(Branch.closed(cur) + (name -> target))))
+  }
+
+  /** Close branch `name` without publishing. The chain's snapshots stay
+    * as tombstones below the recorded floor (the closing commit's own
+    * version) until snapshot expiration reaps them — along with any
+    * file only they reference. */
+  def dropBranch(name: String): TableSnapshot = rawLoop { () =>
+    val listing = catalog.versions(tableDir)
+    val cur = mainFrom(listing)
+    val refs = Branch.refs(cur)
+    if (!refs.contains(name))
+      throw CompactionError.Config(s"no branch named '$name'")
+    val target = nextFree(listing)
+    cur.copy(
+      version = target,
+      properties = cur.properties +
+        (Branch.RefsProp -> Wap.idsJson(refs - name)) +
+        (Branch.ClosedProp ->
+          Wap.idsJson(Branch.closed(cur) + (name -> target))))
+  }
+
+  /** Retry/backoff skeleton for branch-aware commits, which number and
+    * guard themselves per attempt: `build` reloads everything it needs,
+    * returns the fully-numbered snapshot, and the CAS either lands it
+    * or throws retryable [[CompactionError.CommitConflict]]. */
+  private def rawLoop(build: () => TableSnapshot): TableSnapshot = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= retry.maxRetries) {
+      try {
+        val snap = build().copy(committedAtMs = System.currentTimeMillis())
+        catalog.commitCas(tableDir, snap)
+        return snap
+      } catch {
+        case e: CompactionError if e.retryable =>
+          lastErr = e
+          if (attempt < retry.maxRetries) {
+            val delay = math.min(retry.maxDelayMs, retry.minDelayMs << attempt)
+            sleeper(delay)
+            attempt += 1
+          } else throw CompactionError.Unexpected(
+            s"commit failed after ${retry.maxRetries} retries", lastErr)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** CAS retry loop shared by every commit shape: per-attempt reload,
     * schema-drift abort, retry only retryable kinds with exponential
     * backoff (reference T1/T2 semantics). */
@@ -515,14 +700,14 @@ final class CommitManager(
             s"schema id changed ${expectedSchemaId} -> ${cur.schemaId} between plan and commit")
         // every commit shape gets a wall-clock stamp (TIMESTAMP AS OF)
         var snap = next(cur).copy(committedAtMs = System.currentTimeMillis())
-        // WAP-staged snapshots occupy version numbers without being part
-        // of the main lineage — advance the CAS target past them (a
-        // NON-staged occupant must still conflict: that is the lost-
-        // update detection this CAS exists for). An occupant that does
-        // not even load counts as non-staged: let commitCas surface the
+        // WAP-staged and branch snapshots occupy version numbers without
+        // being part of the main lineage — advance the CAS target past
+        // them (a MAIN-lineage occupant must still conflict: that is the
+        // lost-update detection this CAS exists for). An occupant that
+        // does not even load counts as main: let commitCas surface the
         // real conflict rather than guessing here.
         def stagedAt(v: Long): Boolean =
-          try catalog.loadVersion(tableDir, v).exists(Wap.isStaged)
+          try catalog.loadVersion(tableDir, v).exists(Branch.isOutOfMain)
           catch { case _: Exception => false }
         while (stagedAt(snap.version))
           snap = snap.copy(version = snap.version + 1)
@@ -574,7 +759,19 @@ final class CommitManager(
         case (k, v) if k.startsWith("graft.ref.") => v.toLongOption
       }.flatten.toSet)
       .getOrElse(Set.empty)
-    val keepAlways = protectedVersions ++ tagged
+    // open-branch protection: the fork version and every live snapshot
+    // of an open branch's chain hold the only references to in-flight
+    // branch data — expiring them would delete a pipeline's unpublished
+    // work. Closed chains (dropped / fast-forwarded) expire normally.
+    val openBranchRefs = curOpt.map(Branch.refs).getOrElse(Map.empty)
+    val branchFloors = curOpt.map(Branch.closed).getOrElse(Map.empty)
+    def openBranchSnap(v: Long): Boolean =
+      openBranchRefs.nonEmpty &&
+        catalog.loadVersion(tableDir, v).exists(s =>
+          Branch.nameOf(s).exists(n => openBranchRefs.contains(n) &&
+            v > math.max(openBranchRefs(n),
+              branchFloors.getOrElse(n, -1L))))
+    val keepAlways = protectedVersions ++ tagged ++ openBranchRefs.values
     val all = catalog.versions(tableDir)
     val (candidates, recent) = all.splitAt(math.max(0, all.size - keepLast))
     // OPEN WAP-staged snapshots hold the ONLY reference to their files —
@@ -590,7 +787,8 @@ final class CommitManager(
       olderThanMs >= 0 && catalog.loadVersion(tableDir, v)
         .exists(_.committedAtMs >= olderThanMs)
     val (pinned, expired) = candidates.partition(v =>
-      keepAlways.contains(v) || openStaged(v) || youngEnough(v))
+      keepAlways.contains(v) || openStaged(v) || openBranchSnap(v) ||
+        youngEnough(v))
     val kept = pinned ++ recent
     if (expired.isEmpty) return Nil
     val keptFiles: Set[String] = kept.flatMap(loadVersionFiles).toSet

@@ -94,7 +94,7 @@ object IcebergTableCatalog extends TableCatalog {
     // until published; the marker rides the metadata.json properties)
     versions(table).reverseIterator
       .flatMap(loadVersion(table, _))
-      .find(!Wap.isStaged(_))
+      .find(!Branch.isOutOfMain(_))
 
   override def loadVersion(table: String, version: Long): Option[TableSnapshot] = {
     val p = metadataPath(table, version)
@@ -677,7 +677,7 @@ object IcebergTableCatalog extends TableCatalog {
       // the hint on the main lineage, so a foreign Iceberg client
       // following version-hint.text never reads unaudited rows — the
       // Iceberg-format realization of stage-only commits.
-      if (!Wap.isStaged(snapshot))
+      if (!Branch.isOutOfMain(snapshot))
         FileIO.writeString(s"$mdir/version-hint.text", snapshot.version.toString)
     } catch {
       case e: Throwable =>

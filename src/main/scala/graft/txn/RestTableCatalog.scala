@@ -83,7 +83,7 @@ final class RestTableCatalog(
     // snapshot store needs no WAP awareness)
     versions(table).reverseIterator
       .flatMap(loadVersion(table, _))
-      .find(!Wap.isStaged(_))
+      .find(!Branch.isOutOfMain(_))
 
   override def commitCas(table: String, snapshot: TableSnapshot): Unit = {
     val url = s"$base/v1/tables/${enc(table)}/snapshots"

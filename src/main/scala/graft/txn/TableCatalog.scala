@@ -79,7 +79,7 @@ final class MemoryCatalog extends TableCatalog {
     // lineage; a concurrently-removed version skips instead of NPEing)
     versions(table).reverseIterator
       .flatMap(v => Option(of(table).get(v)))
-      .find(!Wap.isStaged(_))
+      .find(!Branch.isOutOfMain(_))
   override def commitCas(table: String, snapshot: TableSnapshot): Unit =
     if (of(table).putIfAbsent(snapshot.version, snapshot) != null)
       throw CompactionError.CommitConflict(

@@ -219,8 +219,9 @@ object TableMetadata {
   }
 
   /** Resolve the CURRENT snapshot: the newest version that is not a
-    * WAP-staged commit ([[Wap.isStaged]] — staged snapshots hold real
-    * version numbers but are outside the main lineage until published).
+    * WAP-staged or branch commit ([[Branch.isOutOfMain]] — both hold
+    * real version numbers but are outside the main lineage until
+    * published / fast-forwarded).
     * The walk-back is one extra read per live staged tip, and zero when
     * nothing is staged.
     *
@@ -237,7 +238,7 @@ object TableMetadata {
           FileIO.readString(versionPath(tableDir, v)), classOf[TableSnapshot])))
         catch { case _: java.io.FileNotFoundException => None }
       }
-      .find(!Wap.isStaged(_))
+      .find(!Branch.isOutOfMain(_))
 
   def loadOrThrow(tableDir: String): TableSnapshot =
     load(tableDir).getOrElse(

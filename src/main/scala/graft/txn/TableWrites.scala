@@ -91,17 +91,26 @@ object TableWrites {
       rows: DataFrame,
       config: CompactionConfig = CompactionConfig(),
       retry: RetryConfig = RetryConfig(),
-      catalog: TableCatalog = FileTableCatalog
+      catalog: TableCatalog = FileTableCatalog,
+      /** When set, commit to this BRANCH ([[Branch]]) instead of main:
+        * schema conformance and the sequence number come from the branch
+        * head, and main readers never see the rows until fast-forward. */
+      branch: Option[String] = None
   ): TableSnapshot = {
     val cur = catalog.loadOrThrow(tableDir)
-    requireConforming(cur, rows)
+    val base = branch.fold(cur)(b =>
+      Branch.headFrom(catalog, tableDir, cur, b, catalog.versions(tableDir)))
+    requireConforming(base, rows)
     val outDir = s"$tableDir/data/append-${java.util.UUID.randomUUID().toString.take(8)}"
     val files = writeParquet(rows, outDir, config.parquetCompression,
-      bloomColumnsFor(config, cur))
-    new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
-      files.map { case (p, len, rc) =>
-        graft.sources.ParquetStats.stampBounds(FileEntry(p, "data", len, rc, -1L)) },
-      expectedSchemaId = cur.schemaId)
+      bloomColumnsFor(config, base))
+    val entries = files.map { case (p, len, rc) =>
+      graft.sources.ParquetStats.stampBounds(FileEntry(p, "data", len, rc, -1L)) }
+    val cm = new CommitManager(tableDir, retry, catalog = catalog)
+    branch match {
+      case Some(b) => cm.branchAppend(b, entries, expectedSchemaId = base.schemaId)
+      case None => cm.appendFiles(entries, expectedSchemaId = base.schemaId)
+    }
   }
 
   /** Append an EQUALITY delete: every live row whose `equalityIds`
@@ -113,25 +122,34 @@ object TableWrites {
       equalityIds: Seq[String],
       config: CompactionConfig = CompactionConfig(),
       retry: RetryConfig = RetryConfig(),
-      catalog: TableCatalog = FileTableCatalog
+      catalog: TableCatalog = FileTableCatalog,
+      /** When set, the delete lands on this BRANCH's lineage: it applies
+        * to branch rows with lower sequence numbers and publishes with
+        * the branch on fast-forward. */
+      branch: Option[String] = None
   ): TableSnapshot = {
     require(equalityIds.nonEmpty, "equalityIds must name at least one column")
     requirePrimitiveKeys(keys, equalityIds)
     val cur = catalog.loadOrThrow(tableDir)
+    val base = branch.fold(cur)(b =>
+      Branch.headFrom(catalog, tableDir, cur, b, catalog.versions(tableDir)))
     val outDir = s"$tableDir/data/eqdel-${java.util.UUID.randomUUID().toString.take(8)}"
     val files = writeParquet(
       keys.select(equalityIds.map(col): _*).distinct(),
       outDir, config.parquetCompression)
-    new CommitManager(tableDir, retry, catalog = catalog).appendFiles(
-      files.map { case (p, len, rc) =>
-        // stamped key bounds let the scan SKIP this delete for tasks
-        // whose data range provably misses it (ScanPruning
-        // .eqDeleteMayApply)
-        graft.sources.ParquetStats.stampBounds(
-          FileEntry(p, "equality-deletes", len, rc, -1L,
-            equalityIds = equalityIds))
-      },
-      expectedSchemaId = cur.schemaId)
+    val entries = files.map { case (p, len, rc) =>
+      // stamped key bounds let the scan SKIP this delete for tasks
+      // whose data range provably misses it (ScanPruning
+      // .eqDeleteMayApply)
+      graft.sources.ParquetStats.stampBounds(
+        FileEntry(p, "equality-deletes", len, rc, -1L,
+          equalityIds = equalityIds))
+    }
+    val cm = new CommitManager(tableDir, retry, catalog = catalog)
+    branch match {
+      case Some(b) => cm.branchAppend(b, entries, expectedSchemaId = base.schemaId)
+      case None => cm.appendFiles(entries, expectedSchemaId = base.schemaId)
+    }
   }
 
   /** UPSERT (the Flink-CDC / Iceberg v2 write shape): atomically commit

@@ -63,8 +63,9 @@ object Wap {
     * snapshot (empty when the property is absent or malformed — a
     * malformed map must never make a staged id look unpublished AND
     * unprotected at once, so expiry treats decode failure as "nothing
-    * recorded"). */
-  private def idMap(s: TableSnapshot, prop: String): Map[String, Long] =
+    * recorded"). Shared with [[Branch]]'s registry/floor maps, which
+    * use the same name→version JSON shape. */
+  private[txn] def idMap(s: TableSnapshot, prop: String): Map[String, Long] =
     s.properties.get(prop).map { json =>
       try {
         import scala.jdk.CollectionConverters._

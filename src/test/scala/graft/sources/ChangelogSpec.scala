@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.core.{CompactionConfig, RetryConfig}
+import graft.txn._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Per-commit changelog ([[TableReader.changelog]]): attribution,
+  * compaction invisibility, interval scoping, and main-lineage-only
+  * visibility (staged/branch commits never surface). */
+class ChangelogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def cm(dir: String) = new CommitManager(dir,
+    RetryConfig(maxRetries = 10, minDelayMs = 1, maxDelayMs = 5))
+
+  /** id-table fixture: v2 append 0-9, v3 eq-delete {1,2}, v4 append
+    * 10-14, v5 full compaction. */
+  private def buildTable(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-chlog").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir, (0L until 10L).toDF("id").coalesce(1))
+    TableWrites.appendEqualityDeletes(dir, Seq(1L, 2L).toDF("id"), Seq("id"))
+    TableWrites.appendData(dir, (10L until 15L).toDF("id").coalesce(1))
+    graft.compaction.Compaction.builder()
+      .withSpark(spark).withTableDir(dir)
+      .withConfig(CompactionConfig(enableValidateCompaction = true))
+      .build().compact()
+    assert(TableMetadata.loadOrThrow(dir).version == 5)
+    dir
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+    df.collect().map(r => (
+      r.getLong(r.fieldIndex("id")),
+      r.getString(r.fieldIndex("_change_type")),
+      r.getLong(r.fieldIndex("_commit_version")))).toSet
+
+  test("per-commit attribution; the compaction step contributes nothing") {
+    val dir = buildTable()
+    val got = rows(TableReader.changelog(spark, dir, 1, 5))
+    val want =
+      (0L until 10L).map(i => (i, "insert", 2L)).toSet ++
+        Set((1L, "delete", 3L), (2L, "delete", 3L)) ++
+        (10L until 15L).map(i => (i, "insert", 4L)).toSet
+    assert(got == want)
+    // replaying the changelog reconstructs the live table
+    val net = got.groupBy(_._1).collect {
+      case (id, evs) if evs.count(_._2 == "insert") > evs.count(_._2 == "delete") => id
+    }.toSet
+    assert(net == TableReader.read(spark, dir).collect().map(_.getLong(0)).toSet)
+  }
+
+  test("interval scoping: a sub-range attributes only its own commits") {
+    val dir = buildTable()
+    assert(rows(TableReader.changelog(spark, dir, 3, 5)) ==
+      (10L until 15L).map(i => (i, "insert", 4L)).toSet)
+    // an interval holding ONLY the compaction is empty (zero rows, but
+    // a well-formed frame)
+    assert(TableReader.changelog(spark, dir, 4, 5).count() == 0)
+  }
+
+  test("staged and branch commits inside the interval never surface") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-chlog-b").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil,
+      properties = Map(Wap.EnabledProp -> "true")))
+    TableWrites.appendData(dir, (0L until 5L).toDF("id").coalesce(1)) // v2
+    cm(dir).createBranch("dev") // v3
+    TableWrites.appendData(dir, (100L until 103L).toDF("id").coalesce(1),
+      branch = Some("dev")) // v4, branch
+    // v5: WAP-staged append
+    val staged = {
+      val f = Files.createTempDirectory("graft-chlog-staged")
+      (200L until 202L).toDF("id").coalesce(1)
+        .write.mode("overwrite").parquet(f.toString)
+      val files = graft.io.FileIO.listFilesRecursive(f.toString)
+        .filter(_._1.endsWith(".parquet"))
+        .map { case (p, len) => FileEntry(p, "data", len,
+          TableWrites.parquetRowCount(p), -1L) }
+      cm(dir).appendFiles(files, expectedSchemaId = 1, stageWapId = Some("w1"))
+    }
+    TableWrites.appendData(dir, (10L until 12L).toDF("id").coalesce(1)) // v6 main
+    val to = TableMetadata.loadOrThrow(dir).version
+    assert(Wap.isStaged(FileTableCatalog.loadVersion(dir, staged.version).get))
+    val got = rows(TableReader.changelog(spark, dir, 1, to))
+    assert(got == (0L until 5L).map(i => (i, "insert", 2L)).toSet ++
+      (10L until 12L).map(i => (i, "insert", to)).toSet,
+      s"branch/staged rows leaked into the changelog: $got")
+  }
+
+  test("cdc_changelog query matches its oracle semantics at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.ChangelogQuery.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem")
+    val want = spark.sql(graft.queries.ChangelogQuery.oracle)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    assert(want.nonEmpty && got.length == want.length && got.sameElements(want))
+  }
+}
