@@ -36,7 +36,7 @@ private[sql] object GraftProcedures {
     "remove_orphan_files", "create_tag", "drop_tag", "analyze_table",
     "evolve_partition_spec", "publish_wap", "discard_wap", "list_waps",
     "rollback_to_version", "create_branch", "drop_branch", "fast_forward",
-    "list_branches")
+    "list_branches", "rewrite_manifests")
 
   def load(name: String, resolveDir: String => String,
       catalog: TableCatalog, catalogName: String): UnboundProcedure =
@@ -54,6 +54,7 @@ private[sql] object GraftProcedures {
       case "discard_wap"           => new DiscardWap(resolveDir, catalog)
       case "list_waps"             => new ListWaps(resolveDir, catalog)
       case "create_branch"         => new CreateBranch(resolveDir, catalog)
+      case "rewrite_manifests"     => new RewriteManifests(resolveDir, catalog)
       case "drop_branch"           => new DropBranch(resolveDir, catalog)
       case "fast_forward"          => new FastForward(resolveDir, catalog)
       case "list_branches"         => new ListBranches(resolveDir, catalog)
@@ -414,6 +415,47 @@ private[sql] object GraftProcedures {
           org.apache.spark.unsafe.types.UTF8String.fromString(state))
       }.toArray
       localScan(out, rows, s"list_waps($dir)")
+    }
+  }
+
+  /** `CALL rewrite_manifests(table)` — consolidate an iceberg-format
+    * table's manifests into one data + one deletes manifest (metadata
+    * only; no data file moves). Incremental commits reuse previous
+    * manifests, so a long append history accumulates one small manifest
+    * per commit until the auto-merge threshold — this procedure is the
+    * explicit compaction for planners that want single-manifest scans
+    * NOW. Refused for graft-format tables (one JSON file list per
+    * snapshot; nothing to consolidate). */
+  private final class RewriteManifests(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("rewrite_manifests") {
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType))
+
+    private val out = StructType(Seq(
+      StructField("manifests_before", IntegerType, nullable = false),
+      StructField("manifests_after", IntegerType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val ice = catalog match {
+        case c: graft.txn.IcebergTableCatalog.type => c
+        case _ => throw CompactionError.Config(
+          "rewrite_manifests applies to iceberg-format tables; the graft " +
+            "format keeps one file list per snapshot")
+      }
+      val before = ice.manifestCount(dir)
+      val cur = ice.loadOrThrow(dir)
+      val snap = graft.txn.IcebergTableCatalog.withFullManifests {
+        new CommitManager(dir, RetryConfig(), catalog = ice)
+          .setTableProperties(Map.empty, Set.empty,
+            expectedSchemaId = cur.schemaId)
+      }
+      localScan(out, Array(InternalRow(
+        before, ice.manifestCount(dir), snap.version)),
+        s"rewrite_manifests($dir)")
     }
   }
 

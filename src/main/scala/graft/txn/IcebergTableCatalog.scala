@@ -74,6 +74,27 @@ object IcebergTableCatalog extends TableCatalog {
   private val InternalProps =
     Set(FileSchemaIdsProp, FileSpecIdsProp, FileNdvSketchesProp, SchemaHistoryProp)
 
+  /** Table property: when a commit would reference MORE reused
+    * manifests of one content kind than this, reuse is dropped for that
+    * kind and every entry consolidates into the commit's fresh manifest
+    * — Iceberg's `commit.manifest.min-count-to-merge` behavior, the
+    * backstop that keeps manifest counts bounded on long append-only
+    * histories without anyone calling `rewrite_manifests`. */
+  private[txn] val ManifestMergeProp = "graft.manifest.min-count-to-merge"
+  private val DefaultManifestMinCountToMerge = 100
+
+  /** Set while `rewrite_manifests` runs: disables manifest reuse so the
+    * commit consolidates every live entry into one data + one deletes
+    * manifest. Thread-local because it scopes ONE commit, not the
+    * catalog (a singleton shared by every table). */
+  private val forceFullManifests = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+  def withFullManifests[A](body: => A): A = {
+    forceFullManifests.set(true)
+    try body finally forceFullManifests.set(false)
+  }
+
   private val MetadataFile = "^v(\\d+)\\.metadata\\.json$".r
 
   private def metadataDir(t: String) = s"$t/metadata"
@@ -354,16 +375,67 @@ object IcebergTableCatalog extends TableCatalog {
         .map(_.fields.map(fl => fl.name -> fl.id).toMap)
         .getOrElse(nameToId)
 
-    // One footer read per file yields BOTH the exact record count the
-    // manifests require and integral column min/max for the data files'
-    // lower/upper bound maps — the stats an Iceberg reader prunes scans
-    // with, which is what makes the metadata useful at 100 TB, not just
-    // readable. Files whose count is known and that need no bounds skip
-    // the read entirely.
+    // Previous snapshot's manifest-list records, each with its live
+    // entry paths — the diff base for ADDED/EXISTING statuses AND the
+    // manifest REUSE pool (paths only; no bound decode needed here).
+    val prevManifestRecs: Seq[(GenericRecord, Int, Set[String])] =
+      prevDoc.flatMap { d =>
+        val sid = d.get("current-snapshot-id").asLong
+        if (sid < 0) None
+        else d.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong == sid)
+          .map { s =>
+            val listPath = s.get("manifest-list").asText
+            if (!FileIO.exists(listPath)) Seq.empty[(GenericRecord, Int, Set[String])]
+            else readAvro(listPath)._2.map { m =>
+              val paths = readAvro(m.get("manifest_path").toString)._2.collect {
+                case e if e.get("status").asInstanceOf[Int] != 2 =>
+                  e.get("data_file").asInstanceOf[GenericRecord]
+                    .get("file_path").toString
+              }.toSet
+              (m, m.get("content").asInstanceOf[Int], paths)
+            }
+          }
+      }.getOrElse(Nil)
+    val prevPaths: Set[String] = prevManifestRecs.flatMap(_._3).toSet
+
+    // INCREMENTAL manifest commits (the Iceberg model): a previous
+    // manifest is referenced VERBATIM when every live entry in it is
+    // still in this snapshot — so an append writes ONE new manifest and
+    // reuses the rest, making commit cost O(changed files + manifest
+    // count) instead of O(total files). That is the difference between
+    // a constant-cost commit and a 100k-entry Avro rewrite per commit
+    // on a 100 TB table. A manifest that lost any file (rewrite /
+    // delete-fold / overwrite) is dropped from the pool; its survivors
+    // fall through to this commit's fresh manifest as EXISTING entries.
+    val currentPaths = snapshot.files.map(_.path).toSet
+    val reusePool =
+      if (forceFullManifests.get) Nil
+      else prevManifestRecs.filter { case (_, _, ps) =>
+        ps.nonEmpty && ps.subsetOf(currentPaths) }
+    // bounded growth: past the merge threshold a kind stops reusing and
+    // consolidates (its entries are NOT covered, so they flow into the
+    // fresh manifest below)
+    val minCountToMerge = snapshot.properties.get(ManifestMergeProp)
+      .flatMap(_.toIntOption).filter(_ >= 1)
+      .getOrElse(DefaultManifestMinCountToMerge)
+    val reused: Seq[(GenericRecord, Int, Set[String])] = reusePool
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .flatMap { case (_, ms) => if (ms.size + 1 > minCountToMerge) Nil else ms }
+    val coveredPaths: Set[String] = reused.flatMap(_._3).toSet
+
+    // One footer read per NON-COVERED file yields BOTH the exact record
+    // count the manifests require and integral column min/max for the
+    // data files' lower/upper bound maps — the stats an Iceberg reader
+    // prunes scans with, which is what makes the metadata useful at
+    // 100 TB, not just readable. Files whose count is known and that
+    // need no bounds skip the read entirely; files riding a reused
+    // manifest skip this pipeline altogether.
     val boundCols = fields.filter(f => IcebergFormat.BoundTypes(f.typ)).map(_.name)
     val fieldType = fields.map(f => f.name -> f.typ).toMap
     val boundsByPath = scala.collection.mutable.Map[String, Map[String, (Long, Long)]]()
-    val counted = snapshot.files.map { f =>
+    val counted = snapshot.files
+      .filterNot(f => coveredPaths.contains(f.path)).map { f =>
       // equality-delete files keep their key bounds too: the scan's
       // per-task delete skipping (ScanPruning.eqDeleteMayApply) must
       // survive an Iceberg-catalog round-trip like data bounds do
@@ -392,17 +464,6 @@ object IcebergTableCatalog extends TableCatalog {
         if (f.recordCount >= 0) f else f.copy(recordCount = rows)
       }
     }
-
-    val prevPaths: Set[String] = prevDoc.flatMap { d =>
-      val sid = d.get("current-snapshot-id").asLong
-      if (sid < 0) None
-      else d.get("snapshots").elements().asScala
-        .find(_.get("snapshot-id").asLong == sid)
-        .map(s => readManifestList(s.get("manifest-list").asText,
-          _ => prevFields.map(f => f.id -> f.name).toMap,
-          _ => prevFields.map(f => f.id -> f.typ.toLowerCase).toMap)
-          .map(_.path).toSet)
-    }.getOrElse(Set.empty)
 
     val now =
       if (snapshot.committedAtMs > 0) snapshot.committedAtMs
@@ -546,6 +607,31 @@ object IcebergTableCatalog extends TableCatalog {
         "partitions" -> null))
     }
 
+    // a reused record is REBUILT into this writer's ManifestFileSchema
+    // (field-by-field, defaults for absences) so reuse also works over
+    // manifests a foreign Iceberg writer produced with a wider schema
+    def asListRecord(m: GenericRecord): GenericRecord = {
+      def longAt(n: String, d: Long) =
+        Option(m.get(n)).map(_.asInstanceOf[Long]).getOrElse(d)
+      def intAt(n: String, d: Int) =
+        Option(m.get(n)).map(_.asInstanceOf[Int]).getOrElse(d)
+      record(ManifestFileSchema)(
+        "manifest_path" -> m.get("manifest_path").toString,
+        "manifest_length" -> Long.box(longAt("manifest_length", 0L)),
+        "partition_spec_id" -> Int.box(intAt("partition_spec_id", 0)),
+        "content" -> Int.box(intAt("content", 0)),
+        "sequence_number" -> Long.box(longAt("sequence_number", 0L)),
+        "min_sequence_number" -> Long.box(longAt("min_sequence_number", 0L)),
+        "added_snapshot_id" -> Long.box(longAt("added_snapshot_id", snapshotId)),
+        "added_files_count" -> Int.box(intAt("added_files_count", 0)),
+        "existing_files_count" -> Int.box(intAt("existing_files_count", 0)),
+        "deleted_files_count" -> Int.box(intAt("deleted_files_count", 0)),
+        "added_rows_count" -> Long.box(longAt("added_rows_count", 0L)),
+        "existing_rows_count" -> Long.box(longAt("existing_rows_count", 0L)),
+        "deleted_rows_count" -> Long.box(longAt("deleted_rows_count", 0L)),
+        "partitions" -> null)
+    }
+
     try {
       val dataManifest = writeManifest("data", 0,
         counted.filter(_.content == "data"), 0)
@@ -558,7 +644,8 @@ object IcebergTableCatalog extends TableCatalog {
         "sequence-number" -> snapshot.lastSequenceNumber.toString,
         "parent-snapshot-id" -> prevDoc.map(_.get("current-snapshot-id").asText)
           .getOrElse("null")),
-        dataManifest.toSeq ++ deletesManifest.toSeq)
+        reused.map(r => asListRecord(r._1)) ++
+          dataManifest.toSeq ++ deletesManifest.toSeq)
       written += listPath
 
       // ---- metadata.json
@@ -687,6 +774,30 @@ object IcebergTableCatalog extends TableCatalog {
     }
   }
 
+  /** Manifest paths the CURRENT snapshot of metadata version `v`
+    * references (empty when the version, its list, or its snapshot are
+    * gone — expiry must stay best-effort over concurrent expiry). */
+  private[txn] def manifestPathsOf(table: String, v: Long): Seq[String] = {
+    val p = metadataPath(table, v)
+    try {
+      if (!FileIO.exists(p)) return Nil
+      val doc = parse(FileIO.readString(p))
+      val snapId = doc.get("current-snapshot-id").asLong
+      if (snapId < 0) return Nil
+      doc.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == snapId)
+        .toSeq.flatMap { s =>
+          val listPath = s.get("manifest-list").asText
+          if (!FileIO.exists(listPath)) Nil
+          else readAvro(listPath)._2.map(_.get("manifest_path").toString)
+        }
+    } catch { case _: Exception => Nil }
+  }
+
+  /** Live manifests of the CURRENT snapshot (inspection/procedures). */
+  def manifestCount(table: String): Int =
+    load(table).map(s => manifestPathsOf(table, s.version).size).getOrElse(0)
+
   override def deleteVersion(table: String, version: Long): Unit = {
     val p = metadataPath(table, version)
     if (!FileIO.exists(p)) return
@@ -698,8 +809,16 @@ object IcebergTableCatalog extends TableCatalog {
         .foreach { s =>
           val listPath = s.get("manifest-list").asText
           if (FileIO.exists(listPath)) {
-            val (_, manifests) = readAvro(listPath)
-            manifests.foreach(m => FileIO.delete(m.get("manifest_path").toString))
+            // incremental commits SHARE manifests across snapshots: a
+            // manifest is deleted only when no retained metadata version
+            // still references it — deleting a shared one would corrupt
+            // every newer snapshot that reused it. Manifest LISTS are
+            // per-snapshot and always deleted with their version.
+            val mine = readAvro(listPath)._2.map(_.get("manifest_path").toString)
+            val referenced: Set[String] = versions(table)
+              .filterNot(_ == version)
+              .flatMap(v => manifestPathsOf(table, v)).toSet
+            mine.filterNot(referenced.contains).foreach(FileIO.delete)
             FileIO.delete(listPath)
           }
         }
