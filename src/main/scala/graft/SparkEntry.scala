@@ -45,6 +45,7 @@ object SparkEntry {
       ("sql_wap" -> (graft.queries.SqlCatalogQuery.runWap _)) +
       ("sql_branch" -> (graft.queries.SqlCatalogQuery.runBranch _)) +
       ("cdc_changelog" -> (graft.queries.ChangelogQuery.run _)) +
+      ("stream_changelog" -> (graft.queries.StreamTailQuery.runChangelog _)) +
       ("sql_bloom" -> (graft.queries.SqlCatalogQuery.runBloom _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
@@ -89,6 +90,7 @@ object SparkEntry {
       ("sql_wap" -> graft.queries.SqlCatalogQuery.wapOracle) +
       ("sql_branch" -> graft.queries.SqlCatalogQuery.branchOracle) +
       ("cdc_changelog" -> graft.queries.ChangelogQuery.oracle) +
+      ("stream_changelog" -> graft.queries.StreamTailQuery.changelogOracle) +
       ("sql_bloom" -> graft.queries.SqlCatalogQuery.bloomOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +

@@ -70,6 +70,79 @@ object StreamTailQuery {
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
 
+  // -------- streaming CDC ----------------------------------------------
+
+  private val changelogTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val chOrder = Seq("l_orderkey", "change_type", "commit_version",
+    "l_linenumber", "l_suppkey", "l_returnflag")
+
+  /** The streaming CDC source ([[graft.streaming.ChangelogStream]]) as
+    * an oracle-checked query: even rows append at v2, an equality
+    * delete lands at v3 (`%26` keys — surfaced as delete-by-key rows
+    * with the non-key columns null), odd rows append at v4, and a full
+    * compaction at v5 must emit NOTHING. The drain is a real
+    * `readStream ... option("changelog", true)` micro-batch walk; the
+    * hash-match certifies per-commit attribution end-to-end through
+    * Structured Streaming. */
+  def runChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = changelogTables.computeIfAbsent(dir, _ => {
+      val td = Files.createTempDirectory("graft-stream-chlog").toString
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(outCols.map(col): _*).persist()
+      try {
+        FileTableCatalog.commitCas(td, TableSnapshot(1, 1, 0, Nil))
+        TableWrites.appendData(td, li.filter(col("l_orderkey") % 2 === 0))
+        TableWrites.appendEqualityDeletes(td,
+          li.filter(col("l_orderkey") % 26 === 0).select("l_orderkey"),
+          Seq("l_orderkey"))
+        TableWrites.appendData(td, li.filter(col("l_orderkey") % 2 === 1))
+        Compaction.builder().withSpark(spark).withTableDir(td)
+          .withConfig(CompactionConfig(targetPartitions = 2)).build().compact()
+        require(FileTableCatalog.loadOrThrow(td).version == 5,
+          "fixture drifted: compaction should commit v5")
+      } finally li.unpersist()
+      td
+    })
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val out = Files.createTempDirectory(s"graft-chlog-sink-$tag").toString
+    val ckpt = Files.createTempDirectory(s"graft-chlog-ckpt-$tag").toString
+    val q = spark.readStream.format("graft")
+      .option("changelog", "true").load(tableDir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out)
+      .withColumnRenamed("_change_type", "change_type")
+      .withColumnRenamed("_commit_version", "commit_version")
+      .select((outCols ++ Seq("change_type", "commit_version")).map(col): _*)
+      .orderBy(chOrder.map(col): _*)
+  }
+
+  /** Spark ascending order puts NULLS FIRST; the delete rows carry null
+    * non-key columns, so the oracle pins the same placement. */
+  val changelogOracle: String =
+    """WITH ch AS (
+      |  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag,
+      |         'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version
+      |  FROM lineitem WHERE l_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT DISTINCT l_orderkey, CAST(NULL AS INTEGER),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+      |         'delete', CAST(3 AS BIGINT)
+      |  FROM lineitem WHERE l_orderkey % 26 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag,
+      |         'insert', CAST(4 AS BIGINT)
+      |  FROM lineitem WHERE l_orderkey % 2 = 1)
+      |SELECT * FROM ch
+      |ORDER BY l_orderkey, change_type, commit_version,
+      |         l_linenumber NULLS FIRST, l_suppkey NULLS FIRST,
+      |         l_returnflag NULLS FIRST""".stripMargin
+
   private val dvTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

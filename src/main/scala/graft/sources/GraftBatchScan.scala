@@ -494,7 +494,9 @@ final class GraftScanBuilder(
     splitTargetBytes: Long = GraftBatchScan.DefaultSplitTargetBytes,
     /** Escape hatch (`.option("vectorizedRead", false)`): force the
       * row readers even where the columnar gate would allow batches. */
-    vectorizedRead: Boolean = true
+    vectorizedRead: Boolean = true,
+    /** Streaming CDC mode ([[graft.streaming.ChangelogStream]]). */
+    changelog: Boolean = false
 ) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -515,7 +517,9 @@ final class GraftScanBuilder(
   private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
-    if (cowOwner.nonEmpty || pushed.nonEmpty) None
+    // changelog mode: a metadata COUNT would count LIVE rows, not
+    // change rows — fall through to the (refusing) batch path instead
+    if (cowOwner.nonEmpty || pushed.nonEmpty || changelog) None
     else
       try MetadataAgg.tryCompute(
         agg, TableReader.snapshot(tableDir, asOfVersion, catalog), tableSchema)
@@ -641,7 +645,8 @@ final class GraftScanBuilder(
       new GraftScan(tableDir, tableSchema, requiredSchema, boundsOf(pushed.toSeq),
         asOfVersion, catalog, startingVersion, skipDeletes,
         includeFileColumn, cowOwner, splitTargetBytes, includePosColumn,
-        vectorizedRead, equalityCandidates(pushed.toSeq), pushed.toSeq)
+        vectorizedRead, equalityCandidates(pushed.toSeq), pushed.toSeq,
+        changelog = changelog)
   }
 }
 
@@ -662,7 +667,10 @@ final class GraftScan(
     pushedEqCandidates: Map[String, Seq[Any]] = Map.empty,
     /** The pushed `sources.Filter`s verbatim — shipped to every task for
       * row-group statistics skipping ([[ParquetPredicate]]). */
-    pushedSourceFilters: Seq[sources.Filter] = Nil
+    pushedSourceFilters: Seq[sources.Filter] = Nil,
+    /** Streaming CDC mode ([[graft.streaming.ChangelogStream]]):
+      * microbatches emit change rows; batch reads refuse. */
+    changelog: Boolean = false
 ) extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -674,7 +682,12 @@ final class GraftScan(
       StructField(GraftBatchScan.PosColumn, LongType, nullable = false)
     StructType(fields)
   }
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (changelog) throw CompactionError.Config(
+      "changelog=true is a streaming read mode (readStream); the batch " +
+        "CDC read is TableReader.changelog()")
+    this
+  }
   override def description(): String =
     s"graft MoR $tableDir${asOfVersion.fold("")(v => s" @v$v")}"
 
@@ -748,7 +761,8 @@ final class GraftScan(
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new graft.streaming.GraftMicroBatchStream(
-      tableDir, tableSchema, startingVersion, skipDeletes, catalog)
+      tableDir, tableSchema, startingVersion, skipDeletes, catalog,
+      changelog = changelog)
 
   private lazy val snap: TableSnapshot = TableReader.snapshot(tableDir, asOfVersion, catalog)
 

@@ -60,8 +60,11 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     Option(options.get("path")).getOrElse(
       throw CompactionError.Config("graft source requires .load(<tableDir>)"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTableSource.tableSchema(dir(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val s = GraftTableSource.tableSchema(dir(options))
+    if (options.getBoolean("changelog", false)) ChangelogStream.withMeta(s)
+    else s
+  }
 
   override def getTable(
       schema: StructType,
@@ -143,9 +146,17 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
     val splitTarget = Option(options.get("splitTargetBytes")).map(_.toLong)
       .getOrElse(graft.sources.GraftBatchScan.DefaultSplitTargetBytes)
     val vectorized = options.getBoolean("vectorizedRead", true)
-    new graft.sources.GraftScanBuilder(tableDir, tblSchema, asOfVersion,
+    // changelog mode ([[ChangelogStream]]): the scan schema gains the
+    // change-type/commit-version meta columns (idempotent — a
+    // provider-inferred schema already carries them)
+    val changelog = options.getBoolean("changelog", false)
+    val scanSchema =
+      if (changelog) ChangelogStream.withMeta(ChangelogStream.baseSchema(tblSchema))
+      else tblSchema
+    new graft.sources.GraftScanBuilder(tableDir, scanSchema, asOfVersion,
       catalog, startingVersion, skipDeletes,
-      splitTargetBytes = splitTarget, vectorizedRead = vectorized)
+      splitTargetBytes = splitTarget, vectorizedRead = vectorized,
+      changelog = changelog)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -320,7 +331,10 @@ final class GraftMicroBatchStream(
     schema: StructType,
     startingVersion: String,
     skipDeletes: Boolean,
-    catalog: TableCatalog = FileTableCatalog
+    catalog: TableCatalog = FileTableCatalog,
+    /** Emit per-commit change rows instead of the append tail
+      * ([[ChangelogStream]]); `schema` then carries the meta columns. */
+    changelog: Boolean = false
 ) extends MicroBatchStream {
 
   override def initialOffset(): Offset = {
@@ -369,25 +383,30 @@ final class GraftMicroBatchStream(
     lineage.sliding(2).filter(_.size == 2).flatMap { pair =>
       val prev = pair(0)
       val curr = pair(1)
-      val prevPaths = prev.files.map(_.path).toSet
-      val added = curr.files.filterNot(f => prevPaths.contains(f.path))
-      val deletes = added.filter(_.content != "data")
-      if (deletes.nonEmpty && !skipDeletes)
-        throw CompactionError.Config(
-          s"commit v${curr.version} added ${deletes.size} delete file(s); the " +
-            "table is not an append log over this interval. Set skipDeletes=" +
-            "true to tail appends only, or consume TableReader.changes() batches")
-      added
-        .filter(_.content == "data")
-        // rewrite outputs re-add EXISTING rows at a retained sequence
-        // number; a tail must not emit them twice
-        .filter(_.sequenceNumber > prev.lastSequenceNumber)
-        .map(f => GraftInputPartition(f.path): InputPartition)
+      if (changelog) ChangelogStream.planStep(prev, curr)
+      else {
+        val prevPaths = prev.files.map(_.path).toSet
+        val added = curr.files.filterNot(f => prevPaths.contains(f.path))
+        val deletes = added.filter(_.content != "data")
+        if (deletes.nonEmpty && !skipDeletes)
+          throw CompactionError.Config(
+            s"commit v${curr.version} added ${deletes.size} delete file(s); the " +
+              "table is not an append log over this interval. Set skipDeletes=" +
+              "true to tail appends only, or consume TableReader.changes() batches")
+        added
+          .filter(_.content == "data")
+          // rewrite outputs re-add EXISTING rows at a retained sequence
+          // number; a tail must not emit them twice
+          .filter(_.sequenceNumber > prev.lastSequenceNumber)
+          .map(f => GraftInputPartition(f.path): InputPartition)
+      }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema, graft.io.FileIO.hadoopConfEntries())
+    if (changelog)
+      new ChangelogReaderFactory(schema, graft.io.FileIO.hadoopConfEntries())
+    else new GraftReaderFactory(schema, graft.io.FileIO.hadoopConfEntries())
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
