@@ -46,6 +46,7 @@ object SparkEntry {
       ("sql_branch" -> (graft.queries.SqlCatalogQuery.runBranch _)) +
       ("cdc_changelog" -> (graft.queries.ChangelogQuery.run _)) +
       ("stream_changelog" -> (graft.queries.StreamTailQuery.runChangelog _)) +
+      ("mv_incremental" -> (graft.queries.MaterializedViewQuery.run _)) +
       ("sql_bloom" -> (graft.queries.SqlCatalogQuery.runBloom _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
@@ -91,6 +92,7 @@ object SparkEntry {
       ("sql_branch" -> graft.queries.SqlCatalogQuery.branchOracle) +
       ("cdc_changelog" -> graft.queries.ChangelogQuery.oracle) +
       ("stream_changelog" -> graft.queries.StreamTailQuery.changelogOracle) +
+      ("mv_incremental" -> graft.queries.MaterializedViewQuery.oracle) +
       ("sql_bloom" -> graft.queries.SqlCatalogQuery.bloomOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +

@@ -1,0 +1,201 @@
+package graft.mv
+
+import graft.core.CompactionError
+import graft.sources.TableReader
+import graft.txn.{FileTableCatalog, TableCatalog, TableMetadata, TableSnapshot, TableWrites}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MATERIALIZED VIEWS with incremental, changelog-driven refresh — the
+  * aggregation-maintenance layer a 100 TB pipeline needs: a grouped
+  * SUM/COUNT over a big fact table is computed ONCE, then each refresh
+  * applies only the rows the source actually changed since, via
+  * [[TableReader.changelog]]:
+  *
+  *   refresh cost ∝ changed data + affected groups,
+  *   not ∝ source table size.
+  *
+  * The view is an ordinary graft table (time-travelable, compactable,
+  * readable by anything that reads tables) holding one row per group:
+  * the group columns, the aggregate aliases, and [[RowCountCol]] — the
+  * live source-row count per group, which is what makes DELETES
+  * maintainable: a group's aggregates are adjusted by the signed delta,
+  * and when its count reaches zero the row is removed.
+  *
+  * Only RETRACTABLE aggregates are accepted (SUM and COUNT over
+  * integral columns; `count(*)` as `count` of `*`): a delete's
+  * contribution can be subtracted without re-reading the group. MIN/MAX
+  * are refused — maintaining them under deletes requires re-scanning
+  * the group, which is exactly the full-recompute this exists to avoid.
+  *
+  * Concurrency: the refreshed-version marker commits ATOMICALLY with
+  * the merged rows (one upsert commit), and a per-attempt validate
+  * aborts if another refresh advanced the marker first — a delta can
+  * never apply twice. Refresh is idempotent: re-running at the same
+  * source version is a no-op.
+  */
+object MaterializedView {
+
+  /** MV table properties: the source dir, the spec, and the source
+    * version the stored state reflects. */
+  val SourceProp = "graft.mv.source"
+  val SpecProp = "graft.mv.spec"
+  val RefreshedVersionProp = "graft.mv.refreshed-version"
+  /** Live source rows per group — the delete-maintenance column. */
+  val RowCountCol = "mv_rowcount"
+
+  /** One aggregate: `fn` ∈ sum|count, `col` a source column (`*` for
+    * count), `alias` the MV output column. */
+  final case class Agg(fn: String, col: String, alias: String)
+  final case class Spec(group: Seq[String], aggs: Seq[Agg])
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+  def encodeSpec(s: Spec): String = mapper.writeValueAsString(s)
+  def decodeSpec(json: String): Spec = mapper.readValue(json, classOf[Spec])
+
+  private def validateSpec(s: Spec): Unit = {
+    if (s.group.isEmpty) throw CompactionError.Config(
+      "materialized view needs at least one group column")
+    if (s.aggs.isEmpty) throw CompactionError.Config(
+      "materialized view needs at least one aggregate")
+    s.aggs.foreach { a =>
+      if (a.fn != "sum" && a.fn != "count") throw CompactionError.Config(
+        s"aggregate '${a.fn}' is not retractable under deletes; " +
+          "materialized views maintain sum/count only")
+      if (a.fn == "sum" && a.col == "*") throw CompactionError.Config(
+        "sum needs a column")
+      if (a.alias == RowCountCol || s.group.contains(a.alias))
+        throw CompactionError.Config(s"alias '${a.alias}' collides")
+    }
+    val aliases = s.aggs.map(_.alias)
+    if (aliases.distinct.size != aliases.size)
+      throw CompactionError.Config("duplicate aggregate aliases")
+  }
+
+  /** Signed aggregation of change rows: `weight` is +1 for inserts, -1
+    * for deletes, so the same expression computes both the initial full
+    * state (all weights 1) and a refresh delta. */
+  private def signedAgg(spec: Spec, rows: DataFrame, weight: Column): DataFrame = {
+    val aggCols: Seq[Column] = spec.aggs.map { a =>
+      a.fn match {
+        case "sum" =>
+          sum(col(a.col).cast("long") * weight).as(a.alias)
+        case "count" =>
+          if (a.col == "*") sum(weight).as(a.alias)
+          else sum(when(col(a.col).isNotNull, weight).otherwise(0L)).as(a.alias)
+      }
+    } :+ sum(weight).as(RowCountCol)
+    rows.groupBy(spec.group.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Create the view table at `mvDir` and materialize the CURRENT
+    * source state. Returns the committed snapshot. */
+  def create(
+      spark: SparkSession,
+      mvDir: String,
+      sourceDir: String,
+      spec: Spec,
+      catalog: TableCatalog = FileTableCatalog
+  ): TableSnapshot = {
+    validateSpec(spec)
+    val srcSnap = catalog.loadOrThrow(sourceDir)
+    catalog.commitCas(mvDir, TableSnapshot(1, 1, 0, Nil, properties = Map(
+      SourceProp -> sourceDir,
+      SpecProp -> encodeSpec(spec),
+      RefreshedVersionProp -> "1")))
+    val full = TableReader.readOption(spark, sourceDir,
+      asOfVersion = Some(srcSnap.version), catalog = catalog)
+    val state = full.map(signedAgg(spec, _, lit(1L)))
+    state match {
+      case Some(st) if !st.isEmpty =>
+        TableWrites.upsert(mvDir, st, spec.group, catalog = catalog,
+          setProperties = Map(RefreshedVersionProp -> srcSnap.version.toString))
+      case _ =>
+        // empty source: just advance the marker
+        new graft.txn.CommitManager(mvDir, catalog = catalog)
+          .setTableProperties(
+            Map(RefreshedVersionProp -> srcSnap.version.toString),
+            Set.empty, expectedSchemaId = 1)
+    }
+  }
+
+  /** Incrementally refresh `mvDir` to the source's current version.
+    * Returns the refreshed-to version (no-op when already current). */
+  def refresh(
+      spark: SparkSession,
+      mvDir: String,
+      catalog: TableCatalog = FileTableCatalog
+  ): Long = {
+    val mv = catalog.loadOrThrow(mvDir)
+    val sourceDir = mv.properties.getOrElse(SourceProp,
+      throw CompactionError.Config(s"$mvDir is not a materialized view"))
+    val spec = decodeSpec(mv.properties(SpecProp))
+    val lastV = mv.properties(RefreshedVersionProp).toLong
+    val srcV = catalog.loadOrThrow(sourceDir).version
+    if (srcV <= lastV) return lastV
+
+    // exact multiset changes since the last refresh, full rows per
+    // change (the BATCH changelog — key-deletes are already resolved)
+    val delta = TableReader.changelog(spark, sourceDir, lastV, srcV, catalog)
+      .withColumn("__w",
+        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+    val deltaAgg = signedAgg(spec, delta, col("__w"))
+      .withColumnRenamed(RowCountCol, s"_d_$RowCountCol")
+    val dAliases = spec.aggs.map(_.alias) :+ RowCountCol
+    val dRenamed = spec.aggs.foldLeft(deltaAgg)((df, a) =>
+      df.withColumnRenamed(a.alias, s"_d_${a.alias}"))
+
+    // merge with the stored state for AFFECTED groups only: join the
+    // delta (small) against the view; AQE broadcasts the delta side
+    val cur = TableReader.readOption(spark, mvDir, catalog = catalog)
+    val merged = cur match {
+      case None => dRenamed
+      case Some(st) => dRenamed.join(st, spec.group, "left")
+    }
+    def oldOf(a: String): Column =
+      if (cur.isEmpty) lit(0L) else coalesce(col(a), lit(0L))
+    val next = dAliases.foldLeft(merged)((df, a) =>
+      df.withColumn(s"_n_$a", oldOf(a) + col(s"_d_$a")))
+    val out = next.select(
+      (spec.group.map(col) ++ dAliases.map(a => col(s"_n_$a").as(a))): _*)
+      .persist()
+    try {
+      val dead = out.filter(col(RowCountCol) === 0L).select(spec.group.map(col): _*)
+      val live = out.filter(col(RowCountCol) =!= 0L)
+      // the marker advances ATOMICALLY with the merged rows; the
+      // validate aborts if a concurrent refresh advanced it first
+      TableWrites.upsert(mvDir, live, spec.group, catalog = catalog,
+        deleteKeys = Some(dead),
+        setProperties = Map(RefreshedVersionProp -> srcV.toString),
+        validate = reloaded => {
+          val nowV = reloaded.properties.get(RefreshedVersionProp)
+            .flatMap(_.toLongOption).getOrElse(-1L)
+          if (nowV != lastV) throw CompactionError.Config(
+            s"concurrent refresh: marker moved v$lastV -> v$nowV; " +
+              "re-run refresh (the newer state already includes these rows)")
+        })
+    } finally out.unpersist()
+    srcV
+  }
+
+  /** The view's rows (group columns + aggregates; the row-count
+    * maintenance column is dropped). */
+  def read(spark: SparkSession, mvDir: String,
+      catalog: TableCatalog = FileTableCatalog): DataFrame = {
+    val mv = catalog.loadOrThrow(mvDir)
+    val spec = decodeSpec(mv.properties.getOrElse(SpecProp,
+      throw CompactionError.Config(s"$mvDir is not a materialized view")))
+    TableReader.readOption(spark, mvDir, catalog = catalog) match {
+      case Some(df) =>
+        df.select((spec.group ++ spec.aggs.map(_.alias)).map(col): _*)
+      case None =>
+        throw CompactionError.Config(
+          s"materialized view $mvDir holds no groups (empty source)")
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.mv.MaterializedView
+import graft.mv.MaterializedView.{Agg, Spec}
+import graft.txn.{FileTableCatalog, TableMetadata, TableSnapshot, TableWrites}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Incremental materialized-view maintenance as an oracle-checked
+  * query ([[MaterializedView]]): the view is created over HALF the
+  * source, then an append AND an equality delete land, and ONE
+  * incremental refresh — driven by the batch changelog, cost ∝ changed
+  * rows — must converge the stored groups to exactly what a full
+  * recompute over the final source produces. The DuckDB oracle IS that
+  * full recompute, so the hash-match certifies delta aggregation,
+  * delete retraction, and group-level merge end-to-end. */
+object MaterializedViewQuery {
+
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def build(spark: SparkSession, dir: String): (String, String) =
+    tables.computeIfAbsent(dir, _ => {
+      val src = Files.createTempDirectory("graft-mv-src").toString
+      val mv = Files.createTempDirectory("graft-mv-view").toString
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("qty_cents"))
+        .persist()
+      try {
+        TableMetadata.commit(src, TableSnapshot(1, 1, 0, Nil))
+        // v2: even orderkeys — the state the view materializes fully
+        TableWrites.appendData(src, li.filter(col("l_orderkey") % 2 === 0))
+        MaterializedView.create(spark, mv, src, Spec(
+          group = Seq("l_returnflag"),
+          aggs = Seq(Agg("sum", "qty_cents", "sum_qty_cents"),
+            Agg("count", "*", "n_rows"))))
+        // v3: odd orderkeys append; v4: delete every 13th orderkey
+        TableWrites.appendData(src, li.filter(col("l_orderkey") % 2 === 1))
+        TableWrites.appendEqualityDeletes(src,
+          li.filter(col("l_orderkey") % 13 === 0).select("l_orderkey"),
+          Seq("l_orderkey"))
+        // ONE incremental refresh applies both commits' changes
+        MaterializedView.refresh(spark, mv)
+      } finally li.unpersist()
+      (src, mv)
+    })
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (_, mv) = build(spark, dir)
+    MaterializedView.read(spark, mv)
+      .orderBy("l_returnflag")
+  }
+
+  val oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_cents,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_orderkey % 13 <> 0
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+}

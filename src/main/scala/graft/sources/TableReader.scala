@@ -251,15 +251,21 @@ object TableReader {
     *     insert of the same key at one `_commit_version`);
     *   - `_commit_version`: the snapshot version the change landed in.
     *
-    * Built as one [[changes]] diff per consecutive main-lineage pair,
-    * so each step inherits the metadata scoping: an append-only commit
-    * costs a scan of ITS files only, a row-level delete costs the
-    * affected files, and a compaction/rewrite step cancels to ZERO rows
-    * (live rows unchanged ⇒ empty diff) without needing an operation
-    * marker — logical no-ops are invisible by construction. Total cost
-    * is proportional to the data the interval actually changed, not to
-    * interval length × table size. WAP-staged and branch snapshots are
-    * not main history and never surface.
+    * Step costs, by commit shape:
+    *
+    *  - compaction rewrites (outputs at RETAINED sequence numbers) and
+    *    delete-layout conversions (delete files swapped, data
+    *    untouched) are row-preserving BY CONSTRUCTION — the
+    *    [[graft.txn.CommitManager]] rewrite paths guard it — and are
+    *    skipped with NO IO at all;
+    *  - a pure append whose files no later-retained delete file can
+    *    touch is emitted by READING the added files — no shuffle;
+    *  - everything else pays one [[changes]] diff, metadata-scoped to
+    *    the files the commit touched.
+    *
+    * Total cost is therefore proportional to the data the interval
+    * actually changed, not to interval length × table size. WAP-staged
+    * and branch snapshots are not main history and never surface.
     *
     * Downstream incremental pipelines drive this with a version
     * checkpoint: process `changelog(lastSeen, current)`, persist
@@ -291,13 +297,61 @@ object TableReader {
         // changes() could not even derive a schema for it
         val anyData = (sa.files ++ sb.files).exists(_.content == "data")
         if (!anyData) None
-        else Some(changes(spark, tableDir, a, b, catalog)
-          .withColumn("_commit_version", lit(b)))
+        else {
+          val prevPaths = sa.files.map(_.path).toSet
+          val currPaths = sb.files.map(_.path).toSet
+          val added = sb.files.filterNot(f => prevPaths.contains(f.path))
+          val removed = sa.files.filterNot(f => currPaths.contains(f.path))
+          val addedData = added.filter(_.content == "data")
+          val addedDeletes = added.filter(_.content != "data")
+          val freshData =
+            addedData.filter(_.sequenceNumber > sa.lastSequenceNumber)
+          // row-preserving commit shapes (CommitManager construction):
+          // a rewrite re-adds existing rows at retained sequence
+          // numbers; a delete-layout conversion swaps delete files with
+          // data untouched. Both are logically empty — skip without IO.
+          val isRewrite = addedData.nonEmpty && freshData.isEmpty &&
+            addedDeletes.isEmpty
+          val isDeleteConversion = addedData.isEmpty &&
+            removed.forall(_.content != "data") &&
+            addedDeletes.nonEmpty && removed.exists(_.content != "data")
+          // pure append no later-retained delete can touch: the change
+          // set IS the added files' rows — read them, no diff shuffle
+          val pureAppend = removed.isEmpty && addedDeletes.isEmpty &&
+            addedData.nonEmpty && freshData.size == addedData.size && {
+              val minSeq = addedData.map(_.sequenceNumber).min
+              sb.files.filter(_.content != "data").forall {
+                case d if d.content == "equality-deletes" =>
+                  d.sequenceNumber <= minSeq // applies to STRICTLY older
+                case d if d.content == "deletion-vectors" =>
+                  !d.referencedDataFile.exists(p =>
+                    addedData.exists(_.path == p))
+                case _ => false // position deletes: targets unknown here
+              }
+            }
+          if (isRewrite || isDeleteConversion) None
+          else if (pureAppend)
+            liveOf(spark, sb, addedData).map(
+              _.withColumn("_change", lit("+"))
+                .withColumn("_commit_version", lit(b)))
+          else Some(changes(spark, tableDir, a, b, catalog)
+            .withColumn("_commit_version", lit(b)))
+        }
     }.toSeq
-    if (steps.isEmpty)
-      throw CompactionError.Config(
+    if (steps.isEmpty) {
+      // every step skipped (rewrite-/conversion-only interval) or no
+      // data anywhere: an EMPTY changelog, shaped by the interval-end
+      // schema when one is derivable
+      val donor = mainVs.reverseIterator.flatMap { case (_, s) =>
+        val data = s.files.filter(_.content == "data")
+        if (data.isEmpty) None else liveOf(spark, s, data.take(1))
+      }.nextOption().getOrElse(throw CompactionError.Config(
         s"no data-bearing snapshots in [$fromVersion, $toVersion] under " +
-          s"$tableDir — nothing to attribute")
+          s"$tableDir — nothing to attribute"))
+      return donor.limit(0)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(toVersion))
+    }
     // unionByName(allowMissing): steps straddling a schema evolution
     // widen to the union; pre-evolution steps carry nulls for columns
     // born later (each step's rows are already reconciled to ITS
@@ -306,6 +360,22 @@ object TableReader {
       .withColumn("_change_type",
         when(col("_change") === "+", lit("insert")).otherwise(lit("delete")))
       .drop("_change")
+  }
+
+  /** Live rows of a FILE SUBSET under `snap`'s schema resolution — the
+    * changelog's pure-append fast path (no delete files in the task
+    * set, so live rows are just the files' rows). */
+  private def liveOf(spark: SparkSession, snap: TableSnapshot,
+      files: Seq[graft.txn.FileEntry]): Option[DataFrame] = {
+    val stamped =
+      if (snap.schemas.isEmpty) files
+      else files.map(f =>
+        if (f.schemaId >= 0) f else f.copy(schemaId = snap.schemaId))
+    val tasks = ScanPlanner.toInputTasks(stamped.map(_.toTask))
+    if (tasks.dataFiles.isEmpty) None
+    else if (SchemaReconcile.needed(snap.schemas, snap.schemaId, tasks))
+      Some(SchemaReconcile.liveRows(spark, tasks, snap.schemas, snap.schemaId))
+    else Some(SparkCompactionExecutor.liveRows(spark, tasks))
   }
 
   /** `after − before` as `+` rows and `before − after` as `-` rows,

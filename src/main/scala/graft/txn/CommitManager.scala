@@ -96,9 +96,16 @@ final class CommitManager(
         * unless the table opted in via [[Wap.EnabledProp]] — silently
         * publishing rows the pipeline meant to audit is the failure WAP
         * exists to prevent. */
-      stageWapId: Option[String] = None
+      stageWapId: Option[String] = None,
+      /** Re-validated against every attempt's RELOADED snapshot inside
+        * the CAS loop (same contract as [[replaceFiles]]) — e.g. a
+        * materialized-view refresh must abort if another refresh
+        * already advanced the refreshed-version marker, or the delta
+        * would apply twice. Throw non-retryable kinds to abort. */
+      validate: TableSnapshot => Unit = _ => ()
   ): TableSnapshot =
     commitLoop(expectedSchemaId) { cur =>
+      validate(cur)
       stageWapId.foreach { id =>
         if (!cur.properties.get(Wap.EnabledProp).map(_.trim.toLowerCase)
             .contains("true"))

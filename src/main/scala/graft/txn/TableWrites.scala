@@ -178,7 +178,9 @@ object TableWrites {
       deleteKeys: Option[DataFrame] = None,
       /** Properties committed ATOMICALLY with the batch (e.g. the
         * streaming replay marker). */
-      setProperties: Map[String, String] = Map.empty
+      setProperties: Map[String, String] = Map.empty,
+      /** Per-attempt commit guard ([[CommitManager.appendFiles]]). */
+      validate: TableSnapshot => Unit = _ => ()
   ): TableSnapshot = {
     require(keyCols.nonEmpty, "keyCols must name at least one column")
     requirePrimitiveKeys(rows, keyCols)
@@ -213,7 +215,8 @@ object TableWrites {
         graft.sources.ParquetStats.stampBounds(FileEntry(p, "data", len, rc, -1L))
       },
       expectedSchemaId = cur.schemaId,
-      setProperties = setProperties)
+      setProperties = setProperties,
+      validate = validate)
   }
 
   /** Append a POSITION delete: `positions` must carry
