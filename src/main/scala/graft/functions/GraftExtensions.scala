@@ -93,6 +93,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SparkSession.active is the right session to resolve the read; the
     // embedded plan is the SAME live-row assembly every other read uses
     // (delete chain, pruning, pushdown included).
+    // materialized-view substitution: aggregates over a registered
+    // view's source table read the view instead when it is fresh
+    // (spark.graft.mv.views names the views; graft.mv.MaterializedView)
+    ext.injectOptimizerRule(session =>
+      new graft.mv.MaterializedViewRewrite(session))
+
+    // per-commit CDC in SQL:
+    //   SELECT * FROM graft_changes('/path/to/table', 3, 7)
+    // — the batch changelog (TableReader.changelog) as a table function
+    ext.injectTableFunction((FunctionIdentifier("graft_changes"),
+      info("graft_changes",
+        "graft_changes(tableDir, fromVersion, toVersion) - per-commit change rows"),
+      (args: Seq[Expression]) =>
+        graft.sources.TableReader.changelog(
+          org.apache.spark.sql.SparkSession.active,
+          lit2Str(args.head, "tableDir"),
+          lit2Long(args(1), "fromVersion"),
+          lit2Long(args(2), "toVersion"))
+          .queryExecution.logical))
+
     ext.injectTableFunction((FunctionIdentifier("graft_table"),
       info("graft_table",
         "graft_table(tableDir[, asOfVersion]) - merge-on-read rows of a graft table"),

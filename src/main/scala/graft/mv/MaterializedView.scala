@@ -41,6 +41,9 @@ object MaterializedView {
   val SourceProp = "graft.mv.source"
   val SpecProp = "graft.mv.spec"
   val RefreshedVersionProp = "graft.mv.refreshed-version"
+  /** Session conf listing view dirs the optimizer may substitute for
+    * matching aggregates ([[MaterializedViewRewrite]]). */
+  val ViewsConf = "spark.graft.mv.views"
   /** Live source rows per group — the delete-maintenance column. */
   val RowCountCol = "mv_rowcount"
 

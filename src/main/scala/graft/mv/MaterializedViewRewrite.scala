@@ -1,0 +1,152 @@
+package graft.mv
+
+import graft.sources.TableReader
+import graft.txn.FileTableCatalog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+import scala.util.control.NonFatal
+
+/** Catalyst optimizer rule substituting a FRESH materialized view for a
+  * matching aggregate — the query side of [[MaterializedView]]: a
+  * grouped sum/count over a 100 TB catalog table becomes a scan of the
+  * (tiny) view table, with zero user query changes.
+  *
+  * Registration: list view dirs in the session conf
+  * [[MaterializedView.ViewsConf]] (comma-separated); the rule is
+  * injected by [[graft.functions.GraftExtensions]].
+  *
+  * A rewrite fires only when ALL of:
+  *  - the aggregate sits DIRECTLY on a graft catalog-table scan (no
+  *    filter/projection in between — exact-match substitution, the
+  *    conservative line);
+  *  - the grouping columns are exactly the view's group columns, and
+  *    every output is a group column, `sum(intCol)`, `count(col)` or
+  *    `count(*)` the view maintains (non-distinct, unfiltered);
+  *  - the view is FRESH: its refreshed-version marker equals the
+  *    source's current version (two metadata reads per candidate — a
+  *    stale view silently falls back to the real aggregate, never to
+  *    stale answers).
+  *
+  * The substituted plan preserves the aggregate's output attribute ids
+  * (required of any optimizer rewrite); aggregate outputs become
+  * nullable-typed reads of the view columns, which is the safe
+  * direction. */
+class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def registeredViews: Seq[String] =
+    session.conf.getOption(MaterializedView.ViewsConf)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val views = registeredViews
+    if (views.isEmpty) return plan
+    // the aggregate's child may carry a column-pruning Project (pure
+    // attribute selection — semantics-neutral for the match)
+    def scanDirOf(child: LogicalPlan): Option[String] = child match {
+      case rel: DataSourceV2Relation
+          if rel.table.isInstanceOf[graft.streaming.GraftTable] =>
+        Some(rel.table.asInstanceOf[graft.streaming.GraftTable].dir)
+      case Project(projList, rel: DataSourceV2Relation)
+          if projList.forall(_.isInstanceOf[AttributeReference]) &&
+            rel.table.isInstanceOf[graft.streaming.GraftTable] =>
+        Some(rel.table.asInstanceOf[graft.streaming.GraftTable].dir)
+      case _ => None
+    }
+    plan.transformUp {
+      case agg @ Aggregate(ges, aes, child, _) if scanDirOf(child).isDefined =>
+        val srcDir = scanDirOf(child).get
+        views.iterator
+          .flatMap(mv => tryRewrite(mv, srcDir, ges, aes))
+          .nextOption()
+          .getOrElse(agg)
+    }
+  }
+
+  /** Integral types whose Spark `sum` equals the view's long-cast sum. */
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  private def tryRewrite(
+      mvDir: String,
+      srcDir: String,
+      ges: Seq[Expression],
+      aes: Seq[NamedExpression]): Option[LogicalPlan] =
+    try {
+      val mv = FileTableCatalog.load(mvDir).getOrElse(return None)
+      if (!mv.properties.get(MaterializedView.SourceProp).contains(srcDir))
+        return None
+      val spec = MaterializedView.decodeSpec(
+        mv.properties(MaterializedView.SpecProp))
+
+      // grouping must be exactly the view's group columns
+      val groupNames = ges.map {
+        case a: AttributeReference => a.name
+        case _ => return None
+      }
+      if (groupNames.toSet != spec.group.toSet ||
+          groupNames.size != spec.group.size) return None
+
+      // every output resolves to a view column
+      val byFnCol: Map[(String, String), String] =
+        spec.aggs.map(a => (a.fn, a.col) -> a.alias).toMap
+      val mapped: Seq[(NamedExpression, String)] = aes.map { ne =>
+        val col = ne match {
+          case a: AttributeReference if groupNames.contains(a.name) => a.name
+          case Alias(a: AttributeReference, _) if groupNames.contains(a.name) =>
+            a.name
+          case Alias(ae: AggregateExpression, _)
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case s: Sum =>
+                s.child match {
+                  case a: AttributeReference if integral(a) =>
+                    byFnCol.getOrElse(("sum", a.name), return None)
+                  case _ => return None
+                }
+              case c: Count =>
+                c.children match {
+                  case Seq(Literal(_, _)) =>
+                    byFnCol.getOrElse(("count", "*"), return None)
+                  case Seq(a: AttributeReference) =>
+                    byFnCol.getOrElse(("count", a.name), return None)
+                  case _ => return None
+                }
+              case _ => return None
+            }
+          case _ => return None
+        }
+        ne -> col
+      }
+
+      // freshness: the stored state must reflect the source's CURRENT
+      // version — a stale view falls back to the real aggregate
+      val refreshed = mv.properties
+        .get(MaterializedView.RefreshedVersionProp)
+        .flatMap(_.toLongOption).getOrElse(return None)
+      if (FileTableCatalog.loadOrThrow(srcDir).version != refreshed)
+        return None
+
+      // the OPTIMIZED subtree: this rule runs mid-optimization, so an
+      // analyzed subtree's analysis-only nodes (SubqueryAlias etc.)
+      // would reach physical planning unstripped
+      val mvPlan = TableReader.readOption(session, mvDir)
+        .getOrElse(return None).queryExecution.optimizedPlan
+      val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
+      val projections: Seq[NamedExpression] = mapped.map { case (ne, colName) =>
+        val target = ne.toAttribute
+        val src = mvAttr.getOrElse(colName, return None)
+        Alias(src, target.name)(exprId = target.exprId)
+      }
+      logInfo(s"rewriting aggregate over $srcDir to materialized view $mvDir")
+      Some(Project(projections, mvPlan))
+    } catch { case NonFatal(_) => None }
+}

@@ -122,6 +122,9 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
     catalog: TableCatalog = FileTableCatalog)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns with SupportsRowLevelOperations {
+  /** The table's directory — the identity the materialized-view
+    * rewrite matches scans against ([[graft.mv.MaterializedViewRewrite]]). */
+  private[graft] def dir: String = tableDir
   override def name(): String =
     s"graft.`$tableDir`${pinnedVersion.fold("")(v => s"@v$v")}"
   override def schema(): StructType = tblSchema

@@ -1,0 +1,111 @@
+package graft.mv
+
+import graft.SparkTestSession
+import graft.mv.MaterializedView.{Agg, Spec}
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Optimizer MV substitution ([[MaterializedViewRewrite]]): a matching
+  * fresh view replaces the aggregate; stale views, shape mismatches and
+  * uncovered aggregates fall back to the real plan — never to stale
+  * answers. */
+class MaterializedViewRewriteSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    val wh = Files.createTempDirectory("graft-mvrw-wh").toString
+    s.conf.set("spark.sql.catalog.gmvr", classOf[graft.sql.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gmvr.warehouse", wh)
+    s
+  }
+  private def sql(q: String) = spark.sql(q)
+  private def wh = spark.conf.get("spark.sql.catalog.gmvr.warehouse")
+
+  private def aggregates(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.size
+
+  private def results(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+    df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  private def withViews[A](dirs: String*)(body: => A): A = {
+    spark.conf.set(MaterializedView.ViewsConf, dirs.mkString(","))
+    try body finally spark.conf.unset(MaterializedView.ViewsConf)
+  }
+
+  test("a fresh view substitutes the aggregate; stale falls back; " +
+    "refresh re-enables") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
+    sql("CREATE TABLE gmvr.db.src (k STRING, v BIGINT)")
+    sql("INSERT INTO gmvr.db.src VALUES ('a', 10), ('a', 20), ('b', 5)")
+    val srcDir = s"$wh/db/src"
+    val mvDir = Files.createTempDirectory("graft-mvrw-v").toString
+    MaterializedView.create(spark, mvDir, srcDir, Spec(Seq("k"),
+      Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n"))))
+
+    def q = sql("SELECT k, sum(v) AS s, count(*) AS c FROM gmvr.db.src GROUP BY k")
+    val want = Map("a" -> (30L, 2L), "b" -> (5L, 1L))
+    // no registration: the real aggregate runs
+    assert(aggregates(q) == 1 && results(q) == want)
+
+    withViews(mvDir) {
+      // fresh view: the aggregate disappears from the optimized plan
+      assert(aggregates(q) == 0, "expected the view to substitute")
+      assert(results(q) == want)
+
+      // a write makes the view STALE: fall back, stay correct
+      sql("INSERT INTO gmvr.db.src VALUES ('b', 7)")
+      val want2 = Map("a" -> (30L, 2L), "b" -> (12L, 2L))
+      assert(aggregates(q) == 1, "stale view must not substitute")
+      assert(results(q) == want2)
+
+      // refresh restores the substitution
+      MaterializedView.refresh(spark, mvDir)
+      assert(aggregates(q) == 0 && results(q) == want2)
+    }
+  }
+
+  test("shape mismatches never substitute") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
+    sql("CREATE TABLE gmvr.db.src2 (k STRING, v BIGINT, w BIGINT)")
+    sql("INSERT INTO gmvr.db.src2 VALUES ('a', 1, 100)")
+    val mvDir = Files.createTempDirectory("graft-mvrw-m").toString
+    MaterializedView.create(spark, mvDir, s"$wh/db/src2", Spec(Seq("k"),
+      Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n"))))
+    withViews(mvDir) {
+      // covered shape substitutes...
+      assert(aggregates(sql(
+        "SELECT k, sum(v) AS s, count(*) AS c FROM gmvr.db.src2 GROUP BY k")) == 0)
+      // ...but: an uncovered aggregate column
+      assert(aggregates(sql(
+        "SELECT k, sum(w) AS s, count(*) AS c FROM gmvr.db.src2 GROUP BY k")) == 1)
+      // a filter between scan and aggregate
+      assert(aggregates(sql(
+        "SELECT k, sum(v) AS s, count(*) AS c FROM gmvr.db.src2 " +
+          "WHERE v > 0 GROUP BY k")) == 1)
+      // different grouping
+      assert(aggregates(sql(
+        "SELECT k, v, count(*) AS c FROM gmvr.db.src2 GROUP BY k, v")) == 1)
+      // distinct aggregation
+      assert(aggregates(sql(
+        "SELECT k, count(DISTINCT v) AS c, sum(v) AS s, count(*) AS n " +
+          "FROM gmvr.db.src2 GROUP BY k")) >= 1)
+    }
+  }
+
+  test("graft_changes table function surfaces the batch changelog in SQL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
+    sql("CREATE TABLE gmvr.db.ch (id BIGINT, s STRING)")
+    sql("INSERT INTO gmvr.db.ch VALUES (1, 'x'), (2, 'y')")
+    sql("DELETE FROM gmvr.db.ch WHERE id = 1")
+    val dir = s"$wh/db/ch"
+    val v = graft.txn.FileTableCatalog.loadOrThrow(dir).version
+    val rows = sql(
+      s"SELECT id, _change_type, _commit_version FROM graft_changes('$dir', 1, $v)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.exists(_ == (1L, "insert", 2L)))
+    assert(rows.contains((2L, "insert", 2L)))
+    assert(rows.count(_._2 == "delete") == 1 &&
+      rows.exists(r => r._1 == 1L && r._2 == "delete"))
+  }
+}
