@@ -72,7 +72,12 @@ object GraftMetadataTable {
     // WAP surface: staged snapshots are outside main lineage until
     // published ([[graft.txn.Wap]]); wap_id is null on main commits
     StructField("staged", BooleanType, nullable = false),
-    StructField("wap_id", StringType, nullable = true)))
+    StructField("wap_id", StringType, nullable = true),
+    // branch commits carry their branch name; null on main commits
+    StructField("branch", StringType, nullable = true),
+    // shape-derived operation ([[graft.txn.CommitShape]]); null when
+    // the base snapshot is unresolvable (expired parent)
+    StructField("operation", StringType, nullable = true)))
 
   /** Iceberg's partitions-table surface: per-partition health (file and
     * record counts, bytes) of the CURRENT snapshot, from metadata alone.
@@ -183,8 +188,32 @@ final class GraftMetadataTable(
       // flatMap: a version expired between the listing and the load
       // (concurrent expireSnapshots) just drops from the inspection —
       // routine maintenance must not fail a metadata query
-      catalog.versions(tableDir).flatMap(catalog.loadVersion(tableDir, _)).map { s =>
+      val loaded = catalog.versions(tableDir)
+        .flatMap(catalog.loadVersion(tableDir, _))
+      val byVersion = loaded.map(s => s.version -> s).toMap
+      // the snapshot a commit was BUILT ON: its explicit parent for
+      // out-of-line commits (WAP/branch), else the previous main version
+      def baseOf(s: graft.txn.TableSnapshot): Option[graft.txn.TableSnapshot] =
+        if (graft.txn.Branch.isOutOfMain(s))
+          (s.properties.get(graft.txn.Wap.ParentProp) orElse
+            s.properties.get(graft.txn.Branch.ParentProp))
+            .flatMap(_.toLongOption).flatMap(byVersion.get)
+        else loaded.view
+          .filter(p => p.version < s.version &&
+            !graft.txn.Branch.isOutOfMain(p))
+          .lastOption
+      loaded.map { s =>
         val data = s.files.filter(_.content == "data")
+        val operation: AnyRef =
+          if (s.version == loaded.head.version && s.files.isEmpty)
+            UTF8String.fromString("create")
+          else baseOf(s) match {
+            case Some(base) =>
+              UTF8String.fromString(graft.txn.CommitShape.classify(base, s))
+            case None if s.version == loaded.head.version =>
+              UTF8String.fromString("append") // oldest retained, no base
+            case None => null
+          }
         InternalRow.fromSeq(Seq(
           s.version, s.committedAtMs, s.schemaId, s.lastSequenceNumber,
           data.size.toLong, (s.files.size - data.size).toLong,
@@ -194,7 +223,10 @@ final class GraftMetadataTable(
           else null,
           graft.txn.Wap.isStaged(s),
           s.properties.get(graft.txn.Wap.IdProp)
-            .map(UTF8String.fromString).orNull))
+            .map(UTF8String.fromString).orNull,
+          s.properties.get(graft.txn.Branch.NameProp)
+            .map(UTF8String.fromString).orNull,
+          operation))
       }.toArray
     case "partitions" =>
       val snap = catalog.loadOrThrow(tableDir)

@@ -36,7 +36,8 @@ private[sql] object GraftProcedures {
     "remove_orphan_files", "create_tag", "drop_tag", "analyze_table",
     "evolve_partition_spec", "publish_wap", "discard_wap", "list_waps",
     "rollback_to_version", "create_branch", "drop_branch", "fast_forward",
-    "list_branches", "rewrite_manifests")
+    "list_branches", "rewrite_manifests", "create_materialized_view",
+    "refresh_materialized_view")
 
   def load(name: String, resolveDir: String => String,
       catalog: TableCatalog, catalogName: String): UnboundProcedure =
@@ -55,6 +56,8 @@ private[sql] object GraftProcedures {
       case "list_waps"             => new ListWaps(resolveDir, catalog)
       case "create_branch"         => new CreateBranch(resolveDir, catalog)
       case "rewrite_manifests"     => new RewriteManifests(resolveDir, catalog)
+      case "create_materialized_view" => new CreateMaterializedView(resolveDir, catalog)
+      case "refresh_materialized_view" => new RefreshMaterializedView(resolveDir, catalog)
       case "drop_branch"           => new DropBranch(resolveDir, catalog)
       case "fast_forward"          => new FastForward(resolveDir, catalog)
       case "list_branches"         => new ListBranches(resolveDir, catalog)
@@ -415,6 +418,74 @@ private[sql] object GraftProcedures {
           org.apache.spark.unsafe.types.UTF8String.fromString(state))
       }.toArray
       localScan(out, rows, s"list_waps($dir)")
+    }
+  }
+
+  /** `CALL create_materialized_view(table, view, group_by, aggs)` —
+    * materialize a grouped sum/count over `table` as the catalog table
+    * `view` ([[graft.mv.MaterializedView]]): readable like any table,
+    * refreshed incrementally via `refresh_materialized_view`, and
+    * substituted for matching aggregates by the optimizer when
+    * registered in `spark.graft.mv.views`. `aggs` is
+    * `fn:col:alias[,...]` with fn ∈ sum|count (`count:*:n` = count(*)). */
+  private final class CreateMaterializedView(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("create_materialized_view") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("view", StringType),
+      in("group_by", StringType),
+      in("aggs", StringType))
+
+    private val out = StructType(Seq(
+      StructField("view", StringType, nullable = false),
+      StructField("refreshed_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val srcDir = resolveDir(input.getUTF8String(0).toString)
+      val viewName = input.getUTF8String(1).toString
+      val viewDir = resolveDir(viewName)
+      val group = input.getUTF8String(2).toString
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val aggs = input.getUTF8String(3).toString
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
+          s.split(":") match {
+            case Array(fn, c, alias) =>
+              graft.mv.MaterializedView.Agg(fn.trim, c.trim, alias.trim)
+            case _ => throw CompactionError.Config(
+              s"agg '$s' must be fn:col:alias (e.g. sum:v:sum_v, count:*:n)")
+          }
+        }
+      val snap = graft.mv.MaterializedView.create(
+        SparkSession.active, viewDir, srcDir,
+        graft.mv.MaterializedView.Spec(group, aggs), catalog)
+      localScan(out, Array(InternalRow(
+        UTF8String.fromString(viewName),
+        snap.properties(graft.mv.MaterializedView.RefreshedVersionProp).toLong)),
+        s"create_materialized_view($srcDir -> $viewDir)")
+    }
+  }
+
+  /** `CALL refresh_materialized_view(view)` — apply the source's
+    * changes since the last refresh (cost ∝ changed rows). */
+  private final class RefreshMaterializedView(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("refresh_materialized_view") {
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("view", StringType))
+
+    private val out = StructType(Seq(
+      StructField("view", StringType, nullable = false),
+      StructField("refreshed_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val viewName = input.getUTF8String(0).toString
+      val v = graft.mv.MaterializedView.refresh(
+        SparkSession.active, resolveDir(viewName), catalog)
+      localScan(out, Array(InternalRow(UTF8String.fromString(viewName), v)),
+        s"refresh_materialized_view($viewName)")
     }
   }
 

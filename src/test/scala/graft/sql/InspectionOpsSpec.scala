@@ -1,0 +1,87 @@
+package graft.sql
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Shape-derived `operation` column of `.snapshots`
+  * ([[graft.txn.CommitShape]]), the MV procedures as catalog surface,
+  * and the branch lifecycle on the ICEBERG-format catalog (branch
+  * markers ride metadata.json properties the same way WAP's do). */
+class InspectionOpsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    val wh = Files.createTempDirectory("graft-insp-wh").toString
+    s.conf.set("spark.sql.catalog.gin", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gin.warehouse", wh)
+    val whI = Files.createTempDirectory("graft-insp-iwh").toString
+    s.conf.set("spark.sql.catalog.gini", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gini.warehouse", whI)
+    s.conf.set("spark.sql.catalog.gini.format", "iceberg")
+    s
+  }
+  private def sql(q: String) = spark.sql(q)
+
+  test(".snapshots classifies every commit's operation by shape") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gin.db")
+    sql("""CREATE TABLE gin.db.ops (id BIGINT, v STRING)
+          |TBLPROPERTIES ('graft.rowlevel.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO gin.db.ops SELECT id, 'a' FROM range(0, 10)")        // append
+    sql("DELETE FROM gin.db.ops WHERE id < 2")                            // delete (MoR)
+    sql("INSERT INTO gin.db.ops SELECT id, 'b' FROM range(10, 12)")       // append
+    sql("CALL gin.system.rewrite_data_files(`table` => 'db.ops')")        // replace
+    sql("ALTER TABLE gin.db.ops SET TBLPROPERTIES ('x'='1')")             // set-properties
+    sql("INSERT OVERWRITE gin.db.ops SELECT id, 'c' FROM range(0, 3)")    // overwrite
+    sql("ALTER TABLE gin.db.ops ADD COLUMN w BIGINT")                     // evolve-schema
+
+    val ops = sql("SELECT version, operation FROM gin.db.ops.snapshots ORDER BY version")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(1L) == "create")
+    assert(ops(2L) == "append")
+    assert(ops(3L) == "delete")
+    assert(ops(4L) == "append")
+    assert(ops(5L) == "replace")
+    assert(ops(6L) == "set-properties")
+    assert(ops(7L) == "overwrite")
+    assert(ops(8L) == "evolve-schema")
+  }
+
+  test("MV procedures: create, query as a catalog table, refresh") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gin.db")
+    sql("CREATE TABLE gin.db.facts (k STRING, v BIGINT)")
+    sql("INSERT INTO gin.db.facts VALUES ('a', 10), ('a', 20), ('b', 5)")
+    sql("""CALL gin.system.create_materialized_view(
+          |  `table` => 'db.facts', view => 'db.facts_by_k',
+          |  group_by => 'k', aggs => 'sum:v:sum_v,count:*:n')""".stripMargin)
+    def mv = sql("SELECT k, sum_v, n FROM gin.db.facts_by_k ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mv == Seq(("a", 30L, 2L), ("b", 5L, 1L)))
+
+    sql("INSERT INTO gin.db.facts VALUES ('b', 7), ('c', 1)")
+    sql("CALL gin.system.refresh_materialized_view(view => 'db.facts_by_k')")
+    assert(mv == Seq(("a", 30L, 2L), ("b", 12L, 2L), ("c", 1L, 1L)))
+  }
+
+  test("branch lifecycle works on the iceberg-format catalog") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gini.db")
+    sql("CREATE TABLE gini.db.t (id BIGINT, v STRING)")
+    sql("INSERT INTO gini.db.t SELECT id, 'base' FROM range(0, 5)")
+    sql("CALL gini.system.create_branch(`table` => 'db.t', branch => 'dev')")
+    spark.conf.set(graft.txn.Branch.SessionConf, "dev")
+    try sql("INSERT INTO gini.db.t SELECT id, 'dev' FROM range(100, 103)")
+    finally spark.conf.unset(graft.txn.Branch.SessionConf)
+
+    def ids(asOf: String = ""): Seq[Long] =
+      sql(s"SELECT id FROM gini.db.t $asOf ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+    assert(ids() == (0L until 5L))
+    assert(ids("VERSION AS OF 'branch:dev'") == ((0L until 5L) ++ (100L until 103L)))
+    sql("CALL gini.system.fast_forward(`table` => 'db.t', branch => 'dev')")
+    assert(ids() == ((0L until 5L) ++ (100L until 103L)))
+    // the branch column surfaces on the snapshots table
+    val branched = sql(
+      "SELECT version FROM gini.db.t.snapshots WHERE branch = 'dev'").collect()
+    assert(branched.length == 1)
+  }
+}
