@@ -107,12 +107,39 @@ object MaterializedView {
   ): TableSnapshot = {
     validateSpec(spec)
     val srcSnap = catalog.loadOrThrow(sourceDir)
+    val full = TableReader.readOption(spark, sourceDir,
+      asOfVersion = Some(srcSnap.version), catalog = catalog)
+    // type guard against the resolvable source schema: the view's sums
+    // are exact long arithmetic — a double/decimal column would be
+    // silently truncated by the long cast, so refuse it up front
+    // (pre-scale to integer cents instead)
+    val schemaTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      full.map(_.schema.fields.map(f => f.name -> f.dataType).toMap)
+        .orElse(srcSnap.currentSchema.map(_.fields.map(f =>
+          f.name -> org.apache.spark.sql.types.DataType.fromDDL(f.dataType))
+          .toMap))
+        .getOrElse(Map.empty)
+    if (schemaTypes.nonEmpty) {
+      import org.apache.spark.sql.types._
+      (spec.group ++ spec.aggs.map(_.col).filter(_ != "*")).foreach { c =>
+        if (!schemaTypes.contains(c)) throw CompactionError.Config(
+          s"column '$c' is not in the source schema " +
+            s"(${schemaTypes.keys.toSeq.sorted.mkString(", ")})")
+      }
+      spec.aggs.filter(a => a.fn == "sum").foreach { a =>
+        schemaTypes(a.col) match {
+          case LongType | IntegerType | ShortType | ByteType => ()
+          case other => throw CompactionError.Config(
+            s"sum over '${a.col}': ${other.simpleString} is not integral; " +
+              "materialized sums are exact long arithmetic — store the " +
+              "column pre-scaled (e.g. cents) instead")
+        }
+      }
+    }
     catalog.commitCas(mvDir, TableSnapshot(1, 1, 0, Nil, properties = Map(
       SourceProp -> sourceDir,
       SpecProp -> encodeSpec(spec),
       RefreshedVersionProp -> "1")))
-    val full = TableReader.readOption(spark, sourceDir,
-      asOfVersion = Some(srcSnap.version), catalog = catalog)
     val state = full.map(signedAgg(spec, _, lit(1L)))
     state match {
       case Some(st) if !st.isEmpty =>
@@ -144,9 +171,25 @@ object MaterializedView {
 
     // exact multiset changes since the last refresh, full rows per
     // change (the BATCH changelog — key-deletes are already resolved)
-    val delta = TableReader.changelog(spark, sourceDir, lastV, srcV, catalog)
-      .withColumn("__w",
-        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+    val delta = try {
+      TableReader.changelog(spark, sourceDir, lastV, srcV, catalog)
+        .withColumn("__w",
+          when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+    } catch {
+      case e: CompactionError.Config
+          if e.getMessage.contains("no data-bearing") =>
+        // a still-empty source advanced by schema/property commits:
+        // zero changes — just move the marker (guarded like the data
+        // path, so a concurrent refresh cannot double-advance)
+        new graft.txn.CommitManager(mvDir, catalog = catalog)
+          .updateTableProperties(mv.schemaId, validate = reloaded => {
+            val nowV = reloaded.properties.get(RefreshedVersionProp)
+              .flatMap(_.toLongOption).getOrElse(-1L)
+            if (nowV != lastV) throw CompactionError.Config(
+              s"concurrent refresh: marker moved v$lastV -> v$nowV")
+          })(_ => (Map(RefreshedVersionProp -> srcV.toString), Set.empty))
+        return srcV
+    }
     val deltaAgg = signedAgg(spec, delta, col("__w"))
       .withColumnRenamed(RowCountCol, s"_d_$RowCountCol")
     val dAliases = spec.aggs.map(_.alias) :+ RowCountCol
@@ -162,8 +205,11 @@ object MaterializedView {
     }
     def oldOf(a: String): Column =
       if (cur.isEmpty) lit(0L) else coalesce(col(a), lit(0L))
+    // BOTH sides null-safe: a delta whose sum-column values are all
+    // null aggregates to a NULL delta (sum over nulls), and adding it
+    // un-coalesced would corrupt the stored total to NULL
     val next = dAliases.foldLeft(merged)((df, a) =>
-      df.withColumn(s"_n_$a", oldOf(a) + col(s"_d_$a")))
+      df.withColumn(s"_n_$a", oldOf(a) + coalesce(col(s"_d_$a"), lit(0L))))
     val out = next.select(
       (spec.group.map(col) ++ dAliases.map(a => col(s"_n_$a").as(a))): _*)
       .persist()

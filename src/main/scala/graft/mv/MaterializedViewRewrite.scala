@@ -1,7 +1,6 @@
 package graft.mv
 
 import graft.sources.TableReader
-import graft.txn.FileTableCatalog
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
@@ -49,21 +48,22 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     if (views.isEmpty) return plan
     // the aggregate's child may carry a column-pruning Project (pure
     // attribute selection — semantics-neutral for the match)
-    def scanDirOf(child: LogicalPlan): Option[String] = child match {
-      case rel: DataSourceV2Relation
-          if rel.table.isInstanceOf[graft.streaming.GraftTable] =>
-        Some(rel.table.asInstanceOf[graft.streaming.GraftTable].dir)
-      case Project(projList, rel: DataSourceV2Relation)
-          if projList.forall(_.isInstanceOf[AttributeReference]) &&
-            rel.table.isInstanceOf[graft.streaming.GraftTable] =>
-        Some(rel.table.asInstanceOf[graft.streaming.GraftTable].dir)
-      case _ => None
-    }
+    def scanOf(child: LogicalPlan): Option[graft.streaming.GraftTable] =
+      child match {
+        case rel: DataSourceV2Relation
+            if rel.table.isInstanceOf[graft.streaming.GraftTable] =>
+          Some(rel.table.asInstanceOf[graft.streaming.GraftTable])
+        case Project(projList, rel: DataSourceV2Relation)
+            if projList.forall(_.isInstanceOf[AttributeReference]) &&
+              rel.table.isInstanceOf[graft.streaming.GraftTable] =>
+          Some(rel.table.asInstanceOf[graft.streaming.GraftTable])
+        case _ => None
+      }
     plan.transformUp {
-      case agg @ Aggregate(ges, aes, child, _) if scanDirOf(child).isDefined =>
-        val srcDir = scanDirOf(child).get
+      case agg @ Aggregate(ges, aes, child, _) if scanOf(child).isDefined =>
+        val tbl = scanOf(child).get
         views.iterator
-          .flatMap(mv => tryRewrite(mv, srcDir, ges, aes))
+          .flatMap(mv => tryRewrite(mv, tbl.dir, tbl.tableCatalog, ges, aes))
           .nextOption()
           .getOrElse(agg)
     }
@@ -78,10 +78,13 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(
       mvDir: String,
       srcDir: String,
+      catalog: graft.txn.TableCatalog,
       ges: Seq[Expression],
       aes: Seq[NamedExpression]): Option[LogicalPlan] =
     try {
-      val mv = FileTableCatalog.load(mvDir).getOrElse(return None)
+      // the SOURCE table's catalog also resolves the view: the MV
+      // procedures create views through the session catalog's format
+      val mv = catalog.load(mvDir).getOrElse(return None)
       if (!mv.properties.get(MaterializedView.SourceProp).contains(srcDir))
         return None
       val spec = MaterializedView.decodeSpec(
@@ -114,7 +117,9 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                 }
               case c: Count =>
                 c.children match {
-                  case Seq(Literal(_, _)) =>
+                  // count(*) lowers to count(1); count(NULL) is NOT it
+                  // (always 0) and must never map to the row count
+                  case Seq(Literal(v, _)) if v != null =>
                     byFnCol.getOrElse(("count", "*"), return None)
                   case Seq(a: AttributeReference) =>
                     byFnCol.getOrElse(("count", a.name), return None)
@@ -132,13 +137,13 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       val refreshed = mv.properties
         .get(MaterializedView.RefreshedVersionProp)
         .flatMap(_.toLongOption).getOrElse(return None)
-      if (FileTableCatalog.loadOrThrow(srcDir).version != refreshed)
+      if (catalog.loadOrThrow(srcDir).version != refreshed)
         return None
 
       // the OPTIMIZED subtree: this rule runs mid-optimization, so an
       // analyzed subtree's analysis-only nodes (SubqueryAlias etc.)
       // would reach physical planning unstripped
-      val mvPlan = TableReader.readOption(session, mvDir)
+      val mvPlan = TableReader.readOption(session, mvDir, catalog = catalog)
         .getOrElse(return None).queryExecution.optimizedPlan
       val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
       val projections: Seq[NamedExpression] = mapped.map { case (ne, colName) =>

@@ -298,40 +298,28 @@ object TableReader {
         val anyData = (sa.files ++ sb.files).exists(_.content == "data")
         if (!anyData) None
         else {
-          val prevPaths = sa.files.map(_.path).toSet
-          val currPaths = sb.files.map(_.path).toSet
-          val added = sb.files.filterNot(f => prevPaths.contains(f.path))
-          val removed = sa.files.filterNot(f => currPaths.contains(f.path))
-          val addedData = added.filter(_.content == "data")
-          val addedDeletes = added.filter(_.content != "data")
-          val freshData =
-            addedData.filter(_.sequenceNumber > sa.lastSequenceNumber)
-          // row-preserving commit shapes (CommitManager construction):
-          // a rewrite re-adds existing rows at retained sequence
-          // numbers; a delete-layout conversion swaps delete files with
-          // data untouched. Both are logically empty — skip without IO.
-          val isRewrite = addedData.nonEmpty && freshData.isEmpty &&
-            addedDeletes.isEmpty
-          val isDeleteConversion = addedData.isEmpty &&
-            removed.forall(_.content != "data") &&
-            addedDeletes.nonEmpty && removed.exists(_.content != "data")
+          // shared commit-shape derivation ([[graft.txn.CommitShape]]):
+          // row-preserving steps (rewrites, delete-layout conversions)
+          // skip with no IO — the SAME classification the streaming
+          // changelog and the .snapshots operation column use
+          val d = graft.txn.CommitShape.diff(sa, sb)
           // pure append no later-retained delete can touch: the change
           // set IS the added files' rows — read them, no diff shuffle
-          val pureAppend = removed.isEmpty && addedDeletes.isEmpty &&
-            addedData.nonEmpty && freshData.size == addedData.size && {
-              val minSeq = addedData.map(_.sequenceNumber).min
+          val pureAppend = d.removed.isEmpty && d.addedDeletes.isEmpty &&
+            d.addedData.nonEmpty && d.freshData.size == d.addedData.size && {
+              val minSeq = d.addedData.map(_.sequenceNumber).min
               sb.files.filter(_.content != "data").forall {
-                case d if d.content == "equality-deletes" =>
-                  d.sequenceNumber <= minSeq // applies to STRICTLY older
-                case d if d.content == "deletion-vectors" =>
-                  !d.referencedDataFile.exists(p =>
-                    addedData.exists(_.path == p))
+                case del if del.content == "equality-deletes" =>
+                  del.sequenceNumber <= minSeq // applies to STRICTLY older
+                case del if del.content == "deletion-vectors" =>
+                  !del.referencedDataFile.exists(p =>
+                    d.addedData.exists(_.path == p))
                 case _ => false // position deletes: targets unknown here
               }
             }
-          if (isRewrite || isDeleteConversion) None
+          if (d.isRowPreserving) None
           else if (pureAppend)
-            liveOf(spark, sb, addedData).map(
+            liveOf(spark, sb, d.addedData).map(
               _.withColumn("_change", lit("+"))
                 .withColumn("_commit_version", lit(b)))
           else Some(changes(spark, tableDir, a, b, catalog)

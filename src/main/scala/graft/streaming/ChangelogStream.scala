@@ -63,42 +63,30 @@ object ChangelogStream {
   /** Plan one lineage STEP (prev → curr) into change partitions. */
   def planStep(prev: TableSnapshot, curr: TableSnapshot): Seq[InputPartition] = {
     val v = curr.version
-    val prevPaths = prev.files.map(_.path).toSet
-    val currPaths = curr.files.map(_.path).toSet
-    val added = curr.files.filterNot(f => prevPaths.contains(f.path))
-    val addedData = added.filter(_.content == "data")
-    val addedDeletes = added.filter(_.content != "data")
-    val removedData = prev.files.filter(f =>
-      f.content == "data" && !currPaths.contains(f.path))
-    val removedDeletes = prev.files.filter(f =>
-      f.content != "data" && !currPaths.contains(f.path))
-
-    // commit-shape classification (every commit path of this engine):
-    //  - rewrite (compaction): outputs at RETAINED sequence numbers —
-    //    re-adds existing rows, logically empty;
-    //  - delete-layout conversion: delete files swapped for delete
-    //    files with data untouched — logically empty;
-    val freshData = addedData.filter(_.sequenceNumber > prev.lastSequenceNumber)
-    val isRewrite = addedData.nonEmpty && freshData.isEmpty
-    val isDeleteConversion = addedData.isEmpty && removedData.isEmpty &&
-      addedDeletes.nonEmpty && removedDeletes.nonEmpty
-    if (isRewrite || isDeleteConversion) return Nil
+    // shared commit-shape derivation ([[graft.txn.CommitShape]]):
+    // row-preserving steps (compaction rewrites, delete-layout
+    // conversions) emit nothing — the SAME classification the batch
+    // changelog and the .snapshots operation column use
+    val d = graft.txn.CommitShape.diff(prev, curr)
+    if (d.isRowPreserving) return Nil
+    val removedData = d.removedData
+    val addedDeletes = d.addedDeletes
 
     val out = Seq.newBuilder[InputPartition]
-    freshData.foreach(f => out += ChangeFilePartition(f.path, "insert", v))
+    d.freshData.foreach(f => out += ChangeFilePartition(f.path, "insert", v))
     if (removedData.nonEmpty) {
       // full-file delete emission is exact only when no RETAINED delete
       // file had already removed rows of these files
-      def applied(d: FileEntry): Boolean = d.content match {
+      def applied(del: FileEntry): Boolean = del.content match {
         case "equality-deletes" =>
-          removedData.exists(_.sequenceNumber < d.sequenceNumber)
+          removedData.exists(_.sequenceNumber < del.sequenceNumber)
         case "deletion-vectors" =>
-          d.referencedDataFile.exists(p => removedData.exists(_.path == p))
+          del.referencedDataFile.exists(p => removedData.exists(_.path == p))
         case _ => // position-deletes: targets live inside the file — be
           // conservative rather than read it at planning time
           removedData.nonEmpty
       }
-      if (prev.files.exists(d => d.content != "data" && applied(d)))
+      if (prev.files.exists(del => del.content != "data" && applied(del)))
         throw CompactionError.Config(
           s"commit v$v removed data files that older delete files applied " +
             "to; file-level streaming cannot attribute those rows exactly " +
@@ -196,14 +184,28 @@ final class ChangeFileReader(path: String, fullSchema: StructType,
 /** Emits the rows of `targetPath` at `ordinals` (sorted ascending) as
   * `delete` change rows — one sequential scan with a row counter, the
   * position-delete resolution shape. */
-final class OrdinalDeleteReader(targetPath: String, ordinals: Array[Long],
+final class OrdinalDeleteReader(targetPath: String, ordinals0: Array[Long],
     fullSchema: StructType, commitVersion: Long, taskConf: Configuration)
     extends PartitionReader[InternalRow] {
   private val base = ChangelogStream.baseSchema(fullSchema)
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new HPath(targetPath))
       .withConf(taskConf).build()
-  java.util.Arrays.sort(ordinals)
+  // sorted AND deduplicated: position-delete files are not key-distinct
+  // (a row can be named twice), and a duplicate ordinal equal to an
+  // already-passed rowIdx would otherwise stall the cursor to EOF,
+  // silently dropping every later delete
+  private val ordinals: Array[Long] = {
+    java.util.Arrays.sort(ordinals0)
+    val out = new Array[Long](ordinals0.length)
+    var n = 0
+    var i = 0
+    while (i < ordinals0.length) {
+      if (n == 0 || out(n - 1) != ordinals0(i)) { out(n) = ordinals0(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
   private var rowIdx = -1L
   private var ordIdx = 0
   private var current: Group = _

@@ -125,6 +125,10 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
   /** The table's directory — the identity the materialized-view
     * rewrite matches scans against ([[graft.mv.MaterializedViewRewrite]]). */
   private[graft] def dir: String = tableDir
+  /** The snapshot catalog this table resolves through — the rewrite
+    * must load the VIEW with the same one (an iceberg-format view has
+    * no metadata-JSON for the file catalog to find). */
+  private[graft] def tableCatalog: TableCatalog = catalog
   override def name(): String =
     s"graft.`$tableDir`${pinnedVersion.fold("")(v => s"@v$v")}"
   override def schema(): StructType = tblSchema

@@ -774,23 +774,41 @@ object IcebergTableCatalog extends TableCatalog {
     }
   }
 
+  /** Per-(table, version) manifest-path cache: metadata versions are
+    * immutable once CAS-created, so a version's referenced-manifest set
+    * never changes — this is what keeps a batch expiry pass O(versions)
+    * list reads instead of O(versions²) (deleteVersion recomputes the
+    * referenced set per call). Entries drop on deleteVersion; misses
+    * (not-yet-existing or unreadable versions) are never cached. */
+  private val manifestPathsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+  private val ManifestPathsCacheCap = 20000
+
   /** Manifest paths the CURRENT snapshot of metadata version `v`
     * references (empty when the version, its list, or its snapshot are
     * gone — expiry must stay best-effort over concurrent expiry). */
   private[txn] def manifestPathsOf(table: String, v: Long): Seq[String] = {
+    val key = (table, v)
+    val hit = manifestPathsCache.get(key)
+    if (hit != null) return hit
     val p = metadataPath(table, v)
     try {
       if (!FileIO.exists(p)) return Nil
       val doc = parse(FileIO.readString(p))
       val snapId = doc.get("current-snapshot-id").asLong
-      if (snapId < 0) return Nil
-      doc.get("snapshots").elements().asScala
-        .find(_.get("snapshot-id").asLong == snapId)
-        .toSeq.flatMap { s =>
-          val listPath = s.get("manifest-list").asText
-          if (!FileIO.exists(listPath)) Nil
-          else readAvro(listPath)._2.map(_.get("manifest_path").toString)
-        }
+      val paths: Seq[String] =
+        if (snapId < 0) Nil
+        else doc.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong == snapId)
+          .toSeq.flatMap { s =>
+            val listPath = s.get("manifest-list").asText
+            if (!FileIO.exists(listPath)) Nil
+            else readAvro(listPath)._2.map(_.get("manifest_path").toString)
+          }
+      if (manifestPathsCache.size > ManifestPathsCacheCap)
+        manifestPathsCache.clear()
+      manifestPathsCache.put(key, paths)
+      paths
     } catch { case _: Exception => Nil }
   }
 
@@ -799,6 +817,7 @@ object IcebergTableCatalog extends TableCatalog {
     load(table).map(s => manifestPathsOf(table, s.version).size).getOrElse(0)
 
   override def deleteVersion(table: String, version: Long): Unit = {
+    manifestPathsCache.remove((table, version))
     val p = metadataPath(table, version)
     if (!FileIO.exists(p)) return
     val doc = parse(FileIO.readString(p))

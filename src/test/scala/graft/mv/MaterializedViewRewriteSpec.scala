@@ -90,6 +90,11 @@ class MaterializedViewRewriteSpec extends AnyFunSuite {
       assert(aggregates(sql(
         "SELECT k, count(DISTINCT v) AS c, sum(v) AS s, count(*) AS n " +
           "FROM gmvr.db.src2 GROUP BY k")) >= 1)
+      // count(NULL) is always 0 — it must never map to the row count
+      val cn = sql("SELECT k, count(NULL) AS c FROM gmvr.db.src2 GROUP BY k")
+      assert(aggregates(cn) == 1)
+      assert(cn.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("a", 0L)))
     }
   }
 

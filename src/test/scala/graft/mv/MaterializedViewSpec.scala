@@ -81,6 +81,35 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(state(mv) == Map("a" -> (31L, 3L), "b" -> (5L, 1L)))
   }
 
+  test("a null-valued sum column neither corrupts the stored total " +
+    "nor the group count") {
+    val src = mkSource()
+    val mv = Files.createTempDirectory("graft-mvspec-n").toString
+    MaterializedView.create(spark, mv, src, spec)
+    TableWrites.appendData(src, spark.sql(
+      "SELECT CAST(9 AS BIGINT) AS id, 'a' AS k, CAST(NULL AS BIGINT) AS v"))
+    MaterializedView.refresh(spark, mv)
+    // sum delta over all-null values is NULL — must coalesce, not
+    // poison the stored 30
+    assert(state(mv) == Map("a" -> (30L, 3L), "b" -> (5L, 1L)))
+  }
+
+  test("an empty source advanced by property-only commits still refreshes") {
+    val dir = Files.createTempDirectory("graft-mvspec-e-src").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil,
+      schemas = Seq(graft.core.TableSchema(1, Seq(
+        graft.core.SchemaField(1, "k", "STRING"),
+        graft.core.SchemaField(2, "v", "BIGINT"))))))
+    val mv = Files.createTempDirectory("graft-mvspec-e").toString
+    MaterializedView.create(spark, mv, dir, Spec(Seq("k"),
+      Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n"))))
+    new CommitManager(dir).setTableProperties(
+      Map("graft.custom" -> "x"), Set.empty, expectedSchemaId = 1)
+    // no data anywhere: the refresh must advance the marker, not crash
+    val v = MaterializedView.refresh(spark, mv)
+    assert(v == FileTableCatalog.loadOrThrow(dir).version)
+  }
+
   test("non-retractable aggregates and bad specs are refused") {
     val src = mkSource()
     def bad(s: Spec): Unit = intercept[CompactionError.Config] {
@@ -93,5 +122,18 @@ class MaterializedViewSpec extends AnyFunSuite {
     bad(Spec(Seq("k"), Seq(Agg("sum", "*", "s"))))
     bad(Spec(Seq("k"), Seq(Agg("sum", "v", "k"))))
     bad(Spec(Seq("k"), Seq(Agg("sum", "v", "s"), Agg("count", "*", "s"))))
+    // columns must exist, and sums over non-integral types would be
+    // silently truncated by the long cast — refused against the schema
+    bad(Spec(Seq("k"), Seq(Agg("sum", "nope", "s"))))
+    bad(Spec(Seq("nope"), Seq(Agg("count", "*", "n"))))
+    val dsrc = Files.createTempDirectory("graft-mvspec-d-src").toString
+    TableMetadata.commit(dsrc, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dsrc,
+      Seq(("a", 1.5)).toDF("k", "v").coalesce(1))
+    intercept[CompactionError.Config] {
+      MaterializedView.create(spark,
+        Files.createTempDirectory("graft-mvspec-d").toString, dsrc,
+        Spec(Seq("k"), Seq(Agg("sum", "v", "s"))))
+    }
   }
 }

@@ -68,12 +68,16 @@ class ChangelogStreamSpec extends AnyFunSuite {
     assert(got == want, s"got $got")
   }
 
-  test("position deletes resolve to full rows of the referenced file") {
+  test("position deletes resolve to full rows of the referenced file; " +
+    "duplicate ordinals never stall later deletes") {
     val dir = mkTable()
     val dataFile = TableMetadata.loadOrThrow(dir)
       .files.filter(_.content == "data").head.path
+    // position-delete files are not distinct by contract: the
+    // duplicated ordinal 0 must not swallow the delete at ordinal 2
     TableWrites.appendPositionDeletes(dir,
-      Seq((dataFile, 0L), (dataFile, 2L)).toDF("file_path", "pos"))
+      Seq((dataFile, 0L), (dataFile, 0L), (dataFile, 2L))
+        .toDF("file_path", "pos"))
     val got = drain(dir, "chlog_pos", startingVersion = "2") // skip the inserts
     assert(got == Set((1L, "a", "delete", 3L), (3L, "c", "delete", 3L)))
   }
