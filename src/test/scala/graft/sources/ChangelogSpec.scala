@@ -92,6 +92,20 @@ class ChangelogSpec extends AnyFunSuite {
       s"branch/staged rows leaked into the changelog: $got")
   }
 
+  test("an append-only interval plans ZERO shuffles (fast path, no diff)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-chlog-plan").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir, (0L until 10L).toDF("id").coalesce(1))
+    TableWrites.appendData(dir, (10L until 20L).toDF("id").coalesce(1))
+    val plan = TableReader.changelog(spark, dir, 1, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"append-only changelog must not shuffle:\n$plan")
+    assert(!plan.contains("Aggregate"),
+      s"append-only changelog must not aggregate:\n$plan")
+  }
+
   test("cdc_changelog query matches its oracle semantics at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.ChangelogQuery.run(spark, dir)
