@@ -21,7 +21,8 @@ import scala.jdk.CollectionConverters._
   */
 object GraftMetadataTable {
 
-  val Kinds: Set[String] = Set("files", "snapshots", "refs", "partitions")
+  val Kinds: Set[String] =
+    Set("files", "snapshots", "refs", "partitions", "manifests")
 
   def apply(tableDir: String, kind: String,
       catalog: TableCatalog = FileTableCatalog): Table =
@@ -58,6 +59,18 @@ object GraftMetadataTable {
     StructField("name", StringType, nullable = false),
     StructField("type", StringType, nullable = false),
     StructField("version", LongType, nullable = false)))
+
+  /** Iceberg's manifests-table surface: the CURRENT snapshot's
+    * manifest files (shared across snapshots under incremental
+    * commits). Empty for graft-format tables — one JSON file list per
+    * snapshot, no manifests to inspect. */
+  private[sql] val manifestsSchema = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("content", StringType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("added_snapshot_id", LongType, nullable = false),
+    StructField("added_files_count", IntegerType, nullable = false),
+    StructField("existing_files_count", IntegerType, nullable = false)))
 
   private[sql] val snapshotsSchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -104,6 +117,7 @@ final class GraftMetadataTable(
     case "refs"       => refsSchema
     case "snapshots"  => snapshotsSchema
     case "partitions" => partitionsSchema
+    case "manifests"  => manifestsSchema
     case other => throw graft.core.CompactionError.Config(
       s"unknown metadata table kind: $other")
   }
@@ -227,6 +241,16 @@ final class GraftMetadataTable(
           s.properties.get(graft.txn.Branch.NameProp)
             .map(UTF8String.fromString).orNull,
           operation))
+      }.toArray
+    case "manifests" =>
+      (catalog match {
+        case c: graft.txn.IcebergTableCatalog.type => c.manifestRecords(tableDir)
+        case _ => Nil // graft format: no manifests
+      }).map { case (p, content, len, addedSnap, af, ef) =>
+        InternalRow.fromSeq(Seq(
+          UTF8String.fromString(p),
+          UTF8String.fromString(if (content == 0) "data" else "deletes"),
+          len, addedSnap, af, ef))
       }.toArray
     case "partitions" =>
       val snap = catalog.loadOrThrow(tableDir)

@@ -816,6 +816,34 @@ object IcebergTableCatalog extends TableCatalog {
   def manifestCount(table: String): Int =
     load(table).map(s => manifestPathsOf(table, s.version).size).getOrElse(0)
 
+  /** Manifest-list records of the CURRENT snapshot, decoded for the
+    * `.manifests` inspection table: (path, content code 0=data
+    * 1=deletes, length, added_snapshot_id, added/existing file counts). */
+  def manifestRecords(table: String): Seq[(String, Int, Long, Long, Int, Int)] =
+    load(table).toSeq.flatMap { cur =>
+      val p = metadataPath(table, cur.version)
+      try {
+        val doc = parse(FileIO.readString(p))
+        val snapId = doc.get("current-snapshot-id").asLong
+        if (snapId < 0) Nil
+        else doc.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong == snapId)
+          .toSeq.flatMap { s =>
+            val listPath = s.get("manifest-list").asText
+            if (!FileIO.exists(listPath)) Nil
+            else readAvro(listPath)._2.map { m =>
+              def longAt(n: String) =
+                Option(m.get(n)).map(_.asInstanceOf[Long]).getOrElse(0L)
+              def intAt(n: String) =
+                Option(m.get(n)).map(_.asInstanceOf[Int]).getOrElse(0)
+              (m.get("manifest_path").toString, intAt("content"),
+                longAt("manifest_length"), longAt("added_snapshot_id"),
+                intAt("added_files_count"), intAt("existing_files_count"))
+            }
+          }
+      } catch { case _: Exception => Nil }
+    }
+
   override def deleteVersion(table: String, version: Long): Unit = {
     manifestPathsCache.remove((table, version))
     val p = metadataPath(table, version)

@@ -63,6 +63,27 @@ class InspectionOpsSpec extends AnyFunSuite {
     assert(mv == Seq(("a", 30L, 2L), ("b", 12L, 2L), ("c", 1L, 1L)))
   }
 
+  test("MV procedures and the rewrite rule work on the iceberg-format catalog") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gini.db")
+    sql("CREATE TABLE gini.db.facts (k STRING, v BIGINT)")
+    sql("INSERT INTO gini.db.facts VALUES ('a', 10), ('b', 5)")
+    sql("""CALL gini.system.create_materialized_view(
+          |  `table` => 'db.facts', view => 'db.facts_mv',
+          |  group_by => 'k', aggs => 'sum:v:sum_v,count:*:n')""".stripMargin)
+    val mvDir = spark.conf.get("spark.sql.catalog.gini.warehouse") + "/db/facts_mv"
+    spark.conf.set(graft.mv.MaterializedView.ViewsConf, mvDir)
+    try {
+      val q = sql("SELECT k, sum(v) AS s, count(*) AS c FROM gini.db.facts GROUP BY k")
+      // the rule resolves the view through the ICEBERG catalog — it
+      // must substitute, not silently fall back
+      assert(q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty, "iceberg-format view failed to substitute")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("a", 10L), ("b", 5L)))
+    } finally spark.conf.unset(graft.mv.MaterializedView.ViewsConf)
+  }
+
   test("branch lifecycle works on the iceberg-format catalog") {
     sql("CREATE NAMESPACE IF NOT EXISTS gini.db")
     sql("CREATE TABLE gini.db.t (id BIGINT, v STRING)")

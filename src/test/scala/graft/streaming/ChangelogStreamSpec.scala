@@ -82,6 +82,24 @@ class ChangelogStreamSpec extends AnyFunSuite {
     assert(got == Set((1L, "a", "delete", 3L), (3L, "c", "delete", 3L)))
   }
 
+  test("deletion vectors resolve to full rows through the Puffin blob") {
+    // dv-format catalog table: SQL DELETE lands roaring-bitmap vectors
+    val wh = Files.createTempDirectory("graft-chstream-dvwh").toString
+    spark.conf.set("spark.sql.catalog.gcsd", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcsd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcsd.db")
+    spark.sql("""CREATE TABLE gcsd.db.t (id BIGINT, name STRING)
+      |TBLPROPERTIES ('graft.rowlevel.mode'='merge-on-read',
+      |               'graft.deletes.format'='dv')""".stripMargin)
+    spark.sql("INSERT INTO gcsd.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("DELETE FROM gcsd.db.t WHERE id IN (1, 3)")
+    val dir = s"$wh/db/t"
+    assert(TableMetadata.loadOrThrow(dir).files
+      .exists(_.content == "deletion-vectors"), "fixture must produce a DV")
+    val got = drain(dir, "chlog_dv", startingVersion = "2")
+    assert(got == Set((1L, "a", "delete", 3L), (3L, "c", "delete", 3L)))
+  }
+
   test("a truncate-overwrite after MoR deletes refuses with a pointer " +
     "to the batch changelog") {
     val dir = mkTable()

@@ -129,10 +129,17 @@ class IcebergManifestSpec extends AnyFunSuite {
       s"INSERT INTO gmi.db.t SELECT id FROM range(${i * 10}, ${i * 10 + 5})"))
     val before = cat.manifestCount(s"$whI/db/t")
     assert(before >= 3)
+    // the .manifests inspection table mirrors the list
+    val inspected = spark.sql(
+      "SELECT path, content, added_files_count FROM gmi.db.t.manifests")
+      .collect()
+    assert(inspected.length == before &&
+      inspected.forall(_.getString(1) == "data"))
     val row = spark.sql(
       "CALL gmi.system.rewrite_manifests(`table` => 'db.t')").head()
     assert(row.getInt(0) == before && row.getInt(1) == 1)
     assert(spark.table("gmi.db.t").count() == 15)
+    assert(spark.sql("SELECT * FROM gmi.db.t.manifests").count() == 1)
     spark.sql("CREATE TABLE gmg.db.t (id BIGINT)")
     val e = intercept[Exception] {
       spark.sql("CALL gmg.system.rewrite_manifests(`table` => 'db.t')")
