@@ -37,4 +37,10 @@ object CompactionError {
       extends CompactionError(msg, cause) {
     override def retryable: Boolean = true
   }
+  /** A changelog interval containing no data-bearing snapshot anywhere:
+    * zero changes by definition, but no schema exists to shape an empty
+    * frame with. A TYPED case so callers that only need "nothing
+    * changed" (materialized-view refresh) dispatch on the class, not on
+    * message text. */
+  final case class EmptyInterval(msg: String) extends CompactionError(msg)
 }

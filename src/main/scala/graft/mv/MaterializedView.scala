@@ -46,6 +46,12 @@ object MaterializedView {
   val ViewsConf = "spark.graft.mv.views"
   /** Live source rows per group — the delete-maintenance column. */
   val RowCountCol = "mv_rowcount"
+  /** Per-sum non-null count column — what keeps SQL null semantics
+    * exact: `sum(x)` over a group whose x is entirely null is NULL,
+    * which a 0-initialized running total cannot represent. The stored
+    * sum is 0-based; [[read]] and the optimizer rewrite serve NULL
+    * whenever this count is zero. */
+  def nnCol(alias: String): String = s"mv_nn_$alias"
 
   /** One aggregate: `fn` ∈ sum|count, `col` a source column (`*` for
     * count), `alias` the MV output column. */
@@ -71,8 +77,10 @@ object MaterializedView {
           "materialized views maintain sum/count only")
       if (a.fn == "sum" && a.col == "*") throw CompactionError.Config(
         "sum needs a column")
-      if (a.alias == RowCountCol || s.group.contains(a.alias))
-        throw CompactionError.Config(s"alias '${a.alias}' collides")
+      if (a.alias == RowCountCol || s.group.contains(a.alias) ||
+          a.alias.startsWith("mv_"))
+        throw CompactionError.Config(
+          s"alias '${a.alias}' collides (the mv_ prefix is reserved)")
     }
     val aliases = s.aggs.map(_.alias)
     if (aliases.distinct.size != aliases.size)
@@ -83,18 +91,30 @@ object MaterializedView {
     * for deletes, so the same expression computes both the initial full
     * state (all weights 1) and a refresh delta. */
   private def signedAgg(spec: Spec, rows: DataFrame, weight: Column): DataFrame = {
-    val aggCols: Seq[Column] = spec.aggs.map { a =>
+    val aggCols: Seq[Column] = spec.aggs.flatMap { a =>
       a.fn match {
-        case "sum" =>
-          sum(col(a.col).cast("long") * weight).as(a.alias)
+        case "sum" => Seq(
+          // null-safe running total; the paired non-null count decides
+          // whether [[read]] serves it or SQL's NULL
+          sum(coalesce(col(a.col).cast("long"), lit(0L)) * weight).as(a.alias),
+          sum(when(col(a.col).isNotNull, weight).otherwise(0L))
+            .as(nnCol(a.alias)))
         case "count" =>
-          if (a.col == "*") sum(weight).as(a.alias)
-          else sum(when(col(a.col).isNotNull, weight).otherwise(0L)).as(a.alias)
+          if (a.col == "*") Seq(sum(weight).as(a.alias))
+          else Seq(sum(when(col(a.col).isNotNull, weight).otherwise(0L))
+            .as(a.alias))
       }
     } :+ sum(weight).as(RowCountCol)
     rows.groupBy(spec.group.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
   }
+
+  /** Every stored state column beyond the group: aggregate aliases,
+    * their non-null counts (sums), and the row count. */
+  private def stateColumns(spec: Spec): Seq[String] =
+    spec.aggs.flatMap(a =>
+      a.alias +: (if (a.fn == "sum") Seq(nnCol(a.alias)) else Nil)) :+
+      RowCountCol
 
   /** Create the view table at `mvDir` and materialize the CURRENT
     * source state. Returns the committed snapshot. */
@@ -119,31 +139,42 @@ object MaterializedView {
           f.name -> org.apache.spark.sql.types.DataType.fromDDL(f.dataType))
           .toMap))
         .getOrElse(Map.empty)
-    if (schemaTypes.nonEmpty) {
-      import org.apache.spark.sql.types._
-      (spec.group ++ spec.aggs.map(_.col).filter(_ != "*")).foreach { c =>
-        if (!schemaTypes.contains(c)) throw CompactionError.Config(
-          s"column '$c' is not in the source schema " +
-            s"(${schemaTypes.keys.toSeq.sorted.mkString(", ")})")
-      }
-      spec.aggs.filter(a => a.fn == "sum").foreach { a =>
-        schemaTypes(a.col) match {
-          case LongType | IntegerType | ShortType | ByteType => ()
-          case other => throw CompactionError.Config(
-            s"sum over '${a.col}': ${other.simpleString} is not integral; " +
-              "materialized sums are exact long arithmetic — store the " +
-              "column pre-scaled (e.g. cents) instead")
+    // resolve spec names CASE-INSENSITIVELY against the schema (the
+    // Spark default) and persist the schema's own casing, so the stored
+    // spec always matches the physical columns exactly
+    val norm: Spec =
+      if (schemaTypes.isEmpty) spec
+      else {
+        import org.apache.spark.sql.types._
+        val byLower = schemaTypes.keys.map(k => k.toLowerCase -> k).toMap
+        def resolve(c: String): String =
+          if (schemaTypes.contains(c)) c
+          else byLower.getOrElse(c.toLowerCase, throw CompactionError.Config(
+            s"column '$c' is not in the source schema " +
+              s"(${schemaTypes.keys.toSeq.sorted.mkString(", ")})"))
+        val n = spec.copy(
+          group = spec.group.map(resolve),
+          aggs = spec.aggs.map(a =>
+            if (a.col == "*") a else a.copy(col = resolve(a.col))))
+        n.aggs.filter(_.fn == "sum").foreach { a =>
+          schemaTypes(a.col) match {
+            case LongType | IntegerType | ShortType | ByteType => ()
+            case other => throw CompactionError.Config(
+              s"sum over '${a.col}': ${other.simpleString} is not integral; " +
+                "materialized sums are exact long arithmetic — store the " +
+                "column pre-scaled (e.g. cents) instead")
+          }
         }
+        n
       }
-    }
     catalog.commitCas(mvDir, TableSnapshot(1, 1, 0, Nil, properties = Map(
       SourceProp -> sourceDir,
-      SpecProp -> encodeSpec(spec),
+      SpecProp -> encodeSpec(norm),
       RefreshedVersionProp -> "1")))
-    val state = full.map(signedAgg(spec, _, lit(1L)))
+    val state = full.map(signedAgg(norm, _, lit(1L)))
     state match {
       case Some(st) if !st.isEmpty =>
-        TableWrites.upsert(mvDir, st, spec.group, catalog = catalog,
+        TableWrites.upsert(mvDir, st, norm.group, catalog = catalog,
           setProperties = Map(RefreshedVersionProp -> srcSnap.version.toString))
       case _ =>
         // empty source: just advance the marker
@@ -176,8 +207,7 @@ object MaterializedView {
         .withColumn("__w",
           when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
     } catch {
-      case e: CompactionError.Config
-          if e.getMessage.contains("no data-bearing") =>
+      case _: CompactionError.EmptyInterval =>
         // a still-empty source advanced by schema/property commits:
         // zero changes — just move the marker (guarded like the data
         // path, so a concurrent refresh cannot double-advance)
@@ -190,11 +220,9 @@ object MaterializedView {
           })(_ => (Map(RefreshedVersionProp -> srcV.toString), Set.empty))
         return srcV
     }
-    val deltaAgg = signedAgg(spec, delta, col("__w"))
-      .withColumnRenamed(RowCountCol, s"_d_$RowCountCol")
-    val dAliases = spec.aggs.map(_.alias) :+ RowCountCol
-    val dRenamed = spec.aggs.foldLeft(deltaAgg)((df, a) =>
-      df.withColumnRenamed(a.alias, s"_d_${a.alias}"))
+    val dAliases = stateColumns(spec)
+    val dRenamed = dAliases.foldLeft(signedAgg(spec, delta, col("__w")))(
+      (df, a) => df.withColumnRenamed(a, s"_d_$a"))
 
     // merge with the stored state for AFFECTED groups only: join the
     // delta (small) against the view; AQE broadcasts the delta side
@@ -241,7 +269,15 @@ object MaterializedView {
       throw CompactionError.Config(s"$mvDir is not a materialized view")))
     TableReader.readOption(spark, mvDir, catalog = catalog) match {
       case Some(df) =>
-        df.select((spec.group ++ spec.aggs.map(_.alias)).map(col): _*)
+        // SQL null semantics for sums: a group whose sum column held
+        // only nulls serves NULL, decided by the non-null count
+        val outCols = spec.group.map(col) ++ spec.aggs.map { a =>
+          if (a.fn == "sum")
+            when(col(nnCol(a.alias)) > 0, col(a.alias))
+              .otherwise(lit(null).cast("long")).as(a.alias)
+          else col(a.alias)
+        }
+        df.select(outCols: _*)
       case None =>
         throw CompactionError.Config(
           s"materialized view $mvDir holds no groups (empty source)")

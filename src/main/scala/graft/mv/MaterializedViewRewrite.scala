@@ -48,15 +48,22 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     if (views.isEmpty) return plan
     // the aggregate's child may carry a column-pruning Project (pure
     // attribute selection — semantics-neutral for the match)
+    // a pinned table (VERSION/TIMESTAMP AS OF, branch/wap refs) or a
+    // scan with a per-read asOfVersion option reads HISTORY — the view
+    // holds current state and must never answer for it
+    def usable(rel: DataSourceV2Relation): Option[graft.streaming.GraftTable] =
+      rel.table match {
+        case t: graft.streaming.GraftTable
+            if t.pinned.isEmpty && rel.options.get("asOfVersion") == null =>
+          Some(t)
+        case _ => None
+      }
     def scanOf(child: LogicalPlan): Option[graft.streaming.GraftTable] =
       child match {
-        case rel: DataSourceV2Relation
-            if rel.table.isInstanceOf[graft.streaming.GraftTable] =>
-          Some(rel.table.asInstanceOf[graft.streaming.GraftTable])
+        case rel: DataSourceV2Relation => usable(rel)
         case Project(projList, rel: DataSourceV2Relation)
-            if projList.forall(_.isInstanceOf[AttributeReference]) &&
-              rel.table.isInstanceOf[graft.streaming.GraftTable] =>
-          Some(rel.table.asInstanceOf[graft.streaming.GraftTable])
+            if projList.forall(_.isInstanceOf[AttributeReference]) =>
+          usable(rel)
         case _ => None
       }
     plan.transformUp {
@@ -101,18 +108,19 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       // every output resolves to a view column
       val byFnCol: Map[(String, String), String] =
         spec.aggs.map(a => (a.fn, a.col) -> a.alias).toMap
-      val mapped: Seq[(NamedExpression, String)] = aes.map { ne =>
-        val col = ne match {
-          case a: AttributeReference if groupNames.contains(a.name) => a.name
+      val mapped: Seq[(NamedExpression, String, Boolean)] = aes.map { ne =>
+        val (colName, isSum) = ne match {
+          case a: AttributeReference if groupNames.contains(a.name) =>
+            (a.name, false)
           case Alias(a: AttributeReference, _) if groupNames.contains(a.name) =>
-            a.name
+            (a.name, false)
           case Alias(ae: AggregateExpression, _)
               if !ae.isDistinct && ae.filter.isEmpty =>
             ae.aggregateFunction match {
               case s: Sum =>
                 s.child match {
                   case a: AttributeReference if integral(a) =>
-                    byFnCol.getOrElse(("sum", a.name), return None)
+                    (byFnCol.getOrElse(("sum", a.name), return None), true)
                   case _ => return None
                 }
               case c: Count =>
@@ -120,16 +128,16 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                   // count(*) lowers to count(1); count(NULL) is NOT it
                   // (always 0) and must never map to the row count
                   case Seq(Literal(v, _)) if v != null =>
-                    byFnCol.getOrElse(("count", "*"), return None)
+                    (byFnCol.getOrElse(("count", "*"), return None), false)
                   case Seq(a: AttributeReference) =>
-                    byFnCol.getOrElse(("count", a.name), return None)
+                    (byFnCol.getOrElse(("count", a.name), return None), false)
                   case _ => return None
                 }
               case _ => return None
             }
           case _ => return None
         }
-        ne -> col
+        (ne, colName, isSum)
       }
 
       // freshness: the stored state must reflect the source's CURRENT
@@ -146,10 +154,20 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       val mvPlan = TableReader.readOption(session, mvDir, catalog = catalog)
         .getOrElse(return None).queryExecution.optimizedPlan
       val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
-      val projections: Seq[NamedExpression] = mapped.map { case (ne, colName) =>
-        val target = ne.toAttribute
-        val src = mvAttr.getOrElse(colName, return None)
-        Alias(src, target.name)(exprId = target.exprId)
+      val projections: Seq[NamedExpression] = mapped.map {
+        case (ne, colName, isSum) =>
+          val target = ne.toAttribute
+          val src = mvAttr.getOrElse(colName, return None)
+          // SQL null semantics for substituted sums: the stored total
+          // is 0-based; the paired non-null count decides NULL
+          val value: Expression =
+            if (isSum) {
+              val nn = mvAttr.getOrElse(
+                MaterializedView.nnCol(colName), return None)
+              If(GreaterThan(nn, Literal(0L)), src,
+                Literal.create(null, LongType))
+            } else src
+          Alias(value, target.name)(exprId = target.exprId)
       }
       logInfo(s"rewriting aggregate over $srcDir to materialized view $mvDir")
       Some(Project(projections, mvPlan))

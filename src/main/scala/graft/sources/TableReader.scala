@@ -333,7 +333,7 @@ object TableReader {
       val donor = mainVs.reverseIterator.flatMap { case (_, s) =>
         val data = s.files.filter(_.content == "data")
         if (data.isEmpty) None else liveOf(spark, s, data.take(1))
-      }.nextOption().getOrElse(throw CompactionError.Config(
+      }.nextOption().getOrElse(throw CompactionError.EmptyInterval(
         s"no data-bearing snapshots in [$fromVersion, $toVersion] under " +
           s"$tableDir — nothing to attribute"))
       return donor.limit(0)

@@ -431,6 +431,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
+    // a re-created table at this path restarts version numbers — stale
+    // per-version caches keyed by (path, version) must not survive
+    graft.txn.IcebergTableCatalog.invalidateTable(dir)
     isTable(dir) && FileIO.deleteRecursive(dir)
   }
 

@@ -129,6 +129,9 @@ final class GraftTable(tableDir: String, tblSchema: StructType,
     * must load the VIEW with the same one (an iceberg-format view has
     * no metadata-JSON for the file catalog to find). */
   private[graft] def tableCatalog: TableCatalog = catalog
+  /** Time-travel/branch pin, if any — a pinned scan must NEVER be
+    * substituted by a current-state view. */
+  private[graft] def pinned: Option[Long] = pinnedVersion
   override def name(): String =
     s"graft.`$tableDir`${pinnedVersion.fold("")(v => s"@v$v")}"
   override def schema(): StructType = tblSchema

@@ -774,15 +774,47 @@ object IcebergTableCatalog extends TableCatalog {
     }
   }
 
+  /** THE manifest-list traversal (metadata.json → current snapshot →
+    * list Avro records) — single copy shared by path caching, the
+    * `.manifests` inspection table, and deleteVersion. None = the
+    * version, its snapshot, or its LIST is unreadable/missing
+    * (distinguished from Some(Nil), a genuinely empty snapshot) so
+    * callers and the cache never mistake a transient miss for "this
+    * version references nothing". */
+  private def listRecordsOf(table: String, v: Long): Option[Seq[GenericRecord]] = {
+    val p = metadataPath(table, v)
+    try {
+      if (!FileIO.exists(p)) return None
+      val doc = parse(FileIO.readString(p))
+      val snapId = doc.get("current-snapshot-id").asLong
+      if (snapId < 0) return Some(Nil)
+      doc.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == snapId)
+        .flatMap { s =>
+          val listPath = s.get("manifest-list").asText
+          if (!FileIO.exists(listPath)) None
+          else Some(readAvro(listPath)._2)
+        }
+    } catch { case _: Exception => None }
+  }
+
   /** Per-(table, version) manifest-path cache: metadata versions are
     * immutable once CAS-created, so a version's referenced-manifest set
     * never changes — this is what keeps a batch expiry pass O(versions)
     * list reads instead of O(versions²) (deleteVersion recomputes the
-    * referenced set per call). Entries drop on deleteVersion; misses
-    * (not-yet-existing or unreadable versions) are never cached. */
+    * referenced set per call). Entries drop on deleteVersion and on
+    * [[invalidateTable]] (DROP TABLE — a re-created table at the same
+    * path restarts its version numbers, and serving the OLD
+    * incarnation's paths would let expiry delete the new one's shared
+    * manifests). Misses — versions whose metadata or LIST is absent or
+    * unreadable — are never cached. */
   private val manifestPathsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
   private val ManifestPathsCacheCap = 20000
+
+  /** Drop every cached entry of `table` — call on DROP TABLE. */
+  def invalidateTable(table: String): Unit =
+    manifestPathsCache.keySet.removeIf(_._1 == table)
 
   /** Manifest paths the CURRENT snapshot of metadata version `v`
     * references (empty when the version, its list, or its snapshot are
@@ -791,25 +823,15 @@ object IcebergTableCatalog extends TableCatalog {
     val key = (table, v)
     val hit = manifestPathsCache.get(key)
     if (hit != null) return hit
-    val p = metadataPath(table, v)
-    try {
-      if (!FileIO.exists(p)) return Nil
-      val doc = parse(FileIO.readString(p))
-      val snapId = doc.get("current-snapshot-id").asLong
-      val paths: Seq[String] =
-        if (snapId < 0) Nil
-        else doc.get("snapshots").elements().asScala
-          .find(_.get("snapshot-id").asLong == snapId)
-          .toSeq.flatMap { s =>
-            val listPath = s.get("manifest-list").asText
-            if (!FileIO.exists(listPath)) Nil
-            else readAvro(listPath)._2.map(_.get("manifest_path").toString)
-          }
-      if (manifestPathsCache.size > ManifestPathsCacheCap)
-        manifestPathsCache.clear()
-      manifestPathsCache.put(key, paths)
-      paths
-    } catch { case _: Exception => Nil }
+    listRecordsOf(table, v) match {
+      case Some(recs) =>
+        val paths = recs.map(_.get("manifest_path").toString)
+        if (manifestPathsCache.size > ManifestPathsCacheCap)
+          manifestPathsCache.clear()
+        manifestPathsCache.put(key, paths)
+        paths
+      case None => Nil
+    }
   }
 
   /** Live manifests of the CURRENT snapshot (inspection/procedures). */
@@ -820,29 +842,16 @@ object IcebergTableCatalog extends TableCatalog {
     * `.manifests` inspection table: (path, content code 0=data
     * 1=deletes, length, added_snapshot_id, added/existing file counts). */
   def manifestRecords(table: String): Seq[(String, Int, Long, Long, Int, Int)] =
-    load(table).toSeq.flatMap { cur =>
-      val p = metadataPath(table, cur.version)
-      try {
-        val doc = parse(FileIO.readString(p))
-        val snapId = doc.get("current-snapshot-id").asLong
-        if (snapId < 0) Nil
-        else doc.get("snapshots").elements().asScala
-          .find(_.get("snapshot-id").asLong == snapId)
-          .toSeq.flatMap { s =>
-            val listPath = s.get("manifest-list").asText
-            if (!FileIO.exists(listPath)) Nil
-            else readAvro(listPath)._2.map { m =>
-              def longAt(n: String) =
-                Option(m.get(n)).map(_.asInstanceOf[Long]).getOrElse(0L)
-              def intAt(n: String) =
-                Option(m.get(n)).map(_.asInstanceOf[Int]).getOrElse(0)
-              (m.get("manifest_path").toString, intAt("content"),
-                longAt("manifest_length"), longAt("added_snapshot_id"),
-                intAt("added_files_count"), intAt("existing_files_count"))
-            }
-          }
-      } catch { case _: Exception => Nil }
-    }
+    load(table).toSeq.flatMap(cur =>
+      listRecordsOf(table, cur.version).getOrElse(Nil).map { m =>
+        def longAt(n: String) =
+          Option(m.get(n)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        def intAt(n: String) =
+          Option(m.get(n)).map(_.asInstanceOf[Int]).getOrElse(0)
+        (m.get("manifest_path").toString, intAt("content"),
+          longAt("manifest_length"), longAt("added_snapshot_id"),
+          intAt("added_files_count"), intAt("existing_files_count"))
+      })
 
   override def deleteVersion(table: String, version: Long): Unit = {
     manifestPathsCache.remove((table, version))

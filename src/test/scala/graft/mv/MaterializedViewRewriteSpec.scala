@@ -98,6 +98,51 @@ class MaterializedViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("pinned time-travel scans are never substituted by a current view") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
+    sql("CREATE TABLE gmvr.db.tt (k STRING, v BIGINT)")
+    sql("INSERT INTO gmvr.db.tt VALUES ('a', 1)")       // v2
+    sql("INSERT INTO gmvr.db.tt VALUES ('a', 9)")       // v3
+    val mvDir = Files.createTempDirectory("graft-mvrw-tt").toString
+    MaterializedView.create(spark, mvDir, s"$wh/db/tt", Spec(Seq("k"),
+      Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n"))))
+    withViews(mvDir) {
+      // current read substitutes...
+      assert(aggregates(sql(
+        "SELECT k, sum(v) s, count(*) c FROM gmvr.db.tt GROUP BY k")) == 0)
+      // ...but a pinned historical read must run the real aggregate
+      val hist = sql(
+        "SELECT k, sum(v) AS s, count(*) AS c FROM gmvr.db.tt " +
+          "VERSION AS OF 2 GROUP BY k")
+      assert(aggregates(hist) == 1, "pinned scan was substituted")
+      assert(hist.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("a", 1L)))
+    }
+  }
+
+  test("an all-null sum group serves SQL NULL — via read() AND the rewrite") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
+    sql("CREATE TABLE gmvr.db.nn (k STRING, v BIGINT)")
+    sql("INSERT INTO gmvr.db.nn VALUES ('a', NULL), ('b', 3)")
+    val srcDir = s"$wh/db/nn"
+    val mvDir = Files.createTempDirectory("graft-mvrw-nn").toString
+    MaterializedView.create(spark, mvDir, srcDir, Spec(Seq("k"),
+      Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n"))))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(asMap(MaterializedView.read(spark, mvDir).select("k", "sum_v")) ==
+      Map("a" -> None, "b" -> Some(3L)))
+    // another null row through a refresh keeps NULL (not 0)
+    sql("INSERT INTO gmvr.db.nn VALUES ('a', NULL)")
+    MaterializedView.refresh(spark, mvDir)
+    withViews(mvDir) {
+      val q = sql("SELECT k, sum(v) AS s, count(*) AS c FROM gmvr.db.nn GROUP BY k")
+      assert(aggregates(q) == 0, "fresh view should substitute")
+      assert(asMap(q.select("k", "s")) == Map("a" -> None, "b" -> Some(3L)))
+    }
+  }
+
   test("graft_changes table function surfaces the batch changelog in SQL") {
     sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
     sql("CREATE TABLE gmvr.db.ch (id BIGINT, s STRING)")

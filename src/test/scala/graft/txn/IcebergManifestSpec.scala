@@ -147,6 +147,28 @@ class IcebergManifestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("iceberg-format"))
   }
 
+  test("drop + recreate at the same path: expiry never trusts the old " +
+    "incarnation's cached manifests") {
+    val wh = Files.createTempDirectory("graft-imdrop").toString
+    spark.conf.set("spark.sql.catalog.gmd", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmd.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.gmd.format", "iceberg")
+    def build(): Unit = {
+      spark.sql("CREATE TABLE gmd.db.t (id BIGINT)")
+      (0 until 3).foreach(i => spark.sql(
+        s"INSERT INTO gmd.db.t SELECT id FROM range(${i * 10}, ${i * 10 + 4})"))
+      // warm the per-version cache through an expiry pass
+      spark.sql("CALL gmd.system.expire_snapshots(`table` => 'db.t', retain_last => 2)")
+    }
+    build()
+    spark.sql("DROP TABLE gmd.db.t")
+    build() // same path, fresh version numbers
+    spark.sql("CALL gmd.system.expire_snapshots(`table` => 'db.t', retain_last => 1)")
+    // stale cache entries would have let expiry delete the NEW
+    // incarnation's shared manifests — the read must still work
+    assert(spark.table("gmd.db.t").count() == 12)
+  }
+
   test("the min-count-to-merge property bounds manifest growth") {
     val dir = mkTable(props = Map(
       IcebergTableCatalog.ManifestMergeProp -> "2"))
