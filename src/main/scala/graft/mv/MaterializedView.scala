@@ -44,6 +44,40 @@ object MaterializedView {
   /** Session conf listing view dirs the optimizer may substitute for
     * matching aggregates ([[MaterializedViewRewrite]]). */
   val ViewsConf = "spark.graft.mv.views"
+  /** SOURCE-table property listing its views (comma-separated dirs) —
+    * stamped by [[registerOnSource]] (the create procedure does) so
+    * substitution works for every session with zero conf, the way a
+    * database's MVs behave. The session conf ADDS to this registry. */
+  val RegisteredProp = "graft.mv.registered"
+
+  /** Record `mvDir` in the source table's registry property (CAS'd,
+    * merge-safe under concurrent registrations). */
+  def registerOnSource(sourceDir: String, mvDir: String,
+      catalog: TableCatalog = FileTableCatalog): Unit = {
+    val cur = catalog.loadOrThrow(sourceDir)
+    new graft.txn.CommitManager(sourceDir, catalog = catalog)
+      .updateTableProperties(cur.schemaId) { reloaded =>
+        val existing = reloaded.properties.get(RegisteredProp)
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil)
+        val merged = (existing :+ mvDir).distinct
+        (Map(RegisteredProp -> merged.mkString(",")), Set.empty)
+      }
+  }
+
+  /** Remove `mvDir` from the source registry (no-op when absent). */
+  def unregisterFromSource(sourceDir: String, mvDir: String,
+      catalog: TableCatalog = FileTableCatalog): Unit = {
+    val cur = catalog.loadOrThrow(sourceDir)
+    new graft.txn.CommitManager(sourceDir, catalog = catalog)
+      .updateTableProperties(cur.schemaId) { reloaded =>
+        val remaining = reloaded.properties.get(RegisteredProp)
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil).filterNot(_ == mvDir)
+        if (remaining.isEmpty) (Map.empty[String, String], Set(RegisteredProp))
+        else (Map(RegisteredProp -> remaining.mkString(",")), Set.empty[String])
+      }
+  }
   /** Live source rows per group — the delete-maintenance column. */
   val RowCountCol = "mv_rowcount"
   /** Per-sum non-null count column — what keeps SQL null semantics

@@ -44,8 +44,7 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(Nil)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val views = registeredViews
-    if (views.isEmpty) return plan
+    val sessionViews = registeredViews
     // the aggregate's child may carry a column-pruning Project (pure
     // attribute selection — semantics-neutral for the match)
     // a pinned table (VERSION/TIMESTAMP AS OF, branch/wap refs) or a
@@ -69,10 +68,21 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg @ Aggregate(ges, aes, child, _) if scanOf(child).isDefined =>
         val tbl = scanOf(child).get
-        views.iterator
-          .flatMap(mv => tryRewrite(mv, tbl.dir, tbl.tableCatalog, ges, aes))
-          .nextOption()
-          .getOrElse(agg)
+        (try {
+          // candidate views: the session conf PLUS the source table's
+          // own registry property (stamped by create_materialized_view
+          // — substitution with zero session setup)
+          tbl.tableCatalog.load(tbl.dir).flatMap { srcSnap =>
+            val views = (sessionViews ++
+              srcSnap.properties.get(MaterializedView.RegisteredProp).toSeq
+                .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
+              .distinct
+            views.iterator
+              .flatMap(mv =>
+                tryRewrite(mv, tbl.dir, tbl.tableCatalog, srcSnap, ges, aes))
+              .nextOption()
+          }
+        } catch { case NonFatal(_) => None }).getOrElse(agg)
     }
   }
 
@@ -86,6 +96,7 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       mvDir: String,
       srcDir: String,
       catalog: graft.txn.TableCatalog,
+      srcSnap: graft.txn.TableSnapshot,
       ges: Seq[Expression],
       aes: Seq[NamedExpression]): Option[LogicalPlan] =
     try {
@@ -145,7 +156,7 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       val refreshed = mv.properties
         .get(MaterializedView.RefreshedVersionProp)
         .flatMap(_.toLongOption).getOrElse(return None)
-      if (catalog.loadOrThrow(srcDir).version != refreshed)
+      if (srcSnap.version != refreshed)
         return None
 
       // the OPTIMIZED subtree: this rule runs mid-optimization, so an

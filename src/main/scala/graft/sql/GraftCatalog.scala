@@ -81,7 +81,10 @@ object GraftCatalog {
       key == graft.txn.Branch.NameProp ||
       key == graft.txn.Branch.ParentProp ||
       key == graft.txn.Branch.RefsProp ||
-      key == graft.txn.Branch.ClosedProp
+      key == graft.txn.Branch.ClosedProp ||
+      // the MV registry is managed by the create/drop procedures —
+      // forging it could silently disable (or misdirect) substitution
+      key == graft.mv.MaterializedView.RegisteredProp
 
   /** `graft.deletes.format` allowlist — an unknown value would silently
     * fall back to parquet at write time, so refuse it up front. Both

@@ -37,7 +37,7 @@ private[sql] object GraftProcedures {
     "evolve_partition_spec", "publish_wap", "discard_wap", "list_waps",
     "rollback_to_version", "create_branch", "drop_branch", "fast_forward",
     "list_branches", "rewrite_manifests", "create_materialized_view",
-    "refresh_materialized_view")
+    "refresh_materialized_view", "drop_materialized_view")
 
   def load(name: String, resolveDir: String => String,
       catalog: TableCatalog, catalogName: String): UnboundProcedure =
@@ -58,6 +58,7 @@ private[sql] object GraftProcedures {
       case "rewrite_manifests"     => new RewriteManifests(resolveDir, catalog)
       case "create_materialized_view" => new CreateMaterializedView(resolveDir, catalog)
       case "refresh_materialized_view" => new RefreshMaterializedView(resolveDir, catalog)
+      case "drop_materialized_view" => new DropMaterializedView(resolveDir, catalog)
       case "drop_branch"           => new DropBranch(resolveDir, catalog)
       case "fast_forward"          => new FastForward(resolveDir, catalog)
       case "list_branches"         => new ListBranches(resolveDir, catalog)
@@ -457,13 +458,52 @@ private[sql] object GraftProcedures {
               s"agg '$s' must be fn:col:alias (e.g. sum:v:sum_v, count:*:n)")
           }
         }
-      val snap = graft.mv.MaterializedView.create(
-        SparkSession.active, viewDir, srcDir,
-        graft.mv.MaterializedView.Spec(group, aggs), catalog)
+      // register FIRST: the registry stamp is itself a source commit,
+      // and the view must materialize the post-registration version or
+      // it would be born stale. A failed create unregisters again.
+      graft.mv.MaterializedView.registerOnSource(srcDir, viewDir, catalog)
+      val snap =
+        try graft.mv.MaterializedView.create(
+          SparkSession.active, viewDir, srcDir,
+          graft.mv.MaterializedView.Spec(group, aggs), catalog)
+        catch {
+          case e: Throwable =>
+            try graft.mv.MaterializedView
+              .unregisterFromSource(srcDir, viewDir, catalog)
+            catch { case _: Throwable => () }
+            throw e
+        }
       localScan(out, Array(InternalRow(
         UTF8String.fromString(viewName),
         snap.properties(graft.mv.MaterializedView.RefreshedVersionProp).toLong)),
         s"create_materialized_view($srcDir -> $viewDir)")
+    }
+  }
+
+  /** `CALL drop_materialized_view(view)` — unregister from the source's
+    * registry and delete the view table. */
+  private final class DropMaterializedView(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("drop_materialized_view") {
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("view", StringType))
+
+    private val out = StructType(Seq(
+      StructField("view", StringType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val viewName = input.getUTF8String(0).toString
+      val viewDir = resolveDir(viewName)
+      val mv = catalog.loadOrThrow(viewDir)
+      val src = mv.properties.getOrElse(graft.mv.MaterializedView.SourceProp,
+        throw CompactionError.Config(s"$viewName is not a materialized view"))
+      // unregister FIRST: once gone from the registry, no query can
+      // substitute a half-deleted view
+      graft.mv.MaterializedView.unregisterFromSource(src, viewDir, catalog)
+      graft.io.FileIO.deleteRecursive(viewDir)
+      localScan(out, Array(InternalRow(UTF8String.fromString(viewName))),
+        s"drop_materialized_view($viewName)")
     }
   }
 

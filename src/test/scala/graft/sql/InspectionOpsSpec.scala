@@ -61,6 +61,24 @@ class InspectionOpsSpec extends AnyFunSuite {
     sql("INSERT INTO gin.db.facts VALUES ('b', 7), ('c', 1)")
     sql("CALL gin.system.refresh_materialized_view(view => 'db.facts_by_k')")
     assert(mv == Seq(("a", 30L, 2L), ("b", 12L, 2L), ("c", 1L, 1L)))
+
+    // the source-table registry makes substitution automatic — no
+    // session conf set anywhere in this suite
+    def agg = sql(
+      "SELECT k, sum(v) AS s, count(*) AS c FROM gin.db.facts GROUP BY k")
+    assert(agg.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty, "registry-stamped view should substitute without conf")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 30L), ("b", 12L), ("c", 1L)))
+
+    // dropping the view unregisters it and restores the real aggregate
+    sql("CALL gin.system.drop_materialized_view(view => 'db.facts_by_k')")
+    assert(agg.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty)
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 30L), ("b", 12L), ("c", 1L)))
   }
 
   test("MV procedures and the rewrite rule work on the iceberg-format catalog") {
