@@ -50,6 +50,12 @@ object MaterializedView {
     * database's MVs behave. The session conf ADDS to this registry. */
   val RegisteredProp = "graft.mv.registered"
 
+  /** The one registry list codec — writers and readers of
+    * [[RegisteredProp]] must agree on it. */
+  def parseList(raw: String): Seq[String] =
+    raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+  def encodeList(dirs: Seq[String]): String = dirs.mkString(",")
+
   /** Record `mvDir` in the source table's registry property (CAS'd,
     * merge-safe under concurrent registrations). */
   def registerOnSource(sourceDir: String, mvDir: String,
@@ -58,10 +64,9 @@ object MaterializedView {
     new graft.txn.CommitManager(sourceDir, catalog = catalog)
       .updateTableProperties(cur.schemaId) { reloaded =>
         val existing = reloaded.properties.get(RegisteredProp)
-          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-          .getOrElse(Nil)
-        val merged = (existing :+ mvDir).distinct
-        (Map(RegisteredProp -> merged.mkString(",")), Set.empty)
+          .map(parseList).getOrElse(Nil)
+        (Map(RegisteredProp -> encodeList((existing :+ mvDir).distinct)),
+          Set.empty)
       }
   }
 
@@ -72,10 +77,9 @@ object MaterializedView {
     new graft.txn.CommitManager(sourceDir, catalog = catalog)
       .updateTableProperties(cur.schemaId) { reloaded =>
         val remaining = reloaded.properties.get(RegisteredProp)
-          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-          .getOrElse(Nil).filterNot(_ == mvDir)
+          .map(parseList).getOrElse(Nil).filterNot(_ == mvDir)
         if (remaining.isEmpty) (Map.empty[String, String], Set(RegisteredProp))
-        else (Map(RegisteredProp -> remaining.mkString(",")), Set.empty[String])
+        else (Map(RegisteredProp -> encodeList(remaining)), Set.empty[String])
       }
   }
   /** Live source rows per group — the delete-maintenance column. */
@@ -100,7 +104,7 @@ object MaterializedView {
   def encodeSpec(s: Spec): String = mapper.writeValueAsString(s)
   def decodeSpec(json: String): Spec = mapper.readValue(json, classOf[Spec])
 
-  private def validateSpec(s: Spec): Unit = {
+  private[graft] def validateSpec(s: Spec): Unit = {
     if (s.group.isEmpty) throw CompactionError.Config(
       "materialized view needs at least one group column")
     if (s.aggs.isEmpty) throw CompactionError.Config(
@@ -190,6 +194,9 @@ object MaterializedView {
           group = spec.group.map(resolve),
           aggs = spec.aggs.map(a =>
             if (a.col == "*") a else a.copy(col = resolve(a.col))))
+        // alias/group collisions can APPEAR under case resolution
+        // (alias 'k' vs group 'K' -> 'k') — re-validate the resolved spec
+        validateSpec(n)
         n.aggs.filter(_.fn == "sum").foreach { a =>
           schemaTypes(a.col) match {
             case LongType | IntegerType | ShortType | ByteType => ()

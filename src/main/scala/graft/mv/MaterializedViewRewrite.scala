@@ -47,13 +47,18 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     val sessionViews = registeredViews
     // the aggregate's child may carry a column-pruning Project (pure
     // attribute selection — semantics-neutral for the match)
-    // a pinned table (VERSION/TIMESTAMP AS OF, branch/wap refs) or a
-    // scan with a per-read asOfVersion option reads HISTORY — the view
-    // holds current state and must never answer for it
+    // a pinned table (VERSION/TIMESTAMP AS OF, branch/wap refs), a
+    // per-read asOfVersion option, or a CDC/tail read mode
+    // (changelog/skipDeletes/startingVersion) is NOT a current-state
+    // live-row scan — the view must never answer for those
     def usable(rel: DataSourceV2Relation): Option[graft.streaming.GraftTable] =
       rel.table match {
         case t: graft.streaming.GraftTable
-            if t.pinned.isEmpty && rel.options.get("asOfVersion") == null =>
+            if t.pinned.isEmpty &&
+              rel.options.get("asOfVersion") == null &&
+              rel.options.get("changelog") == null &&
+              rel.options.get("skipDeletes") == null &&
+              rel.options.get("startingVersion") == null =>
           Some(t)
         case _ => None
       }
@@ -69,14 +74,23 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case agg @ Aggregate(ges, aes, child, _) if scanOf(child).isDefined =>
         val tbl = scanOf(child).get
         (try {
-          // candidate views: the session conf PLUS the source table's
-          // own registry property (stamped by create_materialized_view
-          // — substitution with zero session setup)
-          tbl.tableCatalog.load(tbl.dir).flatMap { srcSnap =>
-            val views = (sessionViews ++
-              srcSnap.properties.get(MaterializedView.RegisteredProp).toSeq
-                .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
-              .distinct
+          // fast path: with no session views AND a recent negative
+          // probe of this table's registry, skip the metadata load
+          // entirely — falling back to the real aggregate is always
+          // correct, so the short staleness window only delays when a
+          // BRAND-NEW view starts substituting
+          if (sessionViews.isEmpty &&
+              MaterializedViewRewrite.knownRegistryless(tbl.dir)) None
+          else tbl.tableCatalog.load(tbl.dir).flatMap { srcSnap =>
+            // candidate views: the session conf PLUS the source
+            // table's own registry property (stamped by
+            // create_materialized_view — zero session setup)
+            val registered = srcSnap.properties
+              .get(MaterializedView.RegisteredProp)
+              .toSeq.flatMap(MaterializedView.parseList)
+            MaterializedViewRewrite.recordRegistryProbe(
+              tbl.dir, registered.nonEmpty)
+            val views = (sessionViews ++ registered).distinct
             views.iterator
               .flatMap(mv =>
                 tryRewrite(mv, tbl.dir, tbl.tableCatalog, srcSnap, ges, aes))
@@ -183,4 +197,26 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       logInfo(s"rewriting aggregate over $srcDir to materialized view $mvDir")
       Some(Project(projections, mvPlan))
     } catch { case NonFatal(_) => None }
+}
+
+
+object MaterializedViewRewrite {
+  /** Negative registry cache: (source dir → (probedAtMs, hasRegistry)).
+    * Used ONLY to skip the per-query metadata load when no session
+    * views are configured and a recent probe found no registry — the
+    * safe direction (fall back to the real aggregate). Freshness checks
+    * for ACTUAL substitution never go through this cache. */
+  private val registryProbe =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean)]()
+  private val ProbeTtlMs = 30000L
+  private val ProbeCap = 10000
+
+  private[mv] def knownRegistryless(dir: String): Boolean = {
+    val e = registryProbe.get(dir)
+    e != null && !e._2 && System.currentTimeMillis() - e._1 < ProbeTtlMs
+  }
+  private[graft] def recordRegistryProbe(dir: String, has: Boolean): Unit = {
+    if (registryProbe.size > ProbeCap) registryProbe.clear()
+    registryProbe.put(dir, (System.currentTimeMillis(), has))
+  }
 }

@@ -435,9 +435,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     // a re-created table at this path restarts version numbers — stale
-    // per-version caches keyed by (path, version) must not survive
+    // per-version caches keyed by (path, version) must not survive.
+    // Invalidate BEFORE and AFTER the delete: a concurrent reader
+    // between the steps can re-populate from still-existing metadata.
     graft.txn.IcebergTableCatalog.invalidateTable(dir)
-    isTable(dir) && FileIO.deleteRecursive(dir)
+    val dropped = isTable(dir) && FileIO.deleteRecursive(dir)
+    graft.txn.IcebergTableCatalog.invalidateTable(dir)
+    dropped
   }
 
   /** Refused, deliberately: graft snapshots (and the file_path column
@@ -493,7 +497,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
     if (!cascade && (listTables(ns).nonEmpty || listNamespaces(ns).nonEmpty))
       throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(ns)
-    FileIO.deleteRecursive(dir)
+    // cascade deletes every table under the namespace — same stale
+    // per-version cache concern as dropTable, by prefix
+    graft.txn.IcebergTableCatalog.invalidatePrefix(dir)
+    val dropped = FileIO.deleteRecursive(dir)
+    graft.txn.IcebergTableCatalog.invalidatePrefix(dir)
+    dropped
   }
 
   // --- FunctionCatalog: the partition-transform functions Catalyst

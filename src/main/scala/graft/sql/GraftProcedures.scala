@@ -458,10 +458,22 @@ private[sql] object GraftProcedures {
               s"agg '$s' must be fn:col:alias (e.g. sum:v:sum_v, count:*:n)")
           }
         }
-      // register FIRST: the registry stamp is itself a source commit,
+      // cheap pre-validation BEFORE any commit: an invalid spec or an
+      // occupied view path must not burn source versions (each bump
+      // staleness-drops every other fresh view on the source)
+      graft.mv.MaterializedView.validateSpec(
+        graft.mv.MaterializedView.Spec(group, aggs))
+      if (catalog.load(viewDir).isDefined) throw CompactionError.Config(
+        s"'$viewName' already exists; drop_materialized_view first")
+      // register next: the registry stamp is itself a source commit,
       // and the view must materialize the post-registration version or
-      // it would be born stale. A failed create unregisters again.
+      // it would be born stale. A failed create unregisters again
+      // (best-effort — a dangling entry is harmless: the rewrite skips
+      // dirs that do not load).
       graft.mv.MaterializedView.registerOnSource(srcDir, viewDir, catalog)
+      // refresh the same-JVM negative-probe cache so the new view
+      // substitutes immediately (other JVMs converge within the TTL)
+      graft.mv.MaterializedViewRewrite.recordRegistryProbe(srcDir, has = true)
       val snap =
         try graft.mv.MaterializedView.create(
           SparkSession.active, viewDir, srcDir,
@@ -499,9 +511,15 @@ private[sql] object GraftProcedures {
       val src = mv.properties.getOrElse(graft.mv.MaterializedView.SourceProp,
         throw CompactionError.Config(s"$viewName is not a materialized view"))
       // unregister FIRST: once gone from the registry, no query can
-      // substitute a half-deleted view
-      graft.mv.MaterializedView.unregisterFromSource(src, viewDir, catalog)
+      // substitute a half-deleted view. A source that was itself
+      // already dropped has no registry left to clean.
+      if (catalog.load(src).isDefined)
+        graft.mv.MaterializedView.unregisterFromSource(src, viewDir, catalog)
+      // same per-version cache concern as DROP TABLE (the view IS a
+      // table): invalidate before and after the delete
+      graft.txn.IcebergTableCatalog.invalidateTable(viewDir)
       graft.io.FileIO.deleteRecursive(viewDir)
+      graft.txn.IcebergTableCatalog.invalidateTable(viewDir)
       localScan(out, Array(InternalRow(UTF8String.fromString(viewName))),
         s"drop_materialized_view($viewName)")
     }

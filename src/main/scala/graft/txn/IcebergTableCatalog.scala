@@ -812,9 +812,16 @@ object IcebergTableCatalog extends TableCatalog {
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
   private val ManifestPathsCacheCap = 20000
 
-  /** Drop every cached entry of `table` — call on DROP TABLE. */
+  /** Drop every cached entry of `table` — call on DROP TABLE (both
+    * before AND after the delete: a concurrent reader between the two
+    * steps can re-populate from still-existing old metadata). */
   def invalidateTable(table: String): Unit =
     manifestPathsCache.keySet.removeIf(_._1 == table)
+
+  /** Drop every cached entry under a directory PREFIX — namespace
+    * cascade deletes. */
+  def invalidatePrefix(dirPrefix: String): Unit =
+    manifestPathsCache.keySet.removeIf(_._1.startsWith(dirPrefix))
 
   /** Manifest paths the CURRENT snapshot of metadata version `v`
     * references (empty when the version, its list, or its snapshot are
