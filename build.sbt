@@ -16,6 +16,10 @@ run / fork := true
 // driver tail-parses Bench's final JSON line from captured stdout, and
 // the logger prefix broke that parse (BENCH_r03..r05 "parsed": null)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// suppress sbt's trailing "[success] Total time ..." stdout line: the
+// driver captures only a ~2000-char stdout TAIL and that line eats ~72
+// chars of the window Bench's final JSON summary line must land in
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

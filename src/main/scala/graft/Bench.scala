@@ -72,25 +72,52 @@ object Bench {
         name -> (median, sorted.last - sorted.head)
       }
     }
-    // 2 decimals: the driver captures only a ~2 KB stdout TAIL and the
-    // query map grows with every release — keep the line comfortably
-    // inside the window
-    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + f"$m%.2f" }
+    // The driver captures only a ~2000-char stdout TAIL and parses it
+    // line-wise; with 90+ queries the full per-query map alone exceeds
+    // the window, so no single line can carry everything (BENCH_r08
+    // "parsed": null — the JSON head was cut). Strategy:
+    //   line 1: full per-query map with the summary fields at the END —
+    //           when the head is truncated the tail (most queries +
+    //           total) still reads, and if it ever fits whole it parses.
+    //   line 2 (FINAL, short, guaranteed inside the window): summary +
+    //           the slowest queries inline — always parses, so the
+    //           driver records a non-null total every round.
+    //   BENCH_DETAIL.json (cwd): complete medians/spreads/samples at
+    //           full precision for offline reading.
+    def trim2(v: Double): String = {
+      val s = f"$v%.2f"
+      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty) "0" else t
+    }
+    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + trim2(m) }
       .mkString("{", ",", "}")
     val sp = results.map { case (k, (_, s)) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    // spread goes to stderr: the driver parses stdout's tail, and a
-    // second map pushes the JSON head past its capture buffer
     System.err.println(s"""[bench] spread=$sp runs=$runs""")
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
-    // lands RAW on the captured stdout: build.sbt sets
-    // `run / outputStrategy := StdoutOutput` so the forked JVM inherits
-    // sbt's streams — without it every line arrives in the driver's
-    // capture prefixed "[info] ", which broke the tail json parse
-    // (BENCH_r03..r05 "parsed": null)
-    println(json)
+    val slowest = results.sortBy(-_._2._1).take(15)
+      .map { case (k, (m, _)) => "\"" + k + "\":" + trim2(m) }
+      .mkString("{", ",", "}")
+    try {
+      val detail = results.map { case (k, (m, s)) =>
+        f"""  "$k": {"median": $m%.3f, "spread": $s%.3f}"""
+      }.mkString(",\n")
+      val dj =
+        f"""{\n"total_sec": $total%.3f, "runs": $runs, "sf": "$sfDir", "nq": ${results.size},\n"queries": {\n$detail\n}\n}\n"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        dj.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // detail file is best-effort
+    val line1 =
+      f"""{"queries":$qs,"metric":"total","value":$total%.2f,"unit":"sec","runs":$runs,"sf":"$sfDir"}"""
+    val line2 =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$slowest,"nq":${results.size},"runs":$runs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+    // both land RAW on captured stdout: build.sbt sets
+    // `run / outputStrategy := StdoutOutput` (the "[info] " logger
+    // prefix broke the parse in r03..r05) and `showSuccess := false`
+    // (the "[success] ..." line ate ~72 chars of the window in r08)
+    println(line1)
+    println(line2)
     System.out.flush()
     spark.stop()
   }
