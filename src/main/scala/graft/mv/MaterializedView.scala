@@ -84,6 +84,46 @@ object MaterializedView {
   }
   /** Live source rows per group — the delete-maintenance column. */
   val RowCountCol = "mv_rowcount"
+  /** Hidden NEVER-NULL canonical group-key column — the view's physical
+    * upsert/merge key. Group columns with NULL values are legal SQL
+    * groups, but the engine's equality-delete semantics are `===` (a
+    * NULL-containing key matches nothing, by design, plan and readers
+    * agreeing), so keying the stored state by the group columns
+    * directly would leave a NULL-group row un-replaceable: refresh
+    * would append a second row for that group and never delete the
+    * stale one. Encoding the whole group tuple into one injective,
+    * session-independent string makes the physical key total: NULL
+    * groups merge, update and delete exactly like any other group. */
+  val KeyCol = "mv_key"
+
+  /** Injective, session-independent encoding of the group tuple:
+    * length-prefixed per-column tokens (`v<len>:<canonical>;` or `n;`
+    * for NULL). Canonical forms avoid every session-dependent
+    * rendering: instants encode as epoch micros (cast-to-string honors
+    * the session time zone), dates as epoch days, binary as base64;
+    * everything else casts to string (deterministic per value). */
+  private[graft] def keyExpr(group: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Column = {
+    import org.apache.spark.sql.types._
+    val parts = group.map { g =>
+      val dt = schema.fields.find(_.name == g).map(_.dataType)
+        .getOrElse(StringType)
+      val canon: Column = dt match {
+        case TimestampType => unix_micros(col(g)).cast("string")
+        case DateType => datediff(col(g), to_date(lit("1970-01-01")))
+          .cast("string")
+        case BinaryType => base64(col(g))
+        case _ => col(g).cast("string")
+      }
+      when(col(g).isNull, lit("n;"))
+        .otherwise(concat(lit("v"), length(canon), lit(":"), canon, lit(";")))
+    }
+    if (parts.size == 1) parts.head else concat(parts: _*)
+  }
+
+  /** Append [[KeyCol]] to an aggregated state/delta frame. */
+  private def withKey(spec: Spec, df: DataFrame): DataFrame =
+    df.withColumn(KeyCol, keyExpr(spec.group, df.schema))
   /** Per-sum non-null count column — what keeps SQL null semantics
     * exact: `sum(x)` over a group whose x is entirely null is NULL,
     * which a 0-initialized running total cannot represent. The stored
@@ -212,10 +252,10 @@ object MaterializedView {
       SourceProp -> sourceDir,
       SpecProp -> encodeSpec(norm),
       RefreshedVersionProp -> "1")))
-    val state = full.map(signedAgg(norm, _, lit(1L)))
+    val state = full.map(df => withKey(norm, signedAgg(norm, df, lit(1L))))
     state match {
       case Some(st) if !st.isEmpty =>
-        TableWrites.upsert(mvDir, st, norm.group, catalog = catalog,
+        TableWrites.upsert(mvDir, st, Seq(KeyCol), catalog = catalog,
           setProperties = Map(RefreshedVersionProp -> srcSnap.version.toString))
       case _ =>
         // empty source: just advance the marker
@@ -241,6 +281,13 @@ object MaterializedView {
     val srcV = catalog.loadOrThrow(sourceDir).version
     if (srcV <= lastV) return lastV
 
+    // stored state (None when the view holds no groups yet). A view
+    // written before [[KeyCol]] existed cannot be incrementally merged
+    // (its rows are un-replaceable under the new key) — rebuild it.
+    val cur = TableReader.readOption(spark, mvDir, catalog = catalog)
+    if (cur.exists(st => !st.columns.contains(KeyCol)))
+      return fullRecompute(spark, mvDir, mv, spec, sourceDir, lastV, catalog)
+
     // exact multiset changes since the last refresh, full rows per
     // change (the BATCH changelog — key-deletes are already resolved)
     val delta = try {
@@ -260,17 +307,26 @@ object MaterializedView {
               s"concurrent refresh: marker moved v$lastV -> v$nowV")
           })(_ => (Map(RefreshedVersionProp -> srcV.toString), Set.empty))
         return srcV
+      case _: CompactionError.Config =>
+        // the marker's source snapshot was EXPIRED by routine source
+        // maintenance (changelog needs both endpoints retained): a
+        // lagging view must not be permanently bricked — fall back to
+        // a full recompute of the current source state
+        return fullRecompute(spark, mvDir, mv, spec, sourceDir, lastV, catalog)
     }
     val dAliases = stateColumns(spec)
-    val dRenamed = dAliases.foldLeft(signedAgg(spec, delta, col("__w")))(
+    val dRenamed = dAliases.foldLeft(withKey(spec, signedAgg(spec, delta, col("__w"))))(
       (df, a) => df.withColumnRenamed(a, s"_d_$a"))
 
     // merge with the stored state for AFFECTED groups only: join the
-    // delta (small) against the view; AQE broadcasts the delta side
-    val cur = TableReader.readOption(spark, mvDir, catalog = catalog)
+    // delta (small) against the view on the total KEY column (NULL
+    // group values are data here, not join keys); AQE broadcasts the
+    // delta side
     val merged = cur match {
       case None => dRenamed
-      case Some(st) => dRenamed.join(st, spec.group, "left")
+      case Some(st) =>
+        dRenamed.join(st.select((KeyCol +: dAliases).map(col): _*),
+          Seq(KeyCol), "left")
     }
     def oldOf(a: String): Column =
       if (cur.isEmpty) lit(0L) else coalesce(col(a), lit(0L))
@@ -279,15 +335,15 @@ object MaterializedView {
     // un-coalesced would corrupt the stored total to NULL
     val next = dAliases.foldLeft(merged)((df, a) =>
       df.withColumn(s"_n_$a", oldOf(a) + coalesce(col(s"_d_$a"), lit(0L))))
-    val out = next.select(
-      (spec.group.map(col) ++ dAliases.map(a => col(s"_n_$a").as(a))): _*)
-      .persist()
+    val outCols: Seq[Column] = spec.group.map(col) ++
+      (col(KeyCol) +: dAliases.map(a => col(s"_n_$a").as(a)))
+    val out = next.select(outCols: _*).persist()
     try {
-      val dead = out.filter(col(RowCountCol) === 0L).select(spec.group.map(col): _*)
+      val dead = out.filter(col(RowCountCol) === 0L).select(col(KeyCol))
       val live = out.filter(col(RowCountCol) =!= 0L)
       // the marker advances ATOMICALLY with the merged rows; the
       // validate aborts if a concurrent refresh advanced it first
-      TableWrites.upsert(mvDir, live, spec.group, catalog = catalog,
+      TableWrites.upsert(mvDir, live, Seq(KeyCol), catalog = catalog,
         deleteKeys = Some(dead),
         setProperties = Map(RefreshedVersionProp -> srcV.toString),
         validate = reloaded => {
@@ -299,6 +355,55 @@ object MaterializedView {
         })
     } finally out.unpersist()
     srcV
+  }
+
+  /** Rebuild the whole stored state from the source's CURRENT version
+    * in ONE atomic commit (file-set swap + marker; prior view versions
+    * stay time-travelable). The incremental path's safety net: used
+    * when the marker's source snapshot was expired, or when the stored
+    * state predates [[KeyCol]]. The validate inside the CAS loop keeps
+    * the concurrent-refresh guard: if another refresh advanced the
+    * marker meanwhile, this rebuild aborts rather than double-applying. */
+  private def fullRecompute(
+      spark: SparkSession,
+      mvDir: String,
+      mv: TableSnapshot,
+      spec: Spec,
+      sourceDir: String,
+      lastV: Long,
+      catalog: TableCatalog): Long = {
+    val srcSnap = catalog.loadOrThrow(sourceDir)
+    val guard: TableSnapshot => Unit = reloaded => {
+      val nowV = reloaded.properties.get(RefreshedVersionProp)
+        .flatMap(_.toLongOption).getOrElse(-1L)
+      if (nowV != lastV) throw CompactionError.Config(
+        s"concurrent refresh: marker moved v$lastV -> v$nowV")
+    }
+    val state = TableReader.readOption(spark, sourceDir,
+        asOfVersion = Some(srcSnap.version), catalog = catalog)
+      .map(df => withKey(spec, signedAgg(spec, df, lit(1L))))
+    val cm = new graft.txn.CommitManager(mvDir, catalog = catalog)
+    state match {
+      case Some(st) if !st.isEmpty =>
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        val files = TableWrites.writeParquet(st,
+          s"$mvDir/data/mvfull-$tag",
+          graft.core.CompactionConfig().parquetCompression)
+        cm.overwriteAll(
+          files.filter(_._3 > 0).map { case (p, len, rc) =>
+            graft.sources.ParquetStats.stampBounds(
+              graft.txn.FileEntry(p, "data", len, rc, -1L))
+          },
+          expectedSchemaId = mv.schemaId,
+          setProperties = Map(RefreshedVersionProp -> srcSnap.version.toString),
+          validate = guard)
+      case _ =>
+        // empty source: swap to an empty file set + marker
+        cm.overwriteAll(Nil, mv.schemaId,
+          setProperties = Map(RefreshedVersionProp -> srcSnap.version.toString),
+          validate = guard)
+    }
+    srcSnap.version
   }
 
   /** The view's rows (group columns + aggregates; the row-count

@@ -396,9 +396,16 @@ final class CommitManager(
 
   def overwriteAll(
       entries: Seq[FileEntry],
-      expectedSchemaId: Long
+      expectedSchemaId: Long,
+      /** Properties committed ATOMICALLY with the swapped file set
+        * (e.g. a materialized view's refreshed-version marker). */
+      setProperties: Map[String, String] = Map.empty,
+      /** Re-validated against every attempt's RELOADED snapshot inside
+        * the CAS loop (same contract as [[appendFiles]]). */
+      validate: TableSnapshot => Unit = _ => ()
   ): TableSnapshot =
     commitLoop(expectedSchemaId) { cur =>
+      validate(cur)
       val newSeq = cur.lastSequenceNumber + 1
       val stamped = entries.map { e =>
         e.copy(sequenceNumber = newSeq,
@@ -413,7 +420,8 @@ final class CommitManager(
       cur.copy(
         version = cur.version + 1,
         lastSequenceNumber = newSeq,
-        files = stamped)
+        files = stamped,
+        properties = cur.properties ++ setProperties)
     }
 
   /** Property-only commit (SQL `ALTER TABLE ... SET/UNSET TBLPROPERTIES`):

@@ -110,6 +110,85 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(v == FileTableCatalog.loadOrThrow(dir).version)
   }
 
+  test("NULL group keys merge, update and delete like any other group") {
+    // the stored state is keyed by the hidden never-null mv_key, so a
+    // NULL group value is ordinary data: without that, the delta-state
+    // merge (null-unsafe join) and the upsert's eq-delete keys (NULL
+    // keys match nothing) would leave a stale NULL-group row AND append
+    // a second one — silent duplicate/wrong aggregates
+    val src = Files.createTempDirectory("graft-mvspec-ng-src").toString
+    TableMetadata.commit(src, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(src, spark.sql(
+      """SELECT * FROM VALUES (CAST(1 AS BIGINT), CAST(NULL AS STRING), CAST(10 AS BIGINT)),
+        |(CAST(2 AS BIGINT), 'a', CAST(20 AS BIGINT)),
+        |(CAST(3 AS BIGINT), CAST(NULL AS STRING), CAST(5 AS BIGINT)) AS t(id, k, v)""".stripMargin)
+      .coalesce(1))
+    val mv = Files.createTempDirectory("graft-mvspec-ng").toString
+    MaterializedView.create(spark, mv, src, spec)
+    def byKey(): Map[Option[String], (Long, Long)] =
+      MaterializedView.read(spark, mv).collect()
+        .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byKey() == Map(None -> (15L, 2L), Some("a") -> (20L, 1L)))
+    // touch the NULL group twice: an insert and a delete
+    TableWrites.appendData(src, spark.sql(
+      "SELECT CAST(4 AS BIGINT) AS id, CAST(NULL AS STRING) AS k, CAST(7 AS BIGINT) AS v")
+      .coalesce(1))
+    TableWrites.appendEqualityDeletes(src, Seq(1L).toDF("id"), Seq("id"))
+    MaterializedView.refresh(spark, mv)
+    assert(byKey() == Map(None -> (12L, 2L), Some("a") -> (20L, 1L)))
+    // delete the NULL group entirely: its row must disappear
+    TableWrites.appendEqualityDeletes(src, Seq(3L, 4L).toDF("id"), Seq("id"))
+    MaterializedView.refresh(spark, mv)
+    assert(byKey() == Map(Some("a") -> (20L, 1L)))
+  }
+
+  test("a legacy view stored without mv_key is rebuilt, not corrupted") {
+    val src = mkSource()
+    val mv = Files.createTempDirectory("graft-mvspec-l").toString
+    // hand-build the PRE-KeyCol layout: state keyed by the group columns
+    FileTableCatalog.commitCas(mv, TableSnapshot(1, 1, 0, Nil, properties = Map(
+      MaterializedView.SourceProp -> src,
+      MaterializedView.SpecProp -> MaterializedView.encodeSpec(spec),
+      MaterializedView.RefreshedVersionProp -> "1")))
+    TableWrites.upsert(mv,
+      Seq(("a", 30L, 2L, 2L, 2L), ("b", 5L, 1L, 1L, 1L))
+        .toDF("k", "sum_v", "mv_nn_sum_v", "n", MaterializedView.RowCountCol),
+      Seq("k"),
+      setProperties = Map(MaterializedView.RefreshedVersionProp ->
+        FileTableCatalog.loadOrThrow(src).version.toString))
+    TableWrites.appendData(src,
+      Seq((4L, "b", 7L)).toDF("id", "k", "v").coalesce(1))
+    MaterializedView.refresh(spark, mv)
+    assert(state(mv) == Map("a" -> (30L, 2L), "b" -> (12L, 2L)))
+    // the rebuilt state is incrementally maintainable from here
+    TableWrites.appendEqualityDeletes(src, Seq(2L).toDF("id"), Seq("id"))
+    MaterializedView.refresh(spark, mv)
+    assert(state(mv) == Map("a" -> (10L, 1L), "b" -> (12L, 2L)))
+  }
+
+  test("refresh survives the marker's source snapshot being expired") {
+    val src = mkSource()
+    val mv = Files.createTempDirectory("graft-mvspec-x").toString
+    MaterializedView.create(spark, mv, src, spec)
+    TableWrites.appendData(src,
+      Seq((4L, "c", 2L)).toDF("id", "k", "v").coalesce(1))
+    TableWrites.appendEqualityDeletes(src, Seq(3L).toDF("id"), Seq("id"))
+    // routine source maintenance drops the marker's snapshot: the
+    // incremental changelog is impossible, but the view must rebuild
+    // from the current state instead of being permanently bricked
+    new CommitManager(src).expireSnapshots(keepLast = 1)
+    val v = MaterializedView.refresh(spark, mv)
+    assert(v == FileTableCatalog.loadOrThrow(src).version)
+    assert(state(mv) == Map(
+      "a" -> (30L, 2L), "c" -> (2L, 1L)))
+    // and stays incrementally maintainable afterwards
+    TableWrites.appendData(src,
+      Seq((5L, "c", 3L)).toDF("id", "k", "v").coalesce(1))
+    MaterializedView.refresh(spark, mv)
+    assert(state(mv) == Map(
+      "a" -> (30L, 2L), "c" -> (5L, 2L)))
+  }
+
   test("non-retractable aggregates and bad specs are refused") {
     val src = mkSource()
     def bad(s: Spec): Unit = intercept[CompactionError.Config] {
