@@ -224,9 +224,16 @@ final class GraftMetadataTable(
           else baseOf(s) match {
             case Some(base) =>
               UTF8String.fromString(graft.txn.CommitShape.classify(base, s))
-            case None if s.version == loaded.head.version =>
-              UTF8String.fromString("append") // oldest retained, no base
-            case None => null
+            case None if s.version == 1L =>
+              // the genuine FIRST commit: its base is exactly empty, so
+              // the shape classifier is still truthful
+              UTF8String.fromString(graft.txn.CommitShape.classify(
+                graft.txn.TableSnapshot(0, s.schemaId, 0, Nil), s))
+            case None =>
+              // base expired (oldest retained > v1): the shape is
+              // UNKNOWN — an overwrite/delete/upsert commit must not be
+              // mislabeled 'append' after routine expiry
+              null
           }
         InternalRow.fromSeq(Seq(
           s.version, s.committedAtMs, s.schemaId, s.lastSequenceNumber,

@@ -781,22 +781,31 @@ object IcebergTableCatalog extends TableCatalog {
     * (distinguished from Some(Nil), a genuinely empty snapshot) so
     * callers and the cache never mistake a transient miss for "this
     * version references nothing". */
-  private def listRecordsOf(table: String, v: Long): Option[Seq[GenericRecord]] = {
+  /** Throwing twin of [[listRecordsOf]]: returns None ONLY when the
+    * version's metadata file, snapshot or manifest list is genuinely
+    * ABSENT (a concurrent expiry removed them — "references nothing"
+    * is then true); a read/parse failure of an EXISTING file
+    * propagates. The distinction matters for [[deleteVersion]]: a
+    * transiently unreadable list of a LIVE version must not be
+    * mistaken for an empty reference set, or its shared (reused)
+    * manifests would be reaped from under retained snapshots. */
+  private def listRecordsStrict(table: String, v: Long): Option[Seq[GenericRecord]] = {
     val p = metadataPath(table, v)
-    try {
-      if (!FileIO.exists(p)) return None
-      val doc = parse(FileIO.readString(p))
-      val snapId = doc.get("current-snapshot-id").asLong
-      if (snapId < 0) return Some(Nil)
-      doc.get("snapshots").elements().asScala
-        .find(_.get("snapshot-id").asLong == snapId)
-        .flatMap { s =>
-          val listPath = s.get("manifest-list").asText
-          if (!FileIO.exists(listPath)) None
-          else Some(readAvro(listPath)._2)
-        }
-    } catch { case _: Exception => None }
+    if (!FileIO.exists(p)) return None
+    val doc = parse(FileIO.readString(p))
+    val snapId = doc.get("current-snapshot-id").asLong
+    if (snapId < 0) return Some(Nil)
+    doc.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == snapId)
+      .flatMap { s =>
+        val listPath = s.get("manifest-list").asText
+        if (!FileIO.exists(listPath)) None
+        else Some(readAvro(listPath)._2)
+      }
   }
+
+  private def listRecordsOf(table: String, v: Long): Option[Seq[GenericRecord]] =
+    try listRecordsStrict(table, v) catch { case _: Exception => None }
 
   /** Per-(table, version) manifest-path cache: metadata versions are
     * immutable once CAS-created, so a version's referenced-manifest set
@@ -826,11 +835,16 @@ object IcebergTableCatalog extends TableCatalog {
   /** Manifest paths the CURRENT snapshot of metadata version `v`
     * references (empty when the version, its list, or its snapshot are
     * gone — expiry must stay best-effort over concurrent expiry). */
-  private[txn] def manifestPathsOf(table: String, v: Long): Seq[String] = {
+  private[txn] def manifestPathsOf(table: String, v: Long): Seq[String] =
+    try manifestPathsStrict(table, v) catch { case _: Exception => Nil }
+
+  /** Like [[manifestPathsOf]] but a read failure of an existing file
+    * PROPAGATES instead of reading as "no references". */
+  private def manifestPathsStrict(table: String, v: Long): Seq[String] = {
     val key = (table, v)
     val hit = manifestPathsCache.get(key)
     if (hit != null) return hit
-    listRecordsOf(table, v) match {
+    listRecordsStrict(table, v) match {
       case Some(recs) =>
         val paths = recs.map(_.get("manifest_path").toString)
         if (manifestPathsCache.size > ManifestPathsCacheCap)
@@ -877,11 +891,19 @@ object IcebergTableCatalog extends TableCatalog {
             // still references it — deleting a shared one would corrupt
             // every newer snapshot that reused it. Manifest LISTS are
             // per-snapshot and always deleted with their version.
+            // "Version gone" (concurrent expiry) reads as no references;
+            // a READ FAILURE of a retained version's list means the
+            // reference set is UNKNOWN — reap no manifests this pass
+            // (they leak until a later expiry, which is recoverable;
+            // deleting a live snapshot's shared manifest is not).
             val mine = readAvro(listPath)._2.map(_.get("manifest_path").toString)
-            val referenced: Set[String] = versions(table)
-              .filterNot(_ == version)
-              .flatMap(v => manifestPathsOf(table, v)).toSet
-            mine.filterNot(referenced.contains).foreach(FileIO.delete)
+            val referenced: Option[Set[String]] =
+              try Some(versions(table)
+                .filterNot(_ == version)
+                .flatMap(v => manifestPathsStrict(table, v)).toSet)
+              catch { case _: Exception => None }
+            referenced.foreach(refs =>
+              mine.filterNot(refs.contains).foreach(FileIO.delete))
             FileIO.delete(listPath)
           }
         }

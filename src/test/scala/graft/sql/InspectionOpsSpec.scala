@@ -45,6 +45,18 @@ class InspectionOpsSpec extends AnyFunSuite {
     assert(ops(6L) == "set-properties")
     assert(ops(7L) == "overwrite")
     assert(ops(8L) == "evolve-schema")
+
+    // after expiry the oldest RETAINED commit (the v7 overwrite) has no
+    // base to classify against: its operation must read NULL, never a
+    // hardcoded 'append' that mislabels overwrite/delete commits
+    sql("CALL gin.system.expire_snapshots(`table` => 'db.ops', retain_last => 2)")
+    val afterExpiry = sql(
+      "SELECT version, operation FROM gin.db.ops.snapshots ORDER BY version")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(afterExpiry.keySet == Set(7L, 8L))
+    assert(afterExpiry(7L).isEmpty,
+      "an overwrite whose base expired must not be labeled 'append'")
+    assert(afterExpiry(8L).contains("evolve-schema"))
   }
 
   test("MV procedures: create, query as a catalog table, refresh") {

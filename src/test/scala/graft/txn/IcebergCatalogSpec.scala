@@ -296,6 +296,39 @@ class IcebergCatalogSpec extends AnyFunSuite {
       s"smallint bounds must round-trip, got ${f.bounds}")
   }
 
+  test("deleteVersion reaps no manifests when a retained version's list " +
+    "cannot be READ (unknown references != no references)") {
+    val dir = mkTable()
+    Compaction.builder().withSpark(spark).withTableDir(dir)
+      .withCatalog(cat).build().compact()
+    // v3: a pure append — incremental commits REUSE v2's live manifests
+    TableWrites.appendData(dir,
+      Seq((90, "Zoe")).toDF("id", "name").coalesce(1), catalog = cat)
+    assert(cat.versions(dir) == Seq(1L, 2L, 3L))
+    val manifestsBefore = FileIO.listFiles(s"$dir/metadata").map(_._1)
+      .filter(p => p.endsWith(".avro") && !p.contains("snap-"))
+    // make the CURRENT version's manifest list transiently unreadable
+    val v3List = FileIO.listFiles(s"$dir/metadata").map(_._1)
+      .find(_.contains("snap-3-")).get
+    val saved = Files.readAllBytes(Paths.get(v3List))
+    Files.write(Paths.get(v3List), "not an avro file".getBytes)
+    cat.invalidateTable(dir) // the cache must not mask the IO failure
+    cat.deleteVersion(dir, 2L)
+    // v2's metadata + list went, but NO manifest was reaped: v3's
+    // references were unknown, and guessing "none" would have deleted
+    // manifests v3 reuses from v2
+    assert(cat.versions(dir) == Seq(1L, 3L))
+    val manifestsAfter = FileIO.listFiles(s"$dir/metadata").map(_._1)
+      .filter(p => p.endsWith(".avro") && !p.contains("snap-"))
+    assert(manifestsAfter.toSet == manifestsBefore.toSet,
+      "a transient read failure of a live version's list must not reap manifests")
+    // once the transient failure heals, the retained snapshot is intact
+    Files.write(Paths.get(v3List), saved)
+    cat.invalidateTable(dir)
+    val live = graft.sources.TableReader.read(spark, dir, catalog = cat)
+    assert(live.count() == 7) // 6 live MoR rows + the appended one
+  }
+
   test("deleteVersion drops the version's metadata, list, and manifests") {
     val dir = mkTable()
     Compaction.builder().withSpark(spark).withTableDir(dir)
