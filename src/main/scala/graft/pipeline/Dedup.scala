@@ -227,16 +227,17 @@ object Dedup {
       val joined = labels.join(viaNeighbors, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // persist keeps the DATA hot, but the logical plan still deepens
-      // by one join per round — analyzer/optimizer time grows
-      // superlinearly and an occasional round re-plans pathologically
-      // (BENCH_r02 recorded one 8x excursion on this loop). Every 3rd
-      // round localCheckpoint TRUNCATES the lineage to the materialized
-      // partitions, capping plan depth at 3 regardless of iteration
-      // count; intermediate RDDs are reclaimed by the ContextCleaner.
-      val next =
-        if ((iter + 1) % 3 == 0) joined.localCheckpoint(true)
-        else joined.persist()
+      // EVERY round eagerly localCheckpoints: the label frame is tiny
+      // (two columns, one row per node), but a persist-only loop deepens
+      // the logical plan by one join per round and the analyzer/
+      // optimizer re-plans the whole lineage TWICE per round (the
+      // checkpoint-every-3rd mitigation still let BENCH_r08 record a
+      // 35 s excursion on a 3 s query; r2 recorded 42 s). Checkpointing
+      // each round pins plan depth at one LogicalRDD + one join
+      // regardless of iteration count — the materialization job is the
+      // round's ONE substantive action, and the convergence sum then
+      // runs over the materialized partitions with a flat plan.
+      val next = joined.localCheckpoint(true)
       val s = next.agg(sum("comp")).first().getLong(0)
       labels.unpersist()
       labels = next
