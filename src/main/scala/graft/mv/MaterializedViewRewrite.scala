@@ -45,6 +45,17 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val sessionViews = registeredViews
+    // metadata loads are memoized for the LIFE OF ONE apply: a query
+    // with several aggregates over the same table probes its registry
+    // once, not once per Aggregate node (each load can be a network
+    // RPC on a REST/object-store catalog)
+    val snapMemo = scala.collection.mutable.Map[
+      (graft.txn.TableCatalog, String), Option[graft.txn.TableSnapshot]]()
+    def loadMemo(catalog: graft.txn.TableCatalog, dir: String) =
+      snapMemo.getOrElseUpdate((catalog, dir), {
+        MaterializedViewRewrite.metadataOps.incrementAndGet()
+        catalog.load(dir)
+      })
     // the aggregate's child may carry a column-pruning Project (pure
     // attribute selection — semantics-neutral for the match)
     // a pinned table (VERSION/TIMESTAMP AS OF, branch/wap refs), a
@@ -71,7 +82,16 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     plan.transformUp {
-      case agg @ Aggregate(ges, aes, child, _) if scanOf(child).isDefined =>
+      // the ProbedTag marks an Aggregate already evaluated (and MISSED)
+      // in this plan: the optimizer's fixed-point batch re-runs the
+      // rule until the plan is stable, and without the tag every
+      // iteration would re-pay the metadata loads. A miss is sticky by
+      // construction (falling back to the real aggregate is always
+      // correct); a hit removes the node entirely; a SHAPE change by
+      // another rule recreates the node without tags and re-probes.
+      case agg @ Aggregate(ges, aes, child, _)
+          if scanOf(child).isDefined &&
+            agg.getTagValue(MaterializedViewRewrite.ProbedTag).isEmpty =>
         val tbl = scanOf(child).get
         (try {
           // fast path: with no session views AND a recent negative
@@ -81,7 +101,7 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           // BRAND-NEW view starts substituting
           if (sessionViews.isEmpty &&
               MaterializedViewRewrite.knownRegistryless(tbl.dir)) None
-          else tbl.tableCatalog.load(tbl.dir).flatMap { srcSnap =>
+          else loadMemo(tbl.tableCatalog, tbl.dir).flatMap { srcSnap =>
             // candidate views: the session conf PLUS the source
             // table's own registry property (stamped by
             // create_materialized_view — zero session setup)
@@ -93,10 +113,16 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             val views = (sessionViews ++ registered).distinct
             views.iterator
               .flatMap(mv =>
-                tryRewrite(mv, tbl.dir, tbl.tableCatalog, srcSnap, ges, aes))
+                tryRewrite(mv, tbl.dir, tbl.tableCatalog, srcSnap, ges, aes,
+                  loadMemo))
               .nextOption()
           }
-        } catch { case NonFatal(_) => None }).getOrElse(agg)
+        } catch { case NonFatal(_) => None }) match {
+          case Some(rewritten) => rewritten
+          case None =>
+            agg.setTagValue(MaterializedViewRewrite.ProbedTag, true)
+            agg
+        }
     }
   }
 
@@ -112,11 +138,13 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       catalog: graft.txn.TableCatalog,
       srcSnap: graft.txn.TableSnapshot,
       ges: Seq[Expression],
-      aes: Seq[NamedExpression]): Option[LogicalPlan] =
+      aes: Seq[NamedExpression],
+      loadMemo: (graft.txn.TableCatalog, String) => Option[graft.txn.TableSnapshot]
+  ): Option[LogicalPlan] =
     try {
       // the SOURCE table's catalog also resolves the view: the MV
       // procedures create views through the session catalog's format
-      val mv = catalog.load(mvDir).getOrElse(return None)
+      val mv = loadMemo(catalog, mvDir).getOrElse(return None)
       if (!mv.properties.get(MaterializedView.SourceProp).contains(srcDir))
         return None
       val spec = MaterializedView.decodeSpec(
@@ -175,9 +203,15 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
       // the OPTIMIZED subtree: this rule runs mid-optimization, so an
       // analyzed subtree's analysis-only nodes (SubqueryAlias etc.)
-      // would reach physical planning unstripped
-      val mvPlan = TableReader.readOption(session, mvDir, catalog = catalog)
-        .getOrElse(return None).queryExecution.optimizedPlan
+      // would reach physical planning unstripped. Built ONCE per view
+      // version (the build itself re-reads metadata and re-optimizes),
+      // cached across queries, and re-instantiated with FRESH attribute
+      // ids on every use — the same query may substitute the view twice
+      // (self-join of two aggregates) and duplicate expr ids across
+      // branches would corrupt the join.
+      val mvPlan = MaterializedViewRewrite
+        .substitutedPlan(session, mvDir, catalog, mv)
+        .getOrElse(return None)
       val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
       val projections: Seq[NamedExpression] = mapped.map {
         case (ne, colName, isSum) =>
@@ -201,6 +235,58 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
 
 object MaterializedViewRewrite {
+  /** Marks an Aggregate node already probed (and missed) for MV
+    * substitution in this plan — later fixed-point iterations skip it
+    * without metadata IO. */
+  private[mv] val ProbedTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.mv.probed")
+
+  /** Rule-initiated metadata operations (snapshot loads + view plan
+    * builds) — observable so a spec can pin the per-query IO bound. */
+  private[graft] val metadataOps = new java.util.concurrent.atomic.AtomicLong
+
+  /** Substituted view plans keyed by (catalog, dir), valid while the
+    * view's (version, committedAtMs) pair is unchanged — committedAtMs
+    * disambiguates a drop/recreate that lands on the same version
+    * number. Only LEAF plans are cached (a plain table read optimizes
+    * to one scan relation); anything else is rebuilt per use. */
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[
+    (graft.txn.TableCatalog, String), (Long, Long, LogicalPlan)]()
+  private val PlanCacheCap = 200
+
+  /** The view's optimized scan plan with FRESH attribute ids. */
+  private[mv] def substitutedPlan(
+      session: SparkSession,
+      mvDir: String,
+      catalog: graft.txn.TableCatalog,
+      mv: graft.txn.TableSnapshot): Option[LogicalPlan] = {
+    val key = (catalog, mvDir)
+    val cached = planCache.get(key)
+    if (cached != null && cached._1 == mv.version &&
+        cached._2 == mv.committedAtMs)
+      // fresh attribute ids per USE: the same query may substitute the
+      // view twice (self-join of two aggregates), and duplicate ids
+      // across branches would corrupt the join. Only whole-plan LEAVES
+      // are ever cached, so re-instancing cannot dangle references
+      // from parent operators.
+      return Some(cached._3 match {
+        case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+          m.newInstance().asInstanceOf[LogicalPlan]
+        case p => p
+      })
+    metadataOps.incrementAndGet()
+    val p = TableReader.readOption(session, mvDir, catalog = catalog)
+      .getOrElse(return None).queryExecution.optimizedPlan
+    // a view WITHOUT delete files optimizes to one scan relation —
+    // cacheable; a MoR join plan is NOT cached (and needs no
+    // re-instancing: every build has fresh ids)
+    if (p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode]) {
+      if (planCache.size > PlanCacheCap) planCache.clear()
+      planCache.put(key, (mv.version, mv.committedAtMs, p))
+    }
+    Some(p)
+  }
+
   /** Negative registry cache: (source dir → (probedAtMs, hasRegistry)).
     * Used ONLY to skip the per-query metadata load when no session
     * views are configured and a recent probe found no registry — the

@@ -143,6 +143,64 @@ class MaterializedViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("per-query metadata IO is bounded: <= 2 loads once the view " +
+    "plan is cached, regardless of optimizer iterations") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
+    sql("CREATE TABLE gmvr.db.io (k STRING, v BIGINT)")
+    sql("INSERT INTO gmvr.db.io VALUES ('a', 10), ('b', 5)")
+    val srcDir = s"$wh/db/io"
+    val mvDir = Files.createTempDirectory("graft-mvrw-io").toString
+    MaterializedView.create(spark, mvDir, srcDir, Spec(Seq("k"),
+      Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n"))))
+    withViews(mvDir) {
+      def ops(body: => Unit): Long = {
+        val before = MaterializedViewRewrite.metadataOps.get()
+        body
+        MaterializedViewRewrite.metadataOps.get() - before
+      }
+      // warm-up query: pays source load + view load + ONE plan build
+      val first = ops {
+        assert(aggregates(sql(
+          "SELECT k, sum(v) s, count(*) c FROM gmvr.db.io GROUP BY k")) == 0)
+      }
+      assert(first <= 3, s"first query paid $first metadata ops")
+      // every later query: source + view snapshot loads only, however
+      // many times the fixed-point optimizer re-runs the rule
+      val later = ops {
+        assert(aggregates(sql(
+          "SELECT k, sum(v) s, count(*) c FROM gmvr.db.io GROUP BY k")) == 0)
+      }
+      assert(later <= 2, s"warm query paid $later metadata ops (want <= 2)")
+      // a MISS (uncovered shape) is also bounded: the ProbedTag stops
+      // fixed-point iterations from re-paying the probe
+      val miss = ops {
+        assert(aggregates(sql(
+          "SELECT k, max(v) m FROM gmvr.db.io GROUP BY k")) == 1)
+      }
+      assert(miss <= 2, s"miss query paid $miss metadata ops (want <= 2)")
+    }
+  }
+
+  test("one query substituting the view TWICE gets distinct attribute " +
+    "ids per branch (self-join of two aggregates)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
+    sql("CREATE TABLE gmvr.db.sj (k STRING, v BIGINT)")
+    sql("INSERT INTO gmvr.db.sj VALUES ('a', 10), ('a', 20), ('b', 5)")
+    val mvDir = Files.createTempDirectory("graft-mvrw-sj").toString
+    MaterializedView.create(spark, mvDir, s"$wh/db/sj", Spec(Seq("k"),
+      Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n"))))
+    withViews(mvDir) {
+      val q = sql(
+        """SELECT l.k, l.s + r.s AS twice
+          |FROM (SELECT k, sum(v) AS s FROM gmvr.db.sj GROUP BY k) l
+          |JOIN (SELECT k, sum(v) AS s FROM gmvr.db.sj GROUP BY k) r
+          |ON l.k = r.k""".stripMargin)
+      assert(aggregates(q) == 0, "both branches should substitute")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("a", 60L), ("b", 10L)))
+    }
+  }
+
   test("graft_changes table function surfaces the batch changelog in SQL") {
     sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
     sql("CREATE TABLE gmvr.db.ch (id BIGINT, s STRING)")
