@@ -274,6 +274,20 @@ object GraftBatchScan {
     new DeadPositions(set, bitmap)
   }
 
+  /** NORMALIZED data-file paths a position-delete file references —
+    * plan-time scoping for the snapshot diff ([[TableReader.changes]]):
+    * delete files are small, and reading their referenced paths once
+    * (same "pos" cache slot the task readers use, so one parse per JVM
+    * serves both) scopes a pos-delete commit to exactly the files it
+    * touches instead of every older-or-equal common file. */
+  private[graft] def posDeleteReferencedPaths(path: String, sizeBytes: Long,
+      conf: Configuration): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    DeleteFileCache.getOrLoad(path, sizeBytes, "pos") {
+      parsePosDeleteFile(path, conf)
+    }.keySet.asScala.toSet
+  }
+
   /** Parse one position-delete file completely: normalized data-file
     * path → its deleted ordinals, sorted ascending (enables the window
     * binary search above). Built once per file per JVM and shared

@@ -174,19 +174,41 @@ object TableReader {
 
     def deletes(s: TableSnapshot) = s.files.filter(_.content != "data")
     def delKey(f: FileEntry) = (f.path, f.sequenceNumber, f.content)
-    val changedDeletes =
-      (deletes(beforeSnap).map(delKey).toSet
-        union deletes(afterSnap).map(delKey).toSet)
-        .diff(deletes(beforeSnap).map(delKey).toSet
-          intersect deletes(afterSnap).map(delKey).toSet)
-    // An equality delete at sequence s applies to data files with seq < s;
-    // a changed position delete is taken to affect every older-or-equal
-    // common file (its referenced paths are inside the file — staying
-    // metadata-only is conservative, never wrong).
-    def affected(f: FileEntry): Boolean = changedDeletes.exists {
-      case (_, seq, "equality-deletes") => f.sequenceNumber < seq
-      case (_, seq, _)                  => f.sequenceNumber <= seq
-    }
+    val commonDelKeys = deletes(beforeSnap).map(delKey).toSet intersect
+      deletes(afterSnap).map(delKey).toSet
+    val changedDeleteEntries: Seq[FileEntry] =
+      (deletes(beforeSnap) ++ deletes(afterSnap))
+        .filterNot(f => commonDelKeys(delKey(f)))
+        .groupBy(delKey).values.map(_.head).toSeq
+    val changedDeletes = changedDeleteEntries.map(delKey).toSet
+    // An equality delete at sequence s applies to data files with seq < s.
+    // Position deletes and deletion vectors name their target files
+    // EXACTLY: vectors carry the referenced path in snapshot metadata,
+    // and a position-delete file's referenced paths are read once at
+    // plan time (delete files are small; the task readers share the
+    // same per-JVM parse) — so a pos-delete commit scopes the diff to
+    // just the files it touches, not every older-or-equal common file.
+    // An unreadable pos-delete file (concurrent expiry mid-plan) falls
+    // back to the old conservative rule for that file alone.
+    val posScopes: Seq[(FileEntry, Option[Set[String]])] =
+      changedDeleteEntries.filter(_.content == "position-deletes").map { e =>
+        e -> (try Some(GraftBatchScan.posDeleteReferencedPaths(
+            e.path, e.sizeBytes, graft.io.FileIO.hadoopConf))
+          catch { case scala.util.control.NonFatal(_) => None })
+      }
+    val exactTargets: Set[String] =
+      changedDeleteEntries.collect {
+        case e if e.content == "deletion-vectors" =>
+          e.referencedDataFile.map(ScanPlanner.normalizePath).toSeq
+      }.flatten.toSet ++ posScopes.flatMap(_._2.getOrElse(Set.empty))
+    val conservativePos = posScopes.collect { case (e, None) => e }
+    def affected(f: FileEntry): Boolean =
+      exactTargets.contains(ScanPlanner.normalizePath(f.path)) ||
+        changedDeletes.exists {
+          case (_, seq, "equality-deletes") => f.sequenceNumber < seq
+          case _ => false
+        } ||
+        conservativePos.exists(e => f.sequenceNumber <= e.sequenceNumber)
     def dataKey(f: FileEntry) = (f.path, f.sequenceNumber)
     val commonData =
       beforeSnap.files.filter(_.content == "data").map(dataKey).toSet intersect
@@ -290,7 +312,16 @@ object TableReader {
       .filter(v => v >= fromVersion && v <= toVersion)
       .flatMap(v => catalog.loadVersion(tableDir, v).map(v -> _))
       .filterNot { case (_, s) => graft.txn.Branch.isOutOfMain(s) }
-    val steps = mainVs.sliding(2).filter(_.size == 2).flatMap {
+    // step classification first, DataFrame construction second: runs of
+    // CONSECUTIVE pure-append commits fold into ONE multi-file scan with
+    // a per-file _commit_version stamp, so a thousand-append history
+    // plans O(1) scans instead of a thousand — driver-side plan size
+    // must not grow linearly in commit count at 100 TB scale
+    sealed trait ClStep
+    case class ClAppend(version: Long, snap: TableSnapshot,
+        files: Seq[graft.txn.FileEntry]) extends ClStep
+    case class ClDiff(df: DataFrame) extends ClStep
+    val rawSteps: Seq[ClStep] = mainVs.sliding(2).filter(_.size == 2).flatMap {
       case Seq((a, sa), (b, sb)) =>
         // a step where NEITHER side holds data is zero changes by
         // definition (schema-/property-only on an empty table) — and
@@ -317,15 +348,67 @@ object TableReader {
                 case _ => false // position deletes: targets unknown here
               }
             }
+          // pure DELETE commits (no data files touched) don't need the
+          // two-scan multiset diff: the change set is exactly the
+          // before-live rows the new delete files kill — one scoped
+          // scan semi-joined against the (small, broadcast) keys or
+          // positions. Falls back to the diff when the fast path can't
+          // apply exactly (schema evolution in play, unreadable refs).
+          lazy val pureEqDelete = d.addedData.isEmpty &&
+            d.removed.isEmpty && d.addedDeletes.nonEmpty &&
+            d.addedDeletes.forall(_.content == "equality-deletes")
+          lazy val purePosDelete = d.addedData.isEmpty &&
+            d.removedData.isEmpty && d.addedDeletes.nonEmpty &&
+            d.addedDeletes.forall(f =>
+              f.content == "position-deletes" ||
+                f.content == "deletion-vectors") &&
+            // replaced vectors (OR-merge writes a fresh container) are
+            // the only legal removals in a pure pos-delete commit
+            d.removedDeletes.forall(_.content == "deletion-vectors") &&
+            d.removedData.isEmpty
           if (d.isRowPreserving) None
-          else if (pureAppend)
-            liveOf(spark, sb, d.addedData).map(
-              _.withColumn("_change", lit("+"))
-                .withColumn("_commit_version", lit(b)))
-          else Some(changes(spark, tableDir, a, b, catalog)
-            .withColumn("_commit_version", lit(b)))
+          else if (pureAppend) Some(ClAppend(b, sb, d.addedData))
+          else if (pureEqDelete)
+            eqDeleteStep(spark, sa, d.addedDeletes)
+              .map(df => ClDiff(df.withColumn("_commit_version", lit(b))))
+              .orElse(Some(ClDiff(changes(spark, tableDir, a, b, catalog)
+                .withColumn("_commit_version", lit(b)))))
+          else if (purePosDelete)
+            posDeleteStep(spark, sa, d.addedDeletes)
+              .map(df => ClDiff(df.withColumn("_commit_version", lit(b))))
+              .orElse(Some(ClDiff(changes(spark, tableDir, a, b, catalog)
+                .withColumn("_commit_version", lit(b)))))
+          else Some(ClDiff(changes(spark, tableDir, a, b, catalog)
+            .withColumn("_commit_version", lit(b))))
         }
     }.toSeq
+    // group maximal runs of consecutive appends
+    val groups: Seq[Seq[ClStep]] = rawSteps
+      .foldLeft(List.empty[List[ClStep]]) {
+        case ((cur @ ((_: ClAppend) :: _)) :: rest, s: ClAppend) =>
+          (s :: cur) :: rest
+        case (acc, s) => List(s) :: acc
+      }.map(_.reverse).reverse
+    val steps: Seq[DataFrame] = groups.flatMap {
+      case Seq(ClDiff(df)) => Some(df)
+      case Seq(ClAppend(v, snap, files)) =>
+        liveOf(spark, snap, files).map(
+          _.withColumn("_change", lit("+"))
+            .withColumn("_commit_version", lit(v)))
+      case appends =>
+        val run = appends.collect { case a: ClAppend => a }
+        foldedAppendRun(spark, run.map(a => (a.version, a.snap, a.files))).orElse {
+          // schema reconciliation inside the run: per-commit scans —
+          // each resolves its files under its own interval-end snapshot
+          val perCommit = run.flatMap(a =>
+            liveOf(spark, a.snap, a.files).map(
+              _.withColumn("_change", lit("+"))
+                .withColumn("_commit_version", lit(a.version))))
+          if (perCommit.isEmpty) None
+          else Some(perCommit.reduce(
+            _.unionByName(_, allowMissingColumns = true)))
+        }
+    }
     if (steps.isEmpty) {
       // every step skipped (rewrite-/conversion-only interval) or no
       // data anywhere: an EMPTY changelog, shaped by the interval-end
@@ -343,11 +426,145 @@ object TableReader {
     // unionByName(allowMissing): steps straddling a schema evolution
     // widen to the union; pre-evolution steps carry nulls for columns
     // born later (each step's rows are already reconciled to ITS
-    // interval-end schema by changes())
-    steps.reduce(_.unionByName(_, allowMissingColumns = true))
+    // interval-end schema by changes()). BALANCED-TREE reduce: a linear
+    // fold nests the plan `steps` deep and analyzer/optimizer recursion
+    // cost grows superlinearly with commit count — the tree keeps plan
+    // DEPTH logarithmic in the step count.
+    balancedUnion(steps)
       .withColumn("_change_type",
         when(col("_change") === "+", lit("insert")).otherwise(lit("delete")))
       .drop("_change")
+  }
+
+  /** unionByName(allowMissing) over `dfs` as a balanced tree (depth
+    * O(log n) instead of the linear fold's O(n)). */
+  private def balancedUnion(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.size == 1) dfs.head
+    else balancedUnion(dfs.grouped(2).map {
+      case Seq(a, b) => a.unionByName(b, allowMissingColumns = true)
+      case Seq(a) => a
+    }.toSeq)
+
+  /** A run of >= 2 consecutive pure-append commits as ONE scan: all the
+    * runs' added files read together (they share one snapshot's schema
+    * resolution — the run's LAST), each row's `_commit_version` stamped
+    * from a literal path→version map on the hidden file-path column.
+    * None when the run straddles a schema evolution (per-file schema
+    * ids differ from the final snapshot's resolution) — the caller
+    * falls back to per-commit scans. */
+  private def foldedAppendRun(spark: SparkSession,
+      run: Seq[(Long, TableSnapshot, Seq[graft.txn.FileEntry])]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val last = run.last._2
+    val files = run.flatMap(_._3)
+    val stamped =
+      if (last.schemas.isEmpty) files
+      else files.map(f =>
+        if (f.schemaId >= 0) f else f.copy(schemaId = last.schemaId))
+    val tasks = ScanPlanner.toInputTasks(stamped.map(_.toTask))
+    if (tasks.dataFiles.isEmpty) return None
+    if (SchemaReconcile.needed(last.schemas, last.schemaId, tasks)) return None
+    val rows = SparkCompactionExecutor.liveRows(spark, tasks, keepLineage = true)
+    val verByPath: Map[String, Long] = run.flatMap { case (v, _, fs) =>
+      fs.map(f => ScanPlanner.normalizePath(f.path) -> v)
+    }.toMap
+    val userCols = rows.columns.toSeq.filterNot(c =>
+      c == graft.plans.MergeOnRead.SysHiddenFilePath ||
+        c == graft.plans.MergeOnRead.SysHiddenPos)
+    Some(rows
+      .withColumn("_commit_version",
+        element_at(typedLit(verByPath),
+          col(graft.plans.MergeOnRead.SysHiddenFilePath)))
+      .withColumn("_change", lit("+"))
+      .select((userCols :+ "_commit_version" :+ "_change").map(col): _*))
+  }
+
+  /** Parsed broadcast-size gate (mirrors the executor's join gate). */
+  private def broadcastableBytes(spark: SparkSession, bytes: Long): Boolean = {
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val thr = raw.toLongOption.getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+    bytes > 0 && bytes < thr
+  }
+
+  /** Change rows of a PURE equality-delete commit: before-live rows
+    * matching any added delete file's keys, as `-` rows — one scan +
+    * per-file (broadcast-gated) semi-joins instead of the two-scan
+    * multiset diff. None when exactness can't be guaranteed without the
+    * diff (schema evolution in play). */
+  private def eqDeleteStep(spark: SparkSession, sa: TableSnapshot,
+      added: Seq[graft.txn.FileEntry]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    // the raw parquet key read below uses the files' own column names:
+    // only exact when no schema history complicates resolution
+    if (sa.schemas.nonEmpty &&
+        (sa.files ++ added).exists(f => f.schemaId >= 0 && f.schemaId != sa.schemaId))
+      return None
+    if (added.exists(_.equalityIds.isEmpty)) return None
+    liveOf(spark, sa, sa.files).map { live0 =>
+      var remaining = live0
+      val dying = added.map { del =>
+        val keys0 = spark.read.parquet(del.path)
+          .select(del.equalityIds.map(col): _*).distinct()
+        val keys = if (broadcastableBytes(spark, del.sizeBytes))
+          broadcast(keys0) else keys0
+        val d = remaining.as("d")
+        val k = keys.as("k")
+        val cond = del.equalityIds
+          .map(c => col(s"d.$c") === col(s"k.$c")).reduce(_ && _)
+        val hit = d.join(k, cond, "left_semi")
+        // rows already claimed by an earlier delete file in this commit
+        // must not die twice (multiset exactness)
+        remaining = d.join(k, cond, "left_anti")
+        hit
+      }
+      dying.reduce(_ unionByName _).withColumn("_change", lit("-"))
+    }
+  }
+
+  /** Change rows of a PURE position-delete / deletion-vector commit:
+    * before-live rows of the REFERENCED files at the newly-deleted
+    * ordinals, as `-` rows. Scans only the referenced files; rows a
+    * replaced vector had already killed are absent from the before-live
+    * frame, so the semi-join emits exactly the newly-dead rows. */
+  private def posDeleteStep(spark: SparkSession, sa: TableSnapshot,
+      added: Seq[graft.txn.FileEntry]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val refs: Set[String] =
+      try added.flatMap { e =>
+        e.content match {
+          case "deletion-vectors" =>
+            Seq(e.referencedDataFile.map(ScanPlanner.normalizePath)
+              .getOrElse(return None))
+          case _ =>
+            GraftBatchScan.posDeleteReferencedPaths(
+              e.path, e.sizeBytes, graft.io.FileIO.hadoopConf).toSeq
+        }
+      }.toSet
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val scoped = sa.files.filter(f =>
+      f.content != "data" || refs.contains(ScanPlanner.normalizePath(f.path)))
+    val stamped =
+      if (sa.schemas.isEmpty) scoped
+      else scoped.map(f =>
+        if (f.schemaId >= 0) f else f.copy(schemaId = sa.schemaId))
+    val tasks = ScanPlanner.toInputTasks(stamped.map(_.toTask))
+    if (tasks.dataFiles.isEmpty) return None
+    if (SchemaReconcile.needed(sa.schemas, sa.schemaId, tasks)) return None
+    val rows = SparkCompactionExecutor.liveRows(spark, tasks, keepLineage = true)
+    val posTasks = added.map(_.toTask)
+    val pos0 = ScanPlanner.readPositionDeletes(spark, posTasks)
+      .getOrElse(return None)
+    val pos = if (broadcastableBytes(spark, added.map(_.sizeBytes).sum))
+      broadcast(pos0) else pos0
+    val userCols = rows.columns.toSeq.filterNot(c =>
+      c == graft.plans.MergeOnRead.SysHiddenFilePath ||
+        c == graft.plans.MergeOnRead.SysHiddenPos)
+    Some(rows
+      .join(pos, Seq(graft.plans.MergeOnRead.SysHiddenFilePath,
+        graft.plans.MergeOnRead.SysHiddenPos), "left_semi")
+      .select(userCols.map(col): _*)
+      .withColumn("_change", lit("-")))
   }
 
   /** Live rows of a FILE SUBSET under `snap`'s schema resolution — the

@@ -54,6 +54,77 @@ class ChangelogSpec extends AnyFunSuite {
     assert(net == TableReader.read(spark, dir).collect().map(_.getLong(0)).toSet)
   }
 
+  test("a 200-commit append history plans SUBLINEARLY many nodes " +
+    "(consecutive appends fold into one scan)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-chlog-deep").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    (0 until 200).foreach { i =>
+      TableWrites.appendData(dir,
+        Seq(i.toLong).toDF("id").coalesce(1))
+    }
+    val to = TableMetadata.loadOrThrow(dir).version
+    assert(to == 201)
+    val cl = TableReader.changelog(spark, dir, 1, to)
+    // the whole run folds into ONE multi-file scan + the version stamp:
+    // plan size must not scale with commit count (a linear union chain
+    // was O(commits) nodes and superlinear analysis time)
+    val nodes = cl.queryExecution.optimizedPlan
+      .collect { case p => p }.size
+    assert(nodes <= 20,
+      s"changelog plan has $nodes nodes for 200 commits — not sublinear")
+    // attribution is still exact per commit
+    val got = rows(cl)
+    assert(got == (0 until 200).map(i => (i.toLong, "insert", i + 2L)).toSet)
+    // a diff step in the middle splits the run but stays bounded:
+    // appends then a delete then more appends -> 3 groups
+    TableWrites.appendEqualityDeletes(dir, Seq(5L).toDF("id"), Seq("id"))
+    (200 until 250).foreach { i =>
+      TableWrites.appendData(dir, Seq(i.toLong).toDF("id").coalesce(1))
+    }
+    val to2 = TableMetadata.loadOrThrow(dir).version
+    val cl2 = TableReader.changelog(spark, dir, 1, to2)
+    val nodes2 = cl2.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nodes2 <= 60,
+      s"split-run changelog plan has $nodes2 nodes — not bounded")
+    val got2 = rows(cl2)
+    assert(got2.contains((5L, "delete", 202L)))
+    assert((200 until 250).forall(i => got2.contains((i.toLong, "insert", i + 3L))))
+  }
+
+  test("a pos-delete commit diffs ONLY the file it references, not " +
+    "every older common file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-chlog-scope").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir, (0L until 5L).toDF("id").coalesce(1))   // v2: f1
+    TableWrites.appendData(dir, (10L until 15L).toDF("id").coalesce(1)) // v3: f2
+    val f1 = TableMetadata.loadOrThrow(dir).files
+      .filter(_.content == "data").minBy(_.sequenceNumber)
+    TableWrites.appendPositionDeletes(dir,                               // v4
+      Seq((f1.path, 0L)).toDF("file_path", "pos"))
+    val diff = TableReader.changes(spark, dir, 3, 4)
+    // the diff's scan must touch f1 only: the pos-delete file's
+    // referenced paths are read at plan time, so f2 (untouched, equal
+    // on both sides) is dropped before any IO
+    val scanned: Set[String] = diff.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten.map(ScanPlanner.normalizePath).toSet
+    val dataScanned = scanned.filter(_.contains("/append-"))
+    assert(dataScanned.forall(p => p == ScanPlanner.normalizePath(f1.path)),
+      s"diff scanned beyond the referenced file: $dataScanned")
+    assert(dataScanned.nonEmpty, "diff must scan the referenced file")
+    // and the change set is exactly the one deleted row
+    val got = diff.collect().map(r =>
+      (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("_change")))).toSet
+    assert(got == Set((0L, "-")))
+  }
+
   test("interval scoping: a sub-range attributes only its own commits") {
     val dir = buildTable()
     assert(rows(TableReader.changelog(spark, dir, 3, 5)) ==
