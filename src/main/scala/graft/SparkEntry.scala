@@ -47,6 +47,7 @@ object SparkEntry {
       ("cdc_changelog" -> (graft.queries.ChangelogQuery.run _)) +
       ("stream_changelog" -> (graft.queries.StreamTailQuery.runChangelog _)) +
       ("mv_incremental" -> (graft.queries.MaterializedViewQuery.run _)) +
+      ("mv_rollup" -> (graft.queries.MaterializedViewQuery.runRollup _)) +
       ("sql_bloom" -> (graft.queries.SqlCatalogQuery.runBloom _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
@@ -93,6 +94,7 @@ object SparkEntry {
       ("cdc_changelog" -> graft.queries.ChangelogQuery.oracle) +
       ("stream_changelog" -> graft.queries.StreamTailQuery.changelogOracle) +
       ("mv_incremental" -> graft.queries.MaterializedViewQuery.oracle) +
+      ("mv_rollup" -> graft.queries.MaterializedViewQuery.rollupOracle) +
       ("sql_bloom" -> graft.queries.SqlCatalogQuery.bloomOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +

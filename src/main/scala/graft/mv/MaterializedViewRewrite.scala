@@ -150,13 +150,18 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       val spec = MaterializedView.decodeSpec(
         mv.properties(MaterializedView.SpecProp))
 
-      // grouping must be exactly the view's group columns
+      // grouping: exactly the view's group columns (direct
+      // substitution), or a STRICT SUBSET of them (rollup
+      // compensation — the view's per-group sums/counts re-aggregate)
       val groupNames = ges.map {
         case a: AttributeReference => a.name
         case _ => return None
       }
-      if (groupNames.toSet != spec.group.toSet ||
-          groupNames.size != spec.group.size) return None
+      if (groupNames.distinct.size != groupNames.size) return None
+      val isExact = groupNames.toSet == spec.group.toSet &&
+        groupNames.size == spec.group.size
+      val isRollup = !isExact && groupNames.toSet.subsetOf(spec.group.toSet)
+      if (!isExact && !isRollup) return None
 
       // every output resolves to a view column
       val byFnCol: Map[(String, String), String] =
@@ -213,23 +218,62 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         .substitutedPlan(session, mvDir, catalog, mv)
         .getOrElse(return None)
       val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
-      val projections: Seq[NamedExpression] = mapped.map {
-        case (ne, colName, isSum) =>
-          val target = ne.toAttribute
-          val src = mvAttr.getOrElse(colName, return None)
-          // SQL null semantics for substituted sums: the stored total
-          // is 0-based; the paired non-null count decides NULL
-          val value: Expression =
-            if (isSum) {
-              val nn = mvAttr.getOrElse(
-                MaterializedView.nnCol(colName), return None)
-              If(GreaterThan(nn, Literal(0L)), src,
-                Literal.create(null, LongType))
-            } else src
-          Alias(value, target.name)(exprId = target.exprId)
+      if (isExact) {
+        val projections: Seq[NamedExpression] = mapped.map {
+          case (ne, colName, isSum) =>
+            val target = ne.toAttribute
+            val src = mvAttr.getOrElse(colName, return None)
+            // SQL null semantics for substituted sums: the stored total
+            // is 0-based; the paired non-null count decides NULL
+            val value: Expression =
+              if (isSum) {
+                val nn = mvAttr.getOrElse(
+                  MaterializedView.nnCol(colName), return None)
+                If(GreaterThan(nn, Literal(0L)), src,
+                  Literal.create(null, LongType))
+              } else src
+            Alias(value, target.name)(exprId = target.exprId)
+        }
+        logInfo(s"rewriting aggregate over $srcDir to materialized view $mvDir")
+        Some(Project(projections, mvPlan))
+      } else {
+        // ROLLUP COMPENSATION: GROUP BY a strict subset of the view's
+        // group columns re-aggregates the (tiny) view — sums sum,
+        // counts sum, and NULL sums are decided by the summed non-null
+        // counts. Counts coalesce to 0 so even a GROUP BY () over an
+        // all-deleted view matches SQL (count 0, sum NULL).
+        def reAgg(a: Attribute): Expression =
+          Sum(a).toAggregateExpression()
+        val projections: Seq[NamedExpression] = mapped.map {
+          case (ne, colName, isSum) =>
+            val target = ne.toAttribute
+            val value: Expression =
+              if (groupNames.contains(colName))
+                mvAttr.getOrElse(colName, return None)
+              else if (isSum) {
+                val stored = mvAttr.getOrElse(colName, return None)
+                val nn = mvAttr.getOrElse(
+                  MaterializedView.nnCol(colName), return None)
+                If(GreaterThan(
+                    Coalesce(Seq(reAgg(nn), Literal(0L))), Literal(0L)),
+                  reAgg(stored), Literal.create(null, LongType))
+              } else {
+                val stored = mvAttr.getOrElse(colName, return None)
+                Coalesce(Seq(reAgg(stored), Literal(0L)))
+              }
+            Alias(value, target.name)(exprId = target.exprId)
+        }
+        val groupingExprs: Seq[Expression] =
+          groupNames.map(n => mvAttr.getOrElse(n, return None))
+        val rolled = Aggregate(groupingExprs, projections, mvPlan)
+        // the new Aggregate sits over the VIEW's scan: pre-tag it so
+        // later fixed-point iterations don't probe the view table's
+        // (nonexistent) registry
+        rolled.setTagValue(MaterializedViewRewrite.ProbedTag, true)
+        logInfo(s"rolling up materialized view $mvDir for a subset " +
+          s"grouping over $srcDir")
+        Some(rolled)
       }
-      logInfo(s"rewriting aggregate over $srcDir to materialized view $mvDir")
-      Some(Project(projections, mvPlan))
     } catch { case NonFatal(_) => None }
 }
 

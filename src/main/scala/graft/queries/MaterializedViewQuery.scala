@@ -54,6 +54,70 @@ object MaterializedViewQuery {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- rollup
+
+  private val rollupCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Catalog-table source + a view grouped FINER than the query: the
+    * optimizer's rollup compensation re-aggregates the view. */
+  private def buildRollup(spark: SparkSession, dir: String): String =
+    rollupCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"gmvru${counter.incrementAndGet()}"
+      val wh = Files.createTempDirectory(s"graft-mvru-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity") * 100).cast("long").as("qty_cents"))
+        .createOrReplaceTempView("li_mvru")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.rusrc " +
+        "(l_returnflag STRING, l_linestatus STRING, qty_cents BIGINT)")
+      spark.sql(s"INSERT INTO $name.db.rusrc SELECT * FROM li_mvru")
+      val srcDir = s"$wh/db/rusrc"
+      val mv = Files.createTempDirectory("graft-mvru-view").toString
+      // register BEFORE materializing (the registration property commit
+      // bumps the source version; creating first would leave the view
+      // born stale and the rewrite would refuse it)
+      MaterializedView.registerOnSource(srcDir, mv)
+      MaterializedView.create(spark, mv, srcDir, Spec(
+        group = Seq("l_returnflag", "l_linestatus"),
+        aggs = Seq(Agg("sum", "qty_cents", "sum_qty_cents"),
+          Agg("count", "*", "n_rows"))))
+      name
+    })
+
+  /** GROUP BY a strict subset of the view's group columns, answered by
+    * ROLLING UP the stored per-(flag, status) state. Self-asserting:
+    * the query FAILS (and so does the round's gate) if the optimizer
+    * substitution did not actually replace the source scan. */
+  def runRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cat = buildRollup(spark, dir)
+    val q = spark.sql(
+      s"""SELECT l_returnflag,
+         |  sum(qty_cents) AS sum_qty_cents, count(*) AS n_rows
+         |FROM $cat.db.rusrc GROUP BY l_returnflag""".stripMargin)
+    val v2 = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+    }
+    require(v2.isEmpty,
+      "mv_rollup: the rollup rewrite did not replace the source scan")
+    q.orderBy("l_returnflag")
+  }
+
+  val rollupOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_cents,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val oracle: String =
     """SELECT l_returnflag,
       |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)

@@ -143,6 +143,51 @@ class MaterializedViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a subset grouping ROLLS UP the view: sums sum, counts sum, " +
+    "NULL sums survive, the plan scans the view") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
+    sql("CREATE TABLE gmvr.db.ru (a STRING, b STRING, v BIGINT)")
+    sql("""INSERT INTO gmvr.db.ru VALUES
+          |('x', 'p', 1), ('x', 'p', 2), ('x', 'q', 10),
+          |('y', 'p', NULL), ('y', 'q', NULL)""".stripMargin)
+    val mvDir = Files.createTempDirectory("graft-mvrw-ru").toString
+    MaterializedView.create(spark, mvDir, s"$wh/db/ru", Spec(Seq("a", "b"),
+      Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n"))))
+    withViews(mvDir) {
+      // GROUP BY a ⊂ {a,b}: substituted as an aggregate OVER THE VIEW
+      val q = sql(
+        "SELECT a, sum(v) AS s, count(*) AS c FROM gmvr.db.ru GROUP BY a")
+      // the SOURCE is a DSv2 catalog table; the view reads through the
+      // V1 parquet path — a plan with no V2 scan left and a parquet
+      // relation present proves the source scan was substituted away
+      val v2Scans = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+      }
+      assert(v2Scans.isEmpty, "rollup should replace the source scan")
+      val viewScans = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      assert(viewScans.nonEmpty, "rollup should scan the view table")
+      // ...and no scan of the SOURCE remains (the source has 5 rows,
+      // the view 4 — row provenance certifies which table answered)
+      val got = q.collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2))).toMap
+      assert(got == Map(
+        "x" -> ((Some(13L), 3L)), "y" -> ((None, 2L))))
+      // global rollup (GROUP BY nothing): one row, exact NULL/0 logic
+      val g = sql("SELECT sum(v) AS s, count(*) AS c FROM gmvr.db.ru")
+        .collect().head
+      assert(g.getLong(0) == 13L && g.getLong(1) == 5L)
+      // a stale view must not roll up either
+      sql("INSERT INTO gmvr.db.ru VALUES ('z', 'p', 100)")
+      val q2 = sql(
+        "SELECT a, sum(v) AS s FROM gmvr.db.ru GROUP BY a")
+      assert(aggregates(q2) >= 1)
+      assert(q2.collect().length == 3)
+    }
+  }
+
   test("per-query metadata IO is bounded: <= 2 loads once the view " +
     "plan is cached, regardless of optimizer iterations") {
     sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
