@@ -4,7 +4,7 @@ import graft.sources.TableReader
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -73,12 +73,30 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           Some(t)
         case _ => None
       }
-    def scanOf(child: LogicalPlan): Option[graft.streaming.GraftTable] =
+    // A deterministic, subquery-free Filter between aggregate and scan
+    // is COMPENSATABLE when it references only the view's group columns
+    // (checked later against the candidate spec): filtering the view's
+    // rows removes exactly the same whole groups the source filter
+    // removes. The returned condition is None for a bare scan.
+    def plainFilter(cond: Expression): Boolean =
+      cond.deterministic &&
+        cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty
+    def attrsOnly(projList: Seq[NamedExpression]): Boolean =
+      projList.forall(_.isInstanceOf[AttributeReference])
+    def scanOf(child: LogicalPlan)
+        : Option[(graft.streaming.GraftTable, Option[Expression])] =
       child match {
-        case rel: DataSourceV2Relation => usable(rel)
-        case Project(projList, rel: DataSourceV2Relation)
-            if projList.forall(_.isInstanceOf[AttributeReference]) =>
-          usable(rel)
+        case rel: DataSourceV2Relation => usable(rel).map(_ -> None)
+        case Project(p, rel: DataSourceV2Relation) if attrsOnly(p) =>
+          usable(rel).map(_ -> None)
+        case Filter(cond, rel: DataSourceV2Relation) if plainFilter(cond) =>
+          usable(rel).map(_ -> Some(cond))
+        case Project(p, Filter(cond, rel: DataSourceV2Relation))
+            if attrsOnly(p) && plainFilter(cond) =>
+          usable(rel).map(_ -> Some(cond))
+        case Filter(cond, Project(p, rel: DataSourceV2Relation))
+            if attrsOnly(p) && plainFilter(cond) =>
+          usable(rel).map(_ -> Some(cond))
         case _ => None
       }
     plan.transformUp {
@@ -92,7 +110,7 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case agg @ Aggregate(ges, aes, child, _)
           if scanOf(child).isDefined &&
             agg.getTagValue(MaterializedViewRewrite.ProbedTag).isEmpty =>
-        val tbl = scanOf(child).get
+        val (tbl, srcFilter) = scanOf(child).get
         (try {
           // fast path: with no session views AND a recent negative
           // probe of this table's registry, skip the metadata load
@@ -114,7 +132,7 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             views.iterator
               .flatMap(mv =>
                 tryRewrite(mv, tbl.dir, tbl.tableCatalog, srcSnap, ges, aes,
-                  loadMemo))
+                  srcFilter, loadMemo))
               .nextOption()
           }
         } catch { case NonFatal(_) => None }) match {
@@ -139,6 +157,7 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       srcSnap: graft.txn.TableSnapshot,
       ges: Seq[Expression],
       aes: Seq[NamedExpression],
+      srcFilter: Option[Expression],
       loadMemo: (graft.txn.TableCatalog, String) => Option[graft.txn.TableSnapshot]
   ): Option[LogicalPlan] =
     try {
@@ -162,6 +181,14 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         groupNames.size == spec.group.size
       val isRollup = !isExact && groupNames.toSet.subsetOf(spec.group.toSet)
       if (!isExact && !isRollup) return None
+
+      // filter compensation: a WHERE on view GROUP columns removes
+      // whole groups, so applying it to the stored state is exact;
+      // anything referencing a non-group column kills the match
+      srcFilter.foreach { cond =>
+        val refs = cond.references.toSeq.map(_.name)
+        if (!refs.forall(spec.group.contains)) return None
+      }
 
       // every output resolves to a view column
       val byFnCol: Map[(String, String), String] =
@@ -217,7 +244,20 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       val mvPlan = MaterializedViewRewrite
         .substitutedPlan(session, mvDir, catalog, mv)
         .getOrElse(return None)
-      val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
+      val mvAttr0 = mvPlan.output.map(a => a.name -> a).toMap
+      // compensated filter: the source condition re-anchored on the
+      // view's own attributes (names match; group columns are stored
+      // verbatim)
+      val mvBase: LogicalPlan = srcFilter match {
+        case None => mvPlan
+        case Some(cond) =>
+          val mapped = cond.transformUp {
+            case a: AttributeReference =>
+              mvAttr0.getOrElse(a.name, return None)
+          }
+          Filter(mapped, mvPlan)
+      }
+      val mvAttr = mvAttr0
       if (isExact) {
         val projections: Seq[NamedExpression] = mapped.map {
           case (ne, colName, isSum) =>
@@ -235,7 +275,7 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             Alias(value, target.name)(exprId = target.exprId)
         }
         logInfo(s"rewriting aggregate over $srcDir to materialized view $mvDir")
-        Some(Project(projections, mvPlan))
+        Some(Project(projections, mvBase))
       } else {
         // ROLLUP COMPENSATION: GROUP BY a strict subset of the view's
         // group columns re-aggregates the (tiny) view — sums sum,
@@ -265,7 +305,7 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         }
         val groupingExprs: Seq[Expression] =
           groupNames.map(n => mvAttr.getOrElse(n, return None))
-        val rolled = Aggregate(groupingExprs, projections, mvPlan)
+        val rolled = Aggregate(groupingExprs, projections, mvBase)
         // the new Aggregate sits over the VIEW's scan: pre-tag it so
         // later fixed-point iterations don't probe the view table's
         // (nonexistent) registry

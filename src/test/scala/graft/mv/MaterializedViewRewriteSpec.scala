@@ -188,6 +188,44 @@ class MaterializedViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a WHERE on group columns is COMPENSATED by filtering the view; " +
+    "non-group filters fall back") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
+    sql("CREATE TABLE gmvr.db.fc (a STRING, b STRING, v BIGINT)")
+    sql("""INSERT INTO gmvr.db.fc VALUES
+          |('x', 'p', 1), ('x', 'q', 2), ('y', 'p', 10), ('y', 'q', 20)""".stripMargin)
+    val mvDir = Files.createTempDirectory("graft-mvrw-fc").toString
+    MaterializedView.create(spark, mvDir, s"$wh/db/fc", Spec(Seq("a", "b"),
+      Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n"))))
+    withViews(mvDir) {
+      // exact grouping + filter on a group column: view filtered, no
+      // aggregate left in the plan
+      val q1 = sql("SELECT a, b, sum(v) AS s, count(*) AS c " +
+        "FROM gmvr.db.fc WHERE a = 'x' GROUP BY a, b")
+      assert(aggregates(q1) == 0, "exact+filter should substitute")
+      assert(q1.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+        Set(("x", "p", 1L), ("x", "q", 2L)))
+      // subset grouping + filter on the FINER group column: rollup of
+      // the filtered view
+      val q2 = sql("SELECT a, sum(v) AS s FROM gmvr.db.fc " +
+        "WHERE b = 'p' GROUP BY a")
+      val v2Scans = q2.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+      }
+      assert(v2Scans.isEmpty, "rollup+filter should replace the source scan")
+      assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("x", 1L), ("y", 10L)))
+      // a filter on a NON-group column must never substitute
+      val q3 = sql("SELECT a, sum(v) AS s FROM gmvr.db.fc " +
+        "WHERE v > 1 GROUP BY a")
+      assert(aggregates(q3) >= 1, "non-group filter must fall back")
+      assert(q3.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("x", 2L), ("y", 30L)))
+    }
+  }
+
   test("per-query metadata IO is bounded: <= 2 loads once the view " +
     "plan is cached, regardless of optimizer iterations") {
     sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
