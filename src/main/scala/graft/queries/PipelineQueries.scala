@@ -21,6 +21,19 @@ object PipelineQueries {
     TextAnalysis.tokenCounts(documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Greedy sequence packing ([[graft.pipeline.Packing]]): whitespace
+    * token counts, budget 256, 8 deterministic buckets. The oracle is a
+    * DuckDB recursive CTE replaying the same per-bucket greedy fill —
+    * the hash match certifies the distributed packing is bit-identical
+    * to the sequential definition. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokenCounts(documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_ws_tokens"))
+    graft.pipeline.Packing.packSequences(
+      toks, "doc_id", "n_ws_tokens", budget = 256L, buckets = 8)
+      .orderBy("doc_id")
+  }
+
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
@@ -489,6 +502,28 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" -> ivfTrainedOracle,
     "ann_pq" -> pqOracle,
+    "sequence_pack" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, doc_id % 8 AS bucket,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, bucket, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS pack, CAST(0 AS BIGINT) AS pack_pos,
+        |    n_tokens AS fill
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.doc_id, d.bucket, d.n_tokens, d.rn,
+        |    CASE WHEN p.fill + d.n_tokens <= 256 THEN p.pack
+        |         ELSE p.pack + 1 END,
+        |    CASE WHEN p.fill + d.n_tokens <= 256 THEN p.pack_pos + 1
+        |         ELSE CAST(0 AS BIGINT) END,
+        |    CASE WHEN p.fill + d.n_tokens <= 256 THEN p.fill + d.n_tokens
+        |         ELSE d.n_tokens END
+        |  FROM docs d JOIN packed p ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+        |SELECT doc_id, bucket, pack, pack_pos FROM packed
+        |ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens,
@@ -792,6 +827,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "token_count" -> (tokenCount _),
+    "sequence_pack" -> (sequencePack _),
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),

@@ -85,6 +85,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(comp == (0 until n).map(i => i.toLong -> 0L).toMap)
   }
 
+  test("sequence packing: greedy fill, oversized docs pack alone, " +
+    "bucket state resets, deterministic under shuffle") {
+    import graft.pipeline.Packing
+    // bucket 0: ids 0,4,8,12 tokens 100,100,100,300 (budget 256)
+    //   -> packs [0,4] [8] [12 oversized alone]
+    // bucket 1: ids 1,5 tokens 256,1 -> [1 exactly-full] [5]
+    val docs = Seq(
+      (0L, 100L), (4L, 100L), (8L, 100L), (12L, 300L),
+      (1L, 256L), (5L, 1L)
+    ).toDF("doc_id", "n_tokens")
+    val got = Packing.packSequences(docs, "doc_id", "n_tokens",
+      budget = 256L, buckets = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      0L -> ((0L, 0L, 0L)), 4L -> ((0L, 0L, 1L)),
+      8L -> ((0L, 1L, 0L)), 12L -> ((0L, 2L, 0L)),
+      1L -> ((1L, 0L, 0L)), 5L -> ((1L, 1L, 0L))))
+    // determinism: a pre-scrambled input packs identically
+    val scrambled = Packing.packSequences(
+      docs.repartition(7), "doc_id", "n_tokens", 256L, 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(scrambled == got)
+  }
+
   test("ngram jaccard: exact dup = 1000, near-dup above 500") {
     val all = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0)
       .as[(Long, Long, Long)].collect()
