@@ -255,6 +255,58 @@ object Dedup {
     labels
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the embedding space with k-means, then
+    * compare pairs ONLY within a cluster — a doc is a duplicate iff a
+    * LOWER-ID doc in its cluster has cosine >= the threshold. The
+    * clustering bounds pair cost to Σ|cluster|² instead of |corpus|²;
+    * at 100 TB the centroid count is the knob that keeps clusters
+    * small (centroids broadcast, assignment is a narrow pass, and the
+    * only shuffle is the per-cluster self-join key).
+    *
+    * Training reuses [[Similarity.IntKMeans]] — quantized x1e6 integer
+    * Lloyd — so clustering, assignment, and the keep/drop decision all
+    * replay bit-for-bit in the DuckDB oracle (`dedup_semantic`).
+    *
+    * @return (vec_id, cluster, is_dup) — one row per vector. */
+  def semanticDedup(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosineX1e6: Long,
+      numCentroids: Int = 16,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    import Similarity.IntKMeans
+    val t = vectors.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"))
+    val tq = t.withColumn("px", IntKMeans.quant(col("v"))).persist()
+    try {
+      val cents = IntKMeans.train(tq.select("vec_id", "px"), "vec_id", "px",
+        numCentroids, lloydIters)
+      val assigned = IntKMeans.assign(tq, "px", "vec_id", cents, keep = 1)
+        .drop("px").persist()
+      try {
+        val a = assigned.select(col("cid"), col("vec_id").as("a_id"),
+          col("v").as("a_v"))
+        val b = assigned.select(col("cid"), col("vec_id").as("b_id"),
+          col("v").as("b_v"))
+        val dupIds = a.join(b, Seq("cid"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(round(cosine(col("a_v"), col("b_v")) * 1e6).cast("long")
+            >= minCosineX1e6)
+          .select(col("b_id").as("vec_id")).distinct()
+        assigned
+          .join(dupIds.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid").as("cluster"),
+            coalesce(col("__dup"), lit(false)).as("is_dup"))
+          // materialize before unpersist: callers get a stable frame
+          .localCheckpoint(true)
+      } finally assigned.unpersist()
+    } finally tq.unpersist()
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold within a block. */
   def embeddingPairs(
       vectors: DataFrame,

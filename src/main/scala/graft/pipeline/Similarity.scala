@@ -146,19 +146,18 @@ object Similarity {
     * group-by the surviving assignments). Final re-rank still uses exact
     * float cosine on the original vectors.
     */
-  def ivfTopKTrained(
-      queries: DataFrame, // (query_id, qv)
-      corpus: DataFrame,  // (vec_id, v)
-      k: Int,
-      numCentroids: Int = 16,
-      nProbe: Int = 4,
-      lloydIters: Int = 2
-  ): DataFrame = {
+  /** Integer-exact k-means, shared by [[ivfTopKTrained]], [[pqTopK]]'s
+    * recipe, and [[Dedup.semanticDedup]]: vectors quantize x1e6 to
+    * longs, distances are exact integer L2, means floor-divide — every
+    * step replays bit-for-bit in any engine (float k-means can NOT be
+    * oracle-checked: ulp-order divergence flips assignments). */
+  private[pipeline] object IntKMeans {
     def quant(vec: Column): Column =
       transform(vec, x => round(x.cast("double") * 1e6).cast("long"))
     def idist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, v) => acc + v)
+    /** Nearest-`keep` centroid assignment; ties break by cid. */
     def assign(df: DataFrame, vecCol: String, idCol: String,
         cents: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("cdist").asc, col("cid").asc)
@@ -168,27 +167,45 @@ object Similarity {
         .filter(col("crank") <= keep)
         .drop("cq", "cdist", "crank")
     }
+    /** Hash-sampled seeds + `lloydIters` exact-integer Lloyd rounds.
+      * Returns centroids (cid, cq). */
+    def train(corpusQ: DataFrame, idCol: String, pxCol: String,
+        numCentroids: Int, lloydIters: Int): DataFrame = {
+      var centroids = corpusQ
+        .withColumn("h", hash64(lit("c"), col(idCol).cast("string")))
+        .orderBy(col("h"), col(idCol))
+        .limit(numCentroids)
+        .select(col(idCol).as("cid"), col(pxCol).as("cq"))
+      for (_ <- 1 to lloydIters) {
+        val assigned = assign(corpusQ.select(idCol, pxCol), pxCol, idCol,
+          centroids, keep = 1)
+        // element-wise integer mean: explode dims, sum exactly, floor-divide
+        centroids = assigned
+          .select(col("cid"), posexplode(col(pxCol)).as(Seq("pos", "value")))
+          .groupBy("cid", "pos")
+          .agg(floor(sum(col("value")).cast("double") / count(lit(1)))
+            .cast("long").as("m"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("cq"))
+      }
+      centroids
+    }
+  }
+
+  def ivfTopKTrained(
+      queries: DataFrame, // (query_id, qv)
+      corpus: DataFrame,  // (vec_id, v)
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    import IntKMeans.{assign, quant}
 
     val corpusQ = corpus.withColumn("px", quant(col("v"))).persist()
-    var centroids = corpusQ
-      .withColumn("h", hash64(lit("c"), col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id"))
-      .limit(numCentroids)
-      .select(col("vec_id").as("cid"), col("px").as("cq"))
-
-    for (_ <- 1 to lloydIters) {
-      val assigned = assign(corpusQ.select("vec_id", "px"), "px", "vec_id",
-        centroids, keep = 1)
-      // element-wise integer mean: explode dims, sum exactly, floor-divide
-      centroids = assigned
-        .select(col("cid"), posexplode(col("px")).as(Seq("pos", "value")))
-        .groupBy("cid", "pos")
-        .agg(floor(sum(col("value")).cast("double") / count(lit(1)))
-          .cast("long").as("m"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cq"))
-    }
+    val centroids = IntKMeans.train(corpusQ.select("vec_id", "px"),
+      "vec_id", "px", numCentroids, lloydIters)
 
     val bucketed = assign(corpusQ, "px", "vec_id", centroids, keep = 1).drop("px")
     val probes = assign(queries.withColumn("px", quant(col("qv"))),

@@ -139,6 +139,14 @@ object PipelineQueries {
         maxDistance = 2, hashKind = "xx")
       .orderBy("a_id", "b_id")
 
+  /** SemDeDup over the embeddings table ([[Dedup.semanticDedup]]):
+    * integer-exact k-means clusters, then lower-id-wins near-dup flags
+    * within each cluster at cosine >= 0.4. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(embeddings(spark, dir), "vec_id", "embedding",
+        minCosineX1e6 = 400000L, numCentroids = 16, lloydIters = 2)
+      .orderBy("vec_id")
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(embeddings(spark, dir), "vec_id", "embedding",
         "label", minCosine = 0.4)
@@ -450,21 +458,26 @@ object PipelineQueries {
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
 
-  private val ivfTrainedOracle: String = {
+  private def idistSql(p: String, c: String) =
+    s"list_sum(list_transform(generate_series(1, 64), i -> ($p[i]-$c[i])*($p[i]-$c[i])))"
+
+  /** The integer-exact IVF TRAINING replay (Similarity.IntKMeans):
+    * `t`/`tq` quantized vectors, hash-sampled seeds, two exact-Lloyd
+    * rounds, `final_assign` (vec_id, px, cid). Shared by the
+    * ann_ivf_trained and dedup_semantic oracles. */
+  private def ivfTrainingCtes: String = {
     val meanVec = (1 to 64)
       .map(i => s"CAST(floor(sum(px[$i]) / count(*)) AS BIGINT)")
       .mkString("[", ", ", "]")
-    def idist(p: String, c: String) =
-      s"list_sum(list_transform(generate_series(1, 64), i -> ($p[i]-$c[i])*($p[i]-$c[i])))"
     def assignCte(name: String, cent: String) =
       s"""$name AS (
          |  SELECT vec_id, px, cid FROM (
          |    SELECT tq.vec_id, tq.px, c.cid,
          |      row_number() OVER (PARTITION BY tq.vec_id ORDER BY
-         |        ${idist("tq.px", "c.cq")} ASC, c.cid ASC) AS rnk
+         |        ${idistSql("tq.px", "c.cq")} ASC, c.cid ASC) AS rnk
          |    FROM tq CROSS JOIN $cent c)
          |  WHERE rnk = 1)""".stripMargin
-    s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |tq AS (SELECT vec_id, v,
        |  list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS px FROM t),
        |cent0 AS (
@@ -474,7 +487,12 @@ object PipelineQueries {
        |cent1 AS (SELECT cid, $meanVec AS cq FROM assign1 GROUP BY cid),
        |${assignCte("assign2", "cent1")},
        |cent2 AS (SELECT cid, $meanVec AS cq FROM assign2 GROUP BY cid),
-       |${assignCte("final_assign", "cent2")},
+       |${assignCte("final_assign", "cent2")}""".stripMargin
+  }
+
+  private val ivfTrainedOracle: String = {
+    def idist(p: String, c: String) = idistSql(p, c)
+    s"""WITH $ivfTrainingCtes,
        |probes AS (
        |  SELECT query_id, cid FROM (
        |    SELECT tq.vec_id AS query_id, c.cid,
@@ -499,9 +517,25 @@ object PipelineQueries {
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
 
+  private val semanticDedupOracle: String =
+    s"""WITH $ivfTrainingCtes,
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM final_assign a JOIN final_assign b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN t ta ON ta.vec_id = a.vec_id
+       |  JOIN t tb ON tb.vec_id = b.vec_id
+       |  WHERE CAST(round(1e6 * list_dot_product(ta.v, tb.v) /
+       |    (sqrt(list_dot_product(ta.v, ta.v)) * sqrt(list_dot_product(tb.v, tb.v)))) AS BIGINT)
+       |    >= 400000)
+       |SELECT fa.vec_id, fa.cid AS cluster,
+       |  (fa.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
+       |FROM final_assign fa ORDER BY fa.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" -> ivfTrainedOracle,
     "ann_pq" -> pqOracle,
+    "dedup_semantic" -> semanticDedupOracle,
     "sequence_pack" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, doc_id % 8 AS bucket,
@@ -844,6 +878,7 @@ object PipelineQueries {
     "dedup_minhash_xx_planted" -> (dedupMinhashXxPlanted _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_semantic" -> (dedupSemantic _),
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
