@@ -48,6 +48,7 @@ object SparkEntry {
       ("stream_changelog" -> (graft.queries.StreamTailQuery.runChangelog _)) +
       ("mv_incremental" -> (graft.queries.MaterializedViewQuery.run _)) +
       ("mv_rollup" -> (graft.queries.MaterializedViewQuery.runRollup _)) +
+      ("mv_stream" -> (graft.queries.MaterializedViewQuery.runStream _)) +
       ("sql_bloom" -> (graft.queries.SqlCatalogQuery.runBloom _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
@@ -95,6 +96,7 @@ object SparkEntry {
       ("stream_changelog" -> graft.queries.StreamTailQuery.changelogOracle) +
       ("mv_incremental" -> graft.queries.MaterializedViewQuery.oracle) +
       ("mv_rollup" -> graft.queries.MaterializedViewQuery.rollupOracle) +
+      ("mv_stream" -> graft.queries.MaterializedViewQuery.streamOracle) +
       ("sql_bloom" -> graft.queries.SqlCatalogQuery.bloomOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +

@@ -109,6 +109,76 @@ object MaterializedViewQuery {
     q.orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- stream
+
+  private val streamTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streaming-maintained MV ([[graft.streaming.StreamingIngest
+    * .withMvMaintenance]]): a CDC/upsert stream (same keyed-changelog
+    * batches as `stream_upsert` — load, update+insert, delete+update,
+    * then a POISONED replay) drives a registered view's incremental
+    * refresh after every committed batch. `run` reads the view
+    * DIRECTLY — no refresh call — so the hash match certifies the
+    * per-batch maintenance converged, including the replay no-op. */
+  private def buildStream(spark: SparkSession, dir: String): String =
+    streamTables.computeIfAbsent(dir, _ => {
+      val keyCols = Seq("l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey", "lq", "lep")
+      val src = Files.createTempDirectory("graft-mvstream-src").toString
+      val mv = Files.createTempDirectory("graft-mvstream-view").toString
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .selectExpr("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "CAST(round(l_quantity * 100) AS BIGINT) AS lq",
+          "CAST(round(l_extendedprice * 100) AS BIGINT) AS lep",
+          "l_returnflag")
+        .persist()
+      try {
+        TableMetadata.commit(src, TableSnapshot(1, 1, 0, Nil))
+        MaterializedView.registerOnSource(src, mv)
+        MaterializedView.create(spark, mv, src, Spec(
+          group = Seq("l_returnflag"),
+          aggs = Seq(Agg("sum", "lq", "sum_lq"), Agg("count", "*", "n_rows"))))
+        val w = graft.streaming.StreamingIngest.withMvMaintenance(spark, src,
+          graft.streaming.StreamingIngest.upsertWriter(src, schemaId = 1,
+            keyCols, deleteFlagCol = Some("_cdc_delete")))
+        def up(df: DataFrame) = df.withColumn("_cdc_delete", lit(false))
+        def del(df: DataFrame) = df.withColumn("_cdc_delete", lit(true))
+        w(up(li.filter(col("l_orderkey") % 2 === 0)), 0L)
+        w(up(li.filter(col("l_orderkey") % 4 === 0)
+            .withColumn("l_returnflag", lit("U")))
+          .unionByName(up(li.filter(col("l_orderkey") % 4 === 1)
+            .withColumn("l_returnflag", lit("I")))), 1L)
+        w(del(li.filter(col("l_orderkey") % 8 === 0))
+          .unionByName(up(li.filter(col("l_orderkey") % 8 === 2)
+            .withColumn("l_returnflag", lit("V")))), 2L)
+        // poisoned replay: the sink skips the commit, so the view must
+        // not move either
+        w(up(li.filter(col("l_orderkey") % 4 === 0)
+          .withColumn("l_returnflag", lit("X"))), 1L)
+      } finally li.unpersist()
+      mv
+    })
+
+  def runStream(spark: SparkSession, dir: String): DataFrame = {
+    val mv = buildStream(spark, dir)
+    MaterializedView.read(spark, mv).orderBy("l_returnflag")
+  }
+
+  val streamOracle: String =
+    """WITH fin AS (
+      |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS lq,
+      |    CASE WHEN l_orderkey % 8 = 4 THEN 'U'
+      |         WHEN l_orderkey % 8 = 2 THEN 'V'
+      |         WHEN l_orderkey % 4 = 1 THEN 'I'
+      |         ELSE l_returnflag END AS l_returnflag
+      |  FROM lineitem
+      |  WHERE (l_orderkey % 2 = 0 AND l_orderkey % 8 <> 0)
+      |     OR l_orderkey % 4 = 1)
+      |SELECT l_returnflag, CAST(sum(lq) AS BIGINT) AS sum_lq,
+      |  count(*) AS n_rows
+      |FROM fin GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val rollupOracle: String =
     """SELECT l_returnflag,
       |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)

@@ -140,4 +140,34 @@ object StreamingIngest {
         setProperties = Map(LastBatchIdProp -> batchId.toString))
     }
   }
+
+  /** STREAMING MATERIALIZED-VIEW MAINTENANCE: wrap any foreachBatch
+    * sink so every committed micro-batch incrementally refreshes the
+    * source table's REGISTERED materialized views
+    * ([[graft.mv.MaterializedView.RegisteredProp]], the zero-conf
+    * registry the optimizer rewrite also consults). The refresh is
+    * changelog-driven — per-batch cost ∝ the batch's rows + affected
+    * groups, never the table — so grouped aggregates stay queryable at
+    * streaming freshness without a scheduler. Failure semantics:
+    *  - a CONCURRENT refresh losing the marker CAS is fine (the winner
+    *    already applied this batch's changes — refresh is idempotent);
+    *  - a replayed batch commits nothing, so the refresh no-ops;
+    *  - a refresh failure is swallowed AFTER the data commit: the view
+    *    goes stale, never wrong (the rewrite's freshness gate falls
+    *    back to the real aggregate until the next batch catches up). */
+  def withMvMaintenance(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      inner: (DataFrame, Long) => Unit,
+      catalog: TableCatalog = FileTableCatalog
+  ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    inner(batch, batchId)
+    catalog.load(tableDir).toSeq
+      .flatMap(_.properties.get(graft.mv.MaterializedView.RegisteredProp))
+      .flatMap(graft.mv.MaterializedView.parseList)
+      .foreach { mvDir =>
+        try graft.mv.MaterializedView.refresh(spark, mvDir, catalog)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+  }
 }
