@@ -283,28 +283,49 @@ object Dedup {
       col(vecCol).as("v"))
     val tq = t.withColumn("px", IntKMeans.quant(col("v"))).persist()
     try {
-      val cents = IntKMeans.train(tq.select("vec_id", "px"), "vec_id", "px",
-        numCentroids, lloydIters)
-      val assigned = IntKMeans.assign(tq, "px", "vec_id", cents, keep = 1)
-        .drop("px").persist()
-      try {
-        val a = assigned.select(col("cid"), col("vec_id").as("a_id"),
-          col("v").as("a_v"))
-        val b = assigned.select(col("cid"), col("vec_id").as("b_id"),
-          col("v").as("b_v"))
-        val dupIds = a.join(b, Seq("cid"))
-          .filter(col("a_id") < col("b_id"))
-          .filter(round(cosine(col("a_v"), col("b_v")) * 1e6).cast("long")
-            >= minCosineX1e6)
-          .select(col("b_id").as("vec_id")).distinct()
-        assigned
-          .join(dupIds.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
-          .select(col("vec_id"), col("cid").as("cluster"),
-            coalesce(col("__dup"), lit(false)).as("is_dup"))
-          // materialize before unpersist: callers get a stable frame
-          .localCheckpoint(true)
-      } finally assigned.unpersist()
+      val assigned = IntKMeans.assign(tq, "px", "vec_id",
+        IntKMeans.train(tq.select("vec_id", "px"), "vec_id", "px",
+          numCentroids, lloydIters),
+        keep = 1).drop("px").persist()
+      // materialize before unpersist: callers get a stable frame
+      try semanticFlags(assigned, minCosineX1e6).localCheckpoint(true)
+      finally assigned.unpersist()
     } finally tq.unpersist()
+  }
+
+  /** The keep/drop decision over an assigned (vec_id, v, cid) frame —
+    * split out so plan-shape tests can inspect the UNMATERIALIZED plan. */
+  private def semanticFlags(assigned: DataFrame,
+      minCosineX1e6: Long): DataFrame = {
+    val a = assigned.select(col("cid"), col("vec_id").as("a_id"),
+      col("v").as("a_v"))
+    val b = assigned.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("b_v"))
+    val dupIds = a.join(b, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(cosine(col("a_v"), col("b_v")) * 1e6).cast("long")
+        >= minCosineX1e6)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned
+      .join(dupIds.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cluster"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
+  /** Un-checkpointed plan for shape assertions (tests only). */
+  private[graft] def semanticDedupPlanForTest(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      minCosineX1e6: Long, numCentroids: Int = 16,
+      lloydIters: Int = 2): DataFrame = {
+    import Similarity.IntKMeans
+    val t = vectors.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"))
+    val tq = t.withColumn("px", IntKMeans.quant(col("v")))
+    val assigned = IntKMeans.assign(tq, "px", "vec_id",
+      IntKMeans.train(tq.select("vec_id", "px"), "vec_id", "px",
+        numCentroids, lloydIters),
+      keep = 1).drop("px")
+    semanticFlags(assigned, minCosineX1e6)
   }
 
   /** Embedding near-dup pairs: cosine >= threshold within a block. */

@@ -277,4 +277,31 @@ class PlanQualitySpec extends AnyFunSuite {
     // correctness alongside the shape
     assert(spark.table("gpev.db.e").filter("region = '1'").count() == 200L)
   }
+
+  test("sequence packing: exactly ONE exchange (the bucket route), " +
+    "no window, no join") {
+    val p = plan(graft.queries.PipelineQueries.sequencePack(spark, dir))
+    val exchanges = p.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"packing needs one bucket shuffle, found $exchanges:\n$p")
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+    assert(!p.contains("Window"), s"packing must not window:\n$p")
+  }
+
+  test("semantic dedup: centroids broadcast, never a cartesian over " +
+    "two large sides") {
+    val p = plan(graft.queries.PipelineQueries.dedupSemantic(spark, dir))
+    // the result is localCheckpoint-materialized; assert on the
+    // UNCHECKPOINTED plan instead
+    val raw = graft.pipeline.Dedup.semanticDedupPlanForTest(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      "vec_id", "embedding", 400000L)
+    val rp = raw.queryExecution.executedPlan.toString
+    assert(!rp.contains("CartesianProduct"),
+      s"semantic dedup must not plan a cartesian:\n$rp")
+    assert(rp.contains("BroadcastNestedLoopJoin") ||
+      rp.contains("BroadcastHashJoin"),
+      s"centroid assignment should broadcast the centroids:\n$rp")
+  }
 }
