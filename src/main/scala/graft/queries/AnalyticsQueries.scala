@@ -54,6 +54,50 @@ object AnalyticsQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers
+    * BROADCAST against date-filtered orders, shuffle-joined with the
+    * lineitem fact on the order key, grouped per order, global top-10
+    * via TakeOrderedAndProject (no full sort — the limit prunes
+    * per-partition before one tiny merge). Filters sit on each scan so
+    * they push into the parquet readers. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = to_date(lit("1998-07-01"))
+    val c = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < cut)
+    val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > cut)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q10 shape (returned items): return-flagged lineitem against
+    * a date-windowed orders join, customer enriched with the broadcast
+    * nation dim, top-20 revenue losers. */
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= to_date(lit("1997-01-01")) &&
+        col("o_orderdate") < to_date(lit("1998-01-01")))
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** Top-3 orders by value per priority: per-group top-k via window
     * rank — shuffles once on the partition key; no global sort. */
   def windowTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -286,6 +330,29 @@ object AnalyticsQueries {
         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+    "returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
     "join_revenue" ->
       """SELECT c_mktsegment,
         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
@@ -311,6 +378,8 @@ object AnalyticsQueries {
     "rollup_pricing" -> (rollupPricing _),
     "agg_pricing" -> (aggPricing _),
     "join_revenue" -> (joinRevenue _),
+    "shipping_priority" -> (shippingPriority _),
+    "returned_items" -> (returnedItems _),
     "window_topk" -> (windowTopK _),
     "window_topk_salted" -> (windowTopKSalted _),
     "events_window" -> (eventsWindow _),
