@@ -40,6 +40,7 @@ object SparkEntry {
       ("stream_tail_dv" -> (graft.queries.StreamTailQuery.runDv _)) +
       ("stream_upsert" -> (graft.queries.UpsertStreamQuery.run _)) +
       ("sql_partitioned" -> (graft.queries.SqlCatalogQuery.runPartitioned _)) +
+      ("compaction_partial" -> (graft.queries.SqlCatalogQuery.runPartialCompaction _)) +
       ("sql_overwrite_dynamic" -> (graft.queries.SqlCatalogQuery.runInsertOverwriteDynamic _)) +
       ("sql_partition_evolution" -> (graft.queries.SqlCatalogQuery.runPartitionEvolution _)) +
       ("sql_wap" -> (graft.queries.SqlCatalogQuery.runWap _)) +
@@ -88,6 +89,7 @@ object SparkEntry {
       ("stream_tail_dv" -> graft.queries.StreamTailQuery.dvOracle) +
       ("stream_upsert" -> graft.queries.UpsertStreamQuery.oracle) +
       ("sql_partitioned" -> graft.queries.SqlCatalogQuery.partitionedOracle) +
+      ("compaction_partial" -> graft.queries.SqlCatalogQuery.partialCompactionOracle) +
       ("sql_overwrite_dynamic" -> graft.queries.SqlCatalogQuery.insertOverwriteDynamicOracle) +
       ("sql_partition_evolution" -> graft.queries.SqlCatalogQuery.partitionEvolutionOracle) +
       ("sql_wap" -> graft.queries.SqlCatalogQuery.wapOracle) +

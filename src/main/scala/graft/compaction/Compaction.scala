@@ -87,80 +87,120 @@ final class Compaction(
           allTasks.dataFiles.partition(_.lengthBytes < threshold)
       }
       if (selected.isEmpty) return RewriteFilesStat()
-      val tasks0 = allTasks.copy(dataFiles = selected)
-      val tasks = tasks0.copy(dataFiles =
-        ScanPlanner.splitTasks(tasks0.dataFiles, config.splitTargetBytes))
 
-      // execute (S3-S9) via the pluggable executor (reference
-      // CompactionExecutor trait). The output dir is UNIQUE per run
-      // (reference dataFilePrefix + run id): a concurrent compaction of
-      // the same snapshot must never mode("overwrite") the winner's
-      // already-committed data files.
-      val outDir = s"$tableDir/data/${config.dataFilePrefix}-" +
-        java.util.UUID.randomUUID().toString.take(8)
-      val request = RewriteFilesRequest(tasks, null, config, outDir,
-        schemas = snap.schemas, currentSchemaId = snap.schemaId)
-      val startingSeq = tasks.dataFiles.map(_.sequenceNumber).max
-      val response = executor.rewriteFiles(spark, request, startingSeq)
-      val written = response.dataFiles
+      // PARTIAL PROGRESS: > 1 splits the rewrite set into byte-balanced
+      // groups, each executed + committed independently (a mid-run
+      // failure keeps earlier groups' work durable). 1 = the reference's
+      // single atomic commit.
+      val groups: Seq[Seq[graft.core.FileScanTask]] =
+        if (config.partialProgressMaxCommits <= 1) Seq(selected)
+        else graft.operators.BinPack
+          .splitNGroups(selected, config.partialProgressMaxCommits)(_.lengthBytes)
+          .filter(_.nonEmpty)
 
-      // commit (T1/T2). Incremental removes ONLY the rewritten data
-      // files: untouched data files stay, and delete files stay with
-      // them (they still apply at read time; re-application to the
-      // rewritten output is idempotent since it keeps the selected max
-      // sequence number). When every data file was selected, the delete
-      // files have nothing left to apply to and are removed too —
-      // degenerating to the reference's full rewrite.
-      val removed: Set[String] =
-        if (kept.isEmpty) snap.files.map(_.path).toSet
-        else {
-          val sel = selected.map(_.filePath).toSet
-          // a deletion vector is 1:1 with its data file — once that file
-          // is rewritten the vector is provably inert, so drop it in the
-          // same commit instead of accreting dead metadata
-          val selNorm = sel.map(ScanPlanner.normalizePath)
-          sel ++ snap.files.filter(f => f.content == "deletion-vectors" &&
+      var agg = RewriteFilesStat()
+      groups.zipWithIndex.foreach { case (group, gi) =>
+        val isLast = gi == groups.size - 1
+        // each group commits against the CURRENT snapshot (its own CAS
+        // loop re-guards staleness); schemas cannot drift mid-run — the
+        // per-commit expectedSchemaId aborts the remaining groups if a
+        // concurrent ALTER lands
+        val cur =
+          if (gi == 0) snap
+          else catalog.loadOrThrow(tableDir)
+        val tasks0 = allTasks.copy(dataFiles = group)
+        val tasks = tasks0.copy(dataFiles =
+          ScanPlanner.splitTasks(tasks0.dataFiles, config.splitTargetBytes))
+
+        // execute (S3-S9) via the pluggable executor (reference
+        // CompactionExecutor trait). The output dir is UNIQUE per run
+        // (reference dataFilePrefix + run id): a concurrent compaction of
+        // the same snapshot must never mode("overwrite") the winner's
+        // already-committed data files.
+        val outDir = s"$tableDir/data/${config.dataFilePrefix}-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val request = RewriteFilesRequest(tasks, null, config, outDir,
+          schemas = snap.schemas, currentSchemaId = snap.schemaId)
+        val startingSeq = tasks.dataFiles.map(_.sequenceNumber).max
+        val response = executor.rewriteFiles(spark, request, startingSeq)
+        val written = response.dataFiles
+
+        // commit (T1/T2). Incremental removes ONLY the rewritten data
+        // files: untouched data files stay, and delete files stay with
+        // them (they still apply at read time; re-application to the
+        // rewritten output is idempotent since it keeps the selected max
+        // sequence number). When every data file was selected, the
+        // delete files have nothing left to apply to and are removed by
+        // the LAST commit — degenerating to the reference's full rewrite
+        // for a single group.
+        val groupPaths = group.map(_.filePath).toSet
+        val groupNorm = groupPaths.map(ScanPlanner.normalizePath)
+        // a deletion vector is 1:1 with its data file — once that file
+        // is rewritten the vector is provably inert, so drop it in the
+        // same commit instead of accreting dead metadata
+        val deadVectors = cur.files.filter(f =>
+          f.content == "deletion-vectors" &&
             f.referencedDataFile.exists(r =>
-              selNorm.contains(ScanPlanner.normalizePath(r)))).map(_.path)
+              groupNorm.contains(ScanPlanner.normalizePath(r)))).map(_.path)
+        val removed: Set[String] =
+          if (kept.isEmpty && isLast) {
+            // every ORIGINAL delete file is inert now: all original data
+            // files are (or just became) rewritten outputs whose live
+            // rows already had the deletes applied (re-application was
+            // idempotent); delete files committed DURING the run are not
+            // listed and stay. Filter through the RELOADED snapshot — an
+            // earlier group's commit may have already dropped a vector,
+            // and re-listing a gone path would trip the staleness guard.
+            val originalDeletes =
+              snap.files.filter(_.content != "data").map(_.path).toSet
+            val stillPresent = cur.files.map(_.path).toSet
+            groupPaths ++ deadVectors ++
+              (originalDeletes intersect stillPresent)
+          } else groupPaths ++ deadVectors
+        val committed = new CommitManager(tableDir, retry, metrics, labels,
+            catalog = catalog)
+          .rewriteFiles(
+            addedFiles = written,
+            removedPaths = removed,
+            expectedSchemaId = cur.schemaId,
+            startingSequenceNumber = startingSeq,
+            useStartingSequenceNumber = config.useStartingSequenceNumber,
+            sketches = outputSketches(cur, removed, written, config))
+
+        // validate (V1). Fanout data files carry every original column
+        // (the writer partitions by mirrored __p_ columns), so committed
+        // leaf files read plainly; an empty rewrite validates as 0 rows
+        // instead of crashing the schema-less parquet read.
+        if (config.enableValidateCompaction) {
+          val input = liveRowsFor(tasks, snap.schemas, snap.schemaId)
+          // validate the ADDED files against the rewritten inputs' live
+          // rows (for Incremental, untouched data files are out of scope
+          // on both sides)
+          val committedPaths = committed.files.map(_.path).toSet
+          val dataPaths = written.map(_.filePath).filter(committedPaths.contains)
+          val outputDf =
+            if (dataPaths.isEmpty) input.limit(0)
+            else spark.read.parquet(dataPaths: _*)
+          val aligned = outputDf.select(input.columns.map(org.apache.spark.sql.functions.col): _*)
+          Validator.validate(input, aligned, strict = config.strictValidation)
         }
-      val committed = new CommitManager(tableDir, retry, metrics, labels,
-          catalog = catalog)
-        .rewriteFiles(
-          addedFiles = written,
-          removedPaths = removed,
-          expectedSchemaId = snap.schemaId,
-          startingSequenceNumber = startingSeq,
-          useStartingSequenceNumber = config.useStartingSequenceNumber,
-          sketches = outputSketches(snap, removed, written, config))
 
-      // validate (V1). Fanout data files carry every original column
-      // (the writer partitions by mirrored __p_ columns), so committed
-      // leaf files read plainly; an empty rewrite validates as 0 rows
-      // instead of crashing the schema-less parquet read.
-      if (config.enableValidateCompaction) {
-        val input = liveRowsFor(tasks, snap.schemas, snap.schemaId)
-        // validate the ADDED files against the rewritten inputs' live
-        // rows (for Incremental, untouched data files are out of scope
-        // on both sides)
-        val committedPaths = committed.files.map(_.path).toSet
-        val dataPaths = written.map(_.filePath).filter(committedPaths.contains)
-        val outputDf =
-          if (dataPaths.isEmpty) input.limit(0)
-          else spark.read.parquet(dataPaths: _*)
-        val aligned = outputDf.select(input.columns.map(org.apache.spark.sql.functions.col): _*)
-        Validator.validate(input, aligned, strict = config.strictValidation)
+        // stats: the executor's own accounting plus the commit-side
+        // removal count (paths collapse in the removed Set, so the
+        // commit view is authoritative for rewrittenFilesCount)
+        val stat = response.stat.copy(
+          rewrittenFilesCount = removed.size.toLong,
+          addedFilesCount = written.size.toLong)
+        metrics.addRewrittenFiles(labels, stat.rewrittenFilesCount)
+        metrics.addAddedFiles(labels, stat.addedFilesCount)
+        metrics.addRewrittenBytes(labels, stat.rewrittenBytes)
+        agg = RewriteFilesStat(
+          rewrittenFilesCount = agg.rewrittenFilesCount + stat.rewrittenFilesCount,
+          addedFilesCount = agg.addedFilesCount + stat.addedFilesCount,
+          rewrittenBytes = agg.rewrittenBytes + stat.rewrittenBytes,
+          failedDataFilesCount = agg.failedDataFilesCount + stat.failedDataFilesCount)
       }
-
-      // stats: the executor's own accounting plus the commit-side removal
-      // count (paths collapse in the removed Set, so the commit view is
-      // authoritative for rewrittenFilesCount)
-      val stat = response.stat.copy(
-        rewrittenFilesCount = removed.size.toLong,
-        addedFilesCount = written.size.toLong)
-      metrics.addRewrittenFiles(labels, stat.rewrittenFilesCount)
-      metrics.addAddedFiles(labels, stat.addedFilesCount)
-      metrics.addRewrittenBytes(labels, stat.rewrittenBytes)
-      stat
+      agg
     } catch {
       case e: Throwable =>
         metrics.incExecutorError(labels)

@@ -88,8 +88,21 @@ final case class CompactionConfig(
       * files, RESTORES — the append-surviving NDV statistic) and skip
       * the cost entirely for tables that never had sketches.
       * Some(true)/Some(false) force either way. */
-    sketchOutputs: Option[Boolean] = None
+    sketchOutputs: Option[Boolean] = None,
+    /** PARTIAL PROGRESS (Iceberg's `partial-progress.enabled` model):
+      * split the rewrite set into up to this many byte-balanced groups,
+      * each executed and committed INDEPENDENTLY — a failure (or a lost
+      * commit race) mid-run keeps every already-committed group's work
+      * durable instead of discarding hours of rewrite. 1 = the classic
+      * single atomic commit. Delete files are removed only by the LAST
+      * group's commit once every data file has been rewritten (until
+      * then they must keep applying to the not-yet-rewritten files;
+      * re-application to rewritten outputs is idempotent because
+      * outputs keep the starting sequence number). */
+    partialProgressMaxCommits: Int = 1
 ) {
+  require(partialProgressMaxCommits > 0,
+    "partialProgressMaxCommits must be > 0")
   require(batchParallelism > 0, "batchParallelism must be > 0")
   require(targetPartitions > 0, "targetPartitions must be > 0")
   require(targetFileSizeBytes > 0, "targetFileSizeBytes must be > 0")

@@ -84,6 +84,53 @@ object SqlCatalogQuery {
       |   OR NOT (l_orderkey <= 500 AND l_returnflag = 'A')
       |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
 
+  // -------- partial-progress compaction ---------------------------------
+
+  private val ppCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Partial-progress compaction from SQL: a multi-insert + MoR-delete
+    * backlog compacted with `partial_progress_max_commits => 3` — three
+    * independent replace commits instead of one. The query reads the
+    * table back AND requires the version chain to show the three
+    * commits, so the hash match certifies per-group rewrites lose and
+    * resurrect nothing across intermediate states. */
+  def runPartialCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(ppCatalogs, dir, spark, dir,
+        "gpp", "sqlpp", "li_pp") { name =>
+      spark.sql(
+        s"""CREATE TABLE $name.db.pp (
+           |  l_orderkey BIGINT, l_linenumber INT,
+           |  l_suppkey BIGINT, l_returnflag STRING)
+           |TBLPROPERTIES ('graft.rowlevel.mode'='merge-on-read')""".stripMargin)
+      def insertThird(k: Int): Unit = spark.sql(
+        s"""INSERT INTO $name.db.pp
+           |SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+           |FROM li_pp WHERE l_orderkey % 3 = $k""".stripMargin)
+      insertThird(0); insertThird(1); insertThird(2)
+      spark.sql(
+        s"DELETE FROM $name.db.pp WHERE l_returnflag = 'R' AND l_orderkey % 7 = 0")
+      val before = spark.sql(s"SELECT max(version) FROM $name.db.pp.snapshots")
+        .collect().head.getLong(0)
+      spark.sql(s"CALL $name.system.rewrite_data_files(`table` => 'db.pp', " +
+        "partial_progress_max_commits => 3, validate => true)")
+      val after = spark.sql(s"SELECT max(version) FROM $name.db.pp.snapshots")
+        .collect().head.getLong(0)
+      require(after == before + 3,
+        s"partial progress should commit 3 times, got ${after - before}")
+    }
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+         |FROM $cat.db.pp
+         |ORDER BY ${outCols.mkString(", ")}""".stripMargin)
+  }
+
+  val partialCompactionOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+      |FROM lineitem
+      |WHERE NOT (l_returnflag = 'R' AND l_orderkey % 7 = 0)
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
+
   // -------- PARTITIONED BY (fanout write + transform pruning) -----------
 
   private val partCatalogs =

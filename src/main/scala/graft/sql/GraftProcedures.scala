@@ -101,7 +101,10 @@ private[sql] object GraftProcedures {
       inDefault("validate", BooleanType, "false"),
       // 'colA,colB': OPTIMIZE-ZORDER-style rewrite — Morton-interleave
       // the two columns so output files carry tight min/max on both
-      inDefault("zorder_by", StringType, "''"))
+      inDefault("zorder_by", StringType, "''"),
+      // > 1: PARTIAL PROGRESS — up to N independent per-group commits,
+      // so a mid-run failure keeps the committed groups' work
+      inDefault("partial_progress_max_commits", IntegerType, "1"))
 
     private val out = StructType(Seq(
       StructField("rewritten_files", LongType, nullable = false),
@@ -126,7 +129,8 @@ private[sql] object GraftProcedures {
           targetFileSizeBytes = input.getLong(2),
           compactionType = mode,
           enableValidateCompaction = input.getBoolean(4),
-          zOrderBy = zorder))
+          zOrderBy = zorder,
+          partialProgressMaxCommits = input.getInt(6)))
         .build().compact()
       localScan(out, Array(InternalRow(
         stat.rewrittenFilesCount, stat.addedFilesCount, stat.rewrittenBytes)),
