@@ -41,6 +41,7 @@ object SparkEntry {
       ("stream_upsert" -> (graft.queries.UpsertStreamQuery.run _)) +
       ("sql_partitioned" -> (graft.queries.SqlCatalogQuery.runPartitioned _)) +
       ("compaction_partial" -> (graft.queries.SqlCatalogQuery.runPartialCompaction _)) +
+      ("sql_constraints" -> (graft.queries.SqlCatalogQuery.runConstraints _)) +
       ("sql_overwrite_dynamic" -> (graft.queries.SqlCatalogQuery.runInsertOverwriteDynamic _)) +
       ("sql_partition_evolution" -> (graft.queries.SqlCatalogQuery.runPartitionEvolution _)) +
       ("sql_wap" -> (graft.queries.SqlCatalogQuery.runWap _)) +
@@ -90,6 +91,7 @@ object SparkEntry {
       ("stream_upsert" -> graft.queries.UpsertStreamQuery.oracle) +
       ("sql_partitioned" -> graft.queries.SqlCatalogQuery.partitionedOracle) +
       ("compaction_partial" -> graft.queries.SqlCatalogQuery.partialCompactionOracle) +
+      ("sql_constraints" -> graft.queries.SqlCatalogQuery.constraintsOracle) +
       ("sql_overwrite_dynamic" -> graft.queries.SqlCatalogQuery.insertOverwriteDynamicOracle) +
       ("sql_partition_evolution" -> graft.queries.SqlCatalogQuery.partitionEvolutionOracle) +
       ("sql_wap" -> graft.queries.SqlCatalogQuery.wapOracle) +

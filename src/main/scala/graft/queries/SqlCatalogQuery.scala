@@ -84,6 +84,56 @@ object SqlCatalogQuery {
       |   OR NOT (l_orderkey <= 500 AND l_returnflag = 'A')
       |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag""".stripMargin
 
+  // -------- write-time CHECK constraints --------------------------------
+
+  private val ckCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** CHECK constraints from SQL ([[graft.core.Constraints]]): the
+    * fixture interleaves valid inserts with a VIOLATING insert that
+    * must fail without committing — the hash match certifies both that
+    * valid rows all landed and that the rejected batch left nothing
+    * behind. */
+  def runConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(ckCatalogs, dir, spark, dir,
+        "gck", "sqlck", "li_ck") { name =>
+      spark.sql(
+        s"""CREATE TABLE $name.db.ck (
+           |  l_orderkey BIGINT, l_linenumber INT,
+           |  qty_cents BIGINT, l_returnflag STRING)
+           |TBLPROPERTIES ('graft.constraints' =
+           |  '{"qty_pos": "qty_cents > 0",
+           |    "flag_ok": "l_returnflag IN (''N'', ''A'', ''R'')"}')""".stripMargin)
+      def insertHalf(k: Int): Unit = spark.sql(
+        s"""INSERT INTO $name.db.ck
+           |SELECT l_orderkey, l_linenumber,
+           |  CAST(round(l_quantity * 100) AS BIGINT), l_returnflag
+           |FROM li_ck WHERE l_orderkey % 2 = $k""".stripMargin)
+      insertHalf(0)
+      // the violating batch must fail atomically: nothing from it lands
+      val failed = try {
+        spark.sql(s"INSERT INTO $name.db.ck VALUES (1, 1, -5, 'N')")
+        false
+      } catch { case e: Exception =>
+        def chain(t: Throwable): Seq[String] =
+          if (t == null) Nil else t.toString +: chain(t.getCause)
+        chain(e).exists(_.contains("CHECK constraint"))
+      }
+      require(failed, "the violating insert must fail the CHECK constraint")
+      insertHalf(1)
+    }
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, qty_cents, l_returnflag
+         |FROM $cat.db.ck
+         |ORDER BY l_orderkey, l_linenumber, qty_cents, l_returnflag""".stripMargin)
+  }
+
+  val constraintsOracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents, l_returnflag
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, qty_cents, l_returnflag""".stripMargin
+
   // -------- partial-progress compaction ---------------------------------
 
   private val ppCatalogs =

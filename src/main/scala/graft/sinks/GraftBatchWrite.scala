@@ -296,7 +296,10 @@ final class GraftDsv2BatchWrite(
     // ship the driver's hadoop conf to tasks (same rationale as
     // ExactRollingWriter: object-store credentials/endpoints)
     new GraftDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, GraftBatchWrite.writeConfEntries(tableDir, catalog), partitionSpec)
+      compression, GraftBatchWrite.writeConfEntries(tableDir, catalog), partitionSpec,
+      constraints = graft.core.Constraints.bindAll(
+        org.apache.spark.sql.SparkSession.active,
+        catalog.load(tableDir).map(_.properties).getOrElse(Map.empty), schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -387,15 +390,48 @@ final class GraftDataWriterFactory(
     targetFileSizeBytes: Long,
     compression: String,
     confEntries: Array[(String, String)],
-    partitionSpec: Seq[graft.core.PartitionTransform] = Nil
+    partitionSpec: Seq[graft.core.PartitionTransform] = Nil,
+    /** Bound CHECK constraints ([[graft.core.Constraints.bindAll]]) —
+      * every row is validated BEFORE it reaches a parquet buffer. */
+    constraints: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil
 ) extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (partitionSpec.isEmpty)
-      new GraftDataWriter(s"$writeDir/_attempt-$taskId", partitionId, schema,
-        targetFileSizeBytes, compression, confEntries)
-    else
-      new GraftFanoutDataWriter(s"$writeDir/_attempt-$taskId", partitionId, schema,
-        partitionSpec, targetFileSizeBytes, compression, confEntries)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val inner: DataWriter[InternalRow] =
+      if (partitionSpec.isEmpty)
+        new GraftDataWriter(s"$writeDir/_attempt-$taskId", partitionId, schema,
+          targetFileSizeBytes, compression, confEntries)
+      else
+        new GraftFanoutDataWriter(s"$writeDir/_attempt-$taskId", partitionId, schema,
+          partitionSpec, targetFileSizeBytes, compression, confEntries)
+    CheckedDataWriter.wrap(inner, constraints)
+  }
+}
+
+/** Decorator enforcing write-time CHECK constraints per row before
+  * delegating ([[graft.core.Constraints]]): the check is a compiled
+  * predicate over the incoming InternalRow — no extra pass, no extra
+  * job, a violating batch fails before any byte is published. */
+object CheckedDataWriter {
+  def wrap(inner: DataWriter[InternalRow],
+      constraints: Seq[(String, String,
+        org.apache.spark.sql.catalyst.expressions.Expression)])
+      : DataWriter[InternalRow] =
+    if (constraints.isEmpty) inner
+    else new CheckedDataWriter(inner,
+      new graft.core.Constraints.RowChecker(constraints))
+}
+
+final class CheckedDataWriter(
+    inner: DataWriter[InternalRow],
+    checker: graft.core.Constraints.RowChecker
+) extends DataWriter[InternalRow] {
+  override def write(row: InternalRow): Unit = {
+    checker.check(row); inner.write(row)
+  }
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 /** Fanout writer for PARTITIONED tables (reference S8, realized on the
@@ -524,7 +560,10 @@ final class GraftStreamingWrite(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     FileIO.mkdirs(writeDir)
     new GraftStreamingDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, GraftBatchWrite.writeConfEntries(tableDir, catalog), partitionSpec)
+      compression, GraftBatchWrite.writeConfEntries(tableDir, catalog), partitionSpec,
+      constraints = graft.core.Constraints.bindAll(
+        org.apache.spark.sql.SparkSession.active,
+        catalog.load(tableDir).map(_.properties).getOrElse(Map.empty), schema))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -599,17 +638,22 @@ final class GraftStreamingDataWriterFactory(
     targetFileSizeBytes: Long,
     compression: String,
     confEntries: Array[(String, String)],
-    partitionSpec: Seq[graft.core.PartitionTransform] = Nil
+    partitionSpec: Seq[graft.core.PartitionTransform] = Nil,
+    constraints: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil
 ) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    if (partitionSpec.isEmpty)
-      new GraftDataWriter(s"$writeDir/_attempt-e$epochId-$taskId", partitionId,
-        schema, targetFileSizeBytes, compression, confEntries)
-    else
-      new GraftFanoutDataWriter(s"$writeDir/_attempt-e$epochId-$taskId",
-        partitionId, schema, partitionSpec, targetFileSizeBytes, compression,
-        confEntries)
+      epochId: Long): DataWriter[InternalRow] = {
+    val inner: DataWriter[InternalRow] =
+      if (partitionSpec.isEmpty)
+        new GraftDataWriter(s"$writeDir/_attempt-e$epochId-$taskId", partitionId,
+          schema, targetFileSizeBytes, compression, confEntries)
+      else
+        new GraftFanoutDataWriter(s"$writeDir/_attempt-e$epochId-$taskId",
+          partitionId, schema, partitionSpec, targetFileSizeBytes, compression,
+          confEntries)
+    CheckedDataWriter.wrap(inner, constraints)
+  }
 }
 
 /** Per-task rolling writer: W2 policy consulted once per `batchRows`

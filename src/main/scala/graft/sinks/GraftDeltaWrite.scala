@@ -152,7 +152,13 @@ final class GraftDeltaBatchWrite(
     val spec = graft.core.PartitionSpecCodec.of(snap)
     new GraftDeltaWriterFactory(writeDir, dataSchema, rowIdSchema,
       targetFileSizeBytes, compression, GraftBatchWrite.writeConfEntries(snap), spec,
-      dvMode = dvMode)
+      dvMode = dvMode,
+      // CHECK constraints apply to the delta's INSERTED rows (updates
+      // arrive as delete + insert, so updated values are covered too;
+      // bare deletes write no data rows and check nothing)
+      constraints = graft.core.Constraints.bindAll(
+        org.apache.spark.sql.SparkSession.active,
+        snap.map(_.properties).getOrElse(Map.empty), dataSchema))
   }
 
   /** Publish the tasks' deletion vectors and restore the one-vector-per-
@@ -306,12 +312,14 @@ final class GraftDeltaWriterFactory(
     compression: String,
     confEntries: Array[(String, String)],
     partitionSpec: Seq[graft.core.PartitionTransform] = Nil,
-    dvMode: Boolean = false
+    dvMode: Boolean = false,
+    constraints: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil
 ) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(writeDir, partitionId, taskId, dataSchema, rowIdSchema,
       targetFileSizeBytes, compression, confEntries, partitionSpec,
-      dvMode = dvMode)
+      dvMode = dvMode, constraints = constraints)
 }
 
 /** Per-task delta writer: inserts stream through the same rolling
@@ -343,19 +351,23 @@ final class GraftDeltaWriter(
       * compact (a dense run costs bytes, not 16 B/row), so no spill
       * threshold applies; task memory is bounded by the bitmap sum,
       * orders of magnitude below the id-tuple buffer it replaces. */
-    dvMode: Boolean = false
+    dvMode: Boolean = false,
+    constraints: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil
 ) extends DeltaWriter[InternalRow] {
 
   private val fileIdx = rowIdSchema.fieldIndex(GraftBatchScan.FileColumn)
   private val posIdx = rowIdSchema.fieldIndex(GraftBatchScan.PosColumn)
 
   private lazy val dataWriter: DataWriter[InternalRow] =
-    if (partitionSpec.isEmpty)
-      new GraftDataWriter(s"$writeDir/_attempt-$taskId", partitionId, dataSchema,
-        targetFileSizeBytes, compression, confEntries)
-    else
-      new GraftFanoutDataWriter(s"$writeDir/_attempt-$taskId", partitionId,
-        dataSchema, partitionSpec, targetFileSizeBytes, compression, confEntries)
+    CheckedDataWriter.wrap(
+      if (partitionSpec.isEmpty)
+        new GraftDataWriter(s"$writeDir/_attempt-$taskId", partitionId, dataSchema,
+          targetFileSizeBytes, compression, confEntries)
+      else
+        new GraftFanoutDataWriter(s"$writeDir/_attempt-$taskId", partitionId,
+          dataSchema, partitionSpec, targetFileSizeBytes, compression, confEntries),
+      constraints)
   private var dataUsed = false
 
   // (path, pos) buffer; paths of one task repeat heavily -> intern

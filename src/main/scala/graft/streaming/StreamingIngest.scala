@@ -73,7 +73,9 @@ object StreamingIngest {
       val request = RewriteFilesRequest(
         tasks = InputFileScanTasks(Nil, Nil, Nil),
         schema = batch.schema, config = cfg, outputDir = outDir)
-      val written = RollingWriter.write(batch, request, sequenceNumber = 0L)
+      val written = RollingWriter.write(
+        graft.core.Constraints.enforce(batch, cur.properties),
+        request, sequenceNumber = 0L)
       // appendFiles assigns the fresh sequence number from the
       // per-attempt reload, so every batch's rows are strictly newer
       // than all previously-committed data; the replay marker commits

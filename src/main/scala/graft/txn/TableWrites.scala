@@ -102,7 +102,9 @@ object TableWrites {
       Branch.headFrom(catalog, tableDir, cur, b, catalog.versions(tableDir)))
     requireConforming(base, rows)
     val outDir = s"$tableDir/data/append-${java.util.UUID.randomUUID().toString.take(8)}"
-    val files = writeParquet(rows, outDir, config.parquetCompression,
+    val files = writeParquet(
+      graft.core.Constraints.enforce(rows, base.properties),
+      outDir, config.parquetCompression,
       bloomColumnsFor(config, base))
     val entries = files.map { case (p, len, rc) =>
       graft.sources.ParquetStats.stampBounds(FileEntry(p, "data", len, rc, -1L)) }
@@ -187,7 +189,8 @@ object TableWrites {
     val cur = catalog.loadOrThrow(tableDir)
     requireConforming(cur, rows)
     val tag = java.util.UUID.randomUUID().toString.take(8)
-    val dataFiles = writeParquet(rows,
+    val dataFiles = writeParquet(
+      graft.core.Constraints.enforce(rows, cur.properties),
       s"$tableDir/data/upsert-$tag", config.parquetCompression,
       bloomColumnsFor(config, cur))
     // derive the delete keys from the data files just WRITTEN, not by
