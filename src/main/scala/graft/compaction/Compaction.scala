@@ -162,7 +162,13 @@ final class Compaction(
           .rewriteFiles(
             addedFiles = written,
             removedPaths = removed,
-            expectedSchemaId = cur.schemaId,
+            // the RUN-START schema id, not the reloaded one: every
+            // group's rewrite request was planned (and its bytes laid
+            // out) under snap's schema, so a concurrent ALTER must
+            // abort the remaining groups — comparing the reloaded id
+            // against itself would wave old-schema bytes through
+            // stamped as current-schema files
+            expectedSchemaId = snap.schemaId,
             startingSequenceNumber = startingSeq,
             useStartingSequenceNumber = config.useStartingSequenceNumber,
             sketches = outputSketches(cur, removed, written, config))

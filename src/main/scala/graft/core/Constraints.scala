@@ -52,15 +52,29 @@ object Constraints {
     * agrees. */
   def bind(spark: SparkSession, name: String, sql: String,
       schema: StructType): Expression = {
-    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
     val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
       .toAttributes(schema)
-    val analyzed = spark.sessionState.analyzer
-      .execute(Filter(parsed, LocalRelation(attrs)))
+    // analysis failures (unknown function, parse error) surface as the
+    // same Config error every other malformed declaration gets — not a
+    // raw AnalysisException that looks like an engine bug
+    val analyzed = try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      spark.sessionState.analyzer.execute(Filter(parsed, LocalRelation(attrs)))
+    } catch {
+      case e: CompactionError => throw e
+      case scala.util.control.NonFatal(e) => throw CompactionError.Config(
+        s"constraint '$name' failed to analyze against the write schema " +
+          s"(${schema.fieldNames.mkString(", ")}): $sql — ${e.getMessage}")
+    }
     val cond = analyzed.collectFirst {
       case Filter(c, _) => c
     }.getOrElse(throw CompactionError.Config(
       s"constraint '$name' did not analyze to a filter: $sql"))
+    // resolved FIRST: dataType on an unresolved attribute throws a raw
+    // catalyst UnresolvedException before the friendlier checks run
+    if (!cond.resolved) throw CompactionError.Config(
+      s"constraint '$name' references columns outside the write schema " +
+        s"(${schema.fieldNames.mkString(", ")}): $sql")
     if (cond.dataType != BooleanType) throw CompactionError.Config(
       s"constraint '$name' must be a boolean expression, got " +
         s"${cond.dataType.simpleString}: $sql")
@@ -70,9 +84,6 @@ object Constraints {
         org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression]))
       throw CompactionError.Config(
         s"constraint '$name' must not aggregate: $sql")
-    if (!cond.resolved) throw CompactionError.Config(
-      s"constraint '$name' references columns outside the write schema " +
-        s"(${schema.fieldNames.mkString(", ")}): $sql")
     BindReferences.bindReference(Coalesce(Seq(cond, Literal(true))), attrs)
   }
 
@@ -85,15 +96,19 @@ object Constraints {
     * lazily per task, throws on the first violating row. */
   final class RowChecker(
       bound: Seq[(String, String, Expression)]) extends Serializable {
+    // Array + hoisted length: this runs per InternalRow on the hottest
+    // writer path — a List-backed Seq would traverse from the head per
+    // index per row
     @transient private lazy val preds = bound.map { case (n, s, e) =>
       val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
       p.initialize(0)
       (n, s, p)
-    }
+    }.toArray
     def check(row: InternalRow): Unit = {
+      val ps = preds
       var i = 0
-      while (i < preds.size) {
-        val (n, s, p) = preds(i)
+      while (i < ps.length) {
+        val (n, s, p) = ps(i)
         if (!p.eval(row)) throw CompactionError.Config(
           s"CHECK constraint '$n' violated: $s")
         i += 1

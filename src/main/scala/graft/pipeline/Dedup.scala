@@ -278,19 +278,30 @@ object Dedup {
       numCentroids: Int = 16,
       lloydIters: Int = 2
   ): DataFrame = {
-    import Similarity.IntKMeans
-    val t = vectors.select(col(idCol).cast("long").as("vec_id"),
-      col(vecCol).as("v"))
-    val tq = t.withColumn("px", IntKMeans.quant(col("v"))).persist()
+    val tq = quantized(vectors, idCol, vecCol).persist()
     try {
-      val assigned = IntKMeans.assign(tq, "px", "vec_id",
-        IntKMeans.train(tq.select("vec_id", "px"), "vec_id", "px",
-          numCentroids, lloydIters),
-        keep = 1).drop("px").persist()
+      val assigned =
+        clusterAssigned(tq, numCentroids, lloydIters).persist()
       // materialize before unpersist: callers get a stable frame
       try semanticFlags(assigned, minCosineX1e6).localCheckpoint(true)
       finally assigned.unpersist()
     } finally tq.unpersist()
+  }
+
+  private def quantized(vectors: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    vectors.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("v"))
+      .withColumn("px", Similarity.IntKMeans.quant(col("v")))
+
+  /** (vec_id, v, cid) — one cluster per vector. */
+  private def clusterAssigned(tq: DataFrame, numCentroids: Int,
+      lloydIters: Int): DataFrame = {
+    import Similarity.IntKMeans
+    IntKMeans.assign(tq, "px", "vec_id",
+      IntKMeans.train(tq.select("vec_id", "px"), "vec_id", "px",
+        numCentroids, lloydIters),
+      keep = 1).drop("px")
   }
 
   /** The keep/drop decision over an assigned (vec_id, v, cid) frame —
@@ -312,21 +323,16 @@ object Dedup {
         coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 
-  /** Un-checkpointed plan for shape assertions (tests only). */
+  /** Un-checkpointed plan for shape assertions (tests only) — the
+    * SAME builders as [[semanticDedup]], minus persist/checkpoint. */
   private[graft] def semanticDedupPlanForTest(
       vectors: DataFrame, idCol: String, vecCol: String,
       minCosineX1e6: Long, numCentroids: Int = 16,
-      lloydIters: Int = 2): DataFrame = {
-    import Similarity.IntKMeans
-    val t = vectors.select(col(idCol).cast("long").as("vec_id"),
-      col(vecCol).as("v"))
-    val tq = t.withColumn("px", IntKMeans.quant(col("v")))
-    val assigned = IntKMeans.assign(tq, "px", "vec_id",
-      IntKMeans.train(tq.select("vec_id", "px"), "vec_id", "px",
+      lloydIters: Int = 2): DataFrame =
+    semanticFlags(
+      clusterAssigned(quantized(vectors, idCol, vecCol),
         numCentroids, lloydIters),
-      keep = 1).drop("px")
-    semanticFlags(assigned, minCosineX1e6)
-  }
+      minCosineX1e6)
 
   /** Embedding near-dup pairs: cosine >= threshold within a block. */
   def embeddingPairs(

@@ -293,13 +293,17 @@ final class GraftDsv2BatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     FileIO.mkdirs(writeDir)
+    // one snapshot load serves both the shipped conf and the
+    // constraint bind — a second catalog round-trip per write build is
+    // a network RPC on a REST/object-store catalog
+    val snap = catalog.load(tableDir)
     // ship the driver's hadoop conf to tasks (same rationale as
     // ExactRollingWriter: object-store credentials/endpoints)
     new GraftDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, GraftBatchWrite.writeConfEntries(tableDir, catalog), partitionSpec,
+      compression, GraftBatchWrite.writeConfEntries(snap), partitionSpec,
       constraints = graft.core.Constraints.bindAll(
         org.apache.spark.sql.SparkSession.active,
-        catalog.load(tableDir).map(_.properties).getOrElse(Map.empty), schema))
+        snap.map(_.properties).getOrElse(Map.empty), schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -559,11 +563,12 @@ final class GraftStreamingWrite(
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     FileIO.mkdirs(writeDir)
+    val snap = catalog.load(tableDir)
     new GraftStreamingDataWriterFactory(writeDir, schema, targetFileSizeBytes,
-      compression, GraftBatchWrite.writeConfEntries(tableDir, catalog), partitionSpec,
+      compression, GraftBatchWrite.writeConfEntries(snap), partitionSpec,
       constraints = graft.core.Constraints.bindAll(
         org.apache.spark.sql.SparkSession.active,
-        catalog.load(tableDir).map(_.properties).getOrElse(Map.empty), schema))
+        snap.map(_.properties).getOrElse(Map.empty), schema))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -364,8 +364,7 @@ object TableReader {
                 f.content == "deletion-vectors") &&
             // replaced vectors (OR-merge writes a fresh container) are
             // the only legal removals in a pure pos-delete commit
-            d.removedDeletes.forall(_.content == "deletion-vectors") &&
-            d.removedData.isEmpty
+            d.removedDeletes.forall(_.content == "deletion-vectors")
           if (d.isRowPreserving) None
           else if (pureAppend) Some(ClAppend(b, sb, d.addedData))
           else if (pureEqDelete)

@@ -74,6 +74,45 @@ class PartialProgressSpec extends AnyFunSuite {
       "each group commits at least one output file")
   }
 
+  test("a concurrent schema evolution ABORTS the remaining groups " +
+    "(their bytes were laid out under the run-start schema)") {
+    val dir = mkBacklog()
+    val v0 = TableMetadata.loadOrThrow(dir).version
+    val calls = new AtomicInteger(0)
+    val altering = new CompactionExecutor {
+      override def rewriteFiles(spark: org.apache.spark.sql.SparkSession,
+          request: RewriteFilesRequest,
+          sequenceNumber: Long): RewriteFilesResponse = {
+        if (calls.incrementAndGet() == 2) {
+          // a concurrent ALTER TABLE lands between group commits
+          val cur = TableMetadata.loadOrThrow(dir)
+          new graft.txn.CommitManager(dir).evolveSchema(
+            cur.schemaId, cur.schemaId + 1,
+            // the full history: the pre-ALTER schema plus the new one
+            Seq(
+              graft.core.TableSchema(cur.schemaId,
+                Seq(graft.core.SchemaField(1, "id", "BIGINT"))),
+              graft.core.TableSchema(cur.schemaId + 1,
+                Seq(graft.core.SchemaField(1, "id", "BIGINT"),
+                  graft.core.SchemaField(2, "extra", "BIGINT")))))
+        }
+        SparkCompactionExecutor.rewriteFiles(spark, request, sequenceNumber)
+      }
+    }
+    intercept[CompactionError.SchemaDrift] {
+      Compaction.builder().withSpark(spark).withTableDir(dir)
+        .withExecutor(altering)
+        .withConfig(CompactionConfig(partialProgressMaxCommits = 3))
+        .build().compact()
+    }
+    // group 1 committed; groups 2..3 aborted (their requests were
+    // planned under the pre-ALTER schema) — and the table stays correct
+    val v = TableMetadata.loadOrThrow(dir).version
+    assert(v == v0 + 2, // group-1 rewrite + the evolve commit
+      s"only group 1 and the ALTER should have committed, at $v")
+    assert(liveIds(dir) == expected)
+  }
+
   test("a mid-run failure keeps earlier groups' commits durable") {
     val dir = mkBacklog()
     val v0 = TableMetadata.loadOrThrow(dir).version
