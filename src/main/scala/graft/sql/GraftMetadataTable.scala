@@ -22,7 +22,7 @@ import scala.jdk.CollectionConverters._
 object GraftMetadataTable {
 
   val Kinds: Set[String] =
-    Set("files", "snapshots", "refs", "partitions", "manifests")
+    Set("files", "snapshots", "refs", "partitions", "manifests", "history")
 
   def apply(tableDir: String, kind: String,
       catalog: TableCatalog = FileTableCatalog): Table =
@@ -72,6 +72,16 @@ object GraftMetadataTable {
     StructField("added_files_count", IntegerType, nullable = false),
     StructField("existing_files_count", IntegerType, nullable = false)))
 
+  /** Iceberg's history-table surface: when each retained version became
+    * current, its parent, and whether it is an ancestor of the CURRENT
+    * state (out-of-line WAP/branch commits are not — they were never on
+    * the main line). */
+  private[sql] val historySchema = StructType(Seq(
+    StructField("made_current_at_ms", LongType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("parent_version", LongType, nullable = true),
+    StructField("is_current_ancestor", BooleanType, nullable = false)))
+
   private[sql] val snapshotsSchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("committed_at_ms", LongType, nullable = false),
@@ -118,6 +128,7 @@ final class GraftMetadataTable(
     case "snapshots"  => snapshotsSchema
     case "partitions" => partitionsSchema
     case "manifests"  => manifestsSchema
+    case "history"    => historySchema
     case other => throw graft.core.CompactionError.Config(
       s"unknown metadata table kind: $other")
   }
@@ -248,6 +259,25 @@ final class GraftMetadataTable(
           s.properties.get(graft.txn.Branch.NameProp)
             .map(UTF8String.fromString).orNull,
           operation))
+      }.toArray
+    case "history" =>
+      // same tolerant loading as .snapshots (concurrent expiry drops
+      // rows, never fails the query)
+      val loaded = catalog.versions(tableDir)
+        .flatMap(catalog.loadVersion(tableDir, _))
+      loaded.map { s =>
+        val outOfMain = graft.txn.Branch.isOutOfMain(s)
+        val parent: AnyRef =
+          if (outOfMain)
+            (s.properties.get(graft.txn.Wap.ParentProp) orElse
+              s.properties.get(graft.txn.Branch.ParentProp))
+              .flatMap(_.toLongOption).map(Long.box).orNull
+          else loaded.view
+            .filter(p => p.version < s.version &&
+              !graft.txn.Branch.isOutOfMain(p))
+            .lastOption.map(p => Long.box(p.version)).orNull
+        InternalRow.fromSeq(Seq(
+          s.committedAtMs, s.version, parent, !outOfMain))
       }.toArray
     case "manifests" =>
       (catalog match {

@@ -295,6 +295,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     // no Spark job fan-out: the scan is a driver-local metadata read
     assert(sql("SELECT * FROM gsql.db6.mt.files").queryExecution.executedPlan
       .toString.contains("LocalTableScan"))
+    // .history: linear ancestry, parents chained, all main-lineage
+    val hist = sql(
+      """SELECT version, parent_version, is_current_ancestor
+        |FROM gsql.db6.mt.history ORDER BY version""".stripMargin)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+    assert(hist.toSeq == Seq(
+      (1L, None, true), (2L, Some(1L), true), (3L, Some(2L), true)))
+    val ts = sql("SELECT made_current_at_ms FROM gsql.db6.mt.history")
+      .collect().map(_.getLong(0))
+    assert(ts.forall(_ > 0L), "every retained version carries its commit time")
   }
 
   test("expire_snapshots(older_than_ms) keeps versions younger than " +
