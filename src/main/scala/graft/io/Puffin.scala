@@ -106,6 +106,59 @@ object Puffin {
     PuffinFile(descriptors, bytes.length.toLong)
   }
 
+  val NdvBlobType = "graft-ndv-v1"
+
+  /** One column's NDV statistics blob (the shape Iceberg's
+    * `apache-datasketches-theta-v1` blobs use: the estimate rides the
+    * blob's `ndv` property, readable without decoding the body; the
+    * body here is the estimate as 8 bytes big-endian). */
+  final case class NdvBlob(fieldId: Int, column: String, ndv: Long)
+
+  /** A written statistics file: spec-shaped `blob-metadata` JSON plus
+    * the sizes the `statistics` metadata entry needs. */
+  final case class StatsFile(path: String, sizeBytes: Long,
+      footerSizeBytes: Long, blobMetadataJson: String)
+
+  /** Write an Iceberg-spec statistics Puffin file: one NDV blob per
+    * analyzed column. Returns everything a `statistics` metadata entry
+    * needs ([[graft.txn.IcebergTableCatalog]] emits it). */
+  def writeStatsFile(path: String, snapshotId: Long, sequenceNumber: Long,
+      blobs: Seq[NdvBlob],
+      conf: org.apache.hadoop.conf.Configuration = null): StatsFile = {
+    require(blobs.nonEmpty, "refusing to write an empty statistics file")
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(Magic)
+    val metas = blobs.map { b =>
+      val offset = out.size().toLong
+      out.write(ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+        .putLong(b.ndv).array())
+      s"""{"type":"$NdvBlobType","fields":[${b.fieldId}],""" +
+        s""""snapshot-id":$snapshotId,"sequence-number":$sequenceNumber,""" +
+        s""""offset":$offset,"length":8,"properties":{""" +
+        s""""ndv":"${b.ndv}","column":"${esc(b.column)}"}}"""
+    }
+    val payload =
+      (s"""{"blobs":[${metas.mkString(",")}],""" +
+        s""""properties":{"created-by":"graft"}}""")
+        .getBytes(StandardCharsets.UTF_8)
+    val footerStart = out.size()
+    out.write(Magic)
+    out.write(payload)
+    out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(payload.length).array())
+    out.write(Array[Byte](0, 0, 0, 0))
+    out.write(Magic)
+    val bytes = out.toByteArray
+    FileIO.writeBytes(path, bytes, conf)
+    StatsFile(path, bytes.length.toLong,
+      (bytes.length - footerStart).toLong, s"[${metas.mkString(",")}]")
+  }
+
   private def footerJson(ds: Seq[DvDescriptor]): String = {
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"

@@ -71,6 +71,11 @@ object IcebergTableCatalog extends TableCatalog {
   /** Marks a metadata file whose `schemas` array is a REAL graft schema
     * history (vs the single inferred schema a history-less table gets). */
   private[txn] val SchemaHistoryProp = "graft.schema-history"
+  /** Spec-shaped `statistics` array JSON ([[graft.txn.TableAnalyze]]
+    * writes it after an iceberg-format analyze): serialized verbatim
+    * into metadata.json's `statistics` field so real Iceberg readers
+    * discover the Puffin NDV statistics files. */
+  private[graft] val StatisticsProp = "graft.stats.puffin"
   private val InternalProps =
     Set(FileSchemaIdsProp, FileSpecIdsProp, FileNdvSketchesProp, SchemaHistoryProp)
 
@@ -733,6 +738,12 @@ object IcebergTableCatalog extends TableCatalog {
         f.ndvSketch.toSeq.sortBy(_._1).foreach { case (c, s) => cols.put(c, s) }
       }
       if (sketches.size > 0) props.put(FileNdvSketchesProp, sketches.toString)
+      // spec `statistics` field: the property carries the array verbatim
+      snapshot.properties.get(StatisticsProp).foreach { raw =>
+        try doc.set[com.fasterxml.jackson.databind.JsonNode](
+          "statistics", parse(raw))
+        catch { case _: Exception => () } // malformed: omit, never block a commit
+      }
       doc.put("current-snapshot-id", snapshotId)
       val snaps = doc.putArray("snapshots")
       prevDoc.foreach(_.get("snapshots").elements().asScala.foreach(snaps.add))

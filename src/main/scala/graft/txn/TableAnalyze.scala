@@ -136,7 +136,46 @@ object TableAnalyze {
           (if (mergedHist.isEmpty) Map.empty[String, String]
            else Map(HistProp -> histJson(mergedHist))), removeStaleHist)
       }
+    publishIcebergStatistics(tableDir, snap, merged, catalog)
     merged
+  }
+
+  /** Iceberg-format tables additionally publish the NDVs as a
+    * spec-shaped STATISTICS FILE (Puffin, one blob per column with the
+    * estimate in the blob's `ndv` property — the same surface Iceberg's
+    * own theta-sketch statistics use), registered in metadata.json's
+    * `statistics` field by a follow-up property commit, exactly like
+    * Iceberg's compute-table-stats action. Foreign readers discover the
+    * NDVs from the spec field; graft's own CBO path keeps serving from
+    * the exact-guarded snapshot properties. Best-effort: a failure here
+    * never unwinds the already-committed analyze. */
+  private def publishIcebergStatistics(tableDir: String,
+      analyzed: TableSnapshot, ndvs: Map[String, Long],
+      catalog: TableCatalog): Unit = {
+    if (!catalog.isInstanceOf[IcebergTableCatalog.type]) return
+    val fieldIds: Map[String, Int] = analyzed.currentSchema
+      .map(_.fields.map(f => f.name -> f.id).toMap).getOrElse(return)
+    val blobs = ndvs.toSeq.sortBy(_._1).flatMap { case (c, n) =>
+      fieldIds.get(c).map(id => graft.io.Puffin.NdvBlob(id, c, n))
+    }
+    if (blobs.isEmpty) return
+    try {
+      val path = s"$tableDir/metadata/stats-" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.puffin"
+      val stats = graft.io.Puffin.writeStatsFile(path,
+        snapshotId = analyzed.version,
+        sequenceNumber = analyzed.lastSequenceNumber, blobs)
+      val entry =
+        s"""[{"snapshot-id":${analyzed.version},""" +
+          s""""statistics-path":"${stats.path}",""" +
+          s""""file-size-in-bytes":${stats.sizeBytes},""" +
+          s""""file-footer-size-in-bytes":${stats.footerSizeBytes},""" +
+          s""""blob-metadata":${stats.blobMetadataJson}}]"""
+      new CommitManager(tableDir, RetryConfig(), catalog = catalog)
+        .setTableProperties(
+          Map(IcebergTableCatalog.StatisticsProp -> entry), Set.empty,
+          expectedSchemaId = analyzed.schemaId)
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private def histEligible(dt: org.apache.spark.sql.types.DataType): Boolean = {

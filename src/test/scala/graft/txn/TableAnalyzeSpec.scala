@@ -141,6 +141,51 @@ class TableAnalyzeSpec extends AnyFunSuite {
     assert(!pruned.isPresent)
   }
 
+  test("iceberg-format analyze publishes a spec-shaped Puffin " +
+    "statistics file registered in metadata.json") {
+    import spark.implicits._
+    val swh = Files.createTempDirectory("graft-an-iwh").toString
+    spark.conf.set("spark.sql.catalog.gani", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gani.warehouse", swh)
+    spark.conf.set("spark.sql.catalog.gani.format", "iceberg")
+    sql("CREATE NAMESPACE IF NOT EXISTS gani.db")
+    sql("CREATE TABLE gani.db.st (id BIGINT, k STRING)")
+    sql("INSERT INTO gani.db.st SELECT id, CAST(id % 7 AS STRING) FROM range(0, 100)")
+    sql("CALL gani.system.analyze_table(`table` => 'db.st')")
+    val dir = s"$swh/db/st"
+    // the CURRENT metadata.json carries the spec `statistics` field
+    val mdFiles = new java.io.File(s"$dir/metadata").listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).sortBy(_.getName)
+    val md = new String(java.nio.file.Files.readAllBytes(
+      mdFiles.last.toPath), "UTF-8")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(md)
+    val stats = node.get("statistics")
+    assert(stats != null && stats.size == 1, s"statistics field missing:\n$md")
+    val entry = stats.get(0)
+    val statsPath = entry.get("statistics-path").asText
+    assert(new java.io.File(statsPath).length() ==
+      entry.get("file-size-in-bytes").asLong)
+    // blob metadata: one NDV blob per analyzed column, estimate in the
+    // `ndv` property (the theta-blob convention foreign readers use)
+    val blobs = entry.get("blob-metadata")
+    val byCol = (0 until blobs.size).map { i =>
+      val b = blobs.get(i)
+      b.get("properties").get("column").asText ->
+        (b.get("properties").get("ndv").asText.toLong,
+          b.get("offset").asLong, b.get("fields").get(0).asInt)
+    }.toMap
+    assert(byCol.keySet == Set("id", "k"))
+    assert(byCol("k")._1 == 7L, s"k NDV should be exact-ish, got $byCol")
+    // the blob BODY is the estimate as 8 bytes big-endian
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(statsPath))
+    val off = byCol("k")._2.toInt
+    val bodyNdv = java.nio.ByteBuffer.wrap(raw, off, 8).getLong
+    assert(bodyNdv == byCol("k")._1)
+    // field ids resolve through the table schema
+    assert(byCol("id")._3 > 0 && byCol("k")._3 > 0)
+  }
+
   test("unknown analyze column is refused") {
     intercept[graft.core.CompactionError.Config] {
       sql("CALL gan.system.analyze_table(`table` => 'db.t', columns => 'nope')")
