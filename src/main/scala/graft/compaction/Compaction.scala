@@ -80,11 +80,22 @@ final class Compaction(
           case Nil   => config1
           case specs => config1.copy(bloomColumns = specs)
         }
-      val (selected, kept) = config.compactionType match {
+      val (selected0, kept0) = config.compactionType match {
         case CompactionType.Full => (allTasks.dataFiles, Nil)
         case CompactionType.Incremental(factor) =>
           val threshold = (config.targetFileSizeBytes * factor).toLong
           allTasks.dataFiles.partition(_.lengthBytes < threshold)
+      }
+      // filter scoping: metadata-only bounds decision over the snapshot
+      // entries — files the predicate provably misses are KEPT verbatim
+      val (selected, kept) = config.filter match {
+        case None => (selected0, kept0)
+        case Some(sql) =>
+          val inScope = graft.sources.ScanPruning.pruneDataFilesWithBounds(
+            snap.files.filter(_.content == "data"),
+            graft.sources.ScanPruning.constraintsOfSql(sql)).map(_.path).toSet
+          val (in, out) = selected0.partition(t => inScope(t.filePath))
+          (in, kept0 ++ out)
       }
       if (selected.isEmpty) return RewriteFilesStat()
 

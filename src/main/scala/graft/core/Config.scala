@@ -99,7 +99,16 @@ final case class CompactionConfig(
       * then they must keep applying to the not-yet-rewritten files;
       * re-application to rewritten outputs is idempotent because
       * outputs keep the starting sequence number). */
-    partialProgressMaxCommits: Int = 1
+    partialProgressMaxCommits: Int = 1,
+    /** FILTER-SCOPED rewrite (Iceberg's `RewriteDataFiles.filter`): a
+      * SQL predicate restricting the rewrite to data files that MAY
+      * contain matching rows, decided from the write-time stamped
+      * bounds with zero file IO. Conservative by construction: a file
+      * without trustworthy stats is in scope (rewriting more than
+      * asked is safe; skipping a matching file is not). Files scoped
+      * OUT are kept verbatim, so delete files stay until a full
+      * unfiltered rewrite folds them. */
+    filter: Option[String] = None
 ) {
   require(partialProgressMaxCommits > 0,
     "partialProgressMaxCommits must be > 0")

@@ -61,7 +61,15 @@ object ScanPruning {
     * Walks the Column's node tree (Spark 4 Columns are ColumnNode trees
     * until bound to a plan — exactly right here, since pruning runs
     * BEFORE any DataFrame exists to resolve against). */
-  def constraints(filter: Column): Bounds = {
+  def constraints(filter: Column): Bounds =
+    constraintsOf(NodeBridge.tree(filter))
+
+  /** SQL-text twin of [[constraints]] — for callers holding the
+    * predicate as a string (e.g. `rewrite_data_files(where => ...)`). */
+  def constraintsOfSql(sql: String): Bounds =
+    constraintsOf(NodeBridge.treeOfSql(sql))
+
+  private def constraintsOf(root: PredNode): Bounds = {
     // comparison with the attribute on the left; [lo/hi]Delta adjust for
     // strictness (x > v means x >= v+1 on an integral column)
     def cmp(a: PredNode, v: PredNode,
@@ -91,7 +99,7 @@ object ScanPruning {
         }
       case _ => Map.empty
     }
-    walk(NodeBridge.tree(filter))
+    walk(root)
   }
 
   /** column → EXACT literal values allowed by `filter` (`=` / `isin`

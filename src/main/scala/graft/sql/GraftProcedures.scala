@@ -104,7 +104,10 @@ private[sql] object GraftProcedures {
       inDefault("zorder_by", StringType, "''"),
       // > 1: PARTIAL PROGRESS — up to N independent per-group commits,
       // so a mid-run failure keeps the committed groups' work
-      inDefault("partial_progress_max_commits", IntegerType, "1"))
+      inDefault("partial_progress_max_commits", IntegerType, "1"),
+      // SQL predicate scoping the rewrite to files that may match
+      // (metadata-only bounds decision); '' = everything
+      inDefault("where", StringType, "''"))
 
     private val out = StructType(Seq(
       StructField("rewritten_files", LongType, nullable = false),
@@ -130,7 +133,8 @@ private[sql] object GraftProcedures {
           compactionType = mode,
           enableValidateCompaction = input.getBoolean(4),
           zOrderBy = zorder,
-          partialProgressMaxCommits = input.getInt(6)))
+          partialProgressMaxCommits = input.getInt(6),
+          filter = Option(input.getUTF8String(7).toString).filter(_.nonEmpty)))
         .build().compact()
       localScan(out, Array(InternalRow(
         stat.rewrittenFilesCount, stat.addedFilesCount, stat.rewrittenBytes)),

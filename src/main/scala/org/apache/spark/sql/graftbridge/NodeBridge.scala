@@ -23,6 +23,38 @@ object NodeBridge {
 
   def tree(c: Column): PredNode = convert(c.node)
 
+  /** A SQL predicate string as a [[PredNode]] tree — the path for
+    * callers holding a predicate as TEXT (e.g. a procedure's `where`
+    * argument): `expr(sql)` wraps a parsed catalyst expression in a
+    * node [[convert]] cannot see into, so parse and walk the catalyst
+    * tree directly. Unhandled shapes collapse to Opaque (assume-match),
+    * same contract as the Column path. */
+  def treeOfSql(sql: String): PredNode =
+    try convertExpr(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql))
+    catch { case scala.util.control.NonFatal(_) => PredNode.Opaque }
+
+  private def convertExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): PredNode = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    e match {
+      case ce.And(l, r) => PredNode.Fn("and", Seq(convertExpr(l), convertExpr(r)))
+      case ce.Or(l, r) => PredNode.Fn("or", Seq(convertExpr(l), convertExpr(r)))
+      case ce.EqualTo(l, r) => PredNode.Fn("=", Seq(convertExpr(l), convertExpr(r)))
+      case ce.GreaterThan(l, r) => PredNode.Fn(">", Seq(convertExpr(l), convertExpr(r)))
+      case ce.GreaterThanOrEqual(l, r) => PredNode.Fn(">=", Seq(convertExpr(l), convertExpr(r)))
+      case ce.LessThan(l, r) => PredNode.Fn("<", Seq(convertExpr(l), convertExpr(r)))
+      case ce.LessThanOrEqual(l, r) => PredNode.Fn("<=", Seq(convertExpr(l), convertExpr(r)))
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        PredNode.Attr(a.nameParts.mkString("."))
+      case l: ce.Literal => PredNode.Lit(l.value match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case v => v
+      })
+      case _ => PredNode.Opaque
+    }
+  }
+
   private def convert(n: ColumnNode): PredNode = n match {
     case f: UnresolvedFunction =>
       PredNode.Fn(f.functionName, f.arguments.map(convert))

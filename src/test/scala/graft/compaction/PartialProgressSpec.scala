@@ -113,6 +113,37 @@ class PartialProgressSpec extends AnyFunSuite {
     assert(liveIds(dir) == expected)
   }
 
+  test("a WHERE-scoped rewrite touches only files that may match, " +
+    "from stamped bounds alone") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pp-where").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir, (0L until 50L).toDF("id").coalesce(1))
+    TableWrites.appendData(dir, (100L until 150L).toDF("id").coalesce(1))
+    TableWrites.appendData(dir, (200L until 250L).toDF("id").coalesce(1))
+    val before = TableMetadata.loadOrThrow(dir).files.map(_.path).toSet
+    val lowFile = TableMetadata.loadOrThrow(dir).files
+      .filter(_.content == "data").minBy(_.sequenceNumber).path
+    Compaction.builder().withSpark(spark).withTableDir(dir)
+      .withConfig(CompactionConfig(filter = Some("id >= 100")))
+      .build().compact()
+    val after = TableMetadata.loadOrThrow(dir).files.map(_.path).toSet
+    assert(after.contains(lowFile),
+      "the out-of-scope file must survive verbatim")
+    assert((before - lowFile).forall(p => !after.contains(p)),
+      "both in-scope files must be rewritten")
+    assert(TableReader.read(spark, dir).count() == 150L)
+    // a contradiction-free predicate over a column with no stats keeps
+    // everything in scope (conservative) — here: all files stamped, so
+    // an always-false-by-bounds predicate rewrites nothing
+    val v = TableMetadata.loadOrThrow(dir).version
+    Compaction.builder().withSpark(spark).withTableDir(dir)
+      .withConfig(CompactionConfig(filter = Some("id > 100000")))
+      .build().compact()
+    assert(TableMetadata.loadOrThrow(dir).version == v,
+      "a predicate no file can match must commit nothing")
+  }
+
   test("a mid-run failure keeps earlier groups' commits durable") {
     val dir = mkBacklog()
     val v0 = TableMetadata.loadOrThrow(dir).version
