@@ -86,11 +86,35 @@ final class Compaction(
           val threshold = (config.targetFileSizeBytes * factor).toLong
           allTasks.dataFiles.partition(_.lengthBytes < threshold)
       }
-      // filter scoping: metadata-only bounds decision over the snapshot
+      // filter scoping: stamped-bounds decision over the snapshot
       // entries — files the predicate provably misses are KEPT verbatim
       val (selected, kept) = config.filter match {
         case None => (selected0, kept0)
         case Some(sql) =>
+          // a predicate that does not even PARSE, or that names columns
+          // outside the schema, must FAIL the call — silently degrading
+          // to a full-table rewrite would turn a typo into hours of
+          // unrequested work. (A valid predicate whose shape the bounds
+          // walker cannot use still conservatively scopes everything.)
+          val parsed =
+            try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(sql)
+            catch { case scala.util.control.NonFatal(e) =>
+              throw CompactionError.Config(
+                s"rewrite filter failed to parse: $sql — ${e.getMessage}")
+            }
+          snap.currentSchema.foreach { sc =>
+            val known = sc.fields.map(_.name.toLowerCase).toSet
+            val unknown = parsed.collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                  if !known(a.nameParts.mkString(".").toLowerCase) =>
+                a.nameParts.mkString(".")
+            }
+            if (unknown.nonEmpty) throw CompactionError.Config(
+              s"rewrite filter references unknown column(s) " +
+                s"${unknown.distinct.mkString(", ")}: $sql (schema: " +
+                s"${sc.fields.map(_.name).mkString(", ")})")
+          }
           val inScope = graft.sources.ScanPruning.pruneDataFilesWithBounds(
             snap.files.filter(_.content == "data"),
             graft.sources.ScanPruning.constraintsOfSql(sql)).map(_.path).toSet

@@ -102,12 +102,15 @@ final case class CompactionConfig(
     partialProgressMaxCommits: Int = 1,
     /** FILTER-SCOPED rewrite (Iceberg's `RewriteDataFiles.filter`): a
       * SQL predicate restricting the rewrite to data files that MAY
-      * contain matching rows, decided from the write-time stamped
-      * bounds with zero file IO. Conservative by construction: a file
-      * without trustworthy stats is in scope (rewriting more than
-      * asked is safe; skipping a matching file is not). Files scoped
-      * OUT are kept verbatim, so delete files stay until a full
-      * unfiltered rewrite folds them. */
+      * contain matching rows. Stamped files decide from snapshot
+      * metadata alone; PRE-FEATURE files without stamped bounds fall
+      * back to a footer read per file (same fallback every pruned scan
+      * takes). Conservative by construction: a file without
+      * trustworthy stats is in scope (rewriting more than asked is
+      * safe; skipping a matching file is not). Files scoped OUT are
+      * kept verbatim, so delete files stay until a full unfiltered
+      * rewrite folds them. A predicate that fails to parse or names
+      * unknown columns fails the call — never a silent full rewrite. */
     filter: Option[String] = None
 ) {
   require(partialProgressMaxCommits > 0,

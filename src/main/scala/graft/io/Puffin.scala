@@ -122,15 +122,17 @@ object Puffin {
   /** Write an Iceberg-spec statistics Puffin file: one NDV blob per
     * analyzed column. Returns everything a `statistics` metadata entry
     * needs ([[graft.txn.IcebergTableCatalog]] emits it). */
+  /** JSON string escaping shared by every footer writer here. */
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def writeStatsFile(path: String, snapshotId: Long, sequenceNumber: Long,
       blobs: Seq[NdvBlob],
       conf: org.apache.hadoop.conf.Configuration = null): StatsFile = {
     require(blobs.nonEmpty, "refusing to write an empty statistics file")
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     val out = new ByteArrayOutputStream()
     out.write(Magic)
     val metas = blobs.map { b =>
@@ -160,11 +162,6 @@ object Puffin {
   }
 
   private def footerJson(ds: Seq[DvDescriptor]): String = {
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     val blobs = ds.map { d =>
       s"""{"type":"$DvBlobType","fields":[],"snapshot-id":-1,""" +
         s""""sequence-number":-1,"offset":${d.contentOffset},""" +

@@ -50,13 +50,9 @@ object GraftBatchWrite {
     * table's bloom-column config ([[graft.core.BloomColumns]]) so every
     * row-level writer emits the configured parquet bloom filters
     * without threading one more constructor parameter through the
-    * writer tree. */
-  def writeConfEntries(tableDir: String,
-      catalog: TableCatalog): Array[(String, String)] =
-    writeConfEntries(catalog.load(tableDir))
-
-  /** Overload for callers that already hold the loaded snapshot — no
-    * second catalog round-trip per write build. */
+    * writer tree. Takes the ALREADY-LOADED snapshot: every write-build
+    * site holds one, and a second catalog round-trip per build would be
+    * a network RPC on a REST/object-store catalog. */
   def writeConfEntries(snap: Option[graft.txn.TableSnapshot]): Array[(String, String)] = {
     val base = FileIO.hadoopConfEntries()
     snap.flatMap(_.properties.get(graft.core.BloomColumns.Property)) match {

@@ -144,6 +144,20 @@ final class GraftMetadataTable(
       }
     }
 
+  /** The version a commit was BUILT ON: the explicit parent for
+    * out-of-line (WAP/branch) commits, else the previous retained main
+    * version — ONE derivation shared by `.snapshots` and `.history`. */
+  private def parentVersionOf(loaded: Seq[graft.txn.TableSnapshot])(
+      s: graft.txn.TableSnapshot): Option[Long] =
+    if (graft.txn.Branch.isOutOfMain(s))
+      (s.properties.get(graft.txn.Wap.ParentProp) orElse
+        s.properties.get(graft.txn.Branch.ParentProp))
+        .flatMap(_.toLongOption)
+    else loaded.view
+      .filter(p => p.version < s.version &&
+        !graft.txn.Branch.isOutOfMain(p))
+      .lastOption.map(_.version)
+
   private def computeRows(): Array[InternalRow] = kind match {
     case "files" =>
       // bounds merge the plain and the decimal (unscaled) stamp maps —
@@ -216,17 +230,8 @@ final class GraftMetadataTable(
       val loaded = catalog.versions(tableDir)
         .flatMap(catalog.loadVersion(tableDir, _))
       val byVersion = loaded.map(s => s.version -> s).toMap
-      // the snapshot a commit was BUILT ON: its explicit parent for
-      // out-of-line commits (WAP/branch), else the previous main version
       def baseOf(s: graft.txn.TableSnapshot): Option[graft.txn.TableSnapshot] =
-        if (graft.txn.Branch.isOutOfMain(s))
-          (s.properties.get(graft.txn.Wap.ParentProp) orElse
-            s.properties.get(graft.txn.Branch.ParentProp))
-            .flatMap(_.toLongOption).flatMap(byVersion.get)
-        else loaded.view
-          .filter(p => p.version < s.version &&
-            !graft.txn.Branch.isOutOfMain(p))
-          .lastOption
+        parentVersionOf(loaded)(s).flatMap(byVersion.get)
       loaded.map { s =>
         val data = s.files.filter(_.content == "data")
         val operation: AnyRef =
@@ -266,18 +271,10 @@ final class GraftMetadataTable(
       val loaded = catalog.versions(tableDir)
         .flatMap(catalog.loadVersion(tableDir, _))
       loaded.map { s =>
-        val outOfMain = graft.txn.Branch.isOutOfMain(s)
-        val parent: AnyRef =
-          if (outOfMain)
-            (s.properties.get(graft.txn.Wap.ParentProp) orElse
-              s.properties.get(graft.txn.Branch.ParentProp))
-              .flatMap(_.toLongOption).map(Long.box).orNull
-          else loaded.view
-            .filter(p => p.version < s.version &&
-              !graft.txn.Branch.isOutOfMain(p))
-            .lastOption.map(p => Long.box(p.version)).orNull
         InternalRow.fromSeq(Seq(
-          s.committedAtMs, s.version, parent, !outOfMain))
+          s.committedAtMs, s.version,
+          parentVersionOf(loaded)(s).map(Long.box).orNull,
+          !graft.txn.Branch.isOutOfMain(s)))
       }.toArray
     case "manifests" =>
       (catalog match {

@@ -134,7 +134,10 @@ private[sql] object GraftProcedures {
           enableValidateCompaction = input.getBoolean(4),
           zOrderBy = zorder,
           partialProgressMaxCommits = input.getInt(6),
-          filter = Option(input.getUTF8String(7).toString).filter(_.nonEmpty)))
+          // NULL behaves like the '' default (the getUTF8String result
+          // itself can be null — toString first would NPE)
+          filter = Option(input.getUTF8String(7))
+            .map(_.toString).filter(_.nonEmpty)))
         .build().compact()
       localScan(out, Array(InternalRow(
         stat.rewrittenFilesCount, stat.addedFilesCount, stat.rewrittenBytes)),

@@ -72,9 +72,12 @@ object IcebergTableCatalog extends TableCatalog {
     * history (vs the single inferred schema a history-less table gets). */
   private[txn] val SchemaHistoryProp = "graft.schema-history"
   /** Spec-shaped `statistics` array JSON ([[graft.txn.TableAnalyze]]
-    * writes it after an iceberg-format analyze): serialized verbatim
-    * into metadata.json's `statistics` field so real Iceberg readers
-    * discover the Puffin NDV statistics files. */
+    * writes it with an iceberg-format analyze): serialized verbatim
+    * into metadata.json's `statistics` field. Spec-aware readers can
+    * inspect the entries (path, sizes, per-blob `ndv` property); note
+    * that readers filtering blobs by `apache-datasketches-theta-v1`
+    * skip the engine-specific `graft-ndv-v1` blobs — see
+    * TableAnalyze.icebergStatisticsProp for the honest limit. */
   private[graft] val StatisticsProp = "graft.stats.puffin"
   private val InternalProps =
     Set(FileSchemaIdsProp, FileSpecIdsProp, FileNdvSketchesProp, SchemaHistoryProp)

@@ -133,49 +133,57 @@ object TableAnalyze {
         (Map(
           NdvProp -> mapper.writeValueAsString(merged),
           FilesHashProp -> scannedHash) ++
+          icebergStatisticsProp(tableDir, cur, merged, catalog) ++
           (if (mergedHist.isEmpty) Map.empty[String, String]
            else Map(HistProp -> histJson(mergedHist))), removeStaleHist)
       }
-    publishIcebergStatistics(tableDir, snap, merged, catalog)
     merged
   }
 
   /** Iceberg-format tables additionally publish the NDVs as a
     * spec-shaped STATISTICS FILE (Puffin, one blob per column with the
-    * estimate in the blob's `ndv` property — the same surface Iceberg's
-    * own theta-sketch statistics use), registered in metadata.json's
-    * `statistics` field by a follow-up property commit, exactly like
-    * Iceberg's compute-table-stats action. Foreign readers discover the
-    * NDVs from the spec field; graft's own CBO path keeps serving from
-    * the exact-guarded snapshot properties. Best-effort: a failure here
-    * never unwinds the already-committed analyze. */
-  private def publishIcebergStatistics(tableDir: String,
-      analyzed: TableSnapshot, ndvs: Map[String, Long],
-      catalog: TableCatalog): Unit = {
-    if (!catalog.isInstanceOf[IcebergTableCatalog.type]) return
-    val fieldIds: Map[String, Int] = analyzed.currentSchema
-      .map(_.fields.map(f => f.name -> f.id).toMap).getOrElse(return)
+    * estimate in the blob's `ndv` property, spec `statistics` entry in
+    * metadata.json) committed ATOMICALLY with the NDV properties: the
+    * entry's snapshot-id is the version the commit CREATES, so a reader
+    * that exact-matches the current snapshot id finds it (a follow-up
+    * commit would register a snapshot-id that is never current).
+    * HONEST LIMIT: the blob type is engine-specific (`graft-ndv-v1` —
+    * no Apache DataSketches dependency exists here, so real theta
+    * sketches cannot be produced); readers that filter blobs by
+    * `apache-datasketches-theta-v1` skip it, while the spec field, the
+    * per-blob `ndv` property and the 8-byte big-endian body remain
+    * inspectable by anything spec-aware. The Puffin is written inside
+    * the CAS attempt (a retried attempt strands a small orphan file —
+    * harmless); a failure never blocks the analyze commit. */
+  private def icebergStatisticsProp(tableDir: String,
+      cur: TableSnapshot, ndvs: Map[String, Long],
+      catalog: TableCatalog): Map[String, String] = {
+    if (!catalog.isInstanceOf[IcebergTableCatalog.type]) return Map.empty
+    val fieldIds: Map[String, Int] = cur.currentSchema
+      .map(_.fields.map(f => f.name -> f.id).toMap).getOrElse(return Map.empty)
+    val committedVersion = cur.version + 1
     val blobs = ndvs.toSeq.sortBy(_._1).flatMap { case (c, n) =>
       fieldIds.get(c).map(id => graft.io.Puffin.NdvBlob(id, c, n))
     }
-    if (blobs.isEmpty) return
+    if (blobs.isEmpty) return Map.empty
     try {
       val path = s"$tableDir/metadata/stats-" +
         s"${java.util.UUID.randomUUID().toString.take(8)}.puffin"
       val stats = graft.io.Puffin.writeStatsFile(path,
-        snapshotId = analyzed.version,
-        sequenceNumber = analyzed.lastSequenceNumber, blobs)
-      val entry =
-        s"""[{"snapshot-id":${analyzed.version},""" +
-          s""""statistics-path":"${stats.path}",""" +
-          s""""file-size-in-bytes":${stats.sizeBytes},""" +
-          s""""file-footer-size-in-bytes":${stats.footerSizeBytes},""" +
-          s""""blob-metadata":${stats.blobMetadataJson}}]"""
-      new CommitManager(tableDir, RetryConfig(), catalog = catalog)
-        .setTableProperties(
-          Map(IcebergTableCatalog.StatisticsProp -> entry), Set.empty,
-          expectedSchemaId = analyzed.schemaId)
-    } catch { case scala.util.control.NonFatal(_) => () }
+        snapshotId = committedVersion,
+        sequenceNumber = cur.lastSequenceNumber, blobs)
+      // jackson renders the entry: paths are escaped, not interpolated
+      val entry = mapper.createObjectNode()
+      entry.put("snapshot-id", committedVersion)
+      entry.put("statistics-path", stats.path)
+      entry.put("file-size-in-bytes", stats.sizeBytes)
+      entry.put("file-footer-size-in-bytes", stats.footerSizeBytes)
+      entry.set[com.fasterxml.jackson.databind.JsonNode]("blob-metadata",
+        mapper.readTree(stats.blobMetadataJson))
+      val arr = mapper.createArrayNode()
+      arr.add(entry)
+      Map(IcebergTableCatalog.StatisticsProp -> mapper.writeValueAsString(arr))
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
   private def histEligible(dt: org.apache.spark.sql.types.DataType): Boolean = {

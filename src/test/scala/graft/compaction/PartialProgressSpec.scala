@@ -142,6 +142,31 @@ class PartialProgressSpec extends AnyFunSuite {
       .build().compact()
     assert(TableMetadata.loadOrThrow(dir).version == v,
       "a predicate no file can match must commit nothing")
+    // a predicate that does not PARSE must fail the call, never degrade
+    // to a silent full-table rewrite
+    val pe = intercept[CompactionError.Config] {
+      Compaction.builder().withSpark(spark).withTableDir(dir)
+        .withConfig(CompactionConfig(filter = Some("id >< 100")))
+        .build().compact()
+    }
+    assert(pe.getMessage.contains("parse"))
+    assert(TableMetadata.loadOrThrow(dir).version == v)
+  }
+
+  test("a WHERE filter naming an unknown column is refused when the " +
+    "schema is declared") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pp-badcol").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil,
+      schemas = Seq(graft.core.TableSchema(1,
+        Seq(graft.core.SchemaField(1, "id", "BIGINT"))))))
+    TableWrites.appendData(dir, (0L until 10L).toDF("id").coalesce(1))
+    val e = intercept[CompactionError.Config] {
+      Compaction.builder().withSpark(spark).withTableDir(dir)
+        .withConfig(CompactionConfig(filter = Some("idd > 5")))
+        .build().compact()
+    }
+    assert(e.getMessage.contains("unknown column"))
   }
 
   test("a mid-run failure keeps earlier groups' commits durable") {

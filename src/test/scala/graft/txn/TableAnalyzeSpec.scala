@@ -162,6 +162,13 @@ class TableAnalyzeSpec extends AnyFunSuite {
     val stats = node.get("statistics")
     assert(stats != null && stats.size == 1, s"statistics field missing:\n$md")
     val entry = stats.get(0)
+    // the entry's snapshot-id IS the snapshot that carries it: readers
+    // that exact-match the current snapshot id (Spark-Iceberg's model)
+    // must find it — a follow-up-commit registration would reference a
+    // snapshot-id that is never current
+    assert(entry.get("snapshot-id").asLong ==
+      node.get("current-snapshot-id").asLong,
+      s"stats snapshot-id must match the carrying snapshot:\n$md")
     val statsPath = entry.get("statistics-path").asText
     assert(new java.io.File(statsPath).length() ==
       entry.get("file-size-in-bytes").asLong)
