@@ -193,19 +193,26 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       // every output resolves to a view column
       val byFnCol: Map[(String, String), String] =
         spec.aggs.map(a => (a.fn, a.col) -> a.alias).toMap
-      val mapped: Seq[(NamedExpression, String, Boolean)] = aes.map { ne =>
-        val (colName, isSum) = ne match {
+      // how each query output maps onto stored view columns
+      sealed trait OutKind
+      case class PassThrough(viewCol: String) extends OutKind // group col or stored count
+      case class StoredSum(alias: String) extends OutKind     // null via nn count
+      // rollup-only: count(finerGroupCol) = rows whose group value is
+      // non-null, re-aggregated from the stored count(*) per group
+      case class CountOfGroupCol(groupCol: String, countStar: String) extends OutKind
+      val mapped: Seq[(NamedExpression, OutKind)] = aes.map { ne =>
+        val kind: OutKind = ne match {
           case a: AttributeReference if groupNames.contains(a.name) =>
-            (a.name, false)
+            PassThrough(a.name)
           case Alias(a: AttributeReference, _) if groupNames.contains(a.name) =>
-            (a.name, false)
+            PassThrough(a.name)
           case Alias(ae: AggregateExpression, _)
               if !ae.isDistinct && ae.filter.isEmpty =>
             ae.aggregateFunction match {
               case s: Sum =>
                 s.child match {
                   case a: AttributeReference if integral(a) =>
-                    (byFnCol.getOrElse(("sum", a.name), return None), true)
+                    StoredSum(byFnCol.getOrElse(("sum", a.name), return None))
                   case _ => return None
                 }
               case c: Count =>
@@ -213,16 +220,27 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                   // count(*) lowers to count(1); count(NULL) is NOT it
                   // (always 0) and must never map to the row count
                   case Seq(Literal(v, _)) if v != null =>
-                    (byFnCol.getOrElse(("count", "*"), return None), false)
+                    PassThrough(byFnCol.getOrElse(("count", "*"), return None))
                   case Seq(a: AttributeReference) =>
-                    (byFnCol.getOrElse(("count", a.name), return None), false)
+                    byFnCol.get(("count", a.name)) match {
+                      case Some(alias) => PassThrough(alias)
+                      case None
+                          if isRollup && spec.group.contains(a.name) &&
+                            !groupNames.contains(a.name) =>
+                        // count over a FINER group column: each view row
+                        // holds count(*) rows sharing that value, so the
+                        // rollup sums the stored counts of non-null rows
+                        CountOfGroupCol(a.name,
+                          byFnCol.getOrElse(("count", "*"), return None))
+                      case None => return None
+                    }
                   case _ => return None
                 }
               case _ => return None
             }
           case _ => return None
         }
-        (ne, colName, isSum)
+        (ne, kind)
       }
 
       // freshness: the stored state must reflect the source's CURRENT
@@ -260,18 +278,20 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       val mvAttr = mvAttr0
       if (isExact) {
         val projections: Seq[NamedExpression] = mapped.map {
-          case (ne, colName, isSum) =>
+          case (ne, kind) =>
             val target = ne.toAttribute
-            val src = mvAttr.getOrElse(colName, return None)
             // SQL null semantics for substituted sums: the stored total
             // is 0-based; the paired non-null count decides NULL
-            val value: Expression =
-              if (isSum) {
+            val value: Expression = kind match {
+              case PassThrough(c) => mvAttr.getOrElse(c, return None)
+              case StoredSum(c) =>
+                val src = mvAttr.getOrElse(c, return None)
                 val nn = mvAttr.getOrElse(
-                  MaterializedView.nnCol(colName), return None)
+                  MaterializedView.nnCol(c), return None)
                 If(GreaterThan(nn, Literal(0L)), src,
                   Literal.create(null, LongType))
-              } else src
+              case _: CountOfGroupCol => return None // rollup-only shape
+            }
             Alias(value, target.name)(exprId = target.exprId)
         }
         logInfo(s"rewriting aggregate over $srcDir to materialized view $mvDir")
@@ -284,23 +304,32 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         // all-deleted view matches SQL (count 0, sum NULL).
         def reAgg(a: Attribute): Expression =
           Sum(a).toAggregateExpression()
+        def reAgg2(e: Expression): Expression =
+          Sum(e).toAggregateExpression()
         val projections: Seq[NamedExpression] = mapped.map {
-          case (ne, colName, isSum) =>
+          case (ne, kind) =>
             val target = ne.toAttribute
-            val value: Expression =
-              if (groupNames.contains(colName))
-                mvAttr.getOrElse(colName, return None)
-              else if (isSum) {
-                val stored = mvAttr.getOrElse(colName, return None)
+            val value: Expression = kind match {
+              case PassThrough(c) if groupNames.contains(c) =>
+                mvAttr.getOrElse(c, return None)
+              case PassThrough(c) => // stored count column: counts sum
+                Coalesce(Seq(reAgg(mvAttr.getOrElse(c, return None)),
+                  Literal(0L)))
+              case StoredSum(c) =>
+                val stored = mvAttr.getOrElse(c, return None)
                 val nn = mvAttr.getOrElse(
-                  MaterializedView.nnCol(colName), return None)
+                  MaterializedView.nnCol(c), return None)
                 If(GreaterThan(
                     Coalesce(Seq(reAgg(nn), Literal(0L))), Literal(0L)),
                   reAgg(stored), Literal.create(null, LongType))
-              } else {
-                val stored = mvAttr.getOrElse(colName, return None)
-                Coalesce(Seq(reAgg(stored), Literal(0L)))
-              }
+              case CountOfGroupCol(g, countStar) =>
+                // per view row: count(*) rows share the group value, so
+                // non-null values contribute their whole row count
+                val gAttr = mvAttr.getOrElse(g, return None)
+                val n = mvAttr.getOrElse(countStar, return None)
+                Coalesce(Seq(reAgg2(
+                  If(IsNotNull(gAttr), n, Literal(0L))), Literal(0L)))
+            }
             Alias(value, target.name)(exprId = target.exprId)
         }
         val groupingExprs: Seq[Expression] =

@@ -179,6 +179,18 @@ class MaterializedViewRewriteSpec extends AnyFunSuite {
       val g = sql("SELECT sum(v) AS s, count(*) AS c FROM gmvr.db.ru")
         .collect().head
       assert(g.getLong(0) == 13L && g.getLong(1) == 5L)
+      // count(finerGroupCol): served from the stored count(*), NULL
+      // group values contribute nothing
+      sql("INSERT INTO gmvr.db.ru VALUES ('x', NULL, 7)")
+      MaterializedView.refresh(spark, mvDir)
+      val cb = sql("SELECT a, count(b) AS cb FROM gmvr.db.ru GROUP BY a")
+      val v2b = cb.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+      }
+      assert(v2b.isEmpty, "count(finer group col) should roll up the view")
+      assert(cb.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+        Map("x" -> 3L, "y" -> 2L))
       // a stale view must not roll up either
       sql("INSERT INTO gmvr.db.ru VALUES ('z', 'p', 100)")
       val q2 = sql(
