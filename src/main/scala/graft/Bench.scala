@@ -7,10 +7,16 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":N,"unit":"sec","queries":{...},
   *  "spread":{...},"runs":R,"sf":"..."}.
   *
-  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3);
-  * `queries` reports the per-query MEDIAN (host-load variance on the
-  * shared runner is ~1.5x, so a single sample is noise) and `spread` the
-  * max-min delta across runs. `value` is the sum of medians.
+  * Each query gets ONE UNTIMED warm-up execution, then is timed
+  * SPARK_GRAFT_BENCH_RUNS times (default 3). The warm-up absorbs the
+  * two costs that made r8/r9 in-suite medians read 2-3x above their
+  * isolated truth: (a) fixture builds — every query fixture is
+  * memoized per-process keyed by sfDir, so the first execution pays a
+  * one-time multi-second (for mv_stream: 30s+) table-build that is
+  * setup, not query cost; (b) first-execution JIT/codegen/broadcast
+  * warm-up. `queries` reports the per-query MEDIAN of the timed
+  * samples and `spread` the max-min delta across them. `value` is the
+  * sum of medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -52,7 +58,14 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      System.err.println(s"[bench] starting $name ($runs runs)")
+      System.err.println(s"[bench] starting $name (warm-up + $runs runs)")
+      // UNTIMED warm-up: builds the memoized fixture + warms
+      // codegen/broadcast so no timed sample is charged for setup
+      val w0 = System.nanoTime()
+      timeOnce(fn)
+      System.gc()
+      System.err.println(
+        f"[bench] $name warmup=${(System.nanoTime() - w0) / 1e9}%.3f")
       val samples = (1 to runs).map { _ =>
         val s = timeOnce(fn)
         // OUTSIDE the timer: a GC between samples lets Spark's

@@ -50,6 +50,7 @@ object SparkEntry {
       ("stream_changelog" -> (graft.queries.StreamTailQuery.runChangelog _)) +
       ("mv_incremental" -> (graft.queries.MaterializedViewQuery.run _)) +
       ("mv_rollup" -> (graft.queries.MaterializedViewQuery.runRollup _)) +
+      ("mv_avg" -> (graft.queries.MaterializedViewQuery.runAvg _)) +
       ("mv_stream" -> (graft.queries.MaterializedViewQuery.runStream _)) +
       ("sql_bloom" -> (graft.queries.SqlCatalogQuery.runBloom _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
@@ -100,6 +101,7 @@ object SparkEntry {
       ("stream_changelog" -> graft.queries.StreamTailQuery.changelogOracle) +
       ("mv_incremental" -> graft.queries.MaterializedViewQuery.oracle) +
       ("mv_rollup" -> graft.queries.MaterializedViewQuery.rollupOracle) +
+      ("mv_avg" -> graft.queries.MaterializedViewQuery.avgOracle) +
       ("mv_stream" -> graft.queries.MaterializedViewQuery.streamOracle) +
       ("sql_bloom" -> graft.queries.SqlCatalogQuery.bloomOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +

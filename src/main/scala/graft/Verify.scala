@@ -19,7 +19,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated name filter for targeted local checks
+    // (SPARK_GRAFT_VERIFY_FILTER=mv_avg,mv_rollup); the driver sets
+    // nothing and gets every query
+    val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => filter.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

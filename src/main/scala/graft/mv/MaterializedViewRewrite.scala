@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 import scala.util.control.NonFatal
 
@@ -25,8 +25,11 @@ import scala.util.control.NonFatal
   *    filter/projection in between — exact-match substitution, the
   *    conservative line);
   *  - the grouping columns are exactly the view's group columns, and
-  *    every output is a group column, `sum(intCol)`, `count(col)` or
-  *    `count(*)` the view maintains (non-distinct, unfiltered);
+  *    every output is a group column, `sum(intCol)`, `count(col)`,
+  *    `count(*)` or `avg(intCol)` the view can serve (non-distinct,
+  *    unfiltered) — `avg(x)` needs only a maintained `sum(x)`: every
+  *    stored sum carries its non-null row count (the NULL-semantics
+  *    companion), and avg is exactly stored-sum ÷ stored-nn-count;
   *  - the view is FRESH: its refreshed-version marker equals the
   *    source's current version (two metadata reads per candidate — a
   *    stale view silently falls back to the real aggregate, never to
@@ -100,16 +103,22 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     plan.transformUp {
-      // the ProbedTag marks an Aggregate already evaluated (and MISSED)
-      // in this plan: the optimizer's fixed-point batch re-runs the
-      // rule until the plan is stable, and without the tag every
-      // iteration would re-pay the metadata loads. A miss is sticky by
-      // construction (falling back to the real aggregate is always
-      // correct); a hit removes the node entirely; a SHAPE change by
-      // another rule recreates the node without tags and re-probes.
+      // the ProbedTag records WHEN an Aggregate was last evaluated (and
+      // MISSED): the optimizer's fixed-point batch re-runs the rule
+      // until the plan is stable, and without the tag every iteration
+      // would re-pay the metadata loads. The tag is NOT a sticky
+      // boolean — Spark copies TreeNodeTags through
+      // withNewChildren/makeCopy, and a cached/re-executed DataFrame
+      // re-optimizes the SAME analyzed tree, so a permanent mark would
+      // silently never re-probe even after a view turns fresh. A short
+      // expiry window covers every iteration of one optimization run
+      // (milliseconds) while letting a later re-optimization of the
+      // same tree probe again; a miss inside the window only delays a
+      // substitution (the real aggregate is always correct).
       case agg @ Aggregate(ges, aes, child, _)
           if scanOf(child).isDefined &&
-            agg.getTagValue(MaterializedViewRewrite.ProbedTag).isEmpty =>
+            agg.getTagValue(MaterializedViewRewrite.ProbedTag).forall(t =>
+              System.nanoTime() - t >= MaterializedViewRewrite.ProbeSkipNanos) =>
         val (tbl, srcFilter) = scanOf(child).get
         (try {
           // fast path: with no session views AND a recent negative
@@ -138,7 +147,8 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         } catch { case NonFatal(_) => None }) match {
           case Some(rewritten) => rewritten
           case None =>
-            agg.setTagValue(MaterializedViewRewrite.ProbedTag, true)
+            agg.setTagValue(MaterializedViewRewrite.ProbedTag,
+              System.nanoTime())
             agg
         }
     }
@@ -190,58 +200,9 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         if (!refs.forall(spec.group.contains)) return None
       }
 
-      // every output resolves to a view column
+      // every aggregate call resolves against the stored view columns
       val byFnCol: Map[(String, String), String] =
         spec.aggs.map(a => (a.fn, a.col) -> a.alias).toMap
-      // how each query output maps onto stored view columns
-      sealed trait OutKind
-      case class PassThrough(viewCol: String) extends OutKind // group col or stored count
-      case class StoredSum(alias: String) extends OutKind     // null via nn count
-      // rollup-only: count(finerGroupCol) = rows whose group value is
-      // non-null, re-aggregated from the stored count(*) per group
-      case class CountOfGroupCol(groupCol: String, countStar: String) extends OutKind
-      val mapped: Seq[(NamedExpression, OutKind)] = aes.map { ne =>
-        val kind: OutKind = ne match {
-          case a: AttributeReference if groupNames.contains(a.name) =>
-            PassThrough(a.name)
-          case Alias(a: AttributeReference, _) if groupNames.contains(a.name) =>
-            PassThrough(a.name)
-          case Alias(ae: AggregateExpression, _)
-              if !ae.isDistinct && ae.filter.isEmpty =>
-            ae.aggregateFunction match {
-              case s: Sum =>
-                s.child match {
-                  case a: AttributeReference if integral(a) =>
-                    StoredSum(byFnCol.getOrElse(("sum", a.name), return None))
-                  case _ => return None
-                }
-              case c: Count =>
-                c.children match {
-                  // count(*) lowers to count(1); count(NULL) is NOT it
-                  // (always 0) and must never map to the row count
-                  case Seq(Literal(v, _)) if v != null =>
-                    PassThrough(byFnCol.getOrElse(("count", "*"), return None))
-                  case Seq(a: AttributeReference) =>
-                    byFnCol.get(("count", a.name)) match {
-                      case Some(alias) => PassThrough(alias)
-                      case None
-                          if isRollup && spec.group.contains(a.name) &&
-                            !groupNames.contains(a.name) =>
-                        // count over a FINER group column: each view row
-                        // holds count(*) rows sharing that value, so the
-                        // rollup sums the stored counts of non-null rows
-                        CountOfGroupCol(a.name,
-                          byFnCol.getOrElse(("count", "*"), return None))
-                      case None => return None
-                    }
-                  case _ => return None
-                }
-              case _ => return None
-            }
-          case _ => return None
-        }
-        (ne, kind)
-      }
 
       // freshness: the stored state must reflect the source's CURRENT
       // version — a stale view falls back to the real aggregate
@@ -276,69 +237,141 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           Filter(mapped, mvPlan)
       }
       val mvAttr = mvAttr0
-      if (isExact) {
-        val projections: Seq[NamedExpression] = mapped.map {
-          case (ne, kind) =>
-            val target = ne.toAttribute
-            // SQL null semantics for substituted sums: the stored total
-            // is 0-based; the paired non-null count decides NULL
-            val value: Expression = kind match {
-              case PassThrough(c) => mvAttr.getOrElse(c, return None)
-              case StoredSum(c) =>
-                val src = mvAttr.getOrElse(c, return None)
-                val nn = mvAttr.getOrElse(
-                  MaterializedView.nnCol(c), return None)
-                If(GreaterThan(nn, Literal(0L)), src,
-                  Literal.create(null, LongType))
-              case _: CountOfGroupCol => return None // rollup-only shape
+
+      // ---- output substitution -----------------------------------
+      // An output expression is servable when every AggregateExpression
+      // inside it maps onto stored state and every attribute it
+      // references OUTSIDE an aggregate is a current grouping column.
+      // Wrapping expressions — casts, round(avg(x)*1e6), sum(x)/100,
+      // concat of group columns — ride along unchanged: each aggregate
+      // call is replaced by a stored-state expression of the SAME type,
+      // so the surrounding tree keeps its typing. Anything uncertain
+      // (non-deterministic, subqueries, unknown aggregates) aborts the
+      // whole rewrite via [[Unservable]].
+      object Unservable extends Exception
+      def viewAttr(c: String): Attribute =
+        mvAttr.getOrElse(c, throw Unservable)
+      def nn(c: String): Attribute = viewAttr(MaterializedView.nnCol(c))
+      def countStarCol: Attribute =
+        viewAttr(byFnCol.getOrElse(("count", "*"), throw Unservable))
+      // rollup re-aggregation: stored partials SUM across the coarser
+      // groups; counts coalesce to 0 so even a GROUP BY () over an
+      // all-deleted view matches SQL (count 0, sum NULL)
+      def reAgg(e: Expression): Expression = Sum(e).toAggregateExpression()
+      def reCount(e: Expression): Expression =
+        Coalesce(Seq(reAgg(e), Literal(0L)))
+
+      // one aggregate call → stored state. Exact mode reads the view
+      // row verbatim; rollup mode re-aggregates the stored partials.
+      def substAgg(ae: AggregateExpression): Expression = {
+        if (ae.isDistinct || ae.filter.nonEmpty) throw Unservable
+        ae.aggregateFunction match {
+          case s: Sum =>
+            s.child match {
+              case a: AttributeReference
+                  if integral(a) && ae.dataType == LongType =>
+                val c = byFnCol.getOrElse(("sum", a.name), throw Unservable)
+                // SQL null semantics: the stored total is 0-based; the
+                // paired non-null count decides NULL
+                if (isExact)
+                  If(GreaterThan(nn(c), Literal(0L)), viewAttr(c),
+                    Literal.create(null, LongType))
+                else
+                  If(GreaterThan(reCount(nn(c)), Literal(0L)),
+                    reAgg(viewAttr(c)), Literal.create(null, LongType))
+              case _ => throw Unservable
             }
-            Alias(value, target.name)(exprId = target.exprId)
+          case av: Average =>
+            av.child match {
+              // integral child → Average's output is DOUBLE (guarded:
+              // a drifted typing falls back, never substitutes a
+              // mistyped column). avg needs no stored avg at all:
+              // stored-sum ÷ stored-non-null-count divides the same
+              // two exact longs a source-side avg would divide.
+              case a: AttributeReference
+                  if integral(a) && ae.dataType == DoubleType =>
+                val c = byFnCol.getOrElse(("sum", a.name), throw Unservable)
+                if (isExact)
+                  If(GreaterThan(nn(c), Literal(0L)),
+                    new Divide(Cast(viewAttr(c), DoubleType),
+                      Cast(nn(c), DoubleType)),
+                    Literal.create(null, DoubleType))
+                else {
+                  val totNn = reCount(nn(c))
+                  If(GreaterThan(totNn, Literal(0L)),
+                    new Divide(Cast(reAgg(viewAttr(c)), DoubleType),
+                      Cast(totNn, DoubleType)),
+                    Literal.create(null, DoubleType))
+                }
+              case _ => throw Unservable
+            }
+          case c: Count =>
+            c.children match {
+              // count(*) lowers to count(1); count(NULL) is NOT it
+              // (always 0) and must never map to the row count
+              case Seq(Literal(v, _)) if v != null =>
+                if (isExact) countStarCol else reCount(countStarCol)
+              case Seq(a: AttributeReference) =>
+                byFnCol.get(("count", a.name)) match {
+                  case Some(alias) =>
+                    if (isExact) viewAttr(alias)
+                    else reCount(viewAttr(alias))
+                  case None if spec.group.contains(a.name) =>
+                    // count over a GROUP column (current or finer):
+                    // each view row holds count(*) rows sharing that
+                    // value, so non-null values contribute their whole
+                    // row count
+                    val contrib = If(IsNotNull(viewAttr(a.name)),
+                      countStarCol, Literal(0L))
+                    if (isExact) contrib else reCount(contrib)
+                  case None => throw Unservable
+                }
+              case _ => throw Unservable
+            }
+          case _ => throw Unservable
         }
+      }
+
+      def subst(e: Expression): Expression = e match {
+        case ae: AggregateExpression => substAgg(ae)
+        case a: AttributeReference =>
+          if (groupNames.contains(a.name)) viewAttr(a.name)
+          else throw Unservable
+        case _: PlanExpression[_] =>
+          // a subquery's inner plan could reference source attributes
+          // this rewrite removes — conservative refusal
+          throw Unservable
+        case other => other.mapChildren(subst)
+      }
+
+      val projections: Seq[NamedExpression] =
+        try aes.map { ne =>
+          if (!ne.deterministic) throw Unservable
+          val target = ne.toAttribute
+          val replaced = ne match {
+            case a: AttributeReference => subst(a)
+            case Alias(child, _) => subst(child)
+            case _ => throw Unservable
+          }
+          // the substituted plan preserves the aggregate's output
+          // attribute ids — required of any optimizer rewrite
+          Alias(replaced, target.name)(exprId = target.exprId)
+        } catch { case Unservable => return None }
+
+      if (isExact) {
         logInfo(s"rewriting aggregate over $srcDir to materialized view $mvDir")
         Some(Project(projections, mvBase))
       } else {
         // ROLLUP COMPENSATION: GROUP BY a strict subset of the view's
-        // group columns re-aggregates the (tiny) view — sums sum,
-        // counts sum, and NULL sums are decided by the summed non-null
-        // counts. Counts coalesce to 0 so even a GROUP BY () over an
-        // all-deleted view matches SQL (count 0, sum NULL).
-        def reAgg(a: Attribute): Expression =
-          Sum(a).toAggregateExpression()
-        def reAgg2(e: Expression): Expression =
-          Sum(e).toAggregateExpression()
-        val projections: Seq[NamedExpression] = mapped.map {
-          case (ne, kind) =>
-            val target = ne.toAttribute
-            val value: Expression = kind match {
-              case PassThrough(c) if groupNames.contains(c) =>
-                mvAttr.getOrElse(c, return None)
-              case PassThrough(c) => // stored count column: counts sum
-                Coalesce(Seq(reAgg(mvAttr.getOrElse(c, return None)),
-                  Literal(0L)))
-              case StoredSum(c) =>
-                val stored = mvAttr.getOrElse(c, return None)
-                val nn = mvAttr.getOrElse(
-                  MaterializedView.nnCol(c), return None)
-                If(GreaterThan(
-                    Coalesce(Seq(reAgg(nn), Literal(0L))), Literal(0L)),
-                  reAgg(stored), Literal.create(null, LongType))
-              case CountOfGroupCol(g, countStar) =>
-                // per view row: count(*) rows share the group value, so
-                // non-null values contribute their whole row count
-                val gAttr = mvAttr.getOrElse(g, return None)
-                val n = mvAttr.getOrElse(countStar, return None)
-                Coalesce(Seq(reAgg2(
-                  If(IsNotNull(gAttr), n, Literal(0L))), Literal(0L)))
-            }
-            Alias(value, target.name)(exprId = target.exprId)
-        }
+        // group columns re-aggregates the (tiny) view
         val groupingExprs: Seq[Expression] =
           groupNames.map(n => mvAttr.getOrElse(n, return None))
         val rolled = Aggregate(groupingExprs, projections, mvBase)
         // the new Aggregate sits over the VIEW's scan: pre-tag it so
         // later fixed-point iterations don't probe the view table's
         // (nonexistent) registry
-        rolled.setTagValue(MaterializedViewRewrite.ProbedTag, true)
+        rolled.setTagValue(MaterializedViewRewrite.ProbedTag,
+          System.nanoTime())
         logInfo(s"rolling up materialized view $mvDir for a subset " +
           s"grouping over $srcDir")
         Some(rolled)
@@ -348,23 +381,36 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
 
 object MaterializedViewRewrite {
-  /** Marks an Aggregate node already probed (and missed) for MV
-    * substitution in this plan — later fixed-point iterations skip it
-    * without metadata IO. */
+  /** Stamps an Aggregate node with WHEN it was last probed (and missed)
+    * for MV substitution — later fixed-point iterations of the same
+    * optimization run skip it without metadata IO, while a
+    * re-optimization of the same analyzed tree (cached DataFrame
+    * re-execution) re-probes once the window lapses, so a view that
+    * turned fresh meanwhile is not silently missed forever. */
   private[mv] val ProbedTag =
-    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.mv.probed")
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Long]("graft.mv.probed")
+
+  /** How long a probe miss is honored. One optimization run's
+    * fixed-point iterations complete in milliseconds; 5 s bounds the
+    * window in which a freshly-refreshed view can still be missed. */
+  private[mv] val ProbeSkipNanos = 5000000000L
 
   /** Rule-initiated metadata operations (snapshot loads + view plan
     * builds) — observable so a spec can pin the per-query IO bound. */
   private[graft] val metadataOps = new java.util.concurrent.atomic.AtomicLong
 
-  /** Substituted view plans keyed by (catalog, dir), valid while the
-    * view's (version, committedAtMs) pair is unchanged — committedAtMs
-    * disambiguates a drop/recreate that lands on the same version
-    * number. Only LEAF plans are cached (a plain table read optimizes
-    * to one scan relation); anything else is rebuilt per use. */
+  /** Substituted view plans keyed by (SESSION, catalog, dir), valid
+    * while the view's (version, committedAtMs) pair is unchanged —
+    * committedAtMs disambiguates a drop/recreate that lands on the same
+    * version number. The session is part of the key because the built
+    * leaf binds that session's file index / hadoop conf — a plan built
+    * by one session must never serve another. Only leaves that are
+    * ALSO [[MultiInstanceRelation]] are cached: re-instancing with
+    * fresh attribute ids is what makes a twice-substituted view safe in
+    * one query, so a leaf that cannot re-instance is rebuilt per use
+    * instead. The cap + clear keeps retained sessions bounded. */
   private val planCache = new java.util.concurrent.ConcurrentHashMap[
-    (graft.txn.TableCatalog, String), (Long, Long, LogicalPlan)]()
+    (SparkSession, graft.txn.TableCatalog, String), (Long, Long, LogicalPlan)]()
   private val PlanCacheCap = 200
 
   /** The view's optimized scan plan with FRESH attribute ids. */
@@ -373,27 +419,28 @@ object MaterializedViewRewrite {
       mvDir: String,
       catalog: graft.txn.TableCatalog,
       mv: graft.txn.TableSnapshot): Option[LogicalPlan] = {
-    val key = (catalog, mvDir)
+    val key = (session, catalog, mvDir)
     val cached = planCache.get(key)
     if (cached != null && cached._1 == mv.version &&
         cached._2 == mv.committedAtMs)
       // fresh attribute ids per USE: the same query may substitute the
       // view twice (self-join of two aggregates), and duplicate ids
       // across branches would corrupt the join. Only whole-plan LEAVES
-      // are ever cached, so re-instancing cannot dangle references
-      // from parent operators.
-      return Some(cached._3 match {
-        case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
-          m.newInstance().asInstanceOf[LogicalPlan]
-        case p => p
-      })
+      // that re-instance are ever cached, so this cast cannot miss and
+      // re-instancing cannot dangle references from parent operators.
+      return Some(cached._3
+        .asInstanceOf[org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation]
+        .newInstance().asInstanceOf[LogicalPlan])
     metadataOps.incrementAndGet()
     val p = TableReader.readOption(session, mvDir, catalog = catalog)
       .getOrElse(return None).queryExecution.optimizedPlan
     // a view WITHOUT delete files optimizes to one scan relation —
     // cacheable; a MoR join plan is NOT cached (and needs no
-    // re-instancing: every build has fresh ids)
-    if (p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode]) {
+    // re-instancing: every build has fresh ids). Cache ONLY when the
+    // leaf can hand out fresh attribute ids (MultiInstanceRelation) —
+    // anything else is rebuilt per use rather than shared.
+    if (p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode] &&
+        p.isInstanceOf[org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation]) {
       if (planCache.size > PlanCacheCap) planCache.clear()
       planCache.put(key, (mv.version, mv.committedAtMs, p))
     }

@@ -109,6 +109,56 @@ object MaterializedViewQuery {
     q.orderBy("l_returnflag")
   }
 
+  /** `avg(x)` answered from the SAME stored state — the view maintains
+    * no avg at all: every stored `sum(x)` carries its non-null row
+    * count (the NULL-semantics companion), and the optimizer serves
+    * avg as stored-sum ÷ stored-nn-count. Both substitution shapes in
+    * one result: the EXACT grouping (view group columns verbatim) and
+    * the ROLLUP (strict subset, summed sums ÷ summed counts).
+    * Self-asserting like [[runRollup]]: the query FAILS if either
+    * branch still scans the source. Doubles cross the oracle boundary
+    * as round(avg·1e6) bigints — both engines divide the same two
+    * exact longs, so the doubles (and the rounding) are identical. */
+  def runAvg(spark: SparkSession, dir: String): DataFrame = {
+    val cat = buildRollup(spark, dir)
+    val q = spark.sql(
+      s"""SELECT 'exact' AS shape, l_returnflag, l_linestatus,
+         |  CAST(round(avg(qty_cents) * 1000000) AS BIGINT) AS avg_micros,
+         |  count(*) AS n_rows
+         |FROM $cat.db.rusrc GROUP BY l_returnflag, l_linestatus
+         |UNION ALL
+         |SELECT 'rollup' AS shape, l_returnflag,
+         |  CAST(NULL AS STRING) AS l_linestatus,
+         |  CAST(round(avg(qty_cents) * 1000000) AS BIGINT) AS avg_micros,
+         |  count(*) AS n_rows
+         |FROM $cat.db.rusrc GROUP BY l_returnflag""".stripMargin)
+    val v2 = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+    }
+    require(v2.isEmpty,
+      "mv_avg: an avg rewrite did not replace the source scan")
+    q.orderBy("shape", "l_returnflag", "l_linestatus")
+  }
+
+  val avgOracle: String =
+    """WITH src AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents
+      |  FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT 'exact' AS shape, l_returnflag, l_linestatus,
+      |    CAST(round(avg(qty_cents) * 1000000) AS BIGINT) AS avg_micros,
+      |    count(*) AS n_rows
+      |  FROM src GROUP BY l_returnflag, l_linestatus
+      |  UNION ALL
+      |  SELECT 'rollup' AS shape, l_returnflag,
+      |    CAST(NULL AS VARCHAR) AS l_linestatus,
+      |    CAST(round(avg(qty_cents) * 1000000) AS BIGINT) AS avg_micros,
+      |    count(*) AS n_rows
+      |  FROM src GROUP BY l_returnflag)
+      |ORDER BY shape, l_returnflag, l_linestatus""".stripMargin
+
   // ---------------------------------------------------------------- stream
 
   private val streamTables =

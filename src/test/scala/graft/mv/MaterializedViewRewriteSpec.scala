@@ -90,9 +90,11 @@ class MaterializedViewRewriteSpec extends AnyFunSuite {
       assert(aggregates(sql(
         "SELECT k, count(DISTINCT v) AS c, sum(v) AS s, count(*) AS n " +
           "FROM gmvr.db.src2 GROUP BY k")) >= 1)
-      // count(NULL) is always 0 — it must never map to the row count
+      // count(NULL) is always 0 — it must never map to the row count.
+      // (NullPropagation folds it to literal 0 BEFORE this rule, so the
+      // rewrite may legitimately serve the group list from the view —
+      // the guarded property is the VALUE, not the plan shape.)
       val cn = sql("SELECT k, count(NULL) AS c FROM gmvr.db.src2 GROUP BY k")
-      assert(aggregates(cn) == 1)
       assert(cn.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
         Set(("a", 0L)))
     }
@@ -235,6 +237,44 @@ class MaterializedViewRewriteSpec extends AnyFunSuite {
       assert(aggregates(q3) >= 1, "non-group filter must fall back")
       assert(q3.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
         Set(("x", 2L), ("y", 30L)))
+    }
+  }
+
+  test("avg(x) is served from a stored sum(x): exact grouping, rollup, " +
+    "NULL groups, and fall-back for an unmaintained column") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
+    sql("CREATE TABLE gmvr.db.av (a STRING, b STRING, v BIGINT, w BIGINT)")
+    sql("""INSERT INTO gmvr.db.av VALUES
+          |('x', 'p', 1, 1), ('x', 'p', 2, 1), ('x', 'q', 10, 1),
+          |('y', 'p', NULL, 1), ('y', 'q', NULL, 1)""".stripMargin)
+    val mvDir = Files.createTempDirectory("graft-mvrw-av").toString
+    // the view maintains NO avg — sum(v)'s non-null companion count is
+    // what the rewrite divides by
+    MaterializedView.create(spark, mvDir, s"$wh/db/av", Spec(Seq("a", "b"),
+      Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n"))))
+    def avgMap(df: org.apache.spark.sql.DataFrame): Map[String, Option[Double]] =
+      df.collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    withViews(mvDir) {
+      // EXACT grouping: avg next to sum/count, all from the stored row
+      val qe = sql("SELECT a, b, avg(v) AS m, sum(v) AS s " +
+        "FROM gmvr.db.av GROUP BY a, b")
+      assert(aggregates(qe) == 0, "exact avg should substitute")
+      assert(avgMap(qe.selectExpr("concat(a, b) AS g", "m")) == Map(
+        "xp" -> Some(1.5), "xq" -> Some(10.0), "yp" -> None, "yq" -> None))
+      // ROLLUP: summed sums ÷ summed non-null counts; the plan
+      // aggregates the VIEW, never the source
+      val qr = sql("SELECT a, avg(v) AS m FROM gmvr.db.av GROUP BY a")
+      val v2 = qr.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+      }
+      assert(v2.isEmpty, "rollup avg should replace the source scan")
+      assert(avgMap(qr) == Map("x" -> Some(13.0 / 3), "y" -> None))
+      // avg over a column with no maintained sum: fall back, stay right
+      val qw = sql("SELECT a, avg(w) AS m FROM gmvr.db.av GROUP BY a")
+      assert(aggregates(qw) >= 1, "unmaintained avg must fall back")
+      assert(avgMap(qw) == Map("x" -> Some(1.0), "y" -> Some(1.0)))
     }
   }
 
