@@ -226,12 +226,22 @@ final class Compaction(
           Validator.validate(input, aligned, strict = config.strictValidation)
         }
 
-        // stats: the executor's own accounting plus the commit-side
-        // removal count (paths collapse in the removed Set, so the
-        // commit view is authoritative for rewrittenFilesCount)
+        // stats: rewrittenFilesCount is the reference's INPUT-file
+        // accounting (executor/mod.rs:56-60) — this group's data files
+        // plus the delete files (incl. DVs) its merge consumed —
+        // computed commit-side from FILE counts because the executor's
+        // task list may hold several byte-range tasks per file. What
+        // the commit REMOVED beyond the group's data files (dead DVs;
+        // for the last group of a full rewrite, the original delete
+        // files) is a separate stat: counting removals as "rewritten"
+        // both inflated the last group and mislabeled delete files as
+        // rewritten data files.
         val stat = response.stat.copy(
-          rewrittenFilesCount = removed.size.toLong,
-          addedFilesCount = written.size.toLong)
+          rewrittenFilesCount = (groupPaths.size +
+            tasks0.positionDeleteFiles.size +
+            tasks0.equalityDeleteFiles.size).toLong,
+          addedFilesCount = written.size.toLong,
+          removedDeleteFilesCount = (removed -- groupPaths).size.toLong)
         metrics.addRewrittenFiles(labels, stat.rewrittenFilesCount)
         metrics.addAddedFiles(labels, stat.addedFilesCount)
         metrics.addRewrittenBytes(labels, stat.rewrittenBytes)
@@ -239,7 +249,9 @@ final class Compaction(
           rewrittenFilesCount = agg.rewrittenFilesCount + stat.rewrittenFilesCount,
           addedFilesCount = agg.addedFilesCount + stat.addedFilesCount,
           rewrittenBytes = agg.rewrittenBytes + stat.rewrittenBytes,
-          failedDataFilesCount = agg.failedDataFilesCount + stat.failedDataFilesCount)
+          failedDataFilesCount = agg.failedDataFilesCount + stat.failedDataFilesCount,
+          removedDeleteFilesCount =
+            agg.removedDeleteFilesCount + stat.removedDeleteFilesCount)
       }
       agg
     } catch {

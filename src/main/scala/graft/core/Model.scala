@@ -118,10 +118,19 @@ final case class RewriteFilesResponse(
 )
 
 /** Rewrite statistics (reference: core/src/compaction/mod.rs RewriteFilesStat,
-  * recorded into metrics at :296-324). */
+  * recorded into metrics at :296-324).
+  *
+  * `rewrittenFilesCount` follows the reference's input-file accounting
+  * (executor/mod.rs:56-60): the data files plus the position/equality
+  * delete files (incl. deletion vectors) the rewrite consumed.
+  * `removedDeleteFilesCount` is an extension field: delete files and
+  * dead DVs actually REMOVED by the commit — distinct from the input
+  * count because an incremental rewrite consumes delete files but
+  * retains them for the untouched data files. */
 final case class RewriteFilesStat(
     rewrittenFilesCount: Long = 0L,
     addedFilesCount: Long = 0L,
     rewrittenBytes: Long = 0L,
-    failedDataFilesCount: Long = 0L
+    failedDataFilesCount: Long = 0L,
+    removedDeleteFilesCount: Long = 0L
 )

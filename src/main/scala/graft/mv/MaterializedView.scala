@@ -372,6 +372,17 @@ object MaterializedView {
       sourceDir: String,
       lastV: Long,
       catalog: TableCatalog): Long = {
+    // view tables created by [[create]] are schema-LESS (files describe
+    // themselves); this rebuild relies on that: it commits mv_key-bearing
+    // files without stamping a schema change, and on a table WITH a
+    // declared schema history readers would reconcile the files to a
+    // current schema missing mv_key — the rebuilt state would read back
+    // keyless and every refresh would silently re-trigger a full
+    // recompute (correct results, quadratic cost). Refuse loudly instead.
+    if (mv.schemas.nonEmpty) throw CompactionError.Config(
+      s"$mvDir carries a declared schema history (schema id " +
+        s"${mv.schemaId}); materialized-view state tables are " +
+        "schema-less — rebuild requires dropping and recreating the view")
     val srcSnap = catalog.loadOrThrow(sourceDir)
     val guard: TableSnapshot => Unit = reloaded => {
       val nowV = reloaded.properties.get(RefreshedVersionProp)

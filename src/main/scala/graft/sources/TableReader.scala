@@ -32,6 +32,16 @@ object TableReader {
           s"snapshot v$v does not exist (expired or never committed) under $tableDir"))
     }
 
+  /** Earliest RETAINED version — the oldest point a changelog interval
+    * can start from. A lagging checkpoint consumer compares its stored
+    * `fromVersion` against this before calling [[changelog]]: below it,
+    * the interval expired and the consumer must resync (full-read the
+    * current table, re-checkpoint the current version). */
+  def earliestVersion(
+      tableDir: String,
+      catalog: TableCatalog = FileTableCatalog): Option[Long] =
+    catalog.versions(tableDir).minOption
+
   /** Live rows at a snapshot, or None when it holds no data files (a
     * bootstrap snapshot, or a fully-deleted table after compaction) —
     * the schema is unknowable without data files, so "empty" cannot be
@@ -305,9 +315,31 @@ object TableReader {
     // endpoints must exist (same contract as changes()); interior
     // versions already expired simply merge their step into the next —
     // the diff across the gap still yields every net change, attributed
-    // to the first surviving version after the gap
-    snapshot(tableDir, Some(fromVersion), catalog)
-    snapshot(tableDir, Some(toVersion), catalog)
+    // to the first surviving version after the gap. An EXPIRED endpoint
+    // is the lagging-consumer case: routine `expireSnapshots` on the
+    // source outran a checkpoint-driven reader. The missing interval is
+    // unrecoverable by definition, so the error names the earliest
+    // retained version and the resync recipe instead of leaving the
+    // consumer to spelunk table metadata.
+    def endpoint(v: Long, which: String): Unit =
+      try { snapshot(tableDir, Some(v), catalog); () }
+      catch { case _: CompactionError.Config =>
+        val earliest = earliestVersion(tableDir, catalog)
+        throw CompactionError.Config(
+          s"changelog $which v$v is not retained under $tableDir" +
+            earliest.fold(" (no versions retained)")(ev =>
+              s" (earliest retained: v$ev, current: " +
+                s"v${catalog.versions(tableDir).max})") +
+            ". The interval before the earliest retained version " +
+            "expired and cannot be replayed. To resync a lagging " +
+            "checkpoint consumer: (1) full-read the CURRENT table " +
+            "(TableReader.read), (2) rebuild downstream state from it, " +
+            "(3) checkpoint the current version as the new fromVersion " +
+            "— the same fallback MaterializedView.refresh applies " +
+            "automatically.")
+      }
+    endpoint(fromVersion, "fromVersion")
+    endpoint(toVersion, "toVersion")
     val mainVs: Seq[(Long, TableSnapshot)] = catalog.versions(tableDir)
       .filter(v => v >= fromVersion && v <= toVersion)
       .flatMap(v => catalog.loadVersion(tableDir, v).map(v -> _))

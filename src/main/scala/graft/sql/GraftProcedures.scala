@@ -112,7 +112,8 @@ private[sql] object GraftProcedures {
     private val out = StructType(Seq(
       StructField("rewritten_files", LongType, nullable = false),
       StructField("added_files", LongType, nullable = false),
-      StructField("rewritten_bytes", LongType, nullable = false)))
+      StructField("rewritten_bytes", LongType, nullable = false),
+      StructField("removed_delete_files", LongType, nullable = false)))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = resolveDir(input.getUTF8String(0).toString)
@@ -140,7 +141,8 @@ private[sql] object GraftProcedures {
             .map(_.toString).filter(_.nonEmpty)))
         .build().compact()
       localScan(out, Array(InternalRow(
-        stat.rewrittenFilesCount, stat.addedFilesCount, stat.rewrittenBytes)),
+        stat.rewrittenFilesCount, stat.addedFilesCount, stat.rewrittenBytes,
+        stat.removedDeleteFilesCount)),
         s"rewrite_data_files($catalogName.$dir)")
     }
   }

@@ -894,33 +894,42 @@ object IcebergTableCatalog extends TableCatalog {
     if (!FileIO.exists(p)) return
     val doc = parse(FileIO.readString(p))
     val snapId = doc.get("current-snapshot-id").asLong
-    if (snapId >= 0)
-      doc.get("snapshots").elements().asScala
+    if (snapId >= 0) {
+      val keep = doc.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong == snapId)
-        .foreach { s =>
+        .exists { s =>
           val listPath = s.get("manifest-list").asText
           if (FileIO.exists(listPath)) {
             // incremental commits SHARE manifests across snapshots: a
             // manifest is deleted only when no retained metadata version
             // still references it — deleting a shared one would corrupt
             // every newer snapshot that reused it. Manifest LISTS are
-            // per-snapshot and always deleted with their version.
+            // per-snapshot and deleted with their version.
             // "Version gone" (concurrent expiry) reads as no references;
             // a READ FAILURE of a retained version's list means the
-            // reference set is UNKNOWN — reap no manifests this pass
-            // (they leak until a later expiry, which is recoverable;
-            // deleting a live snapshot's shared manifest is not).
+            // reference set is UNKNOWN — this pass must delete NOTHING,
+            // including this version's own list and metadata json: the
+            // list is the only enumeration of this version's manifests,
+            // so removing it while they stay on disk would make them
+            // permanently unreapable. Keeping the whole version intact
+            // lets the next expiry retry from the same state.
             val mine = readAvro(listPath)._2.map(_.get("manifest_path").toString)
             val referenced: Option[Set[String]] =
               try Some(versions(table)
                 .filterNot(_ == version)
                 .flatMap(v => manifestPathsStrict(table, v)).toSet)
               catch { case _: Exception => None }
-            referenced.foreach(refs =>
-              mine.filterNot(refs.contains).foreach(FileIO.delete))
-            FileIO.delete(listPath)
-          }
+            referenced match {
+              case Some(refs) =>
+                mine.filterNot(refs.contains).foreach(FileIO.delete)
+                FileIO.delete(listPath)
+                false
+              case None => true // defer: retry the whole version later
+            }
+          } else false
         }
+      if (keep) return
+    }
     FileIO.delete(p)
   }
 }

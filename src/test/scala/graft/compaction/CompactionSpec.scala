@@ -73,8 +73,10 @@ class CompactionSpec extends AnyFunSuite {
       .build()
       .compact()
 
-    // all 4 input files rewritten
+    // all 4 input files rewritten; both delete files REMOVED by the
+    // commit (a full rewrite leaves them nothing to apply to)
     assert(stat.rewrittenFilesCount == 4)
+    assert(stat.removedDeleteFilesCount == 2)
     assert(stat.addedFilesCount > 0)
 
     val snap = TableMetadata.loadOrThrow(dir)
@@ -129,8 +131,12 @@ class CompactionSpec extends AnyFunSuite {
         targetFileSizeBytes = sb,
         compactionType = CompactionType.Incremental(0.75)))
       .build().compact()
-    // only the two small files were rewritten
-    assert(stat.rewrittenFilesCount == 2)
+    // input-file accounting (reference executor/mod.rs:56-60): the two
+    // small data files PLUS the pos+eq delete files the merge consumed;
+    // nothing but the data files left the table (deletes are retained
+    // for the untouched big file)
+    assert(stat.rewrittenFilesCount == 4)
+    assert(stat.removedDeleteFilesCount == 0)
 
     val snap = TableMetadata.loadOrThrow(dir)
     val paths = snap.files.map(_.path).toSet

@@ -163,6 +163,35 @@ class ChangelogSpec extends AnyFunSuite {
       s"branch/staged rows leaked into the changelog: $got")
   }
 
+  test("an expired fromVersion names the earliest retained version and " +
+    "the resync recipe; following the recipe converges the consumer") {
+    import spark.implicits._
+    val dir = buildTable() // v1..v5, current rows 0,3..14
+    // a checkpoint consumer processed up to v2, then lagged while
+    // routine maintenance expired everything but the current snapshot
+    val expired = cm(dir).expireSnapshots(keepLast = 1)
+    assert(expired.nonEmpty)
+    assert(TableReader.earliestVersion(dir) == Some(5L))
+    val e = intercept[graft.core.CompactionError.Config] {
+      TableReader.changelog(spark, dir, 2L, 5L)
+    }
+    // the error is the recovery contract: it must name the earliest
+    // retained version and the full-read + re-checkpoint recipe
+    assert(e.getMessage.contains("earliest retained: v5"))
+    assert(e.getMessage.contains("resync"))
+    assert(e.getMessage.contains("TableReader.read"))
+    // ...and the recipe works without metadata spelunking: full-read
+    // the current table, re-checkpoint the current version, and the
+    // next incremental cycle picks up from there
+    val state = TableReader.read(spark, dir).as[Long].collect().toSet
+    assert(state == ((0L until 15L).toSet -- Set(1L, 2L)))
+    val newCheckpoint = TableMetadata.loadOrThrow(dir).version
+    TableWrites.appendData(dir, Seq(99L).toDF("id").coalesce(1))
+    val next = TableReader.changelog(spark, dir, newCheckpoint,
+      TableMetadata.loadOrThrow(dir).version)
+    assert(rows(next) == Set((99L, "insert", 6L)))
+  }
+
   test("an append-only interval plans ZERO shuffles (fast path, no diff)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-chlog-plan").toString
