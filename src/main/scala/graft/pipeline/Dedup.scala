@@ -192,52 +192,76 @@ object Dedup {
     * the greedy pair-drop's over-keep on transitive chains (pairs (A,C)
     * and (B,C) must collapse to ONE survivor A, not two).
     *
-    * Deterministic fixpoint: labels only decrease, so convergence is
-    * detected by the label sum going stationary — the result is the
+    * Deterministic fixpoint, two phases. Phase 1: min-label
+    * propagation — ONE cheap shuffle per round, exact stationary-sum
+    * convergence (labels only decrease) — bounded at 8 rounds, which
+    * finishes virtually every near-dup graph (duplicate clusters have
+    * tiny diameter). Phase 2, only if propagation hasn't converged:
+    * contract the graph by the partial labels and run alternating
+    * large-star/small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — O(log n)
+    * rounds, so an adversarial diameter-100 chain costs ~7 star rounds
+    * instead of 100 propagation rounds. Either way the result is the
     * well-defined component minimum, independent of iteration order or
     * engine (a DuckDB recursive CTE reaches the identical fixpoint).
-    *
-    * Scale: one shuffle (join + groupBy on node id) per iteration;
-    * iterations are bounded by component DIAMETER, which for near-dup
-    * graphs is small (duplicate clusters, not long paths). Each round
-    * persists the label frame and unpersists the previous one, keeping
-    * lineage flat. For adversarially deep graphs swap in the
-    * large-star/small-star rounds of Kiveris et al., "Connected
-    * Components in MapReduce and Beyond" (SoCC 2014) — same interface.
     *
     * @param pairs DataFrame with `a_id`, `b_id` columns (undirected edges)
     * @return (id, comp) — one row per node appearing in any pair
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-    val edges = fwd
-      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val raw = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+    // every node appearing in any pair gets a label, including
+    // self-loop-only and isolated-after-dedup nodes
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct().persist()
+    if (nodes.head(1).isEmpty) {
+      nodes.unpersist()
+      return raw.select(col("u").as("id"), col("u").as("comp")).limit(0)
+    }
+    // the ORIGINAL undirected edges, canonically oriented big->small:
+    // the convergence certificate checks against THESE, so an early
+    // stationary probe can never return labels that split a component
+    val original = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().persist()
+
+    // per-node label implied by an oriented (big->small) edge frame:
+    // min over outgoing parents, the node itself when it has none
+    def labelsOf(e: DataFrame): DataFrame =
+      nodes.join(e.groupBy("u").agg(min("v").as("p")),
+          col("id") === col("u"), "left")
+        .select(col("id"),
+          least(col("id"), coalesce(col("p"), col("id"))).as("comp"))
+
+    // PHASE 1 — plain min-label propagation, the CHEAP round shape
+    // (one join + one groupBy), bounded at a handful of rounds:
+    // near-dup components are duplicate CLUSTERS with tiny diameter,
+    // so this phase almost always finishes in 2-4 rounds. Stationarity
+    // is an exact certificate here: labels are non-increasing, a
+    // stationary sum means no label moved, and a propagation fixpoint
+    // forces both endpoints of every edge to share a label — which is
+    // then the component minimum (the minimum node's own id never
+    // changes). EVERY round eagerly localCheckpoints: a persist-only
+    // loop deepens the logical plan by one join per round and the
+    // analyzer/optimizer re-plans the whole lineage twice per round
+    // (BENCH_r02: 42 s, BENCH_r08: 35 s excursions on a 3 s query);
+    // checkpointing pins plan depth at one LogicalRDD + one join.
+    val bidir0 = original
+      .union(original.select(col("v").as("u"), col("u").as("v")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .persist()
-    if (labels.head(1).isEmpty) { edges.unpersist(); return labels }
+    val propRounds = math.min(6, maxIter)
+    var labels = nodes.withColumn("comp", col("id")).localCheckpoint(true)
     var lastSum = labels.agg(sum("comp")).first().getLong(0)
     var done = false
     var iter = 0
-    while (!done && iter < maxIter) {
-      val viaNeighbors = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min("comp").as("ncomp"))
-      val joined = labels.join(viaNeighbors, col("id") === col("src"), "left")
+    while (!done && iter < propRounds) {
+      val viaNeighbors = bidir0.join(labels, col("v") === col("id"))
+        .groupBy(col("u")).agg(min("comp").as("ncomp"))
+      val next = labels.join(viaNeighbors, col("id") === col("u"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // EVERY round eagerly localCheckpoints: the label frame is tiny
-      // (two columns, one row per node), but a persist-only loop deepens
-      // the logical plan by one join per round and the analyzer/
-      // optimizer re-plans the whole lineage TWICE per round (the
-      // checkpoint-every-3rd mitigation still let BENCH_r08 record a
-      // 35 s excursion on a 3 s query; r2 recorded 42 s). Checkpointing
-      // each round pins plan depth at one LogicalRDD + one join
-      // regardless of iteration count — the materialization job is the
-      // round's ONE substantive action, and the convergence sum then
-      // runs over the materialized partitions with a flat plan.
-      val next = joined.localCheckpoint(true)
+        .localCheckpoint(true)
       val s = next.agg(sum("comp")).first().getLong(0)
       labels.unpersist()
       labels = next
@@ -245,15 +269,100 @@ object Dedup {
       lastSum = s
       iter += 1
     }
-    edges.unpersist()
-    // silent non-convergence would return WRONG components (a chain
-    // longer than maxIter keeps non-minimum labels) — fail loudly instead
+    bidir0.unpersist()
+
+    // PHASE 2 — only for graphs deeper than the propagation budget:
+    // CONTRACT the graph by the phase-1 labels (each partial cluster
+    // becomes one node), then run alternating large-star / small-star
+    // rounds (Kiveris et al., "Connected Components in MapReduce and
+    // Beyond", SoCC 2014), whose round count is O(log n) — a planted
+    // diameter-100 chain finishes in ~7 star rounds where propagation
+    // would pay 100.
+    if (!done) {
+      var e = original
+        .join(labels.select(col("id").as("u"), col("comp").as("cu")), "u")
+        .join(labels.select(col("id").as("v"), col("comp").as("cv")), "v")
+        .where(col("cu") =!= col("cv"))
+        .select(greatest(col("cu"), col("cv")).as("u"),
+          least(col("cu"), col("cv")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val cnodes = e.select(col("u").as("id"))
+        .union(e.select(col("v").as("id"))).distinct().persist()
+      def starLabels(edges: DataFrame): DataFrame =
+        cnodes.join(edges.groupBy("u").agg(min("v").as("p")),
+            col("id") === col("u"), "left")
+          .select(col("id"),
+            least(col("id"), coalesce(col("p"), col("id"))).as("comp"))
+      while (!done && iter < maxIter) {
+        // LARGE-STAR: for each node u, attach every STRICTLY LARGER
+        // neighbor to the minimum of u's closed neighborhood —
+        // processed from the smaller endpoint of each edge, so every
+        // edge contributes exactly once; output points big->small.
+        val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        val mLarge = bidir.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u").as("lu"), least(col("u"), col("mn")).as("m"))
+        val large = bidir.join(mLarge, col("u") === col("lu"))
+          .where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct()
+        // SMALL-STAR: input already points big->small; re-point each
+        // node and all its smaller neighbors at the minimum among them
+        val mSmall = large.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u").as("su"), col("mn").as("m"))
+        val withM = large.join(mSmall, col("u") === col("su"))
+        val prevE = e
+        e = withM.where(col("v") =!= col("m"))
+            .select(col("v").as("u"), col("m").as("v"))
+          .union(withM.select(col("u"), col("m").as("v")))
+          .distinct()
+          .localCheckpoint(true)
+        prevE.unpersist()
+        // exact CERTIFICATE every star round: labels are final iff
+        // both endpoints of every current edge agree (star sums are
+        // not monotone the way phase-1 label sums are, so a
+        // stationarity probe would prove nothing and cost a lag
+        // round; the contracted frames are small, so the per-round
+        // certificate join is cheap)
+        val lbl = starLabels(e)
+        val lu = lbl.select(col("id").as("cu2"), col("comp").as("ka"))
+        val lv = lbl.select(col("id").as("cv2"), col("comp").as("kb"))
+        done = e.join(lu, col("u") === col("cu2"))
+          .join(lv, col("v") === col("cv2"))
+          .where(col("ka") =!= col("kb")).isEmpty
+        iter += 1
+      }
+      if (done) {
+        // compose: each phase-1 label routes through its star component
+        val star = starLabels(e)
+          .select(col("id").as("c1"), col("comp").as("c2"))
+        val prevLabels = labels
+        labels = labels.join(star, col("comp") === col("c1"), "left")
+          .select(col("id"), coalesce(col("c2"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        prevLabels.unpersist()
+      }
+      e.unpersist()
+      cnodes.unpersist()
+    }
+    connectedComponentsRounds.set(iter)
+    // silent non-convergence would return WRONG components — fail
+    // loudly instead (after the O(log n) star phase this means a
+    // broken fixpoint, not a long chain)
     require(done,
-      s"connectedComponents did not converge within $maxIter iterations " +
-        "(component diameter exceeds the bound); raise maxIter or switch " +
-        "to large-star/small-star rounds")
+      s"connectedComponents did not converge within $maxIter rounds " +
+        s"($propRounds propagation + ${iter - propRounds} star) — an " +
+        "edge's endpoints still disagree; raise maxIter only if the " +
+        "graph has over 2^maxIter nodes")
+    original.unpersist()
+    nodes.unpersist()
     labels
   }
+
+  /** Rounds the last [[connectedComponents]] call took — observable so
+    * the planted-chain spec can pin the O(log n) bound. */
+  private[graft] val connectedComponentsRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** SemDeDup-style SEMANTIC dedup (Abbas et al., "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication",

@@ -65,21 +65,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(c2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
-  test("connected components: a planted long chain (diameter >= 20) " +
-    "converges with a BOUNDED per-round plan depth") {
-    // a path graph 0-1-2-...-24: the min label needs 24 propagation
-    // rounds to reach the far end — exactly the shape whose persist-only
-    // lineage used to deepen by one join per round and re-plan
-    // pathologically (BENCH_r02: 42 s, BENCH_r08: 35 s excursions)
-    val n = 25
+  test("connected components: a planted diameter-100 chain converges " +
+    "in O(log n) star rounds with a BOUNDED result plan depth") {
+    // a path graph 0-1-...-100: label propagation needs 100 rounds (the
+    // r9 shape); alternating large-star/small-star needs ~log2(n). The
+    // per-round eager checkpoint also keeps the persist-only lineage
+    // pathology dead (BENCH_r02: 42 s, BENCH_r08: 35 s excursions).
+    val n = 101
     val chain = (0 until n - 1).map(i => (i.toLong, i + 1L))
       .toDF("a_id", "b_id")
-    val out = Dedup.connectedComponents(chain, maxIter = n + 5)
-    // the RESULT plan must be flat: an eagerly checkpointed label frame
-    // scans materialized partitions (LogicalRDD), not a 24-join lineage
+    val out = Dedup.connectedComponents(chain, maxIter = 15)
+    assert(Dedup.connectedComponentsRounds.get() <= 15,
+      s"star rounds must be O(log n), took " +
+        s"${Dedup.connectedComponentsRounds.get()}")
+    // the RESULT plan must be flat: an eagerly checkpointed frame scans
+    // materialized partitions (LogicalRDD), not a 100-join lineage
     val planNodes = out.queryExecution.optimizedPlan.collect { case p => p }
     assert(planNodes.size <= 3,
-      s"label lineage must be truncated every round; plan has " +
+      s"lineage must be truncated every round; plan has " +
         s"${planNodes.size} nodes:\n${out.queryExecution.optimizedPlan}")
     val comp = out.as[(Long, Long)].collect().toMap
     assert(comp == (0 until n).map(i => i.toLong -> 0L).toMap)
