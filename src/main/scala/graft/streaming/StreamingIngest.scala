@@ -163,7 +163,9 @@ object StreamingIngest {
       inner: (DataFrame, Long) => Unit,
       catalog: TableCatalog = FileTableCatalog
   ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val t0 = System.nanoTime()
     inner(batch, batchId)
+    val tWrite = System.nanoTime()
     catalog.load(tableDir).toSeq
       .flatMap(_.properties.get(graft.mv.MaterializedView.RegisteredProp))
       .flatMap(graft.mv.MaterializedView.parseList)
@@ -171,5 +173,21 @@ object StreamingIngest {
         try graft.mv.MaterializedView.refresh(spark, mvDir, catalog)
         catch { case scala.util.control.NonFatal(_) => () }
       }
+    val tRefresh = System.nanoTime()
+    lastBatchPhaseNanos.set((tWrite - t0, tRefresh - tWrite))
+    // per-batch phase costs on demand (spark.graft.mv.maintenance.verbose):
+    // the write phase is the inner sink's commit (upsert + bounds/NDV
+    // stamping), the refresh phase the changelog-driven view merges —
+    // the number that must scale with the BATCH, not the table history
+    if (spark.conf.getOption("spark.graft.mv.maintenance.verbose")
+        .contains("true"))
+      System.err.println(
+        f"[mv-maintenance] batch=$batchId write=${(tWrite - t0) / 1e9}%.2fs " +
+          f"refresh=${(tRefresh - tWrite) / 1e9}%.2fs")
   }
+
+  /** (write nanos, refresh nanos) of the last [[withMvMaintenance]]
+    * batch — observable so specs/probes can attribute per-batch cost. */
+  private[graft] val lastBatchPhaseNanos =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
 }

@@ -163,6 +163,36 @@ class ChangelogSpec extends AnyFunSuite {
       s"branch/staged rows leaked into the changelog: $got")
   }
 
+  test("an upsert commit (eq-delete + data together) takes the scan+" +
+    "semi-join fast path and stays multiset-exact, including " +
+    "identical-row cancellation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-chlog-up").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    // upsert: key 2 changes value, key 3 re-writes IDENTICAL content
+    // (must cancel to zero net change), key 9 is brand new
+    TableWrites.upsert(dir,
+      Seq((2L, "B"), (3L, "c"), (9L, "i")).toDF("id", "v").coalesce(1),
+      Seq("id"))
+    val cl = TableReader.changelog(spark, dir, 2L, 3L)
+      .selectExpr("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(cl == Set(
+      (2L, "b", "delete", 3L), (2L, "B", "insert", 3L),
+      (9L, "i", "insert", 3L)),
+      s"got $cl")
+    // a second upsert against the grown table still yields exactly its
+    // own batch's changes
+    TableWrites.upsert(dir,
+      Seq((1L, "A")).toDF("id", "v").coalesce(1), Seq("id"))
+    val cl2 = TableReader.changelog(spark, dir, 3L, 4L)
+      .selectExpr("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(cl2 == Set((1L, "a", "delete"), (1L, "A", "insert")))
+  }
+
   test("an expired fromVersion names the earliest retained version and " +
     "the resync recipe; following the recipe converges the consumer") {
     import spark.implicits._
