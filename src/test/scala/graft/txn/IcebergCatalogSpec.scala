@@ -314,17 +314,22 @@ class IcebergCatalogSpec extends AnyFunSuite {
     Files.write(Paths.get(v3List), "not an avro file".getBytes)
     cat.invalidateTable(dir) // the cache must not mask the IO failure
     cat.deleteVersion(dir, 2L)
-    // v2's metadata + list went, but NO manifest was reaped: v3's
-    // references were unknown, and guessing "none" would have deleted
-    // manifests v3 reuses from v2
-    assert(cat.versions(dir) == Seq(1L, 3L))
+    // the WHOLE version is deferred: v3's references were unknown, and
+    // guessing "none" would have deleted manifests v3 reuses from v2 —
+    // while deleting v2's list anyway (the old behavior) would have
+    // left v2's own manifests permanently unenumerable. Nothing was
+    // deleted; the next expiry pass retries from the same state.
+    assert(cat.versions(dir) == Seq(1L, 2L, 3L))
     val manifestsAfter = FileIO.listFiles(s"$dir/metadata").map(_._1)
       .filter(p => p.endsWith(".avro") && !p.contains("snap-"))
     assert(manifestsAfter.toSet == manifestsBefore.toSet,
       "a transient read failure of a live version's list must not reap manifests")
-    // once the transient failure heals, the retained snapshot is intact
+    // once the transient failure heals, the retry reaps v2 exactly:
+    // shared manifests survive for v3, and the retained snapshot reads
     Files.write(Paths.get(v3List), saved)
     cat.invalidateTable(dir)
+    cat.deleteVersion(dir, 2L)
+    assert(cat.versions(dir) == Seq(1L, 3L))
     val live = graft.sources.TableReader.read(spark, dir, catalog = cat)
     assert(live.count() == 7) // 6 live MoR rows + the appended one
   }
