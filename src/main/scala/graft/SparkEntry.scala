@@ -51,6 +51,7 @@ object SparkEntry {
       ("mv_incremental" -> (graft.queries.MaterializedViewQuery.run _)) +
       ("mv_rollup" -> (graft.queries.MaterializedViewQuery.runRollup _)) +
       ("mv_avg" -> (graft.queries.MaterializedViewQuery.runAvg _)) +
+      ("mv_count_distinct" -> (graft.queries.MaterializedViewQuery.runCountDistinct _)) +
       ("mv_stream" -> (graft.queries.MaterializedViewQuery.runStream _)) +
       ("sql_bloom" -> (graft.queries.SqlCatalogQuery.runBloom _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
@@ -102,6 +103,7 @@ object SparkEntry {
       ("mv_incremental" -> graft.queries.MaterializedViewQuery.oracle) +
       ("mv_rollup" -> graft.queries.MaterializedViewQuery.rollupOracle) +
       ("mv_avg" -> graft.queries.MaterializedViewQuery.avgOracle) +
+      ("mv_count_distinct" -> graft.queries.MaterializedViewQuery.countDistinctOracle) +
       ("mv_stream" -> graft.queries.MaterializedViewQuery.streamOracle) +
       ("sql_bloom" -> graft.queries.SqlCatalogQuery.bloomOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +

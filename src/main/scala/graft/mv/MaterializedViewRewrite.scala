@@ -264,8 +264,29 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       // one aggregate call → stored state. Exact mode reads the view
       // row verbatim; rollup mode re-aggregates the stored partials.
       def substAgg(ae: AggregateExpression): Expression = {
-        if (ae.isDistinct || ae.filter.nonEmpty) throw Unservable
-        ae.aggregateFunction match {
+        if (ae.filter.nonEmpty) throw Unservable
+        if (ae.isDistinct) ae.aggregateFunction match {
+          // COUNT(DISTINCT g) over a view GROUP column: the stored
+          // state holds exactly one row per full group tuple, so the
+          // distinct g values inside any coarser group survive
+          // verbatim in the (tiny) view — re-counting them there is
+          // exact, and NULLs are ignored on both sides. In exact
+          // grouping g is one of the current grouping columns, so the
+          // distinct count is 1 for a non-null group value, 0 for the
+          // NULL group. Every other distinct aggregate refuses.
+          case c: Count =>
+            c.children match {
+              case Seq(a: AttributeReference) if spec.group.contains(a.name) =>
+                if (isExact)
+                  If(IsNotNull(viewAttr(a.name)), Literal(1L), Literal(0L))
+                else
+                  Count(viewAttr(a.name))
+                    .toAggregateExpression(isDistinct = true)
+              case _ => throw Unservable
+            }
+          case _ => throw Unservable
+        }
+        else ae.aggregateFunction match {
           case s: Sum =>
             s.child match {
               case a: AttributeReference

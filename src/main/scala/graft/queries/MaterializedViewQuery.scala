@@ -159,6 +159,36 @@ object MaterializedViewQuery {
       |  FROM src GROUP BY l_returnflag)
       |ORDER BY shape, l_returnflag, l_linestatus""".stripMargin
 
+  /** `count(DISTINCT finerGroupCol)` rolled up from the same stored
+    * state: the view holds one row per (flag, status) tuple, so the
+    * distinct statuses inside a flag survive verbatim in the view and
+    * re-counting them there is exact. Self-asserting like the others. */
+  def runCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val cat = buildRollup(spark, dir)
+    val q = spark.sql(
+      s"""SELECT l_returnflag,
+         |  count(DISTINCT l_linestatus) AS n_status,
+         |  sum(qty_cents) AS sum_qty_cents, count(*) AS n_rows
+         |FROM $cat.db.rusrc GROUP BY l_returnflag""".stripMargin)
+    val v2 = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+    }
+    require(v2.isEmpty,
+      "mv_count_distinct: the rewrite did not replace the source scan")
+    q.orderBy("l_returnflag")
+  }
+
+  val countDistinctOracle: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_linestatus) AS n_status,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_cents,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- stream
 
   private val streamTables =

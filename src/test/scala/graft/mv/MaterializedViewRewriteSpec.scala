@@ -278,6 +278,39 @@ class MaterializedViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("count(DISTINCT groupCol) serves from the view: exact grouping " +
+    "(1/0 per group), rollup (re-counted over view rows), NULL-safe") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
+    sql("CREATE TABLE gmvr.db.cd (a STRING, b STRING, v BIGINT)")
+    sql("""INSERT INTO gmvr.db.cd VALUES
+          |('x', 'p', 1), ('x', 'p', 2), ('x', 'q', 10),
+          |('y', NULL, 5), ('y', 'p', 7)""".stripMargin)
+    val mvDir = Files.createTempDirectory("graft-mvrw-cd").toString
+    MaterializedView.create(spark, mvDir, s"$wh/db/cd", Spec(Seq("a", "b"),
+      Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n"))))
+    withViews(mvDir) {
+      // ROLLUP: distinct statuses per a — NULL b never counts
+      val qr = sql("SELECT a, count(DISTINCT b) AS d FROM gmvr.db.cd GROUP BY a")
+      val v2 = qr.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+      }
+      assert(v2.isEmpty, "rollup count-distinct should replace the scan")
+      assert(qr.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("x", 2L), ("y", 1L)))
+      // EXACT grouping: 1 per non-null group value, 0 for the NULL group
+      val qe = sql(
+        "SELECT a, b, count(DISTINCT b) AS d FROM gmvr.db.cd GROUP BY a, b")
+      assert(aggregates(qe) == 0, "exact count-distinct should substitute")
+      assert(qe.collect().map(r => (r.getString(0),
+          Option(r.getString(1)).getOrElse("-"), r.getLong(2))).toSet ==
+        Set(("x", "p", 1L), ("x", "q", 1L), ("y", "-", 0L), ("y", "p", 1L)))
+      // distinct over a NON-group column still falls back
+      assert(aggregates(sql(
+        "SELECT a, count(DISTINCT v) AS d FROM gmvr.db.cd GROUP BY a")) >= 1)
+    }
+  }
+
   test("per-query metadata IO is bounded: <= 2 loads once the view " +
     "plan is cached, regardless of optimizer iterations") {
     sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
