@@ -576,22 +576,62 @@ object TableReader {
         (sa.files ++ added).exists(f => f.schemaId >= 0 && f.schemaId != sa.schemaId))
       return None
     if (added.exists(_.equalityIds.isEmpty)) return None
-    liveOf(spark, sa, sa.files).map { live0 =>
+    // files sharing the SAME key columns merge into ONE key set and
+    // ONE semi/anti pair: a commit's key set routinely lands as many
+    // parquet part files (one per shuffle partition), and a per-FILE
+    // chain would pay one table-wide join pair per part file. Distinct
+    // groups (different key columns) still chain so a row claimed by
+    // an earlier group never dies twice (multiset exactness); file
+    // order within a commit is immaterial — every file shares the
+    // commit's sequence number.
+    val keyFrames: Seq[(Seq[String], DataFrame, Long)] =
+      added.groupBy(_.equalityIds).toSeq.sortBy(_._1.mkString(" "))
+        .map { case (ids, files) =>
+          (ids, spark.read.parquet(files.map(_.path): _*)
+            .select(ids.map(col): _*).distinct(),
+            files.map(_.sizeBytes).sum)
+        }
+    // BEFORE-IMAGE scan pruning: a dying row must EQUAL one of the
+    // commit's key tuples, so a data file whose stamped bounds exclude
+    // the keys' [min, max] on any integral key column cannot hold one —
+    // a CDC batch's keys usually cluster, so the pre-image scan scopes
+    // to the touched range instead of the whole table. One driver-side
+    // aggregate over the (batch-sized) key set, zero footer IO (bounds
+    // come from the snapshot stamps; unstamped files are kept).
+    // Single-key-set commits only: several sets would need a UNION of
+    // keeps, which this conservative pass skips.
+    val scanFiles: Seq[graft.txn.FileEntry] = keyFrames match {
+      case Seq((_, keys, _)) =>
+        import org.apache.spark.sql.types._
+        val integral = keys.schema.fields.collect {
+          case f if f.dataType == ByteType || f.dataType == ShortType ||
+            f.dataType == IntegerType || f.dataType == LongType => f.name
+        }.toSeq
+        if (integral.isEmpty) sa.files
+        else try {
+          val aggs = integral.flatMap(c => Seq(
+            min(col(c)).cast("long").as(s"mn_$c"),
+            max(col(c)).cast("long").as(s"mx_$c")))
+          val row = keys.agg(aggs.head, aggs.tail: _*).head()
+          val bounds: ScanPruning.Bounds = integral.flatMap { c =>
+            val (mi, ma) = (row.fieldIndex(s"mn_$c"), row.fieldIndex(s"mx_$c"))
+            if (row.isNullAt(mi) || row.isNullAt(ma)) None
+            else Some(c -> (row.getLong(mi), row.getLong(ma)))
+          }.toMap
+          ScanPruning.pruneDataFilesWithBounds(sa.files, bounds)
+        } catch { case scala.util.control.NonFatal(_) => sa.files }
+      case _ => sa.files
+    }
+    // every data file pruned = NOTHING can die: an empty frame with the
+    // table schema (limit(0) collapses to an empty relation), not a
+    // fallback to the expensive generic diff
+    val live0Opt = liveOf(spark, sa, scanFiles).orElse(
+      if (scanFiles.exists(_.content == "data")) None
+      else liveOf(spark, sa, sa.files).map(_.limit(0)))
+    live0Opt.map { live0 =>
       var remaining = live0
-      // files sharing the SAME key columns merge into ONE key set and
-      // ONE semi/anti pair: a commit's key set routinely lands as many
-      // parquet part files (one per shuffle partition), and a
-      // per-FILE chain would pay one table-wide join pair per part
-      // file. Distinct groups (different key columns) still chain so a
-      // row claimed by an earlier group never dies twice (multiset
-      // exactness); file order within a commit is immaterial — every
-      // file shares the commit's sequence number.
-      val grouped: Seq[(Seq[String], Seq[graft.txn.FileEntry])] =
-        added.groupBy(_.equalityIds).toSeq.sortBy(_._1.mkString(" "))
-      val dying = grouped.map { case (ids, files) =>
-        val keys0 = spark.read.parquet(files.map(_.path): _*)
-          .select(ids.map(col): _*).distinct()
-        val keys = if (broadcastableBytes(spark, files.map(_.sizeBytes).sum))
+      val dying = keyFrames.map { case (ids, keys0, bytes) =>
+        val keys = if (broadcastableBytes(spark, bytes))
           broadcast(keys0) else keys0
         val d = remaining.as("d")
         val k = keys.as("k")

@@ -193,6 +193,42 @@ class ChangelogSpec extends AnyFunSuite {
     assert(cl2 == Set((1L, "a", "delete"), (1L, "A", "insert")))
   }
 
+  test("an upsert commit's before-image scan prunes to the files the " +
+    "delete keys' bounds can touch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-chlog-prune").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,                                               // v2: low file
+      (0L until 100L).map(i => (i, "old")).toDF("id", "v").coalesce(1))
+    TableWrites.appendData(dir,                                               // v3: high file
+      (1000L until 1100L).map(i => (i, "old")).toDF("id", "v").coalesce(1))
+    val low = TableMetadata.loadOrThrow(dir).files
+      .filter(_.content == "data").minBy(_.sequenceNumber)
+    // upsert touching ONLY the low range
+    TableWrites.upsert(dir,
+      Seq((5L, "new"), (7L, "new")).toDF("id", "v").coalesce(1), Seq("id"))   // v4
+    val cl = TableReader.changelog(spark, dir, 3L, 4L)
+    val scanned: Set[String] = cl.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten.map(ScanPlanner.normalizePath).toSet
+    // the BEFORE-IMAGE side must scan only the low file (plus the
+    // upsert's own added data + key files); the high file's stamped
+    // bounds exclude keys {5, 7}
+    val appends = scanned.filter(_.contains("/append-"))
+    assert(appends == Set(ScanPlanner.normalizePath(low.path)),
+      s"before-image scan should prune to the low file, scanned $appends")
+    // and the change set is exact: 5 and 7 replaced in place
+    val got = cl.selectExpr("id", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((5L, "delete"), (5L, "insert"),
+      (7L, "delete"), (7L, "insert")))
+  }
+
   test("an expired fromVersion names the earliest retained version and " +
     "the resync recipe; following the recipe converges the consumer") {
     import spark.implicits._
