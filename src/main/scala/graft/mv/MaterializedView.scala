@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
   * maintainable: a group's aggregates are adjusted by the signed delta,
   * and when its count reaches zero the row is removed.
   *
-  * Only RETRACTABLE aggregates are accepted (SUM and COUNT over
-  * integral columns; `count(*)` as `count` of `*`): a delete's
-  * contribution can be subtracted without re-reading the group. MIN/MAX
-  * are refused — maintaining them under deletes requires re-scanning
-  * the group, which is exactly the full-recompute this exists to avoid.
+  * Aggregates: SUM and COUNT (over integral columns; `count(*)` as
+  * `count` of `*`) are RETRACTABLE — a delete's contribution subtracts
+  * without re-reading the group. MIN/MAX are maintained too, with the
+  * honest asymmetry stated up front: inserts merge incrementally
+  * (least/greatest), but a deleted row may BE the stored extreme, so a
+  * refresh whose changelog interval contains ANY delete falls back to
+  * one atomic full recompute. Right for append-mostly sources (ingest
+  * feeds, event logs); a delete-heavy source pays a recompute per
+  * refresh and should drop min/max from the spec.
   *
   * Concurrency: the refreshed-version marker commits ATOMICALLY with
   * the merged rows (one upsert commit), and a per-attempt validate
@@ -150,11 +154,13 @@ object MaterializedView {
     if (s.aggs.isEmpty) throw CompactionError.Config(
       "materialized view needs at least one aggregate")
     s.aggs.foreach { a =>
-      if (a.fn != "sum" && a.fn != "count") throw CompactionError.Config(
-        s"aggregate '${a.fn}' is not retractable under deletes; " +
-          "materialized views maintain sum/count only")
-      if (a.fn == "sum" && a.col == "*") throw CompactionError.Config(
-        "sum needs a column")
+      if (!Set("sum", "count", "min", "max").contains(a.fn))
+        throw CompactionError.Config(
+          s"aggregate '${a.fn}' is not maintainable; materialized views " +
+            "maintain sum/count (retractable) and min/max (merged on " +
+            "inserts, full recompute when a refresh interval deletes)")
+      if (a.fn != "count" && a.col == "*") throw CompactionError.Config(
+        s"${a.fn} needs a column")
       if (a.alias == RowCountCol || s.group.contains(a.alias) ||
           a.alias.startsWith("mv_"))
         throw CompactionError.Config(
@@ -164,6 +170,13 @@ object MaterializedView {
     if (aliases.distinct.size != aliases.size)
       throw CompactionError.Config("duplicate aggregate aliases")
   }
+
+  /** Does the spec hold aggregates that cannot retract a delete?
+    * min/max merge cheaply on inserts (least/greatest) but a deleted
+    * row may BE the current extreme — the refresh falls back to a full
+    * recompute when its changelog interval contains any delete. */
+  private def hasMinMax(s: Spec): Boolean =
+    s.aggs.exists(a => a.fn == "min" || a.fn == "max")
 
   /** Signed aggregation of change rows: `weight` is +1 for inserts, -1
     * for deletes, so the same expression computes both the initial full
@@ -181,6 +194,15 @@ object MaterializedView {
           if (a.col == "*") Seq(sum(weight).as(a.alias))
           else Seq(sum(when(col(a.col).isNotNull, weight).otherwise(0L))
             .as(a.alias))
+        // min/max over INSERT rows only (weight > 0): a delta holding
+        // deletes never reaches the merge — [[refresh]] detects it and
+        // full-recomputes, because a deleted row may be the extreme.
+        // Stored in the source column's own type; an all-null (or
+        // delete-only) group stores SQL's NULL directly.
+        case "min" => Seq(
+          min(when(weight > 0, col(a.col))).as(a.alias))
+        case "max" => Seq(
+          max(when(weight > 0, col(a.col))).as(a.alias))
       }
     } :+ sum(weight).as(RowCountCol)
     rows.groupBy(spec.group.map(col): _*)
@@ -244,6 +266,19 @@ object MaterializedView {
               s"sum over '${a.col}': ${other.simpleString} is not integral; " +
                 "materialized sums are exact long arithmetic — store the " +
                 "column pre-scaled (e.g. cents) instead")
+          }
+        }
+        // min/max do no arithmetic: any orderable atomic type stores in
+        // its own type (the merge is least/greatest, not addition)
+        n.aggs.filter(a => a.fn == "min" || a.fn == "max").foreach { a =>
+          schemaTypes(a.col) match {
+            case LongType | IntegerType | ShortType | ByteType |
+                 DoubleType | FloatType | StringType | DateType |
+                 TimestampType | BooleanType => ()
+            case _: DecimalType => ()
+            case other => throw CompactionError.Config(
+              s"${a.fn} over '${a.col}': ${other.simpleString} is not an " +
+                "orderable atomic type")
           }
         }
         n
@@ -314,6 +349,13 @@ object MaterializedView {
         // a full recompute of the current source state
         return fullRecompute(spark, mvDir, mv, spec, sourceDir, lastV, catalog)
     }
+    // min/max cannot retract: a deleted row may BE the stored extreme,
+    // so any delete inside the refresh interval forces the (atomic,
+    // time-travel-preserving) full recompute. Insert-only intervals —
+    // the common append/ingest cadence — merge incrementally below.
+    if (hasMinMax(spec) && !delta.filter(col("__w") < 0L).isEmpty)
+      return fullRecompute(spark, mvDir, mv, spec, sourceDir, lastV, catalog)
+
     val dAliases = stateColumns(spec)
     val dRenamed = dAliases.foldLeft(withKey(spec, signedAgg(spec, delta, col("__w"))))(
       (df, a) => df.withColumnRenamed(a, s"_d_$a"))
@@ -330,11 +372,22 @@ object MaterializedView {
     }
     def oldOf(a: String): Column =
       if (cur.isEmpty) lit(0L) else coalesce(col(a), lit(0L))
-    // BOTH sides null-safe: a delta whose sum-column values are all
-    // null aggregates to a NULL delta (sum over nulls), and adding it
-    // un-coalesced would corrupt the stored total to NULL
+    // per-aggregate merge: sums/counts ADD (both sides null-safe — a
+    // delta whose sum-column values are all null aggregates to a NULL
+    // delta, and adding it un-coalesced would corrupt the stored total
+    // to NULL); min/max take least/greatest, which skip NULLs exactly
+    // right (new group -> delta value; all-null delta -> stored value)
+    val mergeFn: Map[String, String] = spec.aggs.collect {
+      case a if a.fn == "min" || a.fn == "max" => a.alias -> a.fn
+    }.toMap
     val next = dAliases.foldLeft(merged)((df, a) =>
-      df.withColumn(s"_n_$a", oldOf(a) + coalesce(col(s"_d_$a"), lit(0L))))
+      df.withColumn(s"_n_$a", mergeFn.get(a) match {
+        case Some("min") =>
+          if (cur.isEmpty) col(s"_d_$a") else least(col(a), col(s"_d_$a"))
+        case Some("max") =>
+          if (cur.isEmpty) col(s"_d_$a") else greatest(col(a), col(s"_d_$a"))
+        case _ => oldOf(a) + coalesce(col(s"_d_$a"), lit(0L))
+      }))
     val outCols: Seq[Column] = spec.group.map(col) ++
       (col(KeyCol) +: dAliases.map(a => col(s"_n_$a").as(a)))
     val out = next.select(outCols: _*).persist()

@@ -326,6 +326,30 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                 }
               case _ => throw Unservable
             }
+          case _: Min | _: Max =>
+            // a maintained min/max column serves directly (stored in
+            // the source column's own type; NULL for an all-null group,
+            // exactly SQL) — and min/max OVER A GROUP COLUMN serves
+            // from the group values themselves, which the view stores
+            // verbatim one row per live tuple. Rollup takes min of
+            // mins / max of maxes; NULL group values are skipped by
+            // both engines.
+            val isMin = ae.aggregateFunction.isInstanceOf[Min]
+            val fn = if (isMin) "min" else "max"
+            val child = ae.aggregateFunction.children.head
+            child match {
+              case a: AttributeReference =>
+                val stored = byFnCol.get((fn, a.name)) match {
+                  case Some(alias) => viewAttr(alias)
+                  case None if spec.group.contains(a.name) => viewAttr(a.name)
+                  case None => throw Unservable
+                }
+                if (stored.dataType != ae.dataType) throw Unservable
+                if (isExact) stored
+                else if (isMin) Min(stored).toAggregateExpression()
+                else Max(stored).toAggregateExpression()
+              case _ => throw Unservable
+            }
           case c: Count =>
             c.children match {
               // count(*) lowers to count(1); count(NULL) is NOT it

@@ -189,13 +189,84 @@ class MaterializedViewSpec extends AnyFunSuite {
       "a" -> (30L, 2L), "c" -> (5L, 2L)))
   }
 
+  test("min/max merge incrementally across insert-only refreshes") {
+    val src = mkSource() // (1,a,10) (2,a,20) (3,b,5)
+    val mv = Files.createTempDirectory("graft-mvspec-mm").toString
+    val mm = Spec(Seq("k"), Seq(Agg("min", "v", "min_v"),
+      Agg("max", "v", "max_v"), Agg("count", "*", "n")))
+    MaterializedView.create(spark, mv, src, mm)
+    def mmState(): Map[String, (Option[Long], Option[Long], Long)] =
+      MaterializedView.read(spark, mv).collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3)))).toMap
+    assert(mmState() == Map(
+      "a" -> ((Some(10L), Some(20L), 2L)),
+      "b" -> ((Some(5L), Some(5L), 1L))))
+    // new extremes both directions, a new group, and an all-null group
+    TableWrites.appendData(src, spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(4 AS BIGINT), 'a', CAST(3 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'b', CAST(99 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), 'c', CAST(NULL AS BIGINT))
+        |AS t(id, k, v)""".stripMargin).coalesce(1))
+    MaterializedView.refresh(spark, mv)
+    assert(mmState() == Map(
+      "a" -> ((Some(3L), Some(20L), 3L)),
+      "b" -> ((Some(5L), Some(99L), 2L)),
+      "c" -> ((None, None, 1L))))
+    // the insert-only interval merged INCREMENTALLY: the refresh commit
+    // is an upsert against the stored state, not a file-set swap
+    val cat = FileTableCatalog
+    val v = cat.loadOrThrow(mv).version
+    assert(CommitShape.classify(
+      cat.loadVersion(mv, v - 1).get, cat.loadVersion(mv, v).get) != "overwrite",
+      "insert-only min/max refresh must merge incrementally")
+    // a later non-null value lifts an all-null group's stored NULL
+    TableWrites.appendData(src,
+      Seq((7L, "c", 42L)).toDF("id", "k", "v").coalesce(1))
+    MaterializedView.refresh(spark, mv)
+    assert(mmState()("c") == ((Some(42L), Some(42L), 2L)))
+  }
+
+  test("a delete inside a min/max refresh interval falls back to ONE " +
+    "full recompute, then stays incremental") {
+    val src = mkSource() // (1,a,10) (2,a,20) (3,b,5)
+    val mv = Files.createTempDirectory("graft-mvspec-mmd").toString
+    MaterializedView.create(spark, mv, src, Spec(Seq("k"),
+      Seq(Agg("min", "v", "min_v"), Agg("max", "v", "max_v"),
+        Agg("count", "*", "n"))))
+    // delete the stored max of 'a': least/greatest cannot retract it
+    TableWrites.appendEqualityDeletes(src, Seq(2L).toDF("id"), Seq("id"))
+    MaterializedView.refresh(spark, mv)
+    def mmState(): Map[String, (Long, Long, Long)] =
+      MaterializedView.read(spark, mv).collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(mmState() == Map(
+      "a" -> ((10L, 10L, 1L)), "b" -> ((5L, 5L, 1L))))
+    val cat = FileTableCatalog
+    val v = cat.loadOrThrow(mv).version
+    assert(CommitShape.classify(
+      cat.loadVersion(mv, v - 1).get, cat.loadVersion(mv, v).get) == "overwrite",
+      "a deleting interval must rebuild the min/max state atomically")
+    // append-only again: back on the incremental path
+    TableWrites.appendData(src,
+      Seq((8L, "a", 1L)).toDF("id", "k", "v").coalesce(1))
+    MaterializedView.refresh(spark, mv)
+    assert(mmState()("a") == ((1L, 10L, 2L)))
+    val v2 = cat.loadOrThrow(mv).version
+    assert(CommitShape.classify(
+      cat.loadVersion(mv, v2 - 1).get, cat.loadVersion(mv, v2).get) != "overwrite")
+  }
+
   test("non-retractable aggregates and bad specs are refused") {
     val src = mkSource()
     def bad(s: Spec): Unit = intercept[CompactionError.Config] {
       MaterializedView.create(spark,
         Files.createTempDirectory("graft-mvspec-b").toString, src, s)
     }
-    bad(Spec(Seq("k"), Seq(Agg("max", "v", "m"))))
+    bad(Spec(Seq("k"), Seq(Agg("avg", "v", "m"))))
+    bad(Spec(Seq("k"), Seq(Agg("min", "*", "m"))))
     bad(Spec(Nil, Seq(Agg("sum", "v", "s"))))
     bad(Spec(Seq("k"), Nil))
     bad(Spec(Seq("k"), Seq(Agg("sum", "*", "s"))))
@@ -213,6 +284,16 @@ class MaterializedViewSpec extends AnyFunSuite {
       MaterializedView.create(spark,
         Files.createTempDirectory("graft-mvspec-d").toString, dsrc,
         Spec(Seq("k"), Seq(Agg("sum", "v", "s"))))
+    }
+    // min/max need an ORDERABLE ATOMIC type: arrays are refused
+    val asrc = Files.createTempDirectory("graft-mvspec-a-src").toString
+    TableMetadata.commit(asrc, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(asrc, spark.sql(
+      "SELECT 'a' AS k, array(1, 2) AS v").coalesce(1))
+    intercept[CompactionError.Config] {
+      MaterializedView.create(spark,
+        Files.createTempDirectory("graft-mvspec-a").toString, asrc,
+        Spec(Seq("k"), Seq(Agg("min", "v", "m"))))
     }
   }
 }
