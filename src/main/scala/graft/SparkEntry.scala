@@ -53,6 +53,7 @@ object SparkEntry {
       ("mv_avg" -> (graft.queries.MaterializedViewQuery.runAvg _)) +
       ("mv_count_distinct" -> (graft.queries.MaterializedViewQuery.runCountDistinct _)) +
       ("mv_stream" -> (graft.queries.MaterializedViewQuery.runStream _)) +
+      ("mv_minmax" -> (graft.queries.MaterializedViewQuery.runMinMax _)) +
       ("sql_bloom" -> (graft.queries.SqlCatalogQuery.runBloom _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
@@ -105,6 +106,7 @@ object SparkEntry {
       ("mv_avg" -> graft.queries.MaterializedViewQuery.avgOracle) +
       ("mv_count_distinct" -> graft.queries.MaterializedViewQuery.countDistinctOracle) +
       ("mv_stream" -> graft.queries.MaterializedViewQuery.streamOracle) +
+      ("mv_minmax" -> graft.queries.MaterializedViewQuery.minMaxOracle) +
       ("sql_bloom" -> graft.queries.SqlCatalogQuery.bloomOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +

@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
   * `count` of `*`) are RETRACTABLE — a delete's contribution subtracts
   * without re-reading the group. MIN/MAX are maintained too, with the
   * honest asymmetry stated up front: inserts merge incrementally
-  * (least/greatest), but a deleted row may BE the stored extreme, so a
-  * refresh whose changelog interval contains ANY delete falls back to
-  * one atomic full recompute. Right for append-mostly sources (ingest
-  * feeds, event logs); a delete-heavy source pays a recompute per
-  * refresh and should drop min/max from the spec.
+  * (least/greatest), but a deleted row may BE the stored extreme, so
+  * groups the interval DELETED from get their min/max recomputed from
+  * the source — scoped to exactly those groups (column-pruned scan,
+  * semi-join on the group key; sums/counts and every untouched group
+  * stay incremental), so a delete-bearing refresh costs
+  * ∝ changed data + affected groups' source rows, never ∝ view or
+  * table size.
   *
   * Concurrency: the refreshed-version marker commits ATOMICALLY with
   * the merged rows (one upsert commit), and a per-attempt validate
@@ -158,7 +160,8 @@ object MaterializedView {
         throw CompactionError.Config(
           s"aggregate '${a.fn}' is not maintainable; materialized views " +
             "maintain sum/count (retractable) and min/max (merged on " +
-            "inserts, full recompute when a refresh interval deletes)")
+            "inserts, group-scoped source recompute when a refresh " +
+            "interval deletes)")
       if (a.fn != "count" && a.col == "*") throw CompactionError.Config(
         s"${a.fn} needs a column")
       if (a.alias == RowCountCol || s.group.contains(a.alias) ||
@@ -171,12 +174,12 @@ object MaterializedView {
       throw CompactionError.Config("duplicate aggregate aliases")
   }
 
-  /** Does the spec hold aggregates that cannot retract a delete?
-    * min/max merge cheaply on inserts (least/greatest) but a deleted
-    * row may BE the current extreme — the refresh falls back to a full
-    * recompute when its changelog interval contains any delete. */
-  private def hasMinMax(s: Spec): Boolean =
-    s.aggs.exists(a => a.fn == "min" || a.fn == "max")
+  /** The spec's non-retractable aggregates. min/max merge cheaply on
+    * inserts (least/greatest) but a deleted row may BE the current
+    * extreme — deleting intervals recompute them from the source, for
+    * exactly the deleted-from groups. */
+  private def minMaxAggs(s: Spec): Seq[Agg] =
+    s.aggs.filter(a => a.fn == "min" || a.fn == "max")
 
   /** Signed aggregation of change rows: `weight` is +1 for inserts, -1
     * for deletes, so the same expression computes both the initial full
@@ -194,9 +197,10 @@ object MaterializedView {
           if (a.col == "*") Seq(sum(weight).as(a.alias))
           else Seq(sum(when(col(a.col).isNotNull, weight).otherwise(0L))
             .as(a.alias))
-        // min/max over INSERT rows only (weight > 0): a delta holding
-        // deletes never reaches the merge — [[refresh]] detects it and
-        // full-recomputes, because a deleted row may be the extreme.
+        // min/max over INSERT rows only (weight > 0): a delete's value
+        // cannot retract from the stored extreme — [[refresh]] recomputes
+        // the deleted-from groups from the source instead, and this
+        // insert-side merge only ever applies to untouched groups.
         // Stored in the source column's own type; an all-null (or
         // delete-only) group stores SQL's NULL directly.
         case "min" => Seq(
@@ -349,64 +353,109 @@ object MaterializedView {
         // a full recompute of the current source state
         return fullRecompute(spark, mvDir, mv, spec, sourceDir, lastV, catalog)
     }
-    // min/max cannot retract: a deleted row may BE the stored extreme,
-    // so any delete inside the refresh interval forces the (atomic,
-    // time-travel-preserving) full recompute. Insert-only intervals —
-    // the common append/ingest cadence — merge incrementally below.
-    if (hasMinMax(spec) && !delta.filter(col("__w") < 0L).isEmpty)
-      return fullRecompute(spark, mvDir, mv, spec, sourceDir, lastV, catalog)
-
-    val dAliases = stateColumns(spec)
-    val dRenamed = dAliases.foldLeft(withKey(spec, signedAgg(spec, delta, col("__w"))))(
-      (df, a) => df.withColumnRenamed(a, s"_d_$a"))
-
-    // merge with the stored state for AFFECTED groups only: join the
-    // delta (small) against the view on the total KEY column (NULL
-    // group values are data here, not join keys); AQE broadcasts the
-    // delta side
-    val merged = cur match {
-      case None => dRenamed
-      case Some(st) =>
-        dRenamed.join(st.select((KeyCol +: dAliases).map(col): _*),
-          Seq(KeyCol), "left")
-    }
-    def oldOf(a: String): Column =
-      if (cur.isEmpty) lit(0L) else coalesce(col(a), lit(0L))
-    // per-aggregate merge: sums/counts ADD (both sides null-safe — a
-    // delta whose sum-column values are all null aggregates to a NULL
-    // delta, and adding it un-coalesced would corrupt the stored total
-    // to NULL); min/max take least/greatest, which skip NULLs exactly
-    // right (new group -> delta value; all-null delta -> stored value)
-    val mergeFn: Map[String, String] = spec.aggs.collect {
-      case a if a.fn == "min" || a.fn == "max" => a.alias -> a.fn
-    }.toMap
-    val next = dAliases.foldLeft(merged)((df, a) =>
-      df.withColumn(s"_n_$a", mergeFn.get(a) match {
-        case Some("min") =>
-          if (cur.isEmpty) col(s"_d_$a") else least(col(a), col(s"_d_$a"))
-        case Some("max") =>
-          if (cur.isEmpty) col(s"_d_$a") else greatest(col(a), col(s"_d_$a"))
-        case _ => oldOf(a) + coalesce(col(s"_d_$a"), lit(0L))
-      }))
-    val outCols: Seq[Column] = spec.group.map(col) ++
-      (col(KeyCol) +: dAliases.map(a => col(s"_n_$a").as(a)))
-    val out = next.select(outCols: _*).persist()
+    // min/max cannot retract from the delta alone: a deleted row may BE
+    // a group's stored extreme. Only the groups the interval deleted
+    // from can have lost one, though — recompute min/max for exactly
+    // those groups from the source at the interval end (column-pruned
+    // scan, semi-join on the group key; AQE broadcasts the key side
+    // when small), while sums/counts — and every untouched group's
+    // min/max — stay on the incremental merge. A delete-bearing refresh
+    // therefore costs ∝ changed data + affected groups' source rows,
+    // never ∝ view or table size, and its commit stays an UPSERT that
+    // touches only affected groups (not a file-set swap).
+    val minMax = minMaxAggs(spec)
+    val deltaP = if (minMax.nonEmpty) delta.persist() else delta
     try {
-      val dead = out.filter(col(RowCountCol) === 0L).select(col(KeyCol))
-      val live = out.filter(col(RowCountCol) =!= 0L)
-      // the marker advances ATOMICALLY with the merged rows; the
-      // validate aborts if a concurrent refresh advanced it first
-      TableWrites.upsert(mvDir, live, Seq(KeyCol), catalog = catalog,
-        deleteKeys = Some(dead),
-        setProperties = Map(RefreshedVersionProp -> srcV.toString),
-        validate = reloaded => {
-          val nowV = reloaded.properties.get(RefreshedVersionProp)
-            .flatMap(_.toLongOption).getOrElse(-1L)
-          if (nowV != lastV) throw CompactionError.Config(
-            s"concurrent refresh: marker moved v$lastV -> v$nowV; " +
-              "re-run refresh (the newer state already includes these rows)")
-        })
-    } finally out.unpersist()
+      val affectedKeys: Option[DataFrame] =
+        if (minMax.isEmpty) None
+        else {
+          val dels = deltaP.filter(col("__w") < 0L)
+          if (dels.isEmpty) None
+          else Some(dels
+            .withColumn(KeyCol, keyExpr(spec.group, deltaP.schema))
+            .select(KeyCol).distinct())
+        }
+      // ground truth for the affected groups: the source AT the interval
+      // end. A group absent here lost its last row — its recomputed
+      // min/max doesn't matter because its row count reaches zero and
+      // the row is removed below. (An empty source means every affected
+      // group died: skip the scan entirely.)
+      val recomputed: Option[DataFrame] = affectedKeys.flatMap { keys =>
+        TableReader.readOption(spark, sourceDir,
+            asOfVersion = Some(srcV), catalog = catalog)
+          .map { srcDf =>
+            val need = (spec.group ++ minMax.map(_.col)).distinct
+            val scoped = srcDf.select(need.map(col): _*)
+              .withColumn(KeyCol, keyExpr(spec.group, srcDf.schema))
+              .join(keys, Seq(KeyCol), "left_semi")
+            val aggs = minMax.map(a =>
+              (if (a.fn == "min") min(col(a.col)) else max(col(a.col)))
+                .as(s"_r_${a.alias}"))
+            scoped.groupBy(col(KeyCol)).agg(aggs.head, aggs.tail: _*)
+              .withColumn("_mv_aff", lit(true))
+          }
+      }
+
+      val dAliases = stateColumns(spec)
+      val dRenamed = dAliases.foldLeft(withKey(spec, signedAgg(spec, deltaP, col("__w"))))(
+        (df, a) => df.withColumnRenamed(a, s"_d_$a"))
+
+      // merge with the stored state for AFFECTED groups only: join the
+      // delta (small) against the view on the total KEY column (NULL
+      // group values are data here, not join keys); AQE broadcasts the
+      // delta side
+      val merged = cur match {
+        case None => dRenamed
+        case Some(st) =>
+          dRenamed.join(st.select((KeyCol +: dAliases).map(col): _*),
+            Seq(KeyCol), "left")
+      }
+      val mergedAll = recomputed.fold(merged)(r =>
+        merged.join(r, Seq(KeyCol), "left"))
+      def oldOf(a: String): Column =
+        if (cur.isEmpty) lit(0L) else coalesce(col(a), lit(0L))
+      // per-aggregate merge: sums/counts ADD (both sides null-safe — a
+      // delta whose sum-column values are all null aggregates to a NULL
+      // delta, and adding it un-coalesced would corrupt the stored total
+      // to NULL); min/max take least/greatest, which skip NULLs exactly
+      // right (new group -> delta value; all-null delta -> stored value)
+      // — except deleted-from groups, which take the recomputed source
+      // truth verbatim (the flag is true or NULL, so `when` routes
+      // untouched groups to the incremental branch)
+      val mergeFn: Map[String, String] = spec.aggs.collect {
+        case a if a.fn == "min" || a.fn == "max" => a.alias -> a.fn
+      }.toMap
+      val next = dAliases.foldLeft(mergedAll)((df, a) =>
+        df.withColumn(s"_n_$a", mergeFn.get(a) match {
+          case Some(fn @ ("min" | "max")) =>
+            val inc =
+              if (cur.isEmpty) col(s"_d_$a")
+              else if (fn == "min") least(col(a), col(s"_d_$a"))
+              else greatest(col(a), col(s"_d_$a"))
+            if (recomputed.isEmpty) inc
+            else when(col("_mv_aff"), col(s"_r_$a")).otherwise(inc)
+          case _ => oldOf(a) + coalesce(col(s"_d_$a"), lit(0L))
+        }))
+      val outCols: Seq[Column] = spec.group.map(col) ++
+        (col(KeyCol) +: dAliases.map(a => col(s"_n_$a").as(a)))
+      val out = next.select(outCols: _*).persist()
+      try {
+        val dead = out.filter(col(RowCountCol) === 0L).select(col(KeyCol))
+        val live = out.filter(col(RowCountCol) =!= 0L)
+        // the marker advances ATOMICALLY with the merged rows; the
+        // validate aborts if a concurrent refresh advanced it first
+        TableWrites.upsert(mvDir, live, Seq(KeyCol), catalog = catalog,
+          deleteKeys = Some(dead),
+          setProperties = Map(RefreshedVersionProp -> srcV.toString),
+          validate = reloaded => {
+            val nowV = reloaded.properties.get(RefreshedVersionProp)
+              .flatMap(_.toLongOption).getOrElse(-1L)
+            if (nowV != lastV) throw CompactionError.Config(
+              s"concurrent refresh: marker moved v$lastV -> v$nowV; " +
+                "re-run refresh (the newer state already includes these rows)")
+          })
+      } finally out.unpersist()
+    } finally if (minMax.nonEmpty) deltaP.unpersist()
     srcV
   }
 

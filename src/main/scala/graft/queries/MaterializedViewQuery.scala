@@ -54,6 +54,69 @@ object MaterializedViewQuery {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- min/max
+
+  private val minMaxTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Min/max maintenance under deletes: the view stores per-flag
+    * min/max/sum/count; the refresh interval holds an append AND an
+    * equality delete (which kills some groups' stored extremes), so the
+    * refresh must take the GROUP-SCOPED retraction path — recompute
+    * min/max from the source for exactly the deleted-from groups, keep
+    * everything else incremental. Self-asserting: the query FAILS if
+    * the refresh degraded to a full file-set swap. */
+  private def buildMinMax(spark: SparkSession, dir: String): String =
+    minMaxTables.computeIfAbsent(dir, _ => {
+      val src = Files.createTempDirectory("graft-mvmm-src").toString
+      val mv = Files.createTempDirectory("graft-mvmm-view").toString
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("qty_cents"))
+        .persist()
+      try {
+        TableMetadata.commit(src, TableSnapshot(1, 1, 0, Nil))
+        TableWrites.appendData(src, li.filter(col("l_orderkey") % 2 === 0))
+        MaterializedView.create(spark, mv, src, Spec(
+          group = Seq("l_returnflag"),
+          aggs = Seq(Agg("min", "qty_cents", "min_qty"),
+            Agg("max", "qty_cents", "max_qty"),
+            Agg("sum", "qty_cents", "sum_qty_cents"),
+            Agg("count", "*", "n_rows"))))
+        TableWrites.appendData(src, li.filter(col("l_orderkey") % 2 === 1))
+        TableWrites.appendEqualityDeletes(src,
+          li.filter(col("l_orderkey") % 7 === 0).select("l_orderkey"),
+          Seq("l_orderkey"))
+        val filesBefore = FileTableCatalog.loadOrThrow(mv).files
+          .filter(_.content == "data").map(_.path).toSet
+        MaterializedView.refresh(spark, mv)
+        val after = FileTableCatalog.loadOrThrow(mv)
+        val kept = after.files.filter(_.content == "data").map(_.path).toSet
+          .intersect(filesBefore)
+        require(kept.nonEmpty,
+          "mv_minmax: the deleting refresh must be a group-scoped upsert " +
+            "that keeps untouched stored files, not a full recompute")
+      } finally li.unpersist()
+      mv
+    })
+
+  def runMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val mv = buildMinMax(spark, dir)
+    MaterializedView.read(spark, mv).orderBy("l_returnflag")
+  }
+
+  val minMaxOracle: String =
+    """WITH src AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents
+      |  FROM lineitem WHERE l_orderkey % 7 <> 0)
+      |SELECT l_returnflag,
+      |  min(qty_cents) AS min_qty, max(qty_cents) AS max_qty,
+      |  CAST(sum(qty_cents) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_rows
+      |FROM src GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- rollup
 
   private val rollupCatalogs =

@@ -229,14 +229,18 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(mmState()("c") == ((Some(42L), Some(42L), 2L)))
   }
 
-  test("a delete inside a min/max refresh interval falls back to ONE " +
-    "full recompute, then stays incremental") {
+  test("a delete inside a min/max refresh interval recomputes ONLY the " +
+    "deleted-from groups, as an incremental upsert") {
     val src = mkSource() // (1,a,10) (2,a,20) (3,b,5)
     val mv = Files.createTempDirectory("graft-mvspec-mmd").toString
     MaterializedView.create(spark, mv, src, Spec(Seq("k"),
       Seq(Agg("min", "v", "min_v"), Agg("max", "v", "max_v"),
         Agg("count", "*", "n"))))
-    // delete the stored max of 'a': least/greatest cannot retract it
+    val cat = FileTableCatalog
+    val filesBefore = cat.loadOrThrow(mv).files
+      .filter(_.content == "data").map(_.path).toSet
+    // delete the stored max of 'a': least/greatest cannot retract it —
+    // the refresh must recompute 'a' from the source, and ONLY 'a'
     TableWrites.appendEqualityDeletes(src, Seq(2L).toDF("id"), Seq("id"))
     MaterializedView.refresh(spark, mv)
     def mmState(): Map[String, (Long, Long, Long)] =
@@ -244,19 +248,36 @@ class MaterializedViewSpec extends AnyFunSuite {
         r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(mmState() == Map(
       "a" -> ((10L, 10L, 1L)), "b" -> ((5L, 5L, 1L))))
-    val cat = FileTableCatalog
-    val v = cat.loadOrThrow(mv).version
+    // group-scoped, NOT a file-set swap: the refresh commit is an
+    // upsert that keeps the untouched groups' stored files verbatim
+    val snapAfter = cat.loadOrThrow(mv)
+    val v = snapAfter.version
     assert(CommitShape.classify(
-      cat.loadVersion(mv, v - 1).get, cat.loadVersion(mv, v).get) == "overwrite",
-      "a deleting interval must rebuild the min/max state atomically")
-    // append-only again: back on the incremental path
-    TableWrites.appendData(src,
-      Seq((8L, "a", 1L)).toDF("id", "k", "v").coalesce(1))
+      cat.loadVersion(mv, v - 1).get, cat.loadVersion(mv, v).get) != "overwrite",
+      "a deleting interval must stay on the incremental upsert path")
+    assert(snapAfter.files.filter(_.content == "data").map(_.path).toSet
+      .intersect(filesBefore).nonEmpty,
+      "untouched groups' files must survive a group-scoped recompute")
+    // a delete of a NON-extreme row still lands on the recompute path
+    // and still yields the exact extremes
+    TableWrites.appendData(src, Seq((8L, "a", 1L), (9L, "a", 7L))
+      .toDF("id", "k", "v").coalesce(1))
+    MaterializedView.refresh(spark, mv)
+    assert(mmState()("a") == ((1L, 10L, 3L)))
+    TableWrites.appendEqualityDeletes(src, Seq(9L).toDF("id"), Seq("id"))
     MaterializedView.refresh(spark, mv)
     assert(mmState()("a") == ((1L, 10L, 2L)))
-    val v2 = cat.loadOrThrow(mv).version
-    assert(CommitShape.classify(
-      cat.loadVersion(mv, v2 - 1).get, cat.loadVersion(mv, v2).get) != "overwrite")
+    // mixed interval: an insert raises b's max while a delete kills b's
+    // old row — the recompute at the interval end sees both
+    TableWrites.appendData(src,
+      Seq((10L, "b", 50L)).toDF("id", "k", "v").coalesce(1))
+    TableWrites.appendEqualityDeletes(src, Seq(3L).toDF("id"), Seq("id"))
+    MaterializedView.refresh(spark, mv)
+    assert(mmState()("b") == ((50L, 50L, 1L)))
+    // a group whose LAST row is deleted disappears entirely
+    TableWrites.appendEqualityDeletes(src, Seq(10L).toDF("id"), Seq("id"))
+    MaterializedView.refresh(spark, mv)
+    assert(mmState() == Map("a" -> ((1L, 10L, 2L))))
   }
 
   test("non-retractable aggregates and bad specs are refused") {
