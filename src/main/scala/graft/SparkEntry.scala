@@ -47,6 +47,7 @@ object SparkEntry {
       ("sql_wap" -> (graft.queries.SqlCatalogQuery.runWap _)) +
       ("sql_branch" -> (graft.queries.SqlCatalogQuery.runBranch _)) +
       ("cdc_changelog" -> (graft.queries.ChangelogQuery.run _)) +
+      ("cdc_net_changes" -> (graft.queries.ChangelogQuery.runNet _)) +
       ("stream_changelog" -> (graft.queries.StreamTailQuery.runChangelog _)) +
       ("mv_incremental" -> (graft.queries.MaterializedViewQuery.run _)) +
       ("mv_rollup" -> (graft.queries.MaterializedViewQuery.runRollup _)) +
@@ -100,6 +101,7 @@ object SparkEntry {
       ("sql_wap" -> graft.queries.SqlCatalogQuery.wapOracle) +
       ("sql_branch" -> graft.queries.SqlCatalogQuery.branchOracle) +
       ("cdc_changelog" -> graft.queries.ChangelogQuery.oracle) +
+      ("cdc_net_changes" -> graft.queries.ChangelogQuery.netOracle) +
       ("stream_changelog" -> graft.queries.StreamTailQuery.changelogOracle) +
       ("mv_incremental" -> graft.queries.MaterializedViewQuery.oracle) +
       ("mv_rollup" -> graft.queries.MaterializedViewQuery.rollupOracle) +

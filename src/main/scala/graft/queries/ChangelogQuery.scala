@@ -81,6 +81,52 @@ object ChangelogQuery {
       .orderBy(orderCols.map(col): _*)
   }
 
+  /** NET changes ([[TableReader.netChangelog]]) over TWO intervals of
+    * the same fixture, tagged in one result:
+    *
+    *   - `full` (v1→v6, from the empty bootstrap): every insert that a
+    *     later delete killed must CANCEL — the net is exactly the final
+    *     live state as inserts, nothing else;
+    *   - `tail` (v2→v6): both change types survive — the odd-row append
+    *     nets to inserts, the eq-/pos-deleted even rows net to deletes.
+    *
+    * The hash-match certifies insert/delete cancellation per row value
+    * and the multiset identity net(changelog) = endpoint-state diff. */
+  def runNet(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = buildTable(spark, dir)
+    def net(from: Long, tag: String): DataFrame =
+      TableReader.netChangelog(spark, tableDir, from, 6)
+        .withColumn("interval", lit(tag))
+    val cols = ("interval" +: outCols) ++ Seq("change_type", "change_count")
+    net(1, "full").unionByName(net(2, "tail"))
+      .withColumnRenamed("_change_type", "change_type")
+      .withColumnRenamed("_change_count", "change_count")
+      .select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*)
+  }
+
+  val netOracle: String = {
+    val key6 = rowKey.mkString(", ")
+    val cols = outCols.mkString(", ")
+    s"""WITH f1 AS (
+       |  SELECT *, row_number() OVER (ORDER BY $key6) - 1 AS pos
+       |  FROM lineitem WHERE l_orderkey % 2 = 0),
+       |f2 AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1),
+       |ch AS (
+       |  SELECT 'full' AS interval, $cols, 'insert' AS change_type,
+       |         CAST(1 AS BIGINT) AS change_count
+       |  FROM f1 WHERE l_orderkey % 13 <> 0 AND pos >= 100
+       |  UNION ALL
+       |  SELECT 'full', $cols, 'insert', CAST(1 AS BIGINT) FROM f2
+       |  UNION ALL
+       |  SELECT 'tail', $cols, 'insert', CAST(1 AS BIGINT) FROM f2
+       |  UNION ALL
+       |  SELECT 'tail', $cols, 'delete', CAST(1 AS BIGINT)
+       |  FROM f1 WHERE l_orderkey % 13 = 0 OR pos < 100)
+       |SELECT * FROM ch
+       |ORDER BY interval, $cols, change_type, change_count""".stripMargin
+  }
+
   val oracle: String = {
     val key6 = rowKey.mkString(", ")
     val cols = outCols.mkString(", ")

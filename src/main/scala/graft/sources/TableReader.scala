@@ -511,6 +511,48 @@ object TableReader {
       .drop("_change")
   }
 
+  /** NET changes over `[fromVersion, toVersion]`: the per-commit
+    * [[changelog]] collapsed per row VALUE. A row inserted and later
+    * deleted inside the interval cancels out; a delete followed by a
+    * re-insert of the same value nets to nothing; duplicate rows carry
+    * their net multiplicity. The result is exactly the multiset
+    * difference between the two endpoint states — but computed FROM the
+    * changelog, so the cost is ∝ changed data (one shuffle grouping the
+    * change rows by value), never two full endpoint scans.
+    *
+    *   - `_change_type`: `insert` (net-new row values) | `delete`
+    *     (net-removed);
+    *   - `_change_count`: that value's net multiplicity (≥ 1).
+    *
+    * Per-commit attribution is intentionally absent: a netted change
+    * has no single version to attribute to (that is what [[changelog]]
+    * is for). The shape downstream MERGE-style consumers want — apply
+    * the interval's effect once, without replaying intermediate
+    * churn. */
+  def netChangelog(
+      spark: SparkSession,
+      tableDir: String,
+      fromVersion: Long,
+      toVersion: Long,
+      catalog: TableCatalog = FileTableCatalog
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ch = changelog(spark, tableDir, fromVersion, toVersion, catalog)
+    val dataCols = ch.columns.toSeq
+      .filterNot(c => c == "_change_type" || c == "_commit_version")
+    // GROUP BY the full row value (SQL groups NULLs together — exactly
+    // the multiset-equality we want); map-side partial aggregation
+    // makes the one shuffle carry distinct changed values, not rows
+    ch.groupBy(dataCols.map(col): _*)
+      .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .as("_net"))
+      .filter(col("_net") =!= 0L)
+      .withColumn("_change_type",
+        when(col("_net") > 0L, lit("insert")).otherwise(lit("delete")))
+      .withColumn("_change_count", abs(col("_net")))
+      .drop("_net")
+  }
+
   /** unionByName(allowMissing) over `dfs` as a balanced tree (depth
     * O(log n) instead of the linear fold's O(n)). */
   private def balancedUnion(dfs: Seq[DataFrame]): DataFrame =

@@ -54,6 +54,38 @@ class ChangelogSpec extends AnyFunSuite {
     assert(net == TableReader.read(spark, dir).collect().map(_.getLong(0)).toSet)
   }
 
+  test("netChangelog cancels intra-interval churn and carries net " +
+    "multiplicities") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-chlog-net").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    // v2: ids 0-4, with id 4 appearing TWICE (duplicate row value)
+    TableWrites.appendData(dir,
+      (Seq(0L, 1L, 2L, 3L, 4L, 4L)).toDF("id").coalesce(1))
+    // v3: delete {1, 4} — kills id 1 once and BOTH id-4 duplicates
+    TableWrites.appendEqualityDeletes(dir, Seq(1L, 4L).toDF("id"), Seq("id"))
+    // v4: re-insert id 1 (cancels its delete) and insert 5 twice
+    TableWrites.appendData(dir, Seq(1L, 5L, 5L).toDF("id").coalesce(1))
+    // v5: insert-then-delete id 6 inside the interval (must vanish)
+    TableWrites.appendData(dir, Seq(6L).toDF("id").coalesce(1))
+    TableWrites.appendEqualityDeletes(dir, Seq(6L).toDF("id"), Seq("id"))
+    val got = TableReader.netChangelog(spark, dir, 1, 6).collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("_change_type")),
+        r.getLong(r.fieldIndex("_change_count")))).toSet
+    // id 1: +1 -1 +1 = +1 (the delete/re-insert churn cancels);
+    // id 4: +2 -2 = 0 (gone); id 6: +1 -1 = 0 (gone);
+    // id 5: +2 → one insert row with net multiplicity 2
+    assert(got == Set(
+      (0L, "insert", 1L), (1L, "insert", 1L), (2L, "insert", 1L),
+      (3L, "insert", 1L), (5L, "insert", 2L)))
+    // a mid-history interval nets deletes too: [2, 3] sees 1 and the
+    // two 4s leave
+    val tail = TableReader.netChangelog(spark, dir, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tail == Set((1L, "delete", 1L), (4L, "delete", 2L)))
+  }
+
   test("a 200-commit append history plans SUBLINEARLY many nodes " +
     "(consecutive appends fold into one scan)") {
     import spark.implicits._
