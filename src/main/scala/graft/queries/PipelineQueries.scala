@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.pipeline._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline queries over the driver testdata (documents +
@@ -284,6 +284,39 @@ object PipelineQueries {
         sum(when(col("in_sample"), 1L).otherwise(0L)).as("sampled"),
         count(lit(1)).as("total"))
       .orderBy("lang")
+  }
+
+  /** Deterministic shuffled shard layout ([[graft.pipeline.Export
+    * .shuffleShards]]): every document gets its (shard, seq) coordinate
+    * of the reproducible global training shuffle — seeded-hash order,
+    * one shuffle, no global sort. The full coordinate assignment is
+    * hash-checked, so the oracle certifies the exact layout byte for
+    * byte. */
+  def shuffleExport(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Export.shuffleShards(
+      documents(spark, dir).select("doc_id"), "doc_id", shards = 8)
+      .orderBy("shard", "seq")
+
+  /** Data MIXING to per-domain token budgets ([[graft.pipeline.Export
+    * .mixtureSample]]): each source keeps the greedy hash-ordered doc
+    * prefix whose running char total stays under the source's budget.
+    * Budgets derive deterministically from the source name (the same
+    * no-side-channel trick as [[stratifiedSample]]); a production
+    * caller passes a real weights map the same way. Per-source kept
+    * doc/char totals pin the greedy boundary exactly. */
+  def dataMixture(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.TextFunctions.hash64
+    val budget: Column =
+      pmod(hash64(lit("bud"), col("source")), lit(4000L)) + lit(2000L)
+    val kept = graft.pipeline.Export.mixtureSample(
+      documents(spark, dir).select("doc_id", "source", "n_chars"),
+      "doc_id", "source", "n_chars", budget)
+    kept.groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum("n_chars").cast("long").as("kept_chars"))
+      .withColumn("budget_chars",
+        pmod(hash64(lit("bud"), col("source")), lit(4000L)) + lit(2000L))
+      .orderBy("source")
   }
 
   /** Deterministic uniform k-sample: the k documents with the smallest
@@ -754,6 +787,28 @@ object PipelineQueries {
          |  SELECT doc_id, lang FROM documents
          |  ORDER BY ${h64("'usmp:' || doc_id")}, doc_id LIMIT 25)
          |ORDER BY doc_id""".stripMargin,
+    "shuffle_export" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${h64("'shuf:' || doc_id")} AS h FROM documents)
+         |SELECT doc_id, h % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |    AS BIGINT) AS seq
+         |FROM h ORDER BY shard, seq""".stripMargin,
+    "data_mixture" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ${h64("'mix:' || doc_id")} AS h,
+         |    (${h64("'bud:' || source")} % 4000) + 2000 AS bud
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, coalesce(sum(n_chars) OVER (
+         |    PARTITION BY source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+         |  FROM d)
+         |SELECT source, max(bud) AS budget_chars,
+         |  count(*) AS kept_docs, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |FROM r WHERE run < bud
+         |GROUP BY source ORDER BY source""".stripMargin,
     "deterministic_sample" ->
       s"""SELECT lang,
          |  CAST(sum(CASE WHEN ${h64("'smp:' || doc_id")} % 1000 < 200 THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
@@ -888,6 +943,8 @@ object PipelineQueries {
     "deterministic_sample" -> (deterministicSample _),
     "stratified_sample" -> (stratifiedSample _),
     "uniform_sample" -> (uniformSample _),
+    "shuffle_export" -> (shuffleExport _),
+    "data_mixture" -> (dataMixture _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "passage_dedup" -> (passageDedup _),
