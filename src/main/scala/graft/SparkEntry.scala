@@ -55,6 +55,7 @@ object SparkEntry {
       ("mv_count_distinct" -> (graft.queries.MaterializedViewQuery.runCountDistinct _)) +
       ("mv_stream" -> (graft.queries.MaterializedViewQuery.runStream _)) +
       ("mv_minmax" -> (graft.queries.MaterializedViewQuery.runMinMax _)) +
+      ("mv_join" -> (graft.queries.MaterializedViewQuery.runStar _)) +
       ("sql_bloom" -> (graft.queries.SqlCatalogQuery.runBloom _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
@@ -109,6 +110,7 @@ object SparkEntry {
       ("mv_count_distinct" -> graft.queries.MaterializedViewQuery.countDistinctOracle) +
       ("mv_stream" -> graft.queries.MaterializedViewQuery.streamOracle) +
       ("mv_minmax" -> graft.queries.MaterializedViewQuery.minMaxOracle) +
+      ("mv_join" -> graft.queries.MaterializedViewQuery.starOracle) +
       ("sql_bloom" -> graft.queries.SqlCatalogQuery.bloomOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +

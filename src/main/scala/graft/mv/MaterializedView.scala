@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   * ∝ changed data + affected groups' source rows, never ∝ view or
   * table size.
   *
+  * STAR views ([[Dim]]): the spec may name a dimension table to join
+  * the fact source against before aggregating — `GROUP BY` columns and
+  * aggregates may then reference dim columns. The dim is pinned at one
+  * immutable version, so refresh deltas (inserts and delete
+  * before-images alike) enrich identically and retraction stays exact;
+  * the incremental cost model is unchanged (the changelog delta joins
+  * a broadcast-sized dim).
+  *
   * Concurrency: the refreshed-version marker commits ATOMICALLY with
   * the merged rows (one upsert commit), and a per-attempt validate
   * aborts if another refresh advanced the marker first — a delta can
@@ -140,7 +148,44 @@ object MaterializedView {
   /** One aggregate: `fn` ∈ sum|count, `col` a source column (`*` for
     * count), `alias` the MV output column. */
   final case class Agg(fn: String, col: String, alias: String)
-  final case class Spec(group: Seq[String], aggs: Seq[Agg])
+
+  /** STAR-SCHEMA enrichment: the view aggregates `source ⋈ dim` instead
+    * of the bare source — `GROUP BY n_name` over a fact keyed by
+    * nation, the bread-and-butter reporting MV. The dimension is PINNED
+    * at `version` (0 = pin the current version at create): every
+    * refresh joins both the inserts and the delete before-images to the
+    * SAME immutable dim snapshot, which is what keeps retraction exact
+    * — a fact row leaves with precisely the enriched tuple it arrived
+    * with. The join is INNER (unmatched fact rows don't reach the
+    * view), and a dim change does NOT flow into the stored state until
+    * the view is recreated against a new pin — the honest contract for
+    * slowly-changing dimensions. */
+  final case class Dim(dir: String, factKeys: Seq[String],
+      dimKeys: Seq[String], version: Long = 0L)
+  final case class Spec(group: Seq[String], aggs: Seq[Agg],
+      dim: Option[Dim] = None)
+
+  /** `df` joined to the spec's pinned dimension snapshot (identity
+    * when the spec has none). Shared by create, refresh deltas, the
+    * min/max group recompute and the full-recompute fallback — every
+    * path MUST enrich identically or retraction breaks. */
+  private def enriched(spark: SparkSession, df: DataFrame, spec: Spec,
+      catalog: TableCatalog): DataFrame = spec.dim match {
+    case None => df
+    case Some(d) =>
+      val dimDf = TableReader.readOption(spark, d.dir,
+        asOfVersion = Some(d.version), catalog = catalog).getOrElse(
+          throw CompactionError.Config(
+            s"dimension table ${d.dir}@v${d.version} holds no data rows; " +
+              "a star-schema view needs a non-empty pinned dimension"))
+      val overlap = df.columns.toSet.intersect(dimDf.columns.toSet)
+      if (overlap.nonEmpty) throw CompactionError.Config(
+        s"fact and dimension share column names (${overlap.toSeq.sorted
+          .mkString(", ")}); rename one side before creating the view")
+      val cond = d.factKeys.zip(d.dimKeys)
+        .map { case (f, k) => df(f) === dimDf(k) }.reduce(_ && _)
+      df.join(dimDf, cond, "inner")
+  }
 
   private val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -172,6 +217,14 @@ object MaterializedView {
     val aliases = s.aggs.map(_.alias)
     if (aliases.distinct.size != aliases.size)
       throw CompactionError.Config("duplicate aggregate aliases")
+    s.dim.foreach { d =>
+      if (d.factKeys.isEmpty || d.factKeys.size != d.dimKeys.size)
+        throw CompactionError.Config(
+          "a dimension join needs equally many (and at least one) fact " +
+            "and dim key columns")
+      if (d.version < 0) throw CompactionError.Config(
+        "dimension version must be >= 0 (0 = pin current at create)")
+    }
   }
 
   /** The spec's non-retractable aggregates. min/max merge cheaply on
@@ -231,23 +284,36 @@ object MaterializedView {
   ): TableSnapshot = {
     validateSpec(spec)
     val srcSnap = catalog.loadOrThrow(sourceDir)
+    // pin the dimension: version 0 resolves to the dim's CURRENT
+    // version, persisted in the stored spec so every later refresh —
+    // inserts AND delete before-images — joins the same immutable
+    // snapshot
+    val pinned: Spec = spec.dim match {
+      case Some(d) if d.version == 0L => spec.copy(dim =
+        Some(d.copy(version = catalog.loadOrThrow(d.dir).version)))
+      case _ => spec
+    }
     val full = TableReader.readOption(spark, sourceDir,
       asOfVersion = Some(srcSnap.version), catalog = catalog)
-    // type guard against the resolvable source schema: the view's sums
-    // are exact long arithmetic — a double/decimal column would be
+      .map(df => enriched(spark, df, pinned, catalog))
+    // type guard against the resolvable (fact ⋈ dim) schema: the view's
+    // sums are exact long arithmetic — a double/decimal column would be
     // silently truncated by the long cast, so refuse it up front
-    // (pre-scale to integer cents instead)
+    // (pre-scale to integer cents instead). The declared-schema fallback
+    // only applies to dim-less views: a star view's spec may name dim
+    // columns the bare source schema cannot resolve.
     val schemaTypes: Map[String, org.apache.spark.sql.types.DataType] =
       full.map(_.schema.fields.map(f => f.name -> f.dataType).toMap)
-        .orElse(srcSnap.currentSchema.map(_.fields.map(f =>
-          f.name -> org.apache.spark.sql.types.DataType.fromDDL(f.dataType))
-          .toMap))
+        .orElse(if (pinned.dim.nonEmpty) None
+          else srcSnap.currentSchema.map(_.fields.map(f =>
+            f.name -> org.apache.spark.sql.types.DataType.fromDDL(f.dataType))
+            .toMap))
         .getOrElse(Map.empty)
     // resolve spec names CASE-INSENSITIVELY against the schema (the
     // Spark default) and persist the schema's own casing, so the stored
     // spec always matches the physical columns exactly
     val norm: Spec =
-      if (schemaTypes.isEmpty) spec
+      if (schemaTypes.isEmpty) pinned
       else {
         import org.apache.spark.sql.types._
         val byLower = schemaTypes.keys.map(k => k.toLowerCase -> k).toMap
@@ -256,9 +322,9 @@ object MaterializedView {
           else byLower.getOrElse(c.toLowerCase, throw CompactionError.Config(
             s"column '$c' is not in the source schema " +
               s"(${schemaTypes.keys.toSeq.sorted.mkString(", ")})"))
-        val n = spec.copy(
-          group = spec.group.map(resolve),
-          aggs = spec.aggs.map(a =>
+        val n = pinned.copy(
+          group = pinned.group.map(resolve),
+          aggs = pinned.aggs.map(a =>
             if (a.col == "*") a else a.copy(col = resolve(a.col))))
         // alias/group collisions can APPEAR under case resolution
         // (alias 'k' vs group 'K' -> 'k') — re-validate the resolved spec
@@ -328,9 +394,14 @@ object MaterializedView {
       return fullRecompute(spark, mvDir, mv, spec, sourceDir, lastV, catalog)
 
     // exact multiset changes since the last refresh, full rows per
-    // change (the BATCH changelog — key-deletes are already resolved)
+    // change (the BATCH changelog — key-deletes are already resolved),
+    // enriched through the pinned dimension snapshot when the view is a
+    // star view (deletes join to the SAME dim rows their inserts did,
+    // so retraction stays exact)
     val delta = try {
-      TableReader.changelog(spark, sourceDir, lastV, srcV, catalog)
+      enriched(spark,
+          TableReader.changelog(spark, sourceDir, lastV, srcV, catalog),
+          spec, catalog)
         .withColumn("__w",
           when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
     } catch {
@@ -383,6 +454,7 @@ object MaterializedView {
       val recomputed: Option[DataFrame] = affectedKeys.flatMap { keys =>
         TableReader.readOption(spark, sourceDir,
             asOfVersion = Some(srcV), catalog = catalog)
+          .map(df => enriched(spark, df, spec, catalog))
           .map { srcDf =>
             val need = (spec.group ++ minMax.map(_.col)).distinct
             val scoped = srcDf.select(need.map(col): _*)
@@ -494,7 +566,8 @@ object MaterializedView {
     }
     val state = TableReader.readOption(spark, sourceDir,
         asOfVersion = Some(srcSnap.version), catalog = catalog)
-      .map(df => withKey(spec, signedAgg(spec, df, lit(1L))))
+      .map(df => withKey(spec,
+        signedAgg(spec, enriched(spark, df, spec, catalog), lit(1L))))
     val cm = new graft.txn.CommitManager(mvDir, catalog = catalog)
     state match {
       case Some(st) if !st.isEmpty =>

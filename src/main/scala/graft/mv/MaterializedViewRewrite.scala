@@ -178,6 +178,9 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         return None
       val spec = MaterializedView.decodeSpec(
         mv.properties(MaterializedView.SpecProp))
+      // a STAR view aggregates source ⋈ dim, not the bare source — it
+      // can never answer a plain GROUP BY over the source scan
+      if (spec.dim.nonEmpty) return None
 
       // grouping: exactly the view's group columns (direct
       // substitution), or a STRICT SUBSET of them (rollup

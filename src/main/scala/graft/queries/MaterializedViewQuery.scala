@@ -117,6 +117,70 @@ object MaterializedViewQuery {
       |FROM src GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- star
+
+  private val starTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STAR view (fact ⋈ pinned dim): per-nation qty totals grouped by a
+    * DIMENSION column. After the view pins the dim, the dim gains
+    * duplicate supplier keys with shifted nations — an implementation
+    * that joins the live dim instead of the pin would double-count and
+    * mis-bucket, so the hash-match certifies version pinning, enriched
+    * delete retraction, and inner-join semantics in one result. */
+  private def buildStar(spark: SparkSession, dir: String): String =
+    starTables.computeIfAbsent(dir, _ => {
+      val fact = Files.createTempDirectory("graft-mvstar-fact").toString
+      val dim = Files.createTempDirectory("graft-mvstar-dim").toString
+      val mv = Files.createTempDirectory("graft-mvstar-view").toString
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          round(col("l_quantity") * 100).cast("long").as("qty_cents"))
+        .persist()
+      try {
+        val sup = spark.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey"), col("s_nationkey").cast("long"))
+        TableMetadata.commit(dim, TableSnapshot(1, 1, 0, Nil))
+        TableWrites.appendData(dim, sup)
+        TableMetadata.commit(fact, TableSnapshot(1, 1, 0, Nil))
+        TableWrites.appendData(fact, li.filter(col("l_orderkey") % 2 === 0))
+        MaterializedView.create(spark, mv, fact, Spec(
+          group = Seq("s_nationkey"),
+          aggs = Seq(Agg("sum", "qty_cents", "sum_qty_cents"),
+            Agg("count", "*", "n_rows")),
+          dim = Some(MaterializedView.Dim(dim, Seq("l_suppkey"),
+            Seq("s_suppkey")))))
+        // poison the LIVE dim after the pin: duplicate keys, shifted
+        // nations — any join against the current dim version now
+        // double-counts and mis-buckets
+        TableWrites.appendData(dim, sup
+          .filter(col("s_suppkey") % 3 === 0)
+          .withColumn("s_nationkey", col("s_nationkey") + 100L))
+        TableWrites.appendData(fact, li.filter(col("l_orderkey") % 2 === 1))
+        TableWrites.appendEqualityDeletes(fact,
+          li.filter(col("l_orderkey") % 13 === 0)
+            .select("l_orderkey", "l_linenumber"),
+          Seq("l_orderkey", "l_linenumber"))
+        MaterializedView.refresh(spark, mv)
+      } finally li.unpersist()
+      mv
+    })
+
+  def runStar(spark: SparkSession, dir: String): DataFrame = {
+    val mv = buildStar(spark, dir)
+    MaterializedView.read(spark, mv).orderBy("s_nationkey")
+  }
+
+  val starOracle: String =
+    """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_cents,
+      |  count(*) AS n_rows
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE l_orderkey % 13 <> 0
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   // ---------------------------------------------------------------- rollup
 
   private val rollupCatalogs =

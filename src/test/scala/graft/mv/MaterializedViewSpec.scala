@@ -280,6 +280,99 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(mmState() == Map("a" -> ((1L, 10L, 2L))))
   }
 
+  test("a stored spec written before star views decodes with dim = None") {
+    val legacy = """{"group":["k"],"aggs":[{"fn":"sum","col":"v","alias":"s"}]}"""
+    val s = MaterializedView.decodeSpec(legacy)
+    assert(s.dim.isEmpty && s.group == Seq("k"))
+    // and the round-trip of a dim'd spec survives
+    val d = MaterializedView.Spec(Seq("name"),
+      Seq(MaterializedView.Agg("sum", "v", "s")),
+      dim = Some(MaterializedView.Dim("/d", Seq("fk"), Seq("dk"), 3L)))
+    assert(MaterializedView.decodeSpec(MaterializedView.encodeSpec(d)) == d)
+  }
+
+  test("star views join the pinned dim snapshot: refresh retraction is " +
+    "exact and later dim commits never leak in") {
+    val fact = Files.createTempDirectory("graft-mvstar-f").toString
+    val dim = Files.createTempDirectory("graft-mvstar-d").toString
+    val mv = Files.createTempDirectory("graft-mvstar-v").toString
+    TableMetadata.commit(fact, TableSnapshot(1, 1, 0, Nil))
+    TableMetadata.commit(dim, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dim,
+      Seq((10L, "red"), (20L, "blue")).toDF("dk", "color").coalesce(1))
+    // fk=30 has NO dim row: inner join drops it from the view
+    TableWrites.appendData(fact, Seq(
+      (1L, 10L, 5L), (2L, 10L, 7L), (3L, 20L, 11L), (4L, 30L, 99L))
+      .toDF("id", "fk", "v").coalesce(1))
+    MaterializedView.create(spark, mv, fact, Spec(
+      group = Seq("color"),
+      aggs = Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n")),
+      dim = Some(MaterializedView.Dim(dim, Seq("fk"), Seq("dk")))))
+    def st(): Map[String, (Long, Long)] =
+      MaterializedView.read(spark, mv).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(st() == Map("red" -> ((12L, 2L)), "blue" -> ((11L, 1L))))
+    // the pin persisted in the stored spec
+    val stored = MaterializedView.decodeSpec(
+      FileTableCatalog.loadOrThrow(mv).properties(MaterializedView.SpecProp))
+    assert(stored.dim.exists(_.version == 2L))
+    // dim evolves AFTER the pin: fk=10 recolored, fk=30 born — the
+    // pinned view must see NEITHER, even across refreshes
+    TableWrites.appendEqualityDeletes(dim, Seq(10L).toDF("dk"), Seq("dk"))
+    TableWrites.appendData(dim,
+      Seq((10L, "green"), (30L, "gold")).toDF("dk", "color").coalesce(1))
+    // fact churn: new red row, delete one old red row (retraction must
+    // join the SAME pinned dim row it arrived with), new fk=30 row
+    TableWrites.appendData(fact,
+      Seq((5L, 10L, 2L), (6L, 30L, 1L)).toDF("id", "fk", "v").coalesce(1))
+    TableWrites.appendEqualityDeletes(fact, Seq(1L).toDF("id"), Seq("id"))
+    MaterializedView.refresh(spark, mv)
+    assert(st() == Map("red" -> ((9L, 2L)), "blue" -> ((11L, 1L))))
+  }
+
+  test("star views run min/max retraction through the pinned dim, and " +
+    "bad star specs are refused") {
+    val fact = Files.createTempDirectory("graft-mvstar2-f").toString
+    val dim = Files.createTempDirectory("graft-mvstar2-d").toString
+    val mv = Files.createTempDirectory("graft-mvstar2-v").toString
+    TableMetadata.commit(fact, TableSnapshot(1, 1, 0, Nil))
+    TableMetadata.commit(dim, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dim,
+      Seq((10L, "red"), (20L, "blue")).toDF("dk", "color").coalesce(1))
+    TableWrites.appendData(fact, Seq(
+      (1L, 10L, 5L), (2L, 10L, 7L), (3L, 20L, 11L))
+      .toDF("id", "fk", "v").coalesce(1))
+    MaterializedView.create(spark, mv, fact, Spec(
+      group = Seq("color"),
+      aggs = Seq(Agg("min", "v", "min_v"), Agg("max", "v", "max_v"),
+        Agg("count", "*", "n")),
+      dim = Some(MaterializedView.Dim(dim, Seq("fk"), Seq("dk")))))
+    // delete red's max: the group-scoped recompute must re-join the dim
+    TableWrites.appendEqualityDeletes(fact, Seq(2L).toDF("id"), Seq("id"))
+    MaterializedView.refresh(spark, mv)
+    val got = MaterializedView.read(spark, mv).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map("red" -> ((5L, 5L, 1L)), "blue" -> ((11L, 11L, 1L))))
+    // key arity mismatch and fact/dim column-name overlap are refused
+    intercept[CompactionError.Config] {
+      MaterializedView.create(spark,
+        Files.createTempDirectory("graft-mvstar2-b").toString, fact,
+        Spec(Seq("color"), Seq(Agg("count", "*", "n")),
+          dim = Some(MaterializedView.Dim(dim, Seq("fk", "x"), Seq("dk")))))
+    }
+    val clash = Files.createTempDirectory("graft-mvstar2-c").toString
+    TableMetadata.commit(clash, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(clash,
+      Seq((10L, 1L)).toDF("dk", "v").coalesce(1)) // 'v' clashes with fact
+    intercept[CompactionError.Config] {
+      MaterializedView.create(spark,
+        Files.createTempDirectory("graft-mvstar2-e").toString, fact,
+        Spec(Seq("dk"), Seq(Agg("count", "*", "n")),
+          dim = Some(MaterializedView.Dim(clash, Seq("fk"), Seq("dk")))))
+    }
+  }
+
   test("non-retractable aggregates and bad specs are refused") {
     val src = mkSource()
     def bad(s: Spec): Unit = intercept[CompactionError.Config] {
