@@ -165,6 +165,31 @@ object MaterializedView {
   final case class Spec(group: Seq[String], aggs: Seq[Agg],
       dim: Option[Dim] = None)
 
+  /** The tag name [[create]] stamps on the dimension table to protect
+    * the pinned version from `expire_snapshots` (tag targets always
+    * survive expiry). Deterministic in the view dir so drop can remove
+    * it; two views pinning the same dim get distinct tags. */
+  def dimPinTag(mvDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(mvDir.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    s"graft.ref.mvpin-$h"
+  }
+
+  /** Remove the dim-pin tag for `mvDir` (no-op for dim-less views or an
+    * already-dropped dim table). Drop paths call this so a deleted view
+    * never pins dim history forever. */
+  def releaseDimPin(mvDir: String, spec: Spec,
+      catalog: TableCatalog = FileTableCatalog): Unit =
+    spec.dim.foreach { d =>
+      catalog.load(d.dir).foreach { cur =>
+        new graft.txn.CommitManager(d.dir, catalog = catalog)
+          .updateTableProperties(cur.schemaId) { _ =>
+            (Map.empty[String, String], Set(dimPinTag(mvDir)))
+          }
+      }
+    }
+
   /** `df` joined to the spec's pinned dimension snapshot (identity
     * when the spec has none). Shared by create, refresh deltas, the
     * min/max group recompute and the full-recompute fallback — every
@@ -173,8 +198,19 @@ object MaterializedView {
       catalog: TableCatalog): DataFrame = spec.dim match {
     case None => df
     case Some(d) =>
-      val dimDf = TableReader.readOption(spark, d.dir,
-        asOfVersion = Some(d.version), catalog = catalog).getOrElse(
+      val dimDf = (try TableReader.readOption(spark, d.dir,
+          asOfVersion = Some(d.version), catalog = catalog)
+        catch { case e: CompactionError.Config =>
+          // unlike a lagging source marker (full-recompute fallback),
+          // a lost dim pin is unrecoverable by definition: the exact
+          // snapshot the stored rows joined against is gone
+          throw CompactionError.Config(
+            s"star view's pinned dimension ${d.dir}@v${d.version} is no " +
+              "longer readable. The pin is tag-protected from " +
+              "expire_snapshots; if the tag was removed manually, drop " +
+              "and recreate the view to re-pin against the current " +
+              s"dimension. Cause: ${e.getMessage}")
+        }).getOrElse(
           throw CompactionError.Config(
             s"dimension table ${d.dir}@v${d.version} holds no data rows; " +
               "a star-schema view needs a non-empty pinned dimension"))
@@ -293,6 +329,35 @@ object MaterializedView {
         Some(d.copy(version = catalog.loadOrThrow(d.dir).version)))
       case _ => spec
     }
+    // protect the pin: a tag property on the dim table (tag targets
+    // always survive expire_snapshots). A lost pin is unrecoverable —
+    // unlike a lagging source marker, which has the full-recompute
+    // fallback — so it must never expire under routine maintenance.
+    // drop_materialized_view releases the tag; a failed create does too.
+    pinned.dim.foreach { d =>
+      val dimSnap = catalog.loadOrThrow(d.dir)
+      new graft.txn.CommitManager(d.dir, catalog = catalog)
+        .updateTableProperties(dimSnap.schemaId) { _ =>
+          (Map(dimPinTag(mvDir) -> d.version.toString), Set.empty)
+        }
+    }
+    try createPinned(spark, mvDir, sourceDir, srcSnap, pinned, catalog)
+    catch {
+      case e: Throwable =>
+        try releaseDimPin(mvDir, pinned, catalog)
+        catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  private def createPinned(
+      spark: SparkSession,
+      mvDir: String,
+      sourceDir: String,
+      srcSnap: TableSnapshot,
+      pinned: Spec,
+      catalog: TableCatalog
+  ): TableSnapshot = {
     val full = TableReader.readOption(spark, sourceDir,
       asOfVersion = Some(srcSnap.version), catalog = catalog)
       .map(df => enriched(spark, df, pinned, catalog))

@@ -441,7 +441,10 @@ private[sql] object GraftProcedures {
     * refreshed incrementally via `refresh_materialized_view`, and
     * substituted for matching aggregates by the optimizer when
     * registered in `spark.graft.mv.views`. `aggs` is
-    * `fn:col:alias[,...]` with fn ∈ sum|count (`count:*:n` = count(*)). */
+    * `fn:col:alias[,...]` with fn ∈ sum|count (`count:*:n` = count(*)).
+    * STAR views: `dim_table` + `dim_on` (`factCol=dimCol[,...]`) join
+    * the fact against that dimension — pinned at its current version —
+    * before aggregating, so `group_by`/`aggs` may name dim columns. */
   private final class CreateMaterializedView(resolveDir: String => String,
       catalog: TableCatalog)
       extends GraftProcedure("create_materialized_view") {
@@ -450,7 +453,9 @@ private[sql] object GraftProcedures {
       in("table", StringType),
       in("view", StringType),
       in("group_by", StringType),
-      in("aggs", StringType))
+      in("aggs", StringType),
+      inDefault("dim_table", StringType, "''"),
+      inDefault("dim_on", StringType, "''"))
 
     private val out = StructType(Seq(
       StructField("view", StringType, nullable = false),
@@ -471,11 +476,29 @@ private[sql] object GraftProcedures {
               s"agg '$s' must be fn:col:alias (e.g. sum:v:sum_v, count:*:n)")
           }
         }
+      val dimTable = input.getUTF8String(4).toString.trim
+      val dimOn = input.getUTF8String(5).toString.trim
+      val dim: Option[graft.mv.MaterializedView.Dim] =
+        if (dimTable.isEmpty && dimOn.isEmpty) None
+        else {
+          if (dimTable.isEmpty || dimOn.isEmpty) throw CompactionError.Config(
+            "star views need BOTH dim_table and dim_on (factCol=dimCol,...)")
+          val pairs = dimOn.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+            .map { p =>
+              p.split("=") match {
+                case Array(f, d) => (f.trim, d.trim)
+                case _ => throw CompactionError.Config(
+                  s"dim_on pair '$p' must be factCol=dimCol")
+              }
+            }
+          Some(graft.mv.MaterializedView.Dim(resolveDir(dimTable),
+            pairs.map(_._1), pairs.map(_._2)))
+        }
+      val spec = graft.mv.MaterializedView.Spec(group, aggs, dim)
       // cheap pre-validation BEFORE any commit: an invalid spec or an
       // occupied view path must not burn source versions (each bump
       // staleness-drops every other fresh view on the source)
-      graft.mv.MaterializedView.validateSpec(
-        graft.mv.MaterializedView.Spec(group, aggs))
+      graft.mv.MaterializedView.validateSpec(spec)
       if (catalog.load(viewDir).isDefined) throw CompactionError.Config(
         s"'$viewName' already exists; drop_materialized_view first")
       // register next: the registry stamp is itself a source commit,
@@ -489,8 +512,7 @@ private[sql] object GraftProcedures {
       graft.mv.MaterializedViewRewrite.recordRegistryProbe(srcDir, has = true)
       val snap =
         try graft.mv.MaterializedView.create(
-          SparkSession.active, viewDir, srcDir,
-          graft.mv.MaterializedView.Spec(group, aggs), catalog)
+          SparkSession.active, viewDir, srcDir, spec, catalog)
         catch {
           case e: Throwable =>
             try graft.mv.MaterializedView
@@ -528,6 +550,13 @@ private[sql] object GraftProcedures {
       // already dropped has no registry left to clean.
       if (catalog.load(src).isDefined)
         graft.mv.MaterializedView.unregisterFromSource(src, viewDir, catalog)
+      // release a star view's dim-pin tag so a dropped view never pins
+      // dimension history forever (best-effort: an unparsable spec or a
+      // dim dropped first leaves nothing to release)
+      try graft.mv.MaterializedView.releaseDimPin(viewDir,
+        graft.mv.MaterializedView.decodeSpec(
+          mv.properties(graft.mv.MaterializedView.SpecProp)), catalog)
+      catch { case _: Throwable => () }
       // same per-version cache concern as DROP TABLE (the view IS a
       // table): invalidate before and after the delete
       graft.txn.IcebergTableCatalog.invalidateTable(viewDir)

@@ -93,6 +93,48 @@ class InspectionOpsSpec extends AnyFunSuite {
       Set(("a", 30L), ("b", 12L), ("c", 1L)))
   }
 
+  test("STAR MV procedure: dim_on pins the dim, expiry keeps the pin, " +
+    "drop releases it") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gin.db")
+    sql("CREATE TABLE gin.db.sfact (id BIGINT, fk BIGINT, v BIGINT)")
+    sql("CREATE TABLE gin.db.sdim (dk BIGINT, color STRING)")
+    sql("INSERT INTO gin.db.sdim VALUES (10, 'red'), (20, 'blue')")
+    sql("INSERT INTO gin.db.sfact VALUES (1, 10, 5), (2, 10, 7), (3, 20, 11)")
+    sql("""CALL gin.system.create_materialized_view(
+          |  `table` => 'db.sfact', view => 'db.sfact_by_color',
+          |  group_by => 'color', aggs => 'sum:v:sum_v,count:*:n',
+          |  dim_table => 'db.sdim', dim_on => 'fk=dk')""".stripMargin)
+    def mv = sql(
+      "SELECT color, sum_v, n FROM gin.db.sfact_by_color ORDER BY color")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mv == Seq(("blue", 11L, 1L), ("red", 12L, 2L)))
+
+    val wh = spark.conf.get("spark.sql.catalog.gin.warehouse")
+    val dimDir = s"$wh/db/sdim"
+    val mvDir = s"$wh/db/sfact_by_color"
+    val pinTag = graft.mv.MaterializedView.dimPinTag(mvDir)
+    val pinnedV = graft.txn.TableMetadata.loadOrThrow(dimDir)
+      .properties(pinTag).toLong
+
+    // dim churn THEN expiry: the tag must keep the pinned version alive
+    sql("INSERT INTO gin.db.sdim VALUES (10, 'green')") // would double-count
+    sql("CALL gin.system.expire_snapshots(`table` => 'db.sdim', retain_last => 1)")
+    assert(graft.txn.FileTableCatalog.versions(dimDir).contains(pinnedV),
+      "expire_snapshots must not reap a star view's pinned dim version")
+
+    // refresh across fact churn: still joins the PINNED dim (no
+    // double-count from the duplicate dk=10, no 'green' bucket)
+    sql("INSERT INTO gin.db.sfact VALUES (4, 10, 3)")
+    sql("DELETE FROM gin.db.sfact WHERE id = 1")
+    sql("CALL gin.system.refresh_materialized_view(view => 'db.sfact_by_color')")
+    assert(mv == Seq(("blue", 11L, 1L), ("red", 10L, 2L)))
+
+    // drop releases the tag; the next expiry may reap the pin
+    sql("CALL gin.system.drop_materialized_view(view => 'db.sfact_by_color')")
+    assert(!graft.txn.TableMetadata.loadOrThrow(dimDir).properties
+      .contains(pinTag), "drop_materialized_view must release the dim pin")
+  }
+
   test("MV procedures and the rewrite rule work on the iceberg-format catalog") {
     sql("CREATE NAMESPACE IF NOT EXISTS gini.db")
     sql("CREATE TABLE gini.db.facts (k STRING, v BIGINT)")
