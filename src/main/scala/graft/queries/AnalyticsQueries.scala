@@ -98,6 +98,58 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** TPC-H Q5 shape (local supplier volume): the fact shuffles on the
+    * order key once, the customer dim joins on custkey, and the LOCAL
+    * constraint (customer and supplier in the same nation) rides the
+    * broadcast supplier join as a second equi-key — no extra shuffle.
+    * nation ⋈ region (filtered to one region) broadcasts as one tiny
+    * dim. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(spark, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val s = t(spark, dir, "supplier")
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= to_date(lit("1997-01-01")) &&
+        col("o_orderdate") < to_date(lit("1998-01-01")))
+    val li = t(spark, dir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+  }
+
+  /** TPC-H Q18 shape (large orders): the heavy-order key set comes from
+    * one grouped HAVING aggregate over the fact (map-side partial agg),
+    * then joins orders + customer — the aggregate-driven semi-join
+    * pattern. Top-50 by value via TakeOrderedAndProject. `l_quantity`
+    * is integral in this corpus, so the double sum (and the > 250
+    * boundary) is fp-exact on every engine. */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 250.0)
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(c("c_custkey"), col("c_name"), o("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        cents(col("o_totalprice")).as("price_cents"),
+        col("qty").cast("long").as("sum_qty"))
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+      .limit(50)
+  }
+
   /** Top-3 orders by value per priority: per-group top-k via window
     * rank — shuffles once on the partition key; no global sort. */
   def windowTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -353,6 +405,30 @@ object AnalyticsQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(big.qty AS BIGINT) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
+        |      GROUP BY 1 HAVING sum(l_quantity) > 250) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY price_cents DESC, o_orderkey LIMIT 50""".stripMargin,
     "join_revenue" ->
       """SELECT c_mktsegment,
         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
@@ -379,6 +455,8 @@ object AnalyticsQueries {
     "agg_pricing" -> (aggPricing _),
     "join_revenue" -> (joinRevenue _),
     "shipping_priority" -> (shippingPriority _),
+    "local_supplier_volume" -> (localSupplierVolume _),
+    "large_orders" -> (largeOrders _),
     "returned_items" -> (returnedItems _),
     "window_topk" -> (windowTopK _),
     "window_topk_salted" -> (windowTopKSalted _),
