@@ -223,6 +223,71 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos_x1e6")
   }
 
+  /** PERSISTED IVF index, build side: train integer-exact centroids
+    * over the corpus and assign each vector its nearest — the
+    * materialization step for ANN over a corpus too big to re-cluster
+    * per query batch. The caller writes `assignments` to a table
+    * PARTITIONED BY identity(cid) (per-centroid files) and stores the
+    * returned centroid list as index metadata (it IS the index
+    * directory: numCentroids × dims longs). Search then never retrains
+    * — see [[ivfSearchIndexed]].
+    *
+    * @return (centroids collected as (cid, quantized components) —
+    *         deliberately driver-side, it is bounded metadata, not
+    *         data; assignments (corpus columns + `cid`), lazy)
+    */
+  def ivfIndex(
+      corpus: DataFrame, // (vec_id, v)
+      numCentroids: Int = 16,
+      lloydIters: Int = 2
+  ): (Seq[(Long, Seq[Long])], DataFrame) = {
+    import IntKMeans.{assign, quant}
+    val corpusQ = corpus.withColumn("px", quant(col("v")))
+    val centroids = IntKMeans.train(corpusQ.select("vec_id", "px"),
+      "vec_id", "px", numCentroids, lloydIters)
+    val collected = centroids.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq.sortBy(_._1)
+    (collected, assign(corpusQ, "px", "vec_id", centroids, keep = 1)
+      .drop("px"))
+  }
+
+  /** PERSISTED IVF index, search side: per query, probe the `nProbe`
+    * nearest stored centroids, then score ONLY those centroids' index
+    * rows. `readIndex` is handed the distinct probed cid set so the
+    * caller can push it into the table scan as a filter — on a table
+    * partitioned by cid, planning prunes every unprobed partition's
+    * files with ZERO IO, which is the whole point of persisting the
+    * index: search cost ∝ probed buckets, not corpus size. The probed
+    * cid set is collected driver-side — bounded by numCentroids (index
+    * metadata scale), never by data.
+    */
+  def ivfSearchIndexed(
+      queries: DataFrame, // (query_id, qv)
+      centroids: Seq[(Long, Seq[Long])],
+      readIndex: Seq[Long] => DataFrame, // probed cids -> (vec_id, v, cid)
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import IntKMeans.{assign, quant}
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cid", "cq")
+    val probes = assign(queries.withColumn("px", quant(col("qv"))),
+      "px", "query_id", centDf, keep = nProbe).drop("px")
+    val cids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val scored = readIndex(cids).join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_x1e6",
+        round(cosine(col("qv"), col("v")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos_x1e6")
+  }
+
   /** Product-quantization ANN (Jégou/Douze/Schmid, "Product Quantization
     * for Nearest Neighbor Search", IEEE TPAMI 2011): split each vector
     * into `numSubs` subvectors, train a `codebookSize`-entry codebook per

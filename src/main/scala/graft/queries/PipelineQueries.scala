@@ -205,6 +205,78 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // ---- persisted ANN index ----
+
+  private val annIndexTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val annIdxCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val CentroidsProp = "graft.ann.centroids"
+
+  private def encodeCentroids(cs: Seq[(Long, Seq[Long])]): String =
+    cs.map { case (cid, cq) => s"$cid:${cq.mkString(",")}" }.mkString(";")
+  private def decodeCentroids(s: String): Seq[(Long, Seq[Long])] =
+    s.split(";").toSeq.map { part =>
+      val Array(cid, cq) = part.split(":", 2)
+      cid.toLong -> cq.split(",").toSeq.map(_.toLong)
+    }
+
+  /** On-disk IVF index ([[Similarity.ivfIndex]]): assignments land in a
+    * catalog table PARTITIONED BY identity(cid) — one partition per
+    * centroid — and the trained centroids persist as a table property
+    * (they ARE the index metadata). Search never retrains. */
+  private def buildAnnIndex(spark: SparkSession, dir: String): String =
+    annIndexTables.computeIfAbsent(dir, _ => {
+      val name = s"gannx${annIdxCounter.incrementAndGet()}"
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-annidx-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.ivfidx " +
+        "(vec_id BIGINT, v ARRAY<FLOAT>, cid BIGINT) PARTITIONED BY (cid)")
+      val (cents, assignments) = Similarity.ivfIndex(
+        embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").as("v")),
+        numCentroids = 16, lloydIters = 2)
+      assignments.select("vec_id", "v", "cid")
+        .createOrReplaceTempView(s"annidx_src_$name")
+      spark.sql(
+        s"INSERT INTO $name.db.ivfidx SELECT * FROM annidx_src_$name")
+      spark.sql(s"ALTER TABLE $name.db.ivfidx SET TBLPROPERTIES " +
+        s"('$CentroidsProp' = '${encodeCentroids(cents)}')")
+      s"$wh/db/ivfidx"
+    })
+
+  /** ANN over the PERSISTED index: centroids come from the table
+    * property, candidates from ONLY the probed partitions. Output must
+    * equal the recompute path (`ann_ivf_trained`) and the DuckDB
+    * first-principles replay — same oracle. Self-asserting: the query
+    * FAILS unless the probed scan actually pruned files (per-centroid
+    * partitioning is the point of persisting the index). */
+  def annIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = buildAnnIndex(spark, dir)
+    val cents = decodeCentroids(graft.txn.TableMetadata.loadOrThrow(idxDir)
+      .properties(CentroidsProp))
+    val q = embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val totalFiles = graft.sources.TableReader.read(spark, idxDir)
+      .inputFiles.length
+    Similarity.ivfSearchIndexed(q, cents,
+        readIndex = cids => {
+          val idx = graft.sources.TableReader.read(spark, idxDir,
+            filter = Some(col("cid").isin(cids: _*)))
+          val read = idx.inputFiles.length
+          require(read > 0 && read < totalFiles,
+            s"ann_indexed: probing ${cids.size} centroids must prune the " +
+              s"scan ($read of $totalFiles files planned)")
+          idx
+        },
+        k = 10, nProbe = 4)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   /** Product-quantization ANN ([[Similarity.pqTopK]]): 4 subspaces x
     * 16 codewords over the 64-dim embeddings, 2 Lloyd rounds, ADC
     * ranking — the integer-exact training replays bit-for-bit in the
@@ -567,6 +639,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" -> ivfTrainedOracle,
+    "ann_indexed" -> ivfTrainedOracle,
     "ann_pq" -> pqOracle,
     "dedup_semantic" -> semanticDedupOracle,
     "sequence_pack" ->
@@ -938,6 +1011,7 @@ object PipelineQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_trained" -> (annIvfTrained _),
+    "ann_indexed" -> (annIndexed _),
     "ann_pq" -> (annPq _),
     "kmv_distinct" -> (kmvDistinct _),
     "deterministic_sample" -> (deterministicSample _),
