@@ -94,8 +94,11 @@ object ChangelogQuery {
     * and the multiset identity net(changelog) = endpoint-state diff. */
   def runNet(spark: SparkSession, dir: String): DataFrame = {
     val tableDir = buildTable(spark, dir)
+    // identifier columns = the verified-unique row key + the projected
+    // outputs: the netting shuffle carries 8 columns, not all 16
+    val idCols = (rowKey ++ outCols).distinct
     def net(from: Long, tag: String): DataFrame =
-      TableReader.netChangelog(spark, tableDir, from, 6)
+      TableReader.netChangelog(spark, tableDir, from, 6, columns = idCols)
         .withColumn("interval", lit(tag))
     val cols = ("interval" +: outCols) ++ Seq("change_type", "change_count")
     net(1, "full").unionByName(net(2, "tail"))

@@ -534,10 +534,21 @@ object TableReader {
       tableDir: String,
       fromVersion: Long,
       toVersion: Long,
-      catalog: TableCatalog = FileTableCatalog
+      catalog: TableCatalog = FileTableCatalog,
+      /** Net over this column subset instead of the full row (the
+        * Iceberg changelog-view "identifier columns" shape): the
+        * changelog projects to these BEFORE the netting shuffle, so the
+        * exchange carries only what the consumer keys on. Netting a
+        * projection is only row-equivalent to projecting the net when
+        * the subset distinguishes rows the way the consumer means it to
+        * — exactly the identifier-column contract. Empty = full row. */
+      columns: Seq[String] = Nil
   ): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ch = changelog(spark, tableDir, fromVersion, toVersion, catalog)
+    val ch0 = changelog(spark, tableDir, fromVersion, toVersion, catalog)
+    val ch =
+      if (columns.isEmpty) ch0
+      else ch0.select((columns :+ "_change_type").map(col): _*)
     val dataCols = ch.columns.toSeq
       .filterNot(c => c == "_change_type" || c == "_commit_version")
     // GROUP BY the full row value (SQL groups NULLs together — exactly

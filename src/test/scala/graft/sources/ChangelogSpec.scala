@@ -84,6 +84,25 @@ class ChangelogSpec extends AnyFunSuite {
     val tail = TableReader.netChangelog(spark, dir, 2, 3).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(tail == Set((1L, "delete", 1L), (4L, "delete", 2L)))
+
+    // identifier-column netting: an UPDATE (delete + re-insert of the
+    // same key with a new payload) nets to NOTHING on the key subset,
+    // while the full-row net shows both sides
+    val dir2 = Files.createTempDirectory("graft-chlog-netid").toString
+    TableMetadata.commit(dir2, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir2, Seq((1L, "a"), (2L, "x"))
+      .toDF("id", "v").coalesce(1))
+    TableWrites.appendEqualityDeletes(dir2, Seq(1L).toDF("id"), Seq("id"))
+    TableWrites.appendData(dir2, Seq((1L, "b")).toDF("id", "v").coalesce(1))
+    val fullRow = TableReader.netChangelog(spark, dir2, 2, 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(fullRow == Set(
+      (1L, "a", "delete", 1L), (1L, "b", "insert", 1L)))
+    val byKey = TableReader.netChangelog(spark, dir2, 2, 4,
+      columns = Seq("id")).collect()
+    assert(byKey.isEmpty,
+      "an update must net to nothing over its identifier column")
   }
 
   test("a 200-commit append history plans SUBLINEARLY many nodes " +
