@@ -56,6 +56,7 @@ object SparkEntry {
       ("mv_stream" -> (graft.queries.MaterializedViewQuery.runStream _)) +
       ("mv_minmax" -> (graft.queries.MaterializedViewQuery.runMinMax _)) +
       ("mv_join" -> (graft.queries.MaterializedViewQuery.runStar _)) +
+      ("mv_join_rewrite" -> (graft.queries.MaterializedViewQuery.runStarRewrite _)) +
       ("sql_bloom" -> (graft.queries.SqlCatalogQuery.runBloom _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
@@ -111,6 +112,7 @@ object SparkEntry {
       ("mv_stream" -> graft.queries.MaterializedViewQuery.streamOracle) +
       ("mv_minmax" -> graft.queries.MaterializedViewQuery.minMaxOracle) +
       ("mv_join" -> graft.queries.MaterializedViewQuery.starOracle) +
+      ("mv_join_rewrite" -> graft.queries.MaterializedViewQuery.starRewriteOracle) +
       ("sql_bloom" -> graft.queries.SqlCatalogQuery.bloomOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +

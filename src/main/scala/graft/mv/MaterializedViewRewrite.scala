@@ -4,7 +4,8 @@ import graft.sources.TableReader
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
@@ -102,6 +103,55 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           usable(rel).map(_ -> Some(cond))
         case _ => None
       }
+    // STAR shape: Aggregate over an INNER equi-join of two bare catalog
+    // scans (an attrs-only Project above the join is fine). Returns both
+    // orientations — (fact, dim) is decided by which side has a
+    // registered star view, tried in order.
+    def starShapes(child: LogicalPlan): Seq[(graft.streaming.GraftTable,
+        graft.streaming.GraftTable, Seq[(String, String)])] = {
+      val core = child match {
+        case Project(p, j: Join) if attrsOnly(p) => j
+        case j: Join => j
+        case _ => return Nil
+      }
+      core match {
+        case Join(l, r, Inner, Some(cond), _) =>
+          val shape = for {
+            (lt, lf) <- scanOf(l); (rt, rf) <- scanOf(r)
+            if lf.isEmpty && rf.isEmpty // conservative: no filters in V1
+          } yield {
+            // the condition must be a pure conjunction of cross-side
+            // attribute equalities
+            def conjuncts(e: Expression): Seq[Expression] = e match {
+              case And(a, b) => conjuncts(a) ++ conjuncts(b)
+              case other => Seq(other)
+            }
+            val lOut = l.outputSet
+            val rOut = r.outputSet
+            val pairs = conjuncts(cond).map {
+              case EqualTo(a: AttributeReference, b: AttributeReference)
+                  if lOut.contains(a) && rOut.contains(b) =>
+                (a.name, b.name) // (left col, right col)
+              case EqualTo(a: AttributeReference, b: AttributeReference)
+                  if rOut.contains(a) && lOut.contains(b) =>
+                (b.name, a.name)
+              case _ => return Nil
+            }
+            Seq((lt, rt, pairs), // fact = left
+              (rt, lt, pairs.map(_.swap))) // fact = right
+          }
+          shape.getOrElse(Nil)
+        case _ => Nil
+      }
+    }
+    def candidates(tbl: graft.streaming.GraftTable,
+        srcSnap: graft.txn.TableSnapshot): Seq[String] = {
+      val registered = srcSnap.properties
+        .get(MaterializedView.RegisteredProp)
+        .toSeq.flatMap(MaterializedView.parseList)
+      MaterializedViewRewrite.recordRegistryProbe(tbl.dir, registered.nonEmpty)
+      (sessionViews ++ registered).distinct
+    }
     plan.transformUp {
       // the ProbedTag records WHEN an Aggregate was last evaluated (and
       // MISSED): the optimizer's fixed-point batch re-runs the rule
@@ -132,18 +182,42 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             // candidate views: the session conf PLUS the source
             // table's own registry property (stamped by
             // create_materialized_view — zero session setup)
-            val registered = srcSnap.properties
-              .get(MaterializedView.RegisteredProp)
-              .toSeq.flatMap(MaterializedView.parseList)
-            MaterializedViewRewrite.recordRegistryProbe(
-              tbl.dir, registered.nonEmpty)
-            val views = (sessionViews ++ registered).distinct
-            views.iterator
+            candidates(tbl, srcSnap).iterator
               .flatMap(mv =>
                 tryRewrite(mv, tbl.dir, tbl.tableCatalog, srcSnap, ges, aes,
-                  srcFilter, loadMemo))
+                  srcFilter, loadMemo, dimShape = None))
               .nextOption()
           }
+        } catch { case NonFatal(_) => None }) match {
+          case Some(rewritten) => rewritten
+          case None =>
+            agg.setTagValue(MaterializedViewRewrite.ProbedTag,
+              System.nanoTime())
+            agg
+        }
+      // STAR substitution: GROUP BY over fact ⋈ dim answered by a star
+      // view whose spec joins the SAME dim on the SAME keys — valid
+      // only while the live dim's FILE SET equals the pinned version's
+      // (property-only commits, like the pin tag itself, don't change
+      // data; any data commit makes the pin stale and the rewrite falls
+      // back to the real join, never to pinned-but-drifted answers).
+      case agg @ Aggregate(ges, aes, child, _)
+          if starShapes(child).nonEmpty &&
+            agg.getTagValue(MaterializedViewRewrite.ProbedTag).forall(t =>
+              System.nanoTime() - t >= MaterializedViewRewrite.ProbeSkipNanos) =>
+        (try {
+          starShapes(child).iterator.flatMap { case (fact, dim, pairs) =>
+            if (sessionViews.isEmpty &&
+                MaterializedViewRewrite.knownRegistryless(fact.dir)) None
+            else loadMemo(fact.tableCatalog, fact.dir).flatMap { srcSnap =>
+              candidates(fact, srcSnap).iterator
+                .flatMap(mv =>
+                  tryRewrite(mv, fact.dir, fact.tableCatalog, srcSnap, ges,
+                    aes, None, loadMemo,
+                    dimShape = Some((dim.dir, pairs))))
+                .nextOption()
+            }
+          }.nextOption()
         } catch { case NonFatal(_) => None }) match {
           case Some(rewritten) => rewritten
           case None =>
@@ -168,7 +242,11 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       ges: Seq[Expression],
       aes: Seq[NamedExpression],
       srcFilter: Option[Expression],
-      loadMemo: (graft.txn.TableCatalog, String) => Option[graft.txn.TableSnapshot]
+      loadMemo: (graft.txn.TableCatalog, String) => Option[graft.txn.TableSnapshot],
+      /** The query's join shape when the aggregate sits on fact ⋈ dim:
+        * (dim table dir, (factCol, dimCol) equi-pairs). None for a bare
+        * source aggregate. */
+      dimShape: Option[(String, Seq[(String, String)])]
   ): Option[LogicalPlan] =
     try {
       // the SOURCE table's catalog also resolves the view: the MV
@@ -178,9 +256,29 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         return None
       val spec = MaterializedView.decodeSpec(
         mv.properties(MaterializedView.SpecProp))
-      // a STAR view aggregates source ⋈ dim, not the bare source — it
-      // can never answer a plain GROUP BY over the source scan
-      if (spec.dim.nonEmpty) return None
+      // shape gate: a STAR view answers exactly the join it maintains —
+      // same dim table, same equi-key pairs (order-insensitive) — and a
+      // dim-less view only answers the bare source aggregate.
+      (spec.dim, dimShape) match {
+        case (None, None) => ()
+        case (Some(d), Some((qDimDir, qPairs))) =>
+          def norm(p: String) =
+            java.nio.file.Paths.get(p).normalize().toString
+          if (norm(d.dir) != norm(qDimDir)) return None
+          if (d.factKeys.zip(d.dimKeys).toSet != qPairs.toSet) return None
+          // the stored state reflects the dim AT ITS PIN: substitution
+          // is sound only while the live dim's data/delete FILE SET
+          // equals the pinned version's (property-only commits — the
+          // pin tag, comments — keep it valid; any data commit breaks
+          // it and the rewrite must fall back to the real join)
+          val dimCur = loadMemo(catalog, qDimDir).getOrElse(return None)
+          val dimPin = catalog.loadVersion(qDimDir, d.version)
+            .getOrElse(return None)
+          def fileSet(s: graft.txn.TableSnapshot) =
+            s.files.map(f => (f.path, f.content)).toSet
+          if (fileSet(dimCur) != fileSet(dimPin)) return None
+        case _ => return None
+      }
 
       // grouping: exactly the view's group columns (direct
       // substitution), or a STRICT SUBSET of them (rollup

@@ -181,6 +181,73 @@ object MaterializedViewQuery {
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
 
+  // ------------------------------------------------------------ star rewrite
+
+  private val starRewriteCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val starCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Star view + OPTIMIZER substitution: the query is the raw
+    * `fact ⋈ dim GROUP BY dimCol` join-aggregate; the rule must answer
+    * it from the stored per-nation state (same dim table, same keys,
+    * un-drifted pin). Self-asserting like `mv_rollup`: FAILS if any
+    * source relation survives in the optimized plan. */
+  private def buildStarRewrite(spark: SparkSession, dir: String): String =
+    starRewriteCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"gmvsj${starCounter.incrementAndGet()}"
+      val wh = Files.createTempDirectory(s"graft-mvsj-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .selectExpr("l_suppkey",
+          "CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents")
+        .createOrReplaceTempView(s"li_$name")
+      spark.read.parquet(s"$dir/supplier.parquet")
+        .selectExpr("s_suppkey", "CAST(s_nationkey AS BIGINT) AS s_nationkey")
+        .createOrReplaceTempView(s"sup_$name")
+      spark.sql(s"CREATE TABLE $name.db.sjfact " +
+        "(l_suppkey BIGINT, qty_cents BIGINT)")
+      spark.sql(s"CREATE TABLE $name.db.sjdim " +
+        "(s_suppkey BIGINT, s_nationkey BIGINT)")
+      spark.sql(s"INSERT INTO $name.db.sjdim SELECT * FROM sup_$name")
+      spark.sql(s"INSERT INTO $name.db.sjfact SELECT * FROM li_$name")
+      spark.sql(s"""CALL $name.system.create_materialized_view(
+        |  `table` => 'db.sjfact', view => 'db.sjfact_by_nation',
+        |  group_by => 's_nationkey',
+        |  aggs => 'sum:qty_cents:sum_qty_cents,count:*:n_rows',
+        |  dim_table => 'db.sjdim', dim_on => 'l_suppkey=s_suppkey')"""
+        .stripMargin)
+      name
+    })
+
+  def runStarRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val cat = buildStarRewrite(spark, dir)
+    val q = spark.sql(
+      s"""SELECT s_nationkey,
+         |  sum(qty_cents) AS sum_qty_cents, count(*) AS n_rows
+         |FROM $cat.db.sjfact f JOIN $cat.db.sjdim d
+         |  ON f.l_suppkey = d.s_suppkey
+         |GROUP BY s_nationkey""".stripMargin)
+    val v2 = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+    }
+    require(v2.isEmpty,
+      "mv_join_rewrite: the star substitution did not replace the join")
+    q.orderBy("s_nationkey")
+  }
+
+  val starRewriteOracle: String =
+    """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_cents,
+      |  count(*) AS n_rows
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   // ---------------------------------------------------------------- rollup
 
   private val rollupCatalogs =

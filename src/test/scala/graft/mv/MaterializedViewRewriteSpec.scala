@@ -65,6 +65,61 @@ class MaterializedViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a STAR view substitutes the fact ⋈ dim aggregate; a dim data " +
+    "commit breaks the pin and falls back; wrong keys never match") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
+    sql("CREATE TABLE gmvr.db.sfact (id BIGINT, fk BIGINT, v BIGINT)")
+    sql("CREATE TABLE gmvr.db.sdim (dk BIGINT, color STRING, alt BIGINT)")
+    sql("INSERT INTO gmvr.db.sdim VALUES (10, 'red', 1), (20, 'blue', 2)")
+    sql("INSERT INTO gmvr.db.sfact VALUES (1, 10, 5), (2, 10, 7), (3, 20, 11)")
+    val factDir = s"$wh/db/sfact"
+    val dimDir = s"$wh/db/sdim"
+    val mvDir = Files.createTempDirectory("graft-mvrw-star").toString
+    MaterializedView.create(spark, mvDir, factDir, Spec(
+      group = Seq("color"),
+      aggs = Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n")),
+      dim = Some(MaterializedView.Dim(dimDir, Seq("fk"), Seq("dk")))))
+
+    def q = sql("""SELECT color, sum(v) AS s, count(*) AS c
+                  |FROM gmvr.db.sfact f JOIN gmvr.db.sdim d ON f.fk = d.dk
+                  |GROUP BY color""".stripMargin)
+    // reversed join order must match too (orientation is tried both ways)
+    def qRev = sql("""SELECT color, sum(v) AS s, count(*) AS c
+                     |FROM gmvr.db.sdim d JOIN gmvr.db.sfact f ON d.dk = f.fk
+                     |GROUP BY color""".stripMargin)
+    val want = Map("red" -> (12L, 2L), "blue" -> (11L, 1L))
+    withViews(mvDir) {
+      assert(aggregates(q) == 0, "star view must substitute the join+agg")
+      assert(results(q) == want)
+      assert(aggregates(qRev) == 0, "reversed join order must substitute")
+      assert(results(qRev) == want)
+      // join on the WRONG key column: no substitution
+      val qWrong = sql("""SELECT color, sum(v) AS s, count(*) AS c
+                        |FROM gmvr.db.sfact f JOIN gmvr.db.sdim d ON f.fk = d.alt
+                        |GROUP BY color""".stripMargin)
+      assert(aggregates(qWrong) == 1, "wrong join keys must not match")
+      // a dim-less aggregate over the bare fact: the star view must NOT
+      // answer it
+      assert(aggregates(sql(
+        "SELECT fk, sum(v) AS s, count(*) AS c FROM gmvr.db.sfact GROUP BY fk"))
+        == 1, "a star view must not answer a bare source aggregate")
+      // fact churn + refresh: still substitutes
+      sql("INSERT INTO gmvr.db.sfact VALUES (4, 20, 3)")
+      MaterializedView.refresh(spark, mvDir)
+      val want2 = Map("red" -> (12L, 2L), "blue" -> (14L, 2L))
+      assert(aggregates(q) == 0 && results(q) == want2)
+      // a DIM data commit drifts the live dim past the pin: the rewrite
+      // must fall back to the real join (which sees the new dim row)
+      sql("INSERT INTO gmvr.db.sdim VALUES (10, 'green', 3)")
+      assert(aggregates(q) == 1,
+        "a drifted dim must break the star substitution")
+      // the real join now double-counts fk=10 through both dim rows —
+      // assert on the LIVE truth to prove fallback correctness
+      val live = results(q)
+      assert(live("green") == (12L, 2L) && live("blue") == (14L, 2L))
+    }
+  }
+
   test("shape mismatches never substitute") {
     sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
     sql("CREATE TABLE gmvr.db.src2 (k STRING, v BIGINT, w BIGINT)")
