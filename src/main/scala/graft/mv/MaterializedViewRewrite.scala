@@ -104,21 +104,27 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     // STAR shape: Aggregate over an INNER equi-join of two bare catalog
-    // scans (an attrs-only Project above the join is fine). Returns both
-    // orientations — (fact, dim) is decided by which side has a
-    // registered star view, tried in order.
+    // scans (an attrs-only Project above the join is fine; a plain
+    // deterministic Filter above the join compensates on the view
+    // exactly like the bare-scan path — checked later against the
+    // spec's group columns). Returns both orientations — (fact, dim)
+    // is decided by which side has a registered star view, tried in
+    // order.
     def starShapes(child: LogicalPlan): Seq[(graft.streaming.GraftTable,
-        graft.streaming.GraftTable, Seq[(String, String)])] = {
-      val core = child match {
-        case Project(p, j: Join) if attrsOnly(p) => j
-        case j: Join => j
+        graft.streaming.GraftTable, Seq[(String, String)],
+        Option[Expression])] = {
+      val (core, topFilter) = child match {
+        case Project(p, j: Join) if attrsOnly(p) => (j, None)
+        case Filter(c, j: Join) if plainFilter(c) => (j, Some(c))
+        case Project(p, Filter(c, j: Join))
+            if attrsOnly(p) && plainFilter(c) => (j, Some(c))
+        case j: Join => (j, None)
         case _ => return Nil
       }
       core match {
         case Join(l, r, Inner, Some(cond), _) =>
           val shape = for {
             (lt, lf) <- scanOf(l); (rt, rf) <- scanOf(r)
-            if lf.isEmpty && rf.isEmpty // conservative: no filters in V1
           } yield {
             // the condition must be a pure conjunction of cross-side
             // attribute equalities
@@ -137,8 +143,14 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                 (b.name, a.name)
               case _ => return Nil
             }
-            Seq((lt, rt, pairs), // fact = left
-              (rt, lt, pairs.map(_.swap))) // fact = right
+            // the optimizer may have PUSHED the user's WHERE below the
+            // join by the time this rule sees it — a side filter is the
+            // same compensable condition (it references one side's
+            // columns; the group-columns-only gate decides later)
+            val combined = (topFilter.toSeq ++ lf.toSeq ++ rf.toSeq)
+              .reduceOption(And)
+            Seq((lt, rt, pairs, combined), // fact = left
+              (rt, lt, pairs.map(_.swap), combined)) // fact = right
           }
           shape.getOrElse(Nil)
         case _ => Nil
@@ -206,17 +218,18 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             agg.getTagValue(MaterializedViewRewrite.ProbedTag).forall(t =>
               System.nanoTime() - t >= MaterializedViewRewrite.ProbeSkipNanos) =>
         (try {
-          starShapes(child).iterator.flatMap { case (fact, dim, pairs) =>
-            if (sessionViews.isEmpty &&
-                MaterializedViewRewrite.knownRegistryless(fact.dir)) None
-            else loadMemo(fact.tableCatalog, fact.dir).flatMap { srcSnap =>
-              candidates(fact, srcSnap).iterator
-                .flatMap(mv =>
-                  tryRewrite(mv, fact.dir, fact.tableCatalog, srcSnap, ges,
-                    aes, None, loadMemo,
-                    dimShape = Some((dim.dir, pairs))))
-                .nextOption()
-            }
+          starShapes(child).iterator.flatMap {
+            case (fact, dim, pairs, topFilter) =>
+              if (sessionViews.isEmpty &&
+                  MaterializedViewRewrite.knownRegistryless(fact.dir)) None
+              else loadMemo(fact.tableCatalog, fact.dir).flatMap { srcSnap =>
+                candidates(fact, srcSnap).iterator
+                  .flatMap(mv =>
+                    tryRewrite(mv, fact.dir, fact.tableCatalog, srcSnap, ges,
+                      aes, topFilter, loadMemo,
+                      dimShape = Some((dim.dir, pairs))))
+                  .nextOption()
+              }
           }.nextOption()
         } catch { case NonFatal(_) => None }) match {
           case Some(rewritten) => rewritten

@@ -103,6 +103,31 @@ class MaterializedViewRewriteSpec extends AnyFunSuite {
       assert(aggregates(sql(
         "SELECT fk, sum(v) AS s, count(*) AS c FROM gmvr.db.sfact GROUP BY fk"))
         == 1, "a star view must not answer a bare source aggregate")
+      // STAR ROLLUP: a coarser grouping (here GROUP BY ()) re-aggregates
+      // the stored per-color state — no source relation may survive
+      def v2Count(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+        }.size
+      val qTot = sql("""SELECT sum(v) AS s, count(*) AS c
+                      |FROM gmvr.db.sfact f JOIN gmvr.db.sdim d ON f.fk = d.dk
+                      |""".stripMargin)
+      assert(v2Count(qTot) == 0, "star rollup must substitute")
+      assert(qTot.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == Seq((23L, 3L)))
+      // STAR FILTER COMPENSATION: a WHERE on a view group column filters
+      // the stored state; a WHERE on a fact column falls back
+      val qF = sql("""SELECT color, sum(v) AS s, count(*) AS c
+                    |FROM gmvr.db.sfact f JOIN gmvr.db.sdim d ON f.fk = d.dk
+                    |WHERE color = 'red' GROUP BY color""".stripMargin)
+      assert(v2Count(qF) == 0, "group-column filter must compensate")
+      assert(results(qF) == Map("red" -> (12L, 2L)))
+      val qBad = sql("""SELECT color, sum(v) AS s, count(*) AS c
+                      |FROM gmvr.db.sfact f JOIN gmvr.db.sdim d ON f.fk = d.dk
+                      |WHERE v > 5 GROUP BY color""".stripMargin)
+      assert(v2Count(qBad) > 0, "non-group filter must fall back")
+      assert(results(qBad) == Map("red" -> (7L, 1L), "blue" -> (11L, 1L)))
       // fact churn + refresh: still substitutes
       sql("INSERT INTO gmvr.db.sfact VALUES (4, 20, 3)")
       MaterializedView.refresh(spark, mvDir)
