@@ -364,19 +364,46 @@ object MaterializedView {
     // type guard against the resolvable (fact ⋈ dim) schema: the view's
     // sums are exact long arithmetic — a double/decimal column would be
     // silently truncated by the long cast, so refuse it up front
-    // (pre-scale to integer cents instead). The declared-schema fallback
-    // only applies to dim-less views: a star view's spec may name dim
-    // columns the bare source schema cannot resolve.
+    // (pre-scale to integer cents instead). When the fact is still
+    // EMPTY, fall back to its declared schema — for a star view UNIONED
+    // with the pinned dim's schema (read or declared), so an empty fact
+    // never skips the guard (an unvalidated create would let the first
+    // refresh silently truncate).
+    def declared(snap: TableSnapshot): Option[Map[String,
+        org.apache.spark.sql.types.DataType]] =
+      snap.currentSchema.map(_.fields.map(f =>
+        f.name -> org.apache.spark.sql.types.DataType.fromDDL(f.dataType))
+        .toMap)
     val schemaTypes: Map[String, org.apache.spark.sql.types.DataType] =
       full.map(_.schema.fields.map(f => f.name -> f.dataType).toMap)
-        .orElse(if (pinned.dim.nonEmpty) None
-          else srcSnap.currentSchema.map(_.fields.map(f =>
-            f.name -> org.apache.spark.sql.types.DataType.fromDDL(f.dataType))
-            .toMap))
+        .orElse {
+          val factTypes = declared(srcSnap)
+          pinned.dim match {
+            case None => factTypes
+            case Some(d) =>
+              val dimTypes = TableReader.readOption(spark, d.dir,
+                  asOfVersion = Some(d.version), catalog = catalog)
+                .map(_.schema.fields.map(f => f.name -> f.dataType).toMap)
+                .orElse(catalog.loadVersion(d.dir, d.version)
+                  .flatMap(declared))
+              (factTypes, dimTypes) match {
+                case (Some(f0), Some(d0)) =>
+                  val overlap = f0.keySet.intersect(d0.keySet)
+                  if (overlap.nonEmpty) throw CompactionError.Config(
+                    s"fact and dimension share column names (${overlap
+                      .toSeq.sorted.mkString(", ")}); rename one side " +
+                      "before creating the view")
+                  Some(f0 ++ d0)
+                case _ => None // schema-less fact: validated on first data
+              }
+          }
+        }
         .getOrElse(Map.empty)
     // resolve spec names CASE-INSENSITIVELY against the schema (the
     // Spark default) and persist the schema's own casing, so the stored
-    // spec always matches the physical columns exactly
+    // spec always matches the physical columns exactly. Dim join keys
+    // resolve the same way — the optimizer's star matching compares
+    // them against plan attribute names, which carry schema casing.
     val norm: Spec =
       if (schemaTypes.isEmpty) pinned
       else {
@@ -390,7 +417,10 @@ object MaterializedView {
         val n = pinned.copy(
           group = pinned.group.map(resolve),
           aggs = pinned.aggs.map(a =>
-            if (a.col == "*") a else a.copy(col = resolve(a.col))))
+            if (a.col == "*") a else a.copy(col = resolve(a.col))),
+          dim = pinned.dim.map(d => d.copy(
+            factKeys = d.factKeys.map(resolve),
+            dimKeys = d.dimKeys.map(resolve))))
         // alias/group collisions can APPEAR under case resolution
         // (alias 'k' vs group 'K' -> 'k') — re-validate the resolved spec
         validateSpec(n)
@@ -459,16 +489,14 @@ object MaterializedView {
       return fullRecompute(spark, mvDir, mv, spec, sourceDir, lastV, catalog)
 
     // exact multiset changes since the last refresh, full rows per
-    // change (the BATCH changelog — key-deletes are already resolved),
-    // enriched through the pinned dimension snapshot when the view is a
-    // star view (deletes join to the SAME dim rows their inserts did,
-    // so retraction stays exact)
-    val delta = try {
-      enriched(spark,
-          TableReader.changelog(spark, sourceDir, lastV, srcV, catalog),
-          spec, catalog)
-        .withColumn("__w",
-          when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+    // change (the BATCH changelog — key-deletes are already resolved).
+    // ONLY the changelog call lives inside the try: its Config error
+    // means "expired source marker" and the full-recompute fallback is
+    // the cure. A dim-pin failure from enriched() (below, outside) is a
+    // DIFFERENT, deliberately-loud error the fallback cannot cure — it
+    // must surface directly, not after a wasted recompute attempt.
+    val rawDelta = try {
+      TableReader.changelog(spark, sourceDir, lastV, srcV, catalog)
     } catch {
       case _: CompactionError.EmptyInterval =>
         // a still-empty source advanced by schema/property commits:
@@ -489,6 +517,12 @@ object MaterializedView {
         // a full recompute of the current source state
         return fullRecompute(spark, mvDir, mv, spec, sourceDir, lastV, catalog)
     }
+    // star views: enrich both the inserts AND the delete before-images
+    // through the pinned dimension snapshot (deletes join to the SAME
+    // dim rows their inserts did, so retraction stays exact)
+    val delta = enriched(spark, rawDelta, spec, catalog)
+      .withColumn("__w",
+        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
     // min/max cannot retract from the delta alone: a deleted row may BE
     // a group's stored extreme. Only the groups the interval deleted
     // from can have lost one, though — recompute min/max for exactly

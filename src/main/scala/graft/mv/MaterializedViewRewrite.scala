@@ -214,7 +214,15 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       // data; any data commit makes the pin stale and the rewrite falls
       // back to the real join, never to pinned-but-drifted answers).
       case agg @ Aggregate(ges, aes, child, _)
-          if starShapes(child).nonEmpty &&
+          // cheap structural pre-check only (the shallow head patterns
+          // starShapes accepts) — the full shape (scan usability,
+          // conjunct pairs, orientations) is derived ONCE in the body,
+          // not re-done between guard and body
+          if (child match {
+            case _: Join | Project(_, _: Join) | Filter(_, _: Join) |
+                 Project(_, Filter(_, _: Join)) => true
+            case _ => false
+          }) &&
             agg.getTagValue(MaterializedViewRewrite.ProbedTag).forall(t =>
               System.nanoTime() - t >= MaterializedViewRewrite.ProbeSkipNanos) =>
         (try {

@@ -45,6 +45,11 @@ object Export {
       seed: String = "shuf"
   ): DataFrame = {
     require(shards > 0, "shard count must be positive")
+    val clash = docs.columns.toSet
+      .intersect(Set("shard", "seq", "_shuf_h"))
+    require(clash.isEmpty,
+      s"shuffleShards writes columns ${clash.mkString(", ")} — rename " +
+        "them on the input first (silent overwrite would corrupt data)")
     val h = h64(seed, col(idCol).cast("string"))
     docs
       .withColumn("_shuf_h", h)
@@ -95,6 +100,13 @@ object Export {
       rangeBuckets: Int = 32
   ): DataFrame = {
     require(rangeBuckets > 0, "rangeBuckets must be positive")
+    val clash = docs.columns.toSet.intersect(Set(
+      "_mix_h", "_mix_b", "_mix_t", "_mix_d", "_mix_bsum", "_mix_off",
+      "_mix_run"))
+    require(clash.isEmpty,
+      s"mixtureSample uses helper columns ${clash.mkString(", ")} — " +
+        "rename them on the input first (silent overwrite would corrupt " +
+        "the kept set)")
     // h64 is 15 hex digits = a uniform draw from [0, 2^60); an integer
     // division by ceil(2^60 / B) yields B contiguous, order-preserving
     // hash ranges of near-equal expected mass

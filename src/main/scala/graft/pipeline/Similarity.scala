@@ -242,12 +242,18 @@ object Similarity {
       lloydIters: Int = 2
   ): (Seq[(Long, Seq[Long])], DataFrame) = {
     import IntKMeans.{assign, quant}
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val corpusQ = corpus.withColumn("px", quant(col("v")))
     val centroids = IntKMeans.train(corpusQ.select("vec_id", "px"),
       "vec_id", "px", numCentroids, lloydIters)
     val collected = centroids.collect().map(r =>
       r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq.sortBy(_._1)
-    (collected, assign(corpusQ, "px", "vec_id", centroids, keep = 1)
+    // assignments reference the COLLECTED centroids (a literal local
+    // frame), not the lazy training plan — otherwise materializing the
+    // assignments would re-run the whole Lloyd training a second time
+    val centDf = collected.toDF("cid", "cq")
+    (collected, assign(corpusQ, "px", "vec_id", centDf, keep = 1)
       .drop("px"))
   }
 

@@ -434,6 +434,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
+    // DROP TABLE on a MATERIALIZED VIEW is legal (the view IS a table);
+    // a star view holds a pin tag on its dimension that must not
+    // outlive it — expire_snapshots protects tag targets forever, so a
+    // leaked pin retains dim history with no view left to justify it.
+    // Best-effort, like drop_materialized_view's cleanup.
+    try snapCatalog.load(dir).foreach { snap =>
+      snap.properties.get(graft.mv.MaterializedView.SpecProp).foreach(raw =>
+        graft.mv.MaterializedView.releaseDimPin(dir,
+          graft.mv.MaterializedView.decodeSpec(raw), snapCatalog))
+    } catch { case _: Throwable => () }
     // a re-created table at this path restarts version numbers — stale
     // per-version caches keyed by (path, version) must not survive.
     // Invalidate BEFORE and AFTER the delete: a concurrent reader

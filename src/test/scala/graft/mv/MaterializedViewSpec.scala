@@ -354,6 +354,27 @@ class MaterializedViewSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(got == Map("red" -> ((5L, 5L, 1L)), "blue" -> ((11L, 11L, 1L))))
+    // an EMPTY fact with a declared schema still validates the spec
+    // against fact-declared + dim schemas: a non-integral sum column is
+    // refused at create, not silently long-truncated at first refresh
+    val emptyFact = Files.createTempDirectory("graft-mvstar2-ef").toString
+    TableMetadata.commit(emptyFact, TableSnapshot(1, 1, 0, Nil,
+      schemas = Seq(graft.core.TableSchema(1, Seq(
+        graft.core.SchemaField(1, "fk", "BIGINT"),
+        graft.core.SchemaField(2, "w", "DOUBLE"))))))
+    intercept[CompactionError.Config] {
+      MaterializedView.create(spark,
+        Files.createTempDirectory("graft-mvstar2-efv").toString, emptyFact,
+        Spec(Seq("color"), Seq(Agg("sum", "w", "s")),
+          dim = Some(MaterializedView.Dim(dim, Seq("fk"), Seq("dk")))))
+    }
+    // and a misspelled dim key is caught there too
+    intercept[CompactionError.Config] {
+      MaterializedView.create(spark,
+        Files.createTempDirectory("graft-mvstar2-efk").toString, emptyFact,
+        Spec(Seq("color"), Seq(Agg("count", "*", "n")),
+          dim = Some(MaterializedView.Dim(dim, Seq("fk"), Seq("nope")))))
+    }
     // key arity mismatch and fact/dim column-name overlap are refused
     intercept[CompactionError.Config] {
       MaterializedView.create(spark,

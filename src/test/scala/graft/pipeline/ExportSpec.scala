@@ -80,4 +80,16 @@ class ExportSpec extends AnyFunSuite {
     assert(onlyBig.select("dom").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("big"))
   }
+
+  test("reserved output/helper column names are refused, not clobbered") {
+    val withShard = (0L until 5L).map(i => (i, 9L)).toDF("doc_id", "shard")
+    intercept[IllegalArgumentException] {
+      Export.shuffleShards(withShard, "doc_id", shards = 4)
+    }
+    val withHelper = (0L until 5L).map(i => (i, "d", 1L, 0L))
+      .toDF("doc_id", "dom", "toks", "_mix_t")
+    intercept[IllegalArgumentException] {
+      Export.mixtureSample(withHelper, "doc_id", "dom", "toks", lit(10L))
+    }
+  }
 }

@@ -133,6 +133,28 @@ class InspectionOpsSpec extends AnyFunSuite {
     sql("CALL gin.system.drop_materialized_view(view => 'db.sfact_by_color')")
     assert(!graft.txn.TableMetadata.loadOrThrow(dimDir).properties
       .contains(pinTag), "drop_materialized_view must release the dim pin")
+
+    // recreate with MIS-CASED dim_on keys: create resolves them to
+    // schema casing, so the optimizer's star matching (which compares
+    // plan attribute names) still fires
+    sql("""CALL gin.system.create_materialized_view(
+          |  `table` => 'db.sfact', view => 'db.sfact_by_color2',
+          |  group_by => 'COLOR', aggs => 'sum:v:sum_v,count:*:n',
+          |  dim_table => 'db.sdim', dim_on => 'FK=DK')""".stripMargin)
+    val stored = graft.mv.MaterializedView.decodeSpec(
+      graft.txn.TableMetadata.loadOrThrow(s"$wh/db/sfact_by_color2")
+        .properties(graft.mv.MaterializedView.SpecProp))
+    assert(stored.group == Seq("color") &&
+      stored.dim.exists(d => d.factKeys == Seq("fk") && d.dimKeys == Seq("dk")),
+      s"create must case-resolve group AND dim keys, got $stored")
+    // plain DROP TABLE (not the procedure) must release the pin too —
+    // a leaked graft.ref.* tag would retain dim history forever
+    val pinTag2 = graft.mv.MaterializedView.dimPinTag(s"$wh/db/sfact_by_color2")
+    assert(graft.txn.TableMetadata.loadOrThrow(dimDir).properties
+      .contains(pinTag2))
+    sql("DROP TABLE gin.db.sfact_by_color2")
+    assert(!graft.txn.TableMetadata.loadOrThrow(dimDir).properties
+      .contains(pinTag2), "DROP TABLE on a star view must release the pin")
   }
 
   test("MV procedures and the rewrite rule work on the iceberg-format catalog") {
