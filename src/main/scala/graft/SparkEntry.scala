@@ -48,6 +48,7 @@ object SparkEntry {
       ("sql_branch" -> (graft.queries.SqlCatalogQuery.runBranch _)) +
       ("cdc_changelog" -> (graft.queries.ChangelogQuery.run _)) +
       ("cdc_net_changes" -> (graft.queries.ChangelogQuery.runNet _)) +
+      ("cdc_replicate" -> (graft.queries.ChangelogQuery.runReplicate _)) +
       ("stream_changelog" -> (graft.queries.StreamTailQuery.runChangelog _)) +
       ("mv_incremental" -> (graft.queries.MaterializedViewQuery.run _)) +
       ("mv_rollup" -> (graft.queries.MaterializedViewQuery.runRollup _)) +
@@ -104,6 +105,7 @@ object SparkEntry {
       ("sql_branch" -> graft.queries.SqlCatalogQuery.branchOracle) +
       ("cdc_changelog" -> graft.queries.ChangelogQuery.oracle) +
       ("cdc_net_changes" -> graft.queries.ChangelogQuery.netOracle) +
+      ("cdc_replicate" -> graft.queries.ChangelogQuery.replicateOracle) +
       ("stream_changelog" -> graft.queries.StreamTailQuery.changelogOracle) +
       ("mv_incremental" -> graft.queries.MaterializedViewQuery.oracle) +
       ("mv_rollup" -> graft.queries.MaterializedViewQuery.rollupOracle) +

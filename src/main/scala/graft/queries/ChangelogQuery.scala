@@ -130,6 +130,45 @@ object ChangelogQuery {
        |ORDER BY interval, $cols, change_type, change_count""".stripMargin
   }
 
+  private val replicaDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** CDC replication end-to-end ([[graft.txn.Replicate]]): bootstrap a
+    * keyed replica at v2 (the checkpoint-consumer pattern), then ONE
+    * sync applies the rest of the history as net changes — deletes,
+    * re-inserts and compaction noise included. The replica read must
+    * equal the source's final live state, and a replayed sync must
+    * no-op (checkpoint idempotence). */
+  def runReplicate(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = buildTable(spark, dir)
+    val replicaDir = replicaDirs.computeIfAbsent(dir, _ => {
+      val dst = Files.createTempDirectory("graft-replica").toString
+      graft.txn.Replicate.bootstrap(spark, tableDir, dst, rowKey,
+        atVersion = 2)
+      val v = graft.txn.Replicate.sync(spark, tableDir, dst, rowKey)
+      require(v == 6, s"fixture drifted: sync should land at v6, got $v")
+      require(graft.txn.Replicate.sync(spark, tableDir, dst, rowKey) == v,
+        "a replayed sync must be a checkpoint no-op")
+      dst
+    })
+    TableReader.read(spark, replicaDir)
+      .select(outCols.map(col): _*).orderBy(outCols.map(col): _*)
+  }
+
+  val replicateOracle: String = {
+    val key6 = rowKey.mkString(", ")
+    val cols = outCols.mkString(", ")
+    s"""WITH f1 AS (
+       |  SELECT *, row_number() OVER (ORDER BY $key6) - 1 AS pos
+       |  FROM lineitem WHERE l_orderkey % 2 = 0),
+       |f2 AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1),
+       |live AS (
+       |  SELECT $cols FROM f1 WHERE l_orderkey % 13 <> 0 AND pos >= 100
+       |  UNION ALL
+       |  SELECT $cols FROM f2)
+       |SELECT * FROM live ORDER BY $cols""".stripMargin
+  }
+
   val oracle: String = {
     val key6 = rowKey.mkString(", ")
     val cols = outCols.mkString(", ")

@@ -105,6 +105,34 @@ class ChangelogSpec extends AnyFunSuite {
       "an update must net to nothing over its identifier column")
   }
 
+  test("Replicate: sync applies net changes atomically; duplicate " +
+    "source keys are refused, not collapsed") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-repl-src").toString
+    val dst = Files.createTempDirectory("graft-repl-dst").toString
+    TableMetadata.commit(src, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(src,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    graft.txn.Replicate.bootstrap(spark, src, dst, Seq("id"))
+    def replica(): Set[(Long, String)] =
+      TableReader.read(spark, dst).select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(replica() == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // churn: update 1 (delete + re-insert), delete 2, insert 4
+    TableWrites.appendEqualityDeletes(src, Seq(1L, 2L).toDF("id"), Seq("id"))
+    TableWrites.appendData(src,
+      Seq((1L, "a2"), (4L, "d")).toDF("id", "v").coalesce(1))
+    assert(graft.txn.Replicate.sync(spark, src, dst, Seq("id")) ==
+      TableMetadata.loadOrThrow(src).version)
+    assert(replica() == Set((1L, "a2"), (3L, "c"), (4L, "d")))
+    // duplicate keys in the source: the keyed replica refuses loudly
+    TableWrites.appendData(src,
+      Seq((9L, "x"), (9L, "y")).toDF("id", "v").coalesce(1))
+    intercept[graft.core.CompactionError.Config] {
+      graft.txn.Replicate.sync(spark, src, dst, Seq("id"))
+    }
+  }
+
   test("a 200-commit append history plans SUBLINEARLY many nodes " +
     "(consecutive appends fold into one scan)") {
     import spark.implicits._
