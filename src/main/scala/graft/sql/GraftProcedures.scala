@@ -37,7 +37,8 @@ private[sql] object GraftProcedures {
     "evolve_partition_spec", "publish_wap", "discard_wap", "list_waps",
     "rollback_to_version", "create_branch", "drop_branch", "fast_forward",
     "list_branches", "rewrite_manifests", "create_materialized_view",
-    "refresh_materialized_view", "drop_materialized_view")
+    "refresh_materialized_view", "drop_materialized_view",
+    "create_replica", "sync_replica")
 
   def load(name: String, resolveDir: String => String,
       catalog: TableCatalog, catalogName: String): UnboundProcedure =
@@ -59,6 +60,8 @@ private[sql] object GraftProcedures {
       case "create_materialized_view" => new CreateMaterializedView(resolveDir, catalog)
       case "refresh_materialized_view" => new RefreshMaterializedView(resolveDir, catalog)
       case "drop_materialized_view" => new DropMaterializedView(resolveDir, catalog)
+      case "create_replica" => new CreateReplica(resolveDir, catalog)
+      case "sync_replica" => new SyncReplica(resolveDir, catalog)
       case "drop_branch"           => new DropBranch(resolveDir, catalog)
       case "fast_forward"          => new FastForward(resolveDir, catalog)
       case "list_branches"         => new ListBranches(resolveDir, catalog)
@@ -586,6 +589,67 @@ private[sql] object GraftProcedures {
         SparkSession.active, resolveDir(viewName), catalog)
       localScan(out, Array(InternalRow(UTF8String.fromString(viewName), v)),
         s"refresh_materialized_view($viewName)")
+    }
+  }
+
+  /** `CALL create_replica(table, replica, keys)` — bootstrap a keyed
+    * CDC replica of `table` at its current version
+    * ([[graft.txn.Replicate.bootstrap]]); `sync_replica` then applies
+    * net changes per call, cost ∝ changed data. */
+  private final class CreateReplica(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("create_replica") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("replica", StringType),
+      in("keys", StringType))
+
+    private val out = StructType(Seq(
+      StructField("replica", StringType, nullable = false),
+      StructField("synced_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val srcDir = resolveDir(input.getUTF8String(0).toString)
+      val replicaName = input.getUTF8String(1).toString
+      val dstDir = resolveDir(replicaName)
+      val keys = input.getUTF8String(2).toString
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      if (catalog.load(dstDir).isDefined) throw CompactionError.Config(
+        s"'$replicaName' already exists")
+      val v = graft.txn.Replicate.bootstrap(
+        SparkSession.active, srcDir, dstDir, keys, catalog = catalog)
+      localScan(out,
+        Array(InternalRow(UTF8String.fromString(replicaName), v)),
+        s"create_replica($srcDir -> $dstDir)")
+    }
+  }
+
+  /** `CALL sync_replica(table, replica, keys)` — one atomic net-change
+    * application ([[graft.txn.Replicate.sync]]). */
+  private final class SyncReplica(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("sync_replica") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("replica", StringType),
+      in("keys", StringType))
+
+    private val out = StructType(Seq(
+      StructField("replica", StringType, nullable = false),
+      StructField("synced_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val srcDir = resolveDir(input.getUTF8String(0).toString)
+      val replicaName = input.getUTF8String(1).toString
+      val keys = input.getUTF8String(2).toString
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val v = graft.txn.Replicate.sync(
+        SparkSession.active, srcDir, resolveDir(replicaName), keys, catalog)
+      localScan(out,
+        Array(InternalRow(UTF8String.fromString(replicaName), v)),
+        s"sync_replica($srcDir)")
     }
   }
 

@@ -157,6 +157,27 @@ class InspectionOpsSpec extends AnyFunSuite {
       .contains(pinTag2), "DROP TABLE on a star view must release the pin")
   }
 
+  test("replica procedures: create_replica bootstraps, sync_replica " +
+    "applies net changes") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gin.db")
+    sql("CREATE TABLE gin.db.rsrc (id BIGINT, v STRING)")
+    sql("INSERT INTO gin.db.rsrc VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("""CALL gin.system.create_replica(
+          |  `table` => 'db.rsrc', replica => 'db.rrep', keys => 'id')"""
+      .stripMargin)
+    def replica = sql("SELECT id, v FROM gin.db.rrep ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(replica == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    sql("DELETE FROM gin.db.rsrc WHERE id = 2")
+    sql("INSERT INTO gin.db.rsrc VALUES (4, 'd')")
+    val synced = sql("""CALL gin.system.sync_replica(
+          |  `table` => 'db.rsrc', replica => 'db.rrep', keys => 'id')"""
+      .stripMargin).collect().head.getLong(1)
+    assert(synced == graft.txn.TableMetadata.loadOrThrow(
+      spark.conf.get("spark.sql.catalog.gin.warehouse") + "/db/rsrc").version)
+    assert(replica == Seq((1L, "a"), (3L, "c"), (4L, "d")))
+  }
+
   test("MV procedures and the rewrite rule work on the iceberg-format catalog") {
     sql("CREATE NAMESPACE IF NOT EXISTS gini.db")
     sql("CREATE TABLE gini.db.facts (k STRING, v BIGINT)")
