@@ -304,6 +304,148 @@ object AnalyticsQueries {
       .orderBy("bucket")
   }
 
+  /** TPC-H Q4 shape (order priority check): orders in a date window that
+    * contain at least one returned line — a correlated EXISTS, planned as
+    * a LEFT SEMI join on the order key. The lineitem side carries only
+    * the filter + key columns (column-pruned scan), and the semi join
+    * never duplicates orders no matter how many lines match. The corpus
+    * has no l_commitdate/l_receiptdate, so the "late delivery" predicate
+    * becomes `l_returnflag = 'R'` — same plan shape. */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= to_date(lit("1997-01-01")) &&
+        col("o_orderdate") < to_date(lit("1997-07-01")))
+    val late = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    o.join(late, o("o_orderkey") === late("l_orderkey"), "leftsemi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q7 shape (volume shipping): the nation dim joins the fact
+    * TWICE under different roles (supplier nation vs customer nation),
+    * and the two-country restriction is a disjunction over the PAIR —
+    * it can only be applied after both dims are attached. Both nation
+    * joins and the supplier join broadcast; the only shuffles are the
+    * fact⋈orders and orders⋈customer equi-joins. */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_date(lit("1997-01-01")) &&
+        col("l_shipdate") < to_date(lit("1998-01-01")))
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    val n1 = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = n.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n1), s("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q14 shape (promo revenue): conditional aggregation over a
+    * month of the fact against the broadcast part dim — numerator and
+    * denominator in ONE pass (a single scan + broadcast join; the CASE
+    * rides the aggregate). Both emitted as integer cents; the oracle
+    * takes the same two sums, so no float division crosses engines. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_date(lit("1997-09-01")) &&
+        col("l_shipdate") < to_date(lit("1997-10-01")))
+    val p = t(spark, dir, "part")
+    val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(0L)).as("promo_cents"),
+        sum(rev).as("total_cents"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue): an OR of three
+    * (brand, size-range, quantity-range) conjunctions across the
+    * lineitem⋈part join. The part-only legs (brand, size) push into the
+    * broadcast-side scan as one disjunction; the mixed legs evaluate on
+    * the joined row. Exercises disjunctive predicate handling — the
+    * optimizer must NOT expand this into a union of three scans. */
+  def disjunctiveParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val p = t(spark, dir, "part")
+    val joined = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    val arm1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val arm2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+    val arm3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+    joined.filter(arm1 || arm2 || arm3)
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): one EXISTS and
+    * one NOT EXISTS, both correlated on the order key with a suppkey
+    * INEQUALITY — a LEFT SEMI then a LEFT ANTI self-join of the fact,
+    * each shuffling on the equi-key (orderkey) with the `<>` riding the
+    * join condition. "Failed" is `l_returnflag = 'R'` (the corpus has no
+    * receipt/commit dates). Top-20 via TakeOrderedAndProject. */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    val s = t(spark, dir, "supplier")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+    val others = li.select(col("l_orderkey").as("r_okey"), col("l_suppkey").as("r_skey"))
+    val othersFailed = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("f_okey"), col("l_suppkey").as("f_skey"))
+    l1
+      .join(others, l1("l_orderkey") === col("r_okey") &&
+        l1("l_suppkey") =!= col("r_skey"), "leftsemi")
+      .join(othersFailed, l1("l_orderkey") === col("f_okey") &&
+        l1("l_suppkey") =!= col("f_skey"), "leftanti")
+      .join(o, l1("l_orderkey") === o("o_orderkey"), "leftsemi")
+      .join(broadcast(s), l1("l_suppkey") === s("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q22 shape (idle rich customers): a scalar aggregate subquery
+    * (global mean balance) gates the customer scan, then a NOT EXISTS
+    * against date-filtered orders (no orders since 1998 — the unwindowed
+    * variant is vacuous in this corpus) — broadcast of a ONE-ROW
+    * aggregate + a LEFT ANTI join on the customer key. The mean comparison is done in integer
+    * space (bal_cents * count > sum_cents), so no float mean crosses
+    * the engine boundary. */
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= to_date(lit("1998-01-01")))
+      .select("o_custkey")
+    val avgT = c.filter(col("c_acctbal") > 0)
+      .agg(sum(cents(col("c_acctbal"))).as("bal_sum"), count(lit(1)).as("bal_cnt"))
+    c.crossJoin(broadcast(avgT))
+      .filter(cents(col("c_acctbal")) * col("bal_cnt") > col("bal_sum"))
+      .join(o, c("c_custkey") === o("o_custkey"), "leftanti")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        sum(cents(col("c_acctbal"))).as("totacctbal_cents"))
+      .orderBy("n_name")
+  }
+
   private val windowTopkOracle: String =
     """WITH o AS (
       |  SELECT o_orderpriority, o_orderkey,
@@ -319,6 +461,82 @@ object AnalyticsQueries {
       |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(rev) AS BIGINT) AS revenue_cents
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "promo_revenue" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "disjunctive_parts" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "idle_customers" ->
+      """WITH avg_t AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_sum,
+        |    count(*) AS bal_cnt
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |CROSS JOIN avg_t
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * bal_cnt > bal_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "zorder_layout" -> {
       val z = graft.operators.ZOrder.zValue2Sql("okey", "skey", ZBits)
       s"""WITH t AS (
@@ -448,6 +666,12 @@ object AnalyticsQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "order_priority" -> (orderPriority _),
+    "volume_shipping" -> (volumeShipping _),
+    "promo_revenue" -> (promoRevenue _),
+    "disjunctive_parts" -> (disjunctiveParts _),
+    "waiting_suppliers" -> (waitingSuppliers _),
+    "idle_customers" -> (idleCustomers _),
     "set_ops" -> (setOps _),
     "vocab_topk" -> (vocabTopK _),
     "heavy_hitters" -> (heavyHittersQuery _),
