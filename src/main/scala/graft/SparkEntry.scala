@@ -66,6 +66,7 @@ object SparkEntry {
       ("sql_dv" -> (graft.queries.SqlCatalogQuery.runDv _)) +
       ("sql_string_prune" -> (graft.queries.SqlCatalogQuery.runStringPrune _)) +
       ("spj_join" -> (graft.queries.SqlCatalogQuery.runSpjJoin _)) +
+      ("spj_sorted_join" -> (graft.queries.SqlCatalogQuery.runSortedJoin _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -123,6 +124,7 @@ object SparkEntry {
       ("sql_dv" -> graft.queries.SqlCatalogQuery.dvOracle) +
       ("sql_string_prune" -> graft.queries.SqlCatalogQuery.stringPruneOracle) +
       ("spj_join" -> graft.queries.SqlCatalogQuery.spjJoinOracle) +
+      ("spj_sorted_join" -> graft.queries.SqlCatalogQuery.sortedJoinOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

@@ -206,7 +206,19 @@ final class Compaction(
             expectedSchemaId = snap.schemaId,
             startingSequenceNumber = startingSeq,
             useStartingSequenceNumber = config.useStartingSequenceNumber,
-            sketches = outputSketches(cur, removed, written, config))
+            sketches = outputSketches(cur, removed, written, config),
+            // sort-layout rewrites through the DEFAULT executor land
+            // each file as a contiguous slice of a sortWithinPartitions
+            // stream (RollingWriter) — stamp the physical order so the
+            // scan can report it. Custom executors are a contract, not
+            // a proof — never stamped. Z-order is a space-filling
+            // curve, not a lexicographic order: no stamp.
+            sortedBy =
+              if (config.sortBy.nonEmpty && config.zOrderBy.isEmpty &&
+                  !config.useExactRolling &&
+                  (executor eq SparkCompactionExecutor))
+                graft.core.WriteOrderCodec.encode(config.sortBy)
+              else "")
 
         // validate (V1). Fanout data files carry every original column
         // (the writer partitions by mirrored __p_ columns), so committed

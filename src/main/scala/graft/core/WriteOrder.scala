@@ -47,6 +47,25 @@ object WriteOrderCodec {
     fields
   }
 
+  /** Inverse of [[decode]]: `fields` → `"c1,c2:desc"`. Canonical —
+    * ascending fields render bare (the decoder treats `col` and
+    * `col:asc` identically, so one spelling keeps stamp comparison a
+    * string equality). */
+  def encode(fields: Seq[SortField]): String =
+    fields.map(f => if (f.descending) s"${f.column}:desc" else f.column)
+      .mkString(",")
+
+  /** The PHYSICAL per-file row order the sorted DSv2 write path lays
+    * down: partition SOURCE columns not already in the write order lead
+    * (ascending), then the declared fields — the exact mirror of the
+    * write's required ordering (`GraftBatchWrite.orderingExprs`). Files
+    * written under this order are sorted by it whole-file (each file's
+    * rows are one contiguous slice of a task's sorted stream). */
+  def physical(spec: Seq[PartitionTransform], order: Seq[SortField]): Seq[SortField] =
+    spec.map(_.source).distinct
+      .filterNot(order.map(_.column).contains)
+      .map(SortField(_, descending = false)) ++ order
+
   /** Refuse a write order naming columns the schema doesn't have —
     * called when the property is SET (create/alter) and again at write
     * planning, so a stale order fails loudly, never silently no-ops. */

@@ -621,6 +621,116 @@ object SqlCatalogQuery {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // -------- sorted storage-partitioned join (shuffle-free AND sort-free) --
+
+  private val sortedJoinCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The sorted-bucket-table fast path as an oracle-checked query: both
+    * tables are bucketed on the join key AND carry
+    * `graft.write-order = <key>`, then `rewrite_data_files` converges
+    * each bucket to ONE sorted file. The scans report
+    * `KeyGroupedPartitioning` (SPJ) plus a per-partition ordering
+    * ([[graft.sources.GraftScan]] `SupportsReportOrdering`, from the
+    * per-file `sortedBy` stamps), so the merge join runs with NO
+    * exchange and NO sort on either side — the plan asserts both (the
+    * only exchange/sort allowed is the final ORDER BY's). At 100 TB
+    * this is the sorted-table merge join a warehouse pays bucketing +
+    * write order to get: zero wire traffic, zero spill-prone sorts.
+    * The oracle replays the join from raw parquet — a hash match
+    * certifies the sorted merge loses and duplicates nothing. */
+  def runSortedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(sortedJoinCatalogs, dir, spark, dir,
+        "gs", "sqlsorted", "sorted_li_unused") { name =>
+      spark.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("sorted_orders")
+      spark.read.parquet(s"$dir/customer.parquet")
+        .createOrReplaceTempView("sorted_customer")
+      spark.sql(
+        s"""CREATE TABLE $name.db.ofact (o_orderkey BIGINT, o_custkey BIGINT)
+           |PARTITIONED BY (bucket(4, o_custkey))
+           |TBLPROPERTIES ('graft.write-order'='o_custkey')""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.ofact
+           |SELECT o_orderkey, o_custkey FROM sorted_orders""".stripMargin)
+      spark.sql(
+        s"""CREATE TABLE $name.db.cdim (
+           |  c_custkey BIGINT, c_name STRING, c_nationkey INT)
+           |PARTITIONED BY (bucket(4, c_custkey))
+           |TBLPROPERTIES ('graft.write-order'='c_custkey')""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.cdim
+           |SELECT c_custkey, c_name, c_nationkey FROM sorted_customer""".stripMargin)
+      // converge each bucket to one sorted file — the state the sorted
+      // report requires (multi-commit tables refuse it honestly)
+      spark.sql(s"CALL $name.system.rewrite_data_files(table => 'db.ofact')")
+      spark.sql(s"CALL $name.system.rewrite_data_files(table => 'db.cdim')")
+    }
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        s"""SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey
+           |FROM $cat.db.ofact o
+           |JOIN $cat.db.cdim c ON o.o_custkey = c.c_custkey
+           |ORDER BY 1, 2, 3, 4""".stripMargin)
+      val rows = j.collect()
+      val plan = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // AQE wraps materialized stages in QueryStageExec, whose subtree
+      // is an innerChild — plain collect() stops at the boundary, so
+      // flatten across stages explicitly
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: flatten(q.plan)
+        case _ => p +: p.children.flatMap(flatten)
+      }
+      val nodes = flatten(plan)
+      val smj = nodes.collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      }
+      require(smj.nonEmpty,
+        s"expected a sort-merge join over the co-sorted buckets:\n${j.queryExecution}")
+      val sortsUnderJoin = smj.flatMap(_.children).flatMap(flatten).count {
+        case _: org.apache.spark.sql.execution.SortExec => true
+        case _ => false
+      }
+      require(sortsUnderJoin == 0,
+        s"expected a SORT-FREE merge join (per-partition ordering reported " +
+          s"from the sortedBy stamps), got $sortsUnderJoin sorts under the " +
+          s"join:\n${j.queryExecution}")
+      val shuffles = nodes.count {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+        case _ => false
+      }
+      require(shuffles <= 1,
+        s"expected at most the final ORDER BY exchange, got $shuffles " +
+          s"shuffles:\n${j.queryExecution}")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  val sortedJoinOracle: String =
+    """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
   // -------- MERGE INTO (group-based copy-on-write) ----------------------
 
   private val mergeCatalogs =

@@ -251,8 +251,16 @@ final class GraftWriteBuilder(
 
     override def toBatch: BatchWrite = {
       val schemaId = GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)
+      // the required distribution+ordering above guarantee every task's
+      // rows arrive sorted, so each written file (a contiguous slice of
+      // that stream, fanout included) is physically sorted — stamp it
+      val sortedBy =
+        if (writeOrder.isEmpty) ""
+        else graft.core.WriteOrderCodec.encode(
+          graft.core.WriteOrderCodec.physical(partitionSpec, writeOrder))
       new GraftDsv2BatchWrite(tableDir, info.schema(), targetBytes, compression,
-        catalog, schemaId, overwriteAll, partitionSpec, overwriteDynamic)
+        catalog, schemaId, overwriteAll, partitionSpec, overwriteDynamic,
+        sortedBy)
     }
     override def toStreaming: sstreaming.StreamingWrite = {
       if (overwriteAll) throw CompactionError.Config(
@@ -281,7 +289,10 @@ final class GraftDsv2BatchWrite(
     validatedSchemaId: Long,
     overwriteAll: Boolean = false,
     partitionSpec: Seq[graft.core.PartitionTransform] = Nil,
-    overwriteDynamic: Boolean = false
+    overwriteDynamic: Boolean = false,
+    /** Physical per-file sort order to stamp on committed entries
+      * ([[graft.txn.FileEntry.sortedBy]]); "" = unsorted write. */
+    sortedBy: String = ""
 ) extends BatchWrite {
 
   private val writeDir =
@@ -304,9 +315,12 @@ final class GraftDsv2BatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.map(_.asInstanceOf[GraftCommitMessage])
-    val entries = GraftBatchWrite.publishWinners(
+    val entries0 = GraftBatchWrite.publishWinners(
       msgs.flatMap(_.files), writeDir,
       sketches = msgs.flatMap(_.sketches).toMap)
+    val entries =
+      if (sortedBy.isEmpty) entries0
+      else entries0.map(_.copy(sortedBy = sortedBy))
     // an overwrite of zero rows still truncates; a plain append of
     // zero rows commits nothing
     if (entries.isEmpty && !overwriteAll) { FileIO.deleteRecursive(writeDir); return }

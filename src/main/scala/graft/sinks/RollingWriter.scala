@@ -126,17 +126,31 @@ object RollingWriter {
               .drop("__zval")
         }
       case _ if cfg.sortBy.nonEmpty =>
-        // linear sort layout (declared write order): range-partition on
-        // the sort key, then sort (partition values first so fanout
-        // files stay contiguous) — same bounds-tightening trade as the
-        // sorted DSv2 write path
+        // linear sort layout (declared write order). Unpartitioned:
+        // range-partition on the sort key, then sort — each task writes
+        // a disjoint key slice, the bounds-tightening trade of the
+        // sorted DSv2 write path. Partitioned: HASH-cluster on the
+        // partition VALUE columns instead (Iceberg's hash distribution
+        // mode) — every partition value lands in exactly one task, so
+        // compaction converges each bucket/partition to ONE sorted file
+        // (unless size rolling splits it), which is the layout the
+        // scan's `SupportsReportOrdering` + SPJ fast path needs for
+        // exchange-free AND sort-free merge joins. Range-partitioning
+        // on the sort key here would make every task fan out to every
+        // partition dir: task×partition small files and multiple sorted
+        // runs per partition value, which forfeits the sorted report.
         import org.apache.spark.sql.functions.{col => c}
         requireColumns(cfg.sortBy.map(_.column), "sortBy")
         val sortCols = cfg.sortBy.map(f =>
           if (f.descending) c(f.column).desc else c(f.column).asc)
-        outDf
-          .repartitionByRange(cfg.targetPartitions, sortCols: _*)
-          .sortWithinPartitions(partCols.map(c(_).asc) ++ sortCols: _*)
+        if (partCols.isEmpty)
+          outDf
+            .repartitionByRange(cfg.targetPartitions, sortCols: _*)
+            .sortWithinPartitions(sortCols: _*)
+        else
+          outDf
+            .repartition(cfg.targetPartitions, partCols.map(c(_)): _*)
+            .sortWithinPartitions(partCols.map(c(_).asc) ++ sortCols: _*)
       case _ => outDf.repartition(cfg.targetPartitions)
     }
     try {

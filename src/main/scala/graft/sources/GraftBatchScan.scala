@@ -686,7 +686,8 @@ final class GraftScan(
       * microbatches emit change rows; batch reads refuse. */
     changelog: Boolean = false
 ) extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   override def readSchema(): StructType = {
     var fields = requiredSchema.fields
@@ -932,6 +933,64 @@ final class GraftScan(
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
+
+  /** Sorted-scan report ([[SupportsReportOrdering]]): when every
+    * surviving data file carries the SAME non-empty physical-order stamp
+    * ([[graft.txn.FileEntry.sortedBy]] — written only by provably-sorted
+    * writers), the scan's partitions are each sorted by it, and Spark
+    * can ELIDE sorts downstream: a merge join over two co-bucketed,
+    * co-sorted tables runs with no exchange AND no sort (the full
+    * sorted-bucket-table fast path), and an ORDER BY over a compacted
+    * single-file table collapses to the bare scan. The claim is
+    * per-RDD-partition, so it must survive every partitioning step:
+    *
+    *  - each input partition is one file (or one contiguous row-group
+    *    range of one file) — a filter-only reader never reorders rows,
+    *    and delete application (pos/eq/DV) is a filter;
+    *  - under SPJ key-grouping Spark may CONCATENATE same-key splits
+    *    into one partition, so the report additionally requires one
+    *    file per partition key, small enough not to split — compaction
+    *    produces exactly that layout;
+    *  - files written under an older schema (stamp names may alias) or
+    *    without a stamp disable the report — declaring a write order on
+    *    a table with pre-existing unsorted files stays honest until
+    *    compaction rewrites them.
+    *
+    * The reported prefix stops at the first column missing from the
+    * pruned output (a file sorted by (a, b) is sorted by (a)). */
+  private lazy val orderingReport
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => XE, SortDirection}
+    val files = prunedDataFiles
+    val stamp = files.headOption.map(_.sortedBy).getOrElse("")
+    val uniform = stamp.nonEmpty && files.forall(f =>
+      f.sortedBy == stamp && snap.isCurrentSchema(f))
+    if (changelog || !uniform) Array.empty
+    else {
+      val groupedSafe = spjKeys match {
+        case None => true // one RDD partition per file split
+        case Some((_, byPath)) =>
+          // key-grouping may merge same-key splits: require exactly one
+          // unsplit file per key so a group is one sorted run
+          byPath.values.map(_.toSeq).groupBy(identity).forall(_._2.size == 1) &&
+            files.forall(_.sizeBytes <= splitTargetBytes)
+      }
+      if (!groupedSafe) Array.empty
+      else {
+        val out = requiredSchema.fieldNames.toSet
+        graft.core.WriteOrderCodec.decode(stamp)
+          .takeWhile(f => out.contains(f.column))
+          .map(f => XE.sort(XE.column(f.column),
+            if (f.descending) SortDirection.DESCENDING
+            else SortDirection.ASCENDING))
+          .toArray
+      }
+    }
+  }
+
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    orderingReport
 
   /** Per-task position-delete scoping: [[graft.compaction
     * .DeleteCompaction]] lands position deletes SORTED by (file_path,

@@ -37,7 +37,12 @@ final class CommitManager(
       /** Per-added-file NDV sketches keyed by the EXACT `filePath`
         * spelling of `addedFiles` (see [[graft.core.NdvSketch]]); files
         * absent from the map commit unsketched. */
-      sketches: Map[String, Map[String, String]] = Map.empty
+      sketches: Map[String, Map[String, String]] = Map.empty,
+      /** Physical per-file sort order of the ADDED files
+        * ([[FileEntry.sortedBy]] encoding; "" = unsorted). The CALLER
+        * asserts sortedness — only pass when the writer provably laid
+        * every added file out in this order. */
+      sortedBy: String = ""
   ): TableSnapshot =
     commitLoop(expectedSchemaId) { cur =>
       // stale-rewrite guard: every file this rewrite removes must still
@@ -65,7 +70,8 @@ final class CommitManager(
           // ...and are laid out by the fanout writer under the CURRENT
           // partition spec — this is how old-spec files migrate
           specId = PartitionSpecCodec.currentId(Some(cur)),
-          ndvSketch = sketches.getOrElse(f.filePath, Map.empty))))
+          ndvSketch = sketches.getOrElse(f.filePath, Map.empty),
+          sortedBy = sortedBy)))
       cur.copy(
         version = cur.version + 1,
         lastSequenceNumber = math.max(cur.lastSequenceNumber, newSeq),

@@ -83,6 +83,15 @@ final case class FileEntry(
       * DISABLES the sketch estimate for the whole table rather than
       * undercounting. */
     ndvSketch: Map[String, String] = Map.empty,
+    /** Physical row order of THIS file, [[graft.core.WriteOrderCodec]]
+      * encoding ("" = unknown/unsorted — every pre-feature or
+      * Spark-native file). Stamped by writers that PROVE the layout:
+      * the sorted DSv2 write (required distribution+ordering, so each
+      * file is a contiguous slice of a task's sorted stream) and the
+      * sort-layout compaction rewrite. Read by the scan's
+      * `SupportsReportOrdering` gate — claims per-file sortedness, so
+      * it must never be stamped speculatively. */
+    sortedBy: String = "",
     /** Deletion-vector entries only (content "deletion-vectors"): the
       * one data file this vector's ordinals reference, and the blob's
       * byte address inside the Puffin container at `path` (Iceberg v3
