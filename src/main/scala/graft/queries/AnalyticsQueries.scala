@@ -446,6 +446,255 @@ object AnalyticsQueries {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q6 shape (forecast revenue): filter + global aggregate with
+    * NO join — every predicate (date window, discount band, quantity
+    * cap) pushes into the parquet scan, so at 100 TB the whole query is
+    * a pruned scan + one partial-agg merge. The revenue term
+    * `price * discount` rounds per row to integer cents. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_date(lit("1997-01-01")) &&
+        col("l_shipdate") < to_date(lit("1998-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q13 shape (customer order distribution): LEFT OUTER join with
+    * the selective predicate on the JOIN side (filtering orders BEFORE
+    * an outer join is equivalent to putting it in the ON clause — and
+    * prunes the shuffle), then a two-level aggregate. The first groupBy
+    * reuses the join's hash partitioning on the customer key (no second
+    * shuffle); the second aggregate is over ~20 distinct counts. */
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select("c_custkey")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 shape (top supplier): quarter revenue per supplier (ONE
+    * shuffle, map-side partial agg), then the max gate rides a broadcast
+    * of the ONE-ROW global max — the classic "WHERE x = (SELECT max)"
+    * decorrelation with no self-join of the fact. Integer cents make the
+    * max equality engine-exact. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_date(lit("1997-07-01")) &&
+        col("l_shipdate") < to_date(lit("1997-10-01")))
+      .groupBy("l_suppkey")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_revenue_cents"))
+    val mx = rev.agg(max(col("total_revenue_cents")).as("mx"))
+    t(spark, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .filter(col("total_revenue_cents") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): the correlated
+    * "l_quantity < 0.2 * avg(l_quantity) per part" subquery decorrelated
+    * into a per-part aggregate joined back to the fact. The part filter
+    * broadcasts FIRST so the aggregate runs only over relevant parts'
+    * lines; the mean comparison happens in integer space
+    * (5 * qty * count < sum) — no float mean crosses engines. The
+    * agg output and the join both hash on the part key, so AQE plans
+    * ONE fact shuffle. */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .filter(col("p_type") === "MEDIUM").select("p_partkey")
+    val rel = t(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val pq = rel.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity")).cast("long").as("sq"),
+        count(lit(1)).as("cq"))
+    rel.join(pq, col("l_partkey") === col("pk"))
+      .filter(lit(5L) * col("l_quantity").cast("long") * col("cq") < col("sq"))
+      .agg(sum(cents(col("l_extendedprice"))).as("price_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q2 shape (min-cost supplier): the corpus has no partsupp, so
+    * the part-supplier cost relation derives from lineitem — min unit
+    * price (cents) per (part, supplier). The region-restricted supplier
+    * dim broadcasts onto that aggregate, the per-part minimum re-joins
+    * on (part, cost) — the decorrelated "= (SELECT min ...)" — and the
+    * filtered part dim broadcasts last. Top-100 via
+    * TakeOrderedAndProject; the only fact-sized shuffle is the first
+    * (part, supplier) aggregate. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = t(spark, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(cents(col("l_extendedprice") / col("l_quantity"))).as("cost_cents"))
+    val sup = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val psr = ps.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val minc = psr.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("cost_cents")).as("min_cost"))
+    val p = t(spark, dir, "part")
+      .filter(col("p_type") === "LARGE" && col("p_size").between(10, 30))
+    psr
+      .join(minc, col("l_partkey") === col("mk") &&
+        col("cost_cents") === col("min_cost"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(cents(col("s_acctbal")).as("acctbal_cents"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("p_brand"), col("cost_cents"))
+      .orderBy(col("acctbal_cents").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q8 shape (market share): PROMO-part sales to customers in one
+    * region, numerator = the slice supplied from another region — the
+    * share's numerator and denominator aggregate in ONE pass (CASE
+    * inside the sum). Every dim (part, customer-region nations,
+    * supplier + its region name) broadcasts; the only shuffles are the
+    * two fact equi-joins (lineitem⋈orders, orders⋈customer). */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    val amerNations = n
+      .join(r.filter(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("am_nk"))
+    val supRegion = t(spark, dir, "supplier")
+      .join(n.select(col("n_nationkey").as("sn_nk"), col("n_regionkey").as("sn_rk")),
+        col("s_nationkey") === col("sn_nk"))
+      .join(r.select(col("r_regionkey").as("sr_rk"), col("r_name").as("s_region")),
+        col("sn_rk") === col("sr_rk"))
+      .select(col("s_suppkey"), col("s_region"))
+    val p = t(spark, dir, "part")
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= to_date(lit("1996-01-01")) &&
+        col("o_orderdate") < to_date(lit("1998-01-01")))
+    val li = t(spark, dir, "lineitem")
+    val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(amerNations), col("c_nationkey") === col("am_nk"))
+      .join(broadcast(supRegion), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("s_region") === "EUROPE", rev).otherwise(0L))
+          .as("europe_cents"),
+        sum(rev).as("total_cents"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 shape (product-type profit): LIKE-filtered part dim
+    * broadcast onto the fact, orders joined only for the year, supplier
+    * → nation for the group key. The corpus has no partsupp, so unit
+    * cost is modeled as 10% of the part's retail price — per-row profit
+    * stays integer cents. One fact shuffle (lineitem⋈orders); the
+    * descending year inside the ordering exercises mixed-direction
+    * sort-key output. */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .filter(col("p_name").like("%bolt%"))
+      .select("p_partkey", "p_retailprice")
+    val profit = cents(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+      round(col("l_quantity") * col("p_retailprice") * 10).cast("long")
+    t(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(profit).as("profit_cents"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (important parts): per-part value restricted to one
+    * region's suppliers, kept when above 2× the MEAN part value — the
+    * "HAVING sum > (SELECT fraction-of-total)" shape with the global
+    * gate as a broadcast one-row aggregate. The threshold is
+    * count-relative (value * n_parts > 2 * total, integer space) so it
+    * scales with corpus size instead of going vacuous. The global
+    * (total, count) re-aggregates the per-part sums — no second fact
+    * scan. */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val sup = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val v = t(spark, dir, "lineitem")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+    val tot = v.agg(sum(col("value_cents")).as("total"),
+      count(lit(1)).as("nparts"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value_cents") * col("nparts") > lit(2L) * col("total"))
+      .select("l_partkey", "value_cents")
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q16 shape (supplier-part count): NOT IN over the
+    * "complaint" suppliers planned as a broadcast LEFT ANTI join (keys
+    * are non-null on both sides, so NOT IN ≡ anti join), then
+    * count(DISTINCT supplier) per part attribute — Spark's two-phase
+    * distinct aggregate (partial distinct before the shuffle). The part
+    * filter (two <> plus an IN list) broadcasts onto the fact. */
+  def supplierPartCount(spark: SparkSession, dir: String): DataFrame = {
+    val excl = t(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = t(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    t(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "leftanti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 shape (excess suppliers): nested IN subqueries planned as
+    * semi-joins over a conditional aggregate — (part, supplier) pairs
+    * whose 1997 shipped quantity exceeds half their all-time quantity
+    * (the partsupp availability threshold re-expressed on lineitem,
+    * integer space: 2 * q97 > q_all), parts gated by a LIKE broadcast,
+    * suppliers by region. The supplier table LEFT SEMI joins the
+    * qualifying key set; nothing fact-sized leaves the first
+    * aggregate. */
+  def excessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val bolts = t(spark, dir, "part")
+      .filter(col("p_name").like("%bolt%")).select("p_partkey")
+    val pq = t(spark, dir, "lineitem")
+      .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity")).cast("long").as("sq_all"),
+        sum(when(year(col("l_shipdate")) === 1997, col("l_quantity"))
+          .otherwise(0.0)).cast("long").as("sq_97"))
+      .filter(lit(2L) * col("sq_97") > col("sq_all"))
+      .select("l_suppkey").distinct()
+    t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(pq, col("s_suppkey") === col("l_suppkey"), "leftsemi")
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
   private val windowTopkOracle: String =
     """WITH o AS (
       |  SELECT o_orderpriority, o_orderkey,
@@ -461,6 +710,121 @@ object AnalyticsQueries {
       |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-07-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue_cents
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "small_quantity_revenue" ->
+      """WITH pq AS (
+        |  SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS sq, count(*) AS cq
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'MEDIUM' GROUP BY 1)
+        |SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN pq USING (l_partkey)
+        |WHERE 5 * CAST(l_quantity AS BIGINT) * cq < sq""".stripMargin,
+    "min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |sup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |psr AS (SELECT * FROM ps JOIN sup ON l_suppkey = s_suppkey),
+        |minc AS (SELECT l_partkey AS mk, min(cost_cents) AS min_cost FROM psr GROUP BY 1)
+        |SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents, s_name, n_name,
+        |  p_partkey, p_brand, cost_cents
+        |FROM psr JOIN minc ON l_partkey = mk AND cost_cents = min_cost
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 30
+        |ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN sr.r_name = 'EUROPE'
+        |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS europe_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+        |WHERE p_type = 'PROMO' AND cr.r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    - CAST(round(l_quantity * p_retailprice * 10) AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY 1)
+        |SELECT l_partkey, value_cents FROM v
+        |WHERE value_cents * (SELECT count(*) FROM v) > 2 * (SELECT sum(value_cents) FROM v)
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+    "supplier_part_count" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "excess_suppliers" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM (
+        |      SELECT l_partkey, l_suppkey,
+        |        CAST(sum(l_quantity) AS BIGINT) AS sq_all,
+        |        CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN l_quantity ELSE 0 END) AS BIGINT) AS sq_97
+        |      FROM lineitem
+        |      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        |      GROUP BY 1, 2)
+        |    WHERE 2 * sq_97 > sq_all)
+        |ORDER BY s_suppkey""".stripMargin,
     "order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
@@ -666,6 +1030,16 @@ object AnalyticsQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forecast_revenue" -> (forecastRevenue _),
+    "customer_distribution" -> (customerDistribution _),
+    "top_supplier" -> (topSupplier _),
+    "small_quantity_revenue" -> (smallQuantityRevenue _),
+    "min_cost_supplier" -> (minCostSupplier _),
+    "market_share" -> (marketShare _),
+    "product_profit" -> (productProfit _),
+    "important_parts" -> (importantParts _),
+    "supplier_part_count" -> (supplierPartCount _),
+    "excess_suppliers" -> (excessSuppliers _),
     "order_priority" -> (orderPriority _),
     "volume_shipping" -> (volumeShipping _),
     "promo_revenue" -> (promoRevenue _),
