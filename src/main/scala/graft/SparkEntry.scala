@@ -67,6 +67,7 @@ object SparkEntry {
       ("sql_string_prune" -> (graft.queries.SqlCatalogQuery.runStringPrune _)) +
       ("spj_join" -> (graft.queries.SqlCatalogQuery.runSpjJoin _)) +
       ("spj_sorted_join" -> (graft.queries.SqlCatalogQuery.runSortedJoin _)) +
+      ("sql_topn" -> (graft.queries.SqlCatalogQuery.runTopN _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
 
@@ -125,6 +126,7 @@ object SparkEntry {
       ("sql_string_prune" -> graft.queries.SqlCatalogQuery.stringPruneOracle) +
       ("spj_join" -> graft.queries.SqlCatalogQuery.spjJoinOracle) +
       ("spj_sorted_join" -> graft.queries.SqlCatalogQuery.sortedJoinOracle) +
+      ("sql_topn" -> graft.queries.SqlCatalogQuery.topNOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
 }

@@ -731,6 +731,66 @@ object SqlCatalogQuery {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // -------- LIMIT / TopN pushdown (file truncation) ----------------------
+
+  private val topnCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** TopN pushdown as an oracle-checked query: orders land in three
+    * key-range commits (disjoint stamped bounds per commit), then
+    * `ORDER BY o_orderkey LIMIT 20` plans ONLY the files whose bounds
+    * can hold a top-20 row ([[graft.sources.ScanPruning.truncateForTopN]]
+    * via `SupportsPushDownTopN`) — asserted in-gate: planned partitions
+    * < data files. At 100 TB this is the "show me the first rows"
+    * browse query reading one file instead of the table. Partial
+    * pushdown: Spark's own TakeOrdered still runs, so the oracle hash
+    * match certifies the truncation dropped nothing it shouldn't. */
+  def runTopN(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(topnCatalogs, dir, spark, dir,
+        "gt", "sqltopn", "topn_li_unused") { name =>
+      spark.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("topn_orders")
+      spark.sql(
+        s"""CREATE TABLE $name.db.otop (
+           |  o_orderkey BIGINT, price_cents BIGINT)""".stripMargin)
+      def ins(where: String): Unit = spark.sql(
+        s"""INSERT INTO $name.db.otop
+           |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+           |FROM topn_orders WHERE $where""".stripMargin)
+      ins("o_orderkey <= 500")
+      ins("o_orderkey > 500 AND o_orderkey <= 1000")
+      ins("o_orderkey > 1000")
+    }
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val nFiles = graft.txn.FileTableCatalog.loadOrThrow(s"$wh/db/otop")
+      .files.count(_.content == "data")
+    val q = spark.sql(
+      s"SELECT o_orderkey, price_cents FROM $cat.db.otop " +
+        "ORDER BY o_orderkey LIMIT 20")
+    val rows = q.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(s.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val scans = flatten(q.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    require(scans.size == 1, q.queryExecution.toString)
+    val planned = scans.head.scan.toBatch.planInputPartitions().length
+    require(planned < nFiles,
+      s"pushed top-n must truncate the planned file set " +
+        s"($planned partitions vs $nFiles data files):\n${q.queryExecution}")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+  }
+
+  val topNOracle: String =
+    """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |FROM orders ORDER BY o_orderkey LIMIT 20""".stripMargin
+
   // -------- MERGE INTO (group-based copy-on-write) ----------------------
 
   private val mergeCatalogs =

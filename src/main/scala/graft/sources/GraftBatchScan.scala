@@ -513,13 +513,63 @@ final class GraftScanBuilder(
     changelog: Boolean = false
 ) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var requiredSchema: StructType = tableSchema
   private var includeFileColumn: Boolean = false
   private var includePosColumn: Boolean = false
   private var pushed: Array[sources.Filter] = Array.empty
   private var pushedAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var pushedLimitN: Int = -1
+  private var pushedTopNCol: Option[(String, Boolean)] = None // (col, descending)
+
+  /** LIMIT / TopN pushdown — PARTIAL always (Spark keeps its limit/sort
+    * on top; the scan only sheds provably-irrelevant FILES, per
+    * [[ScanPruning.truncateForLimit]] / [[ScanPruning.truncateForTopN]]).
+    * Spark only pushes a limit when nothing between it and the relation
+    * can drop rows, so no filter can invalidate the row guarantee; the
+    * `pushed.isEmpty` check is belt-and-braces (this builder keeps every
+    * filter residual, so a filtered query retains a Filter node and
+    * never reaches here). Truncation soundness is re-decided at plan
+    * time against the snapshot — accepting here only grants permission. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (cowOwner.nonEmpty || changelog || pushed.nonEmpty || limit <= 0) false
+    else { pushedLimitN = limit; true }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (cowOwner.nonEmpty || changelog || pushed.nonEmpty || limit <= 0 ||
+        orders.isEmpty) return false
+    // the LEADING key alone decides file relevance (strict inequality on
+    // it decides any longer lexicographic ordering); only the default
+    // null placements are sound for the truncation rules
+    val o = orders.head
+    val colName = o.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val desc = o.direction() == SortDirection.DESCENDING
+    val nullsOk =
+      (!desc && o.nullOrdering() == NullOrdering.NULLS_FIRST) ||
+        (desc && o.nullOrdering() == NullOrdering.NULLS_LAST)
+    val typeOk = colName.exists(c => tableSchema.fields.exists(f =>
+      f.name == c && (f.dataType match {
+        case LongType | IntegerType | ShortType | DateType => true
+        case d: DecimalType => d.precision <= 18
+        case _ => false
+      })))
+    if (nullsOk && typeOk) {
+      pushedTopNCol = Some((colName.get, desc)); pushedLimitN = limit; true
+    } else false
+  }
 
   /** Metadata-only COUNT(*)/MIN/MAX ([[MetadataAgg]]). Spark only
     * attempts aggregate pushdown when no post-scan filters remain —
@@ -660,7 +710,8 @@ final class GraftScanBuilder(
         asOfVersion, catalog, startingVersion, skipDeletes,
         includeFileColumn, cowOwner, splitTargetBytes, includePosColumn,
         vectorizedRead, equalityCandidates(pushed.toSeq), pushed.toSeq,
-        changelog = changelog)
+        changelog = changelog, pushedLimit = pushedLimitN,
+        pushedTopN = pushedTopNCol)
   }
 }
 
@@ -684,7 +735,14 @@ final class GraftScan(
     pushedSourceFilters: Seq[sources.Filter] = Nil,
     /** Streaming CDC mode ([[graft.streaming.ChangelogStream]]):
       * microbatches emit change rows; batch reads refuse. */
-    changelog: Boolean = false
+    changelog: Boolean = false,
+    /** Pushed `LIMIT n` (−1 = none): permission to plan only files whose
+      * guaranteed live rows cover n ([[ScanPruning.truncateForLimit]]).
+      * Partial pushdown — Spark's own limit still runs on top. */
+    pushedLimit: Int = -1,
+    /** Pushed `ORDER BY col [DESC] LIMIT n` leading key: file truncation
+      * by stamped bounds ([[ScanPruning.truncateForTopN]]). */
+    pushedTopN: Option[(String, Boolean)] = None
 ) extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -818,7 +876,7 @@ final class GraftScan(
   private lazy val cachedHist: Map[String, graft.txn.TableAnalyze.Hist] =
     graft.txn.TableAnalyze.exactHistograms(snap)
 
-  private lazy val prunedDataFiles: Seq[FileEntry] = {
+  private lazy val staticPrunedDataFiles: Seq[FileEntry] = {
     val data = snap.files.filter(_.content == "data")
     // transform-aware partition pruning first: name-parse only, no IO;
     // per-file spec resolution handles spec-evolved tables
@@ -847,6 +905,44 @@ final class GraftScan(
     if (isNullCols.isEmpty && isNotNullCols.isEmpty) strPruned
     else pruneGuarded(strPruned,
       ScanPruning.pruneDataFilesWithNullCounts(_, isNullCols, isNotNullCols))
+  }
+
+  /** True when NO delete (position / vector / later-sequence equality)
+    * can remove rows from `f` — the gate for counting its full
+    * `recordCount` toward a pushed-limit guarantee. */
+  private lazy val cleanOfDeletes: FileEntry => Boolean = {
+    val hasPos = snap.files.exists(_.content == "position-deletes")
+    val dvRefs = snap.files.filter(_.content == "deletion-vectors")
+      .flatMap(_.referencedDataFile).map(ScanPlanner.normalizePath).toSet
+    val eqs = snap.files.filter(_.content == "equality-deletes")
+    f =>
+      !hasPos && !dvRefs.contains(ScanPlanner.normalizePath(f.path)) &&
+        eqs.forall(e => e.sequenceNumber <= f.sequenceNumber ||
+          (snap.isCurrentSchema(e) && snap.isCurrentSchema(f) &&
+            !ScanPruning.eqDeleteMayApply(e, f)))
+  }
+
+  /** The planned file set: static pruning plus pushed LIMIT/TopN file
+    * truncation. The truncated set feeds EVERY consumer — partitioning
+    * and ordering reports, statistics, task planning — so the reports
+    * stay mutually consistent. Runtime join filters never co-occur with
+    * a pushed limit (Spark only pushes a limit when nothing between it
+    * and the relation can drop rows, and runtime filters come from a
+    * join above), but [[planInputPartitions]] still falls back to the
+    * untruncated set if any arrive — belt and braces. */
+  private lazy val prunedDataFiles: Seq[FileEntry] = {
+    val base = staticPrunedDataFiles
+    if (pushedLimit <= 0 || changelog || cowOwner.nonEmpty) base
+    else {
+      val truncated = pushedTopN match {
+        case Some((c, desc)) => ScanPruning.truncateForTopN(
+          base, c, desc, pushedLimit.toLong, cleanOfDeletes,
+          snap.isCurrentSchema)
+        case None => ScanPruning.truncateForLimit(
+          base, pushedLimit.toLong, cleanOfDeletes)
+      }
+      truncated.getOrElse(base)
+    }
   }
 
   /** Storage-partitioned-join surface: the clustering expressions plus
@@ -1215,9 +1311,17 @@ final class GraftScan(
       }
     val eqFiles = snap.files.filter(_.content == "equality-deletes")
       .sortBy(f => (f.sequenceNumber, f.path))
+    // runtime join filters remove ROWS from downstream, which would
+    // invalidate a pushed limit's row guarantee — structurally they
+    // never co-occur (see prunedDataFiles), but if any arrived, plan
+    // from the UNTRUNCATED set
+    val planBase =
+      if (runtimeInSets.isEmpty && runtimeEqCandidates.isEmpty &&
+          runtimePathSet.isEmpty) prunedDataFiles
+      else staticPrunedDataFiles
     val afterInSets1 =
-      if (runtimeInSets.isEmpty) prunedDataFiles
-      else pruneGuarded(prunedDataFiles,
+      if (runtimeInSets.isEmpty) planBase
+      else pruneGuarded(planBase,
         ScanPruning.pruneDataFilesWithInSets(_, runtimeInSets))
     // join-driven STRING key values prune by the stamped byte bounds —
     // the string half of runtime file skipping

@@ -372,6 +372,99 @@ object ScanPruning {
       }
     }
 
+  /** LIMIT-pushdown file truncation (`SupportsPushDownLimit`, partial):
+    * a bare `LIMIT n` may be served by ANY n live rows, so the scan can
+    * plan only a deterministic subset of files whose GUARANTEED live
+    * rows reach `limit` — at 100 TB a browse query reads one file
+    * instead of the table. A file's guarantee is its full `recordCount`
+    * when `clean(f)` proves no delete can touch it, else 0
+    * (conservative). Returns None — keep everything — when the
+    * guarantee never reaches `limit` or nothing would be dropped.
+    * SOUND only when no filter (pushed or residual) and no runtime
+    * join filter can remove rows downstream — the caller gates. */
+  def truncateForLimit(
+      data: Seq[FileEntry], limit: Long,
+      clean: FileEntry => Boolean): Option[Seq[FileEntry]] = {
+    // fewest files first: largest clean files, path tiebreak
+    val candidates = data.filter(f => clean(f) && f.recordCount > 0)
+      .sortBy(f => (-f.recordCount, f.path))
+    var acc = 0L
+    val kept = candidates.takeWhile { f =>
+      val more = acc < limit; acc += f.recordCount; more
+    }
+    if (acc >= limit && kept.size < data.size) Some(kept) else None
+  }
+
+  /** TopN-pushdown file truncation (`SupportsPushDownTopN`, partial):
+    * for `ORDER BY col [DESC] LIMIT n`, once `limit` live rows are
+    * GUARANTEED to rank strictly ahead of every row a file could hold,
+    * that file cannot contribute and is never read. Uses the per-file
+    * stamped bounds ([[FileEntry.bounds]] / unscaled
+    * [[FileEntry.decimalBounds]] — one totally ordered domain per
+    * column) and null counts:
+    *
+    *  - ascending (NULLS FIRST): accumulate clean files by min; all
+    *    their rows (nulls included — nulls rank first) rank ≤ M = the
+    *    max of the accumulated maxes. Drop files with min > M, but ONLY
+    *    when their stamped null count is exactly 0 — a null row would
+    *    rank ahead of everything.
+    *  - descending (NULLS LAST): accumulate clean files' NON-NULL rows
+    *    by max; they rank ≥ M = the min of the accumulated mins. Drop
+    *    files with max < M — their null rows rank behind the ≥ limit
+    *    guaranteed non-nulls, so they never matter.
+    *
+    * Ranking by the LEADING sort key alone is sound for any longer
+    * ordering: strict inequality on the first key decides the
+    * lexicographic order. Every file must be current-schema (stamp
+    * names may alias across schema versions) with stamped bounds on the
+    * column; otherwise None — keep everything. */
+  def truncateForTopN(
+      data: Seq[FileEntry], col: String, descending: Boolean, limit: Long,
+      clean: FileEntry => Boolean,
+      isCurrentSchema: FileEntry => Boolean): Option[Seq[FileEntry]] = {
+    def loHiOf(f: FileEntry): Option[(Long, Long)] =
+      FileEntry.loHi(f.bounds.getOrElse(col,
+        f.decimalBounds.getOrElse(col, Seq.empty)))
+    if (data.isEmpty ||
+        !data.forall(f => isCurrentSchema(f) && loHiOf(f).isDefined))
+      return None
+    val withB = data.map(f =>
+      (f, loHiOf(f).get, FileEntry.longAt(f.nullCounts, col)))
+    var acc = 0L
+    val kept: Seq[FileEntry] =
+      if (!descending) {
+        val sorted = withB.sortBy { case (f, (lo, _), _) => (lo, f.path) }
+        var m = Long.MinValue
+        var i = 0
+        while (i < sorted.length && acc < limit) {
+          val (f, (_, hi), _) = sorted(i)
+          if (clean(f)) { acc += f.recordCount; m = math.max(m, hi) }
+          i += 1
+        }
+        val bound = m
+        // drop iff provably past the guaranteed top AND null-free
+        withB.collect { case (f, (lo, _), nulls)
+          if lo <= bound || !nulls.contains(0L) => f }
+      } else {
+        val sorted = withB.sortBy { case (f, (_, hi), _) => (-hi, f.path) }
+        var m = Long.MaxValue
+        var i = 0
+        while (i < sorted.length && acc < limit) {
+          val (f, (lo, _), nulls) = sorted(i)
+          // non-null rows only — an unstamped null count contributes
+          // nothing to the guarantee (the file is still kept below)
+          if (clean(f) && nulls.isDefined) {
+            acc += math.max(0L, f.recordCount - nulls.get)
+            m = math.min(m, lo)
+          }
+          i += 1
+        }
+        val bound = m
+        withB.collect { case (f, (_, hi), _) if hi >= bound => f }
+      }
+    if (acc >= limit && kept.size < data.size) Some(kept) else None
+  }
+
   /** Columns constrained by top-level IS NULL / IS NOT NULL predicates
     * (conjunctions included; anything under OR is ignored —
     * conservative). Returns (isNullCols, isNotNullCols). */
