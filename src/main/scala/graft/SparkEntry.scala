@@ -49,6 +49,7 @@ object SparkEntry {
       ("cdc_changelog" -> (graft.queries.ChangelogQuery.run _)) +
       ("cdc_net_changes" -> (graft.queries.ChangelogQuery.runNet _)) +
       ("cdc_replicate" -> (graft.queries.ChangelogQuery.runReplicate _)) +
+      ("cdc_updates" -> (graft.queries.ChangelogQuery.runUpdates _)) +
       ("stream_changelog" -> (graft.queries.StreamTailQuery.runChangelog _)) +
       ("mv_incremental" -> (graft.queries.MaterializedViewQuery.run _)) +
       ("mv_rollup" -> (graft.queries.MaterializedViewQuery.runRollup _)) +
@@ -108,6 +109,7 @@ object SparkEntry {
       ("cdc_changelog" -> graft.queries.ChangelogQuery.oracle) +
       ("cdc_net_changes" -> graft.queries.ChangelogQuery.netOracle) +
       ("cdc_replicate" -> graft.queries.ChangelogQuery.replicateOracle) +
+      ("cdc_updates" -> graft.queries.ChangelogQuery.updatesOracle) +
       ("stream_changelog" -> graft.queries.StreamTailQuery.changelogOracle) +
       ("mv_incremental" -> graft.queries.MaterializedViewQuery.oracle) +
       ("mv_rollup" -> graft.queries.MaterializedViewQuery.rollupOracle) +

@@ -695,6 +695,27 @@ object AnalyticsQueries {
       .orderBy("s_suppkey")
   }
 
+  /** Time-series gap fill / resample ([[graft.operators.Resample]]):
+    * events bucketed to a 15-minute grid per event type, densified to
+    * one row per (type, bucket) across each type's own [min, max] —
+    * counts zero-filled, the revenue level carried forward (LOCF). The
+    * grid is a distributed `sequence()` explode (O(output), no driver
+    * loop); the LOCF window parallelizes per key. */
+  def eventsResample(spark: SparkSession, dir: String): DataFrame = {
+    val step = 900L
+    val agg = graft.sources.NanosParquet.readEvents(spark, dir)
+      .groupBy(col("event_type"),
+        (expr("(ts div 1000000000)").cast("long") / step).cast("long")
+          .*(step).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("sum_cents"))
+    graft.operators.Resample.gapFill(agg, Seq("event_type"), "bucket",
+        step, zeroFill = Seq("n_events"), locf = Seq("sum_cents"))
+      .select(col("event_type"), col("bucket"), col("n_events"),
+        col("sum_cents").as("locf_sum_cents"), col("gap"))
+      .orderBy("event_type", "bucket")
+  }
+
   private val windowTopkOracle: String =
     """WITH o AS (
       |  SELECT o_orderpriority, o_orderkey,
@@ -710,6 +731,26 @@ object AnalyticsQueries {
       |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_resample" ->
+      """WITH agg AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 1000000 // 900) * 900 AS bucket,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |        FROM agg GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |           unnest(range(lo, hi + 900, 900)) AS bucket FROM rng),
+        |j AS (SELECT g.event_type, g.bucket, a.n, a.s
+        |      FROM grid g LEFT JOIN agg a USING (event_type, bucket))
+        |SELECT event_type, bucket,
+        |  coalesce(n, 0) AS n_events,
+        |  last_value(s IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum_cents,
+        |  s IS NULL AS gap
+        |FROM j ORDER BY 1, 2""".stripMargin,
     "forecast_revenue" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  count(*) AS n_lines
@@ -1030,6 +1071,7 @@ object AnalyticsQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_resample" -> (eventsResample _),
     "forecast_revenue" -> (forecastRevenue _),
     "customer_distribution" -> (customerDistribution _),
     "top_supplier" -> (topSupplier _),

@@ -130,6 +130,80 @@ object ChangelogQuery {
        |ORDER BY interval, $cols, change_type, change_count""".stripMargin
   }
 
+  // -------- update pairing (compute_updates) ----------------------------
+
+  private val updateTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Update-paired CDC ([[TableReader.changelogUpdates]]): one upsert
+    * commit that mixes every change species —
+    *
+    *   - keys %10==1 get NEW values → `update_preimage`/`update_postimage`
+    *     pairs (the delete+insert of one key in one commit re-typed);
+    *   - keys %10==2 are rewritten IDENTICALLY → carry-overs, dropped
+    *     entirely (the upsert noise Iceberg's compute_updates removes);
+    *   - keys %10==3 spawn brand-new keys → plain inserts;
+    *   - keys %10==4 are CDC-deleted → plain deletes;
+    *
+    * against the base append's plain inserts at v2. The hash-match
+    * certifies the pairing, the carry-over removal, and that nothing
+    * else was touched. */
+  def runUpdates(spark: SparkSession, dir: String): DataFrame = {
+    val tableDir = updateTables.computeIfAbsent(dir, _ => {
+      val td = Files.createTempDirectory("graft-cdc-upd").toString
+      val base = spark.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      TableMetadata.commit(td, TableSnapshot(1, 1, 0, Nil))
+      TableWrites.appendData(td, base) // v2
+      val updated = base.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderpriority", lit("UPDATED"))
+        .withColumn("price_cents", col("price_cents") + 5L)
+      val carryover = base.filter(col("o_orderkey") % 10 === 2)
+      val fresh = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      TableWrites.upsert(td, // v3
+        updated.unionByName(carryover).unionByName(fresh),
+        keyCols = Seq("o_orderkey"),
+        deleteKeys = Some(base.filter(col("o_orderkey") % 10 === 4)
+          .select("o_orderkey")))
+      require(TableMetadata.loadOrThrow(td).version == 3,
+        "fixture drifted: the upsert commit should be v3")
+      td
+    })
+    val cols = Seq("o_orderkey", "o_orderpriority", "price_cents",
+      "change_type", "commit_version")
+    TableReader.changelogUpdates(spark, tableDir, fromVersion = 1,
+        toVersion = 3, identifierColumns = Seq("o_orderkey"))
+      .withColumnRenamed("_change_type", "change_type")
+      .withColumnRenamed("_commit_version", "commit_version")
+      .select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*)
+  }
+
+  val updatesOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders),
+      |ch AS (
+      |  SELECT o_orderkey, o_orderpriority, price_cents,
+      |    'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version
+      |  FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, price_cents,
+      |    'update_preimage', 3 FROM base WHERE o_orderkey % 10 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, 'UPDATED', price_cents + 5,
+      |    'update_postimage', 3 FROM base WHERE o_orderkey % 10 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_orderpriority, price_cents,
+      |    'insert', 3 FROM base WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, price_cents,
+      |    'delete', 3 FROM base WHERE o_orderkey % 10 = 4)
+      |SELECT * FROM ch ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
   private val replicaDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -564,6 +564,63 @@ object TableReader {
       .drop("_net")
   }
 
+  /** [[changelog]] with UPDATE PAIRING (the Iceberg changelog-view
+    * `compute_updates` shape): inside one commit, a delete and an
+    * insert sharing the same identifier-column tuple are one logical
+    * UPDATE — re-typed `update_preimage` / `update_postimage` — and a
+    * pair whose FULL rows are identical is a carry-over (e.g. an upsert
+    * rewriting an unchanged row) and is dropped entirely. Everything
+    * else stays a plain `insert`/`delete`.
+    *
+    * Pairing applies only when the key has EXACTLY one delete and one
+    * insert in the commit — with duplicate keys on either side there is
+    * no deterministic pre→post correspondence, so the rows honestly
+    * stay unpaired rather than guessing.
+    *
+    * Cost: the changelog itself plus ONE shuffle on
+    * (identifiers, commit) — the three window aggregates below share a
+    * single window spec, so Spark plans one exchange + one sort over
+    * the changed rows only. */
+  def changelogUpdates(
+      spark: SparkSession,
+      tableDir: String,
+      fromVersion: Long,
+      toVersion: Long,
+      identifierColumns: Seq[String],
+      catalog: TableCatalog = FileTableCatalog
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(identifierColumns.nonEmpty,
+      "changelogUpdates needs identifier columns (the UPDATE key)")
+    val ch = changelog(spark, tableDir, fromVersion, toVersion, catalog)
+    identifierColumns.foreach(c => require(ch.columns.contains(c),
+      s"identifier column '$c' not in the changelog output " +
+        s"(${ch.columns.mkString(", ")})"))
+    val dataCols = ch.columns.toSeq
+      .filterNot(c => c == "_change_type" || c == "_commit_version")
+    val w = Window.partitionBy(
+      (identifierColumns :+ "_commit_version").map(col): _*)
+    val isDel = col("_change_type") === "delete"
+    val isIns = col("_change_type") === "insert"
+    val row = struct(dataCols.map(col): _*)
+    ch
+      .withColumn("__d", sum(when(isDel, 1L).otherwise(0L)).over(w))
+      .withColumn("__i", sum(when(isIns, 1L).otherwise(0L)).over(w))
+      // each side's full row, visible to the other for the carry-over
+      // test (defined only in the paired 1:1 case, which is when read)
+      .withColumn("__drow", max(when(isDel, row)).over(w))
+      .withColumn("__irow", max(when(isIns, row)).over(w))
+      .withColumn("__paired", col("__d") === 1L && col("__i") === 1L)
+      // carry-over: the pre-image equals the post-image on EVERY column
+      .filter(!(col("__paired") && col("__drow") <=> col("__irow")))
+      .withColumn("_change_type",
+        when(col("__paired") && isDel, lit("update_preimage"))
+          .when(col("__paired") && isIns, lit("update_postimage"))
+          .otherwise(col("_change_type")))
+      .drop("__d", "__i", "__drow", "__irow", "__paired")
+  }
+
   /** unionByName(allowMissing) over `dfs` as a balanced tree (depth
     * O(log n) instead of the linear fold's O(n)). */
   private def balancedUnion(dfs: Seq[DataFrame]): DataFrame =

@@ -133,6 +133,53 @@ class ChangelogSpec extends AnyFunSuite {
     }
   }
 
+  test("changelogUpdates pairs one-delete+one-insert per key per commit " +
+      "into update pre/post images; identical pairs (carry-overs) drop; " +
+      "duplicate keys stay honestly unpaired") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-chlog-upd").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    // v2: ids 0-5 with value = id*10
+    TableWrites.appendData(dir,
+      (0L to 5L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1))
+    // v3 upsert: id 1 -> new value (update pair); id 2 -> identical
+    // (carry-over); id 9 -> brand new (insert); delete id 3
+    TableWrites.upsert(dir,
+      Seq((1L, 111L), (2L, 20L), (9L, 90L)).toDF("id", "v"),
+      keyCols = Seq("id"),
+      deleteKeys = Some(Seq(3L).toDF("id")))
+    val got = TableReader.changelogUpdates(spark, dir, 1, 3, Seq("id"))
+      .collect().map(r => (r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("v")),
+        r.getString(r.fieldIndex("_change_type")),
+        r.getLong(r.fieldIndex("_commit_version")))).toSet
+    val baseInserts = (0L to 5L).map(i => (i, i * 10L, "insert", 2L)).toSet
+    assert(got == baseInserts ++ Set(
+      (1L, 10L, "update_preimage", 3L),
+      (1L, 111L, "update_postimage", 3L),
+      (9L, 90L, "insert", 3L),
+      (3L, 30L, "delete", 3L)),
+      s"carry-over id 2 must vanish; got $got")
+
+    // duplicate inserts of one key in one commit: no deterministic
+    // pre->post correspondence -> rows stay plain insert/delete
+    val dir2 = Files.createTempDirectory("graft-chlog-upd2").toString
+    TableMetadata.commit(dir2, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir2, Seq((1L, 10L)).toDF("id", "v").coalesce(1))
+    // one upsert commit carrying TWO rows for id 1 (allowed — both
+    // survive): changelog shows 1 delete + 2 inserts for the key
+    TableWrites.upsert(dir2,
+      Seq((1L, 11L), (1L, 12L)).toDF("id", "v"), keyCols = Seq("id"))
+    val got2 = TableReader.changelogUpdates(spark, dir2, 1,
+        TableMetadata.loadOrThrow(dir2).version, Seq("id"))
+      .collect().map(r => (r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("v")),
+        r.getString(r.fieldIndex("_change_type")))).toSet
+    assert(got2.collect { case (_, _, t) => t } ==
+      Set("insert", "delete"),
+      s"ambiguous multi-row key must not be re-typed, got $got2")
+  }
+
   test("a 200-commit append history plans SUBLINEARLY many nodes " +
     "(consecutive appends fold into one scan)") {
     import spark.implicits._
