@@ -63,6 +63,7 @@ object SparkEntry {
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
       ("sql_agg_meta" -> (graft.queries.SqlCatalogQuery.runAggMeta _)) +
+      ("sql_agg_meta_group" -> (graft.queries.SqlCatalogQuery.runAggMetaGroup _)) +
       ("sql_write_order" -> (graft.queries.SqlCatalogQuery.runWriteOrder _)) +
       ("sql_dv" -> (graft.queries.SqlCatalogQuery.runDv _)) +
       ("sql_string_prune" -> (graft.queries.SqlCatalogQuery.runStringPrune _)) +
@@ -123,6 +124,7 @@ object SparkEntry {
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +
       ("sql_agg_meta" -> graft.queries.SqlCatalogQuery.aggMetaOracle) +
+      ("sql_agg_meta_group" -> graft.queries.SqlCatalogQuery.aggMetaGroupOracle) +
       ("sql_write_order" -> graft.queries.SqlCatalogQuery.writeOrderOracle) +
       ("sql_dv" -> graft.queries.SqlCatalogQuery.dvOracle) +
       ("sql_string_prune" -> graft.queries.SqlCatalogQuery.stringPruneOracle) +

@@ -1164,6 +1164,47 @@ object SqlCatalogQuery {
          |ORDER BY part""".stripMargin)
   }
 
+  private val aggGroupCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** GROUP BY over an identity partition column served entirely from
+    * snapshot metadata ([[graft.sources.MetadataAgg]] grouped path):
+    * lineitem lands PARTITIONED BY (l_linenumber), then per-partition
+    * COUNT(*) / COUNT(nullable col) / MIN / MAX collapse to a
+    * driver-side LocalTableScan — asserted in-gate (no BatchScan in the
+    * executed plan). At 100 TB, "rows per day" over a day-partitioned
+    * table is a metadata lookup, not a cluster scan. */
+  def runAggMetaGroup(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(aggGroupCatalogs, dir, spark, dir,
+        "gg", "sqlagg-grp", "li_agg_grp") { name =>
+      spark.sql(
+        s"""CREATE TABLE $name.db.amg (
+           |  l_orderkey BIGINT, l_linenumber INT, l_pk3 BIGINT)
+           |PARTITIONED BY (l_linenumber)""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.amg
+           |SELECT l_orderkey, l_linenumber,
+           |  CASE WHEN l_suppkey % 3 = 0 THEN l_partkey END AS l_pk3
+           |FROM li_agg_grp""".stripMargin)
+    }
+    val q = spark.sql(
+      s"""SELECT l_linenumber, count(*) AS cnt, count(l_pk3) AS cp,
+         |  min(l_orderkey) AS mn, max(l_orderkey) AS mx
+         |FROM $cat.db.amg GROUP BY l_linenumber
+         |ORDER BY l_linenumber""".stripMargin)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"grouped metadata aggregate must plan as a LocalTableScan:\n$plan")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+  }
+
+  val aggMetaGroupOracle: String =
+    """SELECT l_linenumber, count(*) AS cnt,
+      |  count(CASE WHEN l_suppkey % 3 = 0 THEN l_partkey END) AS cp,
+      |  min(l_orderkey) AS mn, max(l_orderkey) AS mx
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val aggMetaOracle: String =
     """SELECT 'all' AS part, count(*) AS cnt,
       |  count(CASE WHEN l_linenumber % 3 = 0 THEN l_partkey END) AS cp,

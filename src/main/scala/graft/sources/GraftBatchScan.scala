@@ -521,7 +521,7 @@ final class GraftScanBuilder(
   private var includeFileColumn: Boolean = false
   private var includePosColumn: Boolean = false
   private var pushed: Array[sources.Filter] = Array.empty
-  private var pushedAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var pushedAgg: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
   private var pushedLimitN: Int = -1
   private var pushedTopNCol: Option[(String, Boolean)] = None // (col, descending)
 
@@ -580,7 +580,7 @@ final class GraftScanBuilder(
     * per aggregation, so last-call-wins is safe. */
   private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+      : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] =
     // changelog mode: a metadata COUNT would count LIVE rows, not
     // change rows — fall through to the (refusing) batch path instead
     if (cowOwner.nonEmpty || pushed.nonEmpty || changelog) None
@@ -704,7 +704,7 @@ final class GraftScanBuilder(
   }
 
   override def build(): Scan = pushedAgg match {
-    case Some((schema, row)) => new GraftAggScan(schema, row, tableDir)
+    case Some((schema, rows)) => new GraftAggScan(schema, rows, tableDir)
     case None =>
       new GraftScan(tableDir, tableSchema, requiredSchema, boundsOf(pushed.toSeq),
         asOfVersion, catalog, startingVersion, skipDeletes,

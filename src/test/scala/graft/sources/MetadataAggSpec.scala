@@ -91,11 +91,84 @@ class MetadataAggSpec extends AnyFunSuite {
     assert(mn == BigDecimal("1.50") && mx == BigDecimal("75.00"))
   }
 
-  test("group-by falls back") {
+  test("group-by over a NON-partition column falls back") {
     val dir = mkTable()
     val q = dsv2(dir).groupBy("g").agg(count(lit(1)))
     assert(!isLocal(q))
     assert(q.count() == 8L)
+  }
+
+  private lazy val catSpark = {
+    val s = spark
+    val wh = Files.createTempDirectory("agg-meta-cat").toString
+    s.conf.set("spark.sql.catalog.gma",
+      classOf[graft.sql.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gma.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gma.db")
+    s
+  }
+
+  test("GROUP BY an identity partition column answers from metadata " +
+      "(partition-pure files), NULL partition included") {
+    val s = catSpark
+    s.sql("""CREATE TABLE gma.db.pt (id BIGINT, g BIGINT, t STRING)
+            |PARTITIONED BY (g)""".stripMargin)
+    s.sql("""INSERT INTO gma.db.pt
+            |SELECT id, CASE WHEN id >= 90 THEN NULL ELSE id % 3 END,
+            |  CASE WHEN id % 4 = 0 THEN NULL ELSE concat('t', id) END
+            |FROM range(0, 100)""".stripMargin)
+    val q = s.sql(
+      """SELECT g, count(*) AS c, min(id) AS mn, max(id) AS mx,
+        |  count(t) AS ct
+        |FROM gma.db.pt GROUP BY g ORDER BY g""".stripMargin)
+    assert(isLocal(q), s"expected LocalTableScan:\n${q.queryExecution.executedPlan}")
+    val got = q.collect().map(r => (
+      if (r.isNullAt(0)) -1L else r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // expected, computed independently: ids 0..89 by id%3, 90..99 null
+    def ct(ids: Seq[Long]) = ids.count(_ % 4 != 0).toLong
+    val g0 = (0L until 90L).filter(_ % 3 == 0)
+    val g1 = (0L until 90L).filter(_ % 3 == 1)
+    val g2 = (0L until 90L).filter(_ % 3 == 2)
+    val gn = (90L until 100L)
+    assert(got.toSeq == Seq(
+      (-1L, 10L, 90L, 99L, ct(gn)),
+      (0L, 30L, 0L, 87L, ct(g0)),
+      (1L, 30L, 1L, 88L, ct(g1)),
+      (2L, 30L, 2L, 89L, ct(g2))))
+    // a second commit into the same partitions still answers (several
+    // files per group)
+    s.sql("INSERT INTO gma.db.pt SELECT id, id % 3, 'x' FROM range(200, 206)")
+    val q2 = s.sql("SELECT g, count(*) AS c FROM gma.db.pt GROUP BY g ORDER BY g")
+    assert(isLocal(q2))
+    assert(q2.collect().map(r => r.getLong(1)).toSeq == Seq(10L, 32L, 32L, 32L))
+    // a delete refuses the shortcut, values stay exact
+    s.sql("DELETE FROM gma.db.pt WHERE id = 205")
+    val q3 = s.sql("SELECT g, count(*) AS c FROM gma.db.pt GROUP BY g ORDER BY g")
+    assert(!isLocal(q3))
+    assert(q3.collect().map(r => r.getLong(1)).toSeq == Seq(10L, 32L, 31L, 32L))
+  }
+
+  test("GROUP BY a STRING partition column refuses (path rendering is " +
+      "lossy) — the real scan answers") {
+    val s = catSpark
+    s.sql("""CREATE TABLE gma.db.ps (id BIGINT, k STRING)
+            |PARTITIONED BY (k)""".stripMargin)
+    s.sql("INSERT INTO gma.db.ps SELECT id, concat('k', id % 2) FROM range(0, 10)")
+    val q = s.sql("SELECT k, count(*) FROM gma.db.ps GROUP BY k ORDER BY k")
+    assert(!isLocal(q))
+    assert(q.collect().map(_.getLong(1)).toSeq == Seq(5L, 5L))
+  }
+
+  test("GROUP BY a bucket-partitioned source column refuses (files are " +
+      "not partition-pure by VALUE)") {
+    val s = catSpark
+    s.sql("""CREATE TABLE gma.db.pb (id BIGINT, v BIGINT)
+            |PARTITIONED BY (bucket(4, id))""".stripMargin)
+    s.sql("INSERT INTO gma.db.pb SELECT id, id FROM range(0, 20)")
+    val q = s.sql("SELECT id, count(*) FROM gma.db.pb GROUP BY id")
+    assert(!isLocal(q))
+    assert(q.count() == 20L)
   }
 
   test("single-file table answers exactly") {
