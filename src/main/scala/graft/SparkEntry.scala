@@ -51,6 +51,7 @@ object SparkEntry {
       ("cdc_replicate" -> (graft.queries.ChangelogQuery.runReplicate _)) +
       ("cdc_updates" -> (graft.queries.ChangelogQuery.runUpdates _)) +
       ("stream_changelog" -> (graft.queries.StreamTailQuery.runChangelog _)) +
+      ("stream_autocompact" -> (graft.queries.AutoCompactQuery.run _)) +
       ("mv_incremental" -> (graft.queries.MaterializedViewQuery.run _)) +
       ("mv_rollup" -> (graft.queries.MaterializedViewQuery.runRollup _)) +
       ("mv_avg" -> (graft.queries.MaterializedViewQuery.runAvg _)) +
@@ -112,6 +113,7 @@ object SparkEntry {
       ("cdc_replicate" -> graft.queries.ChangelogQuery.replicateOracle) +
       ("cdc_updates" -> graft.queries.ChangelogQuery.updatesOracle) +
       ("stream_changelog" -> graft.queries.StreamTailQuery.changelogOracle) +
+      ("stream_autocompact" -> graft.queries.AutoCompactQuery.oracle) +
       ("mv_incremental" -> graft.queries.MaterializedViewQuery.oracle) +
       ("mv_rollup" -> graft.queries.MaterializedViewQuery.rollupOracle) +
       ("mv_avg" -> graft.queries.MaterializedViewQuery.avgOracle) +

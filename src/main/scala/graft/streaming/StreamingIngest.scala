@@ -190,4 +190,61 @@ object StreamingIngest {
     * batch — observable so specs/probes can attribute per-batch cost. */
   private[graft] val lastBatchPhaseNanos =
     new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
+
+  /** AUTO-COMPACTION: wrap any foreachBatch sink so the small-file
+    * backlog a streaming writer necessarily produces (one-plus files per
+    * batch) is folded back to target-size files WITHOUT a scheduler —
+    * after each committed batch, if the snapshot holds at least
+    * `maxSmallFiles` data files below the incremental cutoff
+    * (`targetFileSizeBytes * smallFileFactor`), an INCREMENTAL
+    * compaction runs: only the backlog rewrites, full-size files are
+    * never touched, so trigger cost is ∝ the backlog, not the table.
+    *
+    * Semantics:
+    *  - the check runs AFTER the inner commit, inline in the batch
+    *    callback — foreachBatch is sequential per query, so compaction
+    *    never races this writer's own next batch, and ingestion
+    *    naturally backpressures while maintenance runs (a production
+    *    deployment that prefers ingest latency over file count can run
+    *    the same trigger from a separate maintenance job — the CAS
+    *    commit protocol already tolerates concurrent compactors);
+    *  - a compaction failure is swallowed: the backlog stays and the
+    *    next batch re-triggers — files are never lost, the table is
+    *    never wrong;
+    *  - a replayed batch commits nothing and cannot re-trigger (the
+    *    threshold re-evaluates against the unchanged snapshot — if it
+    *    fires, there was genuinely a backlog).
+    */
+  def withAutoCompaction(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      inner: (DataFrame, Long) => Unit,
+      maxSmallFiles: Int = 16,
+      config: CompactionConfig = CompactionConfig(
+        compactionType = CompactionType.Incremental()),
+      catalog: TableCatalog = FileTableCatalog
+  ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    require(maxSmallFiles > 0, "maxSmallFiles must be > 0")
+    inner(batch, batchId)
+    val cutoff = (config.compactionType match {
+      case CompactionType.Incremental(f) => config.targetFileSizeBytes * f
+      case _ => config.targetFileSizeBytes * 0.75
+    }).toLong
+    val backlog = catalog.load(tableDir).toSeq.flatMap(_.files)
+      .count(f => f.content == "data" && f.sizeBytes < cutoff)
+    if (backlog >= maxSmallFiles) {
+      try {
+        graft.compaction.Compaction.builder()
+          .withSpark(spark).withTableDir(tableDir)
+          .withConfig(config).withCatalog(catalog)
+          .build().compact()
+        lastAutoCompactions.incrementAndGet()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Count of auto-compactions triggered by [[withAutoCompaction]] in
+    * this JVM — observable so specs can assert trigger behavior. */
+  private[graft] val lastAutoCompactions =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }
