@@ -113,6 +113,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           lit2Long(args(2), "toVersion"))
           .queryExecution.logical))
 
+    // NET changes in SQL — intra-interval churn cancelled per row value:
+    //   SELECT * FROM graft_net_changes('/path/to/table', 3, 7)
+    ext.injectTableFunction((FunctionIdentifier("graft_net_changes"),
+      info("graft_net_changes",
+        "graft_net_changes(tableDir, fromVersion, toVersion) - " +
+          "netted change rows (endpoint multiset diff at changelog cost)"),
+      (args: Seq[Expression]) =>
+        graft.sources.TableReader.netChangelog(
+          org.apache.spark.sql.SparkSession.active,
+          lit2Str(args.head, "tableDir"),
+          lit2Long(args(1), "fromVersion"),
+          lit2Long(args(2), "toVersion"))
+          .queryExecution.logical))
+
+    // UPDATE-paired changes in SQL (Iceberg compute_updates shape):
+    //   SELECT * FROM graft_updates('/t', 3, 7, 'id')         -- one key
+    //   SELECT * FROM graft_updates('/t', 3, 7, 'id,region')  -- composite
+    ext.injectTableFunction((FunctionIdentifier("graft_updates"),
+      info("graft_updates",
+        "graft_updates(tableDir, fromVersion, toVersion, identifierCols) - " +
+          "change rows with delete+insert pairs re-typed update_pre/postimage"),
+      (args: Seq[Expression]) =>
+        graft.sources.TableReader.changelogUpdates(
+          org.apache.spark.sql.SparkSession.active,
+          lit2Str(args.head, "tableDir"),
+          lit2Long(args(1), "fromVersion"),
+          lit2Long(args(2), "toVersion"),
+          lit2Str(args(3), "identifierCols").split(",").map(_.trim).toSeq
+            .filter(_.nonEmpty))
+          .queryExecution.logical))
+
     ext.injectTableFunction((FunctionIdentifier("graft_table"),
       info("graft_table",
         "graft_table(tableDir[, asOfVersion]) - merge-on-read rows of a graft table"),

@@ -95,4 +95,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("string literal"))
   }
+
+  test("graft_net_changes and graft_updates TVFs: SQL CDC surface") {
+    import graft.txn.{FileTableCatalog, TableSnapshot, TableWrites}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf-cdc").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    // v2: ids 1-3; v3 upsert: id 1 updated, id 2 carry-over, id 9 new
+    TableWrites.appendData(dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    TableWrites.upsert(dir,
+      Seq((1L, "A"), (2L, "b"), (9L, "z")).toDF("id", "v"),
+      keyCols = Seq("id"))
+
+    // net from the EMPTY bootstrap: churn cancels per row value — the
+    // (1,"a") insert+delete nets away entirely, leaving exactly the
+    // final live state as inserts
+    val net = spark.sql(
+      s"""SELECT id, v, _change_type FROM graft_net_changes('$dir', 1, 3)
+         |ORDER BY id, v, _change_type""".stripMargin)
+      .as[(Long, String, String)].collect().toSeq
+    assert(net == Seq((1L, "A", "insert"), (2L, "b", "insert"),
+      (3L, "c", "insert"), (9L, "z", "insert")))
+    // ...while the tail interval (v2 onward) shows both directions
+    val tail = spark.sql(
+      s"""SELECT id, v, _change_type FROM graft_net_changes('$dir', 2, 3)
+         |ORDER BY id, v, _change_type""".stripMargin)
+      .as[(Long, String, String)].collect().toSeq
+    assert(tail == Seq((1L, "A", "insert"), (1L, "a", "delete"),
+      (9L, "z", "insert")))
+
+    // updates: id 1 re-types to a pre/post pair, carry-over id 2 drops
+    val upd = spark.sql(
+      s"""SELECT id, v, _change_type FROM graft_updates('$dir', 1, 3, 'id')
+         |WHERE _commit_version = 3 ORDER BY id, v""".stripMargin)
+      .as[(Long, String, String)].collect().toSeq
+    assert(upd == Seq((1L, "A", "update_postimage"),
+      (1L, "a", "update_preimage"), (9L, "z", "insert")))
+  }
 }
