@@ -247,4 +247,47 @@ object StreamingIngest {
     * this JVM — observable so specs can assert trigger behavior. */
   private[graft] val lastAutoCompactions =
     new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** AUTO SNAPSHOT EXPIRATION: wrap any foreachBatch sink so a
+    * continuously-ingesting table's version history stays bounded
+    * without a scheduler — after each committed batch, once more than
+    * `keepLast` versions have accumulated past the trigger slack, the
+    * standard expiration runs ([[CommitManager.expireSnapshots]]: tag /
+    * branch / WAP / MV-marker targets always survive; `olderThanMs`
+    * composes as an age floor). The slack (`keepLast` again) batches
+    * expirations so the maintenance commit isn't paid every batch.
+    *
+    * CAUTION — the same trade as any expiration: lagging changelog /
+    * streaming consumers whose checkpoint falls behind `keepLast`
+    * batches must resync ([[graft.sources.TableReader.changelog]]
+    * documents the recovery recipe). Pair a generous `keepLast` with
+    * consumer SLAs, exactly as with a scheduled expire job. Failure is
+    * swallowed: history merely grows until the next trigger. */
+  def withAutoExpire(
+      tableDir: String,
+      inner: (DataFrame, Long) => Unit,
+      keepLast: Int = 50,
+      olderThanMs: Long = -1L,
+      retry: RetryConfig = RetryConfig(),
+      catalog: TableCatalog = FileTableCatalog
+  ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    require(keepLast >= 1, "keepLast must be >= 1")
+    inner(batch, batchId)
+    try {
+      val retained = for {
+        cur <- catalog.load(tableDir)
+        earliest <- graft.sources.TableReader.earliestVersion(tableDir, catalog)
+      } yield cur.version - earliest + 1
+      if (retained.exists(_ > 2L * keepLast)) {
+        new CommitManager(tableDir, retry, catalog = catalog)
+          .expireSnapshots(keepLast = keepLast, olderThanMs = olderThanMs)
+        lastAutoExpirations.incrementAndGet()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Count of auto-expirations triggered by [[withAutoExpire]] in this
+    * JVM — observable so specs can assert trigger behavior. */
+  private[graft] val lastAutoExpirations =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }

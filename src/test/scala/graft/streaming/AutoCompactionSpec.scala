@@ -66,4 +66,27 @@ class AutoCompactionSpec extends AnyFunSuite {
     if (dataFiles(dir).size < 6)
       assert(StreamingIngest.lastAutoCompactions.get() == after)
   }
+
+  test("withAutoExpire bounds the retained history with trigger slack; " +
+      "data stays exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-autoexpire").toString
+    val sink = StreamingIngest.withAutoExpire(
+      dir,
+      inner = StreamingIngest.batchWriter(dir, schemaId = 1,
+        config = CompactionConfig(targetPartitions = 1)),
+      keepLast = 4)
+    val before = StreamingIngest.lastAutoExpirations.get()
+    (0 until 16).foreach { b =>
+      sink(Seq(b.toLong).toDF("id"), b.toLong)
+    }
+    assert(StreamingIngest.lastAutoExpirations.get() > before)
+    val versions = FileTableCatalog.versions(dir)
+    // trigger fires past 2x keepLast, then trims to keepLast — so the
+    // retained window stays within (keepLast, 2x keepLast]
+    assert(versions.size <= 8,
+      s"history must stay bounded, got ${versions.size} versions")
+    assert(spark.read.format("graft").load(dir).as[Long].collect().sorted
+      .toSeq == (0L until 16L))
+  }
 }
