@@ -60,6 +60,7 @@ object SparkEntry {
       ("mv_minmax" -> (graft.queries.MaterializedViewQuery.runMinMax _)) +
       ("mv_join" -> (graft.queries.MaterializedViewQuery.runStar _)) +
       ("mv_join_rewrite" -> (graft.queries.MaterializedViewQuery.runStarRewrite _)) +
+      ("mv_join_live" -> (graft.queries.MaterializedViewQuery.runLiveJoin _)) +
       ("sql_bloom" -> (graft.queries.SqlCatalogQuery.runBloom _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
@@ -122,6 +123,7 @@ object SparkEntry {
       ("mv_minmax" -> graft.queries.MaterializedViewQuery.minMaxOracle) +
       ("mv_join" -> graft.queries.MaterializedViewQuery.starOracle) +
       ("mv_join_rewrite" -> graft.queries.MaterializedViewQuery.starRewriteOracle) +
+      ("mv_join_live" -> graft.queries.MaterializedViewQuery.liveJoinOracle) +
       ("sql_bloom" -> graft.queries.SqlCatalogQuery.bloomOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +

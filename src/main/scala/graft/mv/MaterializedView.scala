@@ -162,8 +162,24 @@ object MaterializedView {
     * slowly-changing dimensions. */
   final case class Dim(dir: String, factKeys: Seq[String],
       dimKeys: Seq[String], version: Long = 0L)
+
+  /** LIVE-LIVE JOIN view: the aggregate maintains `source ⋈ right`
+    * where BOTH tables keep changing — no pin. Refresh applies the
+    * bilinear delta rule
+    * `Δ(A⋈B) = ΔA ⋈ B@old  +  A@new ⋈ ΔB` (signed), each term a
+    * changelog joined against the OTHER side's snapshot via time travel,
+    * so refresh cost is ∝ changed rows × their matches, never either
+    * table. sum/count only (retractable); min/max needs the pinned-dim
+    * star form, where deleted-from groups can be recomputed against a
+    * stable enrichment. */
+  final case class LiveJoin(dir: String, leftKeys: Seq[String],
+      rightKeys: Seq[String])
   final case class Spec(group: Seq[String], aggs: Seq[Agg],
-      dim: Option[Dim] = None)
+      dim: Option[Dim] = None, join: Option[LiveJoin] = None)
+
+  /** Right-side refresh marker of a [[LiveJoin]] view (the left side
+    * uses [[RefreshedVersionProp]], like every other view). */
+  val Refreshed2Prop = "graft.mv.refreshed-version-2"
 
   /** The tag name [[create]] stamps on the dimension table to protect
     * the pinned version from `expire_snapshots` (tag targets always
@@ -223,6 +239,22 @@ object MaterializedView {
       df.join(dimDf, cond, "inner")
   }
 
+  /** Inner equi-join of live-join view rows; `left` may carry the
+    * refresh weight column, which never collides (reserved `__` name).
+    * Shared by create, both refresh delta terms, and the join full
+    * recompute — every path MUST join identically or retraction
+    * breaks. */
+  private def joinRows(left: DataFrame, right: DataFrame,
+      j: LiveJoin): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    if (overlap.nonEmpty) throw CompactionError.Config(
+      s"live-join sides share column names (${overlap.toSeq.sorted
+        .mkString(", ")}); rename one side before creating the view")
+    val cond = j.leftKeys.zip(j.rightKeys)
+      .map { case (l, r) => left(l) === right(r) }.reduce(_ && _)
+    left.join(right, cond, "inner")
+  }
+
   private val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
@@ -260,6 +292,21 @@ object MaterializedView {
             "and dim key columns")
       if (d.version < 0) throw CompactionError.Config(
         "dimension version must be >= 0 (0 = pin current at create)")
+    }
+    s.join.foreach { j =>
+      if (s.dim.isDefined) throw CompactionError.Config(
+        "a view is either a pinned-dim star (dim) or a live-live join " +
+          "(join), not both")
+      if (j.leftKeys.isEmpty || j.leftKeys.size != j.rightKeys.size)
+        throw CompactionError.Config(
+          "a live join needs equally many (and at least one) left and " +
+            "right key columns")
+      s.aggs.find(a => a.fn == "min" || a.fn == "max").foreach { a =>
+        throw CompactionError.Config(
+          s"${a.fn} is not maintainable over a live-live join (the " +
+            "deleted-from-group recompute needs a stable enrichment); " +
+            "pin the right side as a star dimension instead")
+      }
     }
   }
 
@@ -320,6 +367,8 @@ object MaterializedView {
   ): TableSnapshot = {
     validateSpec(spec)
     val srcSnap = catalog.loadOrThrow(sourceDir)
+    if (spec.join.isDefined)
+      return createJoin(spark, mvDir, sourceDir, srcSnap, spec, catalog)
     // pin the dimension: version 0 resolves to the dim's CURRENT
     // version, persisted in the stored spec so every later refresh —
     // inserts AND delete before-images — joins the same immutable
@@ -348,6 +397,111 @@ object MaterializedView {
         catch { case _: Throwable => () }
         throw e
     }
+  }
+
+  /** Resolve spec names CASE-INSENSITIVELY against the schema (the
+    * Spark default) and persist the schema's own casing, so the stored
+    * spec always matches the physical columns exactly. Dim/join keys
+    * resolve the same way — the optimizer's star matching compares them
+    * against plan attribute names, which carry schema casing. Also the
+    * one place the aggregate TYPE guards live: sums are exact long
+    * arithmetic (a double sum would silently truncate), min/max accept
+    * any orderable atomic type. No-op on an empty schema map (empty
+    * source: validated on first data). */
+  private def resolveSpec(spec0: Spec,
+      schemaTypes: Map[String, org.apache.spark.sql.types.DataType]): Spec = {
+    import org.apache.spark.sql.types._
+    if (schemaTypes.isEmpty) return spec0
+    val byLower = schemaTypes.keys.map(k => k.toLowerCase -> k).toMap
+    def resolve(c: String): String =
+      if (schemaTypes.contains(c)) c
+      else byLower.getOrElse(c.toLowerCase, throw CompactionError.Config(
+        s"column '$c' is not in the source schema " +
+          s"(${schemaTypes.keys.toSeq.sorted.mkString(", ")})"))
+    val n = spec0.copy(
+      group = spec0.group.map(resolve),
+      aggs = spec0.aggs.map(a =>
+        if (a.col == "*") a else a.copy(col = resolve(a.col))),
+      dim = spec0.dim.map(d => d.copy(
+        factKeys = d.factKeys.map(resolve),
+        dimKeys = d.dimKeys.map(resolve))),
+      join = spec0.join.map(j => j.copy(
+        leftKeys = j.leftKeys.map(resolve),
+        rightKeys = j.rightKeys.map(resolve))))
+    // alias/group collisions can APPEAR under case resolution
+    // (alias 'k' vs group 'K' -> 'k') — re-validate the resolved spec
+    validateSpec(n)
+    n.aggs.filter(_.fn == "sum").foreach { a =>
+      schemaTypes(a.col) match {
+        case LongType | IntegerType | ShortType | ByteType => ()
+        case other => throw CompactionError.Config(
+          s"sum over '${a.col}': ${other.simpleString} is not integral; " +
+            "materialized sums are exact long arithmetic — store the " +
+            "column pre-scaled (e.g. cents) instead")
+      }
+    }
+    // min/max do no arithmetic: any orderable atomic type stores in
+    // its own type (the merge is least/greatest, not addition)
+    n.aggs.filter(a => a.fn == "min" || a.fn == "max").foreach { a =>
+      schemaTypes(a.col) match {
+        case LongType | IntegerType | ShortType | ByteType |
+             DoubleType | FloatType | StringType | DateType |
+             TimestampType | BooleanType => ()
+        case _: DecimalType => ()
+        case other => throw CompactionError.Config(
+          s"${a.fn} over '${a.col}': ${other.simpleString} is not an " +
+            "orderable atomic type")
+      }
+    }
+    n
+  }
+
+  /** Create a [[LiveJoin]] view: materialize γ(A@ca ⋈ B@cb) and stamp
+    * BOTH side markers. Both sides must hold data at create — the type
+    * guard and key resolution run against the real joined schema, and a
+    * view over empty tables can simply be created after first data (or
+    * start from the first refresh's full recompute). */
+  private def createJoin(
+      spark: SparkSession,
+      mvDir: String,
+      sourceDir: String,
+      srcSnap: TableSnapshot,
+      spec: Spec,
+      catalog: TableCatalog
+  ): TableSnapshot = {
+    val j = spec.join.get
+    val rightSnap = catalog.loadOrThrow(j.dir)
+    val left = TableReader.readOption(spark, sourceDir,
+        asOfVersion = Some(srcSnap.version), catalog = catalog)
+      .getOrElse(throw CompactionError.Config(
+        s"live-join view needs a non-empty left table ($sourceDir); " +
+          "create the view after first data lands"))
+    val right = TableReader.readOption(spark, j.dir,
+        asOfVersion = Some(rightSnap.version), catalog = catalog)
+      .getOrElse(throw CompactionError.Config(
+        s"live-join view needs a non-empty right table (${j.dir}); " +
+          "create the view after first data lands"))
+    val joined = joinRows(left, right, j)
+    val norm = resolveSpec(spec,
+      joined.schema.fields.map(f => f.name -> f.dataType).toMap)
+    catalog.commitCas(mvDir, TableSnapshot(1, 1, 0, Nil, properties = Map(
+      SourceProp -> sourceDir,
+      SpecProp -> encodeSpec(norm),
+      RefreshedVersionProp -> "1",
+      Refreshed2Prop -> "1")))
+    val st = withKey(norm,
+      signedAgg(norm, joinRows(left, right, norm.join.get), lit(1L)))
+    if (!st.isEmpty)
+      TableWrites.upsert(mvDir, st, Seq(KeyCol), catalog = catalog,
+        setProperties = Map(
+          RefreshedVersionProp -> srcSnap.version.toString,
+          Refreshed2Prop -> rightSnap.version.toString))
+    else
+      new graft.txn.CommitManager(mvDir, catalog = catalog)
+        .setTableProperties(
+          Map(RefreshedVersionProp -> srcSnap.version.toString,
+            Refreshed2Prop -> rightSnap.version.toString),
+          Set.empty, expectedSchemaId = 1)
   }
 
   private def createPinned(
@@ -399,55 +553,7 @@ object MaterializedView {
           }
         }
         .getOrElse(Map.empty)
-    // resolve spec names CASE-INSENSITIVELY against the schema (the
-    // Spark default) and persist the schema's own casing, so the stored
-    // spec always matches the physical columns exactly. Dim join keys
-    // resolve the same way — the optimizer's star matching compares
-    // them against plan attribute names, which carry schema casing.
-    val norm: Spec =
-      if (schemaTypes.isEmpty) pinned
-      else {
-        import org.apache.spark.sql.types._
-        val byLower = schemaTypes.keys.map(k => k.toLowerCase -> k).toMap
-        def resolve(c: String): String =
-          if (schemaTypes.contains(c)) c
-          else byLower.getOrElse(c.toLowerCase, throw CompactionError.Config(
-            s"column '$c' is not in the source schema " +
-              s"(${schemaTypes.keys.toSeq.sorted.mkString(", ")})"))
-        val n = pinned.copy(
-          group = pinned.group.map(resolve),
-          aggs = pinned.aggs.map(a =>
-            if (a.col == "*") a else a.copy(col = resolve(a.col))),
-          dim = pinned.dim.map(d => d.copy(
-            factKeys = d.factKeys.map(resolve),
-            dimKeys = d.dimKeys.map(resolve))))
-        // alias/group collisions can APPEAR under case resolution
-        // (alias 'k' vs group 'K' -> 'k') — re-validate the resolved spec
-        validateSpec(n)
-        n.aggs.filter(_.fn == "sum").foreach { a =>
-          schemaTypes(a.col) match {
-            case LongType | IntegerType | ShortType | ByteType => ()
-            case other => throw CompactionError.Config(
-              s"sum over '${a.col}': ${other.simpleString} is not integral; " +
-                "materialized sums are exact long arithmetic — store the " +
-                "column pre-scaled (e.g. cents) instead")
-          }
-        }
-        // min/max do no arithmetic: any orderable atomic type stores in
-        // its own type (the merge is least/greatest, not addition)
-        n.aggs.filter(a => a.fn == "min" || a.fn == "max").foreach { a =>
-          schemaTypes(a.col) match {
-            case LongType | IntegerType | ShortType | ByteType |
-                 DoubleType | FloatType | StringType | DateType |
-                 TimestampType | BooleanType => ()
-            case _: DecimalType => ()
-            case other => throw CompactionError.Config(
-              s"${a.fn} over '${a.col}': ${other.simpleString} is not an " +
-                "orderable atomic type")
-          }
-        }
-        n
-      }
+    val norm: Spec = resolveSpec(pinned, schemaTypes)
     catalog.commitCas(mvDir, TableSnapshot(1, 1, 0, Nil, properties = Map(
       SourceProp -> sourceDir,
       SpecProp -> encodeSpec(norm),
@@ -477,6 +583,8 @@ object MaterializedView {
     val sourceDir = mv.properties.getOrElse(SourceProp,
       throw CompactionError.Config(s"$mvDir is not a materialized view"))
     val spec = decodeSpec(mv.properties(SpecProp))
+    if (spec.join.isDefined)
+      return refreshJoin(spark, mvDir, mv, spec, sourceDir, catalog)
     val lastV = mv.properties(RefreshedVersionProp).toLong
     val srcV = catalog.loadOrThrow(sourceDir).version
     if (srcV <= lastV) return lastV
@@ -628,6 +736,184 @@ object MaterializedView {
       } finally out.unpersist()
     } finally if (minMax.nonEmpty) deltaP.unpersist()
     srcV
+  }
+
+  /** Incremental refresh of a [[LiveJoin]] view. The bilinear delta
+    * rule: with A the left table over (lastA → curA) and B the right
+    * over (lastB → curB),
+    *
+    *   Δ(A⋈B) = ΔA ⋈ B@lastB  +  A@curA ⋈ ΔB     (signed)
+    *
+    * — each term a changelog (small, ∝ changed rows) joined to the
+    * OTHER side's snapshot via time travel, weights riding the change
+    * rows. Correct for inner equi-joins by the multiset identity
+    * A1⋈B1 − A0⋈B0 = (A1−A0)⋈B0 + A1⋈(B1−B0). At scale each term's
+    * big side prunes through the join (runtime filtering on the small
+    * delta), so refresh cost is ∝ the deltas and their matches, never
+    * either full table. An expired changelog endpoint or time-travel
+    * snapshot on EITHER side falls back to a full recompute of
+    * γ(A@curA ⋈ B@curB) — live-join views (unlike dim pins) are always
+    * derivable from current state. */
+  private def refreshJoin(
+      spark: SparkSession,
+      mvDir: String,
+      mv: TableSnapshot,
+      spec: Spec,
+      aDir: String,
+      catalog: TableCatalog): Long = {
+    val j = spec.join.get
+    val lastA = mv.properties(RefreshedVersionProp).toLong
+    val lastB = mv.properties.getOrElse(Refreshed2Prop,
+      throw CompactionError.Config(
+        s"$mvDir is a live-join view without a right-side marker; " +
+          "drop and recreate the view")).toLong
+    val curA = catalog.loadOrThrow(aDir).version
+    val curB = catalog.loadOrThrow(j.dir).version
+    if (curA <= lastA && curB <= lastB) return lastA
+    val cur = TableReader.readOption(spark, mvDir, catalog = catalog)
+    if (cur.exists(st => !st.columns.contains(KeyCol)))
+      return fullRecomputeJoin(spark, mvDir, mv, spec, aDir,
+        lastA, lastB, catalog)
+
+    val guard: TableSnapshot => Unit = reloaded => {
+      val nowA = reloaded.properties.get(RefreshedVersionProp)
+        .flatMap(_.toLongOption).getOrElse(-1L)
+      val nowB = reloaded.properties.get(Refreshed2Prop)
+        .flatMap(_.toLongOption).getOrElse(-1L)
+      if (nowA != lastA || nowB != lastB) throw CompactionError.Config(
+        s"concurrent refresh: markers moved (v$lastA,v$lastB) -> " +
+          s"(v$nowA,v$nowB); re-run refresh")
+    }
+    val markers = Map(RefreshedVersionProp -> curA.toString,
+      Refreshed2Prop -> curB.toString)
+
+    val weight =
+      when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    def deltaOf(dir: String, from: Long, to: Long): Option[DataFrame] =
+      if (to <= from) None
+      else try Some(
+        TableReader.changelog(spark, dir, from, to, catalog)
+          .withColumn("__w", weight)
+          .drop("_change_type", "_commit_version"))
+      catch { case _: CompactionError.EmptyInterval => None }
+
+    val changes: Option[DataFrame] = try {
+      val termA = deltaOf(aDir, lastA, curA).flatMap { dA =>
+        TableReader.readOption(spark, j.dir, asOfVersion = Some(lastB),
+            catalog = catalog)
+          .map(b0 => joinRows(dA, b0, j))
+      }
+      val termB = deltaOf(j.dir, lastB, curB).flatMap { dB =>
+        TableReader.readOption(spark, aDir, asOfVersion = Some(curA),
+            catalog = catalog)
+          .map(a1 => joinRows(a1, dB, j))
+      }
+      (termA, termB) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b) => a.orElse(b)
+      }
+    } catch {
+      case _: CompactionError.Config =>
+        // an expired changelog endpoint or time-travel snapshot on
+        // either side: routine source maintenance outran this view's
+        // markers — rebuild from current state, never brick
+        return fullRecomputeJoin(spark, mvDir, mv, spec, aDir,
+          lastA, lastB, catalog)
+    }
+
+    changes match {
+      case None =>
+        // both sides advanced by property-only/empty commits: just move
+        // the markers under the concurrency guard
+        new graft.txn.CommitManager(mvDir, catalog = catalog)
+          .updateTableProperties(mv.schemaId, validate = guard)(_ =>
+            (markers, Set.empty))
+      case Some(ch) =>
+        // sum/count only (validateSpec enforces it) — the merge is the
+        // plain additive half of the ungrouped path: delta += stored
+        val dAliases = stateColumns(spec)
+        val dRenamed = dAliases.foldLeft(
+            withKey(spec, signedAgg(spec, ch, col("__w"))))(
+          (df, a) => df.withColumnRenamed(a, s"_d_$a"))
+        val merged = cur match {
+          case None => dRenamed
+          case Some(st) =>
+            dRenamed.join(st.select((KeyCol +: dAliases).map(col): _*),
+              Seq(KeyCol), "left")
+        }
+        def oldOf(a: String): Column =
+          if (cur.isEmpty) lit(0L) else coalesce(col(a), lit(0L))
+        val next = dAliases.foldLeft(merged)((df, a) =>
+          df.withColumn(s"_n_$a", oldOf(a) + coalesce(col(s"_d_$a"), lit(0L))))
+        val outCols: Seq[Column] = spec.group.map(col) ++
+          (col(KeyCol) +: dAliases.map(a => col(s"_n_$a").as(a)))
+        val out = next.select(outCols: _*).persist()
+        try {
+          val dead = out.filter(col(RowCountCol) === 0L).select(col(KeyCol))
+          val live = out.filter(col(RowCountCol) =!= 0L)
+          TableWrites.upsert(mvDir, live, Seq(KeyCol), catalog = catalog,
+            deleteKeys = Some(dead), setProperties = markers,
+            validate = guard)
+        } finally out.unpersist()
+    }
+    curA
+  }
+
+  /** [[fullRecompute]] for live-join views: rebuild γ(A@cur ⋈ B@cur) in
+    * one atomic file-set swap, both markers advancing together under
+    * the two-marker concurrency guard. */
+  private def fullRecomputeJoin(
+      spark: SparkSession,
+      mvDir: String,
+      mv: TableSnapshot,
+      spec: Spec,
+      aDir: String,
+      lastA: Long,
+      lastB: Long,
+      catalog: TableCatalog): Long = {
+    if (mv.schemas.nonEmpty) throw CompactionError.Config(
+      s"$mvDir carries a declared schema history (schema id " +
+        s"${mv.schemaId}); materialized-view state tables are " +
+        "schema-less — rebuild requires dropping and recreating the view")
+    val j = spec.join.get
+    val aSnap = catalog.loadOrThrow(aDir)
+    val bSnap = catalog.loadOrThrow(j.dir)
+    val guard: TableSnapshot => Unit = reloaded => {
+      val nowA = reloaded.properties.get(RefreshedVersionProp)
+        .flatMap(_.toLongOption).getOrElse(-1L)
+      val nowB = reloaded.properties.get(Refreshed2Prop)
+        .flatMap(_.toLongOption).getOrElse(-1L)
+      if (nowA != lastA || nowB != lastB) throw CompactionError.Config(
+        s"concurrent refresh: markers moved (v$lastA,v$lastB) -> " +
+          s"(v$nowA,v$nowB)")
+    }
+    val markers = Map(RefreshedVersionProp -> aSnap.version.toString,
+      Refreshed2Prop -> bSnap.version.toString)
+    val state = for {
+      a <- TableReader.readOption(spark, aDir,
+        asOfVersion = Some(aSnap.version), catalog = catalog)
+      b <- TableReader.readOption(spark, j.dir,
+        asOfVersion = Some(bSnap.version), catalog = catalog)
+    } yield withKey(spec, signedAgg(spec, joinRows(a, b, j), lit(1L)))
+    val cm = new graft.txn.CommitManager(mvDir, catalog = catalog)
+    state match {
+      case Some(st) if !st.isEmpty =>
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        val files = TableWrites.writeParquet(st,
+          s"$mvDir/data/mvfull-$tag",
+          graft.core.CompactionConfig().parquetCompression)
+        cm.overwriteAll(
+          files.filter(_._3 > 0).map { case (p, len, rc) =>
+            graft.sources.ParquetStats.stampBounds(
+              graft.txn.FileEntry(p, "data", len, rc, -1L))
+          },
+          expectedSchemaId = mv.schemaId,
+          setProperties = markers, validate = guard)
+      case _ =>
+        cm.overwriteAll(Nil, mv.schemaId,
+          setProperties = markers, validate = guard)
+    }
+    aSnap.version
   }
 
   /** Rebuild the whole stored state from the source's CURRENT version

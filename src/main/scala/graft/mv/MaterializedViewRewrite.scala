@@ -277,6 +277,12 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         return None
       val spec = MaterializedView.decodeSpec(
         mv.properties(MaterializedView.SpecProp))
+      // live-join views never substitute here: their stored state spans
+      // TWO moving tables, and this rule's freshness gate only proves
+      // the LEFT marker current — a stale right side would serve wrong
+      // answers. (Substitution for live joins needs a two-marker gate
+      // against both tables' current versions — future work.)
+      if (spec.join.isDefined) return None
       // shape gate: a STAR view answers exactly the join it maintains —
       // same dim table, same equi-key pairs (order-insensitive) — and a
       // dim-less view only answers the bare source aggregate.

@@ -181,6 +181,84 @@ object MaterializedViewQuery {
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
 
+  // ------------------------------------------------------------ live join
+
+  private val liveJoinTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** LIVE-LIVE join view ([[MaterializedView.LiveJoin]]): revenue per
+    * customer nation over orders ⋈ customer with BOTH sides churning —
+    * an append-only interval on the fact, then a second interval where
+    * the fact takes price updates + deletes AND the customer side takes
+    * group moves (nation changes) + deletes. Two incremental refreshes
+    * (bilinear delta rule: ΔA⋈B@old + A@new⋈ΔB) must converge to
+    * exactly the aggregate over the FINAL states — which is what the
+    * DuckDB oracle recomputes from scratch. */
+  private def buildLiveJoin(spark: SparkSession, dir: String): String =
+    liveJoinTables.computeIfAbsent(dir, _ => {
+      val aDir = Files.createTempDirectory("graft-mvlj-a").toString
+      val bDir = Files.createTempDirectory("graft-mvlj-b").toString
+      val mv = Files.createTempDirectory("graft-mvlj-view").toString
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .persist()
+      try {
+        val cust = spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"), col("c_nationkey").cast("long")
+            .as("c_nationkey"))
+        TableMetadata.commit(aDir, TableSnapshot(1, 1, 0, Nil))
+        TableWrites.appendData(aDir, ord.filter(col("o_orderkey") % 2 === 0))
+        TableMetadata.commit(bDir, TableSnapshot(1, 1, 0, Nil))
+        TableWrites.appendData(bDir, cust)
+        MaterializedView.create(spark, mv, aDir, Spec(
+          group = Seq("c_nationkey"),
+          aggs = Seq(Agg("sum", "price_cents", "rev_cents"),
+            Agg("count", "*", "n_orders")),
+          join = Some(MaterializedView.LiveJoin(bDir,
+            Seq("o_custkey"), Seq("c_custkey")))))
+        // interval 1: fact append only
+        TableWrites.appendData(aDir, ord.filter(col("o_orderkey") % 2 === 1))
+        MaterializedView.refresh(spark, mv)
+        // interval 2: both sides churn — fact price updates + deletes,
+        // customer nation moves (groups!) + deletes
+        TableWrites.upsert(aDir,
+          ord.filter(col("o_orderkey") % 7 === 1)
+            .withColumn("price_cents", col("price_cents") + 7L),
+          keyCols = Seq("o_orderkey"),
+          deleteKeys = Some(ord.filter(col("o_orderkey") % 7 === 2)
+            .select("o_orderkey")))
+        TableWrites.upsert(bDir,
+          cust.filter(col("c_custkey") % 5 === 1)
+            .withColumn("c_nationkey", col("c_nationkey") + 100L),
+          keyCols = Seq("c_custkey"),
+          deleteKeys = Some(cust.filter(col("c_custkey") % 5 === 2)
+            .select("c_custkey")))
+        MaterializedView.refresh(spark, mv)
+      } finally ord.unpersist()
+      mv
+    })
+
+  def runLiveJoin(spark: SparkSession, dir: String): DataFrame =
+    MaterializedView.read(spark, buildLiveJoin(spark, dir))
+      .orderBy("c_nationkey")
+
+  val liveJoinOracle: String =
+    """WITH a AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 7 = 1 THEN 7 ELSE 0 END AS price_cents
+      |  FROM orders WHERE o_orderkey % 7 <> 2),
+      |b AS (
+      |  SELECT c_custkey, CAST(c_nationkey AS BIGINT)
+      |    + CASE WHEN c_custkey % 5 = 1 THEN 100 ELSE 0 END AS c_nationkey
+      |  FROM customer WHERE c_custkey % 5 <> 2)
+      |SELECT c_nationkey,
+      |  CAST(sum(price_cents) AS BIGINT) AS rev_cents,
+      |  count(*) AS n_orders
+      |FROM a JOIN b ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ star rewrite
 
   private val starRewriteCatalogs =
