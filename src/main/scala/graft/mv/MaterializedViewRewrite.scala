@@ -277,21 +277,19 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         return None
       val spec = MaterializedView.decodeSpec(
         mv.properties(MaterializedView.SpecProp))
-      // live-join views never substitute here: their stored state spans
-      // TWO moving tables, and this rule's freshness gate only proves
-      // the LEFT marker current — a stale right side would serve wrong
-      // answers. (Substitution for live joins needs a two-marker gate
-      // against both tables' current versions — future work.)
-      if (spec.join.isDefined) return None
       // shape gate: a STAR view answers exactly the join it maintains —
-      // same dim table, same equi-key pairs (order-insensitive) — and a
-      // dim-less view only answers the bare source aggregate.
-      (spec.dim, dimShape) match {
-        case (None, None) => ()
-        case (Some(d), Some((qDimDir, qPairs))) =>
-          def norm(p: String) =
-            java.nio.file.Paths.get(p).normalize().toString
-          if (norm(d.dir) != norm(qDimDir)) return None
+      // same dim table, same equi-key pairs (order-insensitive); a
+      // LIVE-JOIN view answers the same join under a TWO-marker
+      // freshness gate (both sides' stored markers must equal their
+      // tables' current versions — either side moving falls back to the
+      // real join until the next refresh); a dim-less, join-less view
+      // only answers the bare source aggregate.
+      def normPath(p: String) =
+        java.nio.file.Paths.get(p).normalize().toString
+      (spec.dim, spec.join, dimShape) match {
+        case (None, None, None) => ()
+        case (Some(d), None, Some((qDimDir, qPairs))) =>
+          if (normPath(d.dir) != normPath(qDimDir)) return None
           if (d.factKeys.zip(d.dimKeys).toSet != qPairs.toSet) return None
           // the stored state reflects the dim AT ITS PIN: substitution
           // is sound only while the live dim's data/delete FILE SET
@@ -304,6 +302,19 @@ class MaterializedViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           def fileSet(s: graft.txn.TableSnapshot) =
             s.files.map(f => (f.path, f.content)).toSet
           if (fileSet(dimCur) != fileSet(dimPin)) return None
+        case (None, Some(j), Some((qRightDir, qPairs))) =>
+          if (normPath(j.dir) != normPath(qRightDir)) return None
+          if (j.leftKeys.zip(j.rightKeys).toSet != qPairs.toSet) return None
+          // right-side freshness: the stored state must reflect the
+          // right table's CURRENT version (the left marker is checked
+          // with every view below). A property-only right commit still
+          // bumps the version and falls back — conservative but never
+          // wrong; the next refresh re-enables substitution.
+          val rightCur = loadMemo(catalog, qRightDir).getOrElse(return None)
+          val refreshed2 = mv.properties
+            .get(MaterializedView.Refreshed2Prop)
+            .flatMap(_.toLongOption).getOrElse(return None)
+          if (rightCur.version != refreshed2) return None
         case _ => return None
       }
 

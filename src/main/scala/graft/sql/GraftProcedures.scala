@@ -458,7 +458,11 @@ private[sql] object GraftProcedures {
       in("group_by", StringType),
       in("aggs", StringType),
       inDefault("dim_table", StringType, "''"),
-      inDefault("dim_on", StringType, "''"))
+      inDefault("dim_on", StringType, "''"),
+      // LIVE-LIVE join view: both tables keep changing (no pin);
+      // join_on uses leftCol=rightCol pairs like dim_on
+      inDefault("join_table", StringType, "''"),
+      inDefault("join_on", StringType, "''"))
 
     private val out = StructType(Seq(
       StructField("view", StringType, nullable = false),
@@ -497,7 +501,26 @@ private[sql] object GraftProcedures {
           Some(graft.mv.MaterializedView.Dim(resolveDir(dimTable),
             pairs.map(_._1), pairs.map(_._2)))
         }
-      val spec = graft.mv.MaterializedView.Spec(group, aggs, dim)
+      val joinTable = input.getUTF8String(6).toString.trim
+      val joinOn = input.getUTF8String(7).toString.trim
+      val join: Option[graft.mv.MaterializedView.LiveJoin] =
+        if (joinTable.isEmpty && joinOn.isEmpty) None
+        else {
+          if (joinTable.isEmpty || joinOn.isEmpty) throw CompactionError.Config(
+            "live-join views need BOTH join_table and join_on " +
+              "(leftCol=rightCol,...)")
+          val pairs = joinOn.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+            .map { p =>
+              p.split("=") match {
+                case Array(l, r) => (l.trim, r.trim)
+                case _ => throw CompactionError.Config(
+                  s"join_on pair '$p' must be leftCol=rightCol")
+              }
+            }
+          Some(graft.mv.MaterializedView.LiveJoin(resolveDir(joinTable),
+            pairs.map(_._1), pairs.map(_._2)))
+        }
+      val spec = graft.mv.MaterializedView.Spec(group, aggs, dim, join)
       // cheap pre-validation BEFORE any commit: an invalid spec or an
       // occupied view path must not burn source versions (each bump
       // staleness-drops every other fresh view on the source)

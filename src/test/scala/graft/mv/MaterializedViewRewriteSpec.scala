@@ -145,6 +145,49 @@ class MaterializedViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a LIVE-JOIN view substitutes the two-table aggregate under the " +
+      "two-marker gate; EITHER side moving falls back until refresh") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
+    sql("CREATE TABLE gmvr.db.lja (id BIGINT, fk BIGINT, v BIGINT)")
+    sql("CREATE TABLE gmvr.db.ljb (dk BIGINT, color STRING)")
+    sql("INSERT INTO gmvr.db.ljb VALUES (10, 'red'), (20, 'blue')")
+    sql("INSERT INTO gmvr.db.lja VALUES (1, 10, 5), (2, 10, 7), (3, 20, 11)")
+    val aDir = s"$wh/db/lja"
+    val bDir = s"$wh/db/ljb"
+    val mvDir = Files.createTempDirectory("graft-mvrw-lj").toString
+    MaterializedView.create(spark, mvDir, aDir, Spec(
+      group = Seq("color"),
+      aggs = Seq(Agg("sum", "v", "sum_v"), Agg("count", "*", "n")),
+      join = Some(MaterializedView.LiveJoin(bDir, Seq("fk"), Seq("dk")))))
+    def q = sql("""SELECT color, sum(v) AS s, count(*) AS c
+                  |FROM gmvr.db.lja f JOIN gmvr.db.ljb d ON f.fk = d.dk
+                  |GROUP BY color""".stripMargin)
+    withViews(mvDir) {
+      assert(aggregates(q) == 0, "fresh live-join view must substitute")
+      assert(results(q) == Map("red" -> (12L, 2L), "blue" -> (11L, 1L)))
+      // a bare aggregate over the LEFT table alone: never answered
+      assert(aggregates(sql(
+        "SELECT fk, sum(v) AS s, count(*) AS c FROM gmvr.db.lja GROUP BY fk"))
+        == 1, "a live-join view must not answer a bare source aggregate")
+      // LEFT churn: left marker stale -> fall back (exact), refresh
+      // re-enables
+      sql("INSERT INTO gmvr.db.lja VALUES (4, 20, 3)")
+      assert(aggregates(q) == 1, "stale left marker must fall back")
+      val want2 = Map("red" -> (12L, 2L), "blue" -> (14L, 2L))
+      assert(results(q) == want2)
+      MaterializedView.refresh(spark, mvDir)
+      assert(aggregates(q) == 0 && results(q) == want2)
+      // RIGHT churn (a group move!): right marker stale -> fall back to
+      // the real join, which sees the move; refresh re-enables
+      sql("UPDATE gmvr.db.ljb SET color = 'green' WHERE dk = 20")
+      assert(aggregates(q) == 1, "stale right marker must fall back")
+      val want3 = Map("red" -> (12L, 2L), "green" -> (14L, 2L))
+      assert(results(q) == want3)
+      MaterializedView.refresh(spark, mvDir)
+      assert(aggregates(q) == 0 && results(q) == want3)
+    }
+  }
+
   test("shape mismatches never substitute") {
     sql("CREATE NAMESPACE IF NOT EXISTS gmvr.db")
     sql("CREATE TABLE gmvr.db.src2 (k STRING, v BIGINT, w BIGINT)")

@@ -93,6 +93,37 @@ class InspectionOpsSpec extends AnyFunSuite {
       Set(("a", 30L), ("b", 12L), ("c", 1L)))
   }
 
+  test("LIVE-JOIN MV procedure: join_table/join_on maintain A JOIN B " +
+    "with both sides churning; the view reads exactly") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gin.db")
+    sql("CREATE TABLE gin.db.lja (id BIGINT, fk BIGINT, v BIGINT)")
+    sql("CREATE TABLE gin.db.ljb (dk BIGINT, color STRING)")
+    sql("INSERT INTO gin.db.ljb VALUES (10, 'red'), (20, 'blue')")
+    sql("INSERT INTO gin.db.lja VALUES (1, 10, 5), (2, 10, 7), (3, 20, 11)")
+    sql("""CALL gin.system.create_materialized_view(
+          |  `table` => 'db.lja', view => 'db.lj_by_color',
+          |  group_by => 'color', aggs => 'sum:v:sum_v,count:*:n',
+          |  join_table => 'db.ljb', join_on => 'fk=dk')""".stripMargin)
+    def mv = sql(
+      "SELECT color, sum_v, n FROM gin.db.lj_by_color ORDER BY color")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mv == Seq(("blue", 11L, 1L), ("red", 12L, 2L)))
+    // BOTH sides churn, one refresh: fact insert + right-side group move
+    sql("INSERT INTO gin.db.lja VALUES (4, 20, 3)")
+    sql("UPDATE gin.db.ljb SET color = 'green' WHERE dk = 20")
+    sql("CALL gin.system.refresh_materialized_view(view => 'db.lj_by_color')")
+    assert(mv == Seq(("green", 14L, 2L), ("red", 12L, 2L)))
+    // refusal: join without keys
+    val e = intercept[Exception] {
+      sql("""CALL gin.system.create_materialized_view(
+            |  `table` => 'db.lja', view => 'db.lj_bad',
+            |  group_by => 'color', aggs => 'sum:v:s',
+            |  join_table => 'db.ljb')""".stripMargin)
+    }
+    assert(e.getMessage.contains("join_on"))
+    sql("CALL gin.system.drop_materialized_view(view => 'db.lj_by_color')")
+  }
+
   test("STAR MV procedure: dim_on pins the dim, expiry keeps the pin, " +
     "drop releases it") {
     sql("CREATE NAMESPACE IF NOT EXISTS gin.db")
