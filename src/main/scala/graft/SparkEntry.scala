@@ -61,6 +61,7 @@ object SparkEntry {
       ("mv_join" -> (graft.queries.MaterializedViewQuery.runStar _)) +
       ("mv_join_rewrite" -> (graft.queries.MaterializedViewQuery.runStarRewrite _)) +
       ("mv_join_live" -> (graft.queries.MaterializedViewQuery.runLiveJoin _)) +
+      ("mv_join_live_rewrite" -> (graft.queries.MaterializedViewQuery.runLiveJoinRewrite _)) +
       ("sql_bloom" -> (graft.queries.SqlCatalogQuery.runBloom _)) +
       ("sql_decimal" -> (graft.queries.SqlCatalogQuery.runDecimal _)) +
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
@@ -124,6 +125,7 @@ object SparkEntry {
       ("mv_join" -> graft.queries.MaterializedViewQuery.starOracle) +
       ("mv_join_rewrite" -> graft.queries.MaterializedViewQuery.starRewriteOracle) +
       ("mv_join_live" -> graft.queries.MaterializedViewQuery.liveJoinOracle) +
+      ("mv_join_live_rewrite" -> graft.queries.MaterializedViewQuery.liveJoinOracle) +
       ("sql_bloom" -> graft.queries.SqlCatalogQuery.bloomOracle) +
       ("sql_decimal" -> graft.queries.SqlCatalogQuery.decimalOracle) +
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +

@@ -259,6 +259,83 @@ object MaterializedViewQuery {
       |FROM a JOIN b ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val liveJoinRwCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val liveJoinRwCounter =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Live-join view + OPTIMIZER substitution, all through SQL: the view
+    * is created with `join_table`/`join_on`, BOTH catalog tables churn
+    * (fact inserts/updates/deletes; right-side nation moves + deletes),
+    * one refresh procedure call, and then the raw `A ⋈ B GROUP BY`
+    * query must be answered from the stored state — self-asserting:
+    * FAILS if any source relation survives the optimized plan. The
+    * churn mirrors [[buildLiveJoin]] exactly, so the same DuckDB oracle
+    * certifies the values. */
+  private def buildLiveJoinRewrite(spark: SparkSession, dir: String): String =
+    liveJoinRwCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"gmvlj${liveJoinRwCounter.incrementAndGet()}"
+      val wh = Files.createTempDirectory(s"graft-mvlj-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.read.parquet(s"$dir/orders.parquet")
+        .selectExpr("o_orderkey", "o_custkey",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents")
+        .createOrReplaceTempView(s"ord_$name")
+      spark.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT) AS c_nationkey")
+        .createOrReplaceTempView(s"cust_$name")
+      spark.sql(s"CREATE TABLE $name.db.ljfact " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, price_cents BIGINT)")
+      spark.sql(s"CREATE TABLE $name.db.ljdim " +
+        "(c_custkey BIGINT, c_nationkey BIGINT)")
+      spark.sql(s"INSERT INTO $name.db.ljdim SELECT * FROM cust_$name")
+      spark.sql(s"INSERT INTO $name.db.ljfact " +
+        s"SELECT * FROM ord_$name WHERE o_orderkey % 2 = 0")
+      spark.sql(s"""CALL $name.system.create_materialized_view(
+        |  `table` => 'db.ljfact', view => 'db.lj_by_nation',
+        |  group_by => 'c_nationkey',
+        |  aggs => 'sum:price_cents:rev_cents,count:*:n_orders',
+        |  join_table => 'db.ljdim', join_on => 'o_custkey=c_custkey')"""
+        .stripMargin)
+      // interval 1: fact append only
+      spark.sql(s"INSERT INTO $name.db.ljfact " +
+        s"SELECT * FROM ord_$name WHERE o_orderkey % 2 = 1")
+      spark.sql(s"CALL $name.system.refresh_materialized_view(" +
+        "view => 'db.lj_by_nation')")
+      // interval 2: both sides churn (same arithmetic as buildLiveJoin,
+      // so the shared oracle replays it)
+      spark.sql(s"UPDATE $name.db.ljfact SET price_cents = price_cents + 7 " +
+        "WHERE o_orderkey % 7 = 1")
+      spark.sql(s"DELETE FROM $name.db.ljfact WHERE o_orderkey % 7 = 2")
+      spark.sql(s"UPDATE $name.db.ljdim SET c_nationkey = c_nationkey + 100 " +
+        "WHERE c_custkey % 5 = 1")
+      spark.sql(s"DELETE FROM $name.db.ljdim WHERE c_custkey % 5 = 2")
+      spark.sql(s"CALL $name.system.refresh_materialized_view(" +
+        "view => 'db.lj_by_nation')")
+      name
+    })
+
+  def runLiveJoinRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val cat = buildLiveJoinRewrite(spark, dir)
+    val q = spark.sql(
+      s"""SELECT c_nationkey,
+         |  sum(price_cents) AS rev_cents, count(*) AS n_orders
+         |FROM $cat.db.ljfact f JOIN $cat.db.ljdim d
+         |  ON f.o_custkey = d.c_custkey
+         |GROUP BY c_nationkey""".stripMargin)
+    val v2 = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+    }
+    require(v2.isEmpty,
+      "mv_join_live_rewrite: the live-join substitution did not replace " +
+        "the join (stale marker or shape mismatch)")
+    q.orderBy("c_nationkey")
+  }
+
   // ------------------------------------------------------------ star rewrite
 
   private val starRewriteCatalogs =

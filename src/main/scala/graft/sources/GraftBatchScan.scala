@@ -925,11 +925,9 @@ final class GraftScan(
   /** The planned file set: static pruning plus pushed LIMIT/TopN file
     * truncation. The truncated set feeds EVERY consumer — partitioning
     * and ordering reports, statistics, task planning — so the reports
-    * stay mutually consistent. Runtime join filters never co-occur with
-    * a pushed limit (Spark only pushes a limit when nothing between it
-    * and the relation can drop rows, and runtime filters come from a
-    * join above), but [[planInputPartitions]] still falls back to the
-    * untruncated set if any arrive — belt and braces. */
+    * stay mutually consistent (see the co-occurrence note in
+    * [[planInputPartitions]] for why runtime join filters can never
+    * invalidate a pushed limit's row guarantee). */
   private lazy val prunedDataFiles: Seq[FileEntry] = {
     val base = staticPrunedDataFiles
     if (pushedLimit <= 0 || changelog || cowOwner.nonEmpty) base
@@ -1311,17 +1309,17 @@ final class GraftScan(
       }
     val eqFiles = snap.files.filter(_.content == "equality-deletes")
       .sortBy(f => (f.sequenceNumber, f.path))
-    // runtime join filters remove ROWS from downstream, which would
-    // invalidate a pushed limit's row guarantee — structurally they
-    // never co-occur (see prunedDataFiles), but if any arrived, plan
-    // from the UNTRUNCATED set
-    val planBase =
-      if (runtimeInSets.isEmpty && runtimeEqCandidates.isEmpty &&
-          runtimePathSet.isEmpty) prunedDataFiles
-      else staticPrunedDataFiles
+    // NOTE on pushed limits vs runtime join filters: they never
+    // co-occur. Spark only pushes a limit when nothing between it and
+    // the relation can drop rows (our filters all stay residual, so a
+    // WHERE blocks it), and runtime filters come from an equi-join
+    // above — under which no limit is ever pushed to this scan. The
+    // truncated set is also what outputPartitioning/outputOrdering
+    // reported, so planning MUST use the same list — a divergent
+    // fallback here would break the SPJ key-stamping below.
     val afterInSets1 =
-      if (runtimeInSets.isEmpty) planBase
-      else pruneGuarded(planBase,
+      if (runtimeInSets.isEmpty) prunedDataFiles
+      else pruneGuarded(prunedDataFiles,
         ScanPruning.pruneDataFilesWithInSets(_, runtimeInSets))
     // join-driven STRING key values prune by the stamped byte bounds —
     // the string half of runtime file skipping
