@@ -74,7 +74,8 @@ object SparkEntry {
       ("spj_sorted_join" -> (graft.queries.SqlCatalogQuery.runSortedJoin _)) +
       ("sql_topn" -> (graft.queries.SqlCatalogQuery.runTopN _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
-      ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _))
+      ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _)) +
+      ("corpus_to_shards" -> (CorpusPipelineQuery.runToShards _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -138,5 +139,6 @@ object SparkEntry {
       ("spj_sorted_join" -> graft.queries.SqlCatalogQuery.sortedJoinOracle) +
       ("sql_topn" -> graft.queries.SqlCatalogQuery.topNOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
-      ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle)
+      ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle) +
+      ("corpus_to_shards" -> CorpusPipelineQuery.toShardsOracle)
 }

@@ -66,6 +66,108 @@ object CorpusPipelineQuery {
     finish(unique.join(losers, Seq("doc_id"), "left_anti"))
   }
 
+  /** THE FULL TRAINING-DATA LAYOUT in one composed plan: quality gate →
+    * exact dedup → minhash-LSH near-dup removal → benchmark
+    * decontamination (every 17th original doc is the planted benchmark)
+    * → token counting → greedy 256-token sequence packing → shuffled
+    * shard coordinates. Each stage is a previously-verified operator;
+    * the output row is a surviving document's complete destiny:
+    * (pack bucket, pack, position-in-pack, shard, sequence-in-shard).
+    * The scale property the composition preserves: every gate is a
+    * narrow filter/anti-join BEFORE the next stage's shuffle, so each
+    * stage's cost shrinks with the previous stage's selectivity. */
+  def runToShards(spark: SparkSession, dir: String): DataFrame = {
+    val unique = uniqueDocs(spark, dir)
+    val nearDupLosers = Dedup
+      .minhashLsh(unique, "doc_id", "text", 32, 4, 500)
+      .select(col("b_id").as("doc_id")).distinct()
+    val clean = unique.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val benchmark = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 17 === 0)
+    val contaminated = TextAnalysis
+      .contamination(clean, benchmark, "doc_id", "text", n = 5)
+      .select("doc_id")
+    val survivors = clean.join(contaminated, Seq("doc_id"), "left_anti")
+      .persist()
+    try {
+      val toks = TextAnalysis.tokenCounts(survivors, "doc_id", "text")
+        .select(col("doc_id"), col("n_ws_tokens"))
+      val packed = graft.pipeline.Packing.packSequences(
+        toks, "doc_id", "n_ws_tokens", budget = 256L, buckets = 8)
+      val shards = graft.pipeline.Export.shuffleShards(
+        survivors.select("doc_id"), "doc_id", shards = 8)
+      packed.join(shards, Seq("doc_id"))
+        .select("doc_id", "bucket", "pack", "pack_pos", "shard", "seq")
+        .orderBy("doc_id")
+    } finally survivors.unpersist()
+  }
+
+  /** [[runToShards]]'s oracle: the corpus_clean CTE chain extended by
+    * the decontamination join, the recursive greedy pack replay, and
+    * the shard-coordinate window — one SQL statement replaying the
+    * whole pipeline. */
+  val toShardsOracle: String = {
+    val g5 = "list_distinct(list_transform(" +
+      "generate_series(1, len(string_split(text,' '))-4), " +
+      "i -> array_to_string((string_split(text,' '))[i:i+4], ' ')))"
+    s"""WITH RECURSIVE quality_docs AS (
+       |  SELECT * FROM documents
+       |  WHERE ${QuerySql.qualityPredicate}
+       |),
+       |exact_survivors AS (
+       |  SELECT min(doc_id) AS doc_id FROM quality_docs GROUP BY text
+       |),
+       |unique_docs AS (
+       |  SELECT q.* FROM quality_docs q JOIN exact_survivors s USING (doc_id)
+       |),
+       |${QuerySql.shinglesCteFrom("unique_docs")},
+       |${QuerySql.minhashSigCte},
+       |${QuerySql.minhashCandCte},
+       |losers AS (
+       |  SELECT DISTINCT b_id AS doc_id
+       |  FROM cand JOIN sig x ON cand.a_id = x.doc_id JOIN sig y ON cand.b_id = y.doc_id
+       |  WHERE ${QuerySql.jaccardXY} >= 500),
+       |clean AS (
+       |  SELECT * FROM unique_docs
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |g5c AS (SELECT doc_id, unnest($g5) AS g FROM clean),
+       |eg AS (SELECT DISTINCT unnest($g5) AS g
+       |       FROM documents WHERE doc_id % 17 = 0),
+       |contaminated AS (SELECT DISTINCT doc_id FROM g5c JOIN eg USING (g)),
+       |survivors AS (
+       |  SELECT * FROM clean
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |docs AS (
+       |  SELECT doc_id, doc_id % 8 AS bucket,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+       |  FROM survivors),
+       |packed AS (
+       |  SELECT doc_id, bucket, n_tokens, rn,
+       |    CAST(0 AS BIGINT) AS pack, CAST(0 AS BIGINT) AS pack_pos,
+       |    n_tokens AS fill
+       |  FROM docs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.doc_id, d.bucket, d.n_tokens, d.rn,
+       |    CASE WHEN p.fill + d.n_tokens <= 256 THEN p.pack
+       |         ELSE p.pack + 1 END,
+       |    CASE WHEN p.fill + d.n_tokens <= 256 THEN p.pack_pos + 1
+       |         ELSE CAST(0 AS BIGINT) END,
+       |    CASE WHEN p.fill + d.n_tokens <= 256 THEN p.fill + d.n_tokens
+       |         ELSE d.n_tokens END
+       |  FROM docs d JOIN packed p ON d.bucket = p.bucket AND d.rn = p.rn + 1),
+       |sh AS (SELECT doc_id, ${QuerySql.h64("'shuf:' || doc_id")} AS h
+       |       FROM survivors),
+       |shards AS (
+       |  SELECT doc_id, h % 8 AS shard,
+       |    CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+       |      AS BIGINT) AS seq
+       |  FROM sh)
+       |SELECT p.doc_id, p.bucket, p.pack, p.pack_pos, s.shard, s.seq
+       |FROM packed p JOIN shards s USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   /** CC oracle: min-reachable-id via recursive CTE — the same fixpoint
     * (component minimum) the Spark label propagation converges to. */
   val ccOracle: String =
