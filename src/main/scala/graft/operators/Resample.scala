@@ -32,10 +32,14 @@ object Resample {
     * `[min(bucket), max(bucket)]` at `step`.
     *
     * @param zeroFill columns set to 0 on gap rows (counts/sums that
-    *                 mean "nothing happened")
-    * @param locf     columns carried forward from the last non-gap row
+    *                 mean "nothing happened"); a PRESENT row keeps its
+    *                 value, even when that value is SQL NULL
+    * @param locf     columns carried forward from the last present row
     *                 (levels/gauges); leading gaps before a key's first
-    *                 observation stay NULL — there is nothing to carry
+    *                 observation stay NULL — there is nothing to carry.
+    *                 A present row with a NULL measure is an observation
+    *                 OF NULL: it keeps NULL and later gaps carry NULL,
+    *                 never an older value
     * @return the dense grid with a `gap` boolean marking filled rows
     */
   def gapFill(
@@ -52,24 +56,24 @@ object Resample {
       .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
     val grid = range.select(keyCols :+
       explode(sequence(col("__lo"), col("__hi"), lit(step))).as(bucketCol): _*)
-    val joined = grid.join(df, keys :+ bucketCol, "left")
+    // presence rides the input INTO the grid join — a gap is a grid row
+    // with no input twin, never "the first value column is NULL" (a
+    // present row whose measure is SQL NULL is an observation, not a gap)
+    val withGap = grid
+      .join(df.withColumn("__present", lit(true)), keys :+ bucketCol, "left")
+      .withColumn("gap", col("__present").isNull)
+      .drop("__present")
     val w = Window.partitionBy(keyCols: _*).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val marker = locf.headOption.orElse(zeroFill.headOption)
-    val withGap = marker match {
-      case Some(m) => joined.withColumn("gap", col(m).isNull)
-      case None =>
-        // no value columns: a gap row is one absent from the input —
-        // detectable only before the fill, so mark via an anti lookup
-        joined.join(df.select((keys :+ bucketCol).map(col): _*)
-            .withColumn("__present", lit(true)),
-          keys :+ bucketCol, "left")
-          .withColumn("gap", col("__present").isNull)
-          .drop("__present")
-    }
     val zeroed = zeroFill.foldLeft(withGap)((d, c) =>
-      d.withColumn(c, coalesce(col(c), lit(0L))))
+      d.withColumn(c, when(col("gap"), lit(0L)).otherwise(col(c))))
+    // carry the last PRESENT row's value: the struct wrap keeps a
+    // present-but-NULL observation distinguishable from "no row", so
+    // gaps after it carry NULL instead of resurrecting an older value
     locf.foldLeft(zeroed)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      d.withColumn(c, when(col("gap"),
+          last(when(!col("gap"), struct(col(c).as("v"))), ignoreNulls = true)
+            .over(w).getField("v"))
+        .otherwise(col(c))))
   }
 }

@@ -743,14 +743,17 @@ object AnalyticsQueries {
         |grid AS (SELECT event_type,
         |           unnest(range(lo, hi + 900, 900)) AS bucket FROM rng),
         |j AS (SELECT g.event_type, g.bucket, a.n, a.s
-        |      FROM grid g LEFT JOIN agg a USING (event_type, bucket))
+        |      FROM grid g LEFT JOIN agg a USING (event_type, bucket)),
+        |f AS (SELECT event_type, bucket, n, s,
+        |  last_value(CASE WHEN n IS NOT NULL THEN {'v': s} END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+        |  FROM j)
         |SELECT event_type, bucket,
-        |  coalesce(n, 0) AS n_events,
-        |  last_value(s IGNORE NULLS) OVER (PARTITION BY event_type
-        |    ORDER BY bucket
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum_cents,
-        |  s IS NULL AS gap
-        |FROM j ORDER BY 1, 2""".stripMargin,
+        |  CASE WHEN n IS NULL THEN 0 ELSE n END AS n_events,
+        |  CASE WHEN n IS NULL THEN carry.v ELSE s END AS locf_sum_cents,
+        |  n IS NULL AS gap
+        |FROM f ORDER BY 1, 2""".stripMargin,
     "forecast_revenue" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  count(*) AS n_lines

@@ -599,6 +599,19 @@ object TableReader {
         s"(${ch.columns.mkString(", ")})"))
     val dataCols = ch.columns.toSeq
       .filterNot(c => c == "_change_type" || c == "_commit_version")
+    // the carry-over test compares FULL pre/post rows (max + <=> over a
+    // struct of every data column), which Spark only supports for
+    // orderable types — a map column would fail deep in analysis, so
+    // refuse up front with the recovery path instead
+    val unorderable = ch.schema.fields
+      .filter(f => dataCols.contains(f.name) && !orderableType(f.dataType))
+    if (unorderable.nonEmpty) throw CompactionError.Config(
+      "changelogUpdates compares full pre/post images, which requires " +
+        "orderable column types; column(s) " +
+        unorderable.map(f => s"${f.name}: ${f.dataType.simpleString}")
+          .mkString("[", ", ", "]") +
+        " are not orderable (maps) — consume the raw changelog() or " +
+        "project the table without them before pairing")
     val w = Window.partitionBy(
       (identifierColumns :+ "_commit_version").map(col): _*)
     val isDel = col("_change_type") === "delete"
@@ -619,6 +632,19 @@ object TableReader {
           .when(col("__paired") && isIns, lit("update_postimage"))
           .otherwise(col("_change_type")))
       .drop("__d", "__i", "__drow", "__irow", "__paired")
+  }
+
+  /** Can rows of this type be compared/ordered by Spark? (Maps cannot;
+    * structs/arrays inherit from their elements.) */
+  private def orderableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => orderableType(f.dataType))
+      case a: ArrayType => orderableType(a.elementType)
+      case u: UserDefinedType[_] => orderableType(u.sqlType)
+      case _ => true
+    }
   }
 
   /** unionByName(allowMissing) over `dfs` as a balanced tree (depth

@@ -33,10 +33,11 @@ import org.apache.spark.sql.functions._
   */
 object Replicate {
 
-  /** Replica table properties: the source dir and the source version
-    * the replica reflects. */
+  /** Replica table properties: the source dir, the source version the
+    * replica reflects, and the key columns it was bootstrapped with. */
   val SourceProp = "graft.replica.source"
   val SyncedVersionProp = "graft.replica.synced-version"
+  val KeysProp = "graft.replica.keys"
 
   /** Create the replica at `dstDir` holding the source's state at
     * `atVersion` (default: current). */
@@ -49,11 +50,14 @@ object Replicate {
       catalog: TableCatalog = FileTableCatalog
   ): Long = {
     require(keys.nonEmpty, "replication needs at least one key column")
+    require(keys.forall(!_.contains(",")),
+      "replica key column names must not contain ','")
     val srcSnap = catalog.loadOrThrow(srcDir)
     val v = if (atVersion > 0) atVersion else srcSnap.version
     TableMetadata.commit(dstDir, TableSnapshot(1, 1, 0, Nil, properties = Map(
       SourceProp -> srcDir,
-      SyncedVersionProp -> v.toString)))
+      SyncedVersionProp -> v.toString,
+      KeysProp -> keys.mkString(","))))
     TableReader.readOption(spark, srcDir, asOfVersion = Some(v),
         catalog = catalog)
       .filter(df => !df.isEmpty)
@@ -66,21 +70,39 @@ object Replicate {
 
   /** Apply the source's net changes since the replica's checkpoint in
     * ONE atomic upsert commit. Returns the new checkpoint (no-op when
-    * already current). `keys` defaults to the bootstrap keys via the
-    * replica's first commit — pass explicitly when calling on a replica
-    * bootstrapped elsewhere. */
+    * already current). `keys` defaults to the bootstrap keys persisted
+    * in the replica's [[KeysProp]] property; passing them explicitly is
+    * allowed only when they MATCH the persisted list — upserting on a
+    * different key than the replica was built on would silently corrupt
+    * it, so a mismatch is refused. (Replicas created before [[KeysProp]]
+    * existed carry no persisted list: there an explicit `keys` is
+    * required and is persisted on this sync's commit.) */
   def sync(
       spark: SparkSession,
       srcDir: String,
       dstDir: String,
-      keys: Seq[String],
+      keys: Seq[String] = Nil,
       catalog: TableCatalog = FileTableCatalog
   ): Long = {
-    require(keys.nonEmpty, "replication needs at least one key column")
     val dst = catalog.loadOrThrow(dstDir)
     if (!dst.properties.get(SourceProp).contains(srcDir))
       throw CompactionError.Config(
         s"$dstDir is not a replica of $srcDir (bootstrap first)")
+    val storedKeys = dst.properties.get(KeysProp)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    val useKeys = (storedKeys, keys) match {
+      case (Some(s), k) if k.isEmpty || k == s => s
+      case (Some(s), k) => throw CompactionError.Config(
+        s"replica $dstDir was bootstrapped with keys " +
+          s"(${s.mkString(", ")}) but sync was called with " +
+          s"(${k.mkString(", ")}); syncing on a different key would " +
+          "corrupt the replica — omit keys or pass the bootstrap list")
+      case (None, k) if k.nonEmpty => k // pre-KeysProp replica
+      case (None, _) => throw CompactionError.Config(
+        s"replica $dstDir carries no persisted key list (bootstrapped " +
+          "by an older build) — pass the bootstrap keys explicitly; " +
+          "this sync will persist them")
+    }
     val lastV = dst.properties.get(SyncedVersionProp)
       .flatMap(_.toLongOption).getOrElse(throw CompactionError.Config(
         s"$dstDir carries no synced-version checkpoint"))
@@ -93,7 +115,8 @@ object Replicate {
       case e: CompactionError.EmptyInterval =>
         // property-/schema-only advance: just move the checkpoint
         new CommitManager(dstDir, catalog = catalog)
-          .setTableProperties(Map(SyncedVersionProp -> srcV.toString),
+          .setTableProperties(Map(SyncedVersionProp -> srcV.toString,
+              KeysProp -> useKeys.mkString(",")),
             Set.empty, expectedSchemaId = dst.schemaId)
         return srcV
     }
@@ -102,17 +125,18 @@ object Replicate {
         // rewrites/conversions only: zero net changes — move the
         // checkpoint without an upsert commit
         new CommitManager(dstDir, catalog = catalog)
-          .setTableProperties(Map(SyncedVersionProp -> srcV.toString),
+          .setTableProperties(Map(SyncedVersionProp -> srcV.toString,
+              KeysProp -> useKeys.mkString(",")),
             Set.empty, expectedSchemaId = dst.schemaId)
         return srcV
       }
       // the primary-key contract: one net-inserted row per key
       val dupKeys = net.filter(col("_change_type") === "insert")
-        .groupBy(keys.map(col): _*)
+        .groupBy(useKeys.map(col): _*)
         .agg(sum(col("_change_count")).as("_n"))
         .filter(col("_n") > 1L)
       if (!dupKeys.isEmpty) throw CompactionError.Config(
-        s"source rows are not unique per (${keys.mkString(", ")}); a " +
+        s"source rows are not unique per (${useKeys.mkString(", ")}); a " +
           "keyed replica cannot represent duplicate keys — replicate " +
           "with the full unique key")
       val inserts = net.filter(col("_change_type") === "insert")
@@ -121,11 +145,12 @@ object Replicate {
       // own eq-delete replaces it; only keys with no surviving insert
       // become deletes
       val deletes = net.filter(col("_change_type") === "delete")
-        .select(keys.map(col): _*)
-        .join(inserts.select(keys.map(col): _*), keys, "left_anti")
-      TableWrites.upsert(dstDir, inserts, keys, catalog = catalog,
+        .select(useKeys.map(col): _*)
+        .join(inserts.select(useKeys.map(col): _*), useKeys, "left_anti")
+      TableWrites.upsert(dstDir, inserts, useKeys, catalog = catalog,
         deleteKeys = Some(deletes),
-        setProperties = Map(SyncedVersionProp -> srcV.toString),
+        setProperties = Map(SyncedVersionProp -> srcV.toString,
+          KeysProp -> useKeys.mkString(",")),
         validate = reloaded => {
           val nowV = reloaded.properties.get(SyncedVersionProp)
             .flatMap(_.toLongOption).getOrElse(-1L)

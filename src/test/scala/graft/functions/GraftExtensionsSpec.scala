@@ -133,4 +133,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(upd == Seq((1L, "A", "update_postimage"),
       (1L, "a", "update_preimage"), (9L, "z", "insert")))
   }
+
+  test("wrong arity gets the usage string, not IndexOutOfBounds") {
+    def usageError(sql: String, expect: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      val msgs = chain(e).map(x => s"${x.getClass.getName}: ${x.getMessage}")
+      assert(msgs.exists(_.contains(expect)), msgs.mkString("\n"))
+      assert(!chain(e).exists(_.isInstanceOf[IndexOutOfBoundsException]),
+        s"raw IndexOutOfBounds leaked for: $sql")
+    }
+    usageError("SELECT * FROM graft_updates('/t', 1, 2)",
+      "graft_updates(tableDir, fromVersion, toVersion, identifierCols)")
+    usageError("SELECT * FROM graft_changes('/t', 1)",
+      "graft_changes(tableDir, fromVersion, toVersion)")
+    usageError("SELECT * FROM graft_net_changes('/t')",
+      "graft_net_changes(tableDir, fromVersion, toVersion)")
+    usageError("SELECT * FROM graft_table('/t', 1, 2)",
+      "graft_table(tableDir[, asOfVersion])")
+    usageError("SELECT shingles('a b c')", "shingles(text, n)")
+    usageError("SELECT minhash_signature(array('a'))",
+      "minhash_signature(features, numHashes[, hashKind])")
+    usageError("SELECT cosine_sim(array(1.0F))", "cosine_sim(a, b)")
+    usageError("SELECT hyperplane_bucket(array(0.5F), 1)",
+      "hyperplane_bucket(vec, dims, numBits)")
+  }
 }

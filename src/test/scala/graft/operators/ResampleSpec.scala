@@ -57,6 +57,33 @@ class ResampleSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, false), (10L, true), (20L, false)))
   }
 
+  test("a present row with a NULL measure is an observation, not a gap: " +
+    "it is not zero-filled, not LOCF-overwritten, and later gaps carry " +
+    "ITS null, never an older value") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0L, Some(5L), Some(100L)),
+      // present row, both measures SQL NULL (e.g. sum over all-null)
+      ("a", 10L, Option.empty[Long], Option.empty[Long]),
+      ("a", 30L, Some(2L), Some(700L))
+    ).toDF("k", "bucket", "n", "v")
+    val out = Resample.gapFill(df, Seq("k"), "bucket", 10L,
+        zeroFill = Seq("n"), locf = Seq("v"))
+      .orderBy("bucket").select("bucket", "n", "v", "gap").collect()
+    // bucket 10: present — gap=false, n stays NULL (not zeroed), v stays
+    // NULL (not overwritten with 100)
+    assert(!out(1).getBoolean(3), "present row misflagged as gap")
+    assert(out(1).isNullAt(1), "present NULL count must not be zero-filled")
+    assert(out(1).isNullAt(2), "present NULL measure must not be LOCF'd")
+    // bucket 20: a real gap — zero-filled count, and LOCF carries the
+    // LAST observation (bucket 10's NULL), not bucket 0's 100
+    assert(out(2).getBoolean(3))
+    assert(out(2).getLong(1) == 0L)
+    assert(out(2).isNullAt(2), "gap after a NULL observation carries NULL")
+    // bucket 0 and 30 untouched
+    assert(out(0).getLong(2) == 100L && out(3).getLong(2) == 700L)
+  }
+
   test("step must be positive") {
     import spark.implicits._
     val df = Seq(("a", 0L)).toDF("k", "bucket")

@@ -133,6 +133,54 @@ class ChangelogSpec extends AnyFunSuite {
     }
   }
 
+  test("Replicate: bootstrap persists the key list; sync defaults to it " +
+    "and refuses mismatched keys instead of corrupting the replica") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-repl-keys-src").toString
+    val dst = Files.createTempDirectory("graft-repl-keys-dst").toString
+    TableMetadata.commit(src, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(src,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    graft.txn.Replicate.bootstrap(spark, src, dst, Seq("id"))
+    assert(TableMetadata.loadOrThrow(dst).properties
+      .get(graft.txn.Replicate.KeysProp).contains("id"))
+    // a sync on the WRONG key is refused loudly (would upsert/eq-delete
+    // on a key the replica was not built on)
+    TableWrites.appendEqualityDeletes(src, Seq(1L).toDF("id"), Seq("id"))
+    TableWrites.appendData(src, Seq((1L, "a2")).toDF("id", "v").coalesce(1))
+    val e = intercept[graft.core.CompactionError.Config] {
+      graft.txn.Replicate.sync(spark, src, dst, Seq("v"))
+    }
+    assert(e.getMessage.contains("bootstrapped with keys"))
+    // keys omitted: the persisted bootstrap list drives the sync
+    assert(graft.txn.Replicate.sync(spark, src, dst) ==
+      TableMetadata.loadOrThrow(src).version)
+    val got = TableReader.read(spark, dst).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a2"), (2L, "b")))
+    // passing the matching list explicitly stays allowed (no-op here)
+    assert(graft.txn.Replicate.sync(spark, src, dst, Seq("id")) ==
+      TableMetadata.loadOrThrow(src).version)
+  }
+
+  test("changelogUpdates refuses non-orderable (map) columns with a " +
+    "clear Config error naming the recovery path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-chlog-map").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      Seq((1L, Map("k" -> 1))).toDF("id", "m").coalesce(1))
+    TableWrites.appendData(dir,
+      Seq((2L, Map("k" -> 2))).toDF("id", "m").coalesce(1))
+    val e = intercept[graft.core.CompactionError.Config] {
+      TableReader.changelogUpdates(spark, dir, 1, 3, Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("m: map<string,int>"))
+    assert(e.getMessage.contains("changelog()"))
+    // the raw changelog over the same table still works
+    assert(TableReader.changelog(spark, dir, 1, 3).count() == 2)
+  }
+
   test("changelogUpdates pairs one-delete+one-insert per key per commit " +
       "into update pre/post images; identical pairs (carry-overs) drop; " +
       "duplicate keys stay honestly unpaired") {
