@@ -526,4 +526,67 @@ object Dedup {
             s => s.getField("passage")),
           " ")).as("cleaned_digest"))
   }
+
+  /** EXACT SUBSTRING dedup — the sliding-window form of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): a token is duplicated text when ANY `minTokens`-gram
+    * covering it occurs at two or more positions corpus-wide (their
+    * suffix-array criterion, restated as sliding fixed-length windows so
+    * it distributes); every covered token is removed from every copy.
+    * Complements [[passageDedup]], whose fixed non-overlapping chunks
+    * miss duplicated spans that straddle a chunk boundary or start
+    * mid-chunk.
+    *
+    * Returns (doc_id, n_tokens, n_removed, kept_digest) where
+    * kept_digest = md5 of the surviving tokens in order — a cross-engine
+    * hash match certifies byte-exact splicing, not just counts.
+    *
+    * 100 TB shape (4 shuffles, each on a uniform or shrinking key):
+    *  1. gram counts: groupBy(gram) with map-side partial aggregation —
+    *     a million-fold duplicated gram collapses per map task before
+    *     the shuffle;
+    *  2. instances semi-join the (already shrunken) duplicated-gram set
+    *     on gram — when the dup set is small it broadcasts;
+    *  3. covered (doc, position) pairs dedup on a UNIQUE, uniformly
+    *     distributed key, then
+    *  4. tokens anti-join covered on that same (doc, position) key and
+    *     reassemble per doc. No window funnels all copies of a hot gram
+    *     through one partition, and per-doc state is bounded by document
+    *     length (the same bound [[passageDedup]]'s reassembly accepts).
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 6): DataFrame = {
+    val L = minTokens
+    require(L > 1, s"minTokens must be > 1, got $L")
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    // sliding L-gram instances with their 0-based start position; docs
+    // shorter than L tokens yield none (sequence(0, negative) would
+    // count DOWN, so the filter is load-bearing)
+    val inst = base.filter(size(col("toks")) >= L)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - L),
+        i => array_join(slice(col("toks"), i + 1, lit(L)), " ")))
+        .as(Seq("pos", "gram")))
+    val dup = inst.groupBy("gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("gram")
+    val covered = inst.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (L - 1))).as("tp"))
+      .distinct()
+    val tokens = base.select(col("doc_id"), size(col("toks")).as("n_tok"),
+      posexplode(col("toks")).as(Seq("tp", "tok")))
+    val keptAgg = tokens.join(covered, Seq("doc_id", "tp"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
+            s => s.getField("tok")),
+          " ")).as("kept_digest"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_digest"), md5(lit(""))).as("kept_digest"))
+  }
 }

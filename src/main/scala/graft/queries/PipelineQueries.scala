@@ -438,6 +438,14 @@ object PipelineQueries {
     Dedup.passageDedup(documents(spark, dir), "doc_id", "text", 8)
       .orderBy("doc_id")
 
+  /** Exact-substring dedup ([[Dedup.substringDedup]], Lee et al. 2022):
+    * remove every token covered by a 6-gram that occurs twice or more
+    * corpus-wide, certifying the spliced text via md5. Catches the
+    * duplicated spans [[passageDedup]]'s fixed chunking misses. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(documents(spark, dir), "doc_id", "text", 6)
+      .orderBy("doc_id")
+
   /** PII scrub over a corpus with PLANTED pii (every 5th doc gets a
     * deterministic email + digit-run suffix, built identically in the
     * oracle) — so the redaction counts and the scrubbed-text digests
@@ -919,6 +927,37 @@ object PipelineQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
         |FROM g5 JOIN eg USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "substring_dedup" ->
+      """WITH p0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(toks)-5),
+        |    i -> {'pos': i, 'gram': array_to_string(toks[i:i+5], ' ')})) AS u
+        |  FROM p0 WHERE len(toks) >= 6),
+        |inst AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g),
+        |dup AS (SELECT gram FROM inst GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos+5)) AS tp
+        |        FROM inst JOIN dup USING (gram)),
+        |tok AS (
+        |  SELECT doc_id, u.tp AS tp, u.tok AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(toks)),
+        |      i -> {'tp': i, 'tok': toks[i]})) AS u
+        |    FROM p0)),
+        |kept AS (
+        |  SELECT t.doc_id, t.tp, t.tok
+        |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp
+        |  WHERE c.tp IS NULL),
+        |ka AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(tok, ' ' ORDER BY tp)) AS kd
+        |  FROM kept GROUP BY doc_id)
+        |SELECT p0.doc_id,
+        |  CAST(len(p0.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(p0.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(ka.kd, md5('')) AS kept_digest
+        |FROM p0 LEFT JOIN ka USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "passage_dedup" ->
       """WITH p0 AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1022,6 +1061,7 @@ object PipelineQueries {
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "passage_dedup" -> (passageDedup _),
+    "substring_dedup" -> (substringDedup _),
     "pii_scrub" -> (piiScrubQuery _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _)

@@ -114,6 +114,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(scrambled == got)
   }
 
+  test("substring dedup: a duplicated span is removed from EVERY copy " +
+    "wherever it starts; unique text and short docs survive untouched") {
+    // the shared 6-token span sits at position 0 in doc 10, mid-doc in
+    // doc 11 (straddling any fixed chunk boundary), and at the tail of
+    // doc 12 — the sliding window must catch all three
+    val span = "s1 s2 s3 s4 s5 s6"
+    val d = Seq(
+      (10L, s"$span u1 u2 u3"),
+      (11L, s"v1 v2 v3 $span v4 v5"),
+      (12L, s"w1 w2 w3 w4 $span"),
+      (13L, "all unique tokens here nothing repeats at all ever"),
+      (14L, "tiny doc") // shorter than the window: never touched
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDedup(d, "doc_id", "text", minTokens = 6)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_removed").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(r == Seq((10L, 9L, 6L), (11L, 11L, 6L), (12L, 10L, 6L),
+      (13L, 9L, 0L), (14L, 2L, 0L)))
+    // splicing is byte-exact: doc 11 keeps exactly its flanks
+    val digests = Dedup.substringDedup(d, "doc_id", "text", 6)
+      .filter(col("doc_id") === 11L).select("kept_digest")
+      .as[String].head()
+    val expected = d.sparkSession.range(1)
+      .select(md5(lit("v1 v2 v3 v4 v5"))).as[String].head()
+    assert(digests == expected)
+    // a WITHIN-doc repeat also counts as duplication (two occurrences)
+    val selfRep = Seq((20L, s"$span x y $span")).toDF("doc_id", "text")
+    val sr = Dedup.substringDedup(selfRep, "doc_id", "text", 6)
+      .select("n_tokens", "n_removed").as[(Long, Long)].head()
+    assert(sr == ((14L, 12L)))
+    // overlapping duplicated windows merge: covered positions dedup,
+    // so n_removed never exceeds n_tokens
+    val over = Seq((30L, s"$span s7"), (31L, s"$span s7 z")).toDF("doc_id", "text")
+    val ov = Dedup.substringDedup(over, "doc_id", "text", 6)
+      .orderBy("doc_id")
+      .select("n_tokens", "n_removed").as[(Long, Long)].collect().toSeq
+    assert(ov == Seq((7L, 7L), (8L, 7L)))
+  }
+
   test("ngram jaccard: exact dup = 1000, near-dup above 500") {
     val all = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0)
       .as[(Long, Long, Long)].collect()
