@@ -139,4 +139,34 @@ object Export {
       .filter(col("_mix_run") < budgetOf)
     keepIf.select(docs.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Per-domain frequency cap — the "no domain dominates the corpus"
+    * rule of web-corpus curation (RefinedWeb / Dolma cap the documents
+    * taken per registered domain): keep at most `cap` documents per
+    * `domainCol`, selected by a deterministic pseudo-random priority
+    * (md5 of the id) so the kept subset is an unbiased, reproducible
+    * sample of each domain rather than its first rows in storage order.
+    *
+    * Exactly [[graft.operators.TopK.saltedTopK]] under the hood, so a
+    * hot domain (the 100 TB failure mode: one domain holds a billion
+    * docs) spreads over `salts` tasks in phase 1 and only `salts * cap`
+    * survivors reach the per-domain phase-2 window.
+    *
+    * @return kept docs: input columns + `rnk` (1-based priority rank
+    *         within the domain)
+    */
+  def domainCap(
+      docs: DataFrame,
+      idCol: String,
+      domainCol: String,
+      cap: Int,
+      salts: Int = 16
+  ): DataFrame =
+    graft.operators.TopK.saltedTopK(
+      docs,
+      keys = Seq(domainCol),
+      ordering = Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc),
+      k = cap,
+      saltFrom = col(idCol),
+      salts = salts)
 }

@@ -119,6 +119,40 @@ object TextAnalysis {
         sum(when(col("gfreq") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
   }
 
+  /** Per-document top-k terms by an integer-exact TF-IDF: score =
+    * tf(term, doc) * (N * 1000 div df(term)), where df is the number of
+    * documents containing the term — Sparck Jones' inverse document
+    * frequency with the log replaced by scaled integer division, so the
+    * ranking is bit-reproducible across engines (no floating-point ln to
+    * disagree in the last ulp). Tie-break: score desc, then term asc.
+    *
+    * 100 TB shape: tokens collapse to (doc, term, tf) with map-side
+    * partial aggregation (one shuffle); df is one more aggregate over
+    * those pairs into a vocabulary-sized table whose join stays
+    * UNHINTED — the planner broadcasts it while it fits and degrades to
+    * a shuffle join on a noisy vocabulary (same policy as
+    * [[frequencyScore]]); the top-k window partitions by doc_id, which
+    * is uniform by construction. N rides in as a literal computed by a
+    * metadata-served count. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score", col("tf") * expr(s"(${n}L * 1000) div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "term", "tf", "score")
+  }
+
   /** 2-gram repetition signal (the Gopher-rule family of repetition
     * filters — Rae et al., "Scaling Language Models: ... Gopher", 2021,
     * §A1.1 uses duplicate n-gram fractions to drop degenerate text):

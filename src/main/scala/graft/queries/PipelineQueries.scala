@@ -54,6 +54,13 @@ object PipelineQueries {
     TextAnalysis.frequencyScore(documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Integer-exact TF-IDF top terms ([[TextAnalysis.tfidfTopTerms]]):
+    * per-doc top-3 by tf * (N*1000 div df) — the keyword extraction /
+    * salient-term signal, bit-reproducible (no floating-point log). */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(documents(spark, dir), "doc_id", "text", 3)
+      .orderBy("doc_id", "rnk")
+
   // ---- dedup ----
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -388,6 +395,24 @@ object PipelineQueries {
         sum("n_chars").cast("long").as("kept_chars"))
       .withColumn("budget_chars",
         pmod(hash64(lit("bud"), col("source")), lit(4000L)) + lit(2000L))
+      .orderBy("source")
+  }
+
+  /** Per-source frequency cap ([[graft.pipeline.Export.domainCap]]):
+    * at most 20 docs per source, chosen by deterministic md5 priority —
+    * the RefinedWeb/Dolma "no domain dominates" rule, skew-proof via
+    * salted two-phase top-k. Output: per-source kept/total counts plus
+    * a digest of the kept ids (certifies the SELECTION, not just the
+    * sizes). */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val kept = graft.pipeline.Export.domainCap(
+      documents(spark, dir).select("doc_id", "source"),
+      "doc_id", "source", cap = 20)
+    kept.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("kept_docs"),
+        md5(array_join(transform(array_sort(collect_list(struct(
+          col("rnk"), col("doc_id")))), x => x.getField("doc_id").cast("string")),
+          ",")).as("kept_digest"))
       .orderBy("source")
   }
 
@@ -927,6 +952,30 @@ object PipelineQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
         |FROM g5 JOIN eg USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "source_cap" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents),
+        |k AS (SELECT * FROM r WHERE rnk <= 20)
+        |SELECT source, count(*) AS kept_docs,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rnk, doc_id))
+        |    AS kept_digest
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf, tf * ((n.n * 1000) // df.df) AS score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rnk FROM s)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "substring_dedup" ->
       """WITH p0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |g AS (
@@ -1058,9 +1107,11 @@ object PipelineQueries {
     "uniform_sample" -> (uniformSample _),
     "shuffle_export" -> (shuffleExport _),
     "data_mixture" -> (dataMixture _),
+    "source_cap" -> (sourceCap _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "passage_dedup" -> (passageDedup _),
+    "tfidf_topterms" -> (tfidfTopTerms _),
     "substring_dedup" -> (substringDedup _),
     "pii_scrub" -> (piiScrubQuery _),
     "multimodal_meta" -> (multimodalMeta _),
