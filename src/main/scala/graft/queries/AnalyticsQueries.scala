@@ -701,6 +701,39 @@ object AnalyticsQueries {
     * counts zero-filled, the revenue level carried forward (LOCF). The
     * grid is a distributed `sequence()` explode (O(output), no driver
     * loop); the LOCF window parallelizes per key. */
+  /** Semi-structured property shredding: extract the integer field `k`
+    * from the JSON `props` column and aggregate per event type. The
+    * extraction is `get_json_object` — a codegen'd path expression over
+    * the string, no UDF — and malformed/missing fields surface as an
+    * honest `n_bad` count instead of silently vanishing. At 100 TB this
+    * is one narrow projection + one agg shuffle; shredding at read time
+    * beats re-parsing JSON in every downstream query. */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.NanosParquet.readEvents(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Pivot (long -> wide): per-user event counts with one column per
+    * event type. The value list is EXPLICIT, so no driver-side distinct
+    * pass plans the pivot — at 100 TB the implicit form's `collect()`
+    * of distinct keys is the scale hazard. One shuffle (the groupBy);
+    * the pivot itself is map-side conditional aggregation. */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    graft.sources.NanosParquet.readEvents(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
   def eventsResample(spark: SparkSession, dir: String): DataFrame = {
     val step = 900L
     val agg = graft.sources.NanosParquet.readEvents(spark, dir)
@@ -731,6 +764,23 @@ object AnalyticsQueries {
       |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_json" ->
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN CAST(props->>'k' AS BIGINT) IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_resample" ->
       """WITH agg AS (
         |  SELECT event_type,
@@ -1075,6 +1125,8 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> (eventsResample _),
+    "events_json" -> (eventsJson _),
+    "events_pivot" -> (eventsPivot _),
     "forecast_revenue" -> (forecastRevenue _),
     "customer_distribution" -> (customerDistribution _),
     "top_supplier" -> (topSupplier _),

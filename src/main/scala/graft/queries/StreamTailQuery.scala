@@ -204,4 +204,57 @@ object StreamTailQuery {
 
   /** Appends only — the tail does not apply the DV delete. */
   val dvOracle: String = oracle
+
+  // -------- streaming dedup --------------------------------------------
+
+  private val dedupTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STATEFUL streaming dedup: an at-least-once upstream re-delivers a
+    * fifth of the events in a later commit, and `dropDuplicates` over
+    * the stream must emit every event exactly ONCE — the state store
+    * remembers seen keys across micro-batches (here one batch per
+    * commit via the graft tail). The replayed rows are byte-identical
+    * to the originals, so the certified output is exactly the distinct
+    * event set.
+    *
+    * Scale note: unkeyed `dropDuplicates` state grows with distinct
+    * keys forever; the production form bounds it with
+    * `withWatermark + dropDuplicatesWithinWatermark` (re-deliveries
+    * arrive within the lateness bound). This fixture replays with
+    * IDENTICAL timestamps across batches, where the watermark form's
+    * output depends on batch timing — the unbounded form is the one
+    * whose answer is deterministic enough to hash-certify. */
+  def runDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "user_id", "event_type")
+    val tableDir = dedupTables.computeIfAbsent(dir, _ => {
+      val td = Files.createTempDirectory("graft-stream-dedup").toString
+      val ev = graft.sources.NanosParquet.readEvents(spark, dir)
+        .select(cols.map(col): _*).persist()
+      try {
+        FileTableCatalog.commitCas(td, TableSnapshot(1, 1, 0, Nil))
+        TableWrites.appendData(td, ev)
+        // the at-least-once replay: a later commit re-delivers 1/5th
+        TableWrites.appendData(td, ev.filter(col("event_id") % 5 === 0))
+      } finally ev.unpersist()
+      td
+    })
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val out = Files.createTempDirectory(s"graft-dedup-sink-$tag").toString
+    val ckpt = Files.createTempDirectory(s"graft-dedup-ckpt-$tag").toString
+    val q = spark.readStream.format("graft").load(tableDir)
+      .dropDuplicates("event_id")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out)
+      .select(cols.map(col): _*)
+      .orderBy("event_id")
+  }
+
+  val dedupOracle: String =
+    """SELECT event_id, user_id, event_type
+      |FROM events ORDER BY event_id""".stripMargin
 }
