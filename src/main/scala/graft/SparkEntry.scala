@@ -39,6 +39,7 @@ object SparkEntry {
       ("sql_merge_dv" -> (graft.queries.SqlCatalogQuery.runMergeDv _)) +
       ("stream_tail_dv" -> (graft.queries.StreamTailQuery.runDv _)) +
       ("stream_dedup" -> (graft.queries.StreamTailQuery.runDedup _)) +
+      ("stream_join" -> (graft.queries.StreamTailQuery.runJoin _)) +
       ("stream_upsert" -> (graft.queries.UpsertStreamQuery.run _)) +
       ("sql_partitioned" -> (graft.queries.SqlCatalogQuery.runPartitioned _)) +
       ("compaction_partial" -> (graft.queries.SqlCatalogQuery.runPartialCompaction _)) +
@@ -105,6 +106,7 @@ object SparkEntry {
       ("sql_merge_dv" -> graft.queries.SqlCatalogQuery.mergeOracle) +
       ("stream_tail_dv" -> graft.queries.StreamTailQuery.dvOracle) +
       ("stream_dedup" -> graft.queries.StreamTailQuery.dedupOracle) +
+      ("stream_join" -> graft.queries.StreamTailQuery.joinOracle) +
       ("stream_upsert" -> graft.queries.UpsertStreamQuery.oracle) +
       ("sql_partitioned" -> graft.queries.SqlCatalogQuery.partitionedOracle) +
       ("compaction_partial" -> graft.queries.SqlCatalogQuery.partialCompactionOracle) +

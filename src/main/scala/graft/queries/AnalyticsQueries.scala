@@ -234,6 +234,24 @@ object AnalyticsQueries {
         col("sum_price_cents"), col("n"))
       .orderBy("flag", "status")
 
+  /** Full CUBE with grouping_id disambiguation: all four grouping sets
+    * of (flag, status) in one pass. Unlike [[rollupPricing]]'s coalesce
+    * trick, `grouping_id()` distinguishes a REAL NULL group value from a
+    * rolled-up level — the standard disambiguator (bit i set = column i
+    * rolled up; Spark and the SQL-standard GROUPING() agree on the bit
+    * order). One shuffle: Spark expands the grouping sets map-side. */
+  def cubePricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag").as("flag"),
+        col("l_linestatus").as("status"),
+        col("gid"), col("sum_price_cents"), col("n"))
+      .orderBy("gid", "flag", "status")
+
   /** Set operations over supplier key sets: suppliers shipping both
     * returned ('R') and accepted ('A') lines (INTERSECT) and only
     * returned (EXCEPT), emitted as one UNION ALL relation. */
@@ -764,6 +782,14 @@ object AnalyticsQueries {
       |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cube_pricing" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, flag, status""".stripMargin,
     "events_json" ->
       """SELECT event_type,
         |  count(*) AS n,
@@ -1125,6 +1151,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> (eventsResample _),
+    "cube_pricing" -> (cubePricing _),
     "events_json" -> (eventsJson _),
     "events_pivot" -> (eventsPivot _),
     "forecast_revenue" -> (forecastRevenue _),

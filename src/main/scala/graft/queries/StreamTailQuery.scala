@@ -257,4 +257,75 @@ object StreamTailQuery {
   val dedupOracle: String =
     """SELECT event_id, user_id, event_type
       |FROM events ORDER BY event_id""".stripMargin
+
+  // -------- stream-stream join ------------------------------------------
+
+  private val joinTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** STREAM-STREAM inner join: purchases and clicks arrive as two
+    * independent graft streaming tails (each split over two commits, so
+    * neither side is single-batch) and join on user within a 6-hour
+    * attribution window. Structured Streaming buffers both sides in the
+    * state store and emits a pair exactly once no matter which batch
+    * interleaving delivers the halves — the INNER join without a
+    * watermark is the deterministic form (the final output equals the
+    * batch join regardless of timing), which is what a hash oracle can
+    * certify. Production bounds the state with `withWatermark` on both
+    * sides + a time-range condition, trading unbounded retention for
+    * dropping stragglers past the lateness bound; the plumbing is
+    * identical.
+    *
+    * Timestamps ride as epoch-nanos BIGINTs (the graft events fixture
+    * normalization), so the window arithmetic is integer-exact. */
+  def runJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (pDir, cDir) = joinTables.computeIfAbsent(dir, _ => {
+      val ev = graft.sources.NanosParquet.readEvents(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .persist()
+      def mk(kind: String): String = {
+        val td = Files.createTempDirectory(s"graft-sjoin-$kind").toString
+        FileTableCatalog.commitCas(td, TableSnapshot(1, 1, 0, Nil))
+        val side = ev.filter(col("event_type") === kind)
+          .select("event_id", "ts", "user_id")
+        TableWrites.appendData(td, side.filter(col("event_id") % 2 === 0))
+        TableWrites.appendData(td, side.filter(col("event_id") % 2 === 1))
+        td
+      }
+      try (mk("purchase"), mk("click")) finally ev.unpersist()
+    })
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val out = Files.createTempDirectory(s"graft-sjoin-sink-$tag").toString
+    val ckpt = Files.createTempDirectory(s"graft-sjoin-ckpt-$tag").toString
+    val hour6 = 6L * 3600L * 1000000000L
+    val p = spark.readStream.format("graft").load(pDir)
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id"))
+    val c = spark.readStream.format("graft").load(cDir)
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+    val q = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - hour6 && col("c_ts") <= col("p_ts"))
+      .select("user_id", "p_id", "c_id", "p_ts", "c_ts")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out).orderBy("user_id", "p_id", "c_id")
+      .select("user_id", "p_id", "c_id", "p_ts", "c_ts")
+  }
+
+  val joinOracle: String =
+    """WITH p AS (SELECT event_id AS p_id, epoch_us(ts) * 1000 AS p_ts,
+      |             user_id
+      |           FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT event_id AS c_id, epoch_us(ts) * 1000 AS c_ts,
+      |             user_id
+      |           FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, p_id, c_id, p_ts, c_ts
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND c_ts >= p_ts - 21600000000000 AND c_ts <= p_ts
+      |ORDER BY p.user_id, p_id, c_id""".stripMargin
 }
