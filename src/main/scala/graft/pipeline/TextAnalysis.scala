@@ -153,6 +153,56 @@ object TextAnalysis {
       .select("doc_id", "rnk", "term", "tf", "score")
   }
 
+  /** BM25 document ranking (Robertson/Sparck Jones probabilistic
+    * relevance, the Okapi BM25 form) for a FIXED query term set, with
+    * every factor restated over integers so the ranking is
+    * bit-reproducible across engines:
+    *
+    *  - idf(t) ~ (N - df + 0.5)/(df + 0.5), scaled:
+    *    `idf_x1000 = ((2N - 2df + 1) * 1000) div (2df + 1)` (the log is
+    *    monotone, so dropping it reorders nothing within one corpus
+    *    snapshot; the scaled ratio keeps BM25's rare-term dominance);
+    *  - tf normalization with k1 = 1.2, b = 0.75: multiplying numerator
+    *    and denominator by 10T (T = total corpus tokens, avgdl = T/N)
+    *    gives `(22 * tf * T) div (10*T*tf + 3*T + 9*dl*N)` — exact
+    *    integer arithmetic, no floating point anywhere.
+    *
+    * 100 TB shape: the narrow term filter cuts the explode to query
+    * terms BEFORE the (doc, term) aggregate; df/N/T are two scalar-sized
+    * aggregates; the per-doc sum is one uniform shuffle and the top-k is
+    * TakeOrdered (no global sort). Integer headroom: scores stay under
+    * 2^63 while `22 * tf * T * idf_x1000` does — fine to ~10^14 corpus
+    * tokens; shard the corpus or drop the x1000 scale beyond that. */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    val n = docs.count()
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val totalToks = base.agg(sum(size(col("toks")).cast("long")))
+      .head().getLong(0)
+    val toks = base.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"),
+      explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .withColumn("idf_x1000",
+        expr(s"((2 * ${n}L - 2 * df + 1) * 1000) div (2 * df + 1)"))
+      // ONE division at the end keeps full precision (dividing the tf
+      // factor first would truncate it to 0..2 and flatten the ranking)
+      .withColumn("term_score",
+        expr(s"(idf_x1000 * 22 * tf * ${totalToks}L) div " +
+          s"(10 * ${totalToks}L * tf + 3 * ${totalToks}L + 9 * dl * ${n}L)"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_score")).as("bm25_x1000"))
+      .orderBy(col("bm25_x1000").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** 2-gram repetition signal (the Gopher-rule family of repetition
     * filters — Rae et al., "Scaling Language Models: ... Gopher", 2021,
     * §A1.1 uses duplicate n-gram fractions to drop degenerate text):

@@ -54,6 +54,13 @@ object PipelineQueries {
     TextAnalysis.frequencyScore(documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** BM25 top-20 for the fixed query {table, query, spark}
+    * ([[TextAnalysis.bm25Rank]]) — Okapi ranking with log-free scaled
+    * idf and single-division tf normalization, integer-exact. */
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Rank(documents(spark, dir), "doc_id", "text",
+      Seq("table", "query", "spark"), k = 20)
+
   /** Integer-exact TF-IDF top terms ([[TextAnalysis.tfidfTopTerms]]):
     * per-doc top-3 by tf * (N*1000 div df) — the keyword extraction /
     * salient-term signal, bit-reproducible (no floating-point log). */
@@ -963,6 +970,29 @@ object PipelineQueries {
         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rnk, doc_id))
         |    AS kept_digest
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "bm25_rank" ->
+      """WITH p0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |consts AS (
+        |  SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS t
+        |  FROM p0),
+        |tf AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
+        |    count(*) AS tf
+        |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM p0)
+        |  WHERE term IN ('table', 'query', 'spark')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(sum((((2*n - 2*df + 1) * 1000) // (2*df + 1))
+        |      * 22 * tf * t
+        |      // (10 * t * tf + 3 * t + 9 * dl * n)) AS BIGINT)
+        |      AS bm25_x1000
+        |  FROM tf JOIN df USING (term) CROSS JOIN consts
+        |  GROUP BY doc_id)
+        |SELECT doc_id, bm25_x1000 FROM sc
+        |ORDER BY bm25_x1000 DESC, doc_id LIMIT 20""".stripMargin,
     "tfidf_topterms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -1112,6 +1142,7 @@ object PipelineQueries {
     "decontaminate_bloom" -> (decontaminateBloom _),
     "passage_dedup" -> (passageDedup _),
     "tfidf_topterms" -> (tfidfTopTerms _),
+    "bm25_rank" -> (bm25Rank _),
     "substring_dedup" -> (substringDedup _),
     "pii_scrub" -> (piiScrubQuery _),
     "multimodal_meta" -> (multimodalMeta _),
