@@ -81,6 +81,63 @@ class ExportSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq == Seq("big"))
   }
 
+  test("domainCap keeps at most cap docs per domain, identical for any " +
+    "salt count, and small domains survive whole") {
+    val docs = ((0L until 300L).map(i => (i, "big")) ++
+      (300L until 305L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val c16 = Export.domainCap(docs, "doc_id", "source", cap = 10, salts = 16)
+      .select("source", "doc_id", "rnk")
+    val c1 = Export.domainCap(docs, "doc_id", "source", cap = 10, salts = 1)
+      .select("source", "doc_id", "rnk")
+    val got = c16.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == c1.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      "salting must not change the selection")
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc("big").size == 10)
+    assert(bySrc("small").size == 5, "an under-cap domain keeps every doc")
+    // the selection is the md5-priority top-10, not the first 10 ids
+    val naive = docs.filter(col("source") === "big")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(10).select("doc_id").as[Long].collect().toSet
+    assert(bySrc("big").map(_._2) == naive)
+  }
+
+  test("bm25Rank: rarer query terms dominate; repeated-term tf " +
+    "saturates rather than growing linearly; ties break by doc_id") {
+    val docs = Seq(
+      (1L, "rare common filler filler filler"),
+      (2L, "common common filler filler filler"),
+      (3L, "common filler filler filler filler"),
+      (4L, "filler filler filler filler filler"),
+      (5L, "rare common filler filler filler") // identical to doc 1
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25Rank(docs, "doc_id", "text",
+        Seq("rare", "common"), k = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    // docs 1 and 5 hold the rare term (df=2) -> outrank common-only docs;
+    // the tie between them breaks by doc_id
+    assert(r.map(_._1).take(2).toSeq == Seq(1L, 5L))
+    assert(r(0)._2 == r(1)._2, "identical docs must score identically")
+    // doc 2 (tf=2 of common) beats doc 3 (tf=1) but far below the rare docs
+    val m = r.toMap
+    assert(m(2L) > m(3L) && m(2L) < m(1L))
+    assert(!m.contains(4L) || m(4L) == 0L, "no query term -> no score")
+  }
+
+  test("tfidfTopTerms ranks a doc's distinguishing term above corpus-" +
+    "wide terms and breaks score ties alphabetically") {
+    val docs = Seq(
+      (1L, "everywhere everywhere unique"),
+      (2L, "everywhere everywhere everywhere"),
+      (3L, "everywhere everywhere everywhere")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rnk")
+      .select("term").as[String].collect().toSeq
+    // unique: tf=1 * (3000 div 1)=3000; everywhere: tf=2 * (3000 div 3)=2000
+    assert(r == Seq("unique", "everywhere"))
+  }
+
   test("reserved output/helper column names are refused, not clobbered") {
     val withShard = (0L until 5L).map(i => (i, 9L)).toDF("doc_id", "shard")
     intercept[IllegalArgumentException] {
