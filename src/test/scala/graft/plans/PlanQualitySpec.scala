@@ -304,4 +304,52 @@ class PlanQualitySpec extends AnyFunSuite {
       rp.contains("BroadcastHashJoin"),
       s"centroid assignment should broadcast the centroids:\n$rp")
   }
+
+  test("substring dedup: no cartesian, no window; the gram aggregate is " +
+    "map-side partial and the covered-position anti-join keys on the " +
+    "uniform (doc, position) pair") {
+    val p = plan(graft.queries.PipelineQueries.substringDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("Window"), s"no window funnel:\n$p")
+    assert(p.contains("partial_count"),
+      s"gram counting must partial-aggregate before the shuffle:\n$p")
+    val antiLines = p.split("\n").filter(l =>
+      l.contains("Join") && l.contains("LeftAnti"))
+    assert(antiLines.nonEmpty && antiLines.forall(l =>
+      l.contains("doc_id") && l.contains("tp")),
+      s"kept-token anti-join must key on (doc_id, tp):\n$p")
+  }
+
+  test("bm25: df table broadcasts; top-k is TakeOrdered, never a " +
+    "global sort") {
+    val p = plan(graft.queries.PipelineQueries.bm25Rank(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"df join should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit+order must plan TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("source cap: both top-k phases are windows over hash exchanges " +
+    "— no single-partition funnel, no join") {
+    val p = plan(graft.queries.PipelineQueries.sourceCap(spark, dir))
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.indexOf("Exchange SinglePartition") >
+        p.lastIndexOf("Window"), // only the final tiny orderBy may gather
+      s"no single-partition exchange below the windows:\n$p")
+    assert(!p.contains("Join"), s"capping must not join:\n$p")
+  }
+
+  test("events pivot: the standard two-exchange pivot plan — " +
+    "(user, type) counts then per-user pivotfirst — both phases " +
+    "map-side partial, no join, no window") {
+    val p = plan(graft.queries.AnalyticsQueries.eventsPivot(spark, dir))
+    val exchanges = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2,
+      s"pivot plans exactly two agg exchanges, found $exchanges:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_pivotfirst"),
+      s"both pivot phases must be map-side partial:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"pivot must stay pure aggregation:\n$p")
+  }
 }
