@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding TOKENIZER TRAINING (Sennrich et al., "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016 —
+  * the algorithm behind GPT/Llama-family subword vocabularies),
+  * distributed the way BPE actually scales:
+  *
+  *  1. the corpus collapses ONCE to the word-frequency table (the only
+  *     pass over the raw text — at 100 TB this is one shuffle on a
+  *     vocabulary-sized key, after which training never touches the
+  *     corpus again);
+  *  2. each merge step counts adjacent symbol pairs over that table
+  *     (distributed aggregate, frequencies as weights), picks the
+  *     argmax with a total tie-break (count desc, pair asc), and
+  *     rewrites every word's symbol sequence by the new merge.
+  *
+  * The symbol sequence rides as a DOUBLE-SPACE-joined string and a
+  * merge applies as a literal `replace(' a  b ', ' ab ')` + re-join:
+  * leftmost, non-overlapping, continue-after-replacement — exactly
+  * BPE's greedy application order — and bit-identical in any engine
+  * with standard string replace, which is what lets DuckDB replay
+  * training merge-for-merge ([[graft.queries.PipelineQueries]] unrolls
+  * the K iterations as chained CTEs).
+  *
+  * Driver coordination is one scalar argmax collect per merge — the
+  * same loop discipline as [[IntKMeans]] (k iterations, scalar state);
+  * the per-iteration `localCheckpoint` pins the plan depth so step K
+  * does not replay steps 1..K-1. The returned merge table is the
+  * trained artifact (inherently driver-small, like k-means centroids).
+  */
+object Bpe {
+
+  /** Train `merges` BPE merge steps over the whitespace words of
+    * `textCol`. Returns the merge table
+    * (step, pa, pb, merged, cnt) — one row per learned merge, in
+    * training order; stops early if no adjacent pair remains. */
+  def train(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges > 0, s"merges must be positive, got $merges")
+    val spark = docs.sparkSession
+    // the ONE corpus pass: word -> corpus frequency, symbols = chars
+    var state = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(" "),
+          array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
+          lit(" ")).as("s"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val toks = split(trim(col("s")), " +")
+      val pairs = state
+        .select(col("freq"),
+          explode(zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("pa"), b.as("pb")))).as("t"))
+        .groupBy(col("t.pa").as("pa"), col("t.pb").as("pb"))
+        .agg(sum("freq").as("cnt"))
+      val top = pairs
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pa, pb, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((step.toLong, pa, pb, pa + pb, cnt))
+        // literal replace = BPE's leftmost non-overlapping greedy apply;
+        // the re-join restores the canonical double-space encoding
+        state = state
+          .withColumn("s", concat(lit(" "),
+            array_join(split(trim(
+              replace(col("s"), lit(s" $pa  $pb "), lit(s" $pa$pb "))),
+              " +"), "  "), lit(" ")))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("step", "pa", "pb", "merged", "cnt")
+  }
+}

@@ -54,6 +54,15 @@ object PipelineQueries {
     TextAnalysis.frequencyScore(documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Distributed BPE tokenizer training ([[graft.pipeline.Bpe]]): 8
+    * merge steps over the corpus word-frequency table. The oracle
+    * unrolls the same 8 iterations as chained DuckDB CTEs — identical
+    * string-replace merge semantics — so the hash match certifies the
+    * TRAINING RUN merge-for-merge, not just the final vocab. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.train(documents(spark, dir), "text", merges = 8)
+      .orderBy("step")
+
   /** BM25 top-20 for the fixed query {table, query, spark}
     * ([[TextAnalysis.bm25Rank]]) — Okapi ranking with log-free scaled
     * idf and single-division tf normalization, integer-exact. */
@@ -677,6 +686,41 @@ object PipelineQueries {
        |  (fa.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
        |FROM final_assign fa ORDER BY fa.vec_id""".stripMargin
 
+  /** The BPE training oracle: K merge iterations unrolled as chained
+    * CTEs — state s{i} derives from s{i-1} by the argmax pair b{i}'s
+    * literal-replace merge, exactly [[graft.pipeline.Bpe.train]]'s
+    * update rule. */
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder(
+      """WITH s0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS freq,
+        |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |z$i AS (
+        |  SELECT freq, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS t
+        |  FROM (SELECT freq, regexp_split_to_array(trim(s), ' +') AS toks FROM s${i - 1})),
+        |b$i AS (
+        |  SELECT t[1] AS pa, t[2] AS pb, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM z$i GROUP BY 1, 2
+        |  ORDER BY cnt DESC, pa, pb LIMIT 1),
+        |s$i AS (
+        |  SELECT freq,
+        |    ' ' || array_to_string(regexp_split_to_array(trim(
+        |      replace(s, ' ' || pa || '  ' || pb || ' ', ' ' || pa || pb || ' ')),
+        |      ' +'), '  ') || ' ' AS s
+        |  FROM s${i - 1} CROSS JOIN b$i)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, pa, pb, pa || pb AS merged, cnt FROM b$i")
+      .mkString("\nUNION ALL\n"))
+    sb.append("\nORDER BY step")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" -> ivfTrainedOracle,
     "ann_indexed" -> ivfTrainedOracle,
@@ -970,6 +1014,7 @@ object PipelineQueries {
         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rnk, doc_id))
         |    AS kept_digest
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "bpe_train" -> bpeOracle(8),
     "bm25_rank" ->
       """WITH p0 AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1143,6 +1188,7 @@ object PipelineQueries {
     "passage_dedup" -> (passageDedup _),
     "tfidf_topterms" -> (tfidfTopTerms _),
     "bm25_rank" -> (bm25Rank _),
+    "bpe_train" -> (bpeTrain _),
     "substring_dedup" -> (substringDedup _),
     "pii_scrub" -> (piiScrubQuery _),
     "multimodal_meta" -> (multimodalMeta _),

@@ -154,6 +154,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(ov == Seq((7L, 7L), (8L, 7L)))
   }
 
+  test("BPE training: frequency-weighted argmax merges, greedy leftmost " +
+    "application, learned merges compose, early exhaustion stops") {
+    // corpus: 'ab' x3, 'abab' x2, 'cd' x1 -> pair counts:
+    //   (a,b) = 3 + 2*2 = 7; (b,a) = 2; (c,d) = 1
+    val d = Seq((1L, "ab ab ab abab abab cd")).toDF("doc_id", "text")
+    val m = Bpe.train(d, "text", merges = 4)
+      .orderBy("step")
+      .select("step", "merged", "cnt").as[(Long, String, Long)]
+      .collect().toSeq
+    // step 1 merges (a,b) everywhere — including BOTH occurrences in
+    // 'abab' (leftmost non-overlapping); step 2 then sees (ab,ab)=2
+    // vs (c,d)=1; step 3 merges (c,d); then nothing remains
+    assert(m == Seq((1L, "ab", 7L), (2L, "abab", 2L), (3L, "cd", 1L)),
+      s"got $m")
+    // ties break by pair string: 'xy' x2 vs 'yx' x2 -> (x,y) wins
+    val t = Seq((1L, "xy xy yx yx")).toDF("doc_id", "text")
+    val first = Bpe.train(t, "text", merges = 1)
+      .select("merged").as[String].head()
+    assert(first == "xy")
+  }
+
   test("ngram jaccard: exact dup = 1000, near-dup above 500") {
     val all = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0)
       .as[(Long, Long, Long)].collect()
