@@ -85,4 +85,36 @@ object Bpe {
     import spark.implicits._
     learned.toSeq.toDF("step", "pa", "pb", "merged", "cnt")
   }
+
+  /** ENCODE with a learned merge table: apply the merges to every word
+    * in training order (BPE inference). The whole chain compiles to ONE
+    * narrow per-row expression — K nested literal replaces — so
+    * encoding is an embarrassingly parallel projection: no joins, no
+    * shuffles until the caller aggregates. Returns
+    * (doc_id, n_subwords, token_digest) where token_digest certifies
+    * the exact subword sequence, not just its length. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wordSym = concat(lit(" "),
+      array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
+      lit(" "))
+    val applied = merges.foldLeft(wordSym) { case (e, (pa, pb)) =>
+      concat(lit(" "),
+        array_join(split(trim(
+          replace(e, lit(s" $pa  $pb "), lit(s" $pa$pb "))), " +"), "  "),
+        lit(" "))
+    }
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
+      .select(col("doc_id"), col("wpos"),
+        array_join(split(trim(applied), " +"), " ").as("sub"))
+      .groupBy("doc_id")
+      .agg(
+        sum(size(split(col("sub"), " "))).cast("long").as("n_subwords"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("wpos"), col("sub")))),
+            s => s.getField("sub")),
+          " ")).as("token_digest"))
+  }
 }

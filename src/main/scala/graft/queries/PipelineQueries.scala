@@ -63,6 +63,18 @@ object PipelineQueries {
     graft.pipeline.Bpe.train(documents(spark, dir), "text", merges = 8)
       .orderBy("step")
 
+  /** BPE ENCODING with the trained merges ([[graft.pipeline.Bpe
+    * .encode]]): train 8 merges, then tokenize every document — the
+    * whole merge chain compiles to one narrow per-row expression. The
+    * digest certifies the exact subword sequence per doc. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = graft.pipeline.Bpe.train(documents(spark, dir), "text", 8)
+      .orderBy("step").select("pa", "pb")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    graft.pipeline.Bpe.encode(documents(spark, dir), "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   /** BM25 top-20 for the fixed query {table, query, spark}
     * ([[TextAnalysis.bm25Rank]]) — Okapi ranking with log-free scaled
     * idf and single-division tf normalization, integer-exact. */
@@ -721,6 +733,35 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** The encode oracle: the training CTEs plus a per-(doc, word)
+    * application of the K learned merges as nested literal replaces —
+    * the same chain [[graft.pipeline.Bpe.encode]] compiles. */
+  private def bpeEncodeOracle(k: Int): String = {
+    val train = bpeOracle(k)
+    val ctes = train.substring(0, train.indexOf("\nSELECT CAST(1 AS BIGINT)"))
+    var e = "' ' || array_to_string(regexp_extract_all(w.word, '.'), '  ') || ' '"
+    for (i <- 1 to k) {
+      e = s"' ' || array_to_string(regexp_split_to_array(trim(" +
+        s"replace($e, ' ' || b$i.pa || '  ' || b$i.pb || ' ', " +
+        s"' ' || b$i.pa || b$i.pb || ' ')), ' +'), '  ') || ' '"
+    }
+    val cross = (1 to k).map(i => s"CROSS JOIN b$i").mkString(" ")
+    ctes + s""",
+      |w AS (
+      |  SELECT doc_id, u.wpos AS wpos, u.word AS word FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+      |      i -> {'wpos': i, 'word': ws[i]})) AS u
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+      |enc AS (
+      |  SELECT w.doc_id, w.wpos,
+      |    array_to_string(regexp_split_to_array(trim($e), ' +'), ' ') AS sub
+      |  FROM w $cross)
+      |SELECT doc_id,
+      |  CAST(sum(len(string_split(sub, ' '))) AS BIGINT) AS n_subwords,
+      |  md5(string_agg(sub, ' ' ORDER BY wpos)) AS token_digest
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" -> ivfTrainedOracle,
     "ann_indexed" -> ivfTrainedOracle,
@@ -1015,6 +1056,7 @@ object PipelineQueries {
         |    AS kept_digest
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "bpe_train" -> bpeOracle(8),
+    "bpe_encode" -> bpeEncodeOracle(8),
     "bm25_rank" ->
       """WITH p0 AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1189,6 +1231,7 @@ object PipelineQueries {
     "tfidf_topterms" -> (tfidfTopTerms _),
     "bm25_rank" -> (bm25Rank _),
     "bpe_train" -> (bpeTrain _),
+    "bpe_encode" -> (bpeEncode _),
     "substring_dedup" -> (substringDedup _),
     "pii_scrub" -> (piiScrubQuery _),
     "multimodal_meta" -> (multimodalMeta _),
