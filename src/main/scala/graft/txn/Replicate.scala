@@ -107,7 +107,16 @@ object Replicate {
       .flatMap(_.toLongOption).getOrElse(throw CompactionError.Config(
         s"$dstDir carries no synced-version checkpoint"))
     val srcV = catalog.loadOrThrow(srcDir).version
-    if (srcV <= lastV) return lastV
+    if (srcV <= lastV) {
+      // already current — but a legacy replica syncing with explicit
+      // keys still gets them persisted NOW (the "this sync will persist
+      // them" promise must not depend on the source having moved)
+      if (storedKeys.isEmpty)
+        new CommitManager(dstDir, catalog = catalog)
+          .setTableProperties(Map(KeysProp -> useKeys.mkString(",")),
+            Set.empty, expectedSchemaId = dst.schemaId)
+      return lastV
+    }
 
     val net = try {
       TableReader.netChangelog(spark, srcDir, lastV, srcV, catalog).persist()
