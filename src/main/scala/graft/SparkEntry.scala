@@ -76,6 +76,7 @@ object SparkEntry {
       ("spj_sorted_join" -> (graft.queries.SqlCatalogQuery.runSortedJoin _)) +
       ("sql_topn" -> (graft.queries.SqlCatalogQuery.runTopN _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
+      ("corpus_curate" -> (CorpusPipelineQuery.runCurate _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _)) +
       ("corpus_to_shards" -> (CorpusPipelineQuery.runToShards _))
 
@@ -143,6 +144,7 @@ object SparkEntry {
       ("spj_sorted_join" -> graft.queries.SqlCatalogQuery.sortedJoinOracle) +
       ("sql_topn" -> graft.queries.SqlCatalogQuery.topNOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
+      ("corpus_curate" -> CorpusPipelineQuery.curateOracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle) +
       ("corpus_to_shards" -> CorpusPipelineQuery.toShardsOracle)
 }

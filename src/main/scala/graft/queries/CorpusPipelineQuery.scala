@@ -66,6 +66,66 @@ object CorpusPipelineQuery {
     finish(unique.join(losers, Seq("doc_id"), "left_anti"))
   }
 
+  /** CURATION composition over the round-12 operators, as ONE plan:
+    * quality gate → per-source frequency cap (15 docs/source by md5
+    * priority — the dominance rule) → EXACT SUBSTRING dedup over the
+    * survivors (6-gram windows, duplicated spans spliced out,
+    * md5-certified). Ordering matters at 100 TB: both gates are a
+    * narrow filter + a salted top-k BEFORE the dedup's gram explode, so
+    * the expensive stage sees only capped, quality-passed data. */
+  def runCurate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val gated = docs.filter(TextAnalysis.qualityOk(col("text")))
+      .select("doc_id", "source", "text")
+    val capped = graft.pipeline.Export
+      .domainCap(gated, "doc_id", "source", cap = 15)
+      .select("doc_id", "text")
+    Dedup.substringDedup(capped, "doc_id", "text", minTokens = 6)
+      .orderBy("doc_id")
+  }
+
+  val curateOracle: String =
+    s"""WITH q AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  WHERE ${QuerySql.qualityPredicate}),
+      |r AS (
+      |  SELECT doc_id, text,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM q),
+      |p0 AS (
+      |  SELECT doc_id, string_split(text,' ') AS toks
+      |  FROM r WHERE rnk <= 15),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks)-5),
+      |    i -> {'pos': i, 'gram': array_to_string(toks[i:i+5], ' ')})) AS u
+      |  FROM p0 WHERE len(toks) >= 6),
+      |inst AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g),
+      |dup AS (SELECT gram FROM inst GROUP BY gram HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos+5)) AS tp
+      |        FROM inst JOIN dup USING (gram)),
+      |tok AS (
+      |  SELECT doc_id, u.tp AS tp, u.tok AS tok FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(toks)),
+      |      i -> {'tp': i, 'tok': toks[i]})) AS u
+      |    FROM p0)),
+      |kept AS (
+      |  SELECT t.doc_id, t.tp, t.tok
+      |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp
+      |  WHERE c.tp IS NULL),
+      |ka AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    md5(string_agg(tok, ' ' ORDER BY tp)) AS kd
+      |  FROM kept GROUP BY doc_id)
+      |SELECT p0.doc_id,
+      |  CAST(len(p0.toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(p0.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(ka.kd, md5('')) AS kept_digest
+      |FROM p0 LEFT JOIN ka USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** THE FULL TRAINING-DATA LAYOUT in one composed plan: quality gate →
     * exact dedup → minhash-LSH near-dup removal → benchmark
     * decontamination (every 17th original doc is the planted benchmark)
