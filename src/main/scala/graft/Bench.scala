@@ -119,8 +119,13 @@ object Bench {
       }.mkString(",\n")
       val dj =
         f"""{\n"total_sec": $total%.3f, "runs": $runs, "sf": "$sfDir", "nq": ${results.size},\n"queries": {\n$detail\n}\n}\n"""
+      // a FILTERED run writes its own file — it must never clobber the
+      // committed full-suite snapshot (a targeted 3-query re-time used
+      // to silently overwrite 150 queries of medians/spreads)
+      val detailFile =
+        if (filter.isDefined) "BENCH_DETAIL_FILTERED.json" else "BENCH_DETAIL.json"
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        java.nio.file.Paths.get(detailFile),
         dj.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // detail file is best-effort
     val line1 =
