@@ -89,6 +89,83 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- persisted inverted text index ----
+
+  private val textIndexTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val textIdxCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val TextStatsProp = "graft.textidx.stats"
+
+  /** Build the INVERTED INDEX table once per corpus: one posting row per
+    * (term, doc) carrying tf and the doc length, PARTITIONED BY
+    * bucket(8, term) so a term lookup plans only its bucket's files; the
+    * corpus constants (N docs, T tokens) ride as a table property — the
+    * searcher never touches the raw corpus. */
+  private def buildTextIndex(spark: SparkSession, dir: String): String =
+    textIndexTables.computeIfAbsent(dir, _ => {
+      val name = s"gtxtx${textIdxCounter.incrementAndGet()}"
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-txtidx-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.txtidx " +
+        "(term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT) " +
+        "PARTITIONED BY (bucket(8, term))")
+      val base = documents(spark, dir).select(col("doc_id"),
+        split(col("text"), " ").as("toks"))
+      val scalars = base.agg(count(lit(1)).as("n"),
+        sum(size(col("toks")).cast("long")).as("t")).head()
+      val postings = base
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("term"))
+        .groupBy("term", "doc_id")
+        .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+        .select("term", "doc_id", "dl", "tf")
+      postings.createOrReplaceTempView(s"txtidx_src_$name")
+      spark.sql(s"INSERT INTO $name.db.txtidx SELECT * FROM txtidx_src_$name")
+      spark.sql(s"ALTER TABLE $name.db.txtidx SET TBLPROPERTIES " +
+        s"('$TextStatsProp' = '${scalars.getLong(0)},${scalars.getLong(1)}')")
+      s"$wh/db/txtidx"
+    })
+
+  /** BM25 served FROM THE PERSISTED INDEX: the same query and the same
+    * integer arithmetic as [[bm25Rank]] (they share one oracle — the
+    * index path must hash-equal the recompute path), but the scan reads
+    * ONLY the probed term buckets (partition pruning self-asserted, the
+    * `ann_indexed` discipline) and df comes from posting counts — at
+    * 100 TB a search touches index buckets, never the corpus. */
+  def textSearch(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "query", "spark")
+    val idxDir = buildTextIndex(spark, dir)
+    val stats = graft.txn.TableMetadata.loadOrThrow(idxDir)
+      .properties(TextStatsProp).split(",")
+    val (n, t) = (stats(0).toLong, stats(1).toLong)
+    val totalFiles = graft.sources.TableReader.read(spark, idxDir)
+      .inputFiles.length
+    val probe = col("term").isin(terms.map(x => x: Any): _*)
+    val idx = graft.sources.TableReader.read(spark, idxDir,
+      filter = Some(probe))
+    val read = idx.inputFiles.length
+    require(read > 0 && read < totalFiles,
+      s"text_search: the term lookup must prune the index scan " +
+        s"($read of $totalFiles files planned)")
+    val tf = idx.filter(probe)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .withColumn("idf_x1000",
+        expr(s"((2 * ${n}L - 2 * df + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("term_score",
+        col("idf_x1000") *
+          expr(s"(22000 * tf * ${t}L) div " +
+            s"(10 * ${t}L * tf + 3 * ${t}L + 9 * dl * ${n}L)"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_score")).as("bm25_x1e6"))
+      .orderBy(col("bm25_x1e6").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** BM25 top-20 for the fixed query {table, query, spark}
     * ([[TextAnalysis.bm25Rank]]) — Okapi ranking with log-free scaled
     * idf and single-division tf normalization, integer-exact. */
@@ -807,6 +884,32 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** Shared by bm25_rank (recompute path) and text_search (persisted
+    * index path) — the two must hash-match this one truth. */
+  private val bm25RankOracle: String =
+    """WITH p0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |consts AS (
+      |  SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS t
+      |  FROM p0),
+      |tf AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
+      |    count(*) AS tf
+      |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM p0)
+      |  WHERE term IN ('table', 'query', 'spark')
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST(sum((((2*n - 2*df + 1) * 1000) // (2*df + 1))
+      |      * ((22000 * tf * t)
+      |         // (10 * t * tf + 3 * t + 9 * dl * n))) AS BIGINT)
+      |      AS bm25_x1e6
+      |  FROM tf JOIN df USING (term) CROSS JOIN consts
+      |  GROUP BY doc_id)
+      |SELECT doc_id, bm25_x1e6 FROM sc
+      |ORDER BY bm25_x1e6 DESC, doc_id LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" -> ivfTrainedOracle,
     "ann_indexed" -> ivfTrainedOracle,
@@ -1102,29 +1205,8 @@ object PipelineQueries {
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "bpe_train" -> bpeOracle(8),
     "bpe_encode" -> bpeEncodeOracle(8),
-    "bm25_rank" ->
-      """WITH p0 AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |consts AS (
-        |  SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS t
-        |  FROM p0),
-        |tf AS (
-        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
-        |    count(*) AS tf
-        |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM p0)
-        |  WHERE term IN ('table', 'query', 'spark')
-        |  GROUP BY 1, 2, 3),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (
-        |  SELECT doc_id,
-        |    CAST(sum((((2*n - 2*df + 1) * 1000) // (2*df + 1))
-        |      * ((22000 * tf * t)
-        |         // (10 * t * tf + 3 * t + 9 * dl * n))) AS BIGINT)
-        |      AS bm25_x1e6
-        |  FROM tf JOIN df USING (term) CROSS JOIN consts
-        |  GROUP BY doc_id)
-        |SELECT doc_id, bm25_x1e6 FROM sc
-        |ORDER BY bm25_x1e6 DESC, doc_id LIMIT 20""".stripMargin,
+    "text_search" -> bm25RankOracle,
+    "bm25_rank" -> bm25RankOracle,
     "tfidf_topterms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -1275,6 +1357,7 @@ object PipelineQueries {
     "passage_dedup" -> (passageDedup _),
     "tfidf_topterms" -> (tfidfTopTerms _),
     "bm25_rank" -> (bm25Rank _),
+    "text_search" -> (textSearch _),
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
     "substring_dedup" -> (substringDedup _),
