@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import graft.core.CompactionError
+import graft.sources.TableReader
+import graft.txn.{FileTableCatalog, TableCatalog, TableWrites}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTALLY MAINTAINED inverted text index: a postings table
+  * (term, doc_id, dl, tf) derived from a graft corpus table and kept in
+  * sync by the corpus CHANGELOG — the delta+base design every serving
+  * index uses at scale:
+  *
+  *  - [[refresh]] applies the corpus's net changes since the index's
+  *    marker as ONE atomic upsert commit: equality-delete every changed
+  *    document's postings, insert the new postings, and advance the
+  *    (N, T) corpus constants and the synced-version marker in the SAME
+  *    commit — a reader always sees a complete index of SOME corpus
+  *    version, never a half-refreshed one. Cost ∝ changed documents
+  *    (the netted changelog), never the corpus.
+  *  - Refresh commits write UNPARTITIONED delta files (the row-level
+  *    upsert path), so term-bucket pruning keeps them alongside the
+  *    pruned base buckets — correct, just less prunable. A periodic
+  *    compaction rewrites deltas into the table's bucket(term) layout
+  *    and restores full pruning (the same fold-the-backlog lifecycle as
+  *    streaming auto-compaction).
+  *
+  * The searcher gates on the marker: serving requires
+  * synced-version == corpus current version, so a lagging index is
+  * detected, not silently stale.
+  */
+object TextIndex {
+
+  val StatsProp = "graft.textidx.stats" // "N,T"
+  val SourceProp = "graft.textidx.source"
+  val SyncedProp = "graft.textidx.synced-version"
+
+  /** Postings of a (doc_id, text) frame: one row per (term, doc) with
+    * the doc length riding denormalized (BM25 needs it per posting). */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .select("term", "doc_id", "dl", "tf")
+
+  /** Corpus constants of a (doc_id, text) frame: (N docs, T tokens). */
+  def stats(docs: DataFrame): (Long, Long) = {
+    val r = docs.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+        .as("t")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Bring the index at `idxDir` up to the corpus's current version by
+    * applying the NET changelog since the index marker, as ONE atomic
+    * upsert commit. Returns the new synced corpus version (no-op when
+    * already current). The corpus must be keyed by unique `doc_id` —
+    * a net multiplicity above 1 means duplicate ids and is refused. */
+  def refresh(
+      spark: SparkSession,
+      corpusDir: String,
+      idxDir: String,
+      catalog: TableCatalog = FileTableCatalog
+  ): Long = {
+    val idx = catalog.loadOrThrow(idxDir)
+    if (!idx.properties.get(SourceProp).contains(corpusDir))
+      throw CompactionError.Config(
+        s"$idxDir does not index $corpusDir (build it first)")
+    val lastV = idx.properties.get(SyncedProp).flatMap(_.toLongOption)
+      .getOrElse(throw CompactionError.Config(
+        s"$idxDir carries no synced-version marker"))
+    val Array(n0, t0) = idx.properties.getOrElse(StatsProp,
+      throw CompactionError.Config(s"$idxDir carries no $StatsProp"))
+      .split(",").map(_.toLong)
+    val curV = catalog.loadOrThrow(corpusDir).version
+    if (curV <= lastV) return lastV
+
+    val net = TableReader
+      .netChangelog(spark, corpusDir, lastV, curV, catalog).persist()
+    try {
+      val dup = net.filter(col("_change_count") > 1L)
+      if (!dup.isEmpty) throw CompactionError.Config(
+        "corpus rows are not unique per doc_id (net multiplicity > 1); " +
+          "an inverted index keyed by doc_id cannot represent duplicates")
+      val ins = net.filter(col("_change_type") === "insert")
+        .select("doc_id", "text")
+      val del = net.filter(col("_change_type") === "delete")
+        .select("doc_id", "text")
+      // stats advance with the delta — never a corpus rescan
+      val dlOf = size(split(col("text"), " ")).cast("long")
+      def sum2(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), coalesce(sum(dlOf), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (nIns, tIns) = sum2(ins)
+      val (nDel, tDel) = sum2(del)
+      val (n1, t1) = (n0 + nIns - nDel, t0 + tIns - tDel)
+      // every changed doc's postings are replaced wholesale: the
+      // eq-delete keys are ALL net-changed ids (a pure insert's key
+      // deletes nothing — harmless), the data is the new postings
+      val changedIds = net.select("doc_id").distinct()
+      TableWrites.upsert(idxDir, postings(ins), keyCols = Seq("doc_id"),
+        catalog = catalog,
+        deleteKeys = Some(changedIds),
+        setProperties = Map(
+          StatsProp -> s"$n1,$t1",
+          SyncedProp -> curV.toString),
+        validate = reloaded => {
+          val nowV = reloaded.properties.get(SyncedProp)
+            .flatMap(_.toLongOption).getOrElse(-1L)
+          if (nowV != lastV) throw CompactionError.Config(
+            s"concurrent index refresh: marker moved v$lastV -> v$nowV; " +
+              "re-run refresh (the newer state already covers this delta)")
+        })
+      curV
+    } finally net.unpersist()
+  }
+}

@@ -166,6 +166,118 @@ object PipelineQueries {
       .limit(20)
   }
 
+  // ---- incrementally maintained text index ----
+
+  private val textRefreshFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val textRefreshCounter =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fixture: corpus graft table -> bucketed index -> corpus CHURN
+    * (deletes + updates + inserts) -> ONE-commit incremental refresh
+    * ([[graft.pipeline.TextIndex.refresh]], in-gate asserted) -> full
+    * compaction folding the unpartitioned delta postings back into the
+    * bucket(term) layout. Returns (corpusDir, idxDir). */
+  private def buildTextRefreshFixture(spark: SparkSession, dir: String)
+      : (String, String) =
+    textRefreshFixtures.computeIfAbsent(dir, _ => {
+      import graft.txn.{FileTableCatalog, TableMetadata, TableSnapshot, TableWrites}
+      val name = s"gtxtr${textRefreshCounter.incrementAndGet()}"
+      // the corpus as a mutable graft table
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"graft-txtr-corpus-$name").toString
+      TableMetadata.commit(corpusDir, TableSnapshot(1, 1, 0, Nil))
+      val docs0 = documents(spark, dir).select("doc_id", "text").persist()
+      TableWrites.appendData(corpusDir, docs0)
+      // the bucketed index table
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-txtr-idx-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.tidx " +
+        "(term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT) " +
+        "PARTITIONED BY (bucket(8, term))")
+      val idxDir = s"$wh/db/tidx"
+      graft.pipeline.TextIndex.postings(docs0)
+        .createOrReplaceTempView(s"txtr_src_$name")
+      spark.sql(s"INSERT INTO $name.db.tidx SELECT * FROM txtr_src_$name")
+      val (n0, t0) = graft.pipeline.TextIndex.stats(docs0)
+      val v0 = FileTableCatalog.loadOrThrow(corpusDir).version
+      spark.sql(s"ALTER TABLE $name.db.tidx SET TBLPROPERTIES (" +
+        s"'${graft.pipeline.TextIndex.StatsProp}' = '$n0,$t0', " +
+        s"'${graft.pipeline.TextIndex.SourceProp}' = '$corpusDir', " +
+        s"'${graft.pipeline.TextIndex.SyncedProp}' = '$v0')")
+      // CHURN the corpus (must mirror churnedCorpusSql exactly):
+      // delete %7, append ' zzz' to surviving %11, clone %13 as new ids
+      TableWrites.appendEqualityDeletes(corpusDir,
+        docs0.filter(col("doc_id") % 7 === 0).select("doc_id"), Seq("doc_id"))
+      TableWrites.upsert(corpusDir,
+        docs0.filter(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), concat(col("text"), lit(" zzz")).as("text")),
+        keyCols = Seq("doc_id"))
+      TableWrites.appendData(corpusDir,
+        docs0.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      docs0.unpersist()
+      // incremental refresh: exactly ONE commit, marker advanced
+      val vBefore = FileTableCatalog.loadOrThrow(idxDir).version
+      graft.pipeline.TextIndex.refresh(spark, corpusDir, idxDir)
+      val after = FileTableCatalog.loadOrThrow(idxDir)
+      require(after.version == vBefore + 1,
+        s"text_index_refresh: the refresh must be ONE atomic commit " +
+          s"(v$vBefore -> v${after.version})")
+      require(after.properties.get(graft.pipeline.TextIndex.SyncedProp)
+          .contains(FileTableCatalog.loadOrThrow(corpusDir).version.toString),
+        "text_index_refresh: marker must equal the corpus version")
+      // fold the unpartitioned delta back into the bucket(term) layout
+      graft.compaction.Compaction.builder().withSpark(spark)
+        .withTableDir(idxDir).build().compact()
+      (corpusDir, idxDir)
+    })
+
+  /** BM25 over the INCREMENTALLY REFRESHED index: the corpus churned
+    * (deletes + updates + inserts) AFTER the index was built, the index
+    * caught up via one changelog-driven upsert commit, and compaction
+    * restored the bucketed layout — so the pruned search must now rank
+    * the CHURNED corpus exactly as DuckDB recomputes it from scratch.
+    * Certifies maintenance end-to-end: netted postings replacement,
+    * delta-stats advance, marker gating, and delta folding. */
+  def textIndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val (corpusDir, idxDir) = buildTextRefreshFixture(spark, dir)
+    val idx0 = graft.txn.TableMetadata.loadOrThrow(idxDir)
+    // serving gate: a lagging index must be detected, never served
+    require(idx0.properties.get(graft.pipeline.TextIndex.SyncedProp).contains(
+        graft.txn.TableMetadata.loadOrThrow(corpusDir).version.toString),
+      "text_index_refresh: index lags the corpus — refresh before serving")
+    val stats = idx0.properties(TextStatsProp).split(",")
+    val (n, t) = (stats(0).toLong, stats(1).toLong)
+    val terms = Seq("table", "query", "spark")
+    val totalFiles = graft.sources.TableReader.read(spark, idxDir)
+      .inputFiles.length
+    val probe = col("term").isin(terms.map(x => x: Any): _*)
+    val idx = graft.sources.TableReader.read(spark, idxDir,
+      filter = Some(probe))
+    val read = idx.inputFiles.length
+    require(read > 0 && read < totalFiles,
+      s"text_index_refresh: post-compaction pruning must hold " +
+        s"($read of $totalFiles files planned)")
+    val tf = idx.filter(probe)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .withColumn("idf_x1000",
+        expr(s"((2 * ${n}L - 2 * df + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("term_score",
+        col("idf_x1000") *
+          expr(s"(22000 * tf * ${t}L) div " +
+            s"(10 * ${t}L * tf + 3 * ${t}L + 9 * dl * ${n}L)"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_score")).as("bm25_x1e6"))
+      .orderBy(col("bm25_x1e6").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** BM25 top-20 for the fixed query {table, query, spark}
     * ([[TextAnalysis.bm25Rank]]) — Okapi ranking with log-free scaled
     * idf and single-division tf normalization, integer-exact. */
@@ -884,11 +996,14 @@ object PipelineQueries {
     sb.toString
   }
 
-  /** Shared by bm25_rank (recompute path) and text_search (persisted
-    * index path) — the two must hash-match this one truth. */
-  private val bm25RankOracle: String =
-    """WITH p0 AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** BM25 oracle over an arbitrary corpus relation (SQL producing
+    * (doc_id, text)). Shared by bm25_rank (recompute), text_search
+    * (persisted index), and text_index_refresh (incrementally refreshed
+    * index over a churned corpus) — each must hash-match this truth. */
+  private def bm25OracleOver(corpusSql: String): String =
+    s"""WITH cur AS ($corpusSql),
+      |p0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM cur),
       |consts AS (
       |  SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS t
       |  FROM p0),
@@ -909,6 +1024,22 @@ object PipelineQueries {
       |  GROUP BY doc_id)
       |SELECT doc_id, bm25_x1e6 FROM sc
       |ORDER BY bm25_x1e6 DESC, doc_id LIMIT 20""".stripMargin
+
+  private val bm25RankOracle: String =
+    bm25OracleOver("SELECT doc_id, text FROM documents")
+
+  /** The churned corpus the text_index_refresh fixture builds: %7 docs
+    * deleted, surviving %11 docs get ' zzz' appended, %13 docs cloned
+    * as new ids. MUST mirror buildTextRefreshFixture exactly. */
+  private val churnedCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, text || ' zzz' AS text FROM documents
+      |  WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 13 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" -> ivfTrainedOracle,
@@ -1206,6 +1337,7 @@ object PipelineQueries {
     "bpe_train" -> bpeOracle(8),
     "bpe_encode" -> bpeEncodeOracle(8),
     "text_search" -> bm25RankOracle,
+    "text_index_refresh" -> bm25OracleOver(churnedCorpusSql),
     "bm25_rank" -> bm25RankOracle,
     "tfidf_topterms" ->
       """WITH tok AS (
@@ -1358,6 +1490,7 @@ object PipelineQueries {
     "tfidf_topterms" -> (tfidfTopTerms _),
     "bm25_rank" -> (bm25Rank _),
     "text_search" -> (textSearch _),
+    "text_index_refresh" -> (textIndexRefresh _),
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
     "substring_dedup" -> (substringDedup _),
