@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import graft.txn.{FileTableCatalog, TableMetadata, TableSnapshot, TableWrites}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** [[TextIndex]]: changelog-driven incremental maintenance of the
+  * postings table — atomic replacement, delta stats, markers, and the
+  * refusal paths. (The end-to-end bucketed/pruned search over a churned
+  * corpus is the `text_index_refresh` oracle query.) */
+class TextIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture(): (String, String) = {
+    val corpus = Files.createTempDirectory("graft-tis-corpus").toString
+    TableMetadata.commit(corpus, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(corpus,
+      Seq((1L, "a b"), (2L, "b c"), (3L, "c d e")).toDF("doc_id", "text")
+        .coalesce(1))
+    val idx = Files.createTempDirectory("graft-tis-idx").toString
+    TableMetadata.commit(idx, TableSnapshot(1, 1, 0, Nil))
+    val docs = graft.sources.TableReader.read(spark, corpus)
+    TableWrites.appendData(idx, TextIndex.postings(docs).coalesce(1))
+    val (n, t) = TextIndex.stats(docs)
+    new graft.txn.CommitManager(idx).setTableProperties(Map(
+      TextIndex.StatsProp -> s"$n,$t",
+      TextIndex.SourceProp -> corpus,
+      TextIndex.SyncedProp ->
+        FileTableCatalog.loadOrThrow(corpus).version.toString),
+      Set.empty,
+      expectedSchemaId = FileTableCatalog.loadOrThrow(idx).schemaId)
+    (corpus, idx)
+  }
+
+  private def postingsOf(idx: String): Set[(String, Long, Long, Long)] =
+    graft.sources.TableReader.read(spark, idx)
+      .select("term", "doc_id", "dl", "tf")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("refresh is a no-op when current, applies pure-delete churn as " +
+    "one commit with exact delta stats, and updates replace postings " +
+    "wholesale") {
+    val (corpus, idx) = fixture()
+    val v0 = FileTableCatalog.loadOrThrow(corpus).version
+    // already current: no commit happens
+    val idxV0 = FileTableCatalog.loadOrThrow(idx).version
+    assert(TextIndex.refresh(spark, corpus, idx) == v0)
+    assert(FileTableCatalog.loadOrThrow(idx).version == idxV0)
+    // pure delete of doc 3 (dl=3): postings vanish, stats shrink, ONE commit
+    TableWrites.appendEqualityDeletes(corpus,
+      Seq(3L).toDF("doc_id"), Seq("doc_id"))
+    assert(TextIndex.refresh(spark, corpus, idx) ==
+      FileTableCatalog.loadOrThrow(corpus).version)
+    val after = FileTableCatalog.loadOrThrow(idx)
+    assert(after.version == idxV0 + 1, "pure-delete refresh = one commit")
+    assert(after.properties(TextIndex.StatsProp) == "2,4")
+    assert(postingsOf(idx) == Set(
+      ("a", 1L, 2L, 1L), ("b", 1L, 2L, 1L),
+      ("b", 2L, 2L, 1L), ("c", 2L, 2L, 1L)))
+    // update doc 1 to "a a": old postings replaced, tf=2, stats keep N
+    TableWrites.upsert(corpus, Seq((1L, "a a")).toDF("doc_id", "text"),
+      keyCols = Seq("doc_id"))
+    TextIndex.refresh(spark, corpus, idx)
+    assert(FileTableCatalog.loadOrThrow(idx)
+      .properties(TextIndex.StatsProp) == "2,4")
+    assert(postingsOf(idx) == Set(
+      ("a", 1L, 2L, 2L),
+      ("b", 2L, 2L, 1L), ("c", 2L, 2L, 1L)))
+  }
+
+  test("refresh refuses an index built over a different corpus, and a " +
+    "marker-less index") {
+    val (corpus, idx) = fixture()
+    val other = Files.createTempDirectory("graft-tis-other").toString
+    TableMetadata.commit(other, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(other,
+      Seq((9L, "x y")).toDF("doc_id", "text").coalesce(1))
+    val e = intercept[graft.core.CompactionError.Config] {
+      TextIndex.refresh(spark, other, idx)
+    }
+    assert(e.getMessage.contains("does not index"))
+  }
+}
