@@ -163,6 +163,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
+  /** CONTAINMENT near-dup pairs: |A∩B| * 1000 div min(|A|, |B|) over
+    * 3-shingle sets within a blocking key — the asymmetric measure that
+    * catches a SHORT document embedded in a long one (a quote, an
+    * excerpt, a truncated mirror), which symmetric Jaccard structurally
+    * misses (the union is dominated by the long side). No size-ratio
+    * prefilter can apply — the size-skewed pair IS the target — so cost
+    * is the blocked quadratic baseline, like [[ngramJaccardPairs]];
+    * the sketch-route at scale is MinHash on the small side's shingles
+    * against an LSH index of the large side. Empty shingle sets (< 3
+    * tokens) are excluded: containment of nothing is undefined, not
+    * 100%. */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      thresholdX1000: Int = 900
+  ): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      graft.functions.HashColumns.hashedSet(shingles3(col(textCol)), "j").as("sh"))
+      .filter(size(col("sh")) > 0)
+    blockedPairs(t, buckets = 8)
+      .withColumn("__inter",
+        graft.functions.HashColumns.sortedIntersectCount(col("a_sh"), col("b_sh")))
+      .withColumn("cont_x1000",
+        expr("(__inter * 1000) div least(size(a_sh), size(b_sh))"))
+      .filter(col("cont_x1000") >= thresholdX1000)
+      .select(col("a_id"), col("b_id"), col("cont_x1000"))
+  }
+
   /** Exact n-gram (3-shingle) Jaccard pairs within a blocking key — the
     * quadratic-per-block exact baseline. */
   def ngramJaccardPairs(

@@ -309,6 +309,22 @@ object PipelineQueries {
         maxDistance = 6)
       .orderBy("a_id", "b_id")
 
+  /** Containment near-dup pairs ([[Dedup.containmentPairs]]) with
+    * PLANTED asymmetric cases: every %9 doc gets a truncated 12-token
+    * twin (id + 200000) — >= 90% of the twin's shingles sit inside its
+    * source while their Jaccard is far below any symmetric threshold.
+    * The oracle plants identically and recomputes from shingle sets. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).select("doc_id", "text", "lang")
+    val planted = docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"),
+        col("lang"))
+    Dedup.containmentPairs(docs.unionByName(planted),
+        "doc_id", "text", "lang", thresholdX1000 = 900)
+      .orderBy("a_id", "b_id")
+  }
+
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(documents(spark, dir), "doc_id", "text", "lang",
         thresholdX1000 = 500)
@@ -1169,6 +1185,26 @@ object PipelineQueries {
         |  CAST(0 AS BIGINT) AS dist
         |FROM documents WHERE doc_id < 200
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id,
+         |    array_to_string((string_split(text, ' '))[1:12], ' ') AS text,
+         |    lang
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |${QuerySql.shinglesCteFrom("base")},
+         |hs AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(list_transform(sh, x -> ${h64("'j:' || x")})) AS shh
+         |  FROM sh_t WHERE len(sh) > 0)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  (len(list_intersect(a.shh, b.shh)) * 1000)
+         |    // least(len(a.shh), len(b.shh)) AS cont_x1000
+         |FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE (len(list_intersect(a.shh, b.shh)) * 1000)
+         |    // least(len(a.shh), len(b.shh)) >= 900
+         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH $shinglesCte,
          |hs AS (
@@ -1469,6 +1505,7 @@ object PipelineQueries {
     "dedup_simhash_xx" -> (dedupSimhashXxPlanted _),
     "dedup_minhash_xx_planted" -> (dedupMinhashXxPlanted _),
     "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_semantic" -> (dedupSemantic _),
     "ann_topk" -> (annTopK _),
