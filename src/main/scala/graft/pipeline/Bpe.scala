@@ -84,6 +84,10 @@ object Bpe {
         step += 1
       }
     }
+    // the merge table is driver-local and independent of state: release
+    // the final checkpoint too (repeated train() calls must not
+    // accumulate one cached RDD each)
+    state.unpersist()
     import spark.implicits._
     learned.toSeq.toDF("step", "pa", "pb", "merged", "cnt")
   }

@@ -159,9 +159,14 @@ object TextAnalysis {
     * bit-reproducible across engines:
     *
     *  - idf(t) ~ (N - df + 0.5)/(df + 0.5), scaled:
-    *    `idf_x1000 = ((2N - 2df + 1) * 1000) div (2df + 1)` (the log is
-    *    monotone, so dropping it reorders nothing within one corpus
-    *    snapshot; the scaled ratio keeps BM25's rare-term dominance);
+    *    `idf_x1000 = ((2N - 2df + 1) * 1000) div (2df + 1)`. Dropping
+    *    the log preserves the PER-TERM idf ordering (the log is
+    *    monotone), but BM25 SUMS idf*tfnorm over the query terms, so
+    *    the scaled ratio re-weights terms relative to each other and
+    *    multi-term rankings can diverge from true Okapi BM25 — a
+    *    deliberate rank-affecting approximation that keeps rare-term
+    *    dominance while staying integer-exact (engine and oracle share
+    *    the formula, so the certification is unaffected);
     *  - tf normalization with k1 = 1.2, b = 0.75: multiplying numerator
     *    and denominator by 10T (T = total corpus tokens, avgdl = T/N)
     *    gives `(22000 * tf * T) div (10*T*tf + 3*T + 9*dl*N)` (x1000

@@ -80,7 +80,15 @@ object TextIndex {
     val net = TableReader
       .netChangelog(spark, corpusDir, lastV, curV, catalog).persist()
     try {
-      val dup = net.filter(col("_change_count") > 1L)
+      // duplicate-id guard: netChangelog nets per full ROW value, so two
+      // inserts of one doc_id with DIFFERENT texts each net to count 1 —
+      // the guard must group by doc_id (per change type: an update is a
+      // legitimate delete+insert pair of the same id), like
+      // Replicate.sync's key contract. A per-id multiplicity above 1 in
+      // either direction means the corpus is not keyed by doc_id.
+      val dup = net.groupBy("doc_id", "_change_type")
+        .agg(sum(col("_change_count")).as("c"))
+        .filter(col("c") > 1L)
       if (!dup.isEmpty) throw CompactionError.Config(
         "corpus rows are not unique per doc_id (net multiplicity > 1); " +
           "an inverted index keyed by doc_id cannot represent duplicates")

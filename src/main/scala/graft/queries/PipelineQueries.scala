@@ -92,9 +92,20 @@ object PipelineQueries {
   // ---- persisted inverted text index ----
 
   private val textIndexTables =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
   private val textIdxCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   private val TextStatsProp = "graft.textidx.stats"
+
+  /** Fixture cache key: (path, length, mtime) of the corpus parquet —
+    * the driver regenerates testdata between rounds, and an index built
+    * from the OLD corpus would hash-mismatch an oracle recomputing from
+    * the new one (the bpeMergeCache discipline). */
+  private def corpusKey(dir: String): (String, Long, Long) = {
+    val path = s"$dir/documents.parquet"
+    val st = graft.io.FileIO.fs(path)
+      .getFileStatus(new org.apache.hadoop.fs.Path(path))
+    (path, st.getLen, st.getModificationTime)
+  }
 
   /** Build the INVERTED INDEX table once per corpus: one posting row per
     * (term, doc) carrying tf and the doc length, PARTITIONED BY
@@ -102,7 +113,7 @@ object PipelineQueries {
     * corpus constants (N docs, T tokens) ride as a table property — the
     * searcher never touches the raw corpus. */
   private def buildTextIndex(spark: SparkSession, dir: String): String =
-    textIndexTables.computeIfAbsent(dir, _ => {
+    textIndexTables.computeIfAbsent(corpusKey(dir), _ => {
       val name = s"gtxtx${textIdxCounter.incrementAndGet()}"
       val wh = java.nio.file.Files
         .createTempDirectory(s"graft-txtidx-$name").toString
@@ -169,7 +180,8 @@ object PipelineQueries {
   // ---- incrementally maintained text index ----
 
   private val textRefreshFixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      (String, String)]()
   private val textRefreshCounter =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -180,7 +192,7 @@ object PipelineQueries {
     * bucket(term) layout. Returns (corpusDir, idxDir). */
   private def buildTextRefreshFixture(spark: SparkSession, dir: String)
       : (String, String) =
-    textRefreshFixtures.computeIfAbsent(dir, _ => {
+    textRefreshFixtures.computeIfAbsent(corpusKey(dir), _ => {
       import graft.txn.{FileTableCatalog, TableMetadata, TableSnapshot, TableWrites}
       val name = s"gtxtr${textRefreshCounter.incrementAndGet()}"
       // the corpus as a mutable graft table

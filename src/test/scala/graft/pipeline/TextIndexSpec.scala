@@ -74,6 +74,43 @@ class TextIndexSpec extends AnyFunSuite {
       ("b", 2L, 2L, 1L), ("c", 2L, 2L, 1L)))
   }
 
+  test("refresh refuses duplicate doc_ids even when their texts differ " +
+    "(netting is per row VALUE — the guard must group per id)") {
+    val (corpus, idx) = fixture()
+    // two inserts of doc_id 7 with DIFFERENT texts: each row nets to
+    // count 1, so a per-row-value guard passes them and the index
+    // double-counts the doc (arbitrary dl via first(), summed tf, N+2)
+    TableWrites.appendData(corpus,
+      Seq((7L, "p q"), (7L, "q r s")).toDF("doc_id", "text").coalesce(1))
+    val e = intercept[graft.core.CompactionError.Config] {
+      TextIndex.refresh(spark, corpus, idx)
+    }
+    assert(e.getMessage.contains("not unique per doc_id"))
+    // and the index is untouched: marker + stats still at the old version
+    assert(FileTableCatalog.loadOrThrow(idx)
+      .properties(TextIndex.StatsProp) == "3,7")
+  }
+
+  test("refresh still accepts an UPDATE (delete+insert of one id) and " +
+    "same-value double-insert stays refused") {
+    val (corpus, idx) = fixture()
+    // update = delete+insert of the same id: per (id, type) counts are 1
+    TableWrites.upsert(corpus, Seq((2L, "b c c")).toDF("doc_id", "text"),
+      keyCols = Seq("doc_id"))
+    TextIndex.refresh(spark, corpus, idx)
+    assert(postingsOf(idx) == Set(
+      ("a", 1L, 2L, 1L), ("b", 1L, 2L, 1L),
+      ("b", 2L, 3L, 1L), ("c", 2L, 3L, 2L),
+      ("c", 3L, 3L, 1L), ("d", 3L, 3L, 1L), ("e", 3L, 3L, 1L)))
+    // identical duplicate rows net to one row with count 2: refused too
+    TableWrites.appendData(corpus,
+      Seq((8L, "t u"), (8L, "t u")).toDF("doc_id", "text").coalesce(1))
+    val e = intercept[graft.core.CompactionError.Config] {
+      TextIndex.refresh(spark, corpus, idx)
+    }
+    assert(e.getMessage.contains("not unique per doc_id"))
+  }
+
   test("refresh refuses an index built over a different corpus, and a " +
     "marker-less index") {
     val (corpus, idx) = fixture()
