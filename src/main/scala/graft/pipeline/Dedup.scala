@@ -169,11 +169,12 @@ object Dedup {
     * excerpt, a truncated mirror), which symmetric Jaccard structurally
     * misses (the union is dominated by the long side). No size-ratio
     * prefilter can apply — the size-skewed pair IS the target — so cost
-    * is the blocked quadratic baseline, like [[ngramJaccardPairs]];
-    * the sketch-route at scale is MinHash on the small side's shingles
-    * against an LSH index of the large side. Empty shingle sets (< 3
-    * tokens) are excluded: containment of nothing is undefined, not
-    * 100%. */
+    * is the blocked quadratic baseline, like [[ngramJaccardPairs]]:
+    * this form is the readable EXACT ORACLE. The production twin with
+    * the identical output is [[containmentPairsPrefix]] — prefix-
+    * filtered index probing, never quadratic in a block. Empty shingle
+    * sets (< 3 tokens) are excluded: containment of nothing is
+    * undefined, not 100%. */
   def containmentPairs(
       docs: DataFrame,
       idCol: String,
@@ -189,6 +190,81 @@ object Dedup {
         graft.functions.HashColumns.sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("cont_x1000",
         expr("(__inter * 1000) div least(size(a_sh), size(b_sh))"))
+      .filter(col("cont_x1000") >= thresholdX1000)
+      .select(col("a_id"), col("b_id"), col("cont_x1000"))
+  }
+
+  /** PRODUCTION-SCALE containment pairs: a PREFIX-FILTERED overlap
+    * self-join (the exact set-similarity-join family — Chaudhuri et
+    * al., "A Primitive Operator for Similarity Joins", ICDE 2006;
+    * Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW
+    * 2007; Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW 2008), which produces [[containmentPairs]]'s
+    * EXACT output without ever enumerating a block's pair set:
+    *
+    *  1. one distributed aggregate orders the shingle universe by
+    *     GLOBAL RARITY within each block (document frequency asc, hash
+    *     asc — a total order both sides of any pair agree on);
+    *  2. containment(A,B) >= t with A the smaller side needs
+    *     |A∩B| >= ceil(t*|A|), so among A's (|A| - ceil(t*|A|) + 1)
+    *     RAREST shingles at least one must lie in B — each doc
+    *     therefore probes an inverted index of ALL docs' shingles with
+    *     only that short prefix (~(1-t) of its shingles);
+    *  3. candidate pairs verify with the exact two-pointer intersect.
+    *
+    * LOSSLESS, not an approximation: recall 1 by the prefix-filter
+    * theorem (the non-prefix suffix holds only ceil(t*s)-1 shingles,
+    * fewer than any qualifying intersection), precision 1 by the
+    * verify stage — so it shares the quadratic baseline's oracle
+    * verbatim (the dedup_minhash_xx discipline, but deterministic).
+    *
+    * 100 TB shape: every stage is a shuffle on a uniform or
+    * rarity-thinned key — shingle-hash aggregates, one per-doc window
+    * (docs are bounded-size), and a probe join whose candidate count is
+    * Σ prefix_len(doc) × df(shingle at probe). Rarity ordering puts the
+    * corpus's hottest shingles OUTSIDE every prefix, so probed postings
+    * lists are the SHORT tail ones; a stop-phrase shared by a million
+    * docs is never probed. No stage is quadratic in a block. */
+  def containmentPairsPrefix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      thresholdX1000: Int = 900
+  ): DataFrame = {
+    require(thresholdX1000 > 0 && thresholdX1000 <= 1000,
+      s"containment threshold must be in (0, 1000], got $thresholdX1000")
+    val sets = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        graft.functions.HashColumns
+          .hashedSet(shingles3(col(textCol)), "j").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = sets.select(col("doc_id"), col("blk"),
+      size(col("sh")).cast("long").as("s"), explode(col("sh")).as("h"))
+    // block-scoped document frequency: the rarity order is shared by
+    // both docs of any candidate pair (pairs never cross blocks)
+    val dfreq = ex.groupBy("blk", "h").agg(count(lit(1)).as("df"))
+    // alpha = ceil(t * s): the least intersection size that clears the
+    // floored-division threshold when this doc is the smaller side
+    val alpha = expr(s"(s * $thresholdX1000 + 999) div 1000")
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val probes = ex.join(dfreq, Seq("blk", "h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("s") - alpha + 1)
+      .select("doc_id", "blk", "h")
+    val postings = ex.select(col("doc_id").as("p_id"), col("blk"), col("h"))
+    val cand = probes.join(postings, Seq("blk", "h"))
+      .filter(col("doc_id") =!= col("p_id"))
+      .select(least(col("doc_id"), col("p_id")).as("a_id"),
+        greatest(col("doc_id"), col("p_id")).as("b_id"))
+      .distinct()
+    val s2 = sets.select(col("doc_id"), col("sh"))
+    cand
+      .join(s2.as("x"), col("a_id") === col("x.doc_id"))
+      .join(s2.as("y"), col("b_id") === col("y.doc_id"))
+      .withColumn("__inter", graft.functions.HashColumns
+        .sortedIntersectCount(col("x.sh"), col("y.sh")))
+      .withColumn("cont_x1000",
+        expr("(__inter * 1000) div least(size(x.sh), size(y.sh))"))
       .filter(col("cont_x1000") >= thresholdX1000)
       .select(col("a_id"), col("b_id"), col("cont_x1000"))
   }

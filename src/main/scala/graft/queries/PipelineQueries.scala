@@ -337,6 +337,23 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** The PRODUCTION containment path ([[Dedup.containmentPairsPrefix]])
+    * over the SAME planted fixture as [[dedupContainment]]: rarest-first
+    * prefix probes against an inverted shingle index — candidates ∝
+    * prefix × df, never a block's pair set. The prefix filter is
+    * LOSSLESS, so this query shares the quadratic baseline's oracle
+    * verbatim: index path = quadratic path = DuckDB. */
+  def dedupContainmentPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).select("doc_id", "text", "lang")
+    val planted = docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"),
+        col("lang"))
+    Dedup.containmentPairsPrefix(docs.unionByName(planted),
+        "doc_id", "text", "lang", thresholdX1000 = 900)
+      .orderBy("a_id", "b_id")
+  }
+
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(documents(spark, dir), "doc_id", "text", "lang",
         thresholdX1000 = 500)
@@ -781,6 +798,31 @@ object PipelineQueries {
   import QuerySql.{h64, shinglesCteFrom}
   private val shinglesCte = shinglesCteFrom("documents")
 
+  /** Exact containment over the planted truncated-twin fixture — shared
+    * by `dedup_containment` (blocked quadratic baseline) AND
+    * `dedup_containment_prefix` (prefix-filtered production path): the
+    * prefix filter is lossless, so both must hash-match this replay. */
+  private lazy val containmentOracleSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id,
+       |    array_to_string((string_split(text, ' '))[1:12], ' ') AS text,
+       |    lang
+       |  FROM documents WHERE doc_id % 9 = 0),
+       |${QuerySql.shinglesCteFrom("base")},
+       |hs AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_transform(sh, x -> ${h64("'j:' || x")})) AS shh
+       |  FROM sh_t WHERE len(sh) > 0)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  (len(list_intersect(a.shh, b.shh)) * 1000)
+       |    // least(len(a.shh), len(b.shh)) AS cont_x1000
+       |FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE (len(list_intersect(a.shh, b.shh)) * 1000)
+       |    // least(len(a.shh), len(b.shh)) >= 900
+       |ORDER BY a_id, b_id""".stripMargin
+
   private val stopList = TextAnalysis.langMarkers.flatMap(_._2)
     .map(s => s"'$s'").mkString(", ")
 
@@ -1197,26 +1239,12 @@ object PipelineQueries {
         |  CAST(0 AS BIGINT) AS dist
         |FROM documents WHERE doc_id < 200
         |ORDER BY a_id, b_id""".stripMargin,
-    "dedup_containment" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, text, lang FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 200000 AS doc_id,
-         |    array_to_string((string_split(text, ' '))[1:12], ' ') AS text,
-         |    lang
-         |  FROM documents WHERE doc_id % 9 = 0),
-         |${QuerySql.shinglesCteFrom("base")},
-         |hs AS (
-         |  SELECT doc_id, lang,
-         |    list_distinct(list_transform(sh, x -> ${h64("'j:' || x")})) AS shh
-         |  FROM sh_t WHERE len(sh) > 0)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  (len(list_intersect(a.shh, b.shh)) * 1000)
-         |    // least(len(a.shh), len(b.shh)) AS cont_x1000
-         |FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE (len(list_intersect(a.shh, b.shh)) * 1000)
-         |    // least(len(a.shh), len(b.shh)) >= 900
-         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_containment" -> containmentOracleSql,
+    // the prefix-filtered production path is LOSSLESS (recall 1 by the
+    // prefix-filter theorem, precision 1 by the exact verify), so it
+    // shares the quadratic baseline's oracle VERBATIM — same planted
+    // fixture, same exact containment recomputation
+    "dedup_containment_prefix" -> containmentOracleSql,
     "dedup_jaccard" ->
       s"""WITH $shinglesCte,
          |hs AS (
@@ -1518,6 +1546,7 @@ object PipelineQueries {
     "dedup_minhash_xx_planted" -> (dedupMinhashXxPlanted _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_containment_prefix" -> (dedupContainmentPrefix _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_semantic" -> (dedupSemantic _),
     "ann_topk" -> (annTopK _),

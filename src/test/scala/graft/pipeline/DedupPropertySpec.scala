@@ -92,6 +92,42 @@ class DedupPropertySpec extends AnyFunSuite {
     out.toSeq
   }
 
+  test("containmentPairsPrefix equals the quadratic baseline on 15 " +
+    "seeded corpora with planted truncations, hot shared phrases, and " +
+    "threshold sweep (the prefix filter must be lossless)") {
+    val rng = new scala.util.Random(1717)
+    for (round <- 1 to 15) {
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+        .take(4 + rng.nextInt(5))
+      // a HOT phrase shared by many docs: rarity ordering must keep it
+      // out of prefixes without losing any qualifying pair
+      val hot = Seq.fill(4)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val base = (0L until (8 + rng.nextInt(12)).toLong).map { id =>
+        val n = 3 + rng.nextInt(25)
+        val body = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+        id -> (if (rng.nextBoolean()) s"$hot $body" else body)
+      }
+      // planted truncations: prefixes of existing docs (the asymmetric
+      // short-in-long pairs containment exists to catch)
+      val planted = base.filter(_._1 % 3 == 0).map { case (id, t) =>
+        val ts = t.split(" ")
+        (id + 1000L, ts.take(3 + rng.nextInt(ts.length)).mkString(" "))
+      }
+      val docs = (base ++ planted)
+        .map { case (id, t) => (id, t, if (id % 2 == 0) "x" else "y") }
+        .toDF("doc_id", "text", "blk")
+      val thr = Seq(600, 800, 900, 1000)(rng.nextInt(4))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = rows(Dedup.containmentPairs(docs, "doc_id", "text", "blk", thr))
+      val got = rows(
+        Dedup.containmentPairsPrefix(docs, "doc_id", "text", "blk", thr))
+      assert(got == want,
+        s"round $round (thr=$thr) diverged: missing=${want -- got} " +
+          s"extra=${got -- want}")
+    }
+  }
+
   test("Bpe.train equals the naive reference on 10 seeded random corpora") {
     val rng = new scala.util.Random(99)
     for (round <- 1 to 10) {
