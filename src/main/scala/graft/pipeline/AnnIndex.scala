@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import graft.core.CompactionError
+import graft.sources.TableReader
+import graft.txn.{FileTableCatalog, TableCatalog, TableWrites}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTALLY MAINTAINED persisted IVF index: the assignments table
+  * (vec_id, v, cid) built by [[Similarity.ivfIndex]] kept in sync with
+  * its source corpus by the corpus CHANGELOG — the same delta+base
+  * lifecycle as [[TextIndex]], applied to vector search:
+  *
+  *  - the trained centroids are FROZEN index metadata (the
+  *    [[CentroidsProp]] table property). A refresh never retrains: new
+  *    and updated vectors are assigned to their nearest EXISTING
+  *    centroid with the same integer-exact distance
+  *    ([[Similarity.IntKMeans]]) the build used, so an incrementally
+  *    refreshed index is bit-identical to rebuilding the assignment
+  *    pass over the churned corpus against those centroids. (Centroid
+  *    RETRAINING is a separate, rarer lifecycle event — rebuild via
+  *    [[Similarity.ivfIndex]] when drift warrants it, exactly like a
+  *    periodic full compaction.)
+  *  - [[refresh]] applies the corpus's net changes since the index's
+  *    marker as ONE atomic upsert commit: equality-delete every changed
+  *    vec_id's assignment row, insert the new assignments, and advance
+  *    the synced-version marker in the SAME commit — a reader always
+  *    sees a complete index of SOME corpus version, never a
+  *    half-refreshed one. Cost ∝ changed vectors, never the corpus.
+  *  - Refresh commits write UNPARTITIONED delta files (the row-level
+  *    upsert path), so centroid-partition pruning keeps holding for the
+  *    base files while deltas ride alongside; a periodic compaction
+  *    folds deltas back into the identity(cid) layout and restores full
+  *    per-centroid pruning (the fold-the-backlog lifecycle streaming
+  *    auto-compaction uses).
+  *
+  * The searcher gates on the marker ([[Similarity.ivfSearchIndexed]]
+  * callers assert synced-version == corpus current version), so a
+  * lagging index is detected, not silently stale.
+  */
+object AnnIndex {
+
+  val CentroidsProp = "graft.ann.centroids"
+  val SourceProp = "graft.ann.source"
+  val SyncedProp = "graft.ann.synced-version"
+
+  /** Centroid metadata codec: `cid:q1,q2,...;cid:...` — the quantized
+    * centroid components ARE the index directory (numCentroids x dims
+    * longs), small enough to ride as a table property. */
+  def encodeCentroids(cs: Seq[(Long, Seq[Long])]): String =
+    cs.map { case (cid, cq) => s"$cid:${cq.mkString(",")}" }.mkString(";")
+
+  def decodeCentroids(s: String): Seq[(Long, Seq[Long])] =
+    s.split(";").toSeq.map { part =>
+      val Array(cid, cq) = part.split(":", 2)
+      cid.toLong -> cq.split(",").toSeq.map(_.toLong)
+    }
+
+  /** Assign (vec_id, v) rows to their nearest stored centroid —
+    * integer-exact, identical to the build pass, so refreshed rows are
+    * indistinguishable from built rows. Returns (vec_id, v, cid). */
+  def assignTo(
+      vectors: DataFrame, // (vec_id, v)
+      centroids: Seq[(Long, Seq[Long])]
+  ): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cid", "cq")
+    Similarity.IntKMeans
+      .assign(vectors.withColumn("px", Similarity.IntKMeans.quant(col("v"))),
+        "px", "vec_id", centDf, keep = 1)
+      .drop("px")
+  }
+
+  /** Bring the index at `idxDir` up to the corpus's current version by
+    * applying the NET changelog since the index marker, as ONE atomic
+    * upsert commit. Returns the new synced corpus version (no-op when
+    * already current). The corpus must be keyed by unique `vec_id` — a
+    * net multiplicity above 1 means duplicate ids and is refused. */
+  def refresh(
+      spark: SparkSession,
+      corpusDir: String,
+      idxDir: String,
+      catalog: TableCatalog = FileTableCatalog
+  ): Long = {
+    val idx = catalog.loadOrThrow(idxDir)
+    if (!idx.properties.get(SourceProp).contains(corpusDir))
+      throw CompactionError.Config(
+        s"$idxDir does not index $corpusDir (build it first)")
+    val lastV = idx.properties.get(SyncedProp).flatMap(_.toLongOption)
+      .getOrElse(throw CompactionError.Config(
+        s"$idxDir carries no synced-version marker"))
+    val cents = decodeCentroids(idx.properties.getOrElse(CentroidsProp,
+      throw CompactionError.Config(s"$idxDir carries no $CentroidsProp")))
+    val curV = catalog.loadOrThrow(corpusDir).version
+    if (curV <= lastV) return lastV
+
+    val net = TableReader
+      .netChangelog(spark, corpusDir, lastV, curV, catalog).persist()
+    try {
+      // duplicate-id guard: netChangelog nets per full ROW value, so two
+      // inserts of one vec_id with DIFFERENT embeddings each net to
+      // count 1 — group by id per change type (an update is a
+      // legitimate delete+insert pair of one id), the TextIndex.refresh
+      // / Replicate.sync key contract
+      val dup = net.groupBy("vec_id", "_change_type")
+        .agg(sum(col("_change_count")).as("c"))
+        .filter(col("c") > 1L)
+      if (!dup.isEmpty) throw CompactionError.Config(
+        "corpus rows are not unique per vec_id (net multiplicity > 1); " +
+          "an ANN index keyed by vec_id cannot represent duplicates")
+      val ins = net.filter(col("_change_type") === "insert")
+        .select(col("vec_id"), col("embedding").as("v"))
+      // every changed vector's assignment row is replaced wholesale:
+      // the eq-delete keys are ALL net-changed ids (a pure insert's key
+      // deletes nothing — harmless), the data is the new assignments
+      // against the FROZEN stored centroids
+      val changedIds = net.select("vec_id").distinct()
+      val assigned = assignTo(ins, cents)
+        .select(col("vec_id"), col("v").cast("array<float>").as("v"),
+          col("cid"))
+      TableWrites.upsert(idxDir, assigned, keyCols = Seq("vec_id"),
+        catalog = catalog,
+        deleteKeys = Some(changedIds),
+        setProperties = Map(SyncedProp -> curV.toString),
+        validate = reloaded => {
+          val nowV = reloaded.properties.get(SyncedProp)
+            .flatMap(_.toLongOption).getOrElse(-1L)
+          if (nowV != lastV) throw CompactionError.Config(
+            s"concurrent index refresh: marker moved v$lastV -> v$nowV; " +
+              "re-run refresh (the newer state already covers this delta)")
+        })
+      curV
+    } finally net.unpersist()
+  }
+}

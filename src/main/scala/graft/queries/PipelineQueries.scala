@@ -493,15 +493,12 @@ object PipelineQueries {
   private val annIndexTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val annIdxCounter = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val CentroidsProp = "graft.ann.centroids"
+  private val CentroidsProp = AnnIndex.CentroidsProp
 
   private def encodeCentroids(cs: Seq[(Long, Seq[Long])]): String =
-    cs.map { case (cid, cq) => s"$cid:${cq.mkString(",")}" }.mkString(";")
+    AnnIndex.encodeCentroids(cs)
   private def decodeCentroids(s: String): Seq[(Long, Seq[Long])] =
-    s.split(";").toSeq.map { part =>
-      val Array(cid, cq) = part.split(":", 2)
-      cid.toLong -> cq.split(",").toSeq.map(_.toLong)
-    }
+    AnnIndex.decodeCentroids(s)
 
   /** On-disk IVF index ([[Similarity.ivfIndex]]): assignments land in a
     * catalog table PARTITIONED BY identity(cid) — one partition per
@@ -553,6 +550,130 @@ object PipelineQueries {
           require(read > 0 && read < totalFiles,
             s"ann_indexed: probing ${cids.size} centroids must prune the " +
               s"scan ($read of $totalFiles files planned)")
+          idx
+        },
+        k = 10, nProbe = 4)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  // ---- incrementally maintained ANN index ----
+
+  private val annRefreshFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      (String, String)]()
+  private val annRefreshCounter =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Like [[corpusKey]] but for embeddings.parquet — the fixture must
+    * rebuild when the driver regenerates the testdata. */
+  private def embeddingsKey(dir: String): (String, Long, Long) = {
+    val path = s"$dir/embeddings.parquet"
+    val st = graft.io.FileIO.fs(path)
+      .getFileStatus(new org.apache.hadoop.fs.Path(path))
+    (path, st.getLen, st.getModificationTime)
+  }
+
+  /** Fixture: vector corpus graft table -> persisted IVF index
+    * (identity(cid) partitions, frozen trained centroids as metadata)
+    * -> corpus CHURN (deletes + embedding updates + inserts) ->
+    * ONE-commit incremental refresh ([[graft.pipeline.AnnIndex
+    * .refresh]], in-gate asserted) -> full compaction folding the
+    * unpartitioned delta assignments back into the per-centroid
+    * layout. Returns (corpusDir, idxDir). */
+  private def buildAnnRefreshFixture(spark: SparkSession, dir: String)
+      : (String, String) =
+    annRefreshFixtures.computeIfAbsent(embeddingsKey(dir), _ => {
+      import graft.txn.{FileTableCatalog, TableMetadata, TableSnapshot, TableWrites}
+      val name = s"gannr${annRefreshCounter.incrementAndGet()}"
+      // the vector corpus as a mutable graft table
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"graft-annr-corpus-$name").toString
+      TableMetadata.commit(corpusDir, TableSnapshot(1, 1, 0, Nil))
+      val vecs0 = embeddings(spark, dir)
+        .select("vec_id", "embedding").persist()
+      TableWrites.appendData(corpusDir, vecs0)
+      // the per-centroid index table
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-annr-idx-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.aidx " +
+        "(vec_id BIGINT, v ARRAY<FLOAT>, cid BIGINT) PARTITIONED BY (cid)")
+      val idxDir = s"$wh/db/aidx"
+      val (cents, assignments) = Similarity.ivfIndex(
+        vecs0.select(col("vec_id"), col("embedding").as("v")),
+        numCentroids = 16, lloydIters = 2)
+      assignments.select("vec_id", "v", "cid")
+        .createOrReplaceTempView(s"annr_src_$name")
+      spark.sql(s"INSERT INTO $name.db.aidx SELECT * FROM annr_src_$name")
+      val v0 = FileTableCatalog.loadOrThrow(corpusDir).version
+      spark.sql(s"ALTER TABLE $name.db.aidx SET TBLPROPERTIES (" +
+        s"'${graft.pipeline.AnnIndex.CentroidsProp}' = " +
+        s"'${AnnIndex.encodeCentroids(cents)}', " +
+        s"'${graft.pipeline.AnnIndex.SourceProp}' = '$corpusDir', " +
+        s"'${graft.pipeline.AnnIndex.SyncedProp}' = '$v0')")
+      // CHURN the corpus (must mirror churnedEmbeddingsSql exactly):
+      // delete %7, reverse surviving %11 embeddings, clone %13 as new ids
+      TableWrites.appendEqualityDeletes(corpusDir,
+        vecs0.filter(col("vec_id") % 7 === 0).select("vec_id"), Seq("vec_id"))
+      TableWrites.upsert(corpusDir,
+        vecs0.filter(col("vec_id") % 11 === 0 && col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        keyCols = Seq("vec_id"))
+      TableWrites.appendData(corpusDir,
+        vecs0.filter(col("vec_id") % 13 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      vecs0.unpersist()
+      // incremental refresh: exactly ONE commit, marker advanced
+      val vBefore = FileTableCatalog.loadOrThrow(idxDir).version
+      graft.pipeline.AnnIndex.refresh(spark, corpusDir, idxDir)
+      val after = FileTableCatalog.loadOrThrow(idxDir)
+      require(after.version == vBefore + 1,
+        s"ann_index_refresh: the refresh must be ONE atomic commit " +
+          s"(v$vBefore -> v${after.version})")
+      require(after.properties.get(graft.pipeline.AnnIndex.SyncedProp)
+          .contains(FileTableCatalog.loadOrThrow(corpusDir).version.toString),
+        "ann_index_refresh: marker must equal the corpus version")
+      // fold the unpartitioned delta back into the identity(cid) layout
+      graft.compaction.Compaction.builder().withSpark(spark)
+        .withTableDir(idxDir).build().compact()
+      (corpusDir, idxDir)
+    })
+
+  /** IVF search over the INCREMENTALLY REFRESHED index: the vector
+    * corpus churned (deletes + embedding updates + inserts) AFTER the
+    * index was built, the index caught up via one changelog-driven
+    * upsert commit against the FROZEN trained centroids, and compaction
+    * restored the per-centroid layout — so the pruned probe search must
+    * now rank the CHURNED corpus exactly as DuckDB recomputes it from
+    * scratch (original-corpus centroid training + churned-corpus
+    * assignment). Certifies maintenance end-to-end: netted assignment
+    * replacement, eq-deleted vectors, marker gating, delta folding, and
+    * pruning restored after the fold. */
+  def annIndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val (corpusDir, idxDir) = buildAnnRefreshFixture(spark, dir)
+    val idx0 = graft.txn.TableMetadata.loadOrThrow(idxDir)
+    // serving gate: a lagging index must be detected, never served
+    require(idx0.properties.get(graft.pipeline.AnnIndex.SyncedProp).contains(
+        graft.txn.TableMetadata.loadOrThrow(corpusDir).version.toString),
+      "ann_index_refresh: index lags the corpus — refresh before serving")
+    val cents = AnnIndex.decodeCentroids(idx0.properties(CentroidsProp))
+    val q = graft.sources.TableReader.read(spark, corpusDir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val totalFiles = graft.sources.TableReader.read(spark, idxDir)
+      .inputFiles.length
+    Similarity.ivfSearchIndexed(q, cents,
+        readIndex = cids => {
+          val idx = graft.sources.TableReader.read(spark, idxDir,
+            filter = Some(col("cid").isin(cids: _*)))
+          val read = idx.inputFiles.length
+          require(read > 0 && read < totalFiles,
+            s"ann_index_refresh: post-compaction pruning must hold " +
+              s"($read of $totalFiles files planned)")
           idx
         },
         k = 10, nProbe = 4)
@@ -956,6 +1077,62 @@ object PipelineQueries {
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** The churned vector corpus the ann_index_refresh fixture builds:
+    * %7 vectors deleted, surviving %11 embeddings reversed (a
+    * float-exact update — no arithmetic, so quantization replays), %13
+    * cloned as new ids. MUST mirror buildAnnRefreshFixture exactly. */
+  private val churnedEmbeddingsSql: String =
+    """SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 7 <> 0 AND vec_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT vec_id, list_reverse(embedding) AS embedding FROM embeddings
+      |  WHERE vec_id % 11 = 0 AND vec_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 13 = 0""".stripMargin
+
+  /** ann_index_refresh oracle: centroids train on the ORIGINAL corpus
+    * (`ivfTrainingCtes`' cent2 — the frozen index metadata), assignment
+    * and search replay over the CHURNED corpus — exactly what an
+    * incrementally refreshed index must serve. */
+  private val annRefreshOracle: String = {
+    def idist(p: String, c: String) = idistSql(p, c)
+    s"""WITH $ivfTrainingCtes,
+       |cur AS ($churnedEmbeddingsSql),
+       |ct AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM cur),
+       |ctq AS (SELECT vec_id, v,
+       |  list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS px FROM ct),
+       |cassign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT cq2.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY cq2.vec_id ORDER BY
+       |        ${idist("cq2.px", "c.cq")} ASC, c.cid ASC) AS rnk
+       |    FROM ctq cq2 CROSS JOIN cent2 c)
+       |  WHERE rnk = 1),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT cq2.vec_id AS query_id, c.cid,
+       |      row_number() OVER (PARTITION BY cq2.vec_id ORDER BY
+       |        ${idist("cq2.px", "c.cq")} ASC, c.cid ASC) AS rnk
+       |    FROM ctq cq2 CROSS JOIN cent2 c WHERE cq2.vec_id < 5)
+       |  WHERE rnk <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    CAST(round(1e6 * list_dot_product(q.v, s.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(s.v, s.v)))) AS BIGINT) AS cos_x1e6
+       |  FROM cassign a JOIN probes p ON a.cid = p.cid
+       |  JOIN ct q ON q.vec_id = p.query_id
+       |  JOIN ct s ON s.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_x1e6 DESC, vec_id) AS BIGINT) AS rnk,
+       |    vec_id, cos_x1e6
+       |  FROM scored)
+       |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
   private val semanticDedupOracle: String =
     s"""WITH $ivfTrainingCtes,
        |dups AS (
@@ -1114,6 +1291,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" -> ivfTrainedOracle,
     "ann_indexed" -> ivfTrainedOracle,
+    "ann_index_refresh" -> annRefreshOracle,
     "ann_pq" -> pqOracle,
     "dedup_semantic" -> semanticDedupOracle,
     "sequence_pack" ->
@@ -1554,6 +1732,7 @@ object PipelineQueries {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_trained" -> (annIvfTrained _),
     "ann_indexed" -> (annIndexed _),
+    "ann_index_refresh" -> (annIndexRefresh _),
     "ann_pq" -> (annPq _),
     "kmv_distinct" -> (kmvDistinct _),
     "deterministic_sample" -> (deterministicSample _),
