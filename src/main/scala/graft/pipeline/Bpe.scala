@@ -93,14 +93,28 @@ object Bpe {
   }
 
   /** ENCODE with a learned merge table: apply the merges to every word
-    * in training order (BPE inference). The whole chain compiles to ONE
-    * narrow per-row expression — K nested literal replaces — so
-    * encoding is an embarrassingly parallel projection: no joins, no
-    * shuffles until the caller aggregates. Returns
+    * in training order (BPE inference). Encoding is an embarrassingly
+    * parallel projection — no joins, no shuffles until the caller
+    * aggregates — and the merge list rides as DATA inside ONE native
+    * expression ([[graft.functions.BpeApplier]]), so plan size and
+    * analyzer cost are O(1) in K: a realistic 32k-merge vocabulary
+    * compiles exactly like a 4-merge toy one. Returns
     * (doc_id, n_subwords, token_digest) where token_digest certifies
     * the exact subword sequence, not just its length. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)]): DataFrame =
+    finishEncode(docs, idCol, textCol,
+      graft.functions.BpeColumns.bpeEncodeWord(col("word"), merges))
+
+  /** The literal-replace fold twin of [[encode]]: the K merges compile
+    * as K nested `replace` calls over the double-space encoding — the
+    * exact shape the DuckDB oracle replays as chained CTEs, kept for
+    * cross-validation (BpeEncodeSpec proves fold == native expression;
+    * the oracle proves fold == DuckDB). NOT the production path: plan
+    * depth grows with K, so a vocabulary-scale merge list breaks
+    * analyzer/codegen limits long before 32k merges. */
+  private[graft] def encodeUnfused(docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): DataFrame = {
     val wordSym = concat(lit(" "),
       array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
       lit(" "))
@@ -110,11 +124,20 @@ object Bpe {
           replace(e, lit(s" $pa  $pb "), lit(s" $pa$pb "))), " +"), "  "),
         lit(" "))
     }
+    finishEncode(docs, idCol, textCol,
+      array_join(split(trim(applied), " +"), " "))
+  }
+
+  /** Shared explode -> per-word encode -> per-doc digest skeleton. An
+    * empty `sub` (empty word between consecutive spaces) contributes
+    * one subword, matching `size(split('', ' ')) == 1` in both twins
+    * and the oracle. */
+  private def finishEncode(docs: DataFrame, idCol: String, textCol: String,
+      subExpr: org.apache.spark.sql.Column): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
-      .select(col("doc_id"), col("wpos"),
-        array_join(split(trim(applied), " +"), " ").as("sub"))
+      .select(col("doc_id"), col("wpos"), subExpr.as("sub"))
       .groupBy("doc_id")
       .agg(
         sum(size(split(col("sub"), " "))).cast("long").as("n_subwords"),
@@ -122,5 +145,4 @@ object Bpe {
           transform(array_sort(collect_list(struct(col("wpos"), col("sub")))),
             s => s.getField("sub")),
           " ")).as("token_digest"))
-  }
 }
