@@ -17,6 +17,15 @@ import org.apache.spark.sql.SparkSession
   * warm-up. `queries` reports the per-query MEDIAN of the timed
   * samples and `spread` the max-min delta across them. `value` is the
   * sum of medians.
+  *
+  * Residual in-suite contention (one shared session timing 150+
+  * queries back-to-back) still drifts individual medians up to ~1.5x
+  * above isolated truth. An unfiltered run therefore ends with an
+  * ISOLATED RE-TIME: queries whose median moved >= 1.3x vs the
+  * committed BENCH_DETAIL.json re-run in a fresh child JVM (top 5 by
+  * ratio, 20-min bound), and both numbers land in BENCH_DETAIL.json's
+  * `isolated` block with a noise/real verdict on stderr — drift
+  * self-adjudicates instead of costing a manual re-run every round.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -87,6 +96,87 @@ object Bench {
         name -> (median, sorted.last - sorted.head)
       }
     }
+    // the timed suite is done — release the session BEFORE the isolated
+    // re-time child so the movers run against idle hardware
+    spark.stop()
+
+    // ---- isolated re-times for round-over-round movers ----
+    // In-suite medians have read 1.3-3x above isolated truth under
+    // session contention (r7/r9/r12 all burned adjudication time on
+    // phantom regressions). Any query whose median moved >= 1.3x vs the
+    // COMMITTED BENCH_DETAIL.json snapshot is re-timed in a CHILD JVM
+    // (fresh SparkContext, nothing else running — exactly the manual
+    // filtered re-run the adjudication always ends with), and both
+    // numbers land in BENCH_DETAIL.json so drift self-adjudicates.
+    // (SPARK_GRAFT_BENCH_FORCE_ISOLATED=1 lets a FILTERED run exercise
+    // this pass — the local test seam; the committed-snapshot guard in
+    // the detail writer still keeps filtered output off BENCH_DETAIL.json)
+    val isolated: Map[String, Double] =
+      if ((filter.isDefined &&
+            !sys.env.contains("SPARK_GRAFT_BENCH_FORCE_ISOLATED")) ||
+          sys.env.contains("SPARK_GRAFT_BENCH_NO_ISOLATED"))
+        Map.empty
+      else {
+        val medianRe =
+          """"([A-Za-z0-9_]+)":\s*\{"median":\s*(-?[0-9.]+)""".r
+        def readMedians(path: String): Map[String, Double] =
+          try {
+            val txt = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(path)),
+              java.nio.charset.StandardCharsets.UTF_8)
+            medianRe.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          } catch { case _: Throwable => Map.empty }
+        val prev = readMedians("BENCH_DETAIL.json")
+        val movers = results.collect {
+          case (n, (m, _)) if m >= 0.5 && prev.getOrElse(n, -1.0) > 0 &&
+            m >= 1.3 * prev(n) => (n, m / prev(n))
+        }.sortBy(-_._2).take(5).map(_._1)
+        if (movers.isEmpty) Map.empty
+        else try {
+          System.err.println("[bench] movers >=1.3x vs committed snapshot: " +
+            s"${movers.mkString(",")} — isolated re-time in a child JVM")
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get("BENCH_DETAIL_FILTERED.json"))
+          import scala.jdk.CollectionConverters._
+          val javaBin = s"${System.getProperty("java.home")}/bin/java"
+          val jvmArgs = java.lang.management.ManagementFactory
+            .getRuntimeMXBean.getInputArguments.asScala.toSeq
+          val cmd = Seq(javaBin) ++ jvmArgs ++
+            Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.environment().put("SPARK_GRAFT_BENCH_FILTER", movers.mkString(","))
+          pb.environment().put("SPARK_GRAFT_BENCH_NO_ISOLATED", "1")
+          pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+          val p = pb.start()
+          // bounded: a hung child must not eat the round's bench slot
+          if (!p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+            p.destroyForcibly()
+            System.err.println("[bench] isolated child timed out — skipped")
+            Map.empty
+          } else {
+            val iso = readMedians("BENCH_DETAIL_FILTERED.json")
+              .filter { case (_, m) => m >= 0 }
+            iso.toSeq.sortBy(_._1).foreach { case (n, m) =>
+              val suite = results.find(_._1 == n).map(_._2._1).getOrElse(-1.0)
+              val verdict =
+                if (prev.get(n).exists(m < 1.3 * _)) "suite-contention noise"
+                else "real change"
+              System.err.println(f"[bench] $n isolated=$m%.3f " +
+                f"suite=$suite%.3f committed=${prev.getOrElse(n, -1.0)}%.3f " +
+                s"-> $verdict")
+            }
+            iso
+          }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] isolated re-time failed: $e")
+            Map.empty
+        }
+      }
+
     // The driver captures only a ~2000-char stdout TAIL and parses it
     // line-wise; with 90+ queries the full per-query map alone exceeds
     // the window, so no single line can carry everything (BENCH_r08
@@ -117,8 +207,15 @@ object Bench {
       val detail = results.map { case (k, (m, s)) =>
         f"""  "$k": {"median": $m%.3f, "spread": $s%.3f}"""
       }.mkString(",\n")
+      // movers' fresh-JVM truth rides NEXT TO the suite medians, so a
+      // reader adjudicates drift from this one file
+      val isoBlock =
+        if (isolated.isEmpty) ""
+        else isolated.toSeq.sortBy(_._1)
+          .map { case (k, m) => f"""  "$k": $m%.3f""" }
+          .mkString(",\n\"isolated\": {\n", ",\n", "\n}")
       val dj =
-        f"""{\n"total_sec": $total%.3f, "runs": $runs, "sf": "$sfDir", "nq": ${results.size},\n"queries": {\n$detail\n}\n}\n"""
+        f"""{\n"total_sec": $total%.3f, "runs": $runs, "sf": "$sfDir", "nq": ${results.size},\n"queries": {\n$detail\n}$isoBlock\n}\n"""
       // a FILTERED run writes its own file — it must never clobber the
       // committed full-suite snapshot (a targeted 3-query re-time used
       // to silently overwrite 150 queries of medians/spreads)
@@ -139,6 +236,5 @@ object Bench {
     println(line1)
     println(line2)
     System.out.flush()
-    spark.stop()
   }
 }
