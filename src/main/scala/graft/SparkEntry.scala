@@ -77,6 +77,7 @@ object SparkEntry {
       ("sql_topn" -> (graft.queries.SqlCatalogQuery.runTopN _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_curate" -> (CorpusPipelineQuery.runCurate _)) +
+      ("corpus_curate_v2" -> (CorpusPipelineQuery.runCurateV2 _)) +
       ("corpus_clean_cc" -> (CorpusPipelineQuery.runCC _)) +
       ("corpus_to_shards" -> (CorpusPipelineQuery.runToShards _))
 
@@ -145,6 +146,7 @@ object SparkEntry {
       ("sql_topn" -> graft.queries.SqlCatalogQuery.topNOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_curate" -> CorpusPipelineQuery.curateOracle) +
+      ("corpus_curate_v2" -> CorpusPipelineQuery.curateV2Oracle) +
       ("corpus_clean_cc" -> CorpusPipelineQuery.ccOracle) +
       ("corpus_to_shards" -> CorpusPipelineQuery.toShardsOracle)
 }

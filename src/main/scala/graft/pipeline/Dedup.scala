@@ -231,6 +231,20 @@ object Dedup {
       textCol: String,
       blockCol: String,
       thresholdX1000: Int = 900
+  ): DataFrame =
+    containmentPairsPrefixSized(docs, idCol, textCol, blockCol,
+      thresholdX1000)
+      .select(col("a_id"), col("b_id"), col("cont_x1000"))
+
+  /** [[containmentPairsPrefix]] plus the two shingle-set sizes
+    * (a_sz, b_sz) the verify stage already holds — what a drop rule
+    * needs to identify the CONTAINED side without re-shingling. */
+  private[graft] def containmentPairsPrefixSized(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      thresholdX1000: Int = 900
   ): DataFrame = {
     require(thresholdX1000 > 0 && thresholdX1000 <= 1000,
       s"containment threshold must be in (0, 1000], got $thresholdX1000")
@@ -266,8 +280,34 @@ object Dedup {
       .withColumn("cont_x1000",
         expr("(__inter * 1000) div least(size(x.sh), size(y.sh))"))
       .filter(col("cont_x1000") >= thresholdX1000)
-      .select(col("a_id"), col("b_id"), col("cont_x1000"))
+      .select(col("a_id"), col("b_id"), col("cont_x1000"),
+        size(col("x.sh")).cast("long").as("a_sz"),
+        size(col("y.sh")).cast("long").as("b_sz"))
   }
+
+  /** Containment-based EXCERPT removal — the curation drop rule over
+    * [[containmentPairsPrefix]]'s pairs: for every qualifying pair,
+    * drop the side with FEWER shingles (the contained excerpt /
+    * truncation), keeping the fuller document; equal sizes drop the
+    * higher id (deterministic). Returns the distinct loser ids for the
+    * caller's anti-join. Scale shape: the pair set is prefix-filtered
+    * (never a block's quadratic enumeration) and the sizes ride out of
+    * the verify stage, so this adds only the per-pair CASE + distinct. */
+  def containmentLosers(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      thresholdX1000: Int = 900
+  ): DataFrame =
+    containmentPairsPrefixSized(docs, idCol, textCol, blockCol,
+      thresholdX1000)
+      .select(
+        when(col("a_sz") < col("b_sz"), col("a_id"))
+          .when(col("b_sz") < col("a_sz"), col("b_id"))
+          .otherwise(greatest(col("a_id"), col("b_id")))
+          .as("doc_id"))
+      .distinct()
 
   /** Exact n-gram (3-shingle) Jaccard pairs within a blocking key — the
     * quadratic-per-block exact baseline. */

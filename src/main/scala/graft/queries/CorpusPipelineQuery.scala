@@ -126,6 +126,107 @@ object CorpusPipelineQuery {
       |FROM p0 LEFT JOIN ka USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** CURATION v2 — the composition with the CONTAINMENT stage: quality
+    * gate → per-source frequency cap → containment-based EXCERPT
+    * removal (prefix-filtered exact pairs at >= 90%, drop the smaller
+    * side — the excerpt/truncation a symmetric near-dup pass
+    * structurally misses) → exact substring dedup of the survivors.
+    * Truncated twins (first 30 tokens of every %9 doc, id + 200000) are
+    * PLANTED before the gates so the containment stage provably fires;
+    * the oracle plants identically and replays all four stages in one
+    * statement. Stage order at 100 TB: both gates and the excerpt drop
+    * are narrow filters/anti-joins BEFORE the substring dedup's gram
+    * explode — the expensive stage sees only capped, quality-passed,
+    * excerpt-free data. */
+  def runCurateV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val planted = docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("source"),
+        col("lang"),
+        array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+    val base = docs.select("doc_id", "source", "lang", "text")
+      .unionByName(planted)
+    val gated = base.filter(TextAnalysis.qualityOk(col("text")))
+    val capped = graft.pipeline.Export
+      .domainCap(gated, "doc_id", "source", cap = 15)
+      .select("doc_id", "lang", "text")
+    val losers = Dedup.containmentLosers(capped, "doc_id", "text", "lang",
+      thresholdX1000 = 900)
+    val kept = capped.join(losers, Seq("doc_id"), "left_anti")
+    Dedup.substringDedup(kept.select("doc_id", "text"), "doc_id", "text",
+        minTokens = 6)
+      .orderBy("doc_id")
+  }
+
+  /** [[runCurateV2]]'s oracle: planted twins + quality gate + cap (the
+    * curateOracle chain) + the exact containment pairs with the
+    * smaller-side drop rule + the substring-dedup replay — four stages,
+    * one statement. */
+  val curateV2Oracle: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, source, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, source, lang,
+      |    array_to_string((string_split(text, ' '))[1:30], ' ') AS text
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |q AS (
+      |  SELECT doc_id, source, lang, text FROM base
+      |  WHERE ${QuerySql.qualityPredicate}),
+      |r AS (
+      |  SELECT doc_id, lang, text,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM q),
+      |cdocs AS (SELECT doc_id, lang, text FROM r WHERE rnk <= 15),
+      |${QuerySql.shinglesCteFrom("cdocs")},
+      |hs AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(sh, x -> ${QuerySql.h64("'j:' || x")})) AS shh
+      |  FROM sh_t WHERE len(sh) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    len(a.shh) AS a_sz, len(b.shh) AS b_sz
+      |  FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE (len(list_intersect(a.shh, b.shh)) * 1000)
+      |      // least(len(a.shh), len(b.shh)) >= 900),
+      |losers AS (
+      |  SELECT DISTINCT CASE WHEN a_sz < b_sz THEN a_id
+      |    WHEN b_sz < a_sz THEN b_id
+      |    ELSE greatest(a_id, b_id) END AS doc_id
+      |  FROM pairs),
+      |p0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM cdocs
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks)-5),
+      |    i -> {'pos': i, 'gram': array_to_string(toks[i:i+5], ' ')})) AS u
+      |  FROM p0 WHERE len(toks) >= 6),
+      |inst AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g),
+      |dup AS (SELECT gram FROM inst GROUP BY gram HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos+5)) AS tp
+      |        FROM inst JOIN dup USING (gram)),
+      |tok AS (
+      |  SELECT doc_id, u.tp AS tp, u.tok AS tok FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(toks)),
+      |      i -> {'tp': i, 'tok': toks[i]})) AS u
+      |    FROM p0)),
+      |kept AS (
+      |  SELECT t.doc_id, t.tp, t.tok
+      |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp
+      |  WHERE c.tp IS NULL),
+      |ka AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    md5(string_agg(tok, ' ' ORDER BY tp)) AS kd
+      |  FROM kept GROUP BY doc_id)
+      |SELECT p0.doc_id,
+      |  CAST(len(p0.toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(p0.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(ka.kd, md5('')) AS kept_digest
+      |FROM p0 LEFT JOIN ka USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** THE FULL TRAINING-DATA LAYOUT in one composed plan: quality gate →
     * exact dedup → minhash-LSH near-dup removal → benchmark
     * decontamination (every 17th original doc is the planted benchmark)
