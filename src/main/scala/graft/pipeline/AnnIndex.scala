@@ -43,6 +43,10 @@ object AnnIndex {
   val CentroidsProp = "graft.ann.centroids"
   val SourceProp = "graft.ann.source"
   val SyncedProp = "graft.ann.synced-version"
+  /** Corpus column names, as index metadata (a real corpus rarely
+    * calls its key `vec_id`) — default vec_id / embedding. */
+  val IdColProp = "graft.ann.id-col"
+  val VecColProp = "graft.ann.vec-col"
 
   /** Centroid metadata codec: `cid:q1,q2,...;cid:...` — the quantized
     * centroid components ARE the index directory (numCentroids x dims
@@ -95,6 +99,8 @@ object AnnIndex {
     val curV = catalog.loadOrThrow(corpusDir).version
     if (curV <= lastV) return lastV
 
+    val idCol = idx.properties.getOrElse(IdColProp, "vec_id")
+    val vecCol = idx.properties.getOrElse(VecColProp, "embedding")
     val net = TableReader
       .netChangelog(spark, corpusDir, lastV, curV, catalog).persist()
     try {
@@ -103,19 +109,19 @@ object AnnIndex {
       // count 1 — group by id per change type (an update is a
       // legitimate delete+insert pair of one id), the TextIndex.refresh
       // / Replicate.sync key contract
-      val dup = net.groupBy("vec_id", "_change_type")
+      val dup = net.groupBy(idCol, "_change_type")
         .agg(sum(col("_change_count")).as("c"))
         .filter(col("c") > 1L)
       if (!dup.isEmpty) throw CompactionError.Config(
-        "corpus rows are not unique per vec_id (net multiplicity > 1); " +
-          "an ANN index keyed by vec_id cannot represent duplicates")
+        s"corpus rows are not unique per $idCol (net multiplicity > 1); " +
+          s"an ANN index keyed by $idCol cannot represent duplicates")
       val ins = net.filter(col("_change_type") === "insert")
-        .select(col("vec_id"), col("embedding").as("v"))
+        .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       // every changed vector's assignment row is replaced wholesale:
       // the eq-delete keys are ALL net-changed ids (a pure insert's key
       // deletes nothing — harmless), the data is the new assignments
       // against the FROZEN stored centroids
-      val changedIds = net.select("vec_id").distinct()
+      val changedIds = net.select(col(idCol).as("vec_id")).distinct()
       val assigned = assignTo(ins, cents)
         .select(col("vec_id"), col("v").cast("array<float>").as("v"),
           col("cid"))

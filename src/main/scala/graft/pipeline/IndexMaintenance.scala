@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.txn.{FileTableCatalog, TableCatalog}
+import org.apache.spark.sql.SparkSession
+
+/** Registry + dispatch for SERVING INDEXES maintained from a corpus
+  * table's changelog — the glue that makes index freshness a property
+  * of the INGEST path instead of a scheduler:
+  *
+  *  - a corpus table lists its indexes under [[RegisteredProp]] (the
+  *    [[graft.mv.MaterializedView.RegisteredProp]] discipline — a
+  *    zero-conf registry riding on the table itself);
+  *  - [[refreshAll]] brings every registered index up to the corpus's
+  *    current version, dispatching on the index's own metadata: a
+  *    [[AnnIndex.CentroidsProp]] marks an IVF vector index, a
+  *    [[TextIndex.StatsProp]] an inverted text index — each refresh is
+  *    that index's ONE-atomic-commit changelog catch-up, cost ∝ the
+  *    net change, never the corpus;
+  *  - [[graft.streaming.StreamingIngest.withIndexMaintenance]] wraps a
+  *    streaming sink with refreshAll, giving the same failure
+  *    semantics as MV maintenance: a refresh failure after the data
+  *    commit leaves the index STALE, never wrong — the serving gate
+  *    (synced-version == corpus version) detects the lag and the next
+  *    batch catches up.
+  */
+object IndexMaintenance {
+
+  /** Comma-separated index dirs on the CORPUS table. */
+  val RegisteredProp = "graft.index.registered"
+
+  def parseList(raw: String): Seq[String] =
+    raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  def encodeList(dirs: Seq[String]): String = dirs.mkString(",")
+
+  /** Add `idxDir` to the corpus's registry (idempotent, CAS-safe). */
+  def register(corpusDir: String, idxDir: String,
+      catalog: TableCatalog = FileTableCatalog): Unit = {
+    val cur = catalog.loadOrThrow(corpusDir)
+    new graft.txn.CommitManager(corpusDir, catalog = catalog)
+      .updateTableProperties(cur.schemaId) { reloaded =>
+        val existing = reloaded.properties.get(RegisteredProp)
+          .map(parseList).getOrElse(Nil)
+        (Map(RegisteredProp -> encodeList((existing :+ idxDir).distinct)),
+          Set.empty)
+      }
+  }
+
+  /** Remove `idxDir` from the registry (no-op when absent). */
+  def unregister(corpusDir: String, idxDir: String,
+      catalog: TableCatalog = FileTableCatalog): Unit = {
+    val cur = catalog.loadOrThrow(corpusDir)
+    new graft.txn.CommitManager(corpusDir, catalog = catalog)
+      .updateTableProperties(cur.schemaId) { reloaded =>
+        val remaining = reloaded.properties.get(RegisteredProp)
+          .map(parseList).getOrElse(Nil).filterNot(_ == idxDir)
+        if (remaining.isEmpty)
+          (Map.empty[String, String], Set(RegisteredProp))
+        else (Map(RegisteredProp -> encodeList(remaining)),
+          Set.empty[String])
+      }
+  }
+
+  /** Bring every registered index of `corpusDir` to the corpus's
+    * current version. Throws on the first failing refresh (callers
+    * that must not fail — the streaming wrapper — catch per policy). */
+  def refreshAll(spark: SparkSession, corpusDir: String,
+      catalog: TableCatalog = FileTableCatalog): Unit =
+    catalog.load(corpusDir).toSeq
+      .flatMap(_.properties.get(RegisteredProp))
+      .flatMap(parseList)
+      .foreach { idxDir =>
+        val props = catalog.loadOrThrow(idxDir).properties
+        if (props.contains(AnnIndex.CentroidsProp))
+          AnnIndex.refresh(spark, corpusDir, idxDir, catalog)
+        else if (props.contains(TextIndex.StatsProp))
+          TextIndex.refresh(spark, corpusDir, idxDir, catalog)
+        else throw graft.core.CompactionError.Config(
+          s"$idxDir carries neither ${AnnIndex.CentroidsProp} nor " +
+            s"${TextIndex.StatsProp} — not a maintainable index")
+      }
+}

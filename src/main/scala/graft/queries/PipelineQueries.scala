@@ -141,15 +141,14 @@ object PipelineQueries {
       s"$wh/db/txtidx"
     })
 
-  /** BM25 served FROM THE PERSISTED INDEX: the same query and the same
-    * integer arithmetic as [[bm25Rank]] (they share one oracle — the
-    * index path must hash-equal the recompute path), but the scan reads
-    * ONLY the probed term buckets (partition pruning self-asserted, the
-    * `ann_indexed` discipline) and df comes from posting counts — at
-    * 100 TB a search touches index buckets, never the corpus. */
-  def textSearch(spark: SparkSession, dir: String): DataFrame = {
+  /** BM25 top-20 for {table, query, spark} served from a persisted
+    * bucketed index: stats from table properties (never a corpus
+    * rescan), scan pruned to the probed term buckets (self-asserted —
+    * the `ann_indexed` discipline), df from posting counts. Shared by
+    * every index-serving query; `qname` labels the pruning assert. */
+  private def bm25FromIndex(spark: SparkSession, idxDir: String,
+      qname: String): DataFrame = {
     val terms = Seq("table", "query", "spark")
-    val idxDir = buildTextIndex(spark, dir)
     val stats = graft.txn.TableMetadata.loadOrThrow(idxDir)
       .properties(TextStatsProp).split(",")
     val (n, t) = (stats(0).toLong, stats(1).toLong)
@@ -160,7 +159,7 @@ object PipelineQueries {
       filter = Some(probe))
     val read = idx.inputFiles.length
     require(read > 0 && read < totalFiles,
-      s"text_search: the term lookup must prune the index scan " +
+      s"$qname: the term lookup must prune the index scan " +
         s"($read of $totalFiles files planned)")
     val tf = idx.filter(probe)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -176,6 +175,15 @@ object PipelineQueries {
       .orderBy(col("bm25_x1e6").desc, col("doc_id"))
       .limit(20)
   }
+
+  /** BM25 served FROM THE PERSISTED INDEX: the same query and the same
+    * integer arithmetic as [[bm25Rank]] (they share one oracle — the
+    * index path must hash-equal the recompute path), but the scan reads
+    * ONLY the probed term buckets (partition pruning self-asserted) and
+    * df comes from posting counts — at 100 TB a search touches index
+    * buckets, never the corpus. */
+  def textSearch(spark: SparkSession, dir: String): DataFrame =
+    bm25FromIndex(spark, buildTextIndex(spark, dir), "text_search")
 
   // ---- incrementally maintained text index ----
 
@@ -263,31 +271,107 @@ object PipelineQueries {
     require(idx0.properties.get(graft.pipeline.TextIndex.SyncedProp).contains(
         graft.txn.TableMetadata.loadOrThrow(corpusDir).version.toString),
       "text_index_refresh: index lags the corpus — refresh before serving")
-    val stats = idx0.properties(TextStatsProp).split(",")
-    val (n, t) = (stats(0).toLong, stats(1).toLong)
-    val terms = Seq("table", "query", "spark")
-    val totalFiles = graft.sources.TableReader.read(spark, idxDir)
-      .inputFiles.length
-    val probe = col("term").isin(terms.map(x => x: Any): _*)
-    val idx = graft.sources.TableReader.read(spark, idxDir,
-      filter = Some(probe))
-    val read = idx.inputFiles.length
-    require(read > 0 && read < totalFiles,
-      s"text_index_refresh: post-compaction pruning must hold " +
-        s"($read of $totalFiles files planned)")
-    val tf = idx.filter(probe)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "term")
-      .withColumn("idf_x1000",
-        expr(s"((2 * ${n}L - 2 * df + 1) * 1000) div (2 * df + 1)"))
-      .withColumn("term_score",
-        col("idf_x1000") *
-          expr(s"(22000 * tf * ${t}L) div " +
-            s"(10 * ${t}L * tf + 3 * ${t}L + 9 * dl * ${n}L)"))
-      .groupBy("doc_id")
-      .agg(sum(col("term_score")).as("bm25_x1e6"))
-      .orderBy(col("bm25_x1e6").desc, col("doc_id"))
-      .limit(20)
+    bm25FromIndex(spark, idxDir, "text_index_refresh")
+  }
+
+  // ---- streaming-maintained text index ----
+
+  private val indexStreamFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      (String, String)]()
+  private val indexStreamCounter =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fixture: the corpus ingested as a STREAM (3 micro-batches through
+    * [[graft.streaming.StreamingIngest.upsertWriter]] wrapped in
+    * [[graft.streaming.StreamingIngest.withIndexMaintenance]]), with
+    * the bucketed text index built and REGISTERED on the corpus after
+    * batch 0 — so batches 1-2 (updates+deletes, then inserts) each
+    * auto-refresh the index inline with the commit. The final corpus
+    * state equals [[churnedCorpusSql]] exactly. Returns
+    * (corpusDir, idxDir). */
+  private def buildIndexStreamFixture(spark: SparkSession, dir: String)
+      : (String, String) =
+    indexStreamFixtures.computeIfAbsent(corpusKey(dir), _ => {
+      import graft.streaming.StreamingIngest
+      import graft.txn.FileTableCatalog
+      val name = s"gtxts${indexStreamCounter.incrementAndGet()}"
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"graft-txts-corpus-$name").toString
+      val docs0 = documents(spark, dir).select("doc_id", "text").persist()
+      val sink = StreamingIngest.withIndexMaintenance(spark, corpusDir,
+        inner = StreamingIngest.upsertWriter(corpusDir, schemaId = 1,
+          keyCols = Seq("doc_id"), deleteFlagCol = Some("_del")))
+      // batch 0: initial load (no index registered yet -> refresh no-ops)
+      sink(docs0.withColumn("_del", lit(false)), 0L)
+      // the bucketed index table, built from the corpus AS COMMITTED
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-txts-idx-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.sidx " +
+        "(term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT) " +
+        "PARTITIONED BY (bucket(8, term))")
+      val idxDir = s"$wh/db/sidx"
+      val committed = graft.sources.TableReader.read(spark, corpusDir)
+        .select("doc_id", "text")
+      graft.pipeline.TextIndex.postings(committed)
+        .createOrReplaceTempView(s"txts_src_$name")
+      spark.sql(s"INSERT INTO $name.db.sidx SELECT * FROM txts_src_$name")
+      val (n0, t0) = graft.pipeline.TextIndex.stats(committed)
+      spark.sql(s"ALTER TABLE $name.db.sidx SET TBLPROPERTIES (" +
+        s"'${graft.pipeline.TextIndex.StatsProp}' = '$n0,$t0', " +
+        s"'${graft.pipeline.TextIndex.SourceProp}' = '$corpusDir', " +
+        s"'${graft.pipeline.TextIndex.SyncedProp}' = " +
+        s"'${FileTableCatalog.loadOrThrow(corpusDir).version}')")
+      graft.pipeline.IndexMaintenance.register(corpusDir, idxDir)
+      val vIdx0 = FileTableCatalog.loadOrThrow(idxDir).version
+      // batch 1: updates (%11 survivors get ' zzz') + deletes (%7) —
+      // one keyed CDC batch; the wrapper refreshes the index inline
+      sink(docs0.filter(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text"),
+            lit(false).as("_del"))
+        .unionByName(docs0.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("text"), lit(true).as("_del"))), 1L)
+      // batch 2: inserted clones (%13 as new ids)
+      sink(docs0.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          lit(false).as("_del")), 2L)
+      docs0.unpersist()
+      val idxAfter = FileTableCatalog.loadOrThrow(idxDir)
+      // maintenance truly ran inline: one refresh commit per mutating
+      // batch, and the serving gate holds without any manual refresh
+      require(idxAfter.version == vIdx0 + 2,
+        s"text_index_stream: expected 2 inline refresh commits " +
+          s"(v$vIdx0 -> v${idxAfter.version})")
+      require(idxAfter.properties.get(graft.pipeline.TextIndex.SyncedProp)
+          .contains(FileTableCatalog.loadOrThrow(corpusDir).version.toString),
+        "text_index_stream: index must be current after the stream")
+      // fold the refresh deltas back into the bucket(term) layout
+      graft.compaction.Compaction.builder().withSpark(spark)
+        .withTableDir(idxDir).build().compact()
+      (corpusDir, idxDir)
+    })
+
+  /** BM25 over the STREAM-MAINTAINED index: the corpus arrives as
+    * micro-batches (load, update+delete, insert) through an upsert sink
+    * wrapped in [[graft.streaming.StreamingIngest.withIndexMaintenance]]
+    * — every commit auto-refreshes the registered index inline, no
+    * scheduler, cost ∝ the batch — then compaction folds the deltas and
+    * the pruned search must rank the final corpus exactly as DuckDB
+    * recomputes it from scratch. Same churn and same oracle as
+    * `text_index_refresh`: the STREAMING maintenance path must land
+    * byte-identical to the manual-refresh path. */
+  def textIndexStream(spark: SparkSession, dir: String): DataFrame = {
+    val (corpusDir, idxDir) = buildIndexStreamFixture(spark, dir)
+    val idx0 = graft.txn.TableMetadata.loadOrThrow(idxDir)
+    require(idx0.properties.get(graft.pipeline.TextIndex.SyncedProp).contains(
+        graft.txn.TableMetadata.loadOrThrow(corpusDir).version.toString),
+      "text_index_stream: index lags the corpus — refresh before serving")
+    bm25FromIndex(spark, idxDir, "text_index_stream")
   }
 
   /** BM25 top-20 for the fixed query {table, query, spark}
@@ -1592,6 +1676,9 @@ object PipelineQueries {
     "bpe_encode" -> bpeEncodeOracle(8),
     "text_search" -> bm25RankOracle,
     "text_index_refresh" -> bm25OracleOver(churnedCorpusSql),
+    // the streaming-maintained index must land byte-identical to the
+    // manual-refresh path: same churn, same from-scratch BM25 truth
+    "text_index_stream" -> bm25OracleOver(churnedCorpusSql),
     "bm25_rank" -> bm25RankOracle,
     "tfidf_topterms" ->
       """WITH tok AS (
@@ -1748,6 +1835,7 @@ object PipelineQueries {
     "bm25_rank" -> (bm25Rank _),
     "text_search" -> (textSearch _),
     "text_index_refresh" -> (textIndexRefresh _),
+    "text_index_stream" -> (textIndexStream _),
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
     "substring_dedup" -> (substringDedup _),

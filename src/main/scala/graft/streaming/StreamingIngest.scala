@@ -191,6 +191,32 @@ object StreamingIngest {
   private[graft] val lastBatchPhaseNanos =
     new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
 
+  /** STREAMING SERVING-INDEX MAINTENANCE: wrap any foreachBatch sink so
+    * every committed micro-batch brings the corpus's REGISTERED serving
+    * indexes ([[graft.pipeline.IndexMaintenance.RegisteredProp]] —
+    * inverted text indexes and IVF vector indexes alike) up to the new
+    * corpus version via their changelog-driven one-commit refresh.
+    * Per-batch cost ∝ the batch's net change, never the corpus — index
+    * freshness becomes a property of the ingest path, no scheduler.
+    * Failure semantics mirror [[withMvMaintenance]]:
+    *  - a refresh failure after the data commit leaves the index STALE,
+    *    never wrong — the serving gate (synced-version == corpus
+    *    version) detects the lag, and the next batch's refresh covers
+    *    this batch's delta too (the changelog replays from the marker);
+    *  - a replayed batch commits nothing, so the refresh no-ops;
+    *  - a concurrent refresher losing the marker CAS is fine (the
+    *    winner already covered this delta). */
+  def withIndexMaintenance(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      inner: (DataFrame, Long) => Unit,
+      catalog: TableCatalog = FileTableCatalog
+  ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    inner(batch, batchId)
+    try graft.pipeline.IndexMaintenance.refreshAll(spark, tableDir, catalog)
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** AUTO-COMPACTION: wrap any foreachBatch sink so the small-file
     * backlog a streaming writer necessarily produces (one-plus files per
     * batch) is folded back to target-size files WITHOUT a scheduler —

@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import graft.streaming.StreamingIngest
+import graft.txn.{FileTableCatalog, TableMetadata, TableSnapshot, TableWrites}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** [[IndexMaintenance]] + [[StreamingIngest.withIndexMaintenance]]:
+  * registry round-trip, kind dispatch (text vs ANN), inline refresh
+  * per committed batch, stale-not-wrong failure semantics, replay
+  * no-op. (The end-to-end bucketed/pruned streamed search is the
+  * `text_index_stream` oracle query.) */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def textCorpusAndIndex(): (String, String) = {
+    val corpus = Files.createTempDirectory("graft-ims-corpus").toString
+    TableMetadata.commit(corpus, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(corpus,
+      Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text").coalesce(1))
+    val idx = Files.createTempDirectory("graft-ims-idx").toString
+    TableMetadata.commit(idx, TableSnapshot(1, 1, 0, Nil))
+    val docs = graft.sources.TableReader.read(spark, corpus)
+    TableWrites.appendData(idx, TextIndex.postings(docs).coalesce(1))
+    val (n, t) = TextIndex.stats(docs)
+    new graft.txn.CommitManager(idx).setTableProperties(Map(
+      TextIndex.StatsProp -> s"$n,$t",
+      TextIndex.SourceProp -> corpus,
+      TextIndex.SyncedProp ->
+        FileTableCatalog.loadOrThrow(corpus).version.toString),
+      Set.empty,
+      expectedSchemaId = FileTableCatalog.loadOrThrow(idx).schemaId)
+    (corpus, idx)
+  }
+
+  test("registry round-trips, de-dups, and unregister drops the prop " +
+    "when empty") {
+    val (corpus, idx) = textCorpusAndIndex()
+    IndexMaintenance.register(corpus, idx)
+    IndexMaintenance.register(corpus, idx) // idempotent
+    assert(FileTableCatalog.loadOrThrow(corpus)
+      .properties(IndexMaintenance.RegisteredProp) == idx)
+    IndexMaintenance.register(corpus, "/other/idx")
+    assert(IndexMaintenance.parseList(FileTableCatalog.loadOrThrow(corpus)
+      .properties(IndexMaintenance.RegisteredProp)) == Seq(idx, "/other/idx"))
+    IndexMaintenance.unregister(corpus, "/other/idx")
+    IndexMaintenance.unregister(corpus, idx)
+    assert(!FileTableCatalog.loadOrThrow(corpus)
+      .properties.contains(IndexMaintenance.RegisteredProp))
+  }
+
+  test("refreshAll dispatches by index kind: a text index and an ANN " +
+    "index of the same corpus both catch up in one call") {
+    // a corpus carrying BOTH a text column and an embedding column
+    val corpus = Files.createTempDirectory("graft-ims2-corpus").toString
+    TableMetadata.commit(corpus, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(corpus,
+      Seq((1L, "a b", Seq(1f, 1f)), (2L, "b c", Seq(9f, 9f)))
+        .toDF("doc_id", "text", "embedding").coalesce(1))
+    val v0 = FileTableCatalog.loadOrThrow(corpus).version
+    // text index
+    val tidx = Files.createTempDirectory("graft-ims2-tidx").toString
+    TableMetadata.commit(tidx, TableSnapshot(1, 1, 0, Nil))
+    val docs = graft.sources.TableReader.read(spark, corpus)
+      .select("doc_id", "text")
+    TableWrites.appendData(tidx, TextIndex.postings(docs).coalesce(1))
+    val (n, t) = TextIndex.stats(docs)
+    new graft.txn.CommitManager(tidx).setTableProperties(Map(
+      TextIndex.StatsProp -> s"$n,$t",
+      TextIndex.SourceProp -> corpus,
+      TextIndex.SyncedProp -> v0.toString),
+      Set.empty,
+      expectedSchemaId = FileTableCatalog.loadOrThrow(tidx).schemaId)
+    // ANN index over the SAME corpus, keyed by its doc_id column (the
+    // IdColProp/VecColProp metadata names the corpus columns)
+    val cents = Seq(100L -> Seq(0L, 0L), 200L -> Seq(10000000L, 10000000L))
+    val aidx = Files.createTempDirectory("graft-ims2-aidx").toString
+    TableMetadata.commit(aidx, TableSnapshot(1, 1, 0, Nil))
+    val vecs = graft.sources.TableReader.read(spark, corpus)
+      .select(col("doc_id").as("vec_id"), col("embedding").as("v"))
+    TableWrites.appendData(aidx,
+      AnnIndex.assignTo(vecs, cents)
+        .select(col("vec_id"), col("v").cast("array<float>").as("v"),
+          col("cid")).coalesce(1))
+    new graft.txn.CommitManager(aidx).setTableProperties(Map(
+      AnnIndex.CentroidsProp -> AnnIndex.encodeCentroids(cents),
+      AnnIndex.SourceProp -> corpus,
+      AnnIndex.SyncedProp -> v0.toString,
+      AnnIndex.IdColProp -> "doc_id",
+      AnnIndex.VecColProp -> "embedding"),
+      Set.empty,
+      expectedSchemaId = FileTableCatalog.loadOrThrow(aidx).schemaId)
+    IndexMaintenance.register(corpus, tidx)
+    IndexMaintenance.register(corpus, aidx)
+    // churn the corpus, then ONE refreshAll
+    TableWrites.appendData(corpus,
+      Seq((3L, "c d", Seq(8f, 8f))).toDF("doc_id", "text", "embedding")
+        .coalesce(1))
+    IndexMaintenance.refreshAll(spark, corpus)
+    val vCur = FileTableCatalog.loadOrThrow(corpus).version.toString
+    assert(FileTableCatalog.loadOrThrow(tidx)
+      .properties(TextIndex.SyncedProp) == vCur)
+    assert(FileTableCatalog.loadOrThrow(aidx)
+      .properties(AnnIndex.SyncedProp) == vCur)
+    // the new vector landed at its nearest centroid
+    assert(graft.sources.TableReader.read(spark, aidx)
+      .filter(col("vec_id") === 3L).select("cid").head().getLong(0) == 200L)
+    // refusal: a registered dir that is not an index
+    val junk = Files.createTempDirectory("graft-ims2-junk").toString
+    TableMetadata.commit(junk, TableSnapshot(1, 1, 0, Nil))
+    IndexMaintenance.register(corpus, junk)
+    TableWrites.appendData(corpus,
+      Seq((4L, "d e", Seq(0f, 1f))).toDF("doc_id", "text", "embedding")
+        .coalesce(1))
+    val e = intercept[graft.core.CompactionError.Config] {
+      IndexMaintenance.refreshAll(spark, corpus)
+    }
+    assert(e.getMessage.contains("not a maintainable index"))
+  }
+
+  test("withIndexMaintenance refreshes inline per committed batch; a " +
+    "failing refresh leaves the index STALE (detected by the serving " +
+    "gate), and the next batch's refresh covers the missed delta") {
+    val (corpus, idx) = textCorpusAndIndex()
+    IndexMaintenance.register(corpus, idx)
+    val sink = StreamingIngest.withIndexMaintenance(spark, corpus,
+      inner = StreamingIngest.upsertWriter(corpus, schemaId = 1,
+        keyCols = Seq("doc_id")))
+    sink(Seq((3L, "c d")).toDF("doc_id", "text"), 1L)
+    val vCorpus1 = FileTableCatalog.loadOrThrow(corpus).version
+    assert(FileTableCatalog.loadOrThrow(idx)
+      .properties(TextIndex.SyncedProp) == vCorpus1.toString)
+    // break the NEXT refresh: move the marker so the refresh validate
+    // sees a concurrent-move and throws — the wrapper must swallow it
+    val idxSnap = FileTableCatalog.loadOrThrow(idx)
+    new graft.txn.CommitManager(idx).setTableProperties(
+      Map(TextIndex.SourceProp -> "/not/the/corpus"), Set.empty,
+      expectedSchemaId = idxSnap.schemaId)
+    sink(Seq((4L, "d e")).toDF("doc_id", "text"), 2L)
+    // data committed, index stale — and the gate detects it
+    val vCorpus2 = FileTableCatalog.loadOrThrow(corpus).version
+    assert(vCorpus2 > vCorpus1, "the data commit must not be blocked")
+    assert(FileTableCatalog.loadOrThrow(idx)
+      .properties(TextIndex.SyncedProp) == vCorpus1.toString,
+      "failed refresh leaves the marker behind (stale, never wrong)")
+    // repair the source prop; the NEXT batch covers batch 2's delta too
+    val idxSnap2 = FileTableCatalog.loadOrThrow(idx)
+    new graft.txn.CommitManager(idx).setTableProperties(
+      Map(TextIndex.SourceProp -> corpus), Set.empty,
+      expectedSchemaId = idxSnap2.schemaId)
+    sink(Seq((5L, "e f")).toDF("doc_id", "text"), 3L)
+    assert(FileTableCatalog.loadOrThrow(idx)
+      .properties(TextIndex.SyncedProp) ==
+      FileTableCatalog.loadOrThrow(corpus).version.toString)
+    val terms = graft.sources.TableReader.read(spark, idx)
+      .select("term").distinct().as[String].collect().toSet
+    assert(Set("d", "e", "f").subsetOf(terms),
+      "the catch-up refresh must include the batch whose refresh failed")
+    // replayed batch: no commit, refresh no-ops, marker unchanged
+    val vIdx = FileTableCatalog.loadOrThrow(idx).version
+    sink(Seq((5L, "e f")).toDF("doc_id", "text"), 3L)
+    assert(FileTableCatalog.loadOrThrow(idx).version == vIdx)
+  }
+}
