@@ -237,6 +237,84 @@ object TextAnalysis {
         .as("dup_2gram_x1000"))
   }
 
+  /** Bigram language-model FLUENCY score — the CCNet/KenLM-shaped
+    * perplexity gate (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", LREC 2020 filters web
+    * text by LM perplexity; the Pile and RefinedWeb run the same gate),
+    * integer-exact so both engines replay it bit-for-bit: per bigram
+    * instance the MLE probability scales to
+    * `(c(w1,w2) * 1e6) div c(w1·))` (c(w1·) = tokens with a successor —
+    * the bigram-denominator convention), a document's fluency is the
+    * floor-mean over its bigram instances, and documents with fewer
+    * than two tokens score 0 by definition. High = predictable,
+    * in-distribution text; low = gibberish/OCR noise — the
+    * model-based sibling of [[frequencyScore]]'s rare-token filter.
+    *
+    * 100 TB shape: one explode to bigram instances, two map-side-
+    * partial aggregates onto vocabulary-bounded keys, and two UNHINTED
+    * lookup joins (the planner broadcasts the count tables while they
+    * fit and degrades to shuffle joins on a noisy vocabulary — the
+    * [[frequencyScore]]/[[tfidfTopTerms]] policy), then the per-doc
+    * sum. Self-trained on the scored corpus, so every observed bigram
+    * has count >= 1 — no smoothing constant to tune. */
+  def lmFluency(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val bi = docs
+      .select(col(idCol).as("doc_id"),
+        explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val scored = bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(c12 * 1000000) div c1")).as("s"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("s div n_bigrams"), lit(0L)).as("fluency_x1e6"))
+  }
+
+  /** Hashed-linear-model quality gate — the CLASSIFIER-based filtering
+    * shape (fastText quality classifiers gate LLaMA's CommonCrawl;
+    * FineWeb-Edu and DCLM gate on model scores): score(doc) = Σ_tok
+    * w[h(tok) mod dims] over a broadcast weight vector, keep = score
+    * >= 0. The hashing-trick featurization and the broadcast-weights
+    * lookup ARE the operator; the weights here are a deterministic
+    * stand-in derived from the oracle-replayable hash (w[i] =
+    * (hash64("w", i) mod 2001) - 1000) — swap in trained fastText/
+    * logistic weights without changing the plan. At a real model's
+    * dimensionality (2M buckets) the literal array becomes an actual
+    * broadcast join on the bucket id; at gate-sized dims the weight
+    * vector rides in the plan and scoring is one narrow projection +
+    * one per-doc aggregate — no vocabulary table, no training-corpus
+    * join, which is what makes classifier gates the cheapest
+    * model-based filter at 100 TB. */
+  def modelScore(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int = 1024): DataFrame = {
+    val md = graft.functions.Hash64.newMd5()
+    val wPrefix = graft.functions.Hash64.seedPrefix("w")
+    val weights: Array[Long] = Array.tabulate(dims) { i =>
+      (graft.functions.Hash64.hash64(md, wPrefix,
+        i.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        % 2001L) - 1000L
+    }
+    val bucket = pmod(hash64(lit("t"), col("tok")), lit(dims.toLong))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col("doc_id"),
+        element_at(lit(weights), (bucket + 1L).cast("int")).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        (col("score") >= 0L).as("keep"))
+  }
+
   /** Benchmark decontamination — the n-gram-overlap check every serious
     * training corpus runs before release (GPT-3 appendix C / The Pile
     * use 13-gram collision against eval sets; n is a parameter here):

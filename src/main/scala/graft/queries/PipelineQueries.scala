@@ -388,6 +388,21 @@ object PipelineQueries {
     TextAnalysis.tfidfTopTerms(documents(spark, dir), "doc_id", "text", 3)
       .orderBy("doc_id", "rnk")
 
+  /** Bigram LM fluency ([[TextAnalysis.lmFluency]]): the CCNet-shaped
+    * perplexity gate as integer-exact mean scaled bigram probability —
+    * self-trained on the corpus, bit-reproducible in DuckDB. */
+  def lmFluency(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmFluency(documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Classifier quality gate ([[TextAnalysis.modelScore]]): hashed
+    * bag-of-words against a broadcast weight vector — the fastText-
+    * style model-based filter with deterministic stand-in weights. */
+  def modelGate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.modelScore(documents(spark, dir), "doc_id", "text",
+        dims = 1024)
+      .orderBy("doc_id")
+
   // ---- dedup ----
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -1675,6 +1690,37 @@ object PipelineQueries {
     "bpe_train" -> bpeOracle(8),
     "bpe_encode" -> bpeEncodeOracle(8),
     "text_search" -> bm25RankOracle,
+    "lm_fluency" ->
+      """WITH p0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[1] AS w1, t[2] AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS t
+        |    FROM p0)),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum((c12 * 1000000) // c1) AS BIGINT) AS s
+        |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(sc.s // sc.n_bigrams, 0) AS fluency_x1e6
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "model_gate" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    (${h64(s"'w:' || CAST((${h64("'t:' || tok")}) % 1024 AS VARCHAR)")}
+        |      % 2001) - 1000 AS w
+        |  FROM toks)
+        |SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
+        |  count(*) AS n_tokens, sum(w) >= 0 AS keep
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_index_refresh" -> bm25OracleOver(churnedCorpusSql),
     // the streaming-maintained index must land byte-identical to the
     // manual-refresh path: same churn, same from-scratch BM25 truth
@@ -1832,6 +1878,8 @@ object PipelineQueries {
     "decontaminate_bloom" -> (decontaminateBloom _),
     "passage_dedup" -> (passageDedup _),
     "tfidf_topterms" -> (tfidfTopTerms _),
+    "lm_fluency" -> (lmFluency _),
+    "model_gate" -> (modelGate _),
     "bm25_rank" -> (bm25Rank _),
     "text_search" -> (textSearch _),
     "text_index_refresh" -> (textIndexRefresh _),
