@@ -76,16 +76,37 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       Seq[(String, String)]]()
 
-  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+  private def trainedMerges(spark: SparkSession, dir: String)
+      : Seq[(String, String)] = {
     val path = s"$dir/documents.parquet"
     val st = graft.io.FileIO.fs(path)
       .getFileStatus(new org.apache.hadoop.fs.Path(path))
     val key = (path, st.getLen, st.getModificationTime)
-    val merges = bpeMergeCache.computeIfAbsent(key, _ =>
+    bpeMergeCache.computeIfAbsent(key, _ =>
       graft.pipeline.Bpe.train(documents(spark, dir), "text", 8)
         .orderBy("step").select("pa", "pb")
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq)
-    graft.pipeline.Bpe.encode(documents(spark, dir), "doc_id", "text", merges)
+  }
+
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.encode(documents(spark, dir), "doc_id", "text",
+        trainedMerges(spark, dir))
+      .orderBy("doc_id")
+
+  /** Sequence packing by TRUE tokenizer lengths — the composition a
+    * training-data run actually executes (whitespace counts only
+    * approximate the context-window budget; packs must fit in BPE
+    * tokens): train the merges, encode every document, pack the
+    * per-doc subword counts with the same greedy 256-budget fill as
+    * `sequence_pack`. One narrow encode projection feeds one packing
+    * shuffle; the oracle replays encode chain + recursive fill in a
+    * single statement. */
+  def sequencePackBpe(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.pipeline.Bpe.encode(documents(spark, dir),
+        "doc_id", "text", trainedMerges(spark, dir))
+      .select(col("doc_id"), col("n_subwords"))
+    graft.pipeline.Packing.packSequences(counts, "doc_id", "n_subwords",
+        budget = 256L, buckets = 8)
       .orderBy("doc_id")
   }
 
@@ -1285,7 +1306,12 @@ object PipelineQueries {
   /** The encode oracle: the training CTEs plus a per-(doc, word)
     * application of the K learned merges as nested literal replaces —
     * the same chain [[graft.pipeline.Bpe.encode]] compiles. */
-  private def bpeEncodeOracle(k: Int): String = {
+  /** The CTE chain from raw corpus through per-(doc, word) encoding —
+    * `s0` (word frequencies) ... `c$i`/`s$i` (sentinel-guarded merges)
+    * ... `w` (positioned words) ... `enc` (encoded subwords). Shared by
+    * the encode oracle and the BPE-packing oracle; returned WITHOUT a
+    * `WITH` prefix so callers choose plain or RECURSIVE. */
+  private def bpeEncodeChain(k: Int): String = {
     // Self-contained training chain with SENTINEL-guarded merge CTEs:
     // when training exhausts before step i (no adjacent pair left), c$i
     // resolves to the '<none>' sentinel — a no-op replace — instead of
@@ -1294,7 +1320,7 @@ object PipelineQueries {
     // (Spark's encode applies only the learned merges; no-op sentinel
     // merges are the identical outcome.)
     val sb = new StringBuilder(
-      """WITH s0 AS (
+      """s0 AS (
         |  SELECT CAST(count(*) AS BIGINT) AS freq,
         |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS s
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -1334,13 +1360,46 @@ object PipelineQueries {
       |enc AS (
       |  SELECT w.doc_id, w.wpos,
       |    array_to_string(regexp_split_to_array(trim($e), ' +'), ' ') AS sub
-      |  FROM w $cross)
-      |SELECT doc_id,
-      |  CAST(sum(len(string_split(sub, ' '))) AS BIGINT) AS n_subwords,
-      |  md5(string_agg(sub, ' ' ORDER BY wpos)) AS token_digest
-      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      |  FROM w $cross)""".stripMargin)
     sb.toString
   }
+
+  private def bpeEncodeOracle(k: Int): String =
+    s"""WITH ${bpeEncodeChain(k)}
+       |SELECT doc_id,
+       |  CAST(sum(len(string_split(sub, ' '))) AS BIGINT) AS n_subwords,
+       |  md5(string_agg(sub, ' ' ORDER BY wpos)) AS token_digest
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** sequence_pack_bpe oracle: the encode chain's per-doc subword
+    * counts feed the same recursive greedy-fill replay as
+    * sequence_pack — packing by TRUE tokenizer lengths. */
+  private def bpePackOracle(k: Int): String =
+    s"""WITH RECURSIVE ${bpeEncodeChain(k)},
+       |counts AS (
+       |  SELECT doc_id,
+       |    CAST(sum(len(string_split(sub, ' '))) AS BIGINT) AS n_tokens
+       |  FROM enc GROUP BY doc_id),
+       |docs AS (
+       |  SELECT doc_id, doc_id % 8 AS bucket, n_tokens,
+       |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+       |  FROM counts),
+       |packed AS (
+       |  SELECT doc_id, bucket, n_tokens, rn,
+       |    CAST(0 AS BIGINT) AS pack, CAST(0 AS BIGINT) AS pack_pos,
+       |    n_tokens AS fill
+       |  FROM docs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.doc_id, d.bucket, d.n_tokens, d.rn,
+       |    CASE WHEN p.fill + d.n_tokens <= 256 THEN p.pack
+       |         ELSE p.pack + 1 END,
+       |    CASE WHEN p.fill + d.n_tokens <= 256 THEN p.pack_pos + 1
+       |         ELSE CAST(0 AS BIGINT) END,
+       |    CASE WHEN p.fill + d.n_tokens <= 256 THEN p.fill + d.n_tokens
+       |         ELSE d.n_tokens END
+       |  FROM docs d JOIN packed p ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+       |SELECT doc_id, bucket, pack, pack_pos FROM packed
+       |ORDER BY doc_id""".stripMargin
 
   /** BM25 oracle over an arbitrary corpus relation (SQL producing
     * (doc_id, text)). Shared by bm25_rank (recompute), text_search
@@ -1689,6 +1748,7 @@ object PipelineQueries {
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "bpe_train" -> bpeOracle(8),
     "bpe_encode" -> bpeEncodeOracle(8),
+    "sequence_pack_bpe" -> bpePackOracle(8),
     "text_search" -> bm25RankOracle,
     "lm_fluency" ->
       """WITH p0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1886,6 +1946,7 @@ object PipelineQueries {
     "text_index_stream" -> (textIndexStream _),
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
+    "sequence_pack_bpe" -> (sequencePackBpe _),
     "substring_dedup" -> (substringDedup _),
     "pii_scrub" -> (piiScrubQuery _),
     "multimodal_meta" -> (multimodalMeta _),
