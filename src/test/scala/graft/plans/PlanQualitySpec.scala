@@ -358,6 +358,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"capping must not join:\n$p")
   }
 
+  test("lm fluency: vocab-bounded count tables, map-side partial " +
+    "aggregates, no cartesian, no window") {
+    val p = plan(graft.queries.PipelineQueries.lmFluency(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(p.contains("partial_count"),
+      s"bigram count tables must partial-aggregate map-side:\n$p")
+  }
+
+  test("model gate: pure narrow scoring — no join, one hash exchange " +
+    "(the per-doc aggregate), map-side partial sum") {
+    val p = plan(graft.queries.PipelineQueries.modelGate(spark, dir))
+    assert(!p.contains("Join"),
+      s"hashed-weights scoring must not join:\n$p")
+    val hashEx = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"exactly the per-doc aggregate exchange, found $hashEx:\n$p")
+    assert(p.contains("partial_sum"),
+      s"score summation must be map-side partial:\n$p")
+  }
+
+  test("curation v2: the containment stage stays prefix-filtered — " +
+    "no cartesian, no blocked pair enumeration in the composed plan") {
+    val p = plan(
+      graft.queries.CorpusPipelineQuery.runCurateV2(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("pk"), s"no blocked pair enumeration:\n$p")
+  }
+
   test("events pivot: the standard two-exchange pivot plan — " +
     "(user, type) counts then per-user pivotfirst — both phases " +
     "map-side partial, no join, no window") {
