@@ -482,6 +482,154 @@ object Similarity {
     (out, Seq(dtAll, codes, corpusSub, codebook))
   }
 
+  /** IVF-PQ ANN — the composed billion-vector architecture (Jégou et
+    * al. 2011 §V; FAISS `IndexIVFPQ`): a coarse quantizer routes every
+    * vector to a centroid bucket, and product quantization encodes the
+    * RESIDUAL (vector - centroid) — residuals concentrate near zero,
+    * so the same codebook budget quantizes them far more precisely
+    * than raw vectors. Search probes `nProbe` buckets and scores ONLY
+    * those buckets' codes by ADC against per-(query, bucket) residual
+    * distance tables.
+    *
+    * Why this is THE 100 TB shape: IVF cuts the scored set to
+    * nProbe/numCentroids of the corpus, PQ cuts the bytes per scored
+    * row ~100x, and the bucket join + broadcast distance tables mean
+    * the corpus is never shuffled and never cross-joined — cost ∝
+    * probed codes, memory ∝ codes + broadcast tables.
+    *
+    * Everything is integer-exact ([[IntKMeans]] quantization, exact
+    * integer L2, floor-divided means; residuals are exact long
+    * differences), so training, encoding, and ADC replay bit-for-bit
+    * in the DuckDB oracle. Returns (query_id, rank, vec_id, adist)
+    * ranked by ascending integer ADC distance, vec_id tie-break. */
+  def ivfPqTopK(
+      queries: DataFrame, // (query_id, qv)
+      corpus: DataFrame,  // (vec_id, v)
+      dims: Int,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 2,
+      numSubs: Int = 4,
+      codebookSize: Int = 16
+  ): DataFrame = {
+    val (out, caches) = ivfPqTopKLazy(queries, corpus, dims, k,
+      numCentroids, nProbe, lloydIters, numSubs, codebookSize)
+    // materialize, then release every cache (the pqTopK discipline)
+    val materialized = out.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    materialized
+  }
+
+  /** The lazy IVF-PQ plan plus the frames it persisted — split out so
+    * plan shape stays inspectable (the public form checkpoints, which
+    * truncates lineage to an ExistingRDD scan). */
+  private[graft] def ivfPqTopKLazy(
+      queries: DataFrame,
+      corpus: DataFrame,
+      dims: Int,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 2,
+      numSubs: Int = 4,
+      codebookSize: Int = 16
+  ): (DataFrame, Seq[DataFrame]) = {
+    import IntKMeans.{idist, quant}
+    require(dims % numSubs == 0, s"dims=$dims not divisible by numSubs=$numSubs")
+    val subLen = dims / numSubs
+
+    val corpusQ = corpus.withColumn("px", quant(col("v"))).persist()
+    val cents = IntKMeans.train(corpusQ.select("vec_id", "px"),
+      "vec_id", "px", numCentroids, lloydIters).persist()
+
+    // nearest-`keep` assignment KEEPING the centroid vector — the
+    // residual needs cq, which IntKMeans.assign drops
+    def assignKeep(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("cdist").asc, col("cid").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("cdist", idist(col("px"), col("cq")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cdist", "crank")
+    }
+
+    // corpus residuals, exact long arithmetic: rx = px - cq
+    val res = assignKeep(corpusQ.select("vec_id", "px"), "vec_id", keep = 1)
+      .withColumn("rx", zip_with(col("px"), col("cq"), (a, b) => a - b))
+      .select("vec_id", "cid", "rx")
+    // residual subvectors: one row per (vector, subspace)
+    def subVectors(df: DataFrame, keepCols: Seq[String]): DataFrame =
+      df.select(keepCols.map(col) :+
+        posexplode(transform(sequence(lit(0), lit(numSubs - 1)),
+          m => slice(col("rx"), (m * subLen + 1).cast("int"), lit(subLen))))
+          .as(Seq("m", "spx")): _*)
+    val corpusSub = subVectors(res, Seq("vec_id", "cid")).persist()
+
+    // ONE codebook per subspace, trained on residuals (hash-seeded,
+    // integer-exact Lloyd — pqTopKLazy's recipe keyed by "ivfpq")
+    def assignCode(sub: DataFrame, idCol: String, cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(idCol), col("cid"), col("m"))
+        .orderBy(col("ddist").asc, col("code").asc)
+      sub.join(broadcast(cb), Seq("m"))
+        .withColumn("ddist", idist(col("spx"), col("cq")))
+        .withColumn("drank", row_number().over(w))
+        .filter(col("drank") === 1)
+        .drop("cq", "ddist", "drank")
+    }
+    val wInit = Window.partitionBy("m").orderBy(col("h").asc, col("vec_id").asc)
+    var codebook = corpusSub
+      .withColumn("h", TextFunctions.hash64(lit("ivfpq"),
+        concat(col("m").cast("string"), lit(":"), col("vec_id").cast("string"))))
+      .withColumn("irank", row_number().over(wInit))
+      .filter(col("irank") <= codebookSize)
+      .select(col("m"), col("vec_id").as("code"), col("spx").as("cq"))
+    for (_ <- 1 to lloydIters) {
+      val assigned = assignCode(corpusSub, "vec_id", codebook)
+      codebook = assigned
+        .select(col("m"), col("code"), posexplode(col("spx")).as(Seq("pos", "value")))
+        .groupBy("m", "code", "pos")
+        .agg(floor(sum(col("value")).cast("double") / count(lit(1)))
+          .cast("long").as("mean"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("cq"))
+    }
+    codebook = codebook.persist()
+
+    // the compressed index: one code per (vector, subspace), bucket id
+    // riding along — this is all search ever scans
+    val codes = assignCode(corpusSub, "vec_id", codebook)
+      .select("vec_id", "cid", "m", "code")
+
+    // query side: probe nProbe buckets, residual per (query, bucket),
+    // ADC table over every codeword of every probed bucket — tiny
+    // (|Q| x nProbe x numSubs x codebookSize rows), broadcast
+    val probes = assignKeep(
+      queries.withColumn("px", quant(col("qv"))).select("query_id", "px"),
+      "query_id", keep = nProbe)
+      .withColumn("rx", zip_with(col("px"), col("cq"), (a, b) => a - b))
+      .select("query_id", "cid", "rx")
+    val dt = subVectors(probes, Seq("query_id", "cid"))
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("d", idist(col("spx"), col("cq")))
+      .select("query_id", "cid", "m", "code", "d")
+
+    // bucket join: only probed buckets' codes score; sum the numSubs
+    // per-subspace lookups into the exact integer ADC distance
+    val scored = codes.join(broadcast(dt), Seq("cid", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d")).as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val out = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adist")
+    (out, Seq(corpusQ, cents, corpusSub, codebook))
+  }
+
   /** LSH ANN: same-bucket candidates re-ranked exactly. Recall < 1 by
     * construction; deterministic. Returns (query_id, rank, vec_id,
     * cos_x1e6) with rank over bucket candidates only. */

@@ -816,6 +816,22 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Composed IVF-PQ ANN ([[Similarity.ivfPqTopK]]): coarse-quantizer
+    * bucket routing + residual product quantization + ADC over probed
+    * buckets only — the FAISS IndexIVFPQ architecture, integer-exact
+    * end to end so DuckDB replays training, residual encoding, and
+    * bucket-scoped ADC bit-for-bit. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val t = embeddings(spark, dir)
+    val q = t.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = t.select(col("vec_id"), col("embedding").as("v"))
+    Similarity.ivfPqTopK(q, c, dims = 64, k = 10, numCentroids = 16,
+        nProbe = 4, lloydIters = 2, numSubs = 4, codebookSize = 16)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch over l_orderkey — a
     * DETERMINISTIC alternative to HLL (approx_count_distinct's HLL++
     * cannot be replayed by another engine): estimate = (k-1) * 2^60 /
@@ -1141,6 +1157,84 @@ object PipelineQueries {
   private def idistSql(p: String, c: String) =
     s"list_sum(list_transform(generate_series(1, 64), i -> ($p[i]-$c[i])*($p[i]-$c[i])))"
 
+  /** The composed IVF-PQ replay: the IVF training CTEs route every
+    * vector to its centroid, residuals (px - cq, exact longs) train
+    * per-subspace codebooks ('ivfpq' seeds, 2 exact-Lloyd rounds),
+    * queries probe 4 buckets and ADC-score ONLY those buckets' codes
+    * with per-(query, bucket) residual distance tables. */
+  private val ivfPqOracle: String = {
+    val meanVec = (1 to 16)
+      .map(i => s"CAST(floor(sum(spx[$i]) / count(*)) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    def idist16(p: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, 16), i -> ($p[i]-$c[i])*($p[i]-$c[i])))"
+    def assignCte(name: String, cb: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cid, m, spx, code FROM (
+         |    SELECT s.vec_id, s.cid, s.m, s.spx, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        ${idist16("s.spx", "c.cq")} ASC, c.code ASC) AS rnk
+         |    FROM rsub s JOIN $cb c ON s.m = c.m)
+         |  WHERE rnk = 1)""".stripMargin
+    s"""WITH $ivfTrainingCtes,
+       |fa2 AS (
+       |  SELECT a.vec_id, a.px, a.cid, c.cq
+       |  FROM final_assign a JOIN cent2 c USING (cid)),
+       |res AS (
+       |  SELECT vec_id, cid,
+       |    list_transform(generate_series(1, 64), i -> px[i] - cq[i]) AS rx
+       |  FROM fa2),
+       |rsubm AS (SELECT vec_id, cid, rx, unnest(generate_series(0, 3)) AS m
+       |          FROM res),
+       |rsub AS (SELECT vec_id, cid, m, rx[m*16+1 : m*16+16] AS spx
+       |         FROM rsubm),
+       |cb0 AS (
+       |  SELECT m, code, cq FROM (
+       |    SELECT m, vec_id AS code, spx AS cq,
+       |      row_number() OVER (PARTITION BY m ORDER BY
+       |        ${h64("'ivfpq:' || m || ':' || vec_id")}, vec_id) AS irank
+       |    FROM rsub)
+       |  WHERE irank <= 16),
+       |${assignCte("rassign1", "cb0")},
+       |cb1 AS (SELECT m, code, $meanVec AS cq FROM rassign1 GROUP BY m, code),
+       |${assignCte("rassign2", "cb1")},
+       |cb2r AS (SELECT m, code, $meanVec AS cq FROM rassign2 GROUP BY m, code),
+       |${assignCte("rcodes", "cb2r")},
+       |probes AS (
+       |  SELECT query_id, cid, cq FROM (
+       |    SELECT tq.vec_id AS query_id, c.cid, c.cq,
+       |      row_number() OVER (PARTITION BY tq.vec_id ORDER BY
+       |        ${idistSql("tq.px", "c.cq")} ASC, c.cid ASC) AS rnk
+       |    FROM tq CROSS JOIN cent2 c WHERE tq.vec_id < 5)
+       |  WHERE rnk <= 4),
+       |qres AS (
+       |  SELECT p.query_id, p.cid,
+       |    list_transform(generate_series(1, 64), i -> tq.px[i] - p.cq[i]) AS rx
+       |  FROM probes p JOIN tq ON tq.vec_id = p.query_id),
+       |qsubm AS (SELECT query_id, cid, rx, unnest(generate_series(0, 3)) AS m
+       |          FROM qres),
+       |qsub AS (SELECT query_id, cid, m, rx[m*16+1 : m*16+16] AS spx
+       |         FROM qsubm),
+       |dt AS (
+       |  SELECT q.query_id, q.cid, c.m, c.code,
+       |    ${idist16("q.spx", "c.cq")} AS d
+       |  FROM qsub q JOIN cb2r c ON q.m = c.m),
+       |scored AS (
+       |  SELECT dt.query_id, k.vec_id, CAST(sum(dt.d) AS BIGINT) AS adist
+       |  FROM rcodes k
+       |  JOIN dt ON k.cid = dt.cid AND k.m = dt.m AND k.code = dt.code
+       |  WHERE k.vec_id <> dt.query_id
+       |  GROUP BY dt.query_id, k.vec_id),
+       |ranked AS (
+       |  SELECT query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rnk,
+       |    vec_id, adist
+       |  FROM scored)
+       |SELECT query_id, rnk, vec_id, adist FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** The integer-exact IVF TRAINING replay (Similarity.IntKMeans):
     * `t`/`tq` quantized vectors, hash-sampled seeds, two exact-Lloyd
     * rounds, `final_assign` (vec_id, px, cid). Shared by the
@@ -1451,6 +1545,7 @@ object PipelineQueries {
     "ann_indexed" -> ivfTrainedOracle,
     "ann_index_refresh" -> annRefreshOracle,
     "ann_pq" -> pqOracle,
+    "ann_ivfpq" -> ivfPqOracle,
     "dedup_semantic" -> semanticDedupOracle,
     "sequence_pack" ->
       """WITH RECURSIVE docs AS (
@@ -1927,6 +2022,7 @@ object PipelineQueries {
     "ann_indexed" -> (annIndexed _),
     "ann_index_refresh" -> (annIndexRefresh _),
     "ann_pq" -> (annPq _),
+    "ann_ivfpq" -> (annIvfPq _),
     "kmv_distinct" -> (kmvDistinct _),
     "deterministic_sample" -> (deterministicSample _),
     "stratified_sample" -> (stratifiedSample _),

@@ -358,6 +358,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"capping must not join:\n$p")
   }
 
+  test("ivf-pq: cross joins only against broadcast centroid tables; " +
+    "codes score via a broadcast bucket-keyed hash join — the corpus " +
+    "is never cartesian-joined against another large side") {
+    import org.apache.spark.sql.functions.col
+    val t = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = t.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = t.select(col("vec_id"), col("embedding").as("v"))
+    val (out, caches) = graft.pipeline.Similarity
+      .ivfPqTopKLazy(q, c, dims = 64, k = 10)
+    try {
+      val p = plan(out)
+      // every cartesian in the plan must be a broadcast nested loop
+      // against the tiny centroid table (BroadcastNestedLoopJoin), never
+      // a CartesianProduct of two unbounded sides
+      assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+      // the scoring join (cid, m, code) broadcasts the distance table
+      val scoringJoin = p.split("\n").find(l =>
+        l.contains("BroadcastHashJoin") && l.contains("cid"))
+      assert(scoringJoin.isDefined,
+        s"ADC scoring must be a broadcast hash join on the bucket key:\n$p")
+    } finally caches.foreach(_.unpersist())
+  }
+
   test("lm fluency: vocab-bounded count tables, map-side partial " +
     "aggregates, no cartesian, no window") {
     val p = plan(graft.queries.PipelineQueries.lmFluency(spark, dir))
