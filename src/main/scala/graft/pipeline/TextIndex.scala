@@ -45,6 +45,37 @@ object TextIndex {
       .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
       .select("term", "doc_id", "dl", "tf")
 
+  /** POSITIONAL postings of a (doc_id, text) frame: one row per token
+    * OCCURRENCE (term, doc_id, pos) — the index shape phrase and
+    * proximity queries need. Written PARTITIONED BY bucket(term) like
+    * the tf index, a phrase lookup plans only its terms' buckets. */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** EXACT PHRASE match over positional postings: documents containing
+    * the consecutive token sequence `phrase`, with occurrence counts.
+    * The classic inverted-index phrase algorithm: anchor on the first
+    * term's positions, then for each later term intersect on
+    * (doc_id, pos - offset) — a chain of equi-joins on the uniform
+    * (doc, position) key, each step shrinking the candidate set, no
+    * window, no per-doc re-scan. Overlapping occurrences all count
+    * (positions are distinct by construction). Returns
+    * (doc_id, n_hits) for matching docs only. */
+  def phraseMatch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val anchors = postings.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1)
+      .foldLeft(anchors) { case (acc, (t, i)) =>
+        acc.join(postings.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+    matched.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Corpus constants of a (doc_id, text) frame: (N docs, T tokens). */
   def stats(docs: DataFrame): (Long, Long) = {
     val r = docs.agg(count(lit(1)).as("n"),

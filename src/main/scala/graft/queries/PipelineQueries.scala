@@ -206,6 +206,56 @@ object PipelineQueries {
   def textSearch(spark: SparkSession, dir: String): DataFrame =
     bm25FromIndex(spark, buildTextIndex(spark, dir), "text_search")
 
+  // ---- positional index / phrase search ----
+
+  private val posIndexTables =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+  private val posIdxCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Positional index table: one row per token occurrence, bucketed by
+    * term so a phrase lookup plans only its terms' buckets. */
+  private def buildPosIndex(spark: SparkSession, dir: String): String =
+    posIndexTables.computeIfAbsent(corpusKey(dir), _ => {
+      val name = s"gposx${posIdxCounter.incrementAndGet()}"
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-posidx-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.posidx " +
+        "(term STRING, doc_id BIGINT, pos BIGINT) " +
+        "PARTITIONED BY (bucket(8, term))")
+      graft.pipeline.TextIndex
+        .positionalPostings(documents(spark, dir).select("doc_id", "text"))
+        .createOrReplaceTempView(s"posidx_src_$name")
+      spark.sql(s"INSERT INTO $name.db.posidx SELECT * FROM posidx_src_$name")
+      s"$wh/db/posidx"
+    })
+
+  /** EXACT PHRASE SEARCH from the positional index
+    * ([[graft.pipeline.TextIndex.phraseMatch]]): occurrences of the
+    * consecutive phrase "table scan" via the anchored position-
+    * intersection chain, reading ONLY the phrase terms' buckets
+    * (pruning self-asserted). At 100 TB a phrase query touches two
+    * term buckets and joins two posting lists on the uniform
+    * (doc, position) key — never the corpus. */
+  def textPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val phrase = Seq("table", "scan")
+    val idxDir = buildPosIndex(spark, dir)
+    val totalFiles = graft.sources.TableReader.read(spark, idxDir)
+      .inputFiles.length
+    val probe = col("term").isin(phrase.map(x => x: Any): _*)
+    val idx = graft.sources.TableReader.read(spark, idxDir,
+      filter = Some(probe))
+    val read = idx.inputFiles.length
+    require(read > 0 && read < totalFiles,
+      s"text_phrase: the phrase lookup must prune the index scan " +
+        s"($read of $totalFiles files planned)")
+    graft.pipeline.TextIndex.phraseMatch(idx.filter(probe), phrase)
+      .orderBy("doc_id")
+  }
+
   // ---- incrementally maintained text index ----
 
   private val textRefreshFixtures =
@@ -1845,6 +1895,17 @@ object PipelineQueries {
     "bpe_encode" -> bpeEncodeOracle(8),
     "sequence_pack_bpe" -> bpePackOracle(8),
     "text_search" -> bm25RankOracle,
+    "text_phrase" ->
+      """WITH pp AS (
+        |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+        |      i -> {'pos': i, 'term': ws[i]})) AS u
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+        |a AS (SELECT doc_id, pos FROM pp WHERE term = 'table'),
+        |b AS (SELECT doc_id, pos - 1 AS pos FROM pp WHERE term = 'scan')
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM a JOIN b USING (doc_id, pos)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "lm_fluency" ->
       """WITH p0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |bi AS (
@@ -2038,6 +2099,7 @@ object PipelineQueries {
     "model_gate" -> (modelGate _),
     "bm25_rank" -> (bm25Rank _),
     "text_search" -> (textSearch _),
+    "text_phrase" -> (textPhrase _),
     "text_index_refresh" -> (textIndexRefresh _),
     "text_index_stream" -> (textIndexStream _),
     "bpe_train" -> (bpeTrain _),

@@ -111,6 +111,25 @@ class TextIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not unique per doc_id"))
   }
 
+  test("phraseMatch: anchored position intersection — 3-word phrases, " +
+    "overlapping occurrences, repeated-term phrases, empty result") {
+    val docs = Seq(
+      (1L, "a b c a b c"),   // "a b c" twice
+      (2L, "a a a"),         // "a a" at pos 0 and 1 (overlap counts)
+      (3L, "a c b"),         // no consecutive "a b"
+      (4L, "b c")).toDF("doc_id", "text")
+    val pp = TextIndex.positionalPostings(docs)
+    def hits(phrase: Seq[String]): Map[Long, Long] =
+      TextIndex.phraseMatch(pp, phrase).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(Seq("a", "b", "c")) == Map(1L -> 2L))
+    assert(hits(Seq("a", "a")) == Map(2L -> 2L))
+    assert(hits(Seq("b", "c")) == Map(1L -> 2L, 4L -> 1L))
+    assert(hits(Seq("c", "a")) == Map(1L -> 1L))
+    assert(hits(Seq("a", "c")) == Map(3L -> 1L))
+    assert(hits(Seq("z", "a")).isEmpty)
+  }
+
   test("refresh refuses an index built over a different corpus, and a " +
     "marker-less index") {
     val (corpus, idx) = fixture()
