@@ -128,6 +128,23 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containmentLosers drops the SMALLER side of each pair (the " +
+    "excerpt), ties to the higher id, and losers are distinct") {
+    // doc 2 is a strict prefix of doc 1 (the excerpt); docs 3/4 are
+    // identical (equal sizes -> higher id loses); doc 5 unrelated
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long, "x"), (2L, short, "x"),
+      (3L, "p q r s t u v p q r", "x"), (4L, "p q r s t u v p q r", "x"),
+      (5L, "z1 z2 z3 z4 z5 z6", "x"))
+      .toDF("doc_id", "text", "blk")
+    val losers = Dedup.containmentLosers(docs, "doc_id", "text", "blk", 900)
+      .as[Long].collect().toSet
+    assert(losers == Set(2L, 4L),
+      s"expected the excerpt (2) and the higher-id twin (4), got $losers")
+  }
+
   test("Bpe.train equals the naive reference on 10 seeded random corpora") {
     val rng = new scala.util.Random(99)
     for (round <- 1 to 10) {
