@@ -266,8 +266,11 @@ object TextAnalysis {
           slice(ws, lit(2), size(ws) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("t"))
       .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // context counts DERIVE from the bigram table (c(w1·) = Σ_w2
+    // c(w1,w2)) — a vocabulary-bounded aggregate, not a third pass
+    // over the exploded corpus
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val scored = bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
