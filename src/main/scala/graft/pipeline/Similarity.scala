@@ -418,6 +418,16 @@ object Similarity {
           s => s.getField("mean")).as("cq"))
     }
 
+    // codewords trained under their SEED vec_id names could collide in
+    // the m*1024+code map key packing below (seed ids are arbitrary
+    // longs — code_a == code_b + 1024*(m_b - m_a) would alias two
+    // codewords, and map_from_entries throws on the duplicate key).
+    // Remap to DENSE per-subspace ids; the remap is monotone in the
+    // seed id, so assignment tie-breaks and every distance are
+    // unchanged — internal naming only, invisible in the output
+    val wDense = Window.partitionBy("m").orderBy(col("code").asc)
+    codebook = codebook.withColumn("code",
+      (row_number().over(wDense) - 1).cast("long"))
     // the trained codebook is TINY (numSubs x codebookSize rows) but its
     // lineage is the whole Lloyd chain; it is referenced by two separate
     // JOBS (the dtAll count below, then the scoring action), and
@@ -521,6 +531,135 @@ object Similarity {
     materialized
   }
 
+  // ---- IVF-PQ internals, shared by the one-shot search and the
+  // ---- persisted-index build/search paths ----
+
+  /** Residual subvectors: one row per (row, subspace), keeping
+    * `keepCols`. Input must carry an `rx` long-array column. */
+  private def residualSubVectors(df: DataFrame, keepCols: Seq[String],
+      numSubs: Int, subLen: Int): DataFrame =
+    df.select(keepCols.map(col) :+
+      posexplode(transform(sequence(lit(0), lit(numSubs - 1)),
+        m => slice(col("rx"), (m * subLen + 1).cast("int"), lit(subLen))))
+        .as(Seq("m", "spx")): _*)
+
+  /** Nearest-`keep` centroid assignment KEEPING the centroid vector
+    * (the residual needs cq, which [[IntKMeans.assign]] drops).
+    * Input must carry a `px` quantized column. */
+  private def nearestCentroidsKeep(df: DataFrame, idCol: String,
+      cents: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("cdist").asc, col("cid").asc)
+    df.crossJoin(broadcast(cents))
+      .withColumn("cdist", IntKMeans.idist(col("px"), col("cq")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= keep)
+      .drop("cdist", "crank")
+  }
+
+  /** Nearest codebook entry per (row, subspace). */
+  private def nearestCodes(sub: DataFrame, idCol: String,
+      cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol), col("m"))
+      .orderBy(col("ddist").asc, col("code").asc)
+    sub.join(broadcast(cb), Seq("m"))
+      .withColumn("ddist", IntKMeans.idist(col("spx"), col("cq")))
+      .withColumn("drank", row_number().over(w))
+      .filter(col("drank") === 1)
+      .drop("cq", "ddist", "drank")
+  }
+
+  /** The trained IVF-PQ model: coarse centroids, residual codebooks,
+    * and per-(vector, subspace) codes. `caches` must be released by
+    * the caller once the model's frames are consumed. */
+  private[graft] final case class IvfPqModel(
+      cents: DataFrame,    // (cid, cq), persisted
+      codebook: DataFrame, // (m, code, cq), persisted
+      codes: DataFrame,    // (vec_id, cid, m, code), lazy
+      caches: Seq[DataFrame])
+
+  private def buildIvfPqModel(
+      corpus: DataFrame, // (vec_id, v)
+      dims: Int,
+      numCentroids: Int,
+      lloydIters: Int,
+      numSubs: Int,
+      codebookSize: Int
+  ): IvfPqModel = {
+    import IntKMeans.quant
+    require(dims % numSubs == 0, s"dims=$dims not divisible by numSubs=$numSubs")
+    val subLen = dims / numSubs
+    val corpusQ = corpus.withColumn("px", quant(col("v"))).persist()
+    val cents = IntKMeans.train(corpusQ.select("vec_id", "px"),
+      "vec_id", "px", numCentroids, lloydIters).persist()
+    // corpus residuals, exact long arithmetic: rx = px - cq
+    val res = nearestCentroidsKeep(corpusQ.select("vec_id", "px"),
+        "vec_id", cents, keep = 1)
+      .withColumn("rx", zip_with(col("px"), col("cq"), (a, b) => a - b))
+      .select("vec_id", "cid", "rx")
+    val corpusSub = residualSubVectors(res, Seq("vec_id", "cid"),
+      numSubs, subLen).persist()
+    // ONE codebook per subspace, trained on residuals (hash-seeded,
+    // integer-exact Lloyd — pqTopKLazy's recipe keyed by "ivfpq")
+    val wInit = Window.partitionBy("m").orderBy(col("h").asc, col("vec_id").asc)
+    var codebook = corpusSub
+      .withColumn("h", TextFunctions.hash64(lit("ivfpq"),
+        concat(col("m").cast("string"), lit(":"), col("vec_id").cast("string"))))
+      .withColumn("irank", row_number().over(wInit))
+      .filter(col("irank") <= codebookSize)
+      .select(col("m"), col("vec_id").as("code"), col("spx").as("cq"))
+    for (_ <- 1 to lloydIters) {
+      val assigned = nearestCodes(corpusSub, "vec_id", codebook)
+      codebook = assigned
+        .select(col("m"), col("code"), posexplode(col("spx")).as(Seq("pos", "value")))
+        .groupBy("m", "code", "pos")
+        .agg(floor(sum(col("value")).cast("double") / count(lit(1)))
+          .cast("long").as("mean"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("cq"))
+    }
+    codebook = codebook.persist()
+    // the compressed index: one code per (vector, subspace), bucket id
+    // riding along — this is all search ever scans
+    val codes = nearestCodes(corpusSub, "vec_id", codebook)
+      .select("vec_id", "cid", "m", "code")
+    IvfPqModel(cents, codebook, codes,
+      Seq(corpusQ, cents, corpusSub, codebook))
+  }
+
+  /** Per-(query, probed-bucket) ADC distance tables: probe `nProbe`
+    * centroids, take the query residual AGAINST EACH probed centroid,
+    * and price every codeword — (query_id, cid, m, code, d), tiny
+    * (|Q| x nProbe x numSubs x codebookSize rows), built to broadcast. */
+  private def ivfPqDistanceTables(
+      queries: DataFrame, // (query_id, qv)
+      cents: DataFrame,
+      codebook: DataFrame,
+      numSubs: Int,
+      subLen: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val probes = nearestCentroidsKeep(
+      queries.withColumn("px", IntKMeans.quant(col("qv")))
+        .select("query_id", "px"),
+      "query_id", cents, keep = nProbe)
+      .withColumn("rx", zip_with(col("px"), col("cq"), (a, b) => a - b))
+      .select("query_id", "cid", "rx")
+    residualSubVectors(probes, Seq("query_id", "cid"), numSubs, subLen)
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("d", IntKMeans.idist(col("spx"), col("cq")))
+      .select("query_id", "cid", "m", "code", "d")
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adist")
+  }
+
   /** The lazy IVF-PQ plan plus the frames it persisted — split out so
     * plan shape stays inspectable (the public form checkpoints, which
     * truncates lineage to an ExistingRDD scan). */
@@ -535,99 +674,122 @@ object Similarity {
       numSubs: Int = 4,
       codebookSize: Int = 16
   ): (DataFrame, Seq[DataFrame]) = {
-    import IntKMeans.{idist, quant}
-    require(dims % numSubs == 0, s"dims=$dims not divisible by numSubs=$numSubs")
     val subLen = dims / numSubs
-
-    val corpusQ = corpus.withColumn("px", quant(col("v"))).persist()
-    val cents = IntKMeans.train(corpusQ.select("vec_id", "px"),
-      "vec_id", "px", numCentroids, lloydIters).persist()
-
-    // nearest-`keep` assignment KEEPING the centroid vector — the
-    // residual needs cq, which IntKMeans.assign drops
-    def assignKeep(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("cdist").asc, col("cid").asc)
-      df.crossJoin(broadcast(cents))
-        .withColumn("cdist", idist(col("px"), col("cq")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cdist", "crank")
-    }
-
-    // corpus residuals, exact long arithmetic: rx = px - cq
-    val res = assignKeep(corpusQ.select("vec_id", "px"), "vec_id", keep = 1)
-      .withColumn("rx", zip_with(col("px"), col("cq"), (a, b) => a - b))
-      .select("vec_id", "cid", "rx")
-    // residual subvectors: one row per (vector, subspace)
-    def subVectors(df: DataFrame, keepCols: Seq[String]): DataFrame =
-      df.select(keepCols.map(col) :+
-        posexplode(transform(sequence(lit(0), lit(numSubs - 1)),
-          m => slice(col("rx"), (m * subLen + 1).cast("int"), lit(subLen))))
-          .as(Seq("m", "spx")): _*)
-    val corpusSub = subVectors(res, Seq("vec_id", "cid")).persist()
-
-    // ONE codebook per subspace, trained on residuals (hash-seeded,
-    // integer-exact Lloyd — pqTopKLazy's recipe keyed by "ivfpq")
-    def assignCode(sub: DataFrame, idCol: String, cb: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col(idCol), col("cid"), col("m"))
-        .orderBy(col("ddist").asc, col("code").asc)
-      sub.join(broadcast(cb), Seq("m"))
-        .withColumn("ddist", idist(col("spx"), col("cq")))
-        .withColumn("drank", row_number().over(w))
-        .filter(col("drank") === 1)
-        .drop("cq", "ddist", "drank")
-    }
-    val wInit = Window.partitionBy("m").orderBy(col("h").asc, col("vec_id").asc)
-    var codebook = corpusSub
-      .withColumn("h", TextFunctions.hash64(lit("ivfpq"),
-        concat(col("m").cast("string"), lit(":"), col("vec_id").cast("string"))))
-      .withColumn("irank", row_number().over(wInit))
-      .filter(col("irank") <= codebookSize)
-      .select(col("m"), col("vec_id").as("code"), col("spx").as("cq"))
-    for (_ <- 1 to lloydIters) {
-      val assigned = assignCode(corpusSub, "vec_id", codebook)
-      codebook = assigned
-        .select(col("m"), col("code"), posexplode(col("spx")).as(Seq("pos", "value")))
-        .groupBy("m", "code", "pos")
-        .agg(floor(sum(col("value")).cast("double") / count(lit(1)))
-          .cast("long").as("mean"))
-        .groupBy("m", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
-          s => s.getField("mean")).as("cq"))
-    }
-    codebook = codebook.persist()
-
-    // the compressed index: one code per (vector, subspace), bucket id
-    // riding along — this is all search ever scans
-    val codes = assignCode(corpusSub, "vec_id", codebook)
-      .select("vec_id", "cid", "m", "code")
-
-    // query side: probe nProbe buckets, residual per (query, bucket),
-    // ADC table over every codeword of every probed bucket — tiny
-    // (|Q| x nProbe x numSubs x codebookSize rows), broadcast
-    val probes = assignKeep(
-      queries.withColumn("px", quant(col("qv"))).select("query_id", "px"),
-      "query_id", keep = nProbe)
-      .withColumn("rx", zip_with(col("px"), col("cq"), (a, b) => a - b))
-      .select("query_id", "cid", "rx")
-    val dt = subVectors(probes, Seq("query_id", "cid"))
-      .join(broadcast(codebook), Seq("m"))
-      .withColumn("d", idist(col("spx"), col("cq")))
-      .select("query_id", "cid", "m", "code", "d")
-
+    val model = buildIvfPqModel(corpus, dims, numCentroids, lloydIters,
+      numSubs, codebookSize)
+    val dt = ivfPqDistanceTables(queries, model.cents, model.codebook,
+      numSubs, subLen, nProbe)
     // bucket join: only probed buckets' codes score; sum the numSubs
     // per-subspace lookups into the exact integer ADC distance
-    val scored = codes.join(broadcast(dt), Seq("cid", "m", "code"))
+    val scored = model.codes.join(broadcast(dt), Seq("cid", "m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("d")).as("adist"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("vec_id").asc)
-    val out = scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "adist")
-    (out, Seq(corpusQ, cents, corpusSub, codebook))
+    (rankTopK(scored, k), model.caches)
+  }
+
+  /** PERSISTED IVF-PQ index, build side: train coarse centroids and
+    * residual codebooks, then encode every vector as its bucket id
+    * plus `numSubs` codes — the COMPRESSED index a billion-vector
+    * deployment materializes (codes are ~100x smaller than vectors).
+    * The caller writes `codes` to a table PARTITIONED BY identity(cid)
+    * and stores the returned centroid and codebook lists as index
+    * metadata (together they ARE the model: (numCentroids +
+    * numSubs*codebookSize) x small long vectors). The returned codes
+    * frame references the COLLECTED model as literal frames, so
+    * materializing it never re-runs training.
+    *
+    * @return (centroids (cid, quantized), codebook (m, code,
+    *         quantized), codes (vec_id, codes ARRAY sorted by m, cid))
+    */
+  def ivfPqIndex(
+      corpus: DataFrame, // (vec_id, v)
+      dims: Int,
+      numCentroids: Int = 16,
+      lloydIters: Int = 2,
+      numSubs: Int = 4,
+      codebookSize: Int = 16
+  ): (Seq[(Long, Seq[Long])], Seq[(Int, Long, Seq[Long])], DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subLen = dims / numSubs
+    val model = buildIvfPqModel(corpus, dims, numCentroids, lloydIters,
+      numSubs, codebookSize)
+    val cents = model.cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq.sortBy(_._1)
+    // training names codewords by their SEED vec_id (arbitrary longs);
+    // the stored index remaps them to DENSE per-subspace ids
+    // (0..codebookSize-1, in seed-id order — a monotone bijection, so
+    // nearest-code tie-breaks and all distances are unchanged). Dense
+    // ids are what makes the search side's m*1024+code map key packing
+    // collision-free by construction.
+    val cb = model.codebook.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+      .toSeq.sortBy(t => (t._1, t._2))
+      .groupBy(_._1).toSeq.flatMap { case (m, entries) =>
+        entries.zipWithIndex.map { case ((_, _, cq), i) => (m, i.toLong, cq) }
+      }.sortBy(t => (t._1, t._2))
+    model.caches.foreach(_.unpersist())
+    // re-derive the codes against the LITERAL model (training lineage
+    // gone): one assignment pass for buckets, one for codes
+    val centDf = cents.toDF("cid", "cq")
+    val cbDf = cb.toDF("m", "code", "cq")
+    val res = nearestCentroidsKeep(
+      corpus.withColumn("px", IntKMeans.quant(col("v")))
+        .select("vec_id", "px"),
+      "vec_id", centDf, keep = 1)
+      .withColumn("rx", zip_with(col("px"), col("cq"), (a, b) => a - b))
+      .select("vec_id", "cid", "rx")
+    val codes = nearestCodes(
+      residualSubVectors(res, Seq("vec_id", "cid"), numSubs, subLen),
+      "vec_id", cbDf)
+      .groupBy("vec_id", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .select("vec_id", "codes", "cid")
+    (cents, cb, codes)
+  }
+
+  /** PERSISTED IVF-PQ index, search side: probe `nProbe` stored
+    * centroids per query, hand the probed cid set to `readIndex` (on a
+    * cid-partitioned table, planning prunes every unprobed partition —
+    * zero IO), and ADC-score the pruned CODE rows against broadcast
+    * per-(query, bucket) distance maps. Search cost ∝ probed buckets x
+    * compressed rows; the original vectors are never read at all. */
+  def ivfPqSearchIndexed(
+      queries: DataFrame, // (query_id, qv)
+      dims: Int,
+      centroids: Seq[(Long, Seq[Long])],
+      codebook: Seq[(Int, Long, Seq[Long])],
+      readIndex: Seq[Long] => DataFrame, // probed cids -> (vec_id, codes, cid)
+      k: Int,
+      nProbe: Int = 4,
+      numSubs: Int = 4
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val subLen = dims / numSubs
+    require(codebook.forall(_._2 < 1024),
+      "code ids must be dense (< 1024) for the map key packing — " +
+        "build the index with ivfPqIndex, which remaps seed ids")
+    val centDf = centroids.toDF("cid", "cq")
+    val cbDf = codebook.toDF("m", "code", "cq")
+    val dt = ivfPqDistanceTables(queries, centDf, cbDf, numSubs, subLen,
+      nProbe)
+    // per-(query, bucket) lookup map keyed m*1024+code (code < 1024)
+    val dtm = dt.groupBy("query_id", "cid")
+      .agg(map_from_entries(collect_list(
+        struct(col("m") * 1024L + col("code"), col("d")))).as("dmap"))
+    val cids = dt.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val scored = readIndex(cids).join(broadcast(dtm), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist",
+        aggregate(sequence(lit(0), lit(numSubs - 1)), lit(0L),
+          (acc, m) => acc + element_at(col("dmap"),
+            m * 1024L + element_at(col("codes"), (m + 1).cast("int")))))
+      .select("query_id", "vec_id", "adist")
+    rankTopK(scored, k)
   }
 
   /** LSH ANN: same-bucket candidates re-ranked exactly. Recall < 1 by

@@ -727,6 +727,84 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // ---- persisted IVF-PQ index ----
+
+  private val ivfPqIndexTables =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+  private val ivfPqIdxCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val PqCentroidsProp = "graft.ann.pq.centroids"
+  private val PqCodebookProp = "graft.ann.pq.codebook"
+
+  private def encodeCodebook(cb: Seq[(Int, Long, Seq[Long])]): String =
+    cb.map { case (m, code, cq) => s"$m:$code:${cq.mkString(",")}" }
+      .mkString(";")
+  private def decodeCodebook(s: String): Seq[(Int, Long, Seq[Long])] =
+    s.split(";").toSeq.map { part =>
+      val Array(m, code, cq) = part.split(":", 3)
+      (m.toInt, code.toLong, cq.split(",").toSeq.map(_.toLong))
+    }
+
+  /** On-disk COMPRESSED IVF-PQ index ([[Similarity.ivfPqIndex]]): the
+    * (vec_id, codes, cid) rows land in a table PARTITIONED BY
+    * identity(cid) — one partition per coarse bucket — and the trained
+    * centroids + residual codebooks persist as table properties (they
+    * ARE the model). Search never retrains AND never reads a vector. */
+  private def buildIvfPqIndex(spark: SparkSession, dir: String): String =
+    ivfPqIndexTables.computeIfAbsent(embeddingsKey(dir), _ => {
+      val name = s"gpqix${ivfPqIdxCounter.incrementAndGet()}"
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-pqidx-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.pqidx " +
+        "(vec_id BIGINT, codes ARRAY<BIGINT>, cid BIGINT) " +
+        "PARTITIONED BY (cid)")
+      val (cents, cb, codes) = Similarity.ivfPqIndex(
+        embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").as("v")),
+        dims = 64, numCentroids = 16, lloydIters = 2,
+        numSubs = 4, codebookSize = 16)
+      codes.createOrReplaceTempView(s"pqidx_src_$name")
+      spark.sql(s"INSERT INTO $name.db.pqidx SELECT * FROM pqidx_src_$name")
+      spark.sql(s"ALTER TABLE $name.db.pqidx SET TBLPROPERTIES (" +
+        s"'$PqCentroidsProp' = '${AnnIndex.encodeCentroids(cents)}', " +
+        s"'$PqCodebookProp' = '${encodeCodebook(cb)}')")
+      s"$wh/db/pqidx"
+    })
+
+  /** IVF-PQ search over the PERSISTED compressed index
+    * ([[Similarity.ivfPqSearchIndexed]]): model from table properties,
+    * candidates from ONLY the probed cid partitions (pruning
+    * self-asserted), scoring over stored CODES — the original vectors
+    * are never read. Output must equal the one-shot recompute path
+    * (`ann_ivfpq`) and its DuckDB replay — same oracle (the dense code
+    * remap is a monotone bijection: every distance is unchanged). */
+  def annIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = buildIvfPqIndex(spark, dir)
+    val props = graft.txn.TableMetadata.loadOrThrow(idxDir).properties
+    val cents = AnnIndex.decodeCentroids(props(PqCentroidsProp))
+    val cb = decodeCodebook(props(PqCodebookProp))
+    val q = embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val totalFiles = graft.sources.TableReader.read(spark, idxDir)
+      .inputFiles.length
+    Similarity.ivfPqSearchIndexed(q, dims = 64, cents, cb,
+        readIndex = cids => {
+          val idx = graft.sources.TableReader.read(spark, idxDir,
+            filter = Some(col("cid").isin(cids: _*)))
+          val read = idx.inputFiles.length
+          require(read > 0 && read < totalFiles,
+            s"ann_ivfpq_indexed: probing ${cids.size} buckets must prune " +
+              s"the scan ($read of $totalFiles files planned)")
+          idx
+        },
+        k = 10, nProbe = 4, numSubs = 4)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- incrementally maintained ANN index ----
 
   private val annRefreshFixtures =
@@ -1596,6 +1674,9 @@ object PipelineQueries {
     "ann_index_refresh" -> annRefreshOracle,
     "ann_pq" -> pqOracle,
     "ann_ivfpq" -> ivfPqOracle,
+    // persisted-index path = one-shot recompute path = DuckDB (the
+    // dense code remap is a monotone bijection — distances unchanged)
+    "ann_ivfpq_indexed" -> ivfPqOracle,
     "dedup_semantic" -> semanticDedupOracle,
     "sequence_pack" ->
       """WITH RECURSIVE docs AS (
@@ -2084,6 +2165,7 @@ object PipelineQueries {
     "ann_index_refresh" -> (annIndexRefresh _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_ivfpq_indexed" -> (annIvfPqIndexed _),
     "kmv_distinct" -> (kmvDistinct _),
     "deterministic_sample" -> (deterministicSample _),
     "stratified_sample" -> (stratifiedSample _),
