@@ -115,7 +115,42 @@ object JoinQueries {
       .select("user_id", "n_events", "start_us", "end_us")
       .orderBy("user_id", "start_us")
 
+  /** Strict-order funnel view -> click -> purchase
+    * ([[graft.operators.Funnel.conversion]]): users who viewed, then
+    * clicked strictly after their first view, then purchased strictly
+    * after that first qualifying click. Timestamps compare in
+    * MICROSECONDS on both sides (the sessionize convention — nanos
+    * strict-compare would order sub-microsecond pairs the oracle's
+    * epoch_us cannot see). */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.conversion(
+      events(spark, dir).select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus")),
+      "user_id", "event_type", "tus",
+      Seq("view", "click", "purchase"))
+      .orderBy("step")
+
   val oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(tus) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.tus) AS t
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.tus > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.tus) AS t
+        |  FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tus > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |    count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
     "sessionize_native" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
@@ -182,6 +217,7 @@ object JoinQueries {
     "interval_join" -> (intervalJoin _),
     "purchase_attribution" -> (purchaseAttribution _),
     "sessionize_batch" -> (sessionizeBatch _),
-    "sessionize_native" -> (sessionizeNative _)
+    "sessionize_native" -> (sessionizeNative _),
+    "events_funnel" -> (eventsFunnel _)
   )
 }
