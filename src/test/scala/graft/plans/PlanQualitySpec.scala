@@ -382,6 +382,15 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally caches.foreach(_.unpersist())
   }
 
+  test("funnel: reached-set joins broadcast (the set only shrinks), " +
+    "no cartesian, no sort-merge join") {
+    val p = plan(graft.queries.JoinQueries.eventsFunnel(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"step joins must broadcast the shrinking reached-set:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+
   test("lm fluency: vocab-bounded count tables, map-side partial " +
     "aggregates, no cartesian, no window") {
     val p = plan(graft.queries.PipelineQueries.lmFluency(spark, dir))
