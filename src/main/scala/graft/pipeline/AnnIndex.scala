@@ -43,6 +43,20 @@ object AnnIndex {
   val CentroidsProp = "graft.ann.centroids"
   val SourceProp = "graft.ann.source"
   val SyncedProp = "graft.ann.synced-version"
+  /** IVF-PQ index metadata: frozen residual codebook (rides beside
+    * [[CentroidsProp]]; its presence marks a COMPRESSED index whose
+    * refresh re-ENCODES instead of re-assigning). */
+  val CodebookProp = "graft.ann.pq.codebook"
+
+  def encodeCodebook(cb: Seq[(Int, Long, Seq[Long])]): String =
+    cb.map { case (m, code, cq) => s"$m:$code:${cq.mkString(",")}" }
+      .mkString(";")
+
+  def decodeCodebook(s: String): Seq[(Int, Long, Seq[Long])] =
+    s.split(";").toSeq.map { part =>
+      val Array(m, code, cq) = part.split(":", 3)
+      (m.toInt, code.toLong, cq.split(",").toSeq.map(_.toLong))
+    }
   /** Corpus column names, as index metadata (a real corpus rarely
     * calls its key `vec_id`) — default vec_id / embedding. */
   val IdColProp = "graft.ann.id-col"
@@ -76,6 +90,29 @@ object AnnIndex {
       .drop("px")
   }
 
+  /** Bring the COMPRESSED (IVF-PQ) index at `idxDir` up to the
+    * corpus's current version: the same one-atomic-commit changelog
+    * catch-up as [[refresh]], but inserted vectors are re-ENCODED
+    * against the frozen centroids AND frozen residual codebook
+    * ([[Similarity.ivfPqEncode]] — bit-identical to the build pass).
+    * `dims` comes from the stored centroid width. */
+  def refreshPq(
+      spark: SparkSession,
+      corpusDir: String,
+      idxDir: String,
+      catalog: TableCatalog = FileTableCatalog,
+      numSubs: Int = 4
+  ): Long = {
+    val idx = catalog.loadOrThrow(idxDir)
+    val cb = decodeCodebook(idx.properties.getOrElse(CodebookProp,
+      throw CompactionError.Config(s"$idxDir carries no $CodebookProp")))
+    refreshWith(spark, corpusDir, idxDir, catalog) { (ins, cents) =>
+      val dims = cents.head._2.size
+      Similarity.ivfPqEncode(ins, dims, cents, cb, numSubs)
+        .select(col("vec_id"), col("codes"), col("cid"))
+    }
+  }
+
   /** Bring the index at `idxDir` up to the corpus's current version by
     * applying the NET changelog since the index marker, as ONE atomic
     * upsert commit. Returns the new synced corpus version (no-op when
@@ -86,7 +123,23 @@ object AnnIndex {
       corpusDir: String,
       idxDir: String,
       catalog: TableCatalog = FileTableCatalog
-  ): Long = {
+  ): Long =
+    refreshWith(spark, corpusDir, idxDir, catalog) { (ins, cents) =>
+      assignTo(ins, cents)
+        .select(col("vec_id"), col("v").cast("array<float>").as("v"),
+          col("cid"))
+    }
+
+  /** Shared changelog catch-up: marker/source validation, per-id
+    * duplicate guard, net insert extraction, and the one-atomic-commit
+    * upsert — `encodeRows` turns (vec_id, v) inserts into the index's
+    * row shape against the frozen centroids. */
+  private def refreshWith(
+      spark: SparkSession,
+      corpusDir: String,
+      idxDir: String,
+      catalog: TableCatalog
+  )(encodeRows: (DataFrame, Seq[(Long, Seq[Long])]) => DataFrame): Long = {
     val idx = catalog.loadOrThrow(idxDir)
     if (!idx.properties.get(SourceProp).contains(corpusDir))
       throw CompactionError.Config(
@@ -117,14 +170,12 @@ object AnnIndex {
           s"an ANN index keyed by $idCol cannot represent duplicates")
       val ins = net.filter(col("_change_type") === "insert")
         .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      // every changed vector's assignment row is replaced wholesale:
-      // the eq-delete keys are ALL net-changed ids (a pure insert's key
-      // deletes nothing — harmless), the data is the new assignments
-      // against the FROZEN stored centroids
+      // every changed vector's index row is replaced wholesale: the
+      // eq-delete keys are ALL net-changed ids (a pure insert's key
+      // deletes nothing — harmless), the data is the re-encoded rows
+      // against the FROZEN stored model
       val changedIds = net.select(col(idCol).as("vec_id")).distinct()
-      val assigned = assignTo(ins, cents)
-        .select(col("vec_id"), col("v").cast("array<float>").as("v"),
-          col("cid"))
+      val assigned = encodeRows(ins, cents)
       TableWrites.upsert(idxDir, assigned, keyCols = Seq("vec_id"),
         catalog = catalog,
         deleteKeys = Some(changedIds),

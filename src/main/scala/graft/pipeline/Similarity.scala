@@ -732,22 +732,39 @@ object Similarity {
     model.caches.foreach(_.unpersist())
     // re-derive the codes against the LITERAL model (training lineage
     // gone): one assignment pass for buckets, one for codes
-    val centDf = cents.toDF("cid", "cq")
-    val cbDf = cb.toDF("m", "code", "cq")
+    (cents, cb, ivfPqEncode(corpus, dims, cents, cb, numSubs))
+  }
+
+  /** Encode (vec_id, v) rows against a FROZEN IVF-PQ model: nearest
+    * stored centroid, residual, nearest codeword per subspace —
+    * bit-identical to the build pass, so incrementally refreshed rows
+    * are indistinguishable from built rows. Returns
+    * (vec_id, codes ARRAY sorted by m, cid). */
+  def ivfPqEncode(
+      vectors: DataFrame, // (vec_id, v)
+      dims: Int,
+      centroids: Seq[(Long, Seq[Long])],
+      codebook: Seq[(Int, Long, Seq[Long])],
+      numSubs: Int = 4
+  ): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val subLen = dims / numSubs
+    val centDf = centroids.toDF("cid", "cq")
+    val cbDf = codebook.toDF("m", "code", "cq")
     val res = nearestCentroidsKeep(
-      corpus.withColumn("px", IntKMeans.quant(col("v")))
+      vectors.withColumn("px", IntKMeans.quant(col("v")))
         .select("vec_id", "px"),
       "vec_id", centDf, keep = 1)
       .withColumn("rx", zip_with(col("px"), col("cq"), (a, b) => a - b))
       .select("vec_id", "cid", "rx")
-    val codes = nearestCodes(
+    nearestCodes(
       residualSubVectors(res, Seq("vec_id", "cid"), numSubs, subLen),
       "vec_id", cbDf)
       .groupBy("vec_id", "cid")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         s => s.getField("code")).as("codes"))
       .select("vec_id", "codes", "cid")
-    (cents, cb, codes)
   }
 
   /** PERSISTED IVF-PQ index, search side: probe `nProbe` stored

@@ -736,13 +736,9 @@ object PipelineQueries {
   private val PqCodebookProp = "graft.ann.pq.codebook"
 
   private def encodeCodebook(cb: Seq[(Int, Long, Seq[Long])]): String =
-    cb.map { case (m, code, cq) => s"$m:$code:${cq.mkString(",")}" }
-      .mkString(";")
+    AnnIndex.encodeCodebook(cb)
   private def decodeCodebook(s: String): Seq[(Int, Long, Seq[Long])] =
-    s.split(";").toSeq.map { part =>
-      val Array(m, code, cq) = part.split(":", 3)
-      (m.toInt, code.toLong, cq.split(",").toSeq.map(_.toLong))
-    }
+    AnnIndex.decodeCodebook(s)
 
   /** On-disk COMPRESSED IVF-PQ index ([[Similarity.ivfPqIndex]]): the
     * (vec_id, codes, cid) rows land in a table PARTITIONED BY
@@ -798,6 +794,116 @@ object PipelineQueries {
           require(read > 0 && read < totalFiles,
             s"ann_ivfpq_indexed: probing ${cids.size} buckets must prune " +
               s"the scan ($read of $totalFiles files planned)")
+          idx
+        },
+        k = 10, nProbe = 4, numSubs = 4)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  // ---- incrementally maintained COMPRESSED (IVF-PQ) index ----
+
+  private val pqRefreshFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      (String, String)]()
+  private val pqRefreshCounter =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fixture: vector corpus graft table -> persisted COMPRESSED IVF-PQ
+    * index (identity(cid) partitions; frozen centroids + residual
+    * codebook as metadata) -> corpus CHURN -> ONE-commit incremental
+    * refresh ([[graft.pipeline.AnnIndex.refreshPq]]: inserts re-ENCODE
+    * against the frozen model) -> compaction. Same churn as the
+    * IVF-flat refresh fixture. Returns (corpusDir, idxDir). */
+  private def buildPqRefreshFixture(spark: SparkSession, dir: String)
+      : (String, String) =
+    pqRefreshFixtures.computeIfAbsent(embeddingsKey(dir), _ => {
+      import graft.txn.{FileTableCatalog, TableMetadata, TableSnapshot, TableWrites}
+      val name = s"gpqr${pqRefreshCounter.incrementAndGet()}"
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"graft-pqr-corpus-$name").toString
+      TableMetadata.commit(corpusDir, TableSnapshot(1, 1, 0, Nil))
+      val vecs0 = embeddings(spark, dir)
+        .select("vec_id", "embedding").persist()
+      TableWrites.appendData(corpusDir, vecs0)
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-pqr-idx-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.pqr " +
+        "(vec_id BIGINT, codes ARRAY<BIGINT>, cid BIGINT) " +
+        "PARTITIONED BY (cid)")
+      val idxDir = s"$wh/db/pqr"
+      val (cents, cb, codes) = Similarity.ivfPqIndex(
+        vecs0.select(col("vec_id"), col("embedding").as("v")),
+        dims = 64, numCentroids = 16, lloydIters = 2,
+        numSubs = 4, codebookSize = 16)
+      codes.createOrReplaceTempView(s"pqr_src_$name")
+      spark.sql(s"INSERT INTO $name.db.pqr SELECT * FROM pqr_src_$name")
+      val v0 = FileTableCatalog.loadOrThrow(corpusDir).version
+      spark.sql(s"ALTER TABLE $name.db.pqr SET TBLPROPERTIES (" +
+        s"'${graft.pipeline.AnnIndex.CentroidsProp}' = " +
+        s"'${AnnIndex.encodeCentroids(cents)}', " +
+        s"'${graft.pipeline.AnnIndex.CodebookProp}' = " +
+        s"'${AnnIndex.encodeCodebook(cb)}', " +
+        s"'${graft.pipeline.AnnIndex.SourceProp}' = '$corpusDir', " +
+        s"'${graft.pipeline.AnnIndex.SyncedProp}' = '$v0')")
+      // CHURN (must mirror churnedEmbeddingsSql exactly)
+      TableWrites.appendEqualityDeletes(corpusDir,
+        vecs0.filter(col("vec_id") % 7 === 0).select("vec_id"), Seq("vec_id"))
+      TableWrites.upsert(corpusDir,
+        vecs0.filter(col("vec_id") % 11 === 0 && col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        keyCols = Seq("vec_id"))
+      TableWrites.appendData(corpusDir,
+        vecs0.filter(col("vec_id") % 13 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      vecs0.unpersist()
+      val vBefore = FileTableCatalog.loadOrThrow(idxDir).version
+      graft.pipeline.AnnIndex.refreshPq(spark, corpusDir, idxDir)
+      val after = FileTableCatalog.loadOrThrow(idxDir)
+      require(after.version == vBefore + 1,
+        s"ann_ivfpq_refresh: the refresh must be ONE atomic commit " +
+          s"(v$vBefore -> v${after.version})")
+      require(after.properties.get(graft.pipeline.AnnIndex.SyncedProp)
+          .contains(FileTableCatalog.loadOrThrow(corpusDir).version.toString),
+        "ann_ivfpq_refresh: marker must equal the corpus version")
+      graft.compaction.Compaction.builder().withSpark(spark)
+        .withTableDir(idxDir).build().compact()
+      (corpusDir, idxDir)
+    })
+
+  /** IVF-PQ search over the INCREMENTALLY REFRESHED compressed index:
+    * corpus churned after the build, inserts re-ENCODED against the
+    * frozen centroids + codebook in one changelog-driven commit,
+    * compaction folded the deltas — the pruned bucket-probe ADC search
+    * must rank the CHURNED corpus exactly as DuckDB recomputes it
+    * (original-corpus model training + churned-corpus encoding). */
+  def annIvfPqRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val (corpusDir, idxDir) = buildPqRefreshFixture(spark, dir)
+    val idx0 = graft.txn.TableMetadata.loadOrThrow(idxDir)
+    require(idx0.properties.get(graft.pipeline.AnnIndex.SyncedProp).contains(
+        graft.txn.TableMetadata.loadOrThrow(corpusDir).version.toString),
+      "ann_ivfpq_refresh: index lags the corpus — refresh before serving")
+    val cents = AnnIndex.decodeCentroids(
+      idx0.properties(graft.pipeline.AnnIndex.CentroidsProp))
+    val cb = AnnIndex.decodeCodebook(
+      idx0.properties(graft.pipeline.AnnIndex.CodebookProp))
+    val q = graft.sources.TableReader.read(spark, corpusDir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val totalFiles = graft.sources.TableReader.read(spark, idxDir)
+      .inputFiles.length
+    Similarity.ivfPqSearchIndexed(q, dims = 64, cents, cb,
+        readIndex = cids => {
+          val idx = graft.sources.TableReader.read(spark, idxDir,
+            filter = Some(col("cid").isin(cids: _*)))
+          val read = idx.inputFiles.length
+          require(read > 0 && read < totalFiles,
+            s"ann_ivfpq_refresh: post-compaction pruning must hold " +
+              s"($read of $totalFiles files planned)")
           idx
         },
         k = 10, nProbe = 4, numSubs = 4)
@@ -1475,6 +1581,103 @@ object PipelineQueries {
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** ann_ivfpq_refresh oracle: the IVF-PQ model (coarse centroids +
+    * residual codebooks) trains on the ORIGINAL corpus — the frozen
+    * index metadata — while bucket assignment, residual ENCODING, and
+    * the probe search replay over the CHURNED corpus: exactly what an
+    * incrementally refreshed compressed index must serve. */
+  private val ivfPqRefreshOracle: String = {
+    val meanVec = (1 to 16)
+      .map(i => s"CAST(floor(sum(spx[$i]) / count(*)) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    def idist16(p: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, 16), i -> ($p[i]-$c[i])*($p[i]-$c[i])))"
+    def assignCte(name: String, src: String, cb: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cid, m, spx, code FROM (
+         |    SELECT s.vec_id, s.cid, s.m, s.spx, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        ${idist16("s.spx", "c.cq")} ASC, c.code ASC) AS rnk
+         |    FROM $src s JOIN $cb c ON s.m = c.m)
+         |  WHERE rnk = 1)""".stripMargin
+    s"""WITH $ivfTrainingCtes,
+       |fa2 AS (
+       |  SELECT a.vec_id, a.px, a.cid, c.cq
+       |  FROM final_assign a JOIN cent2 c USING (cid)),
+       |res AS (
+       |  SELECT vec_id, cid,
+       |    list_transform(generate_series(1, 64), i -> px[i] - cq[i]) AS rx
+       |  FROM fa2),
+       |rsubm AS (SELECT vec_id, cid, rx, unnest(generate_series(0, 3)) AS m
+       |          FROM res),
+       |rsub AS (SELECT vec_id, cid, m, rx[m*16+1 : m*16+16] AS spx
+       |         FROM rsubm),
+       |cb0 AS (
+       |  SELECT m, code, cq FROM (
+       |    SELECT m, vec_id AS code, spx AS cq,
+       |      row_number() OVER (PARTITION BY m ORDER BY
+       |        ${h64("'ivfpq:' || m || ':' || vec_id")}, vec_id) AS irank
+       |    FROM rsub)
+       |  WHERE irank <= 16),
+       |${assignCte("rassign1", "rsub", "cb0")},
+       |cb1 AS (SELECT m, code, $meanVec AS cq FROM rassign1 GROUP BY m, code),
+       |${assignCte("rassign2", "rsub", "cb1")},
+       |cb2r AS (SELECT m, code, $meanVec AS cq FROM rassign2 GROUP BY m, code),
+       |cur AS ($churnedEmbeddingsSql),
+       |ct AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM cur),
+       |ctq AS (SELECT vec_id,
+       |  list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS px FROM ct),
+       |cass AS (
+       |  SELECT vec_id, px, cid, cq FROM (
+       |    SELECT q2.vec_id, q2.px, c.cid, c.cq,
+       |      row_number() OVER (PARTITION BY q2.vec_id ORDER BY
+       |        ${idistSql("q2.px", "c.cq")} ASC, c.cid ASC) AS rnk
+       |    FROM ctq q2 CROSS JOIN cent2 c)
+       |  WHERE rnk = 1),
+       |cres AS (
+       |  SELECT vec_id, cid,
+       |    list_transform(generate_series(1, 64), i -> px[i] - cq[i]) AS rx
+       |  FROM cass),
+       |crsubm AS (SELECT vec_id, cid, rx, unnest(generate_series(0, 3)) AS m
+       |           FROM cres),
+       |crsub AS (SELECT vec_id, cid, m, rx[m*16+1 : m*16+16] AS spx
+       |          FROM crsubm),
+       |${assignCte("ccodes", "crsub", "cb2r")},
+       |probes AS (
+       |  SELECT query_id, cid, cq FROM (
+       |    SELECT q2.vec_id AS query_id, c.cid, c.cq,
+       |      row_number() OVER (PARTITION BY q2.vec_id ORDER BY
+       |        ${idistSql("q2.px", "c.cq")} ASC, c.cid ASC) AS rnk
+       |    FROM ctq q2 CROSS JOIN cent2 c WHERE q2.vec_id < 5)
+       |  WHERE rnk <= 4),
+       |qres AS (
+       |  SELECT p.query_id, p.cid,
+       |    list_transform(generate_series(1, 64), i -> q2.px[i] - p.cq[i]) AS rx
+       |  FROM probes p JOIN ctq q2 ON q2.vec_id = p.query_id),
+       |qsubm AS (SELECT query_id, cid, rx, unnest(generate_series(0, 3)) AS m
+       |          FROM qres),
+       |qsub AS (SELECT query_id, cid, m, rx[m*16+1 : m*16+16] AS spx
+       |         FROM qsubm),
+       |dt AS (
+       |  SELECT q.query_id, q.cid, c.m, c.code,
+       |    ${idist16("q.spx", "c.cq")} AS d
+       |  FROM qsub q JOIN cb2r c ON q.m = c.m),
+       |scored AS (
+       |  SELECT dt.query_id, k.vec_id, CAST(sum(dt.d) AS BIGINT) AS adist
+       |  FROM ccodes k
+       |  JOIN dt ON k.cid = dt.cid AND k.m = dt.m AND k.code = dt.code
+       |  WHERE k.vec_id <> dt.query_id
+       |  GROUP BY dt.query_id, k.vec_id),
+       |ranked AS (
+       |  SELECT query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rnk,
+       |    vec_id, adist
+       |  FROM scored)
+       |SELECT query_id, rnk, vec_id, adist FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
   private val semanticDedupOracle: String =
     s"""WITH $ivfTrainingCtes,
        |dups AS (
@@ -1677,6 +1880,7 @@ object PipelineQueries {
     // persisted-index path = one-shot recompute path = DuckDB (the
     // dense code remap is a monotone bijection — distances unchanged)
     "ann_ivfpq_indexed" -> ivfPqOracle,
+    "ann_ivfpq_refresh" -> ivfPqRefreshOracle,
     "dedup_semantic" -> semanticDedupOracle,
     "sequence_pack" ->
       """WITH RECURSIVE docs AS (
@@ -2166,6 +2370,7 @@ object PipelineQueries {
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_indexed" -> (annIvfPqIndexed _),
+    "ann_ivfpq_refresh" -> (annIvfPqRefresh _),
     "kmv_distinct" -> (kmvDistinct _),
     "deterministic_sample" -> (deterministicSample _),
     "stratified_sample" -> (stratifiedSample _),
