@@ -95,17 +95,21 @@ object AnnIndex {
     * catch-up as [[refresh]], but inserted vectors are re-ENCODED
     * against the frozen centroids AND frozen residual codebook
     * ([[Similarity.ivfPqEncode]] — bit-identical to the build pass).
-    * `dims` comes from the stored centroid width. */
+    * `dims` comes from the stored centroid width and `numSubs` from the
+    * stored codebook's subspace count — BOTH are properties of the
+    * frozen model, never caller inputs (a caller-supplied subspace
+    * split that disagreed with the build would re-encode inserts
+    * against the wrong residual slicing, silently corrupting codes). */
   def refreshPq(
       spark: SparkSession,
       corpusDir: String,
       idxDir: String,
-      catalog: TableCatalog = FileTableCatalog,
-      numSubs: Int = 4
+      catalog: TableCatalog = FileTableCatalog
   ): Long = {
     val idx = catalog.loadOrThrow(idxDir)
     val cb = decodeCodebook(idx.properties.getOrElse(CodebookProp,
       throw CompactionError.Config(s"$idxDir carries no $CodebookProp")))
+    val numSubs = cb.map(_._1).max + 1
     refreshWith(spark, corpusDir, idxDir, catalog) { (ins, cents) =>
       val dims = cents.head._2.size
       Similarity.ivfPqEncode(ins, dims, cents, cb, numSubs)

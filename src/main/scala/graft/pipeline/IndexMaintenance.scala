@@ -61,21 +61,40 @@ object IndexMaintenance {
   }
 
   /** Bring every registered index of `corpusDir` to the corpus's
-    * current version. Throws on the first failing refresh (callers
-    * that must not fail — the streaming wrapper — catch per policy). */
+    * current version. EVERY registered index is attempted — one broken
+    * registry entry must not starve the indexes listed after it —
+    * then a single aggregate error rethrows the failures (callers that
+    * must not fail — the streaming wrapper — catch per policy).
+    * Dispatch reads the index's own metadata; a compressed IVF-PQ
+    * index carries BOTH [[AnnIndex.CodebookProp]] and
+    * [[AnnIndex.CentroidsProp]], so the codebook check runs first
+    * (the plain IVF path would write (vec_id, v, cid) rows into a
+    * (vec_id, codes, cid) table). */
   def refreshAll(spark: SparkSession, corpusDir: String,
-      catalog: TableCatalog = FileTableCatalog): Unit =
-    catalog.load(corpusDir).toSeq
+      catalog: TableCatalog = FileTableCatalog): Unit = {
+    val failures = catalog.load(corpusDir).toSeq
       .flatMap(_.properties.get(RegisteredProp))
       .flatMap(parseList)
-      .foreach { idxDir =>
-        val props = catalog.loadOrThrow(idxDir).properties
-        if (props.contains(AnnIndex.CentroidsProp))
-          AnnIndex.refresh(spark, corpusDir, idxDir, catalog)
-        else if (props.contains(TextIndex.StatsProp))
-          TextIndex.refresh(spark, corpusDir, idxDir, catalog)
-        else throw graft.core.CompactionError.Config(
-          s"$idxDir carries neither ${AnnIndex.CentroidsProp} nor " +
-            s"${TextIndex.StatsProp} — not a maintainable index")
+      .flatMap { idxDir =>
+        try {
+          val props = catalog.loadOrThrow(idxDir).properties
+          if (props.contains(AnnIndex.CodebookProp))
+            AnnIndex.refreshPq(spark, corpusDir, idxDir, catalog)
+          else if (props.contains(AnnIndex.CentroidsProp))
+            AnnIndex.refresh(spark, corpusDir, idxDir, catalog)
+          else if (props.contains(TextIndex.StatsProp))
+            TextIndex.refresh(spark, corpusDir, idxDir, catalog)
+          else throw graft.core.CompactionError.Config(
+            s"$idxDir carries neither ${AnnIndex.CentroidsProp} nor " +
+              s"${TextIndex.StatsProp} — not a maintainable index")
+          None
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Some(s"$idxDir: ${e.getMessage}")
+        }
       }
+    if (failures.nonEmpty) throw graft.core.CompactionError.Config(
+      s"index maintenance failed for ${failures.size} of the registered " +
+        s"indexes (the rest refreshed):\n  ${failures.mkString("\n  ")}")
+  }
 }

@@ -130,6 +130,22 @@ object JoinQueries {
       Seq("view", "click", "purchase"))
       .orderBy("step")
 
+  /** WINDOWED funnel ([[graft.operators.Funnel.windowedConversion]]):
+    * same view -> click -> purchase chain, but each step must land
+    * within ONE HOUR of the previous step's anchor (the ClickHouse
+    * `windowFunnel(T)` bound, anchored at the first qualifying
+    * occurrence), and converting steps report the median step-to-step
+    * latency (doubled to stay integer-exact across engines — the
+    * even-count interpolated midpoint (a+b)/2 doubles back to a+b). */
+  def eventsFunnelWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.windowedConversion(
+      events(spark, dir).select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus")),
+      "user_id", "event_type", "tus",
+      Seq("view", "click", "purchase"),
+      windowGap = 3600000000L)
+      .orderBy("step")
+
   val oracles: Map[String, String] = Map(
     "events_funnel" ->
       """WITH e AS (
@@ -150,6 +166,30 @@ object JoinQueries {
         |    count(*) AS n_users FROM s1
         |  UNION ALL SELECT 2, 'click', count(*) FROM s2
         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+    "events_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(tus) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.tus) AS t, s1.t AS tp
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.tus > s1.t
+        |    AND e.tus <= s1.t + 3600000000 GROUP BY e.user_id, s1.t),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.tus) AS t, s2.t AS tp
+        |  FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tus > s2.t
+        |    AND e.tus <= s2.t + 3600000000 GROUP BY e.user_id, s2.t)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |    count(*) AS n_users, CAST(NULL AS BIGINT) AS med_gap_x2 FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*),
+        |    CAST(round(2 * quantile_cont(t - tp, 0.5)) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*),
+        |    CAST(round(2 * quantile_cont(t - tp, 0.5)) AS BIGINT) FROM s3)
         |ORDER BY step""".stripMargin,
     "sessionize_native" ->
       """WITH e AS (
@@ -218,6 +258,7 @@ object JoinQueries {
     "purchase_attribution" -> (purchaseAttribution _),
     "sessionize_batch" -> (sessionizeBatch _),
     "sessionize_native" -> (sessionizeNative _),
-    "events_funnel" -> (eventsFunnel _)
+    "events_funnel" -> (eventsFunnel _),
+    "events_funnel_window" -> (eventsFunnelWindow _)
   )
 }

@@ -122,6 +122,67 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a maintainable index"))
   }
 
+  test("refreshAll dispatches a COMPRESSED (IVF-PQ) index to refreshPq: " +
+    "the codebook property wins over the centroids property it rides " +
+    "beside, and inserts re-encode as codes, not raw vectors") {
+    val corpus = Files.createTempDirectory("graft-ims3-corpus").toString
+    TableMetadata.commit(corpus, TableSnapshot(1, 1, 0, Nil))
+    val vecs0 = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f)), (2L, Seq(1f, 1f, 1f, 1f)),
+      (3L, Seq(9f, 9f, 9f, 9f)), (4L, Seq(8f, 8f, 8f, 8f)))
+      .toDF("vec_id", "embedding")
+    TableWrites.appendData(corpus, vecs0.coalesce(1))
+    val (cents, cb, codes) = Similarity.ivfPqIndex(
+      vecs0.select(col("vec_id"), col("embedding").as("v")),
+      dims = 4, numCentroids = 2, lloydIters = 1,
+      numSubs = 2, codebookSize = 2)
+    val pidx = Files.createTempDirectory("graft-ims3-pidx").toString
+    TableMetadata.commit(pidx, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(pidx, codes.coalesce(1))
+    new graft.txn.CommitManager(pidx).setTableProperties(Map(
+      AnnIndex.CentroidsProp -> AnnIndex.encodeCentroids(cents),
+      AnnIndex.CodebookProp -> AnnIndex.encodeCodebook(cb),
+      AnnIndex.SourceProp -> corpus,
+      AnnIndex.SyncedProp ->
+        FileTableCatalog.loadOrThrow(corpus).version.toString),
+      Set.empty,
+      expectedSchemaId = FileTableCatalog.loadOrThrow(pidx).schemaId)
+    IndexMaintenance.register(corpus, pidx)
+    TableWrites.appendData(corpus,
+      Seq((5L, Seq(7f, 7f, 7f, 7f))).toDF("vec_id", "embedding").coalesce(1))
+    IndexMaintenance.refreshAll(spark, corpus) // must NOT route to refresh()
+    assert(FileTableCatalog.loadOrThrow(pidx)
+      .properties(AnnIndex.SyncedProp) ==
+      FileTableCatalog.loadOrThrow(corpus).version.toString,
+      "the PQ index must auto-maintain via refreshPq")
+    val row5 = graft.sources.TableReader.read(spark, pidx)
+      .filter(col("vec_id") === 5L).head()
+    assert(row5.getSeq[Long](row5.fieldIndex("codes")).size == 2,
+      "the insert must re-encode against the frozen 2-subspace codebook")
+    // numSubs is derived from the stored codebook, never a caller input:
+    // the refresh above was parameterless and still split residuals 2-way
+    assert(cb.map(_._1).max + 1 == 2)
+  }
+
+  test("refreshAll attempts every registered index: one broken entry " +
+    "does not starve the indexes listed after it") {
+    val (corpus, idx) = textCorpusAndIndex()
+    val junk = Files.createTempDirectory("graft-ims4-junk").toString
+    TableMetadata.commit(junk, TableSnapshot(1, 1, 0, Nil))
+    IndexMaintenance.register(corpus, junk) // broken entry FIRST
+    IndexMaintenance.register(corpus, idx)
+    TableWrites.appendData(corpus,
+      Seq((3L, "c d")).toDF("doc_id", "text").coalesce(1))
+    val e = intercept[graft.core.CompactionError.Config] {
+      IndexMaintenance.refreshAll(spark, corpus)
+    }
+    assert(e.getMessage.contains("not a maintainable index"))
+    assert(FileTableCatalog.loadOrThrow(idx)
+      .properties(TextIndex.SyncedProp) ==
+      FileTableCatalog.loadOrThrow(corpus).version.toString,
+      "the text index after the broken entry must still have refreshed")
+  }
+
   test("withIndexMaintenance refreshes inline per committed batch; a " +
     "failing refresh leaves the index STALE (detected by the serving " +
     "gate), and the next batch's refresh covers the missed delta") {

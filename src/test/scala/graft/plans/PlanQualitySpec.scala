@@ -384,7 +384,15 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("funnel: reached-set joins broadcast (the set only shrinks), " +
     "no cartesian, no sort-merge join") {
-    val p = plan(graft.queries.JoinQueries.eventsFunnel(spark, dir))
+    // conversion() now materializes eagerly (one bounded row per step,
+    // anchors persisted so step k never re-runs steps 1..k-1); the
+    // plan contract is asserted on the lazy anchor chain it executes
+    import org.apache.spark.sql.functions.{col, expr}
+    val e = graft.sources.NanosParquet.readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val last = graft.operators.Funnel.anchorChain(e, "user_id",
+      "event_type", "tus", Seq("view", "click", "purchase"), None).last
+    val p = plan(last)
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"step joins must broadcast the shrinking reached-set:\n$p")
