@@ -80,15 +80,11 @@ object AnnIndex {
   def assignTo(
       vectors: DataFrame, // (vec_id, v)
       centroids: Seq[(Long, Seq[Long])]
-  ): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val centDf = centroids.toDF("cid", "cq")
+  ): DataFrame =
     Similarity.IntKMeans
-      .assign(vectors.withColumn("px", Similarity.IntKMeans.quant(col("v"))),
-        "px", "vec_id", centDf, keep = 1)
+      .assignLit(vectors.withColumn("px", Similarity.IntKMeans.quant(col("v"))),
+        "px", centroids)
       .drop("px")
-  }
 
   /** Bring the COMPRESSED (IVF-PQ) index at `idxDir` up to the
     * corpus's current version: the same one-atomic-commit changelog

@@ -553,10 +553,12 @@ object Dedup {
   private def clusterAssigned(tq: DataFrame, numCentroids: Int,
       lloydIters: Int): DataFrame = {
     import Similarity.IntKMeans
-    IntKMeans.assign(tq, "px", "vec_id",
-      IntKMeans.train(tq.select("vec_id", "px"), "vec_id", "px",
-        numCentroids, lloydIters),
-      keep = 1).drop("px")
+    // training collects bounded centroids per Lloyd round (model
+    // metadata); the assignment is then a narrow literal argmin — the
+    // cluster pass never expands or shuffles the corpus
+    IntKMeans.assignLit(tq, "px",
+      IntKMeans.trainCollect(tq, "vec_id", "px", numCentroids, lloydIters))
+      .drop("px")
   }
 
   /** The keep/drop decision over an assigned (vec_id, v, cid) frame —

@@ -90,29 +90,37 @@ object Similarity {
       numCentroids: Int = 16,
       nProbe: Int = 4
   ): DataFrame = {
+    // hash-sampled centroids are bounded model metadata — collect them
+    // once and assign via the narrow literal argmin (zero expansion,
+    // zero exchange; see IntKMeans). Distances here are float squared
+    // L2 rounded to 9 decimals (engine-reproducible), evaluated against
+    // the literal float centroid components.
     val centroids = corpus
       .withColumn("h", hash64(lit("c"), col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id"))
       .limit(numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toSeq.map(_.toDouble)).toSeq.sortBy(_._1)
 
     def dist2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) =>
         (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
         lit(0.0), (acc, v) => acc + v)
 
-    def nearest(df: DataFrame, vec: String, idCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(col("cdist").asc, col("cid").asc)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("cdist", round(dist2(col(vec), col("cv")), 9))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cv", "cdist", "crank")
-    }
+    val centArr = array(centroids.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), typedLit(cv).as("cv")) }: _*)
+    def scoredCents(vec: String): Column =
+      array_sort(transform(centArr, c =>
+        struct(round(dist2(col(vec), c.getField("cv")), 9).as("cdist"),
+          c.getField("cid").as("cid"))))
+    def nearest(df: DataFrame, vec: String, keep: Int): DataFrame =
+      df.withColumn("_nc", explode(slice(scoredCents(vec), 1, keep)))
+        .withColumn("cid", col("_nc.cid"))
+        .drop("_nc")
 
-    val bucketed = nearest(corpus, "v", "vec_id", keep = 1)
-    val probes = nearest(queries, "qv", "query_id", keep = nProbe)
+    val bucketed = nearest(corpus, "v", keep = 1)
+    val probes = nearest(queries, "qv", keep = nProbe)
 
     val scored = bucketed.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -150,47 +158,97 @@ object Similarity {
     * recipe, and [[Dedup.semanticDedup]]: vectors quantize x1e6 to
     * longs, distances are exact integer L2, means floor-divide — every
     * step replays bit-for-bit in any engine (float k-means can NOT be
-    * oracle-checked: ulp-order divergence flips assignments). */
-  private[pipeline] object IntKMeans {
+    * oracle-checked: ulp-order divergence flips assignments).
+    *
+    * Assignment is a NARROW argmin over a LITERAL centroid array: the
+    * centroids are bounded model metadata (numCentroids x dims longs),
+    * so they fold into a constant and every row evaluates its nearest
+    * centroid in ONE projection — zero row expansion, zero exchange.
+    * (The previous shape — crossJoin(broadcast(cents)) + a per-id
+    * row_number window — shuffled and sorted a frame expanded
+    * x numCentroids on EVERY Lloyd iteration and every encode pass;
+    * at 100 TB that is a 16x data shuffle repeated 4-6x per training
+    * run, and it owned the two slowest bench queries.) */
+  private[graft] object IntKMeans {
     def quant(vec: Column): Column =
       transform(vec, x => round(x.cast("double") * 1e6).cast("long"))
     def idist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, v) => acc + v)
-    /** Nearest-`keep` centroid assignment; ties break by cid. */
-    def assign(df: DataFrame, vecCol: String, idCol: String,
-        cents: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("cdist").asc, col("cid").asc)
-      df.crossJoin(broadcast(cents))
-        .withColumn("cdist", idist(col(vecCol), col("cq")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cq", "cdist", "crank")
+
+    /** Literal array<struct<cid, cq>> in ascending-cid order; constant-
+      * folded by Catalyst, so rows pay compute (numCentroids x dims
+      * multiply-adds), never construction. */
+    private def centArray(cents: Seq[(Long, Seq[Long])]): Column = {
+      require(cents.nonEmpty, "centroid set must be non-empty")
+      array(cents.sortBy(_._1).map { case (cid, cq) =>
+        struct(lit(cid).as("cid"), typedLit(cq).as("cq")) }: _*)
     }
+
+    /** Per-centroid (distance, cid[, cq]) structs for one row's vector —
+      * struct ordering compares cdist first, then cid: exactly the
+      * (distance asc, cid asc) tie-break the engine has always used. */
+    private def scoredCents(vecCol: String, cents: Seq[(Long, Seq[Long])],
+        keepCq: Boolean): Column =
+      transform(centArray(cents), c => {
+        val base = Seq(idist(col(vecCol), c.getField("cq")).as("cdist"),
+          c.getField("cid").as("cid"))
+        struct((if (keepCq) base :+ c.getField("cq").as("cq") else base): _*)
+      })
+
+    /** NARROW nearest-centroid assignment (keep = 1): one array_min per
+      * row. Adds `cid` (and the winning centroid's `cq` when keepCq —
+      * residual encoders need it). */
+    def assignLit(df: DataFrame, vecCol: String,
+        cents: Seq[(Long, Seq[Long])], keepCq: Boolean = false): DataFrame = {
+      val best = array_min(scoredCents(vecCol, cents, keepCq))
+      val withCid = df.withColumn("cid", best.getField("cid"))
+      if (keepCq) withCid.withColumn("cq", best.getField("cq")) else withCid
+    }
+
+    /** NARROW nearest-`keep` probe (query side): sort the per-centroid
+      * structs, slice the head, explode — one output row per probed
+      * centroid, still zero exchange. */
+    def probeLit(df: DataFrame, vecCol: String,
+        cents: Seq[(Long, Seq[Long])], keep: Int,
+        keepCq: Boolean = false): DataFrame = {
+      val sorted = array_sort(scoredCents(vecCol, cents, keepCq))
+      val out = df.withColumn("_nc", explode(slice(sorted, 1, keep)))
+        .withColumn("cid", col("_nc.cid"))
+      (if (keepCq) out.withColumn("cq", col("_nc.cq")) else out).drop("_nc")
+    }
+
     /** Hash-sampled seeds + `lloydIters` exact-integer Lloyd rounds.
-      * Returns centroids (cid, cq). */
-    def train(corpusQ: DataFrame, idCol: String, pxCol: String,
-        numCentroids: Int, lloydIters: Int): DataFrame = {
-      var centroids = corpusQ
+      * Returns the COLLECTED centroids (cid, cq) — bounded model
+      * metadata (numCentroids rows), collected once per iteration so
+      * each round's assignment runs against a literal and the training
+      * lineage never re-executes downstream. */
+    def trainCollect(corpusQ: DataFrame, idCol: String, pxCol: String,
+        numCentroids: Int, lloydIters: Int): Seq[(Long, Seq[Long])] = {
+      val proj = corpusQ.select(col(idCol), col(pxCol))
+      var cents = collectCents(proj
         .withColumn("h", hash64(lit("c"), col(idCol).cast("string")))
         .orderBy(col("h"), col(idCol))
         .limit(numCentroids)
-        .select(col(idCol).as("cid"), col(pxCol).as("cq"))
+        .select(col(idCol).as("cid"), col(pxCol).as("cq")))
       for (_ <- 1 to lloydIters) {
-        val assigned = assign(corpusQ.select(idCol, pxCol), pxCol, idCol,
-          centroids, keep = 1)
-        // element-wise integer mean: explode dims, sum exactly, floor-divide
-        centroids = assigned
+        // element-wise integer mean: explode dims, sum exactly,
+        // floor-divide; clusters that lose all members drop out
+        cents = collectCents(assignLit(proj, pxCol, cents)
           .select(col("cid"), posexplode(col(pxCol)).as(Seq("pos", "value")))
           .groupBy("cid", "pos")
           .agg(floor(sum(col("value")).cast("double") / count(lit(1)))
             .cast("long").as("m"))
           .groupBy("cid")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            s => s.getField("m")).as("cq"))
+            s => s.getField("m")).as("cq")))
       }
-      centroids
+      cents
     }
+
+    private def collectCents(df: DataFrame): Seq[(Long, Seq[Long])] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+        .toSeq.sortBy(_._1)
   }
 
   def ivfTopKTrained(
@@ -201,15 +259,22 @@ object Similarity {
       nProbe: Int = 4,
       lloydIters: Int = 2
   ): DataFrame = {
-    import IntKMeans.{assign, quant}
+    import IntKMeans.{assignLit, probeLit, quant}
 
+    // training runs one bounded job per Lloyd round over the persisted
+    // quantized corpus; the resulting centroids are literals, so the
+    // search below never re-executes training lineage
     val corpusQ = corpus.withColumn("px", quant(col("v"))).persist()
-    val centroids = IntKMeans.train(corpusQ.select("vec_id", "px"),
+    val centroids = IntKMeans.trainCollect(corpusQ,
       "vec_id", "px", numCentroids, lloydIters)
+    // training is done with the cache; the search pass below is one
+    // narrow re-read (scan + quant + literal argmin) — release the
+    // blocks now so repeated calls never accumulate dead storage
+    corpusQ.unpersist()
 
-    val bucketed = assign(corpusQ, "px", "vec_id", centroids, keep = 1).drop("px")
-    val probes = assign(queries.withColumn("px", quant(col("qv"))),
-      "px", "query_id", centroids, keep = nProbe).drop("px")
+    val bucketed = assignLit(corpusQ, "px", centroids).drop("px")
+    val probes = probeLit(queries.withColumn("px", quant(col("qv"))),
+      "px", centroids, keep = nProbe).drop("px")
 
     val scored = bucketed.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -241,20 +306,15 @@ object Similarity {
       numCentroids: Int = 16,
       lloydIters: Int = 2
   ): (Seq[(Long, Seq[Long])], DataFrame) = {
-    import IntKMeans.{assign, quant}
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val corpusQ = corpus.withColumn("px", quant(col("v")))
-    val centroids = IntKMeans.train(corpusQ.select("vec_id", "px"),
+    import IntKMeans.{assignLit, quant}
+    val corpusQ = corpus.withColumn("px", quant(col("v"))).persist()
+    val collected = IntKMeans.trainCollect(corpusQ,
       "vec_id", "px", numCentroids, lloydIters)
-    val collected = centroids.collect().map(r =>
-      r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq.sortBy(_._1)
-    // assignments reference the COLLECTED centroids (a literal local
-    // frame), not the lazy training plan — otherwise materializing the
-    // assignments would re-run the whole Lloyd training a second time
-    val centDf = collected.toDF("cid", "cq")
-    (collected, assign(corpusQ, "px", "vec_id", centDf, keep = 1)
-      .drop("px"))
+    corpusQ.unpersist()
+    // assignments reference the COLLECTED centroids (a constant-folded
+    // literal), not the lazy training plan — materializing them is one
+    // narrow pass, never a re-run of Lloyd training
+    (collected, assignLit(corpusQ, "px", collected).drop("px"))
   }
 
   /** PERSISTED IVF index, search side: per query, probe the `nProbe`
@@ -274,12 +334,9 @@ object Similarity {
       k: Int,
       nProbe: Int = 4
   ): DataFrame = {
-    import IntKMeans.{assign, quant}
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val centDf = centroids.toDF("cid", "cq")
-    val probes = assign(queries.withColumn("px", quant(col("qv"))),
-      "px", "query_id", centDf, keep = nProbe).drop("px")
+    import IntKMeans.{probeLit, quant}
+    val probes = probeLit(queries.withColumn("px", quant(col("qv"))),
+      "px", centroids, keep = nProbe).drop("px")
     val cids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val scored = readIndex(cids).join(broadcast(probes), Seq("cid"))
@@ -384,60 +441,22 @@ object Similarity {
 
     val corpusSub = subVectors(corpus, "vec_id", "v").persist()
 
-    // nearest codebook entry per (row, subspace); keep=1
-    def assign(sub: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col(idCol), col("m"))
-        .orderBy(col("cdist").asc, col("code").asc)
-      sub.join(broadcast(cents), Seq("m"))
-        .withColumn("cdist", idist(col("spx"), col("cq")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
-        .drop("cq", "cdist", "crank")
-    }
-
-    // init: per subspace, the codebookSize subvectors with the smallest
-    // hash64("pq:m:", vec_id) — deterministic seeding, replayable anywhere
-    val wInit = Window.partitionBy("m").orderBy(col("h").asc, col("vec_id").asc)
-    var codebook = corpusSub
-      .withColumn("h", hash64(lit("pq"),
-        concat(col("m").cast("string"), lit(":"), col("vec_id").cast("string"))))
-      .withColumn("irank", row_number().over(wInit))
-      .filter(col("irank") <= codebookSize)
-      .select(col("m"), col("vec_id").as("code"), col("spx").as("cq"))
-
-    for (_ <- 1 to lloydIters) {
-      val assigned = assign(corpusSub, "vec_id", codebook)
-      // integer mean per (subspace, code, dim): exact sum, floor divide
-      codebook = assigned
-        .select(col("m"), col("code"), posexplode(col("spx")).as(Seq("pos", "value")))
-        .groupBy("m", "code", "pos")
-        .agg(floor(sum(col("value")).cast("double") / count(lit(1)))
-          .cast("long").as("mean"))
-        .groupBy("m", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
-          s => s.getField("mean")).as("cq"))
-    }
-
-    // codewords trained under their SEED vec_id names could collide in
+    // hash-seeded ("pq:m:vec_id"), integer-exact Lloyd per subspace;
+    // collected per round so every encode below is a narrow literal
+    // argmin (no expansion, no exchange — the IntKMeans discipline).
+    // Codewords trained under their SEED vec_id names could collide in
     // the m*1024+code map key packing below (seed ids are arbitrary
     // longs — code_a == code_b + 1024*(m_b - m_a) would alias two
     // codewords, and map_from_entries throws on the duplicate key).
     // Remap to DENSE per-subspace ids; the remap is monotone in the
     // seed id, so assignment tie-breaks and every distance are
     // unchanged — internal naming only, invisible in the output
-    val wDense = Window.partitionBy("m").orderBy(col("code").asc)
-    codebook = codebook.withColumn("code",
-      (row_number().over(wDense) - 1).cast("long"))
-    // the trained codebook is TINY (numSubs x codebookSize rows) but its
-    // lineage is the whole Lloyd chain; it is referenced by two separate
-    // JOBS (the dtAll count below, then the scoring action), and
-    // cross-job exchange reuse does not exist — persist it so Lloyd
-    // trains once per invocation, not once per job
-    codebook = codebook.persist()
+    val codebook = denseCodebook(trainCodebookCollect(
+      corpusSub, "vec_id", codebookSize, lloydIters, seedKey = "pq"))
 
     // corpus codes collapsed to ONE row per vector: the compressed
     // representation (numSubs small ints — the ~100x memory story)
-    val codes = assign(corpusSub, "vec_id", codebook)
+    val codes = nearestCodeLit(corpusSub, codebook)
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         s => s.getField("code")).as("codes"))
@@ -466,9 +485,8 @@ object Similarity {
     // one dmap row per query — the frame the broadcast ships. Counting
     // it gates the ceiling for FREE: the count materializes the cache
     // the broadcast (or each chunk's filter) then reads.
-    val dtAll = subVectors(queries, "query_id", "qv")
-      .join(broadcast(codebook), Seq("m"))
-      .withColumn("d", idist(col("spx"), col("cq")))
+    val dtAll = codewordDistances(subVectors(queries, "query_id", "qv"),
+        codebook)
       .groupBy("query_id")
       .agg(map_from_entries(collect_list(
         struct(col("m") * 1024 + col("code"), col("d")))).as("dmap"))
@@ -489,7 +507,7 @@ object Similarity {
               lit(chunks)) === c))
         }.reduce(_ union _)
       }
-    (out, Seq(dtAll, codes, corpusSub, codebook))
+    (out, Seq(dtAll, codes, corpusSub))
   }
 
   /** IVF-PQ ANN — the composed billion-vector architecture (Jégou et
@@ -543,37 +561,97 @@ object Similarity {
         m => slice(col("rx"), (m * subLen + 1).cast("int"), lit(subLen))))
         .as(Seq("m", "spx")): _*)
 
-  /** Nearest-`keep` centroid assignment KEEPING the centroid vector
-    * (the residual needs cq, which [[IntKMeans.assign]] drops).
-    * Input must carry a `px` quantized column. */
-  private def nearestCentroidsKeep(df: DataFrame, idCol: String,
-      cents: DataFrame, keep: Int): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy(col("cdist").asc, col("cid").asc)
-    df.crossJoin(broadcast(cents))
-      .withColumn("cdist", IntKMeans.idist(col("px"), col("cq")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= keep)
-      .drop("cdist", "crank")
+  /** Literal per-subspace codebook: an array indexed by `m` of
+    * array<struct<code, cq>> entries in ascending-code order —
+    * constant-folded by Catalyst, so rows pay codeword distance
+    * compute, never construction or a join. */
+  private def codebookArray(cb: Seq[(Int, Long, Seq[Long])]): Column = {
+    require(cb.nonEmpty, "codebook must be non-empty")
+    array((0 to cb.map(_._1).max).map { m =>
+      val entries = cb.filter(_._1 == m).sortBy(_._2)
+      require(entries.nonEmpty, s"codebook has no entries for subspace $m")
+      array(entries.map { case (_, code, cq) =>
+        struct(lit(code).as("code"), typedLit(cq).as("cq")) }: _*)
+    }: _*)
   }
 
-  /** Nearest codebook entry per (row, subspace). */
-  private def nearestCodes(sub: DataFrame, idCol: String,
-      cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol), col("m"))
-      .orderBy(col("ddist").asc, col("code").asc)
-    sub.join(broadcast(cb), Seq("m"))
-      .withColumn("ddist", IntKMeans.idist(col("spx"), col("cq")))
-      .withColumn("drank", row_number().over(w))
-      .filter(col("drank") === 1)
-      .drop("cq", "ddist", "drank")
+  /** NARROW nearest codebook entry per (row, subspace): one array_min
+    * over the row's subspace codewords — (distance asc, code asc)
+    * tie-break, zero row expansion, zero exchange. Adds `code`. */
+  private def nearestCodeLit(sub: DataFrame,
+      cb: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+    val best = array_min(transform(
+      element_at(codebookArray(cb), col("m").cast("int") + 1), e =>
+        struct(IntKMeans.idist(col("spx"), e.getField("cq")).as("ddist"),
+          e.getField("code").as("code"))))
+    sub.withColumn("code", best.getField("code"))
   }
 
-  /** The trained IVF-PQ model: coarse centroids, residual codebooks,
-    * and per-(vector, subspace) codes. `caches` must be released by
-    * the caller once the model's frames are consumed. */
+  /** EVERY codeword of the row's subspace priced against the row's
+    * subvector — the ADC distance-table builder (query-side tiny):
+    * adds (code, d) by exploding the literal subspace codebook. */
+  private def codewordDistances(sub: DataFrame,
+      cb: Seq[(Int, Long, Seq[Long])]): DataFrame =
+    sub.withColumn("_e",
+        explode(element_at(codebookArray(cb), col("m").cast("int") + 1)))
+      .withColumn("code", col("_e.code"))
+      .withColumn("d", IntKMeans.idist(col("spx"), col("_e.cq")))
+      .drop("_e")
+
+  /** Residual-codebook Lloyd training over (id, m, spx) subvector rows:
+    * per-subspace hash-seeded init (`seedKey`), integer-exact rounds,
+    * the codebook COLLECTED per round (numSubs x codebookSize rows —
+    * bounded model metadata) so each round's encode is the narrow
+    * literal argmin. Codes keep their seed ids; [[denseCodebook]]
+    * remaps them for map-key packing. */
+  private def trainCodebookCollect(corpusSub: DataFrame, idCol: String,
+      codebookSize: Int, lloydIters: Int, seedKey: String)
+      : Seq[(Int, Long, Seq[Long])] = {
+    val wInit = Window.partitionBy("m").orderBy(col("h").asc, col(idCol).asc)
+    var cb = collectCodebook(corpusSub
+      .withColumn("h", TextFunctions.hash64(lit(seedKey),
+        concat(col("m").cast("string"), lit(":"), col(idCol).cast("string"))))
+      .withColumn("irank", row_number().over(wInit))
+      .filter(col("irank") <= codebookSize)
+      .select(col("m"), col(idCol).as("code"), col("spx").as("cq")))
+    for (_ <- 1 to lloydIters) {
+      cb = collectCodebook(nearestCodeLit(corpusSub, cb)
+        .select(col("m"), col("code"),
+          posexplode(col("spx")).as(Seq("pos", "value")))
+        .groupBy("m", "code", "pos")
+        .agg(floor(sum(col("value")).cast("double") / count(lit(1)))
+          .cast("long").as("mean"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("cq")))
+    }
+    cb
+  }
+
+  private def collectCodebook(df: DataFrame): Seq[(Int, Long, Seq[Long])] =
+    df.collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+      .toSeq.sortBy(t => (t._1, t._2))
+
+  /** Remap seed-named codewords to DENSE per-subspace ids
+    * (0..codebookSize-1, in seed-id order — a monotone bijection per
+    * subspace, so nearest-code tie-breaks and all distances are
+    * unchanged). Dense ids make the m*1024+code map-key packing
+    * collision-free by construction. */
+  private def denseCodebook(
+      cb: Seq[(Int, Long, Seq[Long])]): Seq[(Int, Long, Seq[Long])] =
+    cb.groupBy(_._1).toSeq.flatMap { case (m, entries) =>
+      entries.sortBy(_._2).zipWithIndex.map { case ((_, _, cq), i) =>
+        (m, i.toLong, cq) }
+    }.sortBy(t => (t._1, t._2))
+
+  /** The trained IVF-PQ model: coarse centroids and residual codebooks
+    * as COLLECTED model metadata (bounded: numCentroids + numSubs x
+    * codebookSize small vectors — they fold into literals downstream),
+    * plus the lazy per-(vector, subspace) codes. `caches` must be
+    * released by the caller once the codes are consumed. */
   private[graft] final case class IvfPqModel(
-      cents: DataFrame,    // (cid, cq), persisted
-      codebook: DataFrame, // (m, code, cq), persisted
+      cents: Seq[(Long, Seq[Long])],         // coarse centroids (cid, cq)
+      codebook: Seq[(Int, Long, Seq[Long])], // residual (m, code, cq)
       codes: DataFrame,    // (vec_id, cid, m, code), lazy
       caches: Seq[DataFrame])
 
@@ -589,43 +667,27 @@ object Similarity {
     require(dims % numSubs == 0, s"dims=$dims not divisible by numSubs=$numSubs")
     val subLen = dims / numSubs
     val corpusQ = corpus.withColumn("px", quant(col("v"))).persist()
-    val cents = IntKMeans.train(corpusQ.select("vec_id", "px"),
-      "vec_id", "px", numCentroids, lloydIters).persist()
-    // corpus residuals, exact long arithmetic: rx = px - cq
-    val res = nearestCentroidsKeep(corpusQ.select("vec_id", "px"),
-        "vec_id", cents, keep = 1)
+    val cents = IntKMeans.trainCollect(corpusQ,
+      "vec_id", "px", numCentroids, lloydIters)
+    // corpus residuals, exact long arithmetic: rx = px - cq — ONE
+    // narrow pass (the literal argmin keeps the winning centroid's cq)
+    val res = IntKMeans.assignLit(corpusQ.select("vec_id", "px"),
+        "px", cents, keepCq = true)
       .withColumn("rx", zip_with(col("px"), col("cq"), (a, b) => a - b))
       .select("vec_id", "cid", "rx")
     val corpusSub = residualSubVectors(res, Seq("vec_id", "cid"),
       numSubs, subLen).persist()
     // ONE codebook per subspace, trained on residuals (hash-seeded,
     // integer-exact Lloyd — pqTopKLazy's recipe keyed by "ivfpq")
-    val wInit = Window.partitionBy("m").orderBy(col("h").asc, col("vec_id").asc)
-    var codebook = corpusSub
-      .withColumn("h", TextFunctions.hash64(lit("ivfpq"),
-        concat(col("m").cast("string"), lit(":"), col("vec_id").cast("string"))))
-      .withColumn("irank", row_number().over(wInit))
-      .filter(col("irank") <= codebookSize)
-      .select(col("m"), col("vec_id").as("code"), col("spx").as("cq"))
-    for (_ <- 1 to lloydIters) {
-      val assigned = nearestCodes(corpusSub, "vec_id", codebook)
-      codebook = assigned
-        .select(col("m"), col("code"), posexplode(col("spx")).as(Seq("pos", "value")))
-        .groupBy("m", "code", "pos")
-        .agg(floor(sum(col("value")).cast("double") / count(lit(1)))
-          .cast("long").as("mean"))
-        .groupBy("m", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
-          s => s.getField("mean")).as("cq"))
-    }
-    codebook = codebook.persist()
+    val codebook = trainCodebookCollect(corpusSub, "vec_id",
+      codebookSize, lloydIters, seedKey = "ivfpq")
     // the compressed index: one code per (vector, subspace), bucket id
     // riding along — this is all search ever scans
-    val codes = nearestCodes(corpusSub, "vec_id", codebook)
+    val codes = nearestCodeLit(corpusSub, codebook)
       .select("vec_id", "cid", "m", "code")
-    IvfPqModel(cents, codebook, codes,
-      Seq(corpusQ, cents, corpusSub, codebook))
+    IvfPqModel(cents, codebook, codes, Seq(corpusQ, corpusSub))
   }
+
 
   /** Per-(query, probed-bucket) ADC distance tables: probe `nProbe`
     * centroids, take the query residual AGAINST EACH probed centroid,
@@ -633,21 +695,21 @@ object Similarity {
     * (|Q| x nProbe x numSubs x codebookSize rows), built to broadcast. */
   private def ivfPqDistanceTables(
       queries: DataFrame, // (query_id, qv)
-      cents: DataFrame,
-      codebook: DataFrame,
+      cents: Seq[(Long, Seq[Long])],
+      codebook: Seq[(Int, Long, Seq[Long])],
       numSubs: Int,
       subLen: Int,
       nProbe: Int
   ): DataFrame = {
-    val probes = nearestCentroidsKeep(
+    val probes = IntKMeans.probeLit(
       queries.withColumn("px", IntKMeans.quant(col("qv")))
         .select("query_id", "px"),
-      "query_id", cents, keep = nProbe)
+      "px", cents, keep = nProbe, keepCq = true)
       .withColumn("rx", zip_with(col("px"), col("cq"), (a, b) => a - b))
       .select("query_id", "cid", "rx")
-    residualSubVectors(probes, Seq("query_id", "cid"), numSubs, subLen)
-      .join(broadcast(codebook), Seq("m"))
-      .withColumn("d", IntKMeans.idist(col("spx"), col("cq")))
+    codewordDistances(
+      residualSubVectors(probes, Seq("query_id", "cid"), numSubs, subLen),
+      codebook)
       .select("query_id", "cid", "m", "code", "d")
   }
 
@@ -710,29 +772,19 @@ object Similarity {
       numSubs: Int = 4,
       codebookSize: Int = 16
   ): (Seq[(Long, Seq[Long])], Seq[(Int, Long, Seq[Long])], DataFrame) = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val subLen = dims / numSubs
     val model = buildIvfPqModel(corpus, dims, numCentroids, lloydIters,
       numSubs, codebookSize)
-    val cents = model.cents.collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq.sortBy(_._1)
     // training names codewords by their SEED vec_id (arbitrary longs);
     // the stored index remaps them to DENSE per-subspace ids
     // (0..codebookSize-1, in seed-id order — a monotone bijection, so
     // nearest-code tie-breaks and all distances are unchanged). Dense
     // ids are what makes the search side's m*1024+code map key packing
     // collision-free by construction.
-    val cb = model.codebook.collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq))
-      .toSeq.sortBy(t => (t._1, t._2))
-      .groupBy(_._1).toSeq.flatMap { case (m, entries) =>
-        entries.zipWithIndex.map { case ((_, _, cq), i) => (m, i.toLong, cq) }
-      }.sortBy(t => (t._1, t._2))
+    val cb = denseCodebook(model.codebook)
     model.caches.foreach(_.unpersist())
     // re-derive the codes against the LITERAL model (training lineage
     // gone): one assignment pass for buckets, one for codes
-    (cents, cb, ivfPqEncode(corpus, dims, cents, cb, numSubs))
+    (model.cents, cb, ivfPqEncode(corpus, dims, model.cents, cb, numSubs))
   }
 
   /** Encode (vec_id, v) rows against a FROZEN IVF-PQ model: nearest
@@ -747,20 +799,16 @@ object Similarity {
       codebook: Seq[(Int, Long, Seq[Long])],
       numSubs: Int = 4
   ): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val subLen = dims / numSubs
-    val centDf = centroids.toDF("cid", "cq")
-    val cbDf = codebook.toDF("m", "code", "cq")
-    val res = nearestCentroidsKeep(
+    val res = IntKMeans.assignLit(
       vectors.withColumn("px", IntKMeans.quant(col("v")))
         .select("vec_id", "px"),
-      "vec_id", centDf, keep = 1)
+      "px", centroids, keepCq = true)
       .withColumn("rx", zip_with(col("px"), col("cq"), (a, b) => a - b))
       .select("vec_id", "cid", "rx")
-    nearestCodes(
+    nearestCodeLit(
       residualSubVectors(res, Seq("vec_id", "cid"), numSubs, subLen),
-      "vec_id", cbDf)
+      codebook)
       .groupBy("vec_id", "cid")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         s => s.getField("code")).as("codes"))
@@ -783,16 +831,12 @@ object Similarity {
       nProbe: Int = 4,
       numSubs: Int = 4
   ): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
     val subLen = dims / numSubs
     require(codebook.forall(_._2 < 1024),
       "code ids must be dense (< 1024) for the map key packing — " +
         "build the index with ivfPqIndex, which remaps seed ids")
-    val centDf = centroids.toDF("cid", "cq")
-    val cbDf = codebook.toDF("m", "code", "cq")
-    val dt = ivfPqDistanceTables(queries, centDf, cbDf, numSubs, subLen,
-      nProbe)
+    val dt = ivfPqDistanceTables(queries, centroids, codebook, numSubs,
+      subLen, nProbe)
     // per-(query, bucket) lookup map keyed m*1024+code (code < 1024)
     val dtm = dt.groupBy("query_id", "cid")
       .agg(map_from_entries(collect_list(
