@@ -529,6 +529,18 @@ object PipelineQueries {
         thresholdX1000 = 500)
       .orderBy("a_id", "b_id")
 
+  /** The PRODUCTION exact-Jaccard path ([[Dedup.ngramJaccardPairsPrefix]]):
+    * rarest-first prefix probes + length-ratio pruning against an
+    * inverted shingle index — candidates ∝ prefix × df, never a block's
+    * pair set. The prefix filter is LOSSLESS for Jaccard (the threshold
+    * implies containment >= the same bound), so this query shares the
+    * quadratic baseline's oracle verbatim: index path = quadratic path
+    * = DuckDB. */
+  def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsPrefix(documents(spark, dir), "doc_id", "text",
+        "lang", thresholdX1000 = 500)
+      .orderBy("a_id", "b_id")
+
   /** Production-hash twins of the sketch dedups: same pipeline shape, the
     * per-shingle hash is Spark's xxHash64 instead of md5 (~10x cheaper —
     * the form a 100 TB run uses). DuckDB cannot replay seeded xxh64, but
@@ -1314,6 +1326,22 @@ object PipelineQueries {
        |    // least(len(a.shh), len(b.shh)) >= 900
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Exact 3-shingle Jaccard — shared by `dedup_jaccard` (blocked
+    * quadratic baseline) AND `dedup_jaccard_prefix` (prefix-filtered
+    * production path): the Jaccard prefix filter is lossless, so both
+    * must hash-match this replay. */
+  private lazy val jaccardOracleSql: String =
+    s"""WITH $shinglesCte,
+       |hs AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_transform(sh, x -> ${h64("'j:' || x")})) AS shh
+       |  FROM sh_t)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(floor(1000.0 * len(list_intersect(a.shh, b.shh)) / len(list_distinct(a.shh || b.shh))) AS BIGINT) AS jac_x1000
+       |FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE floor(1000.0 * len(list_intersect(a.shh, b.shh)) / len(list_distinct(a.shh || b.shh))) >= 500
+       |ORDER BY a_id, b_id""".stripMargin
+
   private val stopList = TextAnalysis.langMarkers.flatMap(_._2)
     .map(s => s"'$s'").mkString(", ")
 
@@ -2011,17 +2039,12 @@ object PipelineQueries {
     // shares the quadratic baseline's oracle VERBATIM — same planted
     // fixture, same exact containment recomputation
     "dedup_containment_prefix" -> containmentOracleSql,
-    "dedup_jaccard" ->
-      s"""WITH $shinglesCte,
-         |hs AS (
-         |  SELECT doc_id, lang,
-         |    list_distinct(list_transform(sh, x -> ${h64("'j:' || x")})) AS shh
-         |  FROM sh_t)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  CAST(floor(1000.0 * len(list_intersect(a.shh, b.shh)) / len(list_distinct(a.shh || b.shh))) AS BIGINT) AS jac_x1000
-         |FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE floor(1000.0 * len(list_intersect(a.shh, b.shh)) / len(list_distinct(a.shh || b.shh))) >= 500
-         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_jaccard" -> jaccardOracleSql,
+    // the prefix-filtered index path is LOSSLESS (recall 1 by the
+    // prefix-filter theorem — jac >= t implies containment >= t —
+    // precision 1 by the exact verify), so it shares the quadratic
+    // baseline's oracle VERBATIM
+    "dedup_jaccard_prefix" -> jaccardOracleSql,
     "dedup_embedding" ->
       """WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id
@@ -2357,6 +2380,7 @@ object PipelineQueries {
     "dedup_simhash_xx" -> (dedupSimhashXxPlanted _),
     "dedup_minhash_xx_planted" -> (dedupMinhashXxPlanted _),
     "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_containment_prefix" -> (dedupContainmentPrefix _),
     "dedup_embedding" -> (dedupEmbedding _),

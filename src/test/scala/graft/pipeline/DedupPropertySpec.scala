@@ -128,6 +128,44 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccardPairsPrefix equals the quadratic baseline on 15 " +
+    "seeded corpora with near-duplicates, hot shared phrases, and " +
+    "threshold sweep (the Jaccard prefix filter must be lossless)") {
+    val rng = new scala.util.Random(4242)
+    for (round <- 1 to 15) {
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+        .take(4 + rng.nextInt(5))
+      val hot = Seq.fill(4)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val base = (0L until (8 + rng.nextInt(12)).toLong).map { id =>
+        val n = 3 + rng.nextInt(25)
+        val body = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+        id -> (if (rng.nextBoolean()) s"$hot $body" else body)
+      }
+      // planted near-duplicates: light edits of existing docs (the
+      // symmetric high-overlap pairs Jaccard exists to catch)
+      val planted = base.filter(_._1 % 3 == 0).map { case (id, t) =>
+        val ts = t.split(" ").toVector
+        val edited =
+          if (ts.size > 4) ts.updated(rng.nextInt(ts.size),
+            vocab(rng.nextInt(vocab.size)))
+          else ts
+        (id + 1000L, edited.mkString(" "))
+      }
+      val docs = (base ++ planted)
+        .map { case (id, t) => (id, t, if (id % 2 == 0) "x" else "y") }
+        .toDF("doc_id", "text", "blk")
+      val thr = Seq(300, 500, 700, 1000)(rng.nextInt(4))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = rows(Dedup.ngramJaccardPairs(docs, "doc_id", "text", "blk", thr))
+      val got = rows(
+        Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", "blk", thr))
+      assert(got == want,
+        s"round $round (thr=$thr) diverged: missing=${want -- got} " +
+          s"extra=${got -- want}")
+    }
+  }
+
   test("containmentLosers drops the SMALLER side of each pair (the " +
     "excerpt), ties to the higher id, and losers are distinct") {
     // doc 2 is a strict prefix of doc 1 (the excerpt); docs 3/4 are

@@ -338,6 +338,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"probe join must key on the (blk, shingle-hash) pair:\n$p")
   }
 
+  test("jaccard prefix path: candidates come from a shingle-key probe " +
+    "join — no cartesian, no pair-enumerating blocked self-join") {
+    val p = plan(
+      graft.queries.PipelineQueries.dedupJaccardPrefix(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the quadratic baseline's signature is blockedPairs' struct
+    // bucket-pair key (pk = (lo, hi)); the prefix path must not have it
+    assert(!p.contains("pk"), s"no blocked pair enumeration:\n$p")
+    assert(p.contains("partial_count"),
+      s"df counting must be map-side partial:\n$p")
+    val probeJoins = p.split("\n").filter(l =>
+      l.contains("Join") && l.contains("blk") && l.contains("h#"))
+    assert(probeJoins.nonEmpty,
+      s"probe join must key on the (blk, shingle-hash) pair:\n$p")
+  }
+
   test("bm25: df table broadcasts; top-k is TakeOrdered, never a " +
     "global sort") {
     val p = plan(graft.queries.PipelineQueries.bm25Rank(spark, dir))
