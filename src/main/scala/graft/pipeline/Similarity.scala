@@ -853,6 +853,44 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF-PQ search with EXACT RE-RANK refinement (the FAISS refine
+    * stage — IndexRefineFlat over an IndexIVFPQ): ADC ranks the probed
+    * buckets' CODES as usual, then the top-`topR` candidate ids per
+    * query are joined back to the ORIGINAL vector table and the final
+    * top-k is exact cosine over candidates only. Closes the accuracy
+    * gap ADC's quantization error leaves at production recall targets,
+    * while reading exactly |Q| x topR vectors — the candidate set is
+    * bounded model-search metadata, broadcast into the vector scan, so
+    * the corpus is never re-read or shuffled. Returns
+    * (query_id, rank, vec_id, cos_x1e6). */
+  def ivfPqSearchRerank(
+      queries: DataFrame, // (query_id, qv)
+      dims: Int,
+      centroids: Seq[(Long, Seq[Long])],
+      codebook: Seq[(Int, Long, Seq[Long])],
+      readIndex: Seq[Long] => DataFrame, // probed cids -> (vec_id, codes, cid)
+      vectors: DataFrame, // (vec_id, v) — the original vector table
+      k: Int,
+      topR: Int,
+      nProbe: Int = 4,
+      numSubs: Int = 4
+  ): DataFrame = {
+    require(topR >= k, s"topR=$topR must be >= k=$k (refine never shrinks recall)")
+    val cand = ivfPqSearchIndexed(queries, dims, centroids, codebook,
+      readIndex, k = topR, nProbe, numSubs)
+      .select("query_id", "vec_id")
+    val scored = vectors.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos_x1e6",
+        round(cosine(col("qv"), col("v")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos_x1e6")
+  }
+
   /** LSH ANN: same-bucket candidates re-ranked exactly. Recall < 1 by
     * construction; deterministic. Returns (query_id, rank, vec_id,
     * cos_x1e6) with rank over bucket candidates only. */

@@ -813,6 +813,30 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF-PQ search with the EXACT-RE-RANK refinement stage
+    * ([[Similarity.ivfPqSearchRerank]] — FAISS IndexRefineFlat): ADC
+    * over the persisted compressed index yields the top-30 candidates
+    * per query, whose ORIGINAL vectors (|Q| x 30 rows, broadcast
+    * candidate join — never a corpus scan) are re-ranked by exact
+    * cosine. DuckDB replays the full chain: training, residual
+    * encoding, ADC top-30, exact cosine re-rank. */
+  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = buildIvfPqIndex(spark, dir)
+    val props = graft.txn.TableMetadata.loadOrThrow(idxDir).properties
+    val cents = AnnIndex.decodeCentroids(props(PqCentroidsProp))
+    val cb = decodeCodebook(props(PqCodebookProp))
+    val t = embeddings(spark, dir)
+    val q = t.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    Similarity.ivfPqSearchRerank(q, dims = 64, cents, cb,
+        readIndex = cids => graft.sources.TableReader.read(spark, idxDir,
+          filter = Some(col("cid").isin(cids: _*))),
+        vectors = t.select(col("vec_id"), col("embedding").as("v")),
+        k = 10, topR = 30, nProbe = 4, numSubs = 4)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- incrementally maintained COMPRESSED (IVF-PQ) index ----
 
   private val pqRefreshFixtures =
@@ -1424,7 +1448,38 @@ object PipelineQueries {
     * per-subspace codebooks ('ivfpq' seeds, 2 exact-Lloyd rounds),
     * queries probe 4 buckets and ADC-score ONLY those buckets' codes
     * with per-(query, bucket) residual distance tables. */
-  private val ivfPqOracle: String = {
+  private val ivfPqOracle: String =
+    s"""WITH $ivfPqAdcCtes
+       |SELECT query_id, rnk, vec_id, adist FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** ann_ivfpq_rerank oracle: the SAME full IVF-PQ replay (training,
+    * residual encoding, ADC), then the top-30 ADC candidates per query
+    * re-ranked by EXACT cosine over the original vectors — the FAISS
+    * refine stage, first-principles. */
+  private val ivfPqRerankOracle: String =
+    s"""WITH $ivfPqAdcCtes,
+       |cand AS (SELECT query_id, vec_id FROM ranked WHERE rnk <= 30),
+       |rescored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    CAST(round(1e6 * list_dot_product(q.v, s.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(s.v, s.v)))) AS BIGINT) AS cos_x1e6
+       |  FROM cand c
+       |  JOIN t q ON q.vec_id = c.query_id
+       |  JOIN t s ON s.vec_id = c.vec_id),
+       |rranked AS (
+       |  SELECT query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_x1e6 DESC, vec_id ASC) AS BIGINT) AS rnk,
+       |    vec_id, cos_x1e6
+       |  FROM rescored)
+       |SELECT query_id, rnk, vec_id, cos_x1e6 FROM rranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** The full IVF-PQ ADC replay as CTEs ending in `ranked`
+    * (query_id, rnk, vec_id, adist) — shared by the plain ADC oracle
+    * and the exact-re-rank refinement oracle. */
+  private lazy val ivfPqAdcCtes: String = {
     val meanVec = (1 to 16)
       .map(i => s"CAST(floor(sum(spx[$i]) / count(*)) AS BIGINT)")
       .mkString("[", ", ", "]")
@@ -1438,7 +1493,7 @@ object PipelineQueries {
          |        ${idist16("s.spx", "c.cq")} ASC, c.code ASC) AS rnk
          |    FROM rsub s JOIN $cb c ON s.m = c.m)
          |  WHERE rnk = 1)""".stripMargin
-    s"""WITH $ivfTrainingCtes,
+    s"""$ivfTrainingCtes,
        |fa2 AS (
        |  SELECT a.vec_id, a.px, a.cid, c.cq
        |  FROM final_assign a JOIN cent2 c USING (cid)),
@@ -1492,9 +1547,7 @@ object PipelineQueries {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rnk,
        |    vec_id, adist
-       |  FROM scored)
-       |SELECT query_id, rnk, vec_id, adist FROM ranked
-       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+       |  FROM scored)""".stripMargin
   }
 
   /** The integer-exact IVF TRAINING replay (Similarity.IntKMeans):
@@ -1908,6 +1961,7 @@ object PipelineQueries {
     // persisted-index path = one-shot recompute path = DuckDB (the
     // dense code remap is a monotone bijection — distances unchanged)
     "ann_ivfpq_indexed" -> ivfPqOracle,
+    "ann_ivfpq_rerank" -> ivfPqRerankOracle,
     "ann_ivfpq_refresh" -> ivfPqRefreshOracle,
     "dedup_semantic" -> semanticDedupOracle,
     "sequence_pack" ->
@@ -2394,6 +2448,7 @@ object PipelineQueries {
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_indexed" -> (annIvfPqIndexed _),
+    "ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "ann_ivfpq_refresh" -> (annIvfPqRefresh _),
     "kmv_distinct" -> (kmvDistinct _),
     "deterministic_sample" -> (deterministicSample _),
