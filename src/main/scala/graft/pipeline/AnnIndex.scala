@@ -62,6 +62,18 @@ object AnnIndex {
   val IdColProp = "graft.ann.id-col"
   val VecColProp = "graft.ann.vec-col"
 
+  /** Drift telemetry: mean integer quantization error of the index at
+    * BUILD time ([[Similarity.ivfQuantError]] / [[Similarity
+    * .ivfPqQuantError]] over the built rows) and of the most recent
+    * refresh's newly encoded rows. Every refresh stamps [[LastErrProp]]
+    * in the SAME atomic commit (self-initializing [[BaseErrProp]] when
+    * the builder did not stamp it); [[rebuildIfDrifted]] compares the
+    * two — frozen centroids degrade SILENTLY as the corpus churns, so
+    * the error trend is the rebuild trigger a frozen-model lifecycle
+    * needs. */
+  val BaseErrProp = "graft.ann.base-err"
+  val LastErrProp = "graft.ann.last-err"
+
   /** Centroid metadata codec: `cid:q1,q2,...;cid:...` — the quantized
     * centroid components ARE the index directory (numCentroids x dims
     * longs), small enough to ride as a table property. */
@@ -106,7 +118,9 @@ object AnnIndex {
     val cb = decodeCodebook(idx.properties.getOrElse(CodebookProp,
       throw CompactionError.Config(s"$idxDir carries no $CodebookProp")))
     val numSubs = cb.map(_._1).max + 1
-    refreshWith(spark, corpusDir, idxDir, catalog) { (ins, cents) =>
+    refreshWith(spark, corpusDir, idxDir, catalog,
+      errOf = (ins, cents) => Similarity.ivfPqQuantError(ins,
+        cents.head._2.size, cents, cb, numSubs)) { (ins, cents) =>
       val dims = cents.head._2.size
       Similarity.ivfPqEncode(ins, dims, cents, cb, numSubs)
         .select(col("vec_id"), col("codes"), col("cid"))
@@ -124,10 +138,12 @@ object AnnIndex {
       idxDir: String,
       catalog: TableCatalog = FileTableCatalog
   ): Long =
-    refreshWith(spark, corpusDir, idxDir, catalog) { (ins, cents) =>
-      assignTo(ins, cents)
-        .select(col("vec_id"), col("v").cast("array<float>").as("v"),
-          col("cid"))
+    refreshWith(spark, corpusDir, idxDir, catalog,
+      errOf = (ins, cents) => Similarity.ivfQuantError(ins, cents)) {
+      (ins, cents) =>
+        assignTo(ins, cents)
+          .select(col("vec_id"), col("v").cast("array<float>").as("v"),
+            col("cid"))
     }
 
   /** Shared changelog catch-up: marker/source validation, per-id
@@ -138,7 +154,12 @@ object AnnIndex {
       spark: SparkSession,
       corpusDir: String,
       idxDir: String,
-      catalog: TableCatalog
+      catalog: TableCatalog,
+      /** Mean quantization error of the refresh's newly encoded rows
+        * against the frozen model — stamped as [[LastErrProp]] in the
+        * same atomic commit (drift telemetry; None for delete-only
+        * batches, which leave the marker untouched). */
+      errOf: (DataFrame, Seq[(Long, Seq[Long])]) => Option[Long]
   )(encodeRows: (DataFrame, Seq[(Long, Seq[Long])]) => DataFrame): Long = {
     val idx = catalog.loadOrThrow(idxDir)
     if (!idx.properties.get(SourceProp).contains(corpusDir))
@@ -176,10 +197,18 @@ object AnnIndex {
       // against the FROZEN stored model
       val changedIds = net.select(col(idCol).as("vec_id")).distinct()
       val assigned = encodeRows(ins, cents)
+      // drift telemetry: the error of the newly encoded rows, stamped
+      // with the marker; BaseErr self-initializes on the first refresh
+      // when the builder did not stamp a build-time baseline
+      val errProps = errOf(ins, cents).map { e =>
+        Map(LastErrProp -> e.toString) ++
+          (if (idx.properties.contains(BaseErrProp)) Map.empty
+           else Map(BaseErrProp -> e.toString))
+      }.getOrElse(Map.empty)
       TableWrites.upsert(idxDir, assigned, keyCols = Seq("vec_id"),
         catalog = catalog,
         deleteKeys = Some(changedIds),
-        setProperties = Map(SyncedProp -> curV.toString),
+        setProperties = Map(SyncedProp -> curV.toString) ++ errProps,
         validate = reloaded => {
           val nowV = reloaded.properties.get(SyncedProp)
             .flatMap(_.toLongOption).getOrElse(-1L)
@@ -189,5 +218,110 @@ object AnnIndex {
         })
       curV
     } finally net.unpersist()
+  }
+
+  /** Retrain the index over the CURRENT corpus and atomically swap its
+    * contents + model metadata in ONE overwriteAll commit — the
+    * frozen-model lifecycle's periodic "full compaction": incremental
+    * refresh keeps serving consistent between rebuilds, this resets
+    * the coarse quantizer (and codebook, for a compressed index) once
+    * drift warrants it. Dispatches on the stored metadata: a codebook
+    * marks IVF-PQ (re-trains centroids AND residual codebooks with the
+    * build-time subspace/codebook shape), else plain IVF. The rebuild
+    * writes unpartitioned files (like refresh deltas) — run compaction
+    * afterwards to restore the identity(cid) pruning layout. Returns
+    * the corpus version the rebuilt index serves. */
+  def rebuild(
+      spark: SparkSession,
+      corpusDir: String,
+      idxDir: String,
+      catalog: TableCatalog = FileTableCatalog,
+      lloydIters: Int = 2
+  ): Long = {
+    val idx = catalog.loadOrThrow(idxDir)
+    if (!idx.properties.get(SourceProp).contains(corpusDir))
+      throw CompactionError.Config(
+        s"$idxDir does not index $corpusDir (build it first)")
+    val oldCents = decodeCentroids(idx.properties.getOrElse(CentroidsProp,
+      throw CompactionError.Config(s"$idxDir carries no $CentroidsProp")))
+    val lastV = idx.properties.get(SyncedProp).flatMap(_.toLongOption)
+      .getOrElse(throw CompactionError.Config(
+        s"$idxDir carries no synced-version marker"))
+    val idCol = idx.properties.getOrElse(IdColProp, "vec_id")
+    val vecCol = idx.properties.getOrElse(VecColProp, "embedding")
+    val corpusV = catalog.loadOrThrow(corpusDir).version
+    val vecs = TableReader.read(spark, corpusDir,
+        asOfVersion = Some(corpusV), catalog = catalog)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val dims = oldCents.head._2.size
+    val (rows, modelProps, newErr) =
+      idx.properties.get(CodebookProp) match {
+        case Some(rawCb) =>
+          val oldCb = decodeCodebook(rawCb)
+          val numSubs = oldCb.map(_._1).max + 1
+          val codebookSize = oldCb.count(_._1 == 0)
+          val (cents, cb, codes) = Similarity.ivfPqIndex(vecs, dims,
+            numCentroids = oldCents.size, lloydIters = lloydIters,
+            numSubs = numSubs, codebookSize = codebookSize)
+          (codes.select("vec_id", "codes", "cid"),
+            Map(CentroidsProp -> encodeCentroids(cents),
+              CodebookProp -> encodeCodebook(cb)),
+            Similarity.ivfPqQuantError(vecs, dims, cents, cb, numSubs))
+        case None =>
+          val (cents, assignments) = Similarity.ivfIndex(vecs,
+            numCentroids = oldCents.size, lloydIters = lloydIters)
+          (assignments.select(col("vec_id"),
+              col("v").cast("array<float>").as("v"), col("cid")),
+            Map(CentroidsProp -> encodeCentroids(cents)),
+            Similarity.ivfQuantError(vecs, cents))
+      }
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val files = TableWrites.writeParquet(rows,
+      s"$idxDir/data/rebuild-$tag",
+      graft.core.CompactionConfig().parquetCompression)
+    val errStr = newErr.getOrElse(0L).toString
+    new graft.txn.CommitManager(idxDir, catalog = catalog).overwriteAll(
+      files.filter(_._3 > 0).map { case (p, len, rc) =>
+        graft.sources.ParquetStats.stampBounds(
+          graft.txn.FileEntry(p, "data", len, rc, -1L))
+      },
+      expectedSchemaId = idx.schemaId,
+      setProperties = modelProps ++ Map(
+        SyncedProp -> corpusV.toString,
+        // the rebuilt model IS the new baseline: drift resets to 1
+        BaseErrProp -> errStr,
+        LastErrProp -> errStr),
+      validate = reloaded => {
+        val nowV = reloaded.properties.get(SyncedProp)
+          .flatMap(_.toLongOption).getOrElse(-1L)
+        if (nowV != lastV) throw CompactionError.Config(
+          s"concurrent index change: marker moved v$lastV -> v$nowV; " +
+            "re-evaluate drift against the newer state")
+      })
+    corpusV
+  }
+
+  /** The drift-gated rebuild policy: retrain + swap via [[rebuild]]
+    * when the last refresh's quantization error exceeds
+    * `whenDriftOverX1000`/1000 x the build-time baseline (stamped
+    * [[BaseErrProp]]/[[LastErrProp]]). No-ops (returns None) when the
+    * telemetry is absent — a never-refreshed index has no drift signal
+    * — or when the trend is inside the budget; returns the served
+    * corpus version after a rebuild. */
+  def rebuildIfDrifted(
+      spark: SparkSession,
+      corpusDir: String,
+      idxDir: String,
+      whenDriftOverX1000: Long = 1500,
+      catalog: TableCatalog = FileTableCatalog
+  ): Option[Long] = {
+    val props = catalog.loadOrThrow(idxDir).properties
+    val drifted = for {
+      base <- props.get(BaseErrProp).flatMap(_.toLongOption)
+      last <- props.get(LastErrProp).flatMap(_.toLongOption)
+    } yield BigInt(last) * 1000 > BigInt(base) * whenDriftOverX1000 // no overflow: errors are squared-L2 sums near 2^60
+    if (drifted.contains(true))
+      Some(rebuild(spark, corpusDir, idxDir, catalog))
+    else None
   }
 }

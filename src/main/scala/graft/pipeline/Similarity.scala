@@ -853,6 +853,57 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Mean integer quantization error of (vec_id, v) rows against a
+    * frozen IVF model: floor-mean of idist(px, nearest centroid) — the
+    * coarse quantizer's reconstruction error, the drift signal an
+    * incrementally refreshed index stamps per refresh. None for an
+    * empty frame. One narrow pass + one bounded aggregate. */
+  def ivfQuantError(
+      vectors: DataFrame, // (vec_id, v)
+      centroids: Seq[(Long, Seq[Long])]
+  ): Option[Long] = {
+    val assigned = IntKMeans.assignLit(
+      vectors.withColumn("px", IntKMeans.quant(col("v")))
+        .select("vec_id", "px"),
+      "px", centroids, keepCq = true)
+      .withColumn("err", IntKMeans.idist(col("px"), col("cq")))
+    val r = assigned.agg(count(lit(1)).as("n"),
+      floor(sum(col("err")).cast("double") / count(lit(1)))
+        .cast("long").as("e")).head()
+    if (r.getLong(0) == 0L) None else Some(r.getLong(1))
+  }
+
+  /** Mean integer quantization error of (vec_id, v) rows against a
+    * frozen IVF-PQ model: floor-mean per vector of the summed
+    * residual-to-codeword distances (the ADC reconstruction error after
+    * coarse + product quantization). None for an empty frame. */
+  def ivfPqQuantError(
+      vectors: DataFrame, // (vec_id, v)
+      dims: Int,
+      centroids: Seq[(Long, Seq[Long])],
+      codebook: Seq[(Int, Long, Seq[Long])],
+      numSubs: Int = 4
+  ): Option[Long] = {
+    val subLen = dims / numSubs
+    val res = IntKMeans.assignLit(
+      vectors.withColumn("px", IntKMeans.quant(col("v")))
+        .select("vec_id", "px"),
+      "px", centroids, keepCq = true)
+      .withColumn("rx", zip_with(col("px"), col("cq"), (a, b) => a - b))
+      .select("vec_id", "cid", "rx")
+    val sub = residualSubVectors(res, Seq("vec_id"), numSubs, subLen)
+    val best = array_min(transform(
+      element_at(codebookArray(codebook), col("m").cast("int") + 1), e =>
+        struct(IntKMeans.idist(col("spx"), e.getField("cq")).as("ddist"),
+          e.getField("code").as("code"))))
+    val r = sub.withColumn("ddist", best.getField("ddist"))
+      .groupBy("vec_id").agg(sum(col("ddist")).as("verr"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("verr")).cast("double") / count(lit(1)))
+          .cast("long").as("e")).head()
+    if (r.getLong(0) == 0L) None else Some(r.getLong(1))
+  }
+
   /** IVF-PQ search with EXACT RE-RANK refinement (the FAISS refine
     * stage — IndexRefineFlat over an IndexIVFPQ): ADC ranks the probed
     * buckets' CODES as usual, then the top-`topR` candidate ids per

@@ -1071,6 +1071,124 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  private val annRebuildFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      (String, String)]()
+  private val annRebuildCounter =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fixture: the ann_index_refresh lifecycle (build -> churn -> ONE
+    * incremental refresh, which stamps the drift telemetry) followed by
+    * the drift-triggered FULL REBUILD ([[graft.pipeline.AnnIndex
+    * .rebuildIfDrifted]] with a zero budget — the policy path, asserted
+    * to fire): centroids RETRAIN over the churned corpus and the whole
+    * index swaps in one overwriteAll commit, then compaction restores
+    * the per-centroid layout. Separate dirs from the refresh fixture —
+    * the rebuild must not mutate the index ann_index_refresh serves. */
+  private def buildAnnRebuildFixture(spark: SparkSession, dir: String)
+      : (String, String) =
+    annRebuildFixtures.computeIfAbsent(embeddingsKey(dir), _ => {
+      import graft.txn.{FileTableCatalog, TableMetadata, TableSnapshot, TableWrites}
+      val name = s"gannrb${annRebuildCounter.incrementAndGet()}"
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"graft-annrb-corpus-$name").toString
+      TableMetadata.commit(corpusDir, TableSnapshot(1, 1, 0, Nil))
+      val vecs0 = embeddings(spark, dir)
+        .select("vec_id", "embedding").persist()
+      TableWrites.appendData(corpusDir, vecs0)
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-annrb-idx-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.rbidx " +
+        "(vec_id BIGINT, v ARRAY<FLOAT>, cid BIGINT) PARTITIONED BY (cid)")
+      val idxDir = s"$wh/db/rbidx"
+      val (cents, assignments) = Similarity.ivfIndex(
+        vecs0.select(col("vec_id"), col("embedding").as("v")),
+        numCentroids = 16, lloydIters = 2)
+      assignments.select("vec_id", "v", "cid")
+        .createOrReplaceTempView(s"annrb_src_$name")
+      spark.sql(s"INSERT INTO $name.db.rbidx SELECT * FROM annrb_src_$name")
+      val v0 = FileTableCatalog.loadOrThrow(corpusDir).version
+      spark.sql(s"ALTER TABLE $name.db.rbidx SET TBLPROPERTIES (" +
+        s"'${graft.pipeline.AnnIndex.CentroidsProp}' = " +
+        s"'${AnnIndex.encodeCentroids(cents)}', " +
+        s"'${graft.pipeline.AnnIndex.SourceProp}' = '$corpusDir', " +
+        s"'${graft.pipeline.AnnIndex.SyncedProp}' = '$v0')")
+      // CHURN (must mirror churnedEmbeddingsSql exactly)
+      TableWrites.appendEqualityDeletes(corpusDir,
+        vecs0.filter(col("vec_id") % 7 === 0).select("vec_id"), Seq("vec_id"))
+      TableWrites.upsert(corpusDir,
+        vecs0.filter(col("vec_id") % 11 === 0 && col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        keyCols = Seq("vec_id"))
+      TableWrites.appendData(corpusDir,
+        vecs0.filter(col("vec_id") % 13 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      vecs0.unpersist()
+      // the incremental refresh stamps the drift telemetry...
+      graft.pipeline.AnnIndex.refresh(spark, corpusDir, idxDir)
+      val mid = FileTableCatalog.loadOrThrow(idxDir)
+      require(mid.properties.contains(graft.pipeline.AnnIndex.LastErrProp),
+        "ann_index_rebuild: the refresh must stamp drift telemetry")
+      // ...and a zero drift budget trips the policy: full retrain + swap
+      val vBefore = mid.version
+      val served = graft.pipeline.AnnIndex.rebuildIfDrifted(
+        spark, corpusDir, idxDir, whenDriftOverX1000 = 0)
+      require(served.contains(FileTableCatalog.loadOrThrow(corpusDir).version),
+        "ann_index_rebuild: the drift policy must trigger the rebuild")
+      val after = FileTableCatalog.loadOrThrow(idxDir)
+      require(after.version == vBefore + 1,
+        s"ann_index_rebuild: rebuild must be ONE atomic commit " +
+          s"(v$vBefore -> v${after.version})")
+      require(AnnIndex.decodeCentroids(
+          after.properties(graft.pipeline.AnnIndex.CentroidsProp)) != cents,
+        "ann_index_rebuild: the centroids must be retrained, not frozen")
+      require(after.properties(graft.pipeline.AnnIndex.BaseErrProp) ==
+          after.properties(graft.pipeline.AnnIndex.LastErrProp),
+        "ann_index_rebuild: the rebuilt model resets the drift baseline")
+      graft.compaction.Compaction.builder().withSpark(spark)
+        .withTableDir(idxDir).build().compact()
+      (corpusDir, idxDir)
+    })
+
+  /** IVF search over the DRIFT-REBUILT index: after churn, incremental
+    * refresh, and a drift-triggered full retrain + atomic swap, the
+    * pruned probe search must rank the churned corpus exactly as DuckDB
+    * recomputes it FROM SCRATCH over the churned corpus (training AND
+    * assignment — unlike ann_index_refresh, whose model stays the
+    * original-corpus centroids). Certifies the rebuild lifecycle
+    * end-to-end: telemetry stamping, policy trigger, one-commit swap,
+    * baseline reset, pruning restored after compaction. */
+  def annIndexRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val (corpusDir, idxDir) = buildAnnRebuildFixture(spark, dir)
+    val idx0 = graft.txn.TableMetadata.loadOrThrow(idxDir)
+    require(idx0.properties.get(graft.pipeline.AnnIndex.SyncedProp).contains(
+        graft.txn.TableMetadata.loadOrThrow(corpusDir).version.toString),
+      "ann_index_rebuild: index lags the corpus — rebuild before serving")
+    val cents = AnnIndex.decodeCentroids(idx0.properties(CentroidsProp))
+    val q = graft.sources.TableReader.read(spark, corpusDir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val totalFiles = graft.sources.TableReader.read(spark, idxDir)
+      .inputFiles.length
+    Similarity.ivfSearchIndexed(q, cents,
+        readIndex = cids => {
+          val idx = graft.sources.TableReader.read(spark, idxDir,
+            filter = Some(col("cid").isin(cids: _*)))
+          val read = idx.inputFiles.length
+          require(read > 0 && read < totalFiles,
+            s"ann_index_rebuild: post-compaction pruning must hold " +
+              s"($read of $totalFiles files planned)")
+          idx
+        },
+        k = 10, nProbe = 4)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   /** Product-quantization ANN ([[Similarity.pqTopK]]): 4 subspaces x
     * 16 codewords over the 64-dim embeddings, 2 Lloyd rounds, ADC
     * ranking — the integer-exact training replays bit-for-bit in the
@@ -1554,7 +1672,11 @@ object PipelineQueries {
     * `t`/`tq` quantized vectors, hash-sampled seeds, two exact-Lloyd
     * rounds, `final_assign` (vec_id, px, cid). Shared by the
     * ann_ivf_trained and dedup_semantic oracles. */
-  private def ivfTrainingCtes: String = {
+  private def ivfTrainingCtes: String = ivfTrainingCtesFrom("embeddings")
+
+  /** Same training replay over an arbitrary corpus source (a CTE name
+    * or table) — the rebuild oracle retrains on the CHURNED corpus. */
+  private def ivfTrainingCtesFrom(src: String): String = {
     val meanVec = (1 to 64)
       .map(i => s"CAST(floor(sum(px[$i]) / count(*)) AS BIGINT)")
       .mkString("[", ", ", "]")
@@ -1566,7 +1688,7 @@ object PipelineQueries {
          |        ${idistSql("tq.px", "c.cq")} ASC, c.cid ASC) AS rnk
          |    FROM tq CROSS JOIN $cent c)
          |  WHERE rnk = 1)""".stripMargin
-    s"""t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $src),
        |tq AS (SELECT vec_id, v,
        |  list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS px FROM t),
        |cent0 AS (
@@ -1579,10 +1701,25 @@ object PipelineQueries {
        |${assignCte("final_assign", "cent2")}""".stripMargin
   }
 
-  private val ivfTrainedOracle: String = {
-    def idist(p: String, c: String) = idistSql(p, c)
+  private val ivfTrainedOracle: String =
     s"""WITH $ivfTrainingCtes,
-       |probes AS (
+       |$ivfTrainedSearchBody""".stripMargin
+
+  /** ann_index_rebuild oracle: drift tripped a full RETRAIN over the
+    * churned corpus (unlike ann_index_refresh, whose centroids stay the
+    * original-corpus model) — so the whole training + search replays
+    * over `cur`. */
+  private lazy val annRebuildOracle: String =
+    s"""WITH cur AS ($churnedEmbeddingsSql),
+       |${ivfTrainingCtesFrom("cur")},
+       |$ivfTrainedSearchBody""".stripMargin
+
+  /** Trained-IVF probe search over the training CTEs' `t`/`tq`/`cent2`/
+    * `final_assign` — shared by ann_ivf_trained (original corpus) and
+    * ann_index_rebuild (churned corpus). */
+  private lazy val ivfTrainedSearchBody: String = {
+    def idist(p: String, c: String) = idistSql(p, c)
+    s"""probes AS (
        |  SELECT query_id, cid FROM (
        |    SELECT tq.vec_id AS query_id, c.cid,
        |      row_number() OVER (PARTITION BY tq.vec_id ORDER BY
@@ -1956,6 +2093,7 @@ object PipelineQueries {
     "ann_ivf_trained" -> ivfTrainedOracle,
     "ann_indexed" -> ivfTrainedOracle,
     "ann_index_refresh" -> annRefreshOracle,
+    "ann_index_rebuild" -> annRebuildOracle,
     "ann_pq" -> pqOracle,
     "ann_ivfpq" -> ivfPqOracle,
     // persisted-index path = one-shot recompute path = DuckDB (the
@@ -2445,6 +2583,7 @@ object PipelineQueries {
     "ann_ivf_trained" -> (annIvfTrained _),
     "ann_indexed" -> (annIndexed _),
     "ann_index_refresh" -> (annIndexRefresh _),
+    "ann_index_rebuild" -> (annIndexRebuild _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_indexed" -> (annIvfPqIndexed _),

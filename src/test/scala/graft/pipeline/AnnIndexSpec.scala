@@ -127,4 +127,57 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.refresh(spark, corpus, idx)
     assert(assignmentsOf(idx) == Set((1L, 100L), (2L, 100L), (3L, 100L)))
   }
+
+  test("drift lifecycle: refreshes stamp quantization-error telemetry; " +
+    "churn far from the frozen centroids trips rebuildIfDrifted, which " +
+    "retrains + swaps in ONE commit and resets the baseline; a " +
+    "below-budget index no-ops") {
+    val (corpus, idx) = fixture()
+    // first refresh: inserts NEAR a centroid — low error; BaseErr
+    // self-initializes to LastErr (drift ratio 1.0 -> no rebuild)
+    TableWrites.appendData(corpus,
+      Seq((4L, vec(0.1f, 0.1f))).toDF("vec_id", "embedding").coalesce(1))
+    AnnIndex.refresh(spark, corpus, idx)
+    val p1 = FileTableCatalog.loadOrThrow(idx).properties
+    val base = p1(AnnIndex.BaseErrProp).toLong
+    assert(p1(AnnIndex.LastErrProp).toLong == base,
+      "first refresh self-initializes the baseline")
+    assert(AnnIndex.rebuildIfDrifted(spark, corpus, idx,
+      whenDriftOverX1000 = 1500).isEmpty,
+      "no rebuild inside the drift budget")
+    // churn FAR from both frozen centroids: the refresh's encode error
+    // explodes vs the baseline and the drift trigger fires
+    TableWrites.appendData(corpus,
+      Seq((5L, vec(500f, -500f)), (6L, vec(-400f, 600f)))
+        .toDF("vec_id", "embedding").coalesce(1))
+    AnnIndex.refresh(spark, corpus, idx)
+    val p2 = FileTableCatalog.loadOrThrow(idx).properties
+    assert(BigInt(p2(AnnIndex.LastErrProp).toLong) * 1000 > BigInt(base) * 1500,
+      s"far churn must trip the budget: last=${p2(AnnIndex.LastErrProp)} " +
+        s"base=$base")
+    val vBefore = FileTableCatalog.loadOrThrow(idx).version
+    val served = AnnIndex.rebuildIfDrifted(spark, corpus, idx,
+      whenDriftOverX1000 = 1500)
+    assert(served.contains(FileTableCatalog.loadOrThrow(corpus).version))
+    val after = FileTableCatalog.loadOrThrow(idx)
+    assert(after.version == vBefore + 1,
+      "rebuild must be ONE atomic overwrite commit")
+    // model swapped: centroids retrained over the churned corpus...
+    val newCents = AnnIndex.decodeCentroids(
+      after.properties(AnnIndex.CentroidsProp))
+    assert(newCents != cents, "the frozen centroids must be replaced")
+    // ...and SERVING EQUIVALENCE: the swapped rows equal a from-scratch
+    // assignment of the current corpus against the new centroids
+    val vecsNow = graft.sources.TableReader.read(spark, corpus)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val want = AnnIndex.assignTo(vecsNow, newCents)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(assignmentsOf(idx) == want)
+    // baseline reset: drift ratio is 1 again, trigger re-arms
+    val p3 = after.properties
+    assert(p3(AnnIndex.BaseErrProp) == p3(AnnIndex.LastErrProp))
+    assert(AnnIndex.rebuildIfDrifted(spark, corpus, idx,
+      whenDriftOverX1000 = 1500).isEmpty)
+  }
 }
