@@ -76,6 +76,37 @@ object TextIndex {
     matched.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** ORDERED PROXIMITY match (NEAR / slop queries — the Lucene
+    * sloppy-phrase shape restricted to in-order matches): the phrase
+    * terms must appear IN ORDER, each within `slop` extra positions of
+    * the previous matched term (gap 1 = adjacent, so `slop = 0` is the
+    * exact phrase; gap <= slop + 1 otherwise). Same shrinking chain of
+    * per-term joins as [[phraseMatch]], with a RANGE BAND riding the
+    * doc_id equi-join instead of the exact pos-offset key — the band
+    * is a filter on the joined rows, so the join still keys on the
+    * uniform doc_id column and pruning still plans only the phrase
+    * terms' buckets. Counts matching chains per doc (overlapping and
+    * branching chains all count — each distinct position path is one
+    * hit, the deterministic cross-engine definition). Returns
+    * (doc_id, n_hits) for matching docs only. */
+  def phraseNear(postings: DataFrame, phrase: Seq[String],
+      slop: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    require(slop >= 0, s"slop must be non-negative, got $slop")
+    val anchors = postings.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.drop(1)
+      .foldLeft(anchors) { (acc, t) =>
+        acc.join(postings.filter(col("term") === t)
+            .select(col("doc_id"), col("pos").as("next_pos")),
+          Seq("doc_id"))
+          .filter(col("next_pos") > col("pos") &&
+            col("next_pos") <= col("pos") + slop + 1)
+          .select(col("doc_id"), col("next_pos").as("pos"))
+      }
+    matched.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Corpus constants of a (doc_id, text) frame: (N docs, T tokens). */
   def stats(docs: DataFrame): (Long, Long) = {
     val r = docs.agg(count(lit(1)).as("n"),

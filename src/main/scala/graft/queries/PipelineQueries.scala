@@ -256,6 +256,28 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** NEAR / SLOP SEARCH from the positional index
+    * ([[graft.pipeline.TextIndex.phraseNear]]): "table" followed
+    * in-order by "scan" within 2 intervening tokens (slop 2) — the
+    * anchored chain with a range band riding the doc_id join, still
+    * reading ONLY the two terms' buckets (pruning self-asserted).
+    * Output is a superset of the exact phrase's matches. */
+  def textPhraseNear(spark: SparkSession, dir: String): DataFrame = {
+    val phrase = Seq("table", "scan")
+    val idxDir = buildPosIndex(spark, dir)
+    val totalFiles = graft.sources.TableReader.read(spark, idxDir)
+      .inputFiles.length
+    val probe = col("term").isin(phrase.map(x => x: Any): _*)
+    val idx = graft.sources.TableReader.read(spark, idxDir,
+      filter = Some(probe))
+    val read = idx.inputFiles.length
+    require(read > 0 && read < totalFiles,
+      s"text_phrase_near: the proximity lookup must prune the index " +
+        s"scan ($read of $totalFiles files planned)")
+    graft.pipeline.TextIndex.phraseNear(idx.filter(probe), phrase, slop = 2)
+      .orderBy("doc_id")
+  }
+
   // ---- incrementally maintained text index ----
 
   private val textRefreshFixtures =
@@ -2406,6 +2428,18 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_hits
         |FROM a JOIN b USING (doc_id, pos)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_phrase_near" ->
+      """WITH pp AS (
+        |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+        |      i -> {'pos': i, 'term': ws[i]})) AS u
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+        |a AS (SELECT doc_id, pos FROM pp WHERE term = 'table'),
+        |b AS (SELECT doc_id, pos FROM pp WHERE term = 'scan')
+        |SELECT a.doc_id AS doc_id, count(*) AS n_hits
+        |FROM a JOIN b ON a.doc_id = b.doc_id
+        | AND b.pos > a.pos AND b.pos <= a.pos + 3
+        |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin,
     "lm_fluency" ->
       """WITH p0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |bi AS (
@@ -2605,6 +2639,7 @@ object PipelineQueries {
     "bm25_rank" -> (bm25Rank _),
     "text_search" -> (textSearch _),
     "text_phrase" -> (textPhrase _),
+    "text_phrase_near" -> (textPhraseNear _),
     "text_index_refresh" -> (textIndexRefresh _),
     "text_index_stream" -> (textIndexStream _),
     "bpe_train" -> (bpeTrain _),

@@ -130,6 +130,32 @@ class TextIndexSpec extends AnyFunSuite {
     assert(hits(Seq("z", "a")).isEmpty)
   }
 
+  test("phraseNear: in-order proximity chains — slop 0 equals the " +
+    "exact phrase, slop widens the band, out-of-order never matches, " +
+    "branching chains all count") {
+    val docs = Seq(
+      (1L, "a x b"),       // a..b gap 2: slop 1 matches, slop 0 not
+      (2L, "a x x x b"),   // gap 4: needs slop >= 3
+      (3L, "b x a"),       // out of order: never a match
+      (4L, "a b b"),       // branching: a chains to BOTH b's at slop 1
+      (5L, "a b c"))       // 3-term chain under slop
+      .toDF("doc_id", "text")
+    val pp = TextIndex.positionalPostings(docs)
+    def hits(phrase: Seq[String], slop: Int): Map[Long, Long] =
+      TextIndex.phraseNear(pp, phrase, slop).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // slop 0 == exact phrase
+    assert(hits(Seq("a", "b"), 0) == Map(4L -> 1L, 5L -> 1L))
+    assert(hits(Seq("a", "b"), 1) == Map(1L -> 1L, 4L -> 2L, 5L -> 1L))
+    assert(hits(Seq("a", "b"), 3) ==
+      Map(1L -> 1L, 2L -> 1L, 4L -> 2L, 5L -> 1L))
+    assert(!hits(Seq("a", "b"), 10).contains(3L), "order is required")
+    // 3-term chain: each step's band is relative to the PREVIOUS match
+    assert(hits(Seq("a", "b", "c"), 0) == Map(5L -> 1L))
+    assert(hits(Seq("a", "x", "b"), 2) ==
+      Map(1L -> 1L, 2L -> 3L), "doc 2 branches over three x positions")
+  }
+
   test("refresh refuses an index built over a different corpus, and a " +
     "marker-less index") {
     val (corpus, idx) = fixture()
