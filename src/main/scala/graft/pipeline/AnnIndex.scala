@@ -74,6 +74,14 @@ object AnnIndex {
   val BaseErrProp = "graft.ann.base-err"
   val LastErrProp = "graft.ann.last-err"
 
+  /** Opt-in AUTO-REBUILD budget (a drift ratio x1000, e.g. "1500" =
+    * rebuild when last-err > 1.5x base-err): when an index carries
+    * this property, [[IndexMaintenance.refreshAll]] runs
+    * [[rebuildIfDrifted]] with it after each refresh — the whole
+    * frozen-model lifecycle (serve -> refresh -> measure -> retrain)
+    * then rides the ingest path with zero scheduling. */
+  val RebuildBudgetProp = "graft.ann.rebuild-over-x1000"
+
   /** Centroid metadata codec: `cid:q1,q2,...;cid:...` — the quantized
     * centroid components ARE the index directory (numCentroids x dims
     * longs), small enough to ride as a table property. */

@@ -87,6 +87,15 @@ object IndexMaintenance {
           else throw graft.core.CompactionError.Config(
             s"$idxDir carries neither ${AnnIndex.CentroidsProp} nor " +
               s"${TextIndex.StatsProp} — not a maintainable index")
+          // opt-in drift policy: an ANN index carrying a rebuild budget
+          // re-trains + swaps right here when the refresh's stamped
+          // error trend exceeds it — the full frozen-model lifecycle on
+          // the ingest path, no scheduler
+          props.get(AnnIndex.RebuildBudgetProp).flatMap(_.toLongOption)
+            .foreach { budget =>
+              AnnIndex.rebuildIfDrifted(spark, corpusDir, idxDir,
+                whenDriftOverX1000 = budget, catalog = catalog)
+            }
           None
         } catch {
           case scala.util.control.NonFatal(e) =>

@@ -164,6 +164,55 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(cb.map(_._1).max + 1 == 2)
   }
 
+  test("refreshAll runs the opt-in drift policy: an ANN index carrying " +
+    "a rebuild budget retrains inline when churn drifts past it, and " +
+    "stays frozen inside the budget") {
+    val corpus = Files.createTempDirectory("graft-ims5-corpus").toString
+    TableMetadata.commit(corpus, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(corpus,
+      Seq((1L, Seq(1f, 1f)), (2L, Seq(9f, 9f)))
+        .toDF("vec_id", "embedding").coalesce(1))
+    val cents = Seq(100L -> Seq(0L, 0L), 200L -> Seq(10000000L, 10000000L))
+    val aidx = Files.createTempDirectory("graft-ims5-aidx").toString
+    TableMetadata.commit(aidx, TableSnapshot(1, 1, 0, Nil))
+    val vecs = graft.sources.TableReader.read(spark, corpus)
+      .select(col("vec_id").as("vec_id"), col("embedding").as("v"))
+    TableWrites.appendData(aidx,
+      AnnIndex.assignTo(vecs, cents)
+        .select(col("vec_id"), col("v").cast("array<float>").as("v"),
+          col("cid")).coalesce(1))
+    new graft.txn.CommitManager(aidx).setTableProperties(Map(
+      AnnIndex.CentroidsProp -> AnnIndex.encodeCentroids(cents),
+      AnnIndex.SourceProp -> corpus,
+      AnnIndex.SyncedProp ->
+        FileTableCatalog.loadOrThrow(corpus).version.toString,
+      AnnIndex.RebuildBudgetProp -> "1500"),
+      Set.empty,
+      expectedSchemaId = FileTableCatalog.loadOrThrow(aidx).schemaId)
+    IndexMaintenance.register(corpus, aidx)
+    // near-centroid churn: refresh stamps telemetry, budget holds
+    TableWrites.appendData(corpus,
+      Seq((3L, Seq(0.1f, 0.1f))).toDF("vec_id", "embedding").coalesce(1))
+    IndexMaintenance.refreshAll(spark, corpus)
+    assert(AnnIndex.decodeCentroids(FileTableCatalog.loadOrThrow(aidx)
+      .properties(AnnIndex.CentroidsProp)) == cents,
+      "inside the budget the model stays frozen")
+    // far churn: the inline policy fires — centroids retrain, marker
+    // stays current, and the budget prop survives the swap
+    TableWrites.appendData(corpus,
+      Seq((4L, Seq(900f, -900f))).toDF("vec_id", "embedding").coalesce(1))
+    IndexMaintenance.refreshAll(spark, corpus)
+    val after = FileTableCatalog.loadOrThrow(aidx)
+    assert(AnnIndex.decodeCentroids(
+      after.properties(AnnIndex.CentroidsProp)) != cents,
+      "past the budget the maintenance pass must retrain inline")
+    assert(after.properties(AnnIndex.SyncedProp) ==
+      FileTableCatalog.loadOrThrow(corpus).version.toString)
+    assert(after.properties(AnnIndex.RebuildBudgetProp) == "1500")
+    assert(after.properties(AnnIndex.BaseErrProp) ==
+      after.properties(AnnIndex.LastErrProp), "baseline re-armed")
+  }
+
   test("refreshAll attempts every registered index: one broken entry " +
     "does not starve the indexes listed after it") {
     val (corpus, idx) = textCorpusAndIndex()
