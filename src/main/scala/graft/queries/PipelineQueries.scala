@@ -1093,6 +1093,121 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  private val annStreamFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      (String, String)]()
+  private val annStreamCounter =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fixture: the VECTOR corpus ingested as a STREAM (3 micro-batches
+    * through [[graft.streaming.StreamingIngest.upsertWriter]] wrapped
+    * in withIndexMaintenance), with the per-centroid IVF index built
+    * and REGISTERED after batch 0 — batches 1-2 (updates+deletes, then
+    * inserted clones) each auto-refresh the index INLINE with the data
+    * commit via the registry dispatch (the AnnIndex.refresh path). The
+    * final corpus state equals [[churnedEmbeddingsSql]] exactly, so the
+    * search shares ann_index_refresh's oracle verbatim. Returns
+    * (corpusDir, idxDir). */
+  private def buildAnnStreamFixture(spark: SparkSession, dir: String)
+      : (String, String) =
+    annStreamFixtures.computeIfAbsent(embeddingsKey(dir), _ => {
+      import graft.streaming.StreamingIngest
+      import graft.txn.FileTableCatalog
+      val name = s"ganns${annStreamCounter.incrementAndGet()}"
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"graft-anns-corpus-$name").toString
+      val vecs0 = embeddings(spark, dir)
+        .select("vec_id", "embedding").persist()
+      val sink = StreamingIngest.withIndexMaintenance(spark, corpusDir,
+        inner = StreamingIngest.upsertWriter(corpusDir, schemaId = 1,
+          keyCols = Seq("vec_id"), deleteFlagCol = Some("_del")))
+      // batch 0: initial load (no index registered yet -> no-op pass)
+      sink(vecs0.withColumn("_del", lit(false)), 0L)
+      // per-centroid index over the corpus AS COMMITTED
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-anns-idx-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.saidx " +
+        "(vec_id BIGINT, v ARRAY<FLOAT>, cid BIGINT) PARTITIONED BY (cid)")
+      val idxDir = s"$wh/db/saidx"
+      val committed = graft.sources.TableReader.read(spark, corpusDir)
+        .select(col("vec_id"), col("embedding").as("v"))
+      val (cents, assignments) = Similarity.ivfIndex(committed,
+        numCentroids = 16, lloydIters = 2)
+      assignments.select("vec_id", "v", "cid")
+        .createOrReplaceTempView(s"anns_src_$name")
+      spark.sql(s"INSERT INTO $name.db.saidx SELECT * FROM anns_src_$name")
+      spark.sql(s"ALTER TABLE $name.db.saidx SET TBLPROPERTIES (" +
+        s"'${graft.pipeline.AnnIndex.CentroidsProp}' = " +
+        s"'${AnnIndex.encodeCentroids(cents)}', " +
+        s"'${graft.pipeline.AnnIndex.SourceProp}' = '$corpusDir', " +
+        s"'${graft.pipeline.AnnIndex.SyncedProp}' = " +
+        s"'${FileTableCatalog.loadOrThrow(corpusDir).version}')")
+      graft.pipeline.IndexMaintenance.register(corpusDir, idxDir)
+      val vIdx0 = FileTableCatalog.loadOrThrow(idxDir).version
+      // batch 1: embedding updates (%11 reversed) + deletes (%7) — one
+      // keyed CDC batch; the wrapper refreshes the index inline
+      sink(vecs0.filter(col("vec_id") % 11 === 0 && col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+            lit(false).as("_del"))
+        .unionByName(vecs0.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), col("embedding"), lit(true).as("_del"))), 1L)
+      // batch 2: inserted clones (%13 as new ids)
+      sink(vecs0.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+          lit(false).as("_del")), 2L)
+      vecs0.unpersist()
+      val idxAfter = FileTableCatalog.loadOrThrow(idxDir)
+      require(idxAfter.version == vIdx0 + 2,
+        s"ann_index_stream: expected 2 inline refresh commits " +
+          s"(v$vIdx0 -> v${idxAfter.version})")
+      require(idxAfter.properties.get(graft.pipeline.AnnIndex.SyncedProp)
+          .contains(FileTableCatalog.loadOrThrow(corpusDir).version.toString),
+        "ann_index_stream: the serving gate must hold with no manual refresh")
+      // fold the unpartitioned refresh deltas back into identity(cid)
+      graft.compaction.Compaction.builder().withSpark(spark)
+        .withTableDir(idxDir).build().compact()
+      (corpusDir, idxDir)
+    })
+
+  /** IVF search over a STREAM-MAINTAINED index: the vector corpus
+    * arrives as keyed micro-batches (updates, deletes, inserts) and the
+    * registered index auto-refreshes inline with each commit
+    * ([[graft.streaming.StreamingIngest.withIndexMaintenance]] -> the
+    * [[graft.pipeline.IndexMaintenance]] dispatch -> AnnIndex.refresh
+    * against the FROZEN centroids); the final pruned probe search must
+    * hash-match the batch refresh path's oracle exactly — streaming
+    * maintenance is indistinguishable from a one-shot catch-up. */
+  def annIndexStream(spark: SparkSession, dir: String): DataFrame = {
+    val (corpusDir, idxDir) = buildAnnStreamFixture(spark, dir)
+    val idx0 = graft.txn.TableMetadata.loadOrThrow(idxDir)
+    require(idx0.properties.get(graft.pipeline.AnnIndex.SyncedProp).contains(
+        graft.txn.TableMetadata.loadOrThrow(corpusDir).version.toString),
+      "ann_index_stream: index lags the corpus — refresh before serving")
+    val cents = AnnIndex.decodeCentroids(idx0.properties(CentroidsProp))
+    val q = graft.sources.TableReader.read(spark, corpusDir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val totalFiles = graft.sources.TableReader.read(spark, idxDir)
+      .inputFiles.length
+    Similarity.ivfSearchIndexed(q, cents,
+        readIndex = cids => {
+          val idx = graft.sources.TableReader.read(spark, idxDir,
+            filter = Some(col("cid").isin(cids: _*)))
+          val read = idx.inputFiles.length
+          require(read > 0 && read < totalFiles,
+            s"ann_index_stream: post-compaction pruning must hold " +
+              s"($read of $totalFiles files planned)")
+          idx
+        },
+        k = 10, nProbe = 4)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   private val annRebuildFixtures =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       (String, String)]()
@@ -2116,6 +2231,9 @@ object PipelineQueries {
     "ann_indexed" -> ivfTrainedOracle,
     "ann_index_refresh" -> annRefreshOracle,
     "ann_index_rebuild" -> annRebuildOracle,
+    // streaming maintenance must be indistinguishable from the one-shot
+    // batch catch-up: same churned corpus, same frozen model, SAME oracle
+    "ann_index_stream" -> annRefreshOracle,
     "ann_pq" -> pqOracle,
     "ann_ivfpq" -> ivfPqOracle,
     // persisted-index path = one-shot recompute path = DuckDB (the
@@ -2618,6 +2736,7 @@ object PipelineQueries {
     "ann_indexed" -> (annIndexed _),
     "ann_index_refresh" -> (annIndexRefresh _),
     "ann_index_rebuild" -> (annIndexRebuild _),
+    "ann_index_stream" -> (annIndexStream _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_indexed" -> (annIvfPqIndexed _),
