@@ -84,6 +84,8 @@ object IndexMaintenance {
             AnnIndex.refresh(spark, corpusDir, idxDir, catalog)
           else if (props.contains(TextIndex.StatsProp))
             TextIndex.refresh(spark, corpusDir, idxDir, catalog)
+          else if (props.contains(TextIndex.PosProp))
+            TextIndex.refreshPositional(spark, corpusDir, idxDir, catalog)
           else throw graft.core.CompactionError.Config(
             s"$idxDir carries neither ${AnnIndex.CentroidsProp} nor " +
               s"${TextIndex.StatsProp} — not a maintainable index")

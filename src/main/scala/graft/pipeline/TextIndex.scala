@@ -34,6 +34,10 @@ object TextIndex {
   val StatsProp = "graft.textidx.stats" // "N,T"
   val SourceProp = "graft.textidx.source"
   val SyncedProp = "graft.textidx.synced-version"
+  /** Marks a POSITIONAL index ((term, doc_id, pos) rows — the phrase /
+    * proximity shape); its refresh re-derives positional postings
+    * instead of tf postings and keeps no corpus constants. */
+  val PosProp = "graft.textidx.positional"
 
   /** Postings of a (doc_id, text) frame: one row per (term, doc) with
     * the doc length riding denormalized (BM25 needs it per posting). */
@@ -177,6 +181,60 @@ object TextIndex {
         setProperties = Map(
           StatsProp -> s"$n1,$t1",
           SyncedProp -> curV.toString),
+        validate = reloaded => {
+          val nowV = reloaded.properties.get(SyncedProp)
+            .flatMap(_.toLongOption).getOrElse(-1L)
+          if (nowV != lastV) throw CompactionError.Config(
+            s"concurrent index refresh: marker moved v$lastV -> v$nowV; " +
+              "re-run refresh (the newer state already covers this delta)")
+        })
+      curV
+    } finally net.unpersist()
+  }
+
+  /** Bring a POSITIONAL index ([[positionalPostings]] rows, marked by
+    * [[PosProp]]) up to the corpus's current version — the same
+    * one-atomic-commit changelog catch-up as [[refresh]], minus the
+    * (N, T) constants a phrase lookup never needs: equality-delete
+    * every changed document's occurrence rows, insert the re-derived
+    * positional postings, advance the marker. Cost ∝ changed docs. */
+  def refreshPositional(
+      spark: SparkSession,
+      corpusDir: String,
+      idxDir: String,
+      catalog: TableCatalog = FileTableCatalog
+  ): Long = {
+    val idx = catalog.loadOrThrow(idxDir)
+    if (!idx.properties.get(SourceProp).contains(corpusDir))
+      throw CompactionError.Config(
+        s"$idxDir does not index $corpusDir (build it first)")
+    if (!idx.properties.contains(PosProp))
+      throw CompactionError.Config(
+        s"$idxDir is not a positional index (no $PosProp)")
+    val lastV = idx.properties.get(SyncedProp).flatMap(_.toLongOption)
+      .getOrElse(throw CompactionError.Config(
+        s"$idxDir carries no synced-version marker"))
+    val curV = catalog.loadOrThrow(corpusDir).version
+    if (curV <= lastV) return lastV
+
+    val net = TableReader
+      .netChangelog(spark, corpusDir, lastV, curV, catalog).persist()
+    try {
+      // per-id duplicate guard — refresh's key contract verbatim
+      val dup = net.groupBy("doc_id", "_change_type")
+        .agg(sum(col("_change_count")).as("c"))
+        .filter(col("c") > 1L)
+      if (!dup.isEmpty) throw CompactionError.Config(
+        "corpus rows are not unique per doc_id (net multiplicity > 1); " +
+          "a positional index keyed by doc_id cannot represent duplicates")
+      val ins = net.filter(col("_change_type") === "insert")
+        .select("doc_id", "text")
+      val changedIds = net.select("doc_id").distinct()
+      TableWrites.upsert(idxDir, positionalPostings(ins),
+        keyCols = Seq("doc_id"),
+        catalog = catalog,
+        deleteKeys = Some(changedIds),
+        setProperties = Map(SyncedProp -> curV.toString),
         validate = reloaded => {
           val nowV = reloaded.properties.get(SyncedProp)
             .flatMap(_.toLongOption).getOrElse(-1L)

@@ -278,6 +278,98 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  private val posRefreshFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      (String, String)]()
+  private val posRefreshCounter =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fixture: corpus graft table -> bucketed POSITIONAL index ->
+    * corpus CHURN (deletes + updates + inserts, churnedCorpusSql's
+    * shape) -> ONE-commit incremental refresh
+    * ([[graft.pipeline.TextIndex.refreshPositional]]) -> compaction
+    * folding the delta occurrences back into bucket(term). Returns
+    * (corpusDir, idxDir). */
+  private def buildPosRefreshFixture(spark: SparkSession, dir: String)
+      : (String, String) =
+    posRefreshFixtures.computeIfAbsent(corpusKey(dir), _ => {
+      import graft.txn.{FileTableCatalog, TableMetadata, TableSnapshot, TableWrites}
+      val name = s"gposr${posRefreshCounter.incrementAndGet()}"
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"graft-posr-corpus-$name").toString
+      TableMetadata.commit(corpusDir, TableSnapshot(1, 1, 0, Nil))
+      val docs0 = documents(spark, dir).select("doc_id", "text").persist()
+      TableWrites.appendData(corpusDir, docs0)
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-posr-idx-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.pidx " +
+        "(term STRING, doc_id BIGINT, pos BIGINT) " +
+        "PARTITIONED BY (bucket(8, term))")
+      val idxDir = s"$wh/db/pidx"
+      graft.pipeline.TextIndex.positionalPostings(docs0)
+        .createOrReplaceTempView(s"posr_src_$name")
+      spark.sql(s"INSERT INTO $name.db.pidx SELECT * FROM posr_src_$name")
+      val v0 = FileTableCatalog.loadOrThrow(corpusDir).version
+      spark.sql(s"ALTER TABLE $name.db.pidx SET TBLPROPERTIES (" +
+        s"'${graft.pipeline.TextIndex.PosProp}' = 'true', " +
+        s"'${graft.pipeline.TextIndex.SourceProp}' = '$corpusDir', " +
+        s"'${graft.pipeline.TextIndex.SyncedProp}' = '$v0')")
+      // CHURN (must mirror churnedCorpusSql exactly)
+      TableWrites.appendEqualityDeletes(corpusDir,
+        docs0.filter(col("doc_id") % 7 === 0).select("doc_id"), Seq("doc_id"))
+      TableWrites.upsert(corpusDir,
+        docs0.filter(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), concat(col("text"), lit(" zzz")).as("text")),
+        keyCols = Seq("doc_id"))
+      TableWrites.appendData(corpusDir,
+        docs0.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      docs0.unpersist()
+      val vBefore = FileTableCatalog.loadOrThrow(idxDir).version
+      graft.pipeline.TextIndex.refreshPositional(spark, corpusDir, idxDir)
+      val after = FileTableCatalog.loadOrThrow(idxDir)
+      require(after.version == vBefore + 1,
+        s"text_phrase_refresh: the refresh must be ONE atomic commit " +
+          s"(v$vBefore -> v${after.version})")
+      require(after.properties.get(graft.pipeline.TextIndex.SyncedProp)
+          .contains(FileTableCatalog.loadOrThrow(corpusDir).version.toString),
+        "text_phrase_refresh: marker must equal the corpus version")
+      graft.compaction.Compaction.builder().withSpark(spark)
+        .withTableDir(idxDir).build().compact()
+      (corpusDir, idxDir)
+    })
+
+  /** Exact phrase search over the INCREMENTALLY REFRESHED positional
+    * index: the corpus churned (deletes + ' zzz' suffix updates +
+    * inserted clones) after the build, the index caught up via one
+    * changelog-driven commit ([[graft.pipeline.TextIndex
+    * .refreshPositional]]), compaction restored bucket(term) pruning —
+    * the pruned two-bucket phrase probe must match DuckDB's position
+    * intersection over the churned corpus. */
+  def textPhraseRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val phrase = Seq("table", "scan")
+    val (corpusDir, idxDir) = buildPosRefreshFixture(spark, dir)
+    require(graft.txn.TableMetadata.loadOrThrow(idxDir)
+        .properties.get(graft.pipeline.TextIndex.SyncedProp).contains(
+          graft.txn.TableMetadata.loadOrThrow(corpusDir).version.toString),
+      "text_phrase_refresh: index lags the corpus — refresh before serving")
+    val totalFiles = graft.sources.TableReader.read(spark, idxDir)
+      .inputFiles.length
+    val probe = col("term").isin(phrase.map(x => x: Any): _*)
+    val idx = graft.sources.TableReader.read(spark, idxDir,
+      filter = Some(probe))
+    val read = idx.inputFiles.length
+    require(read > 0 && read < totalFiles,
+      s"text_phrase_refresh: post-compaction pruning must hold " +
+        s"($read of $totalFiles files planned)")
+    graft.pipeline.TextIndex.phraseMatch(idx.filter(probe), phrase)
+      .orderBy("doc_id")
+  }
+
   // ---- incrementally maintained text index ----
 
   private val textRefreshFixtures =
@@ -2546,6 +2638,18 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_hits
         |FROM a JOIN b USING (doc_id, pos)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_phrase_refresh" ->
+      s"""WITH cur AS ($churnedCorpusSql),
+        |pp AS (
+        |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+        |      i -> {'pos': i, 'term': ws[i]})) AS u
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM cur))),
+        |a AS (SELECT doc_id, pos FROM pp WHERE term = 'table'),
+        |b AS (SELECT doc_id, pos - 1 AS pos FROM pp WHERE term = 'scan')
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM a JOIN b USING (doc_id, pos)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_phrase_near" ->
       """WITH pp AS (
         |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
@@ -2759,6 +2863,7 @@ object PipelineQueries {
     "text_search" -> (textSearch _),
     "text_phrase" -> (textPhrase _),
     "text_phrase_near" -> (textPhraseNear _),
+    "text_phrase_refresh" -> (textPhraseRefresh _),
     "text_index_refresh" -> (textIndexRefresh _),
     "text_index_stream" -> (textIndexStream _),
     "bpe_train" -> (bpeTrain _),
