@@ -920,17 +920,31 @@ object Similarity {
       centroids: Seq[(Long, Seq[Long])],
       codebook: Seq[(Int, Long, Seq[Long])],
       readIndex: Seq[Long] => DataFrame, // probed cids -> (vec_id, codes, cid)
-      vectors: DataFrame, // (vec_id, v) — the original vector table
+      /** Candidate vec_ids -> their (vec_id, v) rows. The id set is
+        * handed to the caller so it can PUSH it into the vector scan
+        * (an isin filter prunes row groups / files by stamped bounds) —
+        * at corpus scale the refine stage must read |Q| x topR vectors'
+        * worth of IO, not scan the table and filter. */
+      readVectors: Seq[Long] => DataFrame,
       k: Int,
       topR: Int,
       nProbe: Int = 4,
       numSubs: Int = 4
   ): DataFrame = {
     require(topR >= k, s"topR=$topR must be >= k=$k (refine never shrinks recall)")
-    val cand = ivfPqSearchIndexed(queries, dims, centroids, codebook,
+    // the candidate set is bounded search metadata (|Q| x topR pairs) —
+    // collect it ONCE so (a) the ADC search runs a single time, (b) the
+    // distinct id set can push into the vector scan, and (c) the
+    // re-rank joins against a literal frame
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val candRows = ivfPqSearchIndexed(queries, dims, centroids, codebook,
       readIndex, k = topR, nProbe, numSubs)
       .select("query_id", "vec_id")
-    val scored = vectors.join(broadcast(cand), Seq("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cand = candRows.toDF("query_id", "vec_id")
+    val ids = candRows.map(_._2).distinct.sorted
+    val scored = readVectors(ids).join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("cos_x1e6",
         round(cosine(col("qv"), col("v")) * 1e6).cast("long"))

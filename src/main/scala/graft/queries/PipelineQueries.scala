@@ -945,7 +945,9 @@ object PipelineQueries {
     Similarity.ivfPqSearchRerank(q, dims = 64, cents, cb,
         readIndex = cids => graft.sources.TableReader.read(spark, idxDir,
           filter = Some(col("cid").isin(cids: _*))),
-        vectors = t.select(col("vec_id"), col("embedding").as("v")),
+        readVectors = ids => t
+          .filter(col("vec_id").isin(ids.map(x => x: Any): _*))
+          .select(col("vec_id"), col("embedding").as("v")),
         k = 10, topR = 30, nProbe = 4, numSubs = 4)
       .withColumnRenamed("rank", "rnk")
       .orderBy("query_id", "rnk")
