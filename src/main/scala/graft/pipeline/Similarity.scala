@@ -607,10 +607,23 @@ object Similarity {
   private def trainCodebookCollect(corpusSub: DataFrame, idCol: String,
       codebookSize: Int, lloydIters: Int, seedKey: String)
       : Seq[(Int, Long, Seq[Long])] = {
-    val wInit = Window.partitionBy("m").orderBy(col("h").asc, col(idCol).asc)
-    var cb = collectCodebook(corpusSub
+    // seeding = the codebookSize smallest-hash subvectors PER SUBSPACE.
+    // A window partitioned by m alone would sort the whole N x numSubs
+    // frame on numSubs reducers (the classic low-cardinality-window
+    // skew); instead: exact SALTED two-phase top-K — per-(m, salt)
+    // top-K on 32x more, balanced partitions, then the final top-K over
+    // the <= numSubs x 32 x K survivors (the global top-K is a subset
+    // of the union of per-salt top-Ks for ANY disjoint salting).
+    val hashed = corpusSub
       .withColumn("h", TextFunctions.hash64(lit(seedKey),
         concat(col("m").cast("string"), lit(":"), col(idCol).cast("string"))))
+    val wSalt = Window.partitionBy(col("m"), pmod(col("h"), lit(32L)))
+      .orderBy(col("h").asc, col(idCol).asc)
+    val survivors = hashed
+      .withColumn("srank", row_number().over(wSalt))
+      .filter(col("srank") <= codebookSize)
+    val wInit = Window.partitionBy("m").orderBy(col("h").asc, col(idCol).asc)
+    var cb = collectCodebook(survivors
       .withColumn("irank", row_number().over(wInit))
       .filter(col("irank") <= codebookSize)
       .select(col("m"), col(idCol).as("code"), col("spx").as("cq")))
