@@ -62,6 +62,8 @@ private[sql] object GraftProcedures {
       case "drop_materialized_view" => new DropMaterializedView(resolveDir, catalog)
       case "create_replica" => new CreateReplica(resolveDir, catalog)
       case "sync_replica" => new SyncReplica(resolveDir, catalog)
+      case "refresh_index" => new RefreshIndex(resolveDir, catalog)
+      case "rebuild_index" => new RebuildIndex(resolveDir, catalog)
       case "drop_branch"           => new DropBranch(resolveDir, catalog)
       case "fast_forward"          => new FastForward(resolveDir, catalog)
       case "list_branches"         => new ListBranches(resolveDir, catalog)
@@ -673,6 +675,92 @@ private[sql] object GraftProcedures {
       localScan(out,
         Array(InternalRow(UTF8String.fromString(replicaName), v)),
         s"sync_replica($srcDir)")
+    }
+  }
+
+  /** `CALL refresh_index(index)` — bring a serving index (IVF / IVF-PQ
+    * vector index or tf / positional text index, dispatched on its own
+    * metadata) up to its source corpus's current version via the
+    * one-atomic-commit changelog catch-up. The corpus location comes
+    * from the index's stored source property — an index always knows
+    * what it indexes. Returns (kind, synced_version). */
+  private final class RefreshIndex(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("refresh_index") {
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("index", StringType))
+
+    private val out = StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("synced_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import graft.pipeline.{AnnIndex, TextIndex}
+      val idxDir = resolveDir(input.getUTF8String(0).toString)
+      val props = catalog.loadOrThrow(idxDir).properties
+      val spark = SparkSession.active
+      val (kind, v) =
+        if (props.contains(AnnIndex.CodebookProp))
+          ("ann-ivfpq", AnnIndex.refreshPq(spark,
+            props(AnnIndex.SourceProp), idxDir, catalog))
+        else if (props.contains(AnnIndex.CentroidsProp))
+          ("ann-ivf", AnnIndex.refresh(spark,
+            props(AnnIndex.SourceProp), idxDir, catalog))
+        else if (props.contains(TextIndex.StatsProp))
+          ("text-tf", TextIndex.refresh(spark,
+            props(TextIndex.SourceProp), idxDir, catalog))
+        else if (props.contains(TextIndex.PosProp))
+          ("text-positional", TextIndex.refreshPositional(spark,
+            props(TextIndex.SourceProp), idxDir, catalog))
+        else throw CompactionError.Config(
+          s"$idxDir carries no index metadata — not a maintainable index")
+      localScan(out,
+        Array(InternalRow(UTF8String.fromString(kind), v)),
+        s"refresh_index($idxDir)")
+    }
+  }
+
+  /** `CALL rebuild_index(index, when_drift_over => 1.5)` — the
+    * drift-gated retrain for a frozen-model ANN index: when the last
+    * refresh's stamped quantization error exceeds when_drift_over x
+    * the build baseline, retrain over the current corpus and swap all
+    * rows + model metadata in ONE atomic commit; when_drift_over <= 0
+    * forces the rebuild unconditionally. Returns
+    * (rebuilt, synced_version). */
+  private final class RebuildIndex(resolveDir: String => String,
+      catalog: TableCatalog)
+      extends GraftProcedure("rebuild_index") {
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("index", StringType),
+      inDefault("when_drift_over", DoubleType, "1.5"))
+
+    private val out = StructType(Seq(
+      StructField("rebuilt", BooleanType, nullable = false),
+      StructField("synced_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import graft.pipeline.AnnIndex
+      val idxDir = resolveDir(input.getUTF8String(0).toString)
+      val ratio = input.getDouble(1)
+      val props = catalog.loadOrThrow(idxDir).properties
+      val corpus = props.getOrElse(AnnIndex.SourceProp,
+        throw CompactionError.Config(
+          s"$idxDir carries no ${AnnIndex.SourceProp} — only ANN " +
+            "indexes rebuild (text indexes have no frozen model)"))
+      val spark = SparkSession.active
+      val (rebuilt, v) =
+        if (ratio <= 0.0)
+          (true, AnnIndex.rebuild(spark, corpus, idxDir, catalog))
+        else AnnIndex.rebuildIfDrifted(spark, corpus, idxDir,
+          whenDriftOverX1000 = math.round(ratio * 1000), catalog) match {
+          case Some(v2) => (true, v2)
+          case None => (false, props.get(AnnIndex.SyncedProp)
+            .flatMap(_.toLongOption).getOrElse(-1L))
+        }
+      localScan(out, Array(InternalRow(rebuilt, v)),
+        s"rebuild_index($idxDir)")
     }
   }
 
