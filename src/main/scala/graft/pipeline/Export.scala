@@ -140,6 +140,55 @@ object Export {
     keepIf.select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Deterministic TRAIN/VAL/TEST split — the reproducible holdout
+    * assignment every training run needs before anything touches the
+    * data: each document lands in exactly one named split, decided by a
+    * seeded hash of its id, so (a) the assignment is stable across
+    * re-runs, engines, and cluster sizes (no RNG, no `randomSplit`
+    * whose outcome depends on partitioning), (b) adding documents never
+    * moves an existing document between splits (no leakage of yesterday's
+    * test set into today's train set), and (c) any downstream system can
+    * recompute membership from the id alone.
+    *
+    * Rule: `bucket = seededHash(id) mod 1000`; the ordered `splits`
+    * per-mille weights carve `[0, 1000)` into contiguous ranges
+    * (train 900 / val 50 / test 50 → buckets 0-899 / 900-949 / 950-999).
+    *
+    * Scale shape: one NARROW per-row projection — zero shuffle, zero
+    * driver involvement; the split column composes with partitioned
+    * writes (`partitionBy("split")`) so each split lands as its own
+    * file set.
+    *
+    * @param splits ordered (name, permille) weights; must sum to 1000
+    * @return input columns + `split`
+    */
+  def splitAssign(
+      docs: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Int)],
+      seed: String = "split"
+  ): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splitAssign needs at least one split with a positive weight")
+    require(splits.map(_._2).sum == 1000,
+      s"split weights must sum to 1000 permille, got ${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split names must be unique")
+    require(!docs.columns.contains("split"),
+      "splitAssign writes a `split` column — rename the input's first")
+    val bucket = pmod(h64(seed, col(idCol).cast("string")), lit(1000L))
+    // fold the ordered weights into a CASE chain over cumulative bounds;
+    // the final branch is unconditional so every row lands somewhere
+    val bounds = splits.scanLeft(0)(_ + _._2).tail
+    val assigned = splits.zip(bounds).dropRight(1)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), hi)) =>
+        val cond = bucket < hi
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+      }
+      .fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    docs.withColumn("split", assigned)
+  }
+
   /** Per-domain frequency cap — the "no domain dominates the corpus"
     * rule of web-corpus curation (RefinedWeb / Dolma cap the documents
     * taken per registered domain): keep at most `cap` documents per

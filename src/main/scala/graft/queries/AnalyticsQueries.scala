@@ -767,6 +767,32 @@ object AnalyticsQueries {
       .orderBy("event_type", "bucket")
   }
 
+  /** COHORT RETENTION — the product-analytics staple: users grouped by
+    * the week of their first event (the cohort), and for each
+    * (cohort_week, weeks_since) cell the number of cohort members still
+    * active that many weeks later. Cell (c, 0) is the cohort size, so
+    * retention ratios are derivable without a second pass.
+    *
+    * Scale shape (100 TB of events): activity first collapses to
+    * DISTINCT (user, week) — one shuffle with map-side combine, output
+    * bounded by users × calendar-weeks regardless of event volume —
+    * then the per-user first week is a min-window over that already
+    * tiny frame (uniform user key, no skew), and the final cell count
+    * is an aggregate over cohort-weeks × weeks-since rows. No
+    * per-user event lists, no self-join of the raw event table. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = graft.sources.NanosParquet.readEvents(spark, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000000000) div 604800").as("week"))
+      .distinct()
+    uw.withColumn("cohort_week",
+        min(col("week")).over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   private val windowTopkOracle: String =
     """WITH o AS (
       |  SELECT o_orderpriority, o_orderkey,
@@ -811,6 +837,18 @@ object AnalyticsQueries {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 1000000 // 604800 AS week
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, week,
+        |    min(week) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM uw)
+        |SELECT cohort_week, week - cohort_week AS weeks_since,
+        |  count(*) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_resample" ->
       """WITH agg AS (
         |  SELECT event_type,
@@ -1155,6 +1193,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> (eventsResample _),
+    "events_retention" -> (eventsRetention _),
     "cube_pricing" -> (cubePricing _),
     "events_json" -> (eventsJson _),
     "events_pivot" -> (eventsPivot _),

@@ -588,6 +588,20 @@ object PipelineQueries {
         dims = 1024)
       .orderBy("doc_id")
 
+  /** Sliding-window chunking ([[graft.pipeline.Chunker.chunk]]): 64-token
+    * windows at stride 48 (25% overlap) — the RAG passage-preparation
+    * step. One narrow codegen'd transform+explode, zero shuffle; the
+    * oracle recomputes every chunk from scratch and the per-chunk text
+    * hash certifies the exact token windows byte-for-byte. */
+  def docChunk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.TextFunctions.hash64
+    Chunker.chunk(documents(spark, dir), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        hash64(lit("ch"), col("chunk_text")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // ---- dedup ----
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -740,6 +754,38 @@ object PipelineQueries {
     val c = t.select(col("vec_id"), col("embedding").as("v"))
     Similarity.bruteForceTopK(q, c, k = 10)
       .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** HYBRID retrieval with reciprocal-rank fusion
+    * ([[graft.pipeline.HybridSearch.rrfFuse]]): two queries, each with a
+    * lexical leg (BM25 top-30 for its term set) and a semantic leg
+    * (exact cosine top-30 for its query vector — the embedding of the
+    * same id), fused by integer-exact RRF (1e9 div (60 + rank)) into a
+    * top-15. The per-query lexical rank window runs over an
+    * already-LIMITed 30-row frame (bounded by construction, not by
+    * corpus size); fusion joins two top-k lists — O(queries x k)
+    * regardless of corpus scale. */
+  def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, dir)
+    val emb = embeddings(spark, dir)
+    val termSets = Seq(
+      1L -> Seq("table", "query", "spark"),
+      2L -> Seq("vector", "hash", "stream"))
+    val lex = termSets.map { case (qid, terms) =>
+      TextAnalysis.bm25Rank(docs, "doc_id", "text", terms, k = 30)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("bm25_x1e6").desc, col("doc_id"))).cast("long"))
+        .select(lit(qid).as("query_id"), col("doc_id"), col("rnk"))
+    }.reduce(_ unionByName _)
+    val q = emb.filter(col("vec_id").isin(1L, 2L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id"), col("embedding").as("v"))
+    val sem = Similarity.bruteForceTopK(q, c, k = 30)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("rnk"))
+    HybridSearch.rrfFuse(lex, sem, c = 60, k = 15)
       .orderBy("query_id", "rnk")
   }
 
@@ -1515,6 +1561,26 @@ object PipelineQueries {
         sum(when(col("in_sample"), 1L).otherwise(0L)).as("sampled"),
         count(lit(1)).as("total"))
       .orderBy("lang")
+  }
+
+  /** Deterministic TRAIN/VAL/TEST split ([[graft.pipeline.Export
+    * .splitAssign]]): every document lands in one of train/val/test
+    * (900/50/50 permille) by seeded id hash — stable under re-runs and
+    * corpus growth, zero shuffle. The output certifies the EXACT
+    * assignment, not just the counts: per (split, lang) cell it emits an
+    * XOR checksum of a second, independent id hash, so two assignments
+    * that swap any document pair cannot collide. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.TextFunctions.hash64
+    Export.splitAssign(documents(spark, dir), "doc_id",
+        Seq("train" -> 900, "val" -> 50, "test" -> 50))
+      .withColumn("_ck_h", hash64(lit("ck"), col("doc_id").cast("string")))
+      .groupBy("split", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        expr("bit_xor(_ck_h)").as("id_checksum"))
+      .orderBy("split", "lang")
   }
 
   /** Deterministic shuffled shard layout ([[graft.pipeline.Export
@@ -2307,6 +2373,80 @@ object PipelineQueries {
   private val bm25RankOracle: String =
     bm25OracleOver("SELECT doc_id, text FROM documents")
 
+  /** One lexical leg of the hybrid oracle: BM25 (the exact bm25OracleOver
+    * formula) for `terms`, ranked. Emitted as four CTEs suffixed `sfx`. */
+  private def rrfLexCtes(sfx: Int, terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""tf$sfx AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM ta
+       |  WHERE term IN ($termList) GROUP BY 1, 2, 3),
+       |df$sfx AS (SELECT term, count(*) AS df FROM tf$sfx GROUP BY 1),
+       |sc$sfx AS (
+       |  SELECT doc_id,
+       |    CAST(sum((((2*n - 2*df + 1) * 1000) // (2*df + 1))
+       |      * ((22000 * tf * t)
+       |         // (10 * t * tf + 3 * t + 9 * dl * n))) AS BIGINT) AS s
+       |  FROM tf$sfx JOIN df$sfx USING (term) CROSS JOIN consts
+       |  GROUP BY doc_id),
+       |lex$sfx AS (
+       |  SELECT CAST($sfx AS BIGINT) AS query_id, doc_id,
+       |    CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM sc$sfx)""".stripMargin
+  }
+
+  /** DuckDB replay of hybrid_search_rrf: both BM25 legs recomputed with
+    * the exact integer formula, both cosine legs recomputed exactly,
+    * RRF-fused with the same `1e9 div (60 + rank)` integer contribution. */
+  private val hybridRrfOracle: String =
+    s"""WITH p0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |consts AS (
+       |  SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS t FROM p0),
+       |ta AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+       |  FROM p0),
+       |${rrfLexCtes(1, Seq("table", "query", "spark"))},
+       |${rrfLexCtes(2, Seq("vector", "hash", "stream"))},
+       |lex AS (
+       |  SELECT * FROM lex1 WHERE rnk <= 30
+       |  UNION ALL SELECT * FROM lex2 WHERE rnk <= 30),
+       |ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qv AS (SELECT vec_id AS query_id, v AS q FROM ve WHERE vec_id IN (1, 2)),
+       |vsc AS (
+       |  SELECT query_id, vec_id,
+       |    CAST(round(1e6 * list_dot_product(q, v) /
+       |      (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))))
+       |      AS BIGINT) AS cos
+       |  FROM ve CROSS JOIN qv WHERE vec_id <> query_id),
+       |semr AS (
+       |  SELECT query_id, vec_id AS doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM vsc),
+       |sem AS (SELECT * FROM semr WHERE rnk <= 30),
+       |f AS (
+       |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+       |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |    l.rnk AS lex_rnk, s.rnk AS sem_rnk
+       |  FROM lex l FULL OUTER JOIN sem s
+       |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+       |g AS (
+       |  SELECT query_id, doc_id,
+       |    coalesce(1000000000 // (60 + lex_rnk), 0) +
+       |      coalesce(1000000000 // (60 + sem_rnk), 0) AS rrf_score,
+       |    coalesce(lex_rnk, 0) AS lex_rnk,
+       |    coalesce(sem_rnk, 0) AS sem_rnk
+       |  FROM f),
+       |r AS (
+       |  SELECT query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rnk,
+       |    doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+       |    CAST(lex_rnk AS BIGINT) AS lex_rnk,
+       |    CAST(sem_rnk AS BIGINT) AS sem_rnk
+       |  FROM g)
+       |SELECT query_id, rnk, doc_id, rrf_score, lex_rnk, sem_rnk FROM r
+       |WHERE rnk <= 15 ORDER BY query_id, rnk""".stripMargin
+
   /** The churned corpus the text_index_refresh fixture builds: %7 docs
     * deleted, surviving %11 docs get ' zzz' appended, %13 docs cloned
     * as new ids. MUST mirror buildTextRefreshFixture exactly. */
@@ -2577,6 +2717,38 @@ object PipelineQueries {
          |  count(*) AS kept_docs, CAST(sum(n_chars) AS BIGINT) AS kept_chars
          |FROM r WHERE run < bud
          |GROUP BY source ORDER BY source""".stripMargin,
+    "dataset_split" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CASE WHEN ${h64("'split:' || doc_id")} % 1000 < 900 THEN 'train'
+         |         WHEN ${h64("'split:' || doc_id")} % 1000 < 950 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    ${h64("'ck:' || doc_id")} AS ckh
+         |  FROM documents)
+         |SELECT split, lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  bit_xor(ckh) AS id_checksum
+         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "doc_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+         |                         ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
+         |  FROM n),
+         |s AS (
+         |  SELECT doc_id, chunk_id,
+         |    toks[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS ctoks
+         |  FROM c)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(len(ctoks) AS BIGINT) AS n_tokens,
+         |  ${h64("'ch:' || array_to_string(ctoks, ' ')")} AS chunk_hash
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "hybrid_search_rrf" -> hybridRrfOracle,
     "deterministic_sample" ->
       s"""SELECT lang,
          |  CAST(sum(CASE WHEN ${h64("'smp:' || doc_id")} % 1000 < 200 THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
@@ -2848,7 +3020,10 @@ object PipelineQueries {
     "ann_ivfpq_indexed" -> (annIvfPqIndexed _),
     "ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "ann_ivfpq_refresh" -> (annIvfPqRefresh _),
+    "hybrid_search_rrf" -> (hybridSearchRrf _),
     "kmv_distinct" -> (kmvDistinct _),
+    "dataset_split" -> (datasetSplit _),
+    "doc_chunk" -> (docChunk _),
     "deterministic_sample" -> (deterministicSample _),
     "stratified_sample" -> (stratifiedSample _),
     "uniform_sample" -> (uniformSample _),

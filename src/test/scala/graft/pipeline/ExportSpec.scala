@@ -149,4 +149,56 @@ class ExportSpec extends AnyFunSuite {
       Export.mixtureSample(withHelper, "doc_id", "dom", "toks", lit(10L))
     }
   }
+
+  test("splitAssign partitions the corpus, honors the permille bounds, " +
+    "is growth-stable, and plans zero shuffles") {
+    val splits = Seq("train" -> 900, "val" -> 50, "test" -> 50)
+    val docs = (0L until 2000L).toDF("doc_id").repartition(9)
+    val got = Export.splitAssign(docs, "doc_id", splits)
+    // exactly one split per doc, named as declared
+    assert(got.count() == 2000L)
+    assert(got.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+    // split == the declared CASE over the hash bucket (exact rule)
+    val bucket = pmod(
+      TextFunctions.hash64(lit("split"), col("doc_id").cast("string")),
+      lit(1000L))
+    val bad = got.withColumn("want",
+        when(bucket < 900, "train").when(bucket < 950, "val")
+          .otherwise("test"))
+      .filter(col("split") =!= col("want"))
+    assert(bad.isEmpty, "assignment must equal the cumulative-bound CASE")
+    // growth stability: assignments on a subset are identical — adding
+    // docs never moves an existing doc between splits
+    val sub = Export.splitAssign(
+      docs.filter(col("doc_id") < 500L), "doc_id", splits)
+    assert(sub.collect().toSet ==
+      got.filter(col("doc_id") < 500L).collect().toSet)
+    // narrow: the assignment itself adds no exchange (plan checked on an
+    // un-repartitioned input — the fixture's repartition is not the op's)
+    val p = Export.splitAssign((0L until 100L).toDF("doc_id"), "doc_id", splits)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Exchange"), s"splitAssign must not shuffle:\n$p")
+    // weights are validated
+    intercept[IllegalArgumentException] {
+      Export.splitAssign(docs, "doc_id", Seq("a" -> 600, "b" -> 300))
+    }
+    intercept[IllegalArgumentException] {
+      Export.splitAssign(docs, "doc_id", Seq("a" -> 500, "a" -> 500))
+    }
+    intercept[IllegalArgumentException] {
+      Export.splitAssign(got, "doc_id", splits) // `split` already present
+    }
+  }
+
+  test("splitAssign single-split and boundary weights degenerate sanely") {
+    val docs = (0L until 100L).toDF("doc_id")
+    val one = Export.splitAssign(docs, "doc_id", Seq("all" -> 1000))
+    assert(one.filter(col("split") =!= "all").isEmpty)
+    // a 999/1 split still lands at least the hot side (the 1-permille
+    // side may be empty on 100 ids — that's correct, not a bug)
+    val skew = Export.splitAssign(docs, "doc_id", Seq("big" -> 999, "tiny" -> 1))
+    assert(skew.filter(col("split") === "big").count() >= 95)
+  }
 }
