@@ -793,6 +793,61 @@ object AnalyticsQueries {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  /** PageRank over the supplier CO-OCCURRENCE graph
+    * ([[graft.operators.PageRank]]): suppliers are linked when they
+    * fulfil lines of the same order (parallel edges = co-occurrence
+    * weight), and 3 integer fixed-point iterations rank structural
+    * importance — the crawl-prioritization / corpus-weighting signal,
+    * exercised on the TPC-H graph. The co-occurrence construction is
+    * symmetric, so every node has out-edges (no dangling mass) and the
+    * bit-exact oracle replays all 3 iterations as chained CTEs. */
+  def supplierPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+    graft.operators.PageRank.run(pairs, iters = 3)
+      .withColumnRenamed("node", "s_suppkey")
+      .orderBy("s_suppkey")
+  }
+
+  /** One unrolled PageRank iteration as two chained CTEs (SQL twin of
+    * the update rule in [[graft.operators.PageRank]]). */
+  private def prIterSql(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""s$i AS (
+       |  SELECT e.dst AS node, sum(e.w * ($prev.r // d.deg)) AS s
+       |  FROM e JOIN $prev ON e.src = $prev.node
+       |  JOIN deg d ON e.src = d.node
+       |  GROUP BY 1),
+       |r$i AS (
+       |  SELECT d.node,
+       |    CAST(15000000000000 // (100 * n)
+       |      + (85 * coalesce(s$i.s, 0)) // 100 AS BIGINT) AS r
+       |  FROM deg d CROSS JOIN nn LEFT JOIN s$i ON d.node = s$i.node)"""
+      .stripMargin
+  }
+
+  private val supplierPagerankOracle: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |e0 AS (
+       |  SELECT a.sk AS src, b.sk AS dst FROM li a
+       |  JOIN li b ON a.ok = b.ok AND a.sk <> b.sk),
+       |e AS (SELECT src, dst, count(*) AS w FROM e0 GROUP BY 1, 2),
+       |deg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS deg
+       |        FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r
+       |       FROM deg CROSS JOIN nn),
+       |${prIterSql(1)},
+       |${prIterSql(2)},
+       |${prIterSql(3)}
+       |SELECT d.node AS s_suppkey, r3.r AS pr_x1e12, d.deg
+       |FROM deg d JOIN r3 ON d.node = r3.node ORDER BY 1""".stripMargin
+
   private val windowTopkOracle: String =
     """WITH o AS (
       |  SELECT o_orderpriority, o_orderkey,
@@ -837,6 +892,7 @@ object AnalyticsQueries {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "supplier_pagerank" -> supplierPagerankOracle,
     "events_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,
@@ -1194,6 +1250,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> (eventsResample _),
     "events_retention" -> (eventsRetention _),
+    "supplier_pagerank" -> (supplierPagerank _),
     "cube_pricing" -> (cubePricing _),
     "events_json" -> (eventsJson _),
     "events_pivot" -> (eventsPivot _),

@@ -789,6 +789,24 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Symmetric int8 embedding quantization ([[graft.pipeline.Quantize
+    * .int8Sym]]): the serving-export compression pass — per-vector
+    * scale, codes in [-127, 127], 4x smaller on the wire. The codes
+    * hash certifies every code of every vector byte-for-byte; scale
+    * surfaces as a rounded integer. One narrow projection, no shuffle. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.TextFunctions.hash64
+    Quantize.int8Sym(embeddings(spark, dir), "vec_id", "embedding")
+      .select(col("vec_id"), col("n_dims"),
+        round(col("_q_mx") * 1e9).cast("long").as("mx_x1e9"),
+        aggregate(col("codes"), lit(0L), _ + _).as("code_sum"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + abs(x)).as("code_l1"),
+        hash64(lit("q8"),
+          array_join(transform(col("codes"), _.cast("string")), ","))
+          .as("codes_hash"))
+      .orderBy("vec_id")
+  }
+
   /** LSH-bucketed ANN — the scale path: candidates share an 8-bit
     * hyperplane bucket, exact re-rank within. Recall < 1 vs brute force
     * by construction; fully deterministic. */
@@ -2749,6 +2767,26 @@ object PipelineQueries {
          |  ${h64("'ch:' || array_to_string(ctoks, ' ')")} AS chunk_hash
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "hybrid_search_rrf" -> hybridRrfOracle,
+    "embedding_quantize" ->
+      s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (
+         |  SELECT vec_id, v,
+         |    list_max(list_transform(v, x -> abs(x))) AS mx
+         |  FROM t),
+         |c AS (
+         |  SELECT vec_id, mx,
+         |    CASE WHEN mx = 0
+         |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |      ELSE list_transform(v, x -> CAST(round(127 * x / mx) AS BIGINT))
+         |    END AS codes
+         |  FROM m)
+         |SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+         |  CAST(round(1000000000 * mx) AS BIGINT) AS mx_x1e9,
+         |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+         |  CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT)
+         |    AS code_l1,
+         |  ${h64("'q8:' || array_to_string(codes, ',')")} AS codes_hash
+         |FROM c ORDER BY vec_id""".stripMargin,
     "deterministic_sample" ->
       s"""SELECT lang,
          |  CAST(sum(CASE WHEN ${h64("'smp:' || doc_id")} % 1000 < 200 THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
@@ -3021,6 +3059,7 @@ object PipelineQueries {
     "ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "ann_ivfpq_refresh" -> (annIvfPqRefresh _),
     "hybrid_search_rrf" -> (hybridSearchRrf _),
+    "embedding_quantize" -> (embeddingQuantize _),
     "kmv_distinct" -> (kmvDistinct _),
     "dataset_split" -> (datasetSplit _),
     "doc_chunk" -> (docChunk _),
