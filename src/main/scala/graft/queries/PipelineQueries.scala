@@ -134,7 +134,13 @@ object PipelineQueries {
     * corpus constants (N docs, T tokens) ride as a table property — the
     * searcher never touches the raw corpus. */
   private def buildTextIndex(spark: SparkSession, dir: String): String =
-    textIndexTables.computeIfAbsent(corpusKey(dir), _ => {
+    buildTextIndexOver(spark, documents(spark, dir), corpusKey(dir))
+
+  /** [[buildTextIndex]] generalized to ANY (doc_id, text) corpus frame —
+    * the chunk-level index reuses the whole bucketed-index lifecycle. */
+  private def buildTextIndexOver(spark: SparkSession, corpus: DataFrame,
+      key: (String, Long, Long)): String =
+    textIndexTables.computeIfAbsent(key, _ => {
       val name = s"gtxtx${textIdxCounter.incrementAndGet()}"
       val wh = java.nio.file.Files
         .createTempDirectory(s"graft-txtidx-$name").toString
@@ -145,7 +151,7 @@ object PipelineQueries {
       spark.sql(s"CREATE TABLE $name.db.txtidx " +
         "(term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT) " +
         "PARTITIONED BY (bucket(8, term))")
-      val base = documents(spark, dir).select(col("doc_id"),
+      val base = corpus.select(col("doc_id"),
         split(col("text"), " ").as("toks"))
       val scalars = base.agg(count(lit(1)).as("n"),
         sum(size(col("toks")).cast("long")).as("t")).head()
@@ -205,6 +211,29 @@ object PipelineQueries {
     * buckets, never the corpus. */
   def textSearch(spark: SparkSession, dir: String): DataFrame =
     bm25FromIndex(spark, buildTextIndex(spark, dir), "text_search")
+
+  /** CHUNK-granular retrieval — the composed RAG serving path: the
+    * corpus chunked ([[graft.pipeline.Chunker]], 64/48 windows), a
+    * bucketed inverted index built over the CHUNKS (synthetic key
+    * doc_id*1000 + chunk_id), and BM25 served from that index with the
+    * same pruned-scan contract as `text_search` — a query returns the
+    * passages to stuff into a context window, not whole documents, and
+    * never touches the raw corpus at serve time. */
+  def chunkSearch(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Chunker.chunk(documents(spark, dir), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+        col("chunk_text").as("text"))
+    val (p, len, mt) = corpusKey(dir)
+    val idxDir = buildTextIndexOver(spark, chunks, (s"chunk:$p", len, mt))
+    bm25FromIndex(spark, idxDir, "chunk_search")
+      .select(col("doc_id").as("chunk_key"), col("bm25_x1e6"))
+      .select(col("chunk_key"),
+        expr("chunk_key div 1000").as("doc_id"),
+        pmod(col("chunk_key"), lit(1000L)).as("chunk_id"),
+        col("bm25_x1e6"))
+      .orderBy(col("bm25_x1e6").desc, col("chunk_key"))
+  }
 
   // ---- positional index / phrase search ----
 
@@ -2391,6 +2420,32 @@ object PipelineQueries {
   private val bm25RankOracle: String =
     bm25OracleOver("SELECT doc_id, text FROM documents")
 
+  /** The chunk corpus as SQL (the doc_chunk derivation re-keyed to
+    * doc_id*1000 + chunk_id) — feeds [[bm25OracleOver]] so chunk_search
+    * shares the exact BM25 formula against chunk-level postings. */
+  private val chunkCorpusSql: String =
+    """SELECT doc_id * 1000 + chunk_id AS doc_id,
+      |  array_to_string(ctoks, ' ') AS text
+      |FROM (
+      |  SELECT doc_id, chunk_id,
+      |    toks[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS ctoks
+      |  FROM (
+      |    SELECT doc_id, toks,
+      |      unnest(range(0, CASE WHEN n <= 64 THEN 1
+      |                           ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
+      |    FROM (
+      |      SELECT doc_id,
+      |        list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+      |        CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |          AS BIGINT) AS n
+      |      FROM documents)))""".stripMargin
+
+  private val chunkSearchOracle: String =
+    s"""SELECT doc_id AS chunk_key, doc_id // 1000 AS doc_id,
+       |  doc_id % 1000 AS chunk_id, bm25_x1e6
+       |FROM (${bm25OracleOver(chunkCorpusSql)})
+       |ORDER BY bm25_x1e6 DESC, chunk_key""".stripMargin
+
   /** One lexical leg of the hybrid oracle: BM25 (the exact bm25OracleOver
     * formula) for `terms`, ranked. Emitted as four CTEs suffixed `sfx`. */
   private def rrfLexCtes(sfx: Int, terms: Seq[String]): String = {
@@ -2839,6 +2894,7 @@ object PipelineQueries {
     "bpe_encode" -> bpeEncodeOracle(8),
     "sequence_pack_bpe" -> bpePackOracle(8),
     "text_search" -> bm25RankOracle,
+    "chunk_search" -> chunkSearchOracle,
     "text_phrase" ->
       """WITH pp AS (
         |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
@@ -3077,6 +3133,7 @@ object PipelineQueries {
     "model_gate" -> (modelGate _),
     "bm25_rank" -> (bm25Rank _),
     "text_search" -> (textSearch _),
+    "chunk_search" -> (chunkSearch _),
     "text_phrase" -> (textPhrase _),
     "text_phrase_near" -> (textPhraseNear _),
     "text_phrase_refresh" -> (textPhraseRefresh _),
