@@ -727,7 +727,14 @@ private[sql] object GraftProcedures {
     * the build baseline, retrain over the current corpus and swap all
     * rows + model metadata in ONE atomic commit; when_drift_over <= 0
     * forces the rebuild unconditionally. Returns
-    * (rebuilt, synced_version). */
+    * (rebuilt, synced_version).
+    *
+    * TEXT indexes rebuild too, with layout as the "model": refresh
+    * deltas land unpartitioned (correct but unprunable), so rebuild =
+    * changelog catch-up + a FULL compaction that folds every delta back
+    * into the bucket(term) layout — post-rebuild, a term lookup plans
+    * only its buckets again. No drift signal exists for text, so the
+    * rebuild is unconditional (when_drift_over is ignored). */
   private final class RebuildIndex(resolveDir: String => String,
       catalog: TableCatalog)
       extends GraftProcedure("rebuild_index") {
@@ -741,24 +748,39 @@ private[sql] object GraftProcedures {
       StructField("synced_version", LongType, nullable = false)))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      import graft.pipeline.AnnIndex
+      import graft.pipeline.{AnnIndex, TextIndex}
       val idxDir = resolveDir(input.getUTF8String(0).toString)
       val ratio = input.getDouble(1)
       val props = catalog.loadOrThrow(idxDir).properties
-      val corpus = props.getOrElse(AnnIndex.SourceProp,
-        throw CompactionError.Config(
-          s"$idxDir carries no ${AnnIndex.SourceProp} — only ANN " +
-            "indexes rebuild (text indexes have no frozen model)"))
       val spark = SparkSession.active
-      val (rebuilt, v) =
-        if (ratio <= 0.0)
-          (true, AnnIndex.rebuild(spark, corpus, idxDir, catalog))
-        else AnnIndex.rebuildIfDrifted(spark, corpus, idxDir,
-          whenDriftOverX1000 = math.round(ratio * 1000), catalog) match {
-          case Some(v2) => (true, v2)
-          case None => (false, props.get(AnnIndex.SyncedProp)
-            .flatMap(_.toLongOption).getOrElse(-1L))
-        }
+      val (rebuilt, v) = props.get(AnnIndex.SourceProp) match {
+        case Some(corpus) =>
+          if (ratio <= 0.0)
+            (true, AnnIndex.rebuild(spark, corpus, idxDir, catalog))
+          else AnnIndex.rebuildIfDrifted(spark, corpus, idxDir,
+            whenDriftOverX1000 = math.round(ratio * 1000), catalog) match {
+            case Some(v2) => (true, v2)
+            case None => (false, props.get(AnnIndex.SyncedProp)
+              .flatMap(_.toLongOption).getOrElse(-1L))
+          }
+        case None =>
+          val corpus = props.getOrElse(TextIndex.SourceProp,
+            throw CompactionError.Config(
+              s"$idxDir carries no index source property — not a " +
+                "rebuildable index"))
+          val v2 =
+            if (props.contains(TextIndex.PosProp))
+              TextIndex.refreshPositional(spark, corpus, idxDir, catalog)
+            else TextIndex.refresh(spark, corpus, idxDir, catalog)
+          Compaction.builder()
+            .withSpark(spark)
+            .withTableDir(idxDir)
+            .withCatalog(catalog)
+            .withConfig(CompactionConfig(
+              compactionType = CompactionType.Full))
+            .build().compact()
+          (true, v2)
+      }
       localScan(out, Array(InternalRow(rebuilt, v)),
         s"rebuild_index($idxDir)")
     }

@@ -90,13 +90,42 @@ class IndexProceduresSpec extends AnyFunSuite {
       s"'${graft.pipeline.TextIndex.SourceProp}' = '$wh/db/docs', " +
       s"'${graft.pipeline.TextIndex.SyncedProp}' = " +
       s"'${FileTableCatalog.loadOrThrow(s"$wh/db/docs").version}')")
-    val e = intercept[Exception] {
-      sql("CALL gidxp.system.rebuild_index('db.tidx')").collect()
-    }
-    assert(e.getMessage.contains("only ANN"))
-    // ...but refresh_index dispatches it fine
+    // refresh_index dispatches the text kind
     sql("INSERT INTO gidxp.db.docs VALUES (2, 'b c')")
     val r5 = sql("CALL gidxp.system.refresh_index('db.tidx')").head()
     assert(r5.getString(0) == "text-tf")
+    // text rebuild = changelog catch-up + full compaction: the refresh
+    // deltas accumulated above fold back into one compacted file set,
+    // and the postings equal a from-scratch recompute of the corpus
+    sql("INSERT INTO gidxp.db.docs VALUES (3, 'c d')")
+    val tidxDir = s"$wh/db/tidx"
+    val before = FileTableCatalog.loadOrThrow(tidxDir).files
+    assert(before.exists(_.content != "data"),
+      "fixture must carry a refresh-delta delete backlog to fold")
+    val r6 = sql("CALL gidxp.system.rebuild_index('db.tidx')").head()
+    assert(r6.getBoolean(0), "text rebuild is unconditional")
+    assert(r6.getLong(1) ==
+      FileTableCatalog.loadOrThrow(s"$wh/db/docs").version)
+    // the delta backlog folded: no delete files survive, and every data
+    // file is a compaction output (the upsert deltas are gone)
+    val after = FileTableCatalog.loadOrThrow(tidxDir).files
+    assert(after.forall(_.content == "data"),
+      s"rebuild must fold away delete files: $after")
+    assert(after.forall(_.path.contains("graft-compaction-")),
+      s"rebuild must rewrite every delta into the compacted layout: $after")
+    val got = spark.table("gidxp.db.tidx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = graft.pipeline.TextIndex
+      .postings(spark.table("gidxp.db.docs")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want, "rebuilt postings must equal a full recompute")
+    // an index with NO source property is refused
+    sql("CREATE TABLE gidxp.db.notidx (x BIGINT)")
+    val e = intercept[Exception] {
+      sql("CALL gidxp.system.rebuild_index('db.notidx')").collect()
+    }
+    assert(e.getMessage.contains("not a rebuildable index"))
   }
 }
