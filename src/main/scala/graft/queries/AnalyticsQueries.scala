@@ -813,6 +813,39 @@ object AnalyticsQueries {
       .orderBy("s_suppkey")
   }
 
+  /** Rolling ACTIVE USERS — DAU and trailing-7-day WAU per calendar day
+    * over the events table's full day range (missing days surface as
+    * zeros, not holes). The rolling distinct is computed exactly
+    * without any per-day rescan: activity collapses to DISTINCT
+    * (user, day) first (bounded by users × days, independent of raw
+    * event volume), each activity day then contributes to the ≤ 7
+    * window days it can be seen from (one ×7 explode), and a second
+    * distinct collapses multi-day users inside one window. No window
+    * function over user history, no self-join of the raw events. The
+    * day bounds are one bounded scalar aggregate (two longs to the
+    * driver). */
+  def eventsActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = graft.sources.NanosParquet.readEvents(spark, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000000000) div 86400").as("day"))
+      .distinct()
+    val bounds = ud.agg(min("day"), max("day")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .filter(col("day") <= hi)
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau7"))
+    spark.range(lo, hi + 1).select(col("id").as("day"))
+      .join(dau, Seq("day"), "left")
+      .join(wau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau7"), lit(0L)).as("wau7"))
+      .orderBy("day")
+  }
+
   /** One unrolled PageRank iteration as two chained CTEs (SQL twin of
     * the update rule in [[graft.operators.PageRank]]). */
   private def prIterSql(i: Int): String = {
@@ -893,6 +926,27 @@ object AnalyticsQueries {
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "supplier_pagerank" -> supplierPagerankOracle,
+    "events_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 1000000 // 86400 AS day
+        |  FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |wx AS (
+        |  SELECT DISTINCT user_id, day + o AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+        |  WHERE day + o <= (SELECT hi FROM b)),
+        |wau AS (SELECT day, count(*) AS wau7 FROM wx GROUP BY 1),
+        |grid AS (
+        |  SELECT unnest(range(lo, hi + 1)) AS day FROM b)
+        |SELECT g.day,
+        |  CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+        |  CAST(coalesce(wau.wau7, 0) AS BIGINT) AS wau7
+        |FROM grid g
+        |LEFT JOIN dau ON g.day = dau.day
+        |LEFT JOIN wau ON g.day = wau.day
+        |ORDER BY g.day""".stripMargin,
     "events_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,
@@ -1251,6 +1305,7 @@ object AnalyticsQueries {
     "events_resample" -> (eventsResample _),
     "events_retention" -> (eventsRetention _),
     "supplier_pagerank" -> (supplierPagerank _),
+    "events_active_users" -> (eventsActiveUsers _),
     "cube_pricing" -> (cubePricing _),
     "events_json" -> (eventsJson _),
     "events_pivot" -> (eventsPivot _),
