@@ -35,12 +35,20 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** @param edges (src, dst) directed edge instances (parallel edges =
-    *              weight); src/dst must be the same id domain
+    *              weight); src/dst must be the same id domain, and every
+    *              dst must also appear as a src (validated — a dst-only
+    *              node would silently swallow its inbound mass)
     * @param iters fixed iteration count (>= 1)
     * @return (node, pr_x1e12, deg) — deg is the weighted out-degree
     */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // TOTAL mass is normalized to 1e12 (r0 = 1e12 div N per node), so
+    // every intermediate stays far inside Long: s <= 1e12, 85*s <=
+    // 8.5e13, per-edge w*(r div deg) <= r. The tradeoff is resolution:
+    // per-node fixed-point granularity is 1e12/N (N > 1e12 is refused
+    // implicitly by r0 flooring to 0 — raise the scale before the node
+    // count gets there).
     val scale = 1000000000000L // 1e12
     val e = edges.select(col("src"), col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
@@ -50,6 +58,16 @@ object PageRank {
       .localCheckpoint(true)
     val n = deg.count()
     require(n > 0, "PageRank needs a non-empty graph")
+    // enforce the no-dangling contract instead of silently dropping
+    // dst-only nodes (and the mass flowing into them): one anti-join
+    // over the already-grouped distinct-edge set
+    val dangling = e.join(deg, e("dst") === deg("node"), "left_anti")
+      .select("dst").limit(1).collect()
+    require(dangling.isEmpty,
+      s"dangling node ${dangling.headOption.map(_.get(0)).orNull}: every " +
+        "dst must also have out-edges (symmetrize the graph or drop/" +
+        "self-loop danglings first) — a dst-only node would silently " +
+        "swallow its inbound mass")
     val base = (15L * scale) / (100L * n)
     var ranks = deg.select(col("node"), lit(scale / n).as("r"))
     for (_ <- 1 to iters) {

@@ -825,11 +825,16 @@ object AnalyticsQueries {
     * day bounds are one bounded scalar aggregate (two longs to the
     * driver). */
   def eventsActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    // the raw-event scan + distinct is the dominant cost at scale and
+    // feeds THREE consumers (bounds, dau, wau) — checkpoint it once so
+    // none of them re-pays it
     val ud = graft.sources.NanosParquet.readEvents(spark, dir)
       .select(col("user_id"),
         expr("(ts div 1000000000) div 86400").as("day"))
       .distinct()
+      .localCheckpoint(true)
     val bounds = ud.agg(min("day"), max("day")).head()
+    require(!bounds.isNullAt(0), "events table is empty — no day range")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = ud

@@ -220,17 +220,25 @@ object PipelineQueries {
     * passages to stuff into a context window, not whole documents, and
     * never touches the raw corpus at serve time. */
   def chunkSearch(spark: SparkSession, dir: String): DataFrame = {
+    // synthetic chunk key: doc_id * 1e6 + chunk_id. 1e6 supports docs of
+    // 48M+ tokens; a doc beyond it RAISES instead of silently colliding
+    // two passages onto one posting key (the guard is a codegen'd
+    // conditional — no extra pass)
+    val key = when(col("chunk_id") < 1000000L,
+        col("doc_id") * 1000000L + col("chunk_id"))
+      .otherwise(raise_error(concat(
+        lit("chunk_id overflows the 1e6 key space for doc "),
+        col("doc_id"))).cast("long"))
     val chunks = Chunker.chunk(documents(spark, dir), "doc_id", "text",
         chunkSize = 64, stride = 48)
-      .select((col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
-        col("chunk_text").as("text"))
+      .select(key.as("doc_id"), col("chunk_text").as("text"))
     val (p, len, mt) = corpusKey(dir)
     val idxDir = buildTextIndexOver(spark, chunks, (s"chunk:$p", len, mt))
     bm25FromIndex(spark, idxDir, "chunk_search")
       .select(col("doc_id").as("chunk_key"), col("bm25_x1e6"))
       .select(col("chunk_key"),
-        expr("chunk_key div 1000").as("doc_id"),
-        pmod(col("chunk_key"), lit(1000L)).as("chunk_id"),
+        expr("chunk_key div 1000000").as("doc_id"),
+        pmod(col("chunk_key"), lit(1000000L)).as("chunk_id"),
         col("bm25_x1e6"))
       .orderBy(col("bm25_x1e6").desc, col("chunk_key"))
   }
@@ -2424,7 +2432,7 @@ object PipelineQueries {
     * doc_id*1000 + chunk_id) — feeds [[bm25OracleOver]] so chunk_search
     * shares the exact BM25 formula against chunk-level postings. */
   private val chunkCorpusSql: String =
-    """SELECT doc_id * 1000 + chunk_id AS doc_id,
+    """SELECT doc_id * 1000000 + chunk_id AS doc_id,
       |  array_to_string(ctoks, ' ') AS text
       |FROM (
       |  SELECT doc_id, chunk_id,
@@ -2441,8 +2449,8 @@ object PipelineQueries {
       |      FROM documents)))""".stripMargin
 
   private val chunkSearchOracle: String =
-    s"""SELECT doc_id AS chunk_key, doc_id // 1000 AS doc_id,
-       |  doc_id % 1000 AS chunk_id, bm25_x1e6
+    s"""SELECT doc_id AS chunk_key, doc_id // 1000000 AS doc_id,
+       |  doc_id % 1000000 AS chunk_id, bm25_x1e6
        |FROM (${bm25OracleOver(chunkCorpusSql)})
        |ORDER BY bm25_x1e6 DESC, chunk_key""".stripMargin
 

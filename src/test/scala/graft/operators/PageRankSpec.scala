@@ -60,4 +60,11 @@ class PageRankSpec extends AnyFunSuite {
       PageRank.run(spark.emptyDataset[(Long, Long)].toDF("src", "dst"), 1)
     }
   }
+
+  test("a dangling (dst-only) node is refused, not silently dropped") {
+    val e = intercept[IllegalArgumentException] {
+      PageRank.run(Seq((1L, 2L)).toDF("src", "dst"), iters = 1)
+    }
+    assert(e.getMessage.contains("dangling node 2"))
+  }
 }
