@@ -651,6 +651,72 @@ object PipelineQueries {
         numHashes = 32, bandSize = 4, thresholdX1000 = 500)
       .orderBy("a_id", "b_id")
 
+  private val dedupIdxFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), (String, String)]()
+  private val dedupIdxCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fixture: corpus v1 = docs with doc_id % 5 != 0 (bands indexed),
+    * v2 appends the %5 == 0 docs; ONE atomic refresh catches the index
+    * up. Final corpus == the full documents table, so the oracle's
+    * shingle CTEs replay verbatim. */
+  private def buildDedupIndexFixture(spark: SparkSession, dir: String)
+      : (String, String) =
+    dedupIdxFixtures.computeIfAbsent(corpusKey(dir), _ => {
+      import graft.txn.{FileTableCatalog, TableMetadata, TableSnapshot, TableWrites}
+      val name = s"gdidx${dedupIdxCounter.incrementAndGet()}"
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"graft-didx-corpus-$name").toString
+      TableMetadata.commit(corpusDir, TableSnapshot(1, 1, 0, Nil))
+      val docs0 = documents(spark, dir).select("doc_id", "text").persist()
+      TableWrites.appendData(corpusDir,
+        docs0.filter(col("doc_id") % 5 =!= 0))
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-didx-idx-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.didx " +
+        "(band BIGINT, band_key STRING, doc_id BIGINT)")
+      val idxDir = s"$wh/db/didx"
+      DedupIndex.bandRows(docs0.filter(col("doc_id") % 5 =!= 0),
+          numHashes = 32, bandSize = 4)
+        .createOrReplaceTempView(s"didx_src_$name")
+      spark.sql(s"INSERT INTO $name.db.didx SELECT * FROM didx_src_$name")
+      val v0 = FileTableCatalog.loadOrThrow(corpusDir).version
+      spark.sql(s"ALTER TABLE $name.db.didx SET TBLPROPERTIES (" +
+        s"'${DedupIndex.ParamsProp}' = '32,4', " +
+        s"'${DedupIndex.SourceProp}' = '$corpusDir', " +
+        s"'${DedupIndex.SyncedProp}' = '$v0')")
+      // the new batch lands; ONE atomic refresh catches the index up
+      TableWrites.appendData(corpusDir,
+        docs0.filter(col("doc_id") % 5 === 0))
+      docs0.unpersist()
+      val vBefore = FileTableCatalog.loadOrThrow(idxDir).version
+      DedupIndex.refresh(spark, corpusDir, idxDir)
+      val after = FileTableCatalog.loadOrThrow(idxDir)
+      require(after.version == vBefore + 1,
+        s"dedup_index_probe: the refresh must be ONE atomic commit " +
+          s"(v$vBefore -> v${after.version})")
+      (corpusDir, idxDir)
+    })
+
+  /** Incremental near-dup against the maintained bands index
+    * ([[graft.pipeline.DedupIndex]]): the %5 == 0 docs arrive as a new
+    * batch, the index refreshes by changelog (cost ∝ the batch), and
+    * the probe finds every near-dup pair INVOLVING the batch — band
+    * collisions against the persisted index, exact-jaccard verify on
+    * candidates only. Never a corpus-wide signature recompute, never
+    * all-pairs. The oracle replays the full batch minhash pipeline
+    * filtered to batch-involving pairs — candidate recall and verify
+    * precision both land in the hash match. */
+  def dedupIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val (corpusDir, idxDir) = buildDedupIndexFixture(spark, dir)
+    DedupIndex.probePairs(spark, corpusDir, idxDir,
+        probeFilter = col("doc_id") % 5 === 0, thresholdX1000 = 500)
+      .orderBy("a_id", "b_id")
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(documents(spark, dir), "doc_id", "text", "lang",
         maxDistance = 6)
@@ -2638,6 +2704,19 @@ object PipelineQueries {
          |FROM cand JOIN sig x ON cand.a_id = x.doc_id JOIN sig y ON cand.b_id = y.doc_id
          |WHERE ${QuerySql.jaccardXY} >= 500
          |ORDER BY a_id, b_id""".stripMargin,
+    // the probe serves from the incrementally refreshed bands index;
+    // truth = the batch minhash pipeline restricted to pairs involving
+    // the probed batch (%5 == 0) — same banding, same verify
+    "dedup_index_probe" ->
+      s"""WITH $shinglesCte,
+         |${QuerySql.minhashSigCte},
+         |${QuerySql.minhashCandCte}
+         |SELECT a_id, b_id,
+         |  CAST(${QuerySql.jaccardXY} AS BIGINT) AS jac_x1000
+         |FROM cand JOIN sig x ON cand.a_id = x.doc_id JOIN sig y ON cand.b_id = y.doc_id
+         |WHERE ${QuerySql.jaccardXY} >= 500
+         |  AND (a_id % 5 = 0 OR b_id % 5 = 0)
+         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $shinglesCte,
          |sk AS (
@@ -3096,6 +3175,7 @@ object PipelineQueries {
     "freq_score" -> (freqScore _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_index_probe" -> (dedupIndexProbe _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_minhash_xx" -> (dedupMinhashXx _),
     // the CERTIFIED xx-simhash entry is the planted-corpus run (see

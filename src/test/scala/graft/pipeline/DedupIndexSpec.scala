@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import graft.core.CompactionError
+import graft.txn.{FileTableCatalog, TableMetadata, TableSnapshot, TableWrites}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Incremental near-dup bands index ([[DedupIndex]]): the refresh
+  * lifecycle under churn (update + delete + insert), the serving gate,
+  * and probe == batch-recompute equivalence. */
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mkCorpus(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft-didx-spec").toString
+    TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir, rows.toDF("doc_id", "text"))
+    dir
+  }
+
+  private def mkIndex(corpusDir: String): String = {
+    val idxDir = Files.createTempDirectory("graft-didx-spec-idx").toString
+    TableMetadata.commit(idxDir, TableSnapshot(1, 1, 0, Nil))
+    val corpus = graft.sources.TableReader.read(spark, corpusDir)
+    TableWrites.appendData(idxDir,
+      DedupIndex.bandRows(corpus, numHashes = 32, bandSize = 4))
+    new graft.txn.CommitManager(idxDir).setTableProperties(Map(
+        DedupIndex.ParamsProp -> "32,4",
+        DedupIndex.SourceProp -> corpusDir,
+        DedupIndex.SyncedProp ->
+          FileTableCatalog.loadOrThrow(corpusDir).version.toString),
+      Set.empty, FileTableCatalog.loadOrThrow(idxDir).schemaId)
+    idxDir
+  }
+
+  private def text(seed: Int, n: Int): String =
+    (0 until n).map(i => s"w${(seed + i) % (n + 3)}").mkString(" ")
+
+  test("refresh under churn keeps probe == batch recompute; the gate " +
+    "refuses a lagging index") {
+    // near-dup cluster: 1 and 2 share most shingles; 3 unrelated
+    val base = Seq(
+      1L -> (text(0, 30) + " extra"),
+      2L -> text(0, 30),
+      3L -> text(100, 30))
+    val corpusDir = mkCorpus(base)
+    val idxDir = mkIndex(corpusDir)
+    // churn: update 3 into the cluster, delete 2, insert 4 (a near-copy)
+    TableWrites.upsert(corpusDir,
+      Seq(3L -> (text(0, 30) + " other")).toDF("doc_id", "text"),
+      keyCols = Seq("doc_id"))
+    TableWrites.appendEqualityDeletes(corpusDir,
+      Seq(2L).toDF("doc_id"), Seq("doc_id"))
+    TableWrites.appendData(corpusDir,
+      Seq(4L -> text(0, 30)).toDF("doc_id", "text"))
+    // stale index must refuse to serve
+    val e = intercept[CompactionError.Config] {
+      DedupIndex.probePairs(spark, corpusDir, idxDir, lit(true), 500)
+        .collect()
+    }
+    assert(e.getMessage.contains("lags the corpus"))
+    // ONE atomic refresh, then probe everything == batch recompute
+    val vBefore = FileTableCatalog.loadOrThrow(idxDir).version
+    DedupIndex.refresh(spark, corpusDir, idxDir)
+    assert(FileTableCatalog.loadOrThrow(idxDir).version == vBefore + 1)
+    val got = DedupIndex.probePairs(spark, corpusDir, idxDir, lit(true), 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Dedup.minhashLsh(
+        graft.sources.TableReader.read(spark, corpusDir),
+        "doc_id", "text", numHashes = 32, bandSize = 4,
+        thresholdX1000 = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"probe $got != batch $want")
+    assert(want.exists { case (a, b, _) => a == 1L || b == 4L },
+      "fixture must actually contain near-dup pairs")
+    // deleted doc 2 appears in NO pair
+    assert(!got.exists { case (a, b, _) => a == 2L || b == 2L })
+    // a narrower probe returns exactly the batch-involving subset
+    val probe4 = DedupIndex.probePairs(spark, corpusDir, idxDir,
+        col("doc_id") === 4L, 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe4 == want.filter { case (a, b, _) => a == 4L || b == 4L })
+  }
+
+  test("refresh derives banding from the stored params and no-ops when " +
+    "current; malformed or missing params are refused") {
+    val corpusDir = mkCorpus(Seq(1L -> text(0, 20)))
+    val idxDir = mkIndex(corpusDir)
+    val v = FileTableCatalog.loadOrThrow(corpusDir).version
+    assert(DedupIndex.refresh(spark, corpusDir, idxDir) == v) // no-op
+    new graft.txn.CommitManager(idxDir).setTableProperties(
+      Map(DedupIndex.ParamsProp -> "32"), Set.empty,
+      FileTableCatalog.loadOrThrow(idxDir).schemaId)
+    TableWrites.appendData(corpusDir, Seq(9L -> "x y z").toDF("doc_id", "text"))
+    val e = intercept[CompactionError.Config] {
+      DedupIndex.refresh(spark, corpusDir, idxDir)
+    }
+    assert(e.getMessage.contains("malformed"))
+  }
+}
