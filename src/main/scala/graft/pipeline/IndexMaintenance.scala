@@ -86,9 +86,12 @@ object IndexMaintenance {
             TextIndex.refresh(spark, corpusDir, idxDir, catalog)
           else if (props.contains(TextIndex.PosProp))
             TextIndex.refreshPositional(spark, corpusDir, idxDir, catalog)
+          else if (props.contains(DedupIndex.ParamsProp))
+            DedupIndex.refresh(spark, corpusDir, idxDir, catalog)
           else throw graft.core.CompactionError.Config(
             s"$idxDir carries neither ${AnnIndex.CentroidsProp} nor " +
-              s"${TextIndex.StatsProp} — not a maintainable index")
+              s"${TextIndex.StatsProp} nor ${DedupIndex.ParamsProp} — " +
+              "not a maintainable index")
           // opt-in drift policy: an ANN index carrying a rebuild budget
           // re-trains + swaps right here when the refresh's stamped
           // error trend exceeds it — the full frozen-model lifecycle on

@@ -713,6 +713,9 @@ private[sql] object GraftProcedures {
         else if (props.contains(TextIndex.PosProp))
           ("text-positional", TextIndex.refreshPositional(spark,
             props(TextIndex.SourceProp), idxDir, catalog))
+        else if (props.contains(graft.pipeline.DedupIndex.ParamsProp))
+          ("dedup-bands", graft.pipeline.DedupIndex.refresh(spark,
+            props(graft.pipeline.DedupIndex.SourceProp), idxDir, catalog))
         else throw CompactionError.Config(
           s"$idxDir carries no index metadata — not a maintainable index")
       localScan(out,
@@ -764,12 +767,16 @@ private[sql] object GraftProcedures {
               .flatMap(_.toLongOption).getOrElse(-1L))
           }
         case None =>
-          val corpus = props.getOrElse(TextIndex.SourceProp,
-            throw CompactionError.Config(
+          import graft.pipeline.DedupIndex
+          val corpus = props.get(TextIndex.SourceProp)
+            .orElse(props.get(DedupIndex.SourceProp))
+            .getOrElse(throw CompactionError.Config(
               s"$idxDir carries no index source property — not a " +
                 "rebuildable index"))
           val v2 =
-            if (props.contains(TextIndex.PosProp))
+            if (props.contains(DedupIndex.ParamsProp))
+              DedupIndex.refresh(spark, corpus, idxDir, catalog)
+            else if (props.contains(TextIndex.PosProp))
               TextIndex.refreshPositional(spark, corpus, idxDir, catalog)
             else TextIndex.refresh(spark, corpus, idxDir, catalog)
           Compaction.builder()

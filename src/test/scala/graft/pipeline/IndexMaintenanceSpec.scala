@@ -275,4 +275,37 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     sink(Seq((5L, "e f")).toDF("doc_id", "text"), 3L)
     assert(FileTableCatalog.loadOrThrow(idx).version == vIdx)
   }
+
+  test("refreshAll dispatches a registered DEDUP bands index and the " +
+    "probe serves the post-refresh corpus") {
+    val corpus = Files.createTempDirectory("graft-ims-dd-corpus").toString
+    TableMetadata.commit(corpus, TableSnapshot(1, 1, 0, Nil))
+    def txt(seed: Int): String =
+      (0 until 25).map(i => s"w${(seed + i) % 28}").mkString(" ")
+    TableWrites.appendData(corpus,
+      Seq((1L, txt(0)), (2L, txt(100))).toDF("doc_id", "text").coalesce(1))
+    val idx = Files.createTempDirectory("graft-ims-dd-idx").toString
+    TableMetadata.commit(idx, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(idx, DedupIndex.bandRows(
+      graft.sources.TableReader.read(spark, corpus), 32, 4).coalesce(1))
+    new graft.txn.CommitManager(idx).setTableProperties(Map(
+      DedupIndex.ParamsProp -> "32,4",
+      DedupIndex.SourceProp -> corpus,
+      DedupIndex.SyncedProp ->
+        FileTableCatalog.loadOrThrow(corpus).version.toString),
+      Set.empty,
+      expectedSchemaId = FileTableCatalog.loadOrThrow(idx).schemaId)
+    IndexMaintenance.register(corpus, idx)
+    // a near-copy of doc 1 lands; refreshAll catches the bands index up
+    TableWrites.appendData(corpus,
+      Seq((3L, txt(0) + " tail")).toDF("doc_id", "text").coalesce(1))
+    IndexMaintenance.refreshAll(spark, corpus)
+    assert(FileTableCatalog.loadOrThrow(idx)
+      .properties(DedupIndex.SyncedProp) ==
+      FileTableCatalog.loadOrThrow(corpus).version.toString)
+    val pairs = DedupIndex.probePairs(spark, corpus, idx,
+        col("doc_id") === 3L, 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)), s"expected the planted near-dup: $pairs")
+  }
 }
