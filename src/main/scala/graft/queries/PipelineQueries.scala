@@ -1640,6 +1640,32 @@ object PipelineQueries {
           .as("distinct_estimate"))
   }
 
+  /** PER-GROUP KMV distinct sketches ([[Sketches.KmvDistinctSketch]]
+    * as a registered UDAF under `groupBy`): approximate NDV per key
+    * with the same bounded mergeable state as the global sketch — at
+    * most k sorted hashes per (group, partition) cross the wire
+    * (map-side partial merge), never the distinct values themselves.
+    * The per-group estimate formula is the global one; groups with
+    * fewer than k distinct values are exact by construction. */
+  def kmvByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val kmv = udaf(new Sketches.KmvDistinctSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag").as("flag"),
+        graft.pipeline.TextFunctions
+          .hash64(lit("kmvg"), col("l_orderkey").cast("string")).as("h"))
+      .groupBy("flag")
+      .agg(kmv(col("h")).as("r"))
+      .select(col("flag"),
+        col("r.sketch_size").as("sketch_size"),
+        when(col("r.sketch_size") < k, col("r.sketch_size"))
+          .otherwise(floor(lit((k - 1).toDouble) * math.pow(2.0, 60)
+            / col("r.kth")).cast("long"))
+          .as("distinct_estimate"))
+      .orderBy("flag")
+  }
+
   /** STRATIFIED deterministic sampling — the corpus-REBALANCING shape of
     * training-data pipelines (downsample head languages, keep the tail):
     * each stratum (language) gets its own permille rate, and a document
@@ -2951,6 +2977,24 @@ object PipelineQueries {
          |       ELSE CAST(floor(255.0 * pow(2, 60) / kth) AS BIGINT) END
          |    AS distinct_estimate
          |FROM agg""".stripMargin,
+    "kmv_by_group" ->
+      s"""WITH hashes AS (
+         |  SELECT DISTINCT l_returnflag AS flag,
+         |    ${h64("'kmvg:' || l_orderkey")} AS h
+         |  FROM lineitem),
+         |rk AS (
+         |  SELECT flag, h,
+         |    row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+         |  FROM hashes),
+         |agg AS (
+         |  SELECT flag, max(CASE WHEN rn <= 256 THEN h END) AS kth,
+         |    CAST(sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n
+         |  FROM rk GROUP BY flag)
+         |SELECT flag, n AS sketch_size,
+         |  CASE WHEN n < 256 THEN n
+         |       ELSE CAST(floor(255.0 * pow(2, 60) / kth) AS BIGINT) END
+         |    AS distinct_estimate
+         |FROM agg ORDER BY flag""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -3205,6 +3249,7 @@ object PipelineQueries {
     "hybrid_search_rrf" -> (hybridSearchRrf _),
     "embedding_quantize" -> (embeddingQuantize _),
     "kmv_distinct" -> (kmvDistinct _),
+    "kmv_by_group" -> (kmvByGroup _),
     "dataset_split" -> (datasetSplit _),
     "doc_chunk" -> (docChunk _),
     "deterministic_sample" -> (deterministicSample _),
