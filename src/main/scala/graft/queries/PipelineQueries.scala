@@ -910,6 +910,45 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** HYBRID retrieval SERVED FROM THE PERSISTED INDEXES — the
+    * production composition: the lexical leg is BM25 from the bucketed
+    * text index (term-bucket pruning self-asserted, df from posting
+    * counts — the corpus is never touched), the semantic leg is the
+    * trained-IVF index probe (cid partition pruning self-asserted,
+    * 4 of 16 centroid buckets scanned), fused by the same integer RRF.
+    * At serve time the whole query touches index buckets only; fusion
+    * is O(k). One query (the term set + the embedding of doc 1). */
+  def hybridSearchIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25FromIndex(spark, buildTextIndex(spark, dir),
+        "hybrid_search_indexed")
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("bm25_x1e6").desc, col("doc_id"))).cast("long"))
+      .select(lit(1L).as("query_id"), col("doc_id"), col("rnk"))
+    val idxDir = buildAnnIndex(spark, dir)
+    val cents = decodeCentroids(graft.txn.TableMetadata.loadOrThrow(idxDir)
+      .properties(CentroidsProp))
+    val q = embeddings(spark, dir).filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val totalFiles = graft.sources.TableReader.read(spark, idxDir)
+      .inputFiles.length
+    val sem = Similarity.ivfSearchIndexed(q, cents,
+        readIndex = cids => {
+          val idx = graft.sources.TableReader.read(spark, idxDir,
+            filter = Some(col("cid").isin(cids: _*)))
+          val read = idx.inputFiles.length
+          require(read > 0 && read < totalFiles,
+            s"hybrid_search_indexed: probing ${cids.size} centroids must " +
+              s"prune the scan ($read of $totalFiles files planned)")
+          idx
+        },
+        k = 30, nProbe = 4)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("rnk"))
+    HybridSearch.rrfFuse(lex, sem, c = 60, k = 15)
+      .orderBy("query_id", "rnk")
+  }
+
   /** LSH-bucketed ANN — the scale path: candidates share an 8-bit
     * hyperplane bucket, exact re-rank within. Recall < 1 vs brute force
     * by construction; fully deterministic. */
@@ -2520,6 +2559,44 @@ object PipelineQueries {
   private val bm25RankOracle: String =
     bm25OracleOver("SELECT doc_id, text FROM documents")
 
+  /** hybrid_search_indexed oracle: the BM25 leg (top-20, the index
+    * serving cut) + the trained-IVF probe leg (nProbe 4, top-30) +
+    * the shared fusion tail — the indexes must serve exactly what a
+    * from-scratch replay computes. */
+  private lazy val hybridIndexedOracle: String =
+    s"""WITH p0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |consts AS (
+       |  SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS t FROM p0),
+       |ta AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+       |  FROM p0),
+       |${rrfLexCtes(1, Seq("table", "query", "spark"))},
+       |$ivfTrainingCtes,
+       |hprobes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT tq.vec_id AS query_id, c.cid,
+       |      row_number() OVER (PARTITION BY tq.vec_id ORDER BY
+       |        ${idistSql("tq.px", "c.cq")} ASC, c.cid ASC) AS rnk
+       |    FROM tq CROSS JOIN cent2 c WHERE tq.vec_id = 1)
+       |  WHERE rnk <= 4),
+       |hscored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    CAST(round(1e6 * list_dot_product(q.v, s.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(s.v, s.v))))
+       |      AS BIGINT) AS cos_x1e6
+       |  FROM final_assign a JOIN hprobes p ON a.cid = p.cid
+       |  JOIN t q ON q.vec_id = p.query_id
+       |  JOIN t s ON s.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id),
+       |hsemr AS (
+       |  SELECT query_id, vec_id AS doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_x1e6 DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM hscored),
+       |sem AS (SELECT * FROM hsemr WHERE rnk <= 30),
+       |lex AS (SELECT * FROM lex1 WHERE rnk <= 20),
+       |$rrfFusionTailSql""".stripMargin
+
   /** The chunk corpus as SQL (the doc_chunk derivation re-keyed to
     * doc_id*1000 + chunk_id) — feeds [[bm25OracleOver]] so chunk_search
     * shares the exact BM25 formula against chunk-level postings. */
@@ -2567,6 +2644,33 @@ object PipelineQueries {
        |  FROM sc$sfx)""".stripMargin
   }
 
+  /** The RRF fusion tail over CTEs `lex` and `sem` (each
+    * (query_id, doc_id, rnk)) — shared by both hybrid oracles. */
+  private val rrfFusionTailSql: String =
+    """f AS (
+      |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+      |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+      |    l.rnk AS lex_rnk, s.rnk AS sem_rnk
+      |  FROM lex l FULL OUTER JOIN sem s
+      |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+      |g AS (
+      |  SELECT query_id, doc_id,
+      |    coalesce(1000000000 // (60 + lex_rnk), 0) +
+      |      coalesce(1000000000 // (60 + sem_rnk), 0) AS rrf_score,
+      |    coalesce(lex_rnk, 0) AS lex_rnk,
+      |    coalesce(sem_rnk, 0) AS sem_rnk
+      |  FROM f),
+      |r AS (
+      |  SELECT query_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rnk,
+      |    doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+      |    CAST(lex_rnk AS BIGINT) AS lex_rnk,
+      |    CAST(sem_rnk AS BIGINT) AS sem_rnk
+      |  FROM g)
+      |SELECT query_id, rnk, doc_id, rrf_score, lex_rnk, sem_rnk FROM r
+      |WHERE rnk <= 15 ORDER BY query_id, rnk""".stripMargin
+
   /** DuckDB replay of hybrid_search_rrf: both BM25 legs recomputed with
     * the exact integer formula, both cosine legs recomputed exactly,
     * RRF-fused with the same `1e9 div (60 + rank)` integer contribution. */
@@ -2596,29 +2700,7 @@ object PipelineQueries {
        |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
        |  FROM vsc),
        |sem AS (SELECT * FROM semr WHERE rnk <= 30),
-       |f AS (
-       |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
-       |    coalesce(l.doc_id, s.doc_id) AS doc_id,
-       |    l.rnk AS lex_rnk, s.rnk AS sem_rnk
-       |  FROM lex l FULL OUTER JOIN sem s
-       |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
-       |g AS (
-       |  SELECT query_id, doc_id,
-       |    coalesce(1000000000 // (60 + lex_rnk), 0) +
-       |      coalesce(1000000000 // (60 + sem_rnk), 0) AS rrf_score,
-       |    coalesce(lex_rnk, 0) AS lex_rnk,
-       |    coalesce(sem_rnk, 0) AS sem_rnk
-       |  FROM f),
-       |r AS (
-       |  SELECT query_id,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rnk,
-       |    doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
-       |    CAST(lex_rnk AS BIGINT) AS lex_rnk,
-       |    CAST(sem_rnk AS BIGINT) AS sem_rnk
-       |  FROM g)
-       |SELECT query_id, rnk, doc_id, rrf_score, lex_rnk, sem_rnk FROM r
-       |WHERE rnk <= 15 ORDER BY query_id, rnk""".stripMargin
+       |$rrfFusionTailSql""".stripMargin
 
   /** The churned corpus the text_index_refresh fixture builds: %7 docs
     * deleted, surviving %11 docs get ' zzz' appended, %13 docs cloned
@@ -2935,6 +3017,7 @@ object PipelineQueries {
          |  ${h64("'ch:' || array_to_string(ctoks, ' ')")} AS chunk_hash
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "hybrid_search_rrf" -> hybridRrfOracle,
+    "hybrid_search_indexed" -> hybridIndexedOracle,
     "embedding_quantize" ->
       s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |m AS (
@@ -3247,6 +3330,7 @@ object PipelineQueries {
     "ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "ann_ivfpq_refresh" -> (annIvfPqRefresh _),
     "hybrid_search_rrf" -> (hybridSearchRrf _),
+    "hybrid_search_indexed" -> (hybridSearchIndexed _),
     "embedding_quantize" -> (embeddingQuantize _),
     "kmv_distinct" -> (kmvDistinct _),
     "kmv_by_group" -> (kmvByGroup _),
