@@ -484,4 +484,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"),
       s"pivot must stay pure aggregation:\n$p")
   }
+
+  test("retention: distinct (user, week) is map-side partial before its " +
+    "exchange, and no raw-event self-join exists") {
+    val p = plan(graft.queries.AnalyticsQueries.eventsRetention(spark, dir))
+    assert(p.contains("partial_"),
+      s"the (user, week) distinct must combine map-side:\n$p")
+    assert(!p.contains("Join"),
+      s"retention must never self-join the events:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("pagerank iteration: checkpointed inputs, equi-joins only — " +
+    "no cartesian, no window, rank update map-side partial") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = (0L until 200L).flatMap(i =>
+      Seq((i, (i + 1) % 200), ((i + 1) % 200, i))).toDF("src", "dst")
+    val pr = graft.operators.PageRank.run(edges, iters = 2)
+    val p = plan(pr)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("Window"),
+      s"the rank update must be an aggregate, not a window:\n$p")
+    // lineage is checkpoint-truncated: the final plan reads scans +
+    // joins, never a 2-iteration nested replay of the edge derivation
+    assert(p.split("\n").count(_.contains("Scan ExistingRDD")) >= 2,
+      s"iterations must read checkpointed frames:\n$p")
+  }
+
+  test("hybrid fusion is a bounded-frame full-outer join + one window " +
+    "per query group — never a cartesian, never a corpus-wide sort") {
+    val p = plan(graft.queries.PipelineQueries
+      .hybridSearchRrf(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"fusion joins keyed lists, no cartesian:\n$p")
+    assert(p.contains("FullOuter"),
+      s"absent-leg docs must survive via full outer join:\n$p")
+  }
 }
