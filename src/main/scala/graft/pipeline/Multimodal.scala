@@ -115,6 +115,51 @@ object Multimodal {
     }
   }
 
+  /** Half-scale resize output. */
+  final case class ResizedMedia(
+      doc_id: Long,
+      out_w: Int,
+      out_h: Int,
+      n_pixels: Long,
+      checksum: Long)
+
+  /** Nearest-neighbor HALF-SCALE resize at the codec boundary — the
+    * transform stage of a real media pipeline (decode → resize → embed):
+    * parses the same GIMG container as [[decodeImages]], then samples
+    * every second pixel in each axis (out(x', y') = in(2x', 2y'),
+    * out dims = ceil(in/2) — exactly nearest-neighbor for factor 2).
+    * The pixel arithmetic is integer byte math, so any engine replays
+    * the checksum bit-for-bit. Same scale shape as decode: narrow
+    * per-partition pass, raw bytes never cross a stage boundary, only
+    * the small fixed-width resize summary does. */
+  def resizeNearestHalf(media: Dataset[(Long, Array[Byte])]): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        require(bytes != null && bytes.length >= 8,
+          s"media $id: payload too short (${if (bytes == null) -1 else bytes.length})")
+        require(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'M' && bytes(3) == 'G',
+          s"media $id: bad container magic")
+        val w = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+        val h = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+        require(bytes.length - 8 == w * h,
+          s"media $id: truncated pixel payload (${bytes.length - 8} of ${w * h})")
+        val (ow, oh) = ((w + 1) / 2, (h + 1) / 2)
+        var sum = 0L
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            sum += bytes(8 + (2 * y) * w + 2 * x) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ResizedMedia(id, ow, oh, ow.toLong * oh, sum)
+      }
+    }
+  }
+
   /** Treat documents' text as a binary payload column — the SQL-visible
     * slice of the multimodal path (byte length + md5 digest computed on
     * the BINARY payload; equals md5 of the utf8 string cross-engine). */

@@ -1921,6 +1921,27 @@ object PipelineQueries {
       .toDF().orderBy("doc_id")
   }
 
+  /** Media RESIZE over a VARYING-pixel container ([[Multimodal
+    * .resizeNearestHalf]]): payload pixels are (doc_id + i) % 251 —
+    * unlike the constant-pixel decode fixture, the resize checksum
+    * depends on WHICH pixels the nearest-neighbor sampler picked, so a
+    * hash-match certifies the exact stride-2 index arithmetic, not just
+    * the output dimensions. */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = documents(spark, dir).select(col("doc_id"),
+      expr("""unhex(concat(
+        '47494D47',
+        lpad(hex(cast(doc_id % 16 + 1 as int)), 4, '0'),
+        lpad(hex(cast(doc_id % 8 + 1 as int)), 4, '0'),
+        array_join(transform(
+          sequence(0L, (doc_id % 16 + 1) * (doc_id % 8 + 1) - 1),
+          i -> lpad(hex((doc_id + i) % 251), 2, '0')), '')))""")
+        .as("payload"))
+    Multimodal.resizeNearestHalf(payloads.as[(Long, Array[Byte])])
+      .toDF().orderBy("doc_id")
+  }
+
   // ---- oracle SQL (DuckDB dialect, ANSI where possible) ----
 
   import QuerySql.{h64, shinglesCteFrom}
@@ -3282,6 +3303,22 @@ object PipelineQueries {
         |FROM s ORDER BY doc_id""".stripMargin,
     // recomputed from doc_id arithmetic alone — matching the engine's
     // byte-level container decode certifies the binary round-trip
+    "multimodal_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+        |    CAST(doc_id % 8 + 1 AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, w, h,
+        |        (w + 1) // 2 AS ow, (h + 1) // 2 AS oh FROM dims)
+        |SELECT doc_id,
+        |  CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+        |  CAST(ow * oh AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(flatten(list_transform(range(0, oh), y ->
+        |    list_transform(range(0, ow), x ->
+        |      (doc_id + (2 * y) * w + 2 * x) % 251)))) AS BIGINT)
+        |    AS checksum
+        |FROM r ORDER BY doc_id""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(doc_id % 16 + 1 AS INTEGER) AS width,
@@ -3362,6 +3399,7 @@ object PipelineQueries {
     "substring_dedup" -> (substringDedup _),
     "pii_scrub" -> (piiScrubQuery _),
     "multimodal_meta" -> (multimodalMeta _),
-    "multimodal_decode" -> (multimodalDecode _)
+    "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_resize" -> (multimodalResize _)
   )
 }
