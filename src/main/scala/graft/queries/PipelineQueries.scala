@@ -717,6 +717,84 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
+  private val dedupIdxStreamFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), (String, String)]()
+  private val dedupIdxStreamCounter =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming fixture for the bands index: the corpus arrives as keyed
+    * micro-batches (load; %11 survivors updated with ' zzz' + %7
+    * deleted; %13 cloned as new ids — the text_index_stream churn
+    * verbatim) through an upsert sink wrapped in withIndexMaintenance,
+    * so the REGISTERED bands index auto-refreshes inline per commit. */
+  private def buildDedupIndexStreamFixture(spark: SparkSession, dir: String)
+      : (String, String) =
+    dedupIdxStreamFixtures.computeIfAbsent(corpusKey(dir), _ => {
+      import graft.streaming.StreamingIngest
+      import graft.txn.FileTableCatalog
+      val name = s"gdidxs${dedupIdxStreamCounter.incrementAndGet()}"
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"graft-didxs-corpus-$name").toString
+      val docs0 = documents(spark, dir).select("doc_id", "text").persist()
+      val sink = StreamingIngest.withIndexMaintenance(spark, corpusDir,
+        inner = StreamingIngest.upsertWriter(corpusDir, schemaId = 1,
+          keyCols = Seq("doc_id"), deleteFlagCol = Some("_del")))
+      sink(docs0.withColumn("_del", lit(false)), 0L)
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-didxs-idx-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(s"CREATE TABLE $name.db.didxs " +
+        "(band BIGINT, band_key STRING, doc_id BIGINT)")
+      val idxDir = s"$wh/db/didxs"
+      DedupIndex.bandRows(
+          graft.sources.TableReader.read(spark, corpusDir)
+            .select("doc_id", "text"), numHashes = 32, bandSize = 4)
+        .createOrReplaceTempView(s"didxs_src_$name")
+      spark.sql(s"INSERT INTO $name.db.didxs SELECT * FROM didxs_src_$name")
+      spark.sql(s"ALTER TABLE $name.db.didxs SET TBLPROPERTIES (" +
+        s"'${DedupIndex.ParamsProp}' = '32,4', " +
+        s"'${DedupIndex.SourceProp}' = '$corpusDir', " +
+        s"'${DedupIndex.SyncedProp}' = " +
+        s"'${FileTableCatalog.loadOrThrow(corpusDir).version}')")
+      graft.pipeline.IndexMaintenance.register(corpusDir, idxDir)
+      val vIdx0 = FileTableCatalog.loadOrThrow(idxDir).version
+      sink(docs0.filter(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text"),
+            lit(false).as("_del"))
+        .unionByName(docs0.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("text"), lit(true).as("_del"))), 1L)
+      sink(docs0.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          lit(false).as("_del")), 2L)
+      docs0.unpersist()
+      val idxAfter = FileTableCatalog.loadOrThrow(idxDir)
+      require(idxAfter.version == vIdx0 + 2,
+        s"dedup_index_stream: expected 2 inline refresh commits " +
+          s"(v$vIdx0 -> v${idxAfter.version})")
+      require(idxAfter.properties.get(DedupIndex.SyncedProp)
+          .contains(FileTableCatalog.loadOrThrow(corpusDir).version.toString),
+        "dedup_index_stream: index must be current after the stream")
+      (corpusDir, idxDir)
+    })
+
+  /** Near-dup pairs over the STREAM-MAINTAINED bands index: the corpus
+    * churned through three keyed micro-batches with inline index
+    * maintenance, then the full pair set served from the index (probe =
+    * everything) — which must equal the batch minhash pipeline run from
+    * scratch over the final corpus. Same churn and same truth shape as
+    * `text_index_stream`: streaming maintenance is indistinguishable
+    * from a one-shot batch build. */
+  def dedupIndexStream(spark: SparkSession, dir: String): DataFrame = {
+    val (corpusDir, idxDir) = buildDedupIndexStreamFixture(spark, dir)
+    DedupIndex.probePairs(spark, corpusDir, idxDir,
+        probeFilter = lit(true), thresholdX1000 = 500)
+      .orderBy("a_id", "b_id")
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(documents(spark, dir), "doc_id", "text", "lang",
         maxDistance = 6)
@@ -2846,6 +2924,18 @@ object PipelineQueries {
          |WHERE ${QuerySql.jaccardXY} >= 500
          |  AND (a_id % 5 = 0 OR b_id % 5 = 0)
          |ORDER BY a_id, b_id""".stripMargin,
+    // the stream-maintained bands index must serve the full pair set of
+    // the CHURNED corpus exactly as the batch pipeline computes it
+    "dedup_index_stream" ->
+      s"""WITH cur AS ($churnedCorpusSql),
+         |${QuerySql.shinglesCteFrom("(SELECT doc_id, text, 'x' AS lang FROM cur)")},
+         |${QuerySql.minhashSigCte},
+         |${QuerySql.minhashCandCte}
+         |SELECT a_id, b_id,
+         |  CAST(${QuerySql.jaccardXY} AS BIGINT) AS jac_x1000
+         |FROM cand JOIN sig x ON cand.a_id = x.doc_id JOIN sig y ON cand.b_id = y.doc_id
+         |WHERE ${QuerySql.jaccardXY} >= 500
+         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $shinglesCte,
          |sk AS (
@@ -3340,6 +3430,7 @@ object PipelineQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_index_probe" -> (dedupIndexProbe _),
+    "dedup_index_stream" -> (dedupIndexStream _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_minhash_xx" -> (dedupMinhashXx _),
     // the CERTIFIED xx-simhash entry is the planted-corpus run (see
