@@ -160,6 +160,51 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling output. */
+  final case class SampledFrames(
+      doc_id: Long,
+      n_frames: Int,
+      n_sampled: Long,
+      checksum: Long)
+
+  /** VIDEO frame sampling at the codec boundary — the "every k-th
+    * frame" decimation a video-training pipeline runs before embedding:
+    * parses a fake-video container (magic "GVID" ‖ uint16-BE frame
+    * count ‖ uint16-BE bytes-per-frame ‖ frames back-to-back) and sums
+    * ONLY the sampled frames' bytes, so the checksum certifies the
+    * exact frame-boundary arithmetic (which bytes belong to frame f).
+    * Narrow per-partition pass; the raw frames never leave the task. */
+  def sampleFrames(media: Dataset[(Long, Array[Byte])],
+      every: Int): Dataset[SampledFrames] = {
+    require(every > 0, s"sampling stride must be positive, got $every")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        require(bytes != null && bytes.length >= 8,
+          s"media $id: payload too short (${if (bytes == null) -1 else bytes.length})")
+        require(bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == 'I' && bytes(3) == 'D',
+          s"media $id: bad container magic")
+        val nFrames = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+        val frameBytes = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+        require(bytes.length - 8 == nFrames * frameBytes,
+          s"media $id: truncated frames (${bytes.length - 8} of ${nFrames * frameBytes})")
+        var sum = 0L
+        var sampled = 0L
+        var f = 0
+        while (f < nFrames) {
+          var j = 0
+          while (j < frameBytes) {
+            sum += bytes(8 + f * frameBytes + j) & 0xff
+            j += 1
+          }
+          sampled += 1
+          f += every
+        }
+        SampledFrames(id, nFrames, sampled, sum)
+      }
+    }
+  }
+
   /** Treat documents' text as a binary payload column — the SQL-visible
     * slice of the multimodal path (byte length + md5 digest computed on
     * the BINARY payload; equals md5 of the utf8 string cross-engine). */

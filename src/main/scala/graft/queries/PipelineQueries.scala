@@ -2020,6 +2020,26 @@ object PipelineQueries {
       .toDF().orderBy("doc_id")
   }
 
+  /** Video FRAME SAMPLING over a varying-byte container ([[Multimodal
+    * .sampleFrames]], every 3rd frame): byte value at global index i is
+    * (doc_id*7 + i) % 251, so the checksum depends on exactly which
+    * frame ranges the sampler read — frame-boundary arithmetic is
+    * certified, not just counts. */
+  def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = documents(spark, dir).select(col("doc_id"),
+      expr("""unhex(concat(
+        '47564944',
+        lpad(hex(cast(doc_id % 12 + 1 as int)), 4, '0'),
+        lpad(hex(cast(doc_id % 5 + 2 as int)), 4, '0'),
+        array_join(transform(
+          sequence(0L, (doc_id % 12 + 1) * (doc_id % 5 + 2) - 1),
+          i -> lpad(hex((doc_id * 7 + i) % 251), 2, '0')), '')))""")
+        .as("payload"))
+    Multimodal.sampleFrames(payloads.as[(Long, Array[Byte])], every = 3)
+      .toDF().orderBy("doc_id")
+  }
+
   // ---- oracle SQL (DuckDB dialect, ANSI where possible) ----
 
   import QuerySql.{h64, shinglesCteFrom}
@@ -3393,6 +3413,19 @@ object PipelineQueries {
         |FROM s ORDER BY doc_id""".stripMargin,
     // recomputed from doc_id arithmetic alone — matching the engine's
     // byte-level container decode certifies the binary round-trip
+    "multimodal_framesample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 12 + 1 AS BIGINT) AS nf,
+        |    CAST(doc_id % 5 + 2 AS BIGINT) AS fb
+        |  FROM documents)
+        |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+        |  CAST((nf + 2) // 3 AS BIGINT) AS n_sampled,
+        |  CAST(list_sum(flatten(list_transform(range(0, (nf + 2) // 3), s ->
+        |    list_transform(range(0, fb), j ->
+        |      (doc_id * 7 + (3 * s) * fb + j) % 251)))) AS BIGINT)
+        |    AS checksum
+        |FROM d ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """WITH dims AS (
         |  SELECT doc_id,
@@ -3491,6 +3524,7 @@ object PipelineQueries {
     "pii_scrub" -> (piiScrubQuery _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
-    "multimodal_resize" -> (multimodalResize _)
+    "multimodal_resize" -> (multimodalResize _),
+    "multimodal_framesample" -> (multimodalFrameSample _)
   )
 }
