@@ -28,9 +28,11 @@ object DedupIndex {
 
   val SourceProp = "graft.dedupidx.source"
   val SyncedProp = "graft.dedupidx.synced-version"
-  /** "numHashes,bandSize" — frozen at build time; a probe or refresh
-    * with different parameters would silently never collide, so both
-    * derive them from the stored property. */
+  /** "numHashes,bandSize[,hashKind]" — frozen at build time; a probe or
+    * refresh with different parameters (INCLUDING the hash family —
+    * md5 rows never collide with xx rows) would silently never match,
+    * so both derive all three from the stored property. Two-token
+    * legacy values read as md5. */
   val ParamsProp = "graft.dedupidx.params"
 
   /** LSH band rows of a (doc_id, text) frame: (band, band_key, doc_id),
@@ -54,13 +56,20 @@ object DedupIndex {
         col("doc_id"))
   }
 
-  private def params(props: Map[String, String], idxDir: String): (Int, Int) =
+  private def params(props: Map[String, String], idxDir: String)
+      : (Int, Int, String) =
     props.get(ParamsProp) match {
-      case Some(s) => s.split(",") match {
-        case Array(nh, bs) => (nh.toInt, bs.toInt)
-        case _ => throw CompactionError.Config(
-          s"$idxDir carries a malformed $ParamsProp: $s")
-      }
+      case Some(s) =>
+        def int(t: String): Int = t.toIntOption.getOrElse(
+          throw CompactionError.Config(
+            s"$idxDir carries a malformed $ParamsProp: $s"))
+        s.split(",") match {
+          case Array(nh, bs) => (int(nh), int(bs), "md5")
+          case Array(nh, bs, hk) if hk == "md5" || hk == "xx" =>
+            (int(nh), int(bs), hk)
+          case _ => throw CompactionError.Config(
+            s"$idxDir carries a malformed $ParamsProp: $s")
+        }
       case None => throw CompactionError.Config(
         s"$idxDir carries no $ParamsProp — not a dedup index")
     }
@@ -81,7 +90,7 @@ object DedupIndex {
     if (!idx.properties.get(SourceProp).contains(corpusDir))
       throw CompactionError.Config(
         s"$idxDir does not index $corpusDir (build it first)")
-    val (numHashes, bandSize) = params(idx.properties, idxDir)
+    val (numHashes, bandSize, hashKind) = params(idx.properties, idxDir)
     val lastV = idx.properties.get(SyncedProp).flatMap(_.toLongOption)
       .getOrElse(throw CompactionError.Config(
         s"$idxDir carries no synced-version marker"))
@@ -101,7 +110,7 @@ object DedupIndex {
       val ins = net.filter(col("_change_type") === "insert")
         .select("doc_id", "text")
       val changedIds = net.select("doc_id").distinct()
-      TableWrites.upsert(idxDir, bandRows(ins, numHashes, bandSize),
+      TableWrites.upsert(idxDir, bandRows(ins, numHashes, bandSize, hashKind),
         keyCols = Seq("doc_id"),
         catalog = catalog,
         deleteKeys = Some(changedIds),
@@ -145,11 +154,11 @@ object DedupIndex {
     if (!synced.contains(curV)) throw CompactionError.Config(
       s"$idxDir lags the corpus (synced ${synced.getOrElse(-1L)}, " +
         s"corpus v$curV) — refresh before serving")
-    val (numHashes, bandSize) = params(idx.properties, idxDir)
+    val (numHashes, bandSize, hashKind) = params(idx.properties, idxDir)
     val corpus = TableReader.read(spark, corpusDir, catalog = catalog)
       .select(col("doc_id"), col("text"))
     val probeBands = bandRows(corpus.filter(probeFilter),
-      numHashes, bandSize)
+      numHashes, bandSize, hashKind)
       .withColumnRenamed("doc_id", "p_id")
     val idxBands = TableReader.read(spark, idxDir, catalog = catalog)
     val cand = probeBands
@@ -160,10 +169,19 @@ object DedupIndex {
       .select(least(col("p_id"), idxBands("doc_id")).as("a_id"),
         greatest(col("p_id"), idxBands("doc_id")).as("b_id"))
       .distinct()
-    val shhOf = corpus.select(col("doc_id"),
-      graft.functions.HashColumns
-        .hashedSet(TextFunctions.shingles3(col("text")), "j", "md5")
-        .as("shh"))
+    // verification ∝ candidates: only the candidate ids' texts pay the
+    // shingle + set-hash cost — the semi-join prunes the corpus scan
+    // BEFORE the expensive projection (the ANN re-rank id-pushdown
+    // pattern), never a corpus-wide signature pass
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .unionByName(cand.select(col("b_id").as("doc_id")))
+      .distinct()
+    val shhOf = corpus
+      .join(candIds, Seq("doc_id"), "leftsemi")
+      .select(col("doc_id"),
+        graft.functions.HashColumns
+          .hashedSet(TextFunctions.shingles3(col("text")), "j", hashKind)
+          .as("shh"))
     cand
       .join(shhOf.as("x"), col("a_id") === col("x.doc_id"))
       .join(shhOf.as("y"), col("b_id") === col("y.doc_id"))

@@ -696,26 +696,32 @@ private[sql] object GraftProcedures {
       StructField("synced_version", LongType, nullable = false)))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      import graft.pipeline.{AnnIndex, TextIndex}
+      import graft.pipeline.{AnnIndex, DedupIndex, TextIndex}
       val idxDir = resolveDir(input.getUTF8String(0).toString)
       val props = catalog.loadOrThrow(idxDir).properties
       val spark = SparkSession.active
+      // every branch resolves its source through this, so a half-
+      // configured index raises a structured Config error naming the
+      // missing property, never a bare NoSuchElementException
+      def src(key: String): String = props.getOrElse(key,
+        throw CompactionError.Config(
+          s"$idxDir carries no $key — index without a source corpus"))
       val (kind, v) =
         if (props.contains(AnnIndex.CodebookProp))
           ("ann-ivfpq", AnnIndex.refreshPq(spark,
-            props(AnnIndex.SourceProp), idxDir, catalog))
+            src(AnnIndex.SourceProp), idxDir, catalog))
         else if (props.contains(AnnIndex.CentroidsProp))
           ("ann-ivf", AnnIndex.refresh(spark,
-            props(AnnIndex.SourceProp), idxDir, catalog))
+            src(AnnIndex.SourceProp), idxDir, catalog))
         else if (props.contains(TextIndex.StatsProp))
           ("text-tf", TextIndex.refresh(spark,
-            props(TextIndex.SourceProp), idxDir, catalog))
+            src(TextIndex.SourceProp), idxDir, catalog))
         else if (props.contains(TextIndex.PosProp))
           ("text-positional", TextIndex.refreshPositional(spark,
-            props(TextIndex.SourceProp), idxDir, catalog))
-        else if (props.contains(graft.pipeline.DedupIndex.ParamsProp))
-          ("dedup-bands", graft.pipeline.DedupIndex.refresh(spark,
-            props(graft.pipeline.DedupIndex.SourceProp), idxDir, catalog))
+            src(TextIndex.SourceProp), idxDir, catalog))
+        else if (props.contains(DedupIndex.ParamsProp))
+          ("dedup-bands", DedupIndex.refresh(spark,
+            src(DedupIndex.SourceProp), idxDir, catalog))
         else throw CompactionError.Config(
           s"$idxDir carries no index metadata — not a maintainable index")
       localScan(out,

@@ -92,13 +92,48 @@ class DedupIndexSpec extends AnyFunSuite {
     val idxDir = mkIndex(corpusDir)
     val v = FileTableCatalog.loadOrThrow(corpusDir).version
     assert(DedupIndex.refresh(spark, corpusDir, idxDir) == v) // no-op
-    new graft.txn.CommitManager(idxDir).setTableProperties(
-      Map(DedupIndex.ParamsProp -> "32"), Set.empty,
-      FileTableCatalog.loadOrThrow(idxDir).schemaId)
     TableWrites.appendData(corpusDir, Seq(9L -> "x y z").toDF("doc_id", "text"))
-    val e = intercept[CompactionError.Config] {
-      DedupIndex.refresh(spark, corpusDir, idxDir)
+    for (bad <- Seq("32", "32x,4", "32,4,sha1")) {
+      new graft.txn.CommitManager(idxDir).setTableProperties(
+        Map(DedupIndex.ParamsProp -> bad), Set.empty,
+        FileTableCatalog.loadOrThrow(idxDir).schemaId)
+      val e = intercept[CompactionError.Config] {
+        DedupIndex.refresh(spark, corpusDir, idxDir)
+      }
+      assert(e.getMessage.contains("malformed"), s"params '$bad'")
     }
-    assert(e.getMessage.contains("malformed"))
+  }
+
+  test("the hash family is frozen in the params property: an xx index " +
+    "refreshes and probes with xx, matching the xx batch pipeline") {
+    val base = Seq(
+      1L -> (text(0, 30) + " extra"),
+      2L -> text(0, 30),
+      3L -> text(100, 30))
+    val corpusDir = mkCorpus(base)
+    val idxDir = Files.createTempDirectory("graft-didx-xx-idx").toString
+    TableMetadata.commit(idxDir, TableSnapshot(1, 1, 0, Nil))
+    val corpus0 = graft.sources.TableReader.read(spark, corpusDir)
+    TableWrites.appendData(idxDir,
+      DedupIndex.bandRows(corpus0, 32, 4, hashKind = "xx"))
+    new graft.txn.CommitManager(idxDir).setTableProperties(Map(
+        DedupIndex.ParamsProp -> "32,4,xx",
+        DedupIndex.SourceProp -> corpusDir,
+        DedupIndex.SyncedProp ->
+          FileTableCatalog.loadOrThrow(corpusDir).version.toString),
+      Set.empty, FileTableCatalog.loadOrThrow(idxDir).schemaId)
+    // churn + refresh: the re-derived rows must use the FROZEN xx family
+    TableWrites.appendData(corpusDir,
+      Seq(4L -> text(0, 30)).toDF("doc_id", "text"))
+    DedupIndex.refresh(spark, corpusDir, idxDir)
+    val got = DedupIndex.probePairs(spark, corpusDir, idxDir, lit(true), 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Dedup.minhashLsh(
+        graft.sources.TableReader.read(spark, corpusDir),
+        "doc_id", "text", numHashes = 32, bandSize = 4,
+        thresholdX1000 = 500, hashKind = "xx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty,
+      s"xx probe $got must equal the xx batch $want")
   }
 }
