@@ -28,6 +28,52 @@ object IndexMaintenance {
   /** Comma-separated index dirs on the CORPUS table. */
   val RegisteredProp = "graft.index.registered"
 
+  /** One registered index kind: the marker property that identifies it,
+    * its display name, the property naming its source corpus, and its
+    * changelog catch-up. */
+  final case class IndexKind(
+      markerProp: String,
+      kind: String,
+      sourceProp: String,
+      refresh: (SparkSession, String, String, TableCatalog) => Long)
+
+  /** THE index-kind dispatch table — refreshAll, `CALL refresh_index`,
+    * and `CALL rebuild_index` all resolve through this, so a new index
+    * kind is added in exactly one place. ORDER MATTERS: an IVF-PQ index
+    * carries BOTH CodebookProp and CentroidsProp, so the codebook row
+    * must come first (the plain IVF path would write (vec_id, v, cid)
+    * rows into a (vec_id, codes, cid) table). */
+  val kinds: Seq[IndexKind] = Seq(
+    IndexKind(AnnIndex.CodebookProp, "ann-ivfpq", AnnIndex.SourceProp,
+      AnnIndex.refreshPq(_, _, _, _)),
+    IndexKind(AnnIndex.CentroidsProp, "ann-ivf", AnnIndex.SourceProp,
+      AnnIndex.refresh(_, _, _, _)),
+    IndexKind(TextIndex.StatsProp, "text-tf", TextIndex.SourceProp,
+      TextIndex.refresh(_, _, _, _)),
+    IndexKind(TextIndex.PosProp, "text-positional", TextIndex.SourceProp,
+      TextIndex.refreshPositional(_, _, _, _)),
+    IndexKind(DedupIndex.ParamsProp, "dedup-bands", DedupIndex.SourceProp,
+      DedupIndex.refresh(_, _, _, _)))
+
+  /** Resolve an index's kind from its table properties (first marker
+    * match wins — see the ordering note on [[kinds]]). */
+  def kindOf(props: Map[String, String]): Option[IndexKind] =
+    kinds.find(k => props.contains(k.markerProp))
+
+  /** [[kindOf]] that throws the standard structured error. */
+  def kindOfOrThrow(props: Map[String, String], idxDir: String): IndexKind =
+    kindOf(props).getOrElse(throw graft.core.CompactionError.Config(
+      s"$idxDir carries no index metadata (none of " +
+        s"${kinds.map(_.markerProp).mkString(", ")}) — not a " +
+        "maintainable index"))
+
+  /** The index's stored source corpus, structurally validated. */
+  def sourceOf(kind: IndexKind, props: Map[String, String],
+      idxDir: String): String =
+    props.getOrElse(kind.sourceProp, throw graft.core.CompactionError
+      .Config(s"$idxDir carries no ${kind.sourceProp} — index without " +
+        "a source corpus"))
+
   def parseList(raw: String): Seq[String] =
     raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
   def encodeList(dirs: Seq[String]): String = dirs.mkString(",")
@@ -78,20 +124,8 @@ object IndexMaintenance {
       .flatMap { idxDir =>
         try {
           val props = catalog.loadOrThrow(idxDir).properties
-          if (props.contains(AnnIndex.CodebookProp))
-            AnnIndex.refreshPq(spark, corpusDir, idxDir, catalog)
-          else if (props.contains(AnnIndex.CentroidsProp))
-            AnnIndex.refresh(spark, corpusDir, idxDir, catalog)
-          else if (props.contains(TextIndex.StatsProp))
-            TextIndex.refresh(spark, corpusDir, idxDir, catalog)
-          else if (props.contains(TextIndex.PosProp))
-            TextIndex.refreshPositional(spark, corpusDir, idxDir, catalog)
-          else if (props.contains(DedupIndex.ParamsProp))
-            DedupIndex.refresh(spark, corpusDir, idxDir, catalog)
-          else throw graft.core.CompactionError.Config(
-            s"$idxDir carries neither ${AnnIndex.CentroidsProp} nor " +
-              s"${TextIndex.StatsProp} nor ${DedupIndex.ParamsProp} — " +
-              "not a maintainable index")
+          kindOfOrThrow(props, idxDir)
+            .refresh(spark, corpusDir, idxDir, catalog)
           // opt-in drift policy: an ANN index carrying a rebuild budget
           // re-trains + swaps right here when the refresh's stamped
           // error trend exceeds it — the full frozen-model lifecycle on

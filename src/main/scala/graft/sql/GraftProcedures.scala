@@ -696,34 +696,15 @@ private[sql] object GraftProcedures {
       StructField("synced_version", LongType, nullable = false)))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      import graft.pipeline.{AnnIndex, DedupIndex, TextIndex}
+      import graft.pipeline.IndexMaintenance
       val idxDir = resolveDir(input.getUTF8String(0).toString)
       val props = catalog.loadOrThrow(idxDir).properties
       val spark = SparkSession.active
-      // every branch resolves its source through this, so a half-
-      // configured index raises a structured Config error naming the
-      // missing property, never a bare NoSuchElementException
-      def src(key: String): String = props.getOrElse(key,
-        throw CompactionError.Config(
-          s"$idxDir carries no $key — index without a source corpus"))
-      val (kind, v) =
-        if (props.contains(AnnIndex.CodebookProp))
-          ("ann-ivfpq", AnnIndex.refreshPq(spark,
-            src(AnnIndex.SourceProp), idxDir, catalog))
-        else if (props.contains(AnnIndex.CentroidsProp))
-          ("ann-ivf", AnnIndex.refresh(spark,
-            src(AnnIndex.SourceProp), idxDir, catalog))
-        else if (props.contains(TextIndex.StatsProp))
-          ("text-tf", TextIndex.refresh(spark,
-            src(TextIndex.SourceProp), idxDir, catalog))
-        else if (props.contains(TextIndex.PosProp))
-          ("text-positional", TextIndex.refreshPositional(spark,
-            src(TextIndex.SourceProp), idxDir, catalog))
-        else if (props.contains(DedupIndex.ParamsProp))
-          ("dedup-bands", DedupIndex.refresh(spark,
-            src(DedupIndex.SourceProp), idxDir, catalog))
-        else throw CompactionError.Config(
-          s"$idxDir carries no index metadata — not a maintainable index")
+      // one dispatch table for every maintenance surface — see
+      // IndexMaintenance.kinds for the marker ordering contract
+      val ik = IndexMaintenance.kindOfOrThrow(props, idxDir)
+      val (kind, v) = (ik.kind, ik.refresh(spark,
+        IndexMaintenance.sourceOf(ik, props, idxDir), idxDir, catalog))
       localScan(out,
         Array(InternalRow(UTF8String.fromString(kind), v)),
         s"refresh_index($idxDir)")
@@ -757,7 +738,7 @@ private[sql] object GraftProcedures {
       StructField("synced_version", LongType, nullable = false)))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      import graft.pipeline.{AnnIndex, TextIndex}
+      import graft.pipeline.AnnIndex
       val idxDir = resolveDir(input.getUTF8String(0).toString)
       val ratio = input.getDouble(1)
       val props = catalog.loadOrThrow(idxDir).properties
@@ -773,18 +754,13 @@ private[sql] object GraftProcedures {
               .flatMap(_.toLongOption).getOrElse(-1L))
           }
         case None =>
-          import graft.pipeline.DedupIndex
-          val corpus = props.get(TextIndex.SourceProp)
-            .orElse(props.get(DedupIndex.SourceProp))
-            .getOrElse(throw CompactionError.Config(
-              s"$idxDir carries no index source property — not a " +
-                "rebuildable index"))
-          val v2 =
-            if (props.contains(DedupIndex.ParamsProp))
-              DedupIndex.refresh(spark, corpus, idxDir, catalog)
-            else if (props.contains(TextIndex.PosProp))
-              TextIndex.refreshPositional(spark, corpus, idxDir, catalog)
-            else TextIndex.refresh(spark, corpus, idxDir, catalog)
+          import graft.pipeline.IndexMaintenance
+          // non-frozen-model kinds (text/positional/bands) rebuild as
+          // catch-up + delta fold; the shared dispatch table routes the
+          // catch-up and validates the stored source structurally
+          val ik = IndexMaintenance.kindOfOrThrow(props, idxDir)
+          val corpus = IndexMaintenance.sourceOf(ik, props, idxDir)
+          val v2 = ik.refresh(spark, corpus, idxDir, catalog)
           Compaction.builder()
             .withSpark(spark)
             .withTableDir(idxDir)

@@ -126,6 +126,6 @@ class IndexProceduresSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       sql("CALL gidxp.system.rebuild_index('db.notidx')").collect()
     }
-    assert(e.getMessage.contains("not a rebuildable index"))
+    assert(e.getMessage.contains("not a maintainable index"))
   }
 }
