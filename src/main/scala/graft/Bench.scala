@@ -73,8 +73,19 @@ object Bench {
       val w0 = System.nanoTime()
       timeOnce(fn)
       System.gc()
-      System.err.println(
-        f"[bench] $name warmup=${(System.nanoTime() - w0) / 1e9}%.3f")
+      val wSec = (System.nanoTime() - w0) / 1e9
+      // a long warm-up signals a FIXTURE-CHAIN build whose residue
+      // (async ContextCleaner work, first-run shuffle files, lazy
+      // caches) still pollutes the first timed sample — r14's isolated
+      // re-time read corpus_to_shards at 11.7 s against a 2.96 s warm
+      // truth for exactly this reason. One more untimed execution (cost
+      // ≈ the true query time, paid only by heavy-warm-up queries)
+      // absorbs it before anything is timed.
+      val w1 = System.nanoTime()
+      val w2Sec =
+        if (wSec <= 2.0) 0.0
+        else { timeOnce(fn); System.gc(); (System.nanoTime() - w1) / 1e9 }
+      System.err.println(f"[bench] $name warmup=$wSec%.3f+$w2Sec%.3f")
       val samples = (1 to runs).map { _ =>
         val s = timeOnce(fn)
         // OUTSIDE the timer: a GC between samples lets Spark's

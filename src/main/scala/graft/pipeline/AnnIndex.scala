@@ -154,10 +154,11 @@ object AnnIndex {
             col("cid"))
     }
 
-  /** Shared changelog catch-up: marker/source validation, per-id
-    * duplicate guard, net insert extraction, and the one-atomic-commit
-    * upsert — `encodeRows` turns (vec_id, v) inserts into the index's
-    * row shape against the frozen centroids. */
+  /** Shared ANN changelog catch-up over [[IndexMaintenance
+    * .changelogRefresh]] (the one lifecycle skeleton): decode the
+    * frozen centroids, re-encode net inserts against them, and stamp
+    * drift telemetry in the same atomic commit — `encodeRows` turns
+    * (vec_id, v) inserts into the index's row shape. */
   private def refreshWith(
       spark: SparkSession,
       corpusDir: String,
@@ -170,41 +171,18 @@ object AnnIndex {
       errOf: (DataFrame, Seq[(Long, Seq[Long])]) => Option[Long]
   )(encodeRows: (DataFrame, Seq[(Long, Seq[Long])]) => DataFrame): Long = {
     val idx = catalog.loadOrThrow(idxDir)
-    if (!idx.properties.get(SourceProp).contains(corpusDir))
-      throw CompactionError.Config(
-        s"$idxDir does not index $corpusDir (build it first)")
-    val lastV = idx.properties.get(SyncedProp).flatMap(_.toLongOption)
-      .getOrElse(throw CompactionError.Config(
-        s"$idxDir carries no synced-version marker"))
+    // the frozen model decodes from the SAME load the marker guard
+    // protects (and before the no-op short-circuit: an index without
+    // centroids is malformed even when current)
     val cents = decodeCentroids(idx.properties.getOrElse(CentroidsProp,
       throw CompactionError.Config(s"$idxDir carries no $CentroidsProp")))
-    val curV = catalog.loadOrThrow(corpusDir).version
-    if (curV <= lastV) return lastV
-
     val idCol = idx.properties.getOrElse(IdColProp, "vec_id")
     val vecCol = idx.properties.getOrElse(VecColProp, "embedding")
-    val net = TableReader
-      .netChangelog(spark, corpusDir, lastV, curV, catalog).persist()
-    try {
-      // duplicate-id guard: netChangelog nets per full ROW value, so two
-      // inserts of one vec_id with DIFFERENT embeddings each net to
-      // count 1 — group by id per change type (an update is a
-      // legitimate delete+insert pair of one id), the TextIndex.refresh
-      // / Replicate.sync key contract
-      val dup = net.groupBy(idCol, "_change_type")
-        .agg(sum(col("_change_count")).as("c"))
-        .filter(col("c") > 1L)
-      if (!dup.isEmpty) throw CompactionError.Config(
-        s"corpus rows are not unique per $idCol (net multiplicity > 1); " +
-          s"an ANN index keyed by $idCol cannot represent duplicates")
+    IndexMaintenance.changelogRefresh(spark, corpusDir, idxDir, catalog,
+      idx, SourceProp, SyncedProp, corpusIdCol = idCol,
+      indexKeyCol = "vec_id", indexNoun = "an ANN index") { net =>
       val ins = net.filter(col("_change_type") === "insert")
         .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      // every changed vector's index row is replaced wholesale: the
-      // eq-delete keys are ALL net-changed ids (a pure insert's key
-      // deletes nothing — harmless), the data is the re-encoded rows
-      // against the FROZEN stored model
-      val changedIds = net.select(col(idCol).as("vec_id")).distinct()
-      val assigned = encodeRows(ins, cents)
       // drift telemetry: the error of the newly encoded rows, stamped
       // with the marker; BaseErr self-initializes on the first refresh
       // when the builder did not stamp a build-time baseline
@@ -213,19 +191,8 @@ object AnnIndex {
           (if (idx.properties.contains(BaseErrProp)) Map.empty
            else Map(BaseErrProp -> e.toString))
       }.getOrElse(Map.empty)
-      TableWrites.upsert(idxDir, assigned, keyCols = Seq("vec_id"),
-        catalog = catalog,
-        deleteKeys = Some(changedIds),
-        setProperties = Map(SyncedProp -> curV.toString) ++ errProps,
-        validate = reloaded => {
-          val nowV = reloaded.properties.get(SyncedProp)
-            .flatMap(_.toLongOption).getOrElse(-1L)
-          if (nowV != lastV) throw CompactionError.Config(
-            s"concurrent index refresh: marker moved v$lastV -> v$nowV; " +
-              "re-run refresh (the newer state already covers this delta)")
-        })
-      curV
-    } finally net.unpersist()
+      (encodeRows(ins, cents), errProps)
+    }
   }
 
   /** Retrain the index over the CURRENT corpus and atomically swap its

@@ -89,6 +89,30 @@ object Dedup {
       .drop("b_blk", "b_pk", "pk", "a_raw_id", "b_raw_id")
   }
 
+  /** THE LSH banding projection — the single definition both the batch
+    * near-dup pass ([[minhashLsh]]) and the persisted bands index
+    * ([[DedupIndex]]) derive band rows from, so probe-vs-index
+    * bit-compatibility is structural, not spec-pinned: band rows of a
+    * (doc_id, text) frame as (band, band_key, doc_id), band_key equal
+    * iff all `bandSize` signature slots match. One narrow projection +
+    * explode, no shuffle. */
+  def bandRows(docs: DataFrame, numHashes: Int, bandSize: Int,
+      hashKind: String = "md5"): DataFrame = {
+    require(numHashes % bandSize == 0,
+      "numHashes must be divisible by bandSize")
+    val numBands = numHashes / bandSize
+    docs
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .withColumn("mh", graft.functions.HashColumns
+        .minhashSignature(col("sh"), numHashes, hashKind))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => concat_ws(",", slice(col("mh"), b * bandSize + 1, lit(bandSize)))))
+          .as(Seq("band", "band_key")))
+      .select(col("band").cast("long").as("band"), col("band_key"),
+        col("doc_id"))
+  }
+
   /** MinHash-LSH near-dup pairs over a text column.
     *
     * @return (a_id, b_id, jac_x1000) for candidate pairs whose TRUE
@@ -106,21 +130,18 @@ object Dedup {
       hashKind: String = "md5"
   ): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
-    val numBands = numHashes / bandSize
     val withSig = docs
       .select(col(idCol).as("doc_id"), shingles3(col(textCol)).as("sh"))
-      .withColumn("mh",
-        graft.functions.HashColumns.minhashSignature(col("sh"), numHashes, hashKind))
       .withColumn("shh",
         graft.functions.HashColumns.hashedSet(col("sh"), "j", hashKind))
 
-    // explode to (band, band_key): band key joins equal iff all rows in the
-    // band match — the LSH bucket
-    val bands = withSig.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => concat_ws(",", slice(col("mh"), b * bandSize + 1, lit(bandSize)))))
-        .as(Seq("band", "band_key")))
+    // (band, band_key) rows via the ONE shared banding projection
+    // ([[bandRows]] — the same rows a persisted DedupIndex stores):
+    // band keys join equal iff all slots in the band match, the LSH
+    // bucket
+    val bands = bandRows(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      numHashes, bandSize, hashKind)
 
     val cand = bands.as("a")
       .join(bands.as("b"),

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.core.CompactionError
 import graft.sources.TableReader
-import graft.txn.{FileTableCatalog, TableCatalog, TableWrites}
+import graft.txn.{FileTableCatalog, TableCatalog}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,27 +35,6 @@ object DedupIndex {
     * legacy values read as md5. */
   val ParamsProp = "graft.dedupidx.params"
 
-  /** LSH band rows of a (doc_id, text) frame: (band, band_key, doc_id),
-    * band_key equal iff all `bandSize` signature slots match — the same
-    * banding as [[Dedup.minhashLsh]] (one narrow projection + explode,
-    * no shuffle). */
-  def bandRows(docs: DataFrame, numHashes: Int, bandSize: Int,
-      hashKind: String = "md5"): DataFrame = {
-    require(numHashes % bandSize == 0,
-      "numHashes must be divisible by bandSize")
-    val numBands = numHashes / bandSize
-    docs
-      .select(col("doc_id"), TextFunctions.shingles3(col("text")).as("sh"))
-      .withColumn("mh", graft.functions.HashColumns
-        .minhashSignature(col("sh"), numHashes, hashKind))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-          b => concat_ws(",", slice(col("mh"), b * bandSize + 1, lit(bandSize)))))
-          .as(Seq("band", "band_key")))
-      .select(col("band").cast("long").as("band"), col("band_key"),
-        col("doc_id"))
-  }
-
   private def params(props: Map[String, String], idxDir: String)
       : (Int, Int, String) =
     props.get(ParamsProp) match {
@@ -76,10 +55,10 @@ object DedupIndex {
 
   /** Bring the bands index up to the corpus's current version by
     * applying the NET changelog since the index marker, as ONE atomic
-    * upsert commit (the [[TextIndex.refresh]] lifecycle verbatim:
-    * eq-delete changed ids' band rows, insert re-derived rows, advance
-    * the marker; concurrent refreshes abort on the marker guard).
-    * Returns the new synced corpus version. */
+    * upsert commit ([[IndexMaintenance.changelogRefresh]] — the shared
+    * lifecycle: eq-delete changed ids' band rows, insert re-derived
+    * rows, advance the marker; concurrent refreshes abort on the marker
+    * guard). Returns the new synced corpus version. */
   def refresh(
       spark: SparkSession,
       corpusDir: String,
@@ -87,43 +66,75 @@ object DedupIndex {
       catalog: TableCatalog = FileTableCatalog
   ): Long = {
     val idx = catalog.loadOrThrow(idxDir)
-    if (!idx.properties.get(SourceProp).contains(corpusDir))
-      throw CompactionError.Config(
-        s"$idxDir does not index $corpusDir (build it first)")
+    // frozen banding params from the SAME load the marker guard protects
     val (numHashes, bandSize, hashKind) = params(idx.properties, idxDir)
-    val lastV = idx.properties.get(SyncedProp).flatMap(_.toLongOption)
-      .getOrElse(throw CompactionError.Config(
-        s"$idxDir carries no synced-version marker"))
-    val curV = catalog.loadOrThrow(corpusDir).version
-    if (curV <= lastV) return lastV
-
-    val net = TableReader
-      .netChangelog(spark, corpusDir, lastV, curV, catalog).persist()
-    try {
-      // per-id duplicate guard — the shared index key contract
-      val dup = net.groupBy("doc_id", "_change_type")
-        .agg(sum(col("_change_count")).as("c"))
-        .filter(col("c") > 1L)
-      if (!dup.isEmpty) throw CompactionError.Config(
-        "corpus rows are not unique per doc_id (net multiplicity > 1); " +
-          "a bands index keyed by doc_id cannot represent duplicates")
+    IndexMaintenance.changelogRefresh(spark, corpusDir, idxDir, catalog,
+      idx, SourceProp, SyncedProp, corpusIdCol = "doc_id",
+      indexKeyCol = "doc_id", indexNoun = "a bands index") { net =>
       val ins = net.filter(col("_change_type") === "insert")
         .select("doc_id", "text")
-      val changedIds = net.select("doc_id").distinct()
-      TableWrites.upsert(idxDir, bandRows(ins, numHashes, bandSize, hashKind),
-        keyCols = Seq("doc_id"),
-        catalog = catalog,
-        deleteKeys = Some(changedIds),
-        setProperties = Map(SyncedProp -> curV.toString),
-        validate = reloaded => {
-          val nowV = reloaded.properties.get(SyncedProp)
-            .flatMap(_.toLongOption).getOrElse(-1L)
-          if (nowV != lastV) throw CompactionError.Config(
-            s"concurrent index refresh: marker moved v$lastV -> v$nowV; " +
-              "re-run refresh (the newer state already covers this delta)")
-        })
-      curV
-    } finally net.unpersist()
+      (Dedup.bandRows(ins, numHashes, bandSize, hashKind), Map.empty)
+    }
+  }
+
+  /** The index scan a probe pays, PRUNED TO THE PROBE'S BUCKETS when the
+    * table is laid out `PARTITIONED BY (bucket(N, band_key))` (the
+    * text index's bucket(term) discipline applied to the one index whose
+    * probe would otherwise scan the whole corpus-proportional bands
+    * table): the probe's band keys are unbounded (B docs × numBands
+    * keys), but their TRANSFORMED partition values are bounded by the
+    * layout — evaluate the stored bucket transform distributively over
+    * the probe bands, collect the ≤ N distinct bucket ids (never the
+    * keys), and plan only those buckets' files. Sound because the probe
+    * joins on band_key equality and equal keys bucket equally; refresh
+    * deltas (unpartitioned upsert files) are always kept, so a lagging
+    * compaction is a pruning loss, never a recall loss. Unpartitioned
+    * indexes read in full (the pre-layout behavior). */
+  private def prunedIndexRead(
+      spark: SparkSession,
+      idx: graft.txn.TableSnapshot,
+      idxDir: String,
+      probeBands: DataFrame,
+      catalog: TableCatalog
+  ): DataFrame = {
+    import graft.core.{BucketTransform, PartitionSpecCodec}
+    val bucketT = PartitionSpecCodec.of(Some(idx)).collectFirst {
+      case bt: BucketTransform if bt.source == "band_key" => bt
+    }
+    bucketT match {
+      case Some(bt) =>
+        val ids = probeBands
+          .select(bt.expr(org.apache.spark.sql.types.StringType).as("b"))
+          .distinct().collect().map(r => String.valueOf(r.getInt(0))).toSet
+        TableReader.read(spark, idxDir, catalog = catalog,
+          partitionFieldCandidates = Map(bt.fieldName -> ids))
+      case None => TableReader.read(spark, idxDir, catalog = catalog)
+    }
+  }
+
+  /** Pruning evidence for serving gates and specs: the (planned, total)
+    * data-file counts of the index scan a [[probePairs]] call with this
+    * `probeFilter` would pay — callers assert planned < total to pin
+    * that the bucket layout actually prunes (the `text_search`
+    * self-assert discipline). */
+  def plannedIndexFiles(
+      spark: SparkSession,
+      corpusDir: String,
+      idxDir: String,
+      probeFilter: Column,
+      catalog: TableCatalog = FileTableCatalog
+  ): (Int, Int) = {
+    val idx = catalog.loadOrThrow(idxDir)
+    val (numHashes, bandSize, hashKind) = params(idx.properties, idxDir)
+    val corpus = TableReader.read(spark, corpusDir, catalog = catalog)
+      .select(col("doc_id"), col("text"))
+    val probeBands = Dedup.bandRows(corpus.filter(probeFilter),
+      numHashes, bandSize, hashKind)
+    val planned = prunedIndexRead(spark, idx, idxDir, probeBands, catalog)
+      .inputFiles.length
+    val total = TableReader.read(spark, idxDir, catalog = catalog)
+      .inputFiles.length
+    (planned, total)
   }
 
   /** Near-dup pairs INVOLVING the probe docs, served from the synced
@@ -157,10 +168,10 @@ object DedupIndex {
     val (numHashes, bandSize, hashKind) = params(idx.properties, idxDir)
     val corpus = TableReader.read(spark, corpusDir, catalog = catalog)
       .select(col("doc_id"), col("text"))
-    val probeBands = bandRows(corpus.filter(probeFilter),
+    val probeBands = Dedup.bandRows(corpus.filter(probeFilter),
       numHashes, bandSize, hashKind)
       .withColumnRenamed("doc_id", "p_id")
-    val idxBands = TableReader.read(spark, idxDir, catalog = catalog)
+    val idxBands = prunedIndexRead(spark, idx, idxDir, probeBands, catalog)
     val cand = probeBands
       .join(idxBands,
         probeBands("band") === idxBands("band") &&

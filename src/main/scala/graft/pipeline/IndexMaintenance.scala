@@ -1,7 +1,9 @@
 package graft.pipeline
 
-import graft.txn.{FileTableCatalog, TableCatalog}
-import org.apache.spark.sql.SparkSession
+import graft.core.CompactionError
+import graft.txn.{FileTableCatalog, TableCatalog, TableSnapshot, TableWrites}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Registry + dispatch for SERVING INDEXES maintained from a corpus
   * table's changelog — the glue that makes index freshness a property
@@ -27,6 +29,100 @@ object IndexMaintenance {
 
   /** Comma-separated index dirs on the CORPUS table. */
   val RegisteredProp = "graft.index.registered"
+
+  /** THE one changelog-refresh lifecycle every index kind shares —
+    * [[TextIndex.refresh]], [[TextIndex.refreshPositional]],
+    * [[AnnIndex.refresh]]/[[AnnIndex.refreshPq]], and
+    * [[DedupIndex.refresh]] are all this skeleton with a different
+    * row derivation:
+    *
+    *  1. validate the index's stored source corpus and synced-version
+    *     marker (`sourceProp` / `syncedProp`); no-op when the corpus
+    *     hasn't advanced;
+    *  2. net the corpus changelog since the marker (cost ∝ the change,
+    *     never the corpus) and refuse a corpus that isn't keyed by
+    *     unique `corpusIdCol` (net per-id multiplicity > 1 — an index
+    *     keyed by id cannot represent duplicates);
+    *  3. `derive` the index's new rows (and any extra properties —
+    *     corpus constants, drift telemetry) from the net changelog;
+    *  4. commit as ONE atomic upsert: equality-delete EVERY net-changed
+    *     id's index rows (a pure insert's key deletes nothing —
+    *     harmless), insert the derived rows, advance the marker and the
+    *     extra properties in the SAME commit, and abort under the
+    *     marker guard if a concurrent refresh moved it first — a reader
+    *     always sees a complete index of SOME corpus version, never a
+    *     half-refreshed one.
+    *
+    * A lifecycle fix lands here exactly once; the kinds in [[kinds]]
+    * differ only in their `derive`.
+    *
+    * @param idx         the CALLER-loaded index snapshot — model
+    *                    metadata (centroids, banding params, corpus
+    *                    constants) must be decoded from the same load
+    *                    the marker guard protects, or a rebuild racing
+    *                    between two loads could pair a fresh marker
+    *                    with stale model metadata
+    * @param corpusIdCol the corpus's unique-key column
+    * @param indexKeyCol the derived rows' key column (the upsert's
+    *                    equality-delete key; net-changed corpus ids are
+    *                    renamed onto it)
+    * @param indexNoun   error-message noun ("an inverted index", …)
+    * @param derive      net changelog → (new index rows, extra
+    *                    properties committed atomically with the marker)
+    * @return the new synced corpus version
+    */
+  def changelogRefresh(
+      spark: SparkSession,
+      corpusDir: String,
+      idxDir: String,
+      catalog: TableCatalog,
+      idx: TableSnapshot,
+      sourceProp: String,
+      syncedProp: String,
+      corpusIdCol: String,
+      indexKeyCol: String,
+      indexNoun: String
+  )(derive: DataFrame => (DataFrame, Map[String, String])): Long = {
+    if (!idx.properties.get(sourceProp).contains(corpusDir))
+      throw CompactionError.Config(
+        s"$idxDir does not index $corpusDir (build it first)")
+    val lastV = idx.properties.get(syncedProp).flatMap(_.toLongOption)
+      .getOrElse(throw CompactionError.Config(
+        s"$idxDir carries no synced-version marker"))
+    val curV = catalog.loadOrThrow(corpusDir).version
+    if (curV <= lastV) return lastV
+
+    val net = graft.sources.TableReader
+      .netChangelog(spark, corpusDir, lastV, curV, catalog).persist()
+    try {
+      // duplicate-id guard: netChangelog nets per full ROW value, so two
+      // inserts of one id with DIFFERENT payloads each net to count 1 —
+      // group by id per change type (an update is a legitimate
+      // delete+insert pair of one id), the Replicate.sync key contract
+      val dup = net.groupBy(corpusIdCol, "_change_type")
+        .agg(sum(col("_change_count")).as("c"))
+        .filter(col("c") > 1L)
+      if (!dup.isEmpty) throw CompactionError.Config(
+        s"corpus rows are not unique per $corpusIdCol (net multiplicity " +
+          s"> 1); $indexNoun keyed by $corpusIdCol cannot represent " +
+          "duplicates")
+      val (rows, extraProps) = derive(net)
+      // every changed id's index rows are replaced wholesale
+      val changedIds = net.select(col(corpusIdCol).as(indexKeyCol)).distinct()
+      TableWrites.upsert(idxDir, rows, keyCols = Seq(indexKeyCol),
+        catalog = catalog,
+        deleteKeys = Some(changedIds),
+        setProperties = Map(syncedProp -> curV.toString) ++ extraProps,
+        validate = reloaded => {
+          val nowV = reloaded.properties.get(syncedProp)
+            .flatMap(_.toLongOption).getOrElse(-1L)
+          if (nowV != lastV) throw CompactionError.Config(
+            s"concurrent index refresh: marker moved v$lastV -> v$nowV; " +
+              "re-run refresh (the newer state already covers this delta)")
+        })
+      curV
+    } finally net.unpersist()
+  }
 
   /** One registered index kind: the marker property that identifies it,
     * its display name, the property naming its source corpus, and its

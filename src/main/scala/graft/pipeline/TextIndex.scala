@@ -1,8 +1,7 @@
 package graft.pipeline
 
 import graft.core.CompactionError
-import graft.sources.TableReader
-import graft.txn.{FileTableCatalog, TableCatalog, TableWrites}
+import graft.txn.{FileTableCatalog, TableCatalog}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -131,38 +130,17 @@ object TextIndex {
       catalog: TableCatalog = FileTableCatalog
   ): Long = {
     val idx = catalog.loadOrThrow(idxDir)
-    if (!idx.properties.get(SourceProp).contains(corpusDir))
-      throw CompactionError.Config(
-        s"$idxDir does not index $corpusDir (build it first)")
-    val lastV = idx.properties.get(SyncedProp).flatMap(_.toLongOption)
-      .getOrElse(throw CompactionError.Config(
-        s"$idxDir carries no synced-version marker"))
     val Array(n0, t0) = idx.properties.getOrElse(StatsProp,
       throw CompactionError.Config(s"$idxDir carries no $StatsProp"))
       .split(",").map(_.toLong)
-    val curV = catalog.loadOrThrow(corpusDir).version
-    if (curV <= lastV) return lastV
-
-    val net = TableReader
-      .netChangelog(spark, corpusDir, lastV, curV, catalog).persist()
-    try {
-      // duplicate-id guard: netChangelog nets per full ROW value, so two
-      // inserts of one doc_id with DIFFERENT texts each net to count 1 —
-      // the guard must group by doc_id (per change type: an update is a
-      // legitimate delete+insert pair of the same id), like
-      // Replicate.sync's key contract. A per-id multiplicity above 1 in
-      // either direction means the corpus is not keyed by doc_id.
-      val dup = net.groupBy("doc_id", "_change_type")
-        .agg(sum(col("_change_count")).as("c"))
-        .filter(col("c") > 1L)
-      if (!dup.isEmpty) throw CompactionError.Config(
-        "corpus rows are not unique per doc_id (net multiplicity > 1); " +
-          "an inverted index keyed by doc_id cannot represent duplicates")
+    IndexMaintenance.changelogRefresh(spark, corpusDir, idxDir, catalog,
+      idx, SourceProp, SyncedProp, corpusIdCol = "doc_id",
+      indexKeyCol = "doc_id", indexNoun = "an inverted index") { net =>
       val ins = net.filter(col("_change_type") === "insert")
         .select("doc_id", "text")
       val del = net.filter(col("_change_type") === "delete")
         .select("doc_id", "text")
-      // stats advance with the delta — never a corpus rescan
+      // corpus constants advance with the delta — never a corpus rescan
       val dlOf = size(split(col("text"), " ")).cast("long")
       def sum2(df: DataFrame): (Long, Long) = {
         val r = df.agg(count(lit(1)), coalesce(sum(dlOf), lit(0L))).head()
@@ -170,26 +148,9 @@ object TextIndex {
       }
       val (nIns, tIns) = sum2(ins)
       val (nDel, tDel) = sum2(del)
-      val (n1, t1) = (n0 + nIns - nDel, t0 + tIns - tDel)
-      // every changed doc's postings are replaced wholesale: the
-      // eq-delete keys are ALL net-changed ids (a pure insert's key
-      // deletes nothing — harmless), the data is the new postings
-      val changedIds = net.select("doc_id").distinct()
-      TableWrites.upsert(idxDir, postings(ins), keyCols = Seq("doc_id"),
-        catalog = catalog,
-        deleteKeys = Some(changedIds),
-        setProperties = Map(
-          StatsProp -> s"$n1,$t1",
-          SyncedProp -> curV.toString),
-        validate = reloaded => {
-          val nowV = reloaded.properties.get(SyncedProp)
-            .flatMap(_.toLongOption).getOrElse(-1L)
-          if (nowV != lastV) throw CompactionError.Config(
-            s"concurrent index refresh: marker moved v$lastV -> v$nowV; " +
-              "re-run refresh (the newer state already covers this delta)")
-        })
-      curV
-    } finally net.unpersist()
+      (postings(ins),
+        Map(StatsProp -> s"${n0 + nIns - nDel},${t0 + tIns - tDel}"))
+    }
   }
 
   /** Bring a POSITIONAL index ([[positionalPostings]] rows, marked by
@@ -205,44 +166,15 @@ object TextIndex {
       catalog: TableCatalog = FileTableCatalog
   ): Long = {
     val idx = catalog.loadOrThrow(idxDir)
-    if (!idx.properties.get(SourceProp).contains(corpusDir))
-      throw CompactionError.Config(
-        s"$idxDir does not index $corpusDir (build it first)")
     if (!idx.properties.contains(PosProp))
       throw CompactionError.Config(
         s"$idxDir is not a positional index (no $PosProp)")
-    val lastV = idx.properties.get(SyncedProp).flatMap(_.toLongOption)
-      .getOrElse(throw CompactionError.Config(
-        s"$idxDir carries no synced-version marker"))
-    val curV = catalog.loadOrThrow(corpusDir).version
-    if (curV <= lastV) return lastV
-
-    val net = TableReader
-      .netChangelog(spark, corpusDir, lastV, curV, catalog).persist()
-    try {
-      // per-id duplicate guard — refresh's key contract verbatim
-      val dup = net.groupBy("doc_id", "_change_type")
-        .agg(sum(col("_change_count")).as("c"))
-        .filter(col("c") > 1L)
-      if (!dup.isEmpty) throw CompactionError.Config(
-        "corpus rows are not unique per doc_id (net multiplicity > 1); " +
-          "a positional index keyed by doc_id cannot represent duplicates")
+    IndexMaintenance.changelogRefresh(spark, corpusDir, idxDir, catalog,
+      idx, SourceProp, SyncedProp, corpusIdCol = "doc_id",
+      indexKeyCol = "doc_id", indexNoun = "a positional index") { net =>
       val ins = net.filter(col("_change_type") === "insert")
         .select("doc_id", "text")
-      val changedIds = net.select("doc_id").distinct()
-      TableWrites.upsert(idxDir, positionalPostings(ins),
-        keyCols = Seq("doc_id"),
-        catalog = catalog,
-        deleteKeys = Some(changedIds),
-        setProperties = Map(SyncedProp -> curV.toString),
-        validate = reloaded => {
-          val nowV = reloaded.properties.get(SyncedProp)
-            .flatMap(_.toLongOption).getOrElse(-1L)
-          if (nowV != lastV) throw CompactionError.Config(
-            s"concurrent index refresh: marker moved v$lastV -> v$nowV; " +
-              "re-run refresh (the newer state already covers this delta)")
-        })
-      curV
-    } finally net.unpersist()
+      (positionalPostings(ins), Map.empty)
+    }
   }
 }

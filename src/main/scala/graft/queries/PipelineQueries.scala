@@ -215,20 +215,23 @@ object PipelineQueries {
   /** CHUNK-granular retrieval — the composed RAG serving path: the
     * corpus chunked ([[graft.pipeline.Chunker]], 64/48 windows), a
     * bucketed inverted index built over the CHUNKS (synthetic key
-    * doc_id*1000 + chunk_id), and BM25 served from that index with the
+    * doc_id*1e6 + chunk_id), and BM25 served from that index with the
     * same pruned-scan contract as `text_search` — a query returns the
     * passages to stuff into a context window, not whole documents, and
     * never touches the raw corpus at serve time. */
   def chunkSearch(spark: SparkSession, dir: String): DataFrame = {
     // synthetic chunk key: doc_id * 1e6 + chunk_id. 1e6 supports docs of
-    // 48M+ tokens; a doc beyond it RAISES instead of silently colliding
-    // two passages onto one posting key (the guard is a codegen'd
-    // conditional — no extra pass)
-    val key = when(col("chunk_id") < 1000000L,
+    // 48M+ tokens; a doc beyond EITHER bound RAISES instead of silently
+    // colliding/corrupting posting keys (chunk_id ≥ 1e6 would collide
+    // two passages; doc_id beyond Long.MaxValue/1e6 — or negative —
+    // would overflow the multiply). Both guards are codegen'd
+    // conditionals — no extra pass.
+    val key = when(col("chunk_id") < 1000000L &&
+        col("doc_id").between(0L, Long.MaxValue / 1000000L),
         col("doc_id") * 1000000L + col("chunk_id"))
       .otherwise(raise_error(concat(
-        lit("chunk_id overflows the 1e6 key space for doc "),
-        col("doc_id"))).cast("long"))
+        lit("chunk key (doc_id, chunk_id) outside the 1e6 key space: ("),
+        col("doc_id"), lit(", "), col("chunk_id"), lit(")"))).cast("long"))
     val chunks = Chunker.chunk(documents(spark, dir), "doc_id", "text",
         chunkSize = 64, stride = 48)
       .select(key.as("doc_id"), col("chunk_text").as("text"))
@@ -676,10 +679,15 @@ object PipelineQueries {
         classOf[graft.sql.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      // bucket(band_key) layout — the probe plans only its buckets'
+      // files (DedupIndex.prunedIndexRead), never the whole
+      // corpus-proportional bands table; 16 buckets > numBands=8 so even
+      // a one-doc probe provably prunes (self-asserted in the gate)
       spark.sql(s"CREATE TABLE $name.db.didx " +
-        "(band BIGINT, band_key STRING, doc_id BIGINT)")
+        "(band BIGINT, band_key STRING, doc_id BIGINT) " +
+        "PARTITIONED BY (bucket(16, band_key))")
       val idxDir = s"$wh/db/didx"
-      DedupIndex.bandRows(docs0.filter(col("doc_id") % 5 =!= 0),
+      Dedup.bandRows(docs0.filter(col("doc_id") % 5 =!= 0),
           numHashes = 32, bandSize = 4)
         .createOrReplaceTempView(s"didx_src_$name")
       spark.sql(s"INSERT INTO $name.db.didx SELECT * FROM didx_src_$name")
@@ -712,6 +720,20 @@ object PipelineQueries {
     * precision both land in the hash match. */
   def dedupIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val (corpusDir, idxDir) = buildDedupIndexFixture(spark, dir)
+    // pruning self-assert (the text_search discipline): a one-doc probe
+    // (8 band keys into 16 buckets) must plan strictly fewer index files
+    // than the full table — pins that the bucket(band_key) layout
+    // actually prunes the serving scan. The gate's own %5 probe is a
+    // fifth of the corpus and legitimately touches every bucket, so the
+    // evidence probe is the smallest real batch: one document.
+    val oneId = documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val (planned, total) = DedupIndex.plannedIndexFiles(spark, corpusDir,
+      idxDir, probeFilter = col("doc_id") === oneId)
+    require(planned > 0 && planned < total,
+      s"dedup_index_probe: a one-doc probe must prune the bands-index " +
+        s"scan ($planned of $total files planned)")
     DedupIndex.probePairs(spark, corpusDir, idxDir,
         probeFilter = col("doc_id") % 5 === 0, thresholdX1000 = 500)
       .orderBy("a_id", "b_id")
@@ -747,9 +769,10 @@ object PipelineQueries {
       spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
       spark.sql(s"CREATE TABLE $name.db.didxs " +
-        "(band BIGINT, band_key STRING, doc_id BIGINT)")
+        "(band BIGINT, band_key STRING, doc_id BIGINT) " +
+        "PARTITIONED BY (bucket(16, band_key))")
       val idxDir = s"$wh/db/didxs"
-      DedupIndex.bandRows(
+      Dedup.bandRows(
           graft.sources.TableReader.read(spark, corpusDir)
             .select("doc_id", "text"), numHashes = 32, bandSize = 4)
         .createOrReplaceTempView(s"didxs_src_$name")
@@ -2717,7 +2740,7 @@ object PipelineQueries {
        |$rrfFusionTailSql""".stripMargin
 
   /** The chunk corpus as SQL (the doc_chunk derivation re-keyed to
-    * doc_id*1000 + chunk_id) — feeds [[bm25OracleOver]] so chunk_search
+    * doc_id*1e6 + chunk_id) — feeds [[bm25OracleOver]] so chunk_search
     * shares the exact BM25 formula against chunk-level postings. */
   private val chunkCorpusSql: String =
     """SELECT doc_id * 1000000 + chunk_id AS doc_id,

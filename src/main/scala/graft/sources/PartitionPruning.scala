@@ -79,6 +79,33 @@ object PartitionPruning {
     kept ++ deletes
   }
 
+  /** Prune by ALREADY-TRANSFORMED partition-field values: keep the data
+    * files whose name-encoded partition field is among `fieldCandidates`
+    * (partition FIELD name → allowed rendered values, e.g.
+    * `band_key_bucket -> {"0","3"}`). This is the scale path for probes
+    * whose candidate SOURCE values are data-dependent and unbounded (a
+    * dedup batch probes B×numBands band keys — too many to collect) but
+    * whose TRANSFORMED values are bounded by the layout (≤ N bucket
+    * ids): the caller evaluates the transform distributively over the
+    * probe, collects the ≤ N distinct partition values, and prunes here
+    * with zero IO. Same conservative rules as [[prunePerFile]]: files
+    * without a parsed partition prefix (refresh deltas, pre-layout
+    * appends) and fields absent from a file's prefix keep the file;
+    * delete files pass through. */
+  def pruneByFieldValues(
+      files: Seq[FileEntry],
+      fieldCandidates: Map[String, Set[String]]): Seq[FileEntry] = {
+    if (fieldCandidates.isEmpty) return files
+    val (data, deletes) = files.partition(_.content == "data")
+    val kept = data.filter { f =>
+      val fields = PartitionKey.parse(f.path)
+      fields.isEmpty || fieldCandidates.forall { case (name, ok) =>
+        fields.get(name).forall(ok.contains)
+      }
+    }
+    kept ++ deletes
+  }
+
   /** Literal → the column's JVM type ([[PartitionTransform.eval]]'s
     * convention); None = unsupported literal shape (prune nothing). */
   private def coerce(v: Any, dt: DataType): Option[Any] = (v, dt) match {

@@ -59,9 +59,25 @@ object TableReader {
         * the merge. Deletes are applied to the filtered rows only —
         * semantically identical because anti-joins only REMOVE rows
         * (filter and anti-join commute on the data side). */
-      filter: Option[Column] = None
+      filter: Option[Column] = None,
+      /** ALREADY-TRANSFORMED partition-value pruning (partition FIELD
+        * name → allowed rendered values): the caller evaluated the
+        * table's transform over its probe distributively and collected
+        * the ≤ N distinct partition values — [[PartitionPruning
+        * .pruneByFieldValues]] drops every other partition's files with
+        * zero IO. Purely an IO optimization: callers must guarantee the
+        * rows they consume can only live in the named partitions (an
+        * equi-join probe whose keys all transform into the candidate
+        * set). Unprefixed files (refresh deltas) are always kept. */
+      partitionFieldCandidates: Map[String, Set[String]] = Map.empty
   ): Option[DataFrame] = {
     val snap = snapshot(tableDir, asOfVersion, catalog)
+    // transformed-value pruning first (zero IO, name-parse only); the
+    // all-pruned case still resolves the schema from the snapshot below
+    val preFiles =
+      if (partitionFieldCandidates.isEmpty) snap.files
+      else PartitionPruning.pruneByFieldValues(snap.files,
+        partitionFieldCandidates)
     // file-level min/max pruning BEFORE Spark sees the file list: bound
     // constraints in the filter drop data files whose footer stats prove
     // no row can match ([[ScanPruning]] — conservative, IO-only). Footer
@@ -69,7 +85,7 @@ object TableReader {
     // only current-schema files are pruned (an old file could alias a
     // since-renamed name onto a different logical column).
     val prunable = (f: graft.txn.FileEntry) => snap.isCurrentSchema(f)
-    val files = filter.fold(snap.files) { p =>
+    val files = filter.fold(preFiles) { p =>
       // transform-aware partition pruning FIRST (the API twin of the
       // DSv2 path): name-parse only, zero IO — a bucket point lookup
       // keeps one bucket's files before any footer is fetched
@@ -83,7 +99,7 @@ object TableReader {
         if (!anySpecPrunes) Map.empty
         else ScanPruning.equalityCandidates(p)
       val partPruned =
-        if (cands.isEmpty || !snap.files.exists(_.content == "data")) snap.files
+        if (cands.isEmpty || !preFiles.exists(_.content == "data")) preFiles
         else {
           // same type resolution as GraftTableSource.tableSchema: schema
           // history, else the newest data file's footer (one IO, and only
@@ -94,7 +110,7 @@ object TableReader {
             org.apache.spark.sql.types.DataType.fromDDL(f.dataType)).toMap
           // per-file spec resolution: after a spec evolution each file
           // prunes under the layout it was actually written with
-          PartitionPruning.prunePerFile(snap.files,
+          PartitionPruning.prunePerFile(preFiles,
             graft.core.PartitionSpecCodec.specForFile(Some(snap)), cands, types)
         }
       // footer-stats pruning over the survivors
@@ -147,9 +163,11 @@ object TableReader {
       tableDir: String,
       asOfVersion: Option[Long] = None,
       catalog: TableCatalog = FileTableCatalog,
-      filter: Option[Column] = None
+      filter: Option[Column] = None,
+      partitionFieldCandidates: Map[String, Set[String]] = Map.empty
   ): DataFrame =
-    readOption(spark, tableDir, asOfVersion, catalog, filter).getOrElse(
+    readOption(spark, tableDir, asOfVersion, catalog, filter,
+      partitionFieldCandidates).getOrElse(
       throw CompactionError.Config(
         s"table has no data files at the requested version under $tableDir"))
 

@@ -77,6 +77,11 @@ class ConditionalPutSpec extends AnyFunSuite {
       // instead: a duplicate reservation must raise AlreadyExists.
       assert(fake.puts.get() == 9,
         s"expected 9 winning puts, got ${fake.puts.get()}")
+      // visibility, not an assertion: a persistent zero under load means
+      // the scheduler serialized the race every run — legal, but worth
+      // seeing in CI output
+      info(s"organic put conflicts observed during the race: " +
+        s"${fake.conflicts.get()}")
       val probe = s"$dir/condput-probe"
       fake.putIfAbsent(probe, Array[Byte](1))
       intercept[FileIO.AlreadyExists] {

@@ -27,7 +27,7 @@ class DedupIndexSpec extends AnyFunSuite {
     TableMetadata.commit(idxDir, TableSnapshot(1, 1, 0, Nil))
     val corpus = graft.sources.TableReader.read(spark, corpusDir)
     TableWrites.appendData(idxDir,
-      DedupIndex.bandRows(corpus, numHashes = 32, bandSize = 4))
+      Dedup.bandRows(corpus, numHashes = 32, bandSize = 4))
     new graft.txn.CommitManager(idxDir).setTableProperties(Map(
         DedupIndex.ParamsProp -> "32,4",
         DedupIndex.SourceProp -> corpusDir,
@@ -104,6 +104,58 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket(band_key) layout: a small probe plans fewer files than " +
+    "the table, results equal the batch recompute, and refresh deltas " +
+    "(unpartitioned upsert files) stay probe-visible") {
+    val docs = (0L until 40L).map(i =>
+      i -> (if (i % 2 == 0) text(0, 30) + s" t$i" else text(i.toInt * 50, 30)))
+    val corpusDir = mkCorpus(docs)
+    // bucketed index table via the SQL catalog (the fixture's layout)
+    val name = "didxspecbkt"
+    val wh = Files.createTempDirectory("graft-didx-spec-bkt").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    spark.sql(s"CREATE TABLE $name.db.didx " +
+      "(band BIGINT, band_key STRING, doc_id BIGINT) " +
+      "PARTITIONED BY (bucket(16, band_key))")
+    val idxDir = s"$wh/db/didx"
+    Dedup.bandRows(graft.sources.TableReader.read(spark, corpusDir),
+        numHashes = 32, bandSize = 4)
+      .createOrReplaceTempView("didx_spec_src")
+    spark.sql(s"INSERT INTO $name.db.didx SELECT * FROM didx_spec_src")
+    spark.sql(s"ALTER TABLE $name.db.didx SET TBLPROPERTIES (" +
+      s"'${DedupIndex.ParamsProp}' = '32,4', " +
+      s"'${DedupIndex.SourceProp}' = '$corpusDir', " +
+      s"'${DedupIndex.SyncedProp}' = " +
+      s"'${FileTableCatalog.loadOrThrow(corpusDir).version}')")
+    // (a) one-doc probe: 8 band keys into 16 buckets MUST prune
+    val (planned, total) = DedupIndex.plannedIndexFiles(spark, corpusDir,
+      idxDir, probeFilter = col("doc_id") === 0L)
+    assert(planned > 0 && planned < total,
+      s"one-doc probe must prune the bucketed index ($planned of $total)")
+    // (b) pruning never changes results: full probe == batch recompute
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = pairs(DedupIndex.probePairs(spark, corpusDir, idxDir,
+      lit(true), 500))
+    val want = pairs(Dedup.minhashLsh(
+      graft.sources.TableReader.read(spark, corpusDir),
+      "doc_id", "text", numHashes = 32, bandSize = 4, thresholdX1000 = 500))
+    assert(got == want && want.nonEmpty, s"probe $got != batch $want")
+    // (c) a refresh delta lands as an UNPARTITIONED upsert file; the
+    // conservative pruner must keep it, so a probe of the new doc still
+    // finds its pairs
+    TableWrites.appendData(corpusDir,
+      Seq(100L -> (text(0, 30) + " t0")).toDF("doc_id", "text"))
+    DedupIndex.refresh(spark, corpusDir, idxDir)
+    val probeNew = pairs(DedupIndex.probePairs(spark, corpusDir, idxDir,
+      col("doc_id") === 100L, 500))
+    assert(probeNew.exists { case (a, b, _) => a == 0L && b == 100L },
+      s"the delta-indexed doc must pair with its near-copy: $probeNew")
+  }
+
   test("the hash family is frozen in the params property: an xx index " +
     "refreshes and probes with xx, matching the xx batch pipeline") {
     val base = Seq(
@@ -115,7 +167,7 @@ class DedupIndexSpec extends AnyFunSuite {
     TableMetadata.commit(idxDir, TableSnapshot(1, 1, 0, Nil))
     val corpus0 = graft.sources.TableReader.read(spark, corpusDir)
     TableWrites.appendData(idxDir,
-      DedupIndex.bandRows(corpus0, 32, 4, hashKind = "xx"))
+      Dedup.bandRows(corpus0, 32, 4, hashKind = "xx"))
     new graft.txn.CommitManager(idxDir).setTableProperties(Map(
         DedupIndex.ParamsProp -> "32,4,xx",
         DedupIndex.SourceProp -> corpusDir,

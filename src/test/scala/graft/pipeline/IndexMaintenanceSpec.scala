@@ -286,7 +286,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       Seq((1L, txt(0)), (2L, txt(100))).toDF("doc_id", "text").coalesce(1))
     val idx = Files.createTempDirectory("graft-ims-dd-idx").toString
     TableMetadata.commit(idx, TableSnapshot(1, 1, 0, Nil))
-    TableWrites.appendData(idx, DedupIndex.bandRows(
+    TableWrites.appendData(idx, Dedup.bandRows(
       graft.sources.TableReader.read(spark, corpus), 32, 4).coalesce(1))
     new graft.txn.CommitManager(idx).setTableProperties(Map(
       DedupIndex.ParamsProp -> "32,4",
