@@ -205,6 +205,105 @@ object Multimodal {
     }
   }
 
+  /** Real-decode output: dimensions + exact per-channel pixel sums. */
+  final case class ImageFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** REAL image decode — `javax.imageio` (in the JDK, no new
+    * dependency: PNG/BMP/GIF/JPEG readers ship with every JVM) at the
+    * same `mapPartitions` codec boundary the GIMG container ops sit at.
+    * This replaces the stub for `kind=image`: actual compressed image
+    * bytes in, decoded pixels out, features derived with exact integer
+    * arithmetic (dimensions + per-channel sums) so any engine that can
+    * reproduce the pixels replays the output bit-for-bit. PNG/BMP are
+    * lossless, so a PNG round-trip certifies the decode exactly; the
+    * audio/video stubs remain honestly labeled stubs (no codecs in the
+    * JDK for those).
+    *
+    * Scale shape unchanged from the stub path: narrow per-partition
+    * pass, no shuffle, compressed bytes never cross a stage boundary —
+    * only the fixed-width feature row does. A malformed payload fails
+    * loudly (ImageIO returns null → require), never silent garbage. */
+  def decodeImageIO(media: Dataset[(Long, Array[Byte])]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        require(bytes != null && bytes.nonEmpty, s"media $id: empty payload")
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"media $id: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(id, w, h, sr, sg, sb)
+      }
+    }
+  }
+
+  /** Real decode→resize output: output dims + per-channel sums of the
+    * half-scaled image. */
+  final case class ResizedImageFeatures(
+      doc_id: Long,
+      out_w: Int,
+      out_h: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** REAL decode → resize composition: decode compressed image bytes
+    * with `javax.imageio` ([[decodeImageIO]]'s codec), then
+    * nearest-neighbor half-scale ON THE DECODED PIXELS
+    * (out(x', y') = in(2x', 2y'), out dims = ceil(in/2) — the exact
+    * integer sampling [[resizeNearestHalf]] runs on container bytes,
+    * here on real codec output). Features are the resized image's dims
+    * + per-channel sums, so a hash match certifies WHICH decoded pixels
+    * the sampler picked. Same scale shape: narrow per-partition pass,
+    * compressed bytes never cross a stage. */
+  def resizeImageIO(media: Dataset[(Long, Array[Byte])]): Dataset[ResizedImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        require(bytes != null && bytes.nonEmpty, s"media $id: empty payload")
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"media $id: payload is not a decodable image")
+        val ow = (img.getWidth + 1) / 2
+        val oh = (img.getHeight + 1) / 2
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val rgb = img.getRGB(2 * x, 2 * y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImageFeatures(id, ow, oh, sr, sg, sb)
+      }
+    }
+  }
+
   /** Treat documents' text as a binary payload column — the SQL-visible
     * slice of the multimodal path (byte length + md5 digest computed on
     * the BINARY payload; equals md5 of the utf8 string cross-engine). */

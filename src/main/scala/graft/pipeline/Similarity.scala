@@ -959,14 +959,53 @@ object Similarity {
     val ids = candRows.map(_._2).distinct.sorted
     val scored = readVectors(ids).join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
-      .withColumn("cos_x1e6",
-        round(cosine(col("qv"), col("v")) * 1e6).cast("long"))
+    exactRerankTopK(scored, k)
+  }
+
+  /** Shared exact-refine tail: score (query_id, vec_id, qv, v) candidate
+    * rows with exact cosine and keep each query's top-k. */
+  private def exactRerankTopK(candRows: DataFrame, k: Int): DataFrame = {
+    val scored = candRows.withColumn("cos_x1e6",
+      round(cosine(col("qv"), col("v")) * 1e6).cast("long"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_x1e6").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cos_x1e6")
+  }
+
+  /** COLLECT-FREE twin of [[ivfPqSearchRerank]] for OFFLINE refine at
+    * scale: the |Q| x topR candidate pairs stay DISTRIBUTED end-to-end —
+    * one equi-join of the vector table against the candidate frame both
+    * prunes the corpus AND attaches each candidate's query_id (AQE picks
+    * broadcast vs shuffle from the actual candidate size), so nothing
+    * round-trips the driver. At serving |Q| the id-pushdown variant
+    * reads strictly less IO (candidate ids prune files/row-groups at the
+    * scan); past ~1e5 candidate pairs the driver round-trip and the
+    * literal id list become the bottleneck and this path wins — pick by
+    * |Q| x topR. Same output contract, bit-identical rows
+    * (PlanQualitySpec pins both the equivalence and the absence of a
+    * driver collect on this path). */
+  def ivfPqSearchRerankDistributed(
+      queries: DataFrame, // (query_id, qv)
+      dims: Int,
+      centroids: Seq[(Long, Seq[Long])],
+      codebook: Seq[(Int, Long, Seq[Long])],
+      readIndex: Seq[Long] => DataFrame, // probed cids -> (vec_id, codes, cid)
+      vectors: DataFrame, // the FULL (vec_id, v) table — pruned by the join
+      k: Int,
+      topR: Int,
+      nProbe: Int = 4,
+      numSubs: Int = 4
+  ): DataFrame = {
+    require(topR >= k, s"topR=$topR must be >= k=$k (refine never shrinks recall)")
+    val cand = ivfPqSearchIndexed(queries, dims, centroids, codebook,
+      readIndex, k = topR, nProbe, numSubs)
+      .select("query_id", "vec_id")
+    val scored = vectors.join(cand, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+    exactRerankTopK(scored, k)
   }
 
   /** LSH ANN: same-bucket candidates re-ranked exactly. Recall < 1 by

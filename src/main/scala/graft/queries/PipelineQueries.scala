@@ -93,6 +93,30 @@ object PipelineQueries {
         trainedMerges(spark, dir))
       .orderBy("doc_id")
 
+  /** PRODUCTION-VOCABULARY encode (`bpe_encode_32k`): the same native
+    * merges-as-data encode as `bpe_encode`, at a real tokenizer's scale
+    * — 32,000 synthetic hierarchical merges (seeded, deterministic;
+    * later merges combine earlier outputs, like a learned vocabulary).
+    * No SQL oracle — DuckDB cannot replay 32k merge passes — so the
+    * gate records the weaker rows-only check; exactness at this K is
+    * pinned by BpeEncodeSpec's K=32000 naive-reference case, and this
+    * entry keeps a tokenizer-scale encode continuously TIMED in the
+    * bench (the plan must stay O(1) in K for it to even compile). */
+  def bpeEncode32k(spark: SparkSession, dir: String): DataFrame = {
+    val rng = new scala.util.Random(77)
+    val pool = scala.collection.mutable.ArrayBuffer[String](
+      "a", "b", "c", "d", "e", "f", "g", "h")
+    val merges = (1 to 32000).map { _ =>
+      val pa = pool(rng.nextInt(pool.size))
+      val pb = pool(rng.nextInt(pool.size))
+      pool += (pa + pb)
+      (pa, pb)
+    }
+    graft.pipeline.Bpe.encode(documents(spark, dir), "doc_id", "text",
+        merges)
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing by TRUE tokenizer lengths — the composition a
     * training-data run actually executes (whitespace counts only
     * approximate the context-window budget; packs must fit in BPE
@@ -2043,6 +2067,60 @@ object PipelineQueries {
       .toDF().orderBy("doc_id")
   }
 
+  /** REAL codec decode ([[Multimodal.decodeImageIO]] — javax.imageio,
+    * in the JDK): per document a small RGB image with closed-form
+    * pixels (r = (doc_id*31 + x*7 + y*13) % 256, g/b analogous) at
+    * w = 8 + doc_id%5, h = 6 + doc_id%7 is encoded to REAL PNG BYTES on
+    * the executors, then decoded back at the mapPartitions codec
+    * boundary — the JDK codec both ways, losslessly. The oracle
+    * recomputes dimensions and per-channel pixel sums from the formula
+    * alone, so a hash match certifies an actual compressed-image decode
+    * (unlike the GIMG container fixtures, which certify byte
+    * arithmetic). The audio/video stubs stay honestly stubbed — the JDK
+    * ships no codecs for those. */
+  def multimodalImgDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImageIO(pngMedia(spark, dir)).toDF().orderBy("doc_id")
+
+  /** Real PNG payloads, generated ON THE EXECUTORS with the JDK codec:
+    * per document a w×h RGB image (w = 8 + doc_id%5, h = 6 + doc_id%7)
+    * with closed-form pixels, so a DuckDB oracle can recompute any
+    * pixel-derived feature without decoding anything. */
+  private def pngMedia(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    documents(spark, dir).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 5).toInt
+        val h = (6 + id % 7).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
+            val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        (id, baos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL decode → resize composition ([[Multimodal.resizeImageIO]]):
+    * javax.imageio decode of the PNG payloads, then nearest-neighbor
+    * half-scale on the DECODED pixels. The oracle evaluates the pixel
+    * formula at the sampled coordinates (2x', 2y') only — a hash match
+    * certifies which real codec-output pixels the sampler picked. */
+  def multimodalImgResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImageIO(pngMedia(spark, dir)).toDF().orderBy("doc_id")
+
   /** Video FRAME SAMPLING over a varying-byte container ([[Multimodal
     * .sampleFrames]], every 3rd frame): byte value at global index i is
     * (doc_id*7 + i) % 251, so the checksum depends on exactly which
@@ -3434,6 +3512,50 @@ object PipelineQueries {
         |    AS n_digit_runs,
         |  md5(regexp_replace(t1, '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_digest
         |FROM s ORDER BY doc_id""".stripMargin,
+    // recomputed from the pixel FORMULA alone — matching the engine's
+    // javax.imageio PNG round-trip certifies a real compressed-image
+    // decode, not container arithmetic
+    "multimodal_imgdecode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(6 + doc_id % 7 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w), x ->
+        |      (doc_id * 31 + x * 7 + y * 13) % 256)))) AS BIGINT) AS sum_r,
+        |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w), x ->
+        |      (doc_id * 17 + x * 5 + y * 11) % 256)))) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w), x ->
+        |      (doc_id * 23 + x * 3 + y * 19) % 256)))) AS BIGINT) AS sum_b
+        |FROM dims ORDER BY doc_id""".stripMargin,
+    "multimodal_imgresize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(6 + doc_id % 7 AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, w, h,
+        |        (w + 1) // 2 AS ow, (h + 1) // 2 AS oh FROM dims)
+        |SELECT doc_id,
+        |  CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+        |  CAST(list_sum(flatten(list_transform(range(0, oh), y ->
+        |    list_transform(range(0, ow), x ->
+        |      (doc_id * 31 + (2*x) * 7 + (2*y) * 13) % 256)))) AS BIGINT)
+        |    AS sum_r,
+        |  CAST(list_sum(flatten(list_transform(range(0, oh), y ->
+        |    list_transform(range(0, ow), x ->
+        |      (doc_id * 17 + (2*x) * 5 + (2*y) * 11) % 256)))) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(list_sum(flatten(list_transform(range(0, oh), y ->
+        |    list_transform(range(0, ow), x ->
+        |      (doc_id * 23 + (2*x) * 3 + (2*y) * 19) % 256)))) AS BIGINT)
+        |    AS sum_b
+        |FROM r ORDER BY doc_id""".stripMargin,
     // recomputed from doc_id arithmetic alone — matching the engine's
     // byte-level container decode certifies the binary round-trip
     "multimodal_framesample" ->
@@ -3542,12 +3664,15 @@ object PipelineQueries {
     "text_index_stream" -> (textIndexStream _),
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
+    "bpe_encode_32k" -> (bpeEncode32k _),
     "sequence_pack_bpe" -> (sequencePackBpe _),
     "substring_dedup" -> (substringDedup _),
     "pii_scrub" -> (piiScrubQuery _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_resize" -> (multimodalResize _),
-    "multimodal_framesample" -> (multimodalFrameSample _)
+    "multimodal_framesample" -> (multimodalFrameSample _),
+    "multimodal_imgdecode" -> (multimodalImgDecode _),
+    "multimodal_imgresize" -> (multimodalImgResize _)
   )
 }

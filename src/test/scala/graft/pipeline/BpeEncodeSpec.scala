@@ -86,14 +86,15 @@ class BpeEncodeSpec extends AnyFunSuite {
     }
   }
 
-  test("VOCABULARY scale: K=2000 merges compile as an O(1)-size plan, " +
-    "run, and match the naive reference") {
+  test("PRODUCTION-VOCABULARY scale: K=32000 merges (a real tokenizer's " +
+    "size) compile as an O(1)-size plan, run, and match the naive " +
+    "reference") {
     val rng = new scala.util.Random(77)
     // hierarchical merge list over a growing symbol pool — like a real
     // learned vocabulary, later merges combine earlier merge results
     val pool = scala.collection.mutable.ArrayBuffer[String](
       "a", "b", "c", "d", "e", "f", "g", "h")
-    val merges = (1 to 2000).map { _ =>
+    val merges = (1 to 32000).map { _ =>
       val pa = pool(rng.nextInt(pool.size))
       val pb = pool(rng.nextInt(pool.size))
       pool += (pa + pb)

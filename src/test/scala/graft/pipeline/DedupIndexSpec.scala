@@ -154,6 +154,20 @@ class DedupIndexSpec extends AnyFunSuite {
       col("doc_id") === 100L, 500))
     assert(probeNew.exists { case (a, b, _) => a == 0L && b == 100L },
       s"the delta-indexed doc must pair with its near-copy: $probeNew")
+    // (d) compaction folds the unpartitioned delta back into the bucket
+    // layout (the generic rewrite honors the table's partition spec):
+    // the new doc's probe now prunes AND still serves its pair
+    graft.compaction.Compaction.builder().withSpark(spark)
+      .withTableDir(idxDir).build().compact()
+    val (planned2, total2) = DedupIndex.plannedIndexFiles(spark, corpusDir,
+      idxDir, probeFilter = col("doc_id") === 100L)
+    assert(planned2 > 0 && planned2 < total2,
+      s"post-compaction, the delta doc's probe must prune again " +
+        s"($planned2 of $total2)")
+    val probeCompacted = pairs(DedupIndex.probePairs(spark, corpusDir,
+      idxDir, col("doc_id") === 100L, 500))
+    assert(probeCompacted == probeNew,
+      "compaction must not change probe results")
   }
 
   test("the hash family is frozen in the params property: an xx index " +

@@ -521,4 +521,46 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("FullOuter"),
       s"absent-leg docs must survive via full outer join:\n$p")
   }
+
+  test("ivf-pq exact re-rank, DISTRIBUTED path: the ADC top-R window " +
+    "rides the SAME plan as the final top-k (candidates never " +
+    "round-trip the driver), and rows match the collect path exactly") {
+    import org.apache.spark.sql.functions.col
+    val t = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = t.select(col("vec_id"), col("embedding").as("v"))
+    val q = t.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val (cents, cb, codes) = graft.pipeline.Similarity.ivfPqIndex(
+      corpus, dims = 64, numCentroids = 4, lloydIters = 1,
+      numSubs = 4, codebookSize = 8)
+    val codesDf = codes.select("vec_id", "codes", "cid").cache()
+    try {
+      def readIdx(cids: Seq[Long]) =
+        codesDf.filter(col("cid").isin(cids: _*))
+      val dist = graft.pipeline.Similarity.ivfPqSearchRerankDistributed(
+        q, dims = 64, cents, cb, readIdx, vectors = corpus,
+        k = 5, topR = 15)
+      val p = plan(dist)
+      // the collect path materializes the ADC candidates driver-side, so
+      // its OUTPUT plan holds exactly one window (the final exact top-k);
+      // the distributed path must keep BOTH ranking windows in one plan —
+      // proof the |Q| x topR candidate set stayed on the cluster
+      val windows = p.split("\n").count(_.contains("Window ["))
+      assert(windows >= 2,
+        s"ADC top-R and final top-k must both ride this plan " +
+          s"($windows windows):\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      val coll = graft.pipeline.Similarity.ivfPqSearchRerank(
+        q, dims = 64, cents, cb, readIdx,
+        readVectors = ids =>
+          corpus.filter(col("vec_id").isin(ids.map(x => x: Any): _*)),
+        k = 5, topR = 15)
+      assert(rows(dist) == rows(coll),
+        "distributed refine must equal the collect path bit-for-bit")
+      assert(rows(dist).nonEmpty)
+    } finally codesDf.unpersist()
+  }
 }
