@@ -168,9 +168,14 @@ object DedupIndex {
     val (numHashes, bandSize, hashKind) = params(idx.properties, idxDir)
     val corpus = TableReader.read(spark, corpusDir, catalog = catalog)
       .select(col("doc_id"), col("text"))
+    // probe bands are consumed TWICE (bucket-id collection for pruning,
+    // then the collision join) — localCheckpoint materializes the
+    // minhash pass once instead of re-paying it; the frame is ∝ the
+    // batch, exactly what a serving probe can afford to pin
     val probeBands = Dedup.bandRows(corpus.filter(probeFilter),
       numHashes, bandSize, hashKind)
       .withColumnRenamed("doc_id", "p_id")
+      .localCheckpoint()
     val idxBands = prunedIndexRead(spark, idx, idxDir, probeBands, catalog)
     val cand = probeBands
       .join(idxBands,
