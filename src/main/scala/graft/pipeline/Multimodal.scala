@@ -229,14 +229,23 @@ object Multimodal {
     * pass, no shuffle, compressed bytes never cross a stage boundary —
     * only the fixed-width feature row does. A malformed payload fails
     * loudly (ImageIO returns null → require), never silent garbage. */
+  /** The one ImageIO decode call + loud-failure guards both image ops
+    * share (a payload ImageIO cannot parse returns null — surfaced as
+    * an error, never silent garbage features). */
+  private def decodeOrThrow(id: Long, bytes: Array[Byte])
+      : java.awt.image.BufferedImage = {
+    require(bytes != null && bytes.nonEmpty, s"media $id: empty payload")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"media $id: payload is not a decodable image")
+    img
+  }
+
   def decodeImageIO(media: Dataset[(Long, Array[Byte])]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { case (id, bytes) =>
-        require(bytes != null && bytes.nonEmpty, s"media $id: empty payload")
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
-        require(img != null, s"media $id: payload is not a decodable image")
+        val img = decodeOrThrow(id, bytes)
         val w = img.getWidth
         val h = img.getHeight
         var sr = 0L; var sg = 0L; var sb = 0L
@@ -280,10 +289,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { case (id, bytes) =>
-        require(bytes != null && bytes.nonEmpty, s"media $id: empty payload")
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
-        require(img != null, s"media $id: payload is not a decodable image")
+        val img = decodeOrThrow(id, bytes)
         val ow = (img.getWidth + 1) / 2
         val oh = (img.getHeight + 1) / 2
         var sr = 0L; var sg = 0L; var sb = 0L

@@ -247,11 +247,11 @@ object PipelineQueries {
     // synthetic chunk key: doc_id * 1e6 + chunk_id. 1e6 supports docs of
     // 48M+ tokens; a doc beyond EITHER bound RAISES instead of silently
     // colliding/corrupting posting keys (chunk_id ≥ 1e6 would collide
-    // two passages; doc_id beyond Long.MaxValue/1e6 — or negative —
-    // would overflow the multiply). Both guards are codegen'd
-    // conditionals — no extra pass.
+    // two passages; doc_id above (Long.MaxValue - 999999)/1e6 — or
+    // negative — would let doc_id*1e6 + chunk_id overflow the Long).
+    // Both guards are codegen'd conditionals — no extra pass.
     val key = when(col("chunk_id") < 1000000L &&
-        col("doc_id").between(0L, Long.MaxValue / 1000000L),
+        col("doc_id").between(0L, (Long.MaxValue - 999999L) / 1000000L),
         col("doc_id") * 1000000L + col("chunk_id"))
       .otherwise(raise_error(concat(
         lit("chunk key (doc_id, chunk_id) outside the 1e6 key space: ("),

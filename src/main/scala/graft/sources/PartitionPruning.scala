@@ -88,19 +88,29 @@ object PartitionPruning {
     * whose TRANSFORMED values are bounded by the layout (≤ N bucket
     * ids): the caller evaluates the transform distributively over the
     * probe, collects the ≤ N distinct partition values, and prunes here
-    * with zero IO. Same conservative rules as [[prunePerFile]]: files
-    * without a parsed partition prefix (refresh deltas, pre-layout
-    * appends) and fields absent from a file's prefix keep the file;
-    * delete files pass through. */
+    * with zero IO. Conservative rules: files without a parsed partition
+    * prefix (refresh deltas, pre-layout appends) and fields absent from
+    * a file's prefix keep the file; delete files pass through; and —
+    * because the candidate VALUES were computed under one specific spec
+    * — only files `prunable` says were written under that same spec are
+    * judged at all (on a spec-EVOLVED table, `band_key_bucket=4` means
+    * a different value set under bucket(8) than under bucket(16), so an
+    * old-spec file must be kept, exactly [[prunePerFile]]'s per-file
+    * rationale). */
   def pruneByFieldValues(
       files: Seq[FileEntry],
-      fieldCandidates: Map[String, Set[String]]): Seq[FileEntry] = {
+      fieldCandidates: Map[String, Set[String]],
+      /** true iff this file's own partition spec is the one the
+        * candidates were computed under — others are kept unjudged. */
+      prunable: FileEntry => Boolean = _ => true): Seq[FileEntry] = {
     if (fieldCandidates.isEmpty) return files
     val (data, deletes) = files.partition(_.content == "data")
     val kept = data.filter { f =>
-      val fields = PartitionKey.parse(f.path)
-      fields.isEmpty || fieldCandidates.forall { case (name, ok) =>
-        fields.get(name).forall(ok.contains)
+      !prunable(f) || {
+        val fields = PartitionKey.parse(f.path)
+        fields.isEmpty || fieldCandidates.forall { case (name, ok) =>
+          fields.get(name).forall(ok.contains)
+        }
       }
     }
     kept ++ deletes

@@ -73,11 +73,19 @@ object TableReader {
   ): Option[DataFrame] = {
     val snap = snapshot(tableDir, asOfVersion, catalog)
     // transformed-value pruning first (zero IO, name-parse only); the
-    // all-pruned case still resolves the schema from the snapshot below
+    // all-pruned case still resolves the schema from the snapshot below.
+    // Candidates are valid ONLY under the table's CURRENT spec — on a
+    // spec-evolved table a file written under an older spec keeps its
+    // old ordinals (bucket(8)'s "4" is not bucket(16)'s "4"), so only
+    // files whose own spec equals the current one are judged.
     val preFiles =
       if (partitionFieldCandidates.isEmpty) snap.files
-      else PartitionPruning.pruneByFieldValues(snap.files,
-        partitionFieldCandidates)
+      else {
+        val curSpec = graft.core.PartitionSpecCodec.of(Some(snap))
+        val specFor = graft.core.PartitionSpecCodec.specForFile(Some(snap))
+        PartitionPruning.pruneByFieldValues(snap.files,
+          partitionFieldCandidates, prunable = f => specFor(f) == curSpec)
+      }
     // file-level min/max pruning BEFORE Spark sees the file list: bound
     // constraints in the filter drop data files whose footer stats prove
     // no row can match ([[ScanPruning]] — conservative, IO-only). Footer

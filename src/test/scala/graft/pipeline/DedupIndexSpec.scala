@@ -170,6 +170,60 @@ class DedupIndexSpec extends AnyFunSuite {
       "compaction must not change probe results")
   }
 
+  test("spec evolution never loses recall: bucket(8)->bucket(16) keeps " +
+    "old-layout files unjudged (their ordinals mean a different value " +
+    "set), while new-layout files still prune") {
+    import graft.core.PartitionSpecCodec
+    val docs = Seq(
+      0L -> (text(0, 30) + " extra"), 1L -> text(0, 30),       // pair (0,1)
+      20L -> text(500, 30), 21L -> (text(500, 30) + " other")) // pair (20,21)
+    val corpusDir = mkCorpus(docs)
+    val name = "didxspecevo"
+    val wh = Files.createTempDirectory("graft-didx-spec-evo").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    spark.sql(s"CREATE TABLE $name.db.didx " +
+      "(band BIGINT, band_key STRING, doc_id BIGINT) " +
+      "PARTITIONED BY (bucket(8, band_key))")
+    val idxDir = s"$wh/db/didx"
+    val corpus = graft.sources.TableReader.read(spark, corpusDir)
+    // docs 0/1's band rows land under bucket(8) — the OLD layout
+    Dedup.bandRows(corpus.filter(col("doc_id") < 2L), 32, 4)
+      .createOrReplaceTempView("didx_evo_old")
+    spark.sql(s"INSERT INTO $name.db.didx SELECT * FROM didx_evo_old")
+    val oldFiles = graft.sources.TableReader.read(spark, idxDir)
+      .inputFiles.length
+    // evolve the layout, then docs 20/21's rows land under bucket(16)
+    val snap0 = FileTableCatalog.loadOrThrow(idxDir)
+    new graft.txn.CommitManager(idxDir).evolvePartitionSpec(
+      PartitionSpecCodec.decode("bucket:16:band_key"),
+      expectedSchemaId = snap0.schemaId)
+    Dedup.bandRows(corpus.filter(col("doc_id") >= 20L), 32, 4)
+      .createOrReplaceTempView("didx_evo_new")
+    spark.sql(s"INSERT INTO $name.db.didx SELECT * FROM didx_evo_new")
+    spark.sql(s"ALTER TABLE $name.db.didx SET TBLPROPERTIES (" +
+      s"'${DedupIndex.ParamsProp}' = '32,4', " +
+      s"'${DedupIndex.SourceProp}' = '$corpusDir', " +
+      s"'${DedupIndex.SyncedProp}' = " +
+      s"'${FileTableCatalog.loadOrThrow(corpusDir).version}')")
+    def pairs(f: org.apache.spark.sql.Column) =
+      DedupIndex.probePairs(spark, corpusDir, idxDir, f, 500)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one-doc probes: the old-spec pair must survive (bucket-16
+    // candidates never judge a bucket-8 file) AND the new-spec pair
+    // must be served from pruned new-layout buckets
+    assert(pairs(col("doc_id") === 0L).contains((0L, 1L)),
+      "old-layout rows must stay probe-visible after spec evolution")
+    assert(pairs(col("doc_id") === 20L).contains((20L, 21L)))
+    val (planned, total) = DedupIndex.plannedIndexFiles(spark, corpusDir,
+      idxDir, probeFilter = col("doc_id") === 20L)
+    assert(planned >= oldFiles && planned < total,
+      s"old files all kept, some new-layout file pruned " +
+        s"($planned of $total, $oldFiles old)")
+  }
+
   test("the hash family is frozen in the params property: an xx index " +
     "refreshes and probes with xx, matching the xx batch pipeline") {
     val base = Seq(
