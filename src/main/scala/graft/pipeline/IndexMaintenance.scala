@@ -30,6 +30,48 @@ object IndexMaintenance {
   /** Comma-separated index dirs on the CORPUS table. */
   val RegisteredProp = "graft.index.registered"
 
+  /** Opt-in DELTA-FOLD budget on an INDEX table: refresh commits write
+    * UNPARTITIONED delta files (correct, but a bucket/identity-pruned
+    * probe must read every delta alongside its pruned base buckets), so
+    * under continuous ingest pruning degrades without bound. An index
+    * carrying this property (a file count N) gets a Full compaction —
+    * folding every delta back into the table's partition layout —
+    * whenever [[refreshAll]] leaves it with more than N layout-less
+    * data files: the same fold-the-backlog lifecycle streaming
+    * auto-compaction gives data tables, and the automated form of
+    * `CALL rebuild_index`'s delta fold, riding the ingest path with
+    * zero scheduling (the [[AnnIndex.RebuildBudgetProp]] discipline). */
+  val CompactOverProp = "graft.index.compact-over-deltas"
+
+  /** Count of `idx`'s data files OUTSIDE its partition layout (no
+    * parsed partition prefix — refresh deltas); for an unpartitioned
+    * index every data file counts, so the same budget folds small
+    * files. */
+  def deltaFileCount(idx: TableSnapshot): Int = {
+    val spec = graft.core.PartitionSpecCodec.of(Some(idx))
+    val data = idx.files.filter(_.content == "data")
+    if (spec.isEmpty) data.size
+    else data.count(f => graft.core.PartitionKey.parse(f.path).isEmpty)
+  }
+
+  /** Fold `idxDir`'s refresh deltas into its partition layout when the
+    * budget is exceeded; returns true when a compaction ran. */
+  def foldDeltasIfOver(spark: SparkSession, idxDir: String, over: Int,
+      catalog: TableCatalog = FileTableCatalog): Boolean = {
+    val deltas = deltaFileCount(catalog.loadOrThrow(idxDir))
+    if (deltas <= over) false
+    else {
+      graft.compaction.Compaction.builder()
+        .withSpark(spark)
+        .withTableDir(idxDir)
+        .withCatalog(catalog)
+        .withConfig(graft.core.CompactionConfig(
+          compactionType = graft.core.CompactionType.Full))
+        .build().compact()
+      true
+    }
+  }
+
   /** THE one changelog-refresh lifecycle every index kind shares —
     * [[TextIndex.refresh]], [[TextIndex.refreshPositional]],
     * [[AnnIndex.refresh]]/[[AnnIndex.refreshPq]], and
@@ -231,6 +273,10 @@ object IndexMaintenance {
               AnnIndex.rebuildIfDrifted(spark, corpusDir, idxDir,
                 whenDriftOverX1000 = budget, catalog = catalog)
             }
+          // opt-in delta-fold policy: too many layout-less refresh
+          // deltas -> Full compaction back into the pruning layout
+          props.get(CompactOverProp).flatMap(_.toIntOption)
+            .foreach(foldDeltasIfOver(spark, idxDir, _, catalog))
           None
         } catch {
           case scala.util.control.NonFatal(e) =>

@@ -804,9 +804,14 @@ object PipelineQueries {
             .select("doc_id", "text"), numHashes = 32, bandSize = 4)
         .createOrReplaceTempView(s"didxs_src_$name")
       spark.sql(s"INSERT INTO $name.db.didxs SELECT * FROM didxs_src_$name")
+      // compact-over-deltas = 1: the stream's SECOND inline refresh
+      // leaves 2 layout-less delta files, so the auto-fold policy must
+      // compact them back into the bucket(band_key) layout — the
+      // oracle-checked probe below is then served from the folded index
       spark.sql(s"ALTER TABLE $name.db.didxs SET TBLPROPERTIES (" +
         s"'${DedupIndex.ParamsProp}' = '32,4', " +
         s"'${DedupIndex.SourceProp}' = '$corpusDir', " +
+        s"'${graft.pipeline.IndexMaintenance.CompactOverProp}' = '1', " +
         s"'${DedupIndex.SyncedProp}' = " +
         s"'${FileTableCatalog.loadOrThrow(corpusDir).version}')")
       graft.pipeline.IndexMaintenance.register(corpusDir, idxDir)
@@ -822,12 +827,17 @@ object PipelineQueries {
           lit(false).as("_del")), 2L)
       docs0.unpersist()
       val idxAfter = FileTableCatalog.loadOrThrow(idxDir)
-      require(idxAfter.version == vIdx0 + 2,
-        s"dedup_index_stream: expected 2 inline refresh commits " +
-          s"(v$vIdx0 -> v${idxAfter.version})")
+      require(idxAfter.version >= vIdx0 + 3,
+        s"dedup_index_stream: expected 2 inline refresh commits + at " +
+          s"least 1 auto-fold compaction (v$vIdx0 -> v${idxAfter.version})")
       require(idxAfter.properties.get(DedupIndex.SyncedProp)
           .contains(FileTableCatalog.loadOrThrow(corpusDir).version.toString),
         "dedup_index_stream: index must be current after the stream")
+      // the fold must leave ZERO layout-less files: pruning is fully
+      // restored after continuous ingest, with no scheduler involved
+      require(graft.pipeline.IndexMaintenance.deltaFileCount(idxAfter) == 0,
+        "dedup_index_stream: auto-fold must return every refresh delta " +
+          "to the bucket(band_key) layout")
       (corpusDir, idxDir)
     })
 

@@ -130,4 +130,22 @@ class BpeEncodeSpec extends AnyFunSuite {
     assert(ap.encodeString("") == "")
     assert(ap.encodeString("zzz") == "z z z")
   }
+
+  test("in-order discipline: an adjacency created by rule m never " +
+    "fires a rule that already passed, and a duplicate-pair rule list " +
+    "fires at its NEXT rank after m") {
+    // rule 0 (ab,c) runs before any "ab" symbol exists; rule 1 creates
+    // the (ab,c) adjacency — which must NOT retroactively fire rule 0
+    val passed = new graft.functions.BpeApplier(
+      Seq(("ab", "c"), ("a", "b")))
+    assert(passed.encodeString("abc") == "ab c",
+      "a passed rank must never fire on a later-created adjacency")
+    // same pair listed AGAIN after the creator: the later duplicate
+    // must fire (binary search over the pair's sorted rank list)
+    val dup = new graft.functions.BpeApplier(
+      Seq(("ab", "c"), ("a", "b"), ("ab", "c")))
+    assert(dup.encodeString("abc") == "abc",
+      "the duplicate rank after the creating rule must fire")
+    assert(dup.encodeString("abcabc") == "abc abc")
+  }
 }

@@ -308,4 +308,62 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 3L)), s"expected the planted near-dup: $pairs")
   }
+
+  test("delta-fold policy: refreshAll folds layout-less refresh deltas " +
+    "back into the bucket layout only when the budget is exceeded, and " +
+    "probes stay exact across the fold") {
+    def txt(seed: Int): String =
+      (0 until 25).map(i => s"w${(seed + i) % 28}").mkString(" ")
+    val corpus = Files.createTempDirectory("graft-ims-fold-corpus").toString
+    TableMetadata.commit(corpus, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(corpus,
+      Seq((1L, txt(0)), (2L, txt(100))).toDF("doc_id", "text").coalesce(1))
+    // bucketed bands index via the catalog (the production layout)
+    val name = "imsfoldidx"
+    val wh = Files.createTempDirectory("graft-ims-fold-wh").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    spark.sql(s"CREATE TABLE $name.db.didx " +
+      "(band BIGINT, band_key STRING, doc_id BIGINT) " +
+      "PARTITIONED BY (bucket(16, band_key))")
+    val idx = s"$wh/db/didx"
+    Dedup.bandRows(graft.sources.TableReader.read(spark, corpus), 32, 4)
+      .createOrReplaceTempView("ims_fold_src")
+    spark.sql(s"INSERT INTO $name.db.didx SELECT * FROM ims_fold_src")
+    spark.sql(s"ALTER TABLE $name.db.didx SET TBLPROPERTIES (" +
+      s"'${DedupIndex.ParamsProp}' = '32,4', " +
+      s"'${DedupIndex.SourceProp}' = '$corpus', " +
+      s"'${IndexMaintenance.CompactOverProp}' = '1000', " +
+      s"'${DedupIndex.SyncedProp}' = " +
+      s"'${FileTableCatalog.loadOrThrow(corpus).version}')")
+    IndexMaintenance.register(corpus, idx)
+    assert(IndexMaintenance.deltaFileCount(
+      FileTableCatalog.loadOrThrow(idx)) == 0, "a fresh build has no deltas")
+    // two churn batches under a huge budget: deltas accumulate, no fold
+    TableWrites.appendData(corpus,
+      Seq((3L, txt(0) + " tail")).toDF("doc_id", "text").coalesce(1))
+    IndexMaintenance.refreshAll(spark, corpus)
+    TableWrites.appendData(corpus,
+      Seq((4L, txt(100) + " tail")).toDF("doc_id", "text").coalesce(1))
+    IndexMaintenance.refreshAll(spark, corpus)
+    val deltas = IndexMaintenance.deltaFileCount(
+      FileTableCatalog.loadOrThrow(idx))
+    assert(deltas > 0, "refresh commits must have written delta files")
+    // tighten the budget to 0: the next maintenance pass must fold —
+    // even with NO new corpus change (the refresh no-ops, the policy
+    // still inspects the backlog)
+    new graft.txn.CommitManager(idx).setTableProperties(
+      Map(IndexMaintenance.CompactOverProp -> "0"), Set.empty,
+      FileTableCatalog.loadOrThrow(idx).schemaId)
+    IndexMaintenance.refreshAll(spark, corpus)
+    assert(IndexMaintenance.deltaFileCount(
+      FileTableCatalog.loadOrThrow(idx)) == 0,
+      "the fold must return every delta to the bucket layout")
+    // probes stay exact across the fold, served from the folded layout
+    val got = DedupIndex.probePairs(spark, corpus, idx, lit(true), 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L), (2L, 4L)), s"post-fold probe: $got")
+  }
 }
