@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side shape is real and tested — schema, partitioning, batch
   * iteration via `mapPartitions` over a typed Dataset (the Scala analog of
-  * `mapInPandas` batch processing) — while the actual media decode is a
-  * clearly-marked deterministic STUB ([[stubDecode]]): the container has
-  * no image/audio codecs. Swapping in a real decoder changes ONE function,
-  * not the pipeline.
+  * `mapInPandas` batch processing). Image decode ([[decodeImageIO]]) and
+  * audio decode ([[decodeWav]]) are REAL JDK codec paths
+  * (`javax.imageio`, `javax.sound.sampled`); only video remains a
+  * clearly-marked deterministic STUB ([[stubDecode]] /
+  * the GVID container ops) — the JDK ships no video codec. Swapping in
+  * a real video decoder changes ONE function, not the pipeline.
   *
   * Scale design: payloads stay columnar parquet binary; decode is a
   * narrow per-partition pass (no shuffle); `spark.sql.files.
@@ -306,6 +308,73 @@ object Multimodal {
           y += 1
         }
         ResizedImageFeatures(id, ow, oh, sr, sg, sb)
+      }
+    }
+  }
+
+  /** Real-audio decode output: format + exact per-channel sample sums. */
+  final case class AudioFeatures(
+      doc_id: Long,
+      channels: Int,
+      n_frames: Long,
+      sum_ch0: Long,
+      sum_ch1: Long)
+
+  /** REAL audio decode — `javax.sound.sampled` (in the JDK, no new
+    * dependency: the WAVE/AIFF/AU container readers ship with every
+    * JVM) at the same `mapPartitions` codec boundary as
+    * [[decodeImageIO]]. This replaces the stub for `kind=audio`:
+    * actual RIFF/WAVE container bytes in, PCM frames out through the
+    * JDK's AudioSystem parser, features derived with exact integer
+    * arithmetic (channel count, frame count, per-channel signed-sample
+    * sums). PCM16 is lossless, so a WAV round-trip certifies the
+    * decode exactly; video stays an honestly-labeled stub (the JDK
+    * ships no video codec).
+    *
+    * Scale shape unchanged from the image path: narrow per-partition
+    * pass, no shuffle, audio bytes never cross a stage boundary — only
+    * the fixed-width feature row does. Malformed or non-PCM16 payloads
+    * fail loudly, never silent garbage features. */
+  def decodeWav(media: Dataset[(Long, Array[Byte])]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        require(bytes != null && bytes.nonEmpty, s"media $id: empty payload")
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"media $id: payload is not a decodable audio container", e)
+          }
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16,
+          s"media $id: expected 16-bit signed PCM, got $fmt")
+        val ch = fmt.getChannels
+        val frameSize = fmt.getFrameSize
+        val data = ais.readAllBytes()
+        require(frameSize == 2 * ch && data.length % frameSize == 0,
+          s"media $id: torn frame (${data.length} data bytes, " +
+            s"frame size $frameSize, $ch channels)")
+        val sums = new Array[Long](ch)
+        var i = 0
+        while (i < data.length) {
+          var c = 0
+          while (c < ch) {
+            val o = i + 2 * c
+            val s =
+              if (fmt.isBigEndian) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+              else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+            sums(c) += s
+            c += 1
+          }
+          i += frameSize
+        }
+        AudioFeatures(id, ch, (data.length / frameSize).toLong, sums(0),
+          if (ch > 1) sums(1) else 0L)
       }
     }
   }

@@ -813,6 +813,63 @@ object AnalyticsQueries {
       .orderBy("s_suppkey")
   }
 
+  /** Exact TRIANGLE COUNT + local clustering coefficient per node
+    * ([[graft.operators.Triangles]]) over the same supplier
+    * co-occurrence graph as [[supplierPagerank]] — the community-
+    * structure signal of a link-analysis pass (boilerplate farms and
+    * spam clusters surface as near-cliques). Degree-ordered wedge
+    * orientation keeps the quadratic step bounded by out-degree
+    * (O(sqrt(|E|)) per node), so the plan survives hub nodes; the
+    * oracle replays orientation, wedges, and closure as plain joins. */
+  def supplierTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+    graft.operators.Triangles.perNode(pairs)
+      .withColumnRenamed("node", "s_suppkey")
+      .orderBy("s_suppkey")
+  }
+
+  /** Rolling ANOMALY DETECTION over daily event volume — the data-
+    * quality tripwire of an ingest pipeline (a scraper outage or a
+    * crawler loop shows up as a day whose count leaves the trailing
+    * band). A day is anomalous when |count - mean7| > 2 * stddev7 over
+    * the 7 PRECEDING calendar days, evaluated entirely in integers:
+    * (7c - S)^2 > 4 * (7Q - S^2) with S = sum, Q = sum-of-squares of
+    * the window — algebraically identical to the z-score test, exact
+    * on any engine. Days with fewer than 7 preceding days are dropped
+    * (the window is undefined there, and an all-integer output keeps
+    * the oracle compare dtype-stable). The raw scan collapses to one row per
+    * calendar day FIRST (missing days zero-filled), so the global
+    * ordered window runs over #days rows — driver-bounded at any
+    * corpus size, never over raw events. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.sources.NanosParquet.readEvents(spark, dir)
+      .select(expr("(ts div 1000000000) div 86400").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min("day"), max("day")).head()
+    require(!bounds.isNullAt(0), "events table is empty — no day range")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val dense = spark.range(lo, hi + 1).select(col("id").as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(-7, -1)
+    dense
+      .withColumn("s7", sum("n").over(w))
+      .withColumn("q7", sum(col("n") * col("n")).over(w))
+      .withColumn("w7", count(lit(1)).over(w))
+      .filter(col("w7") === 7)
+      .select(col("day"), col("n"), col("s7"), col("q7"),
+        ((lit(7L) * col("n") - col("s7")) * (lit(7L) * col("n") - col("s7")) >
+          lit(4L) * (lit(7L) * col("q7") - col("s7") * col("s7")))
+          .as("is_anomaly"))
+      .orderBy("day")
+  }
+
   /** Rolling ACTIVE USERS — DAU and trailing-7-day WAU per calendar day
     * over the events table's full day range (missing days surface as
     * zeros, not holes). The rolling distinct is computed exactly
@@ -931,6 +988,57 @@ object AnalyticsQueries {
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "supplier_pagerank" -> supplierPagerankOracle,
+    "supplier_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.sk AS u, b.sk AS v FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) t
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+        |              THEN und.u ELSE und.v END AS a,
+        |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+        |              THEN und.v ELSE und.u END AS b
+        |  FROM und JOIN deg du ON und.u = du.node
+        |  JOIN deg dv ON und.v = dv.node),
+        |w AS (SELECT x.a AS a, x.b AS b, y.b AS c
+        |      FROM o x JOIN o y ON x.a = y.a AND x.b < y.b),
+        |tri AS (SELECT w.a, w.b, w.c FROM w JOIN und
+        |        ON und.u = least(w.b, w.c) AND und.v = greatest(w.b, w.c)),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |  SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+        |  UNION ALL SELECT c AS node FROM tri) t GROUP BY 1)
+        |SELECT deg.node AS s_suppkey, deg.deg,
+        |  CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN deg.deg >= 2 THEN
+        |    (2000000 * coalesce(pn.triangles, 0))
+        |      // (deg.deg * (deg.deg - 1))
+        |  ELSE 0 END AS BIGINT) AS cc_x1e6
+        |FROM deg LEFT JOIN pn ON deg.node = pn.node
+        |ORDER BY s_suppkey""".stripMargin,
+    "events_anomaly" ->
+      """WITH d0 AS (
+        |  SELECT epoch_us(ts) // 1000000 // 86400 AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+        |grid AS (SELECT unnest(range(b.lo, b.hi + 1)) AS day FROM b),
+        |dense AS (
+        |  SELECT g.day, CAST(coalesce(d0.n, 0) AS BIGINT) AS n
+        |  FROM grid g LEFT JOIN d0 ON g.day = d0.day),
+        |w AS (
+        |  SELECT day, n,
+        |    CAST(sum(n) OVER win AS BIGINT) AS s7,
+        |    CAST(sum(n * n) OVER win AS BIGINT) AS q7,
+        |    count(*) OVER win AS w7
+        |  FROM dense
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, n, s7, q7,
+        |  (7 * n - s7) * (7 * n - s7) > 4 * (7 * q7 - s7 * s7) AS is_anomaly
+        |FROM w WHERE w7 = 7 ORDER BY day""".stripMargin,
     "events_active_users" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id,
@@ -1310,6 +1418,8 @@ object AnalyticsQueries {
     "events_resample" -> (eventsResample _),
     "events_retention" -> (eventsRetention _),
     "supplier_pagerank" -> (supplierPagerank _),
+    "supplier_triangles" -> (supplierTriangles _),
+    "events_anomaly" -> (eventsAnomaly _),
     "events_active_users" -> (eventsActiveUsers _),
     "cube_pricing" -> (cubePricing _),
     "events_json" -> (eventsJson _),

@@ -1048,6 +1048,21 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Johnson–Lindenstrauss RANDOM PROJECTION ([[graft.pipeline
+    * .RandomProjection]]): 64-dim embeddings down to 8 deterministic
+    * ±1-sign components (Achlioptas-style database-friendly
+    * projection), emitted fixed-point ×1e6. The sign matrix derives
+    * from the cross-engine hash (seed "rp"), so the oracle rebuilds the
+    * SAME matrix from the formula and replays every component — and a
+    * backfill months later reproduces the exact projection, which is
+    * what keeps downstream ANN indexes consistent. Plan shape: the
+    * matrix is a driver-built literal; per row, 8 codegen'd
+    * multiply-add folds — zero shuffle, zero per-row hashing. */
+  def embeddingProject(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.RandomProjection.project(
+      embeddings(spark, dir), "vec_id", "embedding", dims = 64, outDims = 8)
+      .orderBy("vec_id")
+
   /** HYBRID retrieval SERVED FROM THE PERSISTED INDEXES — the
     * production composition: the lexical leg is BM25 from the bucketed
     * text index (term-bucket pruning self-asserted, df from posting
@@ -2134,6 +2149,55 @@ object PipelineQueries {
   def multimodalImgResize(spark: SparkSession, dir: String): DataFrame =
     Multimodal.resizeImageIO(pngMedia(spark, dir)).toDF().orderBy("doc_id")
 
+  /** REAL codec AUDIO decode ([[Multimodal.decodeWav]] —
+    * javax.sound.sampled, in the JDK): per document a small PCM16 clip
+    * with closed-form samples (frame i, channel c =
+    * ((doc_id*31 + i*7 + c*13) % 65536) - 32768; n = 40 + doc_id%37
+    * frames, 1 + doc_id%2 channels, 8 kHz) is written to REAL WAV BYTES
+    * on the executors, then decoded back through the JDK's RIFF/WAVE
+    * parser at the mapPartitions codec boundary. The oracle recomputes
+    * channel count, frame count, and per-channel sample sums from the
+    * formula alone; PCM16 is lossless, so the hash match certifies an
+    * actual audio-container decode. Video stays honestly stubbed. */
+  def multimodalWavDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeWav(wavMedia(spark, dir)).toDF().orderBy("doc_id")
+
+  /** Real WAV payloads, generated ON THE EXECUTORS with the JDK audio
+    * writer, samples closed-form over (doc_id, frame, channel) so a
+    * DuckDB oracle can recompute any sample-derived feature without
+    * decoding anything. */
+  private def wavMedia(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    documents(spark, dir).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (40 + id % 37).toInt
+        val ch = (1 + id % 2).toInt
+        val pcm = new Array[Byte](n * ch * 2)
+        var i = 0
+        while (i < n) {
+          var c = 0
+          while (c < ch) {
+            val s = (((id * 31 + i * 7 + c * 13) % 65536) - 32768).toInt
+            val o = (i * ch + c) * 2
+            pcm(o) = (s & 0xff).toByte // PCM16 little-endian
+            pcm(o + 1) = ((s >> 8) & 0xff).toByte
+            c += 1
+          }
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, ch, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        (id, baos.toByteArray)
+      }
+    }
+  }
+
   /** Video FRAME SAMPLING over a varying-byte container ([[Multimodal
     * .sampleFrames]], every 3rd frame): byte value at global index i is
     * (doc_id*7 + i) % 251, so the checksum depends on exactly which
@@ -2948,6 +3012,24 @@ object PipelineQueries {
       |  SELECT doc_id + 100000 AS doc_id, text FROM documents
       |  WHERE doc_id % 13 = 0""".stripMargin
 
+  /** embedding_project oracle: rebuild the SAME ±1 sign matrix from the
+    * cross-engine hash formula (seed "rp", key "k,d") and replay all 8
+    * dot products — certifies the projection matrix derivation AND the
+    * fixed-point arithmetic. */
+  private val embeddingProjectOracle: String = {
+    def signList(k: Int): String =
+      s"""list_transform(range(0, 64), d ->
+         |    CASE WHEN ${h64(s"'rp:$k,' || d::VARCHAR")} % 2 = 0
+         |         THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)""".stripMargin
+    val comps = (0 until 8).map { k =>
+      s"CAST(round(1e6 * list_dot_product(v, ${signList(k)})) AS BIGINT) AS p$k"
+    }.mkString(",\n  ")
+    s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT vec_id,
+       |  $comps
+       |FROM t ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" -> ivfTrainedOracle,
     "ann_indexed" -> ivfTrainedOracle,
@@ -3263,6 +3345,7 @@ object PipelineQueries {
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "hybrid_search_rrf" -> hybridRrfOracle,
     "hybrid_search_indexed" -> hybridIndexedOracle,
+    "embedding_project" -> embeddingProjectOracle,
     "embedding_quantize" ->
       s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |m AS (
@@ -3546,6 +3629,25 @@ object PipelineQueries {
         |    list_transform(range(0, w), x ->
         |      (doc_id * 23 + x * 3 + y * 19) % 256)))) AS BIGINT) AS sum_b
         |FROM dims ORDER BY doc_id""".stripMargin,
+    // recomputed from the sample FORMULA alone — matching the engine's
+    // javax.sound.sampled WAV round-trip certifies a real
+    // audio-container decode (PCM16 is lossless)
+    "multimodal_wavdecode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(40 + doc_id % 37 AS BIGINT) AS n,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(ch AS INTEGER) AS channels,
+        |  n AS n_frames,
+        |  CAST(list_sum(list_transform(range(0, n), i ->
+        |    (doc_id * 31 + i * 7) % 65536 - 32768)) AS BIGINT) AS sum_ch0,
+        |  CAST(CASE WHEN ch = 2 THEN
+        |    list_sum(list_transform(range(0, n), i ->
+        |      (doc_id * 31 + i * 7 + 13) % 65536 - 32768))
+        |  ELSE 0 END AS BIGINT) AS sum_ch1
+        |FROM d ORDER BY doc_id""".stripMargin,
     "multimodal_imgresize" ->
       """WITH dims AS (
         |  SELECT doc_id,
@@ -3650,6 +3752,7 @@ object PipelineQueries {
     "ann_ivfpq_refresh" -> (annIvfPqRefresh _),
     "hybrid_search_rrf" -> (hybridSearchRrf _),
     "hybrid_search_indexed" -> (hybridSearchIndexed _),
+    "embedding_project" -> (embeddingProject _),
     "embedding_quantize" -> (embeddingQuantize _),
     "kmv_distinct" -> (kmvDistinct _),
     "kmv_by_group" -> (kmvByGroup _),
@@ -3686,6 +3789,7 @@ object PipelineQueries {
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_framesample" -> (multimodalFrameSample _),
     "multimodal_imgdecode" -> (multimodalImgDecode _),
-    "multimodal_imgresize" -> (multimodalImgResize _)
+    "multimodal_imgresize" -> (multimodalImgResize _),
+    "multimodal_wavdecode" -> (multimodalWavDecode _)
   )
 }

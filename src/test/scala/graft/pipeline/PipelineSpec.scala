@@ -419,6 +419,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("random projection: one-hot vectors read the sign matrix back") {
+    val signs = RandomProjection.signMatrix(8, 16)
+    // deterministic: same matrix on every call (backfill consistency)
+    assert(signs.map(_.toSeq).toSeq ==
+      RandomProjection.signMatrix(8, 16).map(_.toSeq).toSeq)
+    assert(signs.forall(_.forall(s => s == 1.0 || s == -1.0)))
+    val oneHot = (0 until 16).map { d =>
+      (d.toLong, Array.tabulate(16)(i => if (i == d) 1.0f else 0.0f))
+    }
+    val out = RandomProjection
+      .project(oneHot.toDF("vec_id", "v"), "vec_id", "v", 16, 8)
+      .collect()
+    out.foreach { r =>
+      val d = r.getLong(0).toInt
+      (0 until 8).foreach { k =>
+        assert(r.getLong(1 + k) == (signs(k)(d) * 1e6).toLong,
+          s"component p$k of one-hot dim $d must equal the sign")
+      }
+    }
+  }
+
+  test("real WAV decode: JDK audio codec round-trip, exact channel sums") {
+    import Multimodal._
+    // build a real container with the JDK writer (WAVE little-endian,
+    // AIFF big-endian — the latter exercises decodeWav's BE branch)
+    def clip(id: Long, samples: Array[Array[Short]], aiff: Boolean)
+        : (Long, Array[Byte]) = {
+      val ch = samples.length
+      val n = samples(0).length
+      val pcm = new Array[Byte](n * ch * 2)
+      for (i <- 0 until n; c <- 0 until ch) {
+        val s = samples(c)(i)
+        val o = (i * ch + c) * 2
+        if (aiff) { pcm(o) = ((s >> 8) & 0xff).toByte; pcm(o + 1) = (s & 0xff).toByte }
+        else { pcm(o) = (s & 0xff).toByte; pcm(o + 1) = ((s >> 8) & 0xff).toByte }
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, ch, true, aiff)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        if (aiff) javax.sound.sampled.AudioFileFormat.Type.AIFF
+        else javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      (id, baos.toByteArray)
+    }
+    val mono = clip(1L, Array(Array[Short](5, -7, 32767, -32768)), aiff = false)
+    val stereo = clip(2L, Array(Array[Short](1, 2, 3), Array[Short](-1, -2, -3)), aiff = false)
+    val bigEnd = clip(3L, Array(Array[Short](100, -200)), aiff = true)
+    val out = decodeWav(Seq(mono, stereo, bigEnd).toDS()).collect().sortBy(_.doc_id)
+    assert(out(0) == AudioFeatures(1L, 1, 4L, 5L - 7L + 32767L - 32768L, 0L))
+    assert(out(1) == AudioFeatures(2L, 2, 3L, 6L, -6L))
+    assert(out(2) == AudioFeatures(3L, 1, 2L, -100L, 0L))
+    // garbage fails loudly, never silent features
+    val e = intercept[org.apache.spark.SparkException] {
+      decodeWav(Seq((9L, "not audio".getBytes("UTF-8"))).toDS()).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("payload meta equals md5 of utf8 text") {
     val d = Seq((1L, "hello")).toDF("doc_id", "text")
     val r = Multimodal.payloadMeta(d, "doc_id", "text")
