@@ -62,8 +62,19 @@ final case class FileScanTask(
 /** One field of a table schema version — Iceberg's `{id, name, type}`
   * model: the FIELD ID is the stable identity; names are labels that
   * rename without touching data. `dataType` is a Spark DDL type string
-  * (`bigint`, `string`, ...), castable via `Column.cast`. */
-final case class SchemaField(id: Int, name: String, dataType: String)
+  * (`bigint`, `string`, ...), castable via `Column.cast`.
+  *
+  * Defaults (the Iceberg v3 `initial-default` / `write-default` model),
+  * stored as CANONICAL Spark SQL literal text ([[ColumnDefaults]]):
+  *  - `initialDefault` — the value READ for rows of files written
+  *    before the column existed (frozen at ADD COLUMN time, never
+  *    changes: pre-existing rows must read the same value forever);
+  *  - `writeDefault` — the value an INSERT that omits the column
+  *    writes (surfaced to Spark as the column's CURRENT default;
+  *    mutable via ALTER COLUMN SET/DROP DEFAULT). */
+final case class SchemaField(id: Int, name: String, dataType: String,
+    initialDefault: Option[String] = None,
+    writeDefault: Option[String] = None)
 
 /** One schema version in a table's schema history. Files record which
   * schemaId they were written under; readers reconcile every file to the

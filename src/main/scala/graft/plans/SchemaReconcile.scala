@@ -95,13 +95,18 @@ object SchemaReconcile {
   }
 
   /** Project a frame read under `from` onto `to`, by field id; hidden
-    * MoR columns ride along untouched. */
+    * MoR columns ride along untouched. A column the file predates fills
+    * its frozen initial-DEFAULT when one exists (constant-folded
+    * literal — canonical text from [[graft.core.ColumnDefaults]]),
+    * null otherwise. */
   private def project(df: DataFrame, from: TableSchema, to: TableSchema): DataFrame = {
     val oldById = from.fieldById
     val cols: Seq[Column] = to.fields.map { f =>
       oldById.get(f.id) match {
         case Some(o) => col(o.name).cast(f.dataType).as(f.name)
-        case None    => lit(null).cast(f.dataType).as(f.name)
+        case None    => f.initialDefault
+          .map(t => expr(t).cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType)).as(f.name)
       }
     }
     val hidden = df.columns.filter(MergeOnRead.HiddenCols.contains).map(col).toSeq

@@ -919,6 +919,82 @@ object SqlCatalogQuery {
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin)
   }
 
+  // -------- column DEFAULT values (Iceberg v3 initial/write-default) ----
+
+  private val defCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Column DEFAULTs through the full SQL lifecycle: CREATE with a
+    * declared DEFAULT (write-default only), INSERTs that omit the
+    * column (analyzer fills the CURRENT default), ALTER TABLE ADD
+    * COLUMN ... DEFAULT (pre-existing files READ the frozen
+    * initial-default — the engine readers fill the constant, Spark
+    * never sees the files), ALTER COLUMN SET DEFAULT (write-default
+    * evolves; initial-default must NOT move), and a merge-on-read
+    * DELETE whose predicate selects rows BY their default-read value.
+    * The oracle recomputes every row from lineitem + the default
+    * rules alone. */
+  def runColumnDefaults(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(defCatalogs, dir, spark, dir,
+        "gdf", "sqldef", "li_def") { name =>
+      spark.sql(
+        s"""CREATE TABLE $name.db.t (
+           |  l_orderkey BIGINT, l_linenumber INT, qty BIGINT,
+           |  src STRING DEFAULT 'web')
+           |TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')""".stripMargin)
+      // CREATE-time default: INSERT omits src -> rows land as 'web'
+      spark.sql(
+        s"""INSERT INTO $name.db.t (l_orderkey, l_linenumber, qty)
+           |SELECT l_orderkey, l_linenumber, l_suppkey
+           |FROM li_def WHERE l_orderkey % 4 = 0""".stripMargin)
+      // initial-default: files above PREDATE score and must read 7
+      spark.sql(s"ALTER TABLE $name.db.t ADD COLUMN score BIGINT DEFAULT 7")
+      // write-default of the new column fills for an omitting INSERT
+      spark.sql(
+        s"""INSERT INTO $name.db.t (l_orderkey, l_linenumber, qty, src)
+           |SELECT l_orderkey, l_linenumber, l_suppkey, 'bulk'
+           |FROM li_def WHERE l_orderkey % 4 = 1""".stripMargin)
+      // explicit values still win over defaults
+      spark.sql(
+        s"""INSERT INTO $name.db.t
+           |SELECT l_orderkey, l_linenumber, l_suppkey, 'full',
+           |  l_orderkey % 3
+           |FROM li_def WHERE l_orderkey % 4 = 2""".stripMargin)
+      // the WRITE default evolves; the frozen initial-default must not
+      spark.sql(s"ALTER TABLE $name.db.t ALTER COLUMN src SET DEFAULT 'api'")
+      spark.sql(
+        s"""INSERT INTO $name.db.t (l_orderkey, l_linenumber, qty)
+           |SELECT l_orderkey, l_linenumber, l_suppkey
+           |FROM li_def WHERE l_orderkey % 4 = 3""".stripMargin)
+      // MoR delete selecting rows BY a default-read value (arithmetic
+      // predicate -> row-level path, not metadata delete)
+      spark.sql(
+        s"DELETE FROM $name.db.t WHERE score = 7 AND l_orderkey % 10 = 0")
+    }
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, qty, src, score
+         |FROM $cat.db.t WHERE score >= 2
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin)
+  }
+
+  val columnDefaultsOracle: String =
+    """WITH t AS (
+      |  SELECT l_orderkey, l_linenumber, l_suppkey AS qty,
+      |    'web' AS src, CAST(7 AS BIGINT) AS score
+      |  FROM lineitem WHERE l_orderkey % 4 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_suppkey, 'bulk', 7
+      |  FROM lineitem WHERE l_orderkey % 4 = 1
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_suppkey, 'full', l_orderkey % 3
+      |  FROM lineitem WHERE l_orderkey % 4 = 2
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_suppkey, 'api', 7
+      |  FROM lineitem WHERE l_orderkey % 4 = 3)
+      |SELECT l_orderkey, l_linenumber, qty, src, score FROM t
+      |WHERE NOT (score = 7 AND l_orderkey % 10 = 0) AND score >= 2
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
   // -------- ARRAY / STRUCT / MAP through the engine table format --------
 
   private val nestCatalogs =

@@ -474,7 +474,15 @@ final case class GraftMorPartition(
     /** Pushed filters, for ROW-GROUP statistics skipping in the
       * vectorized reader ([[ParquetPredicate]]). Purely an optimization:
       * every filter is also re-applied by Spark above the scan. */
-    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    /** Initial-DEFAULT fills for current columns THIS file predates
+      * (current name → canonical literal text,
+      * [[graft.core.ColumnDefaults]]): the reader emits the constant
+      * instead of null, and equality-delete keys on such columns
+      * compare against it — default-filled rows behave exactly like
+      * physically-stored ones. Columns absent here AND from
+      * `columnMap` null-fill as before. */
+    defaultFill: Map[String, String] = Map.empty
 ) extends InputPartition
 
 /** A [[GraftMorPartition]] stamped with its typed partition key — the
@@ -1294,6 +1302,15 @@ final class GraftScan(
         case Some(old) => current.get.fields.map(fl =>
           fl.name -> old.fieldById.get(fl.id).map(_.name)).toMap
       }
+    def defaultFillFor(f: FileEntry): Map[String, String] =
+      oldSchemaOf(f.schemaId) match {
+        case None => Map.empty
+        case Some(old) => current.get.fields.collect {
+          case fl if !old.fieldById.contains(fl.id) &&
+              fl.initialDefault.isDefined =>
+            fl.name -> fl.initialDefault.get
+        }.toMap
+      }
     def keyColsFor(e: FileEntry): Seq[(String, String)] =
       oldSchemaOf(e.schemaId) match {
         case None => e.equalityIds.map(n => (n, n))
@@ -1385,7 +1402,8 @@ final class GraftScan(
         }.map(e => EqDeleteSpec(e.path, e.sequenceNumber, keyColsFor(e),
             e.sizeBytes)),
         columnMap = columnMapFor(d),
-        filters = taskFilters
+        filters = taskFilters,
+        defaultFill = defaultFillFor(d)
       )
       val splits = splitByRowGroups(base, layouts.getOrElse(d.path, Nil))
       spjKeys match {
@@ -1521,12 +1539,23 @@ final class GraftMorPartitionReader(
   private val readTypes: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
 
+  // initial-DEFAULT constants for columns this file predates, in the
+  // reader's boxed representation — evaluated once per task, never per
+  // row ([[graft.core.ColumnDefaults]])
+  private val defaultJvm: Map[String, Any] =
+    part.defaultFill.map { case (c, text) =>
+      c -> graft.core.ColumnDefaults.jvmValue(text, readTypes(c))
+    }
+
   private val eqKeySets: Seq[(Seq[String], java.util.HashSet[Seq[Any]])] =
     GraftBatchScan.loadEqKeySets(
-      // a file keyed on a column THIS data file predates can never
-      // match (the key would contain null) — skip its IO entirely
+      // a file keyed on a NULL-filled column it predates can never
+      // match (the key would contain null) — skip its IO entirely; a
+      // DEFAULT-filled column compares like a stored value, so its
+      // deletes stay applicable
       part.eqDeletes.filter(_.keyCols.forall(kc =>
-        part.columnMap.getOrElse(kc._1, Some(kc._1)).isDefined)),
+        part.columnMap.getOrElse(kc._1, Some(kc._1)).isDefined ||
+          defaultJvm.contains(kc._1))),
       readTypes, taskConf)
 
   // columns to materialize = output ∪ equality keys (current names, in
@@ -1557,7 +1586,8 @@ final class GraftMorPartitionReader(
   /** One field of the current row, in CURRENT-schema terms. */
   private def fieldValue(g: Group, currentName: String): Any =
     part.columnMap.getOrElse(currentName, Some(currentName)) match {
-      case None       => null // file predates the column
+      case None       => // file predates the column
+        defaultJvm.getOrElse(currentName, null)
       case Some(phys) =>
         groupValue(g, g.getType.getFieldIndex(phys), readTypes(currentName), phys)
     }

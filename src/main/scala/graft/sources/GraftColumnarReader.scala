@@ -60,12 +60,28 @@ final class GraftMorColumnarReader(
   private val deadPositions = GraftBatchScan.loadDeadPositions(part, taskConf)
   private val readTypes: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
-  // a file keyed on a column THIS data file predates can never match
+  // initial-DEFAULT constants for columns this file predates — one
+  // parse per task ([[graft.core.ColumnDefaults]]): boxed form for the
+  // equality-key probe (same representation as scratch values) and
+  // catalyst form for the constant output vectors
+  private val defaultJvm: Map[String, Any] =
+    part.defaultFill.map { case (c, text) =>
+      c -> graft.core.ColumnDefaults.jvmValue(text, readTypes(c))
+    }
+  private val defaultCatalyst: Map[String, Any] =
+    part.defaultFill.map { case (c, text) =>
+      c -> graft.core.ColumnDefaults.catalystValue(text, readTypes(c))
+    }
+
+  // a file keyed on a NULL-filled column it predates can never match
   // (the key would contain null) — skip it before any IO, which also
-  // keeps the footer-only count(*) path available when no file applies
+  // keeps the footer-only count(*) path available when no file applies;
+  // a DEFAULT-filled column compares like a stored value, so its
+  // deletes stay applicable (constant key component, below)
   private val eqKeySets = GraftBatchScan.loadEqKeySets(
     part.eqDeletes.filter(_.keyCols.forall(kc =>
-      part.columnMap.getOrElse(kc._1, Some(kc._1)).isDefined)),
+      part.columnMap.getOrElse(kc._1, Some(kc._1)).isDefined ||
+        defaultJvm.contains(kc._1))),
     readTypes, taskConf)
 
   // ---- cursor layout ------------------------------------------------------
@@ -244,11 +260,25 @@ final class GraftMorColumnarReader(
   /** Row `i` of the current batch survives every equality-delete key
     * set (a key containing null never matches — `===` semantics;
     * inapplicable files were filtered before load). */
+  // key-component access per applicable delete: cursor index for
+  // columns the file stores, the default CONSTANT for columns it
+  // predates (pre-filtering guarantees one of the two exists)
+  private lazy val eqKeyAccess
+      : Seq[(Seq[Either[Int, Any]], java.util.HashSet[Seq[Any]])] =
+    eqKeySets.map { case (cols, set) =>
+      (cols.map(c => cursorIdxByCol.get(c) match {
+        case Some(ci) => Left(ci)
+        case None     => Right(defaultJvm(c))
+      }), set)
+    }
+
   private def liveUnderEqDeletes(i: Int): Boolean = {
     if (eqKeySets.isEmpty) return true
-    eqKeySets.forall { case (cols, set) =>
-      // applicability is pre-filtered, so every key column has a cursor
-      val key = cols.map(c => scratch(cursorIdxByCol(c))(i))
+    eqKeyAccess.forall { case (acc, set) =>
+      val key = acc.map {
+        case Left(ci) => scratch(ci)(i)
+        case Right(cv) => cv
+      }
       key.contains(null) || !set.contains(key.map(GraftBatchScan.eqKeyComponent))
     }
   }
@@ -263,7 +293,10 @@ final class GraftMorColumnarReader(
       cursorIdxByCol.get(f.name) match {
         case None =>
           val cv = new ConstantColumnVector(live, f.dataType)
-          cv.setNull()
+          defaultCatalyst.get(f.name) match {
+            case Some(v) => setConstant(cv, v, f.dataType)
+            case None    => cv.setNull()
+          }
           out(c) = cv
         case Some(ci) =>
           val v = dataVectors(c)
@@ -294,6 +327,24 @@ final class GraftMorColumnarReader(
     }
     batch = new ColumnarBatch(out, live)
   }
+
+  /** Typed constant fill for a default-valued column the file predates
+    * — the catalyst value came from [[graft.core.ColumnDefaults
+    * .catalystValue]] under the same DataType, so the casts are total. */
+  private def setConstant(cv: ConstantColumnVector, v: Any, dt: DataType): Unit =
+    if (v == null) cv.setNull()
+    else dt match {
+      case IntegerType | DateType    => cv.setInt(v.asInstanceOf[Int])
+      case LongType | TimestampType  => cv.setLong(v.asInstanceOf[Long])
+      case FloatType                 => cv.setFloat(v.asInstanceOf[Float])
+      case DoubleType                => cv.setDouble(v.asInstanceOf[Double])
+      case BooleanType               => cv.setBoolean(v.asInstanceOf[Boolean])
+      case StringType                => cv.setUtf8String(v.asInstanceOf[UTF8String])
+      case d: DecimalType            =>
+        cv.setDecimal(v.asInstanceOf[Decimal], d.precision)
+      case other => throw CompactionError.Config(
+        s"unsupported default-value type $other") // ColumnDefaults gates
+    }
 
   /** Pull `n` BOXED values off one cursor into `dst` (the row reader's
     * [[GraftBatchScan.groupValue]] type rules — INT32-backed longs,

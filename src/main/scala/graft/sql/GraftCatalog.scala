@@ -189,6 +189,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** DDL-level column DEFAULT support (CREATE TABLE ... DEFAULT v,
+    * ALTER TABLE ADD COLUMN ... DEFAULT v, ALTER COLUMN SET/DROP
+    * DEFAULT): Spark gates the syntax on this capability; the engine
+    * stores defaults in the schema history (Iceberg v3
+    * initial/write-default model, [[graft.core.ColumnDefaults]]). */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def dirOf(parts: Seq[String]): String =
     (warehouse +: parts).mkString("/")
   private def tableDir(ident: Identifier): String =
@@ -301,7 +312,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // bootstrap snapshot CARRIES the declared schema as history v1, so
     // the empty table already resolves columns and appends name-check
     val fields = schema.fields.zipWithIndex.map { case (fld, i) =>
-      graft.core.SchemaField(i + 1, fld.name, fld.dataType.sql)
+      // CREATE-time DEFAULT = write-default only: no pre-existing files
+      // can ever lack this column, so no initial-default is needed
+      val wd = if (fld.metadata.contains(
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+        Some(graft.core.ColumnDefaults.canonicalize(
+          fld.metadata.getString(
+            org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+              .CURRENT_DEFAULT_COLUMN_METADATA_KEY),
+          fld.dataType.sql))
+      else None
+      graft.core.SchemaField(i + 1, fld.name, fld.dataType.sql,
+        writeDefault = wd)
     }
     // user TBLPROPERTIES ride the snapshot (e.g. graft.rowlevel.mode);
     // Spark's reserved bookkeeping keys stay out of the table
@@ -351,7 +374,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val ops: Seq[SchemaOp] = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
-        SchemaOp.Add(a.fieldNames.head, a.dataType.sql)
+        // DEFAULT rides the change as an analyzer-evaluated literal —
+        // store its canonical SQL text (validated again by evolve)
+        SchemaOp.Add(a.fieldNames.head, a.dataType.sql,
+          default = Option(a.defaultValue()).map { dv =>
+            val l = dv.getValue
+            org.apache.spark.sql.catalyst.expressions
+              .Literal(l.value(), l.dataType()).sql
+          })
+      case u: TableChange.UpdateColumnDefaultValue if u.fieldNames.length == 1 =>
+        // ALTER COLUMN SET/DROP DEFAULT → write-default only (the
+        // initial-default is frozen); DROP arrives as an empty default
+        SchemaOp.SetDefault(u.fieldNames.head,
+          Option(u.newCurrentDefault()).map(_.getSql).filter(s =>
+            s != null && s.nonEmpty))
       case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
         SchemaOp.Rename(r.fieldNames.head, r.newName)
       case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
@@ -395,7 +431,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       val after = GraftTableSource.tableSchema(dir, snapCatalog).fieldNames.toSet
       val renamed = ops.collect { case SchemaOp.Rename(_, to) => to }
       val dropped = ops.collect { case SchemaOp.Drop(n) => n }
-      val added = ops.collect { case SchemaOp.Add(n, _) => n }
+      val added = ops.collect { case SchemaOp.Add(n, _, _) => n }
       graft.core.WriteOrderCodec.validate(
         graft.core.WriteOrderCodec.decode(v),
         after -- dropped -- ops.collect { case SchemaOp.Rename(from, _) => from } ++

@@ -96,8 +96,23 @@ object GraftTableSource {
         SchemaEvolution.bootstrapSchema(snap).fields
       case None => Nil
     }
-    StructType(fields.map(f =>
-      StructField(f.name, DataType.fromDDL(f.dataType), nullable = true)))
+    StructType(fields.map { f =>
+      val base = StructField(f.name, DataType.fromDDL(f.dataType), nullable = true)
+      if (f.writeDefault.isEmpty && f.initialDefault.isEmpty) base
+      else {
+        // surface defaults to Spark's analyzer: CURRENT_DEFAULT drives
+        // INSERTs that omit the column (and the DEFAULT keyword);
+        // EXISTS_DEFAULT is the frozen initial-default (informational
+        // for V2 reads — the engine's readers fill it themselves)
+        import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        f.writeDefault.foreach(
+          mb.putString(CURRENT_DEFAULT_COLUMN_METADATA_KEY, _))
+        f.initialDefault.orElse(f.writeDefault).foreach(
+          mb.putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY, _))
+        base.copy(metadata = mb.build())
+      }
+    })
   }
 }
 

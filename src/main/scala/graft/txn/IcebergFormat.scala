@@ -48,8 +48,13 @@ object IcebergFormat {
   // ---------------------------------------------------------------- schema
 
   /** One Iceberg schema field: id, name, required, type (JSON type string
-    * for primitives, e.g. "long", "decimal(10, 2)"). */
-  final case class Field(id: Int, name: String, required: Boolean, typ: String)
+    * for primitives, e.g. "long", "decimal(10, 2)"). Defaults carry the
+    * GRAFT-canonical Spark literal text here; [[schemaJson]] /
+    * [[parseSchemaFields]] convert to/from the spec's v3
+    * `initial-default` / `write-default` single-value JSON. */
+  final case class Field(id: Int, name: String, required: Boolean, typ: String,
+      initialDefault: Option[String] = None,
+      writeDefault: Option[String] = None)
 
   /** Map a parquet primitive column to the Iceberg primitive type string
     * (spec "Primitive Types" table). Nanosecond timestamps are labeled
@@ -171,6 +176,8 @@ object IcebergFormat {
       // nested types carry the spec's JSON type OBJECT; primitives a string
       if (f.typ.startsWith("{")) fo.set[JsonNode]("type", parse(f.typ))
       else fo.put("type", f.typ)
+      f.initialDefault.foreach(t => putSingleValue(fo, "initial-default", t, f.typ))
+      f.writeDefault.foreach(t => putSingleValue(fo, "write-default", t, f.typ))
     }
     o
   }
@@ -180,8 +187,77 @@ object IcebergFormat {
       val t = f.get("type")
       val typ = if (t.isTextual) t.asText else mapper.writeValueAsString(t)
       Field(f.get("id").asInt, f.get("name").asText,
-        f.get("required").asBoolean, typ)
+        f.get("required").asBoolean, typ,
+        initialDefault = Option(f.get("initial-default"))
+          .map(singleValueToText(_, typ)),
+        writeDefault = Option(f.get("write-default"))
+          .map(singleValueToText(_, typ)))
     }
+
+  // ------------------------------------------- v3 default single-values
+
+  /** Write one column default as the spec's v3 "JSON single-value
+    * serialization" (int/long/float/double → JSON number, boolean →
+    * JSON boolean, string → JSON string, decimal → decimal string,
+    * date → ISO date string, timestamptz → ISO offset-datetime string),
+    * converting from the graft-canonical Spark literal text. */
+  private def putSingleValue(fo: ObjectNode, key: String, text: String,
+      icebergTyp: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ddl = icebergToSparkDdl(icebergTyp)
+    val dt = DataType.fromDDL(ddl)
+    val v = graft.core.ColumnDefaults.catalystValue(text, dt)
+    if (v == null) { fo.putNull(key); return }
+    dt match {
+      case IntegerType    => fo.put(key, v.asInstanceOf[Int])
+      case LongType       => fo.put(key, v.asInstanceOf[Long])
+      case FloatType      => fo.put(key, v.asInstanceOf[Float])
+      case DoubleType     => fo.put(key, v.asInstanceOf[Double])
+      case BooleanType    => fo.put(key, v.asInstanceOf[Boolean])
+      case StringType     => fo.put(key, v.toString)
+      case _: DecimalType => fo.put(key,
+        v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString)
+      case DateType       => fo.put(key,
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+      case TimestampType  =>
+        val micros = v.asInstanceOf[Long]
+        fo.put(key, java.time.OffsetDateTime.ofInstant(
+          java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS),
+          java.time.ZoneOffset.UTC).toString)
+      case other => throw CompactionError.Config(
+        s"column default of type $other cannot serialize to Iceberg JSON")
+    }
+  }
+
+  /** Read one v3 single-value default back to graft-canonical Spark
+    * literal text (the inverse of [[putSingleValue]]). */
+  private def singleValueToText(n: JsonNode, icebergTyp: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val dt = DataType.fromDDL(icebergToSparkDdl(icebergTyp))
+    val v: Any =
+      if (n.isNull) null
+      else dt match {
+        case IntegerType    => n.asInt
+        case LongType       => n.asLong
+        case FloatType      => n.floatValue()
+        case DoubleType     => n.doubleValue()
+        case BooleanType    => n.asBoolean
+        case StringType     =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(n.asText)
+        case d: DecimalType =>
+          Decimal(new java.math.BigDecimal(n.asText), d.precision, d.scale)
+        case DateType       =>
+          java.time.LocalDate.parse(n.asText).toEpochDay.toInt
+        case TimestampType  =>
+          val odt = java.time.OffsetDateTime.parse(n.asText)
+          java.time.temporal.ChronoUnit.MICROS.between(
+            java.time.Instant.EPOCH, odt.toInstant)
+        case other => throw CompactionError.Config(
+          s"column default of type $other cannot deserialize from Iceberg JSON")
+      }
+    Literal(v, dt).sql
+  }
 
   /** Spark DDL type string (graft's [[graft.core.SchemaField.dataType]]
     * representation) → Iceberg primitive type string — the flat

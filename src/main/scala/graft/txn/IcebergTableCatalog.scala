@@ -141,7 +141,9 @@ object IcebergTableCatalog extends TableCatalog {
       else doc.get("schemas").elements().asScala.toSeq.map { s =>
         graft.core.TableSchema(s.get("schema-id").asLong,
           parseSchemaFields(s).map(f =>
-            graft.core.SchemaField(f.id, f.name, icebergToSparkDdl(f.typ))))
+            graft.core.SchemaField(f.id, f.name, icebergToSparkDdl(f.typ),
+              initialDefault = f.initialDefault,
+              writeDefault = f.writeDefault)))
       }
     val schemaIdByPath: Map[String, Long] =
       props.get(FileSchemaIdsProp).map { json =>
@@ -359,7 +361,8 @@ object IcebergTableCatalog extends TableCatalog {
     val graftSchemas = snapshot.schemas
     def toFields(s: graft.core.TableSchema): Seq[Field] =
       s.fields.map(f => Field(f.id, f.name, required = false,
-        sparkDdlToIcebergTyped(f.dataType, f.id)))
+        sparkDdlToIcebergTyped(f.dataType, f.id),
+        initialDefault = f.initialDefault, writeDefault = f.writeDefault))
     val prevFields = prevDoc.map(currentSchemaFields).getOrElse(Nil)
     val fields =
       if (graftSchemas.nonEmpty)

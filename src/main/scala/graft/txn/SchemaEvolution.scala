@@ -23,10 +23,20 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   */
 sealed trait SchemaOp
 object SchemaOp {
-  /** `dataType` is a Spark DDL type string (`bigint`, `string`, ...). */
-  final case class Add(name: String, dataType: String) extends SchemaOp
+  /** `dataType` is a Spark DDL type string (`bigint`, `string`, ...).
+    * `default`, when given, is a Spark SQL literal: it becomes BOTH the
+    * column's frozen initial-default (what pre-existing rows read —
+    * Iceberg v3 `initial-default`) and its write-default (what an
+    * INSERT omitting the column writes). */
+  final case class Add(name: String, dataType: String,
+      default: Option[String] = None) extends SchemaOp
   final case class Rename(from: String, to: String) extends SchemaOp
   final case class Drop(name: String) extends SchemaOp
+  /** ALTER COLUMN SET/DROP DEFAULT: changes the WRITE default only —
+    * the initial-default is frozen at add time (pre-existing rows must
+    * read the same value forever). `default = None` drops it. */
+  final case class SetDefault(name: String,
+      default: Option[String]) extends SchemaOp
 }
 
 object SchemaEvolution {
@@ -66,7 +76,7 @@ object SchemaEvolution {
     var dropped = Map.empty[Int, String] // field id -> dropped name
     def names = fields.map(_.name).toSet
     ops.foreach {
-      case SchemaOp.Add(name, dataType) =>
+      case SchemaOp.Add(name, dataType, default) =>
         if (names(name)) throw CompactionError.Config(
           s"add column: '$name' already exists")
         // parse eagerly so a bad DDL string fails the evolve, not a read
@@ -75,8 +85,20 @@ object SchemaEvolution {
           case e: Exception => throw CompactionError.Config(
             s"add column '$name': invalid Spark DDL type '$dataType' (${e.getMessage})")
         }
+        // default validated + canonicalized NOW (loud DDL-time failure);
+        // the canonical text becomes both the frozen initial-default and
+        // the mutable write-default
+        val canon = default.map(ColumnDefaults.canonicalize(_, dataType))
         val nextId = (0 +: fields.map(_.id)).max + 1
-        fields = fields :+ SchemaField(nextId, name, dataType)
+        fields = fields :+ SchemaField(nextId, name, dataType,
+          initialDefault = canon, writeDefault = canon)
+      case SchemaOp.SetDefault(name, default) =>
+        val f = fields.find(_.name == name).getOrElse(
+          throw CompactionError.Config(
+            s"set default: column '$name' does not exist"))
+        val canon = default.map(ColumnDefaults.canonicalize(_, f.dataType))
+        fields = fields.map(x =>
+          if (x.id == f.id) x.copy(writeDefault = canon) else x)
       case SchemaOp.Rename(from, to) =>
         if (!names(from)) throw CompactionError.Config(
           s"rename column: '$from' does not exist")

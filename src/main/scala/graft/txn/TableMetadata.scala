@@ -212,7 +212,16 @@ object TableMetadata {
     * empty so every consumer can assume non-null. */
   private def norm(s: TableSnapshot): TableSnapshot = {
     val p0 = if (s.properties == null) s.copy(properties = Map.empty) else s
-    val p = if (p0.schemas == null) p0.copy(schemas = Nil) else p0
+    val p1 = if (p0.schemas == null) p0.copy(schemas = Nil) else p0
+    // schema JSON written before column defaults existed deserializes
+    // the Option fields as null — normalize to None
+    val p = p1.copy(schemas = p1.schemas.map(sc => sc.copy(
+      fields = sc.fields.map { f =>
+        var g = f
+        if (g.initialDefault == null) g = g.copy(initialDefault = None)
+        if (g.writeDefault == null) g = g.copy(writeDefault = None)
+        g
+      })))
     if (p.files == null) p.copy(files = Nil)
     else p.copy(files = p.files.map { f =>
       var e = f
