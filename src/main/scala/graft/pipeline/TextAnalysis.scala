@@ -63,6 +63,55 @@ object TextAnalysis {
       (length(col(textCol)) >= 100 && distinctRatio >= 300).as("quality_ok"))
   }
 
+  /** The Gopher paper's stop-word presence set (Rae et al. 2021,
+    * appendix A1.1 quality filters). */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER-style quality RULE SET (Rae et al. 2021, A1.1 — the word-level
+    * subset that applies to single-line documents): per-doc integer
+    * evidence plus one boolean per rule plus the conjunction, so a
+    * curation pipeline can both filter and AUDIT which rule fired.
+    * Rules, evaluated all-integer (no ratio ever materializes):
+    *  - word count in [50, 100000];
+    *  - mean word length in [3, 10]  ⇔  3n ≤ Σlen ≤ 10n;
+    *  - ≥ 80% of words contain an alphabetic char  ⇔  10·alpha ≥ 8n;
+    *  - ≤ 10% of words carry a '#' or '…' symbol  ⇔  10·sym ≤ n;
+    *  - ≥ `minStops` distinct Gopher stop words present (paper default
+    *    2; a corpus with a restricted function-word vocabulary can
+    *    lower it — the evidence column always carries the raw count).
+    * One narrow codegen'd pass, zero shuffle, no UDF. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minStops: Int = 2): DataFrame = {
+    val w = words(col(textCol))
+    val n = size(w).cast("long")
+    val sumLen = aggregate(
+      transform(w, x => length(x).cast("long")), lit(0L), _ + _)
+    val alpha = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+    val sym = size(filter(w,
+      x => x.contains("#") || x.contains("..."))).cast("long")
+    val stopDistinct = size(array_intersect(
+      array_distinct(w), array(gopherStops.map(lit): _*))).cast("long")
+    val okWc = n >= 50 && n <= 100000L
+    val okLen = sumLen >= lit(3L) * n && sumLen <= lit(10L) * n
+    val okAlpha = lit(10L) * alpha >= lit(8L) * n
+    val okSym = lit(10L) * sym <= n
+    val okStop = stopDistinct >= minStops
+    docs.select(
+      col(idCol).as("doc_id"),
+      n.as("n_words"),
+      sumLen.as("sum_word_len"),
+      alpha.as("alpha_words"),
+      sym.as("sym_words"),
+      stopDistinct.as("stop_distinct"),
+      okWc.as("ok_wordcount"),
+      okLen.as("ok_meanlen"),
+      okAlpha.as("ok_alpha"),
+      okSym.as("ok_symbol"),
+      okStop.as("ok_stopwords"),
+      (okWc && okLen && okAlpha && okSym && okStop).as("keep_doc"))
+  }
+
   /** Language ID by stopword scoring; deterministic tie-break by
     * [[langMarkers]] order. */
   def languageId(docs: DataFrame, idCol: String, textCol: String,

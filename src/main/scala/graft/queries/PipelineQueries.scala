@@ -38,6 +38,15 @@ object PipelineQueries {
     TextAnalysis.quality(documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Gopher rule-set gate ([[TextAnalysis.gopherRules]]). minStops = 1
+    * here: the synthetic corpus's function-word vocabulary contains
+    * only "the" from the Gopher stop set, so the paper's ≥2 would make
+    * the flag constant-false; the evidence column still carries the raw
+    * distinct count either way. */
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(documents(spark, dir), "doc_id", "text",
+      minStops = 1).orderBy("doc_id")
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.languageId(documents(spark, dir), "doc_id", "text", "lang")
       .orderBy("doc_id")
@@ -3084,6 +3093,34 @@ object PipelineQueries {
          |  CAST(len(list_filter(w, x -> x IN ($stopList))) AS BIGINT) AS stopword_hits,
          |  (${QuerySql.qualityPredicate}) AS quality_ok
          |FROM t ORDER BY doc_id""".stripMargin,
+    "quality_gopher" ->
+      s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT)
+         |    AS sum_word_len,
+         |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+         |    AS BIGINT) AS alpha_words,
+         |  CAST(len(list_filter(ws,
+         |    x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT)
+         |    AS sym_words,
+         |  CAST(len(list_intersect(list_distinct(ws),
+         |    ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+         |    AS stop_distinct
+         |FROM s)
+         |SELECT doc_id, n_words, sum_word_len, alpha_words, sym_words,
+         |  stop_distinct,
+         |  n_words BETWEEN 50 AND 100000 AS ok_wordcount,
+         |  sum_word_len BETWEEN 3 * n_words AND 10 * n_words AS ok_meanlen,
+         |  10 * alpha_words >= 8 * n_words AS ok_alpha,
+         |  10 * sym_words <= n_words AS ok_symbol,
+         |  stop_distinct >= 1 AS ok_stopwords,
+         |  (n_words BETWEEN 50 AND 100000
+         |    AND sum_word_len BETWEEN 3 * n_words AND 10 * n_words
+         |    AND 10 * alpha_words >= 8 * n_words
+         |    AND 10 * sym_words <= n_words
+         |    AND stop_distinct >= 1) AS keep_doc
+         |FROM m ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents)
          |SELECT doc_id, lang AS claimed_lang, $langCase AS predicted_lang,
@@ -3716,6 +3753,7 @@ object PipelineQueries {
     "token_count" -> (tokenCount _),
     "sequence_pack" -> (sequencePack _),
     "text_quality" -> (textQuality _),
+    "quality_gopher" -> (qualityGopher _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
     "repetition" -> (repetition _),

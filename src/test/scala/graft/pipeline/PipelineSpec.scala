@@ -419,6 +419,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("gopher rules: each rule fires on planted evidence, keep is the conjunction") {
+    val w50 = (1 to 50).map(i => s"the word$i").mkString(" ") // 100 words, has 'the'
+    val docs = Seq(
+      (1L, w50),                                        // passes everything
+      (2L, "too short to keep"),                        // word count < 50
+      (3L, (1 to 60).map(_ => "a").mkString(" ")),      // mean len 1 < 3, no stop
+      (4L, (1 to 60).map(_ => "the ###x").mkString(" ")), // >10% symbol words
+      (5L, (1 to 60).map(_ => "the 12345").mkString(" ")) // 50% alpha < 80%
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "doc_id", "text", minStops = 1)
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(6), x.getBoolean(7), x.getBoolean(8), x.getBoolean(9),
+          x.getBoolean(10), x.getBoolean(11))).toMap
+    assert(r(1L) == ((true, true, true, true, true, true)))
+    assert(!r(2L)._1 && !r(2L)._6, "word-count rule")
+    assert(!r(3L)._2 && !r(3L)._5 && !r(3L)._6, "mean-length + stop rules")
+    assert(!r(4L)._4 && !r(4L)._6, "symbol rule")
+    assert(!r(5L)._3 && !r(5L)._6, "alpha rule")
+  }
+
   test("random projection: one-hot vectors read the sign matrix back") {
     val signs = RandomProjection.signMatrix(8, 16)
     // deterministic: same matrix on every call (backfill consistency)

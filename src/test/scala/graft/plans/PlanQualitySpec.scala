@@ -563,4 +563,43 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(rows(dist).nonEmpty)
     } finally codesDf.unpersist()
   }
+
+  test("random projection: the sign matrix is a plan literal — zero " +
+    "exchanges, zero joins, no per-row hash calls before the output sort") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // probe WITHOUT the gate query's orderBy: the projection itself
+    // must be a single narrow codegen'd pass
+    val p = plan(graft.pipeline.RandomProjection.project(
+      emb, "vec_id", "embedding", dims = 64, outDims = 8))
+    assert(!p.contains("Exchange"), s"projection must be zero-shuffle:\n$p")
+    assert(!p.contains("Join"), s"projection must not join:\n$p")
+    assert(!p.contains("md5") && !p.contains("xxhash"),
+      s"the sign matrix must be a driver-built literal, not per-row hashing:\n$p")
+  }
+
+  test("triangle counting: the canonical edge set is computed once and " +
+    "reused (exchange reuse), no cartesian, no neighbor-list window") {
+    val df = AnalyticsQueries.supplierTriangles(spark, dir)
+    df.collect() // exchange reuse lands in the FINAL adaptive plan
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("Window"), s"no window over neighbor lists:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the canonical undirected edge set must be shuffled once and reused:\n$p")
+  }
+
+  test("rolling anomaly: raw events collapse to per-day rows BEFORE the " +
+    "ordered window — the window input is one aggregated row per day") {
+    val p = plan(AnalyticsQueries.eventsAnomaly(spark, dir))
+    // the single ordered window must sit ABOVE the day aggregate: a
+    // Window whose plan subtree still contains the raw events scan
+    // without an intervening aggregate would be corpus-sized
+    val lines = p.split("\n")
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggBelow = lines.drop(winIdx).exists(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggBelow,
+      s"the ordered window must consume the per-day aggregate, not raw events:\n$p")
+  }
 }
