@@ -995,6 +995,52 @@ object SqlCatalogQuery {
       |WHERE NOT (score = 7 AND l_orderkey % 10 = 0) AND score >= 2
       |ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  // -------- type widening (Iceberg type promotion) -----------------------
+
+  private val widenCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Iceberg type PROMOTION through SQL: an INT column is populated,
+    * widened to BIGINT (`ALTER COLUMN ... TYPE`), then filled with
+    * values that overflow int — old INT32-physical files and new
+    * INT64-physical files read as one bigint column, certified through
+    * a merge-on-read DELETE that spans both layouts. The oracle
+    * recomputes everything from lineitem. */
+  def runWidenType(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(widenCatalogs, dir, spark, dir,
+        "gw", "sqlwiden", "li_widen") { name =>
+      spark.sql(
+        s"""CREATE TABLE $name.db.t (
+           |  l_orderkey BIGINT, l_linenumber INT, v INT)
+           |TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.t
+           |SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS INT)
+           |FROM li_widen WHERE l_orderkey % 3 = 0""".stripMargin)
+      spark.sql(s"ALTER TABLE $name.db.t ALTER COLUMN v TYPE BIGINT")
+      spark.sql(
+        s"""INSERT INTO $name.db.t
+           |SELECT l_orderkey, l_linenumber,
+           |  l_orderkey * 1000000 + l_linenumber
+           |FROM li_widen WHERE l_orderkey % 3 = 1""".stripMargin)
+      // MoR delete straddling narrow and wide physical layouts
+      spark.sql(s"DELETE FROM $name.db.t WHERE v % 7 = 0")
+    }
+    spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, v
+         |FROM $cat.db.t ORDER BY 1, 2, 3""".stripMargin)
+  }
+
+  val widenTypeOracle: String =
+    """WITH t AS (
+      |  SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS BIGINT) AS v
+      |  FROM lineitem WHERE l_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_orderkey * 1000000 + l_linenumber
+      |  FROM lineitem WHERE l_orderkey % 3 = 1)
+      |SELECT l_orderkey, l_linenumber, v FROM t
+      |WHERE NOT (v % 7 = 0) ORDER BY 1, 2, 3""".stripMargin
+
   // -------- ARRAY / STRUCT / MAP through the engine table format --------
 
   private val nestCatalogs =

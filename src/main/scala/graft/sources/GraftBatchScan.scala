@@ -97,7 +97,12 @@ object GraftBatchScan {
         }
       case IntegerType | DateType => g.getInteger(gi, 0)
       case StringType  => g.getString(gi, 0)
-      case DoubleType  => g.getDouble(gi, 0)
+      case DoubleType  => // FLOAT physical = a file predating a widen
+        g.getType.getType(gi).asPrimitiveType().getPrimitiveTypeName match {
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT =>
+            g.getFloat(gi, 0).toDouble
+          case _ => g.getDouble(gi, 0)
+        }
       case FloatType   => g.getFloat(gi, 0)
       case BooleanType => g.getBoolean(gi, 0)
       case BinaryType  => g.getBinary(gi, 0).getBytes

@@ -362,7 +362,8 @@ final class GraftMorColumnarReader(
           case LongType | TimestampType | TimestampNTZType =>
             if (phys == INT32) cr.getInteger.toLong else cr.getLong
           case IntegerType | DateType => cr.getInteger
-          case DoubleType             => cr.getDouble
+          case DoubleType             => // FLOAT = pre-widening file
+            if (phys == FLOAT) cr.getFloat.toDouble else cr.getDouble
           case FloatType              => cr.getFloat
           case BooleanType            => cr.getBoolean
           case StringType             => cr.getBinary.toStringUsingUTF8
@@ -443,7 +444,8 @@ final class GraftMorColumnarReader(
           case LongType | TimestampType | TimestampNTZType =>
             v.putLong(o, if (phys == INT32) cr.getInteger.toLong else cr.getLong)
           case IntegerType | DateType => v.putInt(o, cr.getInteger)
-          case DoubleType             => v.putDouble(o, cr.getDouble)
+          case DoubleType             => // FLOAT = pre-widening file
+            v.putDouble(o, if (phys == FLOAT) cr.getFloat.toDouble else cr.getDouble)
           case FloatType              => v.putFloat(o, cr.getFloat)
           case BooleanType            => v.putBoolean(o, cr.getBoolean)
           case StringType | BinaryType =>

@@ -390,6 +390,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             s != null && s.nonEmpty))
       case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
         SchemaOp.Rename(r.fieldNames.head, r.newName)
+      case t: TableChange.UpdateColumnType if t.fieldNames.length == 1 =>
+        SchemaOp.Widen(t.fieldNames.head, t.newDataType.sql)
       case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
         SchemaOp.Drop(d.fieldNames.head)
       case other: TableChange
@@ -406,10 +408,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     ops.collect {
       case SchemaOp.Rename(from, _) if specSources(from) => from
       case SchemaOp.Drop(name) if specSources(name)      => name
+      // the transform arithmetic is typed (bucket hashing, bound
+      // rendering) — widening a source under existing fanout files is
+      // refused the same way rename/drop are
+      case SchemaOp.Widen(name, _) if specSources(name)  => name
     }.headOption.foreach { c =>
       throw CompactionError.Config(
-        s"column '$c' is a partition source (PARTITIONED BY); renaming " +
-          "or dropping it would orphan the partition spec")
+        s"column '$c' is a partition source (PARTITIONED BY); renaming, " +
+          "dropping, or retyping it would orphan the partition spec")
     }
     // a declared write-order column is addressed by name the same way:
     // refuse rename/drop while the order references it (unset or re-SET
@@ -422,10 +428,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       ops.collect {
         case SchemaOp.Rename(from, _) if orderCols(from) => from
         case SchemaOp.Drop(name) if orderCols(name)      => name
+        case SchemaOp.Widen(name, _) if orderCols(name)  => name
       }.headOption.foreach { c =>
         throw CompactionError.Config(
           s"column '$c' is named by graft.write-order; unset or re-set " +
-            "the property in the same ALTER to rename or drop it")
+            "the property in the same ALTER to rename, drop, or retype it")
       }
     setProps.get(graft.core.WriteOrderCodec.Property).foreach { v =>
       val after = GraftTableSource.tableSchema(dir, snapCatalog).fieldNames.toSet

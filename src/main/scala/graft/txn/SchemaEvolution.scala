@@ -37,6 +37,12 @@ object SchemaOp {
     * read the same value forever). `default = None` drops it. */
   final case class SetDefault(name: String,
       default: Option[String]) extends SchemaOp
+  /** ALTER COLUMN ... TYPE: Iceberg's legal type promotions only —
+    * int → bigint, float → double, decimal(p,s) → decimal(p',s) with
+    * p' ≥ p. Old files keep their narrow physical encoding; readers
+    * widen value-wise (lossless by construction), and defaults
+    * re-canonicalize under the new type. */
+  final case class Widen(name: String, newType: String) extends SchemaOp
 }
 
 object SchemaEvolution {
@@ -99,6 +105,36 @@ object SchemaEvolution {
         val canon = default.map(ColumnDefaults.canonicalize(_, f.dataType))
         fields = fields.map(x =>
           if (x.id == f.id) x.copy(writeDefault = canon) else x)
+      case SchemaOp.Widen(name, newType) =>
+        val f = fields.find(_.name == name).getOrElse(
+          throw CompactionError.Config(
+            s"widen column: '$name' does not exist"))
+        import org.apache.spark.sql.types._
+        val (from, to) =
+          try (DataType.fromDDL(f.dataType), DataType.fromDDL(newType))
+          catch {
+            case e: Exception => throw CompactionError.Config(
+              s"widen column '$name': invalid type (${e.getMessage})")
+          }
+        val legal = (from, to) match {
+          case (IntegerType, LongType)  => true
+          case (FloatType, DoubleType)  => true
+          case (a: DecimalType, b: DecimalType) =>
+            a.scale == b.scale && b.precision >= a.precision
+          case _ => false
+        }
+        if (!legal) throw CompactionError.Config(
+          s"widen column '$name': ${f.dataType} -> $newType is not a legal " +
+            "promotion (int->bigint, float->double, decimal precision widening)")
+        // defaults re-canonicalize so their stored text matches the new
+        // type (a bigint column must not carry an int-typed literal)
+        fields = fields.map(x =>
+          if (x.id != f.id) x
+          else x.copy(dataType = newType,
+            initialDefault =
+              x.initialDefault.map(ColumnDefaults.canonicalize(_, newType)),
+            writeDefault =
+              x.writeDefault.map(ColumnDefaults.canonicalize(_, newType))))
       case SchemaOp.Rename(from, to) =>
         if (!names(from)) throw CompactionError.Config(
           s"rename column: '$from' does not exist")

@@ -110,6 +110,84 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("widen int->bigint: old INT32 files read as longs on every path, " +
+    "wide appends overflow-free") {
+    val dir = Files.createTempDirectory("graft-widen").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      Seq((1L, 10), (2L, 20)).toDF("id", "v")) // v is INT32 physical
+    SchemaEvolution.evolve(dir, Seq(SchemaOp.Widen("v", "bigint")))
+    TableWrites.appendData(dir,
+      Seq((3L, 5000000000L)).toDF("id", "v")) // > Int.MaxValue
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = Seq((1L, 10L), (2L, 20L), (3L, 5000000000L))
+    assert(rows(TableReader.read(spark, dir)) == expected, "plan path")
+    assert(rows(spark.read.format("graft").load(dir)) == expected,
+      "columnar path")
+    assert(rows(spark.read.format("graft")
+      .option("vectorizedRead", false).load(dir)) == expected, "row path")
+  }
+
+  test("widen float->double reads pre-widen FLOAT files exactly") {
+    val dir = Files.createTempDirectory("graft-widen-f").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir, Seq((1L, 1.5f), (2L, -2.25f)).toDF("id", "f"))
+    SchemaEvolution.evolve(dir, Seq(SchemaOp.Widen("f", "double")))
+    TableWrites.appendData(dir, Seq((3L, 3.125d)).toDF("id", "f"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expected = Seq((1L, 1.5d), (2L, -2.25d), (3L, 3.125d))
+    assert(rows(TableReader.read(spark, dir)) == expected)
+    assert(rows(spark.read.format("graft").load(dir)) == expected)
+    assert(rows(spark.read.format("graft")
+      .option("vectorizedRead", false).load(dir)) == expected)
+  }
+
+  test("widen: illegal promotions are refused; defaults re-canonicalize") {
+    val dir = Files.createTempDirectory("graft-widen-bad").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir, Seq((1L, 10)).toDF("id", "v"))
+    intercept[CompactionError.Config] { // narrowing
+      SchemaEvolution.evolve(dir, Seq(SchemaOp.Widen("id", "int")))
+    }
+    intercept[CompactionError.Config] { // cross-family
+      SchemaEvolution.evolve(dir, Seq(SchemaOp.Widen("v", "string")))
+    }
+    intercept[CompactionError.Config] { // missing column
+      SchemaEvolution.evolve(dir, Seq(SchemaOp.Widen("nope", "bigint")))
+    }
+    // a defaulted int column widens WITH its defaults retyped
+    SchemaEvolution.evolve(dir,
+      Seq(SchemaOp.Add("score", "int", default = Some("5"))))
+    SchemaEvolution.evolve(dir, Seq(SchemaOp.Widen("score", "bigint")))
+    val f = FileTableCatalog.loadOrThrow(dir)
+      .currentSchema.get.fields.find(_.name == "score").get
+    assert(f.dataType == "bigint")
+    assert(f.initialDefault == Some("5L") && f.writeDefault == Some("5L"))
+    val scores = TableReader.read(spark, dir).select("score")
+      .collect().map(_.getLong(0)).toSeq
+    assert(scores == Seq(5L))
+  }
+
+  test("eq-delete written before a widen still applies: INT32 keys " +
+    "compare as longs") {
+    val dir = Files.createTempDirectory("graft-widen-eq").toString
+    FileTableCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil))
+    TableWrites.appendData(dir,
+      Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "v"))
+    TableWrites.appendEqualityDeletes(dir,
+      Seq(Tuple1(20)).toDF("v"), Seq("v")) // INT32-keyed delete
+    SchemaEvolution.evolve(dir, Seq(SchemaOp.Widen("v", "bigint")))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(TableReader.read(spark, dir)) == Seq(1L, 3L), "plan path")
+    assert(ids(spark.read.format("graft").load(dir)) == Seq(1L, 3L),
+      "columnar path")
+    assert(ids(spark.read.format("graft")
+      .option("vectorizedRead", false).load(dir)) == Seq(1L, 3L), "row path")
+  }
+
   test("append not matching the current schema is refused") {
     val dir = mkTable()
     SchemaEvolution.evolve(dir, Seq(SchemaOp.Rename("name", "label")))
