@@ -83,6 +83,46 @@ object Sketches {
     * Output: values whose exact count * denom >= N, with their exact
     * counts — deterministic and engine-replayable (the candidate
     * phase's nondeterministic tie-breaks cannot reach the output). */
+  /** COUNT-MIN sketch (Cormode & Muthukrishnan 2005): the fixed-size
+    * mergeable frequency summary — `depth × width` counters; a value's
+    * estimate is the MIN over its `depth` hashed cells, an overestimate
+    * by at most the collision mass. Built as plain DataFrame ops so the
+    * scale shape is free: one ×depth explode, then a groupBy on at most
+    * depth·width keys — map-side partial combine means each task ships
+    * ≤ depth·width counters regardless of input size, and two sketches
+    * merge by cell-wise addition (the groupBy IS the merge). The hash
+    * is the engine's cross-engine h64 (seed "cms<r>"), so any engine
+    * rebuilds the identical sketch. */
+  def countMin(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      depth: Int, width: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(depth > 0 && width > 0, s"bad sketch dims $depth x $width")
+    df.select(
+        explode(sequence(lit(0), lit(depth - 1))).as("r"),
+        col(valueCol).cast("string").as("t"))
+      .select(col("r"),
+        pmod(TextFunctions.hash64(
+          concat(lit("cms"), col("r")), col("t")), lit(width.toLong)).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMin]] sketch for a probe set:
+    * est(t) = min over rows of cell(r, h(r, t)). The probe side is
+    * serving-sized; the join touches depth·|probes| sketch cells. */
+  def countMinEstimate(sketch: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame, probeCol: String,
+      depth: Int, width: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keyed = probes
+      .select(col("*"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c", pmod(TextFunctions.hash64(
+        concat(lit("cms"), col("r")), col(probeCol).cast("string")),
+        lit(width.toLong)))
+    keyed.join(sketch, Seq("r", "c"))
+      .groupBy(probes.columns.map(col).toIndexedSeq: _*)
+      .agg(min("cnt").as("cms_est"))
+  }
+
   def heavyHitters(
       df: org.apache.spark.sql.DataFrame,
       valueCol: String,

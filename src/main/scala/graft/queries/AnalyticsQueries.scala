@@ -870,6 +870,46 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** Time-series GAP FILL with linear interpolation — the resample
+    * repair step of a metrics pipeline (a missing day of telemetry must
+    * not read as zero). Gaps are PLANTED deterministically (days ≡ 2
+    * mod 5 are dropped from the daily counts) so the query certifies
+    * the interpolation arithmetic: a filled day reads
+    * prev + floor((next − prev)·(d − prevDay) / (nextDay − prevDay)),
+    * the classic two-sided linear fill, evaluated identically in both
+    * engines (small-magnitude double floor — exact). The series
+    * collapses to one row per day BEFORE the ordered windows, so the
+    * global window input is #days rows at any corpus size. */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.sources.NanosParquet.readEvents(spark, dir)
+      .select(expr("(ts div 1000000000) div 86400").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val kept = daily.filter(col("day") % 5 =!= 2)
+    val bounds = kept.agg(min("day"), max("day")).head()
+    require(!bounds.isNullAt(0), "events table is empty — no day range")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val dense = spark.range(lo, hi + 1).select(col("id").as("day"))
+      .join(kept, Seq("day"), "left")
+    val before = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val after = Window.orderBy("day")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val dayIf = when(col("n").isNotNull, col("day"))
+    dense
+      .withColumn("pv", last("n", ignoreNulls = true).over(before))
+      .withColumn("pd", last(dayIf, ignoreNulls = true).over(before))
+      .withColumn("nv", first("n", ignoreNulls = true).over(after))
+      .withColumn("nd", first(dayIf, ignoreNulls = true).over(after))
+      .select(col("day"),
+        when(col("n").isNotNull, col("n")).otherwise(
+          col("pv") + floor((col("nv") - col("pv")).cast("double") *
+            (col("day") - col("pd")) / (col("nd") - col("pd"))).cast("long"))
+          .as("n_filled"),
+        col("n").isNull.as("was_gap"))
+      .orderBy("day")
+  }
+
   /** Rolling ACTIVE USERS — DAU and trailing-7-day WAU per calendar day
     * over the events table's full day range (missing days surface as
     * zeros, not holes). The rolling distinct is computed exactly
@@ -1020,6 +1060,35 @@ object AnalyticsQueries {
         |  ELSE 0 END AS BIGINT) AS cc_x1e6
         |FROM deg LEFT JOIN pn ON deg.node = pn.node
         |ORDER BY s_suppkey""".stripMargin,
+    "events_gapfill" ->
+      """WITH d0 AS (
+        |  SELECT epoch_us(ts) // 1000000 // 86400 AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |kept AS (SELECT day, CAST(n AS BIGINT) AS n FROM d0 WHERE day % 5 <> 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM kept),
+        |grid AS (SELECT unnest(range(b.lo, b.hi + 1)) AS day FROM b),
+        |dense AS (
+        |  SELECT g.day, kept.n FROM grid g LEFT JOIN kept ON g.day = kept.day),
+        |w AS (
+        |  SELECT day, n,
+        |    last_value(n IGNORE NULLS) OVER bf AS pv,
+        |    last_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER bf AS pd,
+        |    first_value(n IGNORE NULLS) OVER af AS nv,
+        |    first_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER af AS nd
+        |  FROM dense
+        |  WINDOW bf AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND CURRENT ROW),
+        |         af AS (ORDER BY day ROWS BETWEEN CURRENT ROW
+        |                AND UNBOUNDED FOLLOWING))
+        |SELECT day,
+        |  CAST(CASE WHEN n IS NOT NULL THEN n
+        |    ELSE pv + CAST(floor(CAST(nv - pv AS DOUBLE)
+        |      * (day - pd) / (nd - pd)) AS BIGINT)
+        |  END AS BIGINT) AS n_filled,
+        |  n IS NULL AS was_gap
+        |FROM w ORDER BY day""".stripMargin,
     "events_anomaly" ->
       """WITH d0 AS (
         |  SELECT epoch_us(ts) // 1000000 // 86400 AS day, count(*) AS n
@@ -1420,6 +1489,7 @@ object AnalyticsQueries {
     "supplier_pagerank" -> (supplierPagerank _),
     "supplier_triangles" -> (supplierTriangles _),
     "events_anomaly" -> (eventsAnomaly _),
+    "events_gapfill" -> (eventsGapfill _),
     "events_active_users" -> (eventsActiveUsers _),
     "cube_pricing" -> (cubePricing _),
     "events_json" -> (eventsJson _),

@@ -47,6 +47,25 @@ object PipelineQueries {
     TextAnalysis.gopherRules(documents(spark, dir), "doc_id", "text",
       minStops = 1).orderBy("doc_id")
 
+  /** COUNT-MIN sketch over the corpus token stream ([[graft.pipeline
+    * .Sketches.countMin]], 4×64 counters): build the fixed-size
+    * mergeable summary, then point-estimate the 20 most frequent tokens
+    * and emit (token, exact count, CMS estimate) — the overestimate is
+    * visible and bounded, and the oracle rebuilds the identical sketch
+    * from the shared h64 formula, so the hash match certifies every
+    * counter, not a tolerance band. */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Sketches, TextFunctions}
+    val toks = documents(spark, dir)
+      .select(explode(TextFunctions.words(col("text"))).as("t"))
+    val sketch = Sketches.countMin(toks, "t", depth = 4, width = 64)
+    val probes = toks.groupBy("t").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("t")).limit(20)
+      .select(col("t").as("token"), col("true_cnt"))
+    Sketches.countMinEstimate(sketch, probes, "token", depth = 4, width = 64)
+      .orderBy(col("true_cnt").desc, col("token"))
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.languageId(documents(spark, dir), "doc_id", "text", "lang")
       .orderBy("doc_id")
@@ -3121,6 +3140,28 @@ object PipelineQueries {
          |    AND 10 * sym_words <= n_words
          |    AND stop_distinct >= 1) AS keep_doc
          |FROM m ORDER BY doc_id""".stripMargin,
+    "cms_counts" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |rows_ AS (SELECT unnest(range(0, 4)) AS r),
+         |cells AS (
+         |  SELECT rows_.r,
+         |    ${h64("'cms' || rows_.r || ':' || toks.t")} % 64 AS c,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM toks CROSS JOIN rows_ GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS true_cnt
+         |  FROM toks GROUP BY 1),
+         |probes AS (
+         |  SELECT t AS token, true_cnt FROM truth
+         |  ORDER BY true_cnt DESC, t LIMIT 20)
+         |SELECT p.token, p.true_cnt,
+         |  CAST(min(cells.cnt) AS BIGINT) AS cms_est
+         |FROM probes p CROSS JOIN rows_ pr
+         |JOIN cells ON cells.r = pr.r
+         |  AND cells.c = ${h64("'cms' || pr.r || ':' || p.token")} % 64
+         |GROUP BY 1, 2
+         |ORDER BY true_cnt DESC, token""".stripMargin,
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents)
          |SELECT doc_id, lang AS claimed_lang, $langCase AS predicted_lang,
@@ -3754,6 +3795,7 @@ object PipelineQueries {
     "sequence_pack" -> (sequencePack _),
     "text_quality" -> (textQuality _),
     "quality_gopher" -> (qualityGopher _),
+    "cms_counts" -> (cmsCounts _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
     "repetition" -> (repetition _),
