@@ -69,6 +69,7 @@ object SparkEntry {
       ("sql_nested" -> (graft.queries.SqlCatalogQuery.runNested _)) +
       ("sql_column_defaults" -> (graft.queries.SqlCatalogQuery.runColumnDefaults _)) +
       ("sql_widen_type" -> (graft.queries.SqlCatalogQuery.runWidenType _)) +
+      ("sql_view" -> (graft.queries.SqlCatalogQuery.runView _)) +
       ("sql_agg_meta" -> (graft.queries.SqlCatalogQuery.runAggMeta _)) +
       ("sql_agg_meta_group" -> (graft.queries.SqlCatalogQuery.runAggMetaGroup _)) +
       ("sql_write_order" -> (graft.queries.SqlCatalogQuery.runWriteOrder _)) +
@@ -140,6 +141,7 @@ object SparkEntry {
       ("sql_nested" -> graft.queries.SqlCatalogQuery.nestedOracle) +
       ("sql_column_defaults" -> graft.queries.SqlCatalogQuery.columnDefaultsOracle) +
       ("sql_widen_type" -> graft.queries.SqlCatalogQuery.widenTypeOracle) +
+      ("sql_view" -> graft.queries.SqlCatalogQuery.viewOracle) +
       ("sql_agg_meta" -> graft.queries.SqlCatalogQuery.aggMetaOracle) +
       ("sql_agg_meta_group" -> graft.queries.SqlCatalogQuery.aggMetaGroupOracle) +
       ("sql_write_order" -> graft.queries.SqlCatalogQuery.writeOrderOracle) +

@@ -118,6 +118,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (spark.graft.mv.views names the views; graft.mv.MaterializedView)
     ext.injectOptimizerRule(session =>
       new graft.mv.MaterializedViewRewrite(session))
+    // persisted-view DDL + substitution for graft ViewCatalogs — HINT
+    // stage so the rewrite lands before ResolveSessionCatalog rejects
+    // v2-catalog view commands (see GraftViewSubstitution)
+    ext.injectHintResolutionRule(session =>
+      graft.sql.GraftViewSubstitution(session))
 
     // per-commit CDC in SQL:
     //   SELECT * FROM graft_changes('/path/to/table', 3, 7)

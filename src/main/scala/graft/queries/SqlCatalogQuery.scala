@@ -995,6 +995,65 @@ object SqlCatalogQuery {
       |WHERE NOT (score = 7 AND l_orderkey % 10 = 0) AND score >= 2
       |ORDER BY 1, 2, 3, 4, 5""".stripMargin
 
+  // -------- persisted SQL views (ViewCatalog) -----------------------------
+
+  private val viewCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Persisted VIEWS through the DSv2 ViewCatalog: CREATE VIEW over a
+    * merge-on-read table, CREATE OR REPLACE (a NEW view version in the
+    * spec's history), then INSERT MORE DATA — the final SELECT must see
+    * the replaced definition over the grown table, proving views
+    * re-resolve their SQL at read time instead of freezing a result.
+    * The oracle recomputes the replaced definition over the full final
+    * table state. */
+  def runView(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(viewCatalogs, dir, spark, dir,
+        "gv", "sqlview", "li_view") { name =>
+      spark.sql(
+        s"""CREATE TABLE $name.db.base (
+           |  l_orderkey BIGINT, l_suppkey BIGINT, qty BIGINT)
+           |TBLPROPERTIES ('graft.rowlevel.mode' = 'merge-on-read')""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $name.db.base
+           |SELECT l_orderkey, l_suppkey, CAST(round(l_quantity) AS BIGINT)
+           |FROM li_view WHERE l_orderkey % 2 = 0""".stripMargin)
+      spark.sql(s"DELETE FROM $name.db.base WHERE qty % 9 = 3")
+      // v1 definition: per-supplier row count only
+      spark.sql(
+        s"""CREATE VIEW $name.db.supp_agg AS
+           |SELECT l_suppkey, count(*) AS n
+           |FROM $name.db.base GROUP BY l_suppkey""".stripMargin)
+      // REPLACE with a richer definition — a new view VERSION
+      spark.sql(
+        s"""CREATE OR REPLACE VIEW $name.db.supp_agg AS
+           |SELECT l_suppkey, count(*) AS n, sum(qty) AS sum_qty
+           |FROM $name.db.base GROUP BY l_suppkey""".stripMargin)
+      // data landing AFTER the view exists must be visible through it
+      spark.sql(
+        s"""INSERT INTO $name.db.base
+           |SELECT l_orderkey, l_suppkey, CAST(round(l_quantity) AS BIGINT)
+           |FROM li_view WHERE l_orderkey % 2 = 1""".stripMargin)
+    }
+    spark.sql(
+      s"""SELECT l_suppkey, n, sum_qty FROM $cat.db.supp_agg
+         |WHERE l_suppkey % 3 = 0 ORDER BY l_suppkey""".stripMargin)
+  }
+
+  val viewOracle: String =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CAST(round(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_orderkey % 2 = 0),
+      |live AS (SELECT * FROM base WHERE NOT (qty % 9 = 3)
+      |  UNION ALL
+      |  SELECT l_orderkey, l_suppkey, CAST(round(l_quantity) AS BIGINT)
+      |  FROM lineitem WHERE l_orderkey % 2 = 1)
+      |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(qty) AS BIGINT) AS sum_qty
+      |FROM live WHERE l_suppkey % 3 = 0
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
   // -------- type widening (Iceberg type promotion) -----------------------
 
   private val widenCatalogs =

@@ -6,7 +6,7 @@ import graft.sinks.ExactRollingWriter
 import graft.streaming.{GraftTable, GraftTableSource}
 import graft.txn.{FileTableCatalog, SchemaEvolution, SchemaOp, TableSnapshot}
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.functions.{col, lit}
@@ -162,7 +162,7 @@ object GraftCatalog {
 }
 
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog {
+    with ProcedureCatalog with FunctionCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -206,6 +206,123 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     dirOf(ident.namespace.toIndexedSeq :+ ident.name)
   private def isTable(dir: String): Boolean =
     snapCatalog.load(dir).isDefined
+
+  // ---- views ------------------------------------------------------------
+  // Persisted SQL views (the Iceberg view-spec model, GraftViews):
+  // CREATE/REPLACE/ALTER/DROP/RENAME VIEW + SELECT through the view —
+  // metadata-only, versioned, CAS-committed. A view and a table cannot
+  // share an identifier (both creation paths refuse the collision).
+
+  private def isView(dir: String): Boolean = GraftViews.exists(dir)
+
+  override def listViews(ns: String*): Array[Identifier] = {
+    val nsArr = ns.toArray
+    if (nsArr.nonEmpty && !namespaceExists(nsArr))
+      throw new NoSuchNamespaceException(nsArr)
+    FileIO.listDirectories(dirOf(nsArr.toIndexedSeq))
+      .filter(isView)
+      .map(d => Identifier.of(nsArr, d.substring(d.lastIndexOf('/') + 1)))
+      .sortBy(_.name)
+      .toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    isView(tableDir(ident))
+
+  override def loadView(ident: Identifier): View = {
+    val doc = GraftViews.load(tableDir(ident)).getOrElse(
+      throw new NoSuchViewException(ident))
+    new GraftView(ident, doc)
+  }
+
+  private def viewVersionOf(versionId: Long,
+      info: ViewInfo): GraftViews.ViewVersion =
+    GraftViews.ViewVersion(
+      versionId = versionId,
+      timestampMs = System.currentTimeMillis(),
+      sql = info.sql,
+      dialect = "spark",
+      schemaJson = info.schema.json,
+      currentCatalog = Option(info.currentCatalog).getOrElse(catalogName),
+      currentNamespace =
+        Option(info.currentNamespace).map(_.toIndexedSeq).getOrElse(Nil),
+      queryColumnNames =
+        Option(info.queryColumnNames).map(_.toIndexedSeq).getOrElse(Nil),
+      columnAliases =
+        Option(info.columnAliases).map(_.toIndexedSeq).getOrElse(Nil),
+      columnComments =
+        Option(info.columnComments).map(_.toIndexedSeq).getOrElse(Nil))
+
+  override def createView(info: ViewInfo): View = {
+    val dir = tableDir(info.ident)
+    if (isTable(dir)) throw CompactionError.Config(
+      s"cannot CREATE VIEW ${info.ident}: a table with that name exists")
+    if (isView(dir)) throw new ViewAlreadyExistsException(info.ident)
+    val doc = GraftViews.ViewDoc(
+      viewUuid = java.util.UUID.randomUUID().toString,
+      formatVersion = 1,
+      currentVersionId = 1L,
+      versions = Seq(viewVersionOf(1L, info)),
+      properties =
+        Option(info.properties).map(_.asScala.toMap).getOrElse(Map.empty))
+    GraftViews.commit(dir, 1L, doc) // CAS: a racing CREATE loses cleanly
+    new GraftView(info.ident, doc)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val dir = tableDir(info.ident)
+    if (isTable(dir)) throw CompactionError.Config(
+      s"cannot REPLACE VIEW ${info.ident}: a table with that name exists")
+    GraftViews.load(dir) match {
+      case None =>
+        if (!orCreate) throw new NoSuchViewException(info.ident)
+        createView(info)
+      case Some(cur) =>
+        // a REPLACE is a NEW view version appended to the history (the
+        // spec's view-version model: prior versions stay resolvable)
+        val nextId = cur.versions.map(_.versionId).max + 1
+        val doc = cur.copy(
+          currentVersionId = nextId,
+          versions = cur.versions :+ viewVersionOf(nextId, info),
+          properties =
+            Option(info.properties).map(_.asScala.toMap).getOrElse(Map.empty))
+        GraftViews.commit(dir, GraftViews.metaNumbers(dir).max + 1, doc)
+        new GraftView(info.ident, doc)
+    }
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val dir = tableDir(ident)
+    val cur = GraftViews.load(dir).getOrElse(
+      throw new NoSuchViewException(ident))
+    val props = changes.foldLeft(cur.properties) {
+      case (acc, s: ViewChange.SetProperty)    => acc + (s.property -> s.value)
+      case (acc, r: ViewChange.RemoveProperty) => acc - r.property
+      case (_, other) => throw CompactionError.Config(
+        s"unsupported ALTER VIEW change for a graft view: $other")
+    }
+    val doc = cur.copy(properties = props)
+    GraftViews.commit(dir, GraftViews.metaNumbers(dir).max + 1, doc)
+    new GraftView(ident, doc)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(tableDir(ident))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val fromDir = tableDir(from)
+    val toDir = tableDir(to)
+    if (!isView(fromDir)) throw new NoSuchViewException(from)
+    if (isView(toDir)) throw new ViewAlreadyExistsException(to)
+    if (isTable(toDir)) throw CompactionError.Config(
+      s"cannot RENAME VIEW to $to: a table with that name exists")
+    // views are metadata-only (no absolute data paths), so a rename is
+    // a directory move — the operation tables must refuse
+    FileIO.mkdirs(toDir)
+    if (!FileIO.rename(GraftViews.metaDir(fromDir), GraftViews.metaDir(toDir)))
+      throw CompactionError.Config(
+        s"rename view $from -> $to failed (concurrent rename?)")
+  }
 
   // ---- tables -----------------------------------------------------------
 
@@ -309,6 +426,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (isView(dir)) throw CompactionError.Config(
+      s"cannot CREATE TABLE $ident: a view with that name exists")
     // bootstrap snapshot CARRIES the declared schema as history v1, so
     // the empty table already resolves columns and appends name-check
     val fields = schema.fields.zipWithIndex.map { case (fld, i) =>
