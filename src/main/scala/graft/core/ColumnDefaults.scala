@@ -50,7 +50,23 @@ object ColumnDefaults {
       case e: Exception => throw CompactionError.Config(
         s"default value '$text' does not cast to $ddlType (${e.getMessage})")
     }
-    Literal(value, dt).sql
+    dt match {
+      // Literal(ts).sql renders a ZONE-LESS wall clock under the
+      // rendering session's timezone, which a reader task would
+      // re-parse under ITS OWN timezone — the instant would shift.
+      // Canonical timestamp text therefore carries an explicit UTC
+      // offset, which every parser resolves to the same instant.
+      case TimestampType if value != null =>
+        val micros = value.asInstanceOf[Long]
+        val odt = java.time.OffsetDateTime.ofInstant(
+          java.time.Instant.EPOCH.plus(
+            micros, java.time.temporal.ChronoUnit.MICROS),
+          java.time.ZoneOffset.UTC)
+        val wall = odt.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        s"TIMESTAMP '$wall+00:00'"
+      case _ => Literal(value, dt).sql
+    }
   }
 
   /** The stored canonical text as a CATALYST value (UTF8String for

@@ -107,8 +107,11 @@ object Sketches {
   }
 
   /** Point estimates from a [[countMin]] sketch for a probe set:
-    * est(t) = min over rows of cell(r, h(r, t)). The probe side is
-    * serving-sized; the join touches depth·|probes| sketch cells. */
+    * est(t) = min over rows of cell(r, h(r, t)), where a cell ABSENT
+    * from the sketch counts 0 (the groupBy form only materializes
+    * touched cells) — so a never-seen probe estimates 0 instead of
+    * vanishing or over-estimating from collision cells. The probe side
+    * is serving-sized; the join touches depth·|probes| sketch cells. */
   def countMinEstimate(sketch: org.apache.spark.sql.DataFrame,
       probes: org.apache.spark.sql.DataFrame, probeCol: String,
       depth: Int, width: Int): org.apache.spark.sql.DataFrame = {
@@ -118,9 +121,9 @@ object Sketches {
       .withColumn("c", pmod(TextFunctions.hash64(
         concat(lit("cms"), col("r")), col(probeCol).cast("string")),
         lit(width.toLong)))
-    keyed.join(sketch, Seq("r", "c"))
+    keyed.join(sketch, Seq("r", "c"), "left")
       .groupBy(probes.columns.map(col).toIndexedSeq: _*)
-      .agg(min("cnt").as("cms_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
   def heavyHitters(

@@ -814,13 +814,19 @@ object AnalyticsQueries {
   }
 
   /** Exact TRIANGLE COUNT + local clustering coefficient per node
-    * ([[graft.operators.Triangles]]) over the same supplier
-    * co-occurrence graph as [[supplierPagerank]] — the community-
-    * structure signal of a link-analysis pass (boilerplate farms and
-    * spam clusters surface as near-cliques). Degree-ordered wedge
-    * orientation keeps the quadratic step bounded by out-degree
-    * (O(sqrt(|E|)) per node), so the plan survives hub nodes; the
-    * oracle replays orientation, wedges, and closure as plain joins. */
+    * ([[graft.operators.Triangles]]) over the supplier STRONG-TIE
+    * graph — the community-structure signal of a link-analysis pass
+    * (boilerplate farms and spam clusters surface as near-cliques).
+    * Edges are co-occurrence pairs with weight ≥ 6 shared orders: the
+    * standard edge-weight threshold of link analysis, and the step
+    * that keeps exact counting meaningful — the UNthresholded TPC-H
+    * co-occurrence graph approaches a complete graph as the corpus
+    * grows (every supplier pair eventually shares some order), where
+    * the triangle count itself is Θ(n³) and certifies nothing.
+    * Degree-ordered wedge orientation keeps the quadratic step bounded
+    * by out-degree (O(sqrt(|E|)) per node), so the plan survives hub
+    * nodes; the oracle replays thresholding, orientation, wedges, and
+    * closure as plain joins. */
   def supplierTriangles(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
@@ -828,6 +834,9 @@ object AnalyticsQueries {
     val pairs = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
       .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 6)
+      .select("src", "dst")
     graft.operators.Triangles.perNode(pairs)
       .withColumnRenamed("node", "s_suppkey")
       .orderBy("s_suppkey")
@@ -1032,8 +1041,9 @@ object AnalyticsQueries {
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
         |und AS (
-        |  SELECT DISTINCT a.sk AS u, b.sk AS v FROM li a
-        |  JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+        |  SELECT a.sk AS u, b.sk AS v FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+        |  GROUP BY 1, 2 HAVING count(*) >= 6),
         |deg AS (
         |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
         |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) t

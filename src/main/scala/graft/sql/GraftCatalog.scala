@@ -286,9 +286,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           versions = cur.versions :+ viewVersionOf(nextId, info),
           properties =
             Option(info.properties).map(_.asScala.toMap).getOrElse(Map.empty))
-        GraftViews.commit(dir, GraftViews.metaNumbers(dir).max + 1, doc)
+        GraftViews.commit(dir, nextMetaNumber(dir, info.ident), doc)
         new GraftView(info.ident, doc)
     }
+  }
+
+  /** The next view metadata number — re-listed AFTER the load, so a
+    * concurrent DROP that emptied the directory surfaces as a clean
+    * NoSuchViewException instead of an empty-`max` crash. */
+  private def nextMetaNumber(dir: String, ident: Identifier): Long = {
+    val nums = GraftViews.metaNumbers(dir)
+    if (nums.isEmpty) throw new NoSuchViewException(ident)
+    nums.max + 1
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
@@ -302,7 +311,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"unsupported ALTER VIEW change for a graft view: $other")
     }
     val doc = cur.copy(properties = props)
-    GraftViews.commit(dir, GraftViews.metaNumbers(dir).max + 1, doc)
+    GraftViews.commit(dir, nextMetaNumber(dir, ident), doc)
     new GraftView(ident, doc)
   }
 

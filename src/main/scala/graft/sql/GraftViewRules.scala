@@ -57,7 +57,13 @@ final case class GraftViewSubstitution(spark: SparkSession)
 
   private def loadedView(parts: Seq[String]): Option[(ViewCatalog, Identifier, View)] =
     viewCatalogAndIdent(parts).flatMap { case (vc, ident) =>
-      if (vc.viewExists(ident)) Some((vc, ident, vc.loadView(ident))) else None
+      // ONE load (listing + read) instead of exists-then-load — this
+      // runs per UnresolvedRelation per analyzer iteration
+      try Some((vc, ident, vc.loadView(ident)))
+      catch {
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchViewException =>
+          None
+      }
     }
 
   /** Qualify the table names inside a re-parsed view body under the
@@ -77,12 +83,21 @@ final case class GraftViewSubstitution(spark: SparkSession)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    // ---- SELECT through a persisted view: splice the re-parsed body
+    // ---- SELECT through a persisted view: splice the re-parsed body.
+    // Declared column aliases apply as a subquery-column-alias node
+    // (the `FROM (...) t(a, b)` mechanism), so the view exposes its
+    // DECLARED names, not the body's.
     case u @ UnresolvedRelation(parts, _, false) =>
       loadedView(parts) match {
         case Some((_, ident, v)) =>
-          SubqueryAlias(ident.name,
-            qualified(spark.sessionState.sqlParser.parsePlan(v.query), v))
+          val body = qualified(
+            spark.sessionState.sqlParser.parsePlan(v.query), v)
+          val aliased =
+            if (v.columnAliases == null || v.columnAliases.isEmpty) body
+            else org.apache.spark.sql.catalyst.analysis
+              .UnresolvedSubqueryColumnAliases(
+                v.columnAliases.toIndexedSeq, body)
+          SubqueryAlias(ident.name, aliased)
         case None => u
       }
     // ---- CREATE [OR REPLACE] VIEW
@@ -145,12 +160,68 @@ final case class CreateGraftViewCommand(
       columnAliases.toArray,
       columnComments.map(_.orNull).toArray,
       props.asJava)
+    // cycle guard BEFORE committing: the analysis above resolved the
+    // body against the OLD stored definitions (a REPLACE referencing
+    // itself analyzes fine against its previous body), so walk the NEW
+    // definition's view references and refuse if they reach back to
+    // the view being defined — otherwise every later read would loop
+    // the substitution until the analyzer's max-iterations error
+    checkNoCycle(spark,
+      startKey = catalog.name() + "." + ident.toString,
+      bodySql = sql,
+      ctxCat = cm.currentCatalog.name(),
+      ctxNs = cm.currentNamespace.toSeq)
     if (replace) catalog.replaceView(info, true)
     else {
       try catalog.createView(info)
       catch { case _: ViewAlreadyExistsException if allowExisting => }
     }
     Nil
+  }
+
+  /** BFS over stored view references, each body's names resolved under
+    * ITS stored context; bounded by the number of persisted views. */
+  private def checkNoCycle(spark: SparkSession, startKey: String,
+      bodySql: String, ctxCat: String, ctxNs: Seq[String]): Unit = {
+    val cm = spark.sessionState.catalogManager
+    def viewIdentOf(parts: Seq[String], cat: String, ns: Seq[String])
+        : Option[(ViewCatalog, Identifier)] = {
+      val full =
+        if (cm.isCatalogRegistered(parts.head)) parts
+        else if (parts.length == 1) (cat +: ns) :+ parts.head
+        else cat +: parts
+      if (!cm.isCatalogRegistered(full.head)) return None
+      cm.catalog(full.head) match {
+        case vc: ViewCatalog =>
+          Some((vc, Identifier.of(full.tail.init.toArray, full.last)))
+        case _ => None
+      }
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    def walk(sql: String, cat: String, ns: Seq[String]): Unit = {
+      val body = spark.sessionState.sqlParser.parsePlan(sql)
+      val rels = body.collectWithSubqueries {
+        case UnresolvedRelation(parts, _, _) => parts
+      }
+      rels.foreach { parts =>
+        viewIdentOf(parts, cat, ns).foreach { case (vc, id) =>
+          val key = vc.name() + "." + id.toString
+          if (key == startKey) throw graft.core.CompactionError.Config(
+            s"recursive view definition: $startKey references itself " +
+              s"(via $parts)")
+          if (seen.add(key)) {
+            try {
+              val v = vc.loadView(id)
+              walk(v.query, v.currentCatalog, v.currentNamespace.toSeq)
+            } catch {
+              case _: org.apache.spark.sql.catalyst.analysis
+                .NoSuchViewException => // a table or missing — not a view edge
+            }
+          }
+        }
+      }
+    }
+    walk(bodySql, ctxCat, ctxNs)
   }
 }
 

@@ -102,14 +102,18 @@ object GraftTableSource {
       else {
         // surface defaults to Spark's analyzer: CURRENT_DEFAULT drives
         // INSERTs that omit the column (and the DEFAULT keyword);
-        // EXISTS_DEFAULT is the frozen initial-default (informational
-        // for V2 reads — the engine's readers fill it themselves)
+        // EXISTS_DEFAULT is what pre-existing rows read — exactly the
+        // frozen initial-default, or NULL when the column gained its
+        // default only later (ALTER COLUMN SET DEFAULT must NOT
+        // retroactively change what old files read). The engine's own
+        // readers fill it; the metadata keeps any Spark component that
+        // consults EXISTS_DEFAULT consistent with them.
         import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
         val mb = new org.apache.spark.sql.types.MetadataBuilder()
         f.writeDefault.foreach(
           mb.putString(CURRENT_DEFAULT_COLUMN_METADATA_KEY, _))
-        f.initialDefault.orElse(f.writeDefault).foreach(
-          mb.putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY, _))
+        mb.putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+          f.initialDefault.getOrElse("NULL"))
         base.copy(metadata = mb.build())
       }
     })

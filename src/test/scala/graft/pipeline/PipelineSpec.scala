@@ -439,6 +439,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(!r(5L)._3 && !r(5L)._6, "alpha rule")
   }
 
+  test("count-min: never-seen probes estimate 0 and are never dropped") {
+    import graft.pipeline.Sketches
+    val data = Seq("x", "x", "y").toDF("t")
+    val sketch = Sketches.countMin(data, "t", depth = 4, width = 4096)
+    val probes = Seq(("x", 2L), ("definitely-missing-token", 0L))
+      .toDF("token", "true_cnt")
+    val est = Sketches.countMinEstimate(sketch, probes, "token", 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(est("x") >= 2L, "overestimate property")
+    // the missing probe must survive the join AND read ~0 (an
+    // unpopulated cell counts 0; 4096-wide rows make a full 4-cell
+    // collision with {x, y} astronomically unlikely)
+    assert(est.contains("definitely-missing-token"))
+    assert(est("definitely-missing-token") == 0L)
+  }
+
   test("random projection: one-hot vectors read the sign matrix back") {
     val signs = RandomProjection.signMatrix(8, 16)
     // deterministic: same matrix on every call (backfill consistency)

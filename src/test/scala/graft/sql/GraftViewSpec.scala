@@ -109,6 +109,34 @@ class GraftViewSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gvw2.db.vr2").head().getLong(0) > 0)
   }
 
+  test("declared column aliases are the view's exposed names") {
+    base
+    sql("CREATE VIEW gvw.db.va (key, val) AS SELECT id, v FROM gvw.db.t")
+    val df = sql("SELECT key, val FROM gvw.db.va WHERE val >= 20 ORDER BY key")
+    assert(df.columns.toSeq == Seq("key", "val"))
+    assert(df.collect().map(_.getLong(0)).toSeq.nonEmpty)
+    // the body's original names are NOT visible
+    intercept[Exception] { sql("SELECT id FROM gvw.db.va").collect() }
+  }
+
+  test("recursive definitions are refused at DDL time, not at read") {
+    base
+    sql("CREATE VIEW gvw.db.vc AS SELECT id FROM gvw.db.t")
+    // self-reference via REPLACE (analyzes fine against the OLD body)
+    val e = intercept[CompactionError.Config] {
+      sql("CREATE OR REPLACE VIEW gvw.db.vc AS SELECT id FROM gvw.db.vc WHERE id > 0")
+    }
+    assert(e.getMessage.contains("recursive view definition"))
+    // the stored definition is untouched and still reads
+    assert(sql("SELECT count(*) FROM gvw.db.vc").head().getLong(0) > 0)
+    // mutual recursion: b over vc, then REPLACE vc over b
+    sql("CREATE VIEW gvw.db.vb AS SELECT id FROM gvw.db.vc")
+    val e2 = intercept[CompactionError.Config] {
+      sql("CREATE OR REPLACE VIEW gvw.db.vc AS SELECT id FROM gvw.db.vb")
+    }
+    assert(e2.getMessage.contains("recursive view definition"))
+  }
+
   test("a view over a view resolves (nested substitution)") {
     base
     sql("CREATE VIEW gvw.db.inner_v AS SELECT id, v FROM gvw.db.t WHERE v >= 20")

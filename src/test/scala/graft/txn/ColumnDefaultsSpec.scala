@@ -48,6 +48,19 @@ class ColumnDefaultsSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp defaults canonicalize with an explicit UTC offset — " +
+    "zone-independent re-parse") {
+    val canon = ColumnDefaults.canonicalize(
+      "TIMESTAMP '2024-06-01 12:00:00+00:00'", "timestamp")
+    assert(canon.contains("+00:00"),
+      s"canonical timestamp text must carry an offset, got: $canon")
+    val micros = ColumnDefaults.catalystValue(canon,
+      org.apache.spark.sql.types.TimestampType).asInstanceOf[Long]
+    // 2024-06-01T12:00:00Z in epoch micros, independent of any zone
+    assert(micros == java.time.Instant.parse("2024-06-01T12:00:00Z")
+      .getEpochSecond * 1000000L)
+  }
+
   test("initial-default fills pre-existing files on the plan path; a " +
     "defaultless add stays null") {
     val dir = mkTable()
