@@ -855,16 +855,25 @@ object AnalyticsQueries {
     * calendar day FIRST (missing days zero-filled), so the global
     * ordered window runs over #days rows — driver-bounded at any
     * corpus size, never over raw events. */
-  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+  /** The zero-filled dense per-day event-count series (one row per
+    * calendar day over the table's full range) — the shared input of
+    * the time-series family (anomaly / forecast): the raw scan
+    * collapses map-side FIRST, so everything downstream is #days rows
+    * at any corpus size. */
+  private def denseDailyCounts(spark: SparkSession, dir: String): DataFrame = {
     val daily = graft.sources.NanosParquet.readEvents(spark, dir)
       .select(expr("(ts div 1000000000) div 86400").as("day"))
       .groupBy("day").agg(count(lit(1)).as("n"))
     val bounds = daily.agg(min("day"), max("day")).head()
     require(!bounds.isNullAt(0), "events table is empty — no day range")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val dense = spark.range(lo, hi + 1).select(col("id").as("day"))
+    spark.range(lo, hi + 1).select(col("id").as("day"))
       .join(daily, Seq("day"), "left")
       .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val dense = denseDailyCounts(spark, dir)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("day").rowsBetween(-7, -1)
     dense
@@ -876,6 +885,44 @@ object AnalyticsQueries {
         ((lit(7L) * col("n") - col("s7")) * (lit(7L) * col("n") - col("s7")) >
           lit(4L) * (lit(7L) * col("q7") - col("s7") * col("s7")))
           .as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  /** Holt's LINEAR-TREND exponential smoothing over daily event volume
+    * — the capacity-planning forecast next to the anomaly tripwire,
+    * evaluated in EXACT integer arithmetic so any engine replays it
+    * bit-for-bit: α = β = 1/2 as floor-halving,
+    * level_t = ⌊(y_t + level_{t-1} + trend_{t-1}) / 2⌋,
+    * trend_t = ⌊(level_t − level_{t-1} + trend_{t-1}) / 2⌋
+    * (floor division — trends go negative; Math.floorDiv here,
+    * floor(x / 2.0) in the oracle's recursive CTE because DuckDB's `//`
+    * TRUNCATES toward zero on negatives — a cross-engine trap worth
+    * remembering). The recurrence
+    * is inherently sequential, so it runs as ONE sorted partition over
+    * the dense per-day series — #days rows at any corpus size, after
+    * the map-side collapse of the raw scan; nothing round-trips the
+    * driver. */
+  def eventsForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    denseDailyCounts(spark, dir)
+      .as[(Long, Long)]
+      .repartition(1).sortWithinPartitions("day")
+      .mapPartitions { it =>
+        var init = false
+        var level = 0L
+        var trend = 0L
+        it.map { case (day, n) =>
+          if (!init) { init = true; level = n; trend = 0L }
+          else {
+            val newLevel = Math.floorDiv(n + level + trend, 2)
+            val newTrend = Math.floorDiv(newLevel - level + trend, 2)
+            level = newLevel
+            trend = newTrend
+          }
+          (day, n, level, trend, level + 7 * trend)
+        }
+      }
+      .toDF("day", "n", "level", "trend", "forecast_7d")
       .orderBy("day")
   }
 
@@ -1070,6 +1117,28 @@ object AnalyticsQueries {
         |  ELSE 0 END AS BIGINT) AS cc_x1e6
         |FROM deg LEFT JOIN pn ON deg.node = pn.node
         |ORDER BY s_suppkey""".stripMargin,
+    "events_forecast" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT epoch_us(ts) // 1000000 // 86400 AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+        |grid AS (SELECT unnest(range(b.lo, b.hi + 1)) AS day FROM b),
+        |dense AS (
+        |  SELECT g.day, CAST(coalesce(d0.n, 0) AS BIGINT) AS n,
+        |    row_number() OVER (ORDER BY g.day) AS rn
+        |  FROM grid g LEFT JOIN d0 ON g.day = d0.day),
+        |h AS (
+        |  SELECT rn, day, n, n AS level, CAST(0 AS BIGINT) AS trend
+        |  FROM dense WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.day, d.n,
+        |    CAST(floor((d.n + h.level + h.trend) / 2.0) AS BIGINT) AS level,
+        |    CAST(floor((CAST(floor((d.n + h.level + h.trend) / 2.0) AS BIGINT)
+        |      - h.level + h.trend) / 2.0) AS BIGINT) AS trend
+        |  FROM h JOIN dense d ON d.rn = h.rn + 1)
+        |SELECT day, n, level, trend,
+        |  CAST(level + 7 * trend AS BIGINT) AS forecast_7d
+        |FROM h ORDER BY day""".stripMargin,
     "events_gapfill" ->
       """WITH d0 AS (
         |  SELECT epoch_us(ts) // 1000000 // 86400 AS day, count(*) AS n
@@ -1500,6 +1569,7 @@ object AnalyticsQueries {
     "supplier_triangles" -> (supplierTriangles _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_gapfill" -> (eventsGapfill _),
+    "events_forecast" -> (eventsForecast _),
     "events_active_users" -> (eventsActiveUsers _),
     "cube_pricing" -> (cubePricing _),
     "events_json" -> (eventsJson _),

@@ -118,6 +118,21 @@ final case class GraftViewSubstitution(spark: SparkSession)
         if viewCatalogAndIdent(parts).isDefined =>
       val (vc, ident) = viewCatalogAndIdent(parts).get
       DropGraftViewCommand(vc, ident, ifExists)
+    // ---- SHOW VIEWS [IN ns] [LIKE pattern]
+    case s @ org.apache.spark.sql.catalyst.plans.logical.ShowViews(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace(parts, _),
+        pattern, output) =>
+      val cm = spark.sessionState.catalogManager
+      val (cat, ns) =
+        if (parts.nonEmpty && cm.isCatalogRegistered(parts.head))
+          (cm.catalog(parts.head), parts.tail)
+        else if (parts.isEmpty)
+          (cm.currentCatalog, cm.currentNamespace.toSeq)
+        else (cm.currentCatalog, parts)
+      cat match {
+        case vc: ViewCatalog => ShowGraftViewsCommand(vc, ns, pattern, output)
+        case _ => s // session catalog keeps Spark's own SHOW VIEWS
+      }
   }
 }
 
@@ -222,6 +237,26 @@ final case class CreateGraftViewCommand(
       }
     }
     walk(bodySql, ctxCat, ctxNs)
+  }
+}
+
+/** SHOW VIEWS against a [[ViewCatalog]]: the session-catalog output
+  * shape (namespace, viewName, isTemporary=false), with the standard
+  * LIKE-pattern filter. */
+final case class ShowGraftViewsCommand(
+    catalog: ViewCatalog,
+    ns: Seq[String],
+    pattern: Option[String],
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]
+) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val names = catalog.listViews(ns: _*).map(_.name).toSeq
+    val kept = pattern match {
+      case Some(p) => org.apache.spark.sql.catalyst.util.StringUtils
+        .filterPattern(names, p)
+      case None => names
+    }
+    kept.sorted.map(n => Row(ns.mkString("."), n, false))
   }
 }
 

@@ -137,6 +137,22 @@ class GraftViewSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("recursive view definition"))
   }
 
+  test("SHOW VIEWS lists persisted views, with LIKE filtering; the " +
+    "session catalog keeps Spark's own command") {
+    base
+    sql("CREATE VIEW IF NOT EXISTS gvw.db.sv_one AS SELECT id FROM gvw.db.t")
+    sql("CREATE VIEW IF NOT EXISTS gvw.db.sv_two AS SELECT id FROM gvw.db.t")
+    val all = sql("SHOW VIEWS IN gvw.db").collect()
+    assert(all.map(_.getString(1)).toSet.contains("sv_one"))
+    assert(all.forall(r => r.getString(0) == "db" && !r.getBoolean(2)))
+    val like = sql("SHOW VIEWS IN gvw.db LIKE 'sv_*'").collect()
+    assert(like.map(_.getString(1)).toSet == Set("sv_one", "sv_two"))
+    // the session catalog's SHOW VIEWS (temp views) still works
+    spark.sql("CREATE OR REPLACE TEMP VIEW tmp_probe AS SELECT 1 AS x")
+    val tmp = sql("SHOW VIEWS").collect()
+    assert(tmp.exists(r => r.getString(1) == "tmp_probe" && r.getBoolean(2)))
+  }
+
   test("a view over a view resolves (nested substitution)") {
     base
     sql("CREATE VIEW gvw.db.inner_v AS SELECT id, v FROM gvw.db.t WHERE v >= 20")
