@@ -66,4 +66,25 @@ object Chunker {
         size(col("_ck_w.ctoks")).cast("long").as("n_tokens"),
         array_join(col("_ck_w.ctoks"), " ").as("chunk_text"))
   }
+
+  /** Chunks-per-doc capacity of [[chunkKey]]'s packed coordinate. */
+  val KeySpace: Long = 1000000L
+
+  /** Largest doc_id [[chunkKey]] can pack without Long overflow. */
+  val MaxDocId: Long = (Long.MaxValue - (KeySpace - 1)) / KeySpace
+
+  /** Pack a (doc_id, chunk_id) coordinate into the single Long key
+    * downstream indexes use: `doc_id * 1e6 + chunk_id`. The 1e6 key
+    * space supports docs of 48M+ tokens at the default 48-stride; a
+    * coordinate beyond EITHER bound RAISES instead of silently
+    * colliding/corrupting posting keys (chunk_id ≥ 1e6 would collide
+    * two passages; doc_id above [[MaxDocId]] — or negative — would
+    * let the product overflow the Long). Both guards are codegen'd
+    * conditionals — no extra pass. */
+  def chunkKey(docId: Column, chunkId: Column): Column =
+    when(chunkId.between(0L, KeySpace - 1) && docId.between(0L, MaxDocId),
+      docId * KeySpace + chunkId)
+      .otherwise(raise_error(concat(
+        lit("chunk key (doc_id, chunk_id) outside the 1e6 key space: ("),
+        docId, lit(", "), chunkId, lit(")"))).cast("long"))
 }

@@ -272,18 +272,9 @@ object PipelineQueries {
     * passages to stuff into a context window, not whole documents, and
     * never touches the raw corpus at serve time. */
   def chunkSearch(spark: SparkSession, dir: String): DataFrame = {
-    // synthetic chunk key: doc_id * 1e6 + chunk_id. 1e6 supports docs of
-    // 48M+ tokens; a doc beyond EITHER bound RAISES instead of silently
-    // colliding/corrupting posting keys (chunk_id ≥ 1e6 would collide
-    // two passages; doc_id above (Long.MaxValue - 999999)/1e6 — or
-    // negative — would let doc_id*1e6 + chunk_id overflow the Long).
-    // Both guards are codegen'd conditionals — no extra pass.
-    val key = when(col("chunk_id") < 1000000L &&
-        col("doc_id").between(0L, (Long.MaxValue - 999999L) / 1000000L),
-        col("doc_id") * 1000000L + col("chunk_id"))
-      .otherwise(raise_error(concat(
-        lit("chunk key (doc_id, chunk_id) outside the 1e6 key space: ("),
-        col("doc_id"), lit(", "), col("chunk_id"), lit(")"))).cast("long"))
+    // synthetic chunk key: doc_id * 1e6 + chunk_id, guarded against
+    // collision/overflow by [[Chunker.chunkKey]] (spec'd in ChunkerSpec)
+    val key = Chunker.chunkKey(col("doc_id"), col("chunk_id"))
     val chunks = Chunker.chunk(documents(spark, dir), "doc_id", "text",
         chunkSize = 64, stride = 48)
       .select(key.as("doc_id"), col("chunk_text").as("text"))

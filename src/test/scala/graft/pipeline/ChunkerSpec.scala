@@ -70,4 +70,30 @@ class ChunkerSpec extends AnyFunSuite {
       Chunker.chunk(docs, "doc_id", "text", 8, 0)
     }
   }
+
+  test("chunkKey packs valid coordinates and raises beyond either bound") {
+    def keyOf(docId: Long, chunkId: Long): Long =
+      Seq((docId, chunkId)).toDF("d", "c")
+        .select(Chunker.chunkKey(col("d"), col("c")).as("k"))
+        .head().getLong(0)
+    // valid round-trips, including both extremes of the key space
+    assert(keyOf(0L, 0L) == 0L)
+    assert(keyOf(7L, 123L) == 7000123L)
+    assert(keyOf(Chunker.MaxDocId, Chunker.KeySpace - 1) ==
+      Chunker.MaxDocId * Chunker.KeySpace + Chunker.KeySpace - 1)
+    // out-of-range coordinates RAISE instead of silently colliding
+    // (chunk_id >= 1e6) or overflowing the Long (doc_id beyond MaxDocId
+    // or negative)
+    for ((d, c) <- Seq(
+        (1L, Chunker.KeySpace),        // chunk_id one past the key space
+        (Chunker.MaxDocId + 1, 0L),    // doc_id * 1e6 would overflow
+        (-1L, 0L),                     // negative doc_id
+        (1L, -1L))) {                  // negative chunk_id
+      val e = intercept[Exception] { keyOf(d, c) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("outside the 1e6 key space")),
+        s"($d, $c) must raise the key-space error, got: $e")
+    }
+  }
 }
