@@ -128,6 +128,86 @@ object Bpe {
       array_join(split(trim(applied), " +"), " "))
   }
 
+  /** The literal-replace fold as PLAIN SCALA over one word — a third,
+    * deliberately independent implementation of the merge semantics
+    * (shares no code with [[graft.functions.BpeApplier]]'s rank-heap
+    * and no plan machinery with [[encodeUnfused]]'s expression tree):
+    * canonical double-space encoding, one `String.replace` per merge in
+    * training order, renormalize after a fire. Used by
+    * [[encodeCompare]] to certify the production encode IN-GATE at
+    * vocabulary sizes the plan-literal fold cannot compile
+    * (`pats(i)`/`reps(i)` are the precomputed `" pa  pb "`/`" papb "`
+    * literals). Cost is O(K · |word|) — affordable because callers run
+    * it once per DISTINCT word, never per word instance. */
+  private[graft] def foldEncodeWord(word: String,
+      pats: Array[String], reps: Array[String]): String = {
+    // code-point symbols — the fold's regexp_extract_all(word, '.')
+    val syms = new Array[String](word.codePointCount(0, word.length))
+    var ci = 0; var si = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      syms(si) = new String(Character.toChars(cp))
+      si += 1; ci += Character.charCount(cp)
+    }
+    var s = syms.mkString(" ", "  ", " ")
+    var i = 0
+    while (i < pats.length) {
+      val t = s.replace(pats(i), reps(i))
+      // renormalize to canonical double-space form (the fold's
+      // split/trim/rejoin step) — identity unless the replace fired
+      if (t != s) s = t.trim.split(" +").mkString(" ", "  ", " ")
+      i += 1
+    }
+    s.trim.split(" +").mkString(" ")
+  }
+
+  /** GATE-CERTIFIABLE exactness comparison for the production encode
+    * at ANY vocabulary size: run [[encode]] (the native rank-heap
+    * expression — the timed production path) AND an independent
+    * [[foldEncodeWord]] twin in the SAME plan, and emit per-doc
+    * equality booleans `(doc_id, digest_eq, ntok_eq)`. The oracle for
+    * this shape is trivially DuckDB-expressible (`SELECT doc_id, TRUE,
+    * TRUE …`) — no engine has to replay K merges — so a rows+schema+
+    * hash match certifies in-gate that the fused path is exact at
+    * production vocabulary scale.
+    *
+    * Scale shape: the fold twin runs once per DISTINCT word (cost ∝
+    * vocabulary × K, never corpus × K) and joins back to word
+    * instances; at this fixture's vocabulary the mapping side is
+    * broadcast. At open-web scale the distinct-word table is
+    * Heap's-law-sized (can exceed broadcast limits) — drop the hint
+    * and let AQE pick the join, the comparison stays one shuffle. */
+  def encodeCompare(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val fused = encode(docs, idCol, textCol, merges)
+    val pats = merges.map { case (a, b) => s" $a  $b " }.toArray
+    val reps = merges.map { case (a, b) => s" $a$b " }.toArray
+    // explicit broadcast variable (not a closure capture): a 32k-merge
+    // table is tens of MiB — ship it to each executor once, not inside
+    // every task binary
+    val bc = spark.sparkContext.broadcast((pats, reps))
+    val foldUdf = udf((w: String) => {
+      val (p, r) = bc.value; foldEncodeWord(w, p, r)
+    })
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
+    val subs = words.select("word").distinct()
+      .withColumn("sub", foldUdf(col("word")))
+    val twin = words.join(broadcast(subs), Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        sum(size(split(col("sub"), " "))).cast("long").as("fold_n"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("wpos"), col("sub")))),
+            s => s.getField("sub")),
+          " ")).as("fold_digest"))
+    fused.join(twin, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("token_digest") === col("fold_digest")).as("digest_eq"),
+        (col("n_subwords") === col("fold_n")).as("ntok_eq"))
+  }
+
   /** Shared explode -> per-word encode -> per-doc digest skeleton. An
     * empty `sub` (empty word between consecutive spaces) contributes
     * one subword, matching `size(split('', ' ')) == 1` in both twins

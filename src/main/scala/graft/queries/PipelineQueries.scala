@@ -125,11 +125,17 @@ object PipelineQueries {
     * merges-as-data encode as `bpe_encode`, at a real tokenizer's scale
     * — 32,000 synthetic hierarchical merges (seeded, deterministic;
     * later merges combine earlier outputs, like a learned vocabulary).
-    * No SQL oracle — DuckDB cannot replay 32k merge passes — so the
-    * gate records the weaker rows-only check; exactness at this K is
-    * pinned by BpeEncodeSpec's K=32000 naive-reference case, and this
-    * entry keeps a tokenizer-scale encode continuously TIMED in the
-    * bench (the plan must stay O(1) in K for it to even compile). */
+    * DuckDB cannot replay 32k merge passes, so the gate certifies
+    * exactness via [[graft.pipeline.Bpe.encodeCompare]]: the native
+    * rank-heap encode and an independent per-distinct-word
+    * literal-replace fold run in the SAME plan and the query emits
+    * per-doc equality booleans — the oracle is the constant-truth
+    * relation `SELECT doc_id, TRUE, TRUE`, so rows+schema+hash match
+    * IS an in-gate proof of exactness at K=32,000 (BpeEncodeSpec's
+    * 3-way net additionally pins it in the suite). The fused encode
+    * stays continuously TIMED in the bench (the plan must stay O(1)
+    * in K for it to even compile; the fold twin prices in at
+    * vocabulary × K, not corpus × K). */
   def bpeEncode32k(spark: SparkSession, dir: String): DataFrame = {
     val rng = new scala.util.Random(77)
     val pool = scala.collection.mutable.ArrayBuffer[String](
@@ -140,8 +146,8 @@ object PipelineQueries {
       pool += (pa + pb)
       (pa, pb)
     }
-    graft.pipeline.Bpe.encode(documents(spark, dir), "doc_id", "text",
-        merges)
+    graft.pipeline.Bpe.encodeCompare(documents(spark, dir), "doc_id",
+        "text", merges)
       .orderBy("doc_id")
   }
 
@@ -3503,6 +3509,13 @@ object PipelineQueries {
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "bpe_train" -> bpeOracle(8),
     "bpe_encode" -> bpeEncodeOracle(8),
+    // constant-truth relation: the Spark side computes BOTH the native
+    // rank-heap encode and an independent literal-replace fold at
+    // K=32,000 and emits their per-doc equality — a hash match here IS
+    // the in-gate exactness proof (no engine replays 32k merges)
+    "bpe_encode_32k" ->
+      """SELECT doc_id, TRUE AS digest_eq, TRUE AS ntok_eq
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sequence_pack_bpe" -> bpePackOracle(8),
     "text_search" -> bm25RankOracle,
     "chunk_search" -> chunkSearchOracle,

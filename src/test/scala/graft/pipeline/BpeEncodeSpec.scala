@@ -83,6 +83,15 @@ class BpeEncodeSpec extends AnyFunSuite {
         2L -> naiveDoc(words.head, merges))
       assert(native == fold, s"round $round: native != fold (text=$text)")
       assert(native == naive, s"round $round: native != naive (text=$text)")
+      // the Scala fold reference (encodeCompare's twin) joins the net:
+      // per-word it must agree with the naive pass semantics
+      val pats = merges.map { case (a, b) => s" $a  $b " }.toArray
+      val reps = merges.map { case (a, b) => s" $a$b " }.toArray
+      for (w <- words :+ "") {
+        assert(Bpe.foldEncodeWord(w, pats, reps) ==
+          naiveWord(w, merges).mkString(" "),
+          s"round $round: foldEncodeWord != naive on word '$w'")
+      }
     }
   }
 
@@ -118,6 +127,12 @@ class BpeEncodeSpec extends AnyFunSuite {
     val got = collectEnc(out)
     val want = texts.map { case (id, t) => id -> naiveDoc(t, merges) }.toMap
     assert(got == want)
+    // the gate shape: encodeCompare's per-doc booleans are all TRUE at
+    // K=32000 (native rank-heap == independent Scala fold, in one plan)
+    val cmp = Bpe.encodeCompare(docs, "doc_id", "text", merges).collect()
+    assert(cmp.length == texts.size)
+    assert(cmp.forall(r => r.getBoolean(1) && r.getBoolean(2)),
+      "encodeCompare must certify fused == fold at K=32000")
   }
 
   test("the applier skips non-firing rules but still fires chained " +
