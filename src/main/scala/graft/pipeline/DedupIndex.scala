@@ -103,9 +103,14 @@ object DedupIndex {
     }
     bucketT match {
       case Some(bt) =>
+        // ONE single-row aggregate (collect_set over ≤ N bucket ids) —
+        // cheaper than distinct+collect: no second shuffle stage, one
+        // row crosses the wire, and it doubles as the action that
+        // materializes the caller's cached probe bands
         val ids = probeBands
-          .select(bt.expr(org.apache.spark.sql.types.StringType).as("b"))
-          .distinct().collect().map(r => String.valueOf(r.getInt(0))).toSet
+          .agg(collect_set(
+            bt.expr(org.apache.spark.sql.types.StringType)).as("b"))
+          .head().getSeq[Int](0).map(String.valueOf(_)).toSet
         TableReader.read(spark, idxDir, catalog = catalog,
           partitionFieldCandidates = Map(bt.fieldName -> ids))
       case None => TableReader.read(spark, idxDir, catalog = catalog)
@@ -169,13 +174,17 @@ object DedupIndex {
     val corpus = TableReader.read(spark, corpusDir, catalog = catalog)
       .select(col("doc_id"), col("text"))
     // probe bands are consumed TWICE (bucket-id collection for pruning,
-    // then the collision join) — localCheckpoint materializes the
-    // minhash pass once instead of re-paying it; the frame is ∝ the
-    // batch, exactly what a serving probe can afford to pin
+    // then the collision join) — cache() pins the minhash pass so it is
+    // paid once: the pruning aggregate is the materializing action and
+    // the collision join reads the in-memory frame. cache beats an
+    // eager localCheckpoint here (no extra materialization job, no
+    // local-disk write) for a frame ∝ the batch — exactly what a
+    // serving probe can afford to pin; the ContextCleaner releases it
+    // when the probe plan is dropped
     val probeBands = Dedup.bandRows(corpus.filter(probeFilter),
       numHashes, bandSize, hashKind)
       .withColumnRenamed("doc_id", "p_id")
-      .localCheckpoint()
+      .cache()
     val idxBands = prunedIndexRead(spark, idx, idxDir, probeBands, catalog)
     val cand = probeBands
       .join(idxBands,
