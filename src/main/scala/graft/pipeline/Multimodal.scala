@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side shape is real and tested — schema, partitioning, batch
   * iteration via `mapPartitions` over a typed Dataset (the Scala analog of
-  * `mapInPandas` batch processing). Image decode ([[decodeImageIO]]) and
-  * audio decode ([[decodeWav]]) are REAL JDK codec paths
-  * (`javax.imageio`, `javax.sound.sampled`); only video remains a
-  * clearly-marked deterministic STUB ([[stubDecode]] /
-  * the GVID container ops) — the JDK ships no video codec. Swapping in
-  * a real video decoder changes ONE function, not the pipeline.
+  * `mapInPandas` batch processing). All three modalities decode for
+  * real with JDK-shipped parts: image via `javax.imageio`
+  * ([[decodeImageIO]]), audio via `javax.sound.sampled` ([[decodeWav]]),
+  * and video via an MJPEG-in-AVI RIFF walk whose frames are JDK JPEG
+  * decodes ([[decodeMjpegAvi]] — the JDK has no inter-frame codec, but
+  * MJPEG is intra-frame-only and needs none). [[stubDecode]] and the
+  * GIMG/GVID container ops remain as clearly-labeled byte-arithmetic
+  * fixtures for the generic feature-extraction plumbing.
   *
   * Scale design: payloads stay columnar parquet binary; decode is a
   * narrow per-partition pass (no shuffle); `spark.sql.files.
@@ -375,6 +377,193 @@ object Multimodal {
         }
         AudioFeatures(id, ch, (data.length / frameSize).toLong, sums(0),
           if (ch > 1) sums(1) else 0L)
+      }
+    }
+  }
+
+  /** Real-video decode output: frame count, dimensions, per-channel
+    * pixel sums over ALL decoded frames. */
+  final case class VideoFeatures(
+      doc_id: Long,
+      n_frames: Int,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  // ---- MJPEG-in-AVI: a real RIFF container around real JPEG frames.
+  // AVI is Microsoft's RIFF form (public spec: the 'AVI ' form holds a
+  // 'hdrl' LIST with the avih main header and one 'strl' per stream,
+  // then a 'movi' LIST whose '##dc' chunks carry one compressed frame
+  // each — for the MJPG handler, a complete JFIF/JPEG image). The JDK
+  // ships no video *codec*, but MJPEG needs none: the container walk is
+  // plain byte parsing and every frame is a javax.imageio JPEG. ----
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def rdLe32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  private def fourCC(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Serialize pre-encoded JPEG frames as a REAL AVI file: RIFF('AVI ')
+    * ‖ LIST(hdrl){avih, LIST(strl){strh 'vids'/'MJPG', strf
+    * BITMAPINFOHEADER}} ‖ LIST(movi){'00dc' frame…}, little-endian
+    * sizes, odd chunks padded per the RIFF word-alignment rule. The
+    * output opens in any AVI-aware player/demuxer — the fixture
+    * generator for [[decodeMjpegAvi]] and a real writer in its own
+    * right. */
+  def writeMjpegAvi(jpegFrames: Seq[Array[Byte]], width: Int,
+      height: Int, fps: Int = 25): Array[Byte] = {
+    require(jpegFrames.nonEmpty, "an AVI needs at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      b.write(le32(data.length))
+      b.write(data)
+      if ((data.length & 1) == 1) b.write(0) // RIFF pad to word boundary
+      b.toByteArray
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST",
+        listType.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body)
+    val maxFrame = jpegFrames.map(_.length).max
+    val avih = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(le32(1000000 / fps)) // dwMicroSecPerFrame
+      b.write(le32(maxFrame * fps)) // dwMaxBytesPerSec
+      b.write(le32(0)) // dwPaddingGranularity
+      b.write(le32(0x10)) // dwFlags: AVIF_HASINDEX off, interleaved off
+      b.write(le32(jpegFrames.length)) // dwTotalFrames
+      b.write(le32(0)) // dwInitialFrames
+      b.write(le32(1)) // dwStreams
+      b.write(le32(maxFrame)) // dwSuggestedBufferSize
+      b.write(le32(width)); b.write(le32(height))
+      for (_ <- 0 until 4) b.write(le32(0)) // dwReserved
+      chunk("avih", b.toByteArray)
+    }
+    val strh = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("vids".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      b.write("MJPG".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      b.write(le32(0)) // dwFlags
+      b.write(le32(0)) // wPriority + wLanguage
+      b.write(le32(0)) // dwInitialFrames
+      b.write(le32(1)) // dwScale
+      b.write(le32(fps)) // dwRate (fps = rate/scale)
+      b.write(le32(0)) // dwStart
+      b.write(le32(jpegFrames.length)) // dwLength (frames)
+      b.write(le32(maxFrame)) // dwSuggestedBufferSize
+      b.write(le32(-1)) // dwQuality (default)
+      b.write(le32(0)) // dwSampleSize (0 = varying)
+      b.write(le32(0)); b.write(le32(width << 16 | height)) // rcFrame
+      chunk("strh", b.toByteArray)
+    }
+    val strf = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(le32(40)) // biSize
+      b.write(le32(width)); b.write(le32(height))
+      b.write(le32(1 | (24 << 16))) // biPlanes=1, biBitCount=24
+      b.write("MJPG".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      b.write(le32(width * height * 3)) // biSizeImage
+      b.write(le32(0)); b.write(le32(0)) // pels per meter
+      b.write(le32(0)); b.write(le32(0)) // clr used/important
+      chunk("strf", b.toByteArray)
+    }
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      jpegFrames.toArray.flatMap(f => chunk("00dc", f)))
+    val form = "AVI ".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++ hdrl ++ movi
+    out.write("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(le32(form.length))
+    out.write(form)
+    out.toByteArray
+  }
+
+  /** REAL video decode — MJPEG-in-AVI, pure JDK: walk the RIFF
+    * container (form check, hdrl's avih main header, the movi LIST's
+    * '##dc'/'##db' frame chunks) and decode EVERY frame's JPEG bytes
+    * with `javax.imageio` at the same `mapPartitions` codec boundary
+    * as [[decodeImageIO]]. This closes the last multimodal stub: the
+    * JDK ships no inter-frame video codec, but MJPEG — the format
+    * capture pipelines and many cameras emit — is intra-frame-only and
+    * fully decodable with shipped parts. Features are the frame count
+    * (cross-checked against the avih header — a torn container fails
+    * loudly), the frame dimensions (required uniform across frames),
+    * and per-channel pixel sums over all decoded frames, exact integer
+    * arithmetic end to end.
+    *
+    * Scale shape unchanged from the image/audio paths: narrow
+    * per-partition pass, no shuffle, compressed bytes never cross a
+    * stage boundary — only the fixed-width feature row does. Malformed
+    * containers, non-JPEG frames, and header/stream frame-count
+    * disagreement all fail loudly, never silent garbage. */
+  def decodeMjpegAvi(media: Dataset[(Long, Array[Byte])]): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        require(bytes != null && bytes.length >= 12, s"media $id: payload too short")
+        require(fourCC(bytes, 0) == "RIFF" && fourCC(bytes, 8) == "AVI ",
+          s"media $id: not a RIFF/AVI container")
+        val riffEnd = math.min(bytes.length.toLong, 8L + rdLe32(bytes, 4)).toInt
+        var headerFrames = -1
+        var nFrames = 0
+        var w = -1; var h = -1
+        var sr = 0L; var sg = 0L; var sb = 0L
+        // walk chunks of the LIST at [o, end) — top level lists only;
+        // hdrl gives the header frame count, movi the frame chunks
+        def walk(o0: Int, end: Int, inMovi: Boolean): Unit = {
+          var o = o0
+          while (o + 8 <= end) {
+            val cid = fourCC(bytes, o)
+            val sz = rdLe32(bytes, o + 4)
+            require(sz >= 0 && o + 8 + sz <= end,
+              s"media $id: torn RIFF chunk $cid at $o")
+            if (cid == "LIST") {
+              val lt = fourCC(bytes, o + 8)
+              if (lt == "hdrl" || lt == "movi" || lt == "strl")
+                walk(o + 12, o + 8 + sz, inMovi || lt == "movi")
+            } else if (cid == "avih") {
+              headerFrames = rdLe32(bytes, o + 8 + 16) // dwTotalFrames
+            } else if (inMovi && cid.length == 4 &&
+                (cid.endsWith("dc") || cid.endsWith("db"))) {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes, o + 8, sz))
+              require(img != null,
+                s"media $id: frame $nFrames is not a decodable image")
+              if (nFrames == 0) { w = img.getWidth; h = img.getHeight }
+              else require(img.getWidth == w && img.getHeight == h,
+                s"media $id: frame $nFrames dims ${img.getWidth}x${img.getHeight} != ${w}x$h")
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff
+                  sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              nFrames += 1
+            }
+            o += 8 + sz + (sz & 1) // RIFF word alignment
+          }
+        }
+        walk(12, riffEnd, inMovi = false)
+        require(headerFrames >= 0, s"media $id: no avih main header")
+        require(nFrames == headerFrames,
+          s"media $id: header claims $headerFrames frames, movi carries $nFrames")
+        require(nFrames > 0, s"media $id: no frames")
+        VideoFeatures(id, nFrames, w, h, sr, sg, sb)
       }
     }
   }

@@ -2223,6 +2223,70 @@ object PipelineQueries {
     }
   }
 
+  /** REAL VIDEO decode ([[Multimodal.decodeMjpegAvi]] — an MJPEG-in-AVI
+    * RIFF container walk whose frames are `javax.imageio` JPEG decodes,
+    * pure JDK): per document a real AVI holding nf = 2 + doc_id%4
+    * flat-gray JPEG frames (gray(f) = (doc_id*37 + f*101) % 256, dims
+    * w = 8 + doc_id%5, h = 6 + doc_id%7) is assembled on the executors
+    * and decoded back at the mapPartitions codec boundary. Flat gray
+    * survives JPEG's DCT exactly (constant blocks quantize losslessly;
+    * the generator VERIFIES the round-trip per frame and fails loudly
+    * otherwise), so the oracle recomputes frame count, dims, and
+    * per-channel pixel sums from the formula alone — the hash match
+    * certifies a real compressed-VIDEO-container decode, the same
+    * discipline as `multimodal_imgdecode`. This closes the last
+    * multimodal stub. */
+  def multimodalVideoDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMjpegAvi(aviMedia(spark, dir)).toDF().orderBy("doc_id")
+
+  /** Real MJPEG-AVI payloads, generated ON THE EXECUTORS: flat-gray
+    * JPEG frames (per-frame round-trip-verified lossless) wrapped in
+    * [[Multimodal.writeMjpegAvi]]'s RIFF container, features
+    * closed-form over (doc_id, frame) so a DuckDB oracle recomputes
+    * them without decoding anything. */
+  private def aviMedia(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    documents(spark, dir).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 5).toInt
+        val h = (6 + id % 7).toInt
+        val nf = (2 + id % 4).toInt
+        val frames = (0 until nf).map { f =>
+          val g = ((id * 37 + f * 101) % 256).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, (g << 16) | (g << 8) | g); x += 1 }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          val jpeg = baos.toByteArray
+          // the fixture's honesty guard: the oracle assumes gray g at
+          // every pixel, so prove the lossy codec reproduced it exactly
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpeg))
+          var yy = 0
+          while (yy < h) {
+            var xx = 0
+            while (xx < w) {
+              require((back.getRGB(xx, yy) & 0xffffff) ==
+                ((g << 16) | (g << 8) | g),
+                s"doc $id frame $f: JPEG round-trip not lossless at gray $g")
+              xx += 1
+            }
+            yy += 1
+          }
+          jpeg
+        }
+        (id, graft.pipeline.Multimodal.writeMjpegAvi(frames, w, h))
+      }
+    }
+  }
+
   /** Video FRAME SAMPLING over a varying-byte container ([[Multimodal
     * .sampleFrames]], every 3rd frame): byte value at global index i is
     * (doc_id*7 + i) % 251, so the checksum depends on exactly which
@@ -3711,6 +3775,26 @@ object PipelineQueries {
         |    list_transform(range(0, w), x ->
         |      (doc_id * 23 + x * 3 + y * 19) % 256)))) AS BIGINT) AS sum_b
         |FROM dims ORDER BY doc_id""".stripMargin,
+    // recomputed from the frame FORMULA alone — matching the engine's
+    // RIFF walk + per-frame javax.imageio JPEG decode certifies a real
+    // video-container decode (flat gray survives JPEG exactly; the
+    // fixture generator verifies that per frame and fails loudly)
+    "multimodal_videodecode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 4 + 2 AS BIGINT) AS nf,
+        |    CAST(8 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(6 + doc_id % 7 AS BIGINT) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, nf, w, h,
+        |    CAST(w * h * list_sum(list_transform(range(0, nf),
+        |      f -> (doc_id * 37 + f * 101) % 256)) AS BIGINT) AS pix
+        |  FROM d)
+        |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  pix AS sum_r, pix AS sum_g, pix AS sum_b
+        |FROM s ORDER BY doc_id""".stripMargin,
     // recomputed from the sample FORMULA alone — matching the engine's
     // javax.sound.sampled WAV round-trip certifies a real
     // audio-container decode (PCM16 is lossless)
@@ -3874,6 +3958,7 @@ object PipelineQueries {
     "multimodal_framesample" -> (multimodalFrameSample _),
     "multimodal_imgdecode" -> (multimodalImgDecode _),
     "multimodal_imgresize" -> (multimodalImgResize _),
-    "multimodal_wavdecode" -> (multimodalWavDecode _)
+    "multimodal_wavdecode" -> (multimodalWavDecode _),
+    "multimodal_videodecode" -> (multimodalVideoDecode _)
   )
 }

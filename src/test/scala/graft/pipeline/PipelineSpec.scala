@@ -514,6 +514,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("real MJPEG-AVI video decode: RIFF walk + per-frame JDK JPEG " +
+    "decode, header cross-check, loud failures") {
+    import Multimodal._
+    def grayJpeg(w: Int, h: Int, g: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    // 3 frames at grays 10/200/255 in an 11x5 stream (odd JPEG sizes
+    // exercise the RIFF pad-byte walk)
+    val frames = Seq(grayJpeg(11, 5, 10), grayJpeg(11, 5, 200),
+      grayJpeg(11, 5, 255))
+    val avi = writeMjpegAvi(frames, 11, 5)
+    val out = decodeMjpegAvi(Seq((7L, avi)).toDS()).collect().head
+    val pix = 11L * 5L * (10L + 200L + 255L)
+    assert(out == VideoFeatures(7L, 3, 11, 5, pix, pix, pix))
+    // malformed containers fail loudly, never silent features:
+    def fails(payload: Array[Byte]): Unit = {
+      val e = intercept[org.apache.spark.SparkException] {
+        decodeMjpegAvi(Seq((9L, payload)).toDS()).collect()
+      }
+      assert(e.getMessage != null)
+    }
+    fails("not a riff container at all".getBytes("UTF-8")) // bad magic
+    fails(avi.take(40).toArray) // torn header
+    // header/stream frame-count disagreement: flip avih dwTotalFrames
+    val lied = avi.clone()
+    // avih data starts at RIFF(12) + LIST hdr(12) + avih hdr(8) = 32;
+    // dwTotalFrames is at offset 16 within it
+    assert(new String(lied, 24, 4, "US-ASCII") == "avih")
+    lied(32 + 16) = 9
+    fails(lied)
+    // a frame chunk that is not a decodable image
+    val junk = writeMjpegAvi(Seq(Array.fill[Byte](64)(3)), 4, 4)
+    fails(junk)
+  }
+
   test("payload meta equals md5 of utf8 text") {
     val d = Seq((1L, "hello")).toDF("doc_id", "text")
     val r = Multimodal.payloadMeta(d, "doc_id", "text")
