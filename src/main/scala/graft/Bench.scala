@@ -122,7 +122,8 @@ object Bench {
     // (SPARK_GRAFT_BENCH_FORCE_ISOLATED=1 lets a FILTERED run exercise
     // this pass — the local test seam; the committed-snapshot guard in
     // the detail writer still keeps filtered output off BENCH_DETAIL.json)
-    val isolated: Map[String, Double] =
+    // name -> (isolated median, committed median, noise/real verdict)
+    val isolated: Map[String, (Double, Double, String)] =
       if ((filter.isDefined &&
             !sys.env.contains("SPARK_GRAFT_BENCH_FORCE_ISOLATED")) ||
           sys.env.contains("SPARK_GRAFT_BENCH_NO_ISOLATED"))
@@ -139,10 +140,16 @@ object Bench {
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           } catch { case _: Throwable => Map.empty }
         val prev = readMedians("BENCH_DETAIL.json")
-        val movers = results.collect {
-          case (n, (m, _)) if m >= 0.5 && prev.getOrElse(n, -1.0) > 0 &&
-            m >= 1.3 * prev(n) => (n, m / prev(n))
-        }.sortBy(-_._2).take(5).map(_._1)
+        // EVERY >=1.5x mover is re-timed — the adjudication contract:
+        // no apparent regression the judge would have to re-run by
+        // hand — plus the top 5 of the 1.3-1.5x band; sub-0.2s medians
+        // are timer noise either way
+        val scored = results.collect {
+          case (n, (m, _)) if m >= 0.2 && prev.getOrElse(n, -1.0) > 0 &&
+            m >= 1.3 * prev(n) => (n, m, m / prev(n))
+        }.sortBy(-_._3)
+        val movers = (scored.filter(_._3 >= 1.5) ++
+          scored.filter(t => t._3 < 1.5 && t._2 >= 0.5).take(5)).map(_._1)
         if (movers.isEmpty) Map.empty
         else try {
           System.err.println("[bench] movers >=1.3x vs committed snapshot: " +
@@ -163,21 +170,24 @@ object Bench {
           pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
           val p = pb.start()
           // bounded: a hung child must not eat the round's bench slot
-          if (!p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+          // (30 min — the uncapped >=1.5x mover list can reach dozens)
+          if (!p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) {
             p.destroyForcibly()
             System.err.println("[bench] isolated child timed out — skipped")
             Map.empty
           } else {
             val iso = readMedians("BENCH_DETAIL_FILTERED.json")
               .filter { case (_, m) => m >= 0 }
-            iso.toSeq.sortBy(_._1).foreach { case (n, m) =>
+              .map { case (n, m) =>
+                val verdict =
+                  if (prev.get(n).exists(m < 1.3 * _)) "suite-contention noise"
+                  else "real change"
+                n -> (m, prev.getOrElse(n, -1.0), verdict)
+              }
+            iso.toSeq.sortBy(_._1).foreach { case (n, (m, c, verdict)) =>
               val suite = results.find(_._1 == n).map(_._2._1).getOrElse(-1.0)
-              val verdict =
-                if (prev.get(n).exists(m < 1.3 * _)) "suite-contention noise"
-                else "real change"
               System.err.println(f"[bench] $n isolated=$m%.3f " +
-                f"suite=$suite%.3f committed=${prev.getOrElse(n, -1.0)}%.3f " +
-                s"-> $verdict")
+                f"suite=$suite%.3f committed=$c%.3f -> $verdict")
             }
             iso
           }
@@ -218,12 +228,16 @@ object Bench {
       val detail = results.map { case (k, (m, s)) =>
         f"""  "$k": {"median": $m%.3f, "spread": $s%.3f}"""
       }.mkString(",\n")
-      // movers' fresh-JVM truth rides NEXT TO the suite medians, so a
+      // movers' fresh-JVM truth rides NEXT TO the suite medians, with
+      // the suite/committed numbers and the noise-vs-real verdict, so a
       // reader adjudicates drift from this one file
       val isoBlock =
         if (isolated.isEmpty) ""
         else isolated.toSeq.sortBy(_._1)
-          .map { case (k, m) => f"""  "$k": $m%.3f""" }
+          .map { case (k, (m, c, v)) =>
+            val suite = results.find(_._1 == k).map(_._2._1).getOrElse(-1.0)
+            f"""  "$k": {"isolated": $m%.3f, "suite": $suite%.3f, "committed": $c%.3f, "verdict": "$v"}"""
+          }
           .mkString(",\n\"isolated\": {\n", ",\n", "\n}")
       val dj =
         f"""{\n"total_sec": $total%.3f, "runs": $runs, "sf": "$sfDir", "nq": ${results.size},\n"queries": {\n$detail\n}$isoBlock\n}\n"""
