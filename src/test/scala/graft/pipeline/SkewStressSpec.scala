@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import graft.tools.StragglerProbe
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SKEW-STRESS pins for the export/mixture/top-k family: a corpus where
+  * ONE domain owns 50% of all documents (and one order priority owns
+  * 50% of all orders) — the hot key every "no domain dominates" rule
+  * meets in production — must finish WITHOUT a straggler task more
+  * than 4× the stage-median task time ([[StragglerProbe]] listener
+  * assertion). The naive unsalted plan is probed as the NEGATIVE
+  * control on the same data: it MUST straggle, proving the probe can
+  * actually see the failure the salted/prefix-sum plans avoid.
+  *
+  * Floors: only stages with ≥ 8 tasks and a ≥ 400 ms max task are
+  * judged — smaller stages are scheduling noise either way. */
+class SkewStressSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** 50%-hot narrow corpus: `hot` owns half the rows, 19 cold sources
+    * share the rest (the ScaleGen sf1 plant, without the text column —
+    * the operators under test only read id/source/n_chars). */
+  private def skewedDocs(n: Long): DataFrame =
+    spark.range(0, n, 1, 32).select(
+      col("id").as("doc_id"),
+      when(pmod(xxhash64(lit("sk"), col("id")), lit(100)) < 50, lit("hot"))
+        .otherwise(concat(lit("src"),
+          pmod(xxhash64(lit("s"), col("id")), lit(19)))).as("source"),
+      (pmod(xxhash64(lit("nc"), col("id")), lit(500)) + 50).as("n_chars"))
+
+  private def withWideShuffle[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** One untimed execution, then the probed one: the first run of a
+    * plan pays whole-stage-codegen compilation inside its first few
+    * tasks (observed: a uniform 32-task range scan with a 10× "max"
+    * that is just janino), which is warm-up, not skew. */
+  private def probeWarm[A](thunk: => A): Seq[StragglerProbe.StageBalance] = {
+    thunk
+    StragglerProbe.measure(spark)(thunk)._2
+  }
+
+  private def assertBalanced(name: String,
+      balances: Seq[StragglerProbe.StageBalance]): Unit = {
+    val judged = balances.filter(b => b.nTasks >= 8 && b.maxMs >= 400)
+    val stragglers = judged.filter(_.ratio > 4.0)
+    assert(stragglers.isEmpty,
+      s"$name left straggler stages on the 50%-hot corpus:\n  " +
+        stragglers.mkString("\n  "))
+  }
+
+  test("salted domain cap is straggler-free on a 50%-hot corpus; " +
+    "the naive rank on the same data DOES straggle (probe control)") {
+    withWideShuffle {
+      val docs = skewedDocs(2000000L)
+      val salted = probeWarm {
+        graft.pipeline.Export
+          .domainCap(docs, "doc_id", "source", cap = 20)
+          .agg(count(lit(1))).head()
+      }
+      assertBalanced("domainCap", salted)
+      // negative control: the literal collect-the-group-then-take-k
+      // shape, which lands the hot key's 1M structs in ONE reducer.
+      // (A plain row_number+filter is NOT a control anymore: Spark's
+      // WindowGroupLimit pushes the top-k map-side and largely defuses
+      // the skew — worth knowing, but domainCap still wins by never
+      // materializing per-group state at all.)
+      val (_, naive) = StragglerProbe.measure(spark) {
+        docs.groupBy("source")
+          .agg(slice(array_sort(collect_list(struct(
+            md5(col("doc_id").cast("string")), col("doc_id")))), 1, 20)
+            .as("top"))
+          // consume `top` so column pruning cannot delete the sort
+          .agg(sum(size(col("top")))).head()
+      }
+      assert(naive.exists(b => b.maxMs >= 400 && b.ratio > 4.0),
+        s"probe control: the naive hot-key collect+sort should straggle, " +
+          s"got:\n  " + naive.mkString("\n  "))
+    }
+  }
+
+  test("mixture sampling (hash-range prefix sums) is straggler-free " +
+    "on a 50%-hot corpus") {
+    withWideShuffle {
+      val docs = skewedDocs(2000000L)
+      val budget = pmod(xxhash64(lit("bud"), col("source")), lit(400000L)) +
+        lit(200000L)
+      val balances = probeWarm {
+        graft.pipeline.Export
+          .mixtureSample(docs, "doc_id", "source", "n_chars", budget)
+          .agg(count(lit(1))).head()
+      }
+      assertBalanced("mixtureSample", balances)
+    }
+  }
+
+  test("salted grouped top-k is straggler-free when one group owns " +
+    "50% of all orders") {
+    withWideShuffle {
+      val orders = spark.range(0, 2000000L, 1, 32).select(
+        col("id").as("o_orderkey"),
+        when(pmod(xxhash64(lit("pk"), col("id")), lit(100)) < 50,
+          lit("1-URGENT"))
+          .otherwise(concat(lit("prio"),
+            pmod(xxhash64(lit("p"), col("id")), lit(4))))
+          .as("o_orderpriority"),
+        pmod(xxhash64(lit("tp"), col("id")), lit(50000000L))
+          .as("price_cents"))
+      val balances = probeWarm {
+        graft.operators.TopK.saltedTopK(
+            orders, keys = Seq("o_orderpriority"),
+            ordering = Seq(col("price_cents").desc, col("o_orderkey").asc),
+            k = 3, saltFrom = col("o_orderkey"), salts = 16)
+          .agg(count(lit(1))).head()
+      }
+      assertBalanced("saltedTopK", balances)
+    }
+  }
+}
