@@ -224,9 +224,46 @@ case class BpeEncodeWordExpr(child: Expression,
     copy(child = c)
 }
 
+/** [[BpeEncodeWordExpr]] with the merge table behind an EXPLICIT
+  * broadcast variable instead of a plan literal: a vocabulary-scale
+  * merge list (32k merges ≈ 45 MiB of operand strings) embedded as a
+  * case-class field rides inside EVERY task binary and deserializes
+  * once per task — 32 concurrent tasks pay ~1.5 GiB of transient heap
+  * for the same frozen table. Behind a broadcast the executor JVM
+  * holds ONE copy (torrent-fetched once), every task reads it through
+  * the handle, and the task binary stays kilobytes at any K. Used
+  * automatically by [[graft.pipeline.Bpe.encode]] above the
+  * literal-affordable size. */
+case class BpeEncodeWordBcastExpr(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[BpeApplier])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_encode_word_bcast"
+
+  override def nullSafeEval(input: Any): Any =
+    bc.value.encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpeBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"((${classOf[BpeApplier].getName}) $ref.value()).encode($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object BpeColumns {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def bpeEncodeWord(word: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncodeWordExpr(expression(word), merges))
+
+  def bpeEncodeWordBcast(word: Column,
+      bc: org.apache.spark.broadcast.Broadcast[BpeApplier]): Column =
+    column(BpeEncodeWordBcastExpr(expression(word), bc))
 }

@@ -102,9 +102,22 @@ object Bpe {
     * (doc_id, n_subwords, token_digest) where token_digest certifies
     * the exact subword sequence, not just its length. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame =
-    finishEncode(docs, idCol, textCol,
-      graft.functions.BpeColumns.bpeEncodeWord(col("word"), merges))
+      merges: Seq[(String, String)]): DataFrame = {
+    // vocabulary-scale merge tables ride as an explicit BROADCAST, not
+    // a plan literal: a literal deserializes once per TASK (32
+    // concurrent tasks × ~45 MiB at K=32k blew an 8 GiB heap), a
+    // broadcast once per EXECUTOR. Small tables stay literals — no
+    // broadcast-cleanup traffic for the common trained-tokenizer case.
+    val sub =
+      if (merges.size <= 1024)
+        graft.functions.BpeColumns.bpeEncodeWord(col("word"), merges)
+      else {
+        val bc = docs.sparkSession.sparkContext
+          .broadcast(new graft.functions.BpeApplier(merges))
+        graft.functions.BpeColumns.bpeEncodeWordBcast(col("word"), bc)
+      }
+    finishEncode(docs, idCol, textCol, sub)
+  }
 
   /** The literal-replace fold twin of [[encode]]: the K merges compile
     * as K nested `replace` calls over the double-space encoding — the
