@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Per-stage TASK-BALANCE measurement — the straggler tripwire for
@@ -18,12 +18,13 @@ import org.apache.spark.sql.SparkSession
 object StragglerProbe {
 
   final case class StageBalance(
-      stageId: Int, nTasks: Int, medianMs: Long, maxMs: Long) {
+      stageId: Int, nTasks: Int, medianMs: Long, maxMs: Long,
+      name: String = "") {
     /** max-over-median task-duration ratio; 1.0 for degenerate stages. */
     def ratio: Double =
       if (medianMs <= 0) 1.0 else maxMs.toDouble / medianMs
     override def toString: String =
-      f"stage $stageId: $nTasks tasks, median ${medianMs}ms, " +
+      f"stage $stageId [$name]: $nTasks tasks, median ${medianMs}ms, " +
         f"max ${maxMs}ms (${ratio}%.1fx)"
   }
 
@@ -34,8 +35,13 @@ object StragglerProbe {
   def measure[A](spark: SparkSession)(thunk: => A): (A, Seq[StageBalance]) = {
     val durations =
       new java.util.concurrent.ConcurrentHashMap[Int, java.util.List[Long]]()
+    val names =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
     @volatile var events = 0L
     val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        names.put(s.stageInfo.stageId,
+          s.stageInfo.name.takeWhile(_ != '\n').take(60))
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskInfo != null && t.taskInfo.successful) {
           durations
@@ -60,7 +66,8 @@ object StragglerProbe {
       import scala.jdk.CollectionConverters._
       val balances = durations.asScala.toSeq.map { case (sid, list) =>
         val ds = list.asScala.toArray.sorted
-        StageBalance(sid, ds.length, ds(ds.length / 2), ds.last)
+        StageBalance(sid, ds.length, ds(ds.length / 2), ds.last,
+          names.getOrDefault(sid, ""))
       }.sortBy(_.stageId)
       (a, balances)
     } finally spark.sparkContext.removeSparkListener(listener)
