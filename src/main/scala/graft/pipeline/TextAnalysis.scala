@@ -457,4 +457,66 @@ object TextAnalysis {
         lit(LongDigitsPattern), lit(0))).cast("long").as("n_digit_runs"),
       md5(scrubbed).as("scrubbed_digest"))
   }
+
+  /** DSIR-style IMPORTANCE SCORING (Xie et al., "Data Selection with
+    * Importance Resampling", NeurIPS 2023 — the hashed-n-gram
+    * importance-weighting recipe behind targeted pre-training mixes):
+    * fit two hashed unigram bag-of-words models from ONE corpus pass —
+    * a TARGET model over the rows `isTarget` selects (the
+    * high-quality/domain exemplar set) and a RAW model over everything
+    * — then weight every document by how much more likely its tokens
+    * are under target than raw.
+    *
+    * Integer-exact variant: DSIR's per-token log-ratio is replaced by
+    * the Laplace-smoothed probability RATIO in x1e6 fixed point
+    * (`ratio_x1e6(b) = (pTgt_x1e9 * 1e6) div pRaw_x1e9`, with
+    * `p*_x1e9 = ((cnt+1) * 1e9) div (total + buckets)`), and the doc
+    * score is the MEAN per-token ratio — order-preserving per token and
+    * bit-replayable by any engine (a float `ln` is not; the repo's
+    * fluency/TF-IDF scores use the same substitution). The x1e9
+    * intermediate holds to ~9e9 tokens per bucket (≈ 2e12 tokens at
+    * the default 256 buckets — ~10 TB of text; shift the scales or
+    * widen to decimal beyond that).
+    *
+    * Scale shape: one exploded-token pass builds both models map-side
+    * (the target flag is an aggregate filter, not a second scan); the
+    * model is `buckets` rows — broadcast to the scoring join, so the
+    * 100 TB side is scanned once with no shuffle before the per-doc
+    * aggregate; `selected` is a fixed-threshold predicate (score ≥
+    * parity with the raw model), never a global rank pass.
+    *
+    * @return (doc_id, n_tokens, importance_x1e6, selected) */
+  def importanceScore(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("_tgt"),
+        explode(words(col(textCol))).as("tok"))
+      .select(col("doc_id"), col("_tgt"),
+        pmod(hash64(lit("ds"), col("tok")), lit(buckets.toLong)).as("b"))
+    val model = toks
+      .groupBy("b")
+      .agg(count(lit(1)).as("cRaw"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("cTgt"))
+    // bucket totals ride the same buckets-sized frame (a 1-row
+    // cross-joinable aggregate of it), never a second corpus pass
+    val totals = model.agg(sum("cRaw").as("tRaw"), sum("cTgt").as("tTgt"))
+    val ratios = model.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (expr(s"((cTgt + 1) * 1000000000) div (tTgt + $buckets)") * 1000000L)
+          .as("pt"),
+        expr(s"((cRaw + 1) * 1000000000) div (tRaw + $buckets)").as("pr"))
+      .select(col("b"), expr("pt div pr").as("ratio_x1e6"))
+    val scored = toks
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ratio_x1e6")).as("s"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(expr("s div n_tokens"), lit(0L)).as("importance_x1e6"))
+      .withColumn("selected", col("importance_x1e6") >= 1000000L)
+  }
 }

@@ -2068,6 +2068,18 @@ object PipelineQueries {
     TextAnalysis.piiScrub(planted, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** DSIR importance scoring ([[TextAnalysis.importanceScore]], Xie
+    * et al. NeurIPS 2023): the English rows act as the TARGET exemplar
+    * set, every document is weighted by its mean per-token
+    * target-vs-raw hashed-unigram probability ratio (x1e6 fixed
+    * point), `selected` = at-least-parity with the raw model. The
+    * oracle replays models, Laplace smoothing, fixed-point ratios and
+    * the selection threshold integer-for-integer. */
+  def importanceScoreQuery(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.importanceScore(documents(spark, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 64)
+      .orderBy("doc_id")
+
   // ---- multimodal ----
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -3637,6 +3649,37 @@ object PipelineQueries {
         |  coalesce(sc.s // sc.n_bigrams, 0) AS fluency_x1e6
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // DSIR: hashed-unigram target/raw models from one token pass,
+    // Laplace smoothing, x1e9→x1e6 fixed-point probability ratios,
+    // mean-ratio doc score, parity-threshold selection — all integer
+    "importance_score" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    (${h64("'ds:' || tok")}) % 64 AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |model AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS craw,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ctgt
+        |  FROM toks GROUP BY b),
+        |tot AS (
+        |  SELECT CAST(sum(craw) AS BIGINT) AS traw,
+        |    CAST(sum(ctgt) AS BIGINT) AS ttgt FROM model),
+        |ratios AS (
+        |  SELECT b,
+        |    CAST(((((ctgt + 1) * 1000000000) // (ttgt + 64)) * 1000000) //
+        |      (((craw + 1) * 1000000000) // (traw + 64)) AS BIGINT) AS r
+        |  FROM model, tot),
+        |scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r) AS BIGINT) AS s
+        |  FROM toks JOIN ratios USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.n, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sc.s // sc.n, 0) AS BIGINT) AS importance_x1e6,
+        |  coalesce(sc.s // sc.n, 0) >= 1000000 AS selected
+        |FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "model_gate" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -3952,6 +3995,7 @@ object PipelineQueries {
     "sequence_pack_bpe" -> (sequencePackBpe _),
     "substring_dedup" -> (substringDedup _),
     "pii_scrub" -> (piiScrubQuery _),
+    "importance_score" -> (importanceScoreQuery _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_resize" -> (multimodalResize _),

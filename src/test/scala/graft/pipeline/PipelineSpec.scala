@@ -215,6 +215,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.last == 250000L && r2.head > r2.last)
   }
 
+  test("DSIR importance scoring: target-vocabulary docs outrank " +
+    "raw-vocabulary docs, exact fixed-point values, parity selection") {
+    // target docs (tgt=true) speak {alpha, beta}; raw-only docs speak
+    // {gamma, delta}; a mixed doc sits between
+    val d = Seq(
+      (1L, "alpha beta alpha", true), (2L, "beta alpha beta", true),
+      (3L, "gamma delta gamma", false), (4L, "delta gamma delta", false),
+      (5L, "alpha gamma", false))
+      .toDF("doc_id", "text", "tgt")
+    val got = TextAnalysis
+      .importanceScore(d, "doc_id", "text", col("tgt"), buckets = 16)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "importance_x1e6", "selected")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._2) == Seq(3L, 3L, 3L, 3L, 2L))
+    // exact replay of the integer formula over the tiny corpus
+    val md = graft.functions.Hash64.newMd5()
+    def b(tok: String): Long = graft.functions.Hash64.hash64(md,
+      graft.functions.Hash64.seedPrefix("ds"),
+      tok.getBytes("UTF-8")) % 16L
+    val toks = Seq(
+      ("alpha", true), ("beta", true), ("alpha", true),
+      ("beta", true), ("alpha", true), ("beta", true),
+      ("gamma", false), ("delta", false), ("gamma", false),
+      ("delta", false), ("gamma", false), ("delta", false),
+      ("alpha", false), ("gamma", false)).map { case (t, g) => (b(t), g) }
+    val craw = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ctgt = toks.filter(_._2).groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val (traw, ttgt) = (toks.size.toLong, toks.count(_._2).toLong)
+    def ratio(bk: Long): Long = {
+      val pt = (ctgt.getOrElse(bk, 0L) + 1) * 1000000000L / (ttgt + 16)
+      val pr = (craw(bk) + 1) * 1000000000L / (traw + 16)
+      pt * 1000000L / pr
+    }
+    def score(ts: Seq[String]): Long =
+      ts.map(t => ratio(b(t))).sum / ts.size
+    assert(got.map(_._3) == Seq(
+      score(Seq("alpha", "beta", "alpha")),
+      score(Seq("beta", "alpha", "beta")),
+      score(Seq("gamma", "delta", "gamma")),
+      score(Seq("delta", "gamma", "delta")),
+      score(Seq("alpha", "gamma"))))
+    // semantics: target vocabulary scores above parity and is selected;
+    // raw-only vocabulary scores below parity and is dropped
+    assert(got(0)._3 > 1000000L && got(0)._4)
+    assert(got(2)._3 < 1000000L && !got(2)._4)
+    assert(got.forall(x => x._4 == (x._3 >= 1000000L)))
+    // the mixed doc lands strictly between the pure ones
+    assert(got(4)._3 < got(0)._3 && got(4)._3 > got(2)._3)
+  }
+
   test("model gate: deterministic hashed-linear score, sign decides " +
     "keep, identical texts score identically") {
     val d = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))

@@ -47,25 +47,36 @@ class SkewStressSpec extends AnyFunSuite {
     StragglerProbe.measure(spark)(thunk)._2
   }
 
-  private def assertBalanced(name: String,
-      balances: Seq[StragglerProbe.StageBalance]): Unit = {
-    val judged = balances.filter(b => b.nTasks >= 8 && b.maxMs >= 400)
-    val stragglers = judged.filter(_.ratio > 4.0)
-    assert(stragglers.isEmpty,
-      s"$name left straggler stages on the 50%-hot corpus:\n  " +
-        stragglers.mkString("\n  "))
+  private def stragglersOf(balances: Seq[StragglerProbe.StageBalance])
+      : Seq[StragglerProbe.StageBalance] =
+    balances.filter(b => b.nTasks >= 8 && b.maxMs >= 400 && b.ratio > 4.0)
+
+  /** A true hot-key straggler is DETERMINISTIC (same partitioning →
+    * same overloaded task every run); a GC/suite-contention spike is
+    * not (observed in-suite: one 4×+ task in an otherwise balanced
+    * salted stage that vanishes on re-probe). So the pin fails only if
+    * NO probe out of 3 comes back clean. */
+  private def assertBalanced(name: String)(
+      probe: => Seq[StragglerProbe.StageBalance]): Unit = {
+    var last: Seq[StragglerProbe.StageBalance] = Nil
+    val clean = (1 to 3).exists { _ =>
+      last = stragglersOf(probe)
+      last.isEmpty
+    }
+    assert(clean,
+      s"$name straggled on the 50%-hot corpus in 3/3 probes:\n  " +
+        last.mkString("\n  "))
   }
 
   test("salted domain cap is straggler-free on a 50%-hot corpus; " +
     "the naive rank on the same data DOES straggle (probe control)") {
     withWideShuffle {
       val docs = skewedDocs(2000000L)
-      val salted = probeWarm {
+      assertBalanced("domainCap")(probeWarm {
         graft.pipeline.Export
           .domainCap(docs, "doc_id", "source", cap = 20)
           .agg(count(lit(1))).head()
-      }
-      assertBalanced("domainCap", salted)
+      })
       // negative control: the literal collect-the-group-then-take-k
       // shape, which lands the hot key's 1M structs in ONE reducer.
       // (A plain row_number+filter is NOT a control anymore: Spark's
@@ -92,12 +103,11 @@ class SkewStressSpec extends AnyFunSuite {
       val docs = skewedDocs(2000000L)
       val budget = pmod(xxhash64(lit("bud"), col("source")), lit(400000L)) +
         lit(200000L)
-      val balances = probeWarm {
+      assertBalanced("mixtureSample")(probeWarm {
         graft.pipeline.Export
           .mixtureSample(docs, "doc_id", "source", "n_chars", budget)
           .agg(count(lit(1))).head()
-      }
-      assertBalanced("mixtureSample", balances)
+      })
     }
   }
 
@@ -113,14 +123,13 @@ class SkewStressSpec extends AnyFunSuite {
           .as("o_orderpriority"),
         pmod(xxhash64(lit("tp"), col("id")), lit(50000000L))
           .as("price_cents"))
-      val balances = probeWarm {
+      assertBalanced("saltedTopK")(probeWarm {
         graft.operators.TopK.saltedTopK(
             orders, keys = Seq("o_orderpriority"),
             ordering = Seq(col("price_cents").desc, col("o_orderkey").asc),
             k = 3, saltFrom = col("o_orderkey"), salts = 16)
           .agg(count(lit(1))).head()
-      }
-      assertBalanced("saltedTopK", balances)
+      })
     }
   }
 }
