@@ -27,7 +27,20 @@ class ConditionalPutSpec extends AnyFunSuite {
     val puts = new AtomicInteger(0)
     val conflicts = new AtomicInteger(0)
     private val reserved = new ConcurrentHashMap[String, java.lang.Boolean]()
+    // rendezvous: when armed, the next TWO putIfAbsent calls wait for
+    // each other before reserving. At race start every committer
+    // attempts the same next-version key, so the pair is guaranteed to
+    // contend — one organic AlreadyExists per run, no scheduler luck
+    // (an unforced 8-way race CAN legally serialize with zero
+    // conflicts, which made the organic-conflict assert flaky before).
+    private val gatePasses = new AtomicInteger(0)
+    private val gate = new java.util.concurrent.CyclicBarrier(2)
+    def armGate(): Unit = gatePasses.set(2)
     override def putIfAbsent(path: String, content: Array[Byte]): Unit = {
+      if (gatePasses.getAndDecrement() > 0) {
+        try gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: Exception => () } // never deadlock the test
+      }
       if (reserved.putIfAbsent(path, java.lang.Boolean.TRUE) != null) {
         conflicts.incrementAndGet()
         throw new FileIO.AlreadyExists(path)
@@ -48,6 +61,7 @@ class ConditionalPutSpec extends AnyFunSuite {
     try {
       TableMetadata.commit(dir, TableSnapshot(1, 1, 0, Nil))
       assert(fake.puts.get() == 1, "bootstrap commit must route through the seam")
+      fake.armGate() // next two puts rendezvous -> guaranteed contention
       val threads = 8
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
       val results = (0 until threads).map { i =>
@@ -71,15 +85,14 @@ class ConditionalPutSpec extends AnyFunSuite {
       (0 until threads).foreach(i => assert(paths.contains(s"/t/c$i.parquet"),
         s"committer $i's file must survive the race"))
       // the seam did the arbitration: 9 winning puts (bootstrap + 8
-      // versions). NOTE: racing threads CAN serialize perfectly under
-      // scheduler load (zero organic conflicts) — that is a legal
-      // outcome, so the conflict path is exercised DETERMINISTICALLY
-      // instead: a duplicate reservation must raise AlreadyExists.
+      // versions), and the armed rendezvous guarantees the conflict
+      // path ran ORGANICALLY (two live committers, same version key,
+      // one 412) — not just via the duplicate-reservation probe below
       assert(fake.puts.get() == 9,
         s"expected 9 winning puts, got ${fake.puts.get()}")
-      // visibility, not an assertion: a persistent zero under load means
-      // the scheduler serialized the race every run — legal, but worth
-      // seeing in CI output
+      assert(fake.conflicts.get() >= 1,
+        "the rendezvoused pair must produce at least one organic " +
+          s"AlreadyExists (got ${fake.conflicts.get()})")
       info(s"organic put conflicts observed during the race: " +
         s"${fake.conflicts.get()}")
       val probe = s"$dir/condput-probe"
