@@ -590,6 +590,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the canonical undirected edge set must be shuffled once and reused:\n$p")
   }
 
+  test("DSIR importance scoring: the bucket model reaches the scoring " +
+    "join as a BROADCAST, and the corpus is never sort-merge-joined") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.pipeline.TextAnalysis.importanceScore(
+      docs, "doc_id", "text", col("lang") === "en", buckets = 64)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the buckets-sized ratio model must broadcast to the token scan:\n$p")
+    // the ONE acceptable sort-merge join is the final per-doc left-outer
+    // on doc_id (corpus-sized on both sides — not broadcastable at
+    // scale); the token->ratio bucket join must never be one
+    val smjLines = p.split("\n").filter(_.contains("SortMergeJoin"))
+    assert(smjLines.forall(l => l.contains("doc_id") && l.contains("LeftOuter")),
+      s"only the per-doc LeftOuter may sort-merge; got:\n${smjLines.mkString("\n")}")
+  }
+
+  test("vocabulary-scale BPE encode: the merge table rides a broadcast, " +
+    "not the plan (plan size O(1) in K, no K-deep expression chain)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val merges = (1 to 2000).map(i => (s"x$i", s"y$i"))
+    val df = graft.pipeline.Bpe.encode(docs, "doc_id", "text", merges)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.length < 20000,
+      s"a 2000-merge table must not appear in the plan tree " +
+        s"(${analyzed.length} chars)")
+    assert(analyzed.contains("bpe_encode_word_bcast"),
+      s"above the literal threshold the broadcast expression must be used:\n" +
+        analyzed.take(2000))
+  }
+
   test("rolling anomaly: raw events collapse to per-day rows BEFORE the " +
     "ordered window — the window input is one aggregated row per day") {
     val p = plan(AnalyticsQueries.eventsAnomaly(spark, dir))
