@@ -78,6 +78,7 @@ object SparkEntry {
       ("spj_join" -> (graft.queries.SqlCatalogQuery.runSpjJoin _)) +
       ("spj_sorted_join" -> (graft.queries.SqlCatalogQuery.runSortedJoin _)) +
       ("sql_topn" -> (graft.queries.SqlCatalogQuery.runTopN _)) +
+      ("sql_ctas" -> (graft.queries.SqlCatalogQuery.runCtas _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_curate" -> (CorpusPipelineQuery.runCurate _)) +
       ("corpus_curate_v2" -> (CorpusPipelineQuery.runCurateV2 _)) +
@@ -150,6 +151,7 @@ object SparkEntry {
       ("spj_join" -> graft.queries.SqlCatalogQuery.spjJoinOracle) +
       ("spj_sorted_join" -> graft.queries.SqlCatalogQuery.sortedJoinOracle) +
       ("sql_topn" -> graft.queries.SqlCatalogQuery.topNOracle) +
+      ("sql_ctas" -> graft.queries.SqlCatalogQuery.ctasOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_curate" -> CorpusPipelineQuery.curateOracle) +
       ("corpus_curate_v2" -> CorpusPipelineQuery.curateV2Oracle) +

@@ -1399,4 +1399,62 @@ object SqlCatalogQuery {
       |  min(l_linenumber) AS lmn, max(l_linenumber) AS lmx
       |FROM lineitem WHERE l_orderkey % 2 = 0 AND l_suppkey % 7 = 3
       |ORDER BY part""".stripMargin
+
+  // -------- atomic CTAS / RTAS ------------------------------------------
+
+  private val ctasCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Atomic `CREATE TABLE AS SELECT` + `CREATE OR REPLACE TABLE AS
+    * SELECT` ([[graft.sql.GraftStagedTable]]) as an oracle-checked
+    * query:
+    *
+    *  1. a PARTITIONED CTAS lands the filtered lineitem slice AND the
+    *     table definition in ONE version-1 commit (pinned by a version
+    *     assert — no create-then-append window ever exists);
+    *  2. an RTAS aggregates the table INTO ITSELF: the SELECT reads the
+    *     version-1 snapshot while the staged write builds the new file
+    *     set, and one commit swaps schema (fresh field ids), partition
+    *     spec, and files ([[graft.txn.CommitManager.replaceTable]]);
+    *  3. the filtered read-back hash-matches an oracle recomputed from
+    *     raw lineitem — certifying that exactly the CTAS rows entered
+    *     and exactly the RTAS aggregate survived the swap.
+    */
+  def runCtas(spark: SparkSession, dir: String): DataFrame = {
+    val cat = bootstrapCatalog(ctasCatalogs, dir, spark, dir,
+        "gcta", "sqlctas", "li_ctas") { name =>
+      spark.sql(
+        s"""CREATE TABLE $name.db.ct PARTITIONED BY (bucket(4, l_partkey)) AS
+           |SELECT l_orderkey, l_partkey,
+           |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           |  l_returnflag
+           |FROM li_ctas WHERE l_quantity <= 25""".stripMargin)
+      val wh = spark.conf.get(s"spark.sql.catalog.$name.warehouse")
+      val v1 = graft.txn.FileTableCatalog.loadOrThrow(s"$wh/db/ct")
+      require(v1.version == 1L && v1.files.nonEmpty,
+        "CTAS must land rows and table in ONE version-1 commit")
+      spark.sql(
+        s"""CREATE OR REPLACE TABLE $name.db.ct AS
+           |SELECT l_partkey, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+           |  count(*) AS n
+           |FROM $name.db.ct WHERE l_returnflag IN ('A', 'N')
+           |GROUP BY l_partkey""".stripMargin)
+      val v2 = graft.txn.FileTableCatalog.loadOrThrow(s"$wh/db/ct")
+      require(v2.version == 2L && v2.schemaId > v1.schemaId,
+        "RTAS must swap schema + files in ONE commit")
+    }
+    spark.sql(
+      s"""SELECT l_partkey, sum_cents, n FROM $cat.db.ct
+         |WHERE l_partkey % 10 < 5
+         |ORDER BY l_partkey""".stripMargin)
+  }
+
+  val ctasOracle: String =
+    """SELECT l_partkey,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_quantity <= 25 AND l_returnflag IN ('A', 'N') AND l_partkey % 10 < 5
+      |GROUP BY l_partkey
+      |ORDER BY l_partkey""".stripMargin
 }

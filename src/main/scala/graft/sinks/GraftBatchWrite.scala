@@ -135,6 +135,45 @@ object GraftBatchWrite {
     snap.schemaId
   }
 
+  /** Declarative write layout shared by the live append builder
+    * ([[GraftWriteBuilder]]) and the staged CTAS/RTAS builder
+    * ([[graft.sql.GraftStagedTable]]). With a declared write order:
+    * range-distribute AND sort on (partition sources ++ sort fields) —
+    * partition values still co-locate (equal keys fall in one range),
+    * and each task writes files whose sort-key bounds are tight and
+    * mostly disjoint, which is what makes the stamped-bounds file
+    * pruning bite at scale. Without one: cluster incoming rows by the
+    * partition SOURCE columns (same value ⇒ same partition value), so
+    * each write task sees few partition values and the fanout map stays
+    * small — without needing Spark to evaluate the engine's transforms. */
+  private[graft] def orderingExprs(
+      partitionSpec: Seq[graft.core.PartitionTransform],
+      writeOrder: Seq[graft.core.SortField])
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val partLeads = partitionSpec.map(_.source)
+      .filterNot(writeOrder.map(_.column).contains)
+      .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+    (partLeads ++ writeOrder.map(f => Expressions.sort(
+      Expressions.column(f.column),
+      if (f.descending) SortDirection.DESCENDING else SortDirection.ASCENDING)))
+      .toArray
+  }
+
+  private[graft] def requiredDistribution(
+      partitionSpec: Seq[graft.core.PartitionTransform],
+      writeOrder: Seq[graft.core.SortField])
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (writeOrder.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.ordered(
+        orderingExprs(partitionSpec, writeOrder))
+    else if (partitionSpec.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      partitionSpec.map(t => org.apache.spark.sql.connector.expressions
+        .Expressions.column(t.source):
+        org.apache.spark.sql.connector.expressions.Expression).toArray)
+
   /** Rename the winning attempts' files into `writeDir` (optionally
     * under a name prefix) and sweep attempt directories matching
     * `attemptSweepPrefix` — the shared publish step of the batch,
@@ -215,39 +254,15 @@ final class GraftWriteBuilder(
   override def build(): Write = new Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
-    // With a declared write order: range-distribute AND sort on
-    // (partition sources ++ sort fields) — partition values still
-    // co-locate (equal keys fall in one range), and each task writes
-    // files whose sort-key bounds are tight and mostly disjoint, which
-    // is what makes the stamped-bounds file pruning bite at scale.
-    // Without one: cluster incoming rows by the partition SOURCE
-    // columns (same value ⇒ same partition value), so each write task
-    // sees few partition values and the fanout map stays small —
-    // without needing Spark to evaluate the engine's transforms.
-    private def orderingExprs:
-        Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
-      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-      val partLeads = partitionSpec.map(_.source)
-        .filterNot(writeOrder.map(_.column).contains)
-        .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
-      (partLeads ++ writeOrder.map(f => Expressions.sort(
-        Expressions.column(f.column),
-        if (f.descending) SortDirection.DESCENDING else SortDirection.ASCENDING)))
-        .toArray
-    }
+    // layout shared with the staged CTAS/RTAS builder — see
+    // [[GraftBatchWrite.orderingExprs]] for the rationale
     override def requiredDistribution():
         org.apache.spark.sql.connector.distributions.Distribution =
-      if (writeOrder.nonEmpty)
-        org.apache.spark.sql.connector.distributions.Distributions.ordered(orderingExprs)
-      else if (partitionSpec.isEmpty)
-        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-      else org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        partitionSpec.map(t => org.apache.spark.sql.connector.expressions
-          .Expressions.column(t.source):
-          org.apache.spark.sql.connector.expressions.Expression).toArray)
+      GraftBatchWrite.requiredDistribution(partitionSpec, writeOrder)
     override def requiredOrdering():
         Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      if (writeOrder.isEmpty) Array.empty else orderingExprs
+      if (writeOrder.isEmpty) Array.empty
+      else GraftBatchWrite.orderingExprs(partitionSpec, writeOrder)
 
     override def toBatch: BatchWrite = {
       val schemaId = GraftBatchWrite.validateSchema(tableDir, info.schema(), catalog)

@@ -95,6 +95,27 @@ object GraftCatalog {
         s"unknown ${graft.sinks.GraftDeltaBatchWrite.DeletesFormatProp} " +
           s"'$v' (parquet | dv)")
 
+  /** A table definition validated but not yet committed — everything a
+    * bootstrap commit needs, shared by plain CREATE TABLE and the atomic
+    * CTAS/RTAS staging path ([[GraftStagedTable]]). */
+  final case class StagedPlan(
+      dir: String,
+      schema: StructType,
+      spec: Seq[graft.core.PartitionTransform],
+      fields: Seq[graft.core.SchemaField],
+      userProps: Map[String, String]) {
+    /** Bootstrap snapshot (version 1, schema history v1) carrying
+      * `entries` as the table's initial file set — Nil for plain
+      * CREATE TABLE, the staged write's published files for CTAS. */
+    def bootstrap(entries: Seq[graft.txn.FileEntry]): TableSnapshot =
+      TableSnapshot(1, 1,
+        if (entries.isEmpty) 0L else 1L,
+        entries.map(_.copy(sequenceNumber = 1L, schemaId = 1L, specId = 0L)),
+        schemas = Seq(graft.core.TableSchema(1, fields.toIndexedSeq)),
+        committedAtMs = System.currentTimeMillis(),
+        properties = userProps)
+  }
+
   /** `PARTITIONED BY` clause element → engine transform. Matched on the
     * connector expression's generic (name, arguments) form, which is
     * stable across Spark's parser variants. */
@@ -162,7 +183,8 @@ object GraftCatalog {
 }
 
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog with ViewCatalog {
+    with ProcedureCatalog with FunctionCatalog with ViewCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -421,6 +443,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    val plan = stagePlan(ident, schema, partitions, properties)
+    if (isTable(plan.dir)) throw new TableAlreadyExistsException(ident)
+    snapCatalog.commitCas(plan.dir, plan.bootstrap(Nil))
+    new GraftTable(plan.dir, GraftTableSource.tableSchema(plan.dir, snapCatalog),
+      acceptAnySchema = false, catalog = snapCatalog)
+  }
+
+  /** The validated, not-yet-committed shape of a table definition —
+    * shared by plain CREATE TABLE (commits the bootstrap immediately)
+    * and the atomic CTAS/RTAS staging path ([[GraftStagedTable]], which
+    * commits only at `commitStagedChanges`). */
+  private[sql] def stagePlan(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): GraftCatalog.StagedPlan = {
     schema.fields.foreach { fld =>
       if (!ExactRollingWriter.supportedType(fld.dataType))
         throw CompactionError.Config(
@@ -434,7 +472,6 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftCatalog.toGraftTransform(t, schema)
     }
     val dir = tableDir(ident)
-    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (isView(dir)) throw CompactionError.Config(
       s"cannot CREATE TABLE $ident: a view with that name exists")
     // bootstrap snapshot CARRIES the declared schema as history v1, so
@@ -468,12 +505,49 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       (if (spec.isEmpty) Map.empty[String, String]
        else Map(graft.core.PartitionSpecCodec.Property ->
          graft.core.PartitionSpecCodec.encode(spec)))
-    snapCatalog.commitCas(dir, TableSnapshot(1, 1, 0, Nil,
-      schemas = Seq(graft.core.TableSchema(1, fields.toIndexedSeq)),
-      committedAtMs = System.currentTimeMillis(),
-      properties = userProps))
-    new GraftTable(dir, GraftTableSource.tableSchema(dir, snapCatalog),
-      acceptAnySchema = false, catalog = snapCatalog)
+    GraftCatalog.StagedPlan(dir, schema, spec, fields.toIndexedSeq, userProps)
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) -------------------------
+  // Spark plans `CREATE TABLE … AS SELECT` / `[CREATE OR] REPLACE TABLE
+  // [AS SELECT]` through these when the catalog stages: the returned
+  // table buffers its written files driver-side and nothing reaches the
+  // snapshot chain until `commitStagedChanges` lands ONE CAS commit —
+  // a failed CTAS leaves no table, a failed RTAS leaves the old table
+  // untouched ([[GraftStagedTable]]).
+
+  private def requirePlainTable(ident: Identifier, info: TableInfo): Unit =
+    if (info.constraints() != null && info.constraints().nonEmpty)
+      throw CompactionError.Config(
+        "graft tables declare CHECK constraints through the " +
+          "'graft.constraints' table property, not constraint DDL")
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    requirePlainTable(ident, info)
+    val plan = stagePlan(ident, info.schema(), info.partitions(), info.properties())
+    if (isTable(plan.dir)) throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(ident, plan, snapCatalog, GraftStagedTable.Create)
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    requirePlainTable(ident, info)
+    val plan = stagePlan(ident, info.schema(), info.partitions(), info.properties())
+    val cur = snapCatalog.load(plan.dir).getOrElse(
+      throw new NoSuchTableException(ident))
+    new GraftStagedTable(ident, plan, snapCatalog,
+      GraftStagedTable.Replace(cur.version, cur.schemaId))
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable = {
+    requirePlainTable(ident, info)
+    val plan = stagePlan(ident, info.schema(), info.partitions(), info.properties())
+    snapCatalog.load(plan.dir) match {
+      case Some(cur) => new GraftStagedTable(ident, plan, snapCatalog,
+        GraftStagedTable.Replace(cur.version, cur.schemaId))
+      case None => new GraftStagedTable(ident, plan, snapCatalog,
+        GraftStagedTable.Create)
+    }
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {

@@ -523,6 +523,89 @@ final class CommitManager(
             PartitionSpecCodec.encodeHistory(newHist)))
     }
 
+  /** Atomic whole-table REPLACE — the commit half of `REPLACE TABLE …
+    * AS SELECT` ([[graft.sql.GraftStagedTable]]): ONE CAS commit swaps
+    * the schema (a NEW schema version with FRESH field ids, so columns
+    * that merely reuse an old name never reconcile against removed
+    * files), the partition spec (fresh spec id through the layout
+    * history, exactly like [[evolvePartitionSpec]]), the entire file
+    * set, and the user-facing properties. Prior snapshots stay
+    * time-travelable — REPLACE rewrites the table's future, not its
+    * history.
+    *
+    * Conflict policy is serializable-by-version: the staged plan was
+    * derived from `expectedVersion`, and ANY concurrent commit (append,
+    * delete, compaction) invalidates what "replace the table" meant —
+    * abort permanently rather than clobber rows the planner never saw.
+    *
+    * Engine bookkeeping that refers to RETAINED history survives the
+    * property swap: `graft.ref.*` tags, the branch registry/floors,
+    * WAP publish/discard maps, streaming epoch replay markers, and the
+    * MV registry. Everything else is replaced by `userProps` — REPLACE
+    * defines the table's properties, it does not merge them. */
+  def replaceTable(
+      entries: Seq[FileEntry],
+      /** New schema's fields in declaration order; `id`s are ignored
+        * and reassigned fresh past the table's max field id ever. */
+      newFields: Seq[graft.core.SchemaField],
+      newSpec: Seq[PartitionTransform],
+      userProps: Map[String, String],
+      expectedVersion: Long,
+      expectedSchemaId: Long): TableSnapshot =
+    commitLoop(expectedSchemaId) { cur =>
+      if (cur.version != expectedVersion)
+        throw CompactionError.StaleRewrite(
+          s"REPLACE TABLE is stale: the table moved from version " +
+            s"$expectedVersion to ${cur.version} since the replace was " +
+            "planned; re-run the statement")
+      val maxSchemaId = (cur.schemaId +: cur.schemas.map(_.schemaId)).max
+      val newSchemaId = maxSchemaId + 1
+      val maxFieldId =
+        cur.schemas.flatMap(_.fields.map(_.id)).foldLeft(0)(math.max)
+      val fields = newFields.zipWithIndex.map { case (f, i) =>
+        f.copy(id = maxFieldId + i + 1)
+      }
+      val curSpec = PartitionSpecCodec.of(Some(cur))
+      val curId = PartitionSpecCodec.currentId(Some(cur))
+      val specKeys = Set(PartitionSpecCodec.Property,
+        PartitionSpecCodec.IdProperty, PartitionSpecCodec.HistoryProperty)
+      val (specId, specProps) =
+        if (PartitionSpecCodec.encode(newSpec) == PartitionSpecCodec.encode(curSpec))
+          (curId, cur.properties.view.filterKeys(specKeys).toMap)
+        else {
+          val hist = PartitionSpecCodec.history(Some(cur))
+          val nid = (hist.keySet + curId).max + 1
+          val base = Map(
+            PartitionSpecCodec.IdProperty -> nid.toString,
+            PartitionSpecCodec.HistoryProperty -> PartitionSpecCodec
+              .encodeHistory(hist + (curId -> curSpec) + (nid -> newSpec)))
+          (nid,
+            if (newSpec.isEmpty) base
+            else base + (PartitionSpecCodec.Property ->
+              PartitionSpecCodec.encode(newSpec)))
+        }
+      val preserved = cur.properties.filter { case (k, _) =>
+        k.startsWith("graft.ref.") ||
+          k == Branch.RefsProp || k == Branch.ClosedProp ||
+          k == Wap.PublishedProp || k == Wap.DiscardedProp ||
+          k.startsWith("graft.stream.") ||
+          k == graft.mv.MaterializedView.RegisteredProp
+      }
+      val newSeq = cur.lastSequenceNumber + 1
+      // entries arrive bounds-stamped by the publish step
+      // ([[graft.sinks.GraftBatchWrite.publishWinners]]) — no extra
+      // footer IO here
+      val stamped = entries.map(
+        _.copy(sequenceNumber = newSeq, schemaId = newSchemaId, specId = specId))
+      cur.copy(
+        version = cur.version + 1,
+        schemaId = newSchemaId,
+        lastSequenceNumber = newSeq,
+        files = stamped,
+        schemas = cur.schemas :+ graft.core.TableSchema(newSchemaId, fields),
+        properties = preserved ++ specProps ++ (userProps -- specKeys))
+    }
+
   // ---------------- branches ([[Branch]]) ----------------------------
 
   /** Next FREE global version number given a `catalog.versions` listing
