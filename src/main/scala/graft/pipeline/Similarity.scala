@@ -39,6 +39,86 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos_x1e6")
   }
 
+  /** Maximal-Marginal-Relevance diversity re-rank (Carbonell &
+    * Goldstein 1998, "The Use of MMR, Diversity-Based Reranking for
+    * Reordering Documents and Producing Summaries") — the standard
+    * retrieval post-pass that trades raw relevance for novelty:
+    * greedily pick `argmax_a [ λ·rel(a) − (1−λ)·max_{s∈selected}
+    * sim(a,s) ]` until `k` results are chosen. All arithmetic is
+    * integer fixed-point (cosines ×1e6, λ as `lambdaX1e6`), so the
+    * selection — including every tie-break (score desc, vec_id asc;
+    * an empty selection scores zero penalty) — replays bit-for-bit in
+    * any engine.
+    *
+    * Execution shape: relevance comes from [[bruteForceTopK]] (swap in
+    * any ANN candidate generator), the pairwise-similarity table is
+    * bounded by `|Q| · poolK²`, and the inherently-sequential greedy
+    * loop runs per-query via `flatMapGroups` — queries parallelize
+    * across the cluster, per-group state is poolK² longs, and nothing
+    * ever collects to the driver. */
+  def mmrTopK(
+      queries: DataFrame, // (query_id, qv)
+      corpus: DataFrame,  // (vec_id, v)
+      poolK: Int,
+      k: Int,
+      lambdaX1e6: Long = 700000L
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cand = bruteForceTopK(queries, corpus, poolK)
+      .select(col("query_id"), col("vec_id"), col("cos_x1e6").as("rel"))
+    // re-attach vectors for the pairwise leg: the candidate side is
+    // bounded (|Q| * poolK rows) so it broadcasts and the corpus is
+    // scanned once, never shuffled
+    val cv = cand.join(corpus, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("rel"), col("v"))
+    val lhs = cv.select(col("query_id"), col("vec_id").as("a_id"),
+      col("rel").as("rel_a"), col("v").as("av"))
+    val rhs = cv.select(col("query_id"), col("vec_id").as("b_id"),
+      col("v").as("bv"))
+    // self-pairs (a == b) ride along so single-candidate queries still
+    // form a group; the greedy loop skips them
+    val pairs = lhs.join(rhs, Seq("query_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"), col("rel_a"),
+        round(cosine(col("av"), col("bv")) * 1e6).cast("long").as("sim"))
+    val lam = lambdaX1e6
+    val penalty = 1000000L - lambdaX1e6
+    pairs.select("query_id", "a_id", "b_id", "rel_a", "sim")
+      .as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rel = scala.collection.mutable.LongMap.empty[Long]
+        val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        it.foreach { case (_, aId, bId, relA, s) =>
+          rel(aId) = relA
+          if (aId != bId) sim((aId, bId)) = s
+        }
+        // ascending iteration makes strict `>` keep the LOWEST id on a
+        // score tie — the (score desc, vec_id asc) total order
+        val remaining = scala.collection.mutable.TreeSet.empty[Long] ++ rel.keys
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var step = 1
+        while (step <= k && remaining.nonEmpty) {
+          var bestId = -1L
+          var bestScore = Long.MinValue
+          remaining.foreach { id =>
+            val maxSim =
+              if (selected.isEmpty) 0L
+              else selected.iterator.map(s0 => sim.getOrElse((id, s0), 0L)).max
+            val score = lam * rel(id) - penalty * maxSim
+            if (score > bestScore) { bestScore = score; bestId = id }
+          }
+          remaining.remove(bestId)
+          selected += bestId
+          out += ((qid, step.toLong, bestId, bestScore))
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "sel_rank", "vec_id", "mmr_x1e6")
+  }
+
   /** Deterministic random-hyperplane bucket key for a vector column:
     * `numBits` sign bits, hyperplane component (b, d) derived from
     * hash64("hp", "b,d"), centered to +-0.5. The dot product is rounded

@@ -331,6 +331,49 @@ object TextAnalysis {
         coalesce(expr("s div n_bigrams"), lit(0L)).as("fluency_x1e6"))
   }
 
+  /** PMI collocation extraction — corpus-level multi-word-expression
+    * mining (Church & Hanks 1990, "Word Association Norms, Mutual
+    * Information, and Lexicography"; the classic phrase-detection pass
+    * tokenizer pipelines run before merging "new york"-style units).
+    * Pointwise mutual information of an adjacent bigram is
+    * log(P(w1,w2) / (P(w1)P(w2))); both engines rank by the integer
+    * fixed-point LIFT `(c12 * N * 1e6) div (c1 * c2)` instead — the
+    * same monotone order with the log dropped, replayable bit-for-bit.
+    * Margins derive from the bigram table itself (c1 = Σ_w2 c12,
+    * c2 = Σ_w1 c12), so P(·) is over bigram events throughout. Bigrams
+    * below `minCount` are noise-gated (a hapax pair trivially maxes
+    * PMI), and the survivors rank on the total order
+    * (lift desc, w1, w2) — deterministic top-k.
+    *
+    * 100 TB shape: one explode to bigram instances, then everything is
+    * vocabulary-bounded — three map-side-partial aggregates (pair +
+    * two margins), margin joins on bigram-TYPE keys (never the corpus),
+    * a broadcast one-row total, and a TakeOrdered top-k (no global
+    * sort materializes). The ×1e6 numerator `c12 * N` caps at N², so
+    * the Long envelope holds through N ≈ 3e6 bigrams per 1e6 scale —
+    * at web scale drop the scale factor or widen to DECIMAL(38,0). */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val bi = docs
+      .select(explode(zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val left = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
+    val right = c12.groupBy("w2").agg(sum(col("n12")).as("n2"))
+    val total = c12.agg(sum(col("n12")).as("nb"))
+    c12.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .where(col("n12") >= minCount)
+      .select(col("w1"), col("w2"), col("n12"),
+        expr("(n12 * nb * 1000000) div (n1 * n2)").as("pmi_x1e6"))
+      .orderBy(col("pmi_x1e6").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Hashed-linear-model quality gate — the CLASSIFIER-based filtering
     * shape (fastText quality classifiers gate LLaMA's CommonCrawl;
     * FineWeb-Edu and DCLM gate on model scores): score(doc) = Σ_tok

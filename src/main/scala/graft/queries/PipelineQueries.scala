@@ -82,6 +82,9 @@ object PipelineQueries {
     TextAnalysis.frequencyScore(documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  def textCollocations(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(documents(spark, dir), "doc_id", "text")
+
   /** Distributed BPE tokenizer training ([[graft.pipeline.Bpe]]): 8
     * merge steps over the corpus word-frequency table. The oracle
     * unrolls the same 8 iterations as chained DuckDB CTEs — identical
@@ -1021,6 +1024,19 @@ object PipelineQueries {
     Similarity.bruteForceTopK(q, c, k = 10)
       .withColumnRenamed("rank", "rnk")
       .orderBy("query_id", "rnk")
+  }
+
+  /** MMR diversity re-rank ([[Similarity.mmrTopK]]): 5 queries, a
+    * 50-candidate relevance pool, 10 diverse picks at λ=0.7. The oracle
+    * replays the greedy selection exactly (recursive CTE + LATERAL
+    * argmax over the same integer fixed-point scores). */
+  def annMmr(spark: SparkSession, dir: String): DataFrame = {
+    val t = embeddings(spark, dir)
+    val q = t.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = t.select(col("vec_id"), col("embedding").as("v"))
+    Similarity.mmrTopK(q, c, poolK = 50, k = 10)
+      .orderBy("query_id", "sel_rank")
   }
 
   /** HYBRID retrieval with reciprocal-rank fusion
@@ -3379,6 +3395,52 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // MMR: the same fixed-point relevance pool as ann_topk (poolK=50),
+    // then the greedy diverse selection replayed exactly — step 1 is
+    // the relevance argmax (zero penalty), step t+1 the LATERAL argmax
+    // of lambda*rel - (1e6-lambda)*maxSimToSelected, ties by vec_id
+    "ann_mmr" ->
+      """WITH RECURSIVE t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    CAST(round(1e6 * list_dot_product(qv, v) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))) AS BIGINT) AS rel
+        |  FROM t CROSS JOIN q WHERE vec_id <> query_id),
+        |cand AS (
+        |  SELECT query_id, vec_id, rel FROM (
+        |    SELECT query_id, vec_id, rel,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+        |    FROM scored) WHERE rn <= 50),
+        |pair AS (
+        |  SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(round(1e6 * list_dot_product(av.v, bv.v) /
+        |      (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v)))) AS BIGINT) AS sim
+        |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+        |  JOIN t av ON av.vec_id = a.vec_id JOIN t bv ON bv.vec_id = b.vec_id),
+        |sel AS (
+        |  SELECT query_id, 1 AS step, [vec_id] AS picked, vec_id,
+        |    700000 * rel AS mmr
+        |  FROM (
+        |    SELECT query_id, vec_id, rel,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+        |    FROM cand) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.query_id, s.step + 1, list_append(s.picked, nxt.vec_id),
+        |    nxt.vec_id, nxt.mmr
+        |  FROM sel s, LATERAL (
+        |    SELECT c.vec_id,
+        |      700000 * c.rel - 300000 * (
+        |        SELECT max(p.sim) FROM pair p
+        |        WHERE p.query_id = s.query_id AND p.a_id = c.vec_id
+        |          AND list_contains(s.picked, p.b_id)) AS mmr
+        |    FROM cand c
+        |    WHERE c.query_id = s.query_id AND NOT list_contains(s.picked, c.vec_id)
+        |    ORDER BY mmr DESC, c.vec_id LIMIT 1) nxt
+        |  WHERE s.step < 10)
+        |SELECT query_id, CAST(step AS BIGINT) AS sel_rank, vec_id,
+        |  CAST(mmr AS BIGINT) AS mmr_x1e6
+        |FROM sel ORDER BY query_id, sel_rank""".stripMargin,
     "ann_lsh" ->
       s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |bk AS (
@@ -3630,6 +3692,25 @@ object PipelineQueries {
         |FROM a JOIN b ON a.doc_id = b.doc_id
         | AND b.pos > a.pos AND b.pos <= a.pos + 3
         |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin,
+    // PMI collocations: margins derive from the bigram table; ranking
+    // is the integer lift (c12 * N * 1e6) // (c1 * c2) — same total
+    // order as PMI with the log dropped, replayed exactly
+    "text_collocations" ->
+      """WITH p0 AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |bi AS (
+        |  SELECT t[1] AS w1, t[2] AS w2 FROM (
+        |    SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS t
+        |    FROM p0)),
+        |c AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+        |l AS (SELECT w1, sum(n12) AS n1 FROM c GROUP BY 1),
+        |r AS (SELECT w2, sum(n12) AS n2 FROM c GROUP BY 1),
+        |tot AS (SELECT sum(n12) AS nb FROM c)
+        |SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+        |  CAST((n12 * nb * 1000000) // (n1 * n2) AS BIGINT) AS pmi_x1e6
+        |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+        |WHERE n12 >= 5
+        |ORDER BY pmi_x1e6 DESC, w1, w2
+        |LIMIT 20""".stripMargin,
     "lm_fluency" ->
       """WITH p0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |bi AS (
@@ -3931,6 +4012,7 @@ object PipelineQueries {
     "doc_fingerprint" -> (docFingerprint _),
     "repetition" -> (repetition _),
     "freq_score" -> (freqScore _),
+    "text_collocations" -> (textCollocations _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_index_probe" -> (dedupIndexProbe _),
@@ -3949,6 +4031,7 @@ object PipelineQueries {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_semantic" -> (dedupSemantic _),
     "ann_topk" -> (annTopK _),
+    "ann_mmr" -> (annMmr _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_trained" -> (annIvfTrained _),

@@ -651,4 +651,53 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(exact.nonEmpty && bloomed == exact)
   }
+
+  test("PMI collocations rank exclusive pairs above promiscuous ones") {
+    // "alpha beta" always co-occur exclusively; "the x" pairs spread
+    // "the" across many successors, so their lift is diluted
+    val corpus = Seq(
+      (1L, "alpha beta the cat the dog the pig the cow the hen"),
+      (2L, "alpha beta the cat the dog the pig the cow the ant"),
+      (3L, "alpha beta the cat the dog the pig the fox the bee"),
+      (4L, "alpha beta the cat the dog the pig the cow the owl"),
+      (5L, "alpha beta the cat the dog the pig the cow the ram")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.collocations(corpus, "doc_id", "text",
+        minCount = 5L, topK = 3)
+      .as[(String, String, Long, Long)].collect()
+    assert(r.head._1 == "alpha" && r.head._2 == "beta")
+    // exact fixed-point value: 12 words/doc -> 11 bigrams x 5 docs,
+    // N=55; c12=5, c1("alpha" as left)=5, c2("beta" as right)=5 ->
+    // (5*55*1e6) div 25 = 1.1e7
+    assert(r.head._4 == 11000000L)
+    assert(r.forall(_._3 >= 5L), "min-count gate")
+  }
+
+  test("MMR trades relevance for diversity; lambda=1e6 degenerates to top-k") {
+    // query at origin-ish; a,b nearly identical high-relevance pair,
+    // c slightly less relevant but orthogonal to them
+    val qs = Seq((100L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("query_id", "qv")
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.14f, 0.0f)),  // rel ~ cos to q: high
+      (2L, Array(0.99f, 0.141f, 0.0f)), // near-clone of 1
+      (3L, Array(0.7f, 0.0f, 0.71f))    // lower rel, orthogonal-ish
+    ).toDF("vec_id", "v")
+    // pure relevance (lambda = 1e6): picks 1, 2, 3 in cosine order
+    val pure = Similarity.mmrTopK(qs, corpus, poolK = 3, k = 3,
+        lambdaX1e6 = 1000000L)
+      .orderBy("sel_rank").select("vec_id").as[Long].collect().toSeq
+    assert(pure.take(2).toSet == Set(1L, 2L) && pure(2) == 3L)
+    // diversity-weighted: after picking one of the clone pair, the
+    // orthogonal vector beats the clone
+    val div = Similarity.mmrTopK(qs, corpus, poolK = 3, k = 3,
+        lambdaX1e6 = 500000L)
+      .orderBy("sel_rank").select("vec_id").as[Long].collect().toSeq
+    assert(div(1) == 3L, s"second MMR pick must be the diverse vector, got $div")
+    // ranks are 1..k and scores strictly ordered within the greedy walk
+    val full = Similarity.mmrTopK(qs, corpus, poolK = 3, k = 3,
+        lambdaX1e6 = 500000L)
+      .select("sel_rank").as[Long].collect().toSeq.sorted
+    assert(full == Seq(1L, 2L, 3L))
+  }
 }

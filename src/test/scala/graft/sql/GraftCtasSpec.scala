@@ -161,6 +161,28 @@ class GraftCtasSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gcts.db.ck").head.getLong(0) == 89)
   }
 
+  test("CTAS + RTAS work on the iceberg-format catalog") {
+    val iwh = Files.createTempDirectory("graft-ctas-ice").toString
+    spark.conf.set("spark.sql.catalog.gcti", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcti.warehouse", iwh)
+    spark.conf.set("spark.sql.catalog.gcti.format", "iceberg")
+    sql("CREATE NAMESPACE IF NOT EXISTS gcti.db")
+    sql("CREATE TABLE gcti.db.ic AS SELECT id, id * 3 AS v FROM range(0, 40)")
+    assert(sql("SELECT sum(v) FROM gcti.db.ic").head.getLong(0) == 40L * 39 / 2 * 3)
+    val snap = graft.txn.IcebergTableCatalog.loadOrThrow(s"$iwh/db/ic")
+    assert(snap.version == 1L && snap.files.nonEmpty)
+    sql("""CREATE OR REPLACE TABLE gcti.db.ic AS
+          |SELECT id % 4 AS grp, count(*) AS n FROM gcti.db.ic
+          |GROUP BY id % 4""".stripMargin)
+    assert(sql("SELECT sum(n) FROM gcti.db.ic").head.getLong(0) == 40)
+    assert(sql("SELECT * FROM gcti.db.ic").columns.toSeq == Seq("grp", "n"))
+    // the replaced schema + history round-trip the Iceberg metadata
+    val after = graft.txn.IcebergTableCatalog.loadOrThrow(s"$iwh/db/ic")
+    assert(after.version == 2L && after.schemaId > snap.schemaId)
+    val old = sql("SELECT * FROM gcti.db.ic VERSION AS OF 1")
+    assert(old.columns.toSeq == Seq("id", "v") && old.count() == 40)
+  }
+
   test("CTAS refuses WAP-staged / branch-targeted sessions") {
     spark.conf.set(graft.txn.Wap.SessionConf, "audit-1")
     try {
