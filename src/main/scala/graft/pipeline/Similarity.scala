@@ -70,8 +70,13 @@ object Similarity {
     // re-attach vectors for the pairwise leg: the candidate side is
     // bounded (|Q| * poolK rows) so it broadcasts and the corpus is
     // scanned once, never shuffled
+    // cache: the pairwise self-join below consumes this frame on BOTH
+    // sides, and without materialization Spark re-derives the whole
+    // candidate-generation subtree (corpus scan + top-k) twice — the
+    // frame is |Q| * poolK rows, safely memory-resident
     val cv = cand.join(corpus, Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), col("rel"), col("v"))
+      .cache()
     val lhs = cv.select(col("query_id"), col("vec_id").as("a_id"),
       col("rel").as("rel_a"), col("v").as("av"))
     val rhs = cv.select(col("query_id"), col("vec_id").as("b_id"),

@@ -361,7 +361,12 @@ object TextAnalysis {
         slice(ws, lit(2), size(ws) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("t"))
       .select(col("t.w1").as("w1"), col("t.w2").as("w2"))
-    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    // cache: margins, the total, and the final join all consume the
+    // bigram-TYPE table — without materialization each consumer would
+    // re-explode and re-aggregate the whole corpus (4 passes instead
+    // of 1). The cached frame is vocabulary-bounded (distinct pairs),
+    // orders of magnitude below the corpus it summarizes.
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12")).cache()
     val left = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
     val right = c12.groupBy("w2").agg(sum(col("n12")).as("n2"))
     val total = c12.agg(sum(col("n12")).as("nb"))
