@@ -39,6 +39,41 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos_x1e6")
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * mined-negatives recipe of DPR — Karpukhin et al. 2020 — and
+    * sentence-embedding training generally): for each anchor, the
+    * top-k most-similar corpus vectors whose cosine falls INSIDE a
+    * band `[lo, hi)` — above `lo` so the negative is confusable
+    * (informative gradient), below `hi` so near-duplicates/positives
+    * are excluded. Scores are the same ×1e6 fixed-point cosines as
+    * [[bruteForceTopK]]; ranking ties break by vec_id.
+    *
+    * Scale shape: identical to the brute-force leg (anchors broadcast,
+    * corpus scanned once, per-partition WindowGroupLimit prunes to k
+    * before the shuffle) — and the band filter drops rows BEFORE the
+    * window. For corpus-scale anchor sets swap the scored input for an
+    * IVF/LSH candidate generator; the band + window stages are
+    * unchanged. */
+  def hardNegatives(
+      queries: DataFrame, // (query_id, qv)
+      corpus: DataFrame,  // (vec_id, v)
+      k: Int,
+      loX1e6: Long,
+      hiX1e6: Long
+  ): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_x1e6",
+        round(cosine(col("qv"), col("v")) * 1e6).cast("long"))
+      .filter(col("cos_x1e6") >= loX1e6 && col("cos_x1e6") < hiX1e6)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos_x1e6")
+  }
+
   /** Maximal-Marginal-Relevance diversity re-rank (Carbonell &
     * Goldstein 1998, "The Use of MMR, Diversity-Based Reranking for
     * Reordering Documents and Producing Summaries") — the standard

@@ -195,6 +195,40 @@ object AnalyticsQueries {
       .orderBy("hour_epoch", "event_type")
   }
 
+  /** Event-transition matrix — first-order Markov path analysis over
+    * per-user event streams (the "what do users do next" product
+    * question; the empirical transition counts double as the training
+    * statistics for Markov-chain attribution). Each user's events order
+    * by (ts, event_id) — a TOTAL order, event_id is unique — and every
+    * adjacent pair contributes one (src, dst) transition; the matrix
+    * carries the count and the integer fixed-point row-conditional
+    * probability `P(dst | src) = (n * 1e6) div n_src`.
+    *
+    * Scale shape: ONE shuffle (the per-user lead window), then
+    * everything is event-type-bounded — map-side partial counts onto
+    * |types|² keys, a margin aggregate over the cached matrix, and a
+    * deterministic full-matrix emit (no limit needed at this
+    * cardinality). */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = graft.sources.NanosParquet.readEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+    // cached: the margin and the final join both consume the matrix —
+    // |types|^2 rows, trivially memory-resident
+    val c12 = tr
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    val c1 = c12.groupBy("src").agg(sum(col("n")).as("n_src"))
+    c12.join(c1, "src")
+      .select(col("src"), col("dst"), col("n"),
+        expr("(n * 1000000) div n_src").as("p_x1e6"))
+      .orderBy(col("n").desc, col("src"), col("dst"))
+  }
+
   /** Corpus vocabulary top-k: explode tokens, global term counts, top 20
     * by frequency (term tiebreak). Scale shape: map-side partial counts
     * over the exploded terms, ONE shuffle on term, top-k without a global
@@ -926,6 +960,54 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** Holt–Winters ADDITIVE-SEASONAL smoothing (period 7 — the weekly
+    * cycle every traffic series carries) over daily event volume: the
+    * seasonal sibling of [[eventsForecast]], same exact-integer
+    * discipline (α = β = γ = 1/2 as floor-halving, Math.floorDiv /
+    * floor(x / 2.0) — never `//`, which truncates toward zero on
+    * negatives in DuckDB):
+    *
+    *   level_t = ⌊(y_t − s_{t−7} + level_{t−1} + trend_{t−1}) / 2⌋
+    *   trend_t = ⌊(level_t − level_{t−1} + trend_{t−1}) / 2⌋
+    *   s_t     = ⌊(y_t − level_t + s_{t−7}) / 2⌋
+    *   forecast(+7) = level_t + 7·trend_t + s_t   (s_{t+7−7} = s_t)
+    *
+    * The first cycle (t ≤ 7) initializes level = y_t, trend = s = 0;
+    * seasonals accumulate from the second cycle on. The recurrence is
+    * sequential with a 7-slot ring of trailing seasonals, so it runs as
+    * ONE sorted partition over the dense per-day series — #days rows at
+    * any corpus size after the map-side collapse; the oracle carries
+    * the ring as a recursive-CTE list column. */
+  def eventsForecastSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    denseDailyCounts(spark, dir)
+      .as[(Long, Long)]
+      .repartition(1).sortWithinPartitions("day")
+      .mapPartitions { it =>
+        val seas = scala.collection.mutable.Queue.empty[Long]
+        var level = 0L
+        var trend = 0L
+        var rn = 0L
+        it.map { case (day, n) =>
+          rn += 1
+          var s = 0L
+          if (rn <= 7) { level = n; trend = 0L; seas.enqueue(0L) }
+          else {
+            val sOld = seas.dequeue()
+            val newLevel = Math.floorDiv(n - sOld + level + trend, 2)
+            val newTrend = Math.floorDiv(newLevel - level + trend, 2)
+            s = Math.floorDiv(n - newLevel + sOld, 2)
+            level = newLevel
+            trend = newTrend
+            seas.enqueue(s)
+          }
+          (day, n, level, trend, s, level + 7 * trend + s)
+        }
+      }
+      .toDF("day", "n", "level", "trend", "seasonal", "forecast_7d")
+      .orderBy("day")
+  }
+
   /** Time-series GAP FILL with linear interpolation — the resample
     * repair step of a metrics pipeline (a missing day of telemetry must
     * not read as zero). Gaps are PLANTED deterministically (days ≡ 2
@@ -1083,6 +1165,21 @@ object AnalyticsQueries {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // transition matrix: per-user lead over the (ts, event_id) total
+    // order, then counts + integer row-conditional probabilities
+    "events_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+        |tr AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS dst
+        |  FROM e),
+        |c AS (SELECT src, dst, count(*) AS n FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT src, sum(n) AS n_src FROM c GROUP BY 1)
+        |SELECT src, dst, CAST(n AS BIGINT) AS n,
+        |  CAST((n * 1000000) // n_src AS BIGINT) AS p_x1e6
+        |FROM c JOIN m USING (src)
+        |ORDER BY n DESC, src, dst""".stripMargin,
     "supplier_pagerank" -> supplierPagerankOracle,
     "supplier_triangles" ->
       """WITH li AS (
@@ -1138,6 +1235,42 @@ object AnalyticsQueries {
         |  FROM h JOIN dense d ON d.rn = h.rn + 1)
         |SELECT day, n, level, trend,
         |  CAST(level + 7 * trend AS BIGINT) AS forecast_7d
+        |FROM h ORDER BY day""".stripMargin,
+    // Holt–Winters additive period-7: the recursive CTE carries the
+    // trailing seasonal ring as a LIST column (seas[1] = s_{t-7});
+    // the level expression inlines into trend/seasonal because a
+    // recursive SELECT cannot reference its own output aliases
+    "events_forecast_seasonal" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT epoch_us(ts) // 1000000 // 86400 AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+        |grid AS (SELECT unnest(range(b.lo, b.hi + 1)) AS day FROM b),
+        |dense AS (
+        |  SELECT g.day, CAST(coalesce(d0.n, 0) AS BIGINT) AS n,
+        |    row_number() OVER (ORDER BY g.day) AS rn
+        |  FROM grid g LEFT JOIN d0 ON g.day = d0.day),
+        |h AS (
+        |  SELECT rn, day, n, n AS level, CAST(0 AS BIGINT) AS trend,
+        |    CAST(0 AS BIGINT) AS s, [CAST(0 AS BIGINT)] AS seas
+        |  FROM dense WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.day, d.n,
+        |    CASE WHEN d.rn <= 7 THEN d.n
+        |      ELSE CAST(floor((d.n - h.seas[1] + h.level + h.trend) / 2.0) AS BIGINT) END,
+        |    CASE WHEN d.rn <= 7 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor((CAST(floor((d.n - h.seas[1] + h.level + h.trend) / 2.0) AS BIGINT)
+        |        - h.level + h.trend) / 2.0) AS BIGINT) END,
+        |    CASE WHEN d.rn <= 7 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor((d.n - CAST(floor((d.n - h.seas[1] + h.level + h.trend) / 2.0) AS BIGINT)
+        |        + h.seas[1]) / 2.0) AS BIGINT) END,
+        |    CASE WHEN d.rn <= 7 THEN list_append(h.seas, CAST(0 AS BIGINT))
+        |      ELSE list_append(h.seas[2:7],
+        |        CAST(floor((d.n - CAST(floor((d.n - h.seas[1] + h.level + h.trend) / 2.0) AS BIGINT)
+        |          + h.seas[1]) / 2.0) AS BIGINT)) END
+        |  FROM h JOIN dense d ON d.rn = h.rn + 1)
+        |SELECT day, n, level, trend, s AS seasonal,
+        |  CAST(level + 7 * trend + s AS BIGINT) AS forecast_7d
         |FROM h ORDER BY day""".stripMargin,
     "events_gapfill" ->
       """WITH d0 AS (
@@ -1570,10 +1703,12 @@ object AnalyticsQueries {
     "events_anomaly" -> (eventsAnomaly _),
     "events_gapfill" -> (eventsGapfill _),
     "events_forecast" -> (eventsForecast _),
+    "events_forecast_seasonal" -> (eventsForecastSeasonal _),
     "events_active_users" -> (eventsActiveUsers _),
     "cube_pricing" -> (cubePricing _),
     "events_json" -> (eventsJson _),
     "events_pivot" -> (eventsPivot _),
+    "events_transitions" -> (eventsTransitions _),
     "forecast_revenue" -> (forecastRevenue _),
     "customer_distribution" -> (customerDistribution _),
     "top_supplier" -> (topSupplier _),

@@ -1039,6 +1039,21 @@ object PipelineQueries {
       .orderBy("query_id", "sel_rank")
   }
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): 5 anchors,
+    * top-10 confusable negatives per anchor in the cosine band
+    * [0.20, 0.30) — above the band floor they're informative, below
+    * the ceiling they can't be positives/near-dups. */
+  def annHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val t = embeddings(spark, dir)
+    val q = t.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = t.select(col("vec_id"), col("embedding").as("v"))
+    Similarity.hardNegatives(q, c, k = 10,
+        loX1e6 = 200000L, hiX1e6 = 300000L)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   /** HYBRID retrieval with reciprocal-rank fusion
     * ([[graft.pipeline.HybridSearch.rrfFuse]]): two queries, each with a
     * lexical leg (BM25 top-30 for its term set) and a semantic leg
@@ -3395,6 +3410,25 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // hard negatives: ann_topk's scoring restricted to the cosine band
+    // [200000, 300000) before ranking
+    "ann_hard_negatives" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    CAST(round(1e6 * list_dot_product(qv, v) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))) AS BIGINT) AS cos_x1e6
+        |  FROM t CROSS JOIN q WHERE vec_id <> query_id),
+        |banded AS (
+        |  SELECT * FROM scored WHERE cos_x1e6 >= 200000 AND cos_x1e6 < 300000),
+        |ranked AS (
+        |  SELECT query_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_x1e6 DESC, vec_id) AS BIGINT) AS rnk,
+        |    vec_id, cos_x1e6
+        |  FROM banded)
+        |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     // MMR: the same fixed-point relevance pool as ann_topk (poolK=50),
     // then the greedy diverse selection replayed exactly — step 1 is
     // the relevance argmax (zero penalty), step t+1 the LATERAL argmax
@@ -4032,6 +4066,7 @@ object PipelineQueries {
     "dedup_semantic" -> (dedupSemantic _),
     "ann_topk" -> (annTopK _),
     "ann_mmr" -> (annMmr _),
+    "ann_hard_negatives" -> (annHardNegatives _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_trained" -> (annIvfTrained _),

@@ -673,6 +673,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.forall(_._3 >= 5L), "min-count gate")
   }
 
+  test("hard negatives keep only the cosine band, ranked within it") {
+    import org.apache.spark.sql.functions.col
+    val qs = Seq((100L, Array(1.0f, 0.0f))).toDF("query_id", "qv")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.01f)),  // ~0.99999: above the band -> excluded (positive)
+      (2L, Array(1.0f, 0.9f)),   // ~0.743: inside the band
+      (3L, Array(1.0f, 1.2f)),   // ~0.640: inside the band
+      (4L, Array(0.0f, 1.0f))    // 0.0: below the band -> excluded
+    ).toDF("vec_id", "v")
+    val r = Similarity.hardNegatives(qs, corpus, k = 10,
+        loX1e6 = 500000L, hiX1e6 = 900000L)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(r == Seq(2L, 3L),
+      s"band [0.5, 0.9) must keep exactly the confusable middle, got $r")
+  }
+
   test("MMR trades relevance for diversity; lambda=1e6 degenerates to top-k") {
     // query at origin-ish; a,b nearly identical high-relevance pair,
     // c slightly less relevant but orthogonal to them
