@@ -44,12 +44,23 @@ object NanosParquet {
   private def tsIsNanos(path: String): Boolean = {
     // key on length AND mtime: a regenerated file of identical byte
     // length must not serve a stale unit decision
-    val st = graft.io.FileIO.fs(path)
-      .getFileStatus(new org.apache.hadoop.fs.Path(path))
+    val fs = graft.io.FileIO.fs(path)
+    val st0 = fs.getFileStatus(new org.apache.hadoop.fs.Path(path))
+    // a Spark-written table is a DIRECTORY of part files with one
+    // schema — sniff any part file's footer (the scale fixtures write
+    // this layout; the driver testdata is a single file)
+    val st =
+      if (!st0.isDirectory) st0
+      else fs.listStatus(st0.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .headOption
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no parquet part files under $path"))
     val key = (path, st.getLen, st.getModificationTime)
     nanosByPath.computeIfAbsent(key, _ => {
       val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path), graft.io.FileIO.hadoopConf)
+        st.getPath, graft.io.FileIO.hadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
       try {
         val schema = r.getFooter.getFileMetaData.getSchema

@@ -140,6 +140,29 @@ object ScaleGen {
           pmod(h("sd", ok, ln), lit(2490)) * 86400L).as("l_shipdate"))
   }
 
+  /** events(event_id, ts, user_id, event_type, value, props): the
+    * driver shape at sf0.1 — 100k events / 1,500 users / 5 types over
+    * a 30-day window, value in [0, ~560). Timestamps write as
+    * TIMESTAMP(MICROS); `NanosParquet.readEvents` normalizes either
+    * encoding, so the scaled fixture reads through the same path as
+    * the driver data. */
+  def events(spark: SparkSession, nEvents: Long, nUsers: Long): DataFrame = {
+    val id = col("id")
+    spark.range(0, nEvents, 1, 32)
+      .select(
+        id.as("event_id"),
+        timestamp_micros(lit(1704067200000000L) +
+          pmod(h("ets", id), lit(30L * 86400L)) * 1000000L +
+          pmod(h("eus", id), lit(1000000L))).as("ts"),
+        pmod(h("eu", id), lit(nUsers)).as("user_id"),
+        element_at(array(Seq("view", "view", "view", "click", "click",
+            "signup", "purchase", "error").map(lit): _*),
+          (pmod(h("et", id), lit(8)) + 1).cast("int")).as("event_type"),
+        (pmod(h("ev", id), lit(56021)).cast("double") / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(h("ek", id), lit(100)), lit("}"))
+          .as("props"))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleGen <outDir> <mult>")
     val outDir = args(0)
@@ -149,6 +172,9 @@ object ScaleGen {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // match the driver testdata's TIMESTAMP(MICROS) encoding (the
+      // INT96 default is a third encoding nothing else ships)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -161,7 +187,9 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     lineitem(spark, 150000L * m, 1000L * m, 20000L * m)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    println(s"[scalegen] wrote documents/embeddings/orders/lineitem " +
+    events(spark, 100000L * m, 1500L * m)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    println(s"[scalegen] wrote documents/embeddings/orders/lineitem/events " +
       s"at mult=$mult to $outDir")
     spark.stop()
   }
