@@ -19,18 +19,24 @@ import TextFunctions._
   */
 object Similarity {
 
-  /** Exact top-k by cosine. Returns (query_id, rank, vec_id, cos_x1e6).
-    * Scores are emitted as rounded integers (x1e6) to keep oracle
-    * comparisons float-free; ranking ties break by vec_id. */
-  def bruteForceTopK(
-      queries: DataFrame, // (query_id, qv)
-      corpus: DataFrame,  // (vec_id, v)
-      k: Int
-  ): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+  /** The shared scoring+ranking leg of [[bruteForceTopK]] and
+    * [[hardNegatives]]: broadcast queries against one corpus scan,
+    * ×1e6 fixed-point cosine, optional similarity band applied BEFORE
+    * the per-query WindowGroupLimit top-k. One definition so the
+    * scoring convention (rounding, tie-break, self-pair filter) cannot
+    * silently diverge between the two legs. */
+  private def rankedByCosine(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      band: Option[(Long, Long)]): DataFrame = {
+    val scored0 = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_x1e6",
         round(cosine(col("qv"), col("v")) * 1e6).cast("long"))
+    val scored = band match {
+      case Some((lo, hi)) =>
+        scored0.filter(col("cos_x1e6") >= lo && col("cos_x1e6") < hi)
+      case None => scored0
+    }
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_x1e6").desc, col("vec_id").asc)
     scored
@@ -38,6 +44,15 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cos_x1e6")
   }
+
+  /** Exact top-k by cosine. Returns (query_id, rank, vec_id, cos_x1e6).
+    * Scores are emitted as rounded integers (x1e6) to keep oracle
+    * comparisons float-free; ranking ties break by vec_id. */
+  def bruteForceTopK(
+      queries: DataFrame, // (query_id, qv)
+      corpus: DataFrame,  // (vec_id, v)
+      k: Int
+  ): DataFrame = rankedByCosine(queries, corpus, k, None)
 
   /** Hard-negative mining for contrastive training (the in-batch /
     * mined-negatives recipe of DPR — Karpukhin et al. 2020 — and
@@ -60,19 +75,7 @@ object Similarity {
       k: Int,
       loX1e6: Long,
       hiX1e6: Long
-  ): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_x1e6",
-        round(cosine(col("qv"), col("v")) * 1e6).cast("long"))
-      .filter(col("cos_x1e6") >= loX1e6 && col("cos_x1e6") < hiX1e6)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_x1e6").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cos_x1e6")
-  }
+  ): DataFrame = rankedByCosine(queries, corpus, k, Some((loX1e6, hiX1e6)))
 
   /** Maximal-Marginal-Relevance diversity re-rank (Carbonell &
     * Goldstein 1998, "The Use of MMR, Diversity-Based Reranking for
@@ -123,7 +126,7 @@ object Similarity {
         round(cosine(col("av"), col("bv")) * 1e6).cast("long").as("sim"))
     val lam = lambdaX1e6
     val penalty = 1000000L - lambdaX1e6
-    pairs.select("query_id", "a_id", "b_id", "rel_a", "sim")
+    val out = pairs.select("query_id", "a_id", "b_id", "rel_a", "sim")
       .as[(Long, Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
@@ -137,7 +140,7 @@ object Similarity {
         // score tie — the (score desc, vec_id asc) total order
         val remaining = scala.collection.mutable.TreeSet.empty[Long] ++ rel.keys
         val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
         var step = 1
         while (step <= k && remaining.nonEmpty) {
           var bestId = -1L
@@ -151,12 +154,20 @@ object Similarity {
           }
           remaining.remove(bestId)
           selected += bestId
-          out += ((qid, step.toLong, bestId, bestScore))
+          emitted += ((qid, step.toLong, bestId, bestScore))
           step += 1
         }
-        out.iterator
+        emitted.iterator
       }
-      .toDF("query_id", "sel_rank", "vec_id", "mmr_x1e6")
+      // x1e12: lambda (x1e6) times a x1e6 cosine — named honestly so
+      // consumers don't misread it against this module's *_x1e6 columns
+      .toDF("query_id", "sel_rank", "vec_id", "mmr_x1e12")
+    // materialize the (|Q| * k)-row result and RELEASE the cached
+    // candidate frame immediately — repeated calls must not accumulate
+    // dead cached blocks (the pqTopK discipline)
+    val materialized = out.localCheckpoint(true)
+    cv.unpersist()
+    materialized
   }
 
   /** Deterministic random-hyperplane bucket key for a vector column:

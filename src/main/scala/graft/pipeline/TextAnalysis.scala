@@ -352,7 +352,7 @@ object TextAnalysis {
     * sort materializes). The ×1e6 numerator `c12 * N` caps at N², so
     * the Long envelope holds through N ≈ 3e6 bigrams per 1e6 scale —
     * at web scale drop the scale factor or widen to DECIMAL(38,0). */
-  def collocations(docs: DataFrame, idCol: String, textCol: String,
+  def collocations(docs: DataFrame, textCol: String,
       minCount: Long = 5L, topK: Int = 20): DataFrame = {
     val ws = split(col(textCol), " ")
     val bi = docs
@@ -370,13 +370,18 @@ object TextAnalysis {
     val left = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
     val right = c12.groupBy("w2").agg(sum(col("n12")).as("n2"))
     val total = c12.agg(sum(col("n12")).as("nb"))
-    c12.join(left, Seq("w1")).join(right, Seq("w2"))
+    val out = c12.join(left, Seq("w1")).join(right, Seq("w2"))
       .crossJoin(broadcast(total))
       .where(col("n12") >= minCount)
       .select(col("w1"), col("w2"), col("n12"),
         expr("(n12 * nb * 1000000) div (n1 * n2)").as("pmi_x1e6"))
       .orderBy(col("pmi_x1e6").desc, col("w1"), col("w2"))
       .limit(topK)
+    // materialize the top-k and RELEASE the cached bigram table —
+    // repeated calls must not accumulate dead cached blocks
+    val materialized = out.localCheckpoint(true)
+    c12.unpersist()
+    materialized
   }
 
   /** Hashed-linear-model quality gate — the CLASSIFIER-based filtering

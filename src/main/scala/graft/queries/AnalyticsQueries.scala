@@ -223,10 +223,15 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"))
       .cache()
     val c1 = c12.groupBy("src").agg(sum(col("n")).as("n_src"))
-    c12.join(c1, "src")
+    val out = c12.join(c1, "src")
       .select(col("src"), col("dst"), col("n"),
         expr("(n * 1000000) div n_src").as("p_x1e6"))
       .orderBy(col("n").desc, col("src"), col("dst"))
+    // materialize the |types|^2-row matrix and RELEASE the cache —
+    // repeated calls must not accumulate dead cached blocks
+    val materialized = out.localCheckpoint(true)
+    c12.unpersist()
+    materialized
   }
 
   /** Corpus vocabulary top-k: explode tokens, global term counts, top 20

@@ -83,7 +83,7 @@ object PipelineQueries {
       .orderBy("doc_id")
 
   def textCollocations(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.collocations(documents(spark, dir), "doc_id", "text")
+    TextAnalysis.collocations(documents(spark, dir), "text")
 
   /** Distributed BPE tokenizer training ([[graft.pipeline.Bpe]]): 8
     * merge steps over the corpus word-frequency table. The oracle
@@ -3473,7 +3473,7 @@ object PipelineQueries {
         |    ORDER BY mmr DESC, c.vec_id LIMIT 1) nxt
         |  WHERE s.step < 10)
         |SELECT query_id, CAST(step AS BIGINT) AS sel_rank, vec_id,
-        |  CAST(mmr AS BIGINT) AS mmr_x1e6
+        |  CAST(mmr AS BIGINT) AS mmr_x1e12
         |FROM sel ORDER BY query_id, sel_rank""".stripMargin,
     "ann_lsh" ->
       s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

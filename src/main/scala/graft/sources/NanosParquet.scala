@@ -46,17 +46,25 @@ object NanosParquet {
     // length must not serve a stale unit decision
     val fs = graft.io.FileIO.fs(path)
     val st0 = fs.getFileStatus(new org.apache.hadoop.fs.Path(path))
-    // a Spark-written table is a DIRECTORY of part files with one
+    // a Spark-written table is a DIRECTORY of part files with ONE
     // schema — sniff any part file's footer (the scale fixtures write
-    // this layout; the driver testdata is a single file)
+    // this layout; the driver testdata is a single file). The listing
+    // RECURSES so Hive-partitioned layouts (day=…/part-*.parquet, no
+    // top-level files) resolve too; any part file serves, they share
+    // the schema.
     val st =
       if (!st0.isDirectory) st0
-      else fs.listStatus(st0.getPath)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName)
-        .headOption
-        .getOrElse(throw new java.io.FileNotFoundException(
-          s"no parquet part files under $path"))
+      else {
+        val it = fs.listFiles(st0.getPath, true)
+        var found: org.apache.hadoop.fs.FileStatus = null
+        while (found == null && it.hasNext) {
+          val s = it.next()
+          if (s.getPath.getName.endsWith(".parquet")) found = s
+        }
+        if (found == null) throw new java.io.FileNotFoundException(
+          s"no parquet part files under $path")
+        found
+      }
     val key = (path, st.getLen, st.getModificationTime)
     nanosByPath.computeIfAbsent(key, _ => {
       val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

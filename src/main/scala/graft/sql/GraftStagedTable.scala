@@ -207,11 +207,16 @@ final class GraftStagedTable(
     stagedWriteDir.foreach(FileIO.deleteRecursive)
     mode match {
       case GraftStagedTable.Create =>
-        // nothing was ever committed: the directory holds only this
-        // CTAS's leftovers — unless a CONCURRENT create made it a real
-        // table, in which case it is not ours to touch
-        if (snapCatalog.load(plan.dir).isEmpty)
-          FileIO.deleteRecursive(plan.dir)
+        // sweep only EMPTY leftover directories (this CTAS's own
+        // mkdirs). Non-recursive deletes REFUSE non-empty directories,
+        // so a table a concurrent CREATE committed between our check
+        // and the delete can never be destroyed — the
+        // load-then-deleteRecursive alternative is a TOCTOU window
+        // onto someone else's committed data
+        def dropIfEmpty(p: String): Unit =
+          try FileIO.delete(p) catch { case _: Exception => () }
+        dropIfEmpty(s"${plan.dir}/data")
+        dropIfEmpty(plan.dir)
       case _: GraftStagedTable.Replace => () // old table intact
     }
   }

@@ -662,7 +662,7 @@ class PipelineSpec extends AnyFunSuite {
       (4L, "alpha beta the cat the dog the pig the cow the owl"),
       (5L, "alpha beta the cat the dog the pig the cow the ram")
     ).toDF("doc_id", "text")
-    val r = TextAnalysis.collocations(corpus, "doc_id", "text",
+    val r = TextAnalysis.collocations(corpus, "text",
         minCount = 5L, topK = 3)
       .as[(String, String, Long, Long)].collect()
     assert(r.head._1 == "alpha" && r.head._2 == "beta")

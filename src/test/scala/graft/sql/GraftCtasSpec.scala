@@ -51,11 +51,14 @@ class GraftCtasSpec extends AnyFunSuite {
       graft.core.PartitionKey.parse(f.path).contains("id_bucket")))
     assert(graft.core.PartitionSpecCodec.of(Some(snap)).nonEmpty)
     assert(sql("SELECT count(*) FROM gcts.db.c2 WHERE id = 77").head.getLong(0) == 1)
-    // a point read plans fewer files than the table holds (bucket pruning)
-    val planned = sql("SELECT v FROM gcts.db.c2 WHERE id = 77")
-      .queryExecution.executedPlan.collectLeaves().toString()
     assert(snap.files.map(f =>
       graft.core.PartitionKey.parse(f.path)("id_bucket")).distinct.size == 4)
+    // a point read plans fewer scan partitions than the table holds
+    // files — the CTAS-created layout must still bucket-prune
+    val pointParts = sql("SELECT v FROM gcts.db.c2 WHERE id = 77")
+      .rdd.getNumPartitions
+    assert(pointParts < snap.files.size,
+      s"expected bucket pruning: $pointParts partitions vs ${snap.files.size} files")
   }
 
   test("failed CTAS leaves no table (atomicity)") {
