@@ -623,6 +623,51 @@ class PlanQualitySpec extends AnyFunSuite {
         analyzed.take(2000))
   }
 
+  test("hard negatives: anchors broadcast against ONE corpus scan; the " +
+    "band filter sits BELOW the top-k window") {
+    import org.apache.spark.sql.functions.col
+    val t = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = t.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = t.select(col("vec_id"), col("embedding").as("v"))
+    val p = plan(graft.pipeline.Similarity.hardNegatives(
+      q, c, k = 10, loX1e6 = 200000L, hiX1e6 = 300000L))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), s"no corpus shuffle/cartesian:\n$p")
+    // the band predicate must apply BELOW the window — Catalyst in
+    // fact fuses it straight into the broadcast-join condition, so rows
+    // outside the band never even materialize as scored output
+    val lines = p.split("\n")
+    val winIdx = lines.indexWhere(_.contains("WindowGroupLimit"))
+    val bandBelow = lines.drop(winIdx).exists(_.contains("300000"))
+    assert(winIdx >= 0 && bandBelow,
+      s"band predicate must precede the top-k window:\n$p")
+  }
+
+  test("event transitions: ONE user-window exchange; the matrix " +
+    "aggregates are map-side partial onto type-bounded keys") {
+    // pin the LAZY half (the public query materializes via
+    // localCheckpoint): lead window over (ts, event_id), then counts
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = graft.sources.NanosParquet.readEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val p = plan(tr)
+    val exchanges = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, // user window + the (src,dst) agg exchange
+      s"expected window + agg exchanges only, got $exchanges:\n$p")
+    val partialIdx = p.split("\n")
+      .indexWhere(l => l.contains("HashAggregate") && l.contains("partial_count"))
+    assert(partialIdx >= 0, s"matrix counts must combine map-side:\n$p")
+  }
+
   test("rolling anomaly: raw events collapse to per-day rows BEFORE the " +
     "ordered window — the window input is one aggregated row per day") {
     val p = plan(AnalyticsQueries.eventsAnomaly(spark, dir))
