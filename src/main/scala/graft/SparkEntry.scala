@@ -79,6 +79,7 @@ object SparkEntry {
       ("spj_sorted_join" -> (graft.queries.SqlCatalogQuery.runSortedJoin _)) +
       ("sql_topn" -> (graft.queries.SqlCatalogQuery.runTopN _)) +
       ("sql_ctas" -> (graft.queries.SqlCatalogQuery.runCtas _)) +
+      ("sql_ctas_iceberg" -> (graft.queries.SqlCatalogQuery.runCtasIceberg _)) +
       ("corpus_clean" -> (CorpusPipelineQuery.run _)) +
       ("corpus_curate" -> (CorpusPipelineQuery.runCurate _)) +
       ("corpus_curate_v2" -> (CorpusPipelineQuery.runCurateV2 _)) +
@@ -152,6 +153,7 @@ object SparkEntry {
       ("spj_sorted_join" -> graft.queries.SqlCatalogQuery.sortedJoinOracle) +
       ("sql_topn" -> graft.queries.SqlCatalogQuery.topNOracle) +
       ("sql_ctas" -> graft.queries.SqlCatalogQuery.ctasOracle) +
+      ("sql_ctas_iceberg" -> graft.queries.SqlCatalogQuery.ctasOracle) +
       ("corpus_clean" -> CorpusPipelineQuery.oracle) +
       ("corpus_curate" -> CorpusPipelineQuery.curateOracle) +
       ("corpus_curate_v2" -> CorpusPipelineQuery.curateV2Oracle) +

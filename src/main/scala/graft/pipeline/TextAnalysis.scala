@@ -384,6 +384,31 @@ object TextAnalysis {
     materialized
   }
 
+  /** One-row corpus DATASET CARD — the summary statistics every corpus
+    * release publishes (docs, tokens, language/source coverage, exact
+    * duplication rate, length envelope) computed in ONE aggregate pass.
+    * Exact-duplicate counting goes through `md5(text)` so the distinct
+    * shuffle moves 32-byte digests, never document bodies — the only
+    * scale-relevant choice in an otherwise partial-aggregable query;
+    * all outputs are integers (floor-mean), replayed exactly. */
+  def corpusStats(docs: DataFrame, textCol: String, langCol: String,
+      sourceCol: String, charsCol: String): DataFrame =
+    docs
+      .select(col(textCol).as("t"), col(langCol).as("lg"),
+        col(sourceCol).as("src"), col(charsCol).as("nc"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("t"), " ")).cast("long")).as("n_tokens"),
+        countDistinct(col("lg")).as("n_langs"),
+        countDistinct(col("src")).as("n_sources"),
+        (count(lit(1)) - countDistinct(md5(col("t")))).as("n_exact_dups"),
+        min(col("nc")).cast("long").as("min_chars"),
+        max(col("nc")).cast("long").as("max_chars"))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"), col("n_exact_dups"),
+        expr("n_tokens div n_docs").as("mean_tokens"),
+        col("min_chars"), col("max_chars"))
+
   /** Hashed-linear-model quality gate — the CLASSIFIER-based filtering
     * shape (fastText quality classifiers gate LLaMA's CommonCrawl;
     * FineWeb-Edu and DCLM gate on model scores): score(doc) = Σ_tok

@@ -85,6 +85,10 @@ object PipelineQueries {
   def textCollocations(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.collocations(documents(spark, dir), "text")
 
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusStats(documents(spark, dir),
+      "text", "lang", "source", "n_chars")
+
   /** Distributed BPE tokenizer training ([[graft.pipeline.Bpe]]): 8
     * merge steps over the corpus word-frequency table. The oracle
     * unrolls the same 8 iterations as chained DuckDB CTEs — identical
@@ -3410,6 +3414,18 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, rnk, vec_id, cos_x1e6 FROM ranked
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // dataset card: one aggregate row; dup counting via md5 digests on
+    // both engines (identical hex), floor-mean tokens
+    "corpus_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+        |  CAST(sum(len(string_split(text, ' '))) // count(*) AS BIGINT) AS mean_tokens,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents""".stripMargin,
     // hard negatives: ann_topk's scoring restricted to the cosine band
     // [200000, 300000) before ranking
     "ann_hard_negatives" ->
@@ -4047,6 +4063,7 @@ object PipelineQueries {
     "repetition" -> (repetition _),
     "freq_score" -> (freqScore _),
     "text_collocations" -> (textCollocations _),
+    "corpus_stats" -> (corpusStats _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_index_probe" -> (dedupIndexProbe _),

@@ -1457,4 +1457,47 @@ object SqlCatalogQuery {
       |WHERE l_quantity <= 25 AND l_returnflag IN ('A', 'N') AND l_partkey % 10 < 5
       |GROUP BY l_partkey
       |ORDER BY l_partkey""".stripMargin
+
+  private val ctasIceCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** [[runCtas]] on the ICEBERG-FORMAT catalog — the identical staged
+    * CTAS → RTAS → read-back against Iceberg v2/v3 metadata (Avro
+    * manifests, multi-schema history), sharing [[ctasOracle]] verbatim:
+    * a hash match certifies the one-commit replace round-trips the
+    * spec's schema/spec/file machinery, not just the JSON catalog. */
+  def runCtasIceberg(spark: SparkSession, dir: String): DataFrame = {
+    val cat = ctasIceCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"gcti${counter.incrementAndGet()}"
+      val wh = Files.createTempDirectory(s"graft-sqlctasice-$name").toString
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.conf.set(s"spark.sql.catalog.$name.format", "iceberg")
+      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_ctasi")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+      spark.sql(
+        s"""CREATE TABLE $name.db.ct PARTITIONED BY (bucket(4, l_partkey)) AS
+           |SELECT l_orderkey, l_partkey,
+           |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           |  l_returnflag
+           |FROM li_ctasi WHERE l_quantity <= 25""".stripMargin)
+      val v1 = graft.txn.IcebergTableCatalog.loadOrThrow(s"$wh/db/ct")
+      require(v1.version == 1L && v1.files.nonEmpty,
+        "iceberg CTAS must land rows and table in ONE version-1 commit")
+      spark.sql(
+        s"""CREATE OR REPLACE TABLE $name.db.ct AS
+           |SELECT l_partkey, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+           |  count(*) AS n
+           |FROM $name.db.ct WHERE l_returnflag IN ('A', 'N')
+           |GROUP BY l_partkey""".stripMargin)
+      val v2 = graft.txn.IcebergTableCatalog.loadOrThrow(s"$wh/db/ct")
+      require(v2.version == 2L && v2.schemaId > v1.schemaId,
+        "iceberg RTAS must swap schema + files in ONE commit")
+      name
+    })
+    spark.sql(
+      s"""SELECT l_partkey, sum_cents, n FROM $cat.db.ct
+         |WHERE l_partkey % 10 < 5
+         |ORDER BY l_partkey""".stripMargin)
+  }
 }
