@@ -209,19 +209,26 @@ object AnalyticsQueries {
     * |types|² keys, a margin aggregate over the cached matrix, and a
     * deterministic full-matrix emit (no limit needed at this
     * cardinality). */
-  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+  /** The transition-COUNT half of [[eventsTransitions]], split out so
+    * the plan pin (PlanQualitySpec) asserts the PRODUCTION shape — one
+    * user-window exchange, map-side-partial counts onto type-bounded
+    * keys — rather than a hand-copied replica that could drift. */
+  private[graft] def eventsTransitionCounts(spark: SparkSession,
+      dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val tr = graft.sources.NanosParquet.readEvents(spark, dir)
+    graft.sources.NanosParquet.readEvents(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .where(col("next_type").isNotNull)
-    // cached: the margin and the final join both consume the matrix —
-    // |types|^2 rows, trivially memory-resident
-    val c12 = tr
       .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
       .agg(count(lit(1)).as("n"))
-      .cache()
+  }
+
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the margin and the final join both consume the matrix —
+    // |types|^2 rows, trivially memory-resident
+    val c12 = eventsTransitionCounts(spark, dir).cache()
     val c1 = c12.groupBy("src").agg(sum(col("n")).as("n_src"))
     val out = c12.join(c1, "src")
       .select(col("src"), col("dst"), col("n"),

@@ -39,13 +39,20 @@ object SqlCatalogQuery {
   private def bootstrapCatalog(
       cache: java.util.concurrent.ConcurrentHashMap[String, String],
       key: String, spark: SparkSession, dir: String,
-      prefix: String, tmpTag: String, viewName: String)
+      prefix: String, tmpTag: String, viewName: String,
+      /** Extra `spark.sql.catalog.<name>.<k> = v` entries — e.g.
+        * `format -> iceberg` backs the catalog with the Iceberg
+        * metadata writer. */
+      extraConf: Map[String, String] = Map.empty)
       (setup: String => Unit): String =
     cache.computeIfAbsent(key, _ => {
       val name = s"$prefix${counter.incrementAndGet()}"
       val wh = Files.createTempDirectory(s"graft-$tmpTag-$name").toString
       spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      extraConf.foreach { case (k, v) =>
+        spark.conf.set(s"spark.sql.catalog.$name.$k", v)
+      }
       spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView(viewName)
       setup(name)
       name
@@ -1467,14 +1474,10 @@ object SqlCatalogQuery {
     * a hash match certifies the one-commit replace round-trips the
     * spec's schema/spec/file machinery, not just the JSON catalog. */
   def runCtasIceberg(spark: SparkSession, dir: String): DataFrame = {
-    val cat = ctasIceCatalogs.computeIfAbsent(dir, _ => {
-      val name = s"gcti${counter.incrementAndGet()}"
-      val wh = Files.createTempDirectory(s"graft-sqlctasice-$name").toString
-      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      spark.conf.set(s"spark.sql.catalog.$name.format", "iceberg")
-      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_ctasi")
-      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    val cat = bootstrapCatalog(ctasIceCatalogs, dir, spark, dir,
+        "gcti", "sqlctasice", "li_ctasi",
+        extraConf = Map("format" -> "iceberg")) { name =>
+      val wh = spark.conf.get(s"spark.sql.catalog.$name.warehouse")
       spark.sql(
         s"""CREATE TABLE $name.db.ct PARTITIONED BY (bucket(4, l_partkey)) AS
            |SELECT l_orderkey, l_partkey,
@@ -1493,8 +1496,7 @@ object SqlCatalogQuery {
       val v2 = graft.txn.IcebergTableCatalog.loadOrThrow(s"$wh/db/ct")
       require(v2.version == 2L && v2.schemaId > v1.schemaId,
         "iceberg RTAS must swap schema + files in ONE commit")
-      name
-    })
+    }
     spark.sql(
       s"""SELECT l_partkey, sum_cents, n FROM $cat.db.ct
          |WHERE l_partkey % 10 < 5

@@ -648,18 +648,9 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("event transitions: ONE user-window exchange; the matrix " +
     "aggregates are map-side partial onto type-bounded keys") {
-    // pin the LAZY half (the public query materializes via
-    // localCheckpoint): lead window over (ts, event_id), then counts
-    import org.apache.spark.sql.functions._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val tr = graft.sources.NanosParquet.readEvents(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .where(col("next_type").isNotNull)
-      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
-      .agg(count(lit(1)).as("n"))
-    val p = plan(tr)
+    // pin the PRODUCTION lazy half (the public query materializes via
+    // localCheckpoint, which hides the shape)
+    val p = plan(AnalyticsQueries.eventsTransitionCounts(spark, dir))
     val exchanges = p.split("\n").count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 2, // user window + the (src,dst) agg exchange
       s"expected window + agg exchanges only, got $exchanges:\n$p")
