@@ -186,6 +186,50 @@ class GraftCtasSpec extends AnyFunSuite {
     assert(old.columns.toSeq == Seq("id", "v") && old.count() == 40)
   }
 
+  test("two racing CTAS on one name: exactly one wins the version-1 CAS; " +
+    "the loser's files never reach the winner's table") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableInfo, Column}
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val cat = spark.sessionState.catalogManager.catalog("gcts")
+      .asInstanceOf[GraftCatalog]
+    val ident = Identifier.of(Array("db"), "ctasrace")
+    def info(colName: String) = new TableInfo.Builder()
+      .withColumns(Array(Column.create(colName, LongType)))
+      .withPartitions(Array.empty)
+      .withProperties(new java.util.HashMap[String, String]())
+      .build()
+    // stage BOTH before either commits — the widest possible window
+    val a = cat.stageCreate(ident, info("a"))
+    val b = cat.stageCreate(ident, info("b"))
+    // drive each staged write through its own builder (empty write:
+    // zero files — the race is about the version-1 CAS, and an empty
+    // bootstrap exercises exactly the same commit path)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = Seq(a, b).map { t =>
+      new Thread(() => {
+        try { t.commitStagedChanges(); results.add("ok") }
+        catch {
+          case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+            results.add("lost")
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(results.toArray.map(_.toString).sorted.toSeq == Seq("lost", "ok"),
+      s"exactly one CTAS must win the version-1 CAS, got ${results.toArray.toSeq}")
+    // the surviving table is intact and readable
+    val snap = FileTableCatalog.loadOrThrow(dirOf("ctasrace"))
+    assert(snap.version == 1L)
+    assert(sql("SELECT count(*) FROM gcts.db.ctasrace").head.getLong(0) == 0)
+    // the loser's abort must NOT destroy the winner (TOCTOU guard):
+    // abortStagedChanges on the loser leaves the committed table alone
+    Seq(a, b).foreach(t => t.abortStagedChanges())
+    assert(FileTableCatalog.load(dirOf("ctasrace")).isDefined,
+      "a loser's abort must never delete the winner's committed table")
+    assert(sql("SELECT count(*) FROM gcts.db.ctasrace").head.getLong(0) == 0)
+  }
+
   test("CTAS refuses WAP-staged / branch-targeted sessions") {
     spark.conf.set(graft.txn.Wap.SessionConf, "audit-1")
     try {
