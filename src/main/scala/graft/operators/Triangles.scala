@@ -37,15 +37,30 @@ object Triangles {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // The canonical edge set feeds the degree table (twice, via the
+    // union), the orientation join, and the wedge-closure join — and
+    // its SUBTREE is the caller's edge construction (for the supplier
+    // graph: a lineitem self-join + weight aggregate), which exchange
+    // reuse only partially dedupes. Checkpoint it eagerly (the PageRank
+    // discipline): the thresholded edge list is far smaller than the
+    // construction input, so materializing once and reading it from
+    // block storage in all four consumers beats re-running the
+    // construction — at any scale where the edge list fits the cluster
+    // (it must: the wedge join materializes it anyway).
     val und = edges.select(
         least(col(edges.columns(0)), col(edges.columns(1))).as("u"),
         greatest(col(edges.columns(0)), col(edges.columns(1))).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(true)
 
+    // node-degree table: consumed by the two orientation joins and the
+    // final output join — checkpoint for the same reason (tiny: one row
+    // per node)
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
 
     // orient each edge low-(deg, id) -> high-(deg, id); u < v already,
     // so a degree tie keeps the id order

@@ -54,7 +54,16 @@ object Dedup {
     * Input must have columns `doc_id` and `blk`; payload columns are
     * carried through with `a_`/`b_` prefixes.
     */
-  def blockedPairs(t: DataFrame, buckets: Int): DataFrame = {
+  def blockedPairs(t0: DataFrame, buckets: Int): DataFrame = {
+    // The input subtree feeds BOTH self-join sides with DIFFERENT
+    // bucket-pair expansions (sequence(bu, buckets-1) vs sequence(0,
+    // bu)), so exchange reuse can never kick in and an expensive
+    // upstream — the per-doc shingle hashing of the quadratic dedup
+    // baselines, the simhash sketch pass — would evaluate TWICE.
+    // Materialize it eagerly once: both sides then read the (tiny next
+    // to its construction cost) blocked frame from block storage, and
+    // the construction pass is paid exactly once.
+    val t = t0.localCheckpoint(true)
     val payload = t.columns.filterNot(Set("doc_id", "blk"))
     val bu = pmod(col("doc_id"), lit(buckets)).cast("int")
     // Role assignment by salt bucket: the A side serves the LOW bucket of
@@ -138,20 +147,34 @@ object Dedup {
     // (band, band_key) rows via the ONE shared banding projection
     // ([[bandRows]] — the same rows a persisted DedupIndex stores):
     // band keys join equal iff all slots in the band match, the LSH
-    // bucket
+    // bucket. Candidates come from ONE aggregation over the band rows
+    // rather than a bands-to-bands self-join: the join form evaluates
+    // the bandRows subtree (the full numHashes-seed signature pass —
+    // the operator's dominant cost) once per side, the grouped form
+    // once total, and one exchange replaces two. Pair semantics are
+    // identical: collect the bucket's doc ids sorted, emit (i, j>i)
+    // positional pairs (sorted ⇒ a_id < b_id), then the same distinct
+    // across buckets. An LSH bucket's membership list is bounded by the
+    // near-dup cluster size (the pair OUTPUT is already quadratic in
+    // it), so the per-group list adds no new scale hazard.
     val bands = bandRows(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       numHashes, bandSize, hashKind)
 
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val cand = bands
+      .groupBy("band", "band_key")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
+      .select(col("a_id"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("b_id"))
       .distinct()
 
-    val sigs = withSig.select(col("doc_id"), col("shh"))
+    // the verify join consumes the signature frame TWICE (a_id and b_id
+    // sides — different join keys, so exchange reuse never applies);
+    // materialize it once so the per-doc hashedSet pass is paid once,
+    // not per side
+    val sigs = withSig.select(col("doc_id"), col("shh")).localCheckpoint(true)
     cand
       .join(sigs.as("x"), col("a_id") === col("x.doc_id"))
       .join(sigs.as("y"), col("b_id") === col("y.doc_id"))
@@ -269,10 +292,15 @@ object Dedup {
   ): DataFrame = {
     require(thresholdX1000 > 0 && thresholdX1000 <= 1000,
       s"containment threshold must be in (0, 1000], got $thresholdX1000")
+    // the shingle-set frame feeds the instance explode AND both verify
+    // sides (3 consumers, 3 different downstream keys — no exchange
+    // reuse); materialize once so the per-doc shingle hashing is paid
+    // once. Per-doc arrays only — the exploded instances stay lazy.
     val sets = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
         graft.functions.HashColumns
           .hashedSet(shingles3(col(textCol)), "j").as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
     val ex = sets.select(col("doc_id"), col("blk"),
       size(col("sh")).cast("long").as("s"), explode(col("sh")).as("h"))
     // block-scoped document frequency: the rarity order is shared by
@@ -386,10 +414,14 @@ object Dedup {
   ): DataFrame = {
     require(thresholdX1000 > 0 && thresholdX1000 <= 1000,
       s"jaccard threshold must be in (0, 1000], got $thresholdX1000")
+    // materialized once for the same reason as the containment prefix
+    // path: 3 consumers (instance explode + both verify sides), no
+    // exchange reuse between them
     val sets = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
         graft.functions.HashColumns
           .hashedSet(shingles3(col(textCol)), "j").as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
     val ex = sets.select(col("doc_id"), col("blk"),
       size(col("sh")).cast("long").as("s"), explode(col("sh")).as("h"))
     val dfreq = ex.groupBy("blk", "h").agg(count(lit(1)).as("df"))
@@ -440,7 +472,13 @@ object Dedup {
     * @return (id, comp) — one row per node appearing in any pair
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // the input edge frame is consumed THREE times before iteration
+    // even starts (both sides of the node union + the canonical edge
+    // set) — and callers hand in whole near-dup pipelines as `pairs`.
+    // Materialize once; everything downstream reads the (tiny) edge
+    // list, never the pipeline that produced it.
     val raw = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .localCheckpoint(true)
     // every node appearing in any pair gets a label, including
     // self-loop-only and isolated-after-dedup nodes
     val nodes = raw.select(col("u").as("id"))
@@ -726,10 +764,15 @@ object Dedup {
     val passages = transform(
       sequence(lit(0L), lastChunk),
       k => array_join(slice(toks, (k * n + 1).cast("int"), lit(n)), " "))
+    // materialized once: the instance frame feeds the winner aggregate
+    // AND the reassembly join (different keys — no exchange reuse), so
+    // the passage build (token slicing + joins per chunk) would
+    // otherwise run twice
     val inst = docs
       .select(col(idCol).as("doc_id"),
         posexplode(passages).as(Seq("chunk_idx", "passage")))
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .localCheckpoint(true)
     // chunk_idx must stay below 2^20 for the packed winner key (an 8M+
     // token document would silently corrupt winners — fail loudly)
     val packed = when(col("chunk_idx") < 1048576L,
@@ -791,8 +834,13 @@ object Dedup {
       minTokens: Int = 6): DataFrame = {
     val L = minTokens
     require(L > 1, s"minTokens must be > 1, got $L")
+    // tokenized once: the frame feeds the gram explode, the per-token
+    // explode, AND the final per-doc length projection (3 consumers,
+    // no shared exchange) — without materialization each re-reads and
+    // re-splits the corpus
     val base = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("toks"))
+        split(col(textCol), " ").as("toks"))
+      .localCheckpoint(true)
     // sliding L-gram instances with their 0-based start position; docs
     // shorter than L tokens yield none (sequence(0, negative) would
     // count DOWN, so the filter is load-bearing)

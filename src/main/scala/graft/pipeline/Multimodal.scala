@@ -239,10 +239,37 @@ object Multimodal {
   private def decodeOrThrow(id: Long, bytes: Array[Byte])
       : java.awt.image.BufferedImage = {
     require(bytes != null && bytes.nonEmpty, s"media $id: empty payload")
+    imageIoNoDiskCache
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"media $id: payload is not a decodable image")
     img
+  }
+
+  /** ImageIO's default stream cache spools EVERY `ImageIO.read`/`write`
+    * on an in-memory stream through a temp FILE on disk (a
+    * FileCache(Image)InputStream per call) — tens of thousands of file
+    * creates/deletes per media pass for payloads that are already byte
+    * arrays. Disabling it (JVM-global, idempotent) keeps the cache in
+    * heap; decoded output is bit-identical. Referenced at the head of
+    * every codec closure so executors flip it before their first
+    * decode. */
+  private[graft] lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Per-channel byte sums of a bulk-`getRGB` pixel row block — the
+    * same default-sRGB ints the per-pixel `getRGB(x, y)` form returns
+    * (the bulk form is specified as its batched equivalent), summed
+    * without a ColorModel dispatch per pixel. */
+  private def sumRgb(px: Array[Int], sums: Array[Long]): Unit = {
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sums(0) += (rgb >> 16) & 0xff
+      sums(1) += (rgb >> 8) & 0xff
+      sums(2) += rgb & 0xff
+      i += 1
+    }
   }
 
   def decodeImageIO(media: Dataset[(Long, Array[Byte])]): Dataset[ImageFeatures] = {
@@ -252,20 +279,9 @@ object Multimodal {
         val img = decodeOrThrow(id, bytes)
         val w = img.getWidth
         val h = img.getHeight
-        var sr = 0L; var sg = 0L; var sb = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xff
-            sg += (rgb >> 8) & 0xff
-            sb += rgb & 0xff
-            x += 1
-          }
-          y += 1
-        }
-        ImageFeatures(id, w, h, sr, sg, sb)
+        val sums = new Array[Long](3)
+        sumRgb(img.getRGB(0, 0, w, h, null, 0, w), sums)
+        ImageFeatures(id, w, h, sums(0), sums(1), sums(2))
       }
     }
   }
@@ -294,14 +310,19 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { case (id, bytes) =>
         val img = decodeOrThrow(id, bytes)
-        val ow = (img.getWidth + 1) / 2
+        val iw = img.getWidth
+        val ow = (iw + 1) / 2
         val oh = (img.getHeight + 1) / 2
+        // one bulk fetch, then stride (2x, 2y) — the identical sample
+        // set the per-pixel getRGB(2x, 2y) loop read
+        val px = img.getRGB(0, 0, iw, img.getHeight, null, 0, iw)
         var sr = 0L; var sg = 0L; var sb = 0L
         var y = 0
         while (y < oh) {
+          val row = 2 * y * iw
           var x = 0
           while (x < ow) {
-            val rgb = img.getRGB(2 * x, 2 * y)
+            val rgb = px(row + 2 * x)
             sr += (rgb >> 16) & 0xff
             sg += (rgb >> 8) & 0xff
             sb += rgb & 0xff
@@ -509,6 +530,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { case (id, bytes) =>
+        imageIoNoDiskCache
         require(bytes != null && bytes.length >= 12, s"media $id: payload too short")
         require(fourCC(bytes, 0) == "RIFF" && fourCC(bytes, 8) == "AVI ",
           s"media $id: not a RIFF/AVI container")
@@ -541,17 +563,14 @@ object Multimodal {
               if (nFrames == 0) { w = img.getWidth; h = img.getHeight }
               else require(img.getWidth == w && img.getHeight == h,
                 s"media $id: frame $nFrames dims ${img.getWidth}x${img.getHeight} != ${w}x$h")
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  sr += (rgb >> 16) & 0xff
-                  sg += (rgb >> 8) & 0xff
-                  sb += rgb & 0xff
-                  x += 1
-                }
-                y += 1
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              var i = 0
+              while (i < px.length) {
+                val rgb = px(i)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                i += 1
               }
               nFrames += 1
             }

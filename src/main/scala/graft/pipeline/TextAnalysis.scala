@@ -243,8 +243,12 @@ object TextAnalysis {
       size(col("toks")).cast("long").as("dl"),
       explode(col("toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
+    // materialized once: the (doc, query-term) frame — tiny, bounded by
+    // matching docs × |queryTerms| — feeds BOTH the df aggregate and
+    // the scoring join; without it each consumer re-explodes the corpus
     val tf = toks.groupBy("doc_id", "term")
       .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "term")
       .withColumn("idf_x1000",
@@ -315,7 +319,13 @@ object TextAnalysis {
           slice(ws, lit(2), size(ws) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("t"))
       .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
+    // materialized once (the collocations discipline): the count table
+    // feeds the context-margin aggregate AND the scoring join — without
+    // it each consumer re-explodes and re-aggregates the whole corpus.
+    // Vocabulary-bounded (distinct bigrams), orders of magnitude below
+    // the corpus it summarizes.
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     // context counts DERIVE from the bigram table (c(w1·) = Σ_w2
     // c(w1,w2)) — a vocabulary-bounded aggregate, not a third pass
     // over the exploded corpus
@@ -572,10 +582,14 @@ object TextAnalysis {
         explode(words(col(textCol))).as("tok"))
       .select(col("doc_id"), col("_tgt"),
         pmod(hash64(lit("ds"), col("tok")), lit(buckets.toLong)).as("b"))
+    // materialized once: the buckets-sized model feeds BOTH the totals
+    // aggregate and the ratio projection — without it each consumer
+    // re-explodes and re-aggregates the whole corpus
     val model = toks
       .groupBy("b")
       .agg(count(lit(1)).as("cRaw"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("cTgt"))
+      .localCheckpoint(true)
     // bucket totals ride the same buckets-sized frame (a 1-row
     // cross-joinable aggregate of it), never a second corpus pass
     val totals = model.agg(sum("cRaw").as("tRaw"), sum("cTgt").as("tTgt"))

@@ -2189,11 +2189,13 @@ object PipelineQueries {
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     documents(spark, dir).select(col("doc_id")).as[Long].mapPartitions { it =>
+      Multimodal.imageIoNoDiskCache // heap-backed ImageIO streams, not temp files
       it.map { id =>
         val w = (8 + id % 5).toInt
         val h = (6 + id % 7).toInt
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val px = new Array[Int](w * h)
         var y = 0
         while (y < h) {
           var x = 0
@@ -2201,11 +2203,12 @@ object PipelineQueries {
             val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
             val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
             val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            px(y * w + x) = (r << 16) | (g << 8) | b
             x += 1
           }
           y += 1
         }
+        img.setRGB(0, 0, w, h, px, 0, w) // bulk form of the same writes
         val baos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", baos)
         (id, baos.toByteArray)
@@ -2295,39 +2298,41 @@ object PipelineQueries {
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     documents(spark, dir).select(col("doc_id")).as[Long].mapPartitions { it =>
+      Multimodal.imageIoNoDiskCache // heap-backed ImageIO streams, not temp files
+      // (w, h, gray) fully determines a frame's JPEG bytes, and the
+      // fixture universe holds only 5×7 dims × 256 grays = 8960 distinct
+      // frames — encode + round-trip-verify each at most once per task
+      // instead of once per (doc, frame)
+      val frameMemo = new java.util.HashMap[Long, Array[Byte]]()
       it.map { id =>
         val w = (8 + id % 5).toInt
         val h = (6 + id % 7).toInt
         val nf = (2 + id % 4).toInt
         val frames = (0 until nf).map { f =>
           val g = ((id * 37 + f * 101) % 256).toInt
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, (g << 16) | (g << 8) | g); x += 1 }
-            y += 1
-          }
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", baos)
-          val jpeg = baos.toByteArray
-          // the fixture's honesty guard: the oracle assumes gray g at
-          // every pixel, so prove the lossy codec reproduced it exactly
-          val back = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(jpeg))
-          var yy = 0
-          while (yy < h) {
-            var xx = 0
-            while (xx < w) {
-              require((back.getRGB(xx, yy) & 0xffffff) ==
-                ((g << 16) | (g << 8) | g),
-                s"doc $id frame $f: JPEG round-trip not lossless at gray $g")
-              xx += 1
+          frameMemo.computeIfAbsent((w.toLong << 20) | (h.toLong << 10) | g, _ => {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            val px = new Array[Int](w * h)
+            java.util.Arrays.fill(px, rgb)
+            img.setRGB(0, 0, w, h, px, 0, w)
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", baos)
+            val jpeg = baos.toByteArray
+            // the fixture's honesty guard: the oracle assumes gray g at
+            // every pixel, so prove the lossy codec reproduced it exactly
+            val back = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(jpeg))
+            val bpx = back.getRGB(0, 0, w, h, null, 0, w)
+            var i = 0
+            while (i < bpx.length) {
+              require((bpx(i) & 0xffffff) == rgb,
+                s"doc $id: JPEG round-trip not lossless at gray $g")
+              i += 1
             }
-            yy += 1
-          }
-          jpeg
+            jpeg
+          })
         }
         (id, graft.pipeline.Multimodal.writeMjpegAvi(frames, w, h))
       }

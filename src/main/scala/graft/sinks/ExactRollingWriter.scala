@@ -267,7 +267,7 @@ object ExactRollingWriter {
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) addField(g, schema(i).name, schema(i).dataType, row, i)
+      if (!row.isNullAt(i)) addField(g, i, schema(i).dataType, row, i)
       i += 1
     }
     g
@@ -276,26 +276,37 @@ object ExactRollingWriter {
   import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
   import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
 
-  /** Append `src(ord)` (non-null) to group field `name`. Group-typed
+  /** Append `src(ord)` (non-null) to group field `idx`. Group-typed
     * fields (LIST/MAP/struct) append a child group and recurse; a null
     * nested ELEMENT simply skips its optional leaf (repetition count 0,
-    * exactly how parquet encodes a null at any nesting depth). */
-  private def addField(g: Group, name: String, dt: DataType,
+    * exactly how parquet encodes a null at any nesting depth).
+    *
+    * Field access is POSITIONAL: [[toMessageType]] builds every group
+    * level in schema declaration order (LIST wraps a single `list`
+    * group whose element is field 0; MAP a single `key_value` group
+    * with key=0/value=1), so each ordinal is known statically and the
+    * name→index string lookup `Group.add(name, ...)` performs stays off
+    * the per-value path. Strings append their UTF-8 bytes directly
+    * (UTF8String is already UTF-8) — no decode-to-String/re-encode
+    * round-trip per value; identical bytes on disk. */
+  private def addField(g: Group, idx: Int, dt: DataType,
       src: SpecializedGetters, ord: Int): Unit = dt match {
-    case LongType => g.add(name, src.getLong(ord))
-    case IntegerType => g.add(name, src.getInt(ord))
-    case DoubleType => g.add(name, src.getDouble(ord))
-    case FloatType => g.add(name, src.getFloat(ord))
-    case BooleanType => g.add(name, src.getBoolean(ord))
-    case StringType => g.add(name, src.getUTF8String(ord).toString)
-    case BinaryType => g.add(name,
+    case LongType => g.add(idx, src.getLong(ord))
+    case IntegerType => g.add(idx, src.getInt(ord))
+    case DoubleType => g.add(idx, src.getDouble(ord))
+    case FloatType => g.add(idx, src.getFloat(ord))
+    case BooleanType => g.add(idx, src.getBoolean(ord))
+    case StringType => g.add(idx,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(
+        src.getUTF8String(ord).getBytes))
+    case BinaryType => g.add(idx,
       org.apache.parquet.io.api.Binary.fromConstantByteArray(src.getBinary(ord)))
-    case TimestampType | TimestampNTZType => g.add(name, src.getLong(ord))
-    case DateType => g.add(name, src.getInt(ord))
+    case TimestampType | TimestampNTZType => g.add(idx, src.getLong(ord))
+    case DateType => g.add(idx, src.getInt(ord))
     case d: DecimalType =>
       val dec = src.getDecimal(ord, d.precision, d.scale)
-      if (d.precision <= 9) g.add(name, dec.toUnscaledLong.toInt)
-      else if (d.precision <= 18) g.add(name, dec.toUnscaledLong)
+      if (d.precision <= 9) g.add(idx, dec.toUnscaledLong.toInt)
+      else if (d.precision <= 18) g.add(idx, dec.toUnscaledLong)
       else {
         // sign-extend the two's-complement unscaled value to the
         // declared FLBA width
@@ -305,35 +316,35 @@ object ExactRollingWriter {
         val pad: Byte = if (raw(0) < 0) -1 else 0
         java.util.Arrays.fill(out, 0, width - raw.length, pad)
         System.arraycopy(raw, 0, out, width - raw.length, raw.length)
-        g.add(name,
+        g.add(idx,
           org.apache.parquet.io.api.Binary.fromConstantByteArray(out))
       }
     case ArrayType(et, _) =>
-      val lg = g.addGroup(name)
+      val lg = g.addGroup(idx)
       val arr: ArrayData = src.getArray(ord)
       var i = 0
       while (i < arr.numElements()) {
-        val entry = lg.addGroup("list")
-        if (!arr.isNullAt(i)) addField(entry, "element", et, arr, i)
+        val entry = lg.addGroup(0) // the single repeated `list` group
+        if (!arr.isNullAt(i)) addField(entry, 0, et, arr, i)
         i += 1
       }
     case MapType(kt, vt, _) =>
-      val mg = g.addGroup(name)
+      val mg = g.addGroup(idx)
       val m: MapData = src.getMap(ord)
       val keys = m.keyArray(); val vals = m.valueArray()
       var i = 0
       while (i < m.numElements()) {
-        val kv = mg.addGroup("key_value")
-        addField(kv, "key", kt, keys, i) // map keys are never null in Spark
-        if (!vals.isNullAt(i)) addField(kv, "value", vt, vals, i)
+        val kv = mg.addGroup(0) // the single repeated `key_value` group
+        addField(kv, 0, kt, keys, i) // map keys are never null in Spark
+        if (!vals.isNullAt(i)) addField(kv, 1, vt, vals, i)
         i += 1
       }
     case st: StructType =>
-      val sg = g.addGroup(name)
+      val sg = g.addGroup(idx)
       val child = src.getStruct(ord, st.length)
       var i = 0
       while (i < st.length) {
-        if (!child.isNullAt(i)) addField(sg, st(i).name, st(i).dataType, child, i)
+        if (!child.isNullAt(i)) addField(sg, i, st(i).dataType, child, i)
         i += 1
       }
     case other => throw new IllegalArgumentException(s"unsupported: $other")

@@ -197,6 +197,56 @@ object GraftBatchScan {
     case other     => other
   }
 
+  /** [[groupValue]]+[[toCatalyst]] SPECIALIZED for one field of a known
+    * file group type: the per-row Spark-type dispatch, physical-type
+    * probes, and name→index lookups all hoist out of the row loop into
+    * closure construction (once per reader, not once per value). Strings
+    * build the UTF8String straight from the stored UTF-8 bytes — no
+    * String decode/encode round-trip; byte-identical output (the engine
+    * writes well-formed UTF-8, under which fromBytes ∘ encode =
+    * fromString ∘ decode). Decimal/nested shapes delegate to
+    * [[groupValue]] per row — cold next to the primitive columns.
+    * Extractors return CATALYST values (no [[toCatalyst]] needed). */
+  private[graft] def fieldExtractor(
+      fileType: org.apache.parquet.schema.GroupType,
+      gi: Int, dt: DataType, name: String): Group => Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    def prim = fileType.getType(gi).asPrimitiveType().getPrimitiveTypeName
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        if (prim == PrimitiveTypeName.INT32)
+          g => if (g.getFieldRepetitionCount(gi) == 0) null
+               else g.getInteger(gi, 0).toLong
+        else
+          g => if (g.getFieldRepetitionCount(gi) == 0) null
+               else g.getLong(gi, 0)
+      case IntegerType | DateType =>
+        g => if (g.getFieldRepetitionCount(gi) == 0) null
+             else g.getInteger(gi, 0)
+      case StringType =>
+        g => if (g.getFieldRepetitionCount(gi) == 0) null
+             else UTF8String.fromBytes(g.getBinary(gi, 0).getBytes)
+      case DoubleType =>
+        if (prim == PrimitiveTypeName.FLOAT)
+          g => if (g.getFieldRepetitionCount(gi) == 0) null
+               else g.getFloat(gi, 0).toDouble
+        else
+          g => if (g.getFieldRepetitionCount(gi) == 0) null
+               else g.getDouble(gi, 0)
+      case FloatType =>
+        g => if (g.getFieldRepetitionCount(gi) == 0) null
+             else g.getFloat(gi, 0)
+      case BooleanType =>
+        g => if (g.getFieldRepetitionCount(gi) == 0) null
+             else g.getBoolean(gi, 0)
+      case BinaryType =>
+        g => if (g.getFieldRepetitionCount(gi) == 0) null
+             else g.getBinary(gi, 0).getBytes
+      case _ =>
+        g => toCatalyst(groupValue(g, gi, dt, name))
+    }
+  }
+
   /** Dead-ordinal membership for one task: a window-filtered hash set
     * from parquet position-delete files, plus (when the file carries a
     * deletion vector) a roaring bitmap probed directly — the bitmap IS
@@ -1602,23 +1652,44 @@ final class GraftMorPartitionReader(
   private var pos: Long = part.baseOrdinal - 1L
   private var current: InternalRow = _
   private val filePathValue = UTF8String.fromString(part.dataPath)
+  private val outLen = outCols.length + (if (includeFileColumn) 1 else 0) +
+    (if (includePosColumn) 1 else 0)
+
+  // per-output-column extractors, specialized ONCE against the file's
+  // group type (every Group of one file shares it): hoists the
+  // column-map/read-type/name→index lookups and type dispatch that
+  // [[fieldValue]] pays per VALUE out of the row loop. Columns the file
+  // predates materialize their default (or null) as a constant.
+  private var outExtract: Array[Group => Any] = _
+  private def buildOutExtract(t: org.apache.parquet.schema.GroupType)
+      : Array[Group => Any] =
+    outCols.map { c =>
+      part.columnMap.getOrElse(c, Some(c)) match {
+        case None =>
+          val v = toCatalyst(defaultJvm.getOrElse(c, null))
+          (_: Group) => v
+        case Some(phys) =>
+          GraftBatchScan.fieldExtractor(
+            t, t.getFieldIndex(phys), readTypes(c), phys)
+      }
+    }
 
   override def next(): Boolean = {
     var g = reader.read()
     while (g != null) {
       pos += 1
       if (!deadPositions.contains(pos) && liveUnderEqDeletes(g)) {
-        val n = outCols.length + (if (includeFileColumn) 1 else 0) +
-          (if (includePosColumn) 1 else 0)
-        val vals = new Array[Any](n)
+        if (outExtract == null) outExtract = buildOutExtract(g.getType)
+        val vals = new Array[Any](outLen)
         var i = 0
         while (i < outCols.length) {
-          vals(i) = toCatalyst(fieldValue(g, outCols(i)))
+          vals(i) = outExtract(i)(g)
           i += 1
         }
         if (includeFileColumn) { vals(i) = filePathValue; i += 1 }
         if (includePosColumn) vals(i) = pos
-        current = InternalRow.fromSeq(vals.toIndexedSeq)
+        current =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
         return true
       }
       g = reader.read()

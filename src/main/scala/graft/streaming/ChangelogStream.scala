@@ -108,25 +108,30 @@ object ChangelogStream {
     out.result()
   }
 
-  /** One change row: the file's columns by NAME (null when the file
-    * lacks one — an equality-delete's non-key columns), then the
-    * change-type/commit-version constants. */
-  private[streaming] def rowOf(g: Group, base: StructType,
-      changeType: String, commitVersion: Long): InternalRow = {
-    import graft.sources.GraftBatchScan.{groupValue, toCatalyst}
-    val values = new Array[Any](base.length + 2)
-    var i = 0
-    while (i < base.length) {
+  /** Change-row materializer for one file: each column by NAME (null
+    * when the file lacks one — an equality-delete's non-key columns),
+    * then the change-type/commit-version constants. Specialized ONCE
+    * against the file's group type (every Group of one file shares it),
+    * hoisting the per-row name→index lookups and type dispatch the old
+    * per-row helper paid per VALUE. */
+  private[streaming] def rowMaterializer(
+      t: org.apache.parquet.schema.GroupType, base: StructType,
+      changeType: String, commitVersion: Long): Group => InternalRow = {
+    val ctVal = UTF8String.fromString(changeType)
+    val extract: Array[Group => Any] = Array.tabulate(base.length) { i =>
       val f = base(i)
-      values(i) =
-        if (!g.getType.containsField(f.name)) null
-        else toCatalyst(groupValue(g,
-          g.getType.getFieldIndex(f.name), f.dataType, f.name))
-      i += 1
+      if (!t.containsField(f.name)) (_: Group) => null
+      else graft.sources.GraftBatchScan.fieldExtractor(
+        t, t.getFieldIndex(f.name), f.dataType, f.name)
     }
-    values(base.length) = UTF8String.fromString(changeType)
-    values(base.length + 1) = commitVersion
-    InternalRow.fromSeq(values.toIndexedSeq)
+    g => {
+      val values = new Array[Any](base.length + 2)
+      var i = 0
+      while (i < base.length) { values(i) = extract(i)(g); i += 1 }
+      values(base.length) = ctVal
+      values(base.length + 1) = commitVersion
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+    }
   }
 }
 
@@ -175,9 +180,13 @@ final class ChangeFileReader(path: String, fullSchema: StructType,
     ParquetReader.builder(new GroupReadSupport(), new HPath(path))
       .withConf(taskConf).build()
   private var current: Group = _
+  private var mat: Group => InternalRow = _
   override def next(): Boolean = { current = reader.read(); current != null }
-  override def get(): InternalRow =
-    ChangelogStream.rowOf(current, base, changeType, commitVersion)
+  override def get(): InternalRow = {
+    if (mat == null) mat = ChangelogStream.rowMaterializer(
+      current.getType, base, changeType, commitVersion)
+    mat(current)
+  }
   override def close(): Unit = reader.close()
 }
 
@@ -218,8 +227,12 @@ final class OrdinalDeleteReader(targetPath: String, ordinals0: Array[Long],
     }
     false
   }
-  override def get(): InternalRow =
-    ChangelogStream.rowOf(current, base, "delete", commitVersion)
+  private var mat: Group => InternalRow = _
+  override def get(): InternalRow = {
+    if (mat == null) mat = ChangelogStream.rowMaterializer(
+      current.getType, base, "delete", commitVersion)
+    mat(current)
+  }
   override def close(): Unit = reader.close()
 }
 

@@ -465,23 +465,33 @@ final class GroupPartitionReader(path: String, schema: StructType,
       .build()
   private var current: Group = _
 
+  // per-field extractors, specialized ONCE against the file's group
+  // type (every Group of one file shares it): hoists the name→index
+  // lookup and type dispatch the old per-row loop paid per VALUE
+  private var extract: Array[Group => Any] = _
+
   override def next(): Boolean = {
     current = reader.read()
     current != null
   }
 
   override def get(): InternalRow = {
-    import graft.sources.GraftBatchScan.{groupValue, toCatalyst}
     val g = current
+    if (extract == null) {
+      val t = g.getType
+      extract = Array.tabulate(schema.length) { i =>
+        val f = schema(i)
+        graft.sources.GraftBatchScan.fieldExtractor(
+          t, t.getFieldIndex(f.name), f.dataType, f.name)
+      }
+    }
     val values = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
-      val f = schema(i)
-      val gi = g.getType.getFieldIndex(f.name)
-      values(i) = toCatalyst(groupValue(g, gi, f.dataType, f.name))
+      values(i) = extract(i)(g)
       i += 1
     }
-    InternalRow.fromSeq(values.toIndexedSeq)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
   }
 
   override def close(): Unit = reader.close()

@@ -25,8 +25,27 @@ object Validator {
       throw CompactionError.Validation(
         s"row count mismatch after compaction: input=$in output=$out")
     if (strict) {
-      val missing = inputLive.exceptAll(output).count()
-      val extra = output.exceptAll(inputLive).count()
+      // ONE-SHUFFLE multiset diff (the TableReader.changes discipline):
+      // tag input rows +1 and output rows -1, aggregate per distinct
+      // row, and read both directions from the signed excess —
+      // Σ_{d>0} d = |input \ output| and Σ_{d<0} -d = |output \ input|
+      // under exceptAll's multiset semantics (groupBy and exceptAll
+      // share null-safe equality). The two-exceptAll form scanned each
+      // side twice and shuffled full-width rows twice.
+      import org.apache.spark.sql.functions._
+      val cols = inputLive.columns.toSeq
+      val diff = inputLive.withColumn("__vtag", lit(1L))
+        .unionByName(output.select(cols.map(col): _*)
+          .withColumn("__vtag", lit(-1L)))
+        .groupBy(cols.map(col): _*)
+        .agg(sum(col("__vtag")).as("__d"))
+        .filter(col("__d") =!= 0L)
+        .agg(
+          coalesce(sum(when(col("__d") > 0, col("__d"))), lit(0L)),
+          coalesce(sum(when(col("__d") < 0, -col("__d"))), lit(0L)))
+        .head()
+      val missing = diff.getLong(0)
+      val extra = diff.getLong(1)
       if (missing != 0 || extra != 0)
         throw CompactionError.Validation(
           s"content mismatch after compaction: missing=$missing extra=$extra")
