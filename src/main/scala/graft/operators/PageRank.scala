@@ -69,20 +69,23 @@ object PageRank {
         "self-loop danglings first) — a dst-only node would silently " +
         "swallow its inbound mass")
     val base = (15L * scale) / (100L * n)
-    var ranks = deg.select(col("node"), lit(scale / n).as("r"))
+    // the rank table CARRIES deg: one join per iteration (edges ⋈
+    // ranks) instead of two (edges ⋈ (ranks ⋈ deg)), and the final
+    // deg re-attach join disappears — same values, deg just rides the
+    // rank-table-sized frame
+    var ranks = deg.select(col("node"), lit(scale / n).as("r"), col("deg"))
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(ranks.join(deg, "node"), e("src") === col("node"))
+        .join(ranks, e("src") === col("node"))
         .select(col("dst"), (col("w") * expr("r div deg")).as("c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = deg.select(col("node"))
+      ranks = deg.select(col("node"), col("deg"))
         .join(sums, col("node") === sums("dst"), "left")
         .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"),
+          col("deg"))
         .localCheckpoint(true)
     }
-    ranks.join(deg.select(col("node").as("_pr_n"), col("deg")),
-        col("node") === col("_pr_n"))
-      .select(col("node"), col("r").as("pr_x1e12"), col("deg"))
+    ranks.select(col("node"), col("r").as("pr_x1e12"), col("deg"))
   }
 }

@@ -186,6 +186,11 @@ object DedupIndex {
       .withColumnRenamed("doc_id", "p_id")
       .cache()
     val idxBands = prunedIndexRead(spark, idx, idxDir, probeBands, catalog)
+    // materialized once: the candidate pair set is consumed THREE times
+    // (both sides of the id union + the verify join) — without it each
+    // consumer re-runs the collision join against a fresh scan of the
+    // pruned index buckets. Candidate-bounded, so the checkpoint is
+    // serving-sized.
     val cand = probeBands
       .join(idxBands,
         probeBands("band") === idxBands("band") &&
@@ -194,6 +199,7 @@ object DedupIndex {
       .select(least(col("p_id"), idxBands("doc_id")).as("a_id"),
         greatest(col("p_id"), idxBands("doc_id")).as("b_id"))
       .distinct()
+      .localCheckpoint(true)
     // verification ∝ candidates: only the candidate ids' texts pay the
     // shingle + set-hash cost — the semi-join prunes the corpus scan
     // BEFORE the expensive projection (the ANN re-rank id-pushdown
@@ -201,12 +207,15 @@ object DedupIndex {
     val candIds = cand.select(col("a_id").as("doc_id"))
       .unionByName(cand.select(col("b_id").as("doc_id")))
       .distinct()
+    // materialized once: the signature frame is joined for BOTH pair
+    // sides — without it the semi-join + shingle-hash pass runs twice
     val shhOf = corpus
       .join(candIds, Seq("doc_id"), "leftsemi")
       .select(col("doc_id"),
         graft.functions.HashColumns
           .hashedSet(TextFunctions.shingles3(col("text")), "j", hashKind)
           .as("shh"))
+      .localCheckpoint(true)
     cand
       .join(shhOf.as("x"), col("a_id") === col("x.doc_id"))
       .join(shhOf.as("y"), col("b_id") === col("y.doc_id"))

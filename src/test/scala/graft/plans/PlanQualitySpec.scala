@@ -506,10 +506,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(!p.contains("Window"),
       s"the rank update must be an aggregate, not a window:\n$p")
-    // lineage is checkpoint-truncated: the final plan reads scans +
-    // joins, never a 2-iteration nested replay of the edge derivation
-    assert(p.split("\n").count(_.contains("Scan ExistingRDD")) >= 2,
+    // lineage is checkpoint-truncated: the rank table carries deg, so
+    // the FINAL plan is a bare projection over the last iteration's
+    // checkpointed frame — one ExistingRDD scan, ZERO joins (the old
+    // shape re-attached deg with a final join; now no Join node may
+    // survive checkpointing at all)
+    assert(p.split("\n").count(_.contains("Scan ExistingRDD")) >= 1,
       s"iterations must read checkpointed frames:\n$p")
+    assert(!p.contains("Join"),
+      s"the final plan must not re-join deg (it rides the rank table):\n$p")
   }
 
   test("hybrid fusion is a bounded-frame full-outer join + one window " +
