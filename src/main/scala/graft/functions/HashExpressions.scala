@@ -229,6 +229,218 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** [[SortedIntersectCountExpr]] fused with the containment formula AND a
+  * THRESHOLD EARLY EXIT — the pair-verify hot loop of the containment
+  * dedup family, where almost every blocked/candidate pair is a MISS at
+  * production thresholds (t=900 ⇒ a mismatch budget of 10% of the
+  * smaller set): the two-pointer merge stops the moment the remaining
+  * overlap can no longer reach `ceil(t * min(|A|,|B|) / 1000)`, so a
+  * dissimilar pair costs ~(1-t/1000) of its merge, not all of it.
+  *
+  * CONTRACT (threshold-filter use ONLY): for a pair whose exact
+  * containment `(|A∩B| * 1000) div min(|A|,|B|)` is >= thresholdX1000,
+  * returns exactly that value (the early exit provably cannot fire:
+  * cnt + min(remaining_a, remaining_b) bounds the final count from
+  * above, and the final count >= ceil(t*min/1000) keeps the bound at or
+  * above the bar at every step); for a pair below the threshold it
+  * returns SOME value < thresholdX1000 (-1 on early exit, the exact
+  * value when the merge ran out naturally). Callers MUST apply
+  * `>= thresholdX1000` — the below-threshold value is not the exact
+  * containment. Null/empty semantics match the unfused form: null
+  * inputs are null (BinaryExpression), an empty smaller side yields
+  * null (the `div least(...)` form's division-by-zero result — callers
+  * filter size > 0 upstream, so the branch is unreachable there). */
+case class ContainmentX1000ThresholdExpr(left: Expression, right: Expression,
+    thresholdX1000: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  // 0 is the degenerate keep-everything threshold (needed = 0, the
+  // early exit never fires, every value is exact)
+  require(thresholdX1000 >= 0 && thresholdX1000 <= 1000,
+    s"containment threshold must be in [0, 1000], got $thresholdX1000")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "containment_x1000_threshold"
+
+  @transient private lazy val longElements: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    val minSize = math.min(na, nb)
+    if (minSize == 0) return null
+    val needed = (thresholdX1000.toLong * minSize + 999L) / 1000L
+    var i = 0; var j = 0; var cnt = 0L
+    if (longElements) {
+      while (i < na && j < nb) {
+        if (cnt + math.min(na - i, nb - j) < needed)
+          return java.lang.Long.valueOf(-1L)
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { cnt += 1; i += 1; j += 1 }
+        else if (x < y) i += 1 else j += 1
+      }
+    } else {
+      while (i < na && j < nb) {
+        if (cnt + math.min(na - i, nb - j) < needed)
+          return java.lang.Long.valueOf(-1L)
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { cnt += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1 else j += 1
+      }
+    }
+    java.lang.Long.valueOf(cnt * 1000L / minSize)
+  }
+
+  // Generated twin of the interpreted loop: keeps a pushed-down pair
+  // predicate inside janino-compiled code (a CodegenFallback would
+  // force the ENTIRE join/filter condition into interpreted mode).
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val mn = ctx.freshName("mn")
+      val need = ctx.freshName("need"); val rem = ctx.freshName("rem")
+      val cmp = ctx.freshName("cmp"); val done = ctx.freshName("done")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val step = if (longElements)
+        s"""long $x = $a.getLong($i); long $y = $b.getLong($j);
+           |if ($x == $y) { $cnt++; $i++; $j++; }
+           |else if ($x < $y) { $i++; } else { $j++; }""".stripMargin
+      else
+        s"""int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |if ($cmp == 0) { $cnt++; $i++; $j++; }
+           |else if ($cmp < 0) { $i++; } else { $j++; }""".stripMargin
+      s"""int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $mn = java.lang.Math.min($na, $nb);
+         |if ($mn == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $need = (${thresholdX1000}L * $mn + 999L) / 1000L;
+         |  int $i = 0; int $j = 0; long $cnt = 0L;
+         |  boolean $done = false;
+         |  while (!$done && $i < $na && $j < $nb) {
+         |    int $rem = java.lang.Math.min($na - $i, $nb - $j);
+         |    if ($cnt + $rem < $need) {
+         |      ${ev.value} = -1L;
+         |      $done = true;
+         |    } else {
+         |      $step
+         |    }
+         |  }
+         |  if (!$done) {
+         |    ${ev.value} = $cnt * 1000L / $mn;
+         |  }
+         |}""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** [[JaccardX1000Expr]] with the same THRESHOLD EARLY EXIT as
+  * [[ContainmentX1000ThresholdExpr]]: jac_x1000 >= t is equivalent to
+  * `|A∩B| >= ceil(t * (|A|+|B|) / (1000+t))` (clear denominators in
+  * `1000*c >= t*(|A|+|B|-c)`), so the merge stops once the remaining
+  * overlap cannot reach that bar. Same contract: exact value at or
+  * above the threshold (the early exit provably cannot fire there),
+  * SOME value < t below it (-1 on early exit) — callers MUST filter
+  * `>= thresholdX1000`. Null semantics match [[JaccardX1000Expr]]:
+  * null on null inputs and on an empty union. */
+case class JaccardX1000ThresholdExpr(left: Expression, right: Expression,
+    thresholdX1000: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  // 0 = degenerate keep-everything threshold (early exit never fires)
+  require(thresholdX1000 >= 0 && thresholdX1000 <= 1000,
+    s"jaccard threshold must be in [0, 1000], got $thresholdX1000")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaccard_x1000_threshold"
+
+  @transient private lazy val longElements: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    val needed = (thresholdX1000.toLong * (na + nb) + 1000L + thresholdX1000 - 1L) /
+      (1000L + thresholdX1000)
+    var i = 0; var j = 0; var cnt = 0L
+    if (longElements) {
+      while (i < na && j < nb) {
+        if (cnt + math.min(na - i, nb - j) < needed)
+          return java.lang.Long.valueOf(-1L)
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { cnt += 1; i += 1; j += 1 }
+        else if (x < y) i += 1 else j += 1
+      }
+    } else {
+      while (i < na && j < nb) {
+        if (cnt + math.min(na - i, nb - j) < needed)
+          return java.lang.Long.valueOf(-1L)
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { cnt += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1 else j += 1
+      }
+    }
+    val union = na.toLong + nb - cnt
+    if (union == 0L) null
+    else java.lang.Long.valueOf(math.floor(1000.0 * cnt / union).toLong)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val un = ctx.freshName("un")
+      val need = ctx.freshName("need"); val rem = ctx.freshName("rem")
+      val cmp = ctx.freshName("cmp"); val done = ctx.freshName("done")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val step = if (longElements)
+        s"""long $x = $a.getLong($i); long $y = $b.getLong($j);
+           |if ($x == $y) { $cnt++; $i++; $j++; }
+           |else if ($x < $y) { $i++; } else { $j++; }""".stripMargin
+      else
+        s"""int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |if ($cmp == 0) { $cnt++; $i++; $j++; }
+           |else if ($cmp < 0) { $i++; } else { $j++; }""".stripMargin
+      s"""int $na = $a.numElements(); int $nb = $b.numElements();
+         |long $need = (${thresholdX1000}L * ($na + (long) $nb)
+         |  + ${1000L + thresholdX1000 - 1L}L) / ${1000L + thresholdX1000}L;
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |boolean $done = false;
+         |while (!$done && $i < $na && $j < $nb) {
+         |  int $rem = java.lang.Math.min($na - $i, $nb - $j);
+         |  if ($cnt + $rem < $need) {
+         |    ${ev.value} = -1L;
+         |    $done = true;
+         |  } else {
+         |    $step
+         |  }
+         |}
+         |if (!$done) {
+         |  long $un = $na + (long) $nb - $cnt;
+         |  if ($un == 0L) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = (long) java.lang.Math.floor(1000.0 * $cnt / $un);
+         |  }
+         |}""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Hash every element of an array<string> with [[Hash64.hash64]] under a
   * fixed seed, returning the SORTED DISTINCT array<long> — the compact
   * pairwise-comparison form of a shingle set (primitive longs: the
@@ -501,6 +713,18 @@ object HashColumns {
     column(ShinglesExpr(expression(text), n))
   def jaccardX1000(a: Column, b: Column): Column =
     column(JaccardX1000Expr(expression(a), expression(b)))
+  /** Threshold-filter form — see [[ContainmentX1000ThresholdExpr]]'s
+    * contract: exact at or above the threshold, unspecified-below-t
+    * otherwise; callers MUST filter `>= thresholdX1000`. */
+  def containmentX1000Threshold(a: Column, b: Column,
+      thresholdX1000: Int): Column =
+    column(ContainmentX1000ThresholdExpr(expression(a), expression(b),
+      thresholdX1000))
+  /** Threshold-filter form — see [[JaccardX1000ThresholdExpr]]. */
+  def jaccardX1000Threshold(a: Column, b: Column,
+      thresholdX1000: Int): Column =
+    column(JaccardX1000ThresholdExpr(expression(a), expression(b),
+      thresholdX1000))
   def hyperplaneBucket(vec: Column, dims: Int, numBits: Int): Column =
     column(HyperplaneBucketExpr(expression(vec), dims, numBits))
 }

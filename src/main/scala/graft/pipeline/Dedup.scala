@@ -29,6 +29,24 @@ import TextFunctions._
   *  - n-gram Jaccard: blocked pairwise — the exact (quadratic-per-block)
   *    baseline the sketch methods approximate.
   *  - embedding cosine: blocked pairwise over vectors.
+  *
+  * MATERIALIZATION DISCIPLINE (read before adding an operator): multi-
+  * consumer frames whose construction is expensive (shingle/sketch
+  * passes, tokenized corpora) are pinned with EAGER `localCheckpoint` —
+  * blocks are ContextCleaner-freed when the frame is garbage (unlike
+  * `cache()`, which would leak across a long-lived session), and the
+  * construction pass is paid exactly once. Two consequences callers on
+  * elastic clusters must know: (1) construction runs AT OPERATOR BUILD
+  * TIME — these entry points trigger Spark jobs even if the returned
+  * frame is never consumed; (2) `localCheckpoint` is a NON-RELIABLE
+  * checkpoint — pinned blocks live on executors with lineage truncated,
+  * so losing an executor (dynamic allocation, spot kill) fails the
+  * query instead of recomputing. On a static cluster (this engine's
+  * bench/serving posture) that trade is free; under executor churn,
+  * swap the corpus-scale pins (the [[blockedPairs]] input, the
+  * substring/passage token frames) for `persist(DISK_ONLY)` + explicit
+  * unpersist or a reliable checkpoint dir, at the cost of a
+  * write-through to storage.
   */
 object Dedup {
 
@@ -62,7 +80,10 @@ object Dedup {
     // baselines, the simhash sketch pass — would evaluate TWICE.
     // Materialize it eagerly once: both sides then read the (tiny next
     // to its construction cost) blocked frame from block storage, and
-    // the construction pass is paid exactly once.
+    // the construction pass is paid exactly once. CORPUS-SCALE PIN:
+    // this frame is per-doc (id, blk, payload sketch) — at 100 TB it is
+    // the largest thing this module pins; see the object scaladoc for
+    // the localCheckpoint executor-loss trade and the DISK_ONLY swap.
     val t = t0.localCheckpoint(true)
     val payload = t.columns.filterNot(Set("doc_id", "blk"))
     val bu = pmod(col("doc_id"), lit(buckets)).cast("int")
@@ -136,9 +157,23 @@ object Dedup {
       thresholdX1000: Int = 500,
       /** "md5" = oracle-replayable reference semantics; "xx" = xxHash64
         * production path (~10x cheaper per hash, same pipeline shape). */
-      hashKind: String = "md5"
+      hashKind: String = "md5",
+      /** Hard bound on one LSH bucket's membership: the grouped
+        * candidate generation holds a bucket's sorted id list in ONE
+        * aggregation buffer and expands its (i, j>i) pairs in ONE task,
+        * so a degenerate corpus (thousands of byte-identical docs — all
+        * 8 bands collide) would serialize quadratic pair expansion on a
+        * single core and balloon that buffer. The pair OUTPUT is
+        * quadratic in the bucket either way; past this bound the
+        * operator fails LOUDLY (raise_error, naming the bucket) instead
+        * of degrading — pre-dedup exact duplicates ([[exact]]) or raise
+        * the cap deliberately. 64k ids ≈ 512 KB buffer, ~2G pairs: far
+        * beyond any real near-dup cluster, comfortably inside task
+        * memory. */
+      maxBucketDocs: Int = 65536
   ): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    require(maxBucketDocs >= 2, s"maxBucketDocs must be >= 2, got $maxBucketDocs")
     val withSig = docs
       .select(col(idCol).as("doc_id"), shingles3(col(textCol)).as("sh"))
       .withColumn("shh",
@@ -165,9 +200,25 @@ object Dedup {
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
+      // oversized-bucket tripwire (see maxBucketDocs): fail loudly with
+      // the offending band before the quadratic expansion serializes on
+      // one task — a no-op projection for every sane bucket
+      .withColumn("ids",
+        when(size(col("ids")) <= lit(maxBucketDocs), col("ids"))
+          .otherwise(raise_error(concat(
+            lit(s"minhashLsh: LSH bucket exceeds maxBucketDocs=$maxBucketDocs (band="),
+            col("band").cast("string"),
+            lit(", |bucket|="), size(col("ids")).cast("string"),
+            lit("); pre-dedup exact duplicates or raise the cap")))
+            .cast("array<bigint>")))
       .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
       .select(col("a_id"),
         explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("b_id"))
+      // strict-inequality guarantee: duplicate doc_id rows in the input
+      // would make the sorted bucket list carry equal neighbours, whose
+      // positional (i, j>i) pairs include (x, x) — the old self-join's
+      // a.doc_id < b.doc_id never could. A no-op for unique ids.
+      .filter(col("a_id") < col("b_id"))
       .distinct()
 
     // the verify join consumes the signature frame TWICE (a_id and b_id
@@ -178,7 +229,9 @@ object Dedup {
     cand
       .join(sigs.as("x"), col("a_id") === col("x.doc_id"))
       .join(sigs.as("y"), col("b_id") === col("y.doc_id"))
-      .withColumn("jac_x1000", jaccardX1000Sorted(col("x.shh"), col("y.shh")))
+      // fused threshold-early-exit verify ([[ngramJaccardPairs]])
+      .withColumn("jac_x1000", graft.functions.HashColumns
+        .jaccardX1000Threshold(col("x.shh"), col("y.shh"), thresholdX1000))
       .filter(col("jac_x1000") >= thresholdX1000)
       .select("a_id", "b_id", "jac_x1000")
   }
@@ -229,11 +282,14 @@ object Dedup {
     val t = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       graft.functions.HashColumns.hashedSet(shingles3(col(textCol)), "j").as("sh"))
       .filter(size(col("sh")) > 0)
+    // fused verify with a threshold early exit: exact containment for
+    // every pair the filter keeps (the early exit provably cannot fire
+    // at or above the threshold), below-threshold pairs — the vast
+    // majority of the quadratic blocked enumeration — stop their merge
+    // as soon as the remaining overlap cannot reach ceil(t*min/1000)
     blockedPairs(t, buckets = 8)
-      .withColumn("__inter",
-        graft.functions.HashColumns.sortedIntersectCount(col("a_sh"), col("b_sh")))
-      .withColumn("cont_x1000",
-        expr("(__inter * 1000) div least(size(a_sh), size(b_sh))"))
+      .withColumn("cont_x1000", graft.functions.HashColumns
+        .containmentX1000Threshold(col("a_sh"), col("b_sh"), thresholdX1000))
       .filter(col("cont_x1000") >= thresholdX1000)
       .select(col("a_id"), col("b_id"), col("cont_x1000"))
   }
@@ -324,10 +380,11 @@ object Dedup {
     cand
       .join(s2.as("x"), col("a_id") === col("x.doc_id"))
       .join(s2.as("y"), col("b_id") === col("y.doc_id"))
-      .withColumn("__inter", graft.functions.HashColumns
-        .sortedIntersectCount(col("x.sh"), col("y.sh")))
-      .withColumn("cont_x1000",
-        expr("(__inter * 1000) div least(size(x.sh), size(y.sh))"))
+      // fused threshold-early-exit verify (exact for every kept pair —
+      // see [[containmentPairs]]; candidates here are prefix-filtered,
+      // so the miss fraction is smaller but the exit still prunes)
+      .withColumn("cont_x1000", graft.functions.HashColumns
+        .containmentX1000Threshold(col("x.sh"), col("y.sh"), thresholdX1000))
       .filter(col("cont_x1000") >= thresholdX1000)
       .select(col("a_id"), col("b_id"), col("cont_x1000"),
         size(col("x.sh")).cast("long").as("a_sz"),
@@ -376,7 +433,11 @@ object Dedup {
     blockedPairs(t, buckets = 8)
       .filter(least(size(col("a_sh")), size(col("b_sh"))) * 1000 >=
         greatest(size(col("a_sh")), size(col("b_sh"))) * thresholdX1000)
-      .withColumn("jac_x1000", jaccardX1000Sorted(col("a_sh"), col("b_sh")))
+      // fused threshold-early-exit verify: exact jaccard for every pair
+      // the filter keeps; a below-threshold pair stops its merge once
+      // |A∩B| can no longer reach ceil(t*(|A|+|B|)/(1000+t))
+      .withColumn("jac_x1000", graft.functions.HashColumns
+        .jaccardX1000Threshold(col("a_sh"), col("b_sh"), thresholdX1000))
       .filter(col("jac_x1000") >= thresholdX1000)
       .select(col("a_id"), col("b_id"), col("jac_x1000"))
   }
@@ -444,7 +505,9 @@ object Dedup {
     cand
       .join(s2.as("x"), col("a_id") === col("x.doc_id"))
       .join(s2.as("y"), col("b_id") === col("y.doc_id"))
-      .withColumn("jac_x1000", jaccardX1000Sorted(col("x.sh"), col("y.sh")))
+      // fused threshold-early-exit verify ([[ngramJaccardPairs]])
+      .withColumn("jac_x1000", graft.functions.HashColumns
+        .jaccardX1000Threshold(col("x.sh"), col("y.sh"), thresholdX1000))
       .filter(col("jac_x1000") >= thresholdX1000)
       .select(col("a_id"), col("b_id"), col("jac_x1000"))
   }
@@ -837,7 +900,9 @@ object Dedup {
     // tokenized once: the frame feeds the gram explode, the per-token
     // explode, AND the final per-doc length projection (3 consumers,
     // no shared exchange) — without materialization each re-reads and
-    // re-splits the corpus
+    // re-splits the corpus. CORPUS-SCALE PIN (full token arrays): see
+    // the object scaladoc for the localCheckpoint executor-loss trade
+    // and the DISK_ONLY swap on elastic clusters.
     val base = docs.select(col(idCol).as("doc_id"),
         split(col(textCol), " ").as("toks"))
       .localCheckpoint(true)

@@ -219,8 +219,10 @@ object DedupIndex {
     cand
       .join(shhOf.as("x"), col("a_id") === col("x.doc_id"))
       .join(shhOf.as("y"), col("b_id") === col("y.doc_id"))
-      .withColumn("jac_x1000",
-        TextFunctions.jaccardX1000Sorted(col("x.shh"), col("y.shh")))
+      // fused threshold-early-exit verify — exact for every kept pair
+      // ([[graft.functions.JaccardX1000ThresholdExpr]]'s contract)
+      .withColumn("jac_x1000", graft.functions.HashColumns
+        .jaccardX1000Threshold(col("x.shh"), col("y.shh"), thresholdX1000))
       .filter(col("jac_x1000") >= thresholdX1000)
       .select("a_id", "b_id", "jac_x1000")
   }

@@ -250,10 +250,13 @@ object Multimodal {
     * on an in-memory stream through a temp FILE on disk (a
     * FileCache(Image)InputStream per call) — tens of thousands of file
     * creates/deletes per media pass for payloads that are already byte
-    * arrays. Disabling it (JVM-global, idempotent) keeps the cache in
-    * heap; decoded output is bit-identical. Referenced at the head of
-    * every codec closure so executors flip it before their first
-    * decode. */
+    * arrays. Disabling it (idempotent) keeps the cache in heap; decoded
+    * output is bit-identical. NOTE: the flip is JVM-GLOBAL — every
+    * ImageIO caller in the process (user UDFs, other libraries) loses
+    * the disk-backed stream cache too; that only matters for streams
+    * too large for heap, which this engine never feeds ImageIO.
+    * Referenced at the head of every codec closure so executors flip it
+    * before their first decode. */
   private[graft] lazy val imageIoNoDiskCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 

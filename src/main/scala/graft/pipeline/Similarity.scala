@@ -363,16 +363,21 @@ object Similarity {
         .limit(numCentroids)
         .select(col(idCol).as("cid"), col(pxCol).as("cq")))
       for (_ <- 1 to lloydIters) {
-        // element-wise integer mean: explode dims, sum exactly,
-        // floor-divide; clusters that lose all members drop out
+        // element-wise integer mean in ONE exchange: `dims` per-dim sums
+        // + one count, aggregated by cid directly (map-side partial onto
+        // <= numCentroids keys) — the posexplode form shuffled a dims-x
+        // row expansion through TWO exchanges per round for the same
+        // floor(sum/count) math (the count per (cid, pos) group equals
+        // the per-cid member count: every member contributes every dim)
+        val dims = cents.head._2.length
         cents = collectCents(assignLit(proj, pxCol, cents)
-          .select(col("cid"), posexplode(col(pxCol)).as(Seq("pos", "value")))
-          .groupBy("cid", "pos")
-          .agg(floor(sum(col("value")).cast("double") / count(lit(1)))
-            .cast("long").as("m"))
           .groupBy("cid")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            s => s.getField("m")).as("cq")))
+          .agg(count(lit(1)).as("n"),
+            (0 until dims).map(d =>
+              sum(element_at(col(pxCol), d + 1)).as(s"s$d")): _*)
+          .select(col("cid"), array((0 until dims).map(d =>
+            floor(col(s"s$d").cast("double") / col("n")).cast("long")): _*)
+            .as("cq")))
       }
       cents
     }
@@ -759,15 +764,18 @@ object Similarity {
       .filter(col("irank") <= codebookSize)
       .select(col("m"), col(idCol).as("code"), col("spx").as("cq")))
     for (_ <- 1 to lloydIters) {
+      // one exchange per round (the trainCollect discipline): subLen
+      // per-dim sums + one count grouped by (m, code) directly — same
+      // floor(sum/count) means as the old posexplode + two-groupBy form
+      val subLen = cb.head._3.length
       cb = collectCodebook(nearestCodeLit(corpusSub, cb)
-        .select(col("m"), col("code"),
-          posexplode(col("spx")).as(Seq("pos", "value")))
-        .groupBy("m", "code", "pos")
-        .agg(floor(sum(col("value")).cast("double") / count(lit(1)))
-          .cast("long").as("mean"))
         .groupBy("m", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
-          s => s.getField("mean")).as("cq")))
+        .agg(count(lit(1)).as("n"),
+          (0 until subLen).map(d =>
+            sum(element_at(col("spx"), d + 1)).as(s"s$d")): _*)
+        .select(col("m"), col("code"), array((0 until subLen).map(d =>
+          floor(col(s"s$d").cast("double") / col("n")).cast("long")): _*)
+          .as("cq")))
     }
     cb
   }

@@ -297,7 +297,12 @@ object ExactRollingWriter {
     case FloatType => g.add(idx, src.getFloat(ord))
     case BooleanType => g.add(idx, src.getBoolean(ord))
     case StringType => g.add(idx,
-      org.apache.parquet.io.api.Binary.fromConstantByteArray(
+      // fromREUSED, not fromConstant: getBytes returns the SHARED
+      // backing array when the UTF8String exactly wraps one, and
+      // parquet's dictionary writer retains Binary references until
+      // page flush — the reused form copies before caching (Spark's own
+      // ParquetWriteSupport does the same for exactly this reason)
+      org.apache.parquet.io.api.Binary.fromReusedByteArray(
         src.getUTF8String(ord).getBytes))
     case BinaryType => g.add(idx,
       org.apache.parquet.io.api.Binary.fromConstantByteArray(src.getBinary(ord)))

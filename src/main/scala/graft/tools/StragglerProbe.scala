@@ -19,13 +19,24 @@ object StragglerProbe {
 
   final case class StageBalance(
       stageId: Int, nTasks: Int, medianMs: Long, maxMs: Long,
-      name: String = "") {
+      name: String = "",
+      /** Per-task shuffle-read bytes profile — the DETERMINISTIC skew
+        * signal (a hot key's partition reads the same bytes every run,
+        * while task wall-time flakes under suite contention/GC). -1 when
+        * the measurement predates this field. */
+      medianReadBytes: Long = -1L, maxReadBytes: Long = -1L) {
     /** max-over-median task-duration ratio; 1.0 for degenerate stages. */
     def ratio: Double =
       if (medianMs <= 0) 1.0 else maxMs.toDouble / medianMs
+    /** max-over-median shuffle-read-bytes ratio; 1.0 when degenerate. */
+    def bytesRatio: Double =
+      if (medianReadBytes <= 0)
+        (if (maxReadBytes > 0) maxReadBytes.toDouble else 1.0)
+      else maxReadBytes.toDouble / medianReadBytes
     override def toString: String =
       f"stage $stageId [$name]: $nTasks tasks, median ${medianMs}ms, " +
-        f"max ${maxMs}ms (${ratio}%.1fx)"
+        f"max ${maxMs}ms (${ratio}%.1fx), shuffle-read median " +
+        f"${medianReadBytes}B max ${maxReadBytes}B (${bytesRatio}%.1fx)"
   }
 
   /** Run `thunk` with task-duration capture; returns (result, per-stage
@@ -34,6 +45,9 @@ object StragglerProbe {
     * nTasks and maxMs floors before asserting. */
   def measure[A](spark: SparkSession)(thunk: => A): (A, Seq[StageBalance]) = {
     val durations =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.util.List[Long]]()
+    // per-task total shuffle-read bytes, parallel to `durations`
+    val readBytes =
       new java.util.concurrent.ConcurrentHashMap[Int, java.util.List[Long]]()
     val names =
       new java.util.concurrent.ConcurrentHashMap[Int, String]()
@@ -49,6 +63,12 @@ object StragglerProbe {
               _ => java.util.Collections.synchronizedList(
                 new java.util.ArrayList[Long]()))
             .add(t.taskInfo.duration)
+          readBytes
+            .computeIfAbsent(t.stageId,
+              _ => java.util.Collections.synchronizedList(
+                new java.util.ArrayList[Long]()))
+            .add(if (t.taskMetrics == null) 0L
+                 else t.taskMetrics.shuffleReadMetrics.totalBytesRead)
           events += 1
         }
     }
@@ -66,8 +86,14 @@ object StragglerProbe {
       import scala.jdk.CollectionConverters._
       val balances = durations.asScala.toSeq.map { case (sid, list) =>
         val ds = list.asScala.toArray.sorted
+        val bsList = readBytes.get(sid)
+        val bs =
+          if (bsList == null) Array.empty[Long]
+          else bsList.asScala.toArray.sorted
+        val (medB, maxB) =
+          if (bs.isEmpty) (-1L, -1L) else (bs(bs.length / 2), bs.last)
         StageBalance(sid, ds.length, ds(ds.length / 2), ds.last,
-          names.getOrDefault(sid, ""))
+          names.getOrDefault(sid, ""), medB, maxB)
       }.sortBy(_.stageId)
       (a, balances)
     } finally spark.sparkContext.removeSparkListener(listener)

@@ -9,11 +9,13 @@ import org.apache.spark.sql.DataFrame
   * COUNTS; error on mismatch. Runs only when
   * `enableValidateCompaction` (2x read cost).
   *
-  * `strict` upgrades the check to full multiset equality via two
-  * `exceptAll` probes — a stronger oracle than the reference's count
-  * compare (SURVEY §7.2 step 6). At 100 TB use counts (one pass, no
-  * shuffle); strict mode shuffles both sides on all columns — reserve it
-  * for sampled audits.
+  * `strict` upgrades the check to full multiset equality via ONE
+  * signed-tag aggregate (input rows +1, output rows -1, grouped on all
+  * columns — exceptAll's null-safe equality, half its scans/shuffles) —
+  * a stronger oracle than the reference's count compare (SURVEY §7.2
+  * step 6). At 100 TB use counts (one pass, no shuffle); strict mode
+  * still shuffles both sides on all columns — reserve it for sampled
+  * audits.
   */
 object Validator {
   final case class Result(inputRows: Long, outputRows: Long, valid: Boolean)
@@ -34,6 +36,15 @@ object Validator {
       // side twice and shuffled full-width rows twice.
       import org.apache.spark.sql.functions._
       val cols = inputLive.columns.toSeq
+      // the tag/diff columns must not shadow (and silently replace) a
+      // real data column — a table named like this would corrupt the
+      // multiset check rather than fail it
+      Seq("__vtag", "__d").foreach { t =>
+        if (cols.contains(t))
+          throw CompactionError.Validation(
+            s"strict validation reserves column name '$t'; " +
+              "rename the table column or use count validation")
+      }
       val diff = inputLive.withColumn("__vtag", lit(1L))
         .unionByName(output.select(cols.map(col): _*)
           .withColumn("__vtag", lit(-1L)))

@@ -13,7 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * meets in production — must finish WITHOUT a straggler task more
   * than 4× the stage-median task time ([[StragglerProbe]] listener
   * assertion). The naive unsalted plan is probed as the NEGATIVE
-  * control on the same data: it MUST straggle, proving the probe can
+  * control on the same data: one of its reducers MUST read >4× the
+  * stage-median shuffle bytes (the deterministic signature of the hot
+  * key concentrating in one task — asserted on bytes, not wall-time,
+  * so suite contention cannot flake it), proving the probe can
   * actually see the failure the salted/prefix-sum plans avoid.
   *
   * Floors: only stages with ≥ 8 tasks and a ≥ 400 ms max task are
@@ -88,17 +91,35 @@ class SkewStressSpec extends AnyFunSuite {
       // WindowGroupLimit pushes the top-k map-side and largely defuses
       // the skew — worth knowing, but domainCap still wins by never
       // materializing per-group state at all.)
-      val (_, naive) = StragglerProbe.measure(spark) {
-        docs.groupBy("source")
-          .agg(slice(array_sort(collect_list(struct(
-            md5(col("doc_id").cast("string")), col("doc_id")))), 1, 20)
-            .as("top"))
-          // consume `top` so column pruning cannot delete the sort
-          .agg(sum(size(col("top")))).head()
-      }
-      assert(naive.exists(b => b.maxMs >= 400 && b.ratio > 4.0),
-        s"probe control: the naive hot-key collect+sort should straggle, " +
-          s"got:\n  " + naive.mkString("\n  "))
+      //
+      // The control asserts on per-task SHUFFLE-READ BYTES, not task
+      // wall-time: the hot key's partially-collected lists all land in
+      // one reducer, so that task's fetch bytes dwarf the stage median
+      // on EVERY run — a property of the partitioning and the data,
+      // where the old >4x task-TIME assertion flaked under full-suite
+      // GC/scheduling contention. AQE partition coalescing is disabled
+      // for the control only: it would merge the small cold partitions
+      // into few large ones and hide the imbalance the probe must see
+      // (the hot partition itself can never be split — it is one key).
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prevCoalesce = spark.conf.get(coalesceKey)
+      val naive =
+        try {
+          spark.conf.set(coalesceKey, "false")
+          StragglerProbe.measure(spark) {
+            docs.groupBy("source")
+              .agg(slice(array_sort(collect_list(struct(
+                md5(col("doc_id").cast("string")), col("doc_id")))), 1, 20)
+                .as("top"))
+              // consume `top` so column pruning cannot delete the sort
+              .agg(sum(size(col("top")))).head()
+          }._2
+        } finally spark.conf.set(coalesceKey, prevCoalesce)
+      assert(naive.exists(b => b.nTasks >= 8 && b.maxReadBytes >= (1L << 20) &&
+          b.maxReadBytes > 4L * math.max(1L, b.medianReadBytes)),
+        s"probe control: the naive hot-key collect should read >4x the " +
+          s"stage-median shuffle bytes in one task, got:\n  " +
+          naive.mkString("\n  "))
     }
   }
 
