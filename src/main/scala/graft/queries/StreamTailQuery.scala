@@ -242,13 +242,18 @@ object StreamTailQuery {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val out = Files.createTempDirectory(s"graft-dedup-sink-$tag").toString
     val ckpt = Files.createTempDirectory(s"graft-dedup-ckpt-$tag").toString
-    val q = spark.readStream.format("graft").load(tableDir)
-      .dropDuplicates("event_id")
-      .writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
+    // stateful query: state partitions sized by key volume, not cores
+    // ([[graft.streaming.StreamTuning]] — per-partition per-batch fixed
+    // state-store cost dominates at serving scale)
+    graft.streaming.StreamTuning.withStatePartitions(spark) {
+      val q = spark.readStream.format("graft").load(tableDir)
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.read.parquet(out)
       .select(cols.map(col): _*)
       .orderBy("event_id")
@@ -305,15 +310,20 @@ object StreamTailQuery {
     val c = spark.readStream.format("graft").load(cDir)
       .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
         col("user_id").as("c_user"))
-    val q = p.join(c,
-        col("user_id") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - hour6 && col("c_ts") <= col("p_ts"))
-      .select("user_id", "p_id", "c_id", "p_ts", "c_ts")
-      .writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
+    // stateful stream-stream join: 4 state stores x state partitions x
+    // per-batch delta+fsync — size the state partitioning by key
+    // volume, not cores ([[graft.streaming.StreamTuning]])
+    graft.streaming.StreamTuning.withStatePartitions(spark) {
+      val q = p.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - hour6 && col("c_ts") <= col("p_ts"))
+        .select("user_id", "p_id", "c_id", "p_ts", "c_ts")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.read.parquet(out).orderBy("user_id", "p_id", "c_id")
       .select("user_id", "p_id", "c_id", "p_ts", "c_ts")
   }

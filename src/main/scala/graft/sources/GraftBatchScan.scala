@@ -247,6 +247,60 @@ object GraftBatchScan {
     }
   }
 
+  /** [[fieldExtractor]]'s twin for EQUALITY-DELETE KEY probes: returns
+    * the [[groupValue]] JVM representation (strings as String, not
+    * UTF8String — the loaded key sets are built through groupValue)
+    * already normalized through [[eqKeyComponent]] (NaN → [[NaNKey]],
+    * byte arrays → content-equality Binary), so the per-row probe is
+    * extractor calls into a reused buffer — no name→index lookup, no
+    * type dispatch, no normalization pass per row. */
+  private[graft] def eqKeyExtractor(
+      fileType: org.apache.parquet.schema.GroupType,
+      gi: Int, dt: DataType, name: String): Group => Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    def prim = fileType.getType(gi).asPrimitiveType().getPrimitiveTypeName
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        if (prim == PrimitiveTypeName.INT32)
+          g => if (g.getFieldRepetitionCount(gi) == 0) null
+               else java.lang.Long.valueOf(g.getInteger(gi, 0).toLong)
+        else
+          g => if (g.getFieldRepetitionCount(gi) == 0) null
+               else java.lang.Long.valueOf(g.getLong(gi, 0))
+      case IntegerType | DateType =>
+        g => if (g.getFieldRepetitionCount(gi) == 0) null
+             else java.lang.Integer.valueOf(g.getInteger(gi, 0))
+      case StringType =>
+        g => if (g.getFieldRepetitionCount(gi) == 0) null
+             else g.getString(gi, 0)
+      case DoubleType =>
+        if (prim == PrimitiveTypeName.FLOAT)
+          g => if (g.getFieldRepetitionCount(gi) == 0) null
+               else {
+                 val d = g.getFloat(gi, 0).toDouble
+                 if (d.isNaN) NaNKey else java.lang.Double.valueOf(d)
+               }
+        else
+          g => if (g.getFieldRepetitionCount(gi) == 0) null
+               else {
+                 val d = g.getDouble(gi, 0)
+                 if (d.isNaN) NaNKey else java.lang.Double.valueOf(d)
+               }
+      case FloatType =>
+        g => if (g.getFieldRepetitionCount(gi) == 0) null
+             else {
+               val f = g.getFloat(gi, 0)
+               if (f.isNaN) NaNKey else java.lang.Float.valueOf(f)
+             }
+      case BooleanType =>
+        g => if (g.getFieldRepetitionCount(gi) == 0) null
+             else java.lang.Boolean.valueOf(g.getBoolean(gi, 0))
+      case _ =>
+        g => if (g.getFieldRepetitionCount(gi) == 0) null
+             else eqKeyComponent(groupValue(g, gi, dt, name))
+    }
+  }
+
   /** Dead-ordinal membership for one task: a window-filtered hash set
     * from parquet position-delete files, plus (when the file carries a
     * deletion vector) a roaring bitmap probed directly — the bitmap IS
@@ -1638,15 +1692,6 @@ final class GraftMorPartitionReader(
       b.build()
     } else projectedReader(part.dataPath, physicalCols, taskConf, range)
 
-  /** One field of the current row, in CURRENT-schema terms. */
-  private def fieldValue(g: Group, currentName: String): Any =
-    part.columnMap.getOrElse(currentName, Some(currentName)) match {
-      case None       => // file predates the column
-        defaultJvm.getOrElse(currentName, null)
-      case Some(phys) =>
-        groupValue(g, g.getType.getFieldIndex(phys), readTypes(currentName), phys)
-    }
-
   // running FILE-ABSOLUTE ordinal: a range split starts at the row
   // count of every preceding row group (position-delete semantics)
   private var pos: Long = part.baseOrdinal - 1L
@@ -1658,9 +1703,50 @@ final class GraftMorPartitionReader(
   // per-output-column extractors, specialized ONCE against the file's
   // group type (every Group of one file shares it): hoists the
   // column-map/read-type/name→index lookups and type dispatch that
-  // [[fieldValue]] pays per VALUE out of the row loop. Columns the file
+  // the old per-row lookup paid per VALUE out of the row loop. Columns the file
   // predates materialize their default (or null) as a constant.
   private var outExtract: Array[Group => Any] = _
+
+  /** One equality-delete file's per-row probe, specialized once against
+    * the file's group type: key components extract (pre-normalized via
+    * [[GraftBatchScan.eqKeyExtractor]]) into a REUSED buffer wrapped by
+    * a REUSED Seq view — zero per-row key-tuple allocation (the old
+    * path built two Seqs and re-ran name→index + type dispatch per row
+    * per delete file). The view's structural Seq equality/hash matches
+    * the loaded set's List keys. */
+  private final class EqProbe(extract: Array[Group => Any],
+      set: java.util.HashSet[Seq[Any]]) {
+    private val buf = new Array[Any](extract.length)
+    private val view: scala.collection.Seq[Any] =
+      scala.collection.mutable.ArraySeq.make(buf)
+    /** true = the row SURVIVES this delete file. */
+    def live(g: Group): Boolean = {
+      var i = 0
+      while (i < extract.length) {
+        val v = extract(i)(g)
+        if (v == null) return true // a null key component never matches
+        buf(i) = v
+        i += 1
+      }
+      !set.contains(view)
+    }
+  }
+  private var eqProbes: Array[EqProbe] = _
+  private def buildEqProbes(t: org.apache.parquet.schema.GroupType)
+      : Array[EqProbe] =
+    eqKeySets.map { case (cols, set) =>
+      new EqProbe(cols.toArray.map { c =>
+        part.columnMap.getOrElse(c, Some(c)) match {
+          case None =>
+            val v = defaultJvm.get(c)
+              .map(GraftBatchScan.eqKeyComponent).orNull
+            (_: Group) => v
+          case Some(phys) =>
+            GraftBatchScan.eqKeyExtractor(
+              t, t.getFieldIndex(phys), readTypes(c), phys)
+        }
+      }, set)
+    }.toArray
   private def buildOutExtract(t: org.apache.parquet.schema.GroupType)
       : Array[Group => Any] =
     outCols.map { c =>
@@ -1678,6 +1764,7 @@ final class GraftMorPartitionReader(
     var g = reader.read()
     while (g != null) {
       pos += 1
+      if (eqProbes == null) eqProbes = buildEqProbes(g.getType)
       if (!deadPositions.contains(pos) && liveUnderEqDeletes(g)) {
         if (outExtract == null) outExtract = buildOutExtract(g.getType)
         val vals = new Array[Any](outLen)
@@ -1697,11 +1784,14 @@ final class GraftMorPartitionReader(
     false
   }
 
-  private def liveUnderEqDeletes(g: Group): Boolean =
-    eqKeySets.forall { case (cols, set) =>
-      val key = cols.map(fieldValue(g, _))
-      key.contains(null) || !set.contains(key.map(GraftBatchScan.eqKeyComponent))
+  private def liveUnderEqDeletes(g: Group): Boolean = {
+    var i = 0
+    while (i < eqProbes.length) {
+      if (!eqProbes(i).live(g)) return false
+      i += 1
     }
+    true
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
