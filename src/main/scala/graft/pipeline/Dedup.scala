@@ -196,10 +196,15 @@ object Dedup {
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       numHashes, bandSize, hashKind)
 
-    val cand = bands
+    val buckets = bands
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
+    // the raise_error branch must carry the ids column's OWN type (the
+    // operator is id-type-agnostic; a hard-coded cast would coerce or
+    // reject non-bigint doc ids)
+    val idsType = buckets.schema("ids").dataType.catalogString
+    val cand = buckets
       // oversized-bucket tripwire (see maxBucketDocs): fail loudly with
       // the offending band before the quadratic expansion serializes on
       // one task — a no-op projection for every sane bucket
@@ -210,7 +215,7 @@ object Dedup {
             col("band").cast("string"),
             lit(", |bucket|="), size(col("ids")).cast("string"),
             lit("); pre-dedup exact duplicates or raise the cap")))
-            .cast("array<bigint>")))
+            .cast(idsType)))
       .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
       .select(col("a_id"),
         explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("b_id"))

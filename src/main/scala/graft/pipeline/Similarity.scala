@@ -368,7 +368,12 @@ object Similarity {
         // <= numCentroids keys) — the posexplode form shuffled a dims-x
         // row expansion through TWO exchanges per round for the same
         // floor(sum/count) math (the count per (cid, pos) group equals
-        // the per-cid member count: every member contributes every dim)
+        // the per-cid member count: every member contributes every dim).
+        // element_at requires the fixed-dims contract (all vectors the
+        // seeds' length): a shorter vector fails LOUDLY under ANSI
+        // instead of silently skewing a mean.
+        require(cents.nonEmpty,
+          "k-means lost every centroid: empty training input")
         val dims = cents.head._2.length
         cents = collectCents(assignLit(proj, pxCol, cents)
           .groupBy("cid")
@@ -766,7 +771,10 @@ object Similarity {
     for (_ <- 1 to lloydIters) {
       // one exchange per round (the trainCollect discipline): subLen
       // per-dim sums + one count grouped by (m, code) directly — same
-      // floor(sum/count) means as the old posexplode + two-groupBy form
+      // floor(sum/count) means as the old posexplode + two-groupBy form.
+      // element_at requires the fixed-subLen contract; see trainCollect.
+      require(cb.nonEmpty,
+        "codebook training lost every codeword: empty subvector input")
       val subLen = cb.head._3.length
       cb = collectCodebook(nearestCodeLit(corpusSub, cb)
         .groupBy("m", "code")

@@ -305,7 +305,9 @@ object ExactRollingWriter {
       org.apache.parquet.io.api.Binary.fromReusedByteArray(
         src.getUTF8String(ord).getBytes))
     case BinaryType => g.add(idx,
-      org.apache.parquet.io.api.Binary.fromConstantByteArray(src.getBinary(ord)))
+      // same dictionary-retention hazard as StringType above: a generic
+      // row can hand back its stored (reusable) array — copy-on-cache
+      org.apache.parquet.io.api.Binary.fromReusedByteArray(src.getBinary(ord)))
     case TimestampType | TimestampNTZType => g.add(idx, src.getLong(ord))
     case DateType => g.add(idx, src.getInt(ord))
     case d: DecimalType =>

@@ -28,10 +28,14 @@ object StragglerProbe {
     /** max-over-median task-duration ratio; 1.0 for degenerate stages. */
     def ratio: Double =
       if (medianMs <= 0) 1.0 else maxMs.toDouble / medianMs
-    /** max-over-median shuffle-read-bytes ratio; 1.0 when degenerate. */
+    /** max-over-median shuffle-read-bytes ratio; infinite when the
+      * median task read nothing but some task did (all-of-the-bytes-in-
+      * one-task IS maximal imbalance), 1.0 when no task read anything.
+      * Gates should pair this with an absolute maxReadBytes floor — a
+      * 5-byte max over a 0-byte median is infinite but meaningless. */
     def bytesRatio: Double =
       if (medianReadBytes <= 0)
-        (if (maxReadBytes > 0) maxReadBytes.toDouble else 1.0)
+        (if (maxReadBytes > 0) Double.PositiveInfinity else 1.0)
       else maxReadBytes.toDouble / medianReadBytes
     override def toString: String =
       f"stage $stageId [$name]: $nTasks tasks, median ${medianMs}ms, " +

@@ -130,7 +130,8 @@ class ThresholdVerifySpec extends AnyFunSuite {
       val fusedC = df.withColumn("v",
           HashColumns.containmentX1000Threshold(col("a"), col("b"), t))
         .filter(col("v") >= t).select("a", "v")
-        .collect().map(r => (r.getSeq[Long](0), r.getLong(1))).sortBy(_.hashCode)
+        .collect().map(r => (r.getSeq[Long](0), r.getLong(1)))
+        .sortBy(t => (t._1.mkString(","), t._2))
       // reference path: unfused intersect + div (empty-min guard keeps
       // ANSI division happy; those rows are filtered out either way)
       val refC = df.withColumn("v",
@@ -139,16 +140,19 @@ class ThresholdVerifySpec extends AnyFunSuite {
               "(cast(size(array_intersect(a, b)) as bigint) * 1000) " +
               "div least(size(a), size(b)) END"))
         .filter(col("v") >= t).select("a", "v")
-        .collect().map(r => (r.getSeq[Long](0), r.getLong(1))).sortBy(_.hashCode)
+        .collect().map(r => (r.getSeq[Long](0), r.getLong(1)))
+        .sortBy(t => (t._1.mkString(","), t._2))
       assert(fusedC.toSeq == refC.toSeq, s"containment t=$t filtered mismatch")
 
       val fusedJ = df.withColumn("v",
           HashColumns.jaccardX1000Threshold(col("a"), col("b"), t))
         .filter(col("v") >= t).select("a", "v")
-        .collect().map(r => (r.getSeq[Long](0), r.getLong(1))).sortBy(_.hashCode)
+        .collect().map(r => (r.getSeq[Long](0), r.getLong(1)))
+        .sortBy(t => (t._1.mkString(","), t._2))
       val refJ = df.withColumn("v", HashColumns.jaccardX1000(col("a"), col("b")))
         .filter(col("v") >= t).select("a", "v")
-        .collect().map(r => (r.getSeq[Long](0), r.getLong(1))).sortBy(_.hashCode)
+        .collect().map(r => (r.getSeq[Long](0), r.getLong(1)))
+        .sortBy(t => (t._1.mkString(","), t._2))
       assert(fusedJ.toSeq == refJ.toSeq, s"jaccard t=$t filtered mismatch")
     }
   }
